@@ -1,0 +1,185 @@
+"""Exact-fidelity aggregate expressions for the reference's aggregate set.
+
+Every reference aggregate is a single-pass streaming fold
+(/root/reference/uts.ts:386-396) — exactly the shape of a Spark
+partial-aggregation buffer — so each maps to built-in aggregate functions
+plus a thin wrapper encoding the reference's QUIRKS (verified empirically,
+SURVEY.md §2.4):
+
+- ``mean(col)``  uts.ts:436-456  — skips points missing the column
+  (pt.has guard); empty / none-have-col bin → 0, not NULL.
+- ``sum(col)``   uts.ts:618-624  — fold from 0; a point MISSING the column
+  poisons the result to NaN (0 + undefined); empty → 0.
+- ``max(col)``   uts.ts:589-594  — fold Math.max from 0 → clamped ≥ 0;
+  missing column → NaN; empty → 0.
+- ``min(col)``   uts.ts:596-601  — fold Math.min from 0 → clamped ≤ 0.
+- ``count()``    uts.ts:626-641  — '*' counts all; count(col) counts points
+  whose value is not undefined (NULL-skipping, = SQL count).
+- ``last(col)``  uts.ts:611-617  — last point in PUSH (insertion) order,
+  not time order → ``max_by(v, ingest_id)``.
+- ``map(col)``   uts.ts:398-414  — ordered per-point projection preserving
+  holes (missing col → NULL element) → sorted collect_list of structs.
+- ``reduce(fn)`` uts.ts:416-434  — arbitrary user fold in push order; the
+  primitive the built-ins are defined through. Native path: SQL
+  ``aggregate()`` HOF over the ordered collected array.
+
+All are ordinary Column expressions — no UDFs — so they run inside
+whole-stage codegen and get map-side partial aggregation for free, which is
+what makes the same plan viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NAN = float("nan")
+
+
+@dataclass(frozen=True)
+class Metric:
+    """A named aggregate over one column (or '*'), mirroring the factory
+    statics on the reference's TSDB (uts.ts:556-648)."""
+
+    kind: str
+    col: str | None = None
+    # for reduce(fn, initial) / map(fn): python callables (pandas fallback)
+    fn: Callable[..., Any] | None = None
+    initial: Any = None
+    # for derivative(col, interval)
+    interval: int | None = None
+    params: dict = field(default_factory=dict)
+
+    def needs_order(self) -> bool:
+        return self.kind in ("last", "map", "reduce")
+
+
+# ---------------------------------------------------------------------------
+# factories (the public API surface, mirroring readme.md:16-24)
+
+def mean(col: str) -> Metric:
+    return Metric("mean", col)
+
+
+def sum_(col: str) -> Metric:
+    return Metric("sum", col)
+
+
+def max_(col: str) -> Metric:
+    return Metric("max", col)
+
+
+def min_(col: str) -> Metric:
+    return Metric("min", col)
+
+
+def count(col: str = "*") -> Metric:
+    return Metric("count", col)
+
+
+def last(col: str) -> Metric:
+    return Metric("last", col)
+
+
+def map_(col_or_fn) -> Metric:
+    if callable(col_or_fn):
+        return Metric("map", None, fn=col_or_fn)
+    return Metric("map", col_or_fn)
+
+
+def reduce_(fn: Callable[[Any, Any], Any], initial: Any = None) -> Metric:
+    return Metric("reduce", None, fn=fn, initial=initial)
+
+
+def derivative(col: str, interval: int) -> Metric:
+    return Metric("derivative", col, interval=interval)
+
+
+# ---------------------------------------------------------------------------
+# expression builders
+
+def _poisoned(v: Column, inner: Column) -> Column:
+    """NaN-poisoning: any row in the bin missing the column → NaN
+    (uts.ts:593,623 — ``0 + undefined`` / ``Math.max(undefined, …)``)."""
+    return F.when(F.count(F.lit(1)) > F.count(v), F.lit(NAN)).otherwise(inner)
+
+
+def agg_expr(metric: Metric, resolve=F.col, order_col: str = "ingest_id") -> Column:
+    """Build the aggregate Column for one metric.
+
+    ``resolve`` maps column name → Column (override for MapType payloads).
+    ``order_col`` provides insertion order for last/map/reduce fidelity.
+    """
+    k = metric.kind
+    if k == "mean":
+        v = resolve(metric.col)
+        return F.coalesce(F.avg(v), F.lit(0.0))
+    if k == "sum":
+        v = resolve(metric.col)
+        return _poisoned(v, F.coalesce(F.sum(v), F.lit(0.0)))
+    if k == "max":
+        v = resolve(metric.col)
+        return _poisoned(v, F.greatest(F.coalesce(F.max(v), F.lit(0.0)), F.lit(0.0)))
+    if k == "min":
+        v = resolve(metric.col)
+        return _poisoned(v, F.least(F.coalesce(F.min(v), F.lit(0.0)), F.lit(0.0)))
+    if k == "count":
+        if metric.col in (None, "*"):
+            return F.count(F.lit(1))
+        return F.count(resolve(metric.col))
+    if k == "last":
+        # insertion-order last — max_by on the ingest id (uts.ts:611-617:
+        # array order, not time order)
+        return F.max_by(resolve(metric.col), F.col(order_col))
+    if k == "map":
+        if metric.fn is not None:
+            raise NotImplementedError(
+                "map(fn) requires the pandas path; use Series.query which "
+                "routes callables through grouped-map execution"
+            )
+        return ordered_values_array(resolve(metric.col), F.col(order_col))
+    if k == "reduce":
+        raise NotImplementedError(
+            "reduce(fn) requires the pandas path or an explicit SQL "
+            "lambda; see uts_spark.operators.reduce_hof"
+        )
+    raise ValueError(f"unknown metric kind {k!r}")
+
+
+def ordered_values_array(v: Column, order: Column) -> Column:
+    """collect_list drops NULLs and has nondeterministic order; wrapping in a
+    struct (order first → array_sort sorts by it) defeats both, preserving
+    holes exactly like the reference's Mapper (uts.ts:398-414)."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(order.alias("o"), v.alias("v")))),
+        lambda s: s["v"],
+    )
+
+
+def reduce_hof(v: Column, order: Column, initial: Column, merge) -> Column:
+    """Reference ``reduce(fn, initial)`` (uts.ts:416-434) for folds
+    expressible as SQL lambdas: fold the ordered value array through
+    ``aggregate()``. ``merge`` is a python fn (acc: Column, x: Column) ->
+    Column built from F.* expressions."""
+    return F.aggregate(ordered_values_array(v, order), initial, merge)
+
+
+def initial_value_expr(metric: Metric, value_type: str = "double") -> Column:
+    """The serialized initial an EMPTY bin reports when fill=true
+    (uts.ts:141-143 + each aggregate's initial; verified: mean/sum/count/
+    max/min → 0, last → null, map → [])."""
+    k = metric.kind
+    if k in ("mean", "sum", "max", "min"):
+        return F.lit(0.0)
+    if k == "count":
+        return F.lit(0).cast("long")
+    if k == "last":
+        return F.lit(None).cast(value_type)
+    if k == "map":
+        return F.array().cast(f"array<{value_type}>")
+    if k == "reduce":
+        return F.lit(metric.initial)
+    raise ValueError(f"no fill initial for metric kind {k!r}")
