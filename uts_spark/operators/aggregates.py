@@ -107,19 +107,33 @@ def _poisoned(v: Column, inner: Column) -> Column:
     return F.when(F.count(F.lit(1)) > F.count(v), F.lit(NAN)).otherwise(inner)
 
 
+# Floating-point sums depend on accumulation order, which differs between
+# Spark's partial aggregation and a serial oracle. "Stable" mode routes the
+# sum through DECIMAL(38,6): each double rounds deterministically to 6dp,
+# the sum is then exact and associative → bit-identical to any oracle using
+# the same cast. Costs one decimal codepath in codegen; negligible.
+def stable_sum(v: Column) -> Column:
+    return F.sum(v.cast("decimal(38,6)")).cast("double")
+
+
 def agg_expr(metric: Metric, resolve=F.col, order_col: str = "ingest_id") -> Column:
     """Build the aggregate Column for one metric.
 
     ``resolve`` maps column name → Column (override for MapType payloads).
     ``order_col`` provides insertion order for last/map/reduce fidelity.
-    """
+    Pass ``Metric(..., params={"stable": True})`` for order-independent
+    float sums (oracle-comparable)."""
     k = metric.kind
+    stable = metric.params.get("stable", False)
     if k == "mean":
         v = resolve(metric.col)
+        if stable:
+            return F.coalesce(stable_sum(v) / F.count(v), F.lit(0.0))
         return F.coalesce(F.avg(v), F.lit(0.0))
     if k == "sum":
         v = resolve(metric.col)
-        return _poisoned(v, F.coalesce(F.sum(v), F.lit(0.0)))
+        s = stable_sum(v) if stable else F.sum(v)
+        return _poisoned(v, F.coalesce(s, F.lit(0.0)))
     if k == "max":
         v = resolve(metric.col)
         return _poisoned(v, F.greatest(F.coalesce(F.max(v), F.lit(0.0)), F.lit(0.0)))

@@ -38,6 +38,7 @@ def derivative_points_array(
     time_col: str = "time",
     order_col: str = "ingest_id",
     group_cols: list[str] | None = None,
+    stable: bool = False,
 ) -> DataFrame:
     """Return one row per group with ``points: array<struct<time,value>>``
     sorted by time ascending. With ``group_cols=None`` → single global row
@@ -67,11 +68,18 @@ def derivative_points_array(
         + F.floor((F.col("__t") - F.col("__first") + F.lit(w - 1)) / F.lit(w)) * F.lit(w)
     )
     e = F.least(c, F.col("__tlast")).alias("__e")
+    # stable: deltas round to 6dp then sum exactly in decimal —
+    # order-independent, bit-identical to a serial oracle
+    dsum = (
+        F.sum(F.col("__delta").cast("decimal(38,6)")).cast("double")
+        if stable
+        else F.sum("__delta")
+    )
     contrib = (
         rows.filter(F.col("__delta").isNotNull())
         .select(*gcols, e, "__delta")
         .groupBy(*gcols, "__e")
-        .agg(F.sum("__delta").alias("__change"))
+        .agg(dsum.alias("__change"))
     )
 
     # per-group emission spine (zero-gap points, uts.ts:481-483 while loop)
@@ -112,11 +120,14 @@ def derivative_rows(
     time_col: str = "time",
     order_col: str = "ingest_id",
     group_cols: list[str] | None = None,
+    stable: bool = False,
 ) -> DataFrame:
     """Exploded form: one output row per emission (group cols + time +
     value). SQL-oracle-friendly and the natural shape for downstream
     DataFrame work."""
-    arr = derivative_points_array(df, col, interval, time_col, order_col, group_cols)
+    arr = derivative_points_array(
+        df, col, interval, time_col, order_col, group_cols, stable
+    )
     gcols = list(group_cols or [])
     return arr.select(
         *gcols, F.explode("points").alias("__p")

@@ -194,10 +194,13 @@ class Series:
                 fills.append(F.coalesce(F.col(k), empty).alias(k))
             joined = joined.select("__bin", *fills)
 
-        start = (F.lit(now) - (F.col("__bin") + 1) * F.lit(w)).alias("start")
+        start = (
+            F.lit(now).cast("long")
+            - (F.col("__bin") + 1) * F.lit(w).cast("long")
+        ).alias("start")
         out = joined.select(
             start,
-            F.lit(w).alias("width"),
+            F.lit(w).cast("long").alias("width"),
             *[F.col(k) for k in list(scalar) + list(derivs)],
         )
         return out.orderBy(F.desc("start"))

@@ -40,11 +40,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``ingest_id`` (= event_id: the generator's insertion order)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ns = F.col("ts").cast("long")
+    # integer `div`, NOT `/`: epoch-ns exceeds 2^53, double division loses
+    # precision and lands a millisecond off the DuckDB oracle
     return raw.select(
         "event_id",
-        F.timestamp_micros((ns / 1000).cast("long")).alias("ts"),
-        (ns / 1_000_000).cast("long").alias("ts_ms"),
+        F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000")).alias("ts"),
+        F.expr("CAST(ts AS BIGINT) div 1000000").alias("ts_ms"),
         "user_id",
         "event_type",
         "value",
