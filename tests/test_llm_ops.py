@@ -1,0 +1,141 @@
+"""Tests for the LLM-pipeline operators: dedup recall, ANN recall vs
+brute force, fingerprint/simhash properties, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from uts_spark.functions import multimodal as mm
+from uts_spark.functions.dedup import (
+    exact_canonical,
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from uts_spark.functions.similarity import cosine_topk, lsh_topk
+from uts_spark.functions.text import fingerprint, lang_id, tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_flags_identical_texts(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in exact_canonical(df, "text", "doc_id").collect()}
+    assert out == {1: (1, 0), 2: (1, 1), 3: (3, 0)}
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must recover the high-jaccard pairs exact search
+    finds (banding: 8 bands × 4 rows → ~P(j=0.8 caught) ≈ 1-(1-0.8^4)^8
+    ≈ 0.99; verify on the planted near-dups)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", 3, 32, 8, 0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} true pairs)"
+    assert lsh <= exact or all(p in exact for p in lsh)  # no false positives
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    """Planted near-dup pairs should sit closer in simhash space than
+    random pairs on average."""
+    near = ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.8)
+    sh = simhash(docs, "text", "doc_id")
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    near_d = (
+        near.join(a, "id_a").join(b, "id_b")
+        .select(hamming64(F.col("ha"), F.col("hb")).alias("d"))
+        .agg(F.avg("d")).first()[0]
+    )
+    rand_d = (
+        a.crossJoin(b).filter(F.col("id_a") + 7 == F.col("id_b"))
+        .select(hamming64(F.col("ha"), F.col("hb")).alias("d"))
+        .agg(F.avg("d")).first()[0]
+    )
+    assert near_d < rand_d / 2
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    """The fixture embeddings are near-orthogonal (top cosine ≈ 0.5,
+    θ≈65° → per-plane agreement ≈ 0.64), so the viable banding here is
+    FEW planes × many tables: 0.64⁴ per table × 8 tables ≈ 0.77 expected
+    recall. Real near-dup corpora (cosine>0.9) support 8-12 planes."""
+    anchors = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["anchor_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, anchors, k=5).collect()
+    }
+    approx = {
+        (r["anchor_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, anchors, dim=64, k=5, planes=4, tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall} vs brute force"
+
+
+def test_fingerprint_stability_and_collision(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of it is that"),
+         (2, "der hund und die katze ist ein zu"),
+         (3, "xyzzy qwerty plugh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["l"] for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert out == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_multimodal_decode_shape(docs):
+    out = mm.fake_decode_features(mm.attach_blob(docs))
+    rows = out.limit(5).collect()
+    assert out.count() == docs.count()
+    for r in rows:
+        assert r["byte_len"] > 0
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert len(r["feature"]) == mm.FEATURE_DIM
+
+
+def test_multimodal_decode_deterministic(docs):
+    a = sorted(map(tuple, mm.fake_decode_features(mm.attach_blob(docs)).collect()))
+    b = sorted(map(tuple, mm.fake_decode_features(mm.attach_blob(docs)).collect()))
+    assert a == b
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG fake")

@@ -1,0 +1,92 @@
+"""Unit tests for the extended operators: as-of join edge semantics,
+binned range join correctness, top-k determinism, percentile-disc."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from uts_spark.operators.joins import asof_join, binned_range_join
+from uts_spark.operators.topk import percentile_disc, top_k_per_group
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 250), (3, "B", 100), (4, "B", 90)],
+        "trade_id long, sym string, ts long",
+    )
+    quotes = spark.createDataFrame(
+        [(10, "A", 100, 1.0), (11, "A", 200, 2.0), (12, "B", 95, 3.0)],
+        "quote_id long, sym string, ts long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="ts", right_time="ts",
+        right_payload=["px"], order_col=None,
+    )
+    got = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    # trade 1 @A t=100: quote @100 matches (inclusive); trade 2 @A t=250 →
+    # quote @200; trade 3 @B t=100 → quote @95; trade 4 @B t=90 → none
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0, 4: None}
+
+
+def test_asof_strict_before(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="ts", right_time="ts",
+        right_payload=["px"], inclusive=False,
+    )
+    got = {r["trade_id"]: r["px_right"] for r in out.collect()}
+    assert got[1] is None  # equal-ts quote no longer visible
+
+
+def test_asof_equal_ts_tiebreak_latest_right(spark):
+    # two right rows at the same key+ts: the one with the larger order id
+    # wins deterministically
+    left = spark.createDataFrame([(1, "A", 100)], "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [(7, "A", 100, 10.0), (8, "A", 100, 20.0)],
+        "rid long, k string, ts long, v double",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="ts", right_time="ts",
+        right_payload=["v"], order_col="rid",
+    )
+    assert out.first()["v_right"] == 20.0
+
+
+def test_binned_range_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(i, i * 37 % 400) for i in range(50)], "lid long, lo long"
+    ).withColumn("hi", F.col("lo") + 100)
+    right = spark.createDataFrame(
+        [(j, j * 53 % 500) for j in range(80)], "rid long, ts long"
+    )
+    fast = binned_range_join(
+        left, right,
+        left_lo=F.col("lo"), left_hi=F.col("hi"), right_ts=F.col("ts"),
+        bin_width=64,
+    ).select("lid", "rid")
+    naive = left.crossJoin(right).filter(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi"))
+    ).select("lid", "rid")
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_top_k_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, 1), ("g", 5.0, 2), ("g", 5.0, 3), ("g", 4.0, 4)],
+        "g string, v double, id long",
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], 2)
+    assert [r["id"] for r in out.orderBy("rank").collect()] == [1, 2]
+
+
+def test_percentile_disc_selects_actual_elements(spark):
+    df = spark.createDataFrame([(float(i), i) for i in range(1, 11)], "v double, id long")
+    out = {r["p"]: r["value"] for r in percentile_disc(df, "v", [0.1, 0.5, 1.0], tie_break="id").collect()}
+    # ceil(0.1*10)=1 → 1.0; ceil(0.5*10)=5 → 5.0; ceil(1.0*10)=10 → 10.0
+    assert out == {0.1: 1.0, 0.5: 5.0, 1.0: 10.0}

@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the reason each exists):
+- EXACT: hash-groupBy on md5(text) — one shuffle, linear.
+- NGRAM JACCARD: exact pairwise similarity but only over pairs sharing a
+  shingle (inverted-index self-join) — correct, cost ∝ true overlap.
+- MINHASH+LSH: signatures + banding → candidate pairs ∝ near-dups, the
+  only shape that survives 100 TB all-pairs dedup; candidates re-verified
+  with exact Jaccard so the output has no false positives.
+- SIMHASH: one 48-bit sketch per doc, near-dups differ in few bits —
+  cheapest stream-side prefilter.
+- EMBEDDING COSINE: semantic near-dup; brute force here, LSH/IVF variant
+  in functions/similarity.py.
+
+Everything is Column-expression-only (no UDFs); the md5-based hash family
+(functions/hashing) keeps every step reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uts_spark.functions.hashing import hash64
+from uts_spark.functions.text import tokens, word_ngrams
+
+SIMHASH_BITS = 48  # 48 (not 64): avoids BIGINT sign-bit overflow under ANSI
+
+
+def exact_canonical(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: canonical id = min id among identical texts.
+    Adds ``canonical_id`` and ``is_dup``."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.withColumn("canonical_id", F.min(id_col).over(w)).withColumn(
+        "is_dup", (F.col(id_col) != F.col("canonical_id")).cast("long")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) inverted index over distinct word n-grams + per-doc
+    set size ``n_shingles``."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)).alias("__sh"),
+    )
+    return base.select(
+        "id", F.size("__sh").alias("n_shingles"), F.explode("__sh").alias("shingle")
+    )
+
+
+def doc_shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh: distinct shingle array, ns: set size) per doc.
+
+    Repartitions the input first: document tables often arrive as few
+    fat files, and the regex+shingle build is CPU-bound — without the
+    spread a 32-core machine tokenizes on one core."""
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    return spread.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)).alias("sh"),
+    ).withColumn("ns", F.size("sh"))
+
+
+def pair_jaccard(cands: DataFrame, arrays: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via array_intersect
+    on the full shingle sets — no re-explode, cost ∝ candidates.
+
+    Candidates are re-spread first: they typically come out of a
+    distinct() that AQE coalesces to one partition, which would serialize
+    every per-pair intersect onto a single core. ``shared`` is computed
+    once into a column (the intersect is the expensive part — don't let
+    it appear twice in the projection)."""
+    sc = cands.sparkSession.sparkContext
+    cands = cands.repartition(sc.defaultParallelism, "id_a")
+    a = arrays.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa"), F.col("ns").alias("na"))
+    b = arrays.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb"), F.col("ns").alias("nb"))
+    # no broadcast hint: under the autoBroadcast threshold Spark broadcasts
+    # the array side anyway; above it (huge corpora) a shuffle join on id
+    # is the correct plan and forcing broadcast would OOM the executors
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    with_shared = joined.withColumn(
+        "__shared", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    )
+    jac = F.col("__shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("__shared")
+    )
+    return with_shared.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs at ``jaccard >= threshold`` via
+    PPJoin-style PREFIX FILTERING (result-identical to the naive
+    inverted-index join, orders of magnitude cheaper on skewed shingles):
+
+    1. global shingle frequencies (one groupBy);
+    2. each doc keeps only its ``ns - ceil(t*ns) + 1`` RAREST shingles
+       (any pair with J >= t must collide inside both prefixes);
+    3. candidate pairs = prefix-index self-join + size-ratio filter
+       (J >= t ⇒ t <= na/nb <= 1/t) — hot shingles are, by
+       construction, last in the frequency order and fall out of
+       prefixes, which is what kills the quadratic blowup;
+    4. exact Jaccard on full sets per candidate (array_intersect).
+    """
+    arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
+    inv = arrays.select("id", "ns", F.explode("sh").alias("shingle"))
+
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("id").orderBy("freq", "shingle")
+    prefix_len = F.col("ns") - F.ceil(F.col("ns") * F.lit(threshold)) + 1
+    # cached: the a/b self-join below would otherwise recompute the
+    # freq-join + window sort twice
+    prefix = (
+        inv.join(freq, "shingle")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= prefix_len)
+        .select("id", "ns", "shingle")
+        .cache()
+    )
+
+    a = prefix.select(F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), F.col("ns").alias("nb"), "shingle")
+    size_ok = (F.col("na") >= F.col("nb") * F.lit(threshold)) & (
+        F.col("nb") >= F.col("na") * F.lit(threshold)
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pair_jaccard(cands, arrays).filter(F.col("jaccard") >= threshold)
+
+
+# Universal-hash family over ONE base md5 hash per shingle:
+# h_i(s) = (a_i * (h(s) mod P) + b_i) mod P, P = 2^31 - 1 (Mersenne).
+# One md5 per shingle instead of k — md5 is ~100x an integer multiply, so
+# this is the difference between hashing dominating the job and being
+# free. Constants derive from Knuth's multiplicative constant; products
+# stay < 2^62 (no ANSI overflow).
+MINHASH_P = 2_147_483_647
+
+
+def _family_constants(k: int) -> list[tuple[int, int]]:
+    return [
+        ((i * 2_654_435_761 + 1_013_904_223) % MINHASH_P or 1,
+         (i * 97_531 + 12_345) % MINHASH_P)
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 32
+) -> DataFrame:
+    """k-wide minhash signature per doc: sig[i] = min over shingles of
+    h_i(shingle), one groupBy with k min-aggregates (no row blowup
+    beyond the shingle explode)."""
+    inv = shingle_sets(df, text_col, id_col, n).withColumn(
+        "__h", hash64(F.col("shingle")) % F.lit(MINHASH_P)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_family_constants(k))
+    ]
+    return inv.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup: signatures → ``bands`` bands of k/bands rows
+    → bucket-join on (band, bucket-hash) → candidates → exact Jaccard
+    verification (no false positives; recall from the banding curve).
+    Returns (id_a, id_b, est_jaccard, jaccard)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionAll(br)
+
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    # estimated jaccard = fraction of matching signature slots
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    est = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        (
+            sum(
+                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(k)
+            )
+            / F.lit(float(k))
+        ).alias("est_jaccard"),
+    )
+
+    # exact-Jaccard verification ONLY over the LSH candidates (cost ∝
+    # candidates, not pairs) — no false positives in the output
+    arrays = doc_shingle_arrays(df, text_col, id_col, n)
+    exact = pair_jaccard(cand, arrays)
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """48-bit SimHash per doc: per-token 60-bit hash, per-bit ±1 vote sum,
+    sign → bit. One explode over tokens + one groupBy with 48 sum
+    expressions (no per-bit row blowup)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", hash64(F.col("t")))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two ≤64-bit hashes via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

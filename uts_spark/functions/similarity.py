@@ -1,0 +1,257 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline. Dot products
+  as Column HOFs (``zip_with`` + ``aggregate``), JVM-side; decimal-stable
+  accumulation so results hash-match a serial oracle. Cost O(Q·N·d):
+  right for small anchor sets / reranking.
+- ``lsh_topk``: the scale path — random-hyperplane LSH (signed
+  projections onto deterministic pseudo-random hyperplanes derived from
+  the md5 hash family, no RNG state) buckets vectors; candidates share a
+  bucket in ≥1 of ``tables`` repetitions; exact cosine reranks
+  candidates. Cost ∝ bucket collisions, not N² — the 100 TB shape
+  (PAPERS.md: LSH/IVF top-k similarity literature).
+
+Embeddings stay arrays end-to-end — no per-row Python, no pandas
+round-trip in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uts_spark.functions.hashing import hash64
+
+SCALE = 1e12
+
+
+def dot_stable(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product: per-element double products
+    (IEEE-deterministic), explicitly rounded to integers at 1e-12 via
+    ``floor(p*1e12 + 0.5)``, summed exactly as longs, rescaled.
+
+    NOT a decimal cast: engines disagree on decimal rounding mode
+    (Spark HALF_UP vs DuckDB HALF_EVEN) and dyadic products DO land on
+    exact .5e-12 midpoints — floor(+0.5) pins one rule everywhere."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(SCALE) + F.lit(0.5)
+        ),
+    )
+    total = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return total.cast("double") / F.lit(SCALE)
+
+
+def norm_stable(a: Column) -> Column:
+    return F.sqrt(dot_stable(a, a))
+
+
+def cosine_stable(a: Column, b: Column) -> Column:
+    return dot_stable(a, b) / (norm_stable(a) * norm_stable(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine) of each anchor; deterministic
+    tie-break on neighbor id; self-matches excluded.
+    anchors: DataFrame with (id_col, vec_col) — broadcast against emb."""
+    # norms attached per SIDE, not per pair: one norm HOF per vector
+    # instead of two per (anchor × vector) pair
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__qa"),
+        norm_stable(F.col(vec_col)).alias("__na"),
+    )
+    x = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__qb"),
+        norm_stable(F.col(vec_col)).alias("__nb"),
+    )
+    scored = (
+        x.crossJoin(F.broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            (
+                dot_stable(F.col("__qa"), F.col("__qb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine similarity >= threshold via block-wise vectorized
+    numpy inside ``mapInPandas`` — the dense-compute shape the per-pair
+    Column-HOF plan cannot match (it evaluates one lambda per element;
+    numpy does the whole block per instruction).
+
+    EXACTNESS: identical to :func:`dot_stable` / the SQL oracle — per-
+    element float64 products, ``floor(p*1e12 + 0.5)`` into int64, exact
+    integer sums, same division order. numpy and the JVM both follow
+    IEEE-754, so results hash-match bit-for-bit.
+
+    SCALE: the comparison side is broadcast (fine up to ~10^6 vectors ×
+    small dim). Beyond that, LSH-bucket first (``lsh_topk``) or tile both
+    sides; the blocked kernel stays the inner loop either way.
+    """
+    sc = emb.sparkSession.sparkContext
+    pdf = emb.select(id_col, vec_col).toPandas()
+    import numpy as np
+
+    b_ids = pdf[id_col].to_numpy()
+    B = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+    bc = sc.broadcast((b_ids, B))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_b, Bm = bc.value
+        nb = np.sqrt(
+            np.floor(Bm * Bm * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+        )
+        for pdf_a in batches:
+            a_ids = pdf_a[id_col].to_numpy()
+            A = np.stack(pdf_a[vec_col].to_list()).astype(np.float64)
+            na = np.sqrt(
+                np.floor(A * A * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            )
+            # per-element floor-rounding forbids BLAS GEMM; the explicit
+            # outer product stays vectorized and bit-exact
+            dots = (
+                np.floor(A[:, None, :] * Bm[None, :, :] * 1e12 + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+                / 1e12
+            )
+            cos = dots / (na[:, None] * nb[None, :])
+            ia, ib = np.nonzero((cos >= threshold) & (a_ids[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ia].astype("int64"),
+                    "id_b": ids_b[ib].astype("int64"),
+                    "cosine": cos[ia, ib],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, "id_a long, id_b long, cosine double"
+    )
+
+
+def hyperplane(h: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane h: component i derived from
+    the portable hash family → uniform in [-1, 1]. Reproducible anywhere,
+    including a SQL oracle."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        hx = hashlib.md5(f"hp{h}:{i}".encode()).hexdigest()[:15]
+        out.append((int(hx, 16) % 2001 - 1000) / 1000.0)
+    return out
+
+
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    planes: int = 12,
+    table_id: int = 0,
+) -> Column:
+    """Bucket id = sign bits of ``planes`` hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for h in range(planes):
+        w = F.array(*[F.lit(c) for c in hyperplane(table_id * 1000 + h, dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.shiftleft(
+            F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), h
+        )
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing an LSH bucket with
+    the anchor in any of ``tables`` hash tables; exact cosine rerank of
+    candidates only."""
+    bucketed = []
+    for t in range(tables):
+        b = lsh_buckets(emb, vec_col, dim, planes, t)
+        bucketed.append(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__vb"),
+                F.lit(t).alias("table"),
+                b.alias("bucket"),
+            )
+        )
+    right = bucketed[0]
+    for b in bucketed[1:]:
+        right = right.unionAll(b)
+
+    a_bucketed = []
+    for t in range(tables):
+        b = lsh_buckets(anchors, vec_col, dim, planes, t)
+        a_bucketed.append(
+            anchors.select(
+                F.col(id_col).alias("anchor_id"),
+                F.col(vec_col).alias("__va"),
+                F.lit(t).alias("table"),
+                b.alias("bucket"),
+            )
+        )
+    left = a_bucketed[0]
+    for b in a_bucketed[1:]:
+        left = left.unionAll(b)
+
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .select("anchor_id", "__va", "neighbor_id", "__vb")
+        .distinct()
+    )
+    scored = cand.select(
+        "anchor_id",
+        "neighbor_id",
+        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

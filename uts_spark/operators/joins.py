@@ -1,0 +1,125 @@
+"""Join operators beyond Spark's built-ins: as-of join and scalable range
+join. The reference has NO joins (SURVEY §2.7); these are north-star
+extensions designed Spark-first.
+
+As-of join (time-series enrichment: "for each left row, the most recent
+right row at-or-before its timestamp, per key"):
+
+The classic implementations are a per-key sorted merge (pandas
+``merge_asof``) or a correlated subquery — both driver-hostile at scale.
+The Spark-native plan used here is the UNION-WINDOW strategy:
+
+    union(left ∪ right) → window last_value(right_payload IGNORE NULLS)
+    partitioned by key, ordered by (ts, side)
+
+One shuffle on the key, one sort, zero UDFs, arbitrary key cardinality,
+and skew handled by AQE. Right payload travels as a struct column so any
+number of columns rides one ``last()``.
+
+Range join ("left rows matched to right rows with ts in [lo, hi]"):
+a naive theta-join is a broadcast-nested-loop — O(n·m). ``binned_range_join``
+buckets both sides by a coarse interval and equi-joins on (key, bucket),
+exploding each left row to the buckets its window overlaps; the exact
+predicate filters inside the hash join. Turns BNLJ into a shuffled hash
+join whose cost scales with actual overlap, which is what survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_payload: list[str] | None = None,
+    suffix: str = "_right",
+    inclusive: bool = True,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: enrich each left row with the latest right row
+    whose time is <= (or < if ``inclusive=False``) the left row's time,
+    matching on ``on`` keys. Right payload columns arrive as
+    ``<name><suffix>`` (NULL when no prior right row exists).
+
+    ``order_col``: a unique-id column present on BOTH sides, used as the
+    final tie-break so equal-timestamp right rows resolve deterministically.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = right_payload or [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+
+    # side ordering inside equal timestamps decides inclusivity:
+    # right rows sort before left rows (0 < 1) → an equal-ts right row is
+    # visible to the left row; __side=2 puts it after → strict before
+    r_cols = [
+        *keys,
+        F.col(right_time).alias("__ts"),
+        F.lit(0 if inclusive else 2).alias("__side"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+    ]
+    if order_col:
+        r_cols.append(F.col(order_col))
+    r = right.select(*r_cols)
+    l = left.select(
+        "*",
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    order = ["__ts", "__side"] + ([order_col] if order_col else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = enriched.filter(F.col("__side") == 1)
+    for c in payload:
+        out = out.withColumn(c + suffix, F.col(f"__match.{c}"))
+    return out.drop("__ts", "__side", "__payload", "__match")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: Column,
+    left_hi: Column,
+    right_ts: Column,
+    bin_width: int,
+    extra_cond: Column | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Join right rows whose ``right_ts`` falls in [left_lo, left_hi]
+    (plus optional equi-``keys``), via coarse-bucket equi-join.
+
+    ``bin_width`` should be ≈ the typical window size: each left row
+    explodes to (hi-lo)/bin_width + 1 bucket rows.
+    """
+    keys = keys or []
+    lo_b = F.floor(left_lo / F.lit(bin_width)).cast("long")
+    hi_b = F.floor(left_hi / F.lit(bin_width)).cast("long")
+    l = left.withColumn("__lo", left_lo).withColumn("__hi", left_hi).withColumn(
+        "__bucket", F.explode(F.sequence(lo_b, hi_b))
+    )
+    r = right.withColumn("__rts", right_ts).withColumn(
+        "__bucket", F.floor(right_ts / F.lit(bin_width)).cast("long")
+    )
+    cond = (
+        (F.col("__rts") >= F.col("__lo"))
+        & (F.col("__rts") <= F.col("__hi"))
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    joined = l.join(r, keys + ["__bucket"], "inner").filter(cond)
+    return joined.drop("__bucket", "__lo", "__hi", "__rts")

@@ -1,0 +1,73 @@
+"""Sorts / limits / top-k (absent from the reference, SURVEY §2.7 ➕).
+
+Global top-k uses ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject:
+each partition keeps a k-heap, the driver merges P·k rows. No full sort,
+no full shuffle; the right plan at any scale.
+
+Per-group top-k uses a rank window: one shuffle on the group key, per-group
+sort, early row_number cutoff. ALWAYS pass a deterministic tie-break
+(unique id) in ``order``; ties otherwise make top-k nondeterministic across
+runs/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (k-heap per partition)."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+    method: str = "row_number",
+) -> DataFrame:
+    """Top-k within each group. ``method``: row_number (exactly k),
+    rank / dense_rank (ties expand the set)."""
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, fn().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def percentile_disc(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    group_cols: list[str] | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Discrete percentile: the element at row ``ceil(p·n)`` of the sorted
+    values — returns an ACTUAL data value (unlike interpolated
+    percentile_cont), so results are bit-identical across engines.
+    Output: group cols + (p, value) rows."""
+    gcols = list(group_cols or [])
+    order = [F.col(value_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*[F.col(c) for c in gcols] or [F.lit(0)]).orderBy(*order)
+    ranked = df.select(
+        *gcols,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*[F.col(c) for c in gcols] or [F.lit(0)])
+        ).alias("__n"),
+    )
+    p_df = df.sparkSession.createDataFrame([(p,) for p in ps], "p double")
+    target = F.greatest(F.ceil(F.col("p") * F.col("__n")), F.lit(1))
+    return (
+        ranked.crossJoin(F.broadcast(p_df))
+        .filter(F.col("__rn") == target)
+        .select(*gcols, "p", F.col("__v").alias("value"))
+    )

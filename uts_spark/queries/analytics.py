@@ -1,0 +1,467 @@
+"""North-star analytics operators absent from the reference (SURVEY §2.7 ➕):
+joins (broadcast / multi-way / as-of / range), sorts & top-k, set ops, SQL
+window functions, rollup/cube, distinct & approximate aggregates — each as
+an oracle-checked query over the driver's TPC-H-ish tables.
+
+Plan-shape notes (the 100 TB story, verified via .explain):
+- dimension joins (region/nation/customer/supplier) broadcast — no shuffle
+  of the fact table except its own aggregations;
+- top-k is TakeOrderedAndProject (per-partition k-heaps), never a full sort;
+- as-of join is the union-window strategy: ONE shuffle on the key;
+- range join buckets to an equi-join instead of a nested loop;
+- running windows use decimal-stable sums so partial-aggregation order
+  (and the oracle's segment-tree accumulation) cannot flip low bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uts_spark.operators.joins import asof_join, binned_range_join
+from uts_spark.operators.topk import percentile_disc, top_k, top_k_per_group
+from uts_spark.registry import DAY, DSUM, MS, query, table
+
+DEC = "decimal(38,6)"
+
+
+def _dsum(col):
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+# ===========================================================================
+# Aggregation pipeline (TPC-H Q1 shape)
+# ===========================================================================
+
+@query(
+    "tpch_q1_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')}                                    AS sum_qty,
+           {DSUM('l_extendedprice')}                               AS sum_base_price,
+           {DSUM('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DSUM('l_quantity')} / COUNT(l_quantity)                AS avg_qty,
+           {DSUM('l_extendedprice')} / COUNT(l_extendedprice)      AS avg_price,
+           {DSUM('l_discount')} / COUNT(l_discount)                AS avg_disc,
+           COUNT(*)                                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """Pricing summary: the canonical scan→filter→hash-aggregate pipeline.
+    Filter and 7-column projection push into the parquet scan; one shuffle
+    for 6 grouped keys; all arithmetic JVM-side in whole-stage codegen."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# Joins
+# ===========================================================================
+
+@query(
+    "tpch_q3_topk",
+    f"""
+    SELECT o.o_orderkey,
+           epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_topk(spark, sf_dir):
+    """Shipping-priority shape: selective dim filter broadcast into the
+    fact join, grouped revenue, global top-10 via TakeOrderedAndProject
+    (k-heap merge — no full sort). Deterministic tie-break on orderkey."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    out = top_k(joined, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+    # o_orderdate arrives as TIMESTAMP_NTZ; cast→LTZ under the UTC session
+    # before unix_millis (equal to DuckDB epoch_ms of the naive value)
+    return out.select(
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        "revenue",
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    f"""
+    SELECT n.n_name,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_region_revenue(spark, sf_dir):
+    """Local-supplier-volume shape: 6-table join where every dimension
+    broadcasts; the only big shuffles are lineitem⋈orders and the final
+    small aggregation. Join order left to Catalyst + AQE."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    joined = (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey))
+        .join(
+            F.broadcast(n),
+            (n.n_nationkey == c.c_nationkey) & (n.n_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "join_asof_last_error",
+    f"""
+    WITH u AS (
+      SELECT user_id, {MS} AS ts_ms, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type = 'error' THEN value END AS err_v,
+             CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    m AS (
+      SELECT *, last_value(err_v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_value
+      FROM u
+    )
+    SELECT event_id, user_id, ts_ms, last_error_value
+    FROM m WHERE is_p = 1
+    """,
+)
+def join_asof_last_error(spark, sf_dir):
+    """As-of join: each purchase enriched with the latest at-or-before
+    'error' value for the same user — union-window strategy, one shuffle
+    on user_id, no UDF (operators/joins.asof_join)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts_ms", "value", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_time="ts_ms",
+        right_time="ts_ms",
+        right_payload=["value"],
+        order_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ms", F.col("value_right").alias("last_error_value")
+    )
+
+
+@query(
+    "range_join_clicks_after_signup",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, {MS} AS t FROM events WHERE event_type = 'signup'
+    ),
+    c AS (
+      SELECT user_id, {MS} AS t FROM events WHERE event_type = 'click'
+    )
+    SELECT s.event_id, COUNT(*) AS n_clicks
+    FROM s JOIN c ON c.user_id = s.user_id
+                 AND c.t >= s.t AND c.t <= s.t + {DAY}
+    GROUP BY s.event_id
+    """,
+)
+def range_join_clicks_after_signup(spark, sf_dir):
+    """Range join: clicks within 24 h after each signup, same user.
+    Bucketed to an equi-join on (user_id, time-bucket) — a hash join that
+    scales, instead of the broadcast-nested-loop a raw theta join plans."""
+    ev = table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts_ms").alias("s_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ms").alias("c_ts")
+    )
+    joined = binned_range_join(
+        signups,
+        clicks,
+        left_lo=F.col("s_ts"),
+        left_hi=F.col("s_ts") + F.lit(DAY).cast("long"),
+        right_ts=F.col("c_ts"),
+        bin_width=DAY,
+        keys=["user_id"],
+    )
+    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+# ===========================================================================
+# Window functions
+# ===========================================================================
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Running total per customer — analytic window with a frame spec.
+    Decimal accumulation: identical regardless of how either engine
+    associates the additions."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark, sf_dir):
+    """Per-group top-k: rank window + early cutoff, deterministic
+    tie-break (operators/topk.top_k_per_group)."""
+    o = table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "window_lag_value_delta",
+    f"""
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY {MS}, event_id)
+             AS delta
+    FROM events
+    """,
+)
+def window_lag_value_delta(spark, sf_dir):
+    """lag/lead analytics (the primitive under derivative §2.4 A9)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return ev.select(
+        "event_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+# ===========================================================================
+# Set operations / distinct / grouping sets
+# ===========================================================================
+
+@query(
+    "setops_year_over_year",
+    """
+    SELECT 'only_1995' AS tag, c FROM (
+      SELECT DISTINCT o_custkey AS c FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    UNION ALL
+    SELECT 'both' AS tag, c FROM (
+      SELECT DISTINCT o_custkey AS c FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def setops_year_over_year(spark, sf_dir):
+    """EXCEPT / INTERSECT / UNION ALL over customer-year cohorts."""
+    o = table(spark, sf_dir, "orders")
+
+    def cohort(year):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year+1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("c"))
+            .distinct()
+        )
+
+    c95, c96 = cohort(1995), cohort(1996)
+    only95 = c95.exceptAll(c96).select(F.lit("only_1995").alias("tag"), "c")
+    both = c95.intersect(c96).select(F.lit("both").alias("tag"), "c")
+    return only95.unionAll(both)
+
+
+@query(
+    "distinct_exact_counts",
+    """
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(DISTINCT (user_id, event_type)) AS n_pairs
+    FROM events
+    """,
+)
+def distinct_exact_counts(spark, sf_dir):
+    """Exact DISTINCT aggregates (expand + two-phase aggregation)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id", "event_type").alias("n_pairs"),
+    )
+
+
+@query(
+    "rollup_order_priorities",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           {DSUM('o_totalprice')} AS total,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_stat
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_order_priorities(spark, sf_dir):
+    """ROLLUP grouping sets with GROUPING() disambiguation flags."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_stat"),
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {DSUM('l_quantity')} AS qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark, sf_dir):
+    """CUBE over the lineitem status flags."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity")).alias("qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+    )
+
+
+# ===========================================================================
+# Percentiles / sketches
+# ===========================================================================
+
+@query(
+    "percentile_disc_value",
+    """
+    WITH ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ), ps(p) AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.99]))
+    SELECT p, value
+    FROM ranked JOIN ps ON rn = GREATEST(CAST(CEIL(p * n) AS BIGINT), 1)
+    """,
+)
+def percentile_disc_value(spark, sf_dir):
+    """Discrete percentiles (element at ceil(p·n)) — actual data values,
+    bit-identical across engines (operators/topk.percentile_disc)."""
+    ev = table(spark, sf_dir, "events")
+    return percentile_disc(ev, "value", [0.25, 0.5, 0.75, 0.99], tie_break="event_id")
+
+
+@query("approx_sketches")  # no oracle: approximate by design → rows-only check
+def approx_sketches(spark, sf_dir):
+    """Approximate aggregates: HLL++ distinct count and GK-sketch
+    percentiles — the 100 TB substitutes for exact distinct/sort. No
+    oracle on purpose (sketch results are implementation-defined)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_percentiles"),
+    )

@@ -1,0 +1,340 @@
+"""LLM-training-data pipeline operators (north star: dedup, similarity
+search, text analysis, multimodal), each as an oracle-checked query over
+the documents/embeddings tables. Implementation modules:
+functions/{text,dedup,similarity,multimodal}.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uts_spark.functions import multimodal as mm
+from uts_spark.functions.dedup import (
+    SIMHASH_BITS,
+    exact_canonical,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from uts_spark.functions.hashing import duck_hash64
+from uts_spark.functions.similarity import (
+    cosine_pairs_blocked,
+    cosine_topk,
+    lsh_topk,
+)
+from uts_spark.functions.text import (
+    LANGS,
+    duck_fingerprint,
+    duck_stopword_count,
+    duck_tokens,
+    duck_word_ngrams,
+    fingerprint,
+    lang_id,
+    quality_metrics,
+    quality_score,
+)
+from uts_spark.registry import query, table
+
+TOKS = duck_tokens("text")
+EMB_DIM = 64
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@query(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+             / NULLIF(len(toks), 0) AS mean_token_len,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+             / NULLIF(length(text), 0) AS punct_ratio,
+           CAST({duck_stopword_count('toks', 'en')} AS DOUBLE)
+             / NULLIF(len(toks), 0) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + quality signals: pure narrow projection, zero
+    shuffle, regex evaluated once per row inside codegen."""
+    docs = table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["mean_token_len"].alias("mean_token_len"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_QUAL = f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS mtl,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               / NULLIF(length(text), 0) AS pr,
+             CAST({duck_stopword_count('toks', 'en')} AS DOUBLE)
+               / NULLIF(len(toks), 0) AS sr
+      FROM t
+    )
+    SELECT doc_id,
+           LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+           + (CASE WHEN mtl >= 3.0 AND mtl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2
+           + GREATEST(0.0, 1.0 - pr * 10.0) * 0.2
+           + LEAST(sr * 5.0, 1.0) * 0.2 AS score
+    FROM m
+"""
+
+
+@query("text_quality_score", _QUAL)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score (length saturation + token-length window +
+    punctuation moderation + stopword presence)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("score"))
+
+
+def _duck_lang_case() -> str:
+    scores = {
+        lang: duck_stopword_count("toks", lang) for lang in LANGS
+    }
+    sel = ", ".join(f"{scores[lang]} AS s_{lang}" for lang in LANGS)
+    branches = []
+    for i, lang in enumerate(LANGS):
+        conds = [f"s_{lang} >= s_{other}" for other in LANGS[i + 1 :]]
+        conds.append(f"s_{lang} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {sel} FROM t)
+    SELECT doc_id, lang AS label_lang, {case} AS pred_lang FROM s
+    """
+
+
+@query("text_lang_id", _duck_lang_case())
+def text_lang_id(spark, sf_dir):
+    """Language ID: stopword-lexicon scores, argmax with fixed precedence
+    — a deterministic n-gram-family heuristic in pure expressions."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id, {duck_fingerprint('text', 'toks', 5)} AS fp FROM t
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: min md5-hash over 5-gram shingles (one-
+    permutation minhash) — portable across engines bit-for-bit."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text"), 5).alias("fp"))
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           CAST(CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY md5(text))
+                THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM documents
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest, canonical = min id."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_canonical(docs, "text", "doc_id").select(
+        "doc_id", "canonical_id", "is_dup"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    docs AS (SELECT doc_id, list_distinct({duck_word_ngrams('toks', 3)}) AS sh FROM t),
+    inv AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+             COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard, computed only over pairs
+    sharing a shingle (inverted-index self-join — cost tracks true
+    overlap, not N²)."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _duck_simhash() -> str:
+    votes = ", ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"((CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << {j})"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {duck_hash64('tok')} AS h FROM t),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id AS id, {acc} AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", _duck_simhash())
+def dedup_simhash(spark, sf_dir):
+    """48-bit SimHash sketch per doc (per-bit ±1 votes over token hashes)
+    — near-dups land within small hamming distance; one groupBy, 48 sum
+    expressions, no row blowup."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+@query("dedup_minhash_lsh")  # approximate banding → rows-only; candidates
+def dedup_minhash_lsh(spark, sf_dir):  # are exact-Jaccard verified inside
+    """MinHash(32) + LSH(8 bands): the 100 TB near-dup shape. Candidate
+    pairs from band-bucket collisions, then exact-Jaccard verification —
+    output has no false positives; banding curve governs recall (tested
+    against dedup_ngram_jaccard in tests/test_llm_ops.py)."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5
+    ).select("id_a", "id_b", "est_jaccard", "jaccard")
+
+
+# explicit floor(+0.5) rounding at 1e-12, summed as integers — mirrors
+# similarity.dot_stable (decimal casts round differently across engines)
+_COS = (
+    "(CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST(floor(((CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) * 1e12) + 0.5) AS BIGINT)"
+    ")) AS DOUBLE) / 1e12)"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _COS.format(a=a, b=b)
+    na = _COS.format(a=a, b=a)
+    nb = _COS.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, {_duck_cosine('ea', 'eb')} AS cosine
+    FROM p WHERE {_duck_cosine('ea', 'eb')} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the blocked vectorized kernel
+    (similarity.cosine_pairs_blocked): integer-stable math → bit-identical
+    to the oracle, ~50× the per-pair HOF plan. LSH (similarity_ann_lsh)
+    is the >10^6-vector path."""
+    e = table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blocked(e, threshold=0.4)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@query(
+    "similarity_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, embedding AS ea FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT anchor_id, e.vec_id AS neighbor_id,
+             {_duck_cosine('ea', 'e.embedding')} AS cosine
+      FROM e, a WHERE e.vec_id != anchor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_cosine(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 5 anchor vectors: broadcast
+    anchors × scan, JVM HOF dot products, per-anchor k-heap via window."""
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(e, anchors, k=10)
+
+
+@query("similarity_ann_lsh")  # approximate by design → rows-only
+def similarity_ann_lsh(spark, sf_dir):
+    """Approximate top-k: random-hyperplane LSH (12 planes × 4 tables,
+    hyperplanes derived from the portable hash family — zero RNG state),
+    exact rerank of bucket-collision candidates. Recall vs brute force
+    asserted in tests/test_llm_ops.py."""
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(e, anchors, dim=EMB_DIM, k=10, planes=12, tables=4)
+
+
+# ===========================================================================
+# Multimodal columns
+# ===========================================================================
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    """Typed metadata over an opaque binary column — the query shape that
+    must NOT decode (column pruning keeps blob bytes unread when the
+    table is real parquet with a binary column)."""
+    docs = mm.attach_blob(table(spark, sf_dir, "documents"))
+    return mm.media_metadata(docs)
+
+
+@query("multimodal_decode_features")  # python decode path → rows-only
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched mapInPandas 'decode': deterministic fake codec (real
+    codecs stubbed — not in container; functions/multimodal.decode_image)
+    producing per-blob dimensions + feature vector."""
+    docs = mm.attach_blob(table(spark, sf_dir, "documents"))
+    return mm.fake_decode_features(docs)

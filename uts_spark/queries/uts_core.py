@@ -1,0 +1,246 @@
+"""μts core-surface queries (SURVEY §2.3-§2.5) over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uts_spark.operators.aggregates import Metric
+from uts_spark.operators.derivative import derivative_rows
+from uts_spark.plans.groupers import interval
+from uts_spark.registry import (
+    DAY,
+    DSUM,
+    HOUR,
+    MS,
+    NOW_MS,
+    events_series,
+    query,
+)
+
+# ===========================================================================
+# μts core surface (SURVEY §2.3-§2.5) over the events table
+# ===========================================================================
+
+@query(
+    "uts_global_agg",
+    f"""
+    SELECT
+      COALESCE({DSUM('value')}/COUNT(value), 0.0)          AS mean_value,
+      COALESCE({DSUM('value')}, 0.0)                        AS sum_value,
+      GREATEST(COALESCE(MAX(value), 0.0), 0.0)              AS max_value,
+      LEAST(COALESCE(MIN(value), 0.0), 0.0)                 AS min_value,
+      COUNT(*)                                              AS n_all,
+      COUNT(value)                                          AS n_value
+    FROM events WHERE value > 100.0
+    """,
+)
+def uts_global_agg(spark, sf_dir):
+    """AnyGrouper global bin, full aggregate set with reference quirks:
+    zero-default mean/sum, ZERO-CLAMPED max/min (uts.ts:589-601 fold from
+    0 — min of all-positive data is 0, encoded in the oracle's LEAST)."""
+    s = events_series(spark, sf_dir)
+    st = {"stable": True}
+    return s.query(
+        {
+            "mean_value": Metric("mean", "value", params=st),
+            "sum_value": Metric("sum", "value", params=st),
+            "max_value": Metric("max", "value"),
+            "min_value": Metric("min", "value"),
+            "n_all": Metric("count"),
+            "n_value": Metric("count", "value"),
+        },
+        where={"value": {"is": ">", "than": 100.0}},
+    )
+
+
+@query(
+    "uts_where_range",
+    f"""
+    SELECT event_id, {MS} AS ts_ms, value
+    FROM events
+    WHERE value > 50.0 AND value < 150.0 AND event_type = 'purchase'
+    """,
+)
+def uts_where_range(spark, sf_dir):
+    """Comparator conjunction (uts.ts:285-320): strict >/< range + string
+    equality, AND-ed across columns. The predicate lands in the parquet
+    scan (PushedFilters) — the reference's eager pre-filter (uts.ts:370)
+    done declaratively."""
+    s = events_series(spark, sf_dir)
+    df = s.df.filter(
+        # compile_where over the raw df: reuse the same atoms the facade uses
+        (F.col("value") > 50.0)
+        & (F.col("value") < 150.0)
+        & (F.col("event_type") == "purchase")
+    )
+    return df.select("event_id", "ts_ms", "value")
+
+
+@query(
+    "uts_interval_mean_fill",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, value FROM events
+      WHERE {MS} > {NOW_MS - 31 * DAY} AND {MS} <= {NOW_MS}
+    ),
+    b AS (
+      SELECT ({NOW_MS} - t)//{DAY} AS bin,
+             {DSUM('value')}/COUNT(value) AS mean_value,
+             COUNT(*) AS n
+      FROM pts GROUP BY 1
+    ),
+    -- bin count = floor((now - bound)/w) + 1 (uts.ts:113-124): 32 bins,
+    -- the oldest covering (now-32d, now-31d] — empty under the strict bound
+    spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 32))
+    SELECT {NOW_MS} - (spine.bin + 1) * {DAY} AS start,
+           CAST({DAY} AS BIGINT) AS width,
+           COALESCE(mean_value, 0.0) AS mean_value,
+           COALESCE(n, 0) AS n
+    FROM spine LEFT JOIN b ON spine.bin = b.bin
+    """,
+)
+def uts_interval_mean_fill(spark, sf_dir):
+    """The readme's flagship shape (readme.md:31-39): mean per tumbling
+    bin, now-anchored right-inclusive edges (uts.ts:138), zero-filled
+    empty bins, newest-first. Spine size comes from the ``time >`` bound
+    (uts.ts:113-119)."""
+    s = events_series(spark, sf_dir)
+    return s.query(
+        {
+            "mean_value": Metric("mean", "value", params={"stable": True}),
+            "n": Metric("count"),
+        },
+        where={"ts_ms": {"is": ">", "than": NOW_MS - 31 * DAY}},
+        group=interval(DAY, fill=True, now=NOW_MS),
+    )
+
+
+@query(
+    "uts_interval_last_nofill",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, event_id, value FROM events WHERE {MS} <= {NOW_MS}
+    )
+    SELECT {NOW_MS} - (({NOW_MS} - t)//{7 * DAY} + 1) * {7 * DAY} AS start,
+           CAST({7 * DAY} AS BIGINT) AS width,
+           arg_max(value, event_id) AS last_value,
+           COUNT(*) AS n
+    FROM pts GROUP BY 1
+    """,
+)
+def uts_interval_last_nofill(spark, sf_dir):
+    """last() = value of the last point in PUSH order (uts.ts:611-617),
+    per 7-day bin, fill=false (empty bins dropped, uts.ts:141-143)."""
+    s = events_series(spark, sf_dir)
+    return s.query(
+        {"last_value": Metric("last", "value"), "n": Metric("count")},
+        group=interval(7 * DAY, fill=False, now=NOW_MS),
+    )
+
+
+@query(
+    "uts_map_exploded",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, event_id, value FROM events WHERE {MS} <= {NOW_MS}
+    )
+    SELECT {NOW_MS} - (({NOW_MS} - t)//{7 * DAY} + 1) * {7 * DAY} AS start,
+           ROW_NUMBER() OVER (
+             PARTITION BY ({NOW_MS} - t)//{7 * DAY} ORDER BY event_id
+           ) - 1 AS pos,
+           value
+    FROM pts
+    """,
+)
+def uts_map_exploded(spark, sf_dir):
+    """map(col) (uts.ts:398-414): ordered, hole-preserving per-bin
+    projection — exploded to (start, pos, value) rows so the driver's
+    order-insensitive hash still proves the ORDER (pos is part of the
+    row)."""
+    s = events_series(spark, sf_dir)
+    df = s.query(
+        {"m": Metric("map", "value")},
+        group=interval(7 * DAY, fill=False, now=NOW_MS),
+    )
+    return df.select(
+        "start", F.posexplode("m").alias("pos", "value")
+    ).select("start", F.col("pos").cast("long").alias("pos"), "value")
+
+
+@query(
+    "uts_derivative",
+    f"""
+    WITH pts AS (
+      SELECT event_id AS o, {MS} AS t, value AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    d AS (
+      SELECT t,
+             v - lag(v) OVER w AS delta,
+             first_value(t) OVER w AS tfirst,
+             last_value(t) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS tlast
+      FROM pts WINDOW w AS (ORDER BY o)
+    ),
+    contrib AS (
+      SELECT LEAST(tfirst + ((t - tfirst + {6*HOUR} - 1)//{6*HOUR}) * {6*HOUR},
+                   tlast) AS e,
+             {DSUM('delta')} AS change
+      FROM d WHERE delta IS NOT NULL GROUP BY 1
+    ),
+    bounds AS (SELECT arg_min(t, o) AS tfirst, arg_max(t, o) AS tlast FROM pts),
+    spine AS (
+      SELECT unnest(generate_series(tfirst + {6*HOUR}, tlast - 1, {6*HOUR})) AS e
+      FROM bounds WHERE tfirst IS NOT NULL
+      UNION
+      SELECT tlast FROM bounds WHERE tlast IS NOT NULL
+    )
+    SELECT e AS time, COALESCE(change, 0.0) AS d_value
+    FROM spine LEFT JOIN contrib USING (e)
+    """,
+)
+def uts_derivative(spark, sf_dir):
+    """derivative(col, 6h) (uts.ts:458-507) over the purchase stream:
+    per-interval change with zero-change gap emissions and a final flush
+    at the last point's time — the verified closed form (SURVEY §2.4 A9),
+    expressed as lag + integer-ceil bucketing + sequence spine."""
+    s = events_series(spark, sf_dir)
+    df = s.df.filter(F.col("event_type") == "purchase")
+    out = derivative_rows(
+        df, "value", 6 * HOUR, time_col="ts_ms", order_col="ingest_id",
+        stable=True,
+    )
+    return out.withColumnRenamed("value", "d_value")
+
+
+@query(
+    "uts_remove_where",
+    """
+    SELECT event_id, value FROM events
+    WHERE NOT COALESCE(value > 500.0, FALSE)
+    """,
+)
+def uts_remove_where(spark, sf_dir):
+    """remove(where) keeps NON-matching rows; missing-column (NULL
+    predicate) rows are KEPT (uts.ts:322-335 + the never-match rule
+    uts.ts:297) — hence the COALESCE(pred, FALSE) on both sides."""
+    s = events_series(spark, sf_dir)
+    s.remove({"value": {"is": ">", "than": 500.0}})
+    return s.df.select("event_id", "value")
+
+
+@query(
+    "uts_retention",
+    f"""
+    SELECT COUNT(*) AS n, MIN({MS}) AS min_ts
+    FROM events WHERE {MS} >= {NOW_MS - 7 * DAY}
+    """,
+)
+def uts_retention(spark, sf_dir):
+    """Retention ttl=7d as a read-time predicate (uts.ts:245-269: drop
+    time < now - ttl). At 100 TB this predicate prunes date partitions
+    instead of scanning."""
+    s = events_series(spark, sf_dir).set_retention(7 * DAY)
+    df = s.query({"n": Metric("count")}, now=NOW_MS)
+    kept = s.df.filter(F.col("ts_ms") >= F.lit(NOW_MS - 7 * DAY))
+    return df.crossJoin(kept.agg(F.min("ts_ms").alias("min_ts")))
