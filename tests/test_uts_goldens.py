@@ -317,3 +317,32 @@ def test_retention_read_filter(tsdb):
     s.set_retention(500)
     r = one(s.query({"m": TSDB.map("v")}, now=NOW))
     assert r["m"] == [2.0]  # point at t=100 < now-ttl=500 dropped
+
+
+# -- map(fn) / reduce(fn): the python UDAF surface (uts.ts:398-434,
+#    562-580; SURVEY §2.6) -----------------------------------------------
+
+def test_map_fn_per_point(series_a):
+    r = one(series_a.query({"m": TSDB.map(lambda pt: pt["my_col1"] + pt["my_col2"])}))
+    assert r["m"] == [0.0, 3.0, 6.0, 9.0, 12.0]
+
+
+def test_reduce_fold(series_a):
+    r = one(
+        series_a.query(
+            {"r": TSDB.reduce(lambda acc, pt: acc + pt["my_col1"] * 2.0, 0.0)}
+        )
+    )
+    assert r["r"] == 20.0  # 2*(0+1+2+3+4)
+
+
+def test_map_fn_is_push_order_not_time_order(tsdb):
+    rows = [(0, 300, 1.0), (1, 100, 2.0), (2, 200, 3.0)]
+    s = make_series(tsdb, "fnord", rows, "ingest_id long, time long, v double")
+    r = one(s.query({"m": TSDB.map(lambda pt: pt["v"])}))
+    assert r["m"] == [1.0, 2.0, 3.0]
+
+
+def test_reduce_empty_series_returns_initial(series_empty):
+    r = one(series_empty.query({"r": TSDB.reduce(lambda a, pt: a + 1, 0.0)}))
+    assert r["r"] == 0.0

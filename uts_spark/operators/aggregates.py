@@ -116,11 +116,19 @@ def stable_sum(v: Column) -> Column:
     return F.sum(v.cast("decimal(38,6)")).cast("double")
 
 
-def agg_expr(metric: Metric, resolve=F.col, order_col: str = "ingest_id") -> Column:
+def agg_expr(
+    metric: Metric,
+    resolve=F.col,
+    order_col: str = "ingest_id",
+    point_struct: Column | None = None,
+) -> Column:
     """Build the aggregate Column for one metric.
 
     ``resolve`` maps column name → Column (override for MapType payloads).
     ``order_col`` provides insertion order for last/map/reduce fidelity.
+    ``point_struct`` is a struct of the full point row — required only by
+    the python-callable ``map(fn)``/``reduce(fn)`` forms (uts.ts:562-580),
+    which receive the point as a dict like the reference's ``pt``.
     Pass ``Metric(..., params={"stable": True})`` for order-independent
     float sums (oracle-comparable)."""
     k = metric.kind
@@ -150,17 +158,49 @@ def agg_expr(metric: Metric, resolve=F.col, order_col: str = "ingest_id") -> Col
         return F.max_by(resolve(metric.col), F.col(order_col))
     if k == "map":
         if metric.fn is not None:
-            raise NotImplementedError(
-                "map(fn) requires the pandas path; use Series.query which "
-                "routes callables through grouped-map execution"
-            )
+            return _python_fold_expr(metric, point_struct, order_col)
         return ordered_values_array(resolve(metric.col), F.col(order_col))
     if k == "reduce":
-        raise NotImplementedError(
-            "reduce(fn) requires the pandas path or an explicit SQL "
-            "lambda; see uts_spark.operators.reduce_hof"
+        if metric.fn is not None:
+            return _python_fold_expr(metric, point_struct, order_col)
+        raise ValueError(
+            "reduce requires a python fn; for folds expressible as SQL "
+            "lambdas use uts_spark.operators.aggregates.reduce_hof directly"
         )
     raise ValueError(f"unknown metric kind {k!r}")
+
+
+def _python_fold_expr(
+    metric: Metric, point_struct: Column | None, order_col: str
+) -> Column:
+    """``map(fn)`` / ``reduce(fn, initial)`` with an arbitrary python
+    callable (uts.ts:398-434). The ordered point array is assembled
+    JVM-side (collect_list + array_sort inside codegen); Python is entered
+    ONCE PER BIN with the whole array — not once per row — so the udf cost
+    is O(bins) calls, and the scan/shuffle stay on the fast path. The fn
+    receives each point as a plain dict, mirroring the reference's
+    ``pt.get`` surface."""
+    if point_struct is None:
+        raise ValueError("map(fn)/reduce(fn) need point_struct (full row)")
+    fn, init, kind = metric.fn, metric.initial, metric.kind
+    rt = metric.params.get("returns", "double")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), point_struct.alias("p"))
+        )
+    )
+    if kind == "map":
+        @F.udf(f"array<{rt}>")
+        def fold(xs):
+            return [fn(x["p"].asDict()) for x in (xs or [])]
+    else:
+        @F.udf(rt)
+        def fold(xs):
+            acc = init
+            for x in (xs or []):
+                acc = fn(acc, x["p"].asDict())
+            return acc
+    return fold(arr)
 
 
 def ordered_values_array(v: Column, order: Column) -> Column:

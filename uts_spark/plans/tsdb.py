@@ -130,11 +130,17 @@ class Series:
 
     # -- global (AnyGrouper) ----------------------------------------------
 
+    def _point_struct(self, df) -> Column:
+        """Full-row struct for map(fn)/reduce(fn) — the reference's ``pt``
+        (uts.ts:183-189). Internal plan columns are excluded."""
+        return F.struct(*[c for c in df.columns if not c.startswith("__")])
+
     def _query_global(self, df, scalar, derivs) -> DataFrame:
         parts = []
         if scalar:
+            ps = self._point_struct(df)
             exprs = [
-                agg.agg_expr(m, order_col=self.order_col).alias(k)
+                agg.agg_expr(m, order_col=self.order_col, point_struct=ps).alias(k)
                 for k, m in scalar.items()
             ]
             parts.append(df.agg(*exprs))  # global agg: always exactly 1 row
@@ -162,8 +168,9 @@ class Series:
         idx = F.floor((F.lit(now) - tcol) / F.lit(w)).cast("long")
         binned = df.withColumn("__bin", idx)
 
+        ps = self._point_struct(binned)
         exprs = [
-            agg.agg_expr(m, order_col=self.order_col).alias(k)
+            agg.agg_expr(m, order_col=self.order_col, point_struct=ps).alias(k)
             for k, m in scalar.items()
         ]
         agged = binned.groupBy("__bin").agg(*exprs) if scalar else None

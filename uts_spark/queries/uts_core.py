@@ -214,6 +214,73 @@ def uts_derivative(spark, sf_dir):
 
 
 @query(
+    "uts_reduce_fold",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, value FROM events WHERE {MS} <= {NOW_MS}
+    )
+    SELECT {NOW_MS} - (({NOW_MS} - t)//{7 * DAY} + 1) * {7 * DAY} AS start,
+           CAST({7 * DAY} AS BIGINT) AS width,
+           COUNT(*) FILTER (WHERE value > 100.0) AS n_above,
+           MAX(ABS(value)) AS max_abs
+    FROM pts GROUP BY 1
+    """,
+)
+def uts_reduce_fold(spark, sf_dir):
+    """reduce(fn, initial) (uts.ts:416-434) with arbitrary PYTHON folds —
+    the reference's UDAF primitive (SURVEY §2.6). Two folds per 7-day bin:
+    a threshold counter and a running max-abs, both FP-exact so the SQL
+    oracle matches bit-for-bit. The ordered point array is built JVM-side;
+    Python runs once per bin."""
+    s = events_series(spark, sf_dir)
+    return s.query(
+        {
+            "n_above": Metric(
+                "reduce",
+                fn=lambda acc, pt: acc + (1 if pt["value"] > 100.0 else 0),
+                initial=0,
+                params={"returns": "long"},
+            ),
+            "max_abs": Metric(
+                "reduce",
+                fn=lambda acc, pt: max(acc, abs(pt["value"])),
+                initial=0.0,
+                params={"returns": "double"},
+            ),
+        },
+        group=interval(7 * DAY, fill=False, now=NOW_MS),
+    )
+
+
+@query(
+    "uts_map_fn",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, event_id, value FROM events WHERE {MS} <= {NOW_MS}
+    )
+    SELECT {NOW_MS} - (({NOW_MS} - t)//{7 * DAY} + 1) * {7 * DAY} AS start,
+           ROW_NUMBER() OVER (
+             PARTITION BY ({NOW_MS} - t)//{7 * DAY} ORDER BY event_id
+           ) - 1 AS pos,
+           value * 2.0 + 1.0 AS mapped
+    FROM pts
+    """,
+)
+def uts_map_fn(spark, sf_dir):
+    """map(fn) (uts.ts:562-571): arbitrary per-point python projection
+    collected in push order, exploded with position so the hash proves
+    ordering."""
+    s = events_series(spark, sf_dir)
+    df = s.query(
+        {"m": Metric("map", fn=lambda pt: pt["value"] * 2.0 + 1.0)},
+        group=interval(7 * DAY, fill=False, now=NOW_MS),
+    )
+    return df.select("start", F.posexplode("m").alias("pos", "mapped")).select(
+        "start", F.col("pos").cast("long").alias("pos"), "mapped"
+    )
+
+
+@query(
     "uts_remove_where",
     """
     SELECT event_id, value FROM events
