@@ -1,0 +1,203 @@
+"""Structured Streaming overlay tests (SURVEY §7 Phase 3).
+
+Each test drives a file-source stream through controlled micro-batches
+(write parquet → processAllAvailable → write → process) so watermark
+advancement and state transitions are deterministic.
+"""
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from uts_spark.operators.aggregates import Metric
+from uts_spark.streaming import (
+    dedup_within_watermark,
+    derivative_stateful_stream,
+    read_parquet_stream,
+    tumbling_agg_stream,
+)
+
+TS_SCHEMA = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+MS_SCHEMA = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _dirs(tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src, exist_ok=True)
+    return src, chk
+
+
+def _feed(spark, src, rows, schema, batch_id):
+    df = spark.createDataFrame(rows, schema=schema)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, f"batch_{batch_id}")
+    )
+
+
+def _start(out_df, chk, name):
+    return (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+
+
+def _ts(spark, ms):
+    return spark.sql(f"SELECT timestamp_millis({ms}) t").collect()[0].t
+
+
+def test_tumbling_agg_stream_matches_batch(spark, tmp_path):
+    src, chk = _dirs(tmp_path)
+    name = f"agg_{uuid.uuid4().hex[:8]}"
+    MIN = 60_000
+    # batch 1: events minute 0..59; batch 2: one event at minute 120
+    b1 = [("a", _ts(spark, m * MIN), float(m)) for m in range(60)]
+    b2 = [("a", _ts(spark, 120 * MIN), 1.0)]
+
+    stream = read_parquet_stream(
+        spark, os.path.join(src, "batch_*"), TS_SCHEMA
+    )
+    out = tumbling_agg_stream(
+        stream,
+        {"mean_value": Metric("mean", "value"), "n": Metric("count")},
+        interval_ms=10 * MIN,
+        time_col="ts",
+        watermark="0 seconds",
+    )
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, TS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["start"]: (r["mean_value"], r["n"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # all six hour-0 windows are closed once the watermark reaches minute 120
+    expect = (
+        spark.createDataFrame(b1, TS_SCHEMA)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.avg("value").alias("m"), F.count("*").alias("n"))
+        .select(F.unix_millis("w.start").alias("s"), "m", "n")
+        .collect()
+    )
+    for r in expect:
+        assert got[r["s"]] == (r["m"], r["n"])
+    assert len(got) == 6
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    src, chk = _dirs(tmp_path)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    # NOTE ts must sit above the initial watermark (epoch 0): a row whose
+    # event time == the current watermark is dropped as late (boundary is
+    # exclusive), so t=0 rows in the very first batch would vanish.
+    t0 = _ts(spark, 3_600_000)
+    b1 = [("k1", t0, 1.0), ("k2", t0, 2.0), ("k2", t0, 2.5)]
+    b2 = [("k2", t0, 3.0), ("k3", t0, 4.0)]
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+    out = dedup_within_watermark(stream, ["series"], time_col="ts", watermark="1 hour")
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, TS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT series FROM {name}").collect()
+    assert sorted(r.series for r in rows) == ["k1", "k2", "k3"]
+
+
+def test_derivative_stateful_stream(spark, tmp_path):
+    src, chk = _dirs(tmp_path)
+    name = f"deriv_{uuid.uuid4().hex[:8]}"
+    # interval 200: uts closed form emits (200,1),(400,4),(600,0),(800,0)
+    # then a final flush at tlast=900 — the stream emits only CLOSED
+    # intervals, so everything except the final partial one.
+    b1 = [("s", 0, 0.0), ("s", 100, 1.0), ("s", 250, 5.0)]
+    b2 = [("s", 900, 6.0)]
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), MS_SCHEMA)
+    out = derivative_stateful_stream(
+        stream, interval_ms=200, key_col="series", time_col="ts_ms"
+    )
+    _feed(spark, src, b1, MS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, MS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT time, change FROM {name} ORDER BY time").collect()
+    assert [(r.time, r.change) for r in rows] == [
+        (200, 1.0),
+        (400, 4.0),
+        (600, 0.0),
+        (800, 0.0),
+    ]
+
+
+def test_derivative_stream_multi_key_isolated_state(spark, tmp_path):
+    src, chk = _dirs(tmp_path)
+    name = f"deriv2_{uuid.uuid4().hex[:8]}"
+    b1 = [("a", 0, 0.0), ("b", 0, 10.0), ("a", 50, 2.0), ("b", 50, 10.0)]
+    b2 = [("a", 250, 3.0), ("b", 250, 40.0)]
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), MS_SCHEMA)
+    out = derivative_stateful_stream(
+        stream, interval_ms=100, key_col="series", time_col="ts_ms"
+    )
+    _feed(spark, src, b1, MS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, MS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        f"SELECT series, time, change FROM {name} ORDER BY series, time"
+    ).collect()
+    assert [(r.series, r.time, r.change) for r in rows] == [
+        ("a", 100, 2.0),   # delta 0→2 accrued to first interval
+        ("a", 200, 0.0),   # gap: zero-change emission (uts.ts:481-483)
+        ("b", 100, 0.0),   # flat series: zero delta
+        ("b", 200, 0.0),
+    ]

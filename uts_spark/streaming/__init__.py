@@ -1,0 +1,15 @@
+from uts_spark.streaming.ops import (
+    dedup_within_watermark,
+    derivative_stateful_stream,
+    read_parquet_stream,
+    tumbling_agg_stream,
+    with_retention_watermark,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "with_retention_watermark",
+    "tumbling_agg_stream",
+    "dedup_within_watermark",
+    "derivative_stateful_stream",
+]

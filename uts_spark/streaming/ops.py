@@ -1,0 +1,202 @@
+"""Structured Streaming overlay (SURVEY §7 Phase 3).
+
+The reference is a poll-style in-memory store with exactly one time-driven
+behavior: retention (uts.ts:245-269, a 1 s timer dropping points with
+``time < now - ttl``). Everything else here is the *streaming re-expression*
+of its batch surface, with the divergences SURVEY §2.7 documents:
+
+- **retention ≈ watermark**: ``withWatermark(ts, ttl)`` bounds state just
+  like retention bounds the array. Divergence (strictly better): the
+  reference silently LOSES late data appended after a future-stamped point
+  (verified, uts.ts:133-136 array-order break); a watermark gives late rows
+  a bounded grace window and drops them *predictably*.
+- **IntervalGrouper ≈ tumbling window**: the reference's bins are anchored
+  at a query-time ``now`` and right-INCLUSIVE ``(s, s+w]``; Spark's
+  ``F.window`` is epoch-aligned and right-EXCLUSIVE ``[s, s+w)``. On a
+  stream there is no query-time ``now``, so we keep the epoch-aligned
+  native window (scale path: it's a plain hash aggregation with partial
+  state eviction) and expose the same exact-fidelity aggregate EXPRESSIONS
+  over it — quirk semantics (zero-defaults, NaN-poisoning, zero-clamps)
+  carry over unchanged because they are ordinary Columns.
+- **derivative on a stream**: the batch closed form (operators/derivative)
+  needs ``tlast`` — unknowable on an unbounded stream — so the stateful
+  variant emits an interval's change only once it CLOSES (a later point
+  arrives past its end). The never-flushed final partial interval is the
+  documented divergence from the batch final-flush-at-``tlast``.
+
+Scale notes (100 TB / 1000 executors): every op below is keyed state —
+watermark-evicted aggregation or per-key flat-map-groups-with-state — so
+state shards across executors by the grouping key; nothing collects to the
+driver; shuffle is one exchange on the key, same as the batch plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from uts_spark.operators import aggregates as agg
+from uts_spark.operators.aggregates import Metric
+
+
+def read_parquet_stream(spark, path: str, schema) -> DataFrame:
+    """File-source stream: each new parquet file in ``path`` is a
+    micro-batch — the streaming analog of ``Series.insert`` batches.
+    (The reference's insert is an array push, uts.ts:271-278.)"""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def with_retention_watermark(
+    df: DataFrame, time_col: str = "ts", ttl: str = "7 days"
+) -> DataFrame:
+    """Retention (uts.ts:245-269) as a watermark: state older than
+    ``max(event time) - ttl`` is evicted instead of swept by a timer."""
+    return df.withWatermark(time_col, ttl)
+
+
+def tumbling_agg_stream(
+    df: DataFrame,
+    metrics: Mapping[str, Metric],
+    interval_ms: int,
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    key_cols: Iterable[str] = (),
+) -> DataFrame:
+    """IntervalGrouper on a stream: watermarked tumbling-window aggregation
+    with the SAME exact-fidelity aggregate expressions as the batch path
+    (operators/aggregates — mean→0 default, sum/max/min NaN-poisoning and
+    zero-clamps). Emits ``start`` (epoch ms) + ``width`` like the batch
+    grouper; append output mode finalizes a window when the watermark
+    passes its end.
+
+    ``fill=true`` (empty-bin synthesis) intentionally does NOT exist here:
+    a stream cannot enumerate bins that never received data without a
+    driver-side clock — consumers wanting gap-fill join against a calendar
+    spine downstream (documented divergence)."""
+    w = F.window(F.col(time_col), f"{interval_ms} milliseconds")
+    exprs = [
+        agg.agg_expr(m, order_col=time_col).alias(k) for k, m in metrics.items()
+    ]
+    out = (
+        df.withWatermark(time_col, watermark)
+        .groupBy(w.alias("__w"), *key_cols)
+        .agg(*exprs)
+    )
+    return out.select(
+        F.unix_millis(F.col("__w.start")).alias("start"),
+        F.lit(int(interval_ms)).alias("width"),
+        *key_cols,
+        *metrics.keys(),
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Iterable[str],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts key
+    state once the watermark passes — the streaming face of the batch
+    ``dedup_exact`` operator (functions/dedup). The reference never
+    dedups (insert appends blindly, uts.ts:271-278); this is north-star
+    surface."""
+    return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming derivative (applyInPandasWithState)
+
+_DERIV_OUT = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("time", LongType()),
+        StructField("change", DoubleType()),
+    ]
+)
+# state: first point time, prev value, current open-interval end,
+# accumulated change in the open interval
+_DERIV_STATE = StructType(
+    [
+        StructField("tfirst", LongType()),
+        StructField("prev_v", DoubleType()),
+        StructField("open_end", LongType()),
+        StructField("acc", DoubleType()),
+    ]
+)
+
+
+def derivative_stateful_stream(
+    df: DataFrame,
+    interval_ms: int,
+    key_col: str = "series",
+    time_col: str = "ts_ms",
+    value_col: str = "value",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ``derivative(col, interval)`` (uts.ts:458-507): per-key
+    per-interval change, gap intervals emitting zero-change rows — the
+    reference's fold (SURVEY §2.4 A9) made incremental.
+
+    Emission rule: the batch closed form accrues each delta to emission
+    time ``e = min(tfirst + k*interval ≥ t, tlast)``; on a stream ``tlast``
+    doesn't exist, so an interval is emitted when it CLOSES — i.e. when a
+    point lands beyond its end — and the final partial interval stays
+    buffered (documented divergence; a batch backfill finalizes it).
+
+    Scale: state is one 4-field row per series key, sharded by key across
+    executors; each micro-batch touches only keys present in the batch.
+    """
+
+    def step(key, pdfs, state: GroupState):
+        (series,) = key
+        if state.exists:
+            tfirst, prev_v, open_end, acc = state.get
+        else:
+            tfirst = prev_v = open_end = acc = None
+        out_t, out_c = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)  # micro-batch arrival order
+            for t, v in zip(pdf[time_col].astype("int64"), pdf[value_col]):
+                t, v = int(t), float(v)
+                if tfirst is None:
+                    tfirst, prev_v, open_end, acc = t, v, t + interval_ms, 0.0
+                    continue
+                while t > open_end:  # close finished intervals, zero-fill gaps
+                    out_t.append(open_end)
+                    out_c.append(acc)
+                    open_end += interval_ms
+                    acc = 0.0
+                acc += v - prev_v
+                prev_v = v
+        state.update((tfirst, prev_v, open_end, acc))
+        if out_t:
+            yield pd.DataFrame(
+                {"series": series, "time": out_t, "change": out_c}
+            )
+
+    grouped = df.groupBy(key_col)
+    if watermark_col:
+        grouped = df.withWatermark(watermark_col, watermark).groupBy(key_col)
+    return grouped.applyInPandasWithState(
+        step,
+        outputStructType=_DERIV_OUT,
+        stateStructType=_DERIV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
