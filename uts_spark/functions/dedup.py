@@ -39,9 +39,11 @@ def exact_canonical(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) inverted index over distinct word n-grams + per-doc
-    set size ``n_shingles``."""
-    base = df.select(
+    """(id, shingle) STRING inverted index over distinct word n-grams +
+    per-doc set size ``n_shingles`` (debug/inspection surface; the dedup
+    pipelines run on the hashed arrays below)."""
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    base = spread.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)).alias("__sh"),
     )
@@ -53,7 +55,13 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
 def doc_shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, sh: distinct shingle array, ns: set size) per doc.
+    """(id, sh: distinct 64-bit-hashed shingle array, ns: set size) per doc.
+
+    Shingles are hashed to LONGs here, once, at build: every downstream
+    join / groupBy / array_intersect then runs on 8-byte keys instead of
+    ~25-char strings (cheaper hashing, cheaper shuffle, cheaper equality).
+    Set semantics are preserved (64-bit collisions over a corpus's shingle
+    vocabulary are ~2^-40-level events).
 
     Repartitions the input first: document tables often arrive as few
     fat files, and the regex+shingle build is CPU-bound — without the
@@ -61,7 +69,9 @@ def doc_shingle_arrays(
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     return spread.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)).alias("sh"),
+        F.array_distinct(
+            F.transform(word_ngrams(tokens(F.col(text_col)), n), hash64)
+        ).alias("sh"),
     ).withColumn("ns", F.size("sh"))
 
 
@@ -102,10 +112,15 @@ def ngram_jaccard_pairs(
     2. each doc keeps only its ``ns - ceil(t*ns) + 1`` RAREST shingles
        (any pair with J >= t must collide inside both prefixes);
     3. candidate pairs = prefix-index self-join + size-ratio filter
-       (J >= t ⇒ t <= na/nb <= 1/t) — hot shingles are, by
-       construction, last in the frequency order and fall out of
-       prefixes, which is what kills the quadratic blowup;
-    4. exact Jaccard on full sets per candidate (array_intersect).
+       (J >= t ⇒ t <= na/nb <= 1/t) + POSITIONAL filter: both records
+       are sorted in the same global frequency order, so for a common
+       shingle at sorted positions (pa, pb) the true overlap is bounded
+       by ``min(pa-1, pb-1) + 1 + min(na-pa, nb-pb)``; J >= t needs
+       overlap >= ceil(t/(1+t)·(na+nb)), and any match whose bound falls
+       short disqualifies the pair — this is what collapses the
+       candidate set (measured 309k → ~20k pairs at sf0.1);
+    4. exact Jaccard on full sets per candidate (array_intersect on the
+       64-bit shingle hashes).
     """
     arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
     inv = arrays.select("id", "ns", F.explode("sh").alias("shingle"))
@@ -119,18 +134,31 @@ def ngram_jaccard_pairs(
         inv.join(freq, "shingle")
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= prefix_len)
-        .select("id", "ns", "shingle")
+        .select("id", "ns", "shingle", F.col("__r").alias("pos"))
         .cache()
     )
 
-    a = prefix.select(F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle")
-    b = prefix.select(F.col("id").alias("id_b"), F.col("ns").alias("nb"), "shingle")
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("ns").alias("na"),
+        "shingle", F.col("pos").alias("pa"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("ns").alias("nb"),
+        "shingle", F.col("pos").alias("pb"),
+    )
     size_ok = (F.col("na") >= F.col("nb") * F.lit(threshold)) & (
         F.col("nb") >= F.col("na") * F.lit(threshold)
     )
+    # overlap needed for J >= t, and the per-match positional upper bound
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
+    ubound = (
+        F.least(F.col("pa") - 1, F.col("pb") - 1)
+        + 1
+        + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+    )
     cands = (
         a.join(b, "shingle")
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok & (ubound >= alpha))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -155,13 +183,21 @@ def _family_constants(k: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 32
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 32,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """k-wide minhash signature per doc: sig[i] = min over shingles of
     h_i(shingle), one groupBy with k min-aggregates (no row blowup
-    beyond the shingle explode)."""
-    inv = shingle_sets(df, text_col, id_col, n).withColumn(
-        "__h", hash64(F.col("shingle")) % F.lit(MINHASH_P)
+    beyond the shingle explode).
+
+    Pass ``arrays`` (a doc_shingle_arrays result, ideally cached) to
+    reuse an existing tokenize+hash pass — minhash_lsh_pairs does, so
+    the corpus is tokenized exactly once for signatures AND
+    verification."""
+    if arrays is None:
+        arrays = doc_shingle_arrays(df, text_col, id_col, n)
+    inv = arrays.select("id", F.explode("sh").alias("__h64")).withColumn(
+        "__h", F.col("__h64") % F.lit(MINHASH_P)
     )
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
@@ -184,7 +220,8 @@ def minhash_lsh_pairs(
     verification (no false positives; recall from the banding curve).
     Returns (id_a, id_b, est_jaccard, jaccard)."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
+    sig = minhash_signatures(df, text_col, id_col, n, k, arrays=arrays).cache()
 
     band_rows = []
     for b in range(bands):
@@ -224,8 +261,8 @@ def minhash_lsh_pairs(
     )
 
     # exact-Jaccard verification ONLY over the LSH candidates (cost ∝
-    # candidates, not pairs) — no false positives in the output
-    arrays = doc_shingle_arrays(df, text_col, id_col, n)
+    # candidates, not pairs) — no false positives in the output; reuses
+    # the cached arrays from the signature build
     exact = pair_jaccard(cand, arrays)
     return (
         est.join(exact, ["id_a", "id_b"], "left")

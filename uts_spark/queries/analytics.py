@@ -465,3 +465,53 @@ def approx_sketches(spark, sf_dir):
         F.approx_count_distinct("event_id").alias("approx_events"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_percentiles"),
     )
+
+
+# ===========================================================================
+# Sessionization (session windows — dynamic-gap grouping)
+# ===========================================================================
+
+@query(
+    "session_windows_per_user",
+    f"""
+    WITH e AS (SELECT user_id, {MS} AS t, value FROM events),
+    m AS (
+      SELECT user_id, t, value,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, t, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           MIN(t)          AS session_start,
+           MAX(t)          AS session_end,
+           COUNT(*)        AS n_events,
+           {DSUM('value')} AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows_per_user(spark, sf_dir):
+    """Sessionization via native ``F.session_window`` (30-min inactivity
+    gap): events merge while the gap is < 30 min; a gap ≥ 30 min starts a
+    new session. The oracle is the classic gaps-and-islands rewrite.
+
+    Scale: session_window is a single shuffle on user_id followed by an
+    in-partition merge of overlapping [t, t+gap) intervals — no windowed
+    sort-spill like the naive islands plan, and it's the same operator
+    Structured Streaming uses for streaming sessions."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts_ms").alias("session_start"),
+            F.max("ts_ms").alias("session_end"),
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
