@@ -139,3 +139,22 @@ def test_multimodal_decode_deterministic(docs):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG fake")
+
+
+def test_ann_ivf_recall_vs_brute_force(emb):
+    """IVF with a generous probe budget (4 of 8 cells = half the corpus
+    scanned) must recover most exact neighbors; near-orthogonal fixture
+    vectors make cell boundaries noisy, hence the modest floor."""
+    from uts_spark.functions.similarity import ivf_topk
+
+    anchors = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["anchor_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, anchors, k=5).collect()
+    }
+    approx = {
+        (r["anchor_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, anchors, k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall} vs brute force"

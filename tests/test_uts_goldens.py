@@ -346,3 +346,61 @@ def test_map_fn_is_push_order_not_time_order(tsdb):
 def test_reduce_empty_series_returns_initial(series_empty):
     r = one(series_empty.query({"r": TSDB.reduce(lambda a, pt: a + 1, 0.0)}))
     assert r["r"] == 0.0
+
+
+# -- schemaless MapType payload mode (SURVEY §1.3): absent map key ≡
+#    missing column, reproducing pt.has semantics ------------------------
+
+@pytest.fixture(scope="module")
+def series_payload(tsdb):
+    rows = [
+        (0, 100, {"a": 1.0, "b": 10.0}),
+        (1, 200, {"a": 2.0}),             # missing b
+        (2, 300, {"a": 3.0, "b": 30.0}),
+    ]
+    df = tsdb.spark.createDataFrame(
+        rows, "ingest_id long, time long, payload map<string,double>"
+    )
+    return tsdb.series("pl", df=df, payload_col="payload")
+
+
+def test_payload_aggregates_missing_key_quirks(series_payload):
+    r = one(
+        series_payload.query(
+            {
+                "mean_b": TSDB.mean("b"),    # skips the missing point
+                "sum_b": TSDB.sum("b"),      # NaN-poisoned by the missing point
+                "count_b": TSDB.count("b"),
+                "count_all": TSDB.count(),
+                "last_a": TSDB.last("a"),
+                "map_b": TSDB.map("b"),      # hole preserved
+            }
+        )
+    )
+    assert r["mean_b"] == 20.0
+    assert math.isnan(r["sum_b"])
+    assert r["count_b"] == 2
+    assert r["count_all"] == 3
+    assert r["last_a"] == 3.0
+    assert r["map_b"] == [10.0, None, 30.0]
+
+
+def test_payload_where_missing_key_never_matches(series_payload):
+    r = one(
+        series_payload.query(
+            {"m": TSDB.map("a")},
+            where={"b": {"is": ">", "than": 0.0}},
+        )
+    )
+    assert r["m"] == [1.0, 3.0]  # the b-less point never matches
+
+
+def test_payload_remove_keeps_missing_key_points(tsdb):
+    rows = [(0, 100, {"v": 5.0}), (1, 200, {}), (2, 300, {"v": 1.0})]
+    df = tsdb.spark.createDataFrame(
+        rows, "ingest_id long, time long, payload map<string,double>"
+    )
+    s = tsdb.series("plrm", df=df, payload_col="payload")
+    s.remove({"v": {"is": ">", "than": 2.0}})
+    r = one(s.query({"m": TSDB.map("v")}))
+    assert r["m"] == [None, 1.0]  # v=5 removed; keyless point KEPT

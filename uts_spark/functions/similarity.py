@@ -196,6 +196,80 @@ def lsh_buckets(
     return bucket
 
 
+def ivf_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    corpus into ``n_cells`` Voronoi cells; each anchor probes its
+    ``n_probe`` nearest centroids and exact-reranks only those cells'
+    vectors — candidate cost ~ N·n_probe/n_cells instead of N per anchor.
+
+    Scale shape (100 TB): the centroid table is tiny and broadcast; cell
+    assignment is one ML transform over the corpus (writeable as a
+    partition column so probes become partition-pruned scans); training
+    runs on a sample. Deterministic given ``seed``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=10,
+        featuresCol="__fv", predictionCol="__cell",
+    ).fit(base)
+    assigned = model.transform(base).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__cell").alias("cell"),
+    )
+    cents = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(cents, "cell int, __c array<double>")
+
+    a = anchors.select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("__va"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__va"), F.col("__c"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.asc("__d2"), F.asc("cell"))
+    probed = (
+        a.crossJoin(F.broadcast(cdf))
+        .withColumn("__d2", d2)
+        .withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("anchor_id", "__va", "cell")
+    )
+    cand = probed.join(assigned, "cell").filter(
+        F.col("anchor_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "anchor_id",
+        "neighbor_id",
+        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     anchors: DataFrame,

@@ -49,11 +49,24 @@ class Series:
         time_col: str = "time",
         order_col: str = "ingest_id",
         retention: int = 0,
+        payload_col: str | None = None,
     ):
         self.df = df
         self.time_col = time_col
         self.order_col = order_col
         self.retention = retention
+        # schemaless mode (SURVEY §1.3): point data lives in a
+        # MAP<STRING,DOUBLE> column; a name that isn't a top-level column
+        # resolves to payload[name], and an absent key yields NULL — which
+        # is exactly the reference's missing-column semantics (pt.has
+        # guards, never-match filters; SURVEY §2.3-2.4).
+        self.payload_col = payload_col
+
+    def resolve(self, name: str) -> Column:
+        """Column-name resolver honoring payload (schemaless) mode."""
+        if self.payload_col and name not in self.df.columns:
+            return F.col(self.payload_col)[name]
+        return F.col(name)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -87,7 +100,9 @@ class Series:
         if where is None:
             self.df = self.df.limit(0)
         else:
-            self.df = self.df.filter(cmp.keep_predicate_for_remove(where))
+            self.df = self.df.filter(
+                cmp.keep_predicate_for_remove(where, resolve=self.resolve)
+            )
         return self
 
     # -- query -------------------------------------------------------------
@@ -117,7 +132,7 @@ class Series:
         if self.retention:
             df = df.filter(tcol >= F.lit(now - self.retention))
 
-        pred = cmp.compile_where(where)
+        pred = cmp.compile_where(where, resolve=self.resolve)
         if pred is not None:
             df = df.filter(pred)
 
@@ -140,7 +155,10 @@ class Series:
         if scalar:
             ps = self._point_struct(df)
             exprs = [
-                agg.agg_expr(m, order_col=self.order_col, point_struct=ps).alias(k)
+                agg.agg_expr(
+                    m, resolve=self.resolve, order_col=self.order_col,
+                    point_struct=ps,
+                ).alias(k)
                 for k, m in scalar.items()
             ]
             parts.append(df.agg(*exprs))  # global agg: always exactly 1 row
@@ -170,7 +188,10 @@ class Series:
 
         ps = self._point_struct(binned)
         exprs = [
-            agg.agg_expr(m, order_col=self.order_col, point_struct=ps).alias(k)
+            agg.agg_expr(
+                m, resolve=self.resolve, order_col=self.order_col,
+                point_struct=ps,
+            ).alias(k)
             for k, m in scalar.items()
         ]
         agged = binned.groupBy("__bin").agg(*exprs) if scalar else None
@@ -272,15 +293,21 @@ class TSDB:
         df: DataFrame | None = None,
         time_col: str = "time",
         order_col: str = "ingest_id",
+        payload_col: str | None = None,
     ) -> Series:
         """Get-or-create (uts.ts:540-547). Pass ``df`` to attach an existing
-        table (the 100 TB path: a partitioned parquet/Delta table)."""
+        table (the 100 TB path: a partitioned parquet/Delta table);
+        ``payload_col`` names a MAP<STRING,DOUBLE> column for schemaless
+        series (SURVEY §1.3)."""
         if name not in self._series:
             if df is None:
                 schema = f"{order_col} long, {time_col} long"
+                if payload_col:
+                    schema += f", {payload_col} map<string,double>"
                 df = self.spark.createDataFrame([], schema=schema)
             self._series[name] = Series(
-                df, time_col, order_col, self._default_retention
+                df, time_col, order_col, self._default_retention,
+                payload_col=payload_col,
             )
         return self._series[name]
 

@@ -20,6 +20,7 @@ from uts_spark.functions.hashing import duck_hash64
 from uts_spark.functions.similarity import (
     cosine_pairs_blocked,
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 from uts_spark.functions.text import (
@@ -308,6 +309,18 @@ def similarity_ann_lsh(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") < 5)
     return lsh_topk(e, anchors, dim=EMB_DIM, k=10, planes=12, tables=4)
+
+
+@query("similarity_ann_ivf")  # approximate by design → rows-only
+def similarity_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k: k-means cells + n_probe nearest-centroid
+    probing, exact cosine rerank inside probed cells — the
+    partition-pruned ANN shape for corpora where even LSH bucket joins
+    are too wide. Recall vs brute force asserted in
+    tests/test_llm_ops.py."""
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, anchors, k=10, n_cells=16, n_probe=4)
 
 
 # ===========================================================================
