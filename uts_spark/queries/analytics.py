@@ -515,3 +515,101 @@ def session_windows_per_user(spark, sf_dir):
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
+
+
+# ===========================================================================
+# Scalar function library (string / date / math / array / json)
+# ===========================================================================
+
+@query(
+    "scalar_function_pack",
+    """
+    SELECT event_id,
+           upper(event_type)                                   AS type_upper,
+           CAST(length(event_type) AS BIGINT)                  AS type_len,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+           substr(event_type, 1, 3)                            AS type3,
+           regexp_replace(event_type, '[aeiou]', '', 'g')      AS type_novowel,
+           CAST(year(ts) AS BIGINT)                            AS y,
+           CAST(month(ts) AS BIGINT)                           AS m,
+           CAST(day(ts) AS BIGINT)                             AS d,
+           CAST(hour(ts) AS BIGINT)                            AS h,
+           epoch_ms(date_trunc('day', ts))                     AS day_ms,
+           abs(value - 100.0)                                  AS vabs,
+           sqrt(value)                                         AS vsqrt,
+           CAST(floor(value) AS BIGINT)                        AS vfloor,
+           CAST(ceil(value) AS BIGINT)                         AS vceil,
+           CAST(sign(value - 100.0) AS DOUBLE)                 AS vsign,
+           list_max([value, 100.0])                            AS amax,
+           CAST(len(string_split(event_type, 'r')) AS BIGINT)  AS nsplit,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)   AS k
+    FROM events
+    """,
+)
+def scalar_function_pack(spark, sf_dir):
+    """Scalar function library coverage (SURVEY §2.7: absent from the
+    reference, provided natively): string (upper/length/concat_ws/substr/
+    regexp_replace/split), date (year/month/day/hour/date_trunc), math
+    (abs/sqrt/floor/ceil/signum — IEEE-exact picks only, so the oracle
+    hash-matches bit-for-bit), array (array_max/size), json
+    (get_json_object). Map functions are exercised by the schemaless
+    payload mode (tests/test_uts_goldens.py). All JVM-side, one pass,
+    no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.length("event_type").cast("long").alias("type_len"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
+        F.substring("event_type", 1, 3).alias("type3"),
+        F.regexp_replace("event_type", "[aeiou]", "").alias("type_novowel"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+        F.abs(F.col("value") - 100.0).alias("vabs"),
+        F.sqrt("value").alias("vsqrt"),
+        F.floor("value").cast("long").alias("vfloor"),
+        F.ceil("value").cast("long").alias("vceil"),
+        F.signum(F.col("value") - 100.0).alias("vsign"),
+        F.array_max(F.array(F.col("value"), F.lit(100.0))).alias("amax"),
+        F.size(F.split("event_type", "r")).cast("long").alias("nsplit"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# ===========================================================================
+# Grouping sets (explicit, beyond rollup/cube)
+# ===========================================================================
+
+@query(
+    "grouping_sets_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT)                                 AS gid,
+           COUNT(*)                                        AS n,
+           {DSUM('o_totalprice')}                          AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (mixed granularities in one pass) with
+    GROUPING() disambiguation of set-NULLs vs data-NULLs. One expand +
+    one shuffle — Spark expands rows per set and aggregates once."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT)                                     AS gid,
+               COUNT(*)                                            AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                                                                   AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """)
