@@ -1,0 +1,233 @@
+"""Property-based fidelity: a pure-python MODEL of the reference's
+verified semantics (SURVEY §2.3-§2.5 — filter, interval grouping,
+aggregate quirks) fuzzed against the Spark engine on random small series.
+
+The model is written from the survey's semantic spec (zero-default mean,
+NaN-poisoned sum, zero-clamped max/min, insertion-order last/map,
+right-inclusive now-anchored bins, fill initials, newest-first), not from
+the reference source. Values are integer-valued doubles so sums are exact
+regardless of accumulation order.
+"""
+
+import math
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from uts_spark import TSDB  # noqa: E402
+from uts_spark.plans.groupers import interval  # noqa: E402
+
+NOW = 1000
+COLS = ("c1", "c2")
+
+
+# -- the model ---------------------------------------------------------------
+
+def model_filter(points, where):
+    def match(pt):
+        for col, atoms in (where or {}).items():
+            atoms = atoms if isinstance(atoms, list) else [atoms]
+            for a in atoms:
+                if col not in pt or pt[col] is None:
+                    return False  # missing column never matches
+                v, t = pt[col], a["than"]
+                if a["is"] == ">" and not v > t:
+                    return False
+                if a["is"] == "<" and not v < t:
+                    return False
+                if a["is"] == "=" and not v == t:
+                    return False
+        return True
+
+    return [p for p in points if match(p)]
+
+
+def model_agg(kind, col, pts):
+    has = [p[col] for p in pts if col in p and p[col] is not None]
+    missing = len(has) < len(pts)
+    if kind == "mean":
+        return sum(has) / len(has) if has else 0.0
+    if kind == "sum":
+        return float("nan") if missing else float(sum(has)) if has else 0.0
+    if kind == "max":
+        return float("nan") if missing else max([0.0] + [float(v) for v in has])
+    if kind == "min":
+        return float("nan") if missing else min([0.0] + [float(v) for v in has])
+    if kind == "count_all":
+        return len(pts)
+    if kind == "count":
+        return len(has)
+    if kind == "last":
+        if not pts:
+            return None
+        p = pts[-1]
+        return p.get(col)
+    if kind == "map":
+        return [p.get(col) for p in pts]
+    raise AssertionError(kind)
+
+
+def model_interval_query(points, where, w, fill, now):
+    flt = [p for p in model_filter(points, where) if p["time"] <= now]
+    lower = None
+    for col, atoms in (where or {}).items():
+        if col != "time":
+            continue
+        atoms = atoms if isinstance(atoms, list) else [atoms]
+        for a in atoms:
+            if a["is"] == ">":
+                lower = a["than"]
+                break
+        break
+    if lower is None:
+        if not flt:
+            return []  # engine's documented divergence from the TypeError
+        lower = min(p["time"] for p in flt)  # oldest point anchors the spine
+    n = (now - lower) // w + 1
+    bins = {i: [] for i in range(n)}
+    for p in sorted(flt, key=lambda p: p["ingest_id"]):
+        i = (now - p["time"]) // w
+        if i in bins:
+            bins[i].append(p)
+    out = []
+    for i in range(n):
+        pts = bins[i]
+        if not fill and not pts:
+            continue
+        out.append(
+            {
+                "start": now - (i + 1) * w,
+                "mean": model_agg("mean", "c1", pts),
+                "summ": model_agg("sum", "c1", pts),
+                "mx": model_agg("max", "c1", pts),
+                "mn": model_agg("min", "c1", pts),
+                "cnt": model_agg("count", "c1", pts),
+                "call": model_agg("count_all", "c1", pts),
+                "last": model_agg("last", "c2", pts),
+                "mp": model_agg("map", "c2", pts),
+            }
+        )
+    out.sort(key=lambda r: -r["start"])
+    return out
+
+
+# -- strategies --------------------------------------------------------------
+
+point_st = st.fixed_dictionaries(
+    {"time": st.integers(0, 1100)},
+    optional={
+        "c1": st.integers(-5, 20).map(float),
+        "c2": st.integers(-5, 20).map(float),
+    },
+)
+
+atom_st = st.fixed_dictionaries(
+    {"is": st.sampled_from([">", "<", "="]), "than": st.integers(-2, 15).map(float)}
+)
+time_atom_st = st.fixed_dictionaries(
+    {"is": st.sampled_from([">", "<"]), "than": st.integers(0, 1000)}
+)
+where_st = st.fixed_dictionaries(
+    {},
+    optional={
+        "c1": atom_st,
+        "c2": st.lists(atom_st, min_size=1, max_size=2),
+        "time": time_atom_st,
+    },
+)
+
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return abs(a - b) < 1e-9
+    if isinstance(a, list):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+METRICS = {
+    "mean": TSDB.mean("c1"),
+    "summ": TSDB.sum("c1"),
+    "mx": TSDB.max("c1"),
+    "mn": TSDB.min("c1"),
+    "cnt": TSDB.count("c1"),
+    "call": TSDB.count(),
+    "last": TSDB.last("c2"),
+    "mp": TSDB.map("c2"),
+}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(point_st, min_size=0, max_size=25),
+    where=where_st,
+    w=st.sampled_from([50, 130, 300]),
+    fill=st.booleans(),
+)
+def test_interval_query_matches_model(spark, points, where, w, fill):
+    rows = [
+        (i, p["time"], p.get("c1"), p.get("c2")) for i, p in enumerate(points)
+    ]
+    pts = [dict(p, ingest_id=i) for i, p in enumerate(points)]
+    df = spark.createDataFrame(
+        rows, "ingest_id long, time long, c1 double, c2 double"
+    )
+    from uts_spark.plans.tsdb import Series
+
+    s = Series(df)
+    got = [
+        r.asDict()
+        for r in s.query(
+            METRICS, where=where or None, group=interval(w, fill=fill, now=NOW)
+        ).collect()
+    ]
+    want = model_interval_query(pts, where, w, fill, NOW)
+    assert len(got) == len(want), (got, want)
+    for g, m in zip(got, want):
+        assert g["start"] == m["start"], (got, want)
+        for key in ("mean", "summ", "mx", "mn", "cnt", "call", "last", "mp"):
+            assert eq(g[key], m[key]), (key, g, m)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(points=st.lists(point_st, min_size=0, max_size=25), where=where_st)
+def test_global_query_matches_model(spark, points, where):
+    rows = [
+        (i, p["time"], p.get("c1"), p.get("c2")) for i, p in enumerate(points)
+    ]
+    pts = [dict(p, ingest_id=i) for i, p in enumerate(points)]
+    df = spark.createDataFrame(
+        rows, "ingest_id long, time long, c1 double, c2 double"
+    )
+    from uts_spark.plans.tsdb import Series
+
+    s = Series(df)
+    g = s.query(METRICS, where=where or None).collect()[0].asDict()
+    flt = sorted(model_filter(pts, where), key=lambda p: p["ingest_id"])
+    m = {
+        "mean": model_agg("mean", "c1", flt),
+        "summ": model_agg("sum", "c1", flt),
+        "mx": model_agg("max", "c1", flt),
+        "mn": model_agg("min", "c1", flt),
+        "cnt": model_agg("count", "c1", flt),
+        "call": model_agg("count_all", "c1", flt),
+        "last": model_agg("last", "c2", flt),
+        "mp": model_agg("map", "c2", flt),
+    }
+    for key in m:
+        assert eq(g[key], m[key]), (key, g, m)

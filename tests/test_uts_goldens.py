@@ -404,3 +404,12 @@ def test_payload_remove_keeps_missing_key_points(tsdb):
     s.remove({"v": {"is": ">", "than": 2.0}})
     r = one(s.query({"m": TSDB.map("v")}))
     assert r["m"] == [None, 1.0]  # v=5 removed; keyless point KEPT
+
+
+def test_last_point_missing_column_yields_null(tsdb):
+    # uts.ts:611-617: last() pushes pt.get(col) for EVERY point — a final
+    # point missing the column yields undefined, not the previous value.
+    rows = [(0, 10, 1.0), (1, 20, None)]
+    s = make_series(tsdb, "lastnull", rows, "ingest_id long, time long, v double")
+    r = one(s.query({"last": TSDB.last("v")}))
+    assert r["last"] is None
