@@ -158,3 +158,30 @@ def test_ann_ivf_recall_vs_brute_force(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall {recall} vs brute force"
+
+
+def test_multimodal_resize_shape(docs):
+    from uts_spark.functions import multimodal as mm
+
+    out = mm.resize_images(mm.attach_blob(docs), 224, 224)
+    rows = out.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.target_w == 224 and r.target_h == 224
+        assert r.resized_bytes == 224 * 224 * (r.resized_bytes // (224 * 224))
+        assert 0 < r.scale_x and 0 < r.scale_y
+
+
+def test_multimodal_frame_sample_fanout(docs):
+    from uts_spark.functions import multimodal as mm
+
+    n_docs = docs.count()
+    out = mm.sample_frames(mm.attach_blob(docs), n_frames=4)
+    assert out.count() == 4 * n_docs
+    one_doc = out.filter(F.col("doc_id") == out.select(F.min("doc_id")).first()[0])
+    rows = one_doc.orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.frame_ms for r in rows] == [0, 1000, 2000, 3000]
+    # per-frame features differ (frame-dependent decode), fixed dim
+    assert rows[0].feature != rows[1].feature
+    assert all(len(r.feature) == 8 for r in rows)

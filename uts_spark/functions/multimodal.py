@@ -101,3 +101,80 @@ def fake_decode_features(df: DataFrame, blob_col: str = "media") -> DataFrame:
             )
 
     return df.select("doc_id", blob_col).mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, target_w long, target_h long, "
+    "scale_x double, scale_y double, resized_bytes long"
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, blob_col: str = "media"
+) -> DataFrame:
+    """Resize pipeline shape: decode → scale → re-encode, Arrow-batched.
+    The pixel work is STUBBED (no codecs in this container): source dims
+    come from the deterministic fake decode and the output byte count is
+    the exact post-resize buffer size ``target_w*target_h*channels`` —
+    so schema, batch iteration and cost model are real, only the codec
+    call is fake. Swap ``_fake_features`` for a PIL/libvips call to go
+    live."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(payload)
+                w, h, c, _ = _fake_features(blob)
+                rows.append(
+                    (
+                        int(doc_id), w, h, target_w, target_h,
+                        target_w / w, target_h / h, target_w * target_h * c,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "target_w", "target_h",
+                    "scale_x", "scale_y", "resized_bytes",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_ms long, feature array<double>"
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_interval_ms: int = 1000,
+    blob_col: str = "media",
+) -> DataFrame:
+    """Video frame sampling shape: ONE blob row → ``n_frames`` output rows
+    (the 1→N explode that distinguishes video from image pipelines), each
+    with a frame timestamp and per-frame feature vector. Frame decode is
+    STUBBED deterministically (md5 over blob+frame_idx); the Spark-side
+    contract — mapInPandas fan-out, fixed schema, bounded Arrow batches —
+    is the real thing. At 100 TB the fan-out multiplies rows, not bytes:
+    only features leave the executor, frames are never materialized as
+    columns."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(payload)
+                for i in range(n_frames):
+                    _, _, _, feature = _fake_features(blob + bytes([i]))
+                    rows.append((int(doc_id), i, i * frame_interval_ms, feature))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ms", "feature"]
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, FRAME_SCHEMA)

@@ -351,3 +351,19 @@ def multimodal_decode_features(spark, sf_dir):
     producing per-blob dimensions + feature vector."""
     docs = mm.attach_blob(table(spark, sf_dir, "documents"))
     return mm.fake_decode_features(docs)
+
+
+@query("multimodal_resize")  # python codec path → rows-only
+def multimodal_resize(spark, sf_dir):
+    """Resize pipeline (decode → scale → re-encode shape) with the codec
+    stubbed; real scale factors + output buffer sizes per blob."""
+    docs = mm.attach_blob(table(spark, sf_dir, "documents"))
+    return mm.resize_images(docs, target_w=224, target_h=224)
+
+
+@query("multimodal_frame_sample")  # python codec path → rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: 1 blob → n_frames rows with per-frame
+    features (the mapInPandas fan-out shape)."""
+    docs = mm.attach_blob(table(spark, sf_dir, "documents"))
+    return mm.sample_frames(docs, n_frames=4, frame_interval_ms=1000)
