@@ -1,0 +1,68 @@
+"""Write paths (sinks) + non-parquet sources.
+
+The reference is purely in-memory (uts.ts:243 — an array); persistence is
+wholly ours. The layout rules ARE the 100 TB design:
+
+- **partitioned parquet**: partition columns become directory keys →
+  time/series predicates turn into partition pruning (`PartitionFilters`
+  in the scan, verified in tests). Low-cardinality keys only — a
+  `series, date` layout gives the reference's retention sweep and
+  interval lower bound O(touched-partitions) cost.
+- **bucketed tables**: pre-shuffle by join/group key at write time so
+  repeated joins/aggregations on that key skip their exchange entirely
+  (saveAsTable + bucketBy; needs a metastore catalog).
+- **CSV/JSON sources**: schema-explicit readers (never inferSchema on a
+  100 TB lake — a schema scan is a full read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Partitioned parquet append/overwrite. ``maxRecordsPerFile`` bounds
+    file sizes (small-file storms and 10 GB monsters are both scan
+    poison)."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by key at write time, so a
+    later equi-join/groupBy on ``bucket_cols`` runs shuffle-free (both
+    sides bucketed the same way) — the 'reuse a partitioning across
+    stages' play."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True, **options
+) -> DataFrame:
+    """Schema-explicit CSV (no inferSchema full-scan)."""
+    return spark.read.options(header=header, **options).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """Schema-explicit JSON-lines (no sampling inference pass)."""
+    return spark.read.options(**options).schema(schema).json(path)
