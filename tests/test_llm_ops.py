@@ -185,3 +185,19 @@ def test_multimodal_frame_sample_fanout(docs):
     # per-frame features differ (frame-dependent decode), fixed dim
     assert rows[0].feature != rows[1].feature
     assert all(len(r.feature) == 8 for r in rows)
+
+
+def test_ngram_jaccard_prefix_orders_agree(docs):
+    """Any consistent global shingle order yields the same exact result:
+    the cheap per-doc hash-order prefix must match the freq-order one."""
+    a = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", 3, 0.6, prefix_order="hash"
+        ).collect()
+    }
+    assert a == b and a

@@ -102,7 +102,8 @@ def pair_jaccard(cands: DataFrame, arrays: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
+    prefix_order: str = "freq",
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs at ``jaccard >= threshold`` via
     PPJoin-style PREFIX FILTERING (result-identical to the naive
@@ -121,22 +122,42 @@ def ngram_jaccard_pairs(
        candidate set (measured 309k → ~20k pairs at sf0.1);
     4. exact Jaccard on full sets per candidate (array_intersect on the
        64-bit shingle hashes).
-    """
-    arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
-    inv = arrays.select("id", "ns", F.explode("sh").alias("shingle"))
 
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.partitionBy("id").orderBy("freq", "shingle")
+    ``prefix_order`` picks the global total order the filter needs:
+
+    - ``"freq"`` (default): ascending global frequency — hot shingles
+      fall out of prefixes, which is what keeps candidates bounded on
+      skewed/template-heavy corpora (the 100 TB-safe choice). Costs one
+      extra groupBy over the inverted index + a join back.
+    - ``"hash"``: the shingle hash itself — prefix becomes a pure
+      per-doc array expression (array_sort + slice: NO extra shuffle,
+      no window). Same output (any consistent total order is correct);
+      cheaper on uniform corpora, risky under shingle skew.
+    """
+    assert prefix_order in ("freq", "hash")
+    arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
     prefix_len = F.col("ns") - F.ceil(F.col("ns") * F.lit(threshold)) + 1
-    # cached: the a/b self-join below would otherwise recompute the
-    # freq-join + window sort twice
-    prefix = (
-        inv.join(freq, "shingle")
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= prefix_len)
-        .select("id", "ns", "shingle", F.col("__r").alias("pos"))
-        .cache()
-    )
+
+    if prefix_order == "hash":
+        prefix = arrays.select(
+            "id", "ns",
+            F.posexplode(
+                F.slice(F.array_sort("sh"), 1, prefix_len.cast("int"))
+            ).alias("__p0", "shingle"),
+        ).select("id", "ns", "shingle", (F.col("__p0") + 1).alias("pos"))
+    else:
+        inv = arrays.select("id", "ns", F.explode("sh").alias("shingle"))
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+        w = Window.partitionBy("id").orderBy("freq", "shingle")
+        # cached: the a/b self-join below would otherwise recompute the
+        # freq-join + window sort twice
+        prefix = (
+            inv.join(freq, "shingle")
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= prefix_len)
+            .select("id", "ns", "shingle", F.col("__r").alias("pos"))
+            .cache()
+        )
 
     a = prefix.select(
         F.col("id").alias("id_a"), F.col("ns").alias("na"),
