@@ -613,3 +613,68 @@ def grouping_sets_orders(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority), ())
     """)
+
+
+# ===========================================================================
+# Semi / anti joins + RANGE-frame windows
+# ===========================================================================
+
+@query(
+    "join_semi_anti_customers",
+    f"""
+    WITH w AS (SELECT DISTINCT o_custkey FROM orders),
+    s AS (SELECT c_custkey, 'with_orders' AS segment FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM w)),
+    a AS (SELECT c_custkey, 'no_orders' AS segment FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM w))
+    SELECT * FROM s UNION ALL SELECT * FROM a
+    """,
+)
+def join_semi_anti_customers(spark, sf_dir):
+    """LEFT SEMI (customers with ≥1 order) + LEFT ANTI (customers with
+    none) in one labeled output. Both execute as existence hash joins —
+    the orders side reduces to its distinct keys, no row multiplication,
+    and the dim side broadcasts when small."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(keys, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("with_orders").alias("segment")
+    )
+    anti = c.join(keys, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("segment")
+    )
+    return semi.unionAll(anti)
+
+
+@query(
+    "window_range_frame_7d",
+    f"""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY {MS}
+             RANGE BETWEEN {7 * DAY} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY {MS}
+             RANGE BETWEEN {7 * DAY} PRECEDING AND CURRENT ROW
+           ) AS trailing_7d_n
+    FROM events
+    """,
+)
+def window_range_frame_7d(spark, sf_dir):
+    """RANGE-frame window (value-based bounds, not row counts): per-user
+    trailing-7-day sum/count at each event — the moving-aggregate shape
+    ROWS frames cannot express under irregular sampling. One shuffle on
+    user_id; ties on ts share a frame in both engines by definition."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-7 * DAY, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_7d_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_7d_n"),
+    )
