@@ -90,3 +90,27 @@ def test_percentile_disc_selects_actual_elements(spark):
     out = {r["p"]: r["value"] for r in percentile_disc(df, "v", [0.1, 0.5, 1.0], tie_break="id").collect()}
     # ceil(0.1*10)=1 → 1.0; ceil(0.5*10)=5 → 5.0; ceil(1.0*10)=10 → 10.0
     assert out == {0.1: 1.0, 0.5: 5.0, 1.0: 10.0}
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 250), (1, 900)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 150, 1.5), (1, 300, 3.0)], "k long, t long, v double"
+    )
+    out = asof_join(
+        left, right, "k", "t", "t", ["v"], direction="forward"
+    ).orderBy("t").collect()
+    # each left row takes the EARLIEST right row at-or-after it
+    assert [(r.t, r.v_right) for r in out] == [(100, 1.5), (250, 3.0), (900, None)]
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame([(1, 100), (1, 1000)], "k long, t long")
+    right = spark.createDataFrame([(1, 90, 9.0)], "k long, t long, v double")
+    out = asof_join(
+        left, right, "k", "t", "t", ["v"], tolerance=50
+    ).orderBy("t").collect()
+    # t=100 is 10 away (match); t=1000 is 910 away (beyond tolerance -> NULL)
+    assert [(r.t, r.v_right) for r in out] == [(100, 9.0), (1000, None)]

@@ -41,35 +41,52 @@ def asof_join(
     suffix: str = "_right",
     inclusive: bool = True,
     order_col: str | None = None,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: enrich each left row with the latest right row
-    whose time is <= (or < if ``inclusive=False``) the left row's time,
-    matching on ``on`` keys. Right payload columns arrive as
-    ``<name><suffix>`` (NULL when no prior right row exists).
+    """As-of join: enrich each left row with the nearest right row at or
+    before (``direction="backward"``, default) / at or after
+    (``"forward"``) its timestamp, matching on ``on`` keys. Right payload
+    columns arrive as ``<name><suffix>`` (NULL when no match exists).
 
-    ``order_col``: a unique-id column present on BOTH sides, used as the
-    final tie-break so equal-timestamp right rows resolve deterministically.
+    ``inclusive=False`` makes equal timestamps non-matching (strict
+    before/after). ``tolerance`` bounds the allowed time gap — a match
+    further than ``tolerance`` resolves to NULL (pandas ``merge_asof``
+    semantics). ``order_col``: a unique-id column present on BOTH sides,
+    used as the final tie-break so equal-timestamp right rows resolve
+    deterministically.
+
+    Forward direction reuses the backward plan on negated time, so both
+    cost exactly one shuffle + one sort on the key; numeric time columns
+    required for ``"forward"``/``tolerance``.
     """
+    assert direction in ("backward", "forward")
     keys = [on] if isinstance(on, str) else list(on)
     payload = right_payload or [
         c for c in right.columns if c not in keys and c != right_time
     ]
+
+    def ts(col: str) -> Column:
+        c = F.col(col)
+        return (-c) if direction == "forward" else c
 
     # side ordering inside equal timestamps decides inclusivity:
     # right rows sort before left rows (0 < 1) → an equal-ts right row is
     # visible to the left row; __side=2 puts it after → strict before
     r_cols = [
         *keys,
-        F.col(right_time).alias("__ts"),
+        ts(right_time).alias("__ts"),
         F.lit(0 if inclusive else 2).alias("__side"),
-        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+        F.struct(
+            F.col(right_time).alias("__rt"), *[F.col(c) for c in payload]
+        ).alias("__payload"),
     ]
     if order_col:
         r_cols.append(F.col(order_col))
     r = right.select(*r_cols)
     l = left.select(
         "*",
-        F.col(left_time).alias("__ts"),
+        ts(left_time).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
@@ -84,6 +101,12 @@ def asof_join(
     enriched = unioned.withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        gap = F.abs(F.col(left_time) - F.col("__match.__rt"))
+        enriched = enriched.withColumn(
+            "__match",
+            F.when(gap <= F.lit(tolerance), F.col("__match")),
+        )
     out = enriched.filter(F.col("__side") == 1)
     for c in payload:
         out = out.withColumn(c + suffix, F.col(f"__match.{c}"))
