@@ -114,3 +114,28 @@ def test_asof_tolerance_nulls_far_matches(spark):
     ).orderBy("t").collect()
     # t=100 is 10 away (match); t=1000 is 910 away (beyond tolerance -> NULL)
     assert [(r.t, r.v_right) for r in out] == [(100, 9.0), (1000, None)]
+
+
+def test_salted_join_matches_plain_join(spark):
+    import random
+
+    random.seed(5)
+    left = spark.createDataFrame(
+        [(1 if random.random() < 0.8 else random.randint(2, 5), i)
+         for i in range(500)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 6)], "k long, name string"
+    )
+    from uts_spark.operators.joins import salted_join
+
+    plain = left.join(right, ["k"], "inner").orderBy("payload")
+    salted = salted_join(left, right, ["k"], "inner", salt=8).orderBy("payload")
+    assert [tuple(r) for r in plain.collect()] == [tuple(r) for r in salted.collect()]
+
+    lplain = left.join(right.filter(F.col("k") > 3), ["k"], "left")
+    lsalted = salted_join(left, right.filter(F.col("k") > 3), ["k"], "left", salt=8)
+    assert sorted(tuple(r) for r in lplain.collect()) == sorted(
+        tuple(r) for r in lsalted.collect()
+    )

@@ -99,6 +99,25 @@ def quality_score(col: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java and RE2
+# share (no lookahead): contraction suffixes, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs. Counting these matches
+# estimates LLM token counts ~within the pre-tokenizer's granularity —
+# the "BPE-ish" budget metric for training-data pipelines.
+BPEISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpeish_token_count(col: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    pattern. Pure regexp — JVM-side, linear scan."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPEISH_RE), 0))
+
+
+def duck_bpeish_count(expr: str) -> str:
+    quoted = BPEISH_RE.replace("'", "''")  # pattern starts with a quote
+    return f"len(regexp_extract_all({expr}, '{quoted}'))"
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-gram shingles joined by a single space; [] if fewer than n
     tokens."""

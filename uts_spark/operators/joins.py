@@ -113,6 +113,34 @@ def asof_join(
     return out.drop("__ts", "__side", "__payload", "__match")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-mitigating equi-join: when one join key carries a large share
+    of the rows, a plain shuffle join lands that key on ONE reducer. Here
+    each left row gets a deterministic salt in [0, salt) (hash of the
+    whole row — uniform even inside a hot key) and the right side is
+    replicated ``salt`` times, so a hot key spreads over ``salt``
+    reducers at the cost of replicating the (smaller) right side.
+
+    AQE's skew-join split handles post-shuffle partition skew
+    automatically; this is the manual fallback for the pathological case
+    AQE can't fix — a single key too hot for any unsplit partition —
+    and for non-AQE contexts. Result is identical to ``left.join(right,
+    keys, how)`` (asserted in tests). Supports inner/left joins."""
+    assert how in ("inner", "left"), "salting right rows breaks right/full"
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l.join(r, keys + ["__salt"], how).drop("__salt")
+
+
 def binned_range_join(
     left: DataFrame,
     right: DataFrame,

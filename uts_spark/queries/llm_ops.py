@@ -25,6 +25,8 @@ from uts_spark.functions.similarity import (
 )
 from uts_spark.functions.text import (
     LANGS,
+    bpeish_token_count,
+    duck_bpeish_count,
     duck_fingerprint,
     duck_stopword_count,
     duck_tokens,
@@ -33,6 +35,7 @@ from uts_spark.functions.text import (
     lang_id,
     quality_metrics,
     quality_score,
+    token_count,
 )
 from uts_spark.registry import query, table
 
@@ -72,6 +75,29 @@ def text_token_stats(spark, sf_dir):
         m["mean_token_len"].alias("mean_token_len"),
         m["punct_ratio"].alias("punct_ratio"),
         m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_bpeish_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len({duck_tokens('text')}) AS BIGINT) AS n_words,
+           CAST({duck_bpeish_count('text')} AS BIGINT) AS n_bpeish
+    FROM documents
+    """,
+)
+def text_bpeish_tokens(spark, sf_dir):
+    """LLM token budgeting: whitespace/alnum word count vs BPE-ish count
+    from a GPT-2-style pre-tokenizer regex (contractions, space-prefixed
+    letter/digit runs, punctuation runs). Both are single-pass JVM regex
+    — the per-document token-budget metric a training-data pipeline
+    filters and packs by."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_words"),
+        bpeish_token_count(F.col("text")).cast("long").alias("n_bpeish"),
     )
 
 
