@@ -678,3 +678,35 @@ def window_range_frame_7d(spark, sf_dir):
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("trailing_7d_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_7d_n"),
     )
+
+
+@query(
+    "window_ranking_pack",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT)         AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT)   AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT)       AS quartile,
+           PERCENT_RANK() OVER w                 AS prnk,
+           CUME_DIST() OVER w                    AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking_pack(spark, sf_dir):
+    """Full ranking-function family over one window spec — rank,
+    dense_rank, ntile, percent_rank, cume_dist share a single sort, so
+    the plan is one shuffle + one in-partition sort for all five."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
