@@ -413,3 +413,10 @@ def test_last_point_missing_column_yields_null(tsdb):
     s = make_series(tsdb, "lastnull", rows, "ingest_id long, time long, v double")
     r = one(s.query({"last": TSDB.last("v")}))
     assert r["last"] is None
+
+
+def test_compact_materializes_retention(tsdb):
+    rows = [(0, 100, 1.0), (1, 900, 2.0)]
+    s = make_series(tsdb, "cmp", rows, "ingest_id long, time long, v double")
+    s.set_retention(500).compact(now=NOW)
+    assert [r.v for r in s.df.collect()] == [2.0]

@@ -61,7 +61,10 @@ def doc_shingle_arrays(
     join / groupBy / array_intersect then runs on 8-byte keys instead of
     ~25-char strings (cheaper hashing, cheaper shuffle, cheaper equality).
     Set semantics are preserved (64-bit collisions over a corpus's shingle
-    vocabulary are ~2^-40-level events).
+    vocabulary are ~2^-40-level events). The hash is native xxhash64 —
+    overlap/Jaccard results are identical under ANY injective hash, so
+    the portable md5 family is not needed here (it IS needed where the
+    oracle checks hash values: simhash, fingerprints).
 
     Repartitions the input first: document tables often arrive as few
     fat files, and the regex+shingle build is CPU-bound — without the
@@ -70,7 +73,7 @@ def doc_shingle_arrays(
     return spread.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
-            F.transform(word_ngrams(tokens(F.col(text_col)), n), hash64)
+            F.transform(word_ngrams(tokens(F.col(text_col)), n), lambda s: F.xxhash64(s))
         ).alias("sh"),
     ).withColumn("ns", F.size("sh"))
 
@@ -217,8 +220,9 @@ def minhash_signatures(
     verification."""
     if arrays is None:
         arrays = doc_shingle_arrays(df, text_col, id_col, n)
+    # pmod: xxhash64 is signed; the universal-hash family needs [0, P)
     inv = arrays.select("id", F.explode("sh").alias("__h64")).withColumn(
-        "__h", F.col("__h64") % F.lit(MINHASH_P)
+        "__h", F.pmod(F.col("__h64"), F.lit(MINHASH_P))
     )
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")

@@ -78,6 +78,17 @@ class Series:
         self.retention = ttl
         return self
 
+    def compact(self, now: int | None = None) -> "Series":
+        """Materialize retention: permanently drop expired points (the
+        batch analog of the reference's background sweep, uts.ts:257-268).
+        query() already applies retention at read time; compact() is the
+        periodic job that reclaims storage — on a partitioned table this
+        is a partition drop, not a rewrite."""
+        if self.retention:
+            cutoff = (now if now is not None else _now_ms()) - self.retention
+            self.df = self.df.filter(F.col(self.time_col) >= F.lit(cutoff))
+        return self
+
     def insert_rows(self, rows: list[dict], time: int | None = None) -> "Series":
         """Append points (test/driver convenience). Mirrors insert()'s
         default-now and never-sorts contract (uts.ts:271-278)."""
