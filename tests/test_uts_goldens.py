@@ -420,3 +420,22 @@ def test_compact_materializes_retention(tsdb):
     s = make_series(tsdb, "cmp", rows, "ingest_id long, time long, v double")
     s.set_retention(500).compact(now=NOW)
     assert [r.v for r in s.df.collect()] == [2.0]
+
+
+def test_derivative_inside_interval_groups(tsdb):
+    # derivative metric under an IntervalGrouper: each bin folds its own
+    # points independently (uts: each Bin owns its Aggregate instance)
+    rows = [(i, 100 * i, float(i * i)) for i in range(8)]  # t=0..700
+    s = make_series(tsdb, "dgrp", rows, "ingest_id long, time long, v double")
+    out = s.query(
+        {"d": TSDB.derivative("v", 200)},
+        group=interval(400, fill=False, now=700),
+    ).collect()
+    by_start = {r["start"]: [(p["time"], p["value"]) for p in r["d"]] for r in out}
+    # bin (300,700]: points t=400..700, v=16,25,36,49 → first=400,
+    # emissions at 600 (Δ16+Δ20... t=500,600 accrue: (25-16)+(36-25)=20) and
+    # final flush at 700 (49-36=13)
+    assert by_start[300] == [(600, 20.0), (700, 13.0)]
+    # bin (-100,300]: points t=0..300, v=0,1,4,9 → emissions at 200
+    # ((1-0)+(4-1)=4) and final flush at 300 (9-4=5)
+    assert by_start[-100] == [(200, 4.0), (300, 5.0)]

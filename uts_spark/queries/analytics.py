@@ -710,3 +710,64 @@ def window_ranking_pack(spark, sf_dir):
         F.percent_rank().over(w).alias("prnk"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {DSUM('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24.0
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan→filter→agg with every predicate in the
+    parquet scan (range + between + comparison) — the query whose 100 TB
+    cost is entirely decided by pushdown + row-group skipping."""
+    li = table(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.filter(f).agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    f"""
+    SELECT
+      100.0 * {DSUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+            / {DSUM('l_extendedprice * (1 - l_discount)')} AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: fact×dim join + conditional aggregation. The part
+    dim broadcasts; the date filter prunes the fact scan first."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-06-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return joined.agg(
+        (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_share")
+    )
