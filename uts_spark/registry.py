@@ -83,8 +83,10 @@ HEADLINE = [n for n in (
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
     "join_asof_last_error",
     "window_running_sum",
+    "session_windows_per_user",
     "dedup_ngram_jaccard",
     "similarity_topk_cosine",
     "text_quality_score",
