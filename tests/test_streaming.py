@@ -201,3 +201,51 @@ def test_derivative_stream_multi_key_isolated_state(spark, tmp_path):
         ("b", 100, 0.0),   # flat series: zero delta
         ("b", 200, 0.0),
     ]
+
+
+def test_uts_interval_agg_stream_matches_batch_grouper(spark, tmp_path):
+    from uts_spark.streaming import uts_interval_agg_stream
+    from uts_spark.plans.tsdb import Series
+    from uts_spark.plans.groupers import interval
+
+    src, chk = _dirs(tmp_path)
+    name = f"utsint_{uuid.uuid4().hex[:8]}"
+    NOW = 1_000_000
+    b1 = [("s", 100_000 + 50_000 * i, float(i)) for i in range(8)]
+    b2 = [("s", 650_000, 9.0), ("s", 2_000_000, 99.0)]  # last one > now: dropped
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), MS_SCHEMA)
+    out = uts_interval_agg_stream(
+        stream,
+        {"mean_v": Metric("mean", "value"), "n": Metric("count")},
+        interval_ms=200_000,
+        now_ms=NOW,
+        time_col="ts_ms",
+    )
+    _feed(spark, src, b1, MS_SCHEMA, 1)
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, MS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["start"]: (r["mean_v"], r["n"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch reference: same points through the batch IntervalGrouper
+    rows = [(i, t, v) for i, (_, t, v) in enumerate(b1 + b2)]
+    df = spark.createDataFrame(rows, "ingest_id long, time long, value double")
+    want = {
+        r["start"]: (r["mean_v"], r["n"])
+        for r in Series(df).query(
+            {"mean_v": Metric("mean", "value"), "n": Metric("count")},
+            group=interval(200_000, fill=False, now=NOW),
+        ).collect()
+    }
+    assert got == want

@@ -3,6 +3,7 @@ from uts_spark.streaming.ops import (
     derivative_stateful_stream,
     read_parquet_stream,
     tumbling_agg_stream,
+    uts_interval_agg_stream,
     with_retention_watermark,
 )
 
@@ -10,6 +11,7 @@ __all__ = [
     "read_parquet_stream",
     "with_retention_watermark",
     "tumbling_agg_stream",
+    "uts_interval_agg_stream",
     "dedup_within_watermark",
     "derivative_stateful_stream",
 ]

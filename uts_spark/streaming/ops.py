@@ -101,6 +101,52 @@ def tumbling_agg_stream(
     )
 
 
+def uts_interval_agg_stream(
+    df: DataFrame,
+    metrics: Mapping[str, Metric],
+    interval_ms: int,
+    now_ms: int,
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The reference's EXACT IntervalGrouper semantics on a stream:
+    ``now``-anchored, right-inclusive bins ``(now-(i+1)·w, now-i·w]``
+    (uts.ts:138) rather than Spark's epoch-aligned right-exclusive
+    windows. The bucket index is a deterministic per-row expression, so
+    it streams through an ordinary watermarked groupBy — windows close
+    as the watermark passes their (absolute) end time.
+
+    ``now_ms`` is the fixed anchor (G3's time-shifted ``now``); rows
+    after it are dropped exactly like the batch grouper.
+
+    Run in ``complete``/``update`` output mode: the grouping key is a
+    DERIVED expression, so Spark cannot tie it to the watermark for
+    append-mode finalization. State stays bounded anyway — one row per
+    bin, and the bin count is ``(now - oldest)/w`` by construction. Use
+    ``tumbling_agg_stream`` (native window, append mode, watermark
+    eviction) when epoch alignment is acceptable; this variant exists
+    for bit-compatibility with batch uts queries."""
+    tcol = F.col(time_col)
+    is_timestamp = dict(df.dtypes)[time_col].startswith("timestamp")
+    ms = F.unix_millis(tcol) if is_timestamp else tcol
+    idx = F.floor((F.lit(now_ms) - ms) / F.lit(int(interval_ms))).cast("long")
+    exprs = [
+        agg.agg_expr(m, order_col=time_col).alias(k) for k, m in metrics.items()
+    ]
+    # watermark only applies to TIMESTAMP event-time columns; complete
+    # mode runs fine without one (state = one row per bin regardless)
+    src = df.withWatermark(time_col, watermark) if is_timestamp else df
+    out = (
+        src.filter(ms <= F.lit(now_ms))
+        .groupBy(idx.alias("__bin"))
+        .agg(*exprs)
+    )
+    start = (
+        F.lit(now_ms).cast("long") - (F.col("__bin") + 1) * F.lit(int(interval_ms))
+    ).alias("start")
+    return out.select(start, F.lit(int(interval_ms)).alias("width"), *metrics.keys())
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: Iterable[str],
