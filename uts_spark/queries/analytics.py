@@ -771,3 +771,60 @@ def tpch_q14_promo_share(spark, sf_dir):
     return joined.agg(
         (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_share")
     )
+
+
+# ===========================================================================
+# Pivot / unpivot
+# ===========================================================================
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_type_counts",
+    f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                      for t in _ETYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark, sf_dir):
+    """Pivot (long → wide): per-user counts, one column per event type.
+    An EXPLICIT value list keeps it one pass — pivot without values adds
+    a distinct-collect pre-job, which is a full extra scan at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _ETYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    fixed = [
+        F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _ETYPES
+    ]
+    return out.select("user_id", *fixed)
+
+
+@query(
+    "unpivot_event_type_counts",
+    f"""
+    WITH wide AS (
+      SELECT user_id,
+             {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                        for t in _ETYPES)}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM wide
+    UNPIVOT (n FOR event_type IN ({", ".join("n_" + t for t in _ETYPES)}))
+    """,
+)
+def unpivot_event_type_counts(spark, sf_dir):
+    """Unpivot/melt (wide → long): inverse of the pivot above. melt is a
+    generate (explode) — no shuffle beyond the upstream aggregation."""
+    wide = pivot_event_type_counts(spark, sf_dir)
+    return wide.melt(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in _ETYPES],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
