@@ -249,3 +249,46 @@ def test_uts_interval_agg_stream_matches_batch_grouper(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_session_agg_stream(spark, tmp_path):
+    from uts_spark.streaming import session_agg_stream
+
+    src, chk = _dirs(tmp_path)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    H = 3_600_000
+    MIN = 60_000
+    # key "a": two bursts separated by > 30min gap; batch 2's late event
+    # at hour 10 pushes the watermark past both sessions' close
+    b1 = [
+        ("a", _ts(spark, H + 0 * MIN), 1.0),
+        ("a", _ts(spark, H + 10 * MIN), 2.0),
+        ("a", _ts(spark, H + 60 * MIN), 3.0),
+    ]
+    b2 = [("a", _ts(spark, 10 * H), 9.0)]
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+    out = session_agg_stream(
+        stream,
+        {"n": Metric("count"), "mean_v": Metric("mean", "value")},
+        gap="30 minutes",
+        time_col="ts",
+        watermark="0 seconds",
+        key_cols=("series",),
+    )
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, TS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        f"SELECT session_start, n, mean_v FROM {name} ORDER BY session_start"
+    ).collect()
+    assert [(r.session_start, r.n, r.mean_v) for r in rows] == [
+        (H, 2, 1.5),            # burst 1: events at +0, +10min merge
+        (H + 60 * MIN, 1, 3.0), # burst 2 after the >30min gap
+    ]

@@ -2,6 +2,7 @@ from uts_spark.streaming.ops import (
     dedup_within_watermark,
     derivative_stateful_stream,
     read_parquet_stream,
+    session_agg_stream,
     tumbling_agg_stream,
     uts_interval_agg_stream,
     with_retention_watermark,
@@ -11,6 +12,7 @@ __all__ = [
     "read_parquet_stream",
     "with_retention_watermark",
     "tumbling_agg_stream",
+    "session_agg_stream",
     "uts_interval_agg_stream",
     "dedup_within_watermark",
     "derivative_stateful_stream",

@@ -147,6 +147,36 @@ def uts_interval_agg_stream(
     return out.select(start, F.lit(int(interval_ms)).alias("width"), *metrics.keys())
 
 
+def session_agg_stream(
+    df: DataFrame,
+    metrics: Mapping[str, Metric],
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    key_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Sessionization on a stream: the same native ``session_window``
+    the batch query uses (queries/analytics.session_windows_per_user),
+    with watermark-driven finalization — a session emits once the
+    watermark passes its close (last event + gap). State per live
+    session only; merged in-partition after one shuffle on the keys."""
+    w = F.session_window(F.col(time_col), gap)
+    exprs = [
+        agg.agg_expr(m, order_col=time_col).alias(k) for k, m in metrics.items()
+    ]
+    out = (
+        df.withWatermark(time_col, watermark)
+        .groupBy(w.alias("__w"), *key_cols)
+        .agg(*exprs)
+    )
+    return out.select(
+        F.unix_millis(F.col("__w.start")).alias("session_start"),
+        F.unix_millis(F.col("__w.end")).alias("session_end"),
+        *key_cols,
+        *metrics.keys(),
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: Iterable[str],
