@@ -201,3 +201,30 @@ def test_ngram_jaccard_prefix_orders_agree(docs):
         ).collect()
     }
     assert a == b and a
+
+
+def test_ivf_cells_as_partition_column_prune(spark, emb, tmp_path):
+    """The SCALE.md IVF claim, demonstrated: persist cell assignments as
+    a partition column; probing a cell is then a directory-pruned scan
+    (PartitionFilters), not a full read."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from uts_spark.sources.sinks import write_partitioned
+
+    base = emb.select(
+        "vec_id", "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("__fv"),
+    )
+    model = KMeans(k=4, seed=7, maxIter=5, featuresCol="__fv",
+                   predictionCol="cell").fit(base)
+    assigned = model.transform(base).select("vec_id", "embedding", "cell")
+    out = str(tmp_path / "ivf")
+    write_partitioned(assigned, out, ["cell"])
+
+    back = spark.read.parquet(out)
+    probe = back.filter(F.col("cell") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in pf  # probe prunes directories, not rows
+    assert probe.count() == assigned.filter(F.col("cell") == 1).count()
