@@ -393,3 +393,65 @@ def multimodal_frame_sample(spark, sf_dir):
     features (the mapInPandas fan-out shape)."""
     docs = mm.attach_blob(table(spark, sf_dir, "documents"))
     return mm.sample_frames(docs, n_frames=4, frame_interval_ms=1000)
+
+
+# ===========================================================================
+# End-to-end pipeline: corpus → filtered, deduped, token-budgeted shards
+# ===========================================================================
+
+@query(
+    "pipeline_training_prep",
+    f"""
+    WITH q AS ({_QUAL}),
+    l AS ({_duck_lang_case()}),
+    b AS (SELECT doc_id, CAST({duck_bpeish_count('text')} AS BIGINT) AS n_bpeish
+          FROM documents),
+    c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+          FROM documents),
+    kept AS (
+      SELECT q.doc_id, b.n_bpeish
+      FROM q JOIN l USING (doc_id) JOIN b USING (doc_id) JOIN c USING (doc_id)
+      WHERE q.score >= 0.55 AND l.pred_lang = 'en'
+        AND c.doc_id = c.canonical_id
+    )
+    SELECT doc_id, n_bpeish,
+           (SUM(n_bpeish) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_bpeish) // 20000 AS shard
+    FROM kept
+    """,
+)
+def pipeline_training_prep(spark, sf_dir):
+    """The composed training-data pipeline, end-to-end in ONE plan:
+    quality filter + language filter + exact-dedup canonical keep +
+    BPE-ish token budgeting into ~20k-token greedy shards. Every step is
+    a Column expression, so Catalyst fuses the whole thing into a scan →
+    project → filter → window; nothing materializes between 'stages'.
+
+    Shard assignment here is a global running sum (exact, oracle-
+    checkable). At 100 TB, assign per partition + a broadcast prefix-sum
+    of per-partition totals — same outputs, no single-partition window
+    (the plan-shape note in SCALE.md)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    enriched = exact_canonical(docs, "text", "doc_id").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("score"),
+        lang_id(F.col("text")).alias("pred_lang"),
+        bpeish_token_count(F.col("text")).cast("long").alias("n_bpeish"),
+        "canonical_id",
+    )
+    kept = enriched.filter(
+        (F.col("score") >= 0.55)
+        & (F.col("pred_lang") == "en")
+        & (F.col("doc_id") == F.col("canonical_id"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_before = F.sum("n_bpeish").over(w) - F.col("n_bpeish")
+    return kept.select(
+        "doc_id",
+        "n_bpeish",
+        F.floor(cum_before / F.lit(20000)).cast("long").alias("shard"),
+    )
