@@ -828,3 +828,61 @@ def unpivot_event_type_counts(spark, sf_dir):
         variableColumnName="event_type",
         valueColumnName="n",
     )
+
+
+# ===========================================================================
+# Statistical aggregates (exact-moment formulations)
+# ===========================================================================
+
+@query(
+    "stats_moments_by_type",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(value)                                        AS n,
+             {DSUM('value')}                                     AS s1,
+             {DSUM('value * value')}                             AS s2,
+             {DSUM('value * user_id')}                           AS sxy,
+             {DSUM('CAST(user_id AS DOUBLE)')}                   AS sy,
+             {DSUM('CAST(user_id AS DOUBLE) * user_id')}         AS sy2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 / n                                                AS mean,
+           (s2 - s1 * s1 / n) / (n - 1)                          AS var_samp,
+           sqrt((s2 - s1 * s1 / n) / (n - 1))                    AS stddev_samp,
+           (sxy - s1 * sy / n)
+             / (sqrt(s2 - s1 * s1 / n) * sqrt(sy2 - sy * sy / n)) AS corr_vu
+    FROM m
+    """,
+)
+def stats_moments_by_type(spark, sf_dir):
+    """Statistical aggregates — variance/stddev/correlation — computed
+    from decimal-exact raw moments instead of the native streaming
+    estimators: the moment sums are order-independent (decimal), so the
+    derived statistics are bit-identical across engines AND across
+    partitionings — the native Welford-style partials are neither. Same
+    single-shuffle plan as any grouped aggregation."""
+    ev = table(spark, sf_dir, "events")
+    v, u = F.col("value"), F.col("user_id").cast("double")
+    m = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        _dsum(v).alias("s1"),
+        _dsum(v * v).alias("s2"),
+        _dsum(v * u).alias("sxy"),
+        _dsum(u).alias("sy"),
+        _dsum(u * u).alias("sy2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sxy, sy, sy2 = F.col("sxy"), F.col("sy"), F.col("sy2")
+    return m.select(
+        "event_type",
+        "n",
+        (s1 / n).alias("mean"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_samp"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_samp"),
+        (
+            (sxy - s1 * sy / n)
+            / (F.sqrt(s2 - s1 * s1 / n) * F.sqrt(sy2 - sy * sy / n))
+        ).alias("corr_vu"),
+    )
