@@ -231,3 +231,61 @@ def test_global_query_matches_model(spark, points, where):
     }
     for key in m:
         assert eq(g[key], m[key]), (key, g, m)
+
+
+# -- derivative fuzz (SURVEY §2.4 A9 closed form) ---------------------------
+
+def model_derivative(points, w):
+    """The reference's fold (uts.ts:458-507), from the survey's verified
+    spec: emission times E = {first + k·w : k ≥ 1, first + k·w < tlast}
+    ∪ {tlast}; each point's delta accrues to the smallest e ∈ E with
+    e ≥ t; gaps emit zero-change; empty/single-point → only the final
+    flush (or nothing when empty)."""
+    pts = sorted(points, key=lambda p: p["ingest_id"])
+    if not pts:
+        return []
+    tfirst, tlast = pts[0]["time"], pts[-1]["time"]
+    emissions = [tfirst + k * w for k in range(1, (tlast - tfirst) // w + 2)
+                 if tfirst + k * w < tlast]
+    emissions.append(tlast)
+    acc = {e: 0.0 for e in emissions}
+    prev = None
+    for p in pts:
+        if prev is not None:
+            delta = p["v"] - prev
+            e = min((x for x in emissions if x >= p["time"]), default=None)
+            if e is not None:
+                acc[e] += delta
+        prev = p["v"]
+    return [(e, acc[e]) for e in emissions]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    times=st.lists(st.integers(0, 500), min_size=0, max_size=15),
+    vals=st.lists(st.integers(-10, 10).map(float), min_size=15, max_size=15),
+    w=st.sampled_from([40, 100, 230]),
+)
+def test_derivative_matches_model(spark, times, vals, w):
+    # reference contract: points appended in nondecreasing time order
+    times = sorted(times)
+    pts = [
+        {"ingest_id": i, "time": t, "v": v}
+        for i, (t, v) in enumerate(zip(times, vals))
+    ]
+    rows = [(p["ingest_id"], p["time"], p["v"]) for p in pts]
+    df = spark.createDataFrame(rows, "ingest_id long, time long, v double")
+
+    from uts_spark.operators.derivative import derivative_rows
+
+    got = [
+        (r["time"], r["value"])
+        for r in derivative_rows(df, "v", w, time_col="time",
+                                 order_col="ingest_id").orderBy("time").collect()
+    ]
+    want = model_derivative(pts, w)
+    assert got == want, (got, want, pts, w)

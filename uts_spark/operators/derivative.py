@@ -62,10 +62,18 @@ def derivative_points_array(
         F.first("__t").over(win).alias("__first"),
         F.last("__t").over(full).alias("__tlast"),
     )
-    # smallest anchor >= t: first + w * ceil((t - first)/w), integer math
+    # smallest anchor >= t: first + w * max(1, ceil((t - first)/w)). The
+    # k >= 1 clamp matters for t == first (duplicate leading timestamps):
+    # the reference's while-loop never flushes at `first` itself, so a
+    # delta accrued at t == first belongs to the FIRST emission, not to a
+    # phantom anchor at `first` (uts.ts:476-488; fuzzer-caught).
     c = (
         F.col("__first")
-        + F.floor((F.col("__t") - F.col("__first") + F.lit(w - 1)) / F.lit(w)) * F.lit(w)
+        + F.greatest(
+            F.floor((F.col("__t") - F.col("__first") + F.lit(w - 1)) / F.lit(w)),
+            F.lit(1),
+        )
+        * F.lit(w)
     )
     e = F.least(c, F.col("__tlast")).alias("__e")
     # stable: deltas round to 6dp then sum exactly in decimal —
