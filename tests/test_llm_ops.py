@@ -12,7 +12,11 @@ from uts_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from uts_spark.functions.similarity import cosine_topk, lsh_topk
+from uts_spark.functions.similarity import (
+    cosine_topk,
+    cosine_topk_blocked,
+    lsh_topk,
+)
 from uts_spark.functions.text import fingerprint, lang_id, tokens
 
 SF = "/root/testdata/sf0.001"
@@ -73,6 +77,20 @@ def test_simhash_near_dups_have_small_hamming(spark, docs):
         .agg(F.avg("d")).first()[0]
     )
     assert near_d < rand_d / 2
+
+
+def test_topk_blocked_matches_hof(emb):
+    """The numpy-blocked top-k must be row-identical to the per-pair HOF
+    plan — same floor-rounded math, same (cosine DESC, id ASC) tie-break,
+    including exact cosine doubles."""
+    anchors = emb.filter(F.col("vec_id") < 3)
+    ref = sorted(
+        map(tuple, cosine_topk(emb, anchors, k=5).collect())
+    )
+    got = sorted(
+        map(tuple, cosine_topk_blocked(emb, anchors, k=5).collect())
+    )
+    assert got == ref
 
 
 def test_ann_lsh_recall_vs_brute_force(emb):

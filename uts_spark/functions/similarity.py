@@ -96,6 +96,86 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per anchor, same results as
+    :func:`cosine_topk` (identical floor-rounded math, identical
+    ``(cosine DESC, neighbor_id ASC)`` tie-break) but computed by the
+    blocked numpy kernel: the anchor matrix is broadcast, each Arrow
+    batch of the corpus scores against ALL anchors in one vectorized
+    outer product, and each batch pre-selects its local top-k per anchor
+    before anything crosses back to the JVM — the global window then
+    ranks ≤ k·batches rows per anchor instead of N.
+
+    SCALE: corpus-side cost is one pass, no shuffle until the (tiny)
+    rank step; anchor side must fit in a broadcast (~10^5 × small dim).
+    Beyond that, chunk the anchors or LSH/IVF-prune first."""
+    sc = emb.sparkSession.sparkContext
+    pdf = anchors.select(id_col, vec_col).toPandas()
+    import numpy as np
+
+    a_ids = pdf[id_col].to_numpy()
+    A = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+    bc = sc.broadcast((a_ids, A))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_a, Am = bc.value
+        na = np.sqrt(
+            np.floor(Am * Am * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+        )
+        for pdf_b in batches:
+            b_ids = pdf_b[id_col].to_numpy()
+            B = np.stack(pdf_b[vec_col].to_list()).astype(np.float64)
+            nb = np.sqrt(
+                np.floor(B * B * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            )
+            # same per-element floor-rounding as dot_stable — no GEMM
+            dots = (
+                np.floor(B[:, None, :] * Am[None, :, :] * 1e12 + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+                / 1e12
+            )
+            cos = dots / (nb[:, None] * na[None, :])
+            out_a, out_b, out_c = [], [], []
+            for j in range(len(ids_a)):
+                keep = b_ids != ids_a[j]  # self-match excluded
+                ids_j, cos_j = b_ids[keep], cos[keep, j]
+                # local top-k with the global tie-break: sort by
+                # (-cosine, neighbor_id); any global top-k row is in its
+                # batch's top-k under the same order
+                order = np.lexsort((ids_j, -cos_j))[:k]
+                out_a.append(np.full(len(order), ids_a[j]))
+                out_b.append(ids_j[order])
+                out_c.append(cos_j[order])
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.concatenate(out_a).astype("int64"),
+                    "neighbor_id": np.concatenate(out_b).astype("int64"),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        gen, "anchor_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs_blocked(
     emb: DataFrame,
     threshold: float,

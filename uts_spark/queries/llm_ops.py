@@ -19,7 +19,7 @@ from uts_spark.functions.dedup import (
 from uts_spark.functions.hashing import duck_hash64
 from uts_spark.functions.similarity import (
     cosine_pairs_blocked,
-    cosine_topk,
+    cosine_topk_blocked,
     ivf_topk,
     lsh_topk,
 )
@@ -319,11 +319,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     """,
 )
 def similarity_topk_cosine(spark, sf_dir):
-    """Brute-force exact cosine top-10 for 5 anchor vectors: broadcast
-    anchors × scan, JVM HOF dot products, per-anchor k-heap via window."""
+    """Brute-force exact cosine top-10 for 5 anchor vectors via the
+    blocked numpy kernel (cosine_topk_blocked): anchors broadcast, one
+    vectorized pass over the corpus with per-batch partial top-k, tiny
+    global rank. Bit-identical to the per-pair HOF plan (cosine_topk,
+    kept as the tested reference) and to the SQL oracle."""
     e = table(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") < 5)
-    return cosine_topk(e, anchors, k=10)
+    return cosine_topk_blocked(e, anchors, k=10)
 
 
 @query("similarity_ann_lsh")  # approximate by design → rows-only
