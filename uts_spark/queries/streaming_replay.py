@@ -1,0 +1,169 @@
+"""Oracle-gated streaming replay (SURVEY §7 Phase 3 closure).
+
+tests/test_streaming.py proves the streaming operators on hand-built
+micro-batches; these queries close the loop against the DRIVER's oracle:
+the events table is replayed through a real Structured Streaming job
+(file source → watermarked agg → memory sink), and the captured result is
+returned as an ordinary DataFrame — so the DuckDB hash-compare that gates
+every batch operator gates the streaming path too.
+
+Replay mechanics:
+- the events rows are written to a scratch dir as several parquet files;
+  ``maxFilesPerTrigger=1`` forces one micro-batch per file, so state
+  really does merge across batches (not one big batch in disguise);
+- ``stream_uts_interval_replay`` runs the EXACT now-anchored grouper
+  (streaming/ops.uts_interval_agg_stream) in complete output mode — its
+  result must equal the batch grouper bit-for-bit;
+- ``stream_tumbling_agg_replay`` runs the append-mode watermark path
+  (streaming/ops.tumbling_agg_stream): after the real data, two SENTINEL
+  rows far past the data advance the watermark so every real window
+  finalizes (emission uses the PREVIOUS batch's watermark, hence two).
+  Sentinel windows are filtered from the output; the oracle is the plain
+  epoch-aligned aggregation of the whole table.
+
+Scale: the replay itself is test machinery (scratch files, memory sink);
+the streamed PLAN is the production shape — keyed watermark state, one
+shuffle on the window key, partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from uts_spark.operators.aggregates import Metric
+from uts_spark.registry import DAY, DSUM, MS, NOW_MS, query, table
+from uts_spark.streaming.ops import tumbling_agg_stream, uts_interval_agg_stream
+
+_METRICS = {
+    "mean_value": Metric("mean", "value", params={"stable": True}),
+    "n": Metric("count"),
+}
+
+
+def _replay(spark, src_df: DataFrame, build, feeds: int = 1, extra_feeds=()):
+    """Write ``src_df`` as 4 parquet files, stream them one file per
+    micro-batch through ``build(stream_df) -> (out_df, mode)``, then feed
+    each DataFrame in ``extra_feeds`` as its own micro-batch. Returns the
+    captured memory-sink table."""
+    scratch = tempfile.mkdtemp(prefix="uts_replay_")
+    src = os.path.join(scratch, "src")
+    chk = os.path.join(scratch, "chk")
+    name = f"replay_{uuid.uuid4().hex[:12]}"
+    try:
+        src_df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out, mode = build(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i, extra in enumerate(extra_feeds):
+                # stage outside the watched dir, then move one finished
+                # file in — the source must never see a partial write
+                stage = os.path.join(scratch, f"stage_{i}")
+                extra.coalesce(1).write.parquet(stage)
+                part = next(
+                    f for f in os.listdir(stage) if f.endswith(".parquet")
+                )
+                shutil.move(
+                    os.path.join(stage, part), os.path.join(src, f"feed_{i}.parquet")
+                )
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize before the scratch dir disappears
+        rows = spark.table(name)
+        rows.count()
+        return rows
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
+    "stream_uts_interval_replay",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, value FROM events WHERE {MS} <= {NOW_MS}
+    )
+    SELECT {NOW_MS} - (({NOW_MS} - t)//{DAY} + 1) * {DAY} AS start,
+           CAST({DAY} AS BIGINT) AS width,
+           COALESCE({DSUM('value')}/COUNT(value), 0.0) AS mean_value,
+           COUNT(*) AS n
+    FROM pts GROUP BY 1
+    """,
+)
+def stream_uts_interval_replay(spark, sf_dir):
+    """The reference's now-anchored IntervalGrouper run as a STREAM
+    (complete mode, state merged across micro-batches) — result must be
+    bit-identical to the batch grouper and the DuckDB oracle."""
+    ev = table(spark, sf_dir, "events").select("ingest_id", "ts_ms", "value")
+
+    def build(stream):
+        out = uts_interval_agg_stream(
+            stream, _METRICS, interval_ms=DAY, now_ms=NOW_MS, time_col="ts_ms"
+        )
+        return out, "complete"
+
+    got = _replay(spark, ev, build)
+    return got.select(
+        "start", F.col("width").cast("long").alias("width"), "mean_value", "n"
+    )
+
+
+@query(
+    "stream_tumbling_agg_replay",
+    f"""
+    WITH pts AS (SELECT {MS} AS t, value FROM events)
+    SELECT (t // {DAY}) * {DAY} AS start,
+           CAST({DAY} AS BIGINT) AS width,
+           COALESCE({DSUM('value')}/COUNT(value), 0.0) AS mean_value,
+           COUNT(*) AS n
+    FROM pts GROUP BY 1
+    """,
+)
+def stream_tumbling_agg_replay(spark, sf_dir):
+    """Append-mode watermark finalization, oracle-checked end-to-end:
+    every real epoch-aligned day window must EMIT (not sit in state) and
+    match the batch aggregation of the whole table."""
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).first()[0]
+    # the 4 replay files are NOT time-ordered, so the watermark delay must
+    # exceed the whole data span or later files' rows arrive "late" and
+    # are dropped; sentinels then sit past max + delay so the watermark
+    # still clears every real window (emission uses the PREVIOUS batch's
+    # watermark — hence two sentinels)
+    sentinels = [
+        spark.createDataFrame(
+            [(s,)], "ms long"
+        ).select(
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        for s in (max_ms + 100 * DAY, max_ms + 101 * DAY)
+    ]
+
+    def build(stream):
+        out = tumbling_agg_stream(
+            stream, _METRICS, interval_ms=DAY, time_col="ts",
+            watermark="60 days",
+        )
+        return out, "append"
+
+    got = _replay(spark, ev, build, extra_feeds=sentinels)
+    return got.filter(F.col("start") <= F.lit(max_ms)).select(
+        "start", F.col("width").cast("long").alias("width"), "mean_value", "n"
+    )

@@ -72,6 +72,10 @@ try:
     from uts_spark.queries import llm_ops  # noqa: E402,F401
 except ImportError:
     pass
+try:
+    from uts_spark.queries import streaming_replay  # noqa: E402,F401
+except ImportError:
+    pass
 
 # Headline set for bench.py — representative of each operator family,
 # heaviest variants included on purpose.
