@@ -3,7 +3,12 @@ pruning, CSV/JSON schema-explicit readers."""
 
 from pyspark.sql import functions as F
 
-from uts_spark.sources.sinks import read_csv, read_json, write_partitioned
+from uts_spark.sources.sinks import (
+    drop_expired_partitions,
+    read_csv,
+    read_json,
+    write_partitioned,
+)
 from uts_spark.sources.tables import load_events
 
 
@@ -24,6 +29,28 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "2024-01-05" in plan.split("PartitionFilters")[1].split("]")[0]
     assert one_day.count() == ev.filter(F.col("event_date") == "2024-01-05").count()
+
+
+def test_retention_as_partition_drop(spark, sf_dir, tmp_path):
+    """Series.compact's storage analog: TTL expiry on a date-partitioned
+    table is a directory drop, and reading back equals the read-time
+    retention predicate on the original data."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "event_date", F.to_date(F.col("ts"))
+    )
+    out = str(tmp_path / "events_ttl")
+    write_partitioned(ev, out, ["event_date"])
+
+    cutoff = "2024-01-15"
+    dropped = drop_expired_partitions(out, "event_date", cutoff)
+    assert dropped and all(d < cutoff for d in dropped)
+
+    back = spark.read.parquet(out)
+    kept = ev.filter(F.col("event_date") >= cutoff)
+    assert back.count() == kept.count()
+    assert back.agg(F.min("event_date")).first()[0] >= kept.agg(
+        F.min("event_date")
+    ).first()[0]
 
 
 def test_csv_json_roundtrip(spark, tmp_path):

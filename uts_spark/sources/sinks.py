@@ -17,7 +17,40 @@ wholly ours. The layout rules ARE the 100 TB design:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def drop_expired_partitions(
+    path: str, partition_col: str, cutoff: str
+) -> list[str]:
+    """Retention as a PARTITION DROP (the reference's background sweep,
+    uts.ts:257-268, done the 100 TB way): on a table partitioned by a
+    date-like key, expiring old data is a metadata/directory operation on
+    the partitions with ``value < cutoff`` — no scan, no rewrite, cost
+    O(dropped partitions) instead of O(rows).
+
+    This local implementation removes ``{partition_col}={value}``
+    directories under ``path`` (string comparison — ISO dates sort
+    correctly). On a cluster the same operation is
+    ``ALTER TABLE … DROP PARTITION`` (metastore) or Delta
+    ``DELETE WHERE`` + ``VACUUM``; the read-time retention predicate in
+    ``Series.query`` stays as the guard for rows not yet swept.
+
+    Returns the dropped partition values.
+    """
+    prefix = f"{partition_col}="
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not (os.path.isdir(full) and entry.startswith(prefix)):
+            continue
+        if entry[len(prefix):] < cutoff:
+            shutil.rmtree(full)
+            dropped.append(entry[len(prefix):])
+    return dropped
 
 
 def write_partitioned(
