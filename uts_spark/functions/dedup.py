@@ -52,30 +52,55 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     )
 
 
+def _rotl64(c: Column, r: int) -> Column:
+    """64-bit rotate-left as shift/or (shifts drop overflow bits — no ANSI
+    overflow path)."""
+    r = r % 64
+    if r == 0:
+        return c
+    return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
+
 def doc_shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
     """(id, sh: distinct 64-bit-hashed shingle array, ns: set size) per doc.
 
-    Shingles are hashed to LONGs here, once, at build: every downstream
-    join / groupBy / array_intersect then runs on 8-byte keys instead of
-    ~25-char strings (cheaper hashing, cheaper shuffle, cheaper equality).
-    Set semantics are preserved (64-bit collisions over a corpus's shingle
-    vocabulary are ~2^-40-level events). The hash is native xxhash64 —
-    overlap/Jaccard results are identical under ANY injective hash, so
-    the portable md5 family is not needed here (it IS needed where the
+    Each TOKEN is hashed once (native xxhash64); an n-gram's 64-bit id is
+    the rotate-XOR combine of its n token hashes with a per-position
+    rotation — so the n-gram strings are never materialized or re-hashed
+    (the old shingle-string path built ~25-char strings and hashed 3× the
+    bytes; this was the measured floor of the whole dedup pipeline).
+    Position-dependent rotations keep permuted windows distinct; 64-bit
+    collisions over a corpus's shingle vocabulary stay ~2^-40-level.
+    Downstream join / groupBy / array_intersect all run on 8-byte keys.
+    Overlap/Jaccard results are identical under ANY injective shingle id,
+    so the portable md5 family is not needed here (it IS needed where the
     oracle checks hash values: simhash, fingerprints).
 
     Repartitions the input first: document tables often arrive as few
     fat files, and the regex+shingle build is CPU-bound — without the
     spread a 32-core machine tokenizes on one core."""
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    return spread.select(
+    th = spread.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(word_ngrams(tokens(F.col(text_col)), n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).withColumn("ns", F.size("sh"))
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+
+    def gram(i: Column) -> Column:
+        out = None
+        for k in range(n):
+            h = _rotl64(F.element_at(F.col("__th"), i + k + 1), (21 * k) % 63)
+            out = h if out is None else out.bitwiseXOR(h)
+        return out
+
+    sh = F.when(
+        F.size("__th") >= n,
+        F.transform(F.sequence(F.lit(0), F.size("__th") - n), gram),
+    ).otherwise(F.array().cast("array<long>"))
+    return th.select("id", F.array_distinct(sh).alias("sh")).withColumn(
+        "ns", F.size("sh")
+    )
 
 
 def pair_jaccard(cands: DataFrame, arrays: DataFrame) -> DataFrame:
