@@ -886,3 +886,99 @@ def stats_moments_by_type(spark, sf_dir):
             / (F.sqrt(s2 - s1 * s1 / n) * F.sqrt(sy2 - sy * sy / n))
         ).alias("corr_vu"),
     )
+
+
+@query(
+    "tpch_q10_returned_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c JOIN orders o   ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_revenue(spark, sf_dir):
+    """Returned-item revenue (Q10 shape): one-quarter order window +
+    returnflag filter both land in the scans; customer and nation
+    broadcast into the lineitem⋈orders shuffle; global top-20 via the
+    TakeOrderedAndProject k-heap, tie-broken on custkey."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    out = top_k(joined, [F.desc("revenue"), F.asc("c_custkey")], 20)
+    return out.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+
+
+@query(
+    "tpch_q18_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           o.o_totalprice,
+           {DSUM('l.l_quantity')} AS sum_qty
+    FROM customer c JOIN orders o   ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """Large-volume orders (Q18 shape): the HAVING subquery becomes a
+    pre-aggregation of lineitem reused as a LEFT-SEMI join filter on
+    orders — the semi side is the already-aggregated key set, so the big
+    fact scans once for the filter and once for the final sum, both
+    partial-aggregated map-side. Top-100 via the k-heap."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 300.0)
+        .select("l_orderkey")
+    )
+    joined = (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+    out = top_k(joined, [F.desc("o_totalprice"), F.asc("o_orderkey")], 100)
+    return out.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        "o_totalprice",
+        "sum_qty",
+    )
