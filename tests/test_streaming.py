@@ -173,6 +173,56 @@ def test_derivative_stateful_stream(spark, tmp_path):
     ]
 
 
+def test_derivative_tws_stream_matches_legacy(spark, tmp_path):
+    """transformWithStateInPandas variant must emit exactly what the
+    applyInPandasWithState one does (same fold, ValueState instead of the
+    opaque tuple). Needs the RocksDB state store provider, plus
+    google.protobuf for the TWS python driver worker (absent in this
+    container → skip; the applyInPandasWithState tests above cover the
+    fold itself)."""
+    pytest.importorskip(
+        "google.protobuf", reason="TWS python runner needs protobuf"
+    )
+    from uts_spark.streaming import derivative_tws_stream
+
+    src, chk = _dirs(tmp_path)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    b1 = [("s", 0, 0.0), ("s", 100, 1.0), ("s", 250, 5.0)]
+    b2 = [("s", 900, 6.0)]
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), MS_SCHEMA)
+        out = derivative_tws_stream(
+            stream, interval_ms=200, key_col="series", time_col="ts_ms"
+        )
+        _feed(spark, src, b1, MS_SCHEMA, 1)
+        q = _start(out, chk, name)
+        try:
+            q.processAllAvailable()
+            _feed(spark, src, b2, MS_SCHEMA, 2)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = spark.sql(f"SELECT time, change FROM {name} ORDER BY time").collect()
+        assert [(r.time, r.change) for r in rows] == [
+            (200, 1.0),
+            (400, 4.0),
+            (600, 0.0),
+            (800, 0.0),
+        ]
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_derivative_stream_multi_key_isolated_state(spark, tmp_path):
     src, chk = _dirs(tmp_path)
     name = f"deriv2_{uuid.uuid4().hex[:8]}"

@@ -1,6 +1,7 @@
 from uts_spark.streaming.ops import (
     dedup_within_watermark,
     derivative_stateful_stream,
+    derivative_tws_stream,
     read_parquet_stream,
     session_agg_stream,
     tumbling_agg_stream,
@@ -16,4 +17,5 @@ __all__ = [
     "uts_interval_agg_stream",
     "dedup_within_watermark",
     "derivative_stateful_stream",
+    "derivative_tws_stream",
 ]
