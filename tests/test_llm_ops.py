@@ -11,6 +11,7 @@ from uts_spark.functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_band_pairs,
 )
 from uts_spark.functions.similarity import (
     cosine_topk,
@@ -109,6 +110,22 @@ def test_ann_lsh_recall_vs_brute_force(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ANN recall {recall} vs brute force"
+
+
+def test_simhash_band_pairs_recover_planted_dups(docs):
+    """The banded-hamming pipeline should recover most planted
+    high-jaccard near-dup pairs, and every emitted pair must satisfy the
+    verification bound."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.8).collect()
+    }
+    got = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6).collect()
+    assert all(r["hamming"] <= 6 for r in got)
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.6, f"simhash recall {recall} ({len(exact)} true pairs)"
 
 
 def test_fingerprint_stability_and_collision(spark):

@@ -347,3 +347,60 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two ≤64-bit hashes via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded hamming LSH + exact verification.
+
+    The 48-bit sketch splits into ``bands`` equal bit-slices; candidate
+    pairs share at least one identical slice (pigeonhole: any pair with
+    hamming < ``bands`` is guaranteed caught; beyond that recall decays
+    gracefully), then ``bit_count(xor)`` verifies ``<= max_hamming``.
+    One sketch pass, one equi-join on (band, slice) — never an all-pairs
+    comparison, which is what makes SimHash the cheapest near-dup shape
+    at corpus scale. Deterministic: the sketch uses the portable md5
+    hash family, so the full pipeline is oracle-checkable."""
+    assert SIMHASH_BITS % bands == 0
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sk = simhash(df, text_col, id_col)
+    slices = sk.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__s"),
+    ).select("id", "simhash", F.col("__s.band").alias("band"), F.col("__s.slice").alias("slice"))
+    a = slices.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("__ha"), "band", "slice"
+    )
+    b = slices.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("__hb"), "band", "slice"
+    )
+    cand = (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("__ha"), F.col("__hb")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -15,6 +15,7 @@ from uts_spark.functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_band_pairs,
 )
 from uts_spark.functions.hashing import duck_hash64
 from uts_spark.functions.similarity import (
@@ -245,6 +246,38 @@ def dedup_simhash(spark, sf_dir):
     expressions, no row blowup."""
     docs = table(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id")
+
+
+def _duck_simhash_pairs(bands: int = 4, max_hamming: int = 6) -> str:
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH sk AS ({_duck_simhash()}),
+    sl AS (
+      SELECT id, simhash, b.band,
+             (simhash >> (b.band * {width})) & {mask} AS slice
+      FROM sk, (SELECT unnest(range(0, {bands})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM sl a JOIN sl b ON a.band = b.band AND a.slice = b.slice
+                         AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", _duck_simhash_pairs())
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash end-to-end near-dup: banded hamming LSH over the 48-bit
+    sketches (4 bands × 12 bits — any pair within hamming 3 guaranteed
+    caught) + bit_count(xor) verification at <= 6. Fully deterministic
+    (portable md5 hash family) → hash-exact oracle, unlike the
+    probabilistic MinHash banding which is rows-only."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
 
 
 @query("dedup_minhash_lsh")  # approximate banding → rows-only; candidates
