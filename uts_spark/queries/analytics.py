@@ -982,3 +982,169 @@ def tpch_q18_large_orders(spark, sf_dir):
         "o_totalprice",
         "sum_qty",
     )
+
+
+@query(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark, sf_dir):
+    """Order-priority check (Q4 shape; the reference's commit/receipt
+    dates are absent, so 'late' = any line shipped >60 days after the
+    order date): the correlated EXISTS compiles to a LEFT-SEMI join with
+    a non-equi conjunct — the order window prunes the probe side in the
+    scan, lineitem deduplicates inside the semi join (no COUNT
+    inflation), one small final aggregation."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+                    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """Bilateral trade volume (Q7 shape): nation dimension joined TWICE
+    under different roles (supplier side, customer side) with a
+    disjunctive cross-nation predicate — both nation copies and both
+    dim tables broadcast; the only wide shuffle is lineitem⋈orders; the
+    OR predicate stays a post-join filter Catalyst can't push but the
+    broadcast joins make cheap."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(pair)
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark, sf_dir):
+    """Customer order-count distribution (Q13 shape): LEFT OUTER join
+    with an extra join-side predicate (kept in the ON clause — moving it
+    to WHERE would change outer-join semantics), then two stacked
+    aggregations; COUNT(o_orderkey) counts NULL-extension rows as 0, so
+    customers with no qualifying orders surface in the c_count=0 bucket."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q22_idle_customers",
+    f"""
+    WITH thresh AS (
+      SELECT {DSUM('c_acctbal')} / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           {DSUM('c.c_acctbal')} AS totacctbal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark, sf_dir):
+    """Churned wealthy customers (Q22 shape; nationkey stands in for the
+    absent phone country code, recency for the absent never-ordered
+    population — every synthetic customer has SOME order): scalar AVG
+    subquery (decimal-stable so both engines derive the identical
+    threshold — a double AVG could flip boundary rows) broadcast as a
+    1-row cross join, then LEFT ANTI join against recent orders,
+    grouped per nation."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
