@@ -1,0 +1,242 @@
+"""Time-series operators beyond the reference's surface: counter rate,
+epoch-aligned resampling, linear gap-fill interpolation, EWMA.
+
+The reference (uts.ts) stops at interval-bucketed streaming folds plus
+``derivative`` (/root/reference/uts.ts:458-507); these are the classic
+TSDB ops a production engine adds next. All but EWMA are pure window /
+groupBy expressions (one shuffle on the series key, whole-stage
+codegen); EWMA is inherently sequential per series, so it runs as a
+shard-parallel applyInPandas with the same double arithmetic an oracle
+can replay row-by-row.
+
+Scale: every operator partitions by the series key — at 100 TB the
+shuffle is one exchange on (key), skew-safe as long as no single series
+exceeds an executor (the same contract every TSDB rollup has).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def counter_rate(
+    df: DataFrame,
+    key: str,
+    ts_ms: str,
+    value: str,
+) -> DataFrame:
+    """Per-second rate of a monotone counter with reset handling
+    (Prometheus ``rate``-style): delta = v - lag(v); a negative delta
+    means the counter reset, in which case the new value IS the increase.
+    First point per key has no predecessor and is dropped. One window,
+    one shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(ts_ms)
+    prev_v = F.lag(value).over(w)
+    prev_t = F.lag(ts_ms).over(w)
+    delta = F.when(F.col(value) >= prev_v, F.col(value) - prev_v).otherwise(
+        F.col(value)
+    )
+    dt_s = (F.col(ts_ms) - prev_t) / F.lit(1000.0)
+    return (
+        df.withColumn("__pv", prev_v)
+        .withColumn("rate_per_s", delta / dt_s)
+        .filter(F.col("__pv").isNotNull())
+        .drop("__pv")
+    )
+
+
+def resample(
+    df: DataFrame,
+    key: str,
+    ts_ms: str,
+    value: str,
+    step_ms: int,
+    order_col: str,
+) -> DataFrame:
+    """Epoch-aligned downsample: tumbling ``step_ms`` buckets (left-
+    inclusive ``[k·step, (k+1)·step)`` — the SQL convention, unlike the
+    reference's now-anchored right-inclusive bins, which live in
+    plans/groupers.py), emitting mean/min/max/count plus ``last`` by
+    insertion order. One hash aggregation."""
+    bucket = (F.floor(F.col(ts_ms) / F.lit(step_ms)) * F.lit(step_ms)).alias(
+        "bucket_ms"
+    )
+    # decimal-stable mean: partial-aggregation order can't flip low bits
+    mean_v = F.sum(F.col(value).cast("decimal(38,6)")).cast("double") / F.count(value)
+    return df.groupBy(F.col(key), bucket).agg(
+        mean_v.alias("mean_v"),
+        F.min(value).alias("min_v"),
+        F.max(value).alias("max_v"),
+        F.count(value).alias("n"),
+        F.max_by(F.col(value), F.col(order_col)).alias("last_v"),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key: str,
+    ts_ms: str,
+    value: str,
+    step_ms: int,
+) -> DataFrame:
+    """Values at regular grid timestamps per series, linearly
+    interpolated between the bracketing observations (gap-fill for
+    charting / alignment before cross-series joins).
+
+    Grid = every multiple of ``step_ms`` inside the series' observed
+    span. Implementation: union grid rows with observations, then one
+    ascending window carries the previous observation forward
+    (``last(..., ignorenulls)``) and one descending-frame window pulls
+    the next observation backward; the interpolation weight is
+    (g - prev_ts)/(next_ts - prev_ts). A grid point landing exactly on
+    an observation gets that observation's value (weight 0 against the
+    preceding row). Two window passes over one shuffle on the key."""
+    span = df.groupBy(key).agg(
+        F.min(ts_ms).alias("__t0"), F.max(ts_ms).alias("__t1")
+    )
+    g0 = F.ceil(F.col("__t0") / F.lit(step_ms)).cast("long") * F.lit(step_ms)
+    g1 = F.floor(F.col("__t1") / F.lit(step_ms)).cast("long") * F.lit(step_ms)
+    # a span shorter than one step contains no grid point: sequence()
+    # throws on start > end, so emit an empty array instead
+    grid = span.select(
+        key,
+        F.explode(
+            F.when(g0 <= g1, F.sequence(g0, g1, F.lit(step_ms))).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("grid_ms"),
+    )
+    obs = df.select(
+        F.col(key),
+        F.col(ts_ms).alias("__t"),
+        F.col(value).alias("__v"),
+        F.lit(0).alias("__is_grid"),
+    )
+    g = grid.select(
+        F.col(key),
+        F.col("grid_ms").alias("__t"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(1).alias("__is_grid"),
+    )
+    u = obs.unionByName(g)
+    # observation sorts BEFORE the grid row at the same timestamp, so the
+    # carried-forward neighbor at an exact hit is the observation itself
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(F.col("__v"), ignorenulls=True).over(wb)
+    prev_t = F.last(
+        F.when(F.col("__v").isNotNull(), F.col("__t")), ignorenulls=True
+    ).over(wb)
+    next_v = F.first(F.col("__v"), ignorenulls=True).over(wf)
+    next_t = F.first(
+        F.when(F.col("__v").isNotNull(), F.col("__t")), ignorenulls=True
+    ).over(wf)
+    frac = (F.col("__t") - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    interp = F.when(F.col("__pt") == F.col("__t"), F.col("__pv")).otherwise(
+        F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac
+    )
+    return (
+        u.withColumn("__pv", prev_v)
+        .withColumn("__pt", prev_t)
+        .withColumn("__nv", next_v)
+        .withColumn("__nt", next_t)
+        .filter(
+            (F.col("__is_grid") == 1)
+            & F.col("__pt").isNotNull()
+            # an exact hit on the last observation has no NEXT neighbor
+            # but needs none — its value is the observation's
+            & (F.col("__nt").isNotNull() | (F.col("__pt") == F.col("__t")))
+        )
+        .select(
+            F.col(key),
+            F.col("__t").alias("grid_ms"),
+            interp.alias("value"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts_ms: str,
+    value: str,
+    alpha: float,
+    order_col: str,
+) -> DataFrame:
+    """Exponentially weighted moving average per series:
+    y_1 = x_1; y_n = alpha·x_n + (1-alpha)·y_{n-1}, rows in
+    (ts, order_col) order.
+
+    The recurrence is sequential per series — the closed-form window
+    rewrite (cumsum of x_k·(1-alpha)^{-k}) overflows for long series, so
+    the honest distributed shape is applyInPandas: one shuffle on the
+    key, each series folded in one Arrow batch with plain double
+    arithmetic (alpha·x + (1-alpha)·y, one multiply-add order, so an
+    external engine replays it bit-for-bit)."""
+    import pandas as pd
+
+    base = df.select(
+        F.col(key), F.col(ts_ms).alias("__t"), F.col(value).alias("__x"),
+        F.col(order_col).alias("__o"),
+    )
+    a = float(alpha)
+    b = 1.0 - a
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", "__o"], kind="mergesort").reset_index(drop=True)
+        out = []
+        y = None
+        for x in pdf["__x"]:
+            x = float(x)
+            y = x if y is None else a * x + b * y
+            out.append(y)
+        pdf["ewma"] = out
+        return pdf
+
+    schema = (
+        f"`{key}` {base.schema[key].dataType.simpleString()}, "
+        "__t long, __x double, __o long, ewma double"
+    )
+    out = base.groupBy(key).applyInPandas(fold, schema)
+    return out.select(
+        F.col(key), F.col("__t").alias("ts_ms"), F.col("__x").alias("value"),
+        F.col("ewma"),
+    )
+
+
+def duck_ewma(
+    inner_sql: str, key: str, ts_expr: str, value_expr: str, alpha: float,
+    order_expr: str,
+) -> str:
+    """DuckDB oracle for :func:`ewma`: the identical recurrence as a
+    recursive CTE stepping row-by-row per series (same multiply-add
+    order ⇒ bit-identical doubles; ``order_expr`` breaks timestamp
+    ties exactly like the Spark side's order column)."""
+    a = float(alpha)
+    b = 1.0 - a
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT {key} AS k, {ts_expr} AS t, CAST({value_expr} AS DOUBLE) AS x,
+             row_number() OVER (
+               PARTITION BY {key} ORDER BY {ts_expr}, {order_expr}
+             ) AS rn
+      FROM ({inner_sql})
+    ),
+    folded AS (
+      SELECT k, t, x, rn, x AS y FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.k, s.t, s.x, s.rn, {a!r} * s.x + {b!r} * f.y
+      FROM seq s JOIN folded f ON s.k = f.k AND s.rn = f.rn + 1
+    )
+    SELECT k AS {key}, t AS ts_ms, x AS value, y AS ewma FROM folded
+    """

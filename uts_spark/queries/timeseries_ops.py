@@ -1,0 +1,141 @@
+"""Extended time-series queries over the events table: counter rate,
+epoch-aligned resample, linear gap-fill interpolation, EWMA
+(operators/timeseries.py) — the classic TSDB surface one layer above the
+reference's interval-bucketed folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uts_spark.operators.timeseries import (
+    counter_rate,
+    duck_ewma,
+    ewma,
+    interpolate_linear,
+    resample,
+)
+from uts_spark.registry import HOUR, MS, query, table
+
+_W = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_WF = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+
+
+@query(
+    "ts_counter_rate",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS ts_ms, value FROM events
+      WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT *,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts_ms) AS pv,
+             lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS pt
+      FROM e
+    )
+    SELECT user_id, ts_ms, value,
+           (CASE WHEN value >= pv THEN value - pv ELSE value END)
+             / ((ts_ms - pt) / 1000.0) AS rate_per_s
+    FROM w WHERE pv IS NOT NULL
+    """,
+)
+def ts_counter_rate(spark, sf_dir):
+    """Prometheus-style per-second rate with counter-reset handling
+    (negative delta ⇒ the new value is the increase): one lag window,
+    one shuffle on the series key."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    out = counter_rate(ev, "user_id", "ts_ms", "value")
+    return out.select("user_id", "ts_ms", "value", "rate_per_s")
+
+
+@query(
+    "ts_resample_hourly",
+    f"""
+    SELECT user_id,
+           ({MS} // {HOUR}) * {HOUR} AS bucket_ms,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+             AS mean_v,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v,
+           COUNT(value) AS n,
+           max_by(value, event_id) AS last_v
+    FROM events
+    GROUP BY user_id, ({MS} // {HOUR}) * {HOUR}
+    """,
+)
+def ts_resample_hourly(spark, sf_dir):
+    """Epoch-aligned hourly downsample per series: mean/min/max/count +
+    insertion-order last, one hash aggregation (decimal-stable mean so
+    partial-agg order can't flip low bits)."""
+    ev = table(spark, sf_dir, "events")
+    return resample(ev, "user_id", "ts_ms", "value", HOUR, "ingest_id")
+
+
+@query(
+    "ts_interpolate_1h",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS t, value FROM events WHERE event_type = 'view'
+    ),
+    span AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(
+               CAST(ceil(t0 / {float(HOUR)!r}) AS BIGINT) * {HOUR},
+               CAST(floor(t1 / {float(HOUR)!r}) AS BIGINT) * {HOUR},
+               {HOUR})) AS t
+      FROM span
+    ),
+    u AS (
+      SELECT user_id, t, value AS v, 0 AS is_grid FROM e
+      UNION ALL
+      SELECT user_id, t, NULL AS v, 1 AS is_grid FROM grid
+    ),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_grid {_W}) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_grid {_W}) AS pt,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_grid {_WF}) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_grid {_WF}) AS nt
+      FROM u
+    )
+    SELECT user_id, t AS grid_ms,
+           CASE WHEN pt = t THEN pv
+                ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS value
+    FROM w
+    WHERE is_grid = 1 AND pt IS NOT NULL AND (nt IS NOT NULL OR pt = t)
+    """,
+)
+def ts_interpolate_1h(spark, sf_dir):
+    """Linear gap-fill onto an hourly grid per series (alignment before
+    cross-series joins): grid rows unioned with observations, previous
+    neighbor carried forward and next neighbor pulled backward by two
+    frame windows over ONE shuffle on the key."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    return interpolate_linear(ev, "user_id", "ts_ms", "value", HOUR)
+
+
+@query(
+    "ts_ewma",
+    duck_ewma(
+        f"SELECT user_id, {MS} AS ts_ms, value, event_id FROM events "
+        "WHERE event_type = 'purchase'",
+        "user_id",
+        "ts_ms",
+        "value",
+        0.3,
+        "event_id",
+    ),
+)
+def ts_ewma(spark, sf_dir):
+    """EWMA (alpha=0.3) per series: the sequential recurrence runs
+    shard-parallel via applyInPandas (one Arrow batch per series, one
+    shuffle); the oracle replays the identical multiply-add chain with a
+    recursive CTE — bit-exact doubles on both engines."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ewma(ev, "user_id", "ts_ms", "value", 0.3, "ingest_id")

@@ -80,6 +80,10 @@ try:
     from uts_spark.queries import sampling_ops  # noqa: E402,F401
 except ImportError:
     pass
+try:
+    from uts_spark.queries import timeseries_ops  # noqa: E402,F401
+except ImportError:
+    pass
 
 # Headline set for bench.py — representative of each operator family,
 # heaviest variants included on purpose.
