@@ -71,3 +71,23 @@ def test_uts_core_has_no_python_udfs(spark, sf_dir):
 def test_scalar_pack_is_single_stage_scan(spark, sf_dir):
     p = plan(spark, sf_dir, "scalar_function_pack")
     assert "Exchange" not in p  # pure projection: zero shuffles
+
+
+def test_q19_single_broadcast_join_no_triple_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "tpch_q19_disjunctive")
+    # the 3-branch OR must stay ONE join over ONE lineitem scan
+    assert p.count("BroadcastHashJoin") == 1
+    assert p.count("Scan parquet") == 2  # lineitem + part, once each
+
+
+def test_q2_argmin_has_no_window(spark, sf_dir):
+    p = plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    # arg-min via min(struct(...)) partial agg, not a per-part window sort
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q8_all_dimensions_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "tpch_q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

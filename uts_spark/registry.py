@@ -84,6 +84,10 @@ try:
     from uts_spark.queries import timeseries_ops  # noqa: E402,F401
 except ImportError:
     pass
+try:
+    from uts_spark.queries import tpch_extra  # noqa: E402,F401
+except ImportError:
+    pass
 
 # Headline set for bench.py — representative of each operator family,
 # heaviest variants included on purpose.
