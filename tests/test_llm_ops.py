@@ -263,3 +263,52 @@ def test_ivf_cells_as_partition_column_prune(spark, emb, tmp_path):
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "cell" in pf  # probe prunes directories, not rows
     assert probe.count() == assigned.filter(F.col("cell") == 1).count()
+
+
+# ---------------------------------------------------------------------------
+# connected components (functions/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_transitive_chain(spark):
+    from uts_spark.functions.clustering import connected_components
+
+    # chain 1-2-3-4 plus clique {10,11,12} plus isolated edge (20,21)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cluster_assignment_keeps_min_and_singletons(spark):
+    from uts_spark.functions.clustering import cluster_assignment
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in cluster_assignment(ids, pairs, "doc_id").collect()}
+    assert rows[2]["cluster_id"] == 2 and rows[5]["cluster_id"] == 2
+    assert rows[6]["cluster_id"] == 2 and not rows[6]["keep"]
+    # singletons cluster with themselves and are kept
+    for i in (1, 3, 4, 7):
+        assert rows[i]["cluster_id"] == i and rows[i]["keep"]
+    assert sum(1 for r in rows.values() if r["keep"]) == 5
+
+
+def test_connected_components_max_rounds_guard(spark):
+    import pytest as _pytest
+
+    from uts_spark.functions.clustering import connected_components
+
+    # a 12-node path needs ~11 rounds; guard at 2 must raise, not loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12, 0, -1)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_rounds=2)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from uts_spark.functions import multimodal as mm
+from uts_spark.functions.clustering import cluster_assignment
 from uts_spark.functions.dedup import (
     SIMHASH_BITS,
     exact_canonical,
@@ -290,6 +291,44 @@ def dedup_minhash_lsh(spark, sf_dir):  # are exact-Jaccard verified inside
     return minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5
     ).select("id_a", "id_b", "est_jaccard", "jaccard")
+
+
+def _duck_cluster_cc() -> str:
+    # min reachable doc_id per node, as a recursive CTE. States (node,
+    # lbl) with lbl >= node are pruned: the component minimum m reaches
+    # every member via states (x, m), m < x, so the final MIN per node
+    # is unaffected and the state space stays O(edges).
+    return f"""
+    WITH RECURSIVE pairs AS ({_duck_simhash_pairs()}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.b AS node, r.lbl AS lbl
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lbl < e.b
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+           MIN(lbl) = node AS keep
+    FROM reach GROUP BY node
+    """
+
+
+@query("dedup_cluster_cc", _duck_cluster_cc())
+def dedup_cluster_cc(spark, sf_dir):
+    """Transitive near-dup clustering: connected components over the
+    SimHash pair graph (A~B, B~C ⇒ one cluster even without an A~C
+    pair), every document labeled with its cluster's minimum doc_id and
+    a keep/drop verdict. Iterative min-label propagation — one shuffle
+    per round, rounds = graph diameter (near-dup graphs: 2-4) — vs the
+    oracle's recursive-CTE closure."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
+    return cluster_assignment(docs, pairs, "doc_id")
 
 
 # explicit floor(+0.5) rounding at 1e-12, summed as integers — mirrors
