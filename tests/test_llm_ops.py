@@ -312,3 +312,26 @@ def test_connected_components_max_rounds_guard(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_rounds=2)
+
+
+def test_contamination_counts_shared_distinct_shingles(spark):
+    from uts_spark.functions.decontam import contamination
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares two distinct 5-gram shingles with the eval doc
+            (1, "a b the quick brown fox jumps over c d"),
+            # no 5-token overlap
+            (2, "completely unrelated text with many distinct words here"),
+            # too short to have any 5-gram
+            (3, "quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in
+           contamination(train, ev, "text", "doc_id", n=5).collect()}
+    assert got == {1: 2}

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from uts_spark.functions import multimodal as mm
 from uts_spark.functions.clustering import cluster_assignment
+from uts_spark.functions.decontam import contamination, duck_shingle_hashes
 from uts_spark.functions.dedup import (
     SIMHASH_BITS,
     exact_canonical,
@@ -329,6 +330,39 @@ def dedup_cluster_cc(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
     return cluster_assignment(docs, pairs, "doc_id")
+
+
+def _duck_decontaminate(rate: float = 0.1, n: int = 5) -> str:
+    from uts_spark.functions.sampling import duck_hash_u
+
+    u = duck_hash_u("decon", "doc_id")
+    return f"""
+    WITH train AS (SELECT * FROM documents WHERE {u} >= {rate!r}),
+    ev    AS (SELECT * FROM documents WHERE {u} <  {rate!r}),
+    tsh   AS ({duck_shingle_hashes('train', 'doc_id', 'text', n)}),
+    esh   AS (SELECT DISTINCT h FROM ({duck_shingle_hashes('ev', 'doc_id', 'text', n)})),
+    hits  AS (SELECT t.doc_id, t.h FROM tsh t JOIN esh e ON t.h = e.h)
+    SELECT doc_id, COUNT(DISTINCT h) AS n_shared
+    FROM hits GROUP BY doc_id
+    """
+
+
+@query("text_decontaminate", _duck_decontaminate())
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: a deterministic 10% hash split carves
+    the eval set out of documents; train docs sharing any distinct
+    word-5-gram shingle with it are flagged with their overlap count.
+    Shingle-hash equi-join (never doc×doc); eval side distinct'd to one
+    row per shingle hash."""
+    from uts_spark.functions.sampling import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    labeled = split_assign(
+        docs, F.col("doc_id"), {"eval": 0.1, "train": 0.9}, salt="decon"
+    )
+    train = labeled.filter(F.col("split") == "train")
+    ev = labeled.filter(F.col("split") == "eval")
+    return contamination(train, ev, "text", "doc_id", n=5)
 
 
 # explicit floor(+0.5) rounding at 1e-12, summed as integers — mirrors
