@@ -169,3 +169,145 @@ def duck_fingerprint(expr: str, toks: str, n: int = 5) -> str:
         f"list_min(list_transform({sh}, s -> {duck_hash64('s')})) "
         f"ELSE {duck_hash64(expr)} END"
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition filters (Gopher-style quality signals)
+
+def repetition_metrics(df, text_col: str, id_col: str):
+    """Per-document repetition signals used by corpus quality filters:
+
+    - ``top2gram_frac``  — character mass of the single most frequent
+      word bigram over the doc's total token characters (ties broken to
+      the lexicographically smallest bigram);
+    - ``dup3gram_frac``  — character mass of word trigrams occurring
+      more than once over the mass of all trigram occurrences;
+    - ``max_token_run``  — length of the longest consecutive run of one
+      token (gaps-and-islands via pos − row_number).
+
+    Shapes, not UDFs: each signal is explode → count → per-doc
+    aggregate; the run-length signal shuffles once on (doc, token) for
+    its window and once for the final max — all JVM-side expressions.
+    Degenerate docs (< n tokens) surface NULL fractions rather than a
+    fabricated 0, and 3-token docs with no repeats give dup3gram 0.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("tok_chars"),
+    )
+
+    g2 = base.select("doc_id", F.explode(word_ngrams(F.col("__toks"), 2)).alias("g"))
+    c2 = g2.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    # min(struct(-cnt, g)) = (max count, smallest gram among ties)
+    top2 = (
+        c2.select(
+            "doc_id",
+            F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g")).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("s").alias("best"))
+        .select(
+            "doc_id",
+            ((-F.col("best.nc")) * F.length("best.g")).alias("top2_chars"),
+        )
+    )
+
+    g3 = base.select("doc_id", F.explode(word_ngrams(F.col("__toks"), 3)).alias("g"))
+    c3 = g3.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    dup3 = c3.groupBy("doc_id").agg(
+        (
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(0)
+            ).cast("double")
+            / F.sum(F.col("cnt") * F.length("g")).cast("double")
+        ).alias("dup3gram_frac")
+    )
+
+    pos = base.select(
+        "doc_id", F.posexplode(F.col("__toks")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (
+        pos.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "tok", "isl")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_token_run"))
+    )
+
+    return (
+        base.select("doc_id", "tok_chars")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("top2_chars").cast("double") / F.col("tok_chars").cast("double")
+             ).alias("top2gram_frac"),
+            "dup3gram_frac",
+            "max_token_run",
+        )
+    )
+
+
+def duck_repetition_metrics(n2: int = 2, n3: int = 3) -> str:
+    """DuckDB mirror of :func:`repetition_metrics` over ``documents``."""
+    toks = duck_tokens("text")
+    g2 = duck_word_ngrams("toks", n2)
+    g3 = duck_word_ngrams("toks", n3)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+               AS tok_chars
+      FROM t),
+    c2 AS (
+      SELECT doc_id, g, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest({g2}) AS g FROM t) GROUP BY doc_id, g),
+    top2 AS (
+      SELECT doc_id, cnt * len(g) AS top2_chars
+      FROM (SELECT doc_id, g, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, g ASC) AS rn
+            FROM c2) WHERE rn = 1),
+    c3 AS (
+      SELECT doc_id, g, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest({g3}) AS g FROM t) GROUP BY doc_id, g),
+    dup3 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(cnt * len(g)) AS DOUBLE) AS dup3gram_frac
+      FROM c3 GROUP BY doc_id),
+    p AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS tok
+      FROM t),
+    runs AS (
+      SELECT doc_id, MAX(run) AS max_token_run FROM (
+        SELECT doc_id, COUNT(*) AS run
+        FROM (SELECT doc_id, tok, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                              ORDER BY pos) AS isl
+              FROM p)
+        GROUP BY doc_id, tok, isl
+      ) GROUP BY doc_id),
+    j AS (
+      SELECT b.doc_id,
+             CAST(top2.top2_chars AS DOUBLE) / CAST(b.tok_chars AS DOUBLE)
+               AS top2gram_frac,
+             dup3.dup3gram_frac,
+             runs.max_token_run
+      FROM base b
+        LEFT JOIN top2 ON b.doc_id = top2.doc_id
+        LEFT JOIN dup3 ON b.doc_id = dup3.doc_id
+        LEFT JOIN runs ON b.doc_id = runs.doc_id)
+    SELECT doc_id, top2gram_frac, dup3gram_frac, max_token_run FROM j
+    """

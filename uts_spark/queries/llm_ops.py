@@ -31,6 +31,7 @@ from uts_spark.functions.text import (
     bpeish_token_count,
     duck_bpeish_count,
     duck_fingerprint,
+    duck_repetition_metrics,
     duck_stopword_count,
     duck_tokens,
     duck_word_ngrams,
@@ -38,6 +39,7 @@ from uts_spark.functions.text import (
     lang_id,
     quality_metrics,
     quality_score,
+    repetition_metrics,
     token_count,
 )
 from uts_spark.registry import query, table
@@ -330,6 +332,17 @@ def dedup_cluster_cc(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
     return cluster_assignment(docs, pairs, "doc_id")
+
+
+@query("text_repetition_filters", duck_repetition_metrics())
+def text_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: top-bigram
+    character fraction, duplicated-trigram character fraction, longest
+    consecutive same-token run. Pure explode/count/window shapes — the
+    filters that catch boilerplate and degenerate repetition in corpus
+    cleaning, with every signal hash-exact vs the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "text", "doc_id")
 
 
 def _duck_decontaminate(rate: float = 0.1, n: int = 5) -> str:
