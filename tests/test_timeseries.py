@@ -78,3 +78,30 @@ def test_ewma_recurrence(series):
     assert got[(1, 3000)] == y3
     assert got[(2, 0)] == 1.0
     assert got[(2, 4000)] == 0.25 * 9.0 + 0.75 * 1.0
+
+
+def test_anomaly_zscore_flags_spike_only(spark):
+    from uts_spark.operators.timeseries import anomaly_zscore
+
+    # 20 calm points then one 10x spike inside the same trailing window
+    rows = [("s", i * 1000, 10.0 + (i % 2)) for i in range(20)]
+    rows.append(("s", 20000, 100.0))
+    df = spark.createDataFrame(rows, "key string, ts_ms long, value double")
+    out = anomaly_zscore(
+        df, "key", "ts_ms", "value", window_ms=60_000, min_points=5,
+        threshold=3.0,
+    ).collect()
+    assert [r["ts_ms"] for r in out] == [20000]
+    assert out[0]["z"] > 3
+
+
+def test_anomaly_zscore_zero_variance_never_flags(spark):
+    from uts_spark.operators.timeseries import anomaly_zscore
+
+    df = spark.createDataFrame(
+        [("s", i * 1000, 5.0) for i in range(30)],
+        "key string, ts_ms long, value double",
+    )
+    assert (
+        anomaly_zscore(df, "key", "ts_ms", "value", window_ms=60_000).count() == 0
+    )

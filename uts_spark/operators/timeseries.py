@@ -240,3 +240,49 @@ def duck_ewma(
     )
     SELECT k AS {key}, t AS ts_ms, x AS value, y AS ewma FROM folded
     """
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_ms: int,
+    min_points: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score outliers: each point scored against the
+    mean/stddev of its own series' preceding ``window_ms`` (RANGE frame,
+    current row included), flagged when |z| exceeds ``threshold``.
+
+    The moments are decimal-exact window sums (s1, s2) — identical
+    regardless of partial-aggregation order, so the derived z is
+    bit-reproducible (same property as the grouped stats operator).
+    Population variance; windows with fewer than ``min_points`` points
+    or zero variance never flag. ONE shuffle on the series key; the
+    RANGE frame is a single ordered pass per partition.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-int(window_ms), 0)
+    )
+    n = F.count(value_col).over(w)
+    s1 = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    var = (s2 - s1 * s1 / n) / n
+    z = (v - s1 / n) / F.sqrt(var)
+    return (
+        df.withColumn("__n", n)
+        .withColumn("__var", var)
+        .withColumn("z", z)
+        .filter(
+            (F.col("__n") >= min_points)
+            & (F.col("__var") > 0)
+            & (F.abs(F.col("z")) > threshold)
+        )
+        .drop("__n", "__var")
+    )

@@ -9,13 +9,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from uts_spark.operators.timeseries import (
+    anomaly_zscore,
     counter_rate,
     duck_ewma,
     ewma,
     interpolate_linear,
     resample,
 )
-from uts_spark.registry import HOUR, MS, query, table
+from uts_spark.registry import DAY, HOUR, MS, query, table
 
 _W = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 _WF = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
@@ -139,3 +140,40 @@ def ts_ewma(spark, sf_dir):
     recursive CTE — bit-exact doubles on both engines."""
     ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return ewma(ev, "user_id", "ts_ms", "value", 0.3, "ingest_id")
+
+
+@query(
+    "ts_anomaly_zscore",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, {MS} AS ts_ms, value FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type, ts_ms, value,
+             COUNT(value) OVER win AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER win AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER win AS DOUBLE)
+               AS s2
+      FROM e
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts_ms
+                     RANGE BETWEEN {DAY} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, ts_ms, value,
+           (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) AS z
+    FROM w
+    WHERE n >= 10 AND (s2 - s1 * s1 / n) / n > 0
+      AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)) > 3
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Streaming-style anomaly detection on a batch table: every event
+    scored against its event type's trailing 24 h mean/stddev, |z| > 3
+    flagged. Decimal-exact window moments make the float z
+    bit-identical across engines and partitionings
+    (operators/timeseries.anomaly_zscore)."""
+    ev = table(spark, sf_dir, "events")
+    out = anomaly_zscore(
+        ev, "event_type", "ts_ms", "value", window_ms=DAY,
+        min_points=10, threshold=3.0,
+    )
+    return out.select("event_id", "event_type", "ts_ms", "value", "z")
