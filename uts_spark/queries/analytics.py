@@ -1148,3 +1148,71 @@ def tpch_q22_idle_customers(spark, sf_dir):
             _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# ===========================================================================
+# Histogram / rolling exact median
+# ===========================================================================
+
+@query(
+    "histogram_event_values",
+    f"""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT)      AS bucket,
+           COUNT(*)                                 AS n,
+           {DSUM('value')}                          AS sum_v
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+    """,
+)
+def histogram_event_values(spark, sf_dir):
+    """Fixed-width histogram (width 25, origin 0) of event values per
+    type — the bucket expression is a pure projection, so the whole
+    histogram is one hash aggregation with map-side partials."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("sum_v"),
+    )
+
+
+@query(
+    "window_rolling_median",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, {MS} AS ts_ms, value FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, ts_ms,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS vs
+      FROM e
+    )
+    SELECT event_id, user_id, ts_ms,
+           list_sort(vs)[CAST(ceil(len(vs) / 2.0) AS BIGINT)] AS med
+    FROM w
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """EXACT rolling median (lower median) over each user's trailing 10
+    events: collect_list window + array_sort + middle pick. Exact where
+    percentile_approx is not — viable because the frame is bounded (10
+    elements per row); the unbounded variant belongs to the approx
+    sketches. Deterministic ordering tie-break on event_id."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vs = F.collect_list("value").over(w)
+    med = F.element_at(
+        F.array_sort(vs), F.ceil(F.size(vs) / F.lit(2.0)).cast("int")
+    )
+    return ev.select(
+        "event_id", "user_id", "ts_ms", med.alias("med")
+    )

@@ -448,6 +448,55 @@ def similarity_topk_cosine(spark, sf_dir):
     return cosine_topk_blocked(e, anchors, k=10)
 
 
+_SC = 10**12  # fixed-point scale for order-independent float sums
+
+
+def _duck_centroids() -> str:
+    return f"""
+    WITH p AS (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    a AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * {_SC} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {_SC} / COUNT(*) AS m,
+             COUNT(*) AS n
+      FROM p GROUP BY label, dim
+    )
+    SELECT label, list(m ORDER BY dim) AS centroid, MIN(n) AS n_vectors
+    FROM a GROUP BY label
+    """
+
+
+@query("embedding_centroids", _duck_centroids())
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (the centroid primitive under k-means /
+    IVF training and class prototypes): posexplode to (label, dim),
+    fixed-point integer sums (order-independent, so the float mean is
+    bit-identical across engines and partitionings), regroup into a
+    dim-ordered array. Two shuffles — (label, dim) then label — both on
+    tiny aggregated data regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    fx = F.floor(F.col("x").cast("double") * _SC + F.lit(0.5)).cast("long")
+    a = pos.groupBy("label", "dim").agg(
+        (F.sum(fx).cast("double") / _SC / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        a.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid"),
+            F.min("n").alias("n_vectors"),
+        )
+    )
+
+
 @query("similarity_ann_lsh")  # approximate by design → rows-only
 def similarity_ann_lsh(spark, sf_dir):
     """Approximate top-k: random-hyperplane LSH (12 planes × 4 tables,
