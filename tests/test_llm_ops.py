@@ -335,3 +335,42 @@ def test_contamination_counts_shared_distinct_shingles(spark):
     got = {r["doc_id"]: r["n_shared"] for r in
            contamination(train, ev, "text", "doc_id", n=5).collect()}
     assert got == {1: 2}
+
+
+def test_chunk_windows_overlap_and_short_docs(spark):
+    from uts_spark.functions.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(60))),  # 60 tokens
+            (2, "a b c"),                               # shorter than one chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, "text", "doc_id", size=32, overlap=8)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: stride 24 -> chunks at 0, 24 (covers 24..55), 48 (48..59)
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0, 1, 2]
+    assert rows[(1, 0)]["n_tokens"] == 32
+    assert rows[(1, 0)]["chunk_text"].startswith("w0 w1 ")
+    assert rows[(1, 1)]["chunk_text"].startswith("w24 ")
+    assert rows[(1, 2)]["n_tokens"] == 12  # 48..59
+    # consecutive chunks overlap by 8 tokens
+    assert rows[(1, 0)]["chunk_text"].split()[-8:] == rows[(1, 1)]["chunk_text"].split()[:8]
+    # short doc: exactly one (short) chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b c" and rows[(2, 0)]["n_tokens"] == 3
+    assert sorted(k[1] for k in rows if k[0] == 2) == [0]
+
+
+def test_redact_patterns(spark):
+    from pyspark.sql import functions as F
+    from uts_spark.functions.text import redact, redaction_count
+
+    df = spark.createDataFrame(
+        [("write bob.smith+x@mail.co or call 1234567 now 42",)], "t string"
+    )
+    r = df.select(
+        redact(F.col("t")).alias("c"), redaction_count(F.col("t")).alias("n")
+    ).collect()[0]
+    assert r["c"] == "write <EMAIL> or call <NUM> now 42"
+    assert r["n"] == 2

@@ -311,3 +311,88 @@ def duck_repetition_metrics(n2: int = 2, n3: int = 3) -> str:
         LEFT JOIN runs ON b.doc_id = runs.doc_id)
     SELECT doc_id, top2gram_frac, dup3gram_frac, max_token_run FROM j
     """
+
+
+# --------------------------------------------------------------------------
+# Chunking (token-budget windows) and PII redaction
+
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+DIGITS_RE = "[0-9]{6,}"
+
+
+def chunk_windows(
+    df,
+    text_col: str,
+    id_col: str,
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+):
+    """Split each document into overlapping token-budget chunks (the
+    1→N fan-out feeding sequence packing / embedding): chunk *i* covers
+    tokens ``[i·stride, i·stride + size)`` with ``stride = size −
+    overlap``; the last chunk may be short; every doc yields ≥ 1 chunk.
+    A pure ``explode(sequence(...))`` + ``slice`` — no UDF, the fan-out
+    multiplies rows but each output row is built from the parent's token
+    array without re-tokenizing."""
+    stride = size - overlap
+    assert stride > 0
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t"), F.size(toks).alias("__nt")
+    )
+    nchunks = F.greatest(
+        F.lit(1),
+        F.floor((F.col("__nt") - overlap + stride - 1) / F.lit(stride)).cast("long"),
+    )
+    out = base.select(
+        "doc_id",
+        "__t",
+        F.explode(F.sequence(F.lit(0).cast("long"), nchunks - 1)).alias("chunk_id"),
+    )
+    ctoks = F.slice(F.col("__t"), (F.col("chunk_id") * stride + 1).cast("int"), size)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(ctoks, " ").alias("chunk_text"),
+        F.size(ctoks).alias("n_tokens"),
+    )
+
+
+def duck_chunk_windows(size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> str:
+    stride = size - overlap
+    toks = duck_tokens("text")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks, len({toks}) AS nt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(1,
+               CAST(floor((nt - {overlap} + {stride - 1}) / {stride}.0) AS BIGINT))))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}], ' ')
+             AS chunk_text,
+           len(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}])
+             AS n_tokens
+    FROM c
+    """
+
+
+def redact(col: Column) -> Column:
+    """PII-style redaction: emails → ``<EMAIL>``, runs of ≥ 6 digits →
+    ``<NUM>``. Patterns restricted to the regex subset Java and RE2
+    share, so the exact same strings come out of both engines."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, DIGITS_RE, "<NUM>")
+
+
+def redaction_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))) + F.size(
+        F.regexp_extract_all(col, F.lit(DIGITS_RE), F.lit(0))
+    )

@@ -29,6 +29,8 @@ from uts_spark.functions.similarity import (
 from uts_spark.functions.text import (
     LANGS,
     bpeish_token_count,
+    chunk_windows,
+    duck_chunk_windows,
     duck_bpeish_count,
     duck_fingerprint,
     duck_repetition_metrics,
@@ -446,6 +448,64 @@ def similarity_topk_cosine(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") < 5)
     return cosine_topk_blocked(e, anchors, k=10)
+
+
+@query("text_chunk_windows", duck_chunk_windows())
+def text_chunk_windows(spark, sf_dir):
+    """Token-budget chunking with overlap (32-token windows, stride 24):
+    the 1→N fan-out that feeds embedding / packing stages. explode over
+    a per-doc sequence + slice of the parent token array — no
+    re-tokenization per chunk, no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    return chunk_windows(docs, "text", "doc_id")
+
+
+# synthetic PII is injected deterministically from doc_id so the scrub
+# has real work to verify (the corpus itself is clean word-soup)
+_PII_SRC = (
+    "concat(text, ' contact user', CAST(doc_id AS {s}), "
+    "'@example.com ref ', lpad(CAST(doc_id AS {s}), 9, '0'), ' end')"
+)
+_PII_SRC_SPARK = _PII_SRC.format(s="STRING")
+_PII_SRC_DUCK = _PII_SRC.format(s="VARCHAR")
+
+
+def _duck_pii_scrub() -> str:
+    from uts_spark.functions.text import DIGITS_RE, EMAIL_RE
+
+    sql = """
+    WITH s AS (SELECT doc_id, @SRC@ AS src FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(src, '@EMAIL@', '<EMAIL>', 'g'),
+                          '@DIGITS@', '<NUM>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(src, '@EMAIL@'))
+              + len(regexp_extract_all(src, '@DIGITS@')) AS BIGINT)
+             AS n_redactions
+    FROM s
+    """
+    # DuckDB single-quoted strings keep backslashes literally — no doubling
+    return (
+        sql.replace("@SRC@", _PII_SRC_DUCK)
+        .replace("@EMAIL@", EMAIL_RE)
+        .replace("@DIGITS@", DIGITS_RE)
+    )
+
+
+@query("text_pii_scrub", _duck_pii_scrub())
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction pack: emails → <EMAIL>, ≥6-digit runs → <NUM>,
+    with per-doc redaction counts. Patterns live in the Java∩RE2 regex
+    subset so both engines produce byte-identical output; pure
+    projection, fuses into the scan."""
+    from uts_spark.functions.text import redact, redaction_count
+
+    docs = table(spark, sf_dir, "documents")
+    src = F.expr(_PII_SRC_SPARK)
+    return docs.select(
+        "doc_id",
+        redact(src).alias("clean_text"),
+        redaction_count(src).cast("long").alias("n_redactions"),
+    )
 
 
 _SC = 10**12  # fixed-point scale for order-independent float sums
