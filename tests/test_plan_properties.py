@@ -91,3 +91,77 @@ def test_q8_all_dimensions_broadcast(spark, sf_dir):
     p = plan(spark, sf_dir, "tpch_q8_market_share")
     assert p.count("BroadcastHashJoin") >= 6
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A dim-side filter must prune the fact's partition directories at
+    RUNTIME (DPP): the 100 TB pattern where the fact is laid out by a
+    time/key column and a selective dimension join reads only matching
+    partitions."""
+    from pyspark.sql import functions as F
+
+    from uts_spark.sources.tables import load_table
+
+    path = str(tmp_path / "dpp_orders")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1997 else "drop") for y in range(1995, 2002)],
+        "y int, attr string",
+    )
+    j = (
+        fact.join(dim.filter(F.col("attr") == "keep"), fact.o_year == F.col("y"))
+        .groupBy("o_year")
+        .count()
+    )
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower()
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When the dim side is too big to broadcast, Spark can still inject
+    a bloom filter from the selective side into the fact scan (runtime
+    row filtering) — the shuffle-join survival kit at 100 TB. Thresholds
+    are lowered to trigger on test-sized data; production relies on the
+    defaults."""
+    from pyspark.sql import functions as F
+
+    from uts_spark.sources.tables import load_table
+
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        sel = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
