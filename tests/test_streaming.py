@@ -342,3 +342,51 @@ def test_session_agg_stream(spark, tmp_path):
         (H, 2, 1.5),            # burst 1: events at +0, +10min merge
         (H + 60 * MIN, 1, 3.0), # burst 2 after the >30min gap
     ]
+
+
+def test_zscore_stream_flags_spike_against_previous_window(spark, tmp_path):
+    from uts_spark.streaming import zscore_stream
+
+    src, chk = _dirs(tmp_path)
+    name = f"z_{uuid.uuid4().hex[:8]}"
+    MIN = 60_000
+    # window 0 [0,60s): 20 calm points; window 1: calm + one 50x spike
+    b1 = [("a", i * 1000, 10.0 + (i % 2)) for i in range(20)]
+    b2 = [("a", 60_000 + 1000, 10.0), ("a", 60_000 + 2000, 500.0),
+          ("a", 60_000 + 3000, 11.0)]
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), MS_SCHEMA)
+    out = zscore_stream(stream, window_ms=MIN, min_points=5, threshold=3.0)
+    _feed(spark, src, b1, MS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, MS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert [(r["ts_ms"], r["value"]) for r in rows] == [(61_000 + 1000, 500.0)]
+    assert abs(rows[0]["z"]) > 3
+
+
+def test_enrich_stream_static_broadcast_lookup(spark, tmp_path):
+    from uts_spark.streaming import enrich_stream_static
+
+    src, chk = _dirs(tmp_path)
+    name = f"en_{uuid.uuid4().hex[:8]}"
+    dim = spark.createDataFrame(
+        [("a", "gold"), ("b", "basic")], "series string, tier string"
+    )
+    b1 = [("a", 1000, 1.0), ("b", 2000, 2.0), ("c", 3000, 3.0)]
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), MS_SCHEMA)
+    out = enrich_stream_static(stream, dim, "series")
+    _feed(spark, src, b1, MS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["series"]: r["tier"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == {"a": "gold", "b": "basic", "c": None}

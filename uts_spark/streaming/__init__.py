@@ -1,5 +1,6 @@
 from uts_spark.streaming.ops import (
     dedup_within_watermark,
+    enrich_stream_static,
     derivative_stateful_stream,
     derivative_tws_stream,
     read_parquet_stream,
@@ -7,6 +8,7 @@ from uts_spark.streaming.ops import (
     tumbling_agg_stream,
     uts_interval_agg_stream,
     with_retention_watermark,
+    zscore_stream,
 )
 
 __all__ = [
@@ -16,6 +18,8 @@ __all__ = [
     "session_agg_stream",
     "uts_interval_agg_stream",
     "dedup_within_watermark",
+    "enrich_stream_static",
+    "zscore_stream",
     "derivative_stateful_stream",
     "derivative_tws_stream",
 ]

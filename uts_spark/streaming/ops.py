@@ -342,3 +342,110 @@ def derivative_tws_stream(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment
+
+def enrich_stream_static(
+    stream: DataFrame, static_dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Enrich a stream with a static dimension (the lookup-join every
+    event pipeline needs). The static side broadcasts — each micro-batch
+    is a map-side hash join, no stream-side shuffle, and the dimension
+    snapshot is re-resolved per batch (so an updated static table is
+    picked up on the next trigger)."""
+    return stream.join(F.broadcast(static_dim), on, how)
+
+
+# ---------------------------------------------------------------------------
+# Streaming anomaly detection (previous-window baseline)
+
+_Z_OUT = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+_Z_STATE = StructType(
+    [
+        StructField("win_start", LongType()),
+        StructField("n", LongType()),
+        StructField("s1", DoubleType()),
+        StructField("s2", DoubleType()),
+        StructField("pn", LongType()),
+        StructField("ps1", DoubleType()),
+        StructField("ps2", DoubleType()),
+    ]
+)
+
+
+def zscore_stream(
+    df: DataFrame,
+    window_ms: int,
+    key_col: str = "series",
+    time_col: str = "ts_ms",
+    value_col: str = "value",
+    min_points: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming z-score outliers: each point is scored against the
+    COMPLETED previous epoch-aligned window's mean/stddev for its key
+    (the classic baseline-vs-live design — the live window can't score
+    its own points without lookahead). Emits only flagged points.
+
+    The batch analog (operators/timeseries.anomaly_zscore) scores
+    against a trailing RANGE frame; the streaming divergence — discrete
+    baseline windows instead of a sliding frame — is the price of O(1)
+    state: two (n, Σv, Σv²) triples per key, regardless of rate. After
+    a silent gap the baseline window is empty and nothing flags until a
+    full window of data rebuilds it (documented cold-start behavior).
+    Scale: state shards by key; each micro-batch touches only keys
+    present in that batch.
+    """
+
+    def step(key, pdfs, state: GroupState):
+        (series,) = key
+        if state.exists:
+            win_start, n, s1, s2, pn, ps1, ps2 = state.get
+        else:
+            win_start = None
+            n, s1, s2, pn, ps1, ps2 = 0, 0.0, 0.0, 0, 0.0, 0.0
+        out_t, out_v, out_z = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for t, v in zip(pdf[time_col].astype("int64"), pdf[value_col]):
+                t, v = int(t), float(v)
+                if win_start is None:
+                    win_start = (t // window_ms) * window_ms
+                while t >= win_start + window_ms:
+                    pn, ps1, ps2 = n, s1, s2
+                    n, s1, s2 = 0, 0.0, 0.0
+                    win_start += window_ms
+                if pn >= min_points:
+                    mean = ps1 / pn
+                    var = (ps2 - ps1 * ps1 / pn) / pn
+                    if var > 0:
+                        z = (v - mean) / var ** 0.5
+                        if abs(z) > threshold:
+                            out_t.append(t)
+                            out_v.append(v)
+                            out_z.append(z)
+                n += 1
+                s1 += v
+                s2 += v * v
+        state.update((win_start, n, s1, s2, pn, ps1, ps2))
+        if out_t:
+            yield pd.DataFrame(
+                {"series": series, "ts_ms": out_t, "value": out_v, "z": out_z}
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=_Z_OUT,
+        stateStructType=_Z_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
