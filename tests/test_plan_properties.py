@@ -165,3 +165,16 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_latest_snapshot_is_aggregation_not_window(spark, sf_dir):
+    p = plan(spark, sf_dir, "latest_event_snapshot")
+    # whole-row arg-max via max_by partial agg — no per-user window sort
+    assert "Window" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_time_rollup_single_expand_no_union(spark, sf_dir):
+    p = plan(spark, sf_dir, "time_rollup_hierarchy")
+    assert "Expand" in p          # ROLLUP = one Expand into one agg
+    assert "Union" not in p       # never four scans unioned

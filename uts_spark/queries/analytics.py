@@ -1216,3 +1216,134 @@ def window_rolling_median(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", "ts_ms", med.alias("med")
     )
+
+
+# ===========================================================================
+# Time-hierarchy rollup / latest snapshot / funnel
+# ===========================================================================
+
+@query(
+    "time_rollup_hierarchy",
+    f"""
+    SELECT CAST(year(ts) AS BIGINT)         AS y,
+           CAST(month(ts) AS BIGINT)        AS m,
+           CAST(day(ts) AS BIGINT)          AS d,
+           {DSUM('value')}                  AS sum_v,
+           COUNT(*)                         AS n,
+           CAST(GROUPING(year(ts)) * 4 + GROUPING(month(ts)) * 2
+                + GROUPING(day(ts)) AS BIGINT) AS lvl
+    FROM events
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    """,
+)
+def time_rollup_hierarchy(spark, sf_dir):
+    """Multi-granularity time rollup: day → month → year → grand total in
+    ONE pass (ROLLUP expands to four grouping sets inside a single hash
+    aggregation — no four-scan union). GROUPING() bits disambiguate
+    rolled-up NULLs; decimal sums keep every level bit-identical."""
+    ev = table(spark, sf_dir, "events")
+    y, m, d = F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+    return (
+        ev.rollup(y.alias("y"), m.alias("m"), d.alias("d"))
+        .agg(
+            _dsum(F.col("value")).alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .select(
+            F.col("y").cast("long"),
+            F.col("m").cast("long"),
+            F.col("d").cast("long"),
+            "sum_v",
+            "n",
+            "lvl",
+        )
+    )
+
+
+@query(
+    "latest_event_snapshot",
+    f"""
+    SELECT user_id, event_id, ts_ms, event_type, value FROM (
+      SELECT user_id, event_id, {MS} AS ts_ms, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY {MS} DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_snapshot(spark, sf_dir):
+    """Current-state snapshot: each user's latest event, whole row. ONE
+    partial-aggregating max_by on a (ts, id) struct key — merges in the
+    combiner like any sum, no per-user window sort (the oracle spells
+    the same thing as a window; results identical because (ts_ms,
+    event_id) is a total order)."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts_ms"), F.col("event_id"))
+    row = F.struct("event_id", "ts_ms", "event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(row, key).alias("r"))
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.ts_ms").alias("ts_ms"),
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.value").alias("value"),
+        )
+    )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN({MS}) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN({MS}) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND {MS} > s.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN({MS}) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND {MS} > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.t1, c.t2, p.t3
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Funnel analysis: first signup → first later click → first later
+    purchase per user, NULL where the user never advanced. Decorrelated
+    into three grouped MINs, each joining the (tiny, broadcast) previous
+    stage into the fact scan — never a per-user subquery re-scan, and
+    the fact shuffles only for its own per-user aggregations."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts_ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts_ms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    return s.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t1", "t2", "t3"
+    )
