@@ -90,7 +90,11 @@ def doc_shingle_arrays(
     def gram(i: Column) -> Column:
         out = None
         for k in range(n):
-            h = _rotl64(F.element_at(F.col("__th"), i + k + 1), (21 * k) % 63)
+            # 17·k mod 64 is injective for k < 64 (gcd(17,64)=1); the old
+            # 21·k mod 63 schedule repeated at k=3 (63≡0) and k=4 (84≡21),
+            # making positions 0/3 and 1/4 of a 5-gram interchangeable —
+            # and letting equal tokens at those positions XOR-cancel
+            h = _rotl64(F.element_at(F.col("__th"), i + k + 1), (17 * k) % 64)
             out = h if out is None else out.bitwiseXOR(h)
         return out
 

@@ -104,6 +104,9 @@ HEADLINE = [n for n in (
     "window_running_sum",
     "session_windows_per_user",
     "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "text_decontaminate",
     "similarity_topk_cosine",
     "text_quality_score",
+    "tpch_q8_market_share",
 ) if n in QUERIES]
