@@ -374,3 +374,54 @@ def test_redact_patterns(spark):
     ).collect()[0]
     assert r["c"] == "write <EMAIL> or call <NUM> now 42"
     assert r["n"] == 2
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistical scoring: TF-IDF terms, unigram cross-entropy
+
+def test_tfidf_top_terms_small(spark):
+    from uts_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", k=2)
+    rows = {(r.doc_id, r.rnk): r for r in out.collect()}
+    # doc 1: apple (tf=2, df=1) beats banana (tf=1, df=2)
+    assert rows[(1, 1)].term == "apple" and rows[(1, 1)].tf == 2
+    assert rows[(1, 2)].term == "banana"
+    # doc 3: cherry tf=3 df=2 -> 3*ln(1.5); durian tf=1 df=1 -> ln(3)
+    assert rows[(3, 1)].term == "cherry"
+    assert rows[(3, 1)].tfidf == pytest.approx(3 * 0.405465, abs=1e-5)
+    # ubiquitous term (df == n_docs) scores exactly 0
+    import math
+    for r in rows.values():
+        assert r.tfidf == pytest.approx(
+            r.tf * round(math.log(3 / r.df) * 1e6) / 1e6, abs=1e-12
+        )
+
+
+def test_unigram_xent_uniform_corpus(spark):
+    from uts_spark.functions.text import unigram_xent
+    import math
+
+    # two docs, two tokens each, all four distinct -> p=1/4 everywhere,
+    # xent == ln(4) for both docs
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_xent(df, "text", "doc_id").collect()}
+    for d in (1, 2):
+        assert out[d].n_tokens == 2
+        assert out[d].xent == pytest.approx(math.log(4), abs=1e-5)
+    # skewed doc scores LOWER than rare-token doc against corpus stats
+    df2 = spark.createDataFrame(
+        [(1, "x x x x x x x x"), (2, "y z w v")], "doc_id long, text string"
+    )
+    o2 = {r.doc_id: r.xent for r in unigram_xent(df2, "text", "doc_id").collect()}
+    assert o2[1] < o2[2]

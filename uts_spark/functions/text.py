@@ -384,6 +384,138 @@ def duck_chunk_windows(size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> 
     """
 
 
+# --------------------------------------------------------------------------
+# Corpus-statistical scoring: TF-IDF terms, unigram-LM cross-entropy
+#
+# Both operators need ln(), whose last ULP is not guaranteed identical
+# between the JVM and DuckDB's libm. To keep the oracle hash-exact, every
+# log is snapped to integer MICRO-NATS (round(ln(x)·1e6) as BIGINT) on both
+# engines; all downstream arithmetic (weighting by term counts, per-doc
+# sums) is then pure 64-bit integer math — order-independent and
+# bit-identical — and only the final displayed value divides back to
+# double in a fixed expression order.
+
+LOG_SCALE = 1_000_000
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
+    """Top-k TF-IDF terms per document.
+
+    tf = in-doc occurrences, idf = ln(N/df) in micro-nats, score =
+    tf · idf_u (exact BIGINT). Two shuffles total: (doc, term) counts,
+    then term document-frequencies joined back (term-key shuffle); N
+    rides in via a 1-row broadcast cross join. Ranking is a per-doc
+    window with (score DESC, term ASC) tie-break — deterministic."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
+    tf = (
+        base.select("doc_id", F.explode("__t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    idf_u = F.round(
+        F.log(F.col("__n").cast("double") / F.col("df")) * LOG_SCALE
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_u", F.col("tf") * idf_u)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_u"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tfidf_u").cast("double") / LOG_SCALE).alias("tfidf"),
+            "rnk",
+        )
+    )
+
+
+def duck_tfidf_top_terms(k: int = 3) -> str:
+    toks = duck_tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT doc_id, term, tf, df,
+             tf * CAST(ROUND(LN(CAST(n_docs AS DOUBLE)/df) * {LOG_SCALE})
+                       AS BIGINT) AS tfidf_u
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_u DESC, term ASC) AS rnk
+      FROM s)
+    SELECT doc_id, term, tf, df,
+           CAST(tfidf_u AS DOUBLE) / {LOG_SCALE} AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {k}
+    """
+
+
+def unigram_xent(df, text_col: str, id_col: str):
+    """Per-document unigram-LM cross-entropy (nats/token) against the
+    corpus's own unigram distribution — the classic cheap "perplexity"
+    quality signal for corpus filtering (low = templated/common, high =
+    rare-token soup).
+
+    surprisal_u(term) = round(−ln(ct/total)·1e6) micro-nats; per-doc
+    xent = Σ tf·surprisal_u / (1e6·n_tokens). Integer accumulation makes
+    the shuffle-order of the sum irrelevant. One (doc,term) shuffle, one
+    term-key join against the corpus term counts, totals broadcast."""
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
+    tf = (
+        base.select("doc_id", F.explode("__t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    tot = ct.select(F.sum("ct").alias("__tot"))
+    surp_u = F.round(
+        -F.log(F.col("ct").cast("double") / F.col("__tot")) * LOG_SCALE
+    ).cast("long")
+    per_doc = (
+        tf.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * surp_u).alias("__s"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("__s").cast("double") / F.col("n_tokens") / LOG_SCALE).alias("xent"),
+    )
+
+
+def duck_unigram_xent() -> str:
+    toks = duck_tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+    ct AS (SELECT term, SUM(tf) AS ct FROM tf GROUP BY term),
+    tot AS (SELECT SUM(ct) AS tot FROM ct),
+    s AS (
+      SELECT doc_id,
+             SUM(tf * CAST(ROUND(-LN(CAST(ct AS DOUBLE)/tot) * {LOG_SCALE})
+                           AS BIGINT)) AS su,
+             SUM(tf) AS n_tokens
+      FROM tf JOIN ct USING (term) CROSS JOIN tot
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(su AS DOUBLE) / n_tokens / {LOG_SCALE} AS xent
+    FROM s
+    """
+
+
 def redact(col: Column) -> Column:
     """PII-style redaction: emails → ``<EMAIL>``, runs of ≥ 6 digits →
     ``<NUM>``. Patterns restricted to the regex subset Java and RE2

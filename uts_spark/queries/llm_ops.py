@@ -686,3 +686,34 @@ def pipeline_training_prep(spark, sf_dir):
         "n_bpeish",
         F.floor(cum_before / F.lit(20000)).cast("long").alias("shard"),
     )
+
+
+# ===========================================================================
+# Corpus-statistical scoring (TF-IDF, unigram-LM cross-entropy)
+# ===========================================================================
+
+from uts_spark.functions.text import (  # noqa: E402
+    duck_tfidf_top_terms,
+    duck_unigram_xent,
+    tfidf_top_terms,
+    unigram_xent,
+)
+
+
+@query("text_tfidf_top_terms", duck_tfidf_top_terms(k=3))
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. Log values are snapped to integer
+    micro-nats on both engines (functions/text.py:LOG_SCALE) so the score
+    arithmetic and the (score, term) ranking are bit-exact vs the oracle.
+    Shuffle shape: (doc,term) count → term-key df join → per-doc window."""
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+@query("text_unigram_xent", duck_unigram_xent())
+def text_unigram_xent(spark, sf_dir):
+    """Unigram-LM cross-entropy per doc against the corpus's own unigram
+    distribution — the cheap 'perplexity' filter signal. Integer micro-nat
+    accumulation → shuffle-order-independent, hash-exact oracle."""
+    docs = table(spark, sf_dir, "documents")
+    return unigram_xent(docs, "text", "doc_id")
