@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from uts_spark.operators.joins import asof_join, binned_range_join
 from uts_spark.operators.topk import percentile_disc, top_k, top_k_per_group
-from uts_spark.registry import DAY, DSUM, MS, query, table
+from uts_spark.registry import DAY, DSUM, HOUR, MS, query, table
 
 DEC = "decimal(38,6)"
 
@@ -1346,4 +1346,65 @@ def funnel_signup_click_purchase(spark, sf_dir):
     )
     return s.join(c, "user_id", "left").join(p, "user_id", "left").select(
         "user_id", "t1", "t2", "t3"
+    )
+
+
+@query(
+    "join_asof_next_purchase",
+    f"""
+    WITH err AS (
+      SELECT event_id, user_id, {MS} AS t FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT event_id, user_id, {MS} AS t, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id, -t AS nt, 1 AS side, event_id, t AS lt,
+             NULL::DOUBLE AS pv, NULL::BIGINT AS pt FROM err
+      UNION ALL
+      SELECT user_id, -t, 0, event_id, NULL, value, t FROM pur
+    ),
+    m AS (
+      SELECT *,
+             last_value(pv IGNORE NULLS) OVER w AS mv,
+             last_value(pt IGNORE NULLS) OVER w AS mt
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY nt, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, lt AS ts_ms,
+           CASE WHEN abs(lt - mt) <= {2 * HOUR} THEN mv END
+             AS next_purchase_value
+    FROM m WHERE side = 1
+    """,
+)
+def join_asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of join with tolerance: each error enriched with the
+    next at-or-after purchase value for the same user, but only within
+    2 h (outside → NULL, pandas merge_asof semantics). Same union-window
+    plan as the backward join — forward just negates the time axis, so
+    the cost stays one shuffle + one sort on user_id; no per-key loop,
+    no correlated subquery (operators/joins.asof_join)."""
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", "value", "event_id"
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_time="ts_ms",
+        right_time="ts_ms",
+        right_payload=["value"],
+        order_col="event_id",
+        direction="forward",
+        tolerance=2 * HOUR,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ms",
+        F.col("value_right").alias("next_purchase_value"),
     )
