@@ -390,3 +390,60 @@ def test_enrich_stream_static_broadcast_lookup(spark, tmp_path):
         q.stop()
     got = {r["series"]: r["tier"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == {"a": "gold", "b": "basic", "c": None}
+
+
+def test_interval_join_stream_matches_across_batches(spark, tmp_path):
+    from uts_spark.streaming.ops import interval_join_stream
+
+    src, chk = _dirs(tmp_path)
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    MIN = 60_000
+    # NOT epoch 0: the query's initial watermark is 1970-01-01, and rows
+    # at-or-before the current watermark are discarded as late on input
+    BASE = 1_706_745_600_000
+    schema = StructType(
+        [
+            StructField("side", StringType()),
+            StructField("id", LongType()),
+            StructField("user", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    # batch 1: left row at t=0 for u1; a right row at t=5min (in window)
+    # batch 2: right row at t=8min (in window, LATE batch) and one at
+    #          t=20min (outside the 10-minute window); other-user row
+    b1 = [
+        ("L", 1, "u1", _ts(spark, BASE)),
+        ("R", 10, "u1", _ts(spark, BASE + 5 * MIN)),
+    ]
+    b2 = [
+        ("R", 11, "u1", _ts(spark, BASE + 8 * MIN)),
+        ("R", 12, "u1", _ts(spark, BASE + 20 * MIN)),
+        ("R", 13, "u2", _ts(spark, BASE + 5 * MIN)),
+    ]
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), schema)
+    lhs = stream.filter(F.col("side") == "L").select(
+        F.col("id").alias("l_id"), F.col("user"), F.col("ts").alias("l_ts")
+    )
+    rhs = stream.filter(F.col("side") == "R").select(
+        F.col("id").alias("r_id"), F.col("user"), F.col("ts").alias("r_ts")
+    )
+    out = interval_join_stream(
+        lhs, rhs, key="user", left_ts="l_ts", right_ts="r_ts",
+        lo_ms=0, hi_ms=10 * MIN, watermark="1 hour",
+    ).select("l_id", "r_id")
+    _feed(spark, src, b1, schema, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, schema, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # r10 matched in-batch; r11 matched against the STATE-buffered left
+    # row from batch 1; r12 outside window; r13 wrong key
+    assert got == {(1, 10), (1, 11)}

@@ -167,3 +167,51 @@ def stream_tumbling_agg_replay(spark, sf_dir):
     return got.filter(F.col("start") <= F.lit(max_ms)).select(
         "start", F.col("width").cast("long").alias("width"), "mean_value", "n"
     )
+
+
+@query(
+    "stream_interval_join_replay",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, {MS} AS t FROM events WHERE event_type = 'signup'
+    ),
+    c AS (
+      SELECT event_id, user_id, {MS} AS t FROM events WHERE event_type = 'click'
+    )
+    SELECT s.event_id AS signup_id, c.event_id AS click_id
+    FROM s JOIN c ON c.user_id = s.user_id
+                 AND c.t >= s.t AND c.t <= s.t + {DAY}
+    """,
+)
+def stream_interval_join_replay(spark, sf_dir):
+    """STREAM-STREAM inner interval join replayed through micro-batches
+    and hash-checked against the batch oracle: every (signup, click
+    within 1 day) pair must surface even when the two sides of a pair
+    arrive in different micro-batches (symmetric-hash join state). The
+    watermark exceeds the replay's disorder, so nothing is dropped as
+    late; the time-bound condition is what lets Spark evict state at
+    steady state (streaming/ops.interval_join_stream)."""
+    from uts_spark.streaming.ops import interval_join_stream
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click")
+    ).select("event_id", "user_id", "event_type", "ts")
+
+    def build(stream):
+        s = stream.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("s_ts"),
+        )
+        c = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("c_ts"),
+        )
+        out = interval_join_stream(
+            s, c, key="k", left_ts="s_ts", right_ts="c_ts",
+            lo_ms=0, hi_ms=DAY, watermark="60 days",
+        )
+        return out.select("signup_id", "click_id"), "append"
+
+    return _replay(spark, ev, build)

@@ -449,3 +449,45 @@ def zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo_ms: int,
+    hi_ms: int,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream INNER interval join: right rows with ``right_ts`` in
+    ``[left_ts + lo_ms, left_ts + hi_ms]`` for the same ``key``.
+
+    Both sides get an event-time watermark, and the join condition bounds
+    the event-time gap — together that is exactly what Spark needs to
+    EVICT join state: a buffered left row can be dropped once the right
+    watermark passes ``left_ts + hi_ms`` (and vice versa), so state is
+    O(rate × window), not O(stream). Without the time bound an inner
+    stream-stream join must buffer both streams forever.
+
+    Matches emit as they are found (inner-join append mode needs no
+    watermark finalization — only cleanup). ``left_ts``/``right_ts``
+    must be distinct TIMESTAMP column names; non-key columns should be
+    pre-renamed to avoid output ambiguity. Scale: one shuffle of each
+    side on ``key``, symmetric-hash state per key partition."""
+    assert left_ts != right_ts, "rename time columns to distinct names"
+    l = left.withWatermark(left_ts, watermark).alias("__l")
+    r = right.withWatermark(right_ts, watermark).alias("__r")
+    cond = (
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (
+            F.col(f"__r.{right_ts}")
+            >= F.col(f"__l.{left_ts}") + F.expr(f"INTERVAL {lo_ms} MILLISECOND")
+        )
+        & (
+            F.col(f"__r.{right_ts}")
+            <= F.col(f"__l.{left_ts}") + F.expr(f"INTERVAL {hi_ms} MILLISECOND")
+        )
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"__r.{key}"))
