@@ -425,3 +425,21 @@ def test_unigram_xent_uniform_corpus(spark):
     )
     o2 = {r.doc_id: r.xent for r in unigram_xent(df2, "text", "doc_id").collect()}
     assert o2[1] < o2[2]
+
+
+def test_pca_project_invariants(spark, emb):
+    from uts_spark.functions.similarity import pca_project
+
+    out, ratios = pca_project(emb, k=4)
+    # explained variance: descending, in (0,1], sums <= 1
+    assert all(r > 0 for r in ratios) and sum(ratios) <= 1.0 + 1e-9
+    assert ratios == sorted(ratios, reverse=True)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.components) == 4 for r in rows)
+    # projection is distance-preserving up to truncation: the component
+    # variance along dim 0 must dominate dim 3 on real data
+    import statistics
+    c0 = statistics.pvariance([r.components[0] for r in rows])
+    c3 = statistics.pvariance([r.components[3] for r in rows])
+    assert c0 >= c3

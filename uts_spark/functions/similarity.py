@@ -437,3 +437,39 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """PCA dimensionality reduction over an embedding column: project
+    each vector onto the top-``k`` principal components; also returns
+    the per-component explained-variance ratios.
+
+    Scale shape (100 TB): MLlib's PCA aggregates a d×d Gramian
+    DISTRIBUTED (one treeAggregate pass over the rows — cost ∝ n·d²/P
+    per executor), then eigendecomposes the tiny d×d matrix on the
+    driver; the projection back over the corpus is a broadcast
+    matrix-multiply transform. For embedding dims (d ≤ a few thousand)
+    this is exactly the right split — nothing quadratic in n anywhere.
+
+    The reference has no linear algebra at all (uts.ts has no vector
+    ops); this is a north-star extension for embedding-pipeline work
+    (decorrelation before quantization, whitening, cheap dim-reduce
+    ahead of ANN indexing)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = emb.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+    model = PCA(k=k, inputCol="__v", outputCol="__p").fit(v)
+    out = model.transform(v).select(
+        F.col(id_col),
+        vector_to_array(F.col("__p")).alias("components"),
+    )
+    return out, [float(x) for x in model.explainedVariance]

@@ -22,6 +22,7 @@ from uts_spark.functions.dedup import (
 from uts_spark.functions.hashing import duck_hash64
 from uts_spark.functions.similarity import (
     cosine_pairs_blocked,
+    pca_project,
     cosine_topk_blocked,
     ivf_topk,
     lsh_topk,
@@ -717,3 +718,16 @@ def text_unigram_xent(spark, sf_dir):
     accumulation → shuffle-order-independent, hash-exact oracle."""
     docs = table(spark, sf_dir, "documents")
     return unigram_xent(docs, "text", "doc_id")
+
+
+@query("embedding_pca_project")  # eigendecomposition → rows-only gate
+def embedding_pca_project(spark, sf_dir):
+    """PCA projection of every embedding onto the top-8 principal
+    components (functions/similarity.pca_project). Distributed Gramian
+    accumulation + driver-side d×d eigensolve + broadcast projection —
+    the scale-correct split for embedding dims. Not SQL-expressible
+    (eigenvector sign/order is solver-defined) → rows-only gate; the
+    variance/reconstruction invariants are pytest-checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    out, _ratios = pca_project(emb, k=8)
+    return out

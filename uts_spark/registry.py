@@ -109,4 +109,6 @@ HEADLINE = [n for n in (
     "similarity_topk_cosine",
     "text_quality_score",
     "tpch_q8_market_share",
+    "text_tfidf_top_terms",
+    "join_asof_next_purchase",
 ) if n in QUERIES]
