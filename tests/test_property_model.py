@@ -289,3 +289,61 @@ def test_derivative_matches_model(spark, times, vals, w):
     ]
     want = model_derivative(pts, w)
     assert got == want, (got, want, pts, w)
+
+
+# -- as-of join vs pandas merge_asof ----------------------------------------
+#
+# pandas.merge_asof is the de-facto reference semantics for as-of joins;
+# the union-window Spark plan (operators/joins.asof_join) must agree on
+# random data for backward/forward x tolerance. Unique timestamps per key
+# side-step merge_asof's intra-ts ordering ambiguity (the deterministic
+# tie-break is covered by the golden tests).
+
+import pandas as pd  # noqa: E402
+
+from uts_spark.operators.joins import asof_join  # noqa: E402
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 5, 50]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, data, direction, tolerance):
+    n_keys = data.draw(st.integers(1, 3))
+    left_rows, right_rows = [], []
+    for k in range(n_keys):
+        lts = data.draw(
+            st.lists(st.integers(0, 200), min_size=0, max_size=8, unique=True)
+        )
+        rts = data.draw(
+            st.lists(st.integers(0, 200), min_size=0, max_size=8, unique=True)
+        )
+        left_rows += [(f"k{k}", t) for t in lts]
+        right_rows += [(f"k{k}", t, float(t * 10 + k)) for t in rts]
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(left_rows, "key string, ts long")
+    right = spark.createDataFrame(right_rows, "key string, ts long, v double")
+    out = asof_join(
+        left, right, on="key", left_time="ts", right_time="ts",
+        right_payload=["v"], direction=direction, tolerance=tolerance,
+    )
+    got = {(r.key, r.ts): r.v_right for r in out.collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["key", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["key", "ts", "v"]).sort_values("ts")
+    exp_df = pd.merge_asof(
+        lp, rp, on="ts", by="key", direction=direction,
+        tolerance=tolerance,
+    )
+    exp = {
+        (r.key, r.ts): (None if pd.isna(r.v) else r.v)
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
