@@ -447,3 +447,70 @@ def test_interval_join_stream_matches_across_batches(spark, tmp_path):
     # r10 matched in-batch; r11 matched against the STATE-buffered left
     # row from batch 1; r12 outside window; r13 wrong key
     assert got == {(1, 10), (1, 11)}
+
+
+def test_interval_join_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    from uts_spark.streaming.ops import interval_join_stream
+
+    src, chk = _dirs(tmp_path)
+    name = f"oj_{uuid.uuid4().hex[:8]}"
+    MIN = 60_000
+    BASE = 1_706_745_600_000
+    schema = StructType(
+        [
+            StructField("side", StringType()),
+            StructField("id", LongType()),
+            StructField("user", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    # u1's left row gets a match; u2's never does. The sentinel right row
+    # far in the future advances the right watermark past u2's join
+    # window, which is what licenses the NULL-padded outer emission.
+    b1 = [
+        ("L", 1, "u1", _ts(spark, BASE)),
+        ("L", 2, "u2", _ts(spark, BASE)),
+        ("R", 10, "u1", _ts(spark, BASE + 5 * MIN)),
+    ]
+    # sentinels on BOTH sides: the outer join's effective watermark is the
+    # MIN across the two streams, so advancing only one side never
+    # licenses the NULL-padded emission
+    b2 = [
+        ("R", 99, "zz", _ts(spark, BASE + 500 * MIN)),
+        ("L", 97, "zz", _ts(spark, BASE + 500 * MIN)),
+    ]
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), schema)
+    lhs = stream.filter(F.col("side") == "L").select(
+        F.col("id").alias("l_id"), F.col("user").alias("k"), F.col("ts").alias("l_ts")
+    )
+    rhs = stream.filter(F.col("side") == "R").select(
+        F.col("id").alias("r_id"), F.col("user").alias("k"), F.col("ts").alias("r_ts")
+    )
+    out = interval_join_stream(
+        lhs, rhs, key="k", left_ts="l_ts", right_ts="r_ts",
+        lo_ms=0, hi_ms=10 * MIN, watermark="1 minute", how="left_outer",
+    ).select("l_id", "r_id")
+    _feed(spark, src, b1, schema, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, schema, 2)
+        q.processAllAvailable()
+        # outer results emit on the batch AFTER the watermark advances
+        _feed(
+            spark, src,
+            [
+                ("R", 98, "zz", _ts(spark, BASE + 600 * MIN)),
+                ("L", 96, "zz", _ts(spark, BASE + 600 * MIN)),
+            ],
+            schema, 3,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert (1, 10) in got
+    assert (2, None) in got

@@ -460,8 +460,9 @@ def interval_join_stream(
     lo_ms: int,
     hi_ms: int,
     watermark: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER interval join: right rows with ``right_ts`` in
+    """Stream-stream interval join: right rows with ``right_ts`` in
     ``[left_ts + lo_ms, left_ts + hi_ms]`` for the same ``key``.
 
     Both sides get an event-time watermark, and the join condition bounds
@@ -472,10 +473,16 @@ def interval_join_stream(
     stream-stream join must buffer both streams forever.
 
     Matches emit as they are found (inner-join append mode needs no
-    watermark finalization — only cleanup). ``left_ts``/``right_ts``
-    must be distinct TIMESTAMP column names; non-key columns should be
-    pre-renamed to avoid output ambiguity. Scale: one shuffle of each
-    side on ``key``, symmetric-hash state per key partition."""
+    watermark finalization — only cleanup). ``how="left_outer"`` /
+    ``"right_outer"``: the unmatched row emits with NULL other-side
+    columns only once the watermark passes its join window (it cannot
+    be declared match-less earlier) — Spark requires exactly the
+    watermark + time-bound combination this operator always builds.
+    ``left_ts``/``right_ts`` must be distinct TIMESTAMP column names;
+    non-key columns should be pre-renamed to avoid output ambiguity.
+    Scale: one shuffle of each side on ``key``, symmetric-hash state
+    per key partition."""
+    assert how in ("inner", "left_outer", "right_outer")
     assert left_ts != right_ts, "rename time columns to distinct names"
     l = left.withWatermark(left_ts, watermark).alias("__l")
     r = right.withWatermark(right_ts, watermark).alias("__r")
@@ -490,4 +497,4 @@ def interval_join_stream(
             <= F.col(f"__l.{left_ts}") + F.expr(f"INTERVAL {hi_ms} MILLISECOND")
         )
     )
-    return l.join(r, cond, "inner").drop(F.col(f"__r.{key}"))
+    return l.join(r, cond, how).drop(F.col(f"__r.{key}"))
