@@ -178,3 +178,26 @@ def test_time_rollup_single_expand_no_union(spark, sf_dir):
     p = plan(spark, sf_dir, "time_rollup_hierarchy")
     assert "Expand" in p          # ROLLUP = one Expand into one agg
     assert "Union" not in p       # never four scans unioned
+
+
+def test_tfidf_count_broadcasts_not_shuffles(spark, sf_dir):
+    # the corpus size N rides into the scoring join as a 1-row broadcast;
+    # a refactor that shuffles the tf table against it would add an
+    # exchange on nothing
+    p = plan(spark, sf_dir, "text_tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_forward_single_shuffle_no_python(spark, sf_dir):
+    # union-window as-of: ONE hashpartitioning exchange on user_id (plus
+    # at most AQE reads), never a per-key python merge
+    p = plan(spark, sf_dir, "join_asof_next_purchase")
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "Python" not in p and "FlatMapGroups" not in p
+
+
+def test_unigram_xent_broadcasts_total(spark, sf_dir):
+    p = plan(spark, sf_dir, "text_unigram_xent")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
