@@ -105,3 +105,40 @@ def test_anomaly_zscore_zero_variance_never_flags(spark):
     assert (
         anomaly_zscore(df, "key", "ts_ms", "value", window_ms=60_000).count() == 0
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC bars and TWAP
+
+def test_ohlc_open_close_tiebreak_and_extremes(spark):
+    from uts_spark.operators.timeseries import ohlc
+
+    rows = [
+        # key a, one bucket [0, 1000): two points at the SAME ts —
+        # order_col breaks the tie (open=id1, close=id2); high/low from
+        # the middle point
+        ("a", 100, 1, 5.0),
+        ("a", 100, 2, 7.0),
+        ("a", 500, 3, -1.0),
+        # key a, second bucket
+        ("a", 1500, 4, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, id long, v double")
+    out = {
+        (r.k, r.bucket_ms): (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc(df, "k", "t", "v", 1000, "id").collect()
+    }
+    assert out[("a", 0)] == (5.0, 7.0, -1.0, -1.0, 3)
+    assert out[("a", 1000)] == (9.0, 9.0, 9.0, 9.0, 1)
+
+
+def test_twap_weights_by_holding_time(spark):
+    from uts_spark.operators.timeseries import twap
+
+    # v=0 held for 900ms then v=10 held for 100ms → twap = 1.0
+    rows = [("a", 0, 1, 0.0), ("a", 900, 2, 10.0), ("a", 1000, 3, 0.0),
+            ("b", 42, 1, 3.0)]  # single point: zero span → NULL
+    df = spark.createDataFrame(rows, "k string, t long, id long, v double")
+    out = {r.k: (r.twap, r.n) for r in twap(df, "k", "t", "v", "id").collect()}
+    assert out["a"] == (1.0, 3)
+    assert out["b"][0] is None and out["b"][1] == 1

@@ -286,3 +286,67 @@ def anomaly_zscore(
         )
         .drop("__n", "__var")
     )
+
+
+def ohlc(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    interval_ms: int,
+    order_col: str,
+) -> DataFrame:
+    """OHLC bars: per (key, epoch-aligned bucket) the first (open),
+    max (high), min (low), and last (close) value — the canonical
+    financial/TSDB downsample. ONE hash aggregation: open/close are
+    ``min_by``/``max_by`` on a (time, order) struct, so no window pass
+    and no second shuffle; ties at equal timestamps resolve by the
+    unique ``order_col``."""
+    bucket = (
+        F.floor(F.col(time_col) / F.lit(int(interval_ms))).cast("long")
+        * F.lit(int(interval_ms))
+    ).alias("bucket_ms")
+    ordk = F.struct(F.col(time_col), F.col(order_col))
+    v = F.col(value_col)
+    return df.groupBy(F.col(key_col), bucket).agg(
+        F.min_by(v, ordk).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, ordk).alias("close"),
+        F.count(v).alias("n"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Time-weighted average price/value per key: each point's value
+    holds until the next point, so the mean weights each value by its
+    holding duration — the standard fix for irregularly-sampled series
+    where the arithmetic mean over-counts burst periods.
+
+    One lag/lead window + one aggregation, both on the same key
+    partitioning (single shuffle). The weighted sum runs through
+    DECIMAL(38,6) so accumulation order can't flip low bits (the same
+    stable-sum contract as operators/aggregates.stable_sum). Keys with
+    zero time span (single point / all-equal timestamps) yield NULL."""
+    w = Window.partitionBy(key_col).orderBy(time_col, order_col)
+    nxt = F.lead(time_col).over(w)
+    seg = df.select(
+        F.col(key_col),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+        nxt.alias("__nt"),
+    )
+    wsum = F.sum(
+        (F.col("__v") * (F.col("__nt") - F.col("__t"))).cast("decimal(38,6)")
+    ).cast("double")
+    span = F.max("__t") - F.min("__t")
+    return seg.groupBy(key_col).agg(
+        (wsum / F.nullif(span.cast("double"), F.lit(0.0))).alias("twap"),
+        F.count(F.lit(1)).alias("n"),
+    )

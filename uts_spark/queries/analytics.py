@@ -1408,3 +1408,39 @@ def join_asof_next_purchase(spark, sf_dir):
         "event_id", "user_id", "ts_ms",
         F.col("value_right").alias("next_purchase_value"),
     )
+
+
+@query(
+    "histogram_equidepth_deciles",
+    f"""
+    WITH d AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS mean_v
+    FROM d GROUP BY decile
+    """,
+)
+def histogram_equidepth_deciles(spark, sf_dir):
+    """EQUI-DEPTH histogram (decile buckets each holding ~n/10 rows) —
+    the complement of the fixed-width `histogram_event_values`. Exact
+    ntile needs a total order; this implementation pays one global sort
+    window (the honest exact form at bench scale). The 100 TB path is
+    range-partition by approx quantile boundaries + per-partition rank
+    with broadcast prefix counts — same outputs, no single-partition
+    window (SCALE.md pattern, as with pack_sequences_greedy)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    d = ev.select("value", F.ntile(10).over(w).alias("decile"))
+    return d.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v"),
+    )

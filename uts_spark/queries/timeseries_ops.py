@@ -177,3 +177,108 @@ def ts_anomaly_zscore(spark, sf_dir):
         min_points=10, threshold=3.0,
     )
     return out.select("event_id", "event_type", "ts_ms", "value", "z")
+
+
+from uts_spark.operators.timeseries import ohlc, twap  # noqa: E402
+
+
+@query(
+    "ts_ohlc_hourly",
+    f"""
+    WITH b AS (
+      SELECT event_type, ({MS} // {HOUR}) * {HOUR} AS bucket_ms,
+             {MS} AS t, event_id, value
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket_ms
+                           ORDER BY t, event_id) AS ra,
+        row_number() OVER (PARTITION BY event_type, bucket_ms
+                           ORDER BY t DESC, event_id DESC) AS rd
+      FROM b
+    )
+    SELECT event_type, bucket_ms,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(value) AS n
+    FROM w GROUP BY event_type, bucket_ms
+    """,
+)
+def ts_ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC bars per event_type: one hash aggregation — open and
+    close are min_by/max_by on a (time, event_id) struct, so there is no
+    window pass at all (the oracle's row_number formulation is the
+    semantics spec, not the plan)."""
+    ev = table(spark, sf_dir, "events")
+    return ohlc(ev, "event_type", "ts_ms", "value", HOUR, "event_id")
+
+
+@query(
+    "ts_twap_by_type",
+    f"""
+    WITH e AS (
+      SELECT event_type, {MS} AS t, event_id, value FROM events
+    ),
+    w AS (
+      SELECT *, lead(t) OVER (PARTITION BY event_type
+                              ORDER BY t, event_id) AS nt
+      FROM e
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(value * (nt - t) AS DECIMAL(38,6))) AS DOUBLE)
+             / NULLIF(CAST(MAX(t) - MIN(t) AS DOUBLE), 0.0) AS twap,
+           COUNT(*) AS n
+    FROM w GROUP BY event_type
+    """,
+)
+def ts_twap_by_type(spark, sf_dir):
+    """Time-weighted average value per event_type: each value weighted
+    by its holding duration (lead − t); decimal-stable weighted sum so
+    shuffle order can't flip low bits. One shuffle on the key for both
+    the window and the aggregation."""
+    ev = table(spark, sf_dir, "events")
+    return twap(ev, "event_type", "ts_ms", "value", "event_id")
+
+
+@query(
+    "ts_hopping_2d_1d",
+    f"""
+    WITH e AS (SELECT event_type, {MS} AS t, value FROM events),
+    x AS (
+      SELECT event_type, value,
+             unnest([((t // {DAY}) - 1) * {DAY}, (t // {DAY}) * {DAY}]) AS start
+      FROM e
+    )
+    SELECT start, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+             AS mean_value,
+           COUNT(*) AS n
+    FROM x GROUP BY start, event_type
+    """,
+)
+def ts_hopping_2d_1d(spark, sf_dir):
+    """HOPPING (sliding) window aggregation: 2-day windows every 1 day,
+    so each event lands in exactly two windows — Spark's native
+    ``F.window(ts, width, slide)`` (an internal explode, then the same
+    hash aggregation as tumbling; no self-join). The reference has only
+    back-to-back tumbling bins (uts.ts:100-147); overlapping windows are
+    a north-star extension."""
+    ev = table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "2 days", "1 day")
+    return (
+        ev.groupBy(w.alias("__w"), "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_millis(F.col("__w.start")).alias("start"),
+            "event_type", "mean_value", "n",
+        )
+    )
