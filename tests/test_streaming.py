@@ -514,3 +514,37 @@ def test_interval_join_stream_left_outer_emits_after_watermark(spark, tmp_path):
     }
     assert (1, 10) in got
     assert (2, None) in got
+
+
+def test_hopping_agg_stream_event_in_two_windows(spark, tmp_path):
+    src, chk = _dirs(tmp_path)
+    name = f"hop_{uuid.uuid4().hex[:8]}"
+    MIN = 60_000
+    BASE = 1_706_745_600_000  # minute-0 aligned
+    # one event at minute 25: with 20-min windows sliding every 10 min it
+    # belongs to the [10,30) and [20,40) windows only
+    b1 = [("a", _ts(spark, BASE + 25 * MIN), 4.0)]
+    b2 = [("a", _ts(spark, BASE + 300 * MIN), 0.0)]  # closes everything
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+    out = tumbling_agg_stream(
+        stream,
+        {"mean_value": Metric("mean", "value"), "n": Metric("count")},
+        interval_ms=20 * MIN,
+        time_col="ts",
+        watermark="0 seconds",
+        slide_ms=10 * MIN,
+    )
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, TS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["start"] - BASE: (r["mean_value"], r["n"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {10 * MIN: (4.0, 1), 20 * MIN: (4.0, 1)}

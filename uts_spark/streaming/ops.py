@@ -72,6 +72,7 @@ def tumbling_agg_stream(
     time_col: str = "ts",
     watermark: str = "1 hour",
     key_cols: Iterable[str] = (),
+    slide_ms: int | None = None,
 ) -> DataFrame:
     """IntervalGrouper on a stream: watermarked tumbling-window aggregation
     with the SAME exact-fidelity aggregate expressions as the batch path
@@ -80,11 +81,20 @@ def tumbling_agg_stream(
     grouper; append output mode finalizes a window when the watermark
     passes its end.
 
+    ``slide_ms`` < ``interval_ms`` turns the windows HOPPING (each event
+    lands in ``interval/slide`` overlapping windows — Spark's window
+    expression does the fan-out inside the same hash aggregation; no
+    self-join, state still watermark-evicted per window).
+
     ``fill=true`` (empty-bin synthesis) intentionally does NOT exist here:
     a stream cannot enumerate bins that never received data without a
     driver-side clock — consumers wanting gap-fill join against a calendar
     spine downstream (documented divergence)."""
-    w = F.window(F.col(time_col), f"{interval_ms} milliseconds")
+    w = F.window(
+        F.col(time_col),
+        f"{interval_ms} milliseconds",
+        f"{slide_ms} milliseconds" if slide_ms else f"{interval_ms} milliseconds",
+    )
     exprs = [
         agg.agg_expr(m, order_col=time_col).alias(k) for k, m in metrics.items()
     ]
