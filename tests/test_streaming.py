@@ -548,3 +548,60 @@ def test_hopping_agg_stream_event_in_two_windows(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert got == {10 * MIN: (4.0, 1), 20 * MIN: (4.0, 1)}
+
+
+def test_streaming_restart_from_checkpoint_preserves_state(spark, tmp_path):
+    """Kill a watermarked aggregation mid-stream and restart it from the
+    SAME checkpoint: the window that straddles the restart must still
+    aggregate rows from both runs (state restored), and windows already
+    emitted must not re-emit (offsets restored). Uses the parquet FILE
+    sink — the memory sink is explicitly non-recoverable (Spark refuses
+    a checkpointed restart on it); file sink + checkpoint is the real
+    exactly-once production shape."""
+    src, chk = _dirs(tmp_path)
+    out_dir = str(tmp_path / "out")
+    MIN = 60_000
+    BASE = 1_706_745_600_000
+    b1 = [("a", _ts(spark, BASE + 1 * MIN), 1.0),
+          ("a", _ts(spark, BASE + 2 * MIN), 3.0)]
+    b2 = [("a", _ts(spark, BASE + 4 * MIN), 5.0),     # same 10-min window
+          ("a", _ts(spark, BASE + 120 * MIN), 0.0)]   # closes it
+
+    def start():
+        stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+        out = tumbling_agg_stream(
+            stream,
+            {"mean_value": Metric("mean", "value"), "n": Metric("count")},
+            interval_ms=10 * MIN,
+            time_col="ts",
+            watermark="0 seconds",
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # second run: NEW query object, same checkpoint; more rows arrive
+    _feed(spark, src, b2, TS_SCHEMA, 2)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        r["start"] - BASE: (r["mean_value"], r["n"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the [0,10min) window merges rows from BOTH runs: (1+3+5)/3
+    assert got[0] == (3.0, 3)
