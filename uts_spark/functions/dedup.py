@@ -392,7 +392,10 @@ def simhash_band_pairs(
     assert SIMHASH_BITS % bands == 0
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    sk = simhash(df, text_col, id_col)
+    # cache: the banded self-join reads the sketch table twice, and
+    # without this the tokenize+md5+48-sum pass runs twice (ReusedExchange
+    # does not fire across the self-join's two differently-aliased scans)
+    sk = simhash(df, text_col, id_col).cache()
     slices = sk.select(
         "id",
         "simhash",
@@ -416,14 +419,18 @@ def simhash_band_pairs(
     b = slices.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("__hb"), "band", "slice"
     )
+    # hamming verify BEFORE the dedup shuffle: bit_count(xor) is a cheap
+    # per-row expression, and filtering first shrinks the distinct()'s
+    # input from "pairs sharing any band" to actual near-dups (same
+    # result — the filter is deterministic per pair)
     cand = (
         a.join(b, ["band", "slice"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha", "__hb")
+        .withColumn(
+            "hamming", hamming64(F.col("__ha"), F.col("__hb")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        hamming64(F.col("__ha"), F.col("__hb")).cast("long").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    return cand
