@@ -69,3 +69,39 @@ def test_csv_json_roundtrip(spark, tmp_path):
 
     assert rows(c) == rows(df)
     assert rows(j) == rows(df)
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key at write time → the equi-join
+    runs with NO Exchange at all (the co-located-join play: pay the
+    shuffle once at ingest, reuse it for every later join/groupBy on
+    that key). Broadcast is disabled so the bucketing — not a broadcast
+    — is what removes the shuffle."""
+    import uuid as _uuid
+
+    from uts_spark.sources.sinks import write_bucketed
+
+    sfx = _uuid.uuid4().hex[:8]
+    t_o, t_c = f"orders_b_{sfx}", f"cust_b_{sfx}"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, t_o, ["o_custkey"], n_buckets=8)
+        write_bucketed(cust, t_c, ["c_custkey"], n_buckets=8)
+        bo, bc = spark.table(t_o), spark.table(t_c)
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # result correctness vs the unbucketed join
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
