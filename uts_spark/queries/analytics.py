@@ -1444,3 +1444,46 @@ def histogram_equidepth_deciles(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("mean_v"),
     )
+
+
+@query(
+    "cohort_retention_weekly",
+    f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, ({MS} // {7 * DAY}) * {7 * DAY} AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           (a.week - c.cohort_week) // {7 * DAY} AS week_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by their first-activity
+    week; each later active week counts them at that week offset — the
+    classic product-analytics triangle. Shapes: distinct (user, week)
+    → per-user min (cohort) → self-join on user → count. Both shuffles
+    key on user_id, so at scale this is one repartition reused across
+    the min and the join (AQE coalesces the tail)."""
+    WEEK = 7 * DAY
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        ((F.col("ts_ms") / WEEK).cast("long") * WEEK).alias("week"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.col("week") - F.col("cohort_week")) / WEEK)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
