@@ -1487,3 +1487,39 @@ def cohort_retention_weekly(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "map_function_pack",
+    """
+    SELECT event_id,
+           map_keys(map([event_type], [value]))[1]                AS mk,
+           CAST(map([event_type], [value])[event_type][1] AS DOUBLE) AS mv,
+           CAST(cardinality(map([event_type], [value])) AS BIGINT)   AS msize,
+           CAST(cardinality(map_concat(map([event_type], [value]),
+                                       map(['x'], [CAST(9.0 AS DOUBLE)]))) AS BIGINT) AS m2size,
+           value * 2                                              AS mv2
+    FROM events
+    """,
+)
+def map_function_pack(spark, sf_dir):
+    """MAP-typed scalar function coverage (complements
+    scalar_function_pack and the schemaless payload mode): create_map,
+    map_keys, element_at, size, map_concat, and the map HOF
+    transform_values — all checked through scalar projections (map CELLS
+    never cross the oracle boundary; key order inside a map is
+    engine-defined). One narrow pass, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m)[0].alias("mk"),
+        F.element_at(m, F.col("event_type")).alias("mv"),
+        F.size(m).cast("long").alias("msize"),
+        F.size(F.map_concat(m, F.create_map(F.lit("x"), F.lit(9.0))))
+        .cast("long")
+        .alias("m2size"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: v * 2), F.col("event_type")
+        ).alias("mv2"),
+    )
