@@ -347,3 +347,63 @@ def test_asof_join_matches_pandas_merge_asof(spark, data, direction, tolerance):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+# -- PPJoin-style Jaccard pair filters vs brute force -----------------------
+#
+# ngram_jaccard_pairs stacks four prunings (prefix filter, size-ratio,
+# positional bound, Vernica count bound) that must NEVER drop a true
+# pair. Fuzz small corpora against an O(n^2) python brute force of the
+# same shingle definition, for both prefix orders.
+
+VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+def _brute_jaccard_pairs(docs, n, threshold):
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1:]:
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out[(ida, idb)] = j
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+    order=st.sampled_from(["freq", "hash"]),
+)
+def test_ngram_jaccard_pairs_match_brute_force(spark, data, threshold, order):
+    from uts_spark.functions.dedup import ngram_jaccard_pairs
+
+    n_docs = data.draw(st.integers(2, 8))
+    docs = []
+    for i in range(n_docs):
+        toks = data.draw(
+            st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12)
+        )
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=threshold, prefix_order=order
+        ).collect()
+    }
+    exp = _brute_jaccard_pairs(docs, 3, threshold)
+    assert set(got) == set(exp)
+    for k, j in exp.items():
+        assert got[k] == pytest.approx(j, abs=1e-12)
