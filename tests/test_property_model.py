@@ -407,3 +407,58 @@ def test_ngram_jaccard_pairs_match_brute_force(spark, data, threshold, order):
     assert set(got) == set(exp)
     for k, j in exp.items():
         assert got[k] == pytest.approx(j, abs=1e-12)
+
+
+# -- pointer-jumping connected components vs union-find ---------------------
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    label = {}
+    for x in range(n_nodes):
+        r = find(x)
+        label.setdefault(r, min(i for i in range(n_nodes) if find(i) == r))
+    return {x: label[find(x)] for x in range(n_nodes)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_connected_components_match_union_find(spark, data):
+    from uts_spark.functions.clustering import connected_components
+
+    n_nodes = data.draw(st.integers(2, 12))
+    n_edges = data.draw(st.integers(1, 18))
+    edges = [
+        (
+            data.draw(st.integers(0, n_nodes - 1)),
+            data.draw(st.integers(0, n_nodes - 1)),
+        )
+        for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_rounds=12).collect()
+    }
+    exp = _uf_components(n_nodes, edges)
+    # spark output only covers nodes that appear in edges
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert got == {x: exp[x] for x in touched}
