@@ -528,3 +528,107 @@ def redaction_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))) + F.size(
         F.regexp_extract_all(col, F.lit(DIGITS_RE), F.lit(0))
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS scheme)
+
+WINNOW_K = 8   # char k-gram width
+WINNOW_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares a fp)
+_WINNOW_POS_BITS = 14  # (48-bit hash << 14) + pos stays under 2^62
+
+
+def winnow_fingerprints(df, text_col: str, id_col: str,
+                        k: int = WINNOW_K, w: int = WINNOW_W):
+    """Rolling-hash document fingerprints by WINNOWING: hash every
+    k-char gram, slide a w-gram window, keep each window's minimum —
+    the classic local fingerprinting scheme (any substring match of
+    length ≥ k+w−1 between two docs is guaranteed to share a selected
+    fingerprint, at ~2/(w+1) selection density).
+
+    Engine shape: one explode to (doc, pos, gram-hash) — no UDF, the
+    gram hash is the portable 48-bit md5 prefix — then ONE window-min
+    pass partitioned by doc and a distinct. (h, pos) packs into a
+    single BIGINT so the window min carries the position tie-break for
+    free; positions ≥ 2^14 are dropped (guard for megadocs — raise
+    ``_WINNOW_POS_BITS`` for book-length texts).
+
+    Returns (doc_id, fp_hash, fp_pos) — the inverted index for
+    substring-level duplicate detection: group by fp_hash to find
+    cross-document shared regions (cheaper and more local than shingle
+    Jaccard when the target is COPIED SPANS rather than whole-doc
+    similarity)."""
+    from pyspark.sql.window import Window
+
+    pos_mod = 1 << _WINNOW_POS_BITS
+    n = F.length(F.col(text_col))
+    nk = n - k + 1
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        nk.alias("__nk"),
+    ).filter(F.col("__nk") >= 1)
+    g = base.select(
+        "doc_id",
+        "__nk",
+        F.explode(F.sequence(F.lit(1), F.least(F.col("__nk"), F.lit(pos_mod - 1))))
+        .alias("pos"),
+        "__text",
+    )
+    h48 = F.conv(
+        F.substring(F.md5(F.col("__text").substr(F.col("pos"), F.lit(k))), 1, 12),
+        16, 10,
+    ).cast("long")
+    keyed = g.select(
+        "doc_id", "__nk", "pos", (h48 * pos_mod + F.col("pos")).alias("__key")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        keyed.withColumn("__wkey", F.min("__key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("__nk") - w + 1))
+        .select("doc_id", "__wkey")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.col("__wkey") / pos_mod).cast("long").alias("fp_hash"),
+        (F.col("__wkey") % pos_mod).alias("fp_pos"),
+    )
+
+
+def duck_winnow_fingerprints(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    pos_mod = 1 << _WINNOW_POS_BITS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) - {k} + 1 AS nk FROM documents
+      WHERE length(text) - {k} + 1 >= 1
+    ),
+    g AS (
+      SELECT doc_id, nk,
+             unnest(range(1, least(nk, {pos_mod - 1}) + 1)) AS pos, text
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, nk, pos,
+             CAST(('0x' || substr(md5(substr(text, pos, {k})), 1, 12))
+                  AS BIGINT) * {pos_mod} + pos AS key
+      FROM g
+    ),
+    wm AS (
+      SELECT doc_id, nk, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS wkey
+      FROM h
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wkey FROM wm
+      WHERE pos <= greatest(1, nk - {w} + 1)
+    )
+    SELECT doc_id, wkey // {pos_mod} AS fp_hash, wkey % {pos_mod} AS fp_pos
+    FROM sel
+    """

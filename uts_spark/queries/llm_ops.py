@@ -731,3 +731,20 @@ def embedding_pca_project(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     out, _ratios = pca_project(emb, k=8)
     return out
+
+
+from uts_spark.functions.text import (  # noqa: E402
+    duck_winnow_fingerprints,
+    winnow_fingerprints,
+)
+
+
+@query("text_winnow_fingerprints", duck_winnow_fingerprints())
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling k-gram hash, per-window minimum) fingerprints
+    per document — the substring-level complement to the whole-doc
+    min-hash `text_fingerprint`: any ≥ k+w−1-char copied span between
+    two docs shares a fingerprint. One explode + one window-min, all
+    JVM-side."""
+    docs = table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id")
