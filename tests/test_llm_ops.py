@@ -443,3 +443,28 @@ def test_pca_project_invariants(spark, emb):
     c0 = statistics.pvariance([r.components[0] for r in rows])
     c3 = statistics.pvariance([r.components[3] for r in rows])
     assert c0 >= c3
+
+
+def test_winnow_shared_span_guarantees_shared_fingerprint(spark):
+    from uts_spark.functions.text import winnow_fingerprints, WINNOW_K, WINNOW_W
+
+    span = "the quick brown fox jumps"          # >> k+w-1 chars
+    docs = [
+        (1, "aaa bbb ccc " + span + " ddd eee"),
+        (2, "zzz yyy " + span + " xxx"),
+        (3, "completely unrelated words qqq www"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = winnow_fingerprints(df, "text", "doc_id").collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    # the winnowing guarantee: a common substring of >= k+w-1 chars must
+    # surface at least one common selected fingerprint
+    assert len(span) >= WINNOW_K + WINNOW_W - 1
+    assert by_doc[1] & by_doc[2]
+    # positions stay within the doc
+    assert all(1 <= r.fp_pos <= len(docs[r.doc_id - 1][1]) for r in fp)
+    # short doc below k chars yields nothing rather than erroring
+    tiny = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
+    assert winnow_fingerprints(tiny, "text", "doc_id").count() == 0
