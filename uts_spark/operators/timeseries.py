@@ -330,10 +330,16 @@ def twap(
     where the arithmetic mean over-counts burst periods.
 
     One lag/lead window + one aggregation, both on the same key
-    partitioning (single shuffle). The weighted sum runs through
-    DECIMAL(38,6) so accumulation order can't flip low bits (the same
-    stable-sum contract as operators/aggregates.stable_sum). Keys with
-    zero time span (single point / all-equal timestamps) yield NULL."""
+    partitioning (single shuffle). Exactness: each weighted product is
+    snapped to an integer via ROUND(v*dt*2^20) — a power-of-TWO scale
+    only shifts the exponent (no new rounding error), and both engines
+    round half AWAY FROM ZERO, so every summand is the identical
+    integer; the DECIMAL(38,0) sum is then order-independent. (A
+    double→DECIMAL(38,6) cast here is NOT portable: the engines round
+    that cast differently on tie digits — caught by the sf0.001 oracle
+    sweep.) Keys with zero time span (single point / all-equal
+    timestamps) yield NULL."""
+    scale = 1 << 20
     w = Window.partitionBy(key_col).orderBy(time_col, order_col)
     nxt = F.lead(time_col).over(w)
     seg = df.select(
@@ -343,10 +349,11 @@ def twap(
         nxt.alias("__nt"),
     )
     wsum = F.sum(
-        (F.col("__v") * (F.col("__nt") - F.col("__t"))).cast("decimal(38,6)")
+        F.round(F.col("__v") * (F.col("__nt") - F.col("__t")) * scale)
+        .cast("decimal(38,0)")
     ).cast("double")
     span = F.max("__t") - F.min("__t")
     return seg.groupBy(key_col).agg(
-        (wsum / F.nullif(span.cast("double"), F.lit(0.0))).alias("twap"),
+        (wsum / scale / F.nullif(span.cast("double"), F.lit(0.0))).alias("twap"),
         F.count(F.lit(1)).alias("n"),
     )

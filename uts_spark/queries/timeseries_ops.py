@@ -228,7 +228,8 @@ def ts_ohlc_hourly(spark, sf_dir):
       FROM e
     )
     SELECT event_type,
-           CAST(SUM(CAST(value * (nt - t) AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(ROUND(value * (nt - t) * 1048576) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1048576
              / NULLIF(CAST(MAX(t) - MIN(t) AS DOUBLE), 0.0) AS twap,
            COUNT(*) AS n
     FROM w GROUP BY event_type
