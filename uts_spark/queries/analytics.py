@@ -1523,3 +1523,30 @@ def map_function_pack(spark, sf_dir):
             F.transform_values(m, lambda k, v: v * 2), F.col("event_type")
         ).alias("mv2"),
     )
+
+
+@query(
+    "percentile_disc_by_type",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), ps(p) AS (SELECT UNNEST([0.5, 0.9, 0.99]))
+    SELECT event_type, p, value
+    FROM ranked JOIN ps ON rn = GREATEST(CAST(CEIL(p * n) AS BIGINT), 1)
+    """,
+)
+def percentile_disc_by_type(spark, sf_dir):
+    """GROUPED discrete percentiles: p50/p90/p99 of value per
+    event_type — the per-key latency-quantile shape. Same
+    ceil(p·n)-rank pick as the global variant, but the window
+    partitions by the group key, so the sort shards per key instead of
+    going global (operators/topk.percentile_disc with group_cols)."""
+    ev = table(spark, sf_dir, "events")
+    return percentile_disc(
+        ev, "value", [0.5, 0.9, 0.99],
+        group_cols=["event_type"], tie_break="event_id",
+    )
