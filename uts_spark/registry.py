@@ -111,4 +111,7 @@ HEADLINE = [n for n in (
     "tpch_q8_market_share",
     "text_tfidf_top_terms",
     "join_asof_next_purchase",
+    "ts_ohlc_hourly",
+    "ts_twap_by_type",
+    "cohort_retention_weekly",
 ) if n in QUERIES]
