@@ -605,3 +605,60 @@ def test_streaming_restart_from_checkpoint_preserves_state(spark, tmp_path):
     }
     # the [0,10min) window merges rows from BOTH runs: (1+3+5)/3
     assert got[0] == (3.0, 3)
+
+
+def test_streaming_composed_pipeline_dedup_enrich_window(spark, tmp_path):
+    """The composed production shape in ONE streaming query: watermark →
+    dropDuplicatesWithinWatermark → broadcast static enrich → tumbling
+    window agg (two chained stateful operators + a stateless join).
+    Duplicate rows across micro-batches must be counted once, enrichment
+    must come from the static dim, and windows must finalize."""
+    from uts_spark.streaming.ops import (
+        dedup_within_watermark,
+        enrich_stream_static,
+        tumbling_agg_stream,
+    )
+
+    src, chk = _dirs(tmp_path)
+    name = f"pipe_{uuid.uuid4().hex[:8]}"
+    MIN = 60_000
+    BASE = 1_706_745_600_000
+    dim = spark.createDataFrame(
+        [("a", 2.0), ("b", 10.0)], "series string, weight double"
+    )
+    b1 = [("a", _ts(spark, BASE + 1 * MIN), 5.0),
+          ("a", _ts(spark, BASE + 1 * MIN), 5.0),   # in-batch duplicate
+          ("b", _ts(spark, BASE + 2 * MIN), 1.0)]
+    b2 = [("a", _ts(spark, BASE + 1 * MIN), 5.0),   # cross-batch duplicate
+          ("a", _ts(spark, BASE + 120 * MIN), 0.0)]  # closes the window
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+    deduped = dedup_within_watermark(
+        stream, ["series", "ts", "value"], time_col="ts", watermark="1 hour"
+    )
+    enriched = enrich_stream_static(deduped, dim, "series").withColumn(
+        "wvalue", F.col("value") * F.col("weight")
+    )
+    out = tumbling_agg_stream(
+        enriched,
+        {"wsum": Metric("sum", "wvalue"), "n": Metric("count")},
+        interval_ms=10 * MIN,
+        time_col="ts",
+        watermark=None,  # inherit the dedup's watermark (no redefinition)
+        key_cols=("series",),
+    )
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, TS_SCHEMA, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["series"], r["start"] - BASE): (r["wsum"], r["n"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # dup rows collapsed to ONE 'a' row: 5.0 * 2.0 = 10.0; b: 1.0 * 10.0
+    assert got[("a", 0)] == (10.0, 1)
+    assert got[("b", 0)] == (10.0, 1)

@@ -70,7 +70,7 @@ def tumbling_agg_stream(
     metrics: Mapping[str, Metric],
     interval_ms: int,
     time_col: str = "ts",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     key_cols: Iterable[str] = (),
     slide_ms: int | None = None,
 ) -> DataFrame:
@@ -98,11 +98,11 @@ def tumbling_agg_stream(
     exprs = [
         agg.agg_expr(m, order_col=time_col).alias(k) for k, m in metrics.items()
     ]
-    out = (
-        df.withWatermark(time_col, watermark)
-        .groupBy(w.alias("__w"), *key_cols)
-        .agg(*exprs)
-    )
+    # watermark=None: inherit the watermark already defined upstream —
+    # required when chaining stateful operators (Spark disallows
+    # REDEFINING the watermark mid-plan, e.g. after a streaming dedup)
+    src = df.withWatermark(time_col, watermark) if watermark is not None else df
+    out = src.groupBy(w.alias("__w"), *key_cols).agg(*exprs)
     return out.select(
         F.unix_millis(F.col("__w.start")).alias("start"),
         F.lit(int(interval_ms)).alias("width"),
