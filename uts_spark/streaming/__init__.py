@@ -1,6 +1,7 @@
 from uts_spark.streaming.ops import (
     dedup_within_watermark,
     enrich_stream_static,
+    interval_join_stream,
     derivative_stateful_stream,
     derivative_tws_stream,
     read_parquet_stream,
@@ -19,6 +20,7 @@ __all__ = [
     "uts_interval_agg_stream",
     "dedup_within_watermark",
     "enrich_stream_static",
+    "interval_join_stream",
     "zscore_stream",
     "derivative_stateful_stream",
     "derivative_tws_stream",
