@@ -468,3 +468,23 @@ def test_winnow_shared_span_guarantees_shared_fingerprint(spark):
     # short doc below k chars yields nothing rather than erroring
     tiny = spark.createDataFrame([(9, "abc")], "doc_id long, text string")
     assert winnow_fingerprints(tiny, "text", "doc_id").count() == 0
+
+
+def test_chunk_udtf_matches_native_expression_path(spark, docs):
+    """The python UDTF fallback must be row-identical to the native
+    explode/slice chunker on real documents (SQL LATERAL application)."""
+    from uts_spark.functions.text import chunk_windows
+    from uts_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    sample = docs.limit(20)
+    sample.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM udtf_docs d, LATERAL chunk_windows_udtf(d.text) c
+        """
+    ).collect()
+    exp = chunk_windows(sample, "text", "doc_id").collect()
+    assert sorted(((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in got)) == \
+           sorted(((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in exp))
