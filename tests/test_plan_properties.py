@@ -201,3 +201,24 @@ def test_unigram_xent_broadcasts_total(spark, sf_dir):
     p = plan(spark, sf_dir, "text_unigram_xent")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_ohlc_is_single_aggregation_no_window(spark, sf_dir):
+    # open/close via min_by/max_by structs: one hash agg, never a
+    # window pass (a window would add a sort + full-row shuffle)
+    p = plan(spark, sf_dir, "ts_ohlc_hourly")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 1  # partial/final agg pair
+
+
+def test_winnow_is_jvm_side_single_window(spark, sf_dir):
+    p = plan(spark, sf_dir, "text_winnow_fingerprints")
+    assert "Python" not in p  # rolling hash is pure expressions
+    assert p.count("Window") == 1
+
+
+def test_hopping_window_no_self_join(spark, sf_dir):
+    # F.window(w, slide) fans out inside the aggregation; a naive
+    # implementation would self-join the table per offset
+    p = plan(spark, sf_dir, "ts_hopping_2d_1d")
+    assert "Join" not in p
