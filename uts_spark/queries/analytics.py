@@ -1550,3 +1550,48 @@ def percentile_disc_by_type(spark, sf_dir):
         ev, "value", [0.5, 0.9, 0.99],
         group_cols=["event_type"], tie_break="event_id",
     )
+
+
+@query(
+    "array_function_pack",
+    """
+    WITH t AS (
+      SELECT event_id, value, [value, value * 2, CAST(100.0 AS DOUBLE)] AS arr
+      FROM events
+    )
+    SELECT event_id,
+           list_reduce(arr, (acc, x) -> acc + x)                 AS asum,
+           list_transform(arr, x -> x * 2)[2]                    AS atrans,
+           CAST(len(list_filter(arr, x -> x > 100.0)) AS BIGINT) AS nbig,
+           len(list_filter(arr, x -> x > 100.0)) > 0             AS aexists,
+           len(list_filter(arr, x -> x > 0.0)) = len(arr)        AS aforall,
+           list_sort(arr)[1]                                     AS asmallest,
+           CAST(len(flatten([arr, [CAST(0.0 AS DOUBLE)]])) AS BIGINT) AS nflat,
+           CAST(list_position(arr, value) AS BIGINT)             AS apos
+    FROM t
+    """,
+)
+def array_function_pack(spark, sf_dir):
+    """ARRAY higher-order-function coverage: aggregate (left fold — both
+    engines fold 3 elements in the same order, so the double sum is
+    bit-exact), transform, filter, exists/forall (expressed through the
+    same filter-count both engines share), sort_array, flatten,
+    array_position. All JVM-side lambda expressions, one narrow pass,
+    no shuffle — the HOF surface that makes UDFs unnecessary for array
+    work."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.array(F.col("value"), F.col("value") * 2, F.lit(100.0))
+    t = ev.select("event_id", "value", arr.alias("arr"))
+    return t.select(
+        "event_id",
+        F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x).alias("asum"),
+        F.transform("arr", lambda x: x * 2)[1].alias("atrans"),
+        F.size(F.filter("arr", lambda x: x > 100.0)).cast("long").alias("nbig"),
+        F.exists("arr", lambda x: x > 100.0).alias("aexists"),
+        F.forall("arr", lambda x: x > 0.0).alias("aforall"),
+        F.array_sort("arr")[0].alias("asmallest"),
+        F.size(F.flatten(F.array(F.col("arr"), F.array(F.lit(0.0)))))
+        .cast("long")
+        .alias("nflat"),
+        F.array_position("arr", F.col("value")).cast("long").alias("apos"),
+    )
