@@ -1595,3 +1595,76 @@ def array_function_pack(spark, sf_dir):
         .alias("nflat"),
         F.array_position("arr", F.col("value")).cast("long").alias("apos"),
     )
+
+
+def _acf_sql(k: int) -> str:
+    """Pearson corr of (value, lag-k value) from decimal-exact sums."""
+    return f"""(nx{k} * sxy{k} - sx{k} * sy{k})
+             / (sqrt(nx{k} * sxx{k} - sx{k} * sx{k})
+                * sqrt(nx{k} * syy{k} - sy{k} * sy{k}))"""
+
+
+@query(
+    "ts_autocorrelation",
+    f"""
+    WITH o AS (
+      SELECT event_type, value,
+             {", ".join(f"lag(value, {k}) OVER (PARTITION BY event_type ORDER BY {MS}, event_id) AS l{k}" for k in (1, 2, 3))}
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             {", ".join(
+                f"COUNT(l{k}) AS nx{k}, "
+                f"{DSUM(f'CASE WHEN l{k} IS NOT NULL THEN value END')} AS sx{k}, "
+                f"{DSUM(f'l{k}')} AS sy{k}, "
+                f"{DSUM(f'CASE WHEN l{k} IS NOT NULL THEN value * value END')} AS sxx{k}, "
+                f"{DSUM(f'l{k} * l{k}')} AS syy{k}, "
+                f"{DSUM(f'value * l{k}')} AS sxy{k}"
+                for k in (1, 2, 3))}
+      FROM o GROUP BY event_type
+    )
+    SELECT event_type,
+           {", ".join(f"{_acf_sql(k)} AS acf{k}" for k in (1, 2, 3))}
+    FROM m
+    """,
+)
+def ts_autocorrelation(spark, sf_dir):
+    """Lag-1/2/3 autocorrelation of value per event_type — the classic
+    seasonality/persistence diagnostic. One window pass builds the
+    three lag columns, one aggregation computes all exact decimal
+    moments (restricted per lag to rows WHERE the lag exists, so each
+    ACF is the true Pearson corr of the overlapping pairs); the final
+    arithmetic runs in identical expression order on both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    o = ev.select(
+        "event_type",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+    aggs = []
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        present = lk.isNotNull()
+        aggs += [
+            F.count(lk).alias(f"nx{k}"),
+            dsum(F.when(present, F.col("value"))).alias(f"sx{k}"),
+            dsum(lk).alias(f"sy{k}"),
+            dsum(F.when(present, F.col("value") * F.col("value"))).alias(f"sxx{k}"),
+            dsum(lk * lk).alias(f"syy{k}"),
+            dsum(F.col("value") * lk).alias(f"sxy{k}"),
+        ]
+    m = o.groupBy("event_type").agg(*aggs)
+    def acf(k):
+        nx, sx, sy, sxx, syy, sxy = [
+            F.col(f"{p}{k}") for p in ("nx", "sx", "sy", "sxx", "syy", "sxy")
+        ]
+        return (nx * sxy - sx * sy) / (
+            F.sqrt(nx * sxx - sx * sx) * F.sqrt(nx * syy - sy * sy)
+        )
+    return m.select(
+        "event_type", *[acf(k).alias(f"acf{k}") for k in (1, 2, 3)]
+    )
