@@ -215,3 +215,65 @@ def stream_interval_join_replay(spark, sf_dir):
         return out.select("signup_id", "click_id"), "append"
 
     return _replay(spark, ev, build)
+
+
+@query(
+    "stream_outer_join_replay",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, {MS} AS t FROM events WHERE event_type = 'signup'
+    ),
+    c AS (
+      SELECT event_id, user_id, {MS} AS t FROM events WHERE event_type = 'click'
+    )
+    SELECT s.event_id AS signup_id, c.event_id AS click_id
+    FROM s LEFT JOIN c ON c.user_id = s.user_id
+                      AND c.t >= s.t AND c.t <= s.t + {DAY}
+    """,
+)
+def stream_outer_join_replay(spark, sf_dir):
+    """LEFT-OUTER stream-stream interval join replayed through
+    micro-batches: signups with no click within a day must emit
+    NULL-padded — which Spark only licenses once the MIN of both
+    streams' watermarks passes the signup's join window. Sentinel rows
+    on BOTH sides (user_id −1, filtered from the output) advance the
+    watermark, and one extra batch triggers the deferred outer
+    emission. Hash-checked against the batch LEFT JOIN oracle."""
+    from uts_spark.streaming.ops import interval_join_stream
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click")
+    ).select("event_id", "user_id", "event_type", "ts")
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).first()[0]
+
+    def sentinel(ms):
+        return spark.createDataFrame(
+            [(-1, -1, "signup", ms), (-2, -1, "click", ms)],
+            "event_id long, user_id long, event_type string, ms long",
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+        )
+
+    def build(stream):
+        s = stream.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("s_ts"),
+        )
+        c = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("c_ts"),
+        )
+        out = interval_join_stream(
+            s, c, key="k", left_ts="s_ts", right_ts="c_ts",
+            lo_ms=0, hi_ms=DAY, watermark="60 days", how="left_outer",
+        )
+        return out.select("signup_id", "k", "click_id"), "append"
+
+    got = _replay(
+        spark, ev, build,
+        extra_feeds=[sentinel(max_ms + 100 * DAY), sentinel(max_ms + 101 * DAY)],
+    )
+    return got.filter(F.col("k") >= 0).select("signup_id", "click_id")
