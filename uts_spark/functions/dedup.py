@@ -433,4 +433,9 @@ def simhash_band_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    return cand
+    # materialize the (tiny) pair set eagerly so the sketch cache can be
+    # released now — otherwise every invocation pins executor storage for
+    # the session lifetime (bench loops run many queries)
+    out = cand.localCheckpoint(eager=True)
+    sk.unpersist()
+    return out

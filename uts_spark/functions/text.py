@@ -595,7 +595,9 @@ def winnow_fingerprints(df, text_col: str, id_col: str,
     )
     return sel.select(
         "doc_id",
-        (F.col("__wkey") / pos_mod).cast("long").alias("fp_hash"),
+        # exact integer unpack: __wkey is up to ~2^62, beyond double's 2^53
+        # exact range, so float division would corrupt ~1% of fp_hash values
+        F.shiftright(F.col("__wkey"), _WINNOW_POS_BITS).alias("fp_hash"),
         (F.col("__wkey") % pos_mod).alias("fp_pos"),
     )
 

@@ -460,10 +460,16 @@ def approx_sketches(spark, sf_dir):
     percentiles — the 100 TB substitutes for exact distinct/sort. No
     oracle on purpose (sketch results are implementation-defined)."""
     ev = table(spark, sf_dir, "events")
+    # scalar columns only: the driver's canonicalizer sorts output cells
+    # with pandas, which cannot hash an array cell — so the three
+    # percentiles come out as separate doubles, not one ARRAY<DOUBLE>
+    pct = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_id").alias("approx_events"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_percentiles"),
+        pct[0].alias("approx_p50"),
+        pct[1].alias("approx_p95"),
+        pct[2].alias("approx_p99"),
     )
 
 
@@ -1560,7 +1566,8 @@ def percentile_disc_by_type(spark, sf_dir):
       FROM events
     )
     SELECT event_id,
-           list_reduce(arr, (acc, x) -> acc + x)                 AS asum,
+           list_reduce(list_transform(arr, x -> x + 0.0),
+                       (acc, x) -> acc + x)                      AS asum,
            list_transform(arr, x -> x * 2)[2]                    AS atrans,
            CAST(len(list_filter(arr, x -> x > 100.0)) AS BIGINT) AS nbig,
            len(list_filter(arr, x -> x > 100.0)) > 0             AS aexists,
@@ -1584,7 +1591,14 @@ def array_function_pack(spark, sf_dir):
     t = ev.select("event_id", "value", arr.alias("arr"))
     return t.select(
         "event_id",
-        F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x).alias("asum"),
+        # x + 0.0 normalizes -0.0 → 0.0 on BOTH engines, so Spark's seeded
+        # fold ((0.0+v1)+v2)+v3 and DuckDB's unseeded (v1+v2)+v3 agree
+        # bit-exactly even if the generator ever emits negative zero
+        F.aggregate(
+            F.transform("arr", lambda x: x + F.lit(0.0)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("asum"),
         F.transform("arr", lambda x: x * 2)[1].alias("atrans"),
         F.size(F.filter("arr", lambda x: x > 100.0)).cast("long").alias("nbig"),
         F.exists("arr", lambda x: x > 100.0).alias("aexists"),

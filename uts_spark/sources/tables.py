@@ -8,10 +8,12 @@ declarative: filters and projections land in the scan (PushedFilters /
 ReadSchema in ``.explain``), and partition-level pruning comes free when
 tables are laid out by date/key.
 
-Gotcha handled here: ``events.parquet`` carries TIMESTAMP(NANOS) which
-Spark rejects by default; ``spark.sql.legacy.parquet.nanosAsLong`` (a
-runtime conf) reads it as LONG nanos, which we normalize to both an epoch-ms
-column (``ts_ms`` — the reference's time unit) and a proper timestamp.
+Gotcha handled here: ``events.parquet`` has shipped with BOTH
+TIMESTAMP(NANOS) (Spark rejects by default → ``nanosAsLong`` conf reads it
+as LONG nanos) and TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ) across
+driver testdata generations, so the loader branches on the actual read
+dtype and normalizes either to an epoch-ms column (``ts_ms`` — the
+reference's time unit) plus a proper session-TZ timestamp.
 """
 
 from __future__ import annotations
@@ -40,12 +42,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``ingest_id`` (= event_id: the generator's insertion order)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer `div`, NOT `/`: epoch-ns exceeds 2^53, double division loses
-    # precision and lands a millisecond off the DuckDB oracle
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        # TIMESTAMP(NANOS) generation, read as LONG nanos.
+        # integer `div`, NOT `/`: epoch-ns exceeds 2^53, double division
+        # loses precision and lands a millisecond off the DuckDB oracle
+        ts_col = F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000"))
+        ms_col = F.expr("CAST(ts AS BIGINT) div 1000000")
+    else:
+        # TIMESTAMP(MICROS) generation (TIMESTAMP_NTZ); session TZ is UTC
+        # so the cast is instant-preserving
+        ts_col = F.col("ts").cast("timestamp")
+        ms_col = F.unix_millis(F.col("ts").cast("timestamp"))
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000")).alias("ts"),
-        F.expr("CAST(ts AS BIGINT) div 1000000").alias("ts_ms"),
+        ts_col.alias("ts"),
+        ms_col.alias("ts_ms"),
         "user_id",
         "event_type",
         "value",
