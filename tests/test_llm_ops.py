@@ -488,3 +488,25 @@ def test_chunk_udtf_matches_native_expression_path(spark, docs):
     exp = chunk_windows(sample, "text", "doc_id").collect()
     assert sorted(((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in got)) == \
            sorted(((r.doc_id, r.chunk_id, r.chunk_text, r.n_tokens) for r in exp))
+
+
+def test_substring_dup_rate_known_overlaps(spark):
+    from uts_spark.functions.text import substring_dup_rate
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = [
+        (1, shared + " unique one tail words here now"),
+        (2, "prefix words " + shared + " other ending text"),
+        (3, "completely different content with no overlap at all present"),
+        (4, "short doc"),  # < 8 words -> no shingles
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dup_rate(df, "text", "doc_id").collect()}
+
+    # docs 1 and 2 share exactly the one 8-gram 'shared'; each has >0 rate
+    assert out[1]["n_dup"] == 1 and out[2]["n_dup"] == 1
+    assert 0 < out[1]["dup_rate"] < 1 and 0 < out[2]["dup_rate"] < 1
+    assert out[1]["n_shingles"] == len(docs[0][1].split()) - 7
+    # disjoint doc: zero dups; short doc: no shingles -> NULL rate
+    assert out[3]["n_dup"] == 0 and out[3]["dup_rate"] == 0.0
+    assert out[4]["n_shingles"] == 0 and out[4]["dup_rate"] is None

@@ -105,3 +105,39 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_zorder_layout_shrinks_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """Files written in z-order must cover much smaller (x, y) rectangles
+    than time-ordered files — the property that makes min/max file stats
+    prune scans on EITHER dimension."""
+    from uts_spark.functions.layout import z_value
+
+    ev = (
+        load_events(spark, sf_dir)
+        .select(
+            "event_id",
+            F.col("user_id").alias("x"),
+            F.round("value").cast("long").alias("y"),
+        )
+        .withColumn("zval", z_value(F.col("x"), F.col("y")))
+    )
+
+    def avg_bbox_area(df, order_col, path):
+        df.repartitionByRange(8, F.col(order_col)).write.mode("overwrite").parquet(path)
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .select(F.avg(F.col("dx") * F.col("dy")).alias("a"))
+            .collect()
+        )
+        return per_file[0]["a"]
+
+    a_time = avg_bbox_area(ev, "event_id", str(tmp_path / "by_time"))
+    a_z = avg_bbox_area(ev, "zval", str(tmp_path / "by_z"))
+    # z-order should cut the average file bounding box drastically
+    assert a_z < a_time / 2, (a_z, a_time)

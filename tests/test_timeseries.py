@@ -142,3 +142,72 @@ def test_twap_weights_by_holding_time(spark):
     out = {r.k: (r.twap, r.n) for r in twap(df, "k", "t", "v", "id").collect()}
     assert out["a"] == (1.0, 3)
     assert out["b"][0] is None and out["b"][1] == 1
+
+
+def test_cusum_matches_sequential_fold(spark):
+    """The prefix-sum/prefix-min unrolling must equal the textbook
+    sequential recursion S_t = max(0, S_{t-1} + d_t - k)."""
+    import random
+
+    from uts_spark.operators.timeseries import cusum_changepoint
+
+    rng = random.Random(7)
+    rows = []
+    for key in ("a", "b"):
+        # drift upward halfway through so the positive side fires
+        for i in range(80):
+            base = 10.0 if (key == "a" and i >= 40) else 0.0
+            rows.append((key, i * 1000, i, round(rng.uniform(0, 20) + base, 2)))
+    df = spark.createDataFrame(rows, "k string, t long, o long, v double")
+    out = {
+        (r["k"], r["t"]): r
+        for r in cusum_changepoint(df, "k", "t", "v", "o", k=2.0, h=60.0).collect()
+    }
+
+    by_key = {}
+    for k, t, o, v in rows:
+        by_key.setdefault(k, []).append((t, o, v))
+    for key, pts in by_key.items():
+        mu = sum(v for _, _, v in pts) / len(pts)
+        sp = sn = 0.0
+        for t, _, v in sorted(pts):
+            sp = max(0.0, sp + (v - mu) - 2.0)
+            sn = max(0.0, sn + -(v - mu) - 2.0)
+            got = out[(key, t)]
+            assert abs(got["s_pos"] - sp) < 1e-5, (key, t, got["s_pos"], sp)
+            assert abs(got["s_neg"] - sn) < 1e-5
+            assert got["changepoint"] == (sp > 60.0 or sn > 60.0)
+    # the injected level shift must actually be detected
+    assert any(r["changepoint"] for (k, _), r in out.items() if k == "a")
+    assert not any(r["changepoint"] for (k, _), r in out.items() if k == "b")
+
+
+def test_rolling_autocorr_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from uts_spark.operators.timeseries import rolling_autocorr
+
+    rng = np.random.default_rng(11)
+    vals = np.round(np.cumsum(rng.normal(0, 1, 60)) + 50, 2)  # smooth walk
+    rows = [("u", i * 1000, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, o long, v double")
+    got = {
+        r["t"]: r["autocorr"]
+        for r in rolling_autocorr(df, "k", "t", "v", "o", window_rows=20).collect()
+    }
+
+    s = pd.Series(np.round(vals * 100))  # same integer snapping
+    x, y = s, s.shift(1)
+    for i in range(len(vals)):
+        lo = max(0, i - 19)
+        xs, ys = x[lo : i + 1], y[lo : i + 1]
+        mask = ys.notna()
+        if mask.sum() >= 20 and xs[mask].std() > 0 and ys[mask].std() > 0:
+            exp = float(np.corrcoef(xs[mask], ys[mask])[0, 1])
+            assert abs(got[i * 1000] - exp) < 1e-9, (i, got[i * 1000], exp)
+        else:
+            assert got[i * 1000] is None
+    # a smooth random walk is strongly positively autocorrelated
+    filled = [v for v in got.values() if v is not None]
+    assert filled and sum(filled) / len(filled) > 0.5

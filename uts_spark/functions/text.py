@@ -634,3 +634,87 @@ def duck_winnow_fingerprints(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     SELECT doc_id, wkey // {pos_mod} AS fp_hash, wkey % {pos_mod} AS fp_pos
     FROM sel
     """
+
+
+# --------------------------------------------------------------------------
+# Exact substring-duplication rate (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": repeated substrings are
+# the unit of duplication that matters for LM memorization, not whole
+# documents). The reference has no text ops at all; this is a north-star
+# training-pipeline operator.
+
+def substring_dup_rate(df, text_col: str, id_col: str, n: int = 8):
+    """Per-document exact substring duplication: the fraction of a
+    document's word ``n``-gram instances whose shingle also occurs in at
+    least one OTHER document.
+
+    The full suffix-array construction of the paper doesn't distribute;
+    the standard large-corpus approximation is fixed-width shingles —
+    any duplicated substring of >= n words contains a duplicated
+    n-shingle, so the rate is a tight proxy for duplicated-span
+    coverage.
+
+    Plan (scale path): explode to (shingle-hash, doc) pairs, one
+    two-level hash aggregation for per-shingle distinct-doc counts, one
+    shuffle join back on the 60-bit hash, one final per-doc aggregation.
+    Joining on the portable 60-bit hash instead of the raw shingle
+    string keeps shuffle rows narrow at 100 TB; hash collisions affect
+    Spark and the DuckDB oracle identically, so results stay
+    bit-comparable. Docs with fewer than ``n`` words have no shingles
+    and are reported with rate NULL via the left join from the corpus.
+    """
+    from uts_spark.functions.hashing import hash64
+
+    sh = word_ngrams(tokens(F.col(text_col)), n)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.transform(sh, lambda s: hash64(s))).alias("sh"),
+    )
+    counts = ex.groupBy("sh").agg(
+        F.count_distinct(F.col(id_col)).alias("nd")
+    )
+    per_doc = (
+        ex.join(counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("nd") > 1, F.lit(1))).alias("n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            (F.col("n_dup") / F.col("n_shingles")).alias("dup_rate"),
+        )
+    )
+
+
+def duck_substring_dup_rate(n: int = 8) -> str:
+    toks = duck_tokens("text")
+    sh = duck_word_ngrams("ws", n)
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS ws, text FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(list_transform({sh}, s -> {duck_hash64('s')}))
+               AS sh
+      FROM t
+    ),
+    c AS (SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY sh),
+    per AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(CASE WHEN c.nd > 1 THEN 1 END) AS n_dup
+      FROM ex JOIN c USING (sh) GROUP BY ex.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_shingles, 0) AS n_shingles,
+           COALESCE(per.n_dup, 0) AS n_dup,
+           CASE WHEN per.n_shingles IS NOT NULL
+                THEN CAST(per.n_dup AS DOUBLE) / per.n_shingles END
+             AS dup_rate
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from uts_spark.operators.aggregates import stable_sum
+
 
 def counter_rate(
     df: DataFrame,
@@ -356,4 +358,120 @@ def twap(
     return seg.groupBy(key_col).agg(
         (wsum / scale / F.nullif(span.cast("double"), F.lit(0.0))).alias("twap"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    k: float,
+    h: float,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per series (Page 1954): the
+    classic sequential drift detector every production TSDB pairs with
+    z-score outlier flags (z-score catches spikes; CUSUM catches slow
+    level shifts).
+
+    The textbook recursion ``S+_t = max(0, S+_{t-1} + (x_t - mu) - k)``
+    looks inherently sequential, but distributes exactly: with
+    ``P_t = prefix_sum(x - mu - k)``, the max-recursion unrolls to
+    ``S+_t = P_t - min(0, min_{j<=t} P_j)`` — a prefix sum and a prefix
+    min, i.e. two stacked window expressions over ONE shuffle on the
+    series key (Spark reuses the sort between same-spec windows). Same
+    for the negative side with ``-(x - mu)``.
+
+    Exactness contract (the TWAP lesson): every summand is snapped to an
+    integer via ``ROUND(d * 2^20)`` — a power-of-two scale adds no
+    rounding error and both engines round half away from zero — so the
+    DECIMAL(38,0) prefix sums/mins are exact integers and the emitted
+    doubles are bit-identical to the oracle's. ``mu`` is the per-series
+    mean (decimal-stable sum / count, same on both engines).
+
+    Scale: one exchange on ``key_col``; the per-series grouped means are
+    tiny and broadcast back. No iteration, no Python.
+    """
+    scale = 1 << 20
+    mu = (
+        df.groupBy(key_col)
+        .agg(
+            (stable_sum(F.col(value_col)) / F.count(value_col)).alias("__mu")
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col(value_col) - F.col("__mu")
+    pos_step = F.round((d - F.lit(k)) * scale).cast("decimal(38,0)")
+    neg_step = F.round((-d - F.lit(k)) * scale).cast("decimal(38,0)")
+    out = (
+        df.join(F.broadcast(mu), key_col)
+        .withColumn("__pp", F.sum(pos_step).over(run))
+        .withColumn("__pn", F.sum(neg_step).over(run))
+        .withColumn("__mp", F.min(F.col("__pp")).over(run))
+        .withColumn("__mn", F.min(F.col("__pn")).over(run))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    s_pos = F.col("__pp") - F.least(zero, F.col("__mp"))
+    s_neg = F.col("__pn") - F.least(zero, F.col("__mn"))
+    lim = F.lit(int(round(h * scale))).cast("decimal(38,0)")
+    return out.select(
+        F.col(key_col),
+        F.col(ts_col),
+        (s_pos.cast("double") / scale).alias("s_pos"),
+        (s_neg.cast("double") / scale).alias("s_neg"),
+        ((s_pos > lim) | (s_neg > lim)).alias("changepoint"),
+    )
+
+
+def rolling_autocorr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    window_rows: int = 20,
+) -> DataFrame:
+    """Rolling lag-1 Pearson autocorrelation per series over a trailing
+    ``window_rows``-row frame — the windowed sibling of the global
+    autocorrelation operator: a local trend/momentum signal (near +1 =
+    locally smooth drift, near 0 = noise, negative = mean-reverting).
+
+    Exactness: x and its lag are snapped to integers (``ROUND(v*100)``
+    — the generator emits 2-dp values; both engines round identically),
+    so the five moment sums (n, Σx, Σy, Σx², Σy², Σxy) over the frame
+    are exact DECIMAL integers no matter how either engine associates
+    the in-frame additions (DuckDB's segment-tree frames reassociate —
+    doubles would drift). The final correlation is one double formula
+    over identical integers. Rows whose frame holds fewer than
+    ``window_rows`` lagged pairs, or with zero variance on either side,
+    emit NULL.
+
+    One shuffle on the series key; lag + five frame sums share the same
+    window spec, so a single sort feeds everything.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    frame = w.rowsBetween(-(window_rows - 1), 0)
+    xi = F.round(F.col(value_col) * 100).cast("long")
+    df = df.withColumn("__x", xi).withColumn("__y", F.lag("__x").over(w))
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).over(frame).cast("double")
+    has = F.col("__y").isNotNull()
+    n = F.sum(F.when(has, 1).otherwise(0)).over(frame)
+    sx = dec(F.when(has, F.col("__x")))
+    sy = dec(F.when(has, F.col("__y")))
+    sxx = dec(F.when(has, F.col("__x") * F.col("__x")))
+    syy = dec(F.when(has, F.col("__y") * F.col("__y")))
+    sxy = dec(F.when(has, F.col("__x") * F.col("__y")))
+    nd = n.cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    corr = F.when(
+        (n >= window_rows) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return df.select(
+        F.col(key_col), F.col(ts_col), F.col(order_col),
+        corr.alias("autocorr"), n.alias("n_pairs"),
     )

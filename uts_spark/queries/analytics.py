@@ -1682,3 +1682,103 @@ def ts_autocorrelation(spark, sf_dir):
     return m.select(
         "event_type", *[acf(k).alias(f"acf{k}") for k in (1, 2, 3)]
     )
+
+
+# ===========================================================================
+# JSON function pack (semi-structured columns: events.props)
+# ===========================================================================
+
+@query(
+    "scalar_json_pack",
+    """
+    WITH e AS (
+      SELECT event_id, props,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+      FROM events
+    )
+    SELECT event_id,
+           k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) / 4.0 AS k_quarter,
+           json_extract_string(props, '$.missing')           AS missing_path,
+           array_to_string(json_keys(props), ',')            AS keys_csv,
+           to_json(struct_pack(k := k_int))                  AS roundtrip,
+           json_extract_string(
+             to_json(struct_pack(k := k_int, k2 := k_int * 2)), '$.k2')
+             AS nested_k2,
+           json_extract_string(
+             concat('[', k_int, ',', k_int + 1, ']'), '$[1]') AS arr_second,
+           CAST(json_array_length(
+             concat('[', k_int, ',', k_int + 1, ']')) AS BIGINT) AS arr_len
+    FROM e
+    """,
+)
+def scalar_json_pack(spark, sf_dir):
+    """JSON / semi-structured function coverage over the ``props`` JSON
+    column: path extraction (hit and miss), typed casts, key listing,
+    struct→JSON round-trip, nested-path extraction from built JSON, and
+    array indexing/length. All JVM-side expressions (get_json_object /
+    from_json / to_json / json_object_keys / json_array_length) — one
+    narrow projection, no shuffle; at 100 TB this is a pure map stage
+    that pipelines into whatever consumes it. The reference stores only
+    numeric columns (uts.ts:164-166); JSON columns are a north-star
+    extension every event pipeline needs."""
+    ev = table(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("long")
+    arr = F.concat(
+        F.lit("["), k_int.cast("string"), F.lit(","),
+        (k_int + 1).cast("string"), F.lit("]"),
+    )
+    return ev.select(
+        "event_id",
+        k_int.alias("k_int"),
+        (F.get_json_object("props", "$.k").cast("double") / 4.0)
+            .alias("k_quarter"),
+        F.get_json_object("props", "$.missing").alias("missing_path"),
+        F.concat_ws(",", F.json_object_keys("props")).alias("keys_csv"),
+        F.to_json(F.struct(k_int.alias("k"))).alias("roundtrip"),
+        F.get_json_object(
+            F.to_json(F.struct(k_int.alias("k"), (k_int * 2).alias("k2"))),
+            "$.k2",
+        ).alias("nested_k2"),
+        F.get_json_object(arr, "$[1]").alias("arr_second"),
+        F.json_array_length(arr).cast("long").alias("arr_len"),
+    )
+
+
+# ===========================================================================
+# Z-order (Morton) curve: multi-dimensional layout clustering
+# ===========================================================================
+
+from uts_spark.functions.layout import duck_z_value, z_value  # noqa: E402
+
+
+@query(
+    "zorder_curve",
+    f"""
+    SELECT event_id,
+           CAST(user_id AS BIGINT)            AS x,
+           CAST(ROUND(value) AS BIGINT)       AS y,
+           {duck_z_value('user_id', 'ROUND(value)')}        AS zval,
+           {duck_z_value('user_id', 'ROUND(value)')} >> 16  AS cell
+    FROM events
+    """,
+)
+def zorder_curve(spark, sf_dir):
+    """Morton z-value assignment over (user_id, value-band) — the
+    space-filling-curve layout key that lets ONE sort order serve
+    selective predicates on either dimension via file-level min/max
+    pruning (Delta/Iceberg ZORDER mechanism). Pure integer bit-math,
+    bit-identical to the oracle; the file-locality proof (z-ordered
+    files cover far smaller (x, y) rectangles than time-ordered ones)
+    is in tests/test_sinks.py. See functions/layout.py."""
+    ev = table(spark, sf_dir, "events")
+    x = F.col("user_id")
+    y = F.round("value").cast("long")
+    z = z_value(x, y)
+    return ev.select(
+        "event_id",
+        x.cast("long").alias("x"),
+        y.alias("y"),
+        z.alias("zval"),
+        F.shiftright(z, 16).alias("cell"),
+    )

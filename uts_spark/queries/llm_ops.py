@@ -748,3 +748,20 @@ def text_winnow_fingerprints(spark, sf_dir):
     JVM-side."""
     docs = table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "text", "doc_id")
+
+
+from uts_spark.functions.text import (  # noqa: E402
+    duck_substring_dup_rate,
+    substring_dup_rate,
+)
+
+
+@query("text_substring_dup_rate", duck_substring_dup_rate(n=8))
+def text_substring_dup_rate(spark, sf_dir):
+    """Exact substring-duplication rate per document (Lee et al. 2022
+    proxy): share of word 8-gram instances also present in another doc.
+    Narrow 60-bit-hash shuffle join, two hash aggregations — the scale
+    path of suffix-array substring dedup. See
+    functions/text.substring_dup_rate."""
+    docs = table(spark, sf_dir, "documents")
+    return substring_dup_rate(docs, "text", "doc_id", n=8)

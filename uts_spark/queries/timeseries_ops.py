@@ -283,3 +283,195 @@ def ts_hopping_2d_1d(spark, sf_dir):
             "event_type", "mean_value", "n",
         )
     )
+
+
+from uts_spark.operators.timeseries import (  # noqa: E402
+    cusum_changepoint,
+    rolling_autocorr,
+)
+
+_CUSUM_K = 25.0   # allowance ≈ 0.5σ of the generator's value noise
+_CUSUM_H = 250.0  # decision limit ≈ 5σ
+_SC = 1 << 20
+
+
+@query(
+    "ts_cusum_changepoint",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS ts_ms, event_id, value FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+               AS mu
+      FROM e GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, ts_ms, event_id,
+             SUM(CAST(ROUND((value - mu - {_CUSUM_K}) * {_SC})
+                 AS DECIMAL(38,0))) OVER w AS pp,
+             SUM(CAST(ROUND((-(value - mu) - {_CUSUM_K}) * {_SC})
+                 AS DECIMAL(38,0))) OVER w AS pn
+      FROM e JOIN m USING (user_id)
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    q AS (
+      SELECT user_id, ts_ms, pp, pn,
+             MIN(pp) OVER w2 AS mp, MIN(pn) OVER w2 AS mn
+      FROM p
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts_ms,
+           CAST(pp - LEAST(CAST(0 AS DECIMAL(38,0)), mp) AS DOUBLE) / {_SC}
+             AS s_pos,
+           CAST(pn - LEAST(CAST(0 AS DECIMAL(38,0)), mn) AS DOUBLE) / {_SC}
+             AS s_neg,
+           (pp - LEAST(CAST(0 AS DECIMAL(38,0)), mp)
+              > CAST({int(_CUSUM_H * _SC)} AS DECIMAL(38,0)))
+           OR (pn - LEAST(CAST(0 AS DECIMAL(38,0)), mn)
+              > CAST({int(_CUSUM_H * _SC)} AS DECIMAL(38,0)))
+             AS changepoint
+    FROM q
+    """,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM level-shift detection per user series: the
+    max-recursion unrolled to prefix-sum minus prefix-min (two stacked
+    window exprs, ONE shuffle), integer-snapped steps so both engines
+    fold bit-identically. See operators/timeseries.cusum_changepoint."""
+    ev = table(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev, "user_id", "ts_ms", "value", "event_id",
+        k=_CUSUM_K, h=_CUSUM_H,
+    )
+
+
+@query(
+    "ts_rolling_autocorr",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS ts_ms, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    l AS (
+      SELECT *, lag(x) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+               AS y
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, ts_ms, event_id,
+        CAST(SUM(CASE WHEN y IS NULL THEN 0 ELSE 1 END) OVER w AS BIGINT)
+          AS n,
+        CAST(SUM(CASE WHEN y IS NOT NULL
+                 THEN CAST(x AS DECIMAL(38,0)) END) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(CASE WHEN y IS NOT NULL
+                 THEN CAST(y AS DECIMAL(38,0)) END) OVER w AS DOUBLE) AS sy,
+        CAST(SUM(CASE WHEN y IS NOT NULL
+                 THEN CAST(x * x AS DECIMAL(38,0)) END) OVER w AS DOUBLE)
+          AS sxx,
+        CAST(SUM(CASE WHEN y IS NOT NULL
+                 THEN CAST(y * y AS DECIMAL(38,0)) END) OVER w AS DOUBLE)
+          AS syy,
+        CAST(SUM(CASE WHEN y IS NOT NULL
+                 THEN CAST(x * y AS DECIMAL(38,0)) END) OVER w AS DOUBLE)
+          AS sxy
+      FROM l
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts_ms, event_id,
+           CASE WHEN n >= 20
+                 AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy))
+           END AS autocorr,
+           n AS n_pairs
+    FROM m
+    """,
+)
+def ts_rolling_autocorr(spark, sf_dir):
+    """Rolling lag-1 autocorrelation over a trailing 20-row frame per
+    series — integer-snapped moment sums so DuckDB's segment-tree frame
+    reassociation can't drift a bit. One shuffle; lag and the five frame
+    sums share one sort. See operators/timeseries.rolling_autocorr."""
+    ev = table(spark, sf_dir, "events")
+    return rolling_autocorr(
+        ev, "user_id", "ts_ms", "value", "event_id", window_rows=20
+    )
+
+
+@query(
+    "ts_seasonal_hod",
+    f"""
+    WITH e AS (
+      SELECT event_type, ({MS} % {DAY}) // {HOUR} AS hod, value FROM events
+    ),
+    s AS (
+      SELECT event_type, hod,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+               AS seasonal_mean,
+             COUNT(*) AS n
+      FROM e GROUP BY event_type, hod
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+               AS type_mean
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_type, e.hod, s.n,
+           s.seasonal_mean,
+           s.seasonal_mean - t.type_mean AS amplitude,
+           MAX(ABS(e.value - s.seasonal_mean)) AS max_abs_resid
+    FROM e
+    JOIN s ON s.event_type = e.event_type AND s.hod = e.hod
+    JOIN t ON t.event_type = e.event_type
+    GROUP BY e.event_type, e.hod, s.n, s.seasonal_mean, t.type_mean
+    """,
+)
+def ts_seasonal_hod(spark, sf_dir):
+    """Hour-of-day seasonal decomposition per event type: the seasonal
+    component (per-(type, hour) mean), its amplitude vs the type-level
+    mean, and the worst residual once the seasonal component is removed
+    — the first stage of every seasonal-anomaly pipeline (subtract the
+    profile, then threshold residuals).
+
+    Plan: two tiny grouped-mean aggregations (≤ 5×24 rows) broadcast
+    back onto the fact scan, then one final hash aggregation — the fact
+    table is scanned twice but never shuffled on a fat key; at 100 TB
+    the broadcasts are what keep this from being three wide exchanges.
+    Exactness: means are decimal-stable; residual |v − seasonal| is one
+    IEEE subtract of identical doubles, and MAX is order-free."""
+    ev = table(spark, sf_dir, "events")
+    hod = F.expr(f"(ts_ms % {DAY}) div {HOUR}").alias("hod")
+    e = ev.select("event_type", hod, "value")
+    dmean = (
+        lambda: (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count("value")
+        )
+    )
+    s = e.groupBy("event_type", "hod").agg(
+        dmean().alias("seasonal_mean"), F.count(F.lit(1)).alias("n")
+    )
+    t = e.groupBy("event_type").agg(dmean().alias("type_mean"))
+    return (
+        e.join(F.broadcast(s), ["event_type", "hod"])
+        .join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "hod", "n", "seasonal_mean", "type_mean")
+        .agg(
+            F.max(F.abs(F.col("value") - F.col("seasonal_mean")))
+            .alias("max_abs_resid")
+        )
+        .select(
+            "event_type", "hod", "n", "seasonal_mean",
+            (F.col("seasonal_mean") - F.col("type_mean")).alias("amplitude"),
+            "max_abs_resid",
+        )
+    )
