@@ -40,24 +40,54 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Label each node of the undirected graph with the smallest node id
     reachable from it (the canonical component id).
 
     ``edges`` is one row per undirected edge; isolated nodes may simply
     be absent (callers union them back with label = own id). Returns
-    ``(node, component)``.
+    ``(node, component)``. Pass ``dedupe_edges=False`` when the caller
+    guarantees unique (src, dst) pairs (every LSH pair generator here
+    does): min-propagation is idempotent under duplicate messages, so
+    the dedup shuffle is pure overhead then.
     """
+    spark = edges.sparkSession
     # materialize the (possibly expensive, e.g. LSH-generated) edge list
     # once — the symmetrizing union below reads it twice
     edges = edges.localCheckpoint(eager=True)
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .repartition(F.col("b"))  # join key of the per-round msgs join
-        .localCheckpoint(eager=True)
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if dedupe_edges:
+        sym = sym.distinct()
+
+    # size the per-round shuffles to the GRAPH, not the input corpus:
+    # a near-dup edge list is orders of magnitude smaller than the
+    # documents it came from, and iterating 32-way over a few hundred
+    # k edges pays ~6 stages × 32 tasks of scheduling per round for
+    # nothing. Target ~200k edges/partition, never above the session's
+    # configured width (big graphs keep the user's setting untouched).
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(conf_key)
+    try:
+        width = int(prev_shuffle)
+    except ValueError:  # e.g. "auto" on some managed runtimes
+        width = spark.sparkContext.defaultParallelism
+    n_edges = 2 * edges.count()
+    p = max(1, min(n_edges // 200_000 + 1, width))
+    spark.conf.set(conf_key, str(p))
+    try:
+        sym = (
+            sym.repartition(p, F.col("b"))  # join key of the msgs join
+            .localCheckpoint(eager=True)
+        )
+        return _cc_rounds(sym, max_rounds)
+    finally:
+        spark.conf.set(conf_key, prev_shuffle)
+
+
+def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame:
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("component"))
@@ -116,11 +146,14 @@ def cluster_assignment(
     id_col: str,
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Full dedup verdict: every id from ``all_ids`` mapped to its
     near-dup cluster (singletons cluster with themselves) with the
     KEEP/DROP bit — keep exactly the minimum id of each cluster."""
-    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    comp = connected_components(
+        pairs, src=pair_a, dst=pair_b, dedupe_edges=dedupe_edges
+    )
     return (
         all_ids.select(F.col(id_col).alias("node"))
         .join(comp, "node", "left")

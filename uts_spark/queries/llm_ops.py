@@ -334,7 +334,9 @@ def dedup_cluster_cc(spark, sf_dir):
     oracle's recursive-CTE closure."""
     docs = table(spark, sf_dir, "documents")
     pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
-    return cluster_assignment(docs, pairs, "doc_id")
+    # band-pair output is already distinct (a < b canonical) — skip the
+    # edge-dedup shuffle inside the CC loop
+    return cluster_assignment(docs, pairs, "doc_id", dedupe_edges=False)
 
 
 @query("text_repetition_filters", duck_repetition_metrics())
