@@ -139,3 +139,52 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(tuple(r) for r in lplain.collect()) == sorted(
         tuple(r) for r in lsalted.collect()
     )
+
+
+def test_interval_coverage_merges_islands(spark):
+    from uts_spark.operators.timeseries import interval_coverage
+
+    rows = [
+        # key a: [0,10) + [5,15) merge; [20,30) separate
+        ("a", 0, 10), ("a", 5, 15), ("a", 20, 30),
+        # key b: adjacent [0,10) + [10,20) do NOT merge (strict >)
+        ("b", 0, 10), ("b", 10, 20),
+        # key c: containment [0,100) swallows [10,20)
+        ("c", 0, 100), ("c", 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {r["k"]: r for r in interval_coverage(df, "k", "s", "e").collect()}
+    assert (out["a"]["n_islands"], out["a"]["covered_ms"], out["a"]["longest_ms"]) == (2, 25, 15)
+    # [10,20) starts exactly at prev end 10 -> NOT > 10 -> same island
+    assert (out["b"]["n_islands"], out["b"]["covered_ms"]) == (1, 20)
+    assert (out["c"]["n_islands"], out["c"]["covered_ms"], out["c"]["longest_ms"]) == (1, 100, 100)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from uts_spark.functions.clustering import pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5), (2, 0, 5)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
+    out = pagerank_weighted(nodes, edges, iterations=3).collect()
+    # symmetric single-out-edge cycle: mass stays uniform at 1/n
+    prs = [r["pr"] for r in out]
+    assert all(abs(p - 1 / 3) < 1e-6 for p in prs), prs
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    from uts_spark.functions.clustering import pagerank_weighted
+
+    # 0 and 1 both point at 2; 2 points back at 0 only
+    edges = spark.createDataFrame(
+        [(0, 2, 1), (1, 2, 1), (2, 0, 1)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "node long")
+    out = {r["node"]: r["pr"] for r in pagerank_weighted(nodes, edges, iterations=10).collect()}
+    # node 1 has no in-edges: it keeps only the teleport mass 0.15/3,
+    # while 0 and 2 trade the rest around the cycle
+    assert abs(out[1] - 0.05) < 1e-6, out
+    assert out[0] > 4 * out[1] and out[2] > 4 * out[1], out
+    # total mass conserved up to fixed-point truncation (no dangling nodes)
+    assert abs(sum(out.values()) - 1.0) < 1e-3

@@ -163,3 +163,82 @@ def cluster_assignment(
             (F.coalesce("component", "node") == F.col("node")).alias("keep"),
         )
     )
+
+
+_PR_ONE = 1 << 40  # fixed-point unit for PageRank mass
+
+
+def pagerank_weighted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count and fixed-point
+    integer arithmetic — the companion to :func:`connected_components`
+    for the "iterative algorithm, still oracle-exact" story.
+
+    Mass is held in 2^-40 units (BIGINT); each step every node sends
+    ``(p * w) // W_out`` along its out-edges and receives ``tele + (d *
+    inflow) // 100``. Integer floor-division discards identical
+    remainders on every engine, so after any fixed number of rounds the
+    vector is bit-identical to an external replay — float PageRank can
+    never promise that (sum order). Dangling-node mass decays (the
+    standard simplified variant), deterministically.
+
+    Scale: per round one shuffle join of edges⋈rank on src + one
+    aggregation on dst; the rank vector is nodes-sized (tiny vs edges)
+    and broadcastable. With a handful of fixed rounds there is no
+    convergence action, so the whole computation is ONE lazy plan —
+    Catalyst sees every round (plan depth grows linearly; localCheckpoint
+    per round once iterations exceed ~10).
+    """
+    n = nodes.count()
+    tele = (_PR_ONE * (100 - damping_pct)) // (100 * n)
+    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    ow = edges.groupBy(src).agg(F.sum(weight).alias("__wout"))
+    # checkpoint the prepared edge list ONCE: every round joins it, and
+    # without materialization each round would replay the (potentially
+    # fact-table-sized) edge build — and the round-k rank, whose lineage
+    # contains `e`, would make the round-k+1 join an ambiguous self-join
+    e = (
+        edges.join(ow, src)
+        .select(
+            F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+            F.col(weight).alias("__wt"), "__wout",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rank = base.withColumn("p", F.lit(_PR_ONE // n).cast("long"))
+    for _ in range(iterations):
+        # integer `div`, never `/`+floor: p*w reaches 2^60, past double's
+        # exact range, and even small/100 can floor-flip on half-ulp ties
+        inflow = (
+            e.join(
+                F.broadcast(rank.withColumnRenamed("node", "__src")), "__src"
+            )
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum(F.expr("(p * __wt) div __wout")).alias("__in"))
+        )
+        rank = (
+            base.join(F.broadcast(inflow), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele)
+                    + F.expr(f"({damping_pct} * coalesce(__in, 0L)) div 100")
+                ).alias("p"),
+            )
+            # truncate lineage: keeps round k+1's plan free of `e` (no
+            # self-join ambiguity) and round-depth constant
+            .localCheckpoint(eager=True)
+        )
+    return rank.select(
+        "node",
+        F.col("p").alias("pr_fixed"),
+        (F.col("p") / F.lit(float(_PR_ONE))).alias("pr"),
+    )

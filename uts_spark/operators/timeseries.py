@@ -475,3 +475,44 @@ def rolling_autocorr(
         F.col(key_col), F.col(ts_col), F.col(order_col),
         corr.alias("autocorr"), n.alias("n_pairs"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key (gaps-and-islands): merge
+    overlapping/adjacent [start, end) intervals and report how many
+    merged islands remain, total covered time, and the longest island —
+    the standard "actual active time" rollup for overlapping sessions,
+    maintenance windows, or sensor validity ranges.
+
+    Distribution: an interval starts a new island iff its start exceeds
+    the running max of all previous ends (one window pass, frame
+    exclusive of the current row); the island id is then a running sum
+    of those flags over the SAME sort — both windows share one shuffle +
+    one sort on the key. Two small hash aggregations finish per-island
+    then per-key. All arithmetic is integer (epoch ms), so the DuckDB
+    oracle matches bit-for-bit.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    flagged = df.withColumn("__new", new_island).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy(key_col, "__island").agg(
+        F.min(start_col).alias("__s"), F.max(end_col).alias("__e")
+    )
+    return islands.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("__e") - F.col("__s")).alias("covered_ms"),
+        F.max(F.col("__e") - F.col("__s")).alias("longest_ms"),
+    )

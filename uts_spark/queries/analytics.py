@@ -1782,3 +1782,282 @@ def zorder_curve(spark, sf_dir):
         z.alias("zval"),
         F.shiftright(z, 16).alias("cell"),
     )
+
+
+# ===========================================================================
+# Continuous (interpolated) percentiles — exact, grouped
+# ===========================================================================
+
+@query(
+    "percentile_cont_by_type",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_cont(x, 0.25) AS q25,
+           quantile_cont(x, 0.50) AS q50,
+           quantile_cont(x, 0.75) AS q75,
+           quantile_cont(x, 0.90) AS q90,
+           quantile_cont(x, 0.99) AS q99
+    FROM e GROUP BY event_type
+    """,
+)
+def percentile_cont_by_type(spark, sf_dir):
+    """Grouped continuous (linearly interpolated) percentiles — the
+    PERCENTILE_CONT surface next to the existing discrete
+    percentile_disc queries. Values are integer-snapped (centi-units)
+    so lower/upper neighbors are exact; both engines interpolate
+    ``lower + (upper - lower) * frac`` at rank ``p*(n-1)``, giving
+    bit-identical doubles. Exact percentile = full sort per group —
+    fine per-series; the 100 TB unordered path is the GK sketch in
+    approx_sketches."""
+    ev = table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    e = ev.select("event_type", x.alias("x"))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("x", F.lit(0.25)).alias("q25"),
+        F.percentile("x", F.lit(0.50)).alias("q50"),
+        F.percentile("x", F.lit(0.75)).alias("q75"),
+        F.percentile("x", F.lit(0.90)).alias("q90"),
+        F.percentile("x", F.lit(0.99)).alias("q99"),
+    )
+
+
+# ===========================================================================
+# Mode (most frequent value) with deterministic tie-break
+# ===========================================================================
+
+@query(
+    "mode_value_band",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(ROUND(value) AS BIGINT) AS band,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ROUND(value) AS BIGINT)
+    )
+    SELECT event_type,
+           MAX(cnt * 1000000 + (999999 - band)) // 1000000 AS mode_cnt,
+           999999 - (MAX(cnt * 1000000 + (999999 - band)) % 1000000)
+             AS mode_band
+    FROM b GROUP BY event_type
+    """,
+)
+def mode_value_band(spark, sf_dir):
+    """Modal value band per event type with a DETERMINISTIC tie-break
+    (highest count, then smallest band — engines' native mode() break
+    ties arbitrarily, so it can't be oracle-checked). The argmax is
+    packed into one non-negative integer key ``cnt*1e6 + (999999 -
+    band)`` (band < 1e6), making it a plain MAX: two hash aggregations,
+    no window, no sort — the scalable mode shape (count table is tiny
+    after the first agg)."""
+    ev = table(spark, sf_dir, "events")
+    band = F.round("value").cast("long")
+    b = ev.groupBy("event_type", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = F.max(F.col("cnt") * 1000000 + (999999 - F.col("band")))
+    return b.groupBy("event_type").agg(
+        F.floor(key / 1000000).alias("mode_cnt"),
+        (F.lit(999999) - (key % 1000000)).alias("mode_band"),
+    )
+
+
+# ===========================================================================
+# Regexp function pack
+# ===========================================================================
+
+@query(
+    "scalar_regex_pack",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '(ta[a-z]*)', 1)                AS first_ta,
+           CAST(len(regexp_extract_all(text, '\b[aeiou][a-z]*'))
+                AS BIGINT)                                      AS n_vowel_words,
+           CAST(len(regexp_extract_all(text, 'ta')) AS BIGINT)  AS n_ta,
+           regexp_matches(text, 'spark')                        AS has_spark,
+           regexp_matches(text, '^[a-z ]+$')                    AS only_lower,
+           regexp_replace(text, '\b(a|the)\b', '_', 'g')        AS articles_blanked,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def scalar_regex_pack(spark, sf_dir):
+    """Regexp function coverage over document text: group extraction,
+    extract-all counting, boolean match, anchored match, word-boundary
+    replacement, and regex splitting. Patterns stay in the Java∩RE2
+    dialect (no backrefs/lookarounds) so Spark and DuckDB agree
+    symbol-for-symbol. Pure projection — no shuffle, whole-stage
+    codegen; regexps compile once per task at scale."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"(ta[a-z]*)", 1).alias("first_ta"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b[aeiou][a-z]*"), 0))
+            .cast("long").alias("n_vowel_words"),
+        F.size(F.regexp_extract_all("text", F.lit("ta"), 0)).cast("long")
+            .alias("n_ta"),
+        F.col("text").rlike("spark").alias("has_spark"),
+        F.col("text").rlike("^[a-z ]+$").alias("only_lower"),
+        F.regexp_replace("text", r"\b(a|the)\b", "_")
+            .alias("articles_blanked"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+# ===========================================================================
+# KMV (k-minimum-values) distinct sketch — deterministic, oracle-exact
+# ===========================================================================
+
+from uts_spark.functions.hashing import duck_hash64, hash64  # noqa: E402
+
+_KMV_K = 64
+_HASH_SPACE = float(1 << 60)  # hash64 yields 60-bit values
+
+
+@query(
+    "sketch_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {duck_hash64("concat('kmv:', user_id)")} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(MAX(nd) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN MAX(nd) >= {_KMV_K}
+                THEN ({_KMV_K} - 1) * {_HASH_SPACE!r}
+                     / MAX(CASE WHEN rn = {_KMV_K} THEN hv END)
+                ELSE MAX(nd) END AS DOUBLE) AS kmv_est
+    FROM r WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    estimate distinct users per event type from the {_KMV_K} smallest
+    60-bit hashes — est = (k-1)·H/h_(k), exact count when fewer than k
+    distinct values exist. Unlike HLL (whose register layout is
+    engine-private, so approx_sketches is rows-only), KMV over the
+    portable md5 hash family is FULLY DETERMINISTIC: Spark and DuckDB
+    produce identical estimates, giving a hash-exact oracle for an
+    approximate sketch. Scale shape: the k-min set is an associative,
+    mergeable summary — per-partition top-k heaps merge like any
+    partial aggregate; here it's a distinct + per-group sort of hash
+    values (tiny: distinct hashes, not rows). n_exact rides along to
+    show the estimate lands within the expected 1/sqrt(k) band."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        hash64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+            .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    r = h.select(
+        "event_type", "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).alias("nd"),
+    ).filter(F.col("rn") <= _KMV_K)
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("hv")))
+    nd = F.max("nd")
+    return r.groupBy("event_type").agg(
+        nd.cast("long").alias("n_exact"),
+        F.when(nd >= _KMV_K, F.lit((_KMV_K - 1) * _HASH_SPACE) / kth)
+        .otherwise(nd.cast("double")).alias("kmv_est"),
+    )
+
+
+# ===========================================================================
+# PageRank (fixed-point, fixed iterations) over the nation trade graph
+# ===========================================================================
+
+from uts_spark.functions.clustering import pagerank_weighted  # noqa: E402
+
+_PR_ONE = 1 << 40
+
+
+def _duck_pagerank(iterations: int = 3, damping: int = 85) -> str:
+    prev = "p0"
+    its = ""
+    for i in range(1, iterations + 1):
+        its += f"""
+    it{i} AS (
+      SELECT b.node,
+             (SELECT tele FROM cfg)
+             + ({damping} * COALESCE(c.s, 0)) // 100 AS p
+      FROM p0 b LEFT JOIN (
+        SELECT e.dst AS node, SUM((pk.p * e.w) // ow.W) AS s
+        FROM edges e
+        JOIN ow ON ow.src = e.src
+        JOIN {prev} pk ON pk.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = b.node
+    ),"""
+        prev = f"it{i}"
+    return f"""
+    WITH edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ),
+    ow AS (SELECT src, SUM(w) AS W FROM edges GROUP BY src),
+    cfg AS (
+      SELECT COUNT(*) AS n,
+             ({_PR_ONE} * 15) // (100 * COUNT(*)) AS tele
+      FROM nation
+    ),
+    p0 AS (
+      SELECT n_nationkey AS node,
+             {_PR_ONE} // (SELECT n FROM cfg) AS p
+      FROM nation
+    ),{its.rstrip(',')}
+    SELECT nn.n_name AS nation,
+           CAST(r.p AS BIGINT) AS pr_fixed,
+           CAST(r.p AS DOUBLE) / {float(_PR_ONE)!r} AS pr
+    FROM {prev} r JOIN nation nn ON nn.n_nationkey = r.node
+    """
+
+
+@query("graph_pagerank_trade", _duck_pagerank())
+def graph_pagerank_trade(spark, sf_dir):
+    """Weighted PageRank (3 fixed rounds, fixed-point 2^-40 mass) over
+    the supplier-nation → customer-nation trade graph: which nations
+    concentrate inbound trade influence. The edge build is the Q7-style
+    three-join over the fact table; the iterations are tiny broadcast
+    joins batched into ONE lazy plan. Integer-only arithmetic keeps an
+    iterative numeric algorithm hash-exact vs the unrolled-CTE oracle.
+    See functions/clustering.pagerank_weighted."""
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    edges = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = na.select(F.col("n_nationkey").alias("node"))
+    pr = pagerank_weighted(nodes, edges, iterations=3)
+    return pr.join(F.broadcast(na), pr.node == na.n_nationkey).select(
+        F.col("n_name").alias("nation"), "pr_fixed", "pr"
+    )

@@ -287,6 +287,7 @@ def ts_hopping_2d_1d(spark, sf_dir):
 
 from uts_spark.operators.timeseries import (  # noqa: E402
     cusum_changepoint,
+    interval_coverage,
     rolling_autocorr,
 )
 
@@ -475,3 +476,56 @@ def ts_seasonal_hod(spark, sf_dir):
             "max_abs_resid",
         )
     )
+
+
+_COV_W = 30 * 60 * 1000  # each event opens a 30-min activity window
+
+
+@query(
+    "ts_interval_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id, {MS} AS s, {MS} + {_COV_W} AS e FROM events
+    ),
+    fl AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM fl
+    ),
+    m AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           SUM(me - ms) AS covered_ms,
+           MAX(me - ms) AS longest_ms
+    FROM m GROUP BY user_id
+    """,
+)
+def ts_interval_coverage(spark, sf_dir):
+    """Union-of-intervals activity coverage per user (gaps-and-islands):
+    every event opens a 30-minute window; overlapping windows merge into
+    islands; output counts islands, total covered time, longest streak.
+    Two stacked windows sharing one sort + two hash aggs, one shuffle.
+    See operators/timeseries.interval_coverage."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts_ms").alias("s"),
+        (F.col("ts_ms") + F.lit(_COV_W)).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")
