@@ -222,3 +222,51 @@ def test_hopping_window_no_self_join(spark, sf_dir):
     # implementation would self-join the table per offset
     p = plan(spark, sf_dir, "ts_hopping_2d_1d")
     assert "Join" not in p
+
+
+def test_cusum_single_exchange_two_window_specs(spark, sf_dir):
+    p = plan(spark, sf_dir, "ts_cusum_changepoint")
+    # both stacked running windows must ride ONE shuffle on user_id; the
+    # grouped-mean join is broadcast, adding no exchange on the fact
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\(user_id", p)
+    assert len(exchanges) <= 2, p.count("Exchange")  # fact + tiny mu agg
+    assert "BroadcastHashJoin" in p
+    assert "Python" not in p
+
+
+def test_seasonal_hod_broadcasts_profiles(spark, sf_dir):
+    p = plan(spark, sf_dir, "ts_seasonal_hod")
+    # both profile aggregates join back via broadcast, never a shuffle
+    # join on the fact table
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_mode_has_no_window_or_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "mode_value_band")
+    assert "Window" not in p
+    assert "Sort" not in p.split("AdaptiveSparkPlan")[0]
+
+
+def test_interval_coverage_single_sort_per_key(spark, sf_dir):
+    p = plan(spark, sf_dir, "ts_interval_coverage")
+    # the island-flag and island-id windows share one (s, e) sort
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1
+    assert len(re.findall(r"\bSort \[", p)) <= 2
+
+
+def test_json_and_regex_packs_are_pure_projections(spark, sf_dir):
+    for q in ("scalar_json_pack", "scalar_regex_pack", "zorder_curve"):
+        p = plan(spark, sf_dir, q)
+        assert "Exchange" not in p, q
+        assert "Python" not in p, q
+
+
+def test_substring_dup_rate_joins_on_hash_not_text(spark, sf_dir):
+    p = plan(spark, sf_dir, "text_substring_dup_rate")
+    # the per-shingle count join must key on the 60-bit hash (narrow
+    # shuffle rows), never carry the shingle string through the exchange
+    seg = [l for l in p.splitlines() if "Exchange hashpartitioning(sh" in l]
+    assert seg, "expected shuffle on shingle-hash column"

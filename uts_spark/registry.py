@@ -114,4 +114,7 @@ HEADLINE = [n for n in (
     "ts_ohlc_hourly",
     "ts_twap_by_type",
     "cohort_retention_weekly",
+    "ts_cusum_changepoint",
+    "ts_interval_coverage",
+    "graph_pagerank_trade",
 ) if n in QUERIES]
