@@ -311,7 +311,7 @@ from uts_spark.operators.joins import asof_join  # noqa: E402
 )
 @given(
     data=st.data(),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
     tolerance=st.sampled_from([None, 5, 50]),
 )
 def test_asof_join_matches_pandas_merge_asof(spark, data, direction, tolerance):

@@ -211,3 +211,32 @@ def test_rolling_autocorr_matches_pandas(spark):
     # a smooth random walk is strongly positively autocorrelated
     filled = [v for v in got.values() if v is not None]
     assert filled and sum(filled) / len(filled) > 0.5
+
+
+def test_lttb_keeps_spike_and_endpoints(spark):
+    from uts_spark.operators.timeseries import lttb_downsample
+
+    # flat series with one big spike mid-bucket: LTTB must keep the
+    # spike (largest triangle) and both endpoints
+    rows = [("u", t * 100, t, 10.0 if t != 55 else 500.0) for t in range(100)]
+    df = spark.createDataFrame(rows, "k string, t long, o long, v double")
+    out = lttb_downsample(df, "k", "t", "v", "o", bucket_ms=1000)
+    got = [(r["t"], r["v"], r["is_endpoint"]) for r in out.collect()]
+    ts = {t for t, _, _ in got}
+    assert 5500 in ts, "spike dropped"          # the 500.0 point
+    assert 0 in ts and 9900 in ts               # endpoints
+    flags = {t: e for t, _, e in got}
+    assert flags[0] and flags[9900] and not flags[5500]
+    # one pick per interior bucket (buckets 1..8) + 2 endpoints
+    interior = [t for t, _, e in got if not e]
+    assert len(interior) == 8
+    assert len({t // 1000 for t in interior}) == 8
+
+
+def test_lttb_single_point_series(spark):
+    from uts_spark.operators.timeseries import lttb_downsample
+
+    df = spark.createDataFrame([("s", 42, 0, 7.0)], "k string, t long, o long, v double")
+    out = lttb_downsample(df, "k", "t", "v", "o", bucket_ms=1000).collect()
+    # one row: the point is simultaneously first and last
+    assert len(out) == 1 and out[0]["is_endpoint"]

@@ -58,9 +58,16 @@ def asof_join(
 
     Forward direction reuses the backward plan on negated time, so both
     cost exactly one shuffle + one sort on the key; numeric time columns
-    required for ``"forward"``/``tolerance``.
+    required for ``"forward"``/``"nearest"``/``tolerance``.
+
+    ``direction="nearest"`` picks whichever of the backward/forward
+    candidates is closer in time (ties → backward, pandas
+    ``merge_asof`` semantics). Both candidates come out of the SAME
+    union + sort — a running ``last`` and a following-frame ``first``
+    share one shuffle, so nearest costs the same single exchange as the
+    one-sided joins.
     """
-    assert direction in ("backward", "forward")
+    assert direction in ("backward", "forward", "nearest")
     keys = [on] if isinstance(on, str) else list(on)
     payload = right_payload or [
         c for c in right.columns if c not in keys and c != right_time
@@ -93,20 +100,39 @@ def asof_join(
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     order = ["__ts", "__side"] + ([order_col] if order_col else [])
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    enriched = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
-    if tolerance is not None:
-        gap = F.abs(F.col(left_time) - F.col("__match.__rt"))
+    base_w = Window.partitionBy(*keys).orderBy(*order)
+    w = base_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if direction == "nearest":
+        wf = base_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        bm = F.last("__payload", ignorenulls=True).over(w)
+        fm = F.first("__payload", ignorenulls=True).over(wf)
+        enriched = unioned.withColumn("__bm", bm).withColumn("__fm", fm)
+        bgap = F.col(left_time) - F.col("__bm.__rt")
+        fgap = F.col("__fm.__rt") - F.col(left_time)
+        valid_b = F.col("__bm").isNotNull()
+        # strict mode puts equal-ts right rows AFTER the left row, where
+        # the following frame would see them at gap 0 — reject those
+        valid_f = F.col("__fm").isNotNull() & (
+            F.lit(inclusive) | (fgap > 0)
+        )
+        if tolerance is not None:
+            valid_b = valid_b & (bgap <= F.lit(tolerance))
+            valid_f = valid_f & (fgap <= F.lit(tolerance))
         enriched = enriched.withColumn(
             "__match",
-            F.when(gap <= F.lit(tolerance), F.col("__match")),
+            F.when(valid_b & (~valid_f | (bgap <= fgap)), F.col("__bm"))
+            .when(valid_f, F.col("__fm")),
+        ).drop("__bm", "__fm")
+    else:
+        enriched = unioned.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(w)
         )
+        if tolerance is not None:
+            gap = F.abs(F.col(left_time) - F.col("__match.__rt"))
+            enriched = enriched.withColumn(
+                "__match",
+                F.when(gap <= F.lit(tolerance), F.col("__match")),
+            )
     out = enriched.filter(F.col("__side") == 1)
     for c in payload:
         out = out.withColumn(c + suffix, F.col(f"__match.{c}"))

@@ -516,3 +516,76 @@ def interval_coverage(
         F.sum(F.col("__e") - F.col("__s")).alias("covered_ms"),
         F.max(F.col("__e") - F.col("__s")).alias("longest_ms"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    bucket_ms: int,
+) -> DataFrame:
+    """LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
+    2013) — the standard perceptual decimation for plotting huge series:
+    keep, per time bucket, the point forming the largest triangle with
+    its neighbor buckets, plus both endpoints of each series.
+
+    This is the bucket-anchor PARALLEL variant: the classic algorithm
+    anchors each triangle on the previously SELECTED point (a sequential
+    chain); anchoring on the neighbor buckets' centroids instead makes
+    every bucket independent — one grouped centroid pass, a lag/lead
+    over the (tiny) bucket table, one join back, one per-bucket argmax —
+    while choosing near-identical points in practice.
+
+    Determinism: the area formula is one fixed IEEE expression over
+    identical inputs (centroids are decimal-stable means), and the
+    argmax tie-breaks on the unique ``order_col``, so an external engine
+    replays the exact selection. Edge buckets without both neighbors
+    contribute no interior pick; the series endpoints (min/max time,
+    tie-broken) are always emitted with ``is_endpoint`` = true.
+    """
+    b = F.floor(F.col(ts_col) / F.lit(int(bucket_ms))).cast("long")
+    pts = df.select(
+        F.col(key_col).alias("__k"), b.alias("__b"),
+        F.col(ts_col).alias("__t"), F.col(value_col).alias("__v"),
+        F.col(order_col).alias("__o"),
+    )
+    cent = pts.groupBy("__k", "__b").agg(
+        (stable_sum(F.col("__t")) / F.count("__t")).alias("cx"),
+        (stable_sum(F.col("__v")) / F.count("__v")).alias("cy"),
+    )
+    wb = Window.partitionBy("__k").orderBy("__b")
+    anchors = cent.select(
+        "__k", "__b",
+        F.lag("cx").over(wb).alias("ax"), F.lag("cy").over(wb).alias("ay"),
+        F.lead("cx").over(wb).alias("nx"), F.lead("cy").over(wb).alias("ny"),
+    ).filter(F.col("ax").isNotNull() & F.col("nx").isNotNull())
+    area2 = F.abs(
+        (F.col("ax") - F.col("nx")) * (F.col("__v") - F.col("ay"))
+        - (F.col("ax") - F.col("__t")) * (F.col("ny") - F.col("ay"))
+    )
+    wa = Window.partitionBy("__k", "__b").orderBy(
+        F.col("__area").desc(), F.col("__o")
+    )
+    interior = (
+        pts.join(F.broadcast(anchors), ["__k", "__b"])
+        .withColumn("__area", area2)
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("__k", "__t", "__v", F.lit(False).alias("is_endpoint"))
+    )
+    wf = Window.partitionBy("__k").orderBy("__t", "__o")
+    wl = Window.partitionBy("__k").orderBy(
+        F.col("__t").desc(), F.col("__o").desc()
+    )
+    ends = (
+        pts.withColumn("__rf", F.row_number().over(wf))
+        .withColumn("__rl", F.row_number().over(wl))
+        .filter((F.col("__rf") == 1) | (F.col("__rl") == 1))
+        .select("__k", "__t", "__v", F.lit(True).alias("is_endpoint"))
+    )
+    return interior.unionByName(ends).select(
+        F.col("__k").alias(key_col), F.col("__t").alias(ts_col),
+        F.col("__v").alias(value_col), "is_endpoint",
+    )

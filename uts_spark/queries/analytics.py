@@ -2061,3 +2061,241 @@ def graph_pagerank_trade(spark, sf_dir):
     return pr.join(F.broadcast(na), pr.node == na.n_nationkey).select(
         F.col("n_name").alias("nation"), "pr_fixed", "pr"
     )
+
+
+# ===========================================================================
+# Window value-function pack (first/last/nth/lead offsets + frames)
+# ===========================================================================
+
+@query(
+    "window_value_pack",
+    f"""
+    SELECT event_id, user_id, {MS} AS ts_ms,
+           first_value(value) OVER w AS first_seen,
+           last_value(value)  OVER (PARTITION BY user_id
+                                    ORDER BY {MS}, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS final_value,
+           nth_value(value, 3) OVER w AS third_value,
+           lag(value, 1, -1.0)  OVER w AS prev_or_neg1,
+           lead(value, 2)       OVER w AS next_next,
+           last_value(value) OVER (PARTITION BY user_id
+                                   ORDER BY {MS}, event_id
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS trailing_last
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {MS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_value_pack(spark, sf_dir):
+    """Window VALUE-function coverage beside the existing ranking /
+    frame / lag packs: first_value, full-partition and bounded-frame
+    last_value, nth_value, lag with an explicit default, and multi-step
+    lead. Unique (ts, event_id) ordering makes every cell deterministic;
+    all six expressions share two window specs over ONE shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    trail = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id", "ts_ms",
+        F.first("value").over(run).alias("first_seen"),
+        F.last("value").over(full).alias("final_value"),
+        F.nth_value("value", 3).over(run).alias("third_value"),
+        F.lag("value", 1, -1.0).over(w).alias("prev_or_neg1"),
+        F.lead("value", 2).over(w).alias("next_next"),
+        F.last("value").over(trail).alias("trailing_last"),
+    )
+
+
+# ===========================================================================
+# KMV sketch ALGEBRA: union / intersection estimates from mergeable sketches
+# ===========================================================================
+
+@query(
+    "sketch_kmv_set_algebra",
+    f"""
+    WITH cf AS (
+      SELECT DISTINCT {duck_hash64("concat('kmv:', user_id)")} AS hv
+      FROM events WHERE event_type = 'click'
+    ),
+    pf AS (
+      SELECT DISTINCT {duck_hash64("concat('kmv:', user_id)")} AS hv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT hv FROM cf ORDER BY hv LIMIT {_KMV_K}),
+    p AS (SELECT hv FROM pf ORDER BY hv LIMIT {_KMV_K}),
+    u AS (
+      SELECT hv,
+             row_number() OVER (ORDER BY hv) AS rn,
+             (hv IN (SELECT hv FROM c) AND hv IN (SELECT hv FROM p))
+               AS in_both
+      FROM (SELECT hv FROM c UNION SELECT hv FROM p)
+    ),
+    k AS (SELECT * FROM u WHERE rn <= {_KMV_K}),
+    est AS (
+      SELECT COUNT(*) AS nk,
+             MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth,
+             SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS nb
+      FROM k
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_inter FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT CAST(CASE WHEN nk >= {_KMV_K}
+                THEN ({_KMV_K} - 1) * {_HASH_SPACE!r} / kth
+                ELSE nk END AS DOUBLE)                     AS est_union,
+           CAST(nb AS BIGINT)                              AS k_in_both,
+           CAST((CAST(nb AS DOUBLE) / nk)
+                * (CASE WHEN nk >= {_KMV_K}
+                   THEN ({_KMV_K} - 1) * {_HASH_SPACE!r} / kth
+                   ELSE nk END) AS DOUBLE)                 AS est_intersection,
+           (SELECT CAST(n_inter AS BIGINT) FROM exact)     AS exact_intersection
+    FROM est
+    """,
+)
+def sketch_kmv_set_algebra(spark, sf_dir):
+    """KMV sketch ALGEBRA — the property that makes k-min sketches a
+    distributed summary: two per-segment sketches merge into a union
+    sketch (k smallest of the combined k-min sets), and the Jaccard-style
+    both-membership ratio over the union sketch estimates the
+    INTERSECTION (distinct users who both click and purchase) without
+    ever counting it. Both inputs are k-TRUNCATED sketches (k smallest
+    hashes each — what a segment would actually ship), so the merge
+    sees at most 2k rows, never the full sets. Deterministic through
+    the portable hash family →
+    hash-exact oracle, with the exact intersection alongside to expose
+    the error. At scale each segment's sketch is a tiny mergeable state
+    (k longs) — this query is the merge+estimate step."""
+    ev = table(spark, sf_dir, "events")
+    hv = hash64(
+        F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+    ).alias("hv")
+    c = (
+        ev.filter(F.col("event_type") == "click").select(hv).distinct()
+        .orderBy("hv").limit(_KMV_K)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase").select(hv).distinct()
+        .orderBy("hv").limit(_KMV_K)
+    )
+    u = (
+        c.withColumn("__in_c", F.lit(1))
+        .join(
+            p.withColumn("__in_p", F.lit(1)),
+            "hv",
+            "full_outer",
+        )
+        .select(
+            "hv",
+            (
+                F.coalesce("__in_c", F.lit(0)) * F.coalesce("__in_p", F.lit(0))
+                == 1
+            ).alias("in_both"),
+        )
+    )
+    w = Window.orderBy("hv")
+    k = u.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    nk = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("hv")))
+    nb = F.sum(F.when(F.col("in_both"), 1).otherwise(0))
+    est_union = F.when(
+        nk >= _KMV_K, F.lit((_KMV_K - 1) * _HASH_SPACE) / kth
+    ).otherwise(nk.cast("double"))
+    exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .count()
+    )
+    return k.agg(
+        est_union.alias("est_union"),
+        nb.cast("long").alias("k_in_both"),
+        ((nb.cast("double") / nk) * est_union).alias("est_intersection"),
+        F.lit(exact).cast("long").alias("exact_intersection"),
+    )
+
+
+# ===========================================================================
+# As-of join, NEAREST direction (completes backward/forward parity)
+# ===========================================================================
+
+from uts_spark.operators.joins import asof_join  # noqa: E402
+
+
+@query(
+    "join_asof_nearest_purchase",
+    f"""
+    WITH l AS (
+      SELECT event_id, user_id, {MS} AS t FROM events
+      WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT event_id, user_id, {MS} AS rt, value AS rv FROM events
+      WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id, t, 1 AS side, event_id, event_id AS lid,
+             NULL::BIGINT AS rt, NULL::DOUBLE AS rv
+      FROM l
+      UNION ALL
+      SELECT user_id, rt AS t, 0, event_id, NULL, rt, rv FROM r
+    ),
+    m AS (
+      SELECT user_id, t, side, lid,
+             last_value(rt IGNORE NULLS)  OVER wb AS brt,
+             last_value(rv IGNORE NULLS)  OVER wb AS brv,
+             first_value(rt IGNORE NULLS) OVER wf AS frt,
+             first_value(rv IGNORE NULLS) OVER wf AS frv
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY t, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY t, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, lid AS event_id, t AS ts_ms,
+           CASE WHEN brt IS NOT NULL AND (frt IS NULL OR t - brt <= frt - t)
+                THEN brt ELSE frt END AS purchase_ts,
+           CASE WHEN brt IS NOT NULL AND (frt IS NULL OR t - brt <= frt - t)
+                THEN brv ELSE frv END AS purchase_value
+    FROM m WHERE side = 1
+    """,
+)
+def join_asof_nearest_purchase(spark, sf_dir):
+    """As-of join, NEAREST direction: each click enriched with the
+    closest purchase of the same user in either time direction (ties →
+    backward, pandas merge_asof semantics). Both candidates come from
+    one union + one sort — a running `last` and a following-frame
+    `first` over the same shuffle — so nearest costs exactly what the
+    one-sided as-of joins cost. Fuzzed against pandas merge_asof in
+    tests/test_property_model.py; see operators/joins.asof_join."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts_ms").alias("pts"), F.col("value").alias("pv"),
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id",
+        left_time="ts_ms", right_time="pts",
+        right_payload=["pts", "pv"], direction="nearest", order_col="event_id",
+    )
+    return out.select(
+        "user_id", "event_id", "ts_ms",
+        F.col("pts_right").alias("purchase_ts"),
+        F.col("pv_right").alias("purchase_value"),
+    )

@@ -529,3 +529,67 @@ def ts_interval_coverage(spark, sf_dir):
         (F.col("ts_ms") + F.lit(_COV_W)).alias("e"),
     )
     return interval_coverage(iv, "user_id", "s", "e")
+
+
+from uts_spark.operators.timeseries import lttb_downsample  # noqa: E402
+
+_LTTB_W = 6 * HOUR
+
+
+@query(
+    "ts_lttb_downsample",
+    f"""
+    WITH p AS (
+      SELECT user_id AS k, {MS} AS t, value AS v, event_id AS o,
+             ({MS}) // {_LTTB_W} AS b
+      FROM events
+    ),
+    cent AS (
+      SELECT k, b,
+             CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) / COUNT(t) AS cx,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v) AS cy
+      FROM p GROUP BY k, b
+    ),
+    anch AS (
+      SELECT k, b,
+             lag(cx)  OVER w AS ax, lag(cy)  OVER w AS ay,
+             lead(cx) OVER w AS nx, lead(cy) OVER w AS ny
+      FROM cent WINDOW w AS (PARTITION BY k ORDER BY b)
+    ),
+    scored AS (
+      SELECT p.k, p.t, p.v, p.o, p.b,
+             abs((ax - nx) * (p.v - ay) - (ax - p.t) * (ny - ay)) AS area
+      FROM p JOIN anch ON anch.k = p.k AND anch.b = p.b
+      WHERE ax IS NOT NULL AND nx IS NOT NULL
+    ),
+    picked AS (
+      SELECT k, t, v, FALSE AS is_endpoint,
+             row_number() OVER (PARTITION BY k, b
+                                ORDER BY area DESC, o) AS rn
+      FROM scored
+    ),
+    ends AS (
+      SELECT k, t, v, TRUE AS is_endpoint FROM (
+        SELECT k, t, v,
+               row_number() OVER (PARTITION BY k ORDER BY t, o) AS rf,
+               row_number() OVER (PARTITION BY k ORDER BY t DESC, o DESC)
+                 AS rl
+        FROM p
+      ) WHERE rf = 1 OR rl = 1
+    )
+    SELECT k AS user_id, t AS ts_ms, v AS value, is_endpoint
+    FROM picked WHERE rn = 1
+    UNION ALL
+    SELECT k, t, v, is_endpoint FROM ends
+    """,
+)
+def ts_lttb_downsample(spark, sf_dir):
+    """LTTB perceptual downsampling per user series, 6-hour buckets:
+    parallel bucket-anchor variant (centroid anchors instead of the
+    sequential selected-point chain), endpoints always kept. One grouped
+    centroid pass + tiny broadcast anchors + per-bucket argmax. See
+    operators/timeseries.lttb_downsample."""
+    ev = table(spark, sf_dir, "events")
+    return lttb_downsample(
+        ev, "user_id", "ts_ms", "value", "event_id", bucket_ms=_LTTB_W
+    )
