@@ -510,3 +510,25 @@ def test_substring_dup_rate_known_overlaps(spark):
     # disjoint doc: zero dups; short doc: no shingles -> NULL rate
     assert out[3]["n_dup"] == 0 and out[3]["dup_rate"] == 0.0
     assert out[4]["n_shingles"] == 0 and out[4]["dup_rate"] is None
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    from uts_spark.functions.decontam import bloom_contamination
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon shared phrase here")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon shared phrase here suffix"),
+            (2, "totally different words with no overlap whatsoever in sight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bloom_contamination(train, ev, "text", "doc_id", n=5).collect()}
+    # bloom must pass every exact hit (no false negatives), flag doc 1
+    for r in out.values():
+        assert r["n_bloom_pass"] >= r["n_exact_hits"]
+    assert out[1]["contaminated"] and out[1]["n_exact_hits"] > 0
+    assert not out[2]["contaminated"] and out[2]["n_exact_hits"] == 0

@@ -662,3 +662,54 @@ def test_streaming_composed_pipeline_dedup_enrich_window(spark, tmp_path):
     # dup rows collapsed to ONE 'a' row: 5.0 * 2.0 = 10.0; b: 1.0 * 10.0
     assert got[("a", 0)] == (10.0, 1)
     assert got[("b", 0)] == (10.0, 1)
+
+
+def test_kmv_distinct_stream_matches_batch_sketch(spark, tmp_path):
+    from uts_spark.functions.hashing import hash64
+    from uts_spark.streaming.ops import kmv_distinct_stream
+
+    src, chk = _dirs(tmp_path)
+    name = f"kmv_{uuid.uuid4().hex[:8]}"
+    MIN = 60_000
+    K = 8
+    # window 0: 100 distinct series ids across two batches (cross-batch
+    # state merge); window 1: 5 distinct (below k -> exact count)
+    b1 = [(f"s{i}", _ts(spark, i), 1.0) for i in range(60)]
+    b2 = [(f"s{i}", _ts(spark, i + 60), 1.0) for i in range(40, 100)]
+    b2 += [(f"t{i}", _ts(spark, 10 * MIN + i), 1.0) for i in range(5)]
+    b3 = [("late", _ts(spark, 30 * MIN), 1.0)]  # advances watermark
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+    out = kmv_distinct_stream(
+        stream, F.col("series"), interval_ms=10 * MIN,
+        watermark="0 seconds", k=K,
+    )
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, TS_SCHEMA, 2)
+        q.processAllAvailable()
+        _feed(spark, src, b3, TS_SCHEMA, 3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["start"]: (r["kmv_est"], r["n_distinct_seen"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch replay of the same estimator over window 0's 100 distinct ids
+    hs = sorted(
+        r["h"]
+        for r in spark.createDataFrame(
+            [(f"s{i}",) for i in range(100)], "series string"
+        )
+        .select(hash64(F.col("series")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    expect_est = (K - 1) * float(1 << 60) / hs[K - 1]
+    assert got[0] == (expect_est, 100)
+    # below-k window reports the exact distinct count
+    assert got[10 * MIN] == (5.0, 5)

@@ -2299,3 +2299,96 @@ def join_asof_nearest_purchase(spark, sf_dir):
         F.col("pts_right").alias("purchase_ts"),
         F.col("pv_right").alias("purchase_value"),
     )
+
+
+# ===========================================================================
+# TPC-H Q16 shape (distinct-supplier counts with NOT IN exclusion)
+# ===========================================================================
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND s.s_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """Q16 shape (parts-supplier relationship counting): filtered part
+    dim broadcast into the fact, NOT IN exclusion set as a broadcast
+    anti-join (testdata has no s_comment, so the excluded set is
+    negative-balance suppliers), then COUNT(DISTINCT supplier) per
+    (brand, size) — a two-level aggregation Spark plans as partial
+    distinct then merge, no row explosion."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)
+    )
+    s = table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(bad), "s_suppkey", "left_anti")
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("s_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ===========================================================================
+# Table profiling (ANALYZE-style column statistics, one pass)
+# ===========================================================================
+
+@query(
+    "profile_lineitem_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT)                        AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)      AS ndv_orderkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)       AS ndv_partkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)       AS ndv_suppkey,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT)    AS nulls_quantity,
+           MIN(l_quantity)                                 AS min_qty,
+           MAX(l_quantity)                                 AS max_qty,
+           MIN(l_extendedprice)                            AS min_price,
+           MAX(l_extendedprice)                            AS max_price,
+           CAST(MIN(epoch_ns(l_shipdate)//1000000) AS BIGINT) AS min_ship_ms,
+           CAST(MAX(epoch_ns(l_shipdate)//1000000) AS BIGINT) AS max_ship_ms,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def profile_lineitem_stats(spark, sf_dir):
+    """ANALYZE-style table profile in ONE pass: row count, per-column
+    distinct counts, null counts, min/max ranges and a checksum-grade
+    decimal sum — the statistics a cost-based planner (or a data-quality
+    gate) collects before planning 100 TB scans. Multiple COUNT(DISTINCT)
+    in one aggregate: Spark expands to a single multi-distinct plan, no
+    extra table scans."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").cast("long").alias("ndv_orderkey"),
+        F.count_distinct("l_partkey").cast("long").alias("ndv_partkey"),
+        F.count_distinct("l_suppkey").cast("long").alias("ndv_suppkey"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).cast("long")
+            .alias("nulls_quantity"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.unix_millis(F.min("l_shipdate").cast("timestamp")).alias("min_ship_ms"),
+        F.unix_millis(F.max("l_shipdate").cast("timestamp")).alias("max_ship_ms"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            .alias("sum_qty"),
+    )

@@ -767,3 +767,27 @@ def text_substring_dup_rate(spark, sf_dir):
     functions/text.substring_dup_rate."""
     docs = table(spark, sf_dir, "documents")
     return substring_dup_rate(docs, "text", "doc_id", n=8)
+
+
+from uts_spark.functions.decontam import (  # noqa: E402
+    bloom_contamination,
+    duck_bloom_contamination,
+)
+from uts_spark.functions.sampling import hash_u  # noqa: E402
+
+
+@query("text_decontaminate_bloom", duck_bloom_contamination(rate=0.1, n=5))
+def text_decontaminate_bloom(spark, sf_dir):
+    """Decontamination with a BLOOM PREFILTER: the eval set's shingle
+    hashes fold into <=2048 bit-or'd words (a few KB, broadcast
+    everywhere) and train shingles probe it twice before any exact
+    join — the shape that survives when the distinct eval shingle set
+    itself is too large to hash-join per batch at 100 TB. Bit positions
+    come from the portable hash family, so the oracle replays
+    membership exactly; the exact hit count rides along, proving
+    n_bloom_pass >= n_exact_hits (no false negatives) row by row."""
+    docs = table(spark, sf_dir, "documents")
+    u = hash_u("decon", F.col("doc_id"))
+    train = docs.filter(u >= 0.1)
+    ev = docs.filter(u < 0.1)
+    return bloom_contamination(train, ev, "text", "doc_id", n=5)

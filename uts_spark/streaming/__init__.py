@@ -2,6 +2,7 @@ from uts_spark.streaming.ops import (
     dedup_within_watermark,
     enrich_stream_static,
     interval_join_stream,
+    kmv_distinct_stream,
     derivative_stateful_stream,
     derivative_tws_stream,
     read_parquet_stream,
@@ -21,6 +22,7 @@ __all__ = [
     "dedup_within_watermark",
     "enrich_stream_static",
     "interval_join_stream",
+    "kmv_distinct_stream",
     "zscore_stream",
     "derivative_stateful_stream",
     "derivative_tws_stream",

@@ -508,3 +508,50 @@ def interval_join_stream(
         )
     )
     return l.join(r, cond, how).drop(F.col(f"__r.{key}"))
+
+
+def kmv_distinct_stream(
+    df: DataFrame,
+    id_expr: Column,
+    interval_ms: int,
+    time_col: str = "ts",
+    watermark: str | None = "1 hour",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming distinct-count sketch per tumbling window: the KMV
+    estimator (k smallest portable-hash values; see the batch
+    ``sketch_kmv_distinct`` query) over a watermarked window aggregation
+    — append mode emits one (start, width, kmv_est, n_seen) row when the
+    watermark closes a window.
+
+    The k-min set is exactly the kind of small mergeable state streaming
+    aggregation wants: order-insensitive, idempotent under duplicates,
+    and union-mergeable across batches. This implementation keeps the
+    window's distinct hash set via ``collect_set`` and trims to k at
+    serialization — semantically identical to a capped accumulator; a
+    state-size-critical deployment would cap in-flight state with
+    ``transformWithState`` (same estimate, bounded memory).
+    """
+    from uts_spark.functions.hashing import hash64
+
+    w = F.window(F.col(time_col), f"{interval_ms} milliseconds")
+    src = df.withWatermark(time_col, watermark) if watermark is not None else df
+    agg = (
+        src.select(F.col(time_col), id_expr.alias("__id"))
+        .select(F.col(time_col), hash64(F.col("__id").cast("string")).alias("__h"))
+        .groupBy(w.alias("__w"))
+        .agg(
+            F.array_sort(F.collect_set("__h")).alias("__hs"),
+        )
+    )
+    n_seen = F.size("__hs")
+    kth = F.element_at("__hs", k)
+    est = F.when(
+        n_seen >= k, F.lit(float((k - 1) * (1 << 60))) / kth
+    ).otherwise(n_seen.cast("double"))
+    return agg.select(
+        F.unix_millis(F.col("__w.start")).alias("start"),
+        F.lit(int(interval_ms)).alias("width"),
+        est.alias("kmv_est"),
+        n_seen.alias("n_distinct_seen"),
+    )
