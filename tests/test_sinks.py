@@ -141,3 +141,34 @@ def test_zorder_layout_shrinks_file_bounding_boxes(spark, sf_dir, tmp_path):
     a_z = avg_bbox_area(ev, "zval", str(tmp_path / "by_z"))
     # z-order should cut the average file bounding box drastically
     assert a_z < a_time / 2, (a_z, a_time)
+
+
+def test_range_partitioned_global_sort_write(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions = a total order across
+    files (file N's max <= file N+1's min) with NO global single-node
+    sort — the layout that gives min/max pruning on the sort key and
+    merge-friendly downstream reads at 100 TB."""
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ms", "value")
+    out = str(tmp_path / "sorted")
+    (
+        ev.repartitionByRange(6, F.col("ts_ms"))
+        .sortWithinPartitions("ts_ms")
+        .write.mode("overwrite").parquet(out)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(per_file) > 1
+    for a, b in zip(per_file, per_file[1:]):
+        assert a["hi"] <= b["lo"], "files overlap on the sort key"
+    # range partitioner balances rows (no single fat file)
+    counts = [r["n"] for r in per_file]
+    assert max(counts) < 3 * (sum(counts) / len(counts))
+    # within-file order: first/last row of each file match its min/max
+    one = spark.read.parquet(per_file[0]["f"]).select("ts_ms").limit(1).collect()
+    assert one[0]["ts_ms"] == per_file[0]["lo"]

@@ -2392,3 +2392,47 @@ def profile_lineitem_stats(spark, sf_dir):
         F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
             .alias("sum_qty"),
     )
+
+
+# ===========================================================================
+# Date / calendar function pack
+# ===========================================================================
+
+@query(
+    "scalar_date_pack",
+    """
+    SELECT event_id,
+           CAST(weekofyear(ts) AS BIGINT)                  AS iso_week,
+           CAST(isodow(ts) AS BIGINT)                      AS iso_dow,
+           CAST(dayofyear(ts) AS BIGINT)                   AS doy,
+           CAST(quarter(ts) AS BIGINT)                     AS q,
+           last_day(CAST(ts AS DATE))                      AS month_end,
+           epoch_ns(CAST(date_trunc('week', ts) AS TIMESTAMP)) // 1000000
+             AS week_start_ms,
+           CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS BIGINT)                                 AS days_since_ny
+    FROM events
+    """,
+)
+def scalar_date_pack(spark, sf_dir):
+    """Calendar function coverage: ISO week / ISO day-of-week (Spark's
+    ``weekday`` is 0-Monday, the oracle's ``isodow`` 1-Monday — one
+    +1 normalizes), day-of-year, quarter, month-end, Monday-anchored
+    week truncation, month arithmetic, and day differences. Pure
+    projection; every function is JVM-side date math on the session's
+    UTC zone, so both engines see identical civil dates."""
+    ev = table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.quarter("ts").cast("long").alias("q"),
+        F.last_day(d).alias("month_end"),
+        F.unix_millis(F.date_trunc("week", "ts")).alias("week_start_ms"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long")
+            .alias("days_since_ny"),
+    )
