@@ -188,3 +188,63 @@ def test_pagerank_sink_attracts_mass(spark):
     assert out[0] > 4 * out[1] and out[2] > 4 * out[1], out
     # total mass conserved up to fixed-point truncation (no dangling nodes)
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_session_assign_matches_python_model(spark):
+    import random
+
+    from uts_spark.registry import QUERIES
+
+    # synthetic check of the rn-subtraction trick on controlled data
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    GAP = 1000
+    rng = random.Random(3)
+    rows = []
+    for u in range(5):
+        t = 0
+        for i in range(50):
+            t += rng.choice([10, 100, 999, 1000, 1001, 5000])
+            rows.append((u, t, u * 1000 + i))
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_id long")
+
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_ms").over(w)
+    is_new = prev.isNull() | (F.col("ts_ms") - prev > GAP)
+    rn = F.row_number().over(w)
+    out = (
+        df.select(
+            "*", rn.alias("rn"),
+            F.when(is_new, 1).otherwise(0).alias("nw"),
+            F.when(is_new, F.col("ts_ms")).alias("st"),
+            F.when(is_new, rn).alias("srn"),
+        )
+        .select(
+            "user_id", "ts_ms", "event_id",
+            F.sum("nw").over(run).alias("seq"),
+            F.last("st", True).over(run).alias("start"),
+            (rn - F.last("srn", True).over(run) + 1).alias("idx"),
+        )
+        .collect()
+    )
+    got = {(r["user_id"], r["ts_ms"], r["event_id"]): (r["seq"], r["start"], r["idx"]) for r in out}
+
+    by_u = {}
+    for u, t, e in rows:
+        by_u.setdefault(u, []).append((t, e))
+    for u, pts in by_u.items():
+        seq = 0
+        start = None
+        idx = 0
+        prev_t = None
+        for t, e in sorted(pts):
+            if prev_t is None or t - prev_t > GAP:
+                seq += 1
+                start = t
+                idx = 1
+            else:
+                idx += 1
+            prev_t = t
+            assert got[(u, t, e)] == (seq, start, idx), (u, t, e)

@@ -2436,3 +2436,87 @@ def scalar_date_pack(spark, sf_dir):
         F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long")
             .alias("days_since_ny"),
     )
+
+
+# ===========================================================================
+# Per-event session ASSIGNMENT (the row-level sibling of session_window)
+# ===========================================================================
+
+_SESS_GAP = 30 * 60 * 1000
+
+
+@query(
+    "session_assign_events",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, {MS} AS ts_ms FROM events
+    ),
+    f AS (
+      SELECT *,
+             row_number() OVER w AS rn,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                    OR ts_ms - lag(ts_ms) OVER w > {_SESS_GAP}
+                  THEN 1 ELSE 0 END AS nw,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                    OR ts_ms - lag(ts_ms) OVER w > {_SESS_GAP}
+                  THEN ts_ms END AS st,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                    OR ts_ms - lag(ts_ms) OVER w > {_SESS_GAP}
+                  THEN row_number() OVER w END AS srn
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    g AS (
+      SELECT event_id, user_id, ts_ms, rn,
+             SUM(nw) OVER w2 AS session_seq,
+             last_value(st IGNORE NULLS) OVER w2 AS session_start_ms,
+             last_value(srn IGNORE NULLS) OVER w2 AS start_rn
+      FROM f
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts_ms,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           session_start_ms,
+           CAST(rn - start_rn + 1 AS BIGINT) AS event_index_in_session,
+           ts_ms - session_start_ms AS ms_since_session_start
+    FROM g
+    """,
+)
+def session_assign_events(spark, sf_dir):
+    """Per-EVENT session assignment — native ``session_window`` emits
+    per-session aggregates; attribution pipelines need every event
+    labeled with its session id, start, and ordinal instead. One window
+    spec: the new-session flag's running sum numbers sessions, the
+    session start rides a last-ignore-nulls carry, and the in-session
+    ordinal is the global row_number MINUS the carried row_number at
+    session start — no second shuffle on a derived (user, session) key.
+    All integer ms arithmetic, hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_ms").over(w)
+    is_new = prev.isNull() | (F.col("ts_ms") - prev > _SESS_GAP)
+    rn = F.row_number().over(w)
+    f = ev.select("event_id", "user_id", "ts_ms").select(
+        "*",
+        rn.alias("rn"),
+        F.when(is_new, 1).otherwise(0).alias("nw"),
+        F.when(is_new, F.col("ts_ms")).alias("st"),
+        F.when(is_new, rn).alias("srn"),
+    )
+    g = f.select(
+        "event_id", "user_id", "ts_ms", "rn",
+        F.sum("nw").over(run).alias("session_seq"),
+        F.last("st", ignorenulls=True).over(run).alias("session_start_ms"),
+        F.last("srn", ignorenulls=True).over(run).alias("start_rn"),
+    )
+    return g.select(
+        "event_id", "user_id", "ts_ms",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start_ms",
+        (F.col("rn") - F.col("start_rn") + 1).cast("long")
+            .alias("event_index_in_session"),
+        (F.col("ts_ms") - F.col("session_start_ms"))
+            .alias("ms_since_session_start"),
+    )

@@ -311,3 +311,72 @@ def uts_retention(spark, sf_dir):
     df = s.query({"n": Metric("count")}, now=NOW_MS)
     kept = s.df.filter(F.col("ts_ms") >= F.lit(NOW_MS - 7 * DAY))
     return df.crossJoin(kept.agg(F.min("ts_ms").alias("min_ts")))
+
+
+@query(
+    "uts_payload_mode_interval",
+    f"""
+    WITH e AS (
+      SELECT {MS} AS t,
+             MAP {{'v': value, 'u': CAST(user_id AS DOUBLE)}} AS payload
+      FROM events
+    ),
+    f AS (SELECT t, payload['v'][1] AS v FROM e
+          WHERE payload['v'][1] > 0.0),
+    b AS (
+      SELECT ({NOW_MS} - t) // {DAY} AS idx,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(v)
+               AS mean_v,
+             COUNT(v) AS n
+      FROM f WHERE t <= {NOW_MS} GROUP BY 1
+    ),
+    -- fill=true: bin count anchored at the FIRST point's time
+    -- (no `time >` bound in the where clause; uts.ts:113-124)
+    lim AS (
+      SELECT ({NOW_MS} - MIN(t)) // {DAY} + 1 AS nbins FROM f
+      WHERE t <= {NOW_MS}
+    ),
+    spine AS (
+      SELECT CAST(range AS BIGINT) AS idx FROM range(0, 128)
+      WHERE range < (SELECT nbins FROM lim)
+    )
+    SELECT {NOW_MS} - (idx + 1) * {DAY} AS start,
+           CAST({DAY} AS BIGINT) AS width,
+           COALESCE(mean_v, 0.0) AS mean_v,
+           COALESCE(n, 0) AS n
+    FROM spine LEFT JOIN b USING (idx)
+    """,
+)
+def uts_payload_mode_interval(spark, sf_dir):
+    """Schemaless MapType payload mode THROUGH the driver gate (until
+    now only golden-tested): events re-encoded as MAP<STRING,DOUBLE>
+    points, filtered on a missing map key (absent key ≡ NULL ≡ the
+    reference's missing-column semantics, SURVEY §1.3), then the
+    reference's now-anchored right-inclusive daily bins with the mean
+    quirk (empty→0). Map access compiles to the same pushed-down scan +
+    hash aggregate as typed columns — schemalessness costs a MapType
+    lookup, not a plan shape."""
+    from uts_spark.plans.tsdb import TSDB
+    from uts_spark.sources.tables import load_events
+    from uts_spark.session import configure_session
+
+    configure_session(spark)
+    ev = load_events(spark, sf_dir)
+    pts = ev.select(
+        F.col("ingest_id"),
+        F.col("ts_ms").alias("time"),
+        F.create_map(
+            F.lit("v"), F.col("value"),
+            F.lit("u"), F.col("user_id").cast("double"),
+        ).alias("payload"),
+    )
+    db = TSDB(spark)
+    s = db.series("pl", df=pts, time_col="time", order_col="ingest_id",
+                  payload_col="payload")
+    out = s.query(
+        metrics={"mean_v": Metric("mean", "v", params={"stable": True}),
+                 "n": Metric("count", "v")},
+        where={"v": {"is": ">", "than": 0.0}},
+        group=interval(DAY, fill=True, now=NOW_MS),
+    )
+    return out.select("start", "width", "mean_v", "n")
