@@ -347,10 +347,19 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """48-bit SimHash per doc: per-token 60-bit hash, per-bit ±1 vote sum,
     sign → bit. One explode over tokens + one groupBy with 48 sum
-    expressions (no per-bit row blowup)."""
+    expressions (no per-bit row blowup).
+
+    The portable md5 hash is computed once per DISTINCT token and
+    broadcast-joined back (no new shuffle on the token stream) —
+    corpora repeat their vocabulary thousands of times over, so hashing
+    per token INSTANCE pays the md5+conv chain ~n_tokens/n_vocab times
+    over; at cluster scale that CPU feeds straight into the scan
+    stage's critical path."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
-    ).withColumn("h", hash64(F.col("t")))
+    )
+    vocab = tok.select("t").distinct().withColumn("h", hash64(F.col("t")))
+    tok = tok.join(F.broadcast(vocab), "t")
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
