@@ -2520,3 +2520,228 @@ def session_assign_events(spark, sf_dir):
         (F.col("ts_ms") - F.col("session_start_ms"))
             .alias("ms_since_session_start"),
     )
+
+
+# ===========================================================================
+# Statistical tests / fits (exact integer-moment formulations)
+# ===========================================================================
+
+@query(
+    "stats_chisq_type_hod",
+    f"""
+    WITH e AS (
+      SELECT event_type, ({MS} % {DAY}) // {HOUR} AS hod FROM events
+    ),
+    o AS (SELECT event_type, hod, COUNT(*) AS obs FROM e GROUP BY 1, 2),
+    rt AS (SELECT event_type, COUNT(*) AS r FROM e GROUP BY 1),
+    ct AS (SELECT hod, COUNT(*) AS c FROM e GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM e),
+    terms AS (
+      SELECT CAST(ROUND(
+               (obs - CAST(r AS DOUBLE) * c / n)
+               * (obs - CAST(r AS DOUBLE) * c / n)
+               / (CAST(r AS DOUBLE) * c / n) * 1048576) AS DECIMAL(38,0))
+               AS t
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hod), n
+    )
+    SELECT CAST(SUM(t) AS DOUBLE) / 1048576 AS chi2,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * ((SELECT COUNT(*) FROM ct) - 1) AS dof
+    FROM terms
+    """,
+)
+def stats_chisq_type_hod(spark, sf_dir):
+    """Chi-square independence test: is event type independent of
+    hour-of-day? Expected counts from broadcast row/column marginals;
+    each (o-e)^2/e term is one fixed IEEE formula over identical
+    doubles, snapped to 2^-20 integers so the cross-cell SUM is
+    order-free — a STATISTICAL TEST that is still hash-exact. Two tiny
+    marginal aggregations broadcast into the contingency table; the
+    fact shuffles once for the observed counts."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.expr(f"(ts_ms % {DAY}) div {HOUR}").alias("hod")
+    )
+    o = e.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("obs"))
+    rt = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("r"))
+    ct = e.groupBy("hod").agg(F.count(F.lit(1)).alias("c"))
+    n = e.count()
+    exp = F.col("r").cast("double") * F.col("c") / F.lit(n)
+    term = F.round(
+        (F.col("obs") - exp) * (F.col("obs") - exp) / exp * (1 << 20)
+    ).cast("decimal(38,0)")
+    n_types = rt.count()
+    n_hods = ct.count()
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hod")
+        .agg(
+            (F.sum(term).cast("double") / (1 << 20)).alias("chi2"),
+            F.lit((n_types - 1) * (n_hods - 1)).cast("long").alias("dof"),
+        )
+    )
+
+
+@query(
+    "ts_linear_trend",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             ({MS} - MIN({MS}) OVER (PARTITION BY user_id)) // 1000 AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_s,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept_cents,
+           CASE WHEN (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+    FROM m
+    """,
+)
+def ts_linear_trend(spark, sf_dir):
+    """Per-series ordinary-least-squares trend line: slope, intercept
+    and R^2 from the five moment sums — x is seconds since the series'
+    first event (keeps x*x within exact-integer range), y in cents. All
+    moments are exact DECIMAL integer sums, so the closed-form OLS
+    doubles are bit-identical on both engines. One window (series min)
+    + one aggregation, single shuffle."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("(ts_ms - min(ts_ms) OVER (PARTITION BY user_id)) div 1000")
+            .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = [F.col(c) for c in ("n","sx","sy","sxx","syy","sxy")]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "user_id",
+        slope.alias("slope_cents_per_s"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+        F.when(
+            (n * syy - sy * sy) > 0,
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        ).alias("r2"),
+    )
+
+
+# ===========================================================================
+# Ordered string aggregation (LISTAGG / string_agg)
+# ===========================================================================
+
+@query(
+    "agg_string_concat",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {MS}, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(CASE WHEN rn <= 5 THEN substr(event_type, 1, 1) END,
+                      '' ORDER BY rn) AS first5_type_initials,
+           string_agg(CASE WHEN rn <= 3 THEN CAST(event_id AS VARCHAR) END,
+                      ',' ORDER BY rn) AS first3_event_ids
+    FROM e GROUP BY user_id
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): each user's first five
+    event-type initials and first three event ids, concatenated in
+    event order. Spark has no ordered string_agg — the portable
+    formulation collects (rank, value) structs, array_sorts (struct
+    order = rank order), and joins; the window rank and the aggregation
+    share one shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    e = ev.select(
+        "user_id", "event_type", "event_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    def ordered_concat(cond_col, sep):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(cond_col.isNotNull(),
+                               F.struct(F.col("rn"), cond_col.alias("s")))
+                    )
+                ),
+                lambda p: p["s"],
+            ),
+            sep,
+        )
+    initials = F.when(F.col("rn") <= 5, F.substring("event_type", 1, 1))
+    ids = F.when(F.col("rn") <= 3, F.col("event_id").cast("string"))
+    return e.groupBy("user_id").agg(
+        ordered_concat(initials, "").alias("first5_type_initials"),
+        ordered_concat(ids, ",").alias("first3_event_ids"),
+    )
+
+
+# ===========================================================================
+# Exact sliding-window distinct counts (7-day trailing distinct users)
+# ===========================================================================
+
+@query(
+    "window_7d_distinct_users",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT {MS} // {DAY} AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    x AS (
+      SELECT d.day, du.user_id
+      FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+    )
+    SELECT day * {DAY} AS day_ms,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM x GROUP BY day
+    """,
+)
+def window_7d_distinct_users(spark, sf_dir):
+    """Trailing 7-day DISTINCT-user counts per day — COUNT(DISTINCT)
+    isn't a window function in any engine; the scalable exact shape
+    collapses the fact to (day, user) pairs first (the only pass over
+    the raw data), then range-joins the tiny per-day pair table to its
+    trailing week and re-distincts. Work scales with distinct pairs x 7,
+    never events x 7. The approximate path at extreme scale is a
+    per-day KMV/HLL sketch union-merged over the window
+    (sketch_kmv_set_algebra shows the merge algebra)."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.expr(f"ts_ms div {DAY}").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    x = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") >= F.col("d.day") - 6)
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return x.groupBy(F.col("d.day").alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("users_7d")
+    ).select((F.col("day") * DAY).alias("day_ms"), "users_7d")
