@@ -713,3 +713,75 @@ def test_kmv_distinct_stream_matches_batch_sketch(spark, tmp_path):
     assert got[0] == (expect_est, 100)
     # below-k window reports the exact distinct count
     assert got[10 * MIN] == (5.0, 5)
+
+
+def test_foreachbatch_incremental_rollup_matches_batch(spark, tmp_path):
+    """Incremental materialized-view maintenance on plain parquet: each
+    micro-batch's per-day partial aggregates merge into a day-partitioned
+    rollup via dynamic partition overwrite — only the days touched by the
+    batch are rewritten. After three batches (including late rows for an
+    already-written day) the rollup must equal a full batch recompute."""
+    src, chk = _dirs(tmp_path)
+    rollup = str(tmp_path / "rollup")
+    DAY = 86_400_000
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def merge_batch(batch_df, batch_id):
+        part = batch_df.groupBy(
+            (F.unix_millis("ts") / DAY).cast("long").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+        )
+        try:
+            old = spark.read.parquet(rollup).join(
+                part.select("day").distinct(), "day", "left_semi"
+            )
+            part = (
+                part.unionByName(old)
+                .groupBy("day")
+                .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+            )
+        except Exception:
+            pass  # first batch: no rollup yet
+        part.write.mode("overwrite").partitionBy("day").parquet(rollup)
+
+    rows = []
+    batches = [
+        [("a", _ts(spark, d * DAY + i), float(i)) for d in (0, 1) for i in range(5)],
+        [("a", _ts(spark, 2 * DAY + i), float(i)) for i in range(7)],
+        # late rows for day 0 after it was already rolled up
+        [("a", _ts(spark, 0 * DAY + 100 + i), 50.0 + i) for i in range(3)],
+    ]
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for i, b in enumerate(batches, 1):
+            rows += b
+            _feed(spark, src, b, TS_SCHEMA, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {
+        r["day"]: (r["n"], float(r["sv"]))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    exp = {
+        r["day"]: (r["n"], float(r["sv"]))
+        for r in spark.createDataFrame(rows, TS_SCHEMA)
+        .groupBy((F.unix_millis("ts") / DAY).cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == exp

@@ -791,3 +791,48 @@ def text_decontaminate_bloom(spark, sf_dir):
     train = docs.filter(u >= 0.1)
     ev = docs.filter(u < 0.1)
     return bloom_contamination(train, ev, "text", "doc_id", n=5)
+
+
+def _duck_semantic_cluster(threshold: float = 0.4) -> str:
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b FROM p WHERE {_duck_cosine('ea', 'eb')} >= {threshold!r}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM e
+      UNION
+      SELECT g.b AS node, r.lbl
+      FROM reach r JOIN edges g ON g.a = r.node
+      WHERE r.lbl < g.b
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+           MIN(lbl) = node AS keep
+    FROM reach GROUP BY node
+    """
+
+
+@query("dedup_semantic_cluster", _duck_semantic_cluster())
+def dedup_semantic_cluster(spark, sf_dir):
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (the
+    bit-exact blocked numpy kernel) feed connected components, labeling
+    every vector with its semantic cluster and a keep/drop verdict —
+    the embedding-space twin of the SimHash-pair dedup_cluster_cc,
+    against the same recursive-CTE transitive-closure oracle. The two
+    stages compose without materialization: pair generation streams
+    into the CC loop's first checkpoint."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(e, threshold=0.4)
+    return cluster_assignment(
+        e.select("vec_id"), pairs, "vec_id", dedupe_edges=False
+    ).select(
+        "vec_id", "cluster_id", "keep"
+    )
