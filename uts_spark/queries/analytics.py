@@ -2745,3 +2745,72 @@ def window_7d_distinct_users(spark, sf_dir):
     return x.groupBy(F.col("d.day").alias("day")).agg(
         F.count_distinct("user_id").cast("long").alias("users_7d")
     ).select((F.col("day") * DAY).alias("day_ms"), "users_7d")
+
+
+# ===========================================================================
+# Nested types: array<struct> assembly / manipulation / serialization
+# ===========================================================================
+
+@query(
+    "nested_struct_pack",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS t, CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY {MS} DESC, event_id DESC) AS rrn
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             list_sort(list({{'t': t, 'vc': vc}})) AS recent
+      FROM e WHERE rrn <= 3 GROUP BY user_id
+    )
+    SELECT user_id,
+           to_json(recent) AS recent_json,
+           CAST(len(recent) AS BIGINT) AS n_recent,
+           recent[1].t AS oldest_t,
+           CAST(list_sum(list_transform(recent, s -> s.vc)) AS BIGINT)
+             AS sum_vc,
+           CAST(len(list_filter(recent, s -> s.vc > 5000)) AS BIGINT)
+             AS n_over_50
+    FROM g
+    """,
+)
+def nested_struct_pack(spark, sf_dir):
+    """Nested-type surface: assemble each user's three most recent
+    events into a sorted ARRAY<STRUCT>, then element access, lambda
+    sum/filter over struct fields, and byte-identical JSON
+    serialization (integer fields only — both engines print shortest-
+    round-trip doubles, but integers remove the one formatting risk).
+    The struct array is the canonical "document assembly" step before
+    feeding nested training records to a tokenizer at scale; one window
+    + one aggregation, single shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    e = ev.select(
+        "user_id",
+        F.col("ts_ms").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.row_number().over(w).alias("rrn"),
+    ).filter(F.col("rrn") <= 3)
+    g = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t"), F.col("vc")))
+        ).alias("recent")
+    )
+    return g.select(
+        "user_id",
+        F.to_json("recent").alias("recent_json"),
+        F.size("recent").cast("long").alias("n_recent"),
+        F.element_at("recent", 1)["t"].alias("oldest_t"),
+        F.aggregate(
+            F.transform("recent", lambda s: s["vc"]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_vc"),
+        F.size(F.filter("recent", lambda s: s["vc"] > 5000)).cast("long")
+            .alias("n_over_50"),
+    )
