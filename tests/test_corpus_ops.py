@@ -1,0 +1,113 @@
+"""Tests for the corpus-level operators added in round 2b: line dedup,
+heavy hitters (exact + Misra-Gries), count-min sketch, Gopher quality
+rules, triangle counting."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from uts_spark.functions.clustering import triangle_stats
+from uts_spark.functions.freq import mg_heavy_hitters
+from uts_spark.registry import QUERIES
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_triangle_count_k4(spark):
+    # complete graph on 4 vertices: C(4,3)=4 triangles, 6 edges,
+    # every vertex degree 3 -> wedges = 4*3 = 12, coefficient 1.0
+    k4 = _pairs(spark, [(a, b) for a in range(4) for b in range(4) if a < b])
+    row = triangle_stats(k4).collect()[0]
+    assert (row.n_edges, row.n_nodes, row.n_triangles, row.n_wedges) == (
+        6, 4, 4, 12,
+    )
+    assert row.global_clustering == 1.0
+
+
+def test_triangle_count_path_and_cycle(spark):
+    # path a-b-c-d: 0 triangles, 2 wedges; adding d-a makes C4: still 0
+    path = _pairs(spark, [(0, 1), (1, 2), (2, 3)])
+    assert triangle_stats(path).collect()[0].n_triangles == 0
+    c4 = _pairs(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    row = triangle_stats(c4).collect()[0]
+    assert row.n_triangles == 0 and row.n_wedges == 4
+    # close one diagonal -> exactly 2 triangles
+    c4d = _pairs(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)])
+    assert triangle_stats(c4d).collect()[0].n_triangles == 2
+
+
+def test_mg_heavy_hitters_matches_exact(spark):
+    # skewed synthetic stream: zipf-ish counts, fixed seed; MG result
+    # must equal the exact cnt*k > n filter regardless of partitioning
+    rng = random.Random(7)
+    stream = []
+    for i in range(40):
+        stream += [f"t{i}"] * (2000 // (i + 1))
+    rng.shuffle(stream)
+    terms = spark.createDataFrame(
+        [(t,) for t in stream], "term string"
+    ).repartition(7)  # deliberately awkward partitioning
+    k = 16
+    got = {
+        r.term: r.cnt for r in mg_heavy_hitters(terms, k=k).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(stream)
+    n = len(stream)
+    want = {t: c for t, c in exact.items() if c * k > n}
+    assert got == want
+    assert len(want) > 0  # the test actually exercised the threshold
+
+
+def test_countmin_one_sided_error(spark, sf_dir):
+    rows = QUERIES["sketch_countmin_terms"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt
+        assert r.overcount == r.cms_est - r.exact_cnt
+
+
+def test_line_dedup_flags_shared_lines(spark, monkeypatch):
+    import uts_spark.queries.llm_ops as llm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "UNIQUE one\nshared footer\n\nalpha"),
+            (2, "different text\nShared Footer  \nbeta"),
+            (3, "no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(llm, "table", lambda s, d, n: docs)
+    out = {r.doc_id: r for r in QUERIES["text_line_dedup"](spark, "x").collect()}
+    # 'shared footer' normalizes identically (trim+lower) in docs 1 and 2
+    assert out[1].n_lines == 3 and out[1].n_dup_lines == 1
+    assert out[2].n_lines == 3 and out[2].n_dup_lines == 1
+    assert out[3].n_dup_lines == 0
+    assert out[1].chars_dup == len("shared footer")
+    assert 0.0 < out[1].dup_char_ratio < 1.0
+
+
+def test_gopher_pass_boundaries(spark, monkeypatch):
+    import uts_spark.queries.llm_ops as llm
+
+    good = "the quick brown fox " * 20 + "and it is that for a good story"
+    short = "too short"
+    bullets = "\n".join(f"- item {i} of the list for sure" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullets)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(llm, "table", lambda s, d, n: docs)
+    out = {
+        r.doc_id: r for r in QUERIES["text_gopher_quality"](spark, "x").collect()
+    }
+    assert out[1].gopher_pass is True
+    assert out[2].gopher_pass is False  # word count below 50
+    assert out[3].gopher_pass is False  # bullet_line_ratio = 1.0 > 0.9
+    assert out[3].bullet_line_ratio == 1.0

@@ -87,45 +87,58 @@ def connected_components(
         spark.conf.set(conf_key, prev_shuffle)
 
 
-def _cc_rounds(sym: DataFrame, max_rounds: int) -> DataFrame:
+def _cc_rounds(sym: DataFrame, max_rounds: int, hops: int = 1) -> DataFrame:
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("component"))
         .withColumn("component", F.least("component", "node"))
         .localCheckpoint(eager=True)
     )
+    ctype = labels.schema["component"].dataType
     for _ in range(max_rounds):
-        # neighbor labels flow along edges; own label rides in the pool
-        # flagged so the pre-round value survives the min() for the
-        # convergence check
-        msgs = sym.join(labels.withColumnRenamed("node", "b"), "b").select(
-            F.col("a").alias("node"), "component", F.lit(False).alias("own")
-        )
-        agg = (
-            msgs.union(labels.withColumn("own", F.lit(True)))
-            .groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(F.when(F.col("own"), F.col("component"))).alias("old"),
+        # `hops` propagate+jump steps run LAZILY inside one checkpointed
+        # round. hops=2 halves the driver round trips (materialize +
+        # convergence count) at the price of doubling the join work per
+        # checkpoint; measured A/B on the sf0.1 near-dup graph (5k
+        # nodes / 227k edges): hops=1 min 2.06 s vs hops=2 min 2.50 s —
+        # the extra fused joins cost more than the saved round trips,
+        # and at cluster scale joins dominate even harder, so 1 is the
+        # default. The pre-round label rides along in `old` (exactly
+        # one non-null per node survives each groupBy) so convergence
+        # is still a filter over the checkpoint.
+        cur = labels.withColumn("old", F.col("component"))
+        for _hop in range(hops):
+            # neighbor labels flow along edges; own row carries `old`
+            msgs = sym.join(
+                cur.select(F.col("node").alias("b"), "component"), "b"
+            ).select(
+                F.col("a").alias("node"),
+                "component",
+                F.lit(None).cast(ctype).alias("old"),
             )
-        )
-        # pointer jump: follow one parent link (component is itself a
-        # node; take ITS freshly-computed label) — doubles the hop
-        # distance covered per round → O(log diameter) convergence
-        parent = agg.select(
-            F.col("node").alias("component"), F.col("component").alias("pcomp")
-        )
-        new_labels = (
-            agg.join(parent, "component", "left")
-            .select(
+            agg = (
+                msgs.union(cur.select("node", "component", "old"))
+                .groupBy("node")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max("old").alias("old"),
+                )
+            )
+            # pointer jump: follow one parent link (component is itself
+            # a node; take ITS freshly-computed label) — doubles the hop
+            # distance covered per step → O(log diameter) convergence
+            parent = agg.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("pcomp"),
+            )
+            cur = agg.join(parent, "component", "left").select(
                 "node",
                 F.least(
                     F.coalesce("pcomp", "component"), F.col("component")
                 ).alias("component"),
                 "old",
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = cur.localCheckpoint(eager=True)
         changed = (
             new_labels.filter(F.col("component") != F.col("old"))
             .limit(1)
@@ -241,4 +254,57 @@ def pagerank_weighted(
         "node",
         F.col("p").alias("pr_fixed"),
         (F.col("p") / F.lit(float(_PR_ONE))).alias("pr"),
+    )
+
+
+def triangle_stats(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    undirected graph given as canonically-oriented (a < b) unique edges.
+
+    Compact-forward shape: each triangle a<m<c is counted exactly once
+    by joining the edge list with itself on the shared middle vertex
+    (a-m ⋈ m-c gives the wedge) and closing it with a third join on the
+    (a, c) edge. Wedge total = Σ d(v)·(d(v)-1)/2 over symmetrized
+    degrees; coefficient = 3·triangles / wedges (exact integers, one
+    deterministic double division).
+
+    Scale: two shuffle joins over the EDGE list only (never the corpus
+    the edges came from); canonical orientation halves the join fan-out
+    of hub vertices — the classic skew mitigation for web-scale graphs.
+    Returns one row: (n_edges, n_nodes, n_triangles, n_wedges,
+    global_clustering)."""
+    pairs = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)  # edge list reused by 4 subplans
+    sym = pairs.union(pairs.select(F.col("b"), F.col("a")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    p1 = pairs.select(F.col("a"), F.col("b").alias("m"))
+    p2 = pairs.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    p3 = pairs.select(F.col("a"), F.col("b").alias("c"))
+    tri = (
+        p1.join(p2, "m")
+        .join(p3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(stats)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from uts_spark.operators.aggregates import lane_sum
 from uts_spark.operators.joins import asof_join, binned_range_join
 from uts_spark.operators.topk import percentile_disc, top_k, top_k_per_group
 from uts_spark.registry import DAY, DSUM, HOUR, MS, query, table
@@ -27,6 +28,12 @@ DEC = "decimal(38,6)"
 
 def _dsum(col):
     return F.sum(col.cast(DEC)).cast("double")
+
+
+# two-lane long-accumulated variant — bit-identical to _dsum (see
+# operators/aggregates.lane_sum for the proof + overflow envelope);
+# used for money/quantity-scale sums; _dsum stays for sums of squares
+_lsum = lane_sum
 
 
 # ===========================================================================
@@ -61,13 +68,13 @@ def tpch_q1_pricing(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(charge).alias("sum_charge"),
-            (_dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
-            (_dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
-            (_dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            _lsum(F.col("l_quantity")).alias("sum_qty"),
+            _lsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _lsum(disc_price).alias("sum_disc_price"),
+            _lsum(charge).alias("sum_charge"),
+            (_lsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            (_lsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+            (_lsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -108,7 +115,7 @@ def tpch_q3_topk(spark, sf_dir):
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     out = top_k(joined, [F.desc("revenue"), F.asc("o_orderkey")], 10)
     # o_orderdate arrives as TIMESTAMP_NTZ; cast→LTZ under the UTC session
@@ -161,7 +168,7 @@ def tpch_q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        _lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
@@ -404,7 +411,7 @@ def rollup_order_priorities(spark, sf_dir):
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _dsum(F.col("o_totalprice")).alias("total"),
+            _lsum(F.col("o_totalprice")).alias("total"),
             F.grouping("o_orderpriority").cast("long").alias("g_pri"),
             F.grouping("o_orderstatus").cast("long").alias("g_stat"),
         )
@@ -425,7 +432,7 @@ def cube_lineitem_flags(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("l_quantity")).alias("qty"),
+        _lsum(F.col("l_quantity")).alias("qty"),
         F.grouping("l_returnflag").cast("long").alias("g_rf"),
         F.grouping("l_linestatus").cast("long").alias("g_ls"),
     )
@@ -517,7 +524,7 @@ def session_windows_per_user(spark, sf_dir):
             F.min("ts_ms").alias("session_start"),
             F.max("ts_ms").alias("session_end"),
             F.count("*").alias("n_events"),
-            _dsum(F.col("value")).alias("sum_value"),
+            _lsum(F.col("value")).alias("sum_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
@@ -743,7 +750,7 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_quantity") < 24.0)
     )
     return li.filter(f).agg(
-        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        _lsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -775,7 +782,7 @@ def tpch_q14_promo_share(spark, sf_dir):
               F.col("l_partkey") == F.col("p_partkey"))
     )
     return joined.agg(
-        (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_share")
+        (F.lit(100.0) * _lsum(promo) / _lsum(rev)).alias("promo_share")
     )
 
 
@@ -873,10 +880,10 @@ def stats_moments_by_type(spark, sf_dir):
     v, u = F.col("value"), F.col("user_id").cast("double")
     m = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
-        _dsum(v).alias("s1"),
+        _lsum(v).alias("s1"),
         _dsum(v * v).alias("s2"),
         _dsum(v * u).alias("sxy"),
-        _dsum(u).alias("sy"),
+        _lsum(u).alias("sy"),
         _dsum(u * u).alias("sy2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
@@ -929,7 +936,7 @@ def tpch_q10_returned_revenue(spark, sf_dir):
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            _lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -968,7 +975,7 @@ def tpch_q18_large_orders(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(_dsum(F.col("l_quantity")).alias("__q"))
+        .agg(_lsum(F.col("l_quantity")).alias("__q"))
         .filter(F.col("__q") > 300.0)
         .select("l_orderkey")
     )
@@ -977,7 +984,7 @@ def tpch_q18_large_orders(spark, sf_dir):
         .join(l, o.o_orderkey == l.l_orderkey)
         .join(F.broadcast(c), c.c_custkey == o.o_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .agg(_lsum(F.col("l_quantity")).alias("sum_qty"))
     )
     out = top_k(joined, [F.desc("o_totalprice"), F.asc("o_orderkey")], 100)
     return out.select(
@@ -1075,7 +1082,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
         joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            _lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -1142,7 +1149,7 @@ def tpch_q22_idle_customers(spark, sf_dir):
     )
     thresh = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg((_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
+        .agg((_lsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
     )
     return (
         c.crossJoin(F.broadcast(thresh))
@@ -1151,7 +1158,7 @@ def tpch_q22_idle_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+            _lsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
@@ -1181,7 +1188,7 @@ def histogram_event_values(spark, sf_dir):
         F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bucket"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("value")).alias("sum_v"),
+        _lsum(F.col("value")).alias("sum_v"),
     )
 
 
@@ -1252,7 +1259,7 @@ def time_rollup_hierarchy(spark, sf_dir):
     return (
         ev.rollup(y.alias("y"), m.alias("m"), d.alias("d"))
         .agg(
-            _dsum(F.col("value")).alias("sum_v"),
+            _lsum(F.col("value")).alias("sum_v"),
             F.count(F.lit(1)).alias("n"),
             F.grouping_id().cast("long").alias("lvl"),
         )
@@ -2232,6 +2239,7 @@ def sketch_kmv_set_algebra(spark, sf_dir):
 # As-of join, NEAREST direction (completes backward/forward parity)
 # ===========================================================================
 
+from uts_spark.operators.aggregates import lane_sum
 from uts_spark.operators.joins import asof_join  # noqa: E402
 
 

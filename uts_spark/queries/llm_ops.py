@@ -19,7 +19,12 @@ from uts_spark.functions.dedup import (
     simhash,
     simhash_band_pairs,
 )
-from uts_spark.functions.hashing import duck_hash64
+from uts_spark.functions.hashing import (
+    duck_hash64,
+    duck_hash64_member,
+    hash64,
+    hash64_member,
+)
 from uts_spark.functions.similarity import (
     cosine_pairs_blocked,
     pca_project,
@@ -29,6 +34,7 @@ from uts_spark.functions.similarity import (
 )
 from uts_spark.functions.text import (
     LANGS,
+    stopword_count,
     bpeish_token_count,
     chunk_windows,
     duck_chunk_windows,
@@ -836,3 +842,374 @@ def dedup_semantic_cluster(spark, sf_dir):
     ).select(
         "vec_id", "cluster_id", "keep"
     )
+
+
+# ===========================================================================
+# Corpus-level line dedup, heavy hitters, count-min sketch, Gopher rules,
+# triangle counting
+# ===========================================================================
+
+_DUCK_LINES = f"""
+    l0 AS (
+      SELECT doc_id, trim(lower(unnest(string_split(text, chr(10))))) AS norm
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS llen,
+             {duck_hash64('norm')} AS lh
+      FROM l0 WHERE length(norm) > 0
+    )
+"""
+
+
+@query(
+    "text_line_dedup",
+    f"""
+    WITH {_DUCK_LINES},
+    f AS (SELECT lh, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY lh)
+    SELECT doc_id,
+           COUNT(*)                                        AS n_lines,
+           SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)        AS n_dup_lines,
+           SUM(llen)                                       AS chars_total,
+           SUM(CASE WHEN df >= 2 THEN llen ELSE 0 END)     AS chars_dup,
+           CAST(SUM(CASE WHEN df >= 2 THEN llen ELSE 0 END) AS DOUBLE)
+             / SUM(llen)                                   AS dup_char_ratio
+    FROM l JOIN f USING (lh)
+    GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup signals: every document's lines are
+    normalized (trim+lower), hashed with the portable 60-bit family, and
+    counted ACROSS the corpus; lines appearing in >= 2 distinct documents
+    are boilerplate candidates (nav bars, cookie banners, footers). Per
+    document: line counts and the character fraction that line-dedup
+    would remove — the standard pre-filter before document-level near
+    dedup.
+
+    Scale: explode → two hash aggregations on the line hash (both
+    partial-aggregated map-side) + one co-partitioned shuffle join on
+    lh; never doc×doc, never a broadcast of corpus-sized state. The
+    reference has no text ops at all (uts.ts handles numeric points
+    only) — north-star operator."""
+    docs = table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("raw")
+        )
+        .select("doc_id", F.trim(F.lower(F.col("raw"))).alias("norm"))
+        .filter(F.length("norm") > 0)
+    )
+    lines = lines.select(
+        "doc_id",
+        F.length("norm").cast("long").alias("llen"),
+        hash64(F.col("norm")).alias("lh"),
+    )
+    freq = lines.groupBy("lh").agg(F.count_distinct("doc_id").alias("df"))
+    dup = F.col("df") >= 2
+    return (
+        lines.join(freq, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_lines"),
+            F.sum("llen").alias("chars_total"),
+            F.sum(F.when(dup, F.col("llen")).otherwise(0)).alias("chars_dup"),
+            (
+                F.sum(F.when(dup, F.col("llen")).otherwise(0)).cast("double")
+                / F.sum("llen")
+            ).alias("dup_char_ratio"),
+        )
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    f"""
+    WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+    c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT term, cnt, CAST(cnt AS DOUBLE) / total AS share
+    FROM c, t
+    ORDER BY cnt DESC, term
+    LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters: the top-20 most frequent tokens with
+    their corpus share. Explode → one hash aggregation (map-side
+    partials collapse each executor's token stream to its vocabulary) →
+    TakeOrdered k-heap; the scalar total rides in as a broadcast of a
+    1-row aggregate, never a driver collect. The frequency table every
+    tokenizer/vocab decision starts from; the Misra-Gries bounded-memory
+    variant is tested as the >RAM-vocabulary scale path."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("term", "cnt", (F.col("cnt").cast("double") / F.col("total")).alias("share"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_CMS_D = 4       # hash rows
+_CMS_W = 256     # buckets per row
+
+
+def _duck_cms() -> str:
+    member = duck_hash64("concat(CAST(i AS VARCHAR), ':', term)")
+    return f"""
+    WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+    occ AS (
+      SELECT term, i, {member} % {_CMS_W} AS bucket
+      FROM tok, range({_CMS_D}) r(i)
+    ),
+    cells AS (SELECT i, bucket, COUNT(*) AS c FROM occ GROUP BY i, bucket),
+    exact AS (
+      SELECT term, COUNT(*) AS exact_cnt FROM tok GROUP BY term
+      ORDER BY exact_cnt DESC, term LIMIT 10
+    ),
+    probes AS (
+      SELECT term, exact_cnt, i, {member} % {_CMS_W} AS bucket
+      FROM exact, range({_CMS_D}) r(i)
+    )
+    SELECT p.term, MIN(p.exact_cnt) AS exact_cnt,
+           MIN(c.c) AS cms_est,
+           MIN(c.c) - MIN(p.exact_cnt) AS overcount
+    FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.term
+    """
+
+
+@query("sketch_countmin_terms", _duck_cms())
+def sketch_countmin_terms(spark, sf_dir):
+    """Count-min sketch over the corpus token stream: 4 portable
+    hash rows x 256 buckets (8 KB of state regardless of vocabulary
+    size), then point-estimates for the top-10 exact heavy hitters with
+    the guaranteed-nonnegative overcount. Every count is an integer and
+    the hash family is the md5-based portable one, so the WHOLE sketch —
+    not just its estimates — is deterministic and oracle-exact; the
+    one-sided error bound (est >= exact always) is asserted in tests.
+
+    Scale: the sketch build is one explode + one 4*256-cell
+    hash aggregation — constant-size state per executor that merges
+    associatively, the classic bounded-memory answer when the
+    vocabulary itself exceeds RAM (where text_heavy_hitters' exact
+    groupBy would spill)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term")
+    )
+    buckets = F.array(
+        *[hash64_member(i, F.col("term")) % _CMS_W for i in range(_CMS_D)]
+    )
+    occ = toks.select("term", F.posexplode(buckets).alias("i", "bucket"))
+    cells = occ.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "term", "exact_cnt", F.posexplode(buckets).alias("i", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.min("exact_cnt").alias("exact_cnt"),
+            F.min("c").alias("cms_est"),
+            (F.min("c") - F.min("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+def _duck_gopher() -> str:
+    toks = TOKS
+    lines = "string_split(text, chr(10))"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {toks} AS toks,
+             list_filter({lines}, l -> length(trim(l)) > 0) AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS mean_word_len,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS alpha_word_ratio,
+             CAST(len(regexp_extract_all(text, '#|[.]{{3}}')) AS DOUBLE)
+               / NULLIF(len(toks), 0) AS symbol_word_ratio,
+             CAST(len(list_filter(ls, l -> starts_with(trim(l), '- ')
+                                        OR starts_with(trim(l), '* '))) AS DOUBLE)
+               / NULLIF(len(ls), 0) AS bullet_line_ratio,
+             CAST(len(list_filter(ls, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+               / NULLIF(len(ls), 0) AS ellipsis_line_ratio,
+             CAST({duck_stopword_count('toks', 'en')} AS BIGINT) AS stopword_hits
+      FROM t
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND COALESCE(alpha_word_ratio, 0) >= 0.8
+            AND COALESCE(symbol_word_ratio, 1) <= 0.1
+            AND COALESCE(bullet_line_ratio, 1) <= 0.9
+            AND COALESCE(ellipsis_line_ratio, 1) <= 0.3
+            AND stopword_hits >= 2) AS gopher_pass
+    FROM m
+    """
+
+
+@query("text_gopher_quality", _duck_gopher())
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021) document quality rules: word count
+    window, mean word length window, alphabetic-word ratio, symbol-to-
+    word ratio (# and ellipses), bullet-point and ellipsis line ratios,
+    and minimum stopword evidence — combined into the boolean pass
+    verdict used to gate pretraining corpora. Pure Column expressions
+    over one row at a time (zero shuffle, whole-stage codegen, pushes
+    straight down to the parquet scan); thresholds are the published
+    Gopher defaults where the data generator can exercise them."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    ls = F.filter(
+        F.split(F.col("text"), "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    d = docs.select("doc_id", "text", toks.alias("toks"), ls.alias("ls"))
+    n_words = F.size("toks")
+    n_lines = F.size("ls")
+    zn = lambda c: F.nullif(c.cast("double"), F.lit(0.0))  # noqa: E731
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        (
+            F.aggregate(F.col("toks"), F.lit(0).cast("long"), lambda a, s: a + F.length(s)).cast("double")
+            / zn(n_words)
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(F.col("toks"), lambda w: w.rlike("[a-z]"))).cast("double")
+            / zn(n_words)
+        ).alias("alpha_word_ratio"),
+        (
+            F.regexp_count(F.col("text"), F.lit("#|[.]{3}")).cast("double")
+            / zn(n_words)
+        ).alias("symbol_word_ratio"),
+        (
+            F.size(
+                F.filter(
+                    F.col("ls"),
+                    lambda l: F.trim(l).startswith("- ") | F.trim(l).startswith("* "),
+                )
+            ).cast("double")
+            / zn(n_lines)
+        ).alias("bullet_line_ratio"),
+        (
+            F.size(F.filter(F.col("ls"), lambda l: F.trim(l).endswith("..."))).cast("double")
+            / zn(n_lines)
+        ).alias("ellipsis_line_ratio"),
+        stopword_count(F.col("toks"), "en").cast("long").alias("stopword_hits"),
+    )
+    return m.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.coalesce(F.col("alpha_word_ratio"), F.lit(0.0)) >= 0.8)
+        & (F.coalesce(F.col("symbol_word_ratio"), F.lit(1.0)) <= 0.1)
+        & (F.coalesce(F.col("bullet_line_ratio"), F.lit(1.0)) <= 0.9)
+        & (F.coalesce(F.col("ellipsis_line_ratio"), F.lit(1.0)) <= 0.3)
+        & (F.col("stopword_hits") >= 2),
+    )
+
+
+def _duck_triangles(threshold: float = 0.4) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  a.embedding AS ea, b.embedding AS eb
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b FROM p0 WHERE {_duck_cosine('ea', 'eb')} >= {threshold!r}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM pairs p1 JOIN pairs p2 ON p2.id_a = p1.id_b
+                    JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM pairs)                       AS n_edges,
+           (SELECT COUNT(*) FROM deg)                         AS n_nodes,
+           (SELECT n_triangles FROM tri)                      AS n_triangles,
+           (SELECT SUM(d * (d - 1) // 2) FROM deg)            AS n_wedges,
+           CAST(3.0 * (SELECT n_triangles FROM tri) AS DOUBLE)
+             / (SELECT SUM(d * (d - 1) // 2) FROM deg)        AS global_clustering
+    """
+
+
+@query("graph_triangle_count", _duck_triangles())
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting + global clustering coefficient over the
+    semantic-similarity graph (cosine >= 0.4 pairs): the standard
+    compact-forward algorithm — edges are kept in canonical a<b
+    orientation, so each triangle is counted exactly once by the
+    two-join wedge-close (edge joins on shared middle vertex, then a
+    semi-check that the closing edge exists). Graph-quality telemetry
+    for dedup clustering: a high coefficient means near-dup clusters
+    are dense cliques (safe to collapse), a low one means chains of
+    borderline pairs (risky transitive merges).
+
+    Scale: two shuffle joins on vertex ids over the EDGE list (never
+    the corpus); degree skew is the known hazard at web scale —
+    canonical orientation already halves the join fan-out of hub
+    nodes."""
+    from uts_spark.functions.clustering import triangle_stats
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(e, threshold=0.4).select("id_a", "id_b")
+    return triangle_stats(pairs)
+
+
+_MG_K = 64
+
+
+@query(
+    "text_heavy_hitters_mg",
+    f"""
+    WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+    c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT term, cnt, CAST(cnt AS DOUBLE) / total AS share
+    FROM c, t WHERE cnt * {_MG_K} > total
+    """,
+)
+def text_heavy_hitters_mg(spark, sf_dir):
+    """Heavy hitters via distributed Misra-Gries (functions/freq.py):
+    per-partition 64-counter summaries (O(k) memory however large the
+    partition — the >RAM-vocabulary scale path), candidate union
+    (guaranteed superset of every term with count > n/(k+1)), then an
+    exact broadcast-semi-join recount and the cnt*k > n threshold. The
+    sketch pass is partition-order dependent; the OUTPUT is exact and
+    deterministic — which is why this query is oracle-checkable against
+    plain SQL while the intermediate sketch never could be."""
+    from uts_spark.functions.freq import mg_heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term")
+    )
+    return mg_heavy_hitters(terms, k=_MG_K)
