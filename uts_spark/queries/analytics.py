@@ -2822,3 +2822,156 @@ def nested_struct_pack(spark, sf_dir):
         F.size(F.filter("recent", lambda s: s["vc"] > 5000)).cast("long")
             .alias("n_over_50"),
     )
+
+
+# ===========================================================================
+# Robust anomaly detection (median / MAD) + event-sequence pattern match
+# ===========================================================================
+
+_MAD_SCALE = 4.4478  # 3 sigma * 1.4826 (normal-consistency constant)
+
+
+@query(
+    "ts_mad_anomaly",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    med AS (
+      SELECT event_type, value AS med FROM r
+      WHERE rn = GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1)
+    ),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n2
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad FROM r2
+      WHERE rn2 = GREATEST(CAST(ceil(0.5 * n2) AS BIGINT), 1)
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+           d.dev > m.mad * {_MAD_SCALE} AS is_anomaly
+    FROM d JOIN mad m USING (event_type)
+    """,
+)
+def ts_mad_anomaly(spark, sf_dir):
+    """Robust outlier flags via median / MAD (median absolute deviation)
+    — the breakdown-resistant alternative to the mean/stddev z-score
+    (ts_anomaly_zscore): a few extreme values shift a mean-based
+    threshold but leave the median untouched. Flags |v - med| >
+    3·1.4826·MAD (the normal-consistency scaling). Medians are DISCRETE
+    (the element at ceil(n/2) of the sorted values — an actual datum),
+    so every derived number is bit-identical across engines with no
+    interpolation rounding.
+
+    Scale: two windowed rank passes partitioned by event_type (same
+    shuffle key reused; Spark keeps the co-partitioning) + two
+    broadcast joins of 5-row median tables back onto the events — the
+    fact table never shuffles twice on different keys."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = ev.select("event_id", "event_type", "value")
+
+    def disc_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        return r.filter(
+            F.col("__rn")
+            == F.greatest(F.ceil(F.lit(0.5) * F.col("__n")), F.lit(1))
+        ).select("event_type", F.col(col).alias(out))
+
+    med = disc_median(ev, "value", "med")
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = disc_median(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            (F.col("dev") > F.col("mad") * F.lit(_MAD_SCALE)).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+@query(
+    "events_pattern_match",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY {MS}, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT)
+             AS n_conversions,
+           len(regexp_extract_all(seq, 's[cv]*p')) > 0 AS converted
+    FROM s
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """Complex-event-processing pattern match (MATCH_RECOGNIZE-style):
+    each user's event history becomes a code string (one char per event,
+    time-ordered with event_id tie-break) and a regex finds conversion
+    motifs — here ``s[cv]*p``: a signup followed by only clicks/views
+    and then a purchase, counted non-overlapping left-to-right. The
+    reference has no sequence operators at all; this is how event-
+    pattern queries (funnels with exclusion constraints, abandonment
+    motifs) express declaratively on Spark.
+
+    Scale: one shuffle on user_id; per-user sequences build via
+    array_sort(collect_list(struct)) — bounded by per-user event counts
+    (sessions, not the corpus). The regex scan is linear per user and
+    runs JVM-side."""
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts_ms").alias("t"),
+                                F.col("event_id").alias("i"),
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    n_conv = F.regexp_count(F.col("seq"), F.lit("s[cv]*p"))
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        n_conv.cast("long").alias("n_conversions"),
+        (n_conv > 0).alias("converted"),
+    )
