@@ -2975,3 +2975,183 @@ def events_pattern_match(spark, sf_dir):
         n_conv.cast("long").alias("n_conversions"),
         (n_conv > 0).alias("converted"),
     )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH l AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS DOUBLE) AS w,
+             l_orderkey * 10 + l_linenumber AS tb
+      FROM lineitem
+    ),
+    r AS (
+      SELECT *,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v, tb
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM l
+    ),
+    m AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY v, tb) AS rn
+      FROM r WHERE cw * 2 >= tw
+    )
+    SELECT l_returnflag, v AS weighted_median,
+           CAST(tw AS DOUBLE) AS total_weight
+    FROM m WHERE rn = 1
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """Exact weighted median: the smallest value whose cumulative weight
+    reaches half the group total (lineitem price weighted by quantity,
+    per returnflag). Quantities are integral so the cumulative sums are
+    exact doubles; the 2·cw >= tw comparison avoids any division. The
+    picked value is an actual datum (discrete), deterministic under the
+    (value, line-id) tie-break.
+
+    Scale: one shuffle on the group key, then a single in-partition
+    running sum — the same plan as any cumulative window; no second
+    pass, no interpolation. The weighted generalization of
+    percentile_disc (quantity-weighted medians are how price indices
+    and sampling-weight corrections are computed over fact tables)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("double").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("tb"),
+    )
+    word = Window.partitionBy("l_returnflag").orderBy("v", "tb")
+    r = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(word.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+        "tb",
+    )
+    m = r.filter(F.col("cw") * 2 >= F.col("tw")).withColumn(
+        "rn", F.row_number().over(word)
+    )
+    return m.filter(F.col("rn") == 1).select(
+        "l_returnflag",
+        F.col("v").alias("weighted_median"),
+        F.col("tw").cast("double").alias("total_weight"),
+    )
+
+
+@query(
+    "tpch_q21_like_sole_late",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT l1.l_suppkey AS suppkey, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM late l1
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY l1.l_suppkey
+    ORDER BY numwait DESC, suppkey
+    LIMIT 10
+    """,
+)
+def tpch_q21_like_sole_late(spark, sf_dir):
+    """Q21 shape (waiting-orders): suppliers who were the SOLE late
+    shipper (> 90 days after order date) on multi-supplier orders. The
+    correlated EXISTS + NOT-EXISTS pair decorrelates into one per-order
+    aggregation — counting distinct suppliers and distinct LATE
+    suppliers per order — replacing two repeated correlated probes of
+    the fact table with one grouped pass and a broadcastable per-order
+    summary. (The canonical Q21 uses l_receiptdate/l_commitdate, absent
+    from this generator; shipdate-vs-orderdate lateness keeps the join
+    machinery identical.)
+
+    Scale: lineitem shuffles once on orderkey for the per-order
+    summary; the late rows join that summary on the same key (AQE
+    reuses the co-partitioning); top-10 via the k-heap."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps")
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_late_supps")
+    )
+    return (
+        late.join(per_order, "l_orderkey")
+        .join(late_per_order, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("suppkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "window_share_pack",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             {DSUM('c.c_acctbal')} AS bal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region, bal,
+           bal / CAST(SUM(CAST(bal AS DECIMAL(38,6)))
+                      OVER (PARTITION BY region) AS DOUBLE) AS share_in_region,
+           bal / CAST(SUM(CAST(bal AS DECIMAL(38,6)))
+                      OVER () AS DOUBLE)                    AS share_global,
+           bal - LAG(bal) OVER (PARTITION BY region
+                                ORDER BY bal DESC, nation)  AS gap_to_prev,
+           CAST(RANK() OVER (PARTITION BY region
+                             ORDER BY bal DESC, nation) AS BIGINT) AS rnk
+    FROM rev
+    """,
+)
+def window_share_pack(spark, sf_dir):
+    """Ratio-to-report analytics: each nation's customer-balance share
+    within its region and globally, the gap to the next-richer nation,
+    and the in-region rank — the share/contribution window family
+    (RATIO_TO_REPORT in warehouse dialects) over a grouped aggregate.
+    The decimal-exact group sums make every derived ratio bit-stable.
+
+    Scale: the grouped aggregate shuffles once; the window passes ride
+    on 25 rows. The unpartitioned total is a single-partition window
+    over the AGGREGATE (25 rows), not the fact table — the cardinality
+    cliff that makes global windows safe only above an aggregation."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(_lsum(F.col("c_acctbal")).alias("bal"))
+    )
+    wreg = Window.partitionBy("region")
+    worder = Window.partitionBy("region").orderBy(F.desc("bal"), F.asc("nation"))
+    return rev.select(
+        "nation",
+        "region",
+        "bal",
+        (F.col("bal") / F.sum(F.col("bal").cast(DEC)).over(wreg).cast("double")).alias("share_in_region"),
+        (F.col("bal") / F.sum(F.col("bal").cast(DEC)).over(Window.partitionBy()).cast("double")).alias("share_global"),
+        (F.col("bal") - F.lag("bal").over(worder)).alias("gap_to_prev"),
+        F.rank().over(worder).cast("long").alias("rnk"),
+    )
