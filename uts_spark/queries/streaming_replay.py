@@ -277,3 +277,103 @@ def stream_outer_join_replay(spark, sf_dir):
         extra_feeds=[sentinel(max_ms + 100 * DAY), sentinel(max_ms + 101 * DAY)],
     )
     return got.filter(F.col("k") >= 0).select("signup_id", "click_id")
+
+
+@query(
+    "stream_session_replay",
+    f"""
+    WITH e AS (SELECT user_id, {MS} AS t, value FROM events),
+    m AS (
+      SELECT user_id, t, value,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, t, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           MIN(t)          AS session_start,
+           MAX(t)          AS session_end,
+           COUNT(*)        AS n_events,
+           {DSUM('value')} AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_replay(spark, sf_dir):
+    """STREAMING sessionization oracle-gated end-to-end: the native
+    session_window aggregation (30-min gap) replayed through real
+    micro-batches in APPEND mode — a session may open in one batch,
+    absorb events from later batches (the replay files are deliberately
+    time-shuffled), and only emits once the watermark passes its close.
+    Sentinel rows (user −1, filtered) push the watermark past every
+    real session; the result must hash-match the batch gaps-and-islands
+    oracle exactly — the strongest possible statement that streaming
+    and batch sessionization agree."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "ts_ms", "value")
+    max_ms = ev.agg(F.max("ts_ms")).first()[0]
+
+    def sentinel(ms):
+        return spark.createDataFrame([(-1, ms)], "user_id long, ms long").select(
+            "user_id",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            F.col("ms").alias("ts_ms"),
+            F.lit(0.0).alias("value"),
+        )
+
+    def build(stream):
+        out = (
+            stream.withWatermark("ts", "60 days")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("__w"), "user_id"
+            )
+            .agg(
+                F.min("ts_ms").alias("session_start"),
+                F.max("ts_ms").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        return (
+            out.select(
+                "user_id", "session_start", "session_end", "n_events",
+                "sum_value",
+            ),
+            "append",
+        )
+
+    got = _replay(
+        spark, ev, build,
+        extra_feeds=[sentinel(max_ms + 100 * DAY), sentinel(max_ms + 101 * DAY)],
+    )
+    return got.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_dedup_replay",
+    f"""
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_replay(spark, sf_dir):
+    """Exact streaming dedup across micro-batches: the events table is
+    fed TWICE (every row duplicated, copies scattered across different
+    micro-batches by the repartition), and streaming dropDuplicates on
+    the key must emit each event exactly once — both the within-batch
+    and the cross-batch duplicate paths are exercised. Output
+    hash-matches the plain distinct oracle. The bounded-state
+    production variant (dropDuplicatesWithinWatermark) is covered in
+    tests/test_streaming.py; full-state dropDuplicates keeps the replay
+    deterministic regardless of file arrival order."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    doubled = ev.union(ev)
+
+    def build(stream):
+        return stream.dropDuplicates(["event_id"]), "append"
+
+    return _replay(spark, doubled, build)
