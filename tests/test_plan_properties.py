@@ -270,3 +270,61 @@ def test_substring_dup_rate_joins_on_hash_not_text(spark, sf_dir):
     # shuffle rows), never carry the shingle string through the exchange
     seg = [l for l in p.splitlines() if "Exchange hashpartitioning(sh" in l]
     assert seg, "expected shuffle on shingle-hash column"
+
+
+def test_edit_distance_is_equi_join_not_cartesian(spark, sf_dir):
+    # prefix blocking must compile to a hash/merge equi-join on blk;
+    # a nested-loop would be the quadratic doc x doc disaster
+    p = plan(spark, sf_dir, "dedup_edit_distance")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p.lower()
+
+
+def test_line_dedup_prunes_scan_to_two_columns(spark, sf_dir):
+    p = plan(spark, sf_dir, "text_line_dedup")
+    read = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
+
+
+def test_gopher_pack_is_pure_projection(spark, sf_dir):
+    # one scan, zero shuffles, no python
+    p = plan(spark, sf_dir, "text_gopher_quality")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_mad_anomaly_broadcasts_medians(spark, sf_dir):
+    # the 5-row median/MAD tables must broadcast back onto events —
+    # the fact table shuffles only for its own window partitioning
+    p = plan(spark, sf_dir, "ts_mad_anomaly")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_pattern_match_single_shuffle(spark, sf_dir):
+    # one exchange on user_id for the collect_list; regex is JVM-side
+    p = plan(spark, sf_dir, "events_pattern_match")
+    assert p.count("Exchange hashpartitioning") <= 2  # partial/final pair
+    assert "BatchEvalPython" not in p
+
+
+def test_heavy_hitters_total_broadcasts(spark, sf_dir):
+    # the 1-row total joins via broadcast, never a shuffled cross join
+    p = plan(spark, sf_dir, "text_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_countmin_cells_broadcast(spark, sf_dir):
+    # the 1024-cell sketch broadcasts onto the probes
+    p = plan(spark, sf_dir, "sketch_countmin_terms")
+    assert "BroadcastHashJoin" in p
+
+
+def test_weighted_median_single_shuffle(spark, sf_dir):
+    # cumulative weight + total + rank all ride ONE hash partitioning
+    # on the group key
+    p = plan(spark, sf_dir, "weighted_median_price")
+    assert p.count("Exchange hashpartitioning") <= 1

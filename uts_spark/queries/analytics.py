@@ -3155,3 +3155,95 @@ def window_share_pack(spark, sf_dir):
         (F.col("bal") - F.lag("bal").over(worder)).alias("gap_to_prev"),
         F.rank().over(worder).cast("long").alias("rnk"),
     )
+
+
+_CDC_CUT = 1706140800000  # NOW_MS - 7 days: snapshot/changelog boundary
+
+
+@query(
+    "cdc_merge_upserts",
+    f"""
+    WITH ev AS (
+      SELECT user_id, {MS} AS t, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    base AS (
+      SELECT user_id, value AS base_value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY t DESC, event_id DESC) AS rn
+            FROM ev WHERE t < {_CDC_CUT})
+      WHERE rn = 1 AND op = 'U'
+    ),
+    delta AS (
+      SELECT user_id, op AS last_op, value AS delta_value
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY t DESC, event_id DESC) AS rn
+            FROM ev WHERE t >= {_CDC_CUT})
+      WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+           CASE WHEN d.user_id IS NOT NULL THEN d.delta_value
+                ELSE b.base_value END AS value,
+           CASE WHEN d.user_id IS NULL THEN 'base'
+                WHEN b.user_id IS NULL THEN 'insert' ELSE 'update' END AS src
+    FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    WHERE NOT (d.user_id IS NOT NULL AND d.last_op = 'D')
+    """,
+)
+def cdc_merge_upserts(spark, sf_dir):
+    """Change-data-capture merge (MERGE INTO semantics in plain
+    DataFrame ops): a base snapshot (each user's last upserted value
+    before the cutoff) receives a changelog of upserts/deletes (events
+    after the cutoff; 'error' events act as deletes). Last-writer-wins
+    per key with the (time, event_id) order; a trailing delete removes
+    the key entirely; untouched keys pass through — exactly the apply
+    step of every warehouse CDC pipeline, labeled with base / update /
+    insert provenance.
+
+    Scale: both sides collapse to one row per key via max_by(struct)
+    aggregations (no window sort), then a single co-partitioned
+    full-outer shuffle join on the key. Deletes never materialize as
+    tombstone rows in the result."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_ms").alias("t"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    ordk = F.struct(F.col("t"), F.col("event_id"))
+    last = F.struct(F.col("op"), F.col("value"))
+    base = (
+        ev.filter(F.col("t") < _CDC_CUT)
+        .groupBy("user_id")
+        .agg(F.max_by(last, ordk).alias("l"))
+        .filter(F.col("l.op") == "U")
+        .select("user_id", F.col("l.value").alias("base_value"))
+    )
+    delta = (
+        ev.filter(F.col("t") >= _CDC_CUT)
+        .groupBy("user_id")
+        .agg(F.max_by(last, ordk).alias("l"))
+        .select(
+            "user_id",
+            F.col("l.op").alias("last_op"),
+            F.col("l.value").alias("delta_value"),
+        )
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+    return merged.filter(
+        ~(F.col("d.user_id").isNotNull() & (F.col("last_op") == "D"))
+    ).select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        F.when(F.col("d.user_id").isNotNull(), F.col("delta_value"))
+        .otherwise(F.col("base_value"))
+        .alias("value"),
+        F.when(F.col("d.user_id").isNull(), F.lit("base"))
+        .when(F.col("b.user_id").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("src"),
+    )

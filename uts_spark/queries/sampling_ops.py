@@ -176,3 +176,70 @@ def pack_sequences_greedy(spark, sf_dir):
     return pack_greedy(
         docs, F.col("n_chars"), F.col("doc_id"), _PACK_BUDGET, _PACK_SHARDS
     )
+
+
+_ES_K = 100
+_ES_SCALE = 1_000_000  # micro-nat snap for the exponential race keys
+
+
+@query(
+    "sample_weighted_topk_es",
+    f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             ({duck_hash64("concat('es:', CAST(doc_id AS VARCHAR))")} + 1)
+               / {float(1 << 60)!r} AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(ROUND((-LN(u) / n_chars) * {_ES_SCALE}) AS BIGINT) AS es_key
+      FROM d
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY es_key, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, es_key,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_ES_K}
+    """,
+)
+def sample_weighted_topk_es(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, exact size k: the
+    Efraimidis–Spirakis exponential race. Each row draws its
+    deterministic uniform u (portable hash, shifted into (0,1]) and
+    competes with key −ln(u)/w — the k smallest keys win, giving
+    inclusion probabilities proportional to weight w (here document
+    length) with NO sequential pass and no replacement bookkeeping.
+    Keys are snapped to integer micro-nats (the tfidf log convention)
+    so both engines rank identical integers; doc_id breaks ties.
+
+    Scale: keys are a pure projection; the top-k is
+    TakeOrderedAndProject (per-partition k-heaps + driver merge of
+    k·partitions rows) — no global sort, no driver-side weighting
+    state. THE way to draw a fixed-budget weighted subsample from a
+    100 TB corpus in one pass."""
+    from uts_spark.functions.hashing import hash64
+
+    docs = table(spark, sf_dir, "documents")
+    # (h + 1) as an INTEGER before the double division — the exact
+    # mirror of the oracle expression (adding 1 after a double cast
+    # could round differently at the 53-bit mantissa boundary)
+    h = hash64(F.concat(F.lit("es:"), F.col("doc_id").cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(TWO60))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round((-F.log(u) / F.col("n_chars")) * _ES_SCALE)
+        .cast("long")
+        .alias("es_key"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("es_key", "doc_id")
+    return (
+        keyed.orderBy("es_key", "doc_id")
+        .limit(_ES_K)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )

@@ -117,4 +117,7 @@ HEADLINE = [n for n in (
     "ts_cusum_changepoint",
     "ts_interval_coverage",
     "graph_pagerank_trade",
+    "text_line_dedup",
+    "ts_mad_anomaly",
+    "events_pattern_match",
 ) if n in QUERIES]
