@@ -178,3 +178,53 @@ def sample_frames(
             )
 
     return df.select("doc_id", blob_col).mapInPandas(gen, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, widx long, energy long, rms double, is_silent boolean"
+)
+
+
+def audio_energy_windows(
+    df: DataFrame, window: int = 256, silence_energy: int = 500_000,
+    blob_col: str = "media",
+) -> DataFrame:
+    """Audio feature extraction shape: the blob is treated as a PCM
+    sample stream and windowed into non-overlapping ``window``-sample
+    frames; each frame emits integer energy (Σ sample²), RMS, and a
+    silence flag — the 1→N fan-out + per-window reduction every audio
+    pipeline (VAD, loudness normalization, silence trimming) starts
+    with. Real decode is STUBBED like the image path (samples = raw
+    bytes); the windowing, Arrow batching, and fan-out contract are the
+    production shape.
+
+    Because the fake samples are the blob bytes themselves, this
+    operator is ORACLE-EXACT (integer energies, IEEE sqrt) — the one
+    multimodal pipeline the DuckDB gate can hash-verify end-to-end
+    rather than rows-only."""
+    import math
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(payload)
+                for widx in range(len(blob) // window):
+                    frame = blob[widx * window : (widx + 1) * window]
+                    energy = sum(b * b for b in frame)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            widx,
+                            energy,
+                            math.sqrt(energy / float(window)),
+                            energy < silence_energy,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "widx", "energy", "rms", "is_silent"]
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, AUDIO_SCHEMA)

@@ -3247,3 +3247,70 @@ def cdc_merge_upserts(spark, sf_dir):
         .otherwise(F.lit("update"))
         .alias("src"),
     )
+
+
+@query(
+    "basket_part_affinity",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM lp),
+    pc AS (SELECT p, COUNT(*) AS c FROM lp GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c12
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p1, p2, c12, c1.c AS c1, c2.c AS c2,
+           CAST(c12 AS DOUBLE) * n_orders / (c1.c * c2.c) AS lift
+    FROM pairs JOIN pc c1 ON c1.p = p1
+               JOIN pc c2 ON c2.p = p2
+               CROSS JOIN n
+    ORDER BY lift DESC, p1, p2
+    LIMIT 50
+    """,
+)
+def basket_part_affinity(spark, sf_dir):
+    """Market-basket affinity (association-rule mining's counting
+    backbone): parts co-ordered in the same order, with support counts
+    and lift = P(p1,p2) / (P(p1)·P(p2)) — lift > 1 means genuinely
+    bought together. Top-50 lifted pairs with deterministic
+    tie-breaks; every count is an exact integer and the one lift
+    division is reproducible across engines.
+
+    Scale: the self-join on the order key explodes per-order pairs —
+    bounded by (lines per order choose 2), ~6 for TPC-H-shaped carts,
+    NOT corpus-quadratic; the pair aggregation is the big shuffle and
+    it's on (p1, p2). Margin counts broadcast back. Basket-size skew
+    (one giant cart) is THE production hazard: cap lines per basket
+    upstream or salt the order key."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = lp.agg(F.count_distinct("o").alias("n_orders"))
+    pc = lp.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = lp.select("o", F.col("p").alias("p1"))
+    b = lp.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 2)
+    )
+    return (
+        pairs.join(pc.select(F.col("p").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(pc.select(F.col("p").alias("p2"), F.col("c").alias("c2")), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1", "p2", "c12", "c1", "c2",
+            (
+                F.col("c12").cast("double")
+                * F.col("n_orders")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"))
+        .limit(50)
+    )

@@ -1267,3 +1267,41 @@ def dedup_edit_distance(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= _ED_MAX)
     )
+
+
+_AU_W = 256
+_AU_SILENCE = 500_000
+
+
+@query(
+    "multimodal_audio_energy",
+    f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    w AS (
+      SELECT doc_id, text, unnest(range(0, L // {_AU_W})) AS widx
+      FROM d WHERE L >= {_AU_W}
+    ),
+    s AS (
+      SELECT doc_id, widx,
+             CAST(list_sum(list_transform(range(1, {_AU_W} + 1),
+                  i -> ascii(substr(text, CAST(widx * {_AU_W} + i AS INTEGER), 1))
+                       * ascii(substr(text, CAST(widx * {_AU_W} + i AS INTEGER), 1))))
+               AS BIGINT) AS energy
+      FROM w
+    )
+    SELECT doc_id, CAST(widx AS BIGINT) AS widx, energy,
+           sqrt(energy / {float(_AU_W)!r}) AS rms,
+           energy < {_AU_SILENCE} AS is_silent
+    FROM s
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio windowed energy / RMS / silence flags over the opaque media
+    blob (functions/multimodal.audio_energy_windows): mapInPandas
+    1→N window fan-out with integer energies — the one multimodal
+    pipeline that is hash-exact against the oracle (the fake PCM
+    samples are the blob's own bytes, which the oracle reproduces as
+    ASCII codes), so the Arrow plumbing itself is verified, not just
+    row counts."""
+    docs = mm.attach_blob(table(spark, sf_dir, "documents"))
+    return mm.audio_energy_windows(docs, window=_AU_W, silence_energy=_AU_SILENCE)

@@ -593,3 +593,139 @@ def ts_lttb_downsample(spark, sf_dir):
     return lttb_downsample(
         ev, "user_id", "ts_ms", "value", "event_id", bucket_ms=_LTTB_W
     )
+
+
+_M4_W = 6 * HOUR  # pixel-bucket width
+
+
+@query(
+    "ts_m4_downsample",
+    f"""
+    WITH p AS (
+      SELECT user_id AS k, {MS} AS t, value AS v, event_id,
+             ({MS} // {_M4_W}) * {_M4_W} AS bucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY k, bucket
+                                ORDER BY t, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY k, bucket
+                                ORDER BY t DESC, event_id DESC) AS rl
+      FROM p
+    )
+    SELECT k, bucket,
+           MIN(v)                            AS v_min,
+           MAX(v)                            AS v_max,
+           MIN(CASE WHEN rf = 1 THEN v END)  AS v_first,
+           MIN(CASE WHEN rl = 1 THEN v END)  AS v_last,
+           COUNT(*)                          AS n
+    FROM r GROUP BY k, bucket
+    """,
+)
+def ts_m4_downsample(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB'14): per pixel-bucket keep
+    min, max, first, and last — the four points that make a line chart
+    of the bucket pixel-identical to the full-resolution rendering,
+    unlike averaging which flattens spikes. The visualization-lossless
+    companion to the perceptual LTTB operator (ts_lttb_downsample).
+
+    Scale: a single hash aggregation on (series, bucket) — min/max are
+    plain partial aggs and first/last are min_by/max_by on the (time,
+    id) struct, so there is NO window sort and no second pass; 100 TB
+    of points reduce map-side to 4 values per series-bucket."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordk = F.struct(F.col("ts_ms"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("k"),
+            ((F.col("ts_ms") / _M4_W).cast("long") * _M4_W).alias("bucket"),
+        )
+        .agg(
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", ordk).alias("v_first"),
+            F.max_by("value", ordk).alias("v_last"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "ts_locf_fill",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS t, value FROM events WHERE event_type = 'view'
+    ),
+    span AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(
+               CAST(ceil(t0 / {float(HOUR)!r}) AS BIGINT) * {HOUR},
+               CAST(floor(t1 / {float(HOUR)!r}) AS BIGINT) * {HOUR},
+               {HOUR})) AS t
+      FROM span
+    ),
+    u AS (
+      SELECT user_id, t, value, 1 AS is_obs FROM e
+      UNION ALL
+      SELECT user_id, t, NULL, 0 FROM grid
+    ),
+    f AS (
+      SELECT user_id, t, is_obs,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_obs
+               ROWS UNBOUNDED PRECEDING) AS filled
+      FROM u
+    )
+    SELECT user_id, t, filled AS value
+    FROM f WHERE is_obs = 0
+    """,
+)
+def ts_locf_fill(spark, sf_dir):
+    """LOCF (last observation carried forward) onto an hourly grid: the
+    step-function gap-fill for state-like series (linear interpolation
+    — ts_interpolate_1h — is the trend-like counterpart). Grid points
+    union with observations; one IGNORE-NULLS running last per series
+    carries the preceding observation onto every grid instant.
+    Observations sort before co-timestamped grid rows so a grid point
+    AT an observation's own time takes that observation.
+
+    Scale: one shuffle on the series key; the fill is a single running
+    window (no self-join, no per-gap explode). Grid rows are O(span/
+    step) per series — generated, never materialized driver-side."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts_ms").alias("t"), "value")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                (F.ceil(F.col("t0") / HOUR) * HOUR).cast("long"),
+                (F.floor(F.col("t1") / HOUR) * HOUR).cast("long"),
+                F.lit(HOUR).cast("long"),
+            )
+        ).alias("t"),
+    )
+    from pyspark.sql.window import Window
+
+    u = ev.withColumn("is_obs", F.lit(1)).unionByName(
+        grid.select(
+            "user_id", "t", F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_obs")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = u.withColumn("filled", F.last("value", ignorenulls=True).over(w))
+    return f.filter(F.col("is_obs") == 0).select(
+        "user_id", "t", F.col("filled").alias("value")
+    )
