@@ -111,3 +111,26 @@ def test_gopher_pass_boundaries(spark, monkeypatch):
     assert out[2].gopher_pass is False  # word count below 50
     assert out[3].gopher_pass is False  # bullet_line_ratio = 1.0 > 0.9
     assert out[3].bullet_line_ratio == 1.0
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    from uts_spark.functions.clustering import kcore_nodes
+
+    # triangle {0,1,2} + pendant chain 2-3-4: the chain peels away
+    # (3 and 4 never hold 2 neighbors), the triangle survives as 2-core
+    g = _pairs(spark, [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)])
+    rows = {r.node: r.deg for r in kcore_nodes(g, k=2, rounds=8).collect()}
+    assert rows == {0: 2, 1: 2, 2: 2}
+    # k=3 empties it
+    assert kcore_nodes(g, k=3, rounds=8).count() == 0
+
+
+def test_kcore_nonconvergence_raises(spark):
+    import pytest
+
+    from uts_spark.functions.clustering import kcore_nodes
+
+    # a 12-node path needs ~6 peel rounds; rounds=2 must fail loudly
+    path = _pairs(spark, [(i, i + 1) for i in range(12)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_nodes(path, k=2, rounds=2)

@@ -308,3 +308,63 @@ def triangle_stats(
             ),
         )
     )
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """k-core of the undirected graph: the maximal subgraph where every
+    node keeps degree >= k, found by iterative peeling (drop all nodes
+    with degree < k, recompute, repeat). Runs a FIXED ``rounds`` peels
+    (so an unrolled SQL oracle can replay it exactly), then verifies
+    the fixpoint was actually reached and fails loudly if the graph
+    needed deeper peeling — measured depth on the similarity graphs
+    here is 2-3, so 8 is a 2.5x guard, and long degree-2 chains (the
+    pathological depth driver) don't survive a near-dup pair generator.
+
+    Scale: per round two LEFT-SEMI joins of the edge list against the
+    alive set (node-sized, orders smaller than edges) + one degree
+    aggregation; lineage checkpoint-truncated per round. Returns
+    (node, deg) for core members — the dense-cluster detector used to
+    pick safe-to-collapse dedup clusters (cf. triangle_stats)."""
+    sym = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("a").alias("node")).distinct()
+
+    def degrees(alive_df):
+        return (
+            sym.join(alive_df.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive_df.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    # peeling is MONOTONE (alive only shrinks), so once a round removes
+    # nothing every later round is a no-op — early exit yields exactly
+    # the ``rounds``-deep unrolled result the oracle computes
+    n_alive = alive.count()
+    for _ in range(rounds):
+        alive = (
+            degrees(alive)
+            .filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        n_new = alive.count()
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+    final = degrees(alive).localCheckpoint(eager=True)
+    if final.filter(F.col("deg") < k).limit(1).count() > 0:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {rounds} rounds — "
+            "raise `rounds` (and mirror the oracle unroll depth)"
+        )
+    return final

@@ -1305,3 +1305,58 @@ def multimodal_audio_energy(spark, sf_dir):
     row counts."""
     docs = mm.attach_blob(table(spark, sf_dir, "documents"))
     return mm.audio_energy_windows(docs, window=_AU_W, silence_energy=_AU_SILENCE)
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+_KCORE_THR = 0.3
+
+
+def _duck_kcore() -> str:
+    body = f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  a.embedding AS ea, b.embedding AS eb
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM p0 WHERE {_duck_cosine('ea', 'eb')} >= {_KCORE_THR!r}
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    alive0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym)"""
+    prev = "alive0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        body += f""",
+    alive{i} AS MATERIALIZED (
+      SELECT s.a AS node FROM sym s
+      JOIN {prev} x ON x.node = s.a
+      JOIN {prev} y ON y.node = s.b
+      GROUP BY s.a HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        prev = f"alive{i}"
+    body += f"""
+    SELECT s.a AS node, COUNT(*) AS deg
+    FROM sym s
+    JOIN {prev} x ON x.node = s.a
+    JOIN {prev} y ON y.node = s.b
+    GROUP BY s.a
+    """
+    return body
+
+
+@query("graph_kcore_semantic", _duck_kcore())
+def graph_kcore_semantic(spark, sf_dir):
+    """k-core (k=2) of the semantic-similarity graph (cosine >= 0.3):
+    iterative peeling until every surviving vector keeps >= 2
+    similar neighbors among survivors — the standard dense-region
+    detector that separates genuine duplicate clusters from isolated
+    borderline pairs before transitive collapse. Fixed 8-round peel
+    (measured depth 2-3) mirrored by an unrolled-CTE oracle, with a
+    loud fixpoint assertion on the Spark side (clustering.kcore_nodes)."""
+    from uts_spark.functions.clustering import kcore_nodes
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(e, threshold=_KCORE_THR).select("id_a", "id_b")
+    return kcore_nodes(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
