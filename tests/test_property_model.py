@@ -462,3 +462,58 @@ def test_connected_components_match_union_find(spark, data):
     # spark output only covers nodes that appear in edges
     touched = {a for a, _ in edges} | {b for _, b in edges}
     assert got == {x: exp[x] for x in touched}
+
+
+# ---------------------------------------------------------------------------
+# lane_sum (two-long-lane exact sum) vs the decimal reference path
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-1e9,
+                max_value=1e9,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.just(0.0),
+            st.just(-0.0),
+            st.just(float("nan")),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    ngroups=st.integers(min_value=1, max_value=3),
+)
+def test_lane_sum_bit_equals_decimal_sum(spark, vals, ngroups):
+    """lane_sum must be BIT-identical to stable_sum for every input the
+    decimal path accepts — negatives, signed zero, NaN (decimal cast →
+    NULL on both paths), empty groups — across arbitrary groupings."""
+    import math as _math
+
+    from uts_spark.operators.aggregates import lane_sum, stable_sum
+    from pyspark.sql import functions as F
+
+    rows = [(i % ngroups, v) for i, v in enumerate(vals)] or [(0, None)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = (
+        df.groupBy("g")
+        .agg(
+            lane_sum(F.col("v")).alias("lane"),
+            stable_sum(F.col("v")).alias("dec"),
+        )
+        .collect()
+    )
+    for r in got:
+        if r.lane is None or r.dec is None:
+            assert r.lane is None and r.dec is None
+        elif _math.isnan(r.dec):
+            assert _math.isnan(r.lane)
+        else:
+            assert r.lane == r.dec, (r.g, r.lane, r.dec, r.lane - r.dec)
