@@ -3314,3 +3314,83 @@ def basket_part_affinity(spark, sf_dir):
         .orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"))
         .limit(50)
     )
+
+
+@query(
+    "percentile_bands_daily",
+    f"""
+    WITH e AS (
+      SELECT event_type, ({MS}) // {DAY} AS day, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                   ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, day) AS n
+      FROM e
+    ),
+    p AS (SELECT unnest([0.1, 0.5, 0.9]) AS p)
+    SELECT event_type, day * {DAY} AS day_ms, p.p AS p, value
+    FROM r, p
+    WHERE rn = GREATEST(CAST(ceil(p.p * n) AS BIGINT), 1)
+    """,
+)
+def percentile_bands_daily(spark, sf_dir):
+    """Percentile bands over time: per (event_type, day) the discrete
+    p10/p50/p90 of value — the dashboard band chart every metrics
+    system draws, and the two-level-key test of grouped percentiles
+    (percentile_disc_by_type covers the single-key case). Discrete
+    ranks → actual data values → bit-exact across engines.
+
+    Scale: one shuffle on the composite (type, day) key; all three
+    percentiles ride the same windowed rank pass (the probe list
+    broadcasts), so band count doesn't multiply shuffles."""
+    from uts_spark.operators.topk import percentile_disc
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("ts_ms") / DAY).cast("long") * DAY).alias("day_ms"),
+            "value",
+        )
+    )
+    return percentile_disc(
+        ev, "value", [0.1, 0.5, 0.9], group_cols=["event_type", "day_ms"]
+    ).select("event_type", "day_ms", "p", "value")
+
+
+def _duck_langid_confusion() -> str:
+    from uts_spark.queries.llm_ops import _duck_lang_case
+
+    inner = _duck_lang_case()
+    return f"""
+    WITH pred AS ({inner})
+    SELECT label_lang, pred_lang, COUNT(*) AS n
+    FROM pred GROUP BY label_lang, pred_lang
+    """
+
+
+@query("text_langid_confusion", _duck_langid_confusion())
+def text_langid_confusion(spark, sf_dir):
+    """Classifier evaluation harness: the language-ID confusion matrix
+    (generator label x heuristic prediction, with counts) — the
+    aggregate every model-quality dashboard starts from, and the
+    composition proof that per-row operators (text_lang_id) feed
+    ordinary grouped analytics without re-reading the corpus.
+
+    Scale: the per-row scores fold into the scan stage; one hash
+    aggregation on the (label, pred) pair — 16 output cells however
+    large the corpus."""
+    from uts_spark.functions.text import lang_id
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label_lang"),
+            lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
