@@ -3394,3 +3394,71 @@ def text_langid_confusion(spark, sf_dir):
         .groupBy("label_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "scd2_history_build",
+    f"""
+    WITH ev AS (
+      SELECT user_id, {MS} AS t, event_id, value FROM events
+      WHERE event_type = 'view'
+    ),
+    chg AS (
+      SELECT *,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <> lag(value) OVER w
+                  THEN 1 ELSE 0 END AS is_change
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    v AS (
+      SELECT user_id, t, event_id, value
+      FROM chg WHERE is_change = 1
+    )
+    SELECT user_id, value,
+           t AS valid_from,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS BIGINT) AS version,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+             AS is_current
+    FROM v
+    """,
+)
+def scd2_history_build(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: a changelog of
+    observed attribute values becomes versioned validity intervals —
+    consecutive repeats collapse, each surviving change opens a version
+    at its timestamp and closes at the next change (NULL = current).
+    The dimension-history shape behind every point-in-time ("as the
+    customer was THEN") join; the companion as-of and range joins
+    consume exactly these intervals.
+
+    Scale: one shuffle on the key; change detection (lag), interval
+    close (lead), and versioning (row_number) all share the single
+    (user, time) sort. Collapse-before-lead keeps state row-count =
+    number of CHANGES, not observations."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts_ms").alias("t"), "event_id", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = ev.withColumn(
+        "is_change",
+        F.when(
+            F.lag("value").over(w).isNull()
+            | (F.col("value") != F.lag("value").over(w)),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("is_change") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("t", "event_id")
+    return chg.select(
+        "user_id",
+        "value",
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("t").over(w2).isNull().alias("is_current"),
+    )

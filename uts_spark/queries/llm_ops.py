@@ -1360,3 +1360,75 @@ def graph_kcore_semantic(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_blocked(e, threshold=_KCORE_THR).select("id_a", "id_b")
     return kcore_nodes(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _duck_quantize() -> str:
+    v = "CAST(embedding[i] AS DOUBLE)"
+    c = f"floor(({v} / s) * 127 + 0.5)"
+    d = f"({v} - ({c}) * s / 127)"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS s
+      FROM embeddings
+    )
+    SELECT vec_id, s AS scale,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                i -> CAST({c} AS BIGINT) * i)) AS BIGINT) AS code_checksum,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(floor({d} * {d} * 1e12 + 0.5) AS BIGINT)))
+             AS DOUBLE) / 1e12 AS recon_err
+    FROM e WHERE s > 0
+    """
+
+
+@query("embedding_quantize_int8", _duck_quantize())
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization (the 4x storage compression every
+    vector store applies before ANN indexing): per-vector absmax scale,
+    codes floor(v/s*127 + 0.5), plus the squared reconstruction error.
+    The error terms are snapped to 1e-12 fixed-point integers before
+    summing (the dot_stable convention) so the lossy-compression
+    telemetry itself is hash-exact across engines; the code checksum is
+    the order-weighted integer sum (a change to ANY code at ANY
+    position changes it).
+
+    Scale: pure projection over the vectors — zero shuffle; codes stay
+    inside the row (array), only scalar telemetry leaves. The real
+    pipeline writes codes as array<tinyint> next to the float column
+    and ANN reads the small one."""
+    e = table(spark, sf_dir, "embeddings")
+    vd = lambda x: x.cast("double")  # noqa: E731
+    s = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(vd(x))))
+    e = e.select("vec_id", "embedding", s.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    code = lambda x: F.floor((vd(x) / F.col("scale")) * 127 + 0.5)  # noqa: E731
+    diff = lambda x: vd(x) - code(x) * F.col("scale") / 127  # noqa: E731
+    idx = F.sequence(F.lit(1), F.size("embedding"))
+    return e.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), idx,
+                lambda x, i: code(x).cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("code_checksum"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(diff(x) * diff(x) * 1e12 + 0.5).cast(
+                        "long"
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).cast("double")
+            / F.lit(1e12)
+        ).alias("recon_err"),
+    )
