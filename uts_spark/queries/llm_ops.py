@@ -1432,3 +1432,153 @@ def embedding_quantize_int8(spark, sf_dir):
             / F.lit(1e12)
         ).alias("recon_err"),
     )
+
+
+_INCR_RATE = 0.1  # fraction of the corpus playing "today's batch"
+
+
+def _duck_incremental(bands: int = 4, max_hamming: int = 6) -> str:
+    from uts_spark.functions.sampling import duck_hash_u
+
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    u = duck_hash_u("incr", "id")
+    return f"""
+    WITH sk0 AS ({_duck_simhash()}),
+    sk AS (SELECT *, {u} < {_INCR_RATE!r} AS is_new FROM sk0),
+    sl AS (
+      SELECT id, simhash, is_new, b.band,
+             (simhash >> (b.band * {width})) & {mask} AS slice
+      FROM sk, (SELECT unnest(range(0, {bands})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT
+             LEAST(a.id, b.id)    AS id_a,
+             GREATEST(a.id, b.id) AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+             CASE WHEN a.is_new AND b.is_new THEN 'new-new'
+                  ELSE 'new-old' END AS pair_type
+      FROM sl a JOIN sl b ON a.band = b.band AND a.slice = b.slice
+      WHERE a.is_new AND a.id <> b.id
+        AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    )
+    SELECT * FROM cand
+    """
+
+
+@query("dedup_incremental_batch", _duck_incremental())
+def dedup_incremental_batch(spark, sf_dir):
+    """INCREMENTAL near-dup: a new batch (deterministic 10% hash split
+    standing in for today's crawl) is checked against the existing
+    corpus index AND against itself — new×old and new×new candidate
+    pairs only, never old×old. This is the asymmetric band join every
+    production dedup runs daily: the full-corpus sketch index is
+    maintained once, and each increment's cost is proportional to the
+    BATCH, not the corpus.
+
+    Scale: the new side's band slices join the full slice index on
+    (band, slice) — with the index bucketed/partitioned on that key the
+    increment never reshuffles the corpus; the old×old quadrant (the
+    overwhelming bulk at 100 TB) is simply never generated."""
+    from uts_spark.functions.dedup import hamming64
+    from uts_spark.functions.sampling import hash_u
+
+    bands, max_hamming = 4, 6
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    docs = table(spark, sf_dir, "documents")
+    sk = simhash(docs, "text", "doc_id").withColumn(
+        "is_new", hash_u("incr", F.col("id")) < _INCR_RATE
+    )
+    sl = sk.select(
+        "id",
+        "simhash",
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__s"),
+    ).select(
+        "id", "simhash", "is_new",
+        F.col("__s.band").alias("band"), F.col("__s.slice").alias("slice"),
+    )
+    a = sl.filter(F.col("is_new")).select(
+        F.col("id").alias("ia"), F.col("simhash").alias("ha"),
+        F.col("is_new").alias("na"), "band", "slice",
+    )
+    b = sl.select(
+        F.col("id").alias("ib"), F.col("simhash").alias("hb"),
+        F.col("is_new").alias("nb"), "band", "slice",
+    )
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("ia") != F.col("ib"))
+        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+            F.when(F.col("na") & F.col("nb"), F.lit("new-new"))
+            .otherwise(F.lit("new-old"))
+            .alias("pair_type"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    dt AS (
+      SELECT DISTINCT doc_id, unnest({duck_word_ngrams('toks', 2)}) AS term
+      FROM t
+    ),
+    g AS (
+      SELECT term, COUNT(*) AS df,
+             list_sort(list(doc_id)) AS postings
+      FROM dt GROUP BY term
+    )
+    SELECT term, df, postings FROM g
+    WHERE df BETWEEN 2 AND 50
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index build: bigram term → document frequency + the
+    sorted posting list of containing documents, restricted to the
+    useful band (df in [2, 50] — singletons retrieve nothing,
+    stop-everything terms flood; bigrams because this corpus's unigram
+    vocabulary saturates every document). The index-construction shape behind retrieval, dedup
+    candidate lookup, and contamination scans; sorted postings are the
+    merge-friendly on-disk layout.
+
+    Scale: explode + distinct + one hash aggregation on term;
+    collect_list is bounded by the df cap, and at 100 TB the term key
+    is the shuffle key — posting lists for flood terms are excluded
+    BEFORE materialization via the df filter (two-pass: count first,
+    collect second) when the cap can't bound them."""
+    from uts_spark.functions.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    dt = docs.select(
+        "doc_id", F.explode(word_ngrams(toks, 2)).alias("term")
+    ).distinct()
+    return (
+        dt.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+    )
