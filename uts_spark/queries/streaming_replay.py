@@ -36,7 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 from uts_spark.operators.aggregates import Metric
-from uts_spark.registry import DAY, DSUM, MS, NOW_MS, query, table
+from uts_spark.registry import DAY, DSUM, HOUR, MS, NOW_MS, query, table
 from uts_spark.streaming.ops import tumbling_agg_stream, uts_interval_agg_stream
 
 _METRICS = {
@@ -45,17 +45,26 @@ _METRICS = {
 }
 
 
-def _replay(spark, src_df: DataFrame, build, feeds: int = 1, extra_feeds=()):
+def _replay(
+    spark, src_df: DataFrame, build, feeds: int = 1, extra_feeds=(),
+    ordered: bool = False,
+):
     """Write ``src_df`` as 4 parquet files, stream them one file per
     micro-batch through ``build(stream_df) -> (out_df, mode)``, then feed
     each DataFrame in ``extra_feeds`` as its own micro-batch. Returns the
-    captured memory-sink table."""
+    captured memory-sink table. ``ordered=True`` writes the source as ONE
+    file preserving the caller's sort (for operators whose fold is
+    order-sensitive — each extra feed then arrives as its own strictly
+    later micro-batch)."""
     scratch = tempfile.mkdtemp(prefix="uts_replay_")
     src = os.path.join(scratch, "src")
     chk = os.path.join(scratch, "chk")
     name = f"replay_{uuid.uuid4().hex[:12]}"
     try:
-        src_df.repartition(4).write.parquet(src)
+        if ordered:
+            src_df.coalesce(1).write.parquet(src)
+        else:
+            src_df.repartition(4).write.parquet(src)
         stream = (
             spark.readStream.schema(src_df.schema)
             .option("maxFilesPerTrigger", 1)
@@ -377,3 +386,88 @@ def stream_dedup_replay(spark, sf_dir):
         return stream.dropDuplicates(["event_id"]), "append"
 
     return _replay(spark, doubled, build)
+
+
+@query(
+    "stream_derivative_replay",
+    f"""
+    WITH pts AS (
+      SELECT event_id AS o, {MS} AS t, value AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    d AS (
+      SELECT t,
+             v - lag(v) OVER w AS delta,
+             first_value(t) OVER w AS tfirst
+      FROM pts WINDOW w AS (ORDER BY t, o)
+    ),
+    bounds AS (SELECT min(t) AS tfirst, max(t) AS tlast FROM pts),
+    contrib AS (
+      SELECT tfirst + ((t - tfirst + {6*HOUR} - 1)//{6*HOUR}) * {6*HOUR} AS e,
+             {DSUM('delta')} AS change
+      FROM d WHERE delta IS NOT NULL GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(tfirst + {6*HOUR}, tlast - 1, {6*HOUR})) AS e
+      FROM bounds WHERE tfirst IS NOT NULL
+    )
+    SELECT e AS time, COALESCE(change, 0.0) AS d_value
+    FROM spine LEFT JOIN contrib USING (e)
+    WHERE e < (SELECT tlast FROM bounds)
+    """,
+)
+def stream_derivative_replay(spark, sf_dir):
+    """STREAMING derivative oracle-gated: the stateful
+    applyInPandasWithState fold (streaming/ops.derivative_stateful_stream)
+    replayed over four strictly-ordered micro-batches — state (open
+    interval, accumulated change, previous value) carries across
+    batches, gaps zero-fill, and every CLOSED interval must hash-match
+    the batch closed form restricted to e < tlast (the final partial
+    interval stays buffered on a stream — the documented divergence —
+    so the oracle simply excludes the tlast flush; everything else is
+    bit-identical, the deltas summed through decimal on both sides).
+
+    Points are chunked by global (time, id) rank so arrival order
+    equals the fold order the oracle's window uses — the one streaming
+    operator whose semantics are order-SENSITIVE, hence the ordered
+    replay variant."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.lit("purchase").alias("series"), "ts_ms", "value", "event_id"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk",
+        F.row_number().over(Window.orderBy("ts_ms", "event_id")),
+    ).withColumn(
+        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select("series", "ts_ms", "value", "event_id")
+            .coalesce(1)
+            .sortWithinPartitions("ts_ms", "event_id")
+        )
+
+    from uts_spark.streaming.ops import derivative_stateful_stream
+
+    def build(stream):
+        out = derivative_stateful_stream(
+            stream, interval_ms=6 * HOUR, key_col="series",
+            time_col="ts_ms", value_col="value",
+        )
+        return out.select("time", F.col("change").alias("d_value")), "append"
+
+    got = _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )
+    return got

@@ -250,9 +250,20 @@ def derivative_stateful_stream(
     """
 
     def step(key, pdfs, state: GroupState):
+        # the accumulator holds 1e-6-unit INTEGERS: each delta is snapped
+        # to 6 dp with the same round-half-up the engines use for
+        # double→DECIMAL(38,6), so the emitted per-interval change is
+        # bit-identical to the batch operator's decimal-stable sum (and
+        # the DuckDB oracle) regardless of how many micro-batches the
+        # interval's points were spread across
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+
         (series,) = key
         if state.exists:
             tfirst, prev_v, open_end, acc = state.get
+            acc = int(acc)
         else:
             tfirst = prev_v = open_end = acc = None
         out_t, out_c = [], []
@@ -261,16 +272,18 @@ def derivative_stateful_stream(
             for t, v in zip(pdf[time_col].astype("int64"), pdf[value_col]):
                 t, v = int(t), float(v)
                 if tfirst is None:
-                    tfirst, prev_v, open_end, acc = t, v, t + interval_ms, 0.0
+                    tfirst, prev_v, open_end, acc = t, v, t + interval_ms, 0
                     continue
                 while t > open_end:  # close finished intervals, zero-fill gaps
                     out_t.append(open_end)
-                    out_c.append(acc)
+                    out_c.append(float(Decimal(acc).scaleb(-6)))
                     open_end += interval_ms
-                    acc = 0.0
-                acc += v - prev_v
+                    acc = 0
+                acc += int(
+                    Decimal(v - prev_v).quantize(six, ROUND_HALF_UP).scaleb(6)
+                )
                 prev_v = v
-        state.update((tfirst, prev_v, open_end, acc))
+        state.update((tfirst, prev_v, open_end, float(acc)))
         if out_t:
             yield pd.DataFrame(
                 {"series": series, "time": out_t, "change": out_c}
