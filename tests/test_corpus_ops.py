@@ -134,3 +134,29 @@ def test_kcore_nonconvergence_raises(spark):
     path = _pairs(spark, [(i, i + 1) for i in range(12)])
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore_nodes(path, k=2, rounds=2)
+
+
+def test_incremental_dedup_quadrants(spark, sf_dir):
+    # the incremental pair set must contain NO old-old pairs, and its
+    # new-new quadrant must agree with the full-corpus pair run
+    from uts_spark.functions.sampling import hash_u
+
+    inc = QUERIES["dedup_incremental_batch"](spark, sf_dir).collect()
+    full = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_simhash_pairs"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_ids = {
+        r.doc_id
+        for r in docs.select("doc_id")
+        .filter(hash_u("incr", F.col("doc_id")) < 0.1)
+        .collect()
+    }
+    assert len(inc) > 0
+    for r in inc:
+        a_new, b_new = r.id_a in new_ids, r.id_b in new_ids
+        assert a_new or b_new  # old-old never generated
+        assert r.pair_type == ("new-new" if (a_new and b_new) else "new-old")
+        # every incremental pair is a pair of the full run too
+        assert (r.id_a, r.id_b) in full

@@ -328,3 +328,33 @@ def test_weighted_median_single_shuffle(spark, sf_dir):
     # on the group key
     p = plan(spark, sf_dir, "weighted_median_price")
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_m4_is_single_aggregation_no_window(spark, sf_dir):
+    # min/max/first/last all ride one hash aggregate — no window sort
+    p = plan(spark, sf_dir, "ts_m4_downsample")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_scd2_single_sort_shared_by_all_windows(spark, sf_dir):
+    # lag-collapse, lead-close, and versioning share one (user, time) sort
+    p = plan(spark, sf_dir, "scd2_history_build")
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_quantize_is_pure_projection(spark, sf_dir):
+    p = plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_cdc_merge_no_window_sort(spark, sf_dir):
+    # both sides collapse via max_by aggregation, never a window rank
+    p = plan(spark, sf_dir, "cdc_merge_upserts")
+    assert "Window" not in p
+
+
+def test_es_sampling_uses_takeordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "sample_weighted_topk_es")
+    assert "TakeOrderedAndProject" in p
