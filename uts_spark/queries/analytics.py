@@ -3462,3 +3462,67 @@ def scd2_history_build(spark, sf_dir):
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead("t").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "rfm_segmentation",
+    f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(epoch_ms(o_orderdate)) AS last_order_ms,
+             COUNT(*) AS frequency,
+             {DSUM('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             NTILE(4) OVER (ORDER BY last_order_ms, custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, custkey)     AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, custkey)      AS m_score
+      FROM base
+    )
+    SELECT custkey, last_order_ms, frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency (last order), frequency
+    (order count), monetary (decimal-exact spend) per customer, each
+    quartiled by NTILE with a deterministic customer-id tie-break, and
+    packed into the classic 3-digit RFM code — the segmentation every
+    CRM/marketing warehouse derives from the orders fact.
+
+    Scale: one shuffle on custkey for the per-customer rollup; the
+    three NTILEs ride global sorts of the AGGREGATE (customer-count
+    rows, not orders). At extreme customer counts swap NTILE for
+    percent_rank-from-range-partitioned-sort (see the
+    histogram_equidepth scale note) — quartile boundaries don't need a
+    single-partition window."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias("last_order_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        _lsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    scored = base.select(
+        "*",
+        F.ntile(4).over(Window.orderBy("last_order_ms", "custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "last_order_ms",
+        "frequency",
+        "monetary",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long").alias("rfm_code"),
+    )

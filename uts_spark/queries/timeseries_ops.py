@@ -729,3 +729,82 @@ def ts_locf_fill(spark, sf_dir):
     return f.filter(F.col("is_obs") == 0).select(
         "user_id", "t", F.col("filled").alias("value")
     )
+
+
+@query(
+    "ts_seasonal_residual_outliers",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, ({MS} % {DAY}) // {HOUR} AS hod, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, hod,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+               AS mu,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM e GROUP BY event_type, hod
+    ),
+    sd AS (
+      SELECT event_type, hod, mu,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+      FROM s WHERE n >= 2
+    )
+    SELECT e.event_id, e.event_type, e.hod, e.value, sd.mu, sd.sigma,
+           abs(e.value - sd.mu) > 3.0 * sd.sigma AS is_outlier
+    FROM e JOIN sd ON sd.event_type = e.event_type AND sd.hod = e.hod
+    """,
+)
+def ts_seasonal_residual_outliers(spark, sf_dir):
+    """Seasonal-adjusted anomaly detection: the hour-of-day profile
+    (per (type, hour) mean and stddev from decimal-exact moments) is
+    broadcast back onto the stream and every event is flagged when its
+    residual against ITS OWN hour's profile exceeds 3 sigma — the
+    composition of ts_seasonal_hod (profile) with the z-score detector
+    that a raw global threshold can't replicate (a value normal at 3 pm
+    is anomalous at 3 am).
+
+    Scale: one tiny (<= 5x24-row) profile aggregation broadcast onto
+    the fact scan; the fact table is never shuffled at all."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(f"(ts_ms % {DAY}) div {HOUR}").alias("hod"),
+            "value",
+        )
+    )
+    v = F.col("value")
+    prof = (
+        ev.groupBy("event_type", "hod")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+            F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            "hod",
+            (F.col("s1") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+    )
+    return ev.join(F.broadcast(prof), ["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        "hod",
+        "value",
+        "mu",
+        "sigma",
+        (F.abs(F.col("value") - F.col("mu")) > 3.0 * F.col("sigma")).alias(
+            "is_outlier"
+        ),
+    )
