@@ -785,3 +785,104 @@ def test_foreachbatch_incremental_rollup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_foreachbatch_cdc_apply_matches_batch(spark, tmp_path):
+    """Streaming CDC apply: each micro-batch of (key, seq, op, value)
+    change rows merges into a parquet snapshot via foreachBatch —
+    last-writer-wins by seq, deletes remove the key, re-inserts after a
+    delete resurrect it. After three batches (including a cross-batch
+    out-of-order change that must LOSE to an already-applied higher
+    seq) the snapshot equals the batch last-writer-wins computation of
+    the full changelog — the streaming face of cdc_merge_upserts."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    src, chk = _dirs(tmp_path)
+    snap = str(tmp_path / "snapshot")
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("seq", LongType()),
+            StructField("op", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def apply_batch(batch_df, batch_id):
+        last = F.max_by(F.struct("op", "value"), F.col("seq"))
+        part = (
+            batch_df.groupBy("k")
+            .agg(last.alias("l"), F.max("seq").alias("seq"))
+            .select("k", "seq", F.col("l.op").alias("op"), F.col("l.value").alias("value"))
+        )
+        try:
+            old = spark.read.parquet(snap)
+            merged = (
+                part.unionByName(old)
+                .groupBy("k")
+                .agg(
+                    F.max_by(F.struct("op", "value"), F.col("seq")).alias("l"),
+                    F.max("seq").alias("seq"),
+                )
+                .select(
+                    "k", "seq",
+                    F.col("l.op").alias("op"), F.col("l.value").alias("value"),
+                )
+            )
+        except Exception:
+            merged = part
+        # keep tombstones IN the snapshot (op='D') so late lower-seq
+        # upserts cannot resurrect a deleted key; readers filter them
+        tmp = snap + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(snap):
+            shutil.rmtree(snap)
+        shutil.move(tmp, snap)
+
+    batches = [
+        [("a", 1, "U", 1.0), ("b", 2, "U", 2.0), ("c", 3, "U", 3.0)],
+        [("a", 5, "U", 10.0), ("b", 4, "D", None), ("d", 6, "U", 4.0)],
+        # out-of-order: seq 4 for 'a' arrives AFTER seq 5 was applied —
+        # must lose; 'b' re-inserted after its delete; 'c' deleted
+        [("a", 4, "U", 99.0), ("b", 7, "U", 20.0), ("c", 8, "D", None)],
+    ]
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), schema)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    rows = []
+    try:
+        for i, b in enumerate(batches, 1):
+            rows += b
+            _feed(spark, src, b, schema, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["k"]: (r["seq"], r["value"])
+        for r in spark.read.parquet(snap).filter(F.col("op") == "U").collect()
+    }
+    exp = {
+        r["k"]: (r["seq"], r["value"])
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy("k")
+        .agg(
+            F.max_by(F.struct("op", "value"), F.col("seq")).alias("l"),
+            F.max("seq").alias("seq"),
+        )
+        .filter(F.col("l.op") == "U")
+        .select("k", "seq", F.col("l.value").alias("value"))
+        .collect()
+    }
+    assert got == exp
+    assert got == {"a": (5, 10.0), "b": (7, 20.0), "d": (6, 4.0)}

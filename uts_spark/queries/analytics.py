@@ -3526,3 +3526,97 @@ def rfm_segmentation(spark, sf_dir):
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("long").alias("rfm_code"),
     )
+
+
+@query(
+    "basket_association_rules",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM lp),
+    pc AS (SELECT p, COUNT(*) AS c FROM lp GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c12
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, c12, c1.c AS ca, c2.c AS cc,
+             CAST(c12 AS DOUBLE) / c1.c AS confidence,
+             CAST(c12 AS DOUBLE) * n_orders / (c1.c * c2.c) AS lift
+      FROM pairs JOIN pc c1 ON c1.p = p1
+                 JOIN pc c2 ON c2.p = p2
+                 CROSS JOIN n
+      UNION ALL
+      SELECT p2, p1, c12, c2.c, c1.c,
+             CAST(c12 AS DOUBLE) / c2.c,
+             CAST(c12 AS DOUBLE) * n_orders / (c1.c * c2.c)
+      FROM pairs JOIN pc c1 ON c1.p = p1
+                 JOIN pc c2 ON c2.p = p2
+                 CROSS JOIN n
+    )
+    SELECT antecedent, consequent, c12 AS support_cnt, confidence, lift
+    FROM rules
+    WHERE confidence >= 0.08 AND lift > 1.0
+    ORDER BY confidence DESC, lift DESC, antecedent, consequent
+    LIMIT 100
+    """,
+)
+def basket_association_rules(spark, sf_dir):
+    """Association rules over co-order pairs: each frequent pair yields
+    the two directed rules A→B and B→A with confidence = P(B|A) and the
+    shared lift; rules are pruned at confidence >= 0.5 AND lift > 1
+    (the standard Apriori post-filter — high-confidence rules whose
+    consequent is merely popular get killed by the lift test). The
+    directed extension of basket_part_affinity.
+
+    Scale: identical shape to the affinity query (the pair aggregation
+    is the only big shuffle; margins broadcast); the directionalization
+    is a cheap union of two projections of the SAME joined result —
+    Catalyst reuses the subplan via exchange reuse."""
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = lp.agg(F.count_distinct("o").alias("n_orders"))
+    pc = lp.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = lp.select("o", F.col("p").alias("p1"))
+    b = lp.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 2)
+    )
+    joined = (
+        pairs.join(pc.select(F.col("p").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(pc.select(F.col("p").alias("p2"), F.col("c").alias("c2")), "p2")
+        .crossJoin(F.broadcast(n))
+    )
+    lift = F.col("c12").cast("double") * F.col("n_orders") / (
+        F.col("c1") * F.col("c2")
+    )
+    fwd = joined.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        F.col("c12").alias("support_cnt"),
+        (F.col("c12").cast("double") / F.col("c1")).alias("confidence"),
+        lift.alias("lift"),
+    )
+    rev = joined.select(
+        F.col("p2").alias("antecedent"),
+        F.col("p1").alias("consequent"),
+        F.col("c12").alias("support_cnt"),
+        (F.col("c12").cast("double") / F.col("c2")).alias("confidence"),
+        lift.alias("lift"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter((F.col("confidence") >= 0.08) & (F.col("lift") > 1.0))
+        .orderBy(
+            F.desc("confidence"), F.desc("lift"),
+            F.asc("antecedent"), F.asc("consequent"),
+        )
+        .limit(100)
+    )
