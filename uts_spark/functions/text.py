@@ -718,3 +718,48 @@ def duck_substring_dup_rate(n: int = 8) -> str:
              AS dup_rate
     FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
     """
+
+
+# Tiny deterministic sentiment lexicons (SURVEY §2.7's promised
+# sentiment-lexicon scoring — the point is the scalable shape: pure
+# array-intersection expressions, not lexicon quality).
+SENTIMENT_POS = [
+    "good", "great", "fast", "small", "big", "best", "new", "fine",
+]
+SENTIMENT_NEG = [
+    "slow", "bad", "error", "fail", "worst", "wrong", "old", "broken",
+]
+
+
+def sentiment_score(col: Column) -> dict[str, Column]:
+    """Lexicon sentiment: (pos − neg) / tokens in [−1, 1] plus the raw
+    hit counts; ties and empty docs are neutral (0.0)."""
+    toks = tokens(col)
+    pos_lex = F.array(*[F.lit(w) for w in SENTIMENT_POS])
+    neg_lex = F.array(*[F.lit(w) for w in SENTIMENT_NEG])
+    n_pos = F.size(F.filter(toks, lambda t: F.array_contains(pos_lex, t)))
+    n_neg = F.size(F.filter(toks, lambda t: F.array_contains(neg_lex, t)))
+    n = F.size(toks)
+    score = F.when(
+        n > 0, (n_pos - n_neg).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_pos": n_pos.cast("long"),
+        "n_neg": n_neg.cast("long"),
+        "sentiment": score,
+        "label": F.when(score > 0, F.lit("pos"))
+        .when(score < 0, F.lit("neg"))
+        .otherwise(F.lit("neutral")),
+    }
+
+
+def duck_sentiment(toks: str) -> dict[str, str]:
+    pos = "[" + ", ".join(f"'{w}'" for w in SENTIMENT_POS) + "]"
+    neg = "[" + ", ".join(f"'{w}'" for w in SENTIMENT_NEG) + "]"
+    n_pos = f"len(list_filter({toks}, t -> list_contains({pos}, t)))"
+    n_neg = f"len(list_filter({toks}, t -> list_contains({neg}, t)))"
+    score = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"CAST({n_pos} - {n_neg} AS DOUBLE) / len({toks}) ELSE 0.0 END"
+    )
+    return {"n_pos": n_pos, "n_neg": n_neg, "score": score}

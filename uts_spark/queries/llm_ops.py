@@ -1582,3 +1582,41 @@ def text_inverted_index(spark, sf_dir):
         )
         .filter((F.col("df") >= 2) & (F.col("df") <= 50))
     )
+
+
+def _duck_sentiment_q() -> str:
+    from uts_spark.functions.text import duck_sentiment
+
+    s = duck_sentiment("toks")
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST({s['n_pos']} AS BIGINT) AS n_pos,
+           CAST({s['n_neg']} AS BIGINT) AS n_neg,
+           {s['score']} AS sentiment,
+           CASE WHEN {s['score']} > 0 THEN 'pos'
+                WHEN {s['score']} < 0 THEN 'neg'
+                ELSE 'neutral' END AS label
+    FROM t
+    """
+
+
+@query("text_sentiment_lexicon", _duck_sentiment_q())
+def text_sentiment_lexicon(spark, sf_dir):
+    """Lexicon-based sentiment scoring (the SURVEY §2.7 text-analysis
+    item): positive/negative hit counts, the normalized score, and the
+    3-way label — pure array-intersection Column expressions, zero
+    shuffle, codegen'd; the deterministic stand-in for any
+    dictionary-based classifier (swap the lexicons, the plan shape is
+    identical)."""
+    from uts_spark.functions.text import sentiment_score
+
+    docs = table(spark, sf_dir, "documents")
+    m = sentiment_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_pos"].alias("n_pos"),
+        m["n_neg"].alias("n_neg"),
+        m["sentiment"].alias("sentiment"),
+        m["label"].alias("label"),
+    )
