@@ -1620,3 +1620,77 @@ def text_sentiment_lexicon(spark, sf_dir):
         m["sentiment"].alias("sentiment"),
         m["label"].alias("label"),
     )
+
+
+def _duck_pipeline_v2() -> str:
+    return f"""
+    WITH g AS ({_duck_gopher()}),
+    {_DUCK_LINES},
+    ld AS (
+      SELECT l.doc_id,
+             CAST(SUM(CASE WHEN f.df >= 2 THEN l.llen ELSE 0 END) AS DOUBLE)
+               / SUM(l.llen) AS dup_char_ratio
+      FROM l JOIN (SELECT lh, COUNT(DISTINCT doc_id) AS df
+                   FROM l GROUP BY lh) f USING (lh)
+      GROUP BY l.doc_id
+    ),
+    pairs AS ({_duck_simhash_pairs()}),
+    b AS (SELECT doc_id, CAST({duck_bpeish_count('text')} AS BIGINT) AS n_bpeish
+          FROM documents),
+    kept AS (
+      SELECT g.doc_id, b.n_bpeish
+      FROM g JOIN ld USING (doc_id) JOIN b USING (doc_id)
+      WHERE g.gopher_pass AND ld.dup_char_ratio < 0.5
+        AND g.doc_id NOT IN (SELECT id_b FROM pairs)
+    )
+    SELECT doc_id, n_bpeish,
+           (SUM(n_bpeish) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_bpeish) // 20000 AS shard
+    FROM kept
+    """
+
+
+@query("pipeline_training_prep_v2", _duck_pipeline_v2())
+def pipeline_training_prep_v2(spark, sf_dir):
+    """Training-prep pipeline v2, composing this round's operators in
+    ONE lazy DAG: Gopher rule-pack gate + corpus line-dedup gate
+    (documents losing >= 50% of characters to boilerplate lines drop)
+    + greedy pairwise SimHash near-dup removal (a doc drops when it is
+    the LARGER id of any verified near-dup pair — the O(pairs) policy;
+    the transitive-closure canonical keep is dedup_cluster_cc) +
+    BPE-ish token budgeting into ~20k-token shards.
+
+    Scale: the three gates are independent subplans joined on doc_id —
+    the corpus scans fuse where expressions allow (gopher + token
+    counts share one scan), the line-hash and band joins shuffle their
+    own derived keys, and the near-dup anti-join is a LEFT ANTI on the
+    pair list (tiny vs the corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    gop = text_gopher_quality(spark, sf_dir).select("doc_id", "gopher_pass")
+    ld = text_line_dedup(spark, sf_dir).select("doc_id", "dup_char_ratio")
+    pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
+    kept = (
+        docs.select(
+            "doc_id",
+            bpeish_token_count(F.col("text")).cast("long").alias("n_bpeish"),
+        )
+        .join(gop, "doc_id")
+        .join(ld, "doc_id")
+        .filter(F.col("gopher_pass") & (F.col("dup_char_ratio") < 0.5))
+        .join(
+            pairs.select(F.col("id_b").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_before = F.sum("n_bpeish").over(w) - F.col("n_bpeish")
+    return kept.select(
+        "doc_id",
+        "n_bpeish",
+        F.floor(cum_before / F.lit(20000)).cast("long").alias("shard"),
+    )
