@@ -3620,3 +3620,69 @@ def basket_association_rules(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN({MS}) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, {MS} AS t FROM events WHERE event_type = 'purchase'
+    ),
+    conv AS (
+      SELECT s.user_id, MIN(p.t) - s.t_signup AS ttc_ms
+      FROM s JOIN p ON p.user_id = s.user_id AND p.t >= s.t_signup
+      GROUP BY s.user_id, s.t_signup
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ttc_ms, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    ),
+    probe AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+    SELECT probe.p AS p, r.ttc_ms,
+           (SELECT COUNT(*) FROM conv) AS n_converted
+    FROM r, probe
+    WHERE rn = GREATEST(CAST(ceil(probe.p * n) AS BIGINT), 1)
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Funnel latency distribution: per user, the time from first
+    signup to first subsequent purchase, summarized as discrete
+    p50/p90/p99 — the time-to-convert metric product analytics pairs
+    with the conversion-rate funnel (funnel_signup_click_purchase
+    counts WHO converts; this measures HOW FAST).
+
+    Scale: two filtered pre-aggregations join on user_id (first-touch
+    MIN collapse before the join keeps both sides one row per user);
+    the percentile rank rides a single window over the
+    converted-users aggregate, not the event stream."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_signup"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ms").alias("t")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .filter(F.col("t") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("t").alias("t_first"))
+        .select(
+            "user_id", (F.col("t_first") - F.col("t_signup")).alias("ttc_ms")
+        )
+    )
+    from uts_spark.operators.topk import percentile_disc
+
+    n_conv = conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        percentile_disc(conv, "ttc_ms", [0.5, 0.9, 0.99])
+        .crossJoin(F.broadcast(n_conv))
+        .select("p", F.col("value").alias("ttc_ms"), "n_converted")
+    )
