@@ -243,3 +243,62 @@ def sample_weighted_topk_es(spark, sf_dir):
         .limit(_ES_K)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
+
+
+_ESS_K = 25  # per-stratum sample size
+
+
+@query(
+    "sample_stratified_weighted_es",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             ({duck_hash64("concat('ess:', CAST(doc_id AS VARCHAR))")} + 1)
+               / {float(1 << 60)!r} AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+             CAST(ROUND((-LN(u) / n_chars) * {_ES_SCALE}) AS BIGINT) AS es_key
+      FROM d
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY es_key, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT doc_id, lang, weight, es_key, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_ESS_K}
+    """,
+)
+def sample_stratified_weighted_es(spark, sf_dir):
+    """STRATIFIED weighted sampling without replacement: an independent
+    Efraimidis–Spirakis exponential race per language, exactly k=25
+    winners per stratum with inclusion probability proportional to
+    document length WITHIN the stratum — the balanced-mixture sampler
+    (domain quotas + length weighting in one pass) that plain ES
+    (sample_weighted_topk_es) and exact-n stratified sampling
+    (sample_stratified_lang) each solve only half of.
+
+    Scale: keys are a pure projection; the per-stratum pick is one
+    row_number window over the stratum key — a single shuffle
+    partitioned by stratum, no global sort, no driver state."""
+    from uts_spark.functions.hashing import hash64
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("ess:"), F.col("doc_id").cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(TWO60))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round((-F.log(u) / F.col("n_chars")) * _ES_SCALE)
+        .cast("long")
+        .alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _ESS_K)
+    )

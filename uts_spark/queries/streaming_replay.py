@@ -471,3 +471,86 @@ def stream_derivative_replay(spark, sf_dir):
         ordered=True,
     )
     return got
+
+
+_COV_W = 30 * 60 * 1000  # 30-minute activity window per event
+
+
+@query(
+    "stream_interval_coverage_replay",
+    f"""
+    WITH iv AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, {MS} AS s, {MS} + {_COV_W} AS e
+      FROM events
+    ),
+    fl AS (
+      SELECT key, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw
+      FROM iv
+    ),
+    isl AS (
+      SELECT key, s, e,
+             SUM(nw) OVER (PARTITION BY key ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM fl
+    ),
+    m AS (
+      SELECT key, island, MIN(s) AS island_start, MAX(e) AS island_end
+      FROM isl GROUP BY key, island
+    ),
+    mx AS (SELECT key, MAX(island) AS mi FROM m GROUP BY key)
+    SELECT m.key, island_start, island_end,
+           island_end - island_start AS dur_ms
+    FROM m JOIN mx ON mx.key = m.key
+    WHERE m.island < mx.mi
+    """,
+)
+def stream_interval_coverage_replay(spark, sf_dir):
+    """STREAMING gaps-and-islands coverage oracle-gated: each event
+    opens a 30-minute activity window; the stateful operator
+    (streaming/ops.interval_coverage_stream) merges overlapping windows
+    across four ordered micro-batches — an island can open in one batch,
+    extend through the next, and close in a third — and every CLOSED
+    island must hash-match the batch islands computation minus each
+    key's final (never-closed) island. Integer epoch-ms arithmetic
+    end-to-end, so the match is exact, not approximate."""
+    from uts_spark.streaming.ops import interval_coverage_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts_ms").alias("s"),
+        (F.col("ts_ms") + F.lit(_COV_W)).alias("e"),
+        "event_id",
+    )
+    from pyspark.sql.window import Window
+
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(Window.orderBy("s", "event_id"))
+    ).withColumn(
+        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select("key", "s", "e", "event_id")
+            .coalesce(1)
+            .sortWithinPartitions("s", "event_id")
+        )
+
+    def build(stream):
+        return interval_coverage_stream(stream), "append"
+
+    return _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )

@@ -568,3 +568,67 @@ def kmv_distinct_stream(
         est.alias("kmv_est"),
         n_seen.alias("n_distinct_seen"),
     )
+
+
+_COV_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("island_start", LongType()),
+        StructField("island_end", LongType()),
+        StructField("dur_ms", LongType()),
+    ]
+)
+_COV_STATE = StructType(
+    [StructField("cs", LongType()), StructField("ce", LongType())]
+)
+
+
+def interval_coverage_stream(
+    df: DataFrame,
+    key_col: str = "key",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Streaming union-of-intervals coverage (the stateful face of
+    operators/timeseries.interval_coverage): per-key state is just the
+    OPEN island (start, running max end); an arriving interval either
+    extends it or closes it — a closed island emits immediately with
+    its span. Requires per-key arrival in start order (the batch
+    operator's sort; replay feeds it ordered). The final open island
+    stays in state — same divergence contract as the streaming
+    derivative, and the replay oracle simply excludes each key's last
+    island. Integer arithmetic end-to-end → hash-exact.
+
+    Scale: two longs of state per key, sharded by key; each batch
+    touches only the keys it contains."""
+
+    def step(key, pdfs, state: GroupState):
+        (k,) = key
+        cs, ce = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([start_col, end_col])
+            for s, e in zip(
+                pdf[start_col].astype("int64"), pdf[end_col].astype("int64")
+            ):
+                s, e = int(s), int(e)
+                if cs is None:
+                    cs, ce = s, e
+                elif s > ce:
+                    out.append((k, cs, ce, ce - cs))
+                    cs, ce = s, e
+                elif e > ce:
+                    ce = e
+        state.update((cs, ce))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "island_start", "island_end", "dur_ms"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=_COV_OUT,
+        stateStructType=_COV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
