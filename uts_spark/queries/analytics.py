@@ -3686,3 +3686,34 @@ def funnel_time_to_convert(spark, sf_dir):
         .crossJoin(F.broadcast(n_conv))
         .select("p", F.col("value").alias("ttc_ms"), "n_converted")
     )
+
+
+_SQL_SURFACE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS count_order
+    FROM {lineitem}
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_surface_pricing",
+    _SQL_SURFACE.format(lineitem="lineitem"),
+)
+def sql_surface_pricing(spark, sf_dir):
+    """The SQL-text API surface: the same engine drives plain
+    ``spark.sql`` strings over registered temp views — a user of the
+    reference can bring raw ANSI SQL instead of the DataFrame builder
+    and get the identical Catalyst plan (this query's text IS its own
+    oracle, modulo the view name). Registration goes through
+    sources.tables.register_views, which applies the same
+    nanosecond-timestamp and UTC-session handling as the DataFrame
+    path."""
+    from uts_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__sql_surface_lineitem"
+    )
+    return spark.sql(_SQL_SURFACE.format(lineitem="__sql_surface_lineitem"))
