@@ -589,3 +589,111 @@ def lttb_downsample(
         F.col("__k").alias(key_col), F.col("__t").alias(ts_col),
         F.col("__v").alias(value_col), "is_endpoint",
     )
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key: str,
+    ts_ms: str,
+    value: str,
+    alpha: float,
+    gamma: float,
+    order_col: str,
+) -> DataFrame:
+    """Holt double-exponential smoothing per series (level + trend):
+    l_1 = x_1, b_1 = 0;
+    l_n = alpha·x_n + (1−alpha)·(l_{n−1} + b_{n−1});
+    b_n = gamma·(l_n − l_{n−1}) + (1−gamma)·b_{n−1};
+    fitted one-step forecast = l_n + b_n. The trend-aware extension of
+    :func:`ewma` — EWMA lags any drifting series, Holt tracks it.
+
+    Same distributed shape and exactness argument as EWMA: the
+    recurrence is inherently sequential per series, so applyInPandas
+    folds each series in one Arrow batch after a single shuffle on the
+    key, with a FIXED multiply-add order that the oracle's recursive
+    CTE replays bit-for-bit."""
+    import pandas as pd
+
+    base = df.select(
+        F.col(key), F.col(ts_ms).alias("__t"), F.col(value).alias("__x"),
+        F.col(order_col).alias("__o"),
+    )
+    a = float(alpha)
+    ac = 1.0 - a
+    g = float(gamma)
+    gc = 1.0 - g
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", "__o"], kind="mergesort").reset_index(
+            drop=True
+        )
+        levels, trends = [], []
+        l = t = None
+        for x in pdf["__x"]:
+            x = float(x)
+            if l is None:
+                l, t = x, 0.0
+            else:
+                l_new = a * x + ac * (l + t)
+                t = g * (l_new - l) + gc * t
+                l = l_new
+            levels.append(l)
+            trends.append(t)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    schema = (
+        f"`{key}` {base.schema[key].dataType.simpleString()}, "
+        "__t long, __x double, __o long, level double, trend double"
+    )
+    out = base.groupBy(key).applyInPandas(fold, schema)
+    return out.select(
+        F.col(key),
+        F.col("__t").alias("ts_ms"),
+        F.col("__x").alias("value"),
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("fitted"),
+    )
+
+
+def duck_holt(
+    inner_sql: str, key: str, ts_expr: str, value_expr: str,
+    alpha: float, gamma: float, order_expr: str, out_key: str = "k",
+) -> str:
+    """DuckDB oracle for :func:`holt_smoothing`: the identical
+    recurrence as a recursive CTE. ``l_n`` is recomputed inside the
+    ``b_n`` expression with the same operation order — deterministic
+    IEEE doubles make the recomputation bit-identical to the fold's
+    stored value."""
+    a = float(alpha)
+    ac = 1.0 - a
+    g = float(gamma)
+    gc = 1.0 - g
+    # every literal cast to DOUBLE: DuckDB otherwise types 0.5 as
+    # DECIMAL and infers the recursive columns from the base case
+    A, AC = f"CAST({a!r} AS DOUBLE)", f"CAST({ac!r} AS DOUBLE)"
+    G, GC = f"CAST({g!r} AS DOUBLE)", f"CAST({gc!r} AS DOUBLE)"
+    ln = f"({A} * s.x + {AC} * (r.l + r.b))"
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT {key} AS k, {ts_expr} AS t,
+             CAST({value_expr} AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY {key}
+                                ORDER BY {ts_expr}, {order_expr}) AS rn
+      FROM ({inner_sql})
+    ),
+    rec AS (
+      SELECT k, rn, t, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.k, s.rn, s.t, s.x,
+             {ln} AS l,
+             {G} * ({ln} - r.l) + {GC} * r.b AS b
+      FROM rec r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1
+    )
+    SELECT k AS {out_key}, t AS ts_ms, x AS value, l AS level,
+           b AS trend, l + b AS fitted
+    FROM rec
+    """

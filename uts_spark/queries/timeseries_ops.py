@@ -808,3 +808,36 @@ def ts_seasonal_residual_outliers(spark, sf_dir):
             "is_outlier"
         ),
     )
+
+
+from uts_spark.operators.timeseries import duck_holt, holt_smoothing  # noqa: E402
+
+_HOLT_A, _HOLT_G = 0.5, 0.25  # dyadic: exact binary literals both engines
+
+
+@query(
+    "ts_holt_smoothing",
+    duck_holt(
+        f"SELECT user_id, {MS} AS ms, value, event_id FROM events",
+        "user_id",
+        "ms",
+        "value",
+        _HOLT_A,
+        _HOLT_G,
+        "event_id",
+        out_key="user_id",
+    ),
+)
+def ts_holt_smoothing(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend) per user
+    series — the forecasting-grade smoother EWMA can't be on drifting
+    data. Dyadic alpha/gamma (0.5, 0.25) are exact binary literals, the
+    multiply-add order is pinned, and the oracle replays the recurrence
+    as a recursive CTE — an inherently sequential algorithm, still
+    bit-exact across engines. One shuffle on the series key;
+    applyInPandas folds each series in a single Arrow batch
+    (operators/timeseries.holt_smoothing)."""
+    ev = table(spark, sf_dir, "events")
+    return holt_smoothing(
+        ev, "user_id", "ts_ms", "value", _HOLT_A, _HOLT_G, "event_id"
+    )
