@@ -697,3 +697,95 @@ def duck_holt(
            b AS trend, l + b AS fitted
     FROM rec
     """
+
+
+def capped_sessions(
+    df: DataFrame,
+    key: str,
+    ts_ms: str,
+    gap_ms: int,
+    cap_ms: int,
+    order_col: str,
+) -> DataFrame:
+    """Capped-duration sessionization: a new session starts when the
+    inactivity gap is reached — like native ``session_window`` — OR when
+    the running session would exceed ``cap_ms`` total duration (the
+    policy bound analytics stacks impose so one endless clickstream
+    can't form an unbounded session). The cap makes the split
+    DATA-DEPENDENTLY SEQUENTIAL (whether event n starts a session
+    depends on where the previous session started, which depends on
+    every earlier split), so no window expression computes it; the
+    honest distributed shape is one shuffle on the key + an
+    applyInPandas fold per series, and the oracle replays the identical
+    recurrence as a recursive CTE.
+
+    Returns every event with its (session_seq, session_start)."""
+    import pandas as pd
+
+    base = df.select(
+        F.col(key), F.col(ts_ms).alias("__t"), F.col(order_col).alias("__o")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", "__o"], kind="mergesort").reset_index(
+            drop=True
+        )
+        seqs, starts = [], []
+        seq = 0
+        start = prev = None
+        for t in pdf["__t"].astype("int64"):
+            t = int(t)
+            if start is None or t - prev >= gap_ms or t - start > cap_ms:
+                seq += 1
+                start = t
+            prev = t
+            seqs.append(seq)
+            starts.append(start)
+        pdf["session_seq"] = seqs
+        pdf["session_start"] = starts
+        return pdf
+
+    schema = (
+        f"`{key}` {base.schema[key].dataType.simpleString()}, "
+        "__t long, __o long, session_seq long, session_start long"
+    )
+    out = base.groupBy(key).applyInPandas(fold, schema)
+    return out.select(
+        F.col(key),
+        F.col("__t").alias("ts_ms"),
+        F.col("__o").alias("order_id"),
+        "session_seq",
+        "session_start",
+    )
+
+
+def duck_capped_sessions(
+    inner_sql: str, key: str, ts_expr: str, gap_ms: int, cap_ms: int,
+    order_expr: str, out_key: str = "k",
+) -> str:
+    """DuckDB oracle for :func:`capped_sessions`: the identical
+    sequential split as a recursive CTE over ranked rows."""
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT {key} AS k, {ts_expr} AS t, {order_expr} AS o,
+             ROW_NUMBER() OVER (PARTITION BY {key}
+                                ORDER BY {ts_expr}, {order_expr}) AS rn
+      FROM ({inner_sql})
+    ),
+    rec AS (
+      SELECT k, rn, t, o, CAST(1 AS BIGINT) AS session_seq, t AS session_start
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.k, s.rn, s.t, s.o,
+             CASE WHEN s.t - r.t >= {gap_ms}
+                    OR s.t - r.session_start > {cap_ms}
+                  THEN r.session_seq + 1 ELSE r.session_seq END,
+             CASE WHEN s.t - r.t >= {gap_ms}
+                    OR s.t - r.session_start > {cap_ms}
+                  THEN s.t ELSE r.session_start END
+      FROM rec r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1
+    )
+    SELECT k AS {out_key}, t AS ts_ms, o AS order_id,
+           session_seq, session_start
+    FROM rec
+    """

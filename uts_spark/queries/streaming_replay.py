@@ -554,3 +554,68 @@ def stream_interval_coverage_replay(spark, sf_dir):
         extra_feeds=[chunk(1), chunk(2), chunk(3)],
         ordered=True,
     )
+
+
+_SESS_GAP = 30 * 60 * 1000
+_SESS_CAP = 4 * 3_600_000
+
+
+from uts_spark.operators.timeseries import duck_capped_sessions  # noqa: E402
+
+
+@query(
+    "stream_capped_sessions_replay",
+    duck_capped_sessions(
+        f"SELECT CAST(user_id AS VARCHAR) AS key, {MS} AS ms, event_id "
+        "FROM events",
+        "key",
+        "ms",
+        _SESS_GAP,
+        _SESS_CAP,
+        "event_id",
+        out_key="key",
+    ),
+)
+def stream_capped_sessions_replay(spark, sf_dir):
+    """STREAMING capped-duration sessionization oracle-gated end to
+    end: the per-key three-long state machine
+    (streaming/ops.capped_session_stream) replayed over four ordered
+    micro-batches — sessions split on the 30-min gap OR the 4-h cap,
+    with state carrying across batches — and EVERY event's assignment
+    hash-matches the batch recursive-CTE oracle exactly (per-event
+    emission means no open-item divergence at all, unlike windowed
+    streaming aggregates). This is the operator the known-limitations
+    list said needed transformWithState: applyInPandasWithState
+    delivers it in this container."""
+    from uts_spark.streaming.ops import capped_session_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts_ms",
+        F.col("event_id").alias("order_id"),
+    )
+    from pyspark.sql.window import Window
+
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
+    ).withColumn(
+        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select("key", "ts_ms", "order_id")
+            .coalesce(1)
+            .sortWithinPartitions("ts_ms", "order_id")
+        )
+
+    def build(stream):
+        return capped_session_stream(stream, _SESS_GAP, _SESS_CAP), "append"
+
+    return _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )

@@ -841,3 +841,38 @@ def ts_holt_smoothing(spark, sf_dir):
     return holt_smoothing(
         ev, "user_id", "ts_ms", "value", _HOLT_A, _HOLT_G, "event_id"
     )
+
+
+from uts_spark.operators.timeseries import (  # noqa: E402
+    capped_sessions,
+    duck_capped_sessions,
+)
+
+_SESS_GAP = 30 * 60 * 1000   # 30-minute inactivity gap
+_SESS_CAP = 4 * HOUR         # 4-hour max session duration
+
+
+@query(
+    "ts_capped_sessions",
+    duck_capped_sessions(
+        f"SELECT user_id, {MS} AS ms, event_id FROM events",
+        "user_id",
+        "ms",
+        _SESS_GAP,
+        _SESS_CAP,
+        "event_id",
+        out_key="user_id",
+    ),
+)
+def ts_capped_sessions(spark, sf_dir):
+    """Capped-duration sessionization: 30-minute inactivity gap AND a
+    4-hour hard cap — the split native session_window cannot express
+    (whether an event opens a session depends on every earlier split,
+    a data-dependent recursion). One shuffle on user_id +
+    applyInPandas fold, recursive-CTE oracle
+    (operators/timeseries.capped_sessions); integer epoch-ms
+    arithmetic, hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    return capped_sessions(
+        ev, "user_id", "ts_ms", _SESS_GAP, _SESS_CAP, "event_id"
+    )

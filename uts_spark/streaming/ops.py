@@ -632,3 +632,71 @@ def interval_coverage_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CSESS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("order_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("session_start", LongType()),
+    ]
+)
+_CSESS_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("start", LongType()),
+        StructField("prev", LongType()),
+    ]
+)
+
+
+def capped_session_stream(
+    df: DataFrame,
+    gap_ms: int,
+    cap_ms: int,
+    key_col: str = "key",
+    time_col: str = "ts_ms",
+    order_col: str = "order_id",
+) -> DataFrame:
+    """Streaming capped-duration sessionization (the stateful face of
+    operators/timeseries.capped_sessions): per-key state is three longs
+    (session seq, session start, previous event time); every event
+    emits its assignment IMMEDIATELY — no finalization wait, so unlike
+    windowed aggs this stateful op has no open-item divergence at all;
+    the ordered replay hash-matches the batch fold row for row.
+    Requires per-key arrival in time order (same contract as the
+    streaming derivative)."""
+
+    def step(key, pdfs, state: GroupState):
+        (k,) = key
+        seq, start, prev = state.get if state.exists else (0, None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, order_col])
+            for t, o in zip(
+                pdf[time_col].astype("int64"), pdf[order_col].astype("int64")
+            ):
+                t, o = int(t), int(o)
+                if start is None or t - prev >= gap_ms or t - start > cap_ms:
+                    seq += 1
+                    start = t
+                prev = t
+                out.append((k, t, o, seq, start))
+        state.update((seq, start, prev))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "key", "ts_ms", "order_id", "session_seq", "session_start",
+                ],
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=_CSESS_OUT,
+        stateStructType=_CSESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
