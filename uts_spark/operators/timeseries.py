@@ -789,3 +789,120 @@ def duck_capped_sessions(
            session_seq, session_start
     FROM rec
     """
+
+
+def holt_winters(
+    df: DataFrame,
+    key: str,
+    step_col: str,
+    value_col: str,
+    season_len: int,
+    alpha: float,
+    beta: float,
+    delta: float,
+) -> DataFrame:
+    """Holt-Winters additive TRIPLE smoothing (level + trend + seasonal)
+    per series over a REGULAR step grid (resample/spine first — the
+    seasonal index s_{t−m} presumes equal spacing):
+    l_1 = y_1, b_1 = 0, seasonals start at 0;
+    l_t = α·(y_t − s_{t−m}) + (1−α)·(l + b);
+    b_t = β·(l_t − l_prev) + (1−β)·b;
+    s_t = δ·(y_t − l_t) + (1−δ)·s_{t−m}.
+    The recurrence carries a LENGTH-m SEASONAL RING in state — the
+    oracle replays it as a recursive CTE whose state column is a
+    shifting list, so even triple smoothing stays bit-exact across
+    engines (fixed multiply-add order, dyadic coefficients).
+
+    Distribution: one shuffle on the series key; each series folds in
+    one Arrow batch (state is m+2 doubles, independent of length)."""
+    import pandas as pd
+
+    base = df.select(
+        F.col(key), F.col(step_col).alias("__h"), F.col(value_col).alias("__y")
+    )
+    a, ac = float(alpha), 1.0 - float(alpha)
+    g, gc = float(beta), 1.0 - float(beta)
+    d, dc = float(delta), 1.0 - float(delta)
+    m = int(season_len)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__h").reset_index(drop=True)
+        ring = [0.0] * m
+        levels, trends, seasonals = [], [], []
+        l = b = None
+        for y in pdf["__y"]:
+            y = float(y)
+            sm = ring[0]
+            if l is None:
+                l, b = y, 0.0
+                sn = d * (y - l) + dc * sm
+            else:
+                l_new = a * (y - sm) + ac * (l + b)
+                b = g * (l_new - l) + gc * b
+                sn = d * (y - l_new) + dc * sm
+                l = l_new
+            ring = ring[1:] + [sn]
+            levels.append(l)
+            trends.append(b)
+            seasonals.append(sn)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["seasonal"] = seasonals
+        return pdf
+
+    schema = (
+        f"`{key}` {base.schema[key].dataType.simpleString()}, "
+        "__h long, __y double, level double, trend double, seasonal double"
+    )
+    out = base.groupBy(key).applyInPandas(fold, schema)
+    return out.select(
+        F.col(key),
+        F.col("__h").alias("step"),
+        F.col("__y").alias("value"),
+        "level",
+        "trend",
+        "seasonal",
+    )
+
+
+def duck_holt_winters(
+    inner_sql: str, key: str, step_expr: str, value_expr: str,
+    season_len: int, alpha: float, beta: float, delta: float,
+    out_key: str = "k",
+) -> str:
+    """DuckDB oracle for :func:`holt_winters`: recursive CTE whose state
+    carries the m-slot seasonal ring as a shifting DOUBLE list."""
+    a, ac = float(alpha), 1.0 - float(alpha)
+    g, gc = float(beta), 1.0 - float(beta)
+    d, dc = float(delta), 1.0 - float(delta)
+    m = int(season_len)
+    A, AC = f"CAST({a!r} AS DOUBLE)", f"CAST({ac!r} AS DOUBLE)"
+    G, GC = f"CAST({g!r} AS DOUBLE)", f"CAST({gc!r} AS DOUBLE)"
+    D, DC = f"CAST({d!r} AS DOUBLE)", f"CAST({dc!r} AS DOUBLE)"
+    zeros = "[" + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(m)) + "]"
+    ln = f"({A} * (s.y - r.sl[1]) + {AC} * (r.l + r.b))"
+    sn = f"({D} * (s.y - {ln}) + {DC} * r.sl[1])"
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT {key} AS k, {step_expr} AS h,
+             CAST({value_expr} AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY {key}
+                                ORDER BY {step_expr}) AS rn
+      FROM ({inner_sql})
+    ),
+    rec AS (
+      SELECT k, rn, h, y, y AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(0.0 AS DOUBLE) AS seasonal, {zeros} AS sl
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.k, s.rn, s.h, s.y,
+             {ln} AS l,
+             {G} * ({ln} - r.l) + {GC} * r.b AS b,
+             {sn} AS seasonal,
+             list_append(r.sl[2:], {sn}) AS sl
+      FROM rec r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1
+    )
+    SELECT k AS {out_key}, h AS step, y AS value, l AS level,
+           b AS trend, seasonal
+    FROM rec
+    """

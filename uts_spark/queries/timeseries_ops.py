@@ -876,3 +876,72 @@ def ts_capped_sessions(spark, sf_dir):
     return capped_sessions(
         ev, "user_id", "ts_ms", _SESS_GAP, _SESS_CAP, "event_id"
     )
+
+
+from uts_spark.operators.timeseries import (  # noqa: E402
+    duck_holt_winters,
+    holt_winters,
+)
+
+_HW_M = 24  # hour-of-day season
+
+
+def _duck_hw() -> str:
+    series = f"""
+      WITH b AS (SELECT MIN({MS}) // {HOUR} AS h0, MAX({MS}) // {HOUR} AS h1
+                 FROM events),
+      spine AS (
+        SELECT t.event_type, unnest(generate_series(b.h0, b.h1, 1)) AS h
+        FROM b, (SELECT DISTINCT event_type FROM events) t
+      ),
+      cnt AS (
+        SELECT event_type, {MS} // {HOUR} AS h, COUNT(*) AS n
+        FROM events GROUP BY event_type, {MS} // {HOUR}
+      )
+      SELECT spine.event_type, spine.h * {HOUR} AS hr_ms,
+             CAST(COALESCE(cnt.n, 0) AS DOUBLE) AS y
+      FROM spine LEFT JOIN cnt
+        ON cnt.event_type = spine.event_type AND cnt.h = spine.h
+    """
+    inner = duck_holt_winters(
+        series, "event_type", "hr_ms", "y", _HW_M, 0.5, 0.25, 0.25,
+        out_key="event_type",
+    )
+    return (
+        "SELECT event_type, step AS hr_ms, value, level, trend, seasonal "
+        f"FROM ({inner})"
+    )
+
+
+@query("ts_holt_winters_hourly", _duck_hw())
+def ts_holt_winters_hourly(spark, sf_dir):
+    """Holt-Winters triple smoothing over the regularized hourly event
+    count per type (zero-filled spine makes the grid contiguous — the
+    precondition for the s_{t−m} seasonal index), season = 24 hours.
+    Level, trend, and the hour-of-day seasonal component, bit-exact
+    against a recursive-CTE oracle whose state carries the 24-slot
+    seasonal ring as a shifting list — the strongest instance of the
+    'inherently sequential yet hash-exact' family (EWMA → Holt →
+    Holt-Winters). See operators/timeseries.holt_winters."""
+    ev = table(spark, sf_dir, "events")
+    h = F.expr(f"ts_ms div {HOUR}")
+    cnt = ev.groupBy("event_type", h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = ev.agg(
+        F.expr(f"min(ts_ms) div {HOUR}").alias("h0"),
+        F.expr(f"max(ts_ms) div {HOUR}").alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.lit(1))).alias("h"),
+    )
+    series = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type",
+        (F.col("h") * HOUR).alias("hr_ms"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("y"),
+    )
+    return holt_winters(
+        series, "event_type", "hr_ms", "y", _HW_M, 0.5, 0.25, 0.25
+    ).withColumnRenamed("step", "hr_ms")
