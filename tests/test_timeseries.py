@@ -240,3 +240,43 @@ def test_lttb_single_point_series(spark):
     out = lttb_downsample(df, "k", "t", "v", "o", bucket_ms=1000).collect()
     # one row: the point is simultaneously first and last
     assert len(out) == 1 and out[0]["is_endpoint"]
+
+
+def test_capped_sessions_cap_splits_dense_stream(spark):
+    """The 4h cap must split a continuously-active stream that never
+    hits the inactivity gap (the branch the sparse events data may not
+    exercise), and the split is where the cap is EXCEEDED."""
+    from uts_spark.operators.timeseries import capped_sessions
+
+    MIN = 60_000
+    # events every 10 minutes for 10 hours: gap (30 min) never fires
+    rows = [(1, i * 10 * MIN, i) for i in range(61)]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_id long")
+    out = capped_sessions(
+        df, "user_id", "ts_ms", gap_ms=30 * MIN, cap_ms=4 * 60 * MIN,
+        order_col="event_id",
+    ).orderBy("ts_ms").collect()
+    seqs = [r.session_seq for r in out]
+    # t=0..240min in session 1 (cap INclusive at exactly 4h), split at
+    # 250min, then again 4h later
+    assert seqs[0] == 1 and seqs[24] == 1  # 240 min: t - start == cap
+    assert seqs[25] == 2                   # 250 min: cap exceeded
+    assert max(seqs) == 3                  # one more split before 10h
+    starts = {r.session_seq: r.session_start for r in out}
+    assert starts[2] == 25 * 10 * MIN
+
+
+def test_capped_sessions_gap_and_cap_interact(spark):
+    from uts_spark.operators.timeseries import capped_sessions
+
+    MIN = 60_000
+    # a gap resets the cap clock: 3h of activity, 40-min silence,
+    # then 3h more — two sessions, no cap split
+    rows = [(1, i * 10 * MIN, i) for i in range(19)]          # 0..180min
+    rows += [(1, 220 * MIN + i * 10 * MIN, 100 + i) for i in range(19)]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_id long")
+    out = capped_sessions(
+        df, "user_id", "ts_ms", gap_ms=30 * MIN, cap_ms=4 * 60 * MIN,
+        order_col="event_id",
+    ).collect()
+    assert max(r.session_seq for r in out) == 2

@@ -619,3 +619,64 @@ def stream_capped_sessions_replay(spark, sf_dir):
         extra_feeds=[chunk(1), chunk(2), chunk(3)],
         ordered=True,
     )
+
+
+from uts_spark.operators.timeseries import duck_ewma  # noqa: E402
+
+_EWMA_A = 0.25  # dyadic
+
+
+@query(
+    "stream_ewma_replay",
+    duck_ewma(
+        f"SELECT CAST(user_id AS VARCHAR) AS key, {MS} AS ms, value, event_id "
+        "FROM events",
+        "key",
+        "ms",
+        "value",
+        _EWMA_A,
+        "event_id",
+    ),
+)
+def stream_ewma_replay(spark, sf_dir):
+    """STREAMING EWMA oracle-gated: one double of per-key state
+    (streaming/ops.ewma_stream) replayed over four ordered
+    micro-batches; every emitted smoothed value must hash-match the
+    batch fold and its recursive-CTE oracle bit-for-bit (identical
+    multiply-add order, per-event emission, so no open-item
+    divergence). Completes the sequential-smoother family's streaming
+    story alongside the derivative, coverage, and capped-session
+    replays."""
+    from uts_spark.streaming.ops import ewma_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts_ms",
+        "value",
+        F.col("event_id").alias("order_id"),
+    )
+    from pyspark.sql.window import Window
+
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
+    ).withColumn(
+        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select("key", "ts_ms", "value", "order_id")
+            .coalesce(1)
+            .sortWithinPartitions("ts_ms", "order_id")
+        )
+
+    def build(stream):
+        return ewma_stream(stream, _EWMA_A), "append"
+
+    return _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )

@@ -700,3 +700,56 @@ def capped_session_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EWMA_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+_EWMA_STATE = StructType([StructField("y", DoubleType())])
+
+
+def ewma_stream(
+    df: DataFrame,
+    alpha: float,
+    key_col: str = "key",
+    time_col: str = "ts_ms",
+    value_col: str = "value",
+    order_col: str = "order_id",
+) -> DataFrame:
+    """Streaming EWMA (the stateful face of operators/timeseries.ewma):
+    one double of state per key, the identical multiply-add order as
+    the batch fold, per-event emission — the ordered replay
+    hash-matches the batch operator exactly. The smoothing primitive
+    for live dashboards where the batch recompute would re-read the
+    whole history every refresh."""
+    a = float(alpha)
+    b = 1.0 - a
+
+    def step(key, pdfs, state: GroupState):
+        (k,) = key
+        (y,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, order_col])
+            for t, x in zip(
+                pdf[time_col].astype("int64"), pdf[value_col]
+            ):
+                x = float(x)
+                y = x if y is None else a * x + b * y
+                out.append((k, int(t), x, y))
+        state.update((y,))
+        if out:
+            yield pd.DataFrame(out, columns=["key", "ts_ms", "value", "ewma"])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
