@@ -120,4 +120,5 @@ HEADLINE = [n for n in (
     "text_line_dedup",
     "ts_mad_anomaly",
     "events_pattern_match",
+    "ts_holt_winters_hourly",
 ) if n in QUERIES]
