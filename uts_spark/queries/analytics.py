@@ -3717,3 +3717,173 @@ def sql_surface_pricing(spark, sf_dir):
         "__sql_surface_lineitem"
     )
     return spark.sql(_SQL_SURFACE.format(lineitem="__sql_surface_lineitem"))
+
+
+@query(
+    "ts_theilsen_trend",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, {MS} AS t, value AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    slopes AS (
+      SELECT a.user_id,
+             (b.v - a.v) / ((b.t - a.t) / 3600000.0) AS slope,
+             a.event_id AS i, b.event_id AS j
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.t < b.t
+    ),
+    r AS (
+      SELECT user_id, slope,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY slope, i, j) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM slopes
+    )
+    SELECT user_id, slope AS theilsen_slope_per_h,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM r WHERE rn = GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1)
+    """,
+)
+def ts_theilsen_trend(spark, sf_dir):
+    """Theil–Sen robust trend per series: the DISCRETE median of all
+    pairwise slopes (value change per hour) — up to ~29% contamination
+    leaves the estimate untouched, where the OLS slope
+    (ts_linear_trend) chases every outlier. Discrete median pick with
+    an (i, j) tie-break keeps it hash-exact; the slope divisions are
+    single IEEE ops identical on both engines.
+
+    Scale: the pairwise self-join is O(n_k²) per series — fine for
+    per-entity series (tens to hundreds of points), and the classic
+    subsample fallback (repeated-median on a hash-sampled pair subset)
+    drops in when a series outgrows that; the join shuffles once on
+    the series key either way."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("user_id", "event_id", F.col("ts_ms").alias("t"), F.col("value").alias("v"))
+    )
+    a = ev.select("user_id", F.col("event_id").alias("i"), F.col("t").alias("ta"), F.col("v").alias("va"))
+    b = ev.select("user_id", F.col("event_id").alias("j"), F.col("t").alias("tb"), F.col("v").alias("vb"))
+    slopes = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            "user_id",
+            ((F.col("vb") - F.col("va")) / ((F.col("tb") - F.col("ta")) / 3600000.0)).alias("slope"),
+            "i",
+            "j",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("slope", "i", "j")
+    wn = Window.partitionBy("user_id")
+    r = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") == F.greatest(F.ceil(F.lit(0.5) * F.col("n")), F.lit(1))
+    ).select(
+        "user_id",
+        F.col("slope").alias("theilsen_slope_per_h"),
+        F.col("n").cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "stats_trimmed_mean",
+    f"""
+    WITH e AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    kept AS (
+      SELECT * FROM r
+      WHERE rn > CAST(floor(0.05 * n) AS BIGINT)
+        AND rn <= n - CAST(floor(0.05 * n) AS BIGINT)
+    )
+    SELECT event_type,
+           {DSUM('value')} / COUNT(value) AS trimmed_mean,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY event_type
+    """,
+)
+def stats_trimmed_mean(spark, sf_dir):
+    """5% two-sided trimmed mean per group: drop the floor(0.05·n)
+    smallest and largest ranked values, then a decimal-exact mean of
+    the rest — the robust location estimate between the mean (breaks
+    on any outlier) and the median (discards 100% of magnitude
+    information). Rank bounds are integers, the trimmed sum is
+    decimal-stable → hash-exact.
+
+    Scale: one shuffle on the group key; the rank pass and the final
+    aggregation share it."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut = F.floor(0.05 * F.col("n"))
+    kept = r.filter((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy("event_type").agg(
+        (_lsum(F.col("value")) / F.count("value")).alias("trimmed_mean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+@query(
+    "stats_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit),
+    t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT digit, cnt,
+           CAST(cnt AS DOUBLE) / total AS observed,
+           ln(1.0 + 1.0 / digit) / ln(10.0) AS benford_expected
+    FROM c, t
+    """,
+)
+def stats_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit shares next to the log10(1 + 1/d) expectation — the
+    classic fraud/data-quality screen for naturally-occurring amounts
+    (fabricated numbers flunk it). Digit extraction goes through an
+    explicit floor (DuckDB's double→BIGINT cast ROUNDS, Spark's
+    truncates — floor is the one they share); the expectation
+    is the same two-log expression on each side.
+
+    Scale: a 9-row hash aggregation over a pure projection — runs at
+    any corpus size for the cost of a scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total")).alias("observed"),
+        (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias(
+            "benford_expected"
+        ),
+    )

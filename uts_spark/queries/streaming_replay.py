@@ -680,3 +680,67 @@ def stream_ewma_replay(spark, sf_dir):
         extra_feeds=[chunk(1), chunk(2), chunk(3)],
         ordered=True,
     )
+
+
+@query(
+    "stream_counter_rate_replay",
+    f"""
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, {MS} AS ts_ms, value, event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT *,
+             lag(value) OVER (PARTITION BY key ORDER BY ts_ms, event_id) AS pv,
+             lag(ts_ms) OVER (PARTITION BY key ORDER BY ts_ms, event_id) AS pt
+      FROM e
+    )
+    SELECT key, ts_ms, value,
+           (CASE WHEN value >= pv THEN value - pv ELSE value END)
+             / ((ts_ms - pt) / 1000.0) AS rate_per_s
+    FROM w WHERE pv IS NOT NULL
+    """,
+)
+def stream_counter_rate_replay(spark, sf_dir):
+    """STREAMING reset-aware counter rate oracle-gated: per-key
+    (prev time, prev value) state across four ordered micro-batches,
+    per-event emission (no finalization divergence), identical
+    delta/((t−pt)/1000) arithmetic — hash-matches the batch lag-window
+    formulation exactly."""
+    from uts_spark.streaming.ops import counter_rate_stream
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            "ts_ms",
+            "value",
+            F.col("event_id").alias("order_id"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
+    ).withColumn(
+        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select("key", "ts_ms", "value", "order_id")
+            .coalesce(1)
+            .sortWithinPartitions("ts_ms", "order_id")
+        )
+
+    def build(stream):
+        return counter_rate_stream(stream), "append"
+
+    return _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )

@@ -753,3 +753,60 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_RATE_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("value", DoubleType()),
+        StructField("rate_per_s", DoubleType()),
+    ]
+)
+_RATE_STATE = StructType(
+    [StructField("pt", LongType()), StructField("pv", DoubleType())]
+)
+
+
+def counter_rate_stream(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts_ms",
+    value_col: str = "value",
+    order_col: str = "order_id",
+) -> DataFrame:
+    """Streaming reset-aware counter rate (the stateful face of
+    operators/timeseries.counter_rate): state is the previous (time,
+    value) pair per key; every subsequent event emits its per-second
+    rate immediately, with a counter reset (value drop) treated as the
+    new value being the whole increase — Prometheus ``rate`` semantics,
+    live. Per-event emission, identical arithmetic order to the batch
+    window expression → ordered replay hash-matches it exactly."""
+
+    def step(key, pdfs, state: GroupState):
+        (k,) = key
+        pt, pv = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, order_col])
+            for t, v in zip(
+                pdf[time_col].astype("int64"), pdf[value_col]
+            ):
+                t, v = int(t), float(v)
+                if pt is not None:
+                    delta = v - pv if v >= pv else v
+                    out.append((k, t, v, delta / ((t - pt) / 1000.0)))
+                pt, pv = t, v
+        state.update((pt, pv))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "ts_ms", "value", "rate_per_s"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=_RATE_OUT,
+        stateStructType=_RATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
