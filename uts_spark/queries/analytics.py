@@ -3887,3 +3887,194 @@ def stats_benford_digits(spark, sf_dir):
             "benford_expected"
         ),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, {MS} AS t, value AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+    ),
+    s AS (
+      SELECT user_id, SUM(sgn) AS s_stat, COUNT(*) AS n_pairs FROM pairs
+      GROUP BY user_id
+    ),
+    n AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY user_id),
+    ties AS (
+      SELECT user_id, SUM(c * (c - 1) * (2 * c + 5)) AS tie_term
+      FROM (SELECT user_id, v, COUNT(*) AS c FROM e GROUP BY user_id, v)
+      GROUP BY user_id
+    )
+    SELECT s.user_id, CAST(s.s_stat AS BIGINT) AS s_stat,
+           CAST(n.n AS BIGINT) AS n,
+           (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0 AS var_s,
+           CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                  / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0)
+                WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                  / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0)
+                ELSE 0.0 END AS z
+    FROM s JOIN n USING (user_id) JOIN ties USING (user_id)
+    """,
+)
+def ts_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotonic-trend test per series: S = Σ sign(v_j −
+    v_i) over time-ordered pairs (an INTEGER statistic — hash-exact by
+    construction), the tie-corrected variance, and the
+    continuity-corrected z — the non-parametric companion to Theil–Sen
+    (that one estimates the slope, this one tests whether a trend
+    exists at all). Same O(n²)-per-series pair join shape; the
+    subsample fallback applies identically at scale."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select("user_id", "event_id", F.col("ts_ms").alias("t"), F.col("value").alias("v"))
+    )
+    a = ev.select("user_id", F.col("event_id").alias("i"), F.col("t").alias("ta"), F.col("v").alias("va"))
+    b = ev.select("user_id", F.col("event_id").alias("j"), F.col("t").alias("tb"), F.col("v").alias("vb"))
+    sgn = (
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("ta") < F.col("tb"))
+            | ((F.col("ta") == F.col("tb")) & (F.col("i") < F.col("j")))
+        )
+        .groupBy("user_id")
+        .agg(F.sum(sgn).alias("s_stat"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+    n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        ev.groupBy("user_id", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(n, "user_id")
+        .join(ties, "user_id")
+        .select(
+            "user_id",
+            F.col("s_stat").cast("long").alias("s_stat"),
+            F.col("n").cast("long").alias("n"),
+            var_s.alias("var_s"),
+            z.alias("z"),
+        )
+    )
+
+
+@query(
+    "stats_ks_two_sample",
+    f"""
+    WITH e AS (
+      SELECT value, event_type = 'purchase' AS g1 FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    n AS (
+      SELECT SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS n2
+      FROM e
+    ),
+    cum AS (
+      SELECT value,
+             SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS c2
+      FROM e GROUP BY value
+    ),
+    ecdf AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS f2
+      FROM cum
+    ),
+    d AS (
+      SELECT value,
+             abs(CAST(f1 AS DOUBLE) / n.n1 - CAST(f2 AS DOUBLE) / n.n2) AS diff
+      FROM ecdf, n
+    )
+    SELECT (SELECT MAX(diff) FROM d) AS ks_d,
+           (SELECT MIN(value) FROM d
+            WHERE diff = (SELECT MAX(diff) FROM d)) AS at_value,
+           (SELECT n1 FROM n) AS n1,
+           (SELECT n2 FROM n) AS n2
+    """,
+)
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic: the maximum gap between
+    the purchase and click value ECDFs, evaluated exactly at every
+    distinct value (counts collapse per value first so ties are handled
+    at the step level, not per row) — the distribution-drift test
+    monitoring pipelines run between cohorts or time slices. The D
+    statistic is a ratio of integers (one deterministic division per
+    side), the argmax value is tie-broken to the minimum — hash-exact.
+
+    Scale: one value-level aggregation, one cumulative window over the
+    DISTINCT values (far smaller than the rows), a broadcast of the
+    two counts."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .select("value", (F.col("event_type") == "purchase").alias("g1"))
+    )
+    n = ev.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("n2"),
+    )
+    cum = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = cum.select(
+        "value",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    d = ecdf.crossJoin(F.broadcast(n)).select(
+        "value",
+        F.abs(
+            F.col("f1").cast("double") / F.col("n1")
+            - F.col("f2").cast("double") / F.col("n2")
+        ).alias("diff"),
+        "n1",
+        "n2",
+    )
+    mx = d.agg(F.max("diff").alias("ks_d"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("diff") == F.col("ks_d"))
+        .groupBy("ks_d")
+        .agg(
+            F.min("value").alias("at_value"),
+            F.min("n1").cast("long").alias("n1"),
+            F.min("n2").cast("long").alias("n2"),
+        )
+        .select("ks_d", "at_value", "n1", "n2")
+    )
