@@ -906,3 +906,81 @@ def duck_holt_winters(
            b AS trend, seasonal
     FROM rec
     """
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key: str,
+    ts_ms: str,
+    delta_col: str,
+    order_col: str,
+    floor_value: float = 0.0,
+) -> DataFrame:
+    """Running balance with a floor clamp: balance_t = max(floor,
+    balance_{t−1} + delta_t) — inventory that cannot go negative,
+    prepaid credit that cannot overdraw, battery charge. The clamp
+    makes the recurrence DATA-DEPENDENT (a window cumsum cannot know
+    where past clamps absorbed deficit), so like the capped-session
+    split it runs as one applyInPandas fold per key against a
+    recursive-CTE oracle with pinned arithmetic order."""
+    import pandas as pd
+
+    base = df.select(
+        F.col(key), F.col(ts_ms).alias("__t"), F.col(delta_col).alias("__d"),
+        F.col(order_col).alias("__o"),
+    )
+    fv = float(floor_value)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__t", "__o"], kind="mergesort").reset_index(
+            drop=True
+        )
+        bal = fv
+        out = []
+        for d in pdf["__d"]:
+            bal = bal + float(d)
+            if bal < fv:
+                bal = fv
+            out.append(bal)
+        pdf["balance"] = out
+        return pdf
+
+    schema = (
+        f"`{key}` {base.schema[key].dataType.simpleString()}, "
+        "__t long, __d double, __o long, balance double"
+    )
+    out = base.groupBy(key).applyInPandas(fold, schema)
+    return out.select(
+        F.col(key),
+        F.col("__t").alias("ts_ms"),
+        F.col("__d").alias("delta"),
+        F.col("__o").alias("order_id"),
+        "balance",
+    )
+
+
+def duck_clamped_balance(
+    inner_sql: str, key: str, ts_expr: str, delta_expr: str,
+    order_expr: str, floor_value: float = 0.0, out_key: str = "k",
+) -> str:
+    fv = f"CAST({float(floor_value)!r} AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT {key} AS k, {ts_expr} AS t,
+             CAST({delta_expr} AS DOUBLE) AS d, {order_expr} AS o,
+             ROW_NUMBER() OVER (PARTITION BY {key}
+                                ORDER BY {ts_expr}, {order_expr}) AS rn
+      FROM ({inner_sql})
+    ),
+    rec AS (
+      SELECT k, rn, t, d, o,
+             GREATEST({fv} + d, {fv}) AS balance
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.k, s.rn, s.t, s.d, s.o,
+             GREATEST(r.balance + s.d, {fv})
+      FROM rec r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1
+    )
+    SELECT k AS {out_key}, t AS ts_ms, d AS delta, o AS order_id, balance
+    FROM rec
+    """

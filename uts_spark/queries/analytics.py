@@ -4078,3 +4078,147 @@ def stats_ks_two_sample(spark, sf_dir):
         )
         .select("ks_d", "at_value", "n1", "n2")
     )
+
+
+@query(
+    "stats_spearman_corr",
+    f"""
+    WITH e AS (
+      SELECT event_type, {MS} AS t, value FROM events WHERE value IS NOT NULL
+    ),
+    -- tie-averaged (fractional) value ranks, exact as k/2 rationals:
+    -- the avg rank of a tie group = (min_rn + max_rn) / 2
+    per_row AS (
+      SELECT event_type, t, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, t) AS rn_v
+      FROM e
+    ),
+    vgroups AS (
+      SELECT event_type, value,
+             (CAST(MIN(rn_v) AS DOUBLE) + MAX(rn_v)) / 2.0 AS rv
+      FROM per_row GROUP BY event_type, value
+    ),
+    ranked AS (
+      SELECT p.event_type, p.t, g.rv,
+             ROW_NUMBER() OVER (PARTITION BY p.event_type
+                                ORDER BY p.t, p.value) AS rt
+      FROM per_row p JOIN vgroups g
+        ON g.event_type = p.event_type AND g.value = p.value
+    ),
+    mom AS (
+      SELECT event_type, COUNT(*) AS n,
+             {DSUM('rv')} AS s1, {DSUM('rv * rv')} AS s2,
+             {DSUM('CAST(rt AS DOUBLE)')} AS sy,
+             {DSUM('CAST(rt AS DOUBLE) * rt')} AS sy2,
+             {DSUM('rv * rt')} AS sxy
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           (sxy - s1 * sy / n)
+             / (sqrt(s2 - s1 * s1 / n) * sqrt(sy2 - sy * sy / n)) AS spearman
+    FROM mom
+    """,
+)
+def stats_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (value vs time, per event type):
+    Pearson over TIE-AVERAGED ranks — value ties share the exact
+    (min+max)/2 fractional rank (a k/2 rational, exactly representable),
+    time ranks are unique by the (t, value) tie-break. Rank moments sum
+    through decimal, so the monotone-association coefficient is
+    bit-stable like the Pearson pack (stats_moments_by_type).
+
+    Scale: two rank windows + one join back on the value group + one
+    moment aggregation — all on the same event_type partitioning."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("ts_ms").alias("t"), "value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "t")
+    per_row = ev.withColumn("rn_v", F.row_number().over(wv))
+    vgroups = per_row.groupBy("event_type", "value").agg(
+        ((F.min("rn_v").cast("double") + F.max("rn_v")) / 2.0).alias("rv")
+    )
+    wt = Window.partitionBy("event_type").orderBy("t", "value")
+    ranked = (
+        per_row.join(vgroups, ["event_type", "value"])
+        .withColumn("rt", F.row_number().over(wt))
+        .select("event_type", "rv", F.col("rt").cast("double").alias("rt"))
+    )
+    mom = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _lsum(F.col("rv")).alias("s1"),
+        _dsum(F.col("rv") * F.col("rv")).alias("s2"),
+        _lsum(F.col("rt")).alias("sy"),
+        _dsum(F.col("rt") * F.col("rt")).alias("sy2"),
+        _dsum(F.col("rv") * F.col("rt")).alias("sxy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    return mom.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        (
+            (sxy - s1 * sy / n)
+            / (F.sqrt(s2 - s1 * s1 / n) * F.sqrt(sy2 - sy * sy / n))
+        ).alias("spearman"),
+    )
+
+
+@query(
+    "sessions_bounce_rate_daily",
+    f"""
+    WITH e AS (SELECT user_id, {MS} AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT user_id, sid, MIN(t) AS session_start, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT (session_start // {DAY}) * {DAY} AS day_ms,
+           COUNT(*) AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM sess GROUP BY (session_start // {DAY}) * {DAY}
+    """,
+)
+def sessions_bounce_rate_daily(spark, sf_dir):
+    """Daily bounce rate: sessions (30-min gap) rolled up by their
+    start day, with the share that contained exactly one event — the
+    engagement KPI every web-analytics stack computes, here as a
+    composition of native session_window sessionization with a plain
+    daily aggregation (sessions attribute to their START day, the
+    standard convention).
+
+    Scale: session_window's single user_id shuffle, then a tiny
+    per-day aggregation; the bounce flag is a per-session expression."""
+    ev = table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.min("ts_ms").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        sess.groupBy(
+            ((F.col("session_start") / DAY).cast("long") * DAY).alias("day_ms")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).alias("n_bounces"),
+            (F.sum(bounce).cast("double") / F.count(F.lit(1))).alias(
+                "bounce_rate"
+            ),
+        )
+    )

@@ -945,3 +945,40 @@ def ts_holt_winters_hourly(spark, sf_dir):
     return holt_winters(
         series, "event_type", "hr_ms", "y", _HW_M, 0.5, 0.25, 0.25
     ).withColumnRenamed("step", "hr_ms")
+
+
+from uts_spark.operators.timeseries import (  # noqa: E402
+    clamped_running_balance,
+    duck_clamped_balance,
+)
+
+
+@query(
+    "ts_clamped_balance",
+    duck_clamped_balance(
+        f"SELECT user_id, {MS} AS ms, value - 55.0 AS d, event_id FROM events "
+        "WHERE value IS NOT NULL",
+        "user_id",
+        "ms",
+        "d",
+        "event_id",
+        out_key="user_id",
+    ),
+)
+def ts_clamped_balance(spark, sf_dir):
+    """Floor-clamped running balance per user (deltas = value − 55, so
+    the stream drains and refills around the clamp): balance can never
+    go below zero, and a window cumsum CANNOT express that — every
+    clamp absorbs deficit that changes all later balances. One
+    applyInPandas fold per key, recursive-CTE oracle with identical
+    add-then-clamp order (operators/timeseries.clamped_running_balance)
+    — the inventory/credit/battery member of the sequential-exact
+    family."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "ts_ms", (F.col("value") - 55.0).alias("d"), "event_id"
+        )
+    )
+    return clamped_running_balance(ev, "user_id", "ts_ms", "d", "event_id")
