@@ -4222,3 +4222,188 @@ def sessions_bounce_rate_daily(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "cohort_ltv_curves",
+    f"""
+    WITH first_seen AS (
+      SELECT user_id, (MIN({MS}) // {7 * DAY}) * {7 * DAY} AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id, f.cohort_wk,
+             (({MS}) - f.cohort_wk) // {7 * DAY} AS age_wk,
+             e.value
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    ),
+    wk AS (
+      SELECT cohort_wk, age_wk, {DSUM('value')} AS wk_rev
+      FROM rev GROUP BY cohort_wk, age_wk
+    ),
+    size AS (SELECT cohort_wk, COUNT(*) AS cohort_users FROM first_seen GROUP BY cohort_wk)
+    SELECT w.cohort_wk, w.age_wk, s.cohort_users,
+           CAST(SUM(CAST(w.wk_rev AS DECIMAL(38,6)))
+                OVER (PARTITION BY w.cohort_wk ORDER BY w.age_wk
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue,
+           CAST(SUM(CAST(w.wk_rev AS DECIMAL(38,6)))
+                OVER (PARTITION BY w.cohort_wk ORDER BY w.age_wk
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / s.cohort_users AS ltv_per_user
+    FROM wk w JOIN size s ON s.cohort_wk = w.cohort_wk
+    """,
+)
+def cohort_ltv_curves(spark, sf_dir):
+    """Cohort LTV curves: users grouped by first-seen week, purchase
+    revenue accumulated by weeks-since-signup — cumulative revenue and
+    LTV-per-user per (cohort, age) cell, the curve marketing uses to
+    compare acquisition vintages (the revenue-weighted sibling of
+    cohort_retention_weekly). Cumulative sums run in decimal over the
+    tiny cohort x age aggregate, so the curve is bit-stable.
+
+    Scale: first-touch collapse (one shuffle on user), revenue join
+    back on user, one (cohort, age) aggregation; the running sum rides
+    on cohorts x weeks rows, never events."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        (F.expr(f"min(ts_ms) div {7 * DAY}") * (7 * DAY)).alias("cohort_wk")
+    )
+    rev = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_wk",
+            F.expr(f"(ts_ms - cohort_wk) div {7 * DAY}").alias("age_wk"),
+            "value",
+        )
+    )
+    wk = rev.groupBy("cohort_wk", "age_wk").agg(_lsum(F.col("value")).alias("wk_rev"))
+    size = first_seen.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col("wk_rev").cast(DEC)).over(w).cast("double")
+    return wk.join(F.broadcast(size), "cohort_wk").select(
+        "cohort_wk",
+        "age_wk",
+        "cohort_users",
+        cum.alias("cum_revenue"),
+        (cum / F.col("cohort_users")).alias("ltv_per_user"),
+    )
+
+
+@query(
+    "events_transition_matrix",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, {MS} AS t, event_id FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) AS to_type
+      FROM e
+    ),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS cnt
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, SUM(cnt) AS row_total FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.cnt,
+           CAST(c.cnt AS DOUBLE) / t.row_total AS p
+    FROM c JOIN tot t ON t.from_type = c.from_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over event types: for each
+    user's time-ordered stream, count (current → next) pairs and
+    row-normalize into transition probabilities — the behavioral model
+    behind next-action prediction, funnel leak diagnosis, and anomaly
+    scoring of unusual paths (a 5x5 matrix here, however large the
+    corpus). Counts are integers; each probability is one exact
+    division.
+
+    Scale: one shuffle on user_id for the lead window, then a 25-cell
+    aggregation — the transition pairs never materialize wider than
+    the event stream."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("from_type").agg(F.sum("cnt").alias("row_total"))
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("row_total")).alias("p"),
+    )
+
+
+@query(
+    "stats_gini_revenue",
+    f"""
+    WITH cust AS (
+      SELECT c.c_nationkey AS nationkey, {DSUM('o.o_totalprice')} AS spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    nat AS (
+      SELECT n.n_name AS nation, cu.spend,
+             ROW_NUMBER() OVER (PARTITION BY 1 ORDER BY cu.spend) AS dummy
+      FROM cust cu JOIN nation n ON n.n_nationkey = cu.nationkey
+    )
+    SELECT 1 AS scope, COUNT(*) AS n,
+           CAST(2.0 * CAST(SUM(CAST(rnk * spend_d AS DECIMAL(38,6))) AS DOUBLE)
+                / (COUNT(*) * CAST(SUM(CAST(spend_d AS DECIMAL(38,6))) AS DOUBLE))
+                - (COUNT(*) + 1.0) / COUNT(*) AS DOUBLE) AS gini
+    FROM (
+      SELECT spend AS spend_d,
+             ROW_NUMBER() OVER (ORDER BY spend, nation) AS rnk
+      FROM nat
+    )
+    """,
+)
+def stats_gini_revenue(spark, sf_dir):
+    """Gini coefficient of national revenue concentration: per-nation
+    customer spend sorted ascending, G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n —
+    the inequality KPI for concentration dashboards (0 = spend spread
+    evenly across nations, →1 = one nation dominates). Ranks are
+    integers with a deterministic (spend, nation) tie-break; the two
+    sums are single deterministic reductions over 25 rows, so the
+    statistic is bit-stable.
+
+    Scale: the heavy work is the orders⋈customer rollup (one fact
+    shuffle); the Gini itself runs on the nation-sized aggregate."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(_lsum(F.col("o_totalprice")).alias("spend"))
+    )
+    nat = cust.join(F.broadcast(n), cust.nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), "spend"
+    )
+    ranked = nat.select(
+        F.col("spend").alias("spend_d"),
+        F.row_number().over(Window.orderBy("spend", "nation")).alias("rnk"),
+    )
+    return ranked.agg(
+        F.lit(1).alias("scope"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            2.0 * F.sum((F.col("rnk") * F.col("spend_d")).cast(DEC)).cast("double")
+            / (F.count(F.lit(1)) * F.sum(F.col("spend_d").cast(DEC)).cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+        ).cast("double").alias("gini"),
+    )
