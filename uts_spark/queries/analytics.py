@@ -4407,3 +4407,217 @@ def stats_gini_revenue(spark, sf_dir):
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
         ).cast("double").alias("gini"),
     )
+
+
+@query(
+    "abc_pareto_parts",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM rev),
+    r AS (
+      SELECT partkey, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+                  OVER (ORDER BY revenue DESC, partkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+      FROM rev
+    )
+    SELECT partkey, revenue,
+           cum_rev / tot.total AS cum_share,
+           CASE WHEN cum_rev / tot.total <= 0.8 THEN 'A'
+                WHEN cum_rev / tot.total <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r, tot
+    """,
+)
+def abc_pareto_parts(spark, sf_dir):
+    """ABC / Pareto classification of parts by revenue: cumulative
+    revenue share in descending order splits the catalog into A (the
+    ~80% head), B (to 95%), C (the long tail) — the inventory-
+    prioritization classic. The running share accumulates in decimal
+    with a (revenue, partkey) tie-break, so every class boundary is
+    deterministic.
+
+    Scale: one fact aggregation, then the cumulative window over the
+    PART-level aggregate. The single-partition window on parts is the
+    documented cardinality cliff — at catalog scale switch to the
+    range-partitioned prefix-sum pattern (histogram_equidepth note)."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        _lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    tot = rev.agg(F.sum(F.col("revenue").cast(DEC)).cast("double").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = rev.select(
+        "partkey",
+        "revenue",
+        F.sum(F.col("revenue").cast(DEC)).over(w).cast("double").alias("cum_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total")
+    return r.crossJoin(F.broadcast(tot)).select(
+        "partkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+@query(
+    "dau_new_vs_returning",
+    f"""
+    WITH seen AS (
+      SELECT user_id, ({MS}) // {DAY} AS day FROM events GROUP BY user_id, ({MS}) // {DAY}
+    ),
+    first_day AS (SELECT user_id, MIN(day) AS d0 FROM seen GROUP BY user_id)
+    SELECT s.day * {DAY} AS day_ms,
+           COUNT(*) AS dau,
+           SUM(CASE WHEN s.day = f.d0 THEN 1 ELSE 0 END) AS new_users,
+           SUM(CASE WHEN s.day > f.d0 THEN 1 ELSE 0 END) AS returning_users
+    FROM seen s JOIN first_day f ON f.user_id = s.user_id
+    GROUP BY s.day
+    """,
+)
+def dau_new_vs_returning(spark, sf_dir):
+    """Daily active users split into new vs returning: a user counts as
+    NEW only on their first active day — the growth-accounting
+    decomposition (acquisition vs retention) on every product
+    dashboard. Distinct (user, day) pairs collapse first so multiple
+    same-day events never double-count.
+
+    Scale: one shuffle on user_id (first-day collapse + join share the
+    key), then a tiny per-day aggregation."""
+    ev = table(spark, sf_dir, "events")
+    seen = (
+        ev.select("user_id", F.expr(f"ts_ms div {DAY}").alias("day")).distinct()
+    )
+    first_day = seen.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        seen.join(first_day, "user_id")
+        .groupBy((F.col("day") * DAY).alias("day_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0)).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+@query(
+    "feature_percentile_normalize",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type, value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) - 1 AS DOUBLE)
+             / (COUNT(*) OVER (PARTITION BY event_type) - 1) AS pct_score
+    FROM e
+    """,
+)
+def feature_percentile_normalize(spark, sf_dir):
+    """Percentile normalization (rank transform) per group: each value
+    maps to (rank−1)/(n−1) in [0, 1] within its event type — the
+    outlier-immune feature scaling for heterogeneous signals feeding a
+    model (min-max scaling breaks on one extreme value; this cannot).
+    Ranks tie-break on event_id, so the transform is a deterministic
+    bijection and the score an exact integer ratio.
+
+    Scale: one rank window per group key — the same single shuffle as
+    any grouped percentile."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (F.row_number().over(w) - 1).cast("double")
+            / (F.count(F.lit(1)).over(wn) - 1)
+        ).alias("pct_score"),
+    )
+
+
+@query(
+    "feature_winsorize",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = GREATEST(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                      THEN value END) AS lo,
+             MIN(CASE WHEN rn = GREATEST(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                      THEN value END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, b.lo), b.hi) AS winsorized
+    FROM e JOIN bounds b ON b.event_type = e.event_type
+    """,
+)
+def feature_winsorize(spark, sf_dir):
+    """Winsorization: clip each value to its group's discrete p5/p95
+    (actual data values at ceil(p·n) ranks — no interpolation), keeping
+    row count intact — the transform counterpart of stats_trimmed_mean
+    (trimming drops tails, winsorizing pins them). Every output is
+    either the original value or one of two group constants, so the
+    result is hash-exact by construction.
+
+    Scale: one rank pass per group + a broadcast of the 2-value bounds
+    back onto the stream."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("rn")
+            == F.greatest(F.ceil(F.lit(p) * F.col("n")), F.lit(1)),
+            F.col("value"),
+        )
+    )
+    bounds = r.groupBy("event_type").agg(
+        pick(0.05).alias("lo"), pick(0.95).alias("hi")
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "winsorized"
+        ),
+    )
