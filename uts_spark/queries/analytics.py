@@ -4621,3 +4621,155 @@ def feature_winsorize(spark, sf_dir):
             "winsorized"
         ),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    f"""
+    WITH ev AS (
+      SELECT user_id, {MS} AS t, event_id, value FROM events
+      WHERE event_type = 'view'
+    ),
+    chg AS (
+      SELECT *,
+             CASE WHEN lag(value) OVER w IS NULL
+                    OR value <> lag(value) OVER w
+                  THEN 1 ELSE 0 END AS is_change
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    hist AS (
+      SELECT user_id, value AS dim_value, t AS valid_from,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to
+      FROM chg WHERE is_change = 1
+    ),
+    facts AS (
+      SELECT user_id, {MS} AS t, event_id, value AS fact_value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.event_id, f.t AS fact_ms, f.fact_value,
+           h.dim_value, h.valid_from
+    FROM facts f JOIN hist h
+      ON h.user_id = f.user_id
+     AND f.t >= h.valid_from
+     AND (h.valid_to IS NULL OR f.t < h.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (as-the-dimension-was-THEN) join: purchase facts
+    enrich against the SCD2 validity intervals built from the view
+    stream (scd2_history_build's shape) — each fact matches exactly the
+    version whose [valid_from, valid_to) bracket contains its
+    timestamp. THE consumption pattern SCD2 histories exist for, and
+    the temporal-join family member between as-of (nearest past) and
+    range joins (arbitrary intervals).
+
+    Scale: history and facts co-shuffle once on the entity key; within
+    a key the interval predicate touches only that entity's versions
+    (versions PARTITION time, so each fact hits exactly one — the join
+    never fans out). Facts before an entity's first version drop
+    (inner), matching warehouse semantics."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_ms").alias("t"), "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = views.withColumn(
+        "is_change",
+        F.when(
+            F.lag("value").over(w).isNull()
+            | (F.col("value") != F.lag("value").over(w)),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("is_change") == 1)
+    hist = chg.select(
+        "user_id",
+        F.col("value").alias("dim_value"),
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_ms").alias("fact_ms"),
+        "event_id",
+        F.col("value").alias("fact_value"),
+    )
+    return facts.join(
+        hist,
+        (facts.user_id == hist.user_id)
+        & (F.col("fact_ms") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("fact_ms") < F.col("valid_to"))),
+    ).select(
+        facts.user_id, "event_id", "fact_ms", "fact_value",
+        "dim_value", "valid_from",
+    )
+
+
+@query(
+    "feature_encode_standardize",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    idx AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS type_idx
+      FROM (SELECT DISTINCT event_type FROM e)
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             {DSUM('value')} AS s1, {DSUM('value * value')} AS s2
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, i.type_idx, e.value,
+           (e.value - m.s1 / m.n)
+             / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS z_value
+    FROM e JOIN idx i ON i.event_type = e.event_type
+           JOIN m ON m.event_type = e.event_type
+    """,
+)
+def feature_encode_standardize(spark, sf_dir):
+    """Model-input feature prep in one pass: a stable integer label
+    encoding for the categorical column (sorted-vocabulary index — the
+    same id on every run and engine, unlike hash-based indexers) plus
+    per-group z-standardization from decimal-exact moments. Together
+    with percentile-normalize and winsorize this completes the tabular
+    feature-transform block of a training pipeline.
+
+    Scale: the vocabulary index and moment table are group-count-sized
+    broadcasts; the stream itself never shuffles."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    idx = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.row_number().over(Window.orderBy("event_type")) - 1).alias(
+                "type_idx"
+            ),
+        )
+    )
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _lsum(v).alias("s1"),
+        _dsum(v * v).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return (
+        ev.join(F.broadcast(idx), "event_type")
+        .join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "type_idx",
+            "value",
+            ((v - mu) / sd).alias("z_value"),
+        )
+    )
