@@ -4773,3 +4773,199 @@ def feature_encode_standardize(spark, sf_dir):
             ((v - mu) / sd).alias("z_value"),
         )
     )
+
+
+@query(
+    "ts_interarrival_stats",
+    f"""
+    WITH e AS (
+      SELECT event_type, user_id, {MS} AS t, event_id FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             t - lag(t) OVER (PARTITION BY event_type, user_id
+                              ORDER BY t, event_id) AS gap_ms
+      FROM e
+    ),
+    g AS (SELECT event_type, gap_ms FROM gaps WHERE gap_ms IS NOT NULL),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY gap_ms) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(SUM(CAST(gap_ms AS DECIMAL(38,6))) AS DOUBLE) / MAX(n)
+             AS mean_gap_ms,
+           CAST(MIN(CASE WHEN rn = GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                    THEN gap_ms END) AS BIGINT) AS median_gap_ms,
+           MIN(gap_ms) AS min_gap_ms,
+           MAX(gap_ms) AS max_gap_ms
+    FROM r GROUP BY event_type
+    """,
+)
+def ts_interarrival_stats(spark, sf_dir):
+    """Inter-arrival time distribution per event type (gaps between a
+    user's consecutive events of that type): mean (decimal-exact),
+    discrete median, min and max — the traffic-model fingerprint
+    (bursty vs Poisson-like) that capacity planning and
+    anomaly-baselining read first. Integer millisecond gaps keep every
+    statistic hash-exact.
+
+    Scale: one shuffle keyed (type, user) for the lag pass; the rank
+    and final aggregation reuse the type partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_ms")
+    wn = Window.partitionBy("event_type")
+    r = gaps.select(
+        "event_type",
+        "gap_ms",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        (
+            F.sum(F.col("gap_ms").cast(DEC)).cast("double") / F.max("n")
+        ).alias("mean_gap_ms"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.ceil(F.lit(0.5) * F.col("n")), F.lit(1)),
+                F.col("gap_ms"),
+            )
+        ).cast("long").alias("median_gap_ms"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+
+
+@query(
+    "stats_overdispersion_orders",
+    """
+    WITH sz AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS k FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(k AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(k * k AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM sz
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           s1 / n AS mean_lines,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_lines,
+           ((s2 - s1 * s1 / n) / (n - 1)) / (s1 / n) AS vmr
+    FROM m
+    """,
+)
+def stats_overdispersion_orders(spark, sf_dir):
+    """Overdispersion check on basket sizes: the variance-to-mean ratio
+    of lines-per-order (VMR = 1 for a Poisson process; > 1 means
+    clumping, < 1 regularity) — the one-number test for whether a
+    count model fits before anyone fits it. Decimal-exact moments over
+    integer counts make the ratio bit-stable.
+
+    Scale: one fact aggregation to order sizes, then a 1-row moment
+    reduction."""
+    li = table(spark, sf_dir, "lineitem")
+    sz = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("k")
+    )
+    m = sz.agg(
+        F.count(F.lit(1)).alias("n"),
+        _lsum(F.col("k")).alias("s1"),
+        _dsum(F.col("k") * F.col("k")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return m.select(
+        n.cast("long").alias("n_orders"),
+        (s1 / n).alias("mean_lines"),
+        var.alias("var_lines"),
+        (var / (s1 / n)).alias("vmr"),
+    )
+
+
+@query(
+    "retention_dn_curve",
+    f"""
+    WITH seen AS (
+      SELECT DISTINCT user_id, ({MS}) // {DAY} AS day FROM events
+    ),
+    d0 AS (SELECT user_id, MIN(day) AS first_day FROM seen GROUP BY user_id),
+    horizons AS (SELECT unnest([1, 7, 14, 28]) AS h),
+    base AS (
+      SELECT f.first_day, h.h, COUNT(*) AS cohort_n
+      FROM d0 f CROSS JOIN horizons h
+      GROUP BY f.first_day, h.h
+    ),
+    act AS (
+      SELECT f.first_day, s.day - f.first_day AS offset_d, s.user_id
+      FROM seen s JOIN d0 f ON f.user_id = s.user_id
+    )
+    SELECT b.first_day * {DAY} AS cohort_ms, b.h AS horizon_d, b.cohort_n,
+           COUNT(a.user_id) AS retained,
+           CAST(COUNT(a.user_id) AS DOUBLE) / b.cohort_n AS retention
+    FROM base b LEFT JOIN act a
+      ON a.first_day = b.first_day AND a.offset_d = b.h
+    GROUP BY b.first_day, b.h, b.cohort_n
+    """,
+)
+def retention_dn_curve(spark, sf_dir):
+    """Dn retention curve (D1/D7/D14/D28): for each signup-day cohort,
+    the share of users active EXACTLY n days later — the bounded-
+    horizon growth metric product teams track daily (the weekly cohort
+    matrix cohort_retention_weekly is its coarse sibling). Integer day
+    arithmetic and count ratios keep the whole curve hash-exact.
+
+    Scale: distinct user-days collapse first; one shuffle on user for
+    the first-day join; the horizon fan-out is a 4-row broadcast."""
+    ev = table(spark, sf_dir, "events")
+    seen = ev.select(
+        "user_id", F.expr(f"ts_ms div {DAY}").alias("day")
+    ).distinct()
+    d0 = seen.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    horizons = spark.createDataFrame([(1,), (7,), (14,), (28,)], "h int")
+    base = (
+        d0.crossJoin(F.broadcast(horizons))
+        .groupBy("first_day", "h")
+        .agg(F.count(F.lit(1)).alias("cohort_n"))
+    )
+    base = base.select(
+        F.col("first_day").alias("b_first"), "h", "cohort_n"
+    )
+    act = seen.join(d0, "user_id").select(
+        F.col("first_day").alias("a_first"),
+        (F.col("day") - F.col("first_day")).alias("offset_d"),
+        F.col("user_id").alias("a_user"),
+    )
+    return (
+        base.join(
+            act,
+            (F.col("b_first") == F.col("a_first"))
+            & (F.col("offset_d") == F.col("h")),
+            "left",
+        )
+        .groupBy("b_first", "h", "cohort_n")
+        .agg(F.count("a_user").alias("retained"))
+        .select(
+            (F.col("b_first") * DAY).alias("cohort_ms"),
+            F.col("h").cast("long").alias("horizon_d"),
+            "cohort_n",
+            "retained",
+            (F.col("retained").cast("double") / F.col("cohort_n")).alias(
+                "retention"
+            ),
+        )
+    )
