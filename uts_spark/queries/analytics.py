@@ -4969,3 +4969,43 @@ def retention_dn_curve(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "events_hour_dow_heatmap",
+    f"""
+    WITH e AS (
+      SELECT (({MS}) // {DAY} + 4) % 7 AS dow,
+             (({MS}) % {DAY}) // {HOUR} AS hod,
+             value
+      FROM events
+    )
+    SELECT dow, hod, COUNT(*) AS n,
+           COALESCE({DSUM('value')} / COUNT(value), 0.0) AS mean_value
+    FROM e GROUP BY dow, hod
+    """,
+)
+def events_hour_dow_heatmap(spark, sf_dir):
+    """Hour-of-week activity heatmap: the 7x24 (day-of-week, hour)
+    grid of event counts and mean values — the temporal-usage
+    fingerprint every ops dashboard renders. Day-of-week derives from
+    epoch days with the Thursday offset (1970-01-01 was a Thursday;
+    +4 makes 0 = Monday) — pure integer arithmetic, identical on both
+    engines, no calendar/locale functions to disagree about.
+
+    Scale: a 168-cell hash aggregation over a pure projection."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(f"(ts_ms div {DAY} + 4) % 7").alias("dow"),
+            F.expr(f"(ts_ms % {DAY}) div {HOUR}").alias("hod"),
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                _lsum(F.col("value")) / F.count("value"), F.lit(0.0)
+            ).alias("mean_value"),
+        )
+    )

@@ -380,3 +380,61 @@ def uts_payload_mode_interval(spark, sf_dir):
         group=interval(DAY, fill=True, now=NOW_MS),
     )
     return out.select("start", "width", "mean_v", "n")
+
+
+@query(
+    "uts_interval_multimetric_fill",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, event_id, value FROM events
+      WHERE {MS} > {NOW_MS - 40 * DAY} AND {MS} <= {NOW_MS}
+        AND value > 120.0
+    ),
+    b AS (
+      SELECT ({NOW_MS} - t)//{2 * DAY} AS bin,
+             {DSUM('value')}/COUNT(value) AS mean_value,
+             {DSUM('value')} AS sum_value,
+             GREATEST(COALESCE(MAX(value), 0.0), 0.0) AS max_value,
+             LEAST(COALESCE(MIN(value), 0.0), 0.0) AS min_value,
+             arg_max(value, event_id) AS last_value,
+             COUNT(*) AS n
+      FROM pts GROUP BY 1
+    ),
+    spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 21))
+    SELECT {NOW_MS} - (spine.bin + 1) * {2 * DAY} AS start,
+           CAST({2 * DAY} AS BIGINT) AS width,
+           COALESCE(mean_value, 0.0) AS mean_value,
+           COALESCE(sum_value, 0.0) AS sum_value,
+           COALESCE(max_value, 0.0) AS max_value,
+           COALESCE(min_value, 0.0) AS min_value,
+           last_value AS last_value,
+           COALESCE(n, 0) AS n
+    FROM spine LEFT JOIN b ON spine.bin = b.bin
+    """,
+)
+def uts_interval_multimetric_fill(spark, sf_dir):
+    """Every reference aggregate in ONE interval query (the Bin fan-out,
+    uts.ts:38-47: one pass feeds all metric buffers): mean, sum,
+    zero-clamped max/min, insertion-order last, count — over 2-day
+    now-anchored bins with fill=true, so EMPTY bins must synthesize
+    each aggregate's own initial (0 for the numerics, NULL for last;
+    uts.ts verified quirks A1-A6). The selective value filter
+    guarantees empty bins exist, exercising every initial at once —
+    the single-scan multi-aggregate shape Spark's partial aggregation
+    shares with the reference's Bin.push loop."""
+    s = events_series(spark, sf_dir)
+    return s.query(
+        {
+            "mean_value": Metric("mean", "value", params={"stable": True}),
+            "sum_value": Metric("sum", "value", params={"stable": True}),
+            "max_value": Metric("max", "value"),
+            "min_value": Metric("min", "value"),
+            "last_value": Metric("last", "value"),
+            "n": Metric("count"),
+        },
+        where={
+            "ts_ms": {"is": ">", "than": NOW_MS - 40 * DAY},
+            "value": {"is": ">", "than": 120.0},
+        },
+        group=interval(2 * DAY, fill=True, now=NOW_MS),
+    )
