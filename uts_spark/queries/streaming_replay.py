@@ -744,3 +744,64 @@ def stream_counter_rate_replay(spark, sf_dir):
         extra_feeds=[chunk(1), chunk(2), chunk(3)],
         ordered=True,
     )
+
+
+from uts_spark.operators.timeseries import duck_clamped_balance  # noqa: E402
+
+
+@query(
+    "stream_clamped_balance_replay",
+    duck_clamped_balance(
+        f"SELECT CAST(user_id AS VARCHAR) AS key, {MS} AS ms, "
+        "value - 55.0 AS d, event_id FROM events WHERE value IS NOT NULL",
+        "key",
+        "ms",
+        "d",
+        "event_id",
+        out_key="key",
+    ),
+)
+def stream_clamped_balance_replay(spark, sf_dir):
+    """STREAMING floor-clamped balance oracle-gated: one double of
+    per-key state across four ordered micro-batches, per-event
+    emission; every balance hash-matches the batch fold's
+    recursive-CTE oracle — the live-inventory member of the
+    sequential-exact replay family (derivative, coverage, capped
+    sessions, EWMA, counter rate)."""
+    from uts_spark.streaming.ops import clamped_balance_stream
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            "ts_ms",
+            (F.col("value") - 55.0).alias("delta"),
+            F.col("event_id").alias("order_id"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
+    ).withColumn(
+        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select("key", "ts_ms", "delta", "order_id")
+            .coalesce(1)
+            .sortWithinPartitions("ts_ms", "order_id")
+        )
+
+    def build(stream):
+        return clamped_balance_stream(stream), "append"
+
+    return _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )

@@ -7,6 +7,7 @@ reference's interval-bucketed folds.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from uts_spark.operators.timeseries import (
     anomaly_zscore,
@@ -982,3 +983,167 @@ def ts_clamped_balance(spark, sf_dir):
         )
     )
     return clamped_running_balance(ev, "user_id", "ts_ms", "d", "event_id")
+
+
+@query(
+    "ts_gorilla_compression_estimate",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS t, event_id FROM events
+    ),
+    d1 AS (
+      SELECT user_id,
+             t - lag(t) OVER w AS dt,
+             ROW_NUMBER() OVER w AS rn
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    d2 AS (
+      SELECT user_id,
+             dt - lag(dt) OVER (PARTITION BY user_id ORDER BY rn) AS dod
+      FROM d1 WHERE dt IS NOT NULL
+    ),
+    bits AS (
+      SELECT user_id,
+             CASE WHEN dod = 0 THEN 1
+                  WHEN dod BETWEEN -63 AND 64 THEN 9
+                  WHEN dod BETWEEN -255 AND 256 THEN 12
+                  WHEN dod BETWEEN -2047 AND 2048 THEN 16
+                  ELSE 36 END AS nbits
+      FROM d2 WHERE dod IS NOT NULL
+    )
+    SELECT user_id, COUNT(*) AS n_points,
+           SUM(nbits) AS total_bits,
+           CAST(SUM(nbits) AS DOUBLE) / COUNT(*) AS bits_per_point,
+           64.0 * COUNT(*) / SUM(nbits) AS compression_ratio
+    FROM bits GROUP BY user_id
+    """,
+)
+def ts_gorilla_compression_estimate(spark, sf_dir):
+    """Gorilla-style (Facebook TSDB, VLDB'15) timestamp-compression
+    estimate per series: delta-of-delta bucketed into the paper's
+    variable-width classes (1 bit for perfectly regular spacing, then
+    9/12/16/36) — the storage-planning number that tells you whether a
+    series is cheap (regular cadence) or expensive (jittery) BEFORE
+    building the codec. Integer buckets and counts → hash-exact.
+
+    Scale: two stacked lag windows on one (series, time) sort + a
+    per-series rollup — one shuffle total."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    d1 = ev.select(
+        "user_id",
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("dt"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("dt").isNotNull())
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    d2 = d1.select(
+        "user_id", (F.col("dt") - F.lag("dt").over(w2)).alias("dod")
+    ).filter(F.col("dod").isNotNull())
+    nbits = (
+        F.when(F.col("dod") == 0, 1)
+        .when(F.col("dod").between(-63, 64), 9)
+        .when(F.col("dod").between(-255, 256), 12)
+        .when(F.col("dod").between(-2047, 2048), 16)
+        .otherwise(36)
+    )
+    return (
+        d2.select("user_id", nbits.alias("nbits"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("nbits").alias("total_bits"),
+            (F.sum("nbits").cast("double") / F.count(F.lit(1))).alias(
+                "bits_per_point"
+            ),
+            (64.0 * F.count(F.lit(1)) / F.sum("nbits")).alias(
+                "compression_ratio"
+            ),
+        )
+    )
+
+
+@query(
+    "events_run_lengths",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, {MS} AS t, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, t, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS new_run
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    sized AS (
+      SELECT user_id, run_id, MIN(event_type) AS run_type,
+             COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, run_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY run_len DESC, run_id) AS rnk
+      FROM sized
+    )
+    SELECT r.user_id,
+           CAST((SELECT COUNT(*) FROM sized s
+                 WHERE s.user_id = r.user_id) AS BIGINT) AS n_runs,
+           r.run_type AS longest_run_type,
+           CAST(r.run_len AS BIGINT) AS longest_run_len
+    FROM ranked r WHERE r.rnk = 1
+    """,
+)
+def events_run_lengths(spark, sf_dir):
+    """Run-length profile of each user's event stream: consecutive
+    same-type islands (gaps-and-islands on the TYPE column), reporting
+    the run count and the longest streak with its type — the
+    behavioral-monotony signal (rage clicks, error storms, crawler
+    loops) that transition probabilities alone smear out. Tie-break on
+    earliest run keeps the argmax deterministic.
+
+    Scale: the flag and the run-id cumsum share one (user, time) sort;
+    two small hash aggregations finish per run then per user."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts_ms",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    sized = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("run_type"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    per_user = sized.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_runs"))
+    wr = Window.partitionBy("user_id").orderBy(F.desc("run_len"), F.asc("run_id"))
+    best = (
+        sized.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("run_type").alias("longest_run_type"),
+            F.col("run_len").cast("long").alias("longest_run_len"),
+        )
+    )
+    return per_user.join(best, "user_id").select(
+        "user_id", "n_runs", "longest_run_type", "longest_run_len"
+    )

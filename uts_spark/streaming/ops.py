@@ -810,3 +810,60 @@ def counter_rate_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_BAL_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("delta", DoubleType()),
+        StructField("order_id", LongType()),
+        StructField("balance", DoubleType()),
+    ]
+)
+_BAL_STATE = StructType([StructField("bal", DoubleType())])
+
+
+def clamped_balance_stream(
+    df: DataFrame,
+    floor_value: float = 0.0,
+    key_col: str = "key",
+    time_col: str = "ts_ms",
+    delta_col: str = "delta",
+    order_col: str = "order_id",
+) -> DataFrame:
+    """Streaming floor-clamped running balance (the stateful face of
+    operators/timeseries.clamped_running_balance): one double of state
+    per key, add-then-clamp in the identical order, per-event emission
+    — live inventory / prepaid-credit / battery level, hash-exact
+    against the batch fold under ordered replay."""
+    fv = float(floor_value)
+
+    def step(key, pdfs, state: GroupState):
+        (k,) = key
+        (bal,) = state.get if state.exists else (fv,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, order_col])
+            for t, d, o in zip(
+                pdf[time_col].astype("int64"),
+                pdf[delta_col],
+                pdf[order_col].astype("int64"),
+            ):
+                bal = bal + float(d)
+                if bal < fv:
+                    bal = fv
+                out.append((k, int(t), float(d), int(o), bal))
+        state.update((bal,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "ts_ms", "delta", "order_id", "balance"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=_BAL_OUT,
+        stateStructType=_BAL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
