@@ -1694,3 +1694,145 @@ def pipeline_training_prep_v2(spark, sf_dir):
         "n_bpeish",
         F.floor(cum_before / F.lit(20000)).cast("long").alias("shard"),
     )
+
+
+_XENT_SCALE = 1_000_000
+
+
+@query(
+    "text_bigram_xent",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, unnest({duck_word_ngrams('toks', 2)}) AS bigram FROM t
+    ),
+    bf AS (SELECT doc_id, bigram, COUNT(*) AS bf FROM bg GROUP BY doc_id, bigram),
+    c12 AS (SELECT bigram, SUM(bf) AS c12 FROM bf GROUP BY bigram),
+    uni AS (SELECT unnest(toks) AS term FROM t),
+    c1 AS (SELECT term, COUNT(*) AS c1 FROM uni GROUP BY term),
+    v AS (SELECT COUNT(*) AS vocab FROM c1),
+    s AS (
+      SELECT bf.doc_id,
+             SUM(bf.bf * CAST(ROUND(-LN((CAST(c12.c12 AS DOUBLE) + 1)
+                                        / (c1.c1 + v.vocab)) * {_XENT_SCALE})
+                              AS BIGINT)) AS su,
+             SUM(bf.bf) AS n_bigrams
+      FROM bf
+      JOIN c12 ON c12.bigram = bf.bigram
+      JOIN c1 ON c1.term = split_part(bf.bigram, ' ', 1)
+      CROSS JOIN v
+      GROUP BY bf.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(su AS DOUBLE) / n_bigrams / {_XENT_SCALE} AS bigram_xent
+    FROM s
+    """,
+)
+def text_bigram_xent(spark, sf_dir):
+    """Per-document BIGRAM-LM cross-entropy (nats/bigram) against the
+    corpus's own add-one-smoothed conditional model P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+V) — the sequence-aware upgrade of the unigram
+    signal (text_unigram_xent): templated word-order scores low even
+    when its unigrams are rare, shuffled word soup scores high even
+    when its unigrams are common. Surprisals snap to integer micro-nats
+    (the tfidf/unigram convention) so the shuffle-ordered sums are
+    exact.
+
+    Scale: one (doc, bigram) aggregation, corpus bigram and
+    first-word counts joined back on their own keys, vocabulary size
+    broadcast — never doc x doc, never Python."""
+    from uts_spark.functions.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    base = docs.select("doc_id", toks.alias("toks"))
+    bg = base.select(
+        "doc_id", F.explode(word_ngrams(F.col("toks"), 2)).alias("bigram")
+    )
+    bf = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("bf"))
+    c12 = bf.groupBy("bigram").agg(F.sum("bf").alias("c12"))
+    uni = base.select(F.explode("toks").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("vocab"))
+    surp = F.round(
+        -F.log(
+            (F.col("c12").cast("double") + 1) / (F.col("c1") + F.col("vocab"))
+        )
+        * _XENT_SCALE
+    ).cast("long")
+    s = (
+        bf.join(c12, "bigram")
+        .join(
+            c1,
+            F.split(F.col("bigram"), " ")[0] == F.col("term"),
+        )
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bf") * surp).alias("su"),
+            F.sum("bf").alias("n_bigrams"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (F.col("su").cast("double") / F.col("n_bigrams") / _XENT_SCALE).alias(
+            "bigram_xent"
+        ),
+    )
+
+
+@query(
+    "audience_overlap_matrix",
+    """
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM a GROUP BY event_type),
+    inter AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM a x JOIN a y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY x.event_type, y.event_type
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def audience_overlap_matrix(spark, sf_dir):
+    """Audience overlap between event types: for every type pair, the
+    user-set intersection size and Jaccard similarity — the
+    segmentation-overlap matrix (do purchasers also click? do error
+    users churn?) behind campaign targeting and feature-adoption
+    analysis. Distinct (type, user) pairs collapse first; all counts
+    are integers and the Jaccard one exact division.
+
+    Scale: the self-join runs on the DISTINCT audience pairs keyed by
+    user — fan-out is types-per-user (≤5), never events²."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select("event_type", "user_id").distinct()
+    sizes = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x = a.select(F.col("event_type").alias("type_a"), "user_id")
+    y = a.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
