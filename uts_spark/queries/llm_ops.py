@@ -1836,3 +1836,75 @@ def audience_overlap_matrix(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "part_name_top_terms",
+    f"""
+    WITH t AS (
+      SELECT p_brand, unnest({duck_tokens('p_name')}) AS term FROM part
+    ),
+    c AS (SELECT p_brand, term, COUNT(*) AS cnt FROM t GROUP BY p_brand, term),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                                   ORDER BY cnt DESC, term) AS rnk
+      FROM c
+    )
+    SELECT p_brand, term, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def part_name_top_terms(spark, sf_dir):
+    """The text toolkit is table-agnostic: the same tokenizer that
+    drives the documents corpus profiles the part catalog's names —
+    top-3 name terms per brand (deterministic tie-break). Proof that
+    the text operators compose with any string column in the warehouse,
+    not just the dedicated corpus table.
+
+    Scale: explode + one (brand, term) aggregation + a per-brand
+    rank window on the aggregate."""
+    from uts_spark.functions.text import tokens as tok
+
+    p = table(spark, sf_dir, "part")
+    t = p.select("p_brand", F.explode(tok(F.col("p_name"))).alias("term"))
+    c = t.groupBy("p_brand", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "embedding_similarity_histogram",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    c AS (SELECT {_duck_cosine('ea', 'eb')} AS cos FROM p)
+    SELECT CAST(floor(cos * 10) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM c GROUP BY 1
+    """,
+)
+def embedding_similarity_histogram(spark, sf_dir):
+    """Distribution of ALL pairwise cosine similarities in 0.1-wide
+    bins — the embedding-space geometry check run before choosing a
+    dedup/ANN threshold (a healthy space is near-Gaussian around ~0; a
+    collapsed one piles up near 1, and any threshold would over-merge).
+    The bit-exact blocked kernel scores every pair once (canonical
+    a < b); integer floor-binning keeps the histogram hash-exact.
+
+    Scale: O(n²/2) pair scoring — the point IS the full distribution;
+    at web scale the same histogram runs over a hash-sampled vector
+    subset (deterministic sample_uniform) with identical plumbing."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(e, threshold=-1.01)
+    return (
+        pairs.select(F.floor(F.col("cosine") * 10).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
