@@ -5009,3 +5009,112 @@ def events_hour_dow_heatmap(spark, sf_dir):
             ).alias("mean_value"),
         )
     )
+
+
+@query(
+    "session_conversion_rate",
+    f"""
+    WITH e AS (SELECT user_id, {MS} AS t, event_type FROM events),
+    m AS (
+      SELECT user_id, t, event_type,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, t, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT user_id, sid,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           SUM(converted) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_session_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def session_conversion_rate(spark, sf_dir):
+    """Per-user session conversion: the share of a user's sessions
+    (30-min gap) that contain a purchase, plus mean session size — the
+    engagement-to-revenue bridge metric, composed from native
+    session_window sessionization without re-reading events twice.
+
+    Scale: session_window's single user shuffle; the per-user rollup
+    reuses the key."""
+    ev = table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "mean_session_events"
+        ),
+    )
+
+
+@query(
+    "order_fulfillment_aging",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, MAX(epoch_ms(l_shipdate)) AS last_ship_ms
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST((s.last_ship_ms - epoch_ms(o.o_orderdate))
+                         // 86400000 AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS mean_days_to_ship,
+           MAX((s.last_ship_ms - epoch_ms(o.o_orderdate)) // 86400000)
+             AS max_days_to_ship
+    FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_fulfillment_aging(spark, sf_dir):
+    """Fulfillment aging by priority: whole days from order date to the
+    LAST line shipment (an order isn't done until its slowest line
+    ships), mean and worst case per priority class — the SLA telemetry
+    ops teams page on. Integer day arithmetic on epoch ms, decimal
+    mean — hash-exact.
+
+    Scale: one lineitem rollup to per-order last-ship, co-partitioned
+    join with orders on the key, then a 5-row aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(
+        F.max(F.unix_millis(F.col("l_shipdate").cast("timestamp"))).alias(
+            "last_ship_ms"
+        )
+    )
+    days = F.expr("(last_ship_ms - unix_millis(cast(o_orderdate as timestamp))) div 86400000")
+    return (
+        o.join(ship, o.o_orderkey == ship.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(days.cast(DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("mean_days_to_ship"),
+            F.max(days).alias("max_days_to_ship"),
+        )
+    )
