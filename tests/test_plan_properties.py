@@ -358,3 +358,36 @@ def test_cdc_merge_no_window_sort(spark, sf_dir):
 def test_es_sampling_uses_takeordered(spark, sf_dir):
     p = plan(spark, sf_dir, "sample_weighted_topk_es")
     assert "TakeOrderedAndProject" in p
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir):
+    # the lead window and nothing else shuffles the event stream
+    p = plan(spark, sf_dir, "events_transition_matrix")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_heatmap_is_single_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "events_hour_dow_heatmap")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_gorilla_estimate_one_sort_per_series(spark, sf_dir):
+    # both lag windows + the rollup ride the user_id partitioning
+    p = plan(spark, sf_dir, "ts_gorilla_compression_estimate")
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_benford_is_projection_plus_tiny_agg(spark, sf_dir):
+    p = plan(spark, sf_dir, "stats_benford_digits")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_pit_join_no_nested_loop_explosion(spark, sf_dir):
+    # the SCD2 point-in-time join must keep an equi component on the
+    # entity key (broadcast-hash or sort-merge), never a pure
+    # cartesian range scan
+    p = plan(spark, sf_dir, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in p
