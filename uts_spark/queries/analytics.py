@@ -5118,3 +5118,68 @@ def order_fulfillment_aging(spark, sf_dir):
             F.max(days).alias("max_days_to_ship"),
         )
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    f"""
+    WITH vol AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT nationkey,
+             CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS nat_rev,
+             COUNT(*) AS n_suppliers
+      FROM vol GROUP BY nationkey
+    )
+    SELECT n.n_name AS nation, t.n_suppliers,
+           CAST(SUM(CAST(floor((v.rev / t.nat_rev) * (v.rev / t.nat_rev)
+                               * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e12 AS hhi
+    FROM vol v JOIN tot t ON t.nationkey = v.nationkey
+               JOIN nation n ON n.n_nationkey = v.nationkey
+    GROUP BY n.n_name, t.n_suppliers
+    """,
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index per nation: the sum of
+    squared supplier revenue shares (1/n = perfect competition, 1 =
+    monopoly) — the antitrust-grade concentration measure next to the
+    rank-based Gini (stats_gini_revenue). Shares divide decimal-exact
+    revenues; the squared-share terms snap to 1e-12 fixed-point
+    INTEGERS (floor(x+0.5), the cross-engine-safe rounding) so the
+    per-nation reduction is order-independent and cast-tie-proof.
+
+    Scale: one fact rollup to (nation, supplier), nation totals
+    broadcast back, squared-share aggregation on the supplier-sized
+    table."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    vol = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            _lsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    tot = vol.groupBy("nationkey").agg(
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("nat_rev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("rev") / F.col("nat_rev")
+    # floor(x*1e12 + 0.5) integer snap, NOT a decimal cast: the engines
+    # round double->decimal differently on shortest-repr ties (the
+    # ts_twap lesson; see .claude/skills/verify and _COS in llm_ops)
+    term_u = F.floor(share * share * 1e12 + 0.5).cast("long")
+    return (
+        vol.join(F.broadcast(tot), "nationkey")
+        .join(F.broadcast(n), F.col("nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg((F.sum(term_u).cast("double") / 1e12).alias("hhi"))
+    )

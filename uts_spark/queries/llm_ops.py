@@ -1908,3 +1908,81 @@ def embedding_similarity_histogram(spark, sf_dir):
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "text_dedup_impact_report",
+    f"""
+    WITH {_DUCK_LINES},
+    f AS (SELECT lh, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY lh),
+    per_doc AS (
+      SELECT l.doc_id,
+             SUM(l.llen) AS chars_total,
+             SUM(CASE WHEN f.df >= 2 THEN l.llen ELSE 0 END) AS chars_dup
+      FROM l JOIN f USING (lh) GROUP BY l.doc_id
+    ),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_docs, SUM(is_dup) AS n_exact_dups FROM flags
+    )
+    SELECT (SELECT n_docs FROM exact)                        AS n_docs,
+           (SELECT n_exact_dups FROM exact)                  AS n_exact_dups,
+           (SELECT SUM(chars_total) FROM per_doc)            AS corpus_chars,
+           (SELECT SUM(chars_dup) FROM per_doc)              AS boilerplate_chars,
+           CAST((SELECT SUM(chars_dup) FROM per_doc) AS DOUBLE)
+             / (SELECT SUM(chars_total) FROM per_doc)        AS boilerplate_share
+    """,
+)
+def text_dedup_impact_report(spark, sf_dir):
+    """One-row dedup impact report: exact-duplicate document count plus
+    the corpus-wide boilerplate character share from line-level dedup —
+    the before/after numbers a pipeline owner reads to size how much a
+    dedup pass will save BEFORE running it. Integer counts and one
+    exact ratio.
+
+    Scale: the exact-dup check is one hash partition on the digest;
+    the line stats reuse the text_line_dedup plan; both collapse to a
+    single row."""
+    docs = table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("raw")
+        )
+        .select("doc_id", F.trim(F.lower(F.col("raw"))).alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select("doc_id", F.length("norm").cast("long").alias("llen"),
+                hash64(F.col("norm")).alias("lh"))
+    )
+    freq = lines.groupBy("lh").agg(F.count_distinct("doc_id").alias("df"))
+    per_doc = (
+        lines.join(freq, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("llen").alias("chars_total"),
+            F.sum(F.when(F.col("df") >= 2, F.col("llen")).otherwise(0)).alias(
+                "chars_dup"
+            ),
+        )
+    )
+    chars = per_doc.agg(
+        F.sum("chars_total").alias("corpus_chars"),
+        F.sum("chars_dup").alias("boilerplate_chars"),
+    )
+    ex = exact_canonical(docs, "text", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_exact_dups"),
+    )
+    return ex.crossJoin(chars).select(
+        "n_docs",
+        "n_exact_dups",
+        "corpus_chars",
+        "boilerplate_chars",
+        (
+            F.col("boilerplate_chars").cast("double") / F.col("corpus_chars")
+        ).alias("boilerplate_share"),
+    )
