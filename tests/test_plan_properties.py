@@ -391,3 +391,19 @@ def test_pit_join_no_nested_loop_explosion(spark, sf_dir):
     # cartesian range scan
     p = plan(spark, sf_dir, "scd2_point_in_time_join")
     assert "CartesianProduct" not in p
+
+
+def test_cosine_pairs_has_no_driver_collect(spark, sf_dir, monkeypatch):
+    # VERDICT r2 #2: cosine_pairs_blocked once did toPandas() of the
+    # whole corpus on the driver + sc.broadcast — an OOM at scale. The
+    # tiled rewrite must build AND run without any driver-side collect.
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side toPandas() in a corpus-scale plan")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    df = QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    assert df.count() >= 0  # runs end-to-end, fully distributed
+    p = plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in p  # tiled applyInPandas kernel

@@ -181,63 +181,119 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tiles: int = 8,
+    block: int = 1024,
 ) -> DataFrame:
-    """All-pairs cosine similarity >= threshold via block-wise vectorized
-    numpy inside ``mapInPandas`` — the dense-compute shape the per-pair
-    Column-HOF plan cannot match (it evaluates one lambda per element;
-    numpy does the whole block per instruction).
+    """All-pairs cosine similarity >= threshold, fully distributed via
+    TRIANGLE TILING: each vector is hashed into one of ``n_tiles`` tiles
+    and replicated to every unordered tile-pair group it belongs to
+    ({(min(t,u), max(t,u)) : u < n_tiles} — n_tiles copies per row);
+    ``applyInPandas`` over the T·(T+1)/2 groups runs the block-wise
+    vectorized numpy kernel on each group's two tiles. Every unordered
+    vector pair lands in exactly one group (cross pairs in (t_a, t_b),
+    within-tile pairs in (t, t)), so the output is the EXACT all-pairs
+    set — no recall loss, unlike an LSH pre-bucket.
 
     EXACTNESS: identical to :func:`dot_stable` / the SQL oracle — per-
     element float64 products, ``floor(p*1e12 + 0.5)`` into int64, exact
     integer sums, same division order. numpy and the JVM both follow
     IEEE-754, so results hash-match bit-for-bit.
 
-    SCALE: the comparison side is broadcast (fine up to ~10^6 vectors ×
-    small dim). Beyond that, LSH-bucket first (``lsh_topk``) or tile both
-    sides; the blocked kernel stays the inner loop either way.
+    SCALE: no driver-side collect anywhere (the previous revision did
+    ``toPandas`` + broadcast of the whole corpus — an OOM at 10^8
+    vectors); a task holds at most 2N/T vectors, so ``n_tiles`` scales
+    task memory down as √replication-cost. Total compute is the same
+    N²/2 kernel work spread over T·(T+1)/2 independent tasks. For
+    corpora where even that is too much, LSH-bucket first (``lsh_topk``)
+    and keep this kernel as the within-bucket inner loop.
     """
-    sc = emb.sparkSession.sparkContext
-    pdf = emb.select(id_col, vec_col).toPandas()
-    import numpy as np
+    T = n_tiles
+    tiled = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(T)).cast("int").alias("__t"),
+    )
+    grid = F.array(*[
+        F.struct(
+            F.least(F.col("__t"), F.lit(u)).alias("gi"),
+            F.greatest(F.col("__t"), F.lit(u)).alias("gj"),
+        )
+        for u in range(T)
+    ])
+    rep = tiled.select(
+        "__id", "__vec", "__t", F.explode(grid).alias("__g")
+    ).select(
+        "__id", "__vec", "__t",
+        F.col("__g.gi").alias("__gi"), F.col("__g.gj").alias("__gj"),
+    )
 
-    b_ids = pdf[id_col].to_numpy()
-    B = np.stack(pdf[vec_col].to_list()).astype(np.float64)
-    bc = sc.broadcast((b_ids, B))
-
-    def gen(batches):
+    def kernel(key, pdf):
         import numpy as np
         import pandas as pd
 
-        ids_b, Bm = bc.value
-        nb = np.sqrt(
-            np.floor(Bm * Bm * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+        gi, gj = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {"id_a": np.array([], dtype="int64"),
+             "id_b": np.array([], dtype="int64"),
+             "cosine": np.array([], dtype="float64")}
         )
-        for pdf_a in batches:
-            a_ids = pdf_a[id_col].to_numpy()
-            A = np.stack(pdf_a[vec_col].to_list()).astype(np.float64)
-            na = np.sqrt(
-                np.floor(A * A * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-            )
-            # per-element floor-rounding forbids BLAS GEMM; the explicit
-            # outer product stays vectorized and bit-exact
-            dots = (
-                np.floor(A[:, None, :] * Bm[None, :, :] * 1e12 + 0.5)
-                .astype(np.int64)
-                .sum(axis=2)
-                / 1e12
-            )
-            cos = dots / (na[:, None] * nb[None, :])
-            ia, ib = np.nonzero((cos >= threshold) & (a_ids[:, None] < ids_b[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ia].astype("int64"),
-                    "id_b": ids_b[ib].astype("int64"),
-                    "cosine": cos[ia, ib],
-                }
-            )
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        gen, "id_a long, id_b long, cosine double"
+        def prep(sub):
+            ids = sub["__id"].to_numpy()
+            M = np.stack(sub["__vec"].to_list()).astype(np.float64)
+            nrm = np.sqrt(
+                np.floor(M * M * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            )
+            return ids, M, nrm
+
+        out_a, out_b, out_c = [], [], []
+
+        def emit(ids_a, A, na, ids_b, B, nb, same):
+            # per-element floor-rounding forbids BLAS GEMM; the explicit
+            # outer product stays vectorized and bit-exact. Row side is
+            # blocked to bound the cos-matrix footprint.
+            for s in range(0, len(ids_a), block):
+                ia_ids, Ab, nab = ids_a[s:s + block], A[s:s + block], na[s:s + block]
+                dots = (
+                    np.floor(Ab[:, None, :] * B[None, :, :] * 1e12 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    / 1e12
+                )
+                cos = dots / (nab[:, None] * nb[None, :])
+                mask = cos >= threshold
+                if same:
+                    mask &= ia_ids[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(mask)
+                a, b = ia_ids[ii], ids_b[jj]
+                # canonical id_a < id_b orientation for cross-tile pairs
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cos[ii, jj])
+
+        if gi == gj:
+            ids, M, nrm = prep(pdf)
+            if len(ids) >= 2:
+                emit(ids, M, nrm, ids, M, nrm, same=True)
+        else:
+            pa, pb = pdf[pdf["__t"] == gi], pdf[pdf["__t"] == gj]
+            if len(pa) and len(pb):
+                ids_a, A, na = prep(pa)
+                ids_b, B, nb = prep(pb)
+                emit(ids_a, A, na, ids_b, B, nb, same=False)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype("int64"),
+                "id_b": np.concatenate(out_b).astype("int64"),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return rep.groupBy("__gi", "__gj").applyInPandas(
+        kernel, "id_a long, id_b long, cosine double"
     )
 
 

@@ -461,11 +461,101 @@ def percentile_disc_value(spark, sf_dir):
     return percentile_disc(ev, "value", [0.25, 0.5, 0.75, 0.99], tie_break="event_id")
 
 
-@query("approx_sketches")  # no oracle: approximate by design → rows-only check
+from uts_spark.functions.hashing import duck_hash64 as _dh64, hash64 as _h64  # noqa: E402
+
+_SK_K = 256  # KMV size for the global sketches
+_SK_SPACE = float(1 << 60)
+
+
+@query(
+    "approx_sketches",
+    f"""
+    WITH hu AS (
+      SELECT DISTINCT {_dh64("concat('kmvu:', user_id)")} AS hv FROM events
+    ),
+    ku AS (SELECT hv FROM hu ORDER BY hv LIMIT {_SK_K}),
+    eu AS (
+      SELECT CAST(CASE WHEN COUNT(*) >= {_SK_K}
+                  THEN ({_SK_K} - 1) * {_SK_SPACE!r} / MAX(hv)
+                  ELSE COUNT(*) END AS DOUBLE) AS approx_users
+      FROM ku
+    ),
+    he AS (
+      SELECT DISTINCT {_dh64("concat('kmve:', event_id)")} AS hv FROM events
+    ),
+    ke AS (SELECT hv FROM he ORDER BY hv LIMIT {_SK_K}),
+    ee AS (
+      SELECT CAST(CASE WHEN COUNT(*) >= {_SK_K}
+                  THEN ({_SK_K} - 1) * {_SK_SPACE!r} / MAX(hv)
+                  ELSE COUNT(*) END AS DOUBLE) AS approx_events
+      FROM ke
+    ),
+    s AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+      WHERE {_dh64("concat('ps:', event_id)")} % 4 = 0
+    ),
+    p AS (
+      SELECT quantile_cont(x, 0.50) / 100 AS approx_p50,
+             quantile_cont(x, 0.95) / 100 AS approx_p95,
+             quantile_cont(x, 0.99) / 100 AS approx_p99
+      FROM s
+    )
+    SELECT approx_users, approx_events, approx_p50, approx_p95, approx_p99
+    FROM eu, ee, p
+    """,
+)
 def approx_sketches(spark, sf_dir):
-    """Approximate aggregates: HLL++ distinct count and GK-sketch
-    percentiles — the 100 TB substitutes for exact distinct/sort. No
-    oracle on purpose (sketch results are implementation-defined)."""
+    """Approximate aggregates with a DETERMINISTIC, oracle-exact
+    construction: KMV (k-minimum-values) distinct sketches over the
+    portable 60-bit md5 hash family for distinct users/events, and
+    percentile estimates over a deterministic 25% hash-sample of the rows
+    (integer-snapped centi-units so interpolation is bit-identical).
+
+    Why not HLL++/GK (see approx_sketches_native): their register layouts
+    are engine-private, so no external oracle can reproduce them — this
+    query keeps the same *sketch semantics* (mergeable summaries, bounded
+    error: 1/sqrt(k) for KMV, sample-quantile error for the percentiles)
+    while being bit-reproducible in any engine that has md5.
+
+    Scale shape: the KMV k-min set is an associative partial aggregate —
+    Spark plans the orderBy+limit as TakeOrdered (per-partition top-k
+    heaps, merged on the driver: k·P values, never a full sort); the
+    hash-sample predicate pushes to the scan; one row out."""
+    ev = table(spark, sf_dir, "events")
+
+    def kmv(salt: str, col: str, alias: str):
+        h = ev.select(
+            _h64(F.concat(F.lit(salt), F.col(col).cast("string"))).alias("hv")
+        ).distinct()
+        topk = h.orderBy("hv").limit(_SK_K)
+        n = F.count(F.lit(1))
+        return topk.agg(
+            F.when(n >= _SK_K, F.lit((_SK_K - 1) * _SK_SPACE) / F.max("hv"))
+            .otherwise(n.cast("double")).alias(alias)
+        )
+
+    samp = ev.filter(
+        _h64(F.concat(F.lit("ps:"), F.col("event_id").cast("string"))) % 4 == 0
+    ).select(F.round(F.col("value") * 100).cast("long").alias("x"))
+    pct = samp.agg(
+        (F.percentile("x", F.lit(0.50)) / 100).alias("approx_p50"),
+        (F.percentile("x", F.lit(0.95)) / 100).alias("approx_p95"),
+        (F.percentile("x", F.lit(0.99)) / 100).alias("approx_p99"),
+    )
+    return (
+        kmv("kmvu:", "user_id", "approx_users")
+        .crossJoin(kmv("kmve:", "event_id", "approx_events"))
+        .crossJoin(pct)
+    )
+
+
+@query("approx_sketches_native")  # no oracle: HLL++/GK registers are
+# engine-private, approximate by design → rows-only check
+def approx_sketches_native(spark, sf_dir):
+    """Native HLL++ distinct count and GK-sketch percentiles — the
+    engine-provided 100 TB substitutes for exact distinct/sort, kept to
+    exercise Spark's own sketch aggregates (the deterministic oracle-exact
+    variant is ``approx_sketches``)."""
     ev = table(spark, sf_dir, "events")
     # scalar columns only: the driver's canonicalizer sorts output cells
     # with pandas, which cannot hash an array cell — so the three

@@ -61,33 +61,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# --- register all query modules (import side effects fill QUERIES/ORACLES)
+# --- register all query modules (import side effects fill QUERIES/ORACLES).
+# Imports are UNGUARDED on purpose: a broken transitive import must crash
+# the registry, not silently shrink the gate denominator (a bare
+# `except ImportError: pass` here once meant "0 fail" could hide an entire
+# missing query family). The size floor below is a second tripwire.
 from uts_spark.queries import uts_core  # noqa: E402,F401
+from uts_spark.queries import analytics  # noqa: E402,F401
+from uts_spark.queries import llm_ops  # noqa: E402,F401
+from uts_spark.queries import streaming_replay  # noqa: E402,F401
+from uts_spark.queries import sampling_ops  # noqa: E402,F401
+from uts_spark.queries import timeseries_ops  # noqa: E402,F401
+from uts_spark.queries import tpch_extra  # noqa: E402,F401
 
-try:
-    from uts_spark.queries import analytics  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    from uts_spark.queries import llm_ops  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    from uts_spark.queries import streaming_replay  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    from uts_spark.queries import sampling_ops  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    from uts_spark.queries import timeseries_ops  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    from uts_spark.queries import tpch_extra  # noqa: E402,F401
-except ImportError:
-    pass
+# Registry-size floor: bump when adding families, never lower. If this
+# fires, a module stopped registering queries — find out why.
+_REGISTRY_FLOOR = 211
+if len(QUERIES) < _REGISTRY_FLOOR:
+    raise RuntimeError(
+        f"query registry shrank: {len(QUERIES)} < floor {_REGISTRY_FLOOR} — "
+        "a query module failed to register its entries"
+    )
 
 # Headline set for bench.py — representative of each operator family,
 # heaviest variants included on purpose.
