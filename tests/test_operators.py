@@ -248,3 +248,21 @@ def test_session_assign_matches_python_model(spark):
                 idx += 1
             prev_t = t
             assert got[(u, t, e)] == (seq, start, idx), (u, t, e)
+
+
+def test_insert_rows_is_lazy_and_rebases(spark):
+    # VERDICT r2 #5: the write path must not run a driver action per
+    # insert batch — the ingest_id high-watermark rides the plan.
+    from uts_spark import TSDB
+
+    tsdb = TSDB(spark)
+    df = spark.createDataFrame([(0, 100, 1.0)], "ingest_id long, time long, v double")
+    s = tsdb.series("lazy_ins", df=df)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    s.insert_rows([{"v": 2.0}, {"v": 3.0}], time=200)
+    s.insert_rows([{"v": 4.0}], time=300)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before  # plan-only: no Spark job before terminal action
+    rows = {(r["ingest_id"], r["v"]) for r in s.df.collect()}
+    assert rows == {(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)}

@@ -146,10 +146,12 @@ def test_derivative_stateful_stream(spark, tmp_path):
     src, chk = _dirs(tmp_path)
     name = f"deriv_{uuid.uuid4().hex[:8]}"
     # interval 200: uts closed form emits (200,1),(400,4),(600,0),(800,0)
-    # then a final flush at tlast=900 — the stream emits only CLOSED
-    # intervals, so everything except the final partial one.
+    # then the final flush at tlast=900 — closed intervals stream out as
+    # points land beyond them; the NULL-value marker drains the open
+    # interval at tlast, completing batch parity (uts.ts:500-506).
     b1 = [("s", 0, 0.0), ("s", 100, 1.0), ("s", 250, 5.0)]
     b2 = [("s", 900, 6.0)]
+    b3 = [("s", 1 << 62, None)]  # flush marker
 
     stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), MS_SCHEMA)
     out = derivative_stateful_stream(
@@ -161,6 +163,8 @@ def test_derivative_stateful_stream(spark, tmp_path):
         q.processAllAvailable()
         _feed(spark, src, b2, MS_SCHEMA, 2)
         q.processAllAvailable()
+        _feed(spark, src, b3, MS_SCHEMA, 3)
+        q.processAllAvailable()
     finally:
         q.stop()
 
@@ -170,6 +174,7 @@ def test_derivative_stateful_stream(spark, tmp_path):
         (400, 4.0),
         (600, 0.0),
         (800, 0.0),
+        (900, 1.0),  # final flush at tlast: delta 5→6 in the open interval
     ]
 
 

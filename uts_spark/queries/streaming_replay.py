@@ -403,29 +403,32 @@ def stream_dedup_replay(spark, sf_dir):
     ),
     bounds AS (SELECT min(t) AS tfirst, max(t) AS tlast FROM pts),
     contrib AS (
-      SELECT tfirst + ((t - tfirst + {6*HOUR} - 1)//{6*HOUR}) * {6*HOUR} AS e,
+      SELECT LEAST(tfirst + ((t - tfirst + {6*HOUR} - 1)//{6*HOUR}) * {6*HOUR},
+                   (SELECT tlast FROM bounds)) AS e,
              {DSUM('delta')} AS change
       FROM d WHERE delta IS NOT NULL GROUP BY 1
     ),
     spine AS (
       SELECT unnest(generate_series(tfirst + {6*HOUR}, tlast - 1, {6*HOUR})) AS e
       FROM bounds WHERE tfirst IS NOT NULL
+      UNION
+      SELECT tlast FROM bounds WHERE tlast IS NOT NULL
     )
     SELECT e AS time, COALESCE(change, 0.0) AS d_value
     FROM spine LEFT JOIN contrib USING (e)
-    WHERE e < (SELECT tlast FROM bounds)
     """,
 )
 def stream_derivative_replay(spark, sf_dir):
     """STREAMING derivative oracle-gated: the stateful
     applyInPandasWithState fold (streaming/ops.derivative_stateful_stream)
     replayed over four strictly-ordered micro-batches — state (open
-    interval, accumulated change, previous value) carries across
-    batches, gaps zero-fill, and every CLOSED interval must hash-match
-    the batch closed form restricted to e < tlast (the final partial
-    interval stays buffered on a stream — the documented divergence —
-    so the oracle simply excludes the tlast flush; everything else is
-    bit-identical, the deltas summed through decimal on both sides).
+    interval, accumulated change, previous value, last point time)
+    carries across batches, gaps zero-fill, every CLOSED interval
+    hash-matches the batch closed form, and a final FLUSH-MARKER
+    micro-batch (NULL value) drains the open interval at ``tlast`` — so
+    the streaming output now equals the FULL batch closed form
+    (uts_derivative's oracle shape, uts.ts:500-506 final flush
+    included), deltas summed through decimal on both sides.
 
     Points are chunked by global (time, id) rank so arrival order
     equals the fold order the oracle's window uses — the one streaming
@@ -465,9 +468,15 @@ def stream_derivative_replay(spark, sf_dir):
         )
         return out.select("time", F.col("change").alias("d_value")), "append"
 
+    # end-of-stream flush: one NULL-value marker per key, fed as the
+    # final micro-batch — drains the open interval at tlast
+    flush = spark.createDataFrame(
+        [("purchase", (1 << 62), None, (1 << 62))],
+        "series string, ts_ms long, value double, event_id long",
+    )
     got = _replay(
         spark, chunk(0), build,
-        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        extra_feeds=[chunk(1), chunk(2), chunk(3), flush],
         ordered=True,
     )
     return got

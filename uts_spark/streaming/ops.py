@@ -215,13 +215,15 @@ _DERIV_OUT = StructType(
     ]
 )
 # state: first point time, prev value, current open-interval end,
-# accumulated change in the open interval
+# accumulated change in the open interval, last point time (for the
+# end-of-stream flush at tlast)
 _DERIV_STATE = StructType(
     [
         StructField("tfirst", LongType()),
         StructField("prev_v", DoubleType()),
         StructField("open_end", LongType()),
         StructField("acc", DoubleType()),
+        StructField("tprev", LongType()),
     ]
 )
 
@@ -240,12 +242,17 @@ def derivative_stateful_stream(
     reference's fold (SURVEY §2.4 A9) made incremental.
 
     Emission rule: the batch closed form accrues each delta to emission
-    time ``e = min(tfirst + k*interval ≥ t, tlast)``; on a stream ``tlast``
-    doesn't exist, so an interval is emitted when it CLOSES — i.e. when a
-    point lands beyond its end — and the final partial interval stays
-    buffered (documented divergence; a batch backfill finalizes it).
+    time ``e = min(tfirst + k*interval ≥ t, tlast)``; on a stream an
+    interval is emitted when it CLOSES — i.e. when a point lands beyond
+    its end. The final partial interval is flushed by a FLUSH MARKER: a
+    row whose ``value_col`` is NULL/NaN drains the key's state, emitting
+    the open interval's accumulated change at ``min(open_end, tlast)`` —
+    exactly the batch final flush at ``tlast`` (uts.ts:500-506). Feed one
+    marker per key at stream shutdown (or from a stop-time hook) and the
+    streaming output equals the batch closed form bit-for-bit, final row
+    included.
 
-    Scale: state is one 4-field row per series key, sharded by key across
+    Scale: state is one 5-field row per series key, sharded by key across
     executors; each micro-batch touches only keys present in the batch.
     """
 
@@ -262,17 +269,25 @@ def derivative_stateful_stream(
 
         (series,) = key
         if state.exists:
-            tfirst, prev_v, open_end, acc = state.get
+            tfirst, prev_v, open_end, acc, tprev = state.get
             acc = int(acc)
         else:
-            tfirst = prev_v = open_end = acc = None
+            tfirst = prev_v = open_end = acc = tprev = None
         out_t, out_c = [], []
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col)  # micro-batch arrival order
             for t, v in zip(pdf[time_col].astype("int64"), pdf[value_col]):
+                if pd.isna(v):  # flush marker: drain state at tlast
+                    if tfirst is not None:
+                        out_t.append(min(open_end, tprev))
+                        out_c.append(float(Decimal(acc).scaleb(-6)))
+                        tfirst = prev_v = open_end = acc = tprev = None
+                    continue
                 t, v = int(t), float(v)
                 if tfirst is None:
-                    tfirst, prev_v, open_end, acc = t, v, t + interval_ms, 0
+                    tfirst, prev_v, open_end, acc, tprev = (
+                        t, v, t + interval_ms, 0, t,
+                    )
                     continue
                 while t > open_end:  # close finished intervals, zero-fill gaps
                     out_t.append(open_end)
@@ -283,7 +298,12 @@ def derivative_stateful_stream(
                     Decimal(v - prev_v).quantize(six, ROUND_HALF_UP).scaleb(6)
                 )
                 prev_v = v
-        state.update((tfirst, prev_v, open_end, float(acc)))
+                tprev = t
+        if tfirst is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((tfirst, prev_v, open_end, float(acc), tprev))
         if out_t:
             yield pd.DataFrame(
                 {"series": series, "time": out_t, "change": out_c}
@@ -332,16 +352,24 @@ def derivative_tws_stream(
         def handleInputRows(self, key, rows, timer_values):
             (series,) = key
             if self._st.exists():
-                tfirst, prev_v, open_end, acc = self._st.get()
+                tfirst, prev_v, open_end, acc, tprev = self._st.get()
             else:
-                tfirst = prev_v = open_end = acc = None
+                tfirst = prev_v = open_end = acc = tprev = None
             out_t, out_c = [], []
             for pdf in rows:
                 pdf = pdf.sort_values(time_col)
                 for t, v in zip(pdf[time_col].astype("int64"), pdf[value_col]):
+                    if pd.isna(v):  # flush marker (see stateful variant)
+                        if tfirst is not None:
+                            out_t.append(min(open_end, tprev))
+                            out_c.append(acc)
+                            tfirst = prev_v = open_end = acc = tprev = None
+                        continue
                     t, v = int(t), float(v)
                     if tfirst is None:
-                        tfirst, prev_v, open_end, acc = t, v, t + interval_ms, 0.0
+                        tfirst, prev_v, open_end, acc, tprev = (
+                            t, v, t + interval_ms, 0.0, t,
+                        )
                         continue
                     while t > open_end:
                         out_t.append(open_end)
@@ -350,7 +378,11 @@ def derivative_tws_stream(
                         acc = 0.0
                     acc += v - prev_v
                     prev_v = v
-            self._st.update((tfirst, prev_v, open_end, acc))
+                    tprev = t
+            if tfirst is None:
+                self._st.clear()
+            else:
+                self._st.update((tfirst, prev_v, open_end, acc, tprev))
             if out_t:
                 yield pd.DataFrame(
                     {"series": series, "time": out_t, "change": out_c}
