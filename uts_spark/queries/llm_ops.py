@@ -293,15 +293,88 @@ def dedup_simhash_pairs(spark, sf_dir):
     return simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
 
 
-@query("dedup_minhash_lsh")  # approximate banding → rows-only; candidates
-def dedup_minhash_lsh(spark, sf_dir):  # are exact-Jaccard verified inside
+def _duck_minhash_lsh(
+    k: int = 32, bands: int = 8, n: int = 3, threshold: float = 0.5
+) -> str:
+    """Mirror of minhash_lsh_pairs(portable=True): dual-lane md5 shingle
+    hashes, the affine universal family, md5 band buckets, and exact
+    Jaccard over lane-A sets — every stage bit-reproducible."""
+    from uts_spark.functions.dedup import MINHASH_P as P, _family_constants
+
+    rpb = k // bands
+    consts = _family_constants(k)
+    grams = duck_word_ngrams(duck_tokens("text"), n)
+    mins = ", ".join(
+        f"MIN(({a} * h{'A' if i % 2 == 0 else 'B'} + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id AS id, unnest(list_distinct({grams})) AS gr FROM documents
+    ),
+    inv AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) AS hfull,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % {P} AS hA,
+             CAST(('0x' || substr(md5(gr), 17, 15)) AS BIGINT) % {P} AS hB
+      FROM g
+    ),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM inv GROUP BY id),
+    sig AS (SELECT id, {mins} FROM inv GROUP BY id),
+    bk AS ({band_sel}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                         AND a.id < b.id
+    ),
+    shared AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS sh
+      FROM cand c
+      JOIN inv x ON x.id = c.id_a
+      JOIN inv y ON y.id = c.id_b AND y.hfull = x.hfull
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           ({eq}) / {float(k)!r} AS est_jaccard,
+           CAST(COALESCE(s.sh, 0) AS DOUBLE)
+             / (za.ns + zb.ns - COALESCE(s.sh, 0)) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.id = c.id_a
+    JOIN sig sb ON sb.id = c.id_b
+    JOIN sizes za ON za.id = c.id_a
+    JOIN sizes zb ON zb.id = c.id_b
+    LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+    WHERE CAST(COALESCE(s.sh, 0) AS DOUBLE)
+            / (za.ns + zb.ns - COALESCE(s.sh, 0)) >= {threshold!r}
+    """
+
+
+@query("dedup_minhash_lsh", _duck_minhash_lsh())
+def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32) + LSH(8 bands): the 100 TB near-dup shape. Candidate
     pairs from band-bucket collisions, then exact-Jaccard verification —
     output has no false positives; banding curve governs recall (tested
-    against dedup_ngram_jaccard in tests/test_llm_ops.py)."""
+    against dedup_ngram_jaccard in tests/test_llm_ops.py).
+
+    Runs the PORTABLE dual-lane md5 hash family, so banding (not just
+    the verified output) is deterministic and the whole pipeline is
+    hash-exact against the SQL oracle — an approximate algorithm with an
+    exact reproducibility contract. The xxhash64 fast lane
+    (portable=False) is the production default when no external replay
+    is needed."""
     docs = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5
+        docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5,
+        portable=True,
     ).select("id_a", "id_b", "est_jaccard", "jaccard")
 
 

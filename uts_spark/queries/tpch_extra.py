@@ -398,3 +398,194 @@ def tpch_q11_value_concentration(spark, sf_dir):
     return pv.join(F.broadcast(thresh), F.col("value") > F.col("thr")).select(
         "l_partkey", "value"
     )
+
+
+# ===========================================================================
+# Q12 / Q20 — the ship-mode and surplus-stock join shapes. The testdata
+# lineitem lacks l_shipmode/l_commitdate/l_receiptdate and there is no
+# partsupp table, so both queries derive those columns DETERMINISTICALLY
+# from the portable md5 hash family (identically in Spark and the oracle):
+# the data is synthetic but the join/filter/agg PLAN SHAPE is canonical,
+# which is what these entries exercise.
+# ===========================================================================
+
+from uts_spark.functions.hashing import duck_hash64, hash64  # noqa: E402
+
+_DAY_MS = 86_400_000
+_SHIPMODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+_MS_1996 = 820_454_400_000   # 1996-01-01T00:00:00Z
+_MS_1997 = 852_076_800_000   # 1997-01-01T00:00:00Z
+
+_LKEY = "concat('{salt}:', l_orderkey, ':', l_linenumber)"
+
+
+def _duck_li_ext() -> str:
+    """Derived lineitem CTE body: ship_ms, l_shipmode, commit_ms,
+    receipt_ms — all from the portable hash family."""
+    sm = duck_hash64(_LKEY.format(salt="sm"))
+    cd = duck_hash64(_LKEY.format(salt="cd"))
+    rd = duck_hash64(_LKEY.format(salt="rd"))
+    modes = ", ".join(f"'{m}'" for m in _SHIPMODES)
+    return f"""
+      SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+             epoch_ms(l_shipdate) AS ship_ms,
+             [{modes}][CAST({sm} % 7 AS INTEGER) + 1] AS l_shipmode,
+             epoch_ms(l_shipdate) + ({cd} % 61 - 30) * {_DAY_MS} AS commit_ms,
+             epoch_ms(l_shipdate) + ({rd} % 30 + 1) * {_DAY_MS} AS receipt_ms
+      FROM lineitem
+    """
+
+
+def _li_extended(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    key = lambda salt: F.concat(  # noqa: E731
+        F.lit(f"{salt}:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"),
+    )
+    ship_ms = F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+    modes = F.array(*[F.lit(m) for m in _SHIPMODES])
+    return l.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        ship_ms.alias("ship_ms"),
+        F.element_at(
+            modes, (hash64(key("sm")) % 7 + 1).cast("int")
+        ).alias("l_shipmode"),
+        (ship_ms + (hash64(key("cd")) % 61 - 30) * _DAY_MS).alias("commit_ms"),
+        (ship_ms + (hash64(key("rd")) % 30 + 1) * _DAY_MS).alias("receipt_ms"),
+    )
+
+
+@query(
+    "tpch_q12_shipmode",
+    f"""
+    WITH li AS ({_duck_li_ext()})
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    WHERE li.l_shipmode IN ('MAIL', 'SHIP')
+      AND li.commit_ms < li.receipt_ms
+      AND li.ship_ms < li.commit_ms
+      AND li.receipt_ms >= {_MS_1996} AND li.receipt_ms < {_MS_1997}
+    GROUP BY l_shipmode
+    """,
+)
+def tpch_q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority): late-commit lines
+    received in 1996 by MAIL/SHIP, split into high/low-priority counts.
+
+    Plan shape: the three derived-column predicates collapse into one
+    filter evaluated in the scan stage (pure projection of pushed
+    columns), then a single hash join with orders and a 2-group
+    aggregation — at 100 TB the filter keeps ~2/7 of lineitem before the
+    join, and the join key is the fact table's natural key so AQE can
+    pick shuffle-hash."""
+    li = _li_extended(spark, sf_dir)
+    o = table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("commit_ms") < F.col("receipt_ms"))
+            & (F.col("ship_ms") < F.col("commit_ms"))
+            & (F.col("receipt_ms") >= _MS_1996)
+            & (F.col("receipt_ms") < _MS_1997)
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_surplus_suppliers",
+    f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    ),
+    psq AS (
+      SELECT ps_partkey, ps_suppkey,
+             {duck_hash64("concat('aq:', ps_partkey, ':', ps_suppkey)")} % 1000
+               AS ps_availqty
+      FROM ps
+    ),
+    qty AS (
+      SELECT l_partkey, l_suppkey, {DSUM('l_quantity')} AS year_qty
+      FROM lineitem
+      WHERE epoch_ms(l_shipdate) >= {_MS_1996}
+        AND epoch_ms(l_shipdate) < {_MS_1997}
+      GROUP BY l_partkey, l_suppkey
+    ),
+    sel AS (
+      SELECT psq.ps_suppkey, COUNT(*) AS n_surplus_parts
+      FROM psq
+      JOIN part p ON p.p_partkey = psq.ps_partkey AND p.p_name LIKE 'small%'
+      JOIN qty q ON q.l_partkey = psq.ps_partkey
+                AND q.l_suppkey = psq.ps_suppkey
+      WHERE psq.ps_availqty > 0.5 * q.year_qty
+      GROUP BY psq.ps_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, sel.n_surplus_parts
+    FROM supplier s
+    JOIN sel ON sel.ps_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def tpch_q20_surplus_suppliers(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): suppliers holding surplus
+    stock (availqty > half of what they shipped in 1996) of 'small'
+    parts. partsupp is derived from distinct lineitem (part, supp) pairs
+    with a hash-assigned availqty — synthetic values, canonical shape:
+    semi-join reduction of supplier through a filtered part dimension
+    and a correlated per-(part,supp) yearly aggregate.
+
+    Plan shape: part is broadcast into the partsupp probe; the yearly
+    quantity aggregate shuffles lineitem once on its natural key; the
+    final supplier/nation joins are broadcasts. Nothing rescans
+    lineitem per supplier — the correlated subquery of the canonical
+    SQL is one grouped aggregate joined back."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    ps = l.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct().withColumn(
+        "ps_availqty",
+        hash64(
+            F.concat(
+                F.lit("aq:"), F.col("ps_partkey").cast("string"),
+                F.lit(":"), F.col("ps_suppkey").cast("string"),
+            )
+        ) % 1000,
+    )
+    qty = (
+        l.filter(
+            (F.unix_millis(F.col("l_shipdate").cast("timestamp")) >= _MS_1996)
+            & (F.unix_millis(F.col("l_shipdate").cast("timestamp")) < _MS_1997)
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("year_qty"))
+    )
+    sel = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            qty,
+            (qty.l_partkey == ps.ps_partkey) & (qty.l_suppkey == ps.ps_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("year_qty"))
+        .groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_surplus_parts"))
+    )
+    return (
+        s.join(sel, sel.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_surplus_parts")
+    )
