@@ -180,6 +180,44 @@ def sample_frames(
     return df.select("doc_id", blob_col).mapInPandas(gen, FRAME_SCHEMA)
 
 
+HIST_SCHEMA = "doc_id long, bin long, n long, share double"
+
+
+def byte_histogram(
+    df: DataFrame, bins: int = 16, blob_col: str = "media"
+) -> DataFrame:
+    """Image-byte intensity histogram shape: each blob's bytes are binned
+    into ``bins`` equal-width intensity buckets (the luminance-histogram /
+    exposure-check step of an image QC pipeline), one output row per
+    non-empty (doc, bin) with count and share. numpy ``bincount`` over the
+    raw buffer — the whole blob is one vectorized pass, no per-byte Python.
+
+    Like audio_energy_windows, the fake decode IS the identity (samples =
+    blob bytes), so the operator is ORACLE-EXACT end-to-end: integer bin
+    counts and an n/total double share the SQL gate reproduces
+    bit-for-bit."""
+    shift = 256 // bins
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(payload)
+                if not blob:
+                    continue
+                arr = np.frombuffer(blob, np.uint8) // shift
+                cnt = np.bincount(arr, minlength=bins)
+                tot = float(len(blob))
+                for b in np.nonzero(cnt)[0]:
+                    rows.append((int(doc_id), int(b), int(cnt[b]), cnt[b] / tot))
+            yield pd.DataFrame(rows, columns=["doc_id", "bin", "n", "share"])
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, HIST_SCHEMA)
+
+
 AUDIO_SCHEMA = (
     "doc_id long, widx long, energy long, rms double, is_silent boolean"
 )

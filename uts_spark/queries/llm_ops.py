@@ -708,6 +708,35 @@ def multimodal_frame_sample(spark, sf_dir):
     return mm.sample_frames(docs, n_frames=4, frame_interval_ms=1000)
 
 
+@query(
+    "multimodal_byte_histogram",
+    """
+    WITH ch AS (
+      SELECT doc_id, unicode(unnest(string_split_regex(text, ''))) AS b
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, b // 16 AS bin, COUNT(*) AS n
+      FROM ch WHERE b >= 0 GROUP BY doc_id, b // 16
+    ),
+    t AS (SELECT doc_id, SUM(n) AS tot FROM h GROUP BY doc_id)
+    SELECT h.doc_id, CAST(h.bin AS BIGINT) AS bin, h.n,
+           CAST(h.n AS DOUBLE) / t.tot AS share
+    FROM h JOIN t USING (doc_id)
+    """,
+)
+def multimodal_byte_histogram(spark, sf_dir):
+    """Image-byte intensity histogram over the blob column (16 equal
+    bins): the luminance/exposure QC step of an image pipeline, run as a
+    vectorized numpy bincount inside mapInPandas. Second hash-exact
+    member of the multimodal family next to audio_energy_windows — the
+    fake decode is the identity (samples = blob bytes; the testdata
+    corpus is pure ASCII, so the SQL oracle reproduces the bytes as code
+    points)."""
+    docs = mm.attach_blob(table(spark, sf_dir, "documents"))
+    return mm.byte_histogram(docs, bins=16)
+
+
 # ===========================================================================
 # End-to-end pipeline: corpus → filtered, deduped, token-budgeted shards
 # ===========================================================================
@@ -1975,6 +2004,40 @@ def embedding_similarity_histogram(spark, sf_dir):
     at web scale the same histogram runs over a hash-sampled vector
     subset (deterministic sample_uniform) with identical plumbing."""
     e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(e, threshold=-1.01)
+    return (
+        pairs.select(F.floor(F.col("cosine") * 10).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "embedding_similarity_histogram_sampled",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {duck_hash64("concat('esh:', vec_id)")} % 4 = 0
+    ),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    c AS (SELECT {_duck_cosine('ea', 'eb')} AS cos FROM p)
+    SELECT CAST(floor(cos * 10) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM c GROUP BY 1
+    """,
+)
+def embedding_similarity_histogram_sampled(spark, sf_dir):
+    """The 100 TB lane of the similarity histogram: a deterministic 25%
+    hash-sample of the VECTORS first (1/16 of the pairs — sampling before
+    the quadratic stage, which is where the saving lives), then the same
+    tiled exact kernel and floor-binning. The subset predicate rides the
+    portable hash family, so the estimate itself is oracle-exact — the
+    full-pair histogram stays registered as the small-corpus reference."""
+    e = table(spark, sf_dir, "embeddings").filter(
+        hash64(F.concat(F.lit("esh:"), F.col("vec_id").cast("string"))) % 4 == 0
+    )
     pairs = cosine_pairs_blocked(e, threshold=-1.01)
     return (
         pairs.select(F.floor(F.col("cosine") * 10).cast("long").alias("bin"))
