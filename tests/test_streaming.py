@@ -891,3 +891,41 @@ def test_foreachbatch_cdc_apply_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert got == {"a": (5, 10.0), "b": (7, 20.0), "d": (6, 4.0)}
+
+
+def test_uts_interval_append_emits_on_event_time_timeout(spark, tmp_path):
+    # append-mode exact uts grouper: a bin fires ONCE when the watermark
+    # passes its absolute end (event-time timeout on per-bin state), and
+    # state carries across micro-batches before that.
+    from uts_spark.streaming.ops import uts_interval_agg_stream_append
+
+    src, chk = _dirs(tmp_path)
+    name = f"utsapp_{uuid.uuid4().hex[:8]}"
+    W, NOW = 1000, 10_000
+    # bin 1 = (8000, 9000]: points in two different batches; bin 0 = (9000, 10000]
+    b1 = [("s", _ts(spark, 8500), 1.0), ("s", _ts(spark, 9500), 5.0)]
+    b2 = [("s", _ts(spark, 9000), 3.0)]  # right-inclusive: lands in bin 1
+    s1 = [("s", _ts(spark, 200_000), 0.0)]  # watermark sentinels (> now)
+    s2 = [("s", _ts(spark, 300_000), 0.0)]
+
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), TS_SCHEMA)
+    out = uts_interval_agg_stream_append(
+        stream, interval_ms=W, now_ms=NOW, time_col="ts", watermark="1 second"
+    )
+    _feed(spark, src, b1, TS_SCHEMA, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate([b2, s1, s2], start=2):
+            _feed(spark, src, rows, TS_SCHEMA, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        f"SELECT start, mean_value, n FROM {name} ORDER BY start"
+    ).collect()
+    assert [(r.start, r.mean_value, r.n) for r in rows] == [
+        (8000, 2.0, 2),  # (1.0 + 3.0)/2 — cross-batch state, inclusive end
+        (9000, 5.0, 1),
+    ]

@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from uts_spark.operators.aggregates import Metric
 from uts_spark.registry import DAY, DSUM, HOUR, MS, NOW_MS, query, table
-from uts_spark.streaming.ops import tumbling_agg_stream, uts_interval_agg_stream
+from uts_spark.streaming.ops import (
+    tumbling_agg_stream,
+    uts_interval_agg_stream,
+    uts_interval_agg_stream_append,
+)
 
 _METRICS = {
     "mean_value": Metric("mean", "value", params={"stable": True}),
@@ -128,6 +132,52 @@ def stream_uts_interval_replay(spark, sf_dir):
         return out, "complete"
 
     got = _replay(spark, ev, build)
+    return got.select(
+        "start", F.col("width").cast("long").alias("width"), "mean_value", "n"
+    )
+
+
+@query(
+    "stream_uts_interval_append_replay",
+    f"""
+    WITH pts AS (
+      SELECT {MS} AS t, value FROM events WHERE {MS} <= {NOW_MS}
+    )
+    SELECT {NOW_MS} - (({NOW_MS} - t)//{DAY} + 1) * {DAY} AS start,
+           CAST({DAY} AS BIGINT) AS width,
+           {DSUM('value')}/COUNT(value) AS mean_value,
+           COUNT(*) AS n
+    FROM pts GROUP BY 1
+    """,
+)
+def stream_uts_interval_append_replay(spark, sf_dir):
+    """The exact now-anchored uts grouper in APPEND mode, oracle-gated:
+    event-time timeouts on per-bin keyed state emit each bin exactly once
+    when the watermark passes its absolute end
+    (streaming/ops.uts_interval_agg_stream_append) — closing the
+    'complete/update-mode only' limitation of the derived-key grouper.
+    Two far-future sentinel rows advance the watermark past every real
+    bin end so all bins finalize; sentinels are > now and thus excluded
+    from the bins themselves, exactly like the batch grouper drops
+    rows after ``now``."""
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).first()[0]
+    sentinels = [
+        spark.createDataFrame([(s,)], "ms long").select(
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        for s in (max_ms + 100 * DAY, max_ms + 101 * DAY)
+    ]
+
+    def build(stream):
+        out = uts_interval_agg_stream_append(
+            stream, interval_ms=DAY, now_ms=NOW_MS, time_col="ts",
+            watermark="60 days",
+        )
+        return out, "append"
+
+    got = _replay(spark, ev, build, extra_feeds=sentinels)
     return got.select(
         "start", F.col("width").cast("long").alias("width"), "mean_value", "n"
     )

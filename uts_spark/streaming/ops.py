@@ -157,6 +157,98 @@ def uts_interval_agg_stream(
     return out.select(start, F.lit(int(interval_ms)).alias("width"), *metrics.keys())
 
 
+_UTS_APPEND_OUT = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("width", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+# state: 6dp-snapped integer micro-unit sum + count for one bin
+_UTS_APPEND_STATE = StructType(
+    [StructField("acc", LongType()), StructField("n", LongType())]
+)
+
+
+def uts_interval_agg_stream_append(
+    df: DataFrame,
+    interval_ms: int,
+    now_ms: int,
+    time_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The reference's exact now-anchored IntervalGrouper in APPEND output
+    mode — closing the documented gap of :func:`uts_interval_agg_stream`
+    (a DERIVED bucket key can't drive Spark's native append-mode watermark
+    finalization). The fix is EVENT-TIME TIMEOUTS on keyed state: each bin
+    index keys an ``applyInPandasWithState`` group whose state accumulates
+    a decimal-snapped sum + count, with its timeout set to the bin's
+    ABSOLUTE end; when the watermark passes that end the group fires once
+    with ``state.hasTimedOut`` and emits the finalized (start, width,
+    mean, n) row — exactly the append contract the native path gets from
+    window-column watermarks.
+
+    Emits mean + count (the replay-gated aggregate pair); empty-bin
+    synthesis (fill) intentionally doesn't exist on a stream (see
+    tumbling_agg_stream). State: one 2-field row per OPEN bin, evicted at
+    emission — strictly bounded by (watermark delay / interval)."""
+
+    def step(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+        (bin_idx,) = key
+        bin_idx = int(bin_idx)
+        if state.hasTimedOut:
+            acc, n = state.get
+            start = now_ms - (bin_idx + 1) * interval_ms
+            mean = float(Decimal(int(acc)).scaleb(-6)) / int(n)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "start": [start],
+                    "width": [interval_ms],
+                    "mean_value": [mean],
+                    "n": [int(n)],
+                }
+            )
+        else:
+            acc, n = state.get if state.exists else (0, 0)
+            acc, n = int(acc), int(n)
+            for pdf in pdfs:
+                for v in pdf[value_col]:
+                    acc += int(
+                        Decimal(float(v)).quantize(six, ROUND_HALF_UP).scaleb(6)
+                    )
+                    n += 1
+            state.update((acc, n))
+            # fire once the watermark passes the bin's right-inclusive end
+            state.setTimeoutTimestamp(now_ms - bin_idx * interval_ms + 1)
+
+    tcol = F.col(time_col)
+    is_timestamp = dict(df.dtypes)[time_col].startswith("timestamp")
+    ms = F.unix_millis(tcol) if is_timestamp else tcol
+    idx = F.floor((F.lit(now_ms) - ms) / F.lit(int(interval_ms))).cast("long")
+    # the > now filter sits AFTER the watermark node so future-stamped
+    # sentinel rows still advance the watermark (and thus fire timeouts);
+    # the bin index must be a MATERIALIZED column (withColumn) — the
+    # stateful operator can't group by a raw derived expression
+    src = (
+        df.withWatermark(time_col, watermark)
+        .filter(ms <= F.lit(now_ms))
+        .withColumn("__bin", idx)
+    )
+    return src.groupBy("__bin").applyInPandasWithState(
+        step,
+        outputStructType=_UTS_APPEND_OUT,
+        stateStructType=_UTS_APPEND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def session_agg_stream(
     df: DataFrame,
     metrics: Mapping[str, Metric],
