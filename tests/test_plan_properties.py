@@ -407,3 +407,33 @@ def test_cosine_pairs_has_no_driver_collect(spark, sf_dir, monkeypatch):
     assert df.count() >= 0  # runs end-to-end, fully distributed
     p = plan(spark, sf_dir, "dedup_embedding_cosine")
     assert "FlatMapGroupsInPandas" in p  # tiled applyInPandas kernel
+
+
+def test_q12_single_join_no_python(spark, sf_dir):
+    p = plan(spark, sf_dir, "tpch_q12_shipmode")
+    assert "BatchEvalPython" not in p  # hash-derived cols stay JVM-side
+    assert "CartesianProduct" not in p
+
+
+def test_q20_dimensions_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "tpch_q20_surplus_suppliers")
+    assert p.count("BroadcastHashJoin") >= 2  # part + nation
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_portable_stays_jvm_side(spark, sf_dir):
+    # the whole portable MinHash pipeline is Column expressions — no
+    # row-at-a-time Python anywhere (md5/conv/affine family are JVM ops).
+    # checkpoint=False keeps the full lazy plan inspectable (the
+    # registered query eagerly checkpoints its tiny pair output).
+    from uts_spark.functions.dedup import minhash_lsh_pairs
+    from uts_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5,
+        portable=True, checkpoint=False,
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

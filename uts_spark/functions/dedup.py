@@ -336,6 +336,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     portable: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup: signatures → ``bands`` bands of k/bands rows
     → bucket-join on (band, bucket-hash) → candidates → exact Jaccard
@@ -356,19 +357,23 @@ def minhash_lsh_pairs(
         arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
         sig = minhash_signatures(df, text_col, id_col, n, k, arrays=arrays).cache()
 
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
-            )
+    # all bands in ONE pass over the signatures (explode of a struct
+    # array), not a bands-way unionAll of per-band selects
+    band_struct = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ])
+            ).alias("bucket"),
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionAll(br)
+        for b in range(bands)
+    ])
+    buckets = sig.select("id", F.explode(band_struct).alias("__b")).select(
+        "id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
+    )
 
     cand = (
         buckets.alias("x")
@@ -397,11 +402,20 @@ def minhash_lsh_pairs(
     # candidates, not pairs) — no false positives in the output; reuses
     # the cached arrays from the signature build
     exact = pair_jaccard(cand, arrays)
-    return (
+    out = (
         est.join(exact, ["id_a", "id_b"], "left")
         .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize the (tiny) verified-pair set eagerly so both caches can
+    # be released now instead of pinning executor storage for the session
+    # lifetime (same pattern as simhash_band_pairs); checkpoint=False
+    # keeps the full lazy plan (plan-shape tests inspect it)
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        arrays.unpersist()
+        sig.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
