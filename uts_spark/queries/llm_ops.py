@@ -2122,3 +2122,91 @@ def text_dedup_impact_report(spark, sf_dir):
             F.col("boilerplate_chars").cast("double") / F.col("corpus_chars")
         ).alias("boilerplate_share"),
     )
+
+
+# ===========================================================================
+# Tokenizer training prep + contrastive pair mining
+# ===========================================================================
+
+@query(
+    "text_bpe_merge_candidates",
+    f"""
+    WITH w AS (SELECT unnest({TOKS}) AS w FROM documents),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+      FROM w WHERE length(w) >= 2
+    ),
+    c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark, sf_dir):
+    """Tokenizer-training prep: the first BPE merge iteration's statistic
+    — corpus-wide counts of ADJACENT character pairs within words, top-20
+    with a deterministic (count desc, pair asc) tie-break. One explode to
+    words, one to in-word pairs, one hash aggregation, TakeOrdered for
+    the k winners; at full BPE-training scale each merge round is this
+    same count over the re-segmented corpus, so the per-round cost stays
+    one shuffle of (pair, count) partials."""
+    from uts_spark.functions.text import tokens as tok
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(tok(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "similarity_contrastive_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    c AS (SELECT id_a, id_b, {_duck_cosine('ea', 'eb')} AS cosine FROM p)
+    SELECT id_a, id_b, cosine, CAST(1 AS BIGINT) AS label
+    FROM c WHERE cosine >= 0.45
+    UNION ALL
+    SELECT id_a, id_b, cosine, CAST(0 AS BIGINT) AS label
+    FROM c WHERE cosine < 0.05
+      AND {duck_hash64("concat('neg:', id_a, ':', id_b)")} % 200 = 0
+    """,
+)
+def similarity_contrastive_pairs(spark, sf_dir):
+    """Contrastive-pair mining for embedding training: hard-ish positives
+    (cosine >= 0.45) plus a deterministic hash-sample of clear negatives
+    (cosine < 0.05, 1-in-200), labeled for a contrastive objective. Here
+    both classes come off one tiled exact-kernel pass so the oracle can
+    replay them; at 100 TB positives come from LSH candidate buckets
+    (cost ∝ collisions) and negatives from random id pairing — the same
+    labeling/filter stage downstream of cheaper candidate generators."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(e, threshold=-1.01)
+    neg_key = hash64(
+        F.concat(
+            F.lit("neg:"), F.col("id_a").cast("string"),
+            F.lit(":"), F.col("id_b").cast("string"),
+        )
+    )
+    pos = pairs.filter(F.col("cosine") >= 0.45).withColumn(
+        "label", F.lit(1).cast("long")
+    )
+    neg = pairs.filter(
+        (F.col("cosine") < 0.05) & (neg_key % 200 == 0)
+    ).withColumn("label", F.lit(0).cast("long"))
+    return pos.unionByName(neg)
