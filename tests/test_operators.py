@@ -266,3 +266,19 @@ def test_insert_rows_is_lazy_and_rebases(spark):
     assert after == before  # plan-only: no Spark job before terminal action
     rows = {(r["ingest_id"], r["v"]) for r in s.df.collect()}
     assert rows == {(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)}
+
+
+def test_tsdb_destroy_clears_registry(spark):
+    # S5 (uts.ts:549-554): destroy() empties the registry; a re-created
+    # series is a fresh empty one, not the old object or its data.
+    from uts_spark import TSDB
+
+    tsdb = TSDB(spark)
+    s = tsdb.series("doomed")
+    s.insert_rows([{"v": 1.0}], time=100) if "v" in s.df.columns else \
+        s.insert_rows([{}], time=100)
+    assert tsdb.series("doomed") is s  # get-or-create returns the same
+    tsdb.destroy()
+    s2 = tsdb.series("doomed")
+    assert s2 is not s
+    assert s2.df.count() == 0

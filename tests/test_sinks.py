@@ -193,3 +193,21 @@ def test_compact_small_files_roundtrip(spark, tmp_path):
     # already-compact dirs are left alone
     stats2 = compact_small_files(spark, path)
     assert stats2["files_before"] == stats2["files_after"] == 1
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # Robustness at ingest: a table whose later files gained a column
+    # reads as the UNION schema with mergeSchema; old files yield NULLs.
+    # (At 100 TB schema drift across years of files is the norm, and the
+    # footer-merge is why writers may add but never retype columns.)
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10.0)], "id long, v double").write.parquet(
+        base + "/g=a"
+    )
+    spark.createDataFrame(
+        [(2, 20.0, "x")], "id long, v double, tag string"
+    ).write.parquet(base + "/g=b")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) >= {"id", "v", "tag"}
+    rows = {r.id: r.tag for r in df.select("id", "tag").collect()}
+    assert rows == {1: None, 2: "x"}

@@ -929,3 +929,44 @@ def test_uts_interval_append_emits_on_event_time_timeout(spark, tmp_path):
         (8000, 2.0, 2),  # (1.0 + 3.0)/2 — cross-batch state, inclusive end
         (9000, 5.0, 1),
     ]
+
+
+def test_rate_source_feeds_tumbling_agg(spark, tmp_path):
+    # Source coverage beyond files: the built-in rate source (a stand-in
+    # for any unbounded queue source — same unbounded-table contract)
+    # flows through the exact-fidelity tumbling aggregation.
+    from uts_spark.operators.aggregates import Metric
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select(F.col("timestamp").alias("ts"), F.col("value").cast("double"))
+    )
+    out = tumbling_agg_stream(
+        stream,
+        {"n": Metric("count"), "sum_value": Metric("sum", "value", params={"stable": True})},
+        interval_ms=200,
+        time_col="ts",
+        watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            if spark.sql(f"SELECT * FROM {name}").count() > 0:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT start, width, n FROM {name}").collect()
+    assert len(rows) > 0
+    assert all(r.width == 200 and r.n > 0 for r in rows)
