@@ -2210,3 +2210,43 @@ def similarity_contrastive_pairs(spark, sf_dir):
         (F.col("cosine") < 0.05) & (neg_key % 200 == 0)
     ).withColumn("label", F.lit(0).cast("long"))
     return pos.unionByName(neg)
+
+
+def _duck_minhash_cluster() -> str:
+    return f"""
+    WITH RECURSIVE mh AS ({_duck_minhash_lsh()}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh
+      UNION ALL
+      SELECT id_b, id_a FROM mh
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.b AS node, r.lbl
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lbl < e.b
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id, MIN(lbl) = node AS keep
+    FROM reach GROUP BY node
+    """
+
+
+@query("dedup_minhash_cluster_cc", _duck_minhash_cluster())
+def dedup_minhash_cluster_cc(spark, sf_dir):
+    """THE canonical 100 TB dedup pipeline end-to-end: portable
+    MinHash+LSH near-dup pairs (banding candidates, exact-Jaccard
+    verified) feed connected components, labeling every document with
+    its cluster's minimum doc_id and a keep/drop verdict — the MinHash
+    twin of dedup_cluster_cc (SimHash) and dedup_semantic_cluster
+    (embedding cosine), against the same recursive-CTE transitive-
+    closure oracle. All three candidate generators share one downstream
+    clustering operator: swap the pair source, keep the verdict stage."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5,
+        portable=True,
+    ).select("id_a", "id_b")
+    return cluster_assignment(
+        docs.select("doc_id"), pairs, "doc_id", dedupe_edges=False
+    ).select("doc_id", "cluster_id", "keep")
