@@ -532,3 +532,55 @@ def test_bloom_contamination_no_false_negatives(spark):
         assert r["n_bloom_pass"] >= r["n_exact_hits"]
     assert out[1]["contaminated"] and out[1]["n_exact_hits"] > 0
     assert not out[2]["contaminated"] and out[2]["n_exact_hits"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Tiled all-pairs kernel: property test vs a local reference
+
+
+def _ref_pairs(ids, vecs, threshold):
+    """Driver-side reference of the integer-stable all-pairs cosine."""
+    import numpy as np
+
+    M = np.asarray(vecs, dtype=np.float64)
+    nrm = np.sqrt(
+        np.floor(M * M * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+    )
+    out = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] >= ids[j]:
+                continue
+            dot = (
+                np.floor(M[i] * M[j] * 1e12 + 0.5).astype(np.int64).sum() / 1e12
+            )
+            cos = dot / (nrm[i] * nrm[j])
+            if cos >= threshold:
+                out.add((ids[i], ids[j], cos))
+    return out
+
+
+def test_tiled_pairs_match_reference_across_tile_counts(spark):
+    """Triangle tiling must produce EXACTLY the all-pairs set for any
+    tile count — every unordered pair lands in exactly one tile-pair
+    group (cross pairs in (t_a,t_b), within-tile in (t,t)), with
+    canonical id_a<id_b orientation and bit-identical cosines."""
+    import random
+
+    from uts_spark.functions.similarity import cosine_pairs_blocked
+
+    rng = random.Random(7)
+    ids = rng.sample(range(1000), 23)
+    vecs = [[rng.uniform(-1, 1) for _ in range(5)] for _ in ids]
+    ref = _ref_pairs(ids, vecs, threshold=0.2)
+    df = spark.createDataFrame(
+        list(zip(ids, vecs)), "vec_id long, embedding array<double>"
+    )
+    for n_tiles in (1, 2, 3, 8, 40):  # incl. more tiles than vectors
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in cosine_pairs_blocked(
+                df, threshold=0.2, n_tiles=n_tiles, block=7
+            ).collect()
+        }
+        assert got == ref, f"n_tiles={n_tiles}"
