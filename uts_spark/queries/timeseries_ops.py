@@ -1147,3 +1147,108 @@ def events_run_lengths(spark, sf_dir):
     return per_user.join(best, "user_id").select(
         "user_id", "n_runs", "longest_run_type", "longest_run_len"
     )
+
+
+# ===========================================================================
+# Multi-lag autocorrelation function (ACF) over hourly series
+# ===========================================================================
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@query(
+    "ts_acf_pack",
+    f"""
+    WITH hr AS (
+      SELECT event_type, {MS} // {HOUR} AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) * 100 AS BIGINT)
+               AS x
+      FROM events GROUP BY event_type, {MS} // {HOUR}
+    ),
+    lags(lag) AS (SELECT UNNEST([{', '.join(map(str, _ACF_LAGS))}])),
+    p AS (
+      SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+      FROM hr a
+      JOIN lags l ON TRUE
+      JOIN hr b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM p GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy))
+           END AS acf
+    FROM m
+    """,
+)
+def ts_acf_pack(spark, sf_dir):
+    """Autocorrelation function at lags 1-3 of each event type's HOURLY
+    total — the seasonality probe run before choosing smoothing/forecast
+    models (high acf@24 would mean daily cycles; here lags 1-3 of the
+    hourly totals). The hourly sums are DECIMAL-exact then centi-snapped
+    to integers, so every moment sum is an exact BIGINT on both engines
+    and the Pearson assembly is identical-order double math — the same
+    discipline as ts_rolling_autocorr. Lag alignment is a self-join on
+    (event_type, h + lag): gap hours simply pair with nothing, exactly
+    like the textbook definition over the observed index set.
+
+    Scale: the hourly rollup is the only data-sized aggregation; the ACF
+    itself runs on the tiny (type, hour) table — one broadcast-joinable
+    self-join per lag batch, no windows over the raw events."""
+    ev = table(spark, sf_dir, "events")
+    hr = (
+        ev.select(
+            "event_type",
+            F.expr(f"CAST(ts_ms div {HOUR} AS BIGINT)").alias("h"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            (F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2) * 100)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    lags = spark.createDataFrame([(l,) for l in _ACF_LAGS], "lag int")
+    a = hr.select("event_type", "h", F.col("x"))
+    b = hr.select(
+        F.col("event_type").alias("et_b"), F.col("h").alias("h_b"),
+        F.col("x").alias("y"),
+    )
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("h_b") == F.col("h") + F.col("lag")),
+        )
+    )
+    nd = F.count(F.lit(1)).cast("long")
+    m = p.groupBy("event_type", "lag").agg(
+        nd.alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    vx = nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nD * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = nD * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("acf"),
+    )
