@@ -282,3 +282,25 @@ def test_tsdb_destroy_clears_registry(spark):
     s2 = tsdb.series("doomed")
     assert s2 is not s
     assert s2.df.count() == 0
+
+
+def test_observe_pipeline_metrics(spark):
+    # Pipeline observability: Observation metrics ride the job itself
+    # (no second pass over the data) — the idiomatic way to audit
+    # row counts / sums at 100 TB instead of extra .count() actions.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("audit")
+    df = (
+        spark.range(1000)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum("id").alias("id_sum"),
+        )
+        .filter(F.col("id") % 2 == 0)
+    )
+    assert df.count() == 500
+    got = obs.get
+    assert got["rows_in"] == 1000 and got["id_sum"] == 499500
