@@ -437,3 +437,33 @@ def test_minhash_portable_stays_jvm_side(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    # MIN/MAX/COUNT over a parquet table can be answered from row-group
+    # footer statistics without scanning data — at 100 TB this turns a
+    # full-table profiling query into a metadata read. Requires the V2
+    # parquet source (aggregate pushdown is not wired in V1).
+    from pyspark.sql import functions as F
+
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        p = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in p
+        row = agg.collect()[0]
+        assert row.n == df.count() and row.mn <= row.mx
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+        if prev_v1 is not None:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        else:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
