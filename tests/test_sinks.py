@@ -211,3 +211,26 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) >= {"id", "v", "tag"}
     rows = {r.id: r.tag for r in df.select("id", "tag").collect()}
     assert rows == {1: None, 2: "x"}
+
+
+def test_lsh_index_at_rest_partition_pruned_probes(spark, tmp_path):
+    # ANN index at rest: bucket ids written as a PARTITION column turn
+    # every probe into a partition-pruned scan — the disk-backed shape of
+    # the in-memory LSH bucket join (functions/similarity.lsh_bucket_table).
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.similarity import lsh_bucket_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    idx = lsh_bucket_table(emb, dim=dim, planes=6, tables=1)
+    path = str(tmp_path / "lsh_index")
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    at_rest = spark.read.parquet(path)
+    some_bucket = at_rest.select("bucket").first()[0]
+    probe = at_rest.filter(F.col("bucket") == some_bucket)
+    p = probe._jdf.queryExecution().executedPlan().toString()
+    pf = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf  # the probe predicate prunes directories
+    assert probe.count() > 0
