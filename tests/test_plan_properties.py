@@ -467,3 +467,13 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         else:
             spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_ohlc_m4_use_hash_aggregate_not_sort(spark, sf_dir):
+    # min_by/max_by ride a PACKED long ordering key: a struct key would
+    # demote the aggregation to SortAggregate (per-partition sort at
+    # 100 TB); packing keeps the whole fold in HashAggregate.
+    for name in ("ts_ohlc_hourly", "ts_m4_downsample"):
+        p = plan(spark, sf_dir, name)
+        assert "SortAggregate" not in p, name
+        assert "HashAggregate" in p, name

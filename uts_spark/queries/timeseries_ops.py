@@ -209,10 +209,11 @@ from uts_spark.operators.timeseries import ohlc, twap  # noqa: E402
     """,
 )
 def ts_ohlc_hourly(spark, sf_dir):
-    """Hourly OHLC bars per event_type: one hash aggregation — open and
-    close are min_by/max_by on a (time, event_id) struct, so there is no
-    window pass at all (the oracle's row_number formulation is the
-    semantics spec, not the plan)."""
+    """Hourly OHLC bars per event_type: ONE hash aggregation — open and
+    close are min_by/max_by on a packed (time, event_id) long key (see
+    operators/timeseries.ohlc: a struct key would fall back to
+    SortAggregate), so there is no window pass at all (the oracle's
+    row_number formulation is the semantics spec, not the plan)."""
     ev = table(spark, sf_dir, "events")
     return ohlc(ev, "event_type", "ts_ms", "value", HOUR, "event_id")
 
@@ -631,12 +632,14 @@ def ts_m4_downsample(spark, sf_dir):
     unlike averaging which flattens spikes. The visualization-lossless
     companion to the perceptual LTTB operator (ts_lttb_downsample).
 
-    Scale: a single hash aggregation on (series, bucket) — min/max are
-    plain partial aggs and first/last are min_by/max_by on the (time,
-    id) struct, so there is NO window sort and no second pass; 100 TB
-    of points reduce map-side to 4 values per series-bucket."""
+    Scale: a single HASH aggregation on (series, bucket) — min/max are
+    plain partial aggs and first/last are min_by/max_by on a PACKED long
+    ordering key (a struct key would demote the whole thing to
+    SortAggregate; see operators/timeseries.ohlc for the measurement and
+    the id-space envelope). 100 TB of points reduce map-side to 4 values
+    per series-bucket with no window sort and no second pass."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    ordk = F.struct(F.col("ts_ms"), F.col("event_id"))
+    ordk = (F.col("ts_ms") % _M4_W) * F.lit((1 << 62) // _M4_W) + F.col("event_id")
     return (
         ev.groupBy(
             F.col("user_id").alias("k"),
