@@ -864,3 +864,79 @@ def stream_clamped_balance_replay(spark, sf_dir):
         extra_feeds=[chunk(1), chunk(2), chunk(3)],
         ordered=True,
     )
+
+
+_ZW = 6 * HOUR
+
+
+@query(
+    "stream_zscore_replay",
+    f"""
+    WITH pts AS (
+      SELECT event_type AS k, event_id AS o, {MS} AS t,
+             ROUND(value * 100) AS v
+      FROM events
+    ),
+    st AS (
+      SELECT k, t // {_ZW} AS w, COUNT(*) AS n,
+             SUM(v) AS s1, SUM(v * v) AS s2
+      FROM pts GROUP BY k, t // {_ZW}
+    )
+    SELECT p.k AS series, p.t AS ts_ms, p.v AS value,
+           (p.v - b.s1 / b.n)
+             / sqrt((b.s2 - b.s1 * b.s1 / b.n) / b.n) AS z
+    FROM pts p
+    JOIN st b ON b.k = p.k AND b.w = p.t // {_ZW} - 1
+    WHERE b.n >= 5 AND (b.s2 - b.s1 * b.s1 / b.n) / b.n > 0
+      AND abs((p.v - b.s1 / b.n)
+              / sqrt((b.s2 - b.s1 * b.s1 / b.n) / b.n)) > 2
+    """,
+)
+def stream_zscore_replay(spark, sf_dir):
+    """STREAMING anomaly detection oracle-gated: zscore_stream's
+    previous-window baseline (per-key (n, Σv, Σv²) state pair, O(1)
+    however fast the stream) replayed over four strictly time-ordered
+    micro-batches. Values are centi-snapped to INTEGER-VALUED doubles
+    before streaming, so the state's float accumulations are exact in
+    any arrival order and every emitted z hash-matches the batch SQL —
+    an approximate-looking operator made bit-deterministic by input
+    snapping. The baseline join is on window index w-1 LITERALLY (an
+    empty previous window scores nothing), exactly the stream's
+    cold-start/gap semantics."""
+    from pyspark.sql.window import Window
+
+    from uts_spark.streaming.ops import zscore_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"),
+        "ts_ms",
+        F.round(F.col("value") * 100).alias("value"),
+        "event_id",
+    )
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(Window.orderBy("ts_ms", "event_id"))
+    ).withColumn(
+        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select("series", "ts_ms", "value", "event_id")
+            .coalesce(1)
+            .sortWithinPartitions("ts_ms", "event_id")
+        )
+
+    def build(stream):
+        out = zscore_stream(
+            stream, window_ms=_ZW, key_col="series", time_col="ts_ms",
+            min_points=5, threshold=2.0,
+        )
+        return out, "append"
+
+    return _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )
