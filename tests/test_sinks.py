@@ -234,3 +234,35 @@ def test_lsh_index_at_rest_partition_pruned_probes(spark, tmp_path):
     pf = p.split("PartitionFilters: [")[1].split("]")[0]
     assert "bucket" in pf  # the probe predicate prunes directories
     assert probe.count() > 0
+
+
+def test_custom_python_datasource_partitioned_deterministic(spark):
+    # Spark 4 Python DataSource API: the synthetic series source declares
+    # partitions, generates executor-side, and is bit-deterministic in
+    # (seed, row id) — a template for wrapping any external system as a
+    # scale-out source (sources/synth.py).
+    from uts_spark.sources.synth import register
+
+    register(spark)
+    df = (
+        spark.read.format("uts-synth")
+        .option("rows", 500).option("partitions", 8).option("seed", 3)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 500
+    a = sorted(df.collect())
+    b = sorted(
+        spark.read.format("uts-synth")
+        .option("rows", 500).option("partitions", 8).option("seed", 3)
+        .load().collect()
+    )
+    assert a == b  # deterministic across reads
+    # generated rows feed the normal Series/TSDB surface
+    from uts_spark.plans.tsdb import Series
+    from uts_spark.operators.aggregates import Metric
+
+    s = Series(df, time_col="time", order_col="ingest_id")
+    out = s.query({"m": Metric("mean", "value"), "n": Metric("count")})
+    row = out.collect()[0]
+    assert row["n"] == 500 and row["m"] > 0

@@ -5273,3 +5273,35 @@ def supplier_concentration_hhi(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
         .agg((F.sum(term_u).cast("double") / 1e12).alias("hhi"))
     )
+
+
+@query(
+    "scalar_variant_pack",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_long,
+           json_extract_string(props, '$.k')                      AS k_str,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) / 4  AS k_quarter,
+           CAST(NULL AS BIGINT)                                   AS missing,
+           'OBJECT<k: BIGINT>'                                    AS sch
+    FROM events
+    """,
+)
+def scalar_variant_pack(spark, sf_dir):
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, then typed ``variant_get``
+    path extraction, a safe ``try_variant_get`` on a missing path, and
+    ``schema_of_variant`` introspection. At 100 TB variant beats
+    string-JSON re-parsing per expression (one decode, columnar-friendly
+    binary layout, shreddable); the oracle mirrors with plain JSON
+    functions — same values, different engine-side encoding."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (F.variant_get(v, "$.k", "double") / 4).alias("k_quarter"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+        F.schema_of_variant(v).alias("sch"),
+    )
