@@ -970,3 +970,49 @@ def test_rate_source_feeds_tumbling_agg(spark, tmp_path):
     rows = spark.sql(f"SELECT start, width, n FROM {name}").collect()
     assert len(rows) > 0
     assert all(r.width == 200 and r.n > 0 for r in rows)
+
+
+def test_custom_python_stream_source_feeds_tumbling_agg(spark, tmp_path):
+    # Streaming side of the uts-synth Python DataSource: replayable
+    # index offsets (exactly-once recovery contract), partitioned
+    # micro-batches, flowing into the exact-fidelity tumbling agg.
+    from uts_spark.operators.aggregates import Metric
+    from uts_spark.sources.synth import register
+
+    register(spark)
+    name = f"synthstream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("uts-synth")
+        .option("rows_per_batch", 200).option("partitions", 2)
+        .load()
+        .select(
+            F.timestamp_millis(F.col("time")).alias("ts"),
+            "series", "value",
+        )
+    )
+    out = tumbling_agg_stream(
+        stream,
+        {"n": Metric("count")},
+        interval_ms=60_000,
+        time_col="ts",
+        watermark="0 seconds",
+        key_cols=["series"],
+    )
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 40
+        while _t.time() < deadline:
+            if spark.sql(f"SELECT * FROM {name}").count() > 0:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT series, n FROM {name}").collect()
+    assert len(rows) > 0 and all(r.n > 0 for r in rows)

@@ -74,6 +74,65 @@ class SynthSeriesDataSource(DataSource):
     def reader(self, schema: StructType) -> SynthSeriesReader:
         return SynthSeriesReader(schema, self.options)
 
+    def streamReader(self, schema: StructType) -> "SynthSeriesStreamReader":
+        return SynthSeriesStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SynthSeriesDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming side: the same deterministic generator as an unbounded source.
+# Offsets are plain row indices; each micro-batch emits `rate` rows split
+# into `partitions` slices, so the stream is replayable from any offset —
+# the property Structured Streaming needs for exactly-once recovery
+# (a checkpointed offset range re-reads identically).
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SynthSeriesStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.rate = int(options.get("rows_per_batch", 100))
+        self.parts = int(options.get("partitions", 2))
+        self.seed = int(options.get("seed", 7))
+        self.t0 = int(options.get("start_ms", 1_700_000_000_000))
+        self.step = int(options.get("step_ms", 1000))
+        self._current = 0
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        self._current += self.rate
+        return {"index": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["index"], end["index"]
+        per = -(-(hi - lo) // self.parts)
+        return [
+            _RangePartition(lo + p * per, min(lo + (p + 1) * per, hi))
+            for p in range(self.parts)
+            if lo + p * per < hi
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                self.t0 + i * self.step,
+                f"s{_h(self.seed, i, 'k') % 8}",
+                (_h(self.seed, i, 'v') % 1_000_000) / 100.0,
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
