@@ -384,7 +384,7 @@ def _duck_cluster_cc() -> str:
     # every member via states (x, m), m < x, so the final MIN per node
     # is unaffected and the state space stays O(edges).
     return f"""
-    WITH RECURSIVE pairs AS ({_duck_simhash_pairs()}),
+    WITH RECURSIVE pairs AS MATERIALIZED ({_duck_simhash_pairs()}),
     edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL
@@ -907,7 +907,7 @@ def _duck_semantic_cluster(threshold: float = 0.4) -> str:
     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  a.embedding AS ea, b.embedding AS eb
           FROM e a JOIN e b ON a.vec_id < b.vec_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM p WHERE {_duck_cosine('ea', 'eb')} >= {threshold!r}
     ),
     edges AS (
@@ -1239,7 +1239,7 @@ def _duck_triangles(threshold: float = 0.4) -> str:
     p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   a.embedding AS ea, b.embedding AS eb
            FROM e a JOIN e b ON a.vec_id < b.vec_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM p0 WHERE {_duck_cosine('ea', 'eb')} >= {threshold!r}
     ),
     sym AS (
@@ -2214,8 +2214,8 @@ def similarity_contrastive_pairs(spark, sf_dir):
 
 def _duck_minhash_cluster() -> str:
     return f"""
-    WITH RECURSIVE mh AS ({_duck_minhash_lsh()}),
-    edges AS (
+    WITH RECURSIVE mh AS MATERIALIZED ({_duck_minhash_lsh()}),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM mh
       UNION ALL
       SELECT id_b, id_a FROM mh
