@@ -213,7 +213,7 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows == {1: None, 2: "x"}
 
 
-def test_lsh_index_at_rest_partition_pruned_probes(spark, tmp_path):
+def test_lsh_index_at_rest_partition_pruned_probes(spark, sf_dir, tmp_path):
     # ANN index at rest: bucket ids written as a PARTITION column turn
     # every probe into a partition-pruned scan — the disk-backed shape of
     # the in-memory LSH bucket join (functions/similarity.lsh_bucket_table).
@@ -221,7 +221,7 @@ def test_lsh_index_at_rest_partition_pruned_probes(spark, tmp_path):
 
     from uts_spark.functions.similarity import lsh_bucket_table
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     idx = lsh_bucket_table(emb, dim=dim, planes=6, tables=1)
     path = str(tmp_path / "lsh_index")

@@ -280,3 +280,15 @@ def test_capped_sessions_gap_and_cap_interact(spark):
         order_col="event_id",
     ).collect()
     assert max(r.session_seq for r in out) == 2
+
+
+def test_ohlc_pre_epoch_timestamps_order_correctly(spark):
+    # regression: the packed ordering key must use pmod — Spark's % is
+    # sign-following, which inverted open/close for negative timestamps
+    from uts_spark.operators.timeseries import ohlc
+
+    rows = [("s", -10, 1.0, 0), ("s", -5, 2.0, 1)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, o long")
+    out = ohlc(df, "k", "t", "v", 10, "o").collect()
+    assert len(out) == 1
+    assert out[0]["open"] == 1.0 and out[0]["close"] == 2.0

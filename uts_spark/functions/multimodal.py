@@ -196,6 +196,11 @@ def byte_histogram(
     blob bytes), so the operator is ORACLE-EXACT end-to-end: integer bin
     counts and an n/total double share the SQL gate reproduces
     bit-for-bit."""
+    if bins < 1 or bins > 256 or 256 % bins:
+        raise ValueError(
+            f"bins must divide 256 (1..256), got {bins}: equal-width "
+            "byte buckets require 256 % bins == 0"
+        )
     shift = 256 // bins
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

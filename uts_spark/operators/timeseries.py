@@ -319,9 +319,11 @@ def ohlc(
         * F.lit(int(interval_ms))
     ).alias("bucket_ms")
     id_space = (1 << 62) // int(interval_ms)
-    ordk = (F.col(time_col) % F.lit(int(interval_ms))) * F.lit(id_space) + F.col(
-        order_col
-    )
+    # pmod, not %: Spark's % follows the sign, so a pre-epoch timestamp
+    # would get a NEGATIVE in-bucket offset and invert open/close order
+    ordk = F.pmod(F.col(time_col), F.lit(int(interval_ms))) * F.lit(
+        id_space
+    ) + F.col(order_col)
     v = F.col(value_col)
     return df.groupBy(F.col(key_col), bucket).agg(
         F.min_by(v, ordk).alias("open"),

@@ -106,6 +106,35 @@ def _replay(
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _ordered_chunker(ev, order_cols, select_cols, n_chunks=4):
+    """Split ``ev`` into ``n_chunks`` contiguous chunks of the global
+    (order_cols) sort — the shared scaffold of every order-sensitive
+    replay: chunk(i) is written as one sorted file, so micro-batch i
+    delivers rows in exactly the fold order the oracle's window uses."""
+    from pyspark.sql.window import Window
+
+    n = ev.count()
+    ranked = ev.withColumn(
+        "__rk", F.row_number().over(Window.orderBy(*order_cols))
+    ).withColumn(
+        "__chunk",
+        F.least(
+            ((F.col("__rk") - 1) * n_chunks / n).cast("int"),
+            F.lit(n_chunks - 1),
+        ),
+    )
+
+    def chunk(i):
+        return (
+            ranked.filter(F.col("__chunk") == i)
+            .select(*select_cols)
+            .coalesce(1)
+            .sortWithinPartitions(*order_cols)
+        )
+
+    return chunk
+
+
 @query(
     "stream_uts_interval_replay",
     f"""
@@ -491,23 +520,9 @@ def stream_derivative_replay(spark, sf_dir):
             F.lit("purchase").alias("series"), "ts_ms", "value", "event_id"
         )
     )
-    from pyspark.sql.window import Window
-
-    n = ev.count()
-    ranked = ev.withColumn(
-        "__rk",
-        F.row_number().over(Window.orderBy("ts_ms", "event_id")),
-    ).withColumn(
-        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    chunk = _ordered_chunker(
+        ev, ("ts_ms", "event_id"), ("series", "ts_ms", "value", "event_id")
     )
-
-    def chunk(i):
-        return (
-            ranked.filter(F.col("__chunk") == i)
-            .select("series", "ts_ms", "value", "event_id")
-            .coalesce(1)
-            .sortWithinPartitions("ts_ms", "event_id")
-        )
 
     from uts_spark.streaming.ops import derivative_stateful_stream
 
@@ -588,22 +603,9 @@ def stream_interval_coverage_replay(spark, sf_dir):
         (F.col("ts_ms") + F.lit(_COV_W)).alias("e"),
         "event_id",
     )
-    from pyspark.sql.window import Window
-
-    n = ev.count()
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(Window.orderBy("s", "event_id"))
-    ).withColumn(
-        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    chunk = _ordered_chunker(
+        ev, ("s", "event_id"), ("key", "s", "e", "event_id")
     )
-
-    def chunk(i):
-        return (
-            ranked.filter(F.col("__chunk") == i)
-            .select("key", "s", "e", "event_id")
-            .coalesce(1)
-            .sortWithinPartitions("s", "event_id")
-        )
 
     def build(stream):
         return interval_coverage_stream(stream), "append"
@@ -653,22 +655,9 @@ def stream_capped_sessions_replay(spark, sf_dir):
         "ts_ms",
         F.col("event_id").alias("order_id"),
     )
-    from pyspark.sql.window import Window
-
-    n = ev.count()
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
-    ).withColumn(
-        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    chunk = _ordered_chunker(
+        ev, ("ts_ms", "order_id"), ("key", "ts_ms", "order_id")
     )
-
-    def chunk(i):
-        return (
-            ranked.filter(F.col("__chunk") == i)
-            .select("key", "ts_ms", "order_id")
-            .coalesce(1)
-            .sortWithinPartitions("ts_ms", "order_id")
-        )
 
     def build(stream):
         return capped_session_stream(stream, _SESS_GAP, _SESS_CAP), "append"
@@ -714,22 +703,9 @@ def stream_ewma_replay(spark, sf_dir):
         "value",
         F.col("event_id").alias("order_id"),
     )
-    from pyspark.sql.window import Window
-
-    n = ev.count()
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
-    ).withColumn(
-        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    chunk = _ordered_chunker(
+        ev, ("ts_ms", "order_id"), ("key", "ts_ms", "value", "order_id")
     )
-
-    def chunk(i):
-        return (
-            ranked.filter(F.col("__chunk") == i)
-            .select("key", "ts_ms", "value", "order_id")
-            .coalesce(1)
-            .sortWithinPartitions("ts_ms", "order_id")
-        )
 
     def build(stream):
         return ewma_stream(stream, _EWMA_A), "append"
@@ -778,22 +754,9 @@ def stream_counter_rate_replay(spark, sf_dir):
             F.col("event_id").alias("order_id"),
         )
     )
-    from pyspark.sql.window import Window
-
-    n = ev.count()
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
-    ).withColumn(
-        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    chunk = _ordered_chunker(
+        ev, ("ts_ms", "order_id"), ("key", "ts_ms", "value", "order_id")
     )
-
-    def chunk(i):
-        return (
-            ranked.filter(F.col("__chunk") == i)
-            .select("key", "ts_ms", "value", "order_id")
-            .coalesce(1)
-            .sortWithinPartitions("ts_ms", "order_id")
-        )
 
     def build(stream):
         return counter_rate_stream(stream), "append"
@@ -839,22 +802,9 @@ def stream_clamped_balance_replay(spark, sf_dir):
             F.col("event_id").alias("order_id"),
         )
     )
-    from pyspark.sql.window import Window
-
-    n = ev.count()
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(Window.orderBy("ts_ms", "order_id"))
-    ).withColumn(
-        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    chunk = _ordered_chunker(
+        ev, ("ts_ms", "order_id"), ("key", "ts_ms", "delta", "order_id")
     )
-
-    def chunk(i):
-        return (
-            ranked.filter(F.col("__chunk") == i)
-            .select("key", "ts_ms", "delta", "order_id")
-            .coalesce(1)
-            .sortWithinPartitions("ts_ms", "order_id")
-        )
 
     def build(stream):
         return clamped_balance_stream(stream), "append"
@@ -903,8 +853,6 @@ def stream_zscore_replay(spark, sf_dir):
     snapping. The baseline join is on window index w-1 LITERALLY (an
     empty previous window scores nothing), exactly the stream's
     cold-start/gap semantics."""
-    from pyspark.sql.window import Window
-
     from uts_spark.streaming.ops import zscore_stream
 
     ev = table(spark, sf_dir, "events").select(
@@ -913,20 +861,9 @@ def stream_zscore_replay(spark, sf_dir):
         F.round(F.col("value") * 100).alias("value"),
         "event_id",
     )
-    n = ev.count()
-    ranked = ev.withColumn(
-        "__rk", F.row_number().over(Window.orderBy("ts_ms", "event_id"))
-    ).withColumn(
-        "__chunk", F.least(((F.col("__rk") - 1) * 4 / n).cast("int"), F.lit(3))
+    chunk = _ordered_chunker(
+        ev, ("ts_ms", "event_id"), ("series", "ts_ms", "value", "event_id")
     )
-
-    def chunk(i):
-        return (
-            ranked.filter(F.col("__chunk") == i)
-            .select("series", "ts_ms", "value", "event_id")
-            .coalesce(1)
-            .sortWithinPartitions("ts_ms", "event_id")
-        )
 
     def build(stream):
         out = zscore_stream(

@@ -639,7 +639,10 @@ def ts_m4_downsample(spark, sf_dir):
     the id-space envelope). 100 TB of points reduce map-side to 4 values
     per series-bucket with no window sort and no second pass."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    ordk = (F.col("ts_ms") % _M4_W) * F.lit((1 << 62) // _M4_W) + F.col("event_id")
+    # pmod (not %) so pre-epoch timestamps keep a non-negative offset
+    ordk = F.pmod(F.col("ts_ms"), F.lit(_M4_W)) * F.lit(
+        (1 << 62) // _M4_W
+    ) + F.col("event_id")
     return (
         ev.groupBy(
             F.col("user_id").alias("k"),

@@ -115,7 +115,13 @@ class SynthSeriesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["index"], end["index"]
-        per = -(-(hi - lo) // self.parts)
+        if hi < lo:
+            # checkpoint restart: the committed offset (start) is ahead of
+            # this fresh reader's in-memory counter — resume from it so
+            # the offset range never runs backwards (exactly-once resume)
+            self._current = lo
+            hi = lo
+        per = -(-(hi - lo) // self.parts) if hi > lo else 1
         return [
             _RangePartition(lo + p * per, min(lo + (p + 1) * per, hi))
             for p in range(self.parts)

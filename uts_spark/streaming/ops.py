@@ -165,9 +165,14 @@ _UTS_APPEND_OUT = StructType(
         StructField("n", LongType()),
     ]
 )
-# state: 6dp-snapped integer micro-unit sum + count for one bin
+# state: 6dp-snapped integer micro-unit sum, row count, non-null value
+# count for one bin
 _UTS_APPEND_STATE = StructType(
-    [StructField("acc", LongType()), StructField("n", LongType())]
+    [
+        StructField("acc", LongType()),
+        StructField("n", LongType()),
+        StructField("nv", LongType()),
+    ]
 )
 
 
@@ -202,9 +207,13 @@ def uts_interval_agg_stream_append(
         (bin_idx,) = key
         bin_idx = int(bin_idx)
         if state.hasTimedOut:
-            acc, n = state.get
+            acc, n, nv = state.get
             start = now_ms - (bin_idx + 1) * interval_ms
-            mean = float(Decimal(int(acc)).scaleb(-6)) / int(n)
+            # mean over NON-NULL values; 0.0 when the bin has none — the
+            # reference's A1 mean empty→0 / COUNT(value) semantics
+            mean = (
+                float(Decimal(int(acc)).scaleb(-6)) / int(nv) if nv else 0.0
+            )
             state.remove()
             yield pd.DataFrame(
                 {
@@ -215,15 +224,18 @@ def uts_interval_agg_stream_append(
                 }
             )
         else:
-            acc, n = state.get if state.exists else (0, 0)
-            acc, n = int(acc), int(n)
+            acc, n, nv = state.get if state.exists else (0, 0, 0)
+            acc, n, nv = int(acc), int(n), int(nv)
             for pdf in pdfs:
                 for v in pdf[value_col]:
+                    n += 1
+                    if pd.isna(v):  # NULL value: counted in n, not mean
+                        continue
                     acc += int(
                         Decimal(float(v)).quantize(six, ROUND_HALF_UP).scaleb(6)
                     )
-                    n += 1
-            state.update((acc, n))
+                    nv += 1
+            state.update((acc, n, nv))
             # fire once the watermark passes the bin's right-inclusive end
             state.setTimeoutTimestamp(now_ms - bin_idx * interval_ms + 1)
 
@@ -231,12 +243,19 @@ def uts_interval_agg_stream_append(
     is_timestamp = dict(df.dtypes)[time_col].startswith("timestamp")
     ms = F.unix_millis(tcol) if is_timestamp else tcol
     idx = F.floor((F.lit(now_ms) - ms) / F.lit(int(interval_ms))).cast("long")
+    # watermarks need a TIMESTAMP event-time column: derive one for
+    # epoch-ms LONG time columns (the sibling complete-mode grouper
+    # accepts both; this operator must too)
+    wm_col = time_col
+    if not is_timestamp:
+        wm_col = "__evt"
+        df = df.withColumn(wm_col, F.timestamp_millis(tcol))
     # the > now filter sits AFTER the watermark node so future-stamped
     # sentinel rows still advance the watermark (and thus fire timeouts);
     # the bin index must be a MATERIALIZED column (withColumn) — the
     # stateful operator can't group by a raw derived expression
     src = (
-        df.withWatermark(time_col, watermark)
+        df.withWatermark(wm_col, watermark)
         .filter(ms <= F.lit(now_ms))
         .withColumn("__bin", idx)
     )
