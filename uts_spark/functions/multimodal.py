@@ -71,12 +71,18 @@ def decode_image(blob: bytes):
 def _fake_features(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake 'decode': dimensions + an 8-dim feature vector
     derived from the md5 of the bytes. Stands in for a real decoder with
-    identical Spark-side shape (bytes → fixed-schema struct)."""
+    identical Spark-side shape (bytes → fixed-schema struct).
+
+    Feature components are EXACT doubles ``(byte - 128) / 128`` (a
+    power-of-two divisor, no rounding step) so an external SQL engine
+    reproduces them bit-for-bit from ``md5`` hex — the earlier
+    ``round(x, 6)`` hit Python-banker's vs SQL-half-away ties on every
+    odd byte value."""
     digest = hashlib.md5(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     channels = 1 + digest[2] % 3
-    feature = [round((b - 128) / 128.0, 6) for b in digest[4 : 4 + FEATURE_DIM]]
+    feature = [(b - 128) / 128.0 for b in digest[4 : 4 + FEATURE_DIM]]
     return width, height, channels, feature
 
 
@@ -171,7 +177,11 @@ def sample_frames(
             for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
                 blob = bytes(payload)
                 for i in range(n_frames):
-                    _, _, _, feature = _fake_features(blob + bytes([i]))
+                    # printable per-frame salt (not a raw control byte) so
+                    # a SQL oracle can replay md5(blob || '#f' || i)
+                    _, _, _, feature = _fake_features(
+                        blob + f"#f{i}".encode()
+                    )
                     rows.append((int(doc_id), i, i * frame_interval_ms, feature))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_ms", "feature"]

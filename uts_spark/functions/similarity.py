@@ -529,3 +529,76 @@ def pca_project(
         vector_to_array(F.col("__p")).alias("components"),
     )
     return out, [float(x) for x in model.explainedVariance]
+
+
+def ivf_topk_det(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DETERMINISTIC IVF top-k: centroids are the ``n_cells`` corpus
+    vectors with the smallest portable hash (a hash-seeded sample — no
+    k-means iterations, no RNG), cell assignment is argmax of the
+    integer-stable cosine (tie-break: centroid id), anchors probe their
+    ``n_probe`` best cells, candidates rerank exactly. Every stage is
+    bit-reproducible in SQL — the oracle-checkable member of the IVF
+    family next to the MLlib-k-means :func:`ivf_topk` (better cells,
+    engine-private training).
+
+    Scale shape is identical to ivf_topk: tiny broadcast centroid table,
+    one assignment pass over the corpus (writeable as a partition
+    column), probe cost ∝ n_probe/n_cells of the corpus."""
+    cents = (
+        emb.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_cells)
+        .drop("__h")
+    )
+    sim = F.col("__sim")
+    wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    scored_cells = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(wc))
+    )
+    assigned = scored_cells.filter(F.col("__r") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = (
+        anchors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= n_probe)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__va"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = probes.join(assigned, "cell").filter(
+        F.col("anchor_id") != F.col("neighbor_id")
+    )
+    out = cand.select(
+        "anchor_id",
+        "neighbor_id",
+        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -639,19 +639,73 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
-@query("similarity_ann_lsh")  # approximate by design → rows-only
+@query(
+    "similarity_ann_lsh",
+    f"""
+    WITH grid AS (
+      SELECT t.t, h.h, i.i,
+             (CAST(('0x' || substr(md5('hp' || (t.t * 1000 + h.h) || ':' || i.i),
+                                   1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0
+               AS w
+      FROM (SELECT unnest(range(0, 4)) AS t) t,
+           (SELECT unnest(range(0, 12)) AS h) h,
+           (SELECT unnest(range(0, {EMB_DIM})) AS i) i
+    ),
+    wl AS (SELECT t, h, list(w ORDER BY i) AS wv FROM grid GROUP BY t, h),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    pr AS (
+      SELECT e.vec_id, wl.t, wl.h,
+             list_reduce(list_transform(range(1, {EMB_DIM + 1}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * wl.wv[i]),
+               (a, b) -> a + b) AS proj
+      FROM e, wl
+    ),
+    bk AS MATERIALIZED (
+      SELECT vec_id, t,
+             SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << h
+                 ELSE 0 END) AS bucket
+      FROM pr GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neighbor_id
+      FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+    ),
+    scored AS (
+      SELECT c.anchor_id, c.neighbor_id,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.anchor_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
 def similarity_ann_lsh(spark, sf_dir):
     """Approximate top-k: random-hyperplane LSH (12 planes × 4 tables,
     hyperplanes derived from the portable hash family — zero RNG state),
     exact rerank of bucket-collision candidates. Recall vs brute force
-    asserted in tests/test_llm_ops.py."""
+    asserted in tests/test_llm_ops.py.
+
+    HASH-EXACT since round 3: the hyperplanes are md5-derived, the
+    projection is the same left-fold multiply-add chain on both engines
+    (Spark aggregate-HOF ↔ DuckDB list_reduce — identical partial-sum
+    sequence), sign bits pack into integer buckets, and the rerank is
+    the integer-stable cosine — so even the LSH *candidate sets* are
+    bit-reproducible, like the MinHash banding."""
     e = table(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") < 5)
     return lsh_topk(e, anchors, dim=EMB_DIM, k=10, planes=12, tables=4)
 
 
-@query("similarity_ann_ivf")  # approximate by design → rows-only
-def similarity_ann_ivf(spark, sf_dir):
+@query("similarity_ann_ivf")  # MLlib k-means training is engine-private
+def similarity_ann_ivf(spark, sf_dir):  # → rows-only (det variant below)
     """IVF approximate top-k: k-means cells + n_probe nearest-centroid
     probing, exact cosine rerank inside probed cells — the
     partition-pruned ANN shape for corpora where even LSH bucket joins
@@ -660,6 +714,73 @@ def similarity_ann_ivf(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     anchors = e.filter(F.col("vec_id") < 5)
     return ivf_topk(e, anchors, k=10, n_cells=16, n_probe=4)
+
+
+@query(
+    "similarity_ann_ivf_det",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    hc AS (
+      SELECT vec_id, embedding,
+             {duck_hash64("concat('ivfc:', vec_id)")} AS h
+      FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM hc ORDER BY h, vec_id LIMIT 8
+    ),
+    sim AS MATERIALIZED (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cosine('e.embedding', 'c.cv')} AS s
+      FROM e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS anchor_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim WHERE vec_id < 5) WHERE r <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.anchor_id
+    ),
+    scored AS (
+      SELECT c.anchor_id, c.neighbor_id,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.anchor_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_ann_ivf_det(spark, sf_dir):
+    """DETERMINISTIC IVF top-k: hash-seeded centroids (smallest portable
+    hash — no k-means RNG/training), integer-stable cosine assignment and
+    probing, exact rerank — same partition-pruned shape as
+    similarity_ann_ivf but every stage bit-reproducible, so the IVF
+    family gets a hash-exact oracle member alongside the rows-only
+    MLlib-trained variant (similarity.ivf_topk_det)."""
+    from uts_spark.functions.similarity import ivf_topk_det
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_topk_det(e, anchors, k=10, n_cells=8, n_probe=3)
 
 
 # ===========================================================================
@@ -683,29 +804,105 @@ def multimodal_metadata(spark, sf_dir):
     return mm.media_metadata(docs)
 
 
-@query("multimodal_decode_features")  # python decode path → rows-only
+def _duck_digest_byte(expr: str, i: int) -> str:
+    """Byte ``i`` of md5(expr) as INT — mirrors hashlib digest[i]."""
+    return f"CAST(('0x' || substr(md5({expr}), {2 * i + 1}, 2)) AS INTEGER)"
+
+
+def _duck_fake_decode(expr: str) -> str:
+    """(width, height, channels) columns mirroring _fake_features."""
+    return (
+        f"CAST(64 + {_duck_digest_byte(expr, 0)} % 192 AS BIGINT) AS width, "
+        f"CAST(64 + {_duck_digest_byte(expr, 1)} % 192 AS BIGINT) AS height, "
+        f"CAST(1 + {_duck_digest_byte(expr, 2)} % 3 AS BIGINT) AS channels"
+    )
+
+
+def _duck_feature_vals(expr: str) -> str:
+    """(fidx, fval) exploded feature components: exact (byte-128)/128."""
+    return (
+        "SELECT *, CAST(i AS BIGINT) AS fidx, "
+        f"(CAST(('0x' || substr(md5({expr}), 9 + 2 * i, 2)) AS INTEGER) - 128)"
+        " / 128.0 AS fval "
+        "FROM base, (SELECT unnest(range(0, 8)) AS i)"
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+             {_duck_fake_decode('text')}, text
+      FROM documents
+    )
+    SELECT doc_id, byte_len, width, height, channels, fidx, fval
+    FROM ({_duck_feature_vals('text')})
+    """,
+)
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched mapInPandas 'decode': deterministic fake codec (real
     codecs stubbed — not in container; functions/multimodal.decode_image)
-    producing per-blob dimensions + feature vector."""
+    producing per-blob dimensions + feature vector, feature components
+    posexploded so the whole decode is HASH-EXACT against the oracle
+    (the fake decode is md5-derived with exact power-of-two divisions,
+    so SQL replays every value — the plumbing contract a real codec
+    would drop to rows-only)."""
     docs = mm.attach_blob(table(spark, sf_dir, "documents"))
-    return mm.fake_decode_features(docs)
+    out = mm.fake_decode_features(docs)
+    return out.select(
+        "doc_id", "byte_len", "width", "height", "channels",
+        F.posexplode("feature").alias("fidx", "fval"),
+    ).withColumn("fidx", F.col("fidx").cast("long"))
 
 
-@query("multimodal_resize")  # python codec path → rows-only
+@query(
+    "multimodal_resize",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_duck_fake_decode('text')} FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(224 AS BIGINT) AS target_w, CAST(224 AS BIGINT) AS target_h,
+           224 / CAST(width AS DOUBLE) AS scale_x,
+           224 / CAST(height AS DOUBLE) AS scale_y,
+           224 * 224 * channels AS resized_bytes
+    FROM d
+    """,
+)
 def multimodal_resize(spark, sf_dir):
     """Resize pipeline (decode → scale → re-encode shape) with the codec
-    stubbed; real scale factors + output buffer sizes per blob."""
+    stubbed; real scale factors + output buffer sizes per blob — now
+    hash-exact (fake decode is SQL-replayable)."""
     docs = mm.attach_blob(table(spark, sf_dir, "documents"))
     return mm.resize_images(docs, target_w=224, target_h=224)
 
 
-@query("multimodal_frame_sample")  # python codec path → rows-only
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH frames(frame_idx) AS (SELECT unnest(range(0, 4))),
+    base AS (
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(frame_idx * 1000 AS BIGINT) AS frame_ms,
+             text || '#f' || frame_idx AS salted
+      FROM documents, frames
+    )
+    SELECT doc_id, frame_idx, frame_ms, fidx, fval
+    FROM ({_duck_feature_vals('salted')})
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling: 1 blob → n_frames rows with per-frame
-    features (the mapInPandas fan-out shape)."""
+    features (the mapInPandas fan-out shape), per-frame feature
+    components exploded — hash-exact via the printable per-frame md5
+    salt."""
     docs = mm.attach_blob(table(spark, sf_dir, "documents"))
-    return mm.sample_frames(docs, n_frames=4, frame_interval_ms=1000)
+    out = mm.sample_frames(docs, n_frames=4, frame_interval_ms=1000)
+    return out.select(
+        "doc_id", "frame_idx", "frame_ms",
+        F.posexplode("feature").alias("fidx", "fval"),
+    ).withColumn("fidx", F.col("fidx").cast("long"))
 
 
 @query(
