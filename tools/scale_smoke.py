@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from uts_spark.session import get_spark
 
@@ -81,12 +82,9 @@ def main() -> None:
         "window_running_sum_per_user": lambda df: df.select(
             "user_id", "ts_ms",
             F.sum(F.col("value").cast("decimal(38,6)")).over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("user_id").orderBy("ts_ms", "ingest_id")
-                .rowsBetween(
-                    __import__("pyspark.sql.window", fromlist=["Window"])
-                    .Window.unboundedPreceding, 0
-                )
+                Window.partitionBy("user_id")
+                .orderBy("ts_ms", "ingest_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
             ).cast("double").alias("rs"),
         ),
     }

@@ -26,6 +26,20 @@ from uts_spark.functions.hashing import hash64
 SCALE = 1e12
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: the (cosine DESC, neighbor_id ASC) tie-break
+    and long-typed rank every similarity operator must agree on for the
+    hash-exact contract — change it HERE, nowhere else."""
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+
 def dot_stable(a: Column, b: Column) -> Column:
     """Order-independent exact dot product: per-element double products
     (IEEE-deterministic), explicitly rounded to integers at 1e-12 via
@@ -87,13 +101,7 @@ def cosine_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_topk_blocked(
@@ -167,13 +175,7 @@ def cosine_topk_blocked(
     scored = emb.select(id_col, vec_col).mapInPandas(
         gen, "anchor_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_pairs_blocked(
@@ -444,11 +446,7 @@ def ivf_topk(
         "neighbor_id",
         cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -488,11 +486,7 @@ def lsh_topk(
         "neighbor_id",
         cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def pca_project(
@@ -564,7 +558,6 @@ def ivf_topk_det(
         .limit(n_cells)
         .drop("__h")
     )
-    sim = F.col("__sim")
     wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
     scored_cells = (
         emb.select(id_col, vec_col)
@@ -597,8 +590,4 @@ def ivf_topk_det(
         "neighbor_id",
         cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        out.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(out, k)

@@ -832,7 +832,7 @@ def _duck_feature_vals(expr: str) -> str:
     "multimodal_decode_features",
     f"""
     WITH base AS (
-      SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              {_duck_fake_decode('text')}, text
       FROM documents
     )
