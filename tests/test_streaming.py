@@ -1016,3 +1016,62 @@ def test_custom_python_stream_source_feeds_tumbling_agg(spark, tmp_path):
         q.stop()
     rows = spark.sql(f"SELECT series, n FROM {name}").collect()
     assert len(rows) > 0 and all(r.n > 0 for r in rows)
+
+
+def test_custom_python_stream_source_restarts_from_checkpoint(spark, tmp_path):
+    # restart contract: a NEW reader instance must resume from the
+    # committed offset (its in-memory counter restarts at 0 — the
+    # partitions() clamp prevents a backwards offset range). Memory sink
+    # can't recover, so the restart goes through a parquet sink.
+    import time as _t
+
+    from uts_spark.sources.synth import register
+
+    register(spark)
+    chk = str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.format("uts-synth")
+            .option("rows_per_batch", 100).option("partitions", 2)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def rows_written():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    q = start()
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline and rows_written() < 200:
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+    first = spark.read.parquet(out_dir)
+    first_n, first_max = first.count(), first.agg(F.max("ingest_id")).first()[0]
+    assert first_n >= 200 and first_max is not None
+
+    q2 = start()  # same checkpoint, fresh reader instance
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline and rows_written() <= first_n:
+            _t.sleep(0.3)
+    finally:
+        q2.stop()
+    out = spark.read.parquet(out_dir)
+    n, distinct = out.count(), out.select("ingest_id").distinct().count()
+    assert n > first_n          # the restarted query made progress
+    assert n == distinct        # no replayed/duplicated ids after restart
+    assert out.agg(F.max("ingest_id")).first()[0] > first_max
