@@ -1075,3 +1075,39 @@ def test_custom_python_stream_source_restarts_from_checkpoint(spark, tmp_path):
     assert n > first_n          # the restarted query made progress
     assert n == distinct        # no replayed/duplicated ids after restart
     assert out.agg(F.max("ingest_id")).first()[0] > first_max
+
+
+def test_simhash_neardup_stream_cross_batch_buckets(spark, tmp_path):
+    # per-bucket state carries across batches; a doc emits its min
+    # hamming vs EARLIER bucket-mates only (first arrivals emit nothing)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from uts_spark.streaming.ops import simhash_neardup_stream
+
+    SK = StructType(
+        [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+    )
+    sk3 = (1 << 0) | (1 << 12) | (1 << 24) | (1 << 36)  # slice 1 per band
+    b1 = [(1, 0), (2, 0), (3, sk3)]
+    b2 = [(4, 1)]  # band0 shares with doc3; bands 1-3 share with docs 1,2
+
+    src, chk = _dirs(tmp_path)
+    name = f"neardup_{uuid.uuid4().hex[:8]}"
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), SK)
+    out = simhash_neardup_stream(stream, bands=4, bits=48)
+    _feed(spark, src, b1, SK, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        _feed(spark, src, b2, SK, 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    best = {
+        r.doc_id: r.m
+        for r in spark.sql(
+            f"SELECT doc_id, min(hamming) m FROM {name} GROUP BY doc_id"
+        ).collect()
+    }
+    assert best == {2: 0, 4: 1}  # doc1/doc3 arrived first in their buckets

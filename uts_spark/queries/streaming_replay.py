@@ -877,3 +877,86 @@ def stream_zscore_replay(spark, sf_dir):
         extra_feeds=[chunk(1), chunk(2), chunk(3)],
         ordered=True,
     )
+
+
+@query(
+    "stream_simhash_neardup_replay",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM t
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ),
+    sk AS (SELECT doc_id AS id, {acc} AS simhash FROM votes),
+    sl AS (
+      SELECT id, simhash, b.band,
+             (simhash >> (b.band * 12)) & 4095 AS slice
+      FROM sk, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    m AS (
+      SELECT b.id AS doc_id,
+             MIN(bit_count(xor(a.simhash, b.simhash))) AS best_hamming
+      FROM sl a
+      JOIN sl b ON a.band = b.band AND a.slice = b.slice AND a.id < b.id
+      GROUP BY b.id
+    )
+    SELECT doc_id, CAST(best_hamming AS BIGINT) AS best_hamming,
+           best_hamming <= 6 AS is_neardup
+    FROM m
+    """.format(
+        votes=", ".join(
+            f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(48)
+        ),
+        acc=" + ".join(
+            f"((CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)"
+            f" END) << {j})"
+            for j in range(48)
+        ),
+    ),
+)
+def stream_simhash_neardup_replay(spark, sf_dir):
+    """STREAMING near-dup prefilter oracle-gated: per-bucket SimHash
+    state (streaming/ops.simhash_neardup_stream) replayed over four
+    doc_id-ordered micro-batches — each document's minimum hamming
+    against EARLIER band-bucket-mates, minimized across bands after
+    capture, must hash-match the batch banded-LSH self-join restricted
+    to a.id < b.id. The sketches are computed as stateless Column
+    expressions upstream (the production shape: only the bucket match is
+    stateful); 'earlier' is arrival order = doc_id order, exactly the
+    oracle's inequality."""
+    from uts_spark.functions.dedup import simhash
+    from uts_spark.streaming.ops import simhash_neardup_stream
+
+    docs = table(spark, sf_dir, "documents")
+    sk = simhash(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+    chunk = _ordered_chunker(sk, ("doc_id",), ("doc_id", "simhash"))
+
+    def build(stream):
+        out = simhash_neardup_stream(stream, bands=4, bits=48)
+        return out, "append"
+
+    got = _replay(
+        spark, chunk(0), build,
+        extra_feeds=[chunk(1), chunk(2), chunk(3)],
+        ordered=True,
+    )
+    return (
+        got.groupBy("doc_id")
+        .agg(F.min("hamming").alias("best_hamming"))
+        .select(
+            "doc_id", "best_hamming",
+            (F.col("best_hamming") <= 6).alias("is_neardup"),
+        )
+    )

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -1007,6 +1008,105 @@ def clamped_balance_stream(
         step,
         outputStructType=_BAL_OUT,
         stateStructType=_BAL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup prefilter (SimHash bucket state)
+
+_NEARDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", LongType()),
+        StructField("hamming", LongType()),
+    ]
+)
+_NEARDUP_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("sketches", ArrayType(LongType())),
+    ]
+)
+
+
+def simhash_neardup_stream(
+    df: DataFrame,
+    bands: int = 4,
+    bits: int = 48,
+    id_col: str = "doc_id",
+    sketch_col: str = "simhash",
+) -> DataFrame:
+    """STREAM-side near-duplicate prefilter: each arriving document's
+    SimHash is banded (``bands`` slices of ``bits/bands`` bits); per
+    (band, slice) bucket, keyed state holds the sketches seen so far and
+    each arrival emits its minimum hamming distance against EARLIER
+    bucket-mates — the streaming face of the batch
+    ``dedup_simhash_pairs`` LSH (a doc that shares no band bucket with
+    anything seen is a guaranteed non-candidate, exactly the batch
+    banding guarantee).
+
+    Input needs (id_col, sketch_col) — sketches are a stateless per-row
+    computation upstream (Column exprs or a pandas UDF over the text),
+    so this operator is the only stateful stage. Downstream, min over a
+    doc's bands gives its best-match distance; ``<= max_hamming`` is the
+    dedup-drop signal.
+
+    State: one (ids, sketches) pair of arrays per OCCUPIED bucket —
+    production use bounds it with a watermark/TTL on the bucket key
+    (dedup horizon); the replay harness keeps it unbounded on purpose to
+    match the batch oracle over the whole corpus."""
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    slices = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(sketch_col), b * width)
+            .bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        for b in range(bands)
+    ])
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sketch_col).alias("sk"),
+        F.explode(slices).alias("__s"),
+    ).select(
+        "doc_id", "sk",
+        F.col("__s.band").alias("band"), F.col("__s.slice").alias("slice"),
+    )
+
+    def step(key, pdfs, state: GroupState):
+        band = int(key[0])
+        if state.exists:
+            ids, sketches = state.get
+            ids, sketches = list(ids), list(sketches)
+        else:
+            ids, sketches = [], []
+        out_d, out_h = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")  # arrival order within batch
+            for doc_id, sk in zip(
+                pdf["doc_id"].astype("int64"), pdf["sk"].astype("int64")
+            ):
+                doc_id, sk = int(doc_id), int(sk)
+                if sketches:
+                    best = min(bin(sk ^ h).count("1") for h in sketches)
+                    out_d.append(doc_id)
+                    out_h.append(best)
+                ids.append(doc_id)
+                sketches.append(sk)
+        state.update((ids, sketches))
+        if out_d:
+            yield pd.DataFrame(
+                {"doc_id": out_d, "band": band, "hamming": out_h}
+            )
+
+    return exploded.groupBy("band", "slice").applyInPandasWithState(
+        step,
+        outputStructType=_NEARDUP_OUT,
+        stateStructType=_NEARDUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
