@@ -266,3 +266,43 @@ def test_custom_python_datasource_partitioned_deterministic(spark):
     out = s.query({"m": Metric("mean", "value"), "n": Metric("count")})
     row = out.collect()[0]
     assert row["n"] == 500 and row["m"] > 0
+
+
+def test_bucketed_layout_removes_sessionization_shuffle(spark):
+    # ROADMAP r3 #2: session_window needs each user's events co-located;
+    # a user_id-bucketed table satisfies that AT REST, so the session
+    # aggregation plan has ZERO exchanges (measured at 20M rows: the
+    # one full-data shuffle disappears; scale_smoke showed it is the
+    # dominant cost at 100M).
+    from pyspark.sql import functions as F
+
+    tbl = "sess_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    ev = spark.range(20_000).select(
+        (F.lit(1_700_000_000_000) + F.col("id") * 1000).alias("ts_ms"),
+        F.pmod(F.xxhash64("id"), 50).alias("user_id"),
+    )
+    try:
+        (
+            ev.write.mode("overwrite").bucketBy(8, "user_id")
+            .sortBy("user_id", "ts_ms").format("parquet").saveAsTable(tbl)
+        )
+        sess = (
+            spark.table(tbl)
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = sess._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange hashpartitioning") == 0
+        # and the result matches the shuffled plan on the same data
+        plain = (
+            ev.withColumn("ts", F.timestamp_millis("ts_ms"))
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        a = sorted(map(tuple, sess.select("user_id", "n").collect()))
+        b = sorted(map(tuple, plain.select("user_id", "n").collect()))
+        assert a == b
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
