@@ -1111,3 +1111,61 @@ def test_simhash_neardup_stream_cross_batch_buckets(spark, tmp_path):
         ).collect()
     }
     assert best == {2: 0, 4: 1}  # doc1/doc3 arrived first in their buckets
+
+
+def test_simhash_neardup_stream_horizon_evicts_buckets(spark, tmp_path):
+    # with time_col + horizon, a bucket unseen past its horizon is
+    # EVICTED once the watermark passes: a later identical sketch is
+    # treated as NEW (emits nothing) instead of matching forgotten state
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    from uts_spark.streaming.ops import simhash_neardup_stream
+
+    SK = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("simhash", LongType()),
+        ]
+    )
+    H = 3_600_000  # 1h horizon
+    b1 = [(1, _ts(spark, 1 * H), 7)]
+    # sentinel batches push the watermark beyond (doc1.ts + horizon);
+    # eviction fires on the batch AFTER the watermark commit, hence
+    # three of them before doc2 (same two-batch lag the tumbling replay
+    # documents). Sentinel sketches share no bucket with doc1 (band0
+    # slice 9 vs 7; other bands slice != 0 via the low bits).
+    sent = 9 | (1 << 13) | (1 << 25) | (1 << 37)
+    wm = [
+        (90, _ts(spark, 10 * H), sent),
+        (91, _ts(spark, 11 * H), sent),
+        (92, _ts(spark, 12 * H), sent),
+    ]
+    b2 = [(2, _ts(spark, 13 * H), 7)]  # identical sketch, after horizon
+
+    src, chk = _dirs(tmp_path)
+    name = f"ndh_{uuid.uuid4().hex[:8]}"
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), SK)
+    out = simhash_neardup_stream(
+        stream, bands=4, bits=48, time_col="ts",
+        watermark="0 seconds", horizon_ms=H,
+    )
+    _feed(spark, src, b1, SK, 1)
+    q = _start(out, chk, name)
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate([wm[:1], wm[1:2], wm[2:], b2], start=2):
+            _feed(spark, src, rows, SK, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_id, r.hamming)
+        for r in spark.sql(f"SELECT doc_id, hamming FROM {name}").collect()
+    }
+    # doc2 matched NOTHING (doc1's buckets evicted); had state survived,
+    # (2, 0) would appear. Sentinels only match each other (hamming 0).
+    assert all(d not in (1, 2) for d, _ in got), got

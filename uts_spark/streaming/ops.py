@@ -1037,6 +1037,9 @@ def simhash_neardup_stream(
     bits: int = 48,
     id_col: str = "doc_id",
     sketch_col: str = "simhash",
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+    horizon_ms: int = 0,
 ) -> DataFrame:
     """STREAM-side near-duplicate prefilter: each arriving document's
     SimHash is banded (``bands`` slices of ``bits/bands`` bits); per
@@ -1053,10 +1056,14 @@ def simhash_neardup_stream(
     doc's bands gives its best-match distance; ``<= max_hamming`` is the
     dedup-drop signal.
 
-    State: one (ids, sketches) pair of arrays per OCCUPIED bucket —
-    production use bounds it with a watermark/TTL on the bucket key
-    (dedup horizon); the replay harness keeps it unbounded on purpose to
-    match the batch oracle over the whole corpus."""
+    State: one (ids, sketches) pair of arrays per OCCUPIED bucket. Pass
+    ``time_col`` (event-time TIMESTAMP) + ``horizon_ms`` to bound it:
+    each bucket's event-time timeout is pushed to (last arrival +
+    horizon), and when the watermark passes it the bucket's sketches are
+    EVICTED — the dedup-horizon contract (a re-arrival after the horizon
+    is treated as new, exactly what watermark-evicted exact dedup does).
+    Without ``time_col`` state is unbounded — the replay harness uses
+    that on purpose to match the batch oracle over the whole corpus."""
     width = bits // bands
     mask = (1 << width) - 1
 
@@ -1068,27 +1075,42 @@ def simhash_neardup_stream(
         )
         for b in range(bands)
     ])
-    exploded = df.select(
+    evict = time_col is not None
+    cols = [
         F.col(id_col).alias("doc_id"),
         F.col(sketch_col).alias("sk"),
         F.explode(slices).alias("__s"),
-    ).select(
+    ]
+    src = df.withWatermark(time_col, watermark) if evict else df
+    if evict:
+        # the watermark-tagged column itself must flow into the stateful
+        # operator (event-time timeout requires it in the child output);
+        # __ms rides alongside for the state arithmetic
+        cols.append(F.col(time_col))
+        cols.append(F.unix_millis(F.col(time_col)).alias("__ms"))
+    exploded = src.select(*cols).select(
         "doc_id", "sk",
         F.col("__s.band").alias("band"), F.col("__s.slice").alias("slice"),
+        *([time_col, "__ms"] if evict else []),
     )
 
     def step(key, pdfs, state: GroupState):
         band = int(key[0])
+        if evict and state.hasTimedOut:
+            state.remove()  # horizon passed: forget this bucket
+            return
         if state.exists:
             ids, sketches = state.get
             ids, sketches = list(ids), list(sketches)
         else:
             ids, sketches = [], []
         out_d, out_h = [], []
+        last_ms = None
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")  # arrival order within batch
-            for doc_id, sk in zip(
-                pdf["doc_id"].astype("int64"), pdf["sk"].astype("int64")
+            ms_col = pdf["__ms"].astype("int64") if evict else [0] * len(pdf)
+            for doc_id, sk, ms in zip(
+                pdf["doc_id"].astype("int64"), pdf["sk"].astype("int64"), ms_col
             ):
                 doc_id, sk = int(doc_id), int(sk)
                 if sketches:
@@ -1097,7 +1119,12 @@ def simhash_neardup_stream(
                     out_h.append(best)
                 ids.append(doc_id)
                 sketches.append(sk)
+                if evict:
+                    ms = int(ms)
+                    last_ms = ms if last_ms is None else max(last_ms, ms)
         state.update((ids, sketches))
+        if evict and last_ms is not None:
+            state.setTimeoutTimestamp(last_ms + horizon_ms)
         if out_d:
             yield pd.DataFrame(
                 {"doc_id": out_d, "band": band, "hamming": out_h}
@@ -1108,5 +1135,8 @@ def simhash_neardup_stream(
         outputStructType=_NEARDUP_OUT,
         stateStructType=_NEARDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
