@@ -306,3 +306,42 @@ def test_bucketed_layout_removes_sessionization_shuffle(spark):
         assert a == b
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, sf_dir, tmp_path):
+    # Format coverage beyond parquet: ORC round-trips the events table
+    # and pushes comparison predicates into the ORC scan (searchArg).
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ms", "value")
+    path = str(tmp_path / "events_orc")
+    ev.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    q = back.filter(F.col("value") > 150.0)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(value,150.0)" in plan
+    assert q.count() == ev.filter(F.col("value") > 150.0).count()
+
+
+def test_csv_malformed_rows_permissive_and_drop(spark, tmp_path):
+    # Ingest robustness: PERMISSIVE captures broken rows in
+    # _corrupt_record (audit lane), DROPMALFORMED silently filters them
+    # — the two knobs a 100 TB CSV backfill actually uses.
+    import os
+
+    path = str(tmp_path / "dirty")
+    os.makedirs(path)
+    with open(os.path.join(path, "part.csv"), "w") as f:
+        f.write("1,a,1.5\n2,b,not_a_number\n3,c,-2.0\nbroken row\n")
+    schema = "id long, name string, v double, _corrupt_record string"
+    permissive = spark.read.schema(schema).option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").csv(path)
+    rows = permissive.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 2  # the non-numeric v and the short row
+    dropped = spark.read.schema("id long, name string, v double").option(
+        "mode", "DROPMALFORMED"
+    ).csv(path)
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
