@@ -1258,3 +1258,75 @@ def ts_acf_pack(spark, sf_dir):
         F.col("n").alias("n_pairs"),
         F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("acf"),
     )
+
+
+# ===========================================================================
+# Maximum drawdown per series
+# ===========================================================================
+
+@query(
+    "ts_max_drawdown",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS t, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, t, event_id, x,
+             MAX(x) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+      FROM e
+    ),
+    d AS (
+      SELECT user_id, t, x, peak,
+             1 - CAST(x AS DOUBLE) / peak AS dd,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY 1 - CAST(x AS DOUBLE) / peak DESC, t, event_id
+             ) AS rn
+      FROM r
+    )
+    SELECT user_id, dd AS max_drawdown,
+           t AS trough_ms, CAST(peak AS BIGINT) AS peak_x
+    FROM d WHERE rn = 1
+    """,
+)
+def ts_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per series: the largest peak-to-trough decline
+    ``1 - v / running_max(v)`` in time order — the risk metric every
+    monitoring/finance stack computes next to OHLC/TWAP. Values are
+    centi-snapped to integers, so the running max is exact and the
+    ratio is one identical double division on both engines; the trough
+    row wins a (dd DESC, time, id) deterministic tie-break.
+
+    Scale: one exchange on the series key carries the running-max
+    window AND the argmax ranking — prefix max is the O(1)-per-row
+    accumulator path (UNBOUNDED frame, see SCALE.md), never a sliding
+    re-aggregation."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    r = ev.select(
+        "user_id", F.col("ts_ms").alias("t"), "event_id", x.alias("x")
+    ).withColumn(
+        "peak",
+        F.max("x").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dd = F.lit(1) - F.col("x").cast("double") / F.col("peak")
+    ranked = r.withColumn("dd", dd).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("dd"), F.asc("t"), F.asc("event_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("dd").alias("max_drawdown"),
+        F.col("t").alias("trough_ms"),
+        F.col("peak").alias("peak_x"),
+    )
