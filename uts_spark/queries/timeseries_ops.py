@@ -1330,3 +1330,81 @@ def ts_max_drawdown(spark, sf_dir):
         F.col("t").alias("trough_ms"),
         F.col("peak").alias("peak_x"),
     )
+
+
+# ===========================================================================
+# SMA crossover signals (golden/death crosses)
+# ===========================================================================
+
+@query(
+    "ts_sma_crossover",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS t, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t, event_id,
+             SUM(x) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+             SUM(x) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS rn
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, t,
+             CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END AS above,
+             lag(CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY t, event_id) AS prev_above,
+             4 * s5 - s20 AS margin
+      FROM s WHERE rn >= 20
+    )
+    SELECT user_id, t AS cross_ms,
+           CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS direction,
+           CAST(margin AS BIGINT) AS margin
+    FROM g WHERE prev_above IS NOT NULL AND above != prev_above
+    """,
+)
+def ts_sma_crossover(spark, sf_dir):
+    """Moving-average crossover signals per series: a GOLDEN cross when
+    the 5-point SMA rises above the 20-point SMA, a DEATH cross when it
+    falls back — the classic trend-change detector. The comparison is
+    scaled to INTEGERS (fast > slow ⟺ 4·Σ₅ > Σ₂₀ on centi-snapped
+    values), so there is no float anywhere: window sums are exact, the
+    flip test is an integer compare, bit-identical on any engine.
+
+    Scale: both trailing sums, the row counter, and the lag ride ONE
+    exchange + one sort on the series key; the small constant frames
+    (5/20 rows) are the legitimate sliding-window case (cf. the
+    UNBOUNDED rule in SCALE.md — these are genuinely sliding)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    base = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = ev.select(
+        "user_id", F.col("ts_ms").alias("t"), "event_id", x.alias("x")
+    ).select(
+        "user_id", "t", "event_id",
+        F.sum("x").over(base.rowsBetween(-4, 0)).alias("s5"),
+        F.sum("x").over(base.rowsBetween(-19, 0)).alias("s20"),
+        F.row_number().over(base).alias("rn"),
+    )
+    above = F.when(4 * F.col("s5") > F.col("s20"), 1).otherwise(0)
+    g = (
+        s.filter(F.col("rn") >= 20)
+        .withColumn("above", above)
+        .withColumn("prev_above", F.lag("above").over(base))
+        .withColumn("margin", (4 * F.col("s5") - F.col("s20")).cast("long"))
+    )
+    return g.filter(
+        F.col("prev_above").isNotNull() & (F.col("above") != F.col("prev_above"))
+    ).select(
+        "user_id",
+        F.col("t").alias("cross_ms"),
+        F.when(F.col("above") == 1, "golden").otherwise("death").alias("direction"),
+        "margin",
+    )

@@ -76,7 +76,7 @@ from uts_spark.queries import tpch_extra  # noqa: E402,F401
 
 # Registry-size floor: bump when adding families, never lower. If this
 # fires, a module stopped registering queries — find out why.
-_REGISTRY_FLOOR = 226
+_REGISTRY_FLOOR = 227
 if len(QUERIES) < _REGISTRY_FLOOR:
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < floor {_REGISTRY_FLOOR} — "
