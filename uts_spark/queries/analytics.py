@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 from uts_spark.operators.aggregates import lane_sum
 from uts_spark.operators.joins import asof_join, binned_range_join
 from uts_spark.operators.topk import percentile_disc, top_k, top_k_per_group
-from uts_spark.registry import DAY, DSUM, HOUR, MS, query, table
+from uts_spark.registry import DAY, DSUM, HOUR, MS, demo, query, table
 
 DEC = "decimal(38,6)"
 
@@ -549,8 +549,9 @@ def approx_sketches(spark, sf_dir):
     )
 
 
-@query("approx_sketches_native")  # no oracle: HLL++/GK registers are
-# engine-private, approximate by design → rows-only check
+@demo("approx_sketches_native")  # DEMO, not driver-facing: HLL++/GK
+# registers are engine-private, approximate by design — no external
+# oracle can reproduce them (deterministic sibling: approx_sketches)
 def approx_sketches_native(spark, sf_dir):
     """Native HLL++ distinct count and GK-sketch percentiles — the
     engine-provided 100 TB substitutes for exact distinct/sort, kept to

@@ -51,7 +51,7 @@ from uts_spark.functions.text import (
     repetition_metrics,
     token_count,
 )
-from uts_spark.registry import query, table
+from uts_spark.registry import demo, query, table
 
 TOKS = duck_tokens("text")
 EMB_DIM = 64
@@ -704,8 +704,9 @@ def similarity_ann_lsh(spark, sf_dir):
     return lsh_topk(e, anchors, dim=EMB_DIM, k=10, planes=12, tables=4)
 
 
-@query("similarity_ann_ivf")  # MLlib k-means training is engine-private
-def similarity_ann_ivf(spark, sf_dir):  # → rows-only (det variant below)
+@demo("similarity_ann_ivf")  # DEMO, not driver-facing: MLlib k-means
+def similarity_ann_ivf(spark, sf_dir):  # training is engine-private
+    # (deterministic, oracle-exact sibling: similarity_ann_ivf_det below)
     """IVF approximate top-k: k-means cells + n_probe nearest-centroid
     probing, exact cosine rerank inside probed cells — the
     partition-pruned ANN shape for corpora where even LSH bucket joins
@@ -1027,7 +1028,9 @@ def text_unigram_xent(spark, sf_dir):
     return unigram_xent(docs, "text", "doc_id")
 
 
-@query("embedding_pca_project")  # eigendecomposition → rows-only gate
+@demo("embedding_pca_project")  # DEMO, not driver-facing: eigenvector
+# sign/order is solver-defined (invariants: tests/test_llm_ops.py
+# test_pca_project_invariants)
 def embedding_pca_project(spark, sf_dir):
     """PCA projection of every embedding onto the top-8 principal
     components (functions/similarity.pca_project). Distributed Gramian

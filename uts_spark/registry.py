@@ -29,6 +29,16 @@ from uts_spark.sources.tables import load_events, load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Library demos NOT exposed through the driver-facing ``queries()``
+# contract: operators whose outputs are engine-private by nature (native
+# HLL++/GK sketch registers, MLlib k-means cell assignments, eigensolver
+# sign/order) and therefore can never hash-match an external oracle.
+# Their deterministic siblings (approx_sketches, similarity_ann_ivf_det,
+# pca invariants in tests/) hold the green correctness rows; these stay
+# runnable and pytest-gated (tests/test_demos.py) as documentation of the
+# engine-native path.
+DEMOS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
 NOW_MS = 1706745600000  # 2024-02-01T00:00:00Z
 DAY = 86_400_000
 HOUR = 3_600_000
@@ -47,6 +57,14 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def demo(name: str):
+    """Register an engine-native demo (see DEMOS) — never driver-facing."""
+    def deco(fn):
+        DEMOS[name] = fn
         return fn
     return deco
 
@@ -74,13 +92,27 @@ from uts_spark.queries import sampling_ops  # noqa: E402,F401
 from uts_spark.queries import timeseries_ops  # noqa: E402,F401
 from uts_spark.queries import tpch_extra  # noqa: E402,F401
 
-# Registry-size floor: bump when adding families, never lower. If this
-# fires, a module stopped registering queries — find out why.
-_REGISTRY_FLOOR = 227
+# Registry-size floor: bump when adding families, never lower (the one
+# sanctioned decrease: round 4 demoted the 3 engine-native no-oracle
+# entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
+# has a declared oracle). If this fires, a module stopped registering
+# queries — find out why.
+_REGISTRY_FLOOR = 224
 if len(QUERIES) < _REGISTRY_FLOOR:
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < floor {_REGISTRY_FLOOR} — "
         "a query module failed to register its entries"
+    )
+
+# Since round 4, EVERY driver-facing query must declare an oracle — a
+# no-oracle entry reads as a red `err: no_oracle` row in the driver's
+# correctness file. Engine-native ops without an expressible oracle
+# belong in DEMOS (pytest-gated), not here.
+_no_oracle = sorted(n for n in QUERIES if n not in ORACLES)
+if _no_oracle:
+    raise RuntimeError(
+        f"driver-facing queries without oracles: {_no_oracle} — register "
+        "them via @demo (registry.DEMOS) instead"
     )
 
 # Headline set for bench.py — representative of each operator family,
