@@ -477,3 +477,46 @@ def test_ohlc_m4_use_hash_aggregate_not_sort(spark, sf_dir):
         p = plan(spark, sf_dir, name)
         assert "SortAggregate" not in p, name
         assert "HashAggregate" in p, name
+
+
+def _single_partition_windows(p: str) -> int:
+    """Count Window operators fed by an Exchange SinglePartition — the
+    scale cliff the distributed_rank operator exists to remove. Global
+    scalar aggregates also use SinglePartition exchanges (legitimately:
+    they move 1 pre-aggregated row per task), so the check walks up from
+    each SinglePartition exchange and fails only when a Window/Sort
+    chain sits directly above it."""
+    lines = p.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        above = " ".join(lines[max(0, i - 2): i])
+        if "Window" in above:
+            hits += 1
+    return hits
+
+
+def test_no_single_partition_window_in_rank_family(spark, sf_dir):
+    # the six round-3 "weak" queries (VERDICT r3 #2) + the milder KS
+    # case, all rerouted through operators/distributed_rank in round 4:
+    # exact ranks / prefix sums must never funnel rows into one task
+    for name in (
+        "histogram_equidepth_deciles",
+        "rfm_segmentation",
+        "abc_pareto_parts",
+        "pipeline_training_prep",
+        "pipeline_training_prep_v2",
+        "window_share_pack",
+        "stats_ks_two_sample",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert _single_partition_windows(p) == 0, name
+
+
+def test_kmv_set_algebra_uses_take_ordered(spark, sf_dir):
+    # the merged-sketch k-truncation is per-partition k-heaps, not a
+    # global row_number window (VERDICT r3 #3)
+    p = plan(spark, sf_dir, "sketch_kmv_set_algebra")
+    assert "TakeOrderedAndProject" in p
+    assert _single_partition_windows(p) == 0

@@ -1,0 +1,181 @@
+"""Distributed exact rank / prefix sums — no single-partition window.
+
+``Window.orderBy(...)`` with no partition key is the classic Spark scale
+cliff: every row funnels through ONE task regardless of cluster size.
+This module provides the scale-safe exact equivalent (the pattern the
+round-3 verdict asked to make reusable):
+
+1. **Range-bucket** each row by a numeric key that is non-decreasing
+   along the intended total order. Bucket boundaries come from an exact
+   percentile over a deterministic hash-sample — computed *in the plan*
+   (1-row broadcast), so the whole operator stays lazy: no driver
+   ``collect``, no eager job, and the bucket id is a pure deterministic
+   function of the data (safe to recompute across plan branches).
+2. **Per-bucket window** (``Window.partitionBy(bucket)``) for local
+   row_number / running sums — a hash exchange over ~equal-width ranges,
+   never a single partition.
+3. **Tiny prefix join**: per-bucket totals (≤ ``n_buckets`` rows) are
+   turned into exclusive prefixes with a broadcast triangular self-join
+   (≤ ``n_buckets²`` intermediate rows) — again no single-partition
+   exchange anywhere — and broadcast back.
+
+Global rank = bucket-prefix count + local row_number; global running
+sum = bucket-prefix sum + local running sum. Sums of longs/decimals are
+associative, so the split is EXACT — the same hash-exact oracles that
+gated the single-partition originals gate these plans unchanged
+(tests/test_plan_properties.py pins the no-single-partition-window
+shape; tools/oracle_check.py pins the values).
+
+Skew note: all rows sharing one bucket-key value land in one bucket
+(required for order consistency), so a heavily duplicated key value
+degrades balance, never correctness. ``n_buckets`` bounds parallelism;
+at 100 TB raise it (and ``sample_mod``) so each bucket fits a task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RANK = "__rank"
+TOTAL_N = "__n"
+
+
+def ranked_cumsum(
+    df: DataFrame,
+    bucket_key: Column,
+    order_by: list[Column],
+    values: Mapping[str, Column] | None = None,
+    n_buckets: int = 64,
+    sample_mod: int = 64,
+) -> DataFrame:
+    """Exact global rank and inclusive running sums over a total order.
+
+    Args:
+        df: input (its columns pass through unchanged).
+        bucket_key: NUMERIC column non-decreasing along the total order
+            (negate for descending orders). Ties may share a value; rows
+            with equal keys are ordered by ``order_by``'s tie-break.
+        order_by: the full total order (with asc/desc), consistent with
+            ``bucket_key``; must be total (tie-broken to uniqueness) for
+            ``__rank`` to be deterministic.
+        values: alias -> column to running-sum (pre-cast to an exact
+            type: long or DECIMAL — double window sums are
+            order-dependent and belong nowhere near an oracle).
+        n_buckets: target range buckets (parallelism of the rank stage).
+        sample_mod: 1-in-N deterministic hash-sample for boundary
+            estimation; raise with data size so the exact percentile's
+            single aggregation buffer stays small (the sample only
+            affects balance, never results).
+
+    Returns ``df`` plus: ``__rank`` (1-based global row_number),
+    ``__n`` (total rows), and per value alias ``a``: ``cum_a``
+    (inclusive running sum) and ``tot_a`` (grand total).
+    """
+    values = dict(values or {})
+    cols0 = df.columns
+    bad = {RANK, TOTAL_N} | {f"cum_{a}" for a in values} | {f"tot_{a}" for a in values}
+    clash = bad & set(cols0)
+    if clash:
+        raise ValueError(f"input columns collide with outputs: {sorted(clash)}")
+
+    # 1. boundary estimation: deterministic sample -> exact percentile
+    # (deterministic, so every plan branch below re-derives identical
+    # buckets even if the 1-row broadcast is not physically reused)
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    samp = df.select(bucket_key.cast("double").alias("__bk")).where(
+        F.pmod(F.hash(F.col("__bk")), F.lit(sample_mod)) == 0
+    )
+    bounds = samp.agg(
+        F.coalesce(
+            F.percentile(F.col("__bk"), F.array(*[F.lit(f) for f in fracs])),
+            F.array().cast("array<double>"),
+        ).alias("__bounds")
+    )
+
+    # 2. bucket id = #boundaries strictly below the key (ties at a
+    # boundary stay together -> bucketing respects the total order)
+    b = (
+        df.withColumn("__bk", bucket_key.cast("double"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt",
+            F.aggregate(
+                "__bounds",
+                F.lit(0),
+                lambda acc, x: acc + F.when(F.col("__bk") > x, 1).otherwise(0),
+            ),
+        )
+        .drop("__bounds", "__bk")
+    )
+
+    # 3. per-bucket local rank / running sums (ONE sort: same window spec)
+    wr = Window.partitionBy("__bkt").orderBy(*order_by)
+    wf = wr.rowsBetween(Window.unboundedPreceding, 0)
+    loc = b.withColumn("__lrn", F.row_number().over(wr).cast("long"))
+    for a, c in values.items():
+        loc = loc.withColumn(f"__lc_{a}", F.sum(c).over(wf))
+
+    # 4. per-bucket totals -> exclusive prefixes via broadcast triangular
+    # self-join over <= n_buckets rows (no single-partition exchange)
+    tot = b.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(c).alias(f"__s_{a}") for a, c in values.items()],
+    )
+    styp = {f.name: f.dataType for f in tot.schema.fields}
+    rb = tot.select(
+        F.col("__bkt").alias("__bkt2"),
+        F.col("__cnt").alias("__cnt2"),
+        *[F.col(f"__s_{a}").alias(f"__s2_{a}") for a in values],
+    )
+    pref = (
+        tot.select("__bkt")
+        .join(F.broadcast(rb), F.col("__bkt2") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(
+            F.coalesce(F.sum("__cnt2"), F.lit(0)).cast("long").alias("__pcnt"),
+            *[
+                F.coalesce(
+                    F.sum(f"__s2_{a}"), F.lit(0).cast(styp[f"__s_{a}"])
+                ).alias(f"__p_{a}")
+                for a in values
+            ],
+        )
+    )
+    grand = tot.agg(
+        F.sum("__cnt").cast("long").alias(TOTAL_N),
+        *[F.sum(f"__s_{a}").cast(styp[f"__s_{a}"]).alias(f"__t_{a}") for a in values],
+    )
+
+    out = (
+        loc.join(F.broadcast(pref), "__bkt")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(RANK, (F.col("__pcnt") + F.col("__lrn")).cast("long"))
+    )
+    keep = [RANK, TOTAL_N]
+    for a in values:
+        out = out.withColumn(
+            f"cum_{a}", (F.col(f"__p_{a}") + F.col(f"__lc_{a}")).cast(styp[f"__s_{a}"])
+        ).withColumn(f"tot_{a}", F.col(f"__t_{a}"))
+        keep += [f"cum_{a}", f"tot_{a}"]
+    return out.select(*cols0, *keep)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) recomputed from an exact global rank: the first
+    ``n % k`` tiles hold ``n//k + 1`` rows, the rest ``n//k`` — the
+    standard definition, as a closed form over (rank, n). Exact while
+    n < 2^52 (double-division envelope; ranks are longs). Division uses
+    doubles, so the dead ``q == 0`` branch is Infinity, not an ANSI
+    divide-by-zero (and CaseWhen never evaluates it anyway)."""
+    q = F.floor(n / F.lit(k)).cast("long")
+    rem = (n - q * k).cast("long")
+    cut = (q + F.lit(1)) * rem
+    return (
+        F.when(rank <= cut, F.floor((rank + q) / (q + 1)))
+        .otherwise(rem + F.floor((rank - cut + q - 1) / q))
+        .cast("long")
+    )

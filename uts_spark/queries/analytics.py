@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from uts_spark.operators.aggregates import lane_sum
+from uts_spark.operators.distributed_rank import ntile_from_rank, ranked_cumsum
 from uts_spark.operators.joins import asof_join, binned_range_join
 from uts_spark.operators.topk import percentile_disc, top_k, top_k_per_group
 from uts_spark.registry import DAY, DSUM, HOUR, MS, demo, query, table
@@ -1531,14 +1532,21 @@ def join_asof_next_purchase(spark, sf_dir):
 def histogram_equidepth_deciles(spark, sf_dir):
     """EQUI-DEPTH histogram (decile buckets each holding ~n/10 rows) —
     the complement of the fixed-width `histogram_event_values`. Exact
-    ntile needs a total order; this implementation pays one global sort
-    window (the honest exact form at bench scale). The 100 TB path is
-    range-partition by approx quantile boundaries + per-partition rank
-    with broadcast prefix counts — same outputs, no single-partition
-    window (SCALE.md pattern, as with pack_sequences_greedy)."""
+    ntile needs a total order; since round 4 that order is DISTRIBUTED:
+    range-bucket on value (exact-percentile boundaries from a
+    deterministic sample), per-bucket row_number, broadcast prefix
+    counts, then NTILE recomputed as a closed form over (global rank,
+    n) — bit-identical to the ntile(10) oracle with no
+    single-partition window anywhere (operators/distributed_rank,
+    pinned by tests/test_plan_properties.py)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    d = ev.select("value", F.ntile(10).over(w).alias("decile"))
+    r = ranked_cumsum(
+        ev.select("value", "event_id"),
+        F.col("value"),
+        [F.asc("value"), F.asc("event_id")],
+        n_buckets=64,
+    )
+    d = r.select("value", ntile_from_rank(F.col("__rank"), F.col("__n"), 10).alias("decile"))
     return d.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
@@ -2300,12 +2308,13 @@ def sketch_kmv_set_algebra(spark, sf_dir):
             ).alias("in_both"),
         )
     )
-    w = Window.orderBy("hv")
-    k = u.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _KMV_K
-    )
+    # k smallest of the merged sketch: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition k-heaps — never a global
+    # row_number window; pinned by tests/test_plan_properties.py).
+    # After the truncation count==K implies max(hv) IS the kth value.
+    k = u.orderBy("hv").limit(_KMV_K)
     nk = F.count(F.lit(1))
-    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("hv")))
+    kth = F.max("hv")
     nb = F.sum(F.when(F.col("in_both"), 1).otherwise(0))
     est_union = F.when(
         nk >= _KMV_K, F.lit((_KMV_K - 1) * _HASH_SPACE) / kth
@@ -2316,14 +2325,13 @@ def sketch_kmv_set_algebra(spark, sf_dir):
         .intersect(
             ev.filter(F.col("event_type") == "purchase").select("user_id")
         )
-        .count()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
     )
     return k.agg(
         est_union.alias("est_union"),
         nb.cast("long").alias("k_in_both"),
         ((nb.cast("double") / nk) * est_union).alias("est_intersection"),
-        F.lit(exact).cast("long").alias("exact_intersection"),
-    )
+    ).crossJoin(F.broadcast(exact))
 
 
 # ===========================================================================
@@ -3222,10 +3230,11 @@ def window_share_pack(spark, sf_dir):
     (RATIO_TO_REPORT in warehouse dialects) over a grouped aggregate.
     The decimal-exact group sums make every derived ratio bit-stable.
 
-    Scale: the grouped aggregate shuffles once; the window passes ride
-    on 25 rows. The unpartitioned total is a single-partition window
-    over the AGGREGATE (25 rows), not the fact table — the cardinality
-    cliff that makes global windows safe only above an aggregation."""
+    Scale: the grouped aggregate shuffles once; the per-region window
+    passes are hash-partitioned. The GLOBAL share divides by a
+    broadcast 1-row decimal total (the stats_ks pattern) instead of an
+    unpartitioned window — zero single-partition exchanges since
+    round 4."""
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
@@ -3235,14 +3244,15 @@ def window_share_pack(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(_lsum(F.col("c_acctbal")).alias("bal"))
     )
+    gtot = rev.agg(F.sum(F.col("bal").cast(DEC)).alias("__gtot"))
     wreg = Window.partitionBy("region")
     worder = Window.partitionBy("region").orderBy(F.desc("bal"), F.asc("nation"))
-    return rev.select(
+    return rev.crossJoin(F.broadcast(gtot)).select(
         "nation",
         "region",
         "bal",
         (F.col("bal") / F.sum(F.col("bal").cast(DEC)).over(wreg).cast("double")).alias("share_in_region"),
-        (F.col("bal") / F.sum(F.col("bal").cast(DEC)).over(Window.partitionBy()).cast("double")).alias("share_global"),
+        (F.col("bal") / F.col("__gtot").cast("double")).alias("share_global"),
         (F.col("bal") - F.lag("bal").over(worder)).alias("gap_to_prev"),
         F.rank().over(worder).cast("long").alias("rnk"),
     )
@@ -3587,24 +3597,30 @@ def rfm_segmentation(spark, sf_dir):
     packed into the classic 3-digit RFM code — the segmentation every
     CRM/marketing warehouse derives from the orders fact.
 
-    Scale: one shuffle on custkey for the per-customer rollup; the
-    three NTILEs ride global sorts of the AGGREGATE (customer-count
-    rows, not orders). At extreme customer counts swap NTILE for
-    percent_rank-from-range-partitioned-sort (see the
-    histogram_equidepth scale note) — quartile boundaries don't need a
-    single-partition window."""
+    Scale: one shuffle on custkey for the per-customer rollup; since
+    round 4 each NTILE is the distributed closed form over an exact
+    range-partitioned rank (operators/distributed_rank) — three
+    bucketed rank passes chained over the aggregate, zero
+    single-partition windows at ANY customer count."""
     o = table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias("last_order_ms"),
         F.count(F.lit(1)).alias("frequency"),
         _lsum(F.col("o_totalprice")).alias("monetary"),
     )
-    scored = base.select(
-        "*",
-        F.ntile(4).over(Window.orderBy("last_order_ms", "custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "custkey")).alias("m_score"),
-    )
+    scored = base
+    for score, key in (
+        ("r_score", "last_order_ms"),
+        ("f_score", "frequency"),
+        ("m_score", "monetary"),
+    ):
+        scored = (
+            ranked_cumsum(
+                scored, F.col(key), [F.asc(key), F.asc("custkey")], n_buckets=32
+            )
+            .withColumn(score, ntile_from_rank(F.col("__rank"), F.col("__n"), 4))
+            .drop("__rank", "__n")
+        )
     return scored.select(
         "custkey",
         "last_order_ms",
@@ -4123,9 +4139,11 @@ def stats_ks_two_sample(spark, sf_dir):
     statistic is a ratio of integers (one deterministic division per
     side), the argmax value is tie-broken to the minimum — hash-exact.
 
-    Scale: one value-level aggregation, one cumulative window over the
-    DISTINCT values (far smaller than the rows), a broadcast of the
-    two counts."""
+    Scale: one value-level aggregation; the ECDFs accumulate via the
+    range-partitioned exact prefix sum (operators/distributed_rank,
+    since round 4) — distinct values can grow unboundedly without ever
+    funnelling through a single-partition window — plus a broadcast of
+    the two counts."""
     ev = (
         table(spark, sf_dir, "events")
         .filter(
@@ -4142,11 +4160,16 @@ def stats_ks_two_sample(spark, sf_dir):
         F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("c2"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = cum.select(
+    ecdf = ranked_cumsum(
+        cum,
+        F.col("value"),
+        [F.asc("value")],
+        values={"f1": F.col("c1"), "f2": F.col("c2")},
+        n_buckets=64,
+    ).select(
         "value",
-        F.sum("c1").over(w).alias("f1"),
-        F.sum("c2").over(w).alias("f2"),
+        F.col("cum_f1").alias("f1"),
+        F.col("cum_f2").alias("f2"),
     )
     d = ecdf.crossJoin(F.broadcast(n)).select(
         "value",
@@ -4533,25 +4556,29 @@ def abc_pareto_parts(spark, sf_dir):
     with a (revenue, partkey) tie-break, so every class boundary is
     deterministic.
 
-    Scale: one fact aggregation, then the cumulative window over the
-    PART-level aggregate. The single-partition window on parts is the
-    documented cardinality cliff — at catalog scale switch to the
-    range-partitioned prefix-sum pattern (histogram_equidepth note)."""
+    Scale: one fact aggregation, then the cumulative share via the
+    range-partitioned exact prefix sum (operators/distributed_rank,
+    since round 4): bucket on -revenue, per-bucket decimal running sum,
+    broadcast bucket-prefix totals — no single-partition window at any
+    catalog size; the grand total rides the same pass (tot_rev)."""
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         _lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    tot = rev.agg(F.sum(F.col("revenue").cast(DEC)).cast("double").alias("total"))
-    w = Window.orderBy(F.desc("revenue"), F.asc("partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    r = rev.select(
+    r = ranked_cumsum(
+        rev,
+        -F.col("revenue"),
+        [F.desc("revenue"), F.asc("partkey")],
+        values={"rev": F.col("revenue").cast(DEC)},
+        n_buckets=64,
+    ).select(
         "partkey",
         "revenue",
-        F.sum(F.col("revenue").cast(DEC)).over(w).cast("double").alias("cum_rev"),
+        F.col("cum_rev").cast("double").alias("cum_rev"),
+        F.col("tot_rev").cast("double").alias("total"),
     )
     share = F.col("cum_rev") / F.col("total")
-    return r.crossJoin(F.broadcast(tot)).select(
+    return r.select(
         "partkey",
         "revenue",
         share.alias("cum_share"),

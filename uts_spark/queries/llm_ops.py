@@ -51,7 +51,30 @@ from uts_spark.functions.text import (
     repetition_metrics,
     token_count,
 )
+from uts_spark.operators.distributed_rank import ranked_cumsum
 from uts_spark.registry import demo, query, table
+
+
+def _token_budget_shards(kept, budget: int = 20000):
+    """Greedy ~`budget`-token shard assignment over docs ordered by
+    doc_id: shard = exclusive running token sum // budget. The running
+    sum is the range-partitioned exact prefix sum
+    (operators/distributed_rank) — no single-partition window, oracle
+    output unchanged (shard boundaries are a pure function of the exact
+    cumulative sums)."""
+    r = ranked_cumsum(
+        kept,
+        F.col("doc_id"),
+        [F.asc("doc_id")],
+        values={"tok": F.col("n_bpeish")},
+        n_buckets=64,
+    )
+    cum_before = F.col("cum_tok") - F.col("n_bpeish")
+    return r.select(
+        "doc_id",
+        "n_bpeish",
+        F.floor(cum_before / F.lit(budget)).cast("long").alias("shard"),
+    )
 
 TOKS = duck_tokens("text")
 EMB_DIM = 64
@@ -967,12 +990,11 @@ def pipeline_training_prep(spark, sf_dir):
     a Column expression, so Catalyst fuses the whole thing into a scan →
     project → filter → window; nothing materializes between 'stages'.
 
-    Shard assignment here is a global running sum (exact, oracle-
-    checkable). At 100 TB, assign per partition + a broadcast prefix-sum
-    of per-partition totals — same outputs, no single-partition window
-    (the plan-shape note in SCALE.md)."""
-    from pyspark.sql.window import Window
-
+    Shard assignment is an exact global running token sum over doc_id —
+    computed since round 4 via the range-partitioned prefix sum
+    (operators/distributed_rank): bucket on doc_id, per-bucket running
+    sums, broadcast bucket-prefix totals — same oracle-exact outputs,
+    no single-partition window at corpus scale."""
     docs = table(spark, sf_dir, "documents")
     enriched = exact_canonical(docs, "text", "doc_id").select(
         "doc_id",
@@ -985,16 +1007,8 @@ def pipeline_training_prep(spark, sf_dir):
         (F.col("score") >= 0.55)
         & (F.col("pred_lang") == "en")
         & (F.col("doc_id") == F.col("canonical_id"))
-    )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum_before = F.sum("n_bpeish").over(w) - F.col("n_bpeish")
-    return kept.select(
-        "doc_id",
-        "n_bpeish",
-        F.floor(cum_before / F.lit(20000)).cast("long").alias("shard"),
-    )
+    ).select("doc_id", "n_bpeish")
+    return _token_budget_shards(kept)
 
 
 # ===========================================================================
@@ -1985,17 +1999,7 @@ def pipeline_training_prep_v2(spark, sf_dir):
             "left_anti",
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum_before = F.sum("n_bpeish").over(w) - F.col("n_bpeish")
-    return kept.select(
-        "doc_id",
-        "n_bpeish",
-        F.floor(cum_before / F.lit(20000)).cast("long").alias("shard"),
-    )
+    return _token_budget_shards(kept.select("doc_id", "n_bpeish"))
 
 
 _XENT_SCALE = 1_000_000
