@@ -132,6 +132,35 @@ def test_ohlc_open_close_tiebreak_and_extremes(spark):
     assert out[("a", 1000)] == (9.0, 9.0, 9.0, 9.0, 1)
 
 
+def test_ohlc_packed_key_envelope_raises_not_corrupts(spark):
+    # ADVICE r3 (medium): a snowflake-scale order id outside the packed
+    # key's id space used to silently invert open/close ordering — the
+    # envelope is now ENFORCED: out-of-range order values raise at
+    # execution instead of corrupting the bars.
+    from uts_spark.operators.timeseries import ohlc
+
+    big_id = (1 << 62) // 1000 + 7  # just past the interval_ms=1000 space
+    rows = [("a", 100, 1, 5.0), ("a", 200, big_id, 7.0)]
+    df = spark.createDataFrame(rows, "k string, t long, id long, v double")
+    with pytest.raises(Exception, match="packed_order_key"):
+        ohlc(df, "k", "t", "v", 1000, "id").collect()
+    # negative order ids are equally outside the lexicographic envelope
+    df2 = spark.createDataFrame(
+        [("a", 100, -1, 5.0)], "k string, t long, id long, v double"
+    )
+    with pytest.raises(Exception, match="packed_order_key"):
+        ohlc(df2, "k", "t", "v", 1000, "id").collect()
+    # in-envelope data on the same plan still aggregates fine
+    ok = ohlc(
+        spark.createDataFrame(
+            [("a", 100, 1, 5.0), ("a", 200, 2, 7.0)],
+            "k string, t long, id long, v double",
+        ),
+        "k", "t", "v", 1000, "id",
+    ).collect()
+    assert ok[0].open == 5.0 and ok[0].close == 7.0
+
+
 def test_twap_weights_by_holding_time(spark):
     from uts_spark.operators.timeseries import twap
 

@@ -327,38 +327,15 @@ def minhash_signatures_portable(arrays: DataFrame, k: int = 32) -> DataFrame:
     return inv.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    k: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    portable: bool = False,
-    checkpoint: bool = True,
-) -> DataFrame:
-    """MinHash+LSH near-dup: signatures → ``bands`` bands of k/bands rows
-    → bucket-join on (band, bucket-hash) → candidates → exact Jaccard
-    verification (no false positives; recall from the banding curve).
-    Returns (id_a, id_b, est_jaccard, jaccard).
-
-    ``portable=True`` routes the shingle ids through the dual-lane md5
-    family (:func:`doc_shingle_arrays_portable`) — every intermediate
-    (signatures, bands, candidates, Jaccard) is then bit-reproducible in
-    an external SQL engine, turning the whole pipeline hash-exact
-    oracle-checkable; the default xxhash64 path hashes ~3× less bytes and
-    is the 100 TB fast lane."""
+def minhash_band_candidates(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH banding over a k-wide signature table: every band's row-slice
+    hashes to a bucket, docs colliding in ANY band become a candidate
+    pair. All bands in ONE pass over the signatures (explode of a struct
+    array), not a bands-way unionAll of per-band selects; candidate
+    volume ∝ bucket collisions, never n² (the 100 TB bound that
+    tools/neardup_smoke.py measures empirically). Returns distinct
+    (id_a, id_b) with id_a < id_b."""
     rows_per_band = k // bands
-    if portable:
-        arrays = doc_shingle_arrays_portable(df, text_col, id_col, n).cache()
-        sig = minhash_signatures_portable(arrays, k).cache()
-    else:
-        arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
-        sig = minhash_signatures(df, text_col, id_col, n, k, arrays=arrays).cache()
-
-    # all bands in ONE pass over the signatures (explode of a struct
-    # array), not a bands-way unionAll of per-band selects
     band_struct = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -374,14 +351,55 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(band_struct).alias("__b")).select(
         "id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
     )
-
-    cand = (
+    return (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    portable: bool = False,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """MinHash+LSH near-dup: signatures → ``bands`` bands of k/bands rows
+    → bucket-join on (band, bucket-hash) → candidates → exact Jaccard
+    verification (no false positives; recall from the banding curve).
+    Returns (id_a, id_b, est_jaccard, jaccard).
+
+    ``portable=True`` routes the shingle ids through the dual-lane md5
+    family (:func:`doc_shingle_arrays_portable`) — every intermediate
+    (signatures, bands, candidates, Jaccard) is then bit-reproducible in
+    an external SQL engine, turning the whole pipeline hash-exact
+    oracle-checkable; the default xxhash64 path hashes ~3× less bytes and
+    is the 100 TB fast lane.
+
+    ``checkpoint=True`` eagerly ``localCheckpoint``s the (tiny) verified
+    pair set so the two signature/shingle caches can be released
+    immediately instead of pinning executor storage. Tradeoffs the
+    caller opts into (ADVICE r3 — default is False so this stays a lazy
+    plan builder with no side-effect job): it runs a Spark job at build
+    time, and localCheckpoint blocks live on executor LOCAL disk — an
+    executor loss afterwards fails downstream actions (acceptable for
+    single-query batch runs that would rerun anyway; wrong for
+    long-lived DataFrames on a preemptible cluster)."""
+    if portable:
+        arrays = doc_shingle_arrays_portable(df, text_col, id_col, n).cache()
+        sig = minhash_signatures_portable(arrays, k).cache()
+    else:
+        arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
+        sig = minhash_signatures(df, text_col, id_col, n, k, arrays=arrays).cache()
+
+    cand = minhash_band_candidates(sig, k, bands)
 
     # estimated jaccard = fraction of matching signature slots
     sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])

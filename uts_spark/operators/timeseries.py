@@ -290,6 +290,42 @@ def anomaly_zscore(
     )
 
 
+def packed_order_key(time_col: str, order_col: str, interval_ms: int) -> Column:
+    """The (in-bucket-offset, order) ordering key PACKED into one long:
+    ``pmod(time, interval) * (2^62 // interval) + order`` — primitive, so
+    min_by/max_by stay in HashAggregate (a struct key demotes them to
+    SortAggregate; see :func:`ohlc` for the measurement).
+
+    ENFORCED envelope (round-4 hardening): the packing is lexicographic
+    only while ``0 <= order < 2^62 // interval_ms``; beyond it the key
+    silently inverts open/close order (or overflows long under ANSI).
+    Snowflake-style / hash-derived ids (~2^60+) with hour buckets WOULD
+    have corrupted OHLC/M4 output with no error — so out-of-envelope
+    order values now raise at execution time (``raise_error`` fires only
+    on a violating row; the guard is one branch per row, still
+    codegen'd). Callers with wider id spaces should order by a struct
+    key instead and accept the SortAggregate."""
+    id_space = (1 << 62) // int(interval_ms)
+    o = F.col(order_col)
+    packed = F.pmod(F.col(time_col), F.lit(int(interval_ms))) * F.lit(
+        id_space
+    ) + o
+    return F.when((o >= 0) & (o < F.lit(id_space)), packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"packed_order_key: {order_col}="
+                ),
+                o.cast("string"),
+                F.lit(
+                    f" outside [0, {id_space}) for interval_ms="
+                    f"{int(interval_ms)} — use a struct ordering key"
+                ),
+            )
+        ).cast("long")
+    )
+
+
 def ohlc(
     df: DataFrame,
     key_col: str,
@@ -312,18 +348,16 @@ def ohlc(
     per-partition sort. Envelope: ``order_col`` values must stay below
     ``2^62 / interval_ms`` (hour buckets: 1.2e12 ids; the lexicographic
     equivalence is exact below that bound — same discipline as
-    aggregates.lane_sum); wider buckets or bigger id spaces should pass
-    a struct key instead."""
+    aggregates.lane_sum) — ENFORCED at execution by
+    :func:`packed_order_key` since round 4; wider buckets or bigger id
+    spaces should pass a struct key instead."""
     bucket = (
         F.floor(F.col(time_col) / F.lit(int(interval_ms))).cast("long")
         * F.lit(int(interval_ms))
     ).alias("bucket_ms")
-    id_space = (1 << 62) // int(interval_ms)
     # pmod, not %: Spark's % follows the sign, so a pre-epoch timestamp
     # would get a NEGATIVE in-bucket offset and invert open/close order
-    ordk = F.pmod(F.col(time_col), F.lit(int(interval_ms))) * F.lit(
-        id_space
-    ) + F.col(order_col)
+    ordk = packed_order_key(time_col, order_col, interval_ms)
     v = F.col(value_col)
     return df.groupBy(F.col(key_col), bucket).agg(
         F.min_by(v, ordk).alias("open"),

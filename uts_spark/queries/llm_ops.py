@@ -395,9 +395,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     (portable=False) is the production default when no external replay
     is needed."""
     docs = table(spark, sf_dir, "documents")
+    # checkpoint=True (opt-in): one-shot batch query — the eager
+    # localCheckpoint of the tiny pair set releases both build caches
+    # now; executor-local checkpoint storage is fine here because a
+    # lost executor just reruns this single query (dedup.py docstring)
     return minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5,
-        portable=True,
+        portable=True, checkpoint=True,
     ).select("id_a", "id_b", "est_jaccard", "jaccard")
 
 
@@ -2447,9 +2451,13 @@ def dedup_minhash_cluster_cc(spark, sf_dir):
     closure oracle. All three candidate generators share one downstream
     clustering operator: swap the pair source, keep the verdict stage."""
     docs = table(spark, sf_dir, "documents")
+    # checkpoint=True (opt-in): same one-shot-batch rationale as
+    # dedup_minhash_lsh — and CC re-reads the pair set every round, so
+    # materializing it once also avoids rebuilding the LSH plan per
+    # iteration
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, k=32, bands=8, threshold=0.5,
-        portable=True,
+        portable=True, checkpoint=True,
     ).select("id_a", "id_b")
     return cluster_assignment(
         docs.select("doc_id"), pairs, "doc_id", dedupe_edges=False

@@ -15,6 +15,7 @@ from uts_spark.operators.timeseries import (
     duck_ewma,
     ewma,
     interpolate_linear,
+    packed_order_key,
     resample,
 )
 from uts_spark.registry import DAY, HOUR, MS, query, table
@@ -413,7 +414,7 @@ def ts_rolling_autocorr(spark, sf_dir):
     "ts_seasonal_hod",
     f"""
     WITH e AS (
-      SELECT event_type, ({MS} % {DAY}) // {HOUR} AS hod, value FROM events
+      SELECT event_type, ((({MS} % {DAY}) + {DAY}) % {DAY}) // {HOUR} AS hod, value FROM events
     ),
     s AS (
       SELECT event_type, hod,
@@ -452,7 +453,9 @@ def ts_seasonal_hod(spark, sf_dir):
     Exactness: means are decimal-stable; residual |v − seasonal| is one
     IEEE subtract of identical doubles, and MAX is order-free."""
     ev = table(spark, sf_dir, "events")
-    hod = F.expr(f"(ts_ms % {DAY}) div {HOUR}").alias("hod")
+    # floor (not div): Spark `div` truncates toward zero while the oracle's
+    # `//` floors — they diverge on pre-epoch (negative) timestamps
+    hod = F.floor(F.pmod(F.col("ts_ms"), F.lit(DAY)) / F.lit(HOUR)).cast("long").alias("hod")
     e = ev.select("event_type", hod, "value")
     dmean = (
         lambda: (
@@ -639,10 +642,8 @@ def ts_m4_downsample(spark, sf_dir):
     the id-space envelope). 100 TB of points reduce map-side to 4 values
     per series-bucket with no window sort and no second pass."""
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    # pmod (not %) so pre-epoch timestamps keep a non-negative offset
-    ordk = F.pmod(F.col("ts_ms"), F.lit(_M4_W)) * F.lit(
-        (1 << 62) // _M4_W
-    ) + F.col("event_id")
+    # shared guarded builder: pmod offset + enforced id-space envelope
+    ordk = packed_order_key("ts_ms", "event_id", _M4_W)
     return (
         ev.groupBy(
             F.col("user_id").alias("k"),
@@ -742,7 +743,7 @@ def ts_locf_fill(spark, sf_dir):
     "ts_seasonal_residual_outliers",
     f"""
     WITH e AS (
-      SELECT event_id, event_type, ({MS} % {DAY}) // {HOUR} AS hod, value
+      SELECT event_id, event_type, ((({MS} % {DAY}) + {DAY}) % {DAY}) // {HOUR} AS hod, value
       FROM events WHERE value IS NOT NULL
     ),
     s AS (
@@ -781,7 +782,7 @@ def ts_seasonal_residual_outliers(spark, sf_dir):
         .select(
             "event_id",
             "event_type",
-            F.expr(f"(ts_ms % {DAY}) div {HOUR}").alias("hod"),
+            F.floor(F.pmod(F.col("ts_ms"), F.lit(DAY)) / F.lit(HOUR)).cast("long").alias("hod"),
             "value",
         )
     )
@@ -931,13 +932,13 @@ def ts_holt_winters_hourly(spark, sf_dir):
     'inherently sequential yet hash-exact' family (EWMA → Holt →
     Holt-Winters). See operators/timeseries.holt_winters."""
     ev = table(spark, sf_dir, "events")
-    h = F.expr(f"ts_ms div {HOUR}")
+    h = F.floor(F.col("ts_ms") / F.lit(HOUR)).cast("long")
     cnt = ev.groupBy("event_type", h.alias("h")).agg(
         F.count(F.lit(1)).alias("n")
     )
     bounds = ev.agg(
-        F.expr(f"min(ts_ms) div {HOUR}").alias("h0"),
-        F.expr(f"max(ts_ms) div {HOUR}").alias("h1"),
+        F.floor(F.min("ts_ms") / F.lit(HOUR)).cast("long").alias("h0"),
+        F.floor(F.max("ts_ms") / F.lit(HOUR)).cast("long").alias("h1"),
     )
     types = ev.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(
@@ -1215,7 +1216,9 @@ def ts_acf_pack(spark, sf_dir):
     hr = (
         ev.select(
             "event_type",
-            F.expr(f"CAST(ts_ms div {HOUR} AS BIGINT)").alias("h"),
+            # ADVICE r3: floor division (the ohlc bucket idiom), not `div` —
+            # `div` truncates, DuckDB `//` floors; negative ts would diverge
+            F.floor(F.col("ts_ms") / F.lit(HOUR)).cast("long").alias("h"),
             F.col("value"),
         )
         .groupBy("event_type", "h")
@@ -1285,7 +1288,7 @@ def ts_acf_pack(spark, sf_dir):
                PARTITION BY user_id
                ORDER BY 1 - CAST(x AS DOUBLE) / peak DESC, t, event_id
              ) AS rn
-      FROM r
+      FROM r WHERE peak > 0
     )
     SELECT user_id, dd AS max_drawdown,
            t AS trough_ms, CAST(peak AS BIGINT) AS peak_x
@@ -1298,7 +1301,12 @@ def ts_max_drawdown(spark, sf_dir):
     monitoring/finance stack computes next to OHLC/TWAP. Values are
     centi-snapped to integers, so the running max is exact and the
     ratio is one identical double division on both engines; the trough
-    row wins a (dd DESC, time, id) deterministic tie-break.
+    row wins a (dd DESC, time, id) deterministic tie-break. Rows whose
+    running peak is <= 0 are excluded on BOTH engines (ADVICE r3): a
+    zero peak divides to NULL in Spark but inf in DuckDB, and a
+    negative peak makes 'drawdown' meaningless — the guard makes the
+    query data-independent instead of incidentally green on all-positive
+    testdata (a series with no positive peak yields no row).
 
     Scale: one exchange on the series key carries the running-max
     window AND the argmax ranking — prefix max is the O(1)-per-row
@@ -1314,7 +1322,7 @@ def ts_max_drawdown(spark, sf_dir):
     ).withColumn(
         "peak",
         F.max("x").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    ).filter(F.col("peak") > 0)
     dd = F.lit(1) - F.col("x").cast("double") / F.col("peak")
     ranked = r.withColumn("dd", dd).withColumn(
         "rn",

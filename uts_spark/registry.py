@@ -148,4 +148,8 @@ HEADLINE = [n for n in (
     "ts_mad_anomaly",
     "events_pattern_match",
     "ts_holt_winters_hourly",
+    # r4: the quantile/rank family is perf-tracked via the distributed
+    # exact-rank plan (operators/distributed_rank) over the raw events
+    # table — the heaviest member of the rerouted global-window set
+    "histogram_equidepth_deciles",
 ) if n in QUERIES]

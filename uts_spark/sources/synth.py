@@ -110,17 +110,25 @@ class SynthSeriesStreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def latestOffset(self):
+        # _current is restart-aware BEFORE this is called: on recovery
+        # Spark replays the last logged batch via partitions(start, end)
+        # (and re-commits) first, and both paths max() the counter up to
+        # the logged range — so the offset stream stays monotone across
+        # restarts instead of depending on partitions() repairing a
+        # backwards end after the engine already persisted it (ADVICE r3)
         self._current += self.rate
         return {"index": self._current}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["index"], end["index"]
         if hi < lo:
-            # checkpoint restart: the committed offset (start) is ahead of
-            # this fresh reader's in-memory counter — resume from it so
-            # the offset range never runs backwards (exactly-once resume)
-            self._current = lo
+            # defense-in-depth: never emit a backwards range even if an
+            # engine version plans one from a stale offset log
             hi = lo
+        # restart-awareness: any planned or replayed range advances the
+        # in-memory counter, so the next latestOffset() continues AFTER
+        # the checkpointed position (never below a committed offset)
+        self._current = max(self._current, hi)
         per = -(-(hi - lo) // self.parts) if hi > lo else 1
         return [
             _RangePartition(lo + p * per, min(lo + (p + 1) * per, hi))
@@ -138,7 +146,10 @@ class SynthSeriesStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass
+        # second restart seed: Spark re-commits the last completed batch
+        # during recovery, so a fresh reader learns the committed
+        # position here even before planning a range
+        self._current = max(self._current, end["index"])
 
     def stop(self) -> None:
         pass
