@@ -509,9 +509,15 @@ def test_no_single_partition_window_in_rank_family(spark, sf_dir):
         "pipeline_training_prep_v2",
         "window_share_pack",
         "stats_ks_two_sample",
+        # + the two global percentile_disc users: these used to hide the
+        # same funnel behind Window.partitionBy(lit(0)) — a CONSTANT
+        # hash key is a single partition wearing a disguise
+        "percentile_disc_value",
+        "funnel_time_to_convert",
     ):
         p = plan(spark, sf_dir, name)
         assert _single_partition_windows(p) == 0, name
+        assert "hashpartitioning(0," not in p, name  # constant-key exchange
 
 
 def test_kmv_set_algebra_uses_take_ordered(spark, sf_dir):
