@@ -51,6 +51,7 @@ def ranked_cumsum(
     values: Mapping[str, Column] | None = None,
     n_buckets: int = 64,
     sample_mod: int = 64,
+    max_values: Mapping[str, Column] | None = None,
 ) -> DataFrame:
     """Exact global rank and inclusive running sums over a total order.
 
@@ -71,13 +72,27 @@ def ranked_cumsum(
             single aggregation buffer stays small (the sample only
             affects balance, never results).
 
+    ``max_values``: alias -> column for EXCLUSIVE running maxima (the
+    max over rows strictly before this one in the total order; NULL on
+    the first row) — running max is associative like the sums (bucket
+    prefix max ⊔ local exclusive cummax), so it shares the same
+    single-pass machinery; it is what a distributed 2D skyline sweep
+    needs (queries/advanced_ops.skyline).
+
     Returns ``df`` plus: ``__rank`` (1-based global row_number),
-    ``__n`` (total rows), and per value alias ``a``: ``cum_a``
-    (inclusive running sum) and ``tot_a`` (grand total).
+    ``__n`` (total rows), per value alias ``a``: ``cum_a`` (inclusive
+    running sum) and ``tot_a`` (grand total), and per max alias ``m``:
+    ``premax_m`` (exclusive running max).
     """
     values = dict(values or {})
+    max_values = dict(max_values or {})
     cols0 = df.columns
-    bad = {RANK, TOTAL_N} | {f"cum_{a}" for a in values} | {f"tot_{a}" for a in values}
+    bad = (
+        {RANK, TOTAL_N}
+        | {f"cum_{a}" for a in values}
+        | {f"tot_{a}" for a in values}
+        | {f"premax_{a}" for a in max_values}
+    )
     clash = bad & set(cols0)
     if clash:
         raise ValueError(f"input columns collide with outputs: {sorted(clash)}")
@@ -115,21 +130,26 @@ def ranked_cumsum(
     # 3. per-bucket local rank / running sums (ONE sort: same window spec)
     wr = Window.partitionBy("__bkt").orderBy(*order_by)
     wf = wr.rowsBetween(Window.unboundedPreceding, 0)
+    wx = wr.rowsBetween(Window.unboundedPreceding, -1)  # exclusive frame
     loc = b.withColumn("__lrn", F.row_number().over(wr).cast("long"))
     for a, c in values.items():
         loc = loc.withColumn(f"__lc_{a}", F.sum(c).over(wf))
+    for a, c in max_values.items():
+        loc = loc.withColumn(f"__lx_{a}", F.max(c).over(wx))
 
     # 4. per-bucket totals -> exclusive prefixes via broadcast triangular
     # self-join over <= n_buckets rows (no single-partition exchange)
     tot = b.groupBy("__bkt").agg(
         F.count(F.lit(1)).alias("__cnt"),
         *[F.sum(c).alias(f"__s_{a}") for a, c in values.items()],
+        *[F.max(c).alias(f"__m_{a}") for a, c in max_values.items()],
     )
     styp = {f.name: f.dataType for f in tot.schema.fields}
     rb = tot.select(
         F.col("__bkt").alias("__bkt2"),
         F.col("__cnt").alias("__cnt2"),
         *[F.col(f"__s_{a}").alias(f"__s2_{a}") for a in values],
+        *[F.col(f"__m_{a}").alias(f"__m2_{a}") for a in max_values],
     )
     pref = (
         tot.select("__bkt")
@@ -143,6 +163,9 @@ def ranked_cumsum(
                 ).alias(f"__p_{a}")
                 for a in values
             ],
+            # max prefixes stay NULL when no earlier bucket exists — a
+            # zero default would invent a spurious maximum
+            *[F.max(f"__m2_{a}").alias(f"__px_{a}") for a in max_values],
         )
     )
     grand = tot.agg(
@@ -161,6 +184,14 @@ def ranked_cumsum(
             f"cum_{a}", (F.col(f"__p_{a}") + F.col(f"__lc_{a}")).cast(styp[f"__s_{a}"])
         ).withColumn(f"tot_{a}", F.col(f"__t_{a}"))
         keep += [f"cum_{a}", f"tot_{a}"]
+    for a in max_values:
+        # greatest() skips NULLs, so the first row of the first bucket
+        # (no prefix anywhere) comes out NULL — the correct "no
+        # predecessor" signal for dominance sweeps
+        out = out.withColumn(
+            f"premax_{a}", F.greatest(F.col(f"__px_{a}"), F.col(f"__lx_{a}"))
+        )
+        keep.append(f"premax_{a}")
     return out.select(*cols0, *keep)
 
 
