@@ -304,3 +304,74 @@ def test_observe_pipeline_metrics(spark):
     assert df.count() == 500
     got = obs.get
     assert got["rows_in"] == 1000 and got["id_sum"] == 499500
+
+
+def test_ranked_cumsum_matches_single_partition_reference(spark):
+    # the distributed exact rank/prefix machinery (round 4) must equal
+    # the single-partition window it replaces: rank, ntile closed form,
+    # inclusive decimal cumsum, exclusive prefix max, desc orders —
+    # across bucket counts including the degenerate single bucket
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from uts_spark.operators.distributed_rank import (
+        ntile_from_rank,
+        ranked_cumsum,
+    )
+
+    rows = [(i, float((i * 37) % 101), (i * 13) % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double, w long")
+
+    w = Window.orderBy("v", "id")
+    ref = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.ntile(7).over(w).cast("long").alias("t"),
+        F.sum(F.col("w").cast("decimal(38,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cs"),
+        F.max("w").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("pm"),
+    )
+    for n_buckets in (1, 5, 16):
+        got = ranked_cumsum(
+            df,
+            F.col("v"),
+            [F.asc("v"), F.asc("id")],
+            values={"w": F.col("w").cast("decimal(38,6)")},
+            max_values={"w": F.col("w")},
+            n_buckets=n_buckets,
+            sample_mod=2,
+        ).select(
+            "id",
+            F.col("__rank").alias("r2"),
+            ntile_from_rank(F.col("__rank"), F.col("__n"), 7).alias("t2"),
+            F.col("cum_w").alias("cs2"),
+            F.col("premax_w").alias("pm2"),
+        )
+        j = ref.join(got, "id")
+        bad = j.filter(
+            (F.col("r") != F.col("r2"))
+            | (F.col("t") != F.col("t2"))
+            | (F.col("cs") != F.col("cs2"))
+            | (F.col("pm").isNull() != F.col("pm2").isNull())
+            | (F.coalesce(F.col("pm"), F.lit(-1)) != F.coalesce(F.col("pm2"), F.lit(-1)))
+        )
+        assert bad.count() == 0, f"n_buckets={n_buckets}"
+
+    # descending order + column-collision guard
+    ref_d = df.select(
+        "id",
+        F.row_number().over(Window.orderBy(F.desc("v"), F.asc("id")))
+        .cast("long").alias("r"),
+    )
+    got_d = ranked_cumsum(
+        df, -F.col("v"), [F.desc("v"), F.asc("id")], n_buckets=8, sample_mod=2
+    ).select("id", F.col("__rank").alias("r2"))
+    assert ref_d.join(got_d, "id").filter(F.col("r") != F.col("r2")).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        ranked_cumsum(
+            df.withColumnRenamed("w", "__rank"), F.col("v"), [F.asc("v")]
+        )

@@ -413,3 +413,205 @@ def attribution_linear(spark, sf_dir):
         .select(F.lit("direct").alias("channel"), "attributed_c", "n_touches", "n_purchases")
     )
     return attributed.unionByName(direct)
+
+
+# ===========================================================================
+# A/B experiment analysis with CUPED variance reduction
+# ===========================================================================
+
+from uts_spark.functions.hashing import duck_hash64, hash64  # noqa: E402
+from uts_spark.registry import NOW_MS  # noqa: E402
+
+_AB_CUT = NOW_MS - 14 * DAY  # pre-period | experiment-period boundary
+
+
+def _duck_ab_cuped() -> str:
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST({duck_hash64("concat('ab:', user_id)")} % 2 AS BIGINT) AS grp,
+             SUM(CASE WHEN event_type = 'purchase' AND {MS} < {_AB_CUT}
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' AND {MS} >= {_AB_CUT}
+                      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_t,
+             SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) AS sx_t,
+             SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS sy_t,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_c,
+             SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) AS sx_c,
+             SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS sy_c
+      FROM u
+    ),
+    d AS (
+      SELECT *,
+             CAST(sx AS DOUBLE) / n AS xbar, CAST(sy AS DOUBLE) / n AS ybar,
+             CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov,
+             CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS varx,
+             CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vary
+      FROM m
+    ),
+    t AS (
+      SELECT *, CASE WHEN varx > 0 THEN cov / varx ELSE 0 END AS theta,
+             CAST(sy_t AS DOUBLE) / n_t AS ybar_t, CAST(sy_c AS DOUBLE) / n_c AS ybar_c,
+             CAST(sx_t AS DOUBLE) / n_t AS xbar_t, CAST(sx_c AS DOUBLE) / n_c AS xbar_c
+      FROM d
+    )
+    SELECT CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_ctrl,
+           ybar_t AS mean_treat_c, ybar_c AS mean_ctrl_c,
+           ybar_t - ybar_c AS lift_c,
+           theta,
+           (ybar_t - theta * (xbar_t - xbar))
+             - (ybar_c - theta * (xbar_c - xbar)) AS adj_lift_c,
+           CASE WHEN vary > 0
+                THEN (2 * theta * cov - theta * theta * varx) / vary
+                ELSE 0 END AS var_reduction
+    FROM t
+    """
+
+
+@query("ab_test_cuped", _duck_ab_cuped())
+def ab_test_cuped(spark, sf_dir):
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al., WSDM'13): users split 50/50 by the portable hash, per-user
+    purchase revenue in the experiment window (last 14 days) is the
+    metric, pre-period revenue the covariate; theta = cov(x,y)/var(x)
+    adjusts the arm means and the report quantifies how much variance
+    the covariate removed — the standard experimentation-platform
+    readout.
+
+    Exactness: per-user revenues are centi-integers, all second moments
+    accumulate as exact longs in one aggregation pass, and every double
+    (means, theta, adjusted lift, variance reduction) derives from those
+    integers through formulas written IDENTICALLY on both engines — so
+    even the variance arithmetic hash-matches. Scale: one shuffle on
+    user_id, then a 1-row moment aggregate; nothing widens with event
+    count."""
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    is_purch = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_purch & (F.col("ts_ms") < _AB_CUT), vc).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(is_purch & (F.col("ts_ms") >= _AB_CUT), vc).otherwise(0)
+        ).alias("y"),
+    ).withColumn(
+        "grp",
+        F.pmod(hash64(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), F.lit(2)),
+    )
+    t1 = F.col("grp") == 1
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.when(t1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(t1, F.col("x")).otherwise(0)).alias("sx_t"),
+        F.sum(F.when(t1, F.col("y")).otherwise(0)).alias("sy_t"),
+        F.sum(F.when(~t1, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(~t1, F.col("x")).otherwise(0)).alias("sx_c"),
+        F.sum(F.when(~t1, F.col("y")).otherwise(0)).alias("sy_c"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    xbar, ybar = D("sx") / D("n"), D("sy") / D("n")
+    cov = D("sxy") / D("n") - (D("sx") / D("n")) * (D("sy") / D("n"))
+    varx = D("sxx") / D("n") - (D("sx") / D("n")) * (D("sx") / D("n"))
+    vary = D("syy") / D("n") - (D("sy") / D("n")) * (D("sy") / D("n"))
+    theta = F.when(varx > 0, cov / varx).otherwise(F.lit(0.0))
+    ybar_t, ybar_c = D("sy_t") / D("n_t"), D("sy_c") / D("n_c")
+    xbar_t, xbar_c = D("sx_t") / D("n_t"), D("sx_c") / D("n_c")
+    return m.select(
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        ybar_t.alias("mean_treat_c"),
+        ybar_c.alias("mean_ctrl_c"),
+        (ybar_t - ybar_c).alias("lift_c"),
+        theta.alias("theta"),
+        (
+            (ybar_t - theta * (xbar_t - xbar))
+            - (ybar_c - theta * (xbar_c - xbar))
+        ).alias("adj_lift_c"),
+        F.when(vary > 0, (2 * theta * cov - theta * theta * varx) / vary)
+        .otherwise(F.lit(0.0))
+        .alias("var_reduction"),
+    )
+
+
+# ===========================================================================
+# Session-to-day time attribution (interval overlap splitting)
+# ===========================================================================
+
+@query(
+    "session_day_attribution",
+    f"""
+    WITH e AS (SELECT user_id, {MS} AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT user_id, MIN(t) AS s_start, MAX(t) AS s_end
+      FROM s GROUP BY user_id, sid
+    ),
+    split AS (
+      SELECT unnest(range(s_start // {DAY}, s_end // {DAY} + 1)) AS d,
+             s_start, s_end
+      FROM sess
+    )
+    SELECT d * {DAY} AS day_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(LEAST(s_end, (d + 1) * {DAY})
+                    - GREATEST(s_start, d * {DAY})) AS BIGINT)
+             AS attributed_ms
+    FROM split GROUP BY d
+    """,
+)
+def session_day_attribution(spark, sf_dir):
+    """Interval-to-bucket TIME ATTRIBUTION: each 30-min-gap session's
+    duration splits across the calendar days it spans (overlap of
+    [start, end] with each day), so per-day engagement sums to exactly
+    the total session time — the allocation step behind every
+    time-spent dashboard, and the batch twin of hopping-window
+    accounting (a session crossing midnight credits both days, pro
+    rata).
+
+    Scale: sessionization is the native session_window merge (one
+    shuffle on user_id); each session then explodes to its spanned days
+    only (gap-bounded sessions span 1-2 days, so the explode is ~1× the
+    session count — never a per-ms or per-hour blowup) and a tiny
+    per-day aggregation finishes. Overlap arithmetic is pure integer
+    milliseconds — hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.min("ts_ms").alias("s_start"), F.max("ts_ms").alias("s_end"))
+        .select("s_start", "s_end")
+    )
+    d0 = F.floor(F.col("s_start") / F.lit(DAY)).cast("long")
+    d1 = F.floor(F.col("s_end") / F.lit(DAY)).cast("long")
+    split = sess.select(
+        "s_start", "s_end", F.explode(F.sequence(d0, d1)).alias("d")
+    )
+    return split.groupBy((F.col("d") * DAY).alias("day_ms")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(
+            F.least(F.col("s_end"), (F.col("d") + 1) * DAY)
+            - F.greatest(F.col("s_start"), F.col("d") * DAY)
+        ).cast("long").alias("attributed_ms"),
+    )
