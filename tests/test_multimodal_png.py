@@ -1,0 +1,83 @@
+"""Pure-stdlib PNG codec (functions/png.py): the real multimodal decode
+lane. Roundtrips cover all five scanline filters and 1-4 channels; the
+external fixture (tests/fixtures/external_rgba_48.png — the IDLE 48px
+icon from the CPython distribution, PSF-2.0, chosen because a REAL
+encoder with adaptive per-row filters produced it) pins conformance with
+bytes our own encoder never emitted."""
+
+import os
+
+import numpy as np
+import pytest
+
+from uts_spark.functions.png import (
+    decode_png,
+    encode_png,
+    synth_dims,
+    synth_pixels,
+    synth_png,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "external_rgba_48.png")
+
+
+def test_roundtrip_all_filters_and_channels():
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        for f in range(5):
+            assert np.array_equal(decode_png(encode_png(px, f)), px), (ch, f)
+        mixed = [int(x) for x in rng.randint(0, 5, h)]
+        assert np.array_equal(decode_png(encode_png(px, mixed)), px), (ch, mixed)
+
+
+def test_single_row_and_single_column_edges():
+    for shape in ((1, 17, 3), (23, 1, 3), (1, 1, 1)):
+        px = (np.arange(np.prod(shape)) % 256).astype(np.uint8).reshape(shape)
+        for f in range(5):
+            assert np.array_equal(decode_png(encode_png(px, f)), px), (shape, f)
+
+
+def test_external_encoder_fixture_decodes():
+    # bytes produced by a real-world encoder (adaptive filters, RGBA):
+    # shape + pixel-sum regression anchors the decoder against output
+    # our own encoder never generates
+    blob = open(FIXTURE, "rb").read()
+    px = decode_png(blob)
+    assert px.shape == (48, 48, 4)
+    assert int(px.astype(np.int64).sum()) == 1420309
+
+
+def test_unsupported_variants_raise_precisely():
+    px = np.zeros((4, 4, 3), np.uint8)
+    blob = bytearray(encode_png(px))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOTAPNG!" + bytes(blob[8:]))
+    # corrupt the IHDR bit depth (byte 8 of IHDR data) and re-CRC not
+    # needed — parser reads fields before any CRC check
+    depth_off = 8 + 8 + 8  # sig + len/tag + w/h
+    blob[depth_off] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(blob))
+
+
+def test_synth_corpus_roundtrip_and_closed_form():
+    for d in (0, 3, 123, 499, 2024):
+        w, h, a, b, c0 = synth_dims(d)
+        px = synth_pixels(d)
+        assert px.shape == (h, w, 3)
+        # spot-check the closed form the SQL oracle recomputes
+        assert px[0, 0, 0] == c0 % 256
+        assert px[2, 5, 1] == (5 * a + 2 * b + c0 + 37) % 256
+        assert np.array_equal(decode_png(synth_png(d)), px)
+
+
+def test_decode_image_dispatches_png(spark):
+    # the decode_image seam: PNG decodes natively even without PIL
+    from uts_spark.functions.multimodal import decode_image
+
+    px = decode_image(synth_png(42))
+    assert np.array_equal(px, synth_pixels(42))
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 100)  # JPEG magic

@@ -53,19 +53,23 @@ def media_metadata(df: DataFrame, blob_col: str = "media") -> DataFrame:
 
 
 def decode_image(blob: bytes):
-    """Real decoder stub. Wire PIL/libvips here when available.
+    """Real image decoder. PNG blobs decode through the pure-stdlib
+    codec (functions/png.py — zlib inflate + numpy unfiltering, no
+    external deps; round-4 close of the ROADMAP codec gap); other
+    formats (JPEG etc.) still need PIL/libvips, absent from this
+    container. Returns an (h, w, channels) uint8 numpy array."""
+    from uts_spark.functions.png import _SIG, decode_png
 
-    STUB: the container ships no image codecs; see fake_decode_features
-    for the deterministic test-path implementation.
-    """
+    if bytes(blob[:8]) == _SIG:
+        return decode_png(blob)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires PIL/pillow, not present in this "
-            "container; use fake_decode_features for the plumbing path"
+            "non-PNG image decoding requires PIL/pillow, not present in "
+            "this container; PNG decodes natively (functions/png.py)"
         ) from exc
-    raise NotImplementedError("PIL present but decoder not implemented yet")
+    raise NotImplementedError("PIL present but non-PNG decoder not wired yet")
 
 
 def _fake_features(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -281,3 +285,70 @@ def audio_energy_windows(
             )
 
     return df.select("doc_id", blob_col).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+PNG_STATS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def attach_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PNG blob per row (functions/png.synth_png: pixels
+    are a closed form in the id, rows encoded with varying filters) —
+    the image-corpus stand-in whose decoded statistics an external SQL
+    oracle can recompute arithmetically. Arrow-batched mapInPandas, one
+    encode per row, executor-side only."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from uts_spark.functions.png import synth_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": [synth_png(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, media binary")
+
+
+def png_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """REAL image decode: inflate + unfilter each PNG blob (pure-stdlib
+    codec) and emit per-channel integer pixel sums — the honest version
+    of fake_decode_features for the one format the container can always
+    handle. Integer sums keep the oracle comparison exact; derived means
+    are one double division computed identically in SQL."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from uts_spark.functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                px = decode_png(bytes(payload)).astype(np.int64)
+                h, w, ch = px.shape
+                sums = px.sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(doc_id), w, h, ch, w * h,
+                        int(sums[0]),
+                        int(sums[1]) if ch > 1 else 0,
+                        int(sums[2]) if ch > 2 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, PNG_STATS_SCHEMA)

@@ -615,3 +615,71 @@ def session_day_attribution(spark, sf_dir):
             - F.greatest(F.col("s_start"), F.col("d") * DAY)
         ).cast("long").alias("attributed_ms"),
     )
+
+
+# ===========================================================================
+# REAL image decode: pure-stdlib PNG codec lane (round-4 close of the
+# "multimodal codecs stubbed" ROADMAP limitation)
+# ===========================================================================
+
+@query(
+    "multimodal_png_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + (doc_id * 7) % 25 AS w,
+             8 + (doc_id * 11) % 25 AS h,
+             (doc_id % 5) + 1 AS a,
+             (doc_id % 7) + 1 AS b,
+             doc_id % 256 AS c0
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             SUM((x.x * d.a + y.y * d.b + d.c0) % 256)      AS sum_r,
+             SUM((x.x * d.a + y.y * d.b + d.c0 + 37) % 256) AS sum_g,
+             SUM((x.x * d.a + y.y * d.b + d.c0 + 74) % 256) AS sum_b
+      FROM d, UNNEST(range(0, d.w)) AS x(x), UNNEST(range(0, d.h)) AS y(y)
+      GROUP BY d.doc_id, d.w, d.h
+    )
+    SELECT doc_id, w AS width, h AS height, CAST(3 AS BIGINT) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           CAST(sum_r AS DOUBLE) / (w * h) AS mean_r,
+           CAST(sum_g AS DOUBLE) / (w * h) AS mean_g,
+           CAST(sum_b AS DOUBLE) / (w * h) AS mean_b
+    FROM px
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL image decoding, oracle-verified end-to-end: every document
+    gets a genuine PNG blob (pure-stdlib encoder, per-row filters 0/1/2,
+    pixels a closed form in doc_id), Spark INFLATES AND UNFILTERS the
+    actual bytes executor-side (functions/png.decode_png via Arrow
+    mapInPandas) and emits per-channel integer pixel sums — while the
+    DuckDB oracle recomputes the same statistics ARITHMETICALLY from the
+    generative formula, never seeing a byte of PNG. Any decoder defect
+    (filter reconstruction, stride, channel order, chunk parsing) breaks
+    the hash match; the codec also decodes real-world encoder output
+    (tests/test_multimodal_png.py's external fixture).
+
+    Scale: encode and decode are both partition-streamed Arrow batches —
+    blobs never leave executors, nothing shuffles but the final stats
+    rows; the pattern is exactly how a 100 TB image-corpus QC pass runs
+    (decode → per-image stats → tiny aggregate), with this codec or
+    PIL behind the same operator seam."""
+    from uts_spark.functions.multimodal import attach_synth_png, png_decode_stats
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_synth_png(docs)
+    stats = png_decode_stats(blobs)
+    n = F.col("n_pixels").cast("double")
+    return stats.select(
+        "doc_id", "width", "height", "channels", "n_pixels",
+        "sum_r", "sum_g", "sum_b",
+        (F.col("sum_r").cast("double") / n).alias("mean_r"),
+        (F.col("sum_g").cast("double") / n).alias("mean_g"),
+        (F.col("sum_b").cast("double") / n).alias("mean_b"),
+    )
