@@ -81,3 +81,34 @@ def test_decode_image_dispatches_png(spark):
     assert np.array_equal(px, synth_pixels(42))
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\xff\xd8\xff\xe0" + b"0" * 100)  # JPEG magic
+
+
+def test_resize_nearest_integer_index_map():
+    from uts_spark.functions.png import resize_nearest
+
+    px = synth_pixels(17)
+    h, w = px.shape[:2]
+    small = resize_nearest(px, 5, 3)
+    assert small.shape == (3, 5, 3)
+    for ty in range(3):
+        for tx in range(5):
+            assert np.array_equal(
+                small[ty, tx], px[(ty * h) // 3, (tx * w) // 5]
+            )
+
+
+def test_wav_roundtrip_closed_form():
+    import io
+    import wave
+
+    from uts_spark.functions.multimodal import synth_wav
+
+    for d in (0, 42, 499):
+        with wave.open(io.BytesIO(synth_wav(d)), "rb") as w:
+            assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+            n = w.getnframes()
+            pcm = np.frombuffer(w.readframes(n), "<i2")
+        assert n == 4000 + (d * 13) % 2000
+        a, c0 = 1 + d % 9, d % 777
+        i = np.arange(n, dtype=np.int64)
+        assert np.array_equal(pcm, ((i * a + c0) % 2001 - 1000).astype("<i2"))

@@ -352,3 +352,148 @@ def png_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
             )
 
     return df.select("doc_id", blob_col).mapInPandas(gen, PNG_STATS_SCHEMA)
+
+
+PNG_RESIZE_SCHEMA = (
+    "doc_id long, src_w long, src_h long, target_w long, target_h long, "
+    "sum_r long, sum_g long, sum_b long, resized_len long"
+)
+
+
+def png_resize_stats(
+    df: DataFrame, target_w: int, target_h: int, blob_col: str = "media"
+) -> DataFrame:
+    """REAL resize pipeline: decode PNG → nearest-neighbor resample
+    (integer index map) → RE-ENCODE to PNG — the full
+    decode/transform/encode loop the stubbed `resize_images` only
+    modeled, now live for the stdlib-codec format. Emits per-channel
+    integer sums of the RESIZED pixels (oracle recomputes them from the
+    generative formula through the same integer index map) plus the
+    re-encoded byte length (decode-side only; not oracle-compared —
+    compressed size is a zlib implementation detail)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from uts_spark.functions.png import decode_png, encode_png, resize_nearest
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                px = decode_png(bytes(payload))
+                h, w = px.shape[:2]
+                small = resize_nearest(px, target_w, target_h)
+                blob2 = encode_png(small)
+                sums = small.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(doc_id), w, h, target_w, target_h,
+                        int(sums[0]), int(sums[1]), int(sums[2]), len(blob2),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "target_w", "target_h",
+                    "sum_r", "sum_g", "sum_b", "resized_len",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, PNG_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio lane: RIFF/WAVE PCM through the stdlib `wave` parser — like
+# the PNG lane, the decode step is genuine (an actual container format
+# parsed by a real codec), and the synthetic waveform is a closed form
+# the SQL oracle recomputes arithmetically.
+
+WAV_WINDOW = 256
+
+WAV_ENERGY_SCHEMA = (
+    "doc_id long, widx long, n_samples long, framerate long, "
+    "energy long, rms double"
+)
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Mono 16-bit PCM WAV whose samples are a closed form in doc_id:
+    s(i) = ((i*a + c0) % 2001) - 1000, n = 4000 + (doc_id*13) % 2000."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = 4000 + (doc_id * 13) % 2000
+    a = 1 + doc_id % 9
+    c0 = doc_id % 777
+    i = np.arange(n, dtype=np.int64)
+    samples = ((i * a + c0) % 2001 - 1000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real RIFF/WAVE blob per row (Arrow-batched, executor-side)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": [synth_wav(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, "doc_id long, media binary")
+
+
+def wav_energy_windows(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """REAL audio feature extraction: parse the RIFF container with the
+    stdlib ``wave`` codec, window the decoded int16 PCM into
+    non-overlapping WAV_WINDOW-sample frames, emit integer energy
+    (Σ sample²) and IEEE RMS per frame — the honest upgrade of
+    audio_energy_windows' bytes-as-samples stand-in. Trailing partial
+    windows are dropped (the fixed-frame VAD convention)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import math
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    framerate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), "<i2").astype(np.int64)
+                for widx in range(n // WAV_WINDOW):
+                    frame = pcm[widx * WAV_WINDOW : (widx + 1) * WAV_WINDOW]
+                    energy = int((frame * frame).sum())
+                    rows.append(
+                        (
+                            int(doc_id), widx, n, framerate, energy,
+                            math.sqrt(energy / float(WAV_WINDOW)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "widx", "n_samples", "framerate", "energy", "rms",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, WAV_ENERGY_SCHEMA)

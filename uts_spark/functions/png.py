@@ -185,3 +185,14 @@ def synth_png(doc_id: int) -> bytes:
     vectorized decode paths all get exercised on every image)."""
     px = synth_pixels(doc_id)
     return encode_png(px, filters=[y % 3 for y in range(px.shape[0])])
+
+
+def resize_nearest(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize with the integer index map
+    ``src = (dst * src_dim) // dst_dim`` — a pure-integer sampling rule
+    an external SQL oracle can replay exactly (no float coordinate
+    rounding to disagree about)."""
+    h, w = px.shape[:2]
+    xs = (np.arange(tw) * w) // tw
+    ys = (np.arange(th) * h) // th
+    return px[ys][:, xs]

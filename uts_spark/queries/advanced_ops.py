@@ -683,3 +683,99 @@ def multimodal_png_decode(spark, sf_dir):
         (F.col("sum_g").cast("double") / n).alias("mean_g"),
         (F.col("sum_b").cast("double") / n).alias("mean_b"),
     )
+
+
+@query(
+    "multimodal_png_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + (doc_id * 7) % 25 AS w,
+             8 + (doc_id * 11) % 25 AS h,
+             (doc_id % 5) + 1 AS a,
+             (doc_id % 7) + 1 AS b,
+             doc_id % 256 AS c0
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             SUM(((tx.tx * d.w) // 16 * d.a + (ty.ty * d.h) // 16 * d.b
+                  + d.c0) % 256)      AS sum_r,
+             SUM(((tx.tx * d.w) // 16 * d.a + (ty.ty * d.h) // 16 * d.b
+                  + d.c0 + 37) % 256) AS sum_g,
+             SUM(((tx.tx * d.w) // 16 * d.a + (ty.ty * d.h) // 16 * d.b
+                  + d.c0 + 74) % 256) AS sum_b
+      FROM d, UNNEST(range(0, 16)) AS tx(tx), UNNEST(range(0, 16)) AS ty(ty)
+      GROUP BY d.doc_id, d.w, d.h
+    )
+    SELECT doc_id, w AS src_w, h AS src_h,
+           CAST(16 AS BIGINT) AS target_w, CAST(16 AS BIGINT) AS target_h,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b
+    FROM px
+    """,
+)
+def multimodal_png_resize(spark, sf_dir):
+    """REAL resize pipeline, oracle-verified: decode each document's
+    actual PNG bytes, nearest-neighbor resample to 16×16 through the
+    pure-integer index map src = (dst·src_dim) // 16, RE-ENCODE to PNG
+    executor-side, and emit per-channel sums of the resized pixels —
+    the full decode→transform→encode loop that `multimodal_resize`
+    could only model while codecs were stubbed. The oracle replays the
+    index map arithmetically on the generative pixel formula; the
+    re-encoded blob length is computed but not compared (zlib output is
+    an implementation detail, not a semantic)."""
+    from uts_spark.functions.multimodal import attach_synth_png, png_resize_stats
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_synth_png(docs)
+    return png_resize_stats(blobs, 16, 16).select(
+        "doc_id", "src_w", "src_h", "target_w", "target_h",
+        "sum_r", "sum_g", "sum_b",
+    )
+
+
+@query(
+    "multimodal_wav_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             4000 + (doc_id * 13) % 2000 AS n,
+             1 + doc_id % 9 AS a,
+             doc_id % 777 AS c0
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.n, i.i // 256 AS widx,
+             SUM(((i.i * d.a + d.c0) % 2001 - 1000)
+                 * ((i.i * d.a + d.c0) % 2001 - 1000)) AS energy
+      FROM d, UNNEST(range(0, (d.n // 256) * 256)) AS i(i)
+      GROUP BY d.doc_id, d.n, i.i // 256
+    )
+    SELECT doc_id, CAST(widx AS BIGINT) AS widx,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS framerate,
+           CAST(energy AS BIGINT) AS energy,
+           sqrt(CAST(energy AS DOUBLE) / 256) AS rms
+    FROM s
+    """,
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decoding, oracle-verified: every document gets a
+    genuine RIFF/WAVE blob (mono 16-bit PCM whose samples are a closed
+    form in doc_id), the executors parse the container with the stdlib
+    ``wave`` codec — an actual third-party-format parser, not our own
+    round-trip — window the decoded PCM into 256-sample frames and emit
+    integer energies + IEEE RMS, while the oracle recomputes every
+    window arithmetically from the waveform formula. Container parsing,
+    sample width, endianness, or windowing defects all break the hash.
+
+    Scale: same contract as the PNG lane — blobs are born and die on
+    executors inside Arrow batches; only ~n/256 stat rows per doc ever
+    move."""
+    from uts_spark.functions.multimodal import attach_synth_wav, wav_energy_windows
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_synth_wav(docs)
+    return wav_energy_windows(blobs)
