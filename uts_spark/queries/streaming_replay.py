@@ -960,3 +960,62 @@ def stream_simhash_neardup_replay(spark, sf_dir):
             (F.col("best_hamming") <= 6).alias("is_neardup"),
         )
     )
+
+
+# ===========================================================================
+# Streaming multimodal: real PNG decode over micro-batched blobs
+# ===========================================================================
+
+@query(
+    "stream_png_decode_replay",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + (doc_id * 7) % 25 AS w,
+             8 + (doc_id * 11) % 25 AS h,
+             (doc_id % 5) + 1 AS a,
+             (doc_id % 7) + 1 AS b,
+             doc_id % 256 AS c0
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             SUM((x.x * d.a + y.y * d.b + d.c0) % 256)      AS sum_r,
+             SUM((x.x * d.a + y.y * d.b + d.c0 + 37) % 256) AS sum_g,
+             SUM((x.x * d.a + y.y * d.b + d.c0 + 74) % 256) AS sum_b
+      FROM d, UNNEST(range(0, d.w)) AS x(x), UNNEST(range(0, d.h)) AS y(y)
+      GROUP BY d.doc_id, d.w, d.h
+    )
+    SELECT doc_id, w AS width, h AS height, CAST(3 AS BIGINT) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b
+    FROM px
+    """,
+)
+def stream_png_decode_replay(spark, sf_dir):
+    """STREAMING multimodal decode: the document corpus's real PNG blobs
+    arrive as 4 parquet micro-batches and each batch is inflated +
+    unfiltered in-stream (stateless Arrow ``mapInPandas`` on the
+    streaming DataFrame — the ingest-QC shape: blobs land, stats flow,
+    bytes never leave the executor or the batch). Append mode, no state,
+    no watermark — decode is embarrassingly per-row, so the streaming
+    plan is the batch plan fed incrementally; the oracle is the same
+    arithmetic recomputation the batch `multimodal_png_decode` uses.
+
+    Also the regression proving mapInPandas composes with Structured
+    Streaming sources in this engine (schemas, Arrow batching, binary
+    columns through the file source's parquet round-trip)."""
+    from uts_spark.functions.multimodal import attach_synth_png, png_decode_stats
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_synth_png(docs)
+
+    def build(stream):
+        return png_decode_stats(stream).select(
+            "doc_id", "width", "height", "channels", "n_pixels",
+            "sum_r", "sum_g", "sum_b",
+        ), "append"
+
+    return _replay(spark, blobs, build)
