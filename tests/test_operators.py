@@ -375,3 +375,40 @@ def test_ranked_cumsum_matches_single_partition_reference(spark):
         ranked_cumsum(
             df.withColumnRenamed("w", "__rank"), F.col("v"), [F.asc("v")]
         )
+
+
+def test_ntile_closed_form_matches_sql_definition():
+    # pure-arithmetic property sweep (no Spark): the closed form in
+    # ntile_from_rank must equal SQL NTILE's definition — first n%k
+    # tiles hold n//k+1 rows — for every (n, k) in a dense range
+    def sql_ntile(rank, n, k):
+        q, rem = divmod(n, k)
+        big = (q + 1) * rem
+        if rank <= big:
+            return (rank + q) // (q + 1)
+        return rem + (rank - big + q - 1) // q
+
+    def closed_form(rank, n, k):
+        # mirror of ntile_from_rank's Column arithmetic in ints
+        import math
+
+        q = int(math.floor(n / k))
+        rem = n - q * k
+        cut = (q + 1) * rem
+        if rank <= cut:
+            return int(math.floor((rank + q) / (q + 1)))
+        return rem + int(math.floor((rank - cut + q - 1) / q))
+
+    for n in list(range(1, 60)) + [97, 128, 1000, 4096]:
+        for k in (1, 2, 3, 4, 7, 10, 32, 100):
+            sizes = {}
+            for r in range(1, n + 1):
+                t = closed_form(r, n, k)
+                assert t == sql_ntile(r, n, k), (n, k, r)
+                sizes[t] = sizes.get(t, 0) + 1
+            # NTILE invariants: tiles 1..min(n,k), sizes differ by <= 1,
+            # first tiles get the larger share
+            assert sorted(sizes) == list(range(1, min(n, k) + 1)), (n, k)
+            ordered = [sizes[t] for t in sorted(sizes)]
+            assert max(ordered) - min(ordered) <= 1
+            assert ordered == sorted(ordered, reverse=True)

@@ -58,6 +58,28 @@ def main() -> None:
             group=interval(24 * HOUR, fill=True, now=now),
         )
 
+    def _equidepth(df):
+        from uts_spark.operators.distributed_rank import (
+            ntile_from_rank,
+            ranked_cumsum,
+        )
+
+        r = ranked_cumsum(
+            df.select("value", "ingest_id"),
+            F.col("value"),
+            [F.asc("value"), F.asc("ingest_id")],
+            n_buckets=128,
+            sample_mod=512,
+        )
+        d = r.select(
+            "value", ntile_from_rank(F.col("__rank"), F.col("__n"), 10).alias("decile")
+        )
+        return d.groupBy("decile").agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
     ops = {
         "uts_interval_mean_fill_24h": uts_interval,
         "ohlc_hourly": lambda df: ohlc(
@@ -87,6 +109,11 @@ def main() -> None:
                 .rowsBetween(Window.unboundedPreceding, 0)
             ).cast("double").alias("rs"),
         ),
+        # r4: the distributed exact-rank operator at smoke scale — an
+        # exact global decile assignment over every row with ZERO
+        # single-partition windows (the plan a naive ntile would
+        # serialize through one task at this size)
+        "equidepth_deciles_distributed": _equidepth,
     }
 
     timings = {}

@@ -3608,19 +3608,27 @@ def rfm_segmentation(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         _lsum(F.col("o_totalprice")).alias("monetary"),
     )
+    # three INDEPENDENT rank branches joined back on custkey — chaining
+    # the three ranked_cumsum calls instead nests the lineage 3 deep and
+    # the plan tree grows ~4^3 copies of the base aggregate (measured:
+    # ~3x the cold plan+codegen time); branches keep it linear, and all
+    # three joins share the custkey hash partitioning
     scored = base
     for score, key in (
         ("r_score", "last_order_ms"),
         ("f_score", "frequency"),
         ("m_score", "monetary"),
     ):
-        scored = (
-            ranked_cumsum(
-                scored, F.col(key), [F.asc(key), F.asc("custkey")], n_buckets=32
-            )
-            .withColumn(score, ntile_from_rank(F.col("__rank"), F.col("__n"), 4))
-            .drop("__rank", "__n")
+        branch = ranked_cumsum(
+            base.select("custkey", key),
+            F.col(key),
+            [F.asc(key), F.asc("custkey")],
+            n_buckets=32,
+        ).select(
+            "custkey",
+            ntile_from_rank(F.col("__rank"), F.col("__n"), 4).alias(score),
         )
+        scored = scored.join(branch, "custkey")
     return scored.select(
         "custkey",
         "last_order_ms",
