@@ -412,3 +412,18 @@ def test_ntile_closed_form_matches_sql_definition():
             ordered = [sizes[t] for t in sorted(sizes)]
             assert max(ordered) - min(ordered) <= 1
             assert ordered == sorted(ordered, reverse=True)
+
+
+def test_ranked_cumsum_constant_key_degenerates_correctly(spark):
+    # every row shares one bucket-key value -> all rows land in ONE
+    # bucket (order consistency demands it); balance is gone but the
+    # ranks must stay exact — the documented worst case
+    from pyspark.sql import functions as F
+
+    from uts_spark.operators.distributed_rank import ranked_cumsum
+
+    df = spark.createDataFrame([(i, 7.0) for i in range(100)], "id long, v double")
+    got = ranked_cumsum(
+        df, F.col("v"), [F.asc("v"), F.asc("id")], n_buckets=8, sample_mod=1
+    ).select("id", F.col("__rank").alias("rank")).collect()
+    assert sorted((r.id, r.rank) for r in got) == [(i, i + 1) for i in range(100)]
