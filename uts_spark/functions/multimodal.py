@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The Spark-side plumbing is real and tested: schemas, batch iteration,
-partition-preserving transforms. The actual codec step is STUBBED —
-image/audio libraries are not in this container — behind
-``decode_image``, which raises ``NotImplementedError`` unless a decoder is
-importable; ``fake_decode_features`` is the deterministic stand-in used by
-tests and queries (features derived from the bytes themselves, so results
-are reproducible anywhere).
+Since round 4 two codec lanes are REAL: PNG (pure-stdlib codec,
+functions/png.py — decode/resize/re-encode) and WAV PCM audio (stdlib
+``wave`` RIFF parser) — both oracle-gated end-to-end. Formats the
+container genuinely cannot handle (JPEG/WebP/video) stay behind
+``decode_image``'s PIL seam with a precise NotImplementedError;
+``fake_decode_features`` remains the deterministic stand-in those
+pipeline-shape queries use (features derived from the bytes themselves,
+so results are reproducible anywhere).
 
 At 100 TB: binaries live in parquet/object storage; ``mapInPandas``
 processes them partition-streamed in Arrow batches (no driver transfer,
@@ -36,10 +37,23 @@ DECODE_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before codec work.
+
+    Blob decode/encode is CPU-bound Python — and the testdata corpus is
+    ONE parquet file, so without this every mapInPandas lane below
+    inherits a single input partition and serializes the whole corpus
+    onto one core (observed: 5000 decodes on 1 task of 32 at sf0.1).
+    At real scale the input is many files and this is a near-no-op
+    round-robin; the round trip is far cheaper than idling the
+    cluster."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Make a binary 'media' column (UTF-8 bytes of the text — the
     testdata has no real media; the pipeline shape is what matters)."""
-    return df.withColumn("media", F.encode(F.col(text_col), "UTF-8"))
+    return _spread(df).withColumn("media", F.encode(F.col(text_col), "UTF-8"))
 
 
 def media_metadata(df: DataFrame, blob_col: str = "media") -> DataFrame:
@@ -313,7 +327,7 @@ def attach_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, "doc_id long, media binary")
+    return _spread(df.select(id_col)).mapInPandas(gen, "doc_id long, media binary")
 
 
 def png_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
@@ -453,7 +467,7 @@ def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, "doc_id long, media binary")
+    return _spread(df.select(id_col)).mapInPandas(gen, "doc_id long, media binary")
 
 
 def wav_energy_windows(df: DataFrame, blob_col: str = "media") -> DataFrame:

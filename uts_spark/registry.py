@@ -153,4 +153,7 @@ HEADLINE = [n for n in (
     # exact-rank plan (operators/distributed_rank) over the raw events
     # table — the heaviest member of the rerouted global-window set
     "histogram_equidepth_deciles",
+    # r4: the real-codec lane — encode + inflate/unfilter 5k PNGs,
+    # Arrow-batched and spread across cores (the multimodal perf story)
+    "multimodal_png_decode",
 ) if n in QUERIES]
