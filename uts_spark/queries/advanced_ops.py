@@ -779,3 +779,102 @@ def multimodal_wav_decode(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     blobs = attach_synth_wav(docs)
     return wav_energy_windows(blobs)
+
+
+# ===========================================================================
+# Sweep-line concurrency (distributed prefix-sum over interval endpoints)
+# ===========================================================================
+
+@query(
+    "sessions_max_concurrency",
+    f"""
+    WITH e AS (SELECT user_id, {MS} AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                       >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT user_id, MIN(t) AS s_start, MAX(t) AS s_end
+      FROM s GROUP BY user_id, sid
+    ),
+    sweep AS (
+      SELECT user_id, s_start, s_start AS te, 1 AS d FROM sess
+      UNION ALL
+      SELECT user_id, s_start, s_end + 1, -1 FROM sess
+    ),
+    curve AS (
+      SELECT te,
+             SUM(d) OVER (ORDER BY te, d, user_id, s_start
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM sweep
+    ),
+    peak AS (SELECT MAX(c) AS peak_concurrency FROM curve)
+    SELECT (SELECT COUNT(*) FROM sess)          AS n_sessions,
+           CAST(p.peak_concurrency AS BIGINT)   AS peak_concurrency,
+           (SELECT MIN(te) FROM curve, peak
+            WHERE c = peak.peak_concurrency)    AS peak_at_ms
+    FROM peak p
+    """,
+)
+def sessions_max_concurrency(spark, sf_dir):
+    """SWEEP-LINE over session intervals: +1 at each session start, -1
+    just past its end, cumulative sum along the global endpoint order =
+    the concurrency curve; the output is its peak and the earliest
+    instant achieving it — the room-occupancy / max-concurrent-users
+    question every capacity dashboard asks, and the canonical member of
+    the sweep-line algorithm family (interval scheduling, overlap
+    counting, resource envelopes all reduce to it).
+
+    Scale: the endpoint cumulative sum is the range-partitioned exact
+    prefix sum (operators/distributed_rank) — the sweep parallelizes
+    with zero single-partition windows, which is exactly what makes
+    sweep-line viable on billions of intervals. Tie note: within equal
+    (timestamp, delta) groups the SET of prefix values is
+    order-independent, so peak and argmin-time are deterministic even
+    though individual row ranks are tie-broken arbitrarily (the order
+    columns make them total anyway)."""
+    ev = table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.min("ts_ms").alias("s_start"), F.max("ts_ms").alias("s_end"))
+        .select("user_id", "s_start", "s_end")
+    )
+    sweep = sess.select(
+        "user_id", "s_start", F.col("s_start").alias("te"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select(
+            "user_id", "s_start", (F.col("s_end") + 1).alias("te"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    curve = ranked_cumsum(
+        sweep,
+        F.col("te"),
+        [F.asc("te"), F.asc("d"), F.asc("user_id"), F.asc("s_start")],
+        values={"c": F.col("d")},
+        n_buckets=64,
+    ).select("te", F.col("cum_c").alias("c"))
+    n_sess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    peak = curve.agg(F.max("c").alias("peak_concurrency"))
+    at = (
+        curve.crossJoin(F.broadcast(peak))
+        .filter(F.col("c") == F.col("peak_concurrency"))
+        .agg(F.min("te").alias("peak_at_ms"))
+    )
+    return (
+        n_sess.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n_sessions",
+            F.col("peak_concurrency").cast("long").alias("peak_concurrency"),
+            "peak_at_ms",
+        )
+    )
