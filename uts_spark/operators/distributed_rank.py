@@ -60,6 +60,11 @@ def ranked_cumsum(
         bucket_key: NUMERIC column non-decreasing along the total order
             (negate for descending orders). Ties may share a value; rows
             with equal keys are ordered by ``order_by``'s tie-break.
+            NULL keys bucket FIRST (they never exceed a boundary), which
+            matches Spark's NULLS-FIRST ascending default — for
+            DESCENDING orders (nulls last) the caller must filter or
+            coalesce NULL keys, or ranks would interleave; every current
+            caller ranks non-null aggregates.
         order_by: the full total order (with asc/desc), consistent with
             ``bucket_key``; must be total (tie-broken to uniqueness) for
             ``__rank`` to be deterministic.
