@@ -427,3 +427,31 @@ def test_ranked_cumsum_constant_key_degenerates_correctly(spark):
         df, F.col("v"), [F.asc("v"), F.asc("id")], n_buckets=8, sample_mod=1
     ).select("id", F.col("__rank").alias("rank")).collect()
     assert sorted((r.id, r.rank) for r in got) == [(i, i + 1) for i in range(100)]
+
+
+def test_ancestor_pairs_closure_and_depth_guard(spark):
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.clustering import ancestor_pairs
+
+    # chain 0 <- 1 <- 2 <- 3 plus a star 0 <- 4,5
+    edges = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 1), (3, 2), (4, 0), (5, 0)],
+        "node long, parent long",
+    )
+    got = {
+        (r.node, r.anc)
+        for r in ancestor_pairs(edges, "node", "parent", doublings=3).collect()
+    }
+    assert got == {
+        (1, 0), (2, 1), (2, 0), (3, 2), (3, 1), (3, 0), (4, 0), (5, 0),
+    }
+
+    # a chain deeper than 2^doublings must refuse loudly, not truncate
+    deep = spark.createDataFrame(
+        [(i, i - 1 if i else None) for i in range(10)], "node long, parent long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="deeper"):
+        ancestor_pairs(deep, "node", "parent", doublings=2)

@@ -369,3 +369,63 @@ def kcore_nodes(
             "raise `rounds` (and mirror the oracle unroll depth)"
         )
     return final
+
+
+def ancestor_pairs(
+    edges: DataFrame,
+    child: str = "node",
+    parent: str = "parent",
+    doublings: int = 6,
+) -> DataFrame:
+    """Transitive ancestor closure of a POINTER forest (each node has at
+    most one parent and parent ids strictly decrease or otherwise
+    guarantee acyclicity): returns every (node, anc) pair, anc any
+    proper ancestor.
+
+    Pointer-doubling by REPEATED SQUARING: after round k the pair set
+    holds all ancestors within distance 2^k, so ``doublings`` rounds
+    cover chains up to 2^doublings deep — 6 rounds reach depth 64, far
+    past the O(log n) depth of any balanced or random-attachment
+    hierarchy (the closed-form-tree complement: when the parent edge is
+    arithmetic, part_hierarchy_rollup's single explode wins; when it is
+    DATA, this is the O(log depth)-round shape — same engineering as
+    connected_components, each round one self-join + distinct,
+    localCheckpoint to keep lineage flat, shuffle width sized by the
+    pair set which tops out at Σ depth(n) ≈ n·log n rows).
+
+    Raises if the last round still grew — a deeper chain than
+    2^doublings means the caller must raise ``doublings`` (mirroring the
+    oracle's recursion, which has no such bound)."""
+    pairs = (
+        edges.select(F.col(child).alias("node"), F.col(parent).alias("anc"))
+        .where(F.col(parent).isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(doublings):
+        n_before = pairs.count()
+        hop = pairs.select(F.col("node").alias("__m"), F.col("anc").alias("__a"))
+        grown = (
+            pairs.unionByName(
+                pairs.join(hop, pairs["anc"] == hop["__m"])
+                .select("node", F.col("__a").alias("anc"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == n_before:
+            return grown
+        pairs = grown
+    # converged exactly at the bound? verify one extra squaring is a no-op
+    hop = pairs.select(F.col("node").alias("__m"), F.col("anc").alias("__a"))
+    extra = (
+        pairs.join(hop, pairs["anc"] == hop["__m"])
+        .select("node", F.col("__a").alias("anc"))
+        .exceptAll(pairs)
+        .limit(1)
+        .count()
+    )
+    if extra:
+        raise RuntimeError(
+            f"ancestor chain deeper than 2^{doublings}; raise `doublings`"
+        )
+    return pairs

@@ -878,3 +878,106 @@ def sessions_max_concurrency(spark, sf_dir):
             "peak_at_ms",
         )
     )
+
+
+# ===========================================================================
+# Pointer-based hierarchy rollup (iterative doubling — the data-driven
+# complement of the closed-form part_hierarchy_rollup)
+# ===========================================================================
+
+from uts_spark.functions.clustering import ancestor_pairs  # noqa: E402
+from uts_spark.functions.hashing import duck_hash64, hash64  # noqa: E402
+
+
+@query(
+    "hierarchy_rollup_pointer",
+    f"""
+    WITH RECURSIVE nodes AS (SELECT p_partkey AS partkey FROM part),
+    rev AS (
+      SELECT l_partkey AS partkey,
+             {{_dc}} AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    own AS (
+      SELECT n.partkey, COALESCE(r.rev_c, 0) AS rev
+      FROM nodes n LEFT JOIN rev r ON r.partkey = n.partkey
+    ),
+    edges AS (
+      SELECT partkey AS node,
+             CASE WHEN partkey > 0
+                  THEN {duck_hash64("concat('tree:', partkey)")} % partkey
+             END AS parent
+      FROM nodes
+    ),
+    anc AS (
+      SELECT node, parent AS anc FROM edges WHERE parent IS NOT NULL
+      UNION
+      SELECT a.node, e.parent
+      FROM anc a JOIN edges e ON e.node = a.anc
+      WHERE e.parent IS NOT NULL
+    ),
+    d AS (
+      SELECT a.anc AS partkey, SUM(o.rev) AS drev, COUNT(*) AS ndesc
+      FROM anc a JOIN own o ON o.partkey = a.node GROUP BY a.anc
+    ),
+    na AS (SELECT node AS partkey, COUNT(*) AS nanc FROM anc GROUP BY node)
+    SELECT o.partkey,
+           o.rev + COALESCE(d.drev, 0)        AS subtree_revenue_c,
+           CAST(COALESCE(d.ndesc, 0) AS BIGINT) AS n_descendants,
+           CAST(COALESCE(na.nanc, 0) AS BIGINT) AS n_ancestors
+    FROM own o
+    LEFT JOIN d ON d.partkey = o.partkey
+    LEFT JOIN na ON na.partkey = o.partkey
+    """.replace("{_dc}", _duck_csum('l_extendedprice * (1 - l_discount)')),
+)
+def hierarchy_rollup_pointer(spark, sf_dir):
+    """Subtree rollup over a DATA-DRIVEN pointer forest — parent(p) =
+    hash64('tree:'||p) mod p (portable hash, strictly decreasing →
+    acyclic, random-attachment depth ≈ ln n): every part's subtree
+    revenue, descendant count, and ancestry depth. The iterative
+    complement of part_hierarchy_rollup's closed-form explode: when the
+    parent edge is arbitrary DATA, ancestor closure needs
+    pointer-doubling (functions/clustering.ancestor_pairs — repeated
+    squaring, O(log depth) self-join rounds, per-round localCheckpoint,
+    shuffle width ∝ the Σdepth pair set), exactly the recursive-CTE ↔
+    iterative-join correspondence the oracle checks: DuckDB walks the
+    recursion row-at-a-time, Spark squares it in ~log₂(depth) rounds."""
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        _csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c")
+    )
+    own = part.join(rev, "partkey", "left").select(
+        "partkey", F.coalesce("rev_c", F.lit(0)).alias("rev")
+    )
+    edges = part.select(
+        F.col("partkey").alias("node"),
+        F.when(
+            F.col("partkey") > 0,
+            F.pmod(
+                hash64(F.concat(F.lit("tree:"), F.col("partkey").cast("string"))),
+                F.col("partkey"),
+            ),
+        ).alias("parent"),
+    )
+    pairs = ancestor_pairs(edges, "node", "parent", doublings=6)
+    d = (
+        pairs.join(own.select(F.col("partkey").alias("node"), "rev"), "node")
+        .groupBy(F.col("anc").alias("partkey"))
+        .agg(F.sum("rev").alias("drev"), F.count(F.lit(1)).alias("ndesc"))
+    )
+    na = pairs.groupBy(F.col("node").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("nanc")
+    )
+    return (
+        own.join(d, "partkey", "left")
+        .join(na, "partkey", "left")
+        .select(
+            "partkey",
+            (F.col("rev") + F.coalesce("drev", F.lit(0))).alias("subtree_revenue_c"),
+            F.coalesce("ndesc", F.lit(0)).cast("long").alias("n_descendants"),
+            F.coalesce("nanc", F.lit(0)).cast("long").alias("n_ancestors"),
+        )
+    )
