@@ -981,3 +981,37 @@ def hierarchy_rollup_pointer(spark, sf_dir):
             F.coalesce("nanc", F.lit(0)).cast("long").alias("n_ancestors"),
         )
     )
+
+
+@query(
+    "multimodal_gzip_corpus",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_gzip_corpus(spark, sf_dir):
+    """COMPRESSED-CORPUS ingestion, round-tripped for real: every
+    document is gzip-compressed executor-side (stdlib, mtime pinned for
+    deterministic members) into an opaque binary column — the WARC/WET
+    / .jsonl.gz shape LLM pipelines actually receive — then GUNZIPPED
+    in a second Arrow-batched lane that emits plaintext statistics and
+    the md5 of the recovered bytes. The oracle reads the ORIGINAL text
+    column, so a hash match proves the compress→store→decompress loop
+    is bit-exact end-to-end (the compressed length is computed by the
+    operator but excluded here: gzip output is a zlib implementation
+    detail, not a semantic).
+
+    Scale: same contract as the PNG/WAV lanes — blobs live and die
+    inside executor Arrow batches, spread across cores; only the stat
+    rows shuffle."""
+    from uts_spark.functions.multimodal import attach_gzip_text, gzip_text_stats
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_gzip_text(docs)
+    return gzip_text_stats(blobs).select(
+        "doc_id", "n_chars", "n_tokens", "content_md5"
+    )
