@@ -345,3 +345,31 @@ def test_csv_malformed_rows_permissive_and_drop(spark, tmp_path):
         "mode", "DROPMALFORMED"
     ).csv(path)
     assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+
+def test_jsonl_gz_shard_export_roundtrip(spark, sf_dir, tmp_path):
+    # the training-corpus EXPORT path: pipeline_training_prep's shard
+    # assignment written as gzip JSONL shard dirs, read back losslessly
+    import glob
+    import gzip
+    import json
+    import os
+
+    from uts_spark.registry import QUERIES
+    from uts_spark.sources.sinks import read_jsonl_gz_shards, write_jsonl_gz_shards
+
+    prep = QUERIES["pipeline_training_prep"](spark, sf_dir)
+    path = os.path.join(str(tmp_path), "corpus")
+    write_jsonl_gz_shards(prep, path, shard_col="shard", order_col="doc_id")
+
+    # layout: one shard=N dir per shard, gzip members inside
+    files = glob.glob(os.path.join(path, "shard=*", "*.json.gz"))
+    assert files, "no gzip shard files written"
+    with gzip.open(files[0], "rt") as f:
+        first = json.loads(f.readline())
+    assert set(first) == {"doc_id", "n_bpeish"}
+
+    back = read_jsonl_gz_shards(spark, path, "doc_id long, n_bpeish long")
+    a = {(r.doc_id, r.n_bpeish, r.shard) for r in back.collect()}
+    b = {(r.doc_id, r.n_bpeish, r.shard) for r in prep.collect()}
+    assert a == b

@@ -21,6 +21,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def drop_expired_partitions(
@@ -137,3 +138,39 @@ def compact_small_files(
     shutil.rmtree(old)
     after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     return {"files_before": len(parts), "files_after": after, "bytes": total}
+
+
+def write_jsonl_gz_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_col: str | None = None,
+) -> None:
+    """Export a training corpus as gzip'd JSONL shard files — the hand-off
+    format LLM training stacks consume (one `shard=N/part-*.json.gz` dir
+    per shard; `multimodal_gzip_corpus` is the matching READ side, and
+    `pipeline_training_prep` produces exactly the (doc, shard)
+    assignment this writes out).
+
+    Shape: one shuffle to co-locate each shard (repartition on the shard
+    column so a shard is one file, the contract samplers expect),
+    optional within-file ordering, Spark's native gzip text codec — no
+    driver involvement, each shard file streams from one task."""
+    out = df.repartition(F.col(shard_col))
+    if order_col is not None:
+        out = out.sortWithinPartitions(shard_col, order_col)
+    (
+        out.write.partitionBy(shard_col)
+        .option("compression", "gzip")
+        .mode("overwrite")
+        .json(path)
+    )
+
+
+def read_jsonl_gz_shards(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Read a sharded gzip-JSONL corpus back (partition-column `shard`
+    recovered from the directory layout; gzip is splittable per FILE, so
+    parallelism = shard-file count — size shards accordingly)."""
+    return spark.read.schema(schema + ", shard int").json(path)
