@@ -563,8 +563,15 @@ def gzip_text_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
         import gzip
         import hashlib
         import io
+        import re
 
         import pandas as pd
+
+        # ASCII \S+ to mirror the oracle's RE2 semantics exactly:
+        # Python str.split() breaks on UNICODE whitespace (NBSP etc.)
+        # while RE2's \s is ASCII-only — agreement must not depend on
+        # the corpus never containing a unicode space
+        tok = re.compile(rb"\S+")
 
         for pdf in batches:
             rows = []
@@ -578,7 +585,7 @@ def gzip_text_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
                         int(doc_id),
                         len(blob),
                         len(text),
-                        len(text.split()),
+                        len(tok.findall(raw)),
                         hashlib.md5(raw).hexdigest(),
                     )
                 )
