@@ -1,0 +1,117 @@
+"""Tests for the mining module (queries/mining.py): item-item CF,
+OLS trend, seasonal decomposition, link prediction. The DuckDB oracle
+gate (tools/oracle_check.py) is the primary correctness check; these
+pin the semantic invariants the oracle can't express (numpy parity,
+structural constraints, plan shape).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from uts_spark.registry import QUERIES
+from uts_spark.sources.tables import load_events
+
+
+def test_recsys_topk_structure(spark, sf_dir):
+    rows = QUERIES["recsys_item_item_topk"](spark, sf_dir).collect()
+    assert rows
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r.item, []).append(r)
+        assert 1 <= r.rk <= 3
+        assert 0.0 < r.cosine <= 1.0
+        assert r.neighbor != r.item
+    for item, lst in by_item.items():
+        lst.sort(key=lambda r: r.rk)
+        assert [r.rk for r in lst] == list(range(1, len(lst) + 1))
+        # rank order agrees with (cosine desc, c12 desc, neighbor asc)
+        keys = [(-r.cosine, -r.c12, r.neighbor) for r in lst]
+        assert keys == sorted(keys)
+
+
+def test_recsys_cosine_symmetric(spark, sf_dir):
+    rows = QUERIES["recsys_item_item_topk"](spark, sf_dir).collect()
+    seen = {(r.item, r.neighbor): r.cosine for r in rows}
+    checked = 0
+    for (a, b), cos in seen.items():
+        if (b, a) in seen:
+            assert seen[(b, a)] == cos
+            checked += 1
+    assert checked > 0
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    got = {
+        r.event_type: r
+        for r in QUERIES["stats_ols_trend"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts_ms", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rows in by_type.items():
+        # same integer lanes the query uses (seconds offset, centi-value)
+        x = np.array([r.ts_ms // 1000 - 1706745600 for r in rows], dtype=float)
+        y = np.array([round(r.value * 100) for r in rows], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        g = got[et]
+        assert g.n == len(rows)
+        assert g.slope_per_hour == pytest.approx(slope * 36.0, rel=1e-9)
+        assert g.intercept == pytest.approx(intercept / 100.0, rel=1e-9)
+        r = np.corrcoef(x, y)[0, 1]
+        assert g.r2 == pytest.approx(r * r, rel=1e-9)
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    rows = QUERIES["ts_seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # decomposition identity holds exactly by construction
+        assert r.hourly_mean == pytest.approx(
+            r.trend + r.seasonal + r.residual, abs=1e-9
+        )
+    # seasonal is constant within (event_type, hour-of-day)
+    seas = {}
+    for r in rows:
+        key = (r.event_type, (r.hour_ms // 3600000) % 24)
+        seas.setdefault(key, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in seas.values())
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    df = QUERIES["graph_link_prediction"](spark, sf_dir)
+    preds = {(r.p1, r.p2) for r in df.collect()}
+    assert preds
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = lp.select("o", F.col("p").alias("p1"))
+    b = lp.select("o", F.col("p").alias("p2"))
+    edges = {
+        (r.p1, r.p2)
+        for r in (
+            a.join(b, "o")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .collect()
+        )
+    }
+    assert not (preds & edges)
+    for p1, p2 in preds:
+        assert p1 < p2
+
+
+def test_link_prediction_plan_is_takeordered(spark, sf_dir):
+    plan = QUERIES["graph_link_prediction"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,414 @@
+"""Round-4 widening, part 2: mining / ML-adjacent query families —
+item-item collaborative filtering, closed-form OLS trend fitting,
+seasonal time-series decomposition, and graph link prediction. Every
+query is SQL-oracle-exact (integer counts, decimal-stable sums, and
+IEEE-deterministic single divisions/sqrts only).
+
+Reference parity note: none of these exist in the reference engine
+(mixer/uts folds one in-memory series; see uts.ts) — they are §2.7
+north-star extensions alongside the TPC-H/window/dedup families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from uts_spark.registry import HOUR, MS, query, table
+
+DEC = "decimal(38,6)"
+
+
+# ===========================================================================
+# Item-item collaborative filtering (recsys)
+# ===========================================================================
+
+@query(
+    "recsys_item_item_topk",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    deg AS (SELECT p, COUNT(*) AS c FROM lp GROUP BY p),
+    half AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c12
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT p1 AS item, p2 AS neighbor, c12 FROM half
+      UNION ALL
+      SELECT p2 AS item, p1 AS neighbor, c12 FROM half
+    ),
+    scored AS (
+      SELECT s.item, s.neighbor, s.c12,
+             CAST(s.c12 AS DOUBLE) / sqrt(CAST(d1.c * d2.c AS DOUBLE)) AS cosine
+      FROM sym s JOIN deg d1 ON d1.p = s.item JOIN deg d2 ON d2.p = s.neighbor
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                   ORDER BY cosine DESC, c12 DESC, neighbor) AS rk
+      FROM scored
+    )
+    SELECT item, neighbor, c12, cosine, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def recsys_item_item_topk(spark, sf_dir):
+    """Item-item collaborative filtering (the Amazon-style "customers
+    who bought X also bought Y" kernel, Sarwar et al. WWW'01): each
+    part's top-3 neighbors by co-occurrence cosine
+    c12 / sqrt(c1 * c2) over the binary order-part incidence matrix.
+    Counts are exact integers; the one sqrt+division per pair is
+    IEEE-identical across engines; ties break by raw co-count then
+    neighbor id.
+
+    Scale: the per-order self-join is bounded by (lines per order
+    choose 2) — cart-sized, not corpus-quadratic; the pair aggregation
+    shuffles on (p1, p2) and the top-k window is PARTITIONED by item
+    (never a global sort). Degree margins broadcast back. At 100 TB the
+    hazard is a hub item in every cart — cap basket size upstream or
+    drop the head percentile of items (the standard recsys fix).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = lp.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = lp.select("o", F.col("p").alias("p1"))
+    b = lp.select("o", F.col("p").alias("p2"))
+    half = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 2)
+    )
+    sym = half.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "c12"
+    ).unionAll(
+        half.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "c12"
+        )
+    )
+    scored = (
+        sym.join(F.broadcast(deg.select(F.col("p").alias("item"),
+                                        F.col("c").alias("c1"))), "item")
+        .join(F.broadcast(deg.select(F.col("p").alias("neighbor"),
+                                     F.col("c").alias("c2"))), "neighbor")
+        .select(
+            "item", "neighbor", "c12",
+            (
+                F.col("c12").cast("double")
+                / F.sqrt((F.col("c1") * F.col("c2")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.desc("c12"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("item", "neighbor", "c12", "cosine", "rk")
+    )
+
+
+# ===========================================================================
+# OLS trend fit (closed form)
+# ===========================================================================
+
+@query(
+    "stats_ols_trend",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST((({MS}) // 1000) - 1706745600 AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) * 36.0
+             AS slope_per_hour,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+)
+def stats_ols_trend(spark, sf_dir):
+    """Per-event-type ordinary-least-squares trend line of value vs
+    time, closed form: slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²), plus
+    intercept and R².
+
+    Exactness: x is the INTEGER seconds offset from the NOW anchor and
+    y the INTEGER centi-value (the data is 2dp), so every moment sum is
+    an exact BIGINT and the one int64→double cast per sum is correctly
+    rounded on both engines. A decimal lane was measured and REJECTED
+    here: the sums matched but DuckDB's decimal→double cast
+    (int128·10⁻ˢ, two roundings) drifted an ulp from Spark's
+    BigDecimal.doubleValue, shearing slope/r2 in the last digits. After
+    the casts the closed form is the same double expression tree on
+    both sides; slope rescales centi/sec → units/hour (×3600/100),
+    intercept centi → units.
+
+    Envelope (documented, asserted nowhere hot): Σx² < 2⁶³ holds to
+    ~1e6 rows/group at month-scale offsets (worst term 7.3e12); beyond
+    that, re-anchor x per window or day-bucket the regression — the
+    moment-matrix shape is unchanged.
+
+    Scale: one map-side-combined aggregation over the fact table —
+    five integer sums and a count per group, whole-stage codegen, no
+    window, no second pass. The moment-matrix pattern generalizes to
+    multivariate OLS (X'X is k×k per group, still one aggregation).
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (F.expr("ts_ms div 1000") - F.lit(1706745600)).cast("long")
+    y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+
+    def isum(col, name):
+        return F.sum(col).cast("long").cast("double").alias(name)
+
+    s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        isum(F.col("x"), "sx"),
+        isum(F.col("y"), "sy"),
+        isum(F.col("x") * F.col("x"), "sxx"),
+        isum(F.col("x") * F.col("y"), "sxy"),
+        isum(F.col("y") * F.col("y"), "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope_cs = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        (slope_cs * F.lit(36.0)).alias("slope_per_hour"),
+        ((sy - slope_cs * sx) / n / F.lit(100.0)).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+# ===========================================================================
+# Seasonal decomposition (trend / seasonal / residual)
+# ===========================================================================
+
+@query(
+    "ts_seasonal_decompose",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(({MS}) / {HOUR}.0) AS BIGINT) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS vsum,
+             COUNT(*) AS vcnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(floor(({MS}) / {HOUR}.0) AS BIGINT)
+    ),
+    t AS (
+      SELECT event_type, hr, vsum, vcnt,
+             CAST(vsum AS DOUBLE) / vcnt AS hourly_mean,
+             CAST(SUM(vsum) OVER w AS DOUBLE) / SUM(vcnt) OVER w AS trend
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    s AS (
+      SELECT event_type, hr % 24 AS hod,
+             SUM(CAST(floor((hourly_mean - trend) * 1000000.0) AS BIGINT))
+               / (1000000.0 * COUNT(*)) AS seasonal
+      FROM t GROUP BY event_type, hr % 24
+    )
+    SELECT t.event_type, t.hr * {HOUR} AS hour_ms, t.hourly_mean,
+           t.trend, s.seasonal,
+           t.hourly_mean - t.trend - s.seasonal AS residual
+    FROM t JOIN s ON s.event_type = t.event_type AND s.hod = t.hr % 24
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition (the moving-average half of
+    STL): per event type, hourly means split into trend (25-hour
+    centered rolling mean over VALUES — rolling decimal sum / rolling
+    count, so the window math is order-independent), seasonal
+    (hour-of-day mean deviation from trend, decimal-stable), and
+    residual. The pre-ML forecasting baseline and the anomaly-score
+    denominator under half the monitoring stacks.
+
+    Exactness: window sums stay in DECIMAL (summing window DOUBLES
+    would be frame-order-dependent); each mean is one double division;
+    the seasonal aggregation floor-snaps the (bit-identical) double
+    deviations to integer micro-units before summing — a double→decimal
+    cast here would hit half-even vs half-up ambiguity on the binary
+    products.
+
+    Scale: one shuffle to hourly grain (map-side combined — the
+    window and everything after run on bins-not-rows, ~740 rows per
+    type per month regardless of corpus size), then a partitioned
+    range window and a 24-cell broadcast join back.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts_ms") / F.lit(float(HOUR))).cast("long").alias("hr"),
+            "value",
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("vsum"),
+            F.count(F.lit(1)).alias("vcnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-12, 12)
+    )
+    t = h.select(
+        "event_type",
+        "hr",
+        (F.col("vsum").cast("double") / F.col("vcnt")).alias("hourly_mean"),
+        (
+            F.sum("vsum").over(w).cast("double") / F.sum("vcnt").over(w)
+        ).alias("trend"),
+    )
+    s = (
+        t.groupBy("event_type", (F.col("hr") % 24).alias("hod"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("hourly_mean") - F.col("trend")) * 1e6
+                    ).cast("long")
+                )
+                / (F.lit(1000000.0) * F.count(F.lit(1)))
+            ).alias("seasonal")
+        )
+    )
+    return (
+        t.withColumn("hod", F.col("hr") % 24)
+        .join(F.broadcast(s), ["event_type", "hod"])
+        .select(
+            "event_type",
+            (F.col("hr") * HOUR).alias("hour_ms"),
+            "hourly_mean",
+            "trend",
+            "seasonal",
+            (F.col("hourly_mean") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Graph link prediction (common neighbors / Jaccard)
+# ===========================================================================
+
+@query(
+    "graph_link_prediction",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    half AS (
+      SELECT a.p AS p1, b.p AS p2
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT p1 AS u, p2 AS v FROM half
+      UNION ALL
+      SELECT p2 AS u, p1 AS v FROM half
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+    cand AS (
+      SELECT a.v AS p1, b.v AS p2, COUNT(*) AS cn
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+      GROUP BY a.v, b.v
+    ),
+    new_pairs AS (
+      SELECT c.p1, c.p2, c.cn
+      FROM cand c LEFT JOIN half h ON h.p1 = c.p1 AND h.p2 = c.p2
+      WHERE h.p1 IS NULL
+    )
+    SELECT n.p1, n.p2, n.cn,
+           CAST(n.cn AS DOUBLE) / (d1.d + d2.d - n.cn) AS jaccard
+    FROM new_pairs n JOIN deg d1 ON d1.u = n.p1 JOIN deg d2 ON d2.u = n.p2
+    ORDER BY jaccard DESC, cn DESC, n.p1, n.p2
+    LIMIT 50
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Link prediction on the co-purchase graph (Liben-Nowell &
+    Kleinberg CIKM'03): for part pairs NOT yet co-ordered, score the
+    chance they will be by common-neighbor count and neighborhood
+    Jaccard cn / (deg(a) + deg(b) − cn); top-50 predicted links with
+    integer counts and one exact division.
+
+    Scale: candidate pairs come from the wedge join (adjacency
+    self-joined on the shared endpoint) — cost is Σ deg(u)², the
+    triangle-counting bound, NOT |V|²; the ≥2-support edge filter is
+    the hub guard that keeps wedges cart-shaped. Existing edges leave
+    via a broadcast-able anti-join; degree margins broadcast. The
+    top-50 is TakeOrdered (no global sort materialization).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = lp.select("o", F.col("p").alias("p1"))
+    b = lp.select("o", F.col("p").alias("p2"))
+    half = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 2)
+        .select("p1", "p2")
+    )
+    adj = half.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        half.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wa = adj.select("u", F.col("v").alias("p1"))
+    wb = adj.select("u", F.col("v").alias("p2"))
+    cand = (
+        wa.join(wb, "u")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    new_pairs = cand.join(F.broadcast(half), ["p1", "p2"], "left_anti")
+    return (
+        new_pairs.join(
+            F.broadcast(deg.select(F.col("u").alias("p1"), F.col("d").alias("d1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("p2"), F.col("d").alias("d2"))),
+            "p2",
+        )
+        .select(
+            "p1", "p2", "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.desc("cn"), F.asc("p1"), F.asc("p2"))
+        .limit(50)
+    )
