@@ -115,3 +115,19 @@ def test_link_prediction_plan_is_takeordered(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_markov_removal_invariants(spark, sf_dir):
+    rows = QUERIES["attribution_markov_removal"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert {r.channel for r in rows} == {"view", "click", "signup", "error"}
+    conv_full = rows[0].conv_full
+    assert conv_full > 0
+    for r in rows:
+        assert r.conv_full == conv_full
+        # removing a channel can only lose conversion mass
+        assert 0 <= r.conv_removed <= conv_full
+        assert 0.0 <= r.removal_effect <= 1.0
+    shares = [r.share for r in rows if r.share is not None]
+    if shares:
+        assert sum(shares) == pytest.approx(1.0, abs=1e-9)

@@ -412,3 +412,222 @@ def graph_link_prediction(spark, sf_dir):
         .orderBy(F.desc("jaccard"), F.desc("cn"), F.asc("p1"), F.asc("p2"))
         .limit(50)
     )
+
+
+# ===========================================================================
+# Markov removal-effect attribution
+# ===========================================================================
+
+_MK_STEPS = 16
+_MK_MASS = 10**12  # start mass in pico-units: every step is integer math
+_MK_CHANNELS = ["view", "click", "signup", "error"]
+
+
+def _markov_oracle() -> str:
+    """Generate the unrolled-CTE oracle: the same integer fixed-point
+    chain, one MATERIALIZED CTE per step (a lazy CTE chain referencing
+    the prior step twice re-evaluates exponentially in DuckDB)."""
+    steps = []
+    for i in range(1, _MK_STEPS + 1):
+        steps.append(f"""
+    w{i} AS MATERIALIZED (
+      SELECT removed, state, SUM(m) AS mass FROM (
+        SELECT w.removed, t.dst AS state, (w.mass * t.c) // t.total AS m
+        FROM w{i-1} w JOIN ts t ON t.removed = w.removed AND t.src = w.state
+        UNION ALL
+        SELECT removed, state, mass FROM w{i-1}
+        WHERE state IN ('CONV', 'NULL')
+      ) GROUP BY removed, state
+    )""")
+    step_sql = ",".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY {MS}, event_id) AS rn
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, MIN(rn) AS fp_rn FROM e
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    j AS (
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.event_type = 'purchase'
+                  THEN 'CONV' ELSE e.event_type END AS mch
+      FROM e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE fp.fp_rn IS NULL OR e.rn <= fp.fp_rn
+    ),
+    nx AS (
+      SELECT user_id, rn, mch,
+             LEAD(mch) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+      FROM j
+    ),
+    tr AS (
+      SELECT 'START' AS src, mch AS dst FROM nx WHERE rn = 1
+      UNION ALL
+      SELECT mch, nxt FROM nx WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT mch, 'NULL' FROM nx WHERE nxt IS NULL AND mch <> 'CONV'
+    ),
+    tc AS (SELECT src, dst, COUNT(*) AS c FROM tr GROUP BY src, dst),
+    tot AS (SELECT src, SUM(c) AS total FROM tc GROUP BY src),
+    scen AS (SELECT unnest(['view','click','signup','error','none'])
+             AS removed),
+    ts AS (
+      SELECT s.removed, tc.src, tc.dst, tc.c, tot.total
+      FROM scen s, tc JOIN tot ON tot.src = tc.src
+      WHERE s.removed = 'none'
+         OR (tc.src <> s.removed AND tc.dst <> s.removed)
+    ),
+    w0 AS (
+      SELECT removed, 'START' AS state,
+             CAST({_MK_MASS} AS BIGINT) AS mass
+      FROM scen
+    ),{step_sql},
+    res AS (SELECT removed, mass FROM w{_MK_STEPS} WHERE state = 'CONV'),
+    base AS (SELECT mass AS conv_full FROM res WHERE removed = 'none'),
+    rem AS (
+      SELECT s.removed AS channel, COALESCE(r.mass, 0) AS conv_removed
+      FROM scen s LEFT JOIN res r ON r.removed = s.removed
+      WHERE s.removed <> 'none'
+    ),
+    d AS (SELECT SUM(conv_full - conv_removed) AS denom FROM rem, base)
+    SELECT channel, conv_full, conv_removed,
+           (conv_full - conv_removed) / CAST(conv_full AS DOUBLE)
+             AS removal_effect,
+           CASE WHEN denom > 0
+                THEN (conv_full - conv_removed) / CAST(denom AS DOUBLE)
+                ELSE NULL END AS share
+    FROM rem, base, d
+    """
+
+
+@query("attribution_markov_removal", _markov_oracle())
+def attribution_markov_removal(spark, sf_dir):
+    """MARKOV removal-effect attribution (Anderl et al. 2016, the
+    data-driven model marketing stacks pair with last-touch/linear):
+    user journeys truncated at first purchase feed a first-order chain
+    over channels with absorbing CONV/NULL states; each channel's
+    credit is how much total conversion probability disappears when
+    that channel's transitions are removed (redirected to NULL), i.e.
+    removal_effect = (P_conv − P_conv^{-c}) / P_conv, and share
+    normalizes the effects into an attribution split.
+
+    Exactness: the chain runs in integer PICO-units (start mass 1e12)
+    with floor division per (state→state) term over 16 fixed steps — order-independent integer sums, so the Spark fold and the
+    oracle's unrolled MATERIALIZED CTEs produce identical integers;
+    the two final divisions are single double ops on those integers.
+
+    Scale: journey → transition extraction is the usual lead-window
+    shuffle on user_id (row-scale, map-side combined into a ≤ 7×7
+    count matrix); the chain itself folds 49 integers × 16 steps × 5
+    scenarios in ONE executor-side applyInPandas entered once per
+    scenario — same bounded-state contract as the reference's
+    map(fn)/reduce(fn) folds (uts.ts:562-585), never a driver collect.
+    At 100 TB only the count matrix crosses the wire.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    rn = ev.select("user_id", "event_type", "ts_ms", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    fp = (
+        rn.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    j = (
+        rn.join(fp, "user_id", "left")
+        .filter(F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn")))
+        .withColumn(
+            "mch",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV")).otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    nx = j.withColumn("nxt", F.lead("mch").over(w2))
+    tr = (
+        nx.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("src"), F.col("mch").alias("dst"))
+        .unionAll(
+            nx.filter(F.col("nxt").isNotNull()).select(
+                F.col("mch").alias("src"), F.col("nxt").alias("dst")
+            )
+        )
+        .unionAll(
+            nx.filter(F.col("nxt").isNull() & (F.col("mch") != "CONV")).select(
+                F.col("mch").alias("src"), F.lit("NULL").alias("dst")
+            )
+        )
+    )
+    tc = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.groupBy("src").agg(F.sum("c").cast("long").alias("total"))
+    tmat = tc.join(tot, "src")
+    scen = spark.createDataFrame(
+        [(r,) for r in _MK_CHANNELS + ["none"]], "removed string"
+    )
+    ts = scen.crossJoin(F.broadcast(tmat)).filter(
+        (F.col("removed") == "none")
+        | ((F.col("src") != F.col("removed")) & (F.col("dst") != F.col("removed")))
+    )
+
+    def run_chain(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        removed = pdf["removed"].iloc[0]
+        trans: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            trans.setdefault(r.src, []).append(
+                (r.dst, int(r.c), int(r.total))
+            )
+        mass = {"START": _MK_MASS}
+        conv = 0
+        for _ in range(_MK_STEPS):
+            if not mass:
+                break
+            nxt_mass: dict[str, int] = {}
+            for s, m in mass.items():
+                for dst, c, total in trans.get(s, ()):
+                    t = (m * c) // total
+                    if dst == "CONV":
+                        conv += t
+                    elif dst != "NULL":
+                        nxt_mass[dst] = nxt_mass.get(dst, 0) + t
+            mass = {s: m for s, m in nxt_mass.items() if m > 0}
+        return pd.DataFrame({"removed": [removed], "conv": [conv]})
+
+    chains = ts.groupBy("removed").applyInPandas(
+        run_chain, schema="removed string, conv long"
+    )
+    base = chains.filter(F.col("removed") == "none").select(
+        F.col("conv").alias("conv_full")
+    )
+    rem = chains.filter(F.col("removed") != "none").select(
+        F.col("removed").alias("channel"), F.col("conv").alias("conv_removed")
+    )
+    d = rem.crossJoin(F.broadcast(base)).agg(
+        F.sum(F.col("conv_full") - F.col("conv_removed"))
+        .cast("long")
+        .alias("denom")
+    )
+    return (
+        rem.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(d))
+        .select(
+            "channel",
+            "conv_full",
+            "conv_removed",
+            (
+                (F.col("conv_full") - F.col("conv_removed"))
+                / F.col("conv_full").cast("double")
+            ).alias("removal_effect"),
+            F.when(
+                F.col("denom") > 0,
+                (F.col("conv_full") - F.col("conv_removed"))
+                / F.col("denom").cast("double"),
+            ).alias("share"),
+        )
+    )
