@@ -79,8 +79,12 @@ def test_decode_image_dispatches_png(spark):
 
     px = decode_image(synth_png(42))
     assert np.array_equal(px, synth_pixels(42))
+    # JPEG magic routes to the REAL jpeg codec since round 4 (garbage
+    # after the magic is a codec-level error, not a missing-codec error)
+    with pytest.raises(ValueError, match="jpeg"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 100)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 100)  # JPEG magic
+        decode_image(b"RIFF0000WEBP" + b"0" * 100)  # WebP magic
 
 
 def test_resize_nearest_integer_index_map():

@@ -68,22 +68,30 @@ def media_metadata(df: DataFrame, blob_col: str = "media") -> DataFrame:
 
 def decode_image(blob: bytes):
     """Real image decoder. PNG blobs decode through the pure-stdlib
-    codec (functions/png.py — zlib inflate + numpy unfiltering, no
-    external deps; round-4 close of the ROADMAP codec gap); other
-    formats (JPEG etc.) still need PIL/libvips, absent from this
-    container. Returns an (h, w, channels) uint8 numpy array."""
+    codec (functions/png.py — zlib inflate + numpy unfiltering) and
+    baseline JPEGs through the pure-numpy codec (functions/jpeg.py —
+    Huffman entropy decode + IDCT; 4:4:4/4:2:2/4:2:0); other formats
+    (WebP, progressive JPEG, ...) still need PIL/libvips, absent from
+    this container. Returns an (h, w[, channels]) uint8 numpy array."""
     from uts_spark.functions.png import _SIG, decode_png
 
     if bytes(blob[:8]) == _SIG:
         return decode_png(blob)
+    if bytes(blob[:2]) == b"\xff\xd8":
+        from uts_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PNG image decoding requires PIL/pillow, not present in "
-            "this container; PNG decodes natively (functions/png.py)"
+            "non-PNG/JPEG image decoding requires PIL/pillow, not present "
+            "in this container; PNG (functions/png.py) and baseline JPEG "
+            "(functions/jpeg.py) decode natively"
         ) from exc
-    raise NotImplementedError("PIL present but non-PNG decoder not wired yet")
+    raise NotImplementedError(
+        "PIL present but non-PNG/JPEG decoder not wired yet"
+    )
 
 
 def _fake_features(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -598,3 +606,66 @@ def gzip_text_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
             )
 
     return df.select("doc_id", blob_col).mapInPandas(gen, GZIP_TEXT_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, "
+    "sum_px long, sum_sq long, min_px long, max_px long"
+)
+
+
+def attach_synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL JPEG blob per row (functions/jpeg.synth_jpeg:
+    DC-only grayscale, quantized DC a closed form in the id — the one
+    construction where a LOSSY codec still decodes to closed-form
+    pixels). Arrow-batched mapInPandas, executor-side only."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from uts_spark.functions.jpeg import synth_jpeg
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": [synth_jpeg(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return _spread(df.select(id_col)).mapInPandas(gen, "doc_id long, media binary")
+
+
+def jpeg_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """REAL JPEG decode: full baseline pipeline (Huffman entropy decode,
+    DC prediction, dequantize, IDCT, level shift) per blob via the
+    pure-numpy codec, emitting integer pixel statistics an external SQL
+    oracle can recompute from the generative formula."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from uts_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                px = decode_jpeg(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                rows.append(
+                    (
+                        int(doc_id), w, h, w * h,
+                        int(px.sum()), int((px * px).sum()),
+                        int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_px", "sum_sq", "min_px", "max_px",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, JPEG_STATS_SCHEMA)

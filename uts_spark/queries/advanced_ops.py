@@ -1015,3 +1015,69 @@ def multimodal_gzip_corpus(spark, sf_dir):
     return gzip_text_stats(blobs).select(
         "doc_id", "n_chars", "n_tokens", "content_md5"
     )
+
+
+@query(
+    "multimodal_jpeg_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             2 + (doc_id * 7) % 4 AS bw,
+             2 + (doc_id * 11) % 4 AS bh,
+             (doc_id % 5) + 1 AS a,
+             (doc_id % 7) + 1 AS b,
+             doc_id % 96 AS c
+      FROM documents
+    ),
+    blk AS (
+      SELECT d.doc_id, d.bw, d.bh,
+             128 + 2 * (((bx.bx * d.a + by.by * d.b + d.c) % 96) - 48) AS v
+      FROM d, UNNEST(range(0, d.bw)) AS bx(bx), UNNEST(range(0, d.bh)) AS by(by)
+    ),
+    agg AS (
+      SELECT doc_id, bw, bh,
+             SUM(64 * v) AS sum_px, SUM(64 * v * v) AS sum_sq,
+             MIN(v) AS min_px, MAX(v) AS max_px
+      FROM blk GROUP BY doc_id, bw, bh
+    )
+    SELECT doc_id, bw * 8 AS width, bh * 8 AS height,
+           CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+           CAST(sum_px AS BIGINT) AS sum_px,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           CAST(min_px AS BIGINT) AS min_px,
+           CAST(max_px AS BIGINT) AS max_px,
+           CAST(sum_px AS DOUBLE) / (bw * bh * 64) AS mean_px
+    FROM agg
+    """,
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL JPEG decoding, oracle-verified end-to-end: every document
+    gets a genuine baseline JPEG (functions/jpeg.py — standards-
+    conformant stream with Annex-K Huffman tables), Spark runs the FULL
+    decode pipeline executor-side (marker parse, canonical Huffman over
+    the byte-stuffed entropy stream, DC prediction, dequantize, 8×8
+    IDCT, level shift) and emits integer pixel statistics — while the
+    DuckDB oracle recomputes them ARITHMETICALLY from the generative
+    formula, never seeing a byte of JPEG. The corpus is the one
+    construction where a LOSSY codec is still closed-form decodable:
+    DC-only blocks with q0=16 reconstruct EXACTLY to 128 + 2k (F00/8
+    integral — no rounding, no clamp in range). Any defect in the
+    entropy decoder, predictor, dequantizer, or IDCT shifts the hash.
+    General decode (AC coefficients, 4:4:4 color, real-world 4:2:0)
+    is pinned in tests/test_multimodal_jpeg.py against an independent
+    IDCT reference and the CPython test suite's python.jpg.
+
+    Scale: same contract as the PNG lane — encode and decode are
+    Arrow-batched and core-spread; blobs never leave executors; only
+    stat rows shuffle."""
+    from uts_spark.functions.multimodal import attach_synth_jpeg, jpeg_decode_stats
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_synth_jpeg(docs)
+    stats = jpeg_decode_stats(blobs)
+    return stats.select(
+        "doc_id", "width", "height", "n_pixels",
+        "sum_px", "sum_sq", "min_px", "max_px",
+        (F.col("sum_px").cast("double") / F.col("n_pixels").cast("double"))
+        .alias("mean_px"),
+    )
