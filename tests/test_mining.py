@@ -131,3 +131,27 @@ def test_markov_removal_invariants(spark, sf_dir):
     shares = [r.share for r in rows if r.share is not None]
     if shares:
         assert sum(shares) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dedup_recall_eval_bounds(spark, sf_dir):
+    r = QUERIES["dedup_recall_eval"](spark, sf_dir).collect()[0]
+    assert r.n_truth > 0 and r.n_pred > 0
+    assert 0 <= r.tp <= min(r.n_truth, r.n_pred)
+    assert 0.0 <= r.precision <= 1.0
+    assert 0.0 <= r.recall <= 1.0
+    assert 0.0 <= r.f1 <= 1.0
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    rows = {r.config: r for r in
+            QUERIES["similarity_ann_recall_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {"precision_12x4", "recall_4x8"}
+    for r in rows.values():
+        assert r.n_truth > 0
+        assert 0 <= r.hits <= r.n_truth
+        assert 0.0 <= r.recall_at_10 <= 1.0
+    # the recall-tuned config must actually be useful, not vacuous
+    assert rows["recall_4x8"].recall_at_10 >= 0.5
+    # and the eval should expose the config gap it exists to measure
+    assert (rows["recall_4x8"].recall_at_10
+            >= rows["precision_12x4"].recall_at_10)
