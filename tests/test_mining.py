@@ -155,3 +155,15 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     # and the eval should expose the config gap it exists to measure
     assert (rows["recall_4x8"].recall_at_10
             >= rows["precision_12x4"].recall_at_10)
+
+
+def test_forecast_backtest_sanity(spark, sf_dir):
+    rows = QUERIES["ts_forecast_backtest"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_evals > 0
+        assert r.mae_naive >= 0 and r.mae_snaive >= 0
+        # MASE consistency with its own components
+        assert r.mase_snaive == pytest.approx(
+            r.mae_snaive / r.mae_naive, rel=1e-9
+        )

@@ -873,3 +873,123 @@ def similarity_ann_recall_eval(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+# ===========================================================================
+# Forecast backtest (rolling-origin naive / seasonal-naive, MASE)
+# ===========================================================================
+
+@query(
+    "ts_forecast_backtest",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(({MS}) / {HOUR}.0) AS BIGINT) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(floor(({MS}) / {HOUR}.0) AS BIGINT)
+    ),
+    n1 AS (
+      SELECT a.event_type, a.hr, a.y, b.y AS y_naive
+      FROM h a JOIN h b ON b.event_type = a.event_type AND b.hr = a.hr - 1
+    ),
+    s24 AS (
+      SELECT a.event_type, a.hr, s.y AS y_snaive
+      FROM h a JOIN h s ON s.event_type = a.event_type AND s.hr = a.hr - 24
+    ),
+    ev AS (
+      SELECT n1.event_type,
+             CAST(floor(abs(n1.y - n1.y_naive) * 1000000.0) AS BIGINT)
+               AS ae_naive,
+             CAST(floor(abs(n1.y - s24.y_snaive) * 1000000.0) AS BIGINT)
+               AS ae_snaive
+      FROM n1 JOIN s24 ON s24.event_type = n1.event_type
+                      AND s24.hr = n1.hr
+    )
+    SELECT event_type, COUNT(*) AS n_evals,
+           SUM(ae_naive) / (1000000.0 * COUNT(*)) AS mae_naive,
+           SUM(ae_snaive) / (1000000.0 * COUNT(*)) AS mae_snaive,
+           CAST(SUM(ae_snaive) AS DOUBLE) / SUM(ae_naive) AS mase_snaive
+    FROM ev GROUP BY event_type
+    """,
+)
+def ts_forecast_backtest(spark, sf_dir):
+    """Rolling-origin forecast BACKTEST per event type: every hourly
+    bin where both references exist is a one-step evaluation point —
+    naive forecast = previous bin's mean, seasonal-naive = same hour
+    yesterday — scored as MAE each and the scaled error
+    MASE = MAE_snaive / MAE_naive (Hyndman & Koehler 2006; < 1 means
+    the seasonal model beats the naive benchmark). The evaluation
+    discipline every forecasting deployment needs around its
+    Holt-Winters lane (ts_holt_winters_hourly), as a query instead of
+    a notebook.
+
+    Exactness: hourly means are decimal-stable doubles (bit-identical
+    both engines); each absolute error floor-snaps to integer
+    micro-units before summing (summing raw doubles would be
+    order-dependent); final MAE/MASE are single double ops on exact
+    integers. References come from equi-joins on (type, hr−lag) —
+    "previous existing bin" semantics are NOT used; a missing previous
+    hour simply yields no evaluation point, identically in both
+    engines.
+
+    Scale: one map-side-combined shuffle to hourly grain; everything
+    after runs on bins-not-rows (two self-equi-joins and a 5-row
+    aggregate). The backtest is embarrassingly parallel across series.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts_ms") / F.lit(float(HOUR))).cast("long").alias("hr"),
+            "value",
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+    )
+    n1 = h.alias("a").join(
+        h.alias("b"),
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.hr") == F.col("a.hr") - 1),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.hr").alias("hr"),
+        F.col("a.y").alias("y"),
+        F.col("b.y").alias("y_naive"),
+    )
+    s24 = h.alias("a").join(
+        h.alias("s"),
+        (F.col("s.event_type") == F.col("a.event_type"))
+        & (F.col("s.hr") == F.col("a.hr") - 24),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.hr").alias("hr"),
+        F.col("s.y").alias("y_snaive"),
+    )
+    evals = n1.join(s24, ["event_type", "hr"]).select(
+        "event_type",
+        F.floor(F.abs(F.col("y") - F.col("y_naive")) * 1e6)
+        .cast("long")
+        .alias("ae_naive"),
+        F.floor(F.abs(F.col("y") - F.col("y_snaive")) * 1e6)
+        .cast("long")
+        .alias("ae_snaive"),
+    )
+    return evals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        (F.sum("ae_naive") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias(
+            "mae_naive"
+        ),
+        (F.sum("ae_snaive") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias(
+            "mae_snaive"
+        ),
+        (F.sum("ae_snaive").cast("double") / F.sum("ae_naive")).alias(
+            "mase_snaive"
+        ),
+    )
