@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from uts_spark.registry import HOUR, MS, query, table
+from uts_spark.registry import DAY, HOUR, MS, query, table
 
 DEC = "decimal(38,6)"
 
@@ -992,4 +992,86 @@ def ts_forecast_backtest(spark, sf_dir):
         (F.sum("ae_snaive").cast("double") / F.sum("ae_naive")).alias(
             "mase_snaive"
         ),
+    )
+
+
+# ===========================================================================
+# Data-ops: volume anomaly monitor (integer z-score flagging)
+# ===========================================================================
+
+@query(
+    "dq_volume_anomaly",
+    f"""
+    WITH d AS (
+      SELECT event_type, ({MS}) // {DAY} AS day, COUNT(*) AS c
+      FROM events GROUP BY event_type, ({MS}) // {DAY}
+    ),
+    w AS (
+      SELECT event_type, day, c,
+             SUM(c)     OVER t AS s7,
+             SUM(c * c) OVER t AS q7,
+             COUNT(*)   OVER t AS n7
+      FROM d
+      WINDOW t AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day * {DAY} AS day_ms, c, s7, q7, n7,
+           CASE WHEN n7 = 7 THEN
+             CASE WHEN (c * 7 - s7) * (c * 7 - s7) > 9 * (7 * q7 - s7 * s7)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+           ELSE NULL END AS is_anomaly
+    FROM w
+    """,
+)
+def dq_volume_anomaly(spark, sf_dir):
+    """Data-ops VOLUME MONITOR: per (event_type, day) row counts flagged
+    against the trailing 7 observed days — the pipeline-freshness alarm
+    ("did yesterday's partition land light?") every ingestion DAG needs
+    next to its constraint audit (dq_audit_pack).
+
+    The 3σ test is a PURE INTEGER comparison: with trailing sum S,
+    sum-of-squares Q over n=7 days, z² > 9 ⟺ (7c − S)² > 9·(7Q − S²)
+    — no float mean/stddev anywhere, so the flag can never drift
+    between engines (a constant window flags ANY change; days with
+    fewer than 7 predecessors emit NULL rather than a weak verdict).
+
+    Scale: one map-side-combined count to (type, day) grain, one
+    partitioned ROWS window over bins-not-rows. At 100 TB the daily
+    grain is what makes this free — the monitor reads the aggregate,
+    never the corpus.
+    """
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", F.expr(f"ts_ms div {DAY}").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(t).alias("s7"),
+        F.sum(F.col("c") * F.col("c")).over(t).alias("q7"),
+        F.count(F.lit(1)).over(t).alias("n7"),
+    )
+    dev = F.col("c") * 7 - F.col("s7")
+    var7 = F.lit(7) * F.col("q7") - F.col("s7") * F.col("s7")
+    return w.select(
+        "event_type",
+        (F.col("day") * DAY).alias("day_ms"),
+        "c",
+        "s7",
+        "q7",
+        "n7",
+        F.when(
+            F.col("n7") == 7,
+            F.when(dev * dev > F.lit(9) * var7, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .cast("long")
+        .alias("is_anomaly"),
     )

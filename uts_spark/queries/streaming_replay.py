@@ -1019,3 +1019,51 @@ def stream_png_decode_replay(spark, sf_dir):
         ), "append"
 
     return _replay(spark, blobs, build)
+
+
+@query(
+    "stream_jpeg_decode_replay",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             2 + (doc_id * 7) % 4 AS bw,
+             2 + (doc_id * 11) % 4 AS bh,
+             (doc_id % 5) + 1 AS a,
+             (doc_id % 7) + 1 AS b,
+             doc_id % 96 AS c
+      FROM documents
+    ),
+    blk AS (
+      SELECT d.doc_id, d.bw, d.bh,
+             128 + 2 * (((bx.bx * d.a + by.by * d.b + d.c) % 96) - 48) AS v
+      FROM d, UNNEST(range(0, d.bw)) AS bx(bx), UNNEST(range(0, d.bh)) AS by(by)
+    )
+    SELECT doc_id, bw * 8 AS width, bh * 8 AS height,
+           CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_px,
+           CAST(SUM(64 * v * v) AS BIGINT) AS sum_sq,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM blk GROUP BY doc_id, bw, bh
+    """,
+)
+def stream_jpeg_decode_replay(spark, sf_dir):
+    """STREAMING JPEG decode: real baseline-JPEG blobs arrive as 4
+    parquet micro-batches; each batch runs the FULL entropy-decode +
+    IDCT pipeline in-stream (stateless Arrow ``mapInPandas``), emitting
+    per-image pixel stats that hash-match the batch lane's arithmetic
+    oracle. The streaming twin of `multimodal_jpeg_decode`, same
+    contract as the PNG replay: blobs never leave the executor or the
+    micro-batch, append mode, no state."""
+    from uts_spark.functions.multimodal import attach_synth_jpeg, jpeg_decode_stats
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_synth_jpeg(docs)
+
+    def build(stream):
+        return jpeg_decode_stats(stream).select(
+            "doc_id", "width", "height", "n_pixels",
+            "sum_px", "sum_sq", "min_px", "max_px",
+        ), "append"
+
+    return _replay(spark, blobs, build)
