@@ -157,4 +157,7 @@ HEADLINE = [n for n in (
     # r4: the real-codec lane — encode + inflate/unfilter 5k PNGs,
     # Arrow-batched and spread across cores (the multimodal perf story)
     "multimodal_png_decode",
+    # r4b: the lossy-codec lane — full per-image Huffman entropy decode
+    # + IDCT; tracks the Python-kernel batch path under load
+    "multimodal_jpeg_decode",
 ) if n in QUERIES]
