@@ -167,3 +167,12 @@ def test_forecast_backtest_sanity(spark, sf_dir):
         assert r.mase_snaive == pytest.approx(
             r.mae_snaive / r.mae_naive, rel=1e-9
         )
+
+
+def test_containment_pairs_nonvacuous(spark, sf_dir):
+    rows = QUERIES["dedup_containment_pairs"](spark, sf_dir).collect()
+    assert rows  # planted dups must surface — a 0-row pass is vacuous
+    for r in rows:
+        assert r.containment >= 0.8
+        assert r.shared <= min(r.na, r.nb)
+        assert r.jaccard <= r.containment  # identity: J <= C always

@@ -1075,3 +1075,85 @@ def dq_volume_anomaly(spark, sf_dir):
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+# ===========================================================================
+# Containment dedup (asymmetric doc-in-doc detection)
+# ===========================================================================
+
+
+def _containment_oracle() -> str:
+    from uts_spark.functions.text import duck_word_ngrams
+    from uts_spark.queries.llm_ops import TOKS
+
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    docs AS (SELECT doc_id, list_distinct({duck_word_ngrams('toks', 3)}) AS sh
+             FROM t),
+    inv AS (SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+             COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, na, nb, shared,
+           CAST(shared AS DOUBLE) / LEAST(na, nb) AS containment,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM pairs
+    WHERE CAST(shared AS DOUBLE) / LEAST(na, nb) >= 0.8
+    """
+
+
+@query("dedup_containment_pairs", _containment_oracle())
+def dedup_containment_pairs(spark, sf_dir):
+    """CONTAINMENT near-dup pairs (Broder's resemblance-vs-containment
+    distinction): shared / min(|A|, |B|) ≥ 0.8 — the doc-in-doc
+    detector for quote-expansions, boilerplate-wrapped reposts, and
+    prefix crawls whose symmetric Jaccard stays LOW while containment
+    saturates. Both metrics are emitted side by side: rows where
+    containment is high but jaccard is low are precisely what the
+    dedup_ngram_jaccard lane misses (on this synthetic corpus the
+    planted dups are symmetric, so the two columns agree — the gap
+    column is the monitor for real quote-expansion data). Counts are
+    integers over any injective shingle id (Spark's rotate-XOR 64-bit
+    ids vs the oracle's n-gram strings count identically);
+    containment/jaccard are single exact divisions.
+
+    Scale: plain inverted-index self-join — candidates ∝ true shingle
+    overlap. The PPJoin prefix filter is deliberately NOT applied: its
+    Jaccard size-ratio pruning (t ≤ na/nb) is exactly wrong for
+    containment, whose interesting pairs are size-ASYMMETRIC; the
+    100 TB version prefixes on the SMALLER side's rarest
+    |A|−⌈0.8|A|⌉+1 shingles instead (same machinery, containment
+    bound), or rides the existing frequency cutoff for hot shingles.
+    """
+    from uts_spark.functions.dedup import doc_shingle_arrays
+
+    docs = table(spark, sf_dir, "documents")
+    arrays = doc_shingle_arrays(docs, "text", "doc_id", 3)
+    inv = arrays.select("id", "ns", F.explode("sh").alias("shingle"))
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("ns").alias("nb"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared") / F.least(F.col("na"), F.col("nb")).cast("double")
+    jac = F.col("shared") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.select(
+            "id_a", "id_b", "na", "nb", "shared",
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
