@@ -176,3 +176,16 @@ def test_containment_pairs_nonvacuous(spark, sf_dir):
         assert r.containment >= 0.8
         assert r.shared <= min(r.na, r.nb)
         assert r.jaccard <= r.containment  # identity: J <= C always
+
+
+def test_top_paths_structure(spark, sf_dir):
+    rows = QUERIES["events_top_paths"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 5
+        assert 0 <= r.n_converted <= r.n_users
+        assert r.conversion_rate == pytest.approx(
+            r.n_converted / r.n_users, rel=1e-12
+        )

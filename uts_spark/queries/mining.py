@@ -1157,3 +1157,92 @@ def dedup_containment_pairs(spark, sf_dir):
         )
         .filter(F.col("containment") >= 0.8)
     )
+
+
+# ===========================================================================
+# Path analysis (top user journeys + conversion)
+# ===========================================================================
+
+@query(
+    "events_top_paths",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY {MS}, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn)
+               FILTER (WHERE rn <= 5) AS path,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM e GROUP BY user_id
+    ),
+    c AS (
+      SELECT path, COUNT(*) AS n_users, SUM(converted) AS n_converted
+      FROM p GROUP BY path
+    )
+    SELECT path, n_users, CAST(n_converted AS BIGINT) AS n_converted,
+           n_converted / CAST(n_users AS DOUBLE) AS conversion_rate
+    FROM c
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """PATH ANALYSIS: each user's first five event types joined into a
+    journey string (\"view>view>click>signup>purchase\"), the top-20
+    most-travelled paths with how many users walk them and the share
+    who EVER convert — the Sankey-diagram backbone of product
+    analytics, as one query. Conversion is measured over the user's
+    whole stream (not just the 5-step prefix), so the table answers
+    \"which early journeys predict purchase\". Counts are integers,
+    ordering ties break on the path string, and the top-20 is
+    TakeOrdered.
+
+    Scale: one lead-free window shuffle on user_id (the rank), a
+    string_agg per user (bounded: 5 types), and a path-keyed count —
+    path cardinality is min(users, 5^|types|), so the final aggregate
+    is tiny however large the corpus.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    e = ev.select("user_id", "event_type", "ts_ms", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).drop("ts_ms", "event_id")
+    p = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 5, F.struct("rn", "event_type")
+                        )
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    c = p.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    return (
+        c.select(
+            "path",
+            "n_users",
+            "n_converted",
+            (F.col("n_converted") / F.col("n_users").cast("double")).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
