@@ -189,3 +189,29 @@ def test_top_paths_structure(spark, sf_dir):
         assert r.conversion_rate == pytest.approx(
             r.n_converted / r.n_users, rel=1e-12
         )
+
+
+def test_supplier_scorecard_invariants(spark, sf_dir):
+    rows = QUERIES["supplier_scorecard"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_returns <= r.n_lines
+        assert 0.0 <= r.return_rate <= 1.0
+        assert r.lead_p50 is not None and r.lead_p90 is not None
+        assert r.lead_p50 <= r.lead_p90
+
+
+def test_xyz_classes_partition_by_cv(spark, sf_dir):
+    rows = QUERIES["part_xyz_classification"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r.xyz_class)
+        if r.n_weeks >= 2:
+            if r.xyz_class == "X":
+                assert r.cv_squared < 0.25
+            elif r.xyz_class == "Y":
+                assert 0.25 <= r.cv_squared < 1.0
+            else:
+                assert r.cv_squared >= 1.0
+    assert seen <= {"X", "Y", "Z"}

@@ -1246,3 +1246,214 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(20)
     )
+
+
+# ===========================================================================
+# Warehouse ops: supplier scorecard + XYZ demand-variability classes
+# ===========================================================================
+
+_EPOCH_D = "epoch_ns({c})//1000000"
+
+
+@query(
+    "supplier_scorecard",
+    f"""
+    WITH l AS (
+      SELECT li.l_suppkey AS suppkey,
+             CAST((({_EPOCH_D.format(c='li.l_shipdate')})
+                 - ({_EPOCH_D.format(c='o.o_orderdate')})) // 86400000
+               AS BIGINT) AS lead_days,
+             CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             CAST(ROUND(CAST(li.l_extendedprice * (1 - li.l_discount)
+                 AS DECIMAL(38,6)), 2) * 100 AS BIGINT) AS rev_c
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY suppkey
+                                   ORDER BY lead_days) AS rn,
+             COUNT(*) OVER (PARTITION BY suppkey) AS n
+      FROM l
+    ),
+    pct AS (
+      SELECT suppkey,
+             MAX(CASE WHEN rn = GREATEST(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                 THEN lead_days END) AS lead_p50,
+             MAX(CASE WHEN rn = GREATEST(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                 THEN lead_days END) AS lead_p90
+      FROM r GROUP BY suppkey
+    ),
+    agg AS (
+      SELECT suppkey, COUNT(*) AS n_lines, SUM(ret) AS n_returns,
+             SUM(rev_c) AS revenue_c
+      FROM l GROUP BY suppkey
+    )
+    SELECT a.suppkey, a.n_lines, CAST(a.n_returns AS BIGINT) AS n_returns,
+           a.n_returns / CAST(a.n_lines AS DOUBLE) AS return_rate,
+           CAST(a.revenue_c AS BIGINT) AS revenue_c,
+           p.lead_p50, p.lead_p90
+    FROM agg a JOIN pct p ON p.suppkey = a.suppkey
+    """,
+)
+def supplier_scorecard(spark, sf_dir):
+    """SUPPLIER SCORECARD: per supplier, volume, return rate
+    (share of 'R' lines), exact centi-revenue, and discrete p50/p90
+    order-to-ship lead time in whole days — the vendor-performance
+    table procurement reviews monthly. Lead days are exact integers
+    (midnight-timestamp subtraction), revenue rides the centi-snap
+    decimal lane, percentiles are the rank-at-⌈p·n⌉ discrete
+    convention (actual data values, no interpolation), and return_rate
+    is one exact division.
+
+    Scale: one fact⋈orders equi-join (orders is the smaller side —
+    broadcastable per partition pruning at real scale), one
+    suppkey-partitioned rank window at supplier grain, two map-side
+    aggregations. No global sorts.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            (F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+            / F.lit(86400000)
+        ).cast("long").alias("lead_days"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        (
+            F.round(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                ),
+                2,
+            )
+            * 100
+        ).cast("long").alias("rev_c"),
+    )
+    w = Window.partitionBy("suppkey").orderBy("lead_days")
+    wn = Window.partitionBy("suppkey")
+    r = l.select(
+        "suppkey",
+        "lead_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pct = r.groupBy("suppkey").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.ceil(0.5 * F.col("n")).cast("long"), F.lit(1)),
+                F.col("lead_days"),
+            )
+        ).alias("lead_p50"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.ceil(0.9 * F.col("n")).cast("long"), F.lit(1)),
+                F.col("lead_days"),
+            )
+        ).alias("lead_p90"),
+    )
+    agg = l.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returns"),
+        F.sum("rev_c").cast("long").alias("revenue_c"),
+    )
+    return agg.join(pct, "suppkey").select(
+        "suppkey",
+        "n_lines",
+        "n_returns",
+        (F.col("n_returns") / F.col("n_lines").cast("double")).alias(
+            "return_rate"
+        ),
+        "revenue_c",
+        "lead_p50",
+        "lead_p90",
+    )
+
+
+@query(
+    "part_xyz_classification",
+    f"""
+    WITH wk AS (
+      SELECT l_partkey AS partkey,
+             ({_EPOCH_D.format(c='l_shipdate')}) // 604800000 AS week,
+             CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                 AS DECIMAL(38,6)), 2) * 100 AS BIGINT) AS qty_c
+      FROM lineitem
+      GROUP BY l_partkey, ({_EPOCH_D.format(c='l_shipdate')}) // 604800000
+    ),
+    m AS (
+      SELECT partkey, COUNT(*) AS n_weeks,
+             SUM(qty_c) AS s, SUM(qty_c * qty_c) AS q
+      FROM wk GROUP BY partkey
+    )
+    SELECT partkey, n_weeks, CAST(s AS BIGINT) AS demand_c,
+           CASE
+             WHEN n_weeks < 2 THEN 'Z'
+             WHEN 4 * (n_weeks * q - s * s) < s * s THEN 'X'
+             WHEN (n_weeks * q - s * s) < s * s THEN 'Y'
+             ELSE 'Z'
+           END AS xyz_class,
+           CAST(n_weeks * q - s * s AS DOUBLE) / (CAST(s AS DOUBLE) * s)
+             AS cv_squared
+    FROM m
+    """,
+)
+def part_xyz_classification(spark, sf_dir):
+    """XYZ demand-variability classification (the inventory-planning
+    companion to ABC revenue classes, abc_pareto_parts): weekly shipped
+    quantity per part, coefficient-of-variation classes — X (steady,
+    CV² < 0.25), Y (variable, CV² < 1), Z (erratic / too sparse).
+    The class boundaries are PURE INTEGER comparisons on centi-quantity
+    moment sums: CV² = (nQ − S²)/S² < t ⟺ (nQ − S²)·(1/t) < S², so no
+    float mean/stddev can drift a boundary part between engines; the
+    reported cv_squared is one double division on the same exact
+    integers. Variability is measured over OBSERVED demand weeks
+    (documented: a zero-filled calendar spine would shift classes —
+    that variant is the fill-spine pattern of ts_resample, composable
+    here unchanged).
+
+    Scale: one map-side-combined aggregation to (part, week) grain,
+    one to part grain. The ABC×XYZ matrix join both classifiers
+    support is a partkey equi-join of two tiny aggregates.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    wk = (
+        li.select(
+            F.col("l_partkey").alias("partkey"),
+            F.expr(
+                "unix_millis(cast(l_shipdate as timestamp)) div 604800000"
+            ).alias("week"),
+            "l_quantity",
+        )
+        .groupBy("partkey", "week")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast(
+                        "decimal(38,6)"
+                    ),
+                    2,
+                )
+                * 100
+            ).cast("long").alias("qty_c")
+        )
+    )
+    m = wk.groupBy("partkey").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("qty_c").cast("long").alias("s"),
+        F.sum(F.col("qty_c") * F.col("qty_c")).cast("long").alias("q"),
+    )
+    n, s, q = F.col("n_weeks"), F.col("s"), F.col("q")
+    var_num = n * q - s * s
+    return m.select(
+        "partkey",
+        "n_weeks",
+        s.alias("demand_c"),
+        F.when(n < 2, F.lit("Z"))
+        .when(F.lit(4) * var_num < s * s, F.lit("X"))
+        .when(var_num < s * s, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+        (var_num.cast("double") / (s.cast("double") * s)).alias("cv_squared"),
+    )
