@@ -1067,3 +1067,53 @@ def stream_jpeg_decode_replay(spark, sf_dir):
         ), "append"
 
     return _replay(spark, blobs, build)
+
+
+@query(
+    "stream_hopping_agg_replay",
+    f"""
+    WITH pts AS (SELECT {MS} AS t, value FROM events),
+    fan AS (
+      SELECT ((t // {DAY}) - o.o) * {DAY} AS start, value
+      FROM pts, (SELECT unnest(range(0, 2)) AS o) o
+    )
+    SELECT start, CAST({2 * DAY} AS BIGINT) AS width,
+           COALESCE({DSUM('value')}/COUNT(value), 0.0) AS mean_value,
+           COUNT(*) AS n
+    FROM fan GROUP BY start
+    """,
+)
+def stream_hopping_agg_replay(spark, sf_dir):
+    """HOPPING (sliding) windows on a stream, oracle-gated: 2-day
+    windows every 1 day — each event fans out into exactly two
+    overlapping windows INSIDE the streaming hash aggregation (Spark's
+    window expression, no self-join), append mode finalizing each
+    window as the watermark clears its end. The oracle replays the
+    fan-out arithmetically (each point joins windows starting at its
+    day and the day before). Completes the streaming window-shape set:
+    tumbling (stream_tumbling_agg_replay), session
+    (stream_session_replay), exact now-anchored uts bins
+    (stream_uts_interval_*), and now hopping."""
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).first()[0]
+    sentinels = [
+        spark.createDataFrame(
+            [(s,)], "ms long"
+        ).select(
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        for s in (max_ms + 100 * DAY, max_ms + 101 * DAY)
+    ]
+
+    def build(stream):
+        out = tumbling_agg_stream(
+            stream, _METRICS, interval_ms=2 * DAY, time_col="ts",
+            watermark="60 days", slide_ms=DAY,
+        )
+        return out, "append"
+
+    got = _replay(spark, ev, build, extra_feeds=sentinels)
+    return got.filter(F.col("start") <= F.lit(max_ms)).select(
+        "start", F.col("width").cast("long").alias("width"), "mean_value", "n"
+    )
