@@ -215,3 +215,13 @@ def test_xyz_classes_partition_by_cv(spark, sf_dir):
             else:
                 assert r.cv_squared >= 1.0
     assert seen <= {"X", "Y", "Z"}
+
+
+def test_window_funnel_depths(spark, sf_dir):
+    rows = QUERIES["events_window_funnel"](spark, sf_dir).collect()
+    assert rows
+    depths = {r.max_depth for r in rows}
+    assert depths <= {1, 2, 3}
+    assert 3 in depths  # full conversions exist in the corpus
+    for r in rows:
+        assert r.n_signups >= 1

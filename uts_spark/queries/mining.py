@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from uts_spark.operators.joins import binned_range_join
 from uts_spark.registry import DAY, HOUR, MS, query, table
 
 DEC = "decimal(38,6)"
@@ -1456,4 +1457,110 @@ def part_xyz_classification(spark, sf_dir):
         .otherwise(F.lit("Z"))
         .alias("xyz_class"),
         (var_num.cast("double") / (s.cast("double") * s)).alias("cv_squared"),
+    )
+
+
+# ===========================================================================
+# Window funnel (sequential steps, per-step time window)
+# ===========================================================================
+
+@query(
+    "events_window_funnel",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, {MS} AS t FROM events
+    ),
+    s AS (SELECT user_id, event_id AS sid, t AS t1 FROM e
+          WHERE event_type = 'signup'),
+    c2 AS (
+      SELECT s.user_id, s.sid, c.t AS t2, c.event_id AS cid,
+             ROW_NUMBER() OVER (PARTITION BY s.sid
+                                ORDER BY c.t, c.event_id) AS rn
+      FROM s JOIN e c ON c.user_id = s.user_id AND c.event_type = 'click'
+                     AND c.t > s.t1 AND c.t <= s.t1 + {DAY}
+    ),
+    f2 AS (SELECT user_id, sid, t2 FROM c2 WHERE rn = 1),
+    c3 AS (
+      SELECT f2.sid,
+             ROW_NUMBER() OVER (PARTITION BY f2.sid
+                                ORDER BY p.t, p.event_id) AS rn
+      FROM f2 JOIN e p ON p.user_id = f2.user_id AND p.event_type = 'purchase'
+                      AND p.t > f2.t2 AND p.t <= f2.t2 + {DAY}
+    ),
+    f3 AS (SELECT sid FROM c3 WHERE rn = 1),
+    d AS (
+      SELECT s.user_id, s.sid,
+             1 + (CASE WHEN f2.sid IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN f3.sid IS NOT NULL THEN 1 ELSE 0 END) AS depth
+      FROM s LEFT JOIN f2 ON f2.sid = s.sid LEFT JOIN f3 ON f3.sid = s.sid
+    )
+    SELECT user_id, COUNT(*) AS n_signups,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM d GROUP BY user_id
+    """,
+)
+def events_window_funnel(spark, sf_dir):
+    """WINDOW FUNNEL (the windowFunnel shape popularized by analytics
+    engines): per signup, how deep the user advances through
+    signup → click → purchase where EACH step must land within 24 h of
+    the PREVIOUS step (not of the funnel start — the sequential-window
+    variant the simple first-event funnel can't express); per user,
+    signup count and deepest depth reached. "First qualifying next
+    step" is min(struct(t, event_id)) — the deterministic tie-break
+    mirrored by the oracle's ROW_NUMBER.
+
+    Scale: each step is a BINNED range join (24 h buckets + user
+    equi-key: a signup meets only clicks in its two adjacent buckets —
+    never a per-user cross join), followed by a min_by per funnel
+    instance; chains of N steps are N such joins, each shrinking to
+    survivors only. The per-user rollup is one aggregation.
+    """
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", "event_type", F.col("ts_ms").alias("t"))
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("sid"), F.col("t").alias("t1")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("t").alias("tc")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("t").alias("tp")
+    )
+    j2 = binned_range_join(
+        s,
+        clicks,
+        left_lo=F.col("t1") + 1,
+        left_hi=F.col("t1") + DAY,
+        right_ts=F.col("tc"),
+        bin_width=DAY,
+        keys=["user_id"],
+    )
+    f2 = j2.groupBy("user_id", "sid").agg(
+        F.min(F.struct("tc", "cid")).alias("__first")
+    ).select("user_id", "sid", F.col("__first.tc").alias("t2"))
+    j3 = binned_range_join(
+        f2,
+        purchases,
+        left_lo=F.col("t2") + 1,
+        left_hi=F.col("t2") + DAY,
+        right_ts=F.col("tp"),
+        bin_width=DAY,
+        keys=["user_id"],
+    )
+    f3 = j3.groupBy("sid").agg(F.count(F.lit(1)).alias("__n")).select("sid")
+    d = (
+        s.join(f2.select("sid", F.lit(1).alias("__r2")), "sid", "left")
+        .join(f3.select("sid", F.lit(1).alias("__r3")), "sid", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.coalesce(F.col("__r2"), F.lit(0))
+                + F.coalesce(F.col("__r3"), F.lit(0))
+            ).alias("depth"),
+        )
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.max("depth").cast("long").alias("max_depth"),
     )
