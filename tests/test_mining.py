@@ -225,3 +225,16 @@ def test_window_funnel_depths(spark, sf_dir):
     assert 3 in depths  # full conversions exist in the corpus
     for r in rows:
         assert r.n_signups >= 1
+
+
+def test_segment_migration_matrix(spark, sf_dir):
+    rows = QUERIES["segment_migration_matrix"](spark, sf_dir).collect()
+    assert rows
+    segs = {"heavy", "regular", "light", "inactive"}
+    for r in rows:
+        assert r.seg_from in segs and r.seg_to in segs
+        assert r.n_users > 0
+    # no user can be inactive in both periods (they'd have no events)
+    assert not any(
+        r.seg_from == "inactive" and r.seg_to == "inactive" for r in rows
+    )

@@ -80,6 +80,27 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
         )
 
+    def _funnel_step(df):
+        from uts_spark.operators.joins import binned_range_join
+
+        DAY = 86_400_000
+        s = df.filter(F.col("event_type") == "t0").select(
+            "user_id", F.col("ingest_id").alias("sid"),
+            F.col("ts_ms").alias("t1"),
+        )
+        c = df.filter(F.col("event_type") == "t1").select(
+            "user_id", F.col("ingest_id").alias("cid"),
+            F.col("ts_ms").alias("tc"),
+        )
+        j = binned_range_join(
+            s, c,
+            left_lo=F.col("t1") + 1, left_hi=F.col("t1") + DAY,
+            right_ts=F.col("tc"), bin_width=DAY, keys=["user_id"],
+        )
+        return j.groupBy("user_id", "sid").agg(
+            F.min(F.struct("tc", "cid")).alias("__first")
+        )
+
     ops = {
         "uts_interval_mean_fill_24h": uts_interval,
         "ohlc_hourly": lambda df: ohlc(
@@ -114,6 +135,11 @@ def main() -> None:
         # single-partition windows (the plan a naive ntile would
         # serialize through one task at this size)
         "equidepth_deciles_distributed": _equidepth,
+        # r4b: the binned-range-join machinery (window funnel step):
+        # first t1-event → first t2-event within 24h, per user — each
+        # left row explodes to ≤2 day-buckets, never a per-user cross
+        # join; survivor count shrinks per step
+        "window_funnel_step_24h": _funnel_step,
     }
 
     timings = {}

@@ -1564,3 +1564,86 @@ def events_window_funnel(spark, sf_dir):
         F.count(F.lit(1)).alias("n_signups"),
         F.max("depth").cast("long").alias("max_depth"),
     )
+
+
+# ===========================================================================
+# Segment migration matrix (period-over-period engagement flows)
+# ===========================================================================
+
+_MID_MS = 1704067200000 + 15 * DAY  # 2024-01-16T00:00:00Z period split
+
+
+def _seg_case(cnt: str) -> str:
+    return (
+        f"CASE WHEN {cnt} >= 20 THEN 'heavy' WHEN {cnt} >= 5 THEN 'regular' "
+        f"WHEN {cnt} >= 1 THEN 'light' ELSE 'inactive' END"
+    )
+
+
+@query(
+    "segment_migration_matrix",
+    f"""
+    WITH p1 AS (
+      SELECT user_id, COUNT(*) AS c FROM events
+      WHERE ({MS}) < {_MID_MS} GROUP BY user_id
+    ),
+    p2 AS (
+      SELECT user_id, COUNT(*) AS c FROM events
+      WHERE ({MS}) >= {_MID_MS} GROUP BY user_id
+    ),
+    u AS (
+      SELECT COALESCE(p1.user_id, p2.user_id) AS user_id,
+             COALESCE(p1.c, 0) AS c1, COALESCE(p2.c, 0) AS c2
+      FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
+    ),
+    seg AS (
+      SELECT {_seg_case('c1')} AS seg_from, {_seg_case('c2')} AS seg_to
+      FROM u
+    )
+    SELECT seg_from, seg_to, COUNT(*) AS n_users
+    FROM seg GROUP BY seg_from, seg_to
+    """,
+)
+def segment_migration_matrix(spark, sf_dir):
+    """SEGMENT MIGRATION MATRIX: users classified by activity volume
+    (heavy ≥ 20 events, regular ≥ 5, light ≥ 1, inactive) in each half
+    of the month, with the period-over-period flow counts — the
+    growth-accounting engine room (churned = →inactive, resurrected =
+    inactive→, upgraded/downgraded on the diagonal's neighbors) behind
+    every retention dashboard's "where did the heavies go" question.
+    Absolute thresholds keep segmentation exact (quantile-based
+    segments belong to rfm_segmentation, already registered); counts
+    are integers, the matrix is ≤ 16 cells whatever the corpus size.
+
+    Scale: two filtered map-side-combined counts over the fact table,
+    one user-keyed full outer join at user grain, one tiny aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    p1 = (
+        ev.filter(F.col("ts_ms") < _MID_MS)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    p2 = (
+        ev.filter(F.col("ts_ms") >= _MID_MS)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    u = p1.join(p2, "user_id", "full_outer").select(
+        F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+    )
+
+    def seg(c):
+        return (
+            F.when(F.col(c) >= 20, "heavy")
+            .when(F.col(c) >= 5, "regular")
+            .when(F.col(c) >= 1, "light")
+            .otherwise("inactive")
+        )
+
+    return (
+        u.select(seg("c1").alias("seg_from"), seg("c2").alias("seg_to"))
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
