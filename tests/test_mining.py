@@ -238,3 +238,43 @@ def test_segment_migration_matrix(spark, sf_dir):
     assert not any(
         r.seg_from == "inactive" and r.seg_to == "inactive" for r in rows
     )
+
+
+def test_binned_first_after_equals_naive_join(spark, sf_dir):
+    """The bounded array variant must be row-identical to the
+    pair-explode + min_by plan it replaces (the 20M-row A/B in
+    SCALE.md rests on this equivalence)."""
+    from uts_spark.operators.joins import binned_first_after, binned_range_join
+
+    DAY = 86_400_000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("sid"), F.col("t").alias("t1")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("t").alias("tc")
+    )
+    j = binned_range_join(
+        s, c, left_lo=F.col("t1") + 1, left_hi=F.col("t1") + DAY,
+        right_ts=F.col("tc"), bin_width=DAY, keys=["user_id"],
+    )
+    naive = {
+        r["sid"]: (r["__first"]["tc"], r["__first"]["cid"])
+        for r in j.groupBy("user_id", "sid")
+        .agg(F.min(F.struct("tc", "cid")).alias("__first"))
+        .collect()
+    }
+    fa = binned_first_after(
+        s, c, F.col("t1"), F.col("tc"), DAY, ["user_id"],
+        right_payload=["cid"],
+    )
+    got = {
+        r["sid"]: (r["__first"]["__t"], r["__first"]["cid"])
+        for r in fa.collect()
+        if r["__first"] is not None
+    }
+    assert naive == got and naive

@@ -101,6 +101,23 @@ def main() -> None:
             F.min(F.struct("tc", "cid")).alias("__first")
         )
 
+    def _funnel_step_arrays(df):
+        from uts_spark.operators.joins import binned_first_after
+
+        DAY = 86_400_000
+        s = df.filter(F.col("event_type") == "t0").select(
+            "user_id", F.col("ingest_id").alias("sid"),
+            F.col("ts_ms").alias("t1"),
+        )
+        c = df.filter(F.col("event_type") == "t1").select(
+            "user_id", F.col("ingest_id").alias("cid"),
+            F.col("ts_ms").alias("tc"),
+        )
+        return binned_first_after(
+            s, c, F.col("t1"), F.col("tc"), DAY, ["user_id"],
+            right_payload=["cid"],
+        )
+
     ops = {
         "uts_interval_mean_fill_24h": uts_interval,
         "ohlc_hourly": lambda df: ohlc(
@@ -140,6 +157,9 @@ def main() -> None:
         # left row explodes to ≤2 day-buckets, never a per-user cross
         # join; survivor count shrinks per step
         "window_funnel_step_24h": _funnel_step,
+        # r4b A/B: the bounded variant (per-(user, bucket) sorted array,
+        # join width ∝ instances x 2) — same first-match output
+        "window_funnel_step_24h_arrays": _funnel_step_arrays,
     }
 
     timings = {}

@@ -200,3 +200,72 @@ def binned_range_join(
         cond = cond & extra_cond
     joined = l.join(r, keys + ["__bucket"], "inner").filter(cond)
     return joined.drop("__bucket", "__lo", "__hi", "__rts")
+
+
+def binned_first_after(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: Column,
+    right_ts: Column,
+    window_ms: int,
+    keys: list[str],
+    right_payload: list[str] | None = None,
+    ts_name: str = "__t",
+) -> DataFrame:
+    """For each left row, the FIRST right row with
+    ``left_ts < right_ts <= left_ts + window_ms`` on the same ``keys``
+    — the window-funnel step — with join width bounded by BUCKETS
+    instead of right events.
+
+    The naive shape (binned_range_join + min_by) emits one row per
+    qualifying (left, right) pair before aggregating, which explodes
+    when many right events crowd one key-window (measured: super-linear
+    on dense synthetic streams, tools/scale_smoke.py). Here the right
+    side pre-aggregates to ONE sorted (ts, payload) array per
+    (keys, bucket); each left row joins <= 2 array rows, filters the
+    array to its window, and takes the array head — identical
+    first-match semantics (ties impossible when the sort key embeds a
+    unique id in payload order), join output ∝ left × 2.
+
+    Memory: one array holds one key's events for one bucket —
+    events-per-key-per-window-width, the same row set the naive join
+    would emit for that bucket, just materialized once instead of per
+    left row. Skewed keys bound at window grain, not corpus grain.
+
+    Returns the left rows (original columns) plus ``__first`` — a
+    struct of (ts, *right_payload) or NULL when no right row qualifies.
+    """
+    right_payload = right_payload or []
+    bucket = F.floor(right_ts / F.lit(window_ms)).cast("long")
+    arr = (
+        right.select(
+            *keys,
+            bucket.alias("__bucket"),
+            F.struct(right_ts.alias(ts_name), *right_payload).alias("__e"),
+        )
+        .groupBy(*keys, "__bucket")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__arr"))
+    )
+    lo_b = F.floor((left_ts + 1) / F.lit(window_ms)).cast("long")
+    hi_b = F.floor((left_ts + window_ms) / F.lit(window_ms)).cast("long")
+    l = left.withColumn("__lts", left_ts).withColumn(
+        "__bucket", F.explode(F.sequence(lo_b, hi_b))
+    )
+    lts = F.col("__lts")
+    cand = l.join(arr, [*keys, "__bucket"], "left").withColumn(
+        "__hit",
+        F.try_element_at(
+            F.filter(
+                F.col("__arr"),
+                lambda e: (e[ts_name] > lts)
+                & (e[ts_name] <= lts + F.lit(window_ms)),
+            ),
+            F.lit(1),
+        ),
+    )
+    group_cols = [c for c in left.columns]
+    return (
+        cand.groupBy(*group_cols, "__lts")
+        .agg(F.min("__hit").alias("__first"))
+        .drop("__lts")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from uts_spark.operators.joins import binned_range_join
+from uts_spark.operators.joins import binned_first_after
 from uts_spark.registry import DAY, HOUR, MS, query, table
 
 DEC = "decimal(38,6)"
@@ -1509,11 +1509,14 @@ def events_window_funnel(spark, sf_dir):
     step" is min(struct(t, event_id)) — the deterministic tie-break
     mirrored by the oracle's ROW_NUMBER.
 
-    Scale: each step is a BINNED range join (24 h buckets + user
-    equi-key: a signup meets only clicks in its two adjacent buckets —
-    never a per-user cross join), followed by a min_by per funnel
-    instance; chains of N steps are N such joins, each shrinking to
-    survivors only. The per-user rollup is one aggregation.
+    Scale: each step is the BOUNDED first-after join
+    (operators/joins.binned_first_after): the next-step events
+    pre-aggregate to one SORTED ARRAY per (user, 24 h bucket), each
+    funnel instance joins <= 2 array rows and takes the head of its
+    window slice — join width ∝ instances × 2 regardless of how many
+    step events crowd a user-day (the naive pair-explode variant is
+    measured super-linear on dense streams, SCALE.md). Chains of N
+    steps are N such joins, each shrinking to survivors only.
     """
     ev = table(spark, sf_dir, "events")
     e = ev.select("user_id", "event_id", "event_type", F.col("ts_ms").alias("t"))
@@ -1526,28 +1529,18 @@ def events_window_funnel(spark, sf_dir):
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("pid"), F.col("t").alias("tp")
     )
-    j2 = binned_range_join(
-        s,
-        clicks,
-        left_lo=F.col("t1") + 1,
-        left_hi=F.col("t1") + DAY,
-        right_ts=F.col("tc"),
-        bin_width=DAY,
-        keys=["user_id"],
+    fa2 = binned_first_after(
+        s, clicks, F.col("t1"), F.col("tc"), DAY, ["user_id"],
+        right_payload=["cid"],
     )
-    f2 = j2.groupBy("user_id", "sid").agg(
-        F.min(F.struct("tc", "cid")).alias("__first")
-    ).select("user_id", "sid", F.col("__first.tc").alias("t2"))
-    j3 = binned_range_join(
-        f2,
-        purchases,
-        left_lo=F.col("t2") + 1,
-        left_hi=F.col("t2") + DAY,
-        right_ts=F.col("tp"),
-        bin_width=DAY,
-        keys=["user_id"],
+    f2 = fa2.filter(F.col("__first").isNotNull()).select(
+        "user_id", "sid", F.col("__first.__t").alias("t2")
     )
-    f3 = j3.groupBy("sid").agg(F.count(F.lit(1)).alias("__n")).select("sid")
+    fa3 = binned_first_after(
+        f2, purchases, F.col("t2"), F.col("tp"), DAY, ["user_id"],
+        right_payload=["pid"],
+    )
+    f3 = fa3.filter(F.col("__first").isNotNull()).select("sid")
     d = (
         s.join(f2.select("sid", F.lit(1).alias("__r2")), "sid", "left")
         .join(f3.select("sid", F.lit(1).alias("__r3")), "sid", "left")
