@@ -278,3 +278,28 @@ def test_binned_first_after_equals_naive_join(spark, sf_dir):
         if r["__first"] is not None
     }
     assert naive == got and naive
+
+
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    rows = {r.event_type: r for r in
+            QUERIES["ivm_merge_partials"](spark, sf_dir).collect()}
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+    )
+    full = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("sum_c"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(full)
+    for et, r in rows.items():
+        assert r.n == full[et].n
+        assert r.sum_c == full[et].sum_c
+        assert r.min_c <= r.max_c

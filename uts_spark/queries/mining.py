@@ -1640,3 +1640,95 @@ def segment_migration_matrix(spark, sf_dir):
         .groupBy("seg_from", "seg_to")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ===========================================================================
+# Incremental view maintenance (mergeable partial aggregates)
+# ===========================================================================
+
+@query(
+    "ivm_merge_partials",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(12,2)) AS y
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(CAST(SUM(y) * 100 AS BIGINT) AS BIGINT) AS sum_c,
+           CAST(CAST(MIN(y) * 100 AS BIGINT) AS BIGINT) AS min_c,
+           CAST(CAST(MAX(y) * 100 AS BIGINT) AS BIGINT) AS max_c,
+           CAST(CAST(SUM(y * y) * 10000 AS BIGINT) AS BIGINT) AS sumsq_cc,
+           CAST(CAST(SUM(y) * 100 AS BIGINT) AS DOUBLE)
+             / (100.0 * COUNT(*)) AS mean
+    FROM e GROUP BY event_type
+    """,
+)
+def ivm_merge_partials(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE, proven by construction: the fact
+    table splits into a BASE partition (first 25 days — the
+    materialized state) and a DELTA (the rest — the new batch); each
+    side aggregates to mergeable partials (count, centi-sum, min, max,
+    centi²-sum-of-squares) and the partials MERGE with pure arithmetic
+    (adds, least/greatest) — never touching base rows again. The
+    oracle computes the same statistics in ONE pass over everything,
+    so the hash match is the algebraic proof that the merge is lossless
+    — the property that makes nightly-refresh dashboards incremental
+    and Spark's own partial aggregation correct. All lanes are exact
+    integers (centi / centi² units of the 2dp values); the derived
+    mean is one double division.
+
+    Scale: the real deployment keeps the base partials AS the
+    materialized view (rows ∝ groups, not facts) and folds each
+    micro-batch's delta in — this query IS that fold, expressed so the
+    full-recompute oracle can certify it.
+    """
+    split_ms = 1704067200000 + 25 * DAY
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.col("value").cast("decimal(12,2)")
+
+    def partials(df):
+        return df.select("event_type", y.alias("y")).groupBy(
+            "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("y")) * 100).cast("long").alias("sum_c"),
+            (F.min(F.col("y")) * 100).cast("long").alias("min_c"),
+            (F.max(F.col("y")) * 100).cast("long").alias("max_c"),
+            (F.sum(F.col("y") * F.col("y")) * 10000)
+            .cast("long")
+            .alias("sumsq_cc"),
+        )
+
+    base = partials(ev.filter(F.col("ts_ms") < split_ms))
+    delta = partials(ev.filter(F.col("ts_ms") >= split_ms))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.event_type") == F.col("d.event_type"),
+                    "full_outer")
+
+    def mboth(col, combine):
+        return combine(F.col(f"b.{col}"), F.col(f"d.{col}"))
+
+    def madd(a_, b_):
+        return F.coalesce(a_, F.lit(0)) + F.coalesce(b_, F.lit(0))
+
+    return merged.select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+            "event_type"
+        ),
+        mboth("n", madd).alias("n"),
+        mboth("sum_c", madd).alias("sum_c"),
+        F.least(F.col("b.min_c"), F.col("d.min_c")).alias("__min0"),
+        F.greatest(F.col("b.max_c"), F.col("d.max_c")).alias("__max0"),
+        mboth("sumsq_cc", madd).alias("sumsq_cc"),
+    ).select(
+        "event_type",
+        "n",
+        "sum_c",
+        F.coalesce(F.col("__min0")).alias("min_c"),
+        F.coalesce(F.col("__max0")).alias("max_c"),
+        "sumsq_cc",
+        (F.col("sum_c").cast("double") / (F.lit(100.0) * F.col("n"))).alias(
+            "mean"
+        ),
+    )
