@@ -303,3 +303,14 @@ def test_ivm_merge_equals_full_recompute(spark, sf_dir):
         assert r.n == full[et].n
         assert r.sum_c == full[et].sum_c
         assert r.min_c <= r.max_c
+
+
+def test_matryoshka_eval_monotone(spark, sf_dir):
+    rows = {r.dims: r for r in
+            QUERIES["embedding_matryoshka_eval"](spark, sf_dir).collect()}
+    assert set(rows) == {16, 32}
+    for r in rows.values():
+        assert 0 <= r.hits <= r.n_truth
+        assert 0.0 <= r.recall_at_10 <= 1.0
+    # more prefix dims cannot hurt on average corpora; allow equality
+    assert rows[32].recall_at_10 >= rows[16].recall_at_10 - 0.1

@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Since round 4 two codec lanes are REAL: PNG (pure-stdlib codec,
-functions/png.py — decode/resize/re-encode) and WAV PCM audio (stdlib
-``wave`` RIFF parser) — both oracle-gated end-to-end. Formats the
-container genuinely cannot handle (JPEG/WebP/video) stay behind
-``decode_image``'s PIL seam with a precise NotImplementedError;
+Since round 4 three codec lanes are REAL: PNG (pure-stdlib codec,
+functions/png.py — decode/resize/re-encode), baseline JPEG (pure-numpy
+codec, functions/jpeg.py — Huffman entropy decode + IDCT,
+decode/resize), and WAV PCM audio (stdlib ``wave`` RIFF parser) — all
+oracle-gated end-to-end. Formats the container genuinely cannot handle
+(WebP/progressive JPEG/video) stay behind ``decode_image``'s PIL seam
+with a precise NotImplementedError;
 ``fake_decode_features`` remains the deterministic stand-in those
 pipeline-shape queries use (features derived from the bytes themselves,
 so results are reproducible anywhere).
@@ -669,3 +671,48 @@ def jpeg_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
             )
 
     return df.select("doc_id", blob_col).mapInPandas(gen, JPEG_STATS_SCHEMA)
+
+
+JPEG_RESIZE_SCHEMA = (
+    "doc_id long, src_w long, src_h long, target_w long, target_h long, "
+    "sum_px long, min_px long, max_px long"
+)
+
+
+def jpeg_resize_stats(
+    df: DataFrame, target_w: int, target_h: int, blob_col: str = "media"
+) -> DataFrame:
+    """REAL JPEG resize pipeline: full baseline decode → nearest-
+    neighbor resample via the integer index map src = (dst·src)//tgt →
+    integer stats of the resized grayscale pixels (the oracle replays
+    the index map on the generative block formula)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from uts_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                px = decode_jpeg(bytes(payload))
+                h, w = px.shape[:2]
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                small = px[np.ix_(ys, xs)].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), w, h, target_w, target_h,
+                        int(small.sum()), int(small.min()), int(small.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "target_w", "target_h",
+                    "sum_px", "min_px", "max_px",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, JPEG_RESIZE_SCHEMA)

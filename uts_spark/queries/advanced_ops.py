@@ -1081,3 +1081,46 @@ def multimodal_jpeg_decode(spark, sf_dir):
         (F.col("sum_px").cast("double") / F.col("n_pixels").cast("double"))
         .alias("mean_px"),
     )
+
+
+@query(
+    "multimodal_jpeg_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             2 + (doc_id * 7) % 4 AS bw,
+             2 + (doc_id * 11) % 4 AS bh,
+             (doc_id % 5) + 1 AS a,
+             (doc_id % 7) + 1 AS b,
+             doc_id % 96 AS c
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.bw, d.bh,
+             128 + 2 * (((((tx.tx * (d.bw * 8)) // 16) // 8) * d.a
+                       + ((((ty.ty * (d.bh * 8)) // 16) // 8) * d.b)
+                       + d.c) % 96 - 48) AS v
+      FROM d, UNNEST(range(0, 16)) AS tx(tx), UNNEST(range(0, 16)) AS ty(ty)
+    )
+    SELECT doc_id, bw * 8 AS src_w, bh * 8 AS src_h,
+           CAST(16 AS BIGINT) AS target_w, CAST(16 AS BIGINT) AS target_h,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM px GROUP BY doc_id, bw, bh
+    """,
+)
+def multimodal_jpeg_resize(spark, sf_dir):
+    """REAL JPEG resize, oracle-verified: decode each document's actual
+    baseline-JPEG bytes (full entropy-decode + IDCT), nearest-neighbor
+    resample to 16×16 through the pure-integer index map
+    src = (dst·src_dim)//16, and emit integer stats of the resized
+    pixels — while the oracle replays the same index map on the
+    generative DC-block formula (pixel at (sy, sx) is the block
+    constant of (sy//8, sx//8)), never touching a byte. Completes the
+    JPEG lane's decode → transform loop alongside the PNG twin."""
+    from uts_spark.functions.multimodal import attach_synth_jpeg, jpeg_resize_stats
+
+    docs = table(spark, sf_dir, "documents")
+    blobs = attach_synth_jpeg(docs)
+    return jpeg_resize_stats(blobs, 16, 16)

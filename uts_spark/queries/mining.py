@@ -1732,3 +1732,122 @@ def ivm_merge_partials(spark, sf_dir):
             "mean"
         ),
     )
+
+
+# ===========================================================================
+# Matryoshka truncation eval (recall of prefix-dim embeddings)
+# ===========================================================================
+
+_MRL_DIMS = [16, 32]
+
+
+def _mrl_eval_oracle() -> str:
+    from uts_spark.queries.llm_ops import _duck_cosine
+    from uts_spark.registry import ORACLES
+
+    arms = []
+    for d in _MRL_DIMS:
+        arms.append(f"""
+    SELECT CAST({d} AS BIGINT) AS dims, n_truth, n_trunc, hits,
+           hits / CAST(n_truth AS DOUBLE) AS recall_at_10
+    FROM (
+      SELECT
+        (SELECT COUNT(*) FROM truth) AS n_truth,
+        (SELECT COUNT(*) FROM (
+          WITH e AS (SELECT vec_id, embedding[1:{d}] AS embedding
+                     FROM embeddings),
+          a AS (SELECT vec_id AS anchor_id, embedding AS ea FROM e
+                WHERE vec_id < 5),
+          scored AS (
+            SELECT anchor_id, e.vec_id AS neighbor_id,
+                   {_duck_cosine('ea', 'e.embedding')} AS cosine
+            FROM e, a WHERE e.vec_id != anchor_id
+          ),
+          ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+          )
+          SELECT anchor_id, neighbor_id FROM ranked WHERE rank <= 10
+        )) AS n_trunc,
+        (SELECT COUNT(*) FROM truth t JOIN (
+          WITH e AS (SELECT vec_id, embedding[1:{d}] AS embedding
+                     FROM embeddings),
+          a AS (SELECT vec_id AS anchor_id, embedding AS ea FROM e
+                WHERE vec_id < 5),
+          scored AS (
+            SELECT anchor_id, e.vec_id AS neighbor_id,
+                   {_duck_cosine('ea', 'e.embedding')} AS cosine
+            FROM e, a WHERE e.vec_id != anchor_id
+          ),
+          ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+          )
+          SELECT anchor_id, neighbor_id FROM ranked WHERE rank <= 10
+        ) p ON t.anchor_id = p.anchor_id
+           AND t.neighbor_id = p.neighbor_id) AS hits
+    )""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+    WITH truth AS (
+      SELECT anchor_id, neighbor_id FROM ({ORACLES["similarity_topk_cosine"]})
+    )
+    {union}
+    """
+
+
+@query("embedding_matryoshka_eval", _mrl_eval_oracle())
+def embedding_matryoshka_eval(spark, sf_dir):
+    """MATRYOSHKA-TRUNCATION EVALUATION (Kusupati et al. 2022): how much
+    exact-cosine top-10 recall survives when vectors are truncated to
+    their prefix 16 / 32 of 64 dims — the measurement behind the
+    "store short prefixes, rerank with full vectors" memory/recall
+    trade every modern vector store offers. (These synthetic embeddings
+    are NOT MRL-trained, which is the point of running the eval: it
+    quantifies what truncation costs on YOUR corpus before you bet
+    storage layout on it.) Ground truth reuses the registered
+    brute-force top-10; truncated rankings use the same bit-exact
+    floor-rounded cosine on sliced arrays, so hits is an exact set
+    intersection and recall one exact division.
+
+    Scale: each arm is the blocked anchors×corpus pass on a NARROWER
+    matrix (cost ∝ dims); intersections are k·anchors-row equi-joins.
+    """
+    from uts_spark.functions.similarity import cosine_topk_blocked
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    truth = cosine_topk_blocked(e, anchors, k=10).select(
+        "anchor_id", "neighbor_id"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    arms = []
+    for d in _MRL_DIMS:
+        sl = e.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        sa = sl.filter(F.col("vec_id") < 5)
+        pred = cosine_topk_blocked(sl, sa, k=10).select(
+            "anchor_id", "neighbor_id"
+        )
+        n_trunc = pred.agg(F.count(F.lit(1)).alias("n_trunc"))
+        hits = truth.join(pred, ["anchor_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        arms.append(
+            n_truth.crossJoin(F.broadcast(n_trunc))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                "n_truth",
+                "n_trunc",
+                "hits",
+                (F.col("hits") / F.col("n_truth").cast("double")).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out
