@@ -314,3 +314,12 @@ def test_matryoshka_eval_monotone(spark, sf_dir):
         assert 0.0 <= r.recall_at_10 <= 1.0
     # more prefix dims cannot hurt on average corpora; allow equality
     assert rows[32].recall_at_10 >= rows[16].recall_at_10 - 0.1
+
+
+def test_power_user_curve_shares(spark, sf_dir):
+    rows = QUERIES["events_power_user_curve"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.user_share for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r.activity_share for r in rows) == pytest.approx(1.0, abs=1e-9)
+    for r in rows:
+        assert 1 <= r.active_days <= 28

@@ -373,3 +373,71 @@ def test_jsonl_gz_shard_export_roundtrip(spark, sf_dir, tmp_path):
     a = {(r.doc_id, r.n_bpeish, r.shard) for r in back.collect()}
     b = {(r.doc_id, r.n_bpeish, r.shard) for r in prep.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshot tables (sources/versioned.py)
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_time_travel_and_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from uts_spark.sources.versioned import (
+        current_version,
+        list_versions,
+        merge_upsert,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    v0 = write_snapshot(base, path)
+    assert v0 == 0 and current_version(path) == 0
+
+    delta = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k int, v string, deleted boolean",
+    )
+    v1 = merge_upsert(spark, path, delta, key="k", delete_col="deleted")
+    assert v1 == 1 and current_version(path) == 1
+
+    # time travel: v0 unchanged by the merge
+    got0 = {(r.k, r.v) for r in read_version(spark, path, 0).collect()}
+    assert got0 == {(1, "a"), (2, "b"), (3, "c")}
+    # v1: key 2 updated, key 4 inserted, key 3 deleted, key 1 untouched
+    got1 = {(r.k, r.v) for r in read_version(spark, path).collect()}
+    assert got1 == {(1, "a"), (2, "B"), (4, "d")}
+
+    # audit trail
+    ms = list_versions(path)
+    assert [m["version"] for m in ms] == [0, 1]
+    assert ms[1]["operation"] == "merge" and ms[1]["parent"] == 0
+    assert ms[0]["n_rows"] == 3 and ms[1]["n_rows"] == 3
+
+    # double-commit of the same version refuses (atomicity guard)
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import _commit
+
+    with _pytest.raises(ValueError, match="already"):
+        _commit(path, {"version": 1})
+
+
+def test_versioned_reader_pinned_during_new_write(spark, tmp_path):
+    from uts_spark.sources.versioned import read_version, write_snapshot
+
+    path = str(tmp_path / "vt2")
+    write_snapshot(
+        spark.createDataFrame([(1, 10)], "k int, x int"), path
+    )
+    pinned = read_version(spark, path, 0)  # lazy plan against v0 files
+    write_snapshot(
+        spark.createDataFrame([(9, 90)], "k int, x int"), path
+    )
+    # executing the pinned plan AFTER the new version commits still
+    # reads v0 — snapshot files are immutable
+    assert [(r.k, r.x) for r in pinned.collect()] == [(1, 10)]

@@ -1851,3 +1851,70 @@ def embedding_matryoshka_eval(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+# ===========================================================================
+# Power-user curve (L28 engagement histogram)
+# ===========================================================================
+
+@query(
+    "events_power_user_curve",
+    f"""
+    WITH win AS (
+      SELECT user_id, COUNT(DISTINCT ({MS}) // {DAY}) AS active_days
+      FROM events
+      WHERE ({MS}) >= {1706745600000 - 28 * DAY}
+      GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n_users, SUM(active_days) AS total_days
+            FROM win)
+    SELECT active_days, COUNT(*) AS n_users,
+           COUNT(*) / CAST(t.n_users AS DOUBLE) AS user_share,
+           active_days * COUNT(*) / CAST(t.total_days AS DOUBLE)
+             AS activity_share
+    FROM win CROSS JOIN tot t
+    GROUP BY active_days, t.n_users, t.total_days
+    """,
+)
+def events_power_user_curve(spark, sf_dir):
+    """POWER-USER CURVE (the L28 histogram Facebook growth popularized):
+    how many of the trailing 28 days each user was active, bucketed
+    into the 1..28 histogram with each bucket's share of users AND of
+    total activity — the one chart that says whether a product is
+    driven by a habitual core (right-leaning smile) or drive-by
+    traffic (left wall). Distinct-day counts are integers; the two
+    shares divide by broadcast 1-row totals.
+
+    Scale: one distinct-aggregation on (user, day) grain — map-side
+    partial on the day-truncated key — then a 28-cell histogram; the
+    totals ride a broadcast crossJoin, no second scan of the facts.
+    """
+    ev = table(spark, sf_dir, "events")
+    start = 1706745600000 - 28 * DAY
+    win = (
+        ev.filter(F.col("ts_ms") >= start)
+        .select("user_id", F.expr(f"ts_ms div {DAY}").alias("day"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("day").alias("active_days"))
+    )
+    tot = win.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("active_days").alias("total_days"),
+    )
+    return (
+        win.groupBy("active_days")
+        .agg(F.count(F.lit(1)).alias("n_users_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "active_days",
+            F.col("n_users_b").alias("n_users"),
+            (F.col("n_users_b") / F.col("n_users").cast("double")).alias(
+                "user_share"
+            ),
+            (
+                F.col("active_days")
+                * F.col("n_users_b")
+                / F.col("total_days").cast("double")
+            ).alias("activity_share"),
+        )
+    )

@@ -1,0 +1,144 @@
+"""Versioned snapshot tables: a minimal lakehouse-style table format —
+manifest-listed immutable parquet snapshots with time travel and
+MERGE-upsert — built on nothing but parquet files and JSON manifests.
+
+Layout under ``<path>/``:
+
+- ``data/v{N}/part-*.parquet`` — each version's immutable data files
+  (never rewritten, never appended to);
+- ``_versions/v{N}.json`` — one manifest per version: schema fingerprint,
+  row count, parent version, and the operation that produced it;
+- the CURRENT version is simply the highest committed manifest —
+  readers never consult a mutable pointer file, so a torn write of a
+  new version is invisible until its manifest lands (manifest write is
+  the atomic commit point: JSON is written to a temp name then
+  ``os.replace``d, which is atomic on POSIX).
+
+This is deliberately the 80% of Iceberg/Delta that analytics needs —
+snapshot isolation for readers, time travel, audit trail, MERGE — with
+none of the catalog machinery. At real scale the same design holds with
+manifests in object storage: writers commit by PUT-if-absent on the
+next version key; data files stay immutable so concurrent readers of
+ANY version are never torn.
+
+Reference parity note: the reference engine has no persistence at all
+(uts.ts:243 — an in-memory array); this whole module is north-star
+surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def _data_dir(path: str, version: int) -> str:
+    return os.path.join(path, "data", f"v{version}")
+
+
+def list_versions(path: str) -> list[dict]:
+    """All committed manifests, ascending by version."""
+    vdir = _versions_dir(path)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(vdir, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["version"])
+
+
+def current_version(path: str) -> int | None:
+    versions = list_versions(path)
+    return versions[-1]["version"] if versions else None
+
+
+def _commit(path: str, manifest: dict) -> None:
+    vdir = _versions_dir(path)
+    os.makedirs(vdir, exist_ok=True)
+    final = os.path.join(vdir, f"v{manifest['version']}.json")
+    if os.path.exists(final):
+        raise ValueError(
+            f"versioned table {path}: version {manifest['version']} already "
+            "committed (concurrent writer?)"
+        )
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, final)  # the atomic commit point
+
+
+def write_snapshot(df: DataFrame, path: str, operation: str = "overwrite") -> int:
+    """Write ``df`` as the table's next version; returns the version id.
+    Data files are immutable — a snapshot never touches earlier
+    versions' files, so readers pinned to any version are unaffected."""
+    parent = current_version(path)
+    version = 0 if parent is None else parent + 1
+    ddir = _data_dir(path, version)
+    df.write.mode("errorifexists").parquet(ddir)
+    n = df.sparkSession.read.parquet(ddir).count()
+    _commit(
+        path,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "n_rows": n,
+            "schema": df.schema.simpleString(),
+            "data_dir": ddir,
+        },
+    )
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at ``version`` (time travel); latest if None."""
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"versioned table {path}: no committed versions")
+    byv = {m["version"]: m for m in versions}
+    if version is None:
+        version = versions[-1]["version"]
+    if version not in byv:
+        raise ValueError(
+            f"versioned table {path}: version {version} not found "
+            f"(have {sorted(byv)})"
+        )
+    return spark.read.parquet(byv[version]["data_dir"])
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE INTO semantics as a new snapshot: rows in ``delta`` replace
+    same-``key`` rows of the current version (last-writer-wins at
+    snapshot grain), new keys insert, and — when ``delete_col`` is given
+    — delta rows with that boolean column true delete their key. The
+    result is written as a NEW version (copy-on-write at table grain:
+    the simplest correct MERGE; production formats narrow the rewrite
+    to touched files, same semantics).
+
+    The plan is one left-anti join (current minus touched keys) plus
+    the filtered delta — both shuffle on the merge key only."""
+    cur = read_version(spark, path)
+    touched = delta.select(key).distinct()
+    kept = cur.join(touched, key, "left_anti")
+    if delete_col is not None:
+        upserts = delta.filter(~delta[delete_col]).drop(delete_col)
+    else:
+        upserts = delta
+    merged = kept.unionByName(upserts)
+    return write_snapshot(merged, path, operation="merge")
