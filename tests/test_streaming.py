@@ -1204,3 +1204,77 @@ def test_synth_stream_reader_offsets_restart_aware():
     parts = r3.partitions({"index": 500}, {"index": 100})
     assert parts == []
     assert r3.latestOffset()["index"] >= 600
+
+
+def test_stream_merges_into_versioned_table(spark, tmp_path):
+    """Streaming CDC → lakehouse: each micro-batch MERGEs into a
+    versioned snapshot table (sources/versioned.py) via foreachBatch —
+    the streaming ingestion path every table format advertises. The
+    final version equals last-writer-wins over all batches; every
+    intermediate version stays time-travelable."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from uts_spark.sources.versioned import (
+        list_versions,
+        merge_upsert,
+        read_version,
+        write_snapshot,
+    )
+    from uts_spark.streaming.ops import read_parquet_stream
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("v", StringType()),
+            StructField("deleted", BooleanType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    table_path = str(tmp_path / "vt")
+    os.makedirs(src, exist_ok=True)
+    write_snapshot(
+        spark.createDataFrame([(1, "a", ), (2, "b")], "k int, v string"),
+        table_path,
+    )
+
+    def merge_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        merge_upsert(
+            spark, table_path, batch_df, key="k", delete_col="deleted"
+        )
+
+    batches = [
+        [(2, "B", False), (3, "c", False)],
+        [(1, None, True), (4, "d", False)],
+    ]
+    stream = read_parquet_stream(spark, os.path.join(src, "batch_*"), schema)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for i, b in enumerate(batches, 1):
+            _feed(spark, src, b, schema, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {(r.k, r.v) for r in read_version(spark, table_path).collect()}
+    assert final == {(2, "B"), (3, "c"), (4, "d")}
+    versions = [m["version"] for m in list_versions(table_path)]
+    assert versions == [0, 1, 2]
+    # time travel across the stream's history
+    v0 = {(r.k, r.v) for r in read_version(spark, table_path, 0).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+    v1 = {(r.k, r.v) for r in read_version(spark, table_path, 1).collect()}
+    assert v1 == {(1, "a"), (2, "B"), (3, "c")}
