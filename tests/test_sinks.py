@@ -441,3 +441,25 @@ def test_versioned_reader_pinned_during_new_write(spark, tmp_path):
     # executing the pinned plan AFTER the new version commits still
     # reads v0 — snapshot files are immutable
     assert [(r.k, r.x) for r in pinned.collect()] == [(1, 10)]
+
+
+def test_versioned_vacuum(spark, tmp_path):
+    from uts_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        vacuum,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt3")
+    for i in range(4):
+        write_snapshot(
+            spark.createDataFrame([(i,)], "k int"), path
+        )
+    assert vacuum(path, keep_last=2) == [0, 1]
+    assert [m["version"] for m in list_versions(path)] == [2, 3]
+    assert [r.k for r in read_version(spark, path).collect()] == [3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        read_version(spark, path, 0)

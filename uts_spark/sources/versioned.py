@@ -142,3 +142,21 @@ def merge_upsert(
         upserts = delta
     merged = kept.unionByName(upserts)
     return write_snapshot(merged, path, operation="merge")
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Remove data files and manifests of all but the newest
+    ``keep_last`` versions; returns the vacuumed version ids. Readers
+    pinned to vacuumed versions will fail on next execution — exactly
+    the retention contract real table formats document; keep_last >= 1
+    always preserves the current version."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(path)
+    doomed = versions[:-keep_last]
+    for m in doomed:
+        shutil.rmtree(m["data_dir"], ignore_errors=True)
+        os.remove(os.path.join(_versions_dir(path), f"v{m['version']}.json"))
+    return [m["version"] for m in doomed]
