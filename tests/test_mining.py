@@ -323,3 +323,10 @@ def test_power_user_curve_shares(spark, sf_dir):
     assert sum(r.activity_share for r in rows) == pytest.approx(1.0, abs=1e-9)
     for r in rows:
         assert 1 <= r.active_days <= 28
+
+
+def test_recsys_holdout_eval_bounds(spark, sf_dir):
+    r = QUERIES["recsys_holdout_eval"](spark, sf_dir).collect()[0]
+    assert r.n_test > 0 and r.n_preds > 0
+    assert 0 <= r.hits <= r.n_test
+    assert 0.0 <= r.hit_rate <= 1.0

@@ -1918,3 +1918,175 @@ def events_power_user_curve(spark, sf_dir):
             ).alias("activity_share"),
         )
     )
+
+
+# ===========================================================================
+# Recsys evaluation harness (hit rate against held-out orders)
+# ===========================================================================
+
+_CF_CUT = int(0.8 * (1 << 60))  # exact integer split point
+
+
+def _recsys_eval_oracle() -> str:
+    from uts_spark.functions.hashing import duck_hash64
+
+    h = duck_hash64("concat('cfsplit:', CAST(l_orderkey AS VARCHAR))")
+    return f"""
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p,
+             ({h}) < {_CF_CUT} AS is_train
+      FROM lineitem
+    ),
+    tr AS (SELECT o, p FROM lp WHERE is_train),
+    te AS (SELECT o, p FROM lp WHERE NOT is_train),
+    deg AS (SELECT p, COUNT(*) AS c FROM tr GROUP BY p),
+    half AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c12
+      FROM tr a JOIN tr b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT p1 AS item, p2 AS neighbor, c12 FROM half
+      UNION ALL
+      SELECT p2 AS item, p1 AS neighbor, c12 FROM half
+    ),
+    scored AS (
+      SELECT s.item, s.neighbor, s.c12,
+             CAST(s.c12 AS DOUBLE) / sqrt(CAST(d1.c * d2.c AS DOUBLE))
+               AS cosine
+      FROM sym s JOIN deg d1 ON d1.p = s.item JOIN deg d2 ON d2.p = s.neighbor
+    ),
+    preds AS (
+      SELECT item, neighbor FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                   ORDER BY cosine DESC, c12 DESC, neighbor) AS rk
+        FROM scored
+      ) WHERE rk <= 3
+    ),
+    test_pairs AS (
+      SELECT a.p AS p1, b.p AS p2
+      FROM te a JOIN te b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    m AS (
+      SELECT
+        (SELECT COUNT(*) FROM test_pairs) AS n_test,
+        (SELECT COUNT(*) FROM preds) AS n_preds,
+        (SELECT COUNT(*) FROM test_pairs t
+          WHERE EXISTS (SELECT 1 FROM preds p
+                        WHERE p.item = t.p1 AND p.neighbor = t.p2)
+             OR EXISTS (SELECT 1 FROM preds p
+                        WHERE p.item = t.p2 AND p.neighbor = t.p1)
+        ) AS hits
+    )
+    SELECT CAST(1 AS BIGINT) AS scope, n_test, n_preds, hits,
+           hits / CAST(n_test AS DOUBLE) AS hit_rate
+    FROM m
+    """
+
+
+@query("recsys_holdout_eval", _recsys_eval_oracle())
+def recsys_holdout_eval(spark, sf_dir):
+    """RECSYS EVALUATION harness, completing the eval trilogy (dedup
+    precision/recall, ANN recall, now recommendation hit rate): orders
+    split 80/20 by the portable hash, item-item top-3 neighbors
+    trained on the TRAIN co-orders only, scored by how many held-out
+    TEST co-purchase pairs the neighbor lists cover (a pair hits when
+    either endpoint recommends the other). The leakage-free offline
+    metric every recommender ships with; all counts are exact
+    integers over deterministic splits, so the eval is hash-exact —
+    rerun it per catalog snapshot to watch model drift.
+
+    Scale: same cart-bounded wedge joins as recsys_item_item_topk, on
+    the train partition; the hit check is two semi-join passes on
+    (item, neighbor)-keyed sets, both prediction-sized.
+    """
+    from uts_spark.functions.hashing import hash64
+
+    li = table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+        (
+            hash64(
+                F.concat(F.lit("cfsplit:"), F.col("l_orderkey").cast("string"))
+            )
+            < F.lit(_CF_CUT)
+        ).alias("is_train"),
+    ).distinct()
+    tr = lp.filter(F.col("is_train")).select("o", "p")
+    te = lp.filter(~F.col("is_train")).select("o", "p")
+    deg = tr.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = tr.select("o", F.col("p").alias("p1"))
+    b = tr.select("o", F.col("p").alias("p2"))
+    half = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 2)
+    )
+    sym = half.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "c12"
+    ).unionAll(
+        half.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "c12"
+        )
+    )
+    scored = (
+        sym.join(
+            F.broadcast(deg.select(F.col("p").alias("item"),
+                                   F.col("c").alias("c1"))), "item"
+        )
+        .join(
+            F.broadcast(deg.select(F.col("p").alias("neighbor"),
+                                   F.col("c").alias("c2"))), "neighbor"
+        )
+        .select(
+            "item", "neighbor", "c12",
+            (
+                F.col("c12").cast("double")
+                / F.sqrt((F.col("c1") * F.col("c2")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.desc("c12"), F.asc("neighbor")
+    )
+    preds = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("item", "neighbor")
+    )
+    ta = te.select("o", F.col("p").alias("p1"))
+    tb = te.select("o", F.col("p").alias("p2"))
+    test_pairs = (
+        ta.join(tb, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    fwd = preds.select(
+        F.col("item").alias("p1"), F.col("neighbor").alias("p2")
+    )
+    rev = preds.select(
+        F.col("neighbor").alias("p1"), F.col("item").alias("p2")
+    )
+    hit_pairs = test_pairs.join(
+        fwd.unionAll(rev).distinct(), ["p1", "p2"], "left_semi"
+    )
+    n_test = test_pairs.agg(F.count(F.lit(1)).alias("n_test"))
+    n_preds = preds.agg(F.count(F.lit(1)).alias("n_preds"))
+    hits = hit_pairs.agg(F.count(F.lit(1)).alias("hits"))
+    return (
+        n_test.crossJoin(F.broadcast(n_preds))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            F.lit(1).cast("long").alias("scope"),
+            "n_test",
+            "n_preds",
+            "hits",
+            (F.col("hits") / F.col("n_test").cast("double")).alias("hit_rate"),
+        )
+    )
