@@ -330,3 +330,11 @@ def test_recsys_holdout_eval_bounds(spark, sf_dir):
     assert r.n_test > 0 and r.n_preds > 0
     assert 0 <= r.hits <= r.n_test
     assert 0.0 <= r.hit_rate <= 1.0
+
+
+def test_psi_monitor_sane(spark, sf_dir):
+    r = QUERIES["monitor_psi_value_drift"](spark, sf_dir).collect()[0]
+    assert r.n_bins == 10
+    assert r.n1 > 0 and r.n2 > 0
+    assert r.psi >= 0.0
+    assert r.verdict in ("stable", "moderate", "major")

@@ -2090,3 +2090,121 @@ def recsys_holdout_eval(spark, sf_dir):
             (F.col("hits") / F.col("n_test").cast("double")).alias("hit_rate"),
         )
     )
+
+
+# ===========================================================================
+# Drift monitoring: Population Stability Index
+# ===========================================================================
+
+_PSI_SPLIT = 1704067200000 + 15 * DAY
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0.0, 500.0  # fixed scorecard bins (data-independent)
+
+
+@query(
+    "monitor_psi_value_drift",
+    f"""
+    WITH e AS (
+      SELECT ({MS}) >= {_PSI_SPLIT} AS p2,
+             LEAST(GREATEST(CAST(floor((value - {_PSI_LO})
+                 * {_PSI_BINS} / ({_PSI_HI} - {_PSI_LO})) AS BIGINT),
+               0), {_PSI_BINS - 1}) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT bin,
+             SUM(CASE WHEN p2 THEN 0 ELSE 1 END) AS c1,
+             SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS c2
+      FROM e GROUP BY bin
+    ),
+    t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+    terms AS (
+      SELECT bin, c1, c2,
+             CAST(floor(
+               ((c2 + 1) / CAST(t.n2 + {_PSI_BINS} AS DOUBLE)
+                - (c1 + 1) / CAST(t.n1 + {_PSI_BINS} AS DOUBLE))
+               * ln(((c2 + 1) * CAST(t.n1 + {_PSI_BINS} AS DOUBLE))
+                    / ((c1 + 1) * CAST(t.n2 + {_PSI_BINS} AS DOUBLE)))
+               * 1e9) AS BIGINT) AS term_n
+      FROM c CROSS JOIN t
+    )
+    SELECT CAST(1 AS BIGINT) AS scope,
+           CAST({_PSI_BINS} AS BIGINT) AS n_bins,
+           (SELECT n1 FROM t) AS n1, (SELECT n2 FROM t) AS n2,
+           SUM(term_n) / 1e9 AS psi,
+           CASE WHEN SUM(term_n) / 1e9 >= 0.25 THEN 'major'
+                WHEN SUM(term_n) / 1e9 >= 0.10 THEN 'moderate'
+                ELSE 'stable' END AS verdict
+    FROM terms
+    """,
+)
+def monitor_psi_value_drift(spark, sf_dir):
+    """POPULATION STABILITY INDEX between the month's two halves over
+    fixed value bins — THE ML-ops drift metric (credit-scorecard
+    lineage): PSI = Σ (p₂−p₁)·ln(p₂/p₁), with the standard 0.10 /
+    0.25 'moderate' / 'major' thresholds as the verdict column.
+    Laplace add-one smoothing keeps empty bins finite, identically on
+    both engines.
+
+    Exactness: bin counts are integers; each bin's PSI term is ONE
+    double expression over exact integers, floor-snapped to nano units
+    BEFORE the 10-term sum (summing raw double terms would be
+    aggregation-order-dependent); the verdict comparison happens on
+    the same snapped sum.
+
+    Scale: one map-side-combined count to bin grain (10 rows), totals
+    broadcast back — the monitor never rescans facts. Fixed
+    (data-independent) bins are the deliberate choice for a MONITOR:
+    quantile bins would re-derive the baseline each run and hide
+    drift in the re-binning; pair with histogram_equidepth_deciles
+    when adaptive bins are wanted.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    binc = F.least(
+        F.greatest(
+            F.floor((F.col("value") - _PSI_LO) * _PSI_BINS / (_PSI_HI - _PSI_LO))
+            .cast("long"),
+            F.lit(0),
+        ),
+        F.lit(_PSI_BINS - 1),
+    )
+    e = ev.select(
+        (F.col("ts_ms") >= _PSI_SPLIT).alias("p2"), binc.alias("bin")
+    )
+    c = e.groupBy("bin").agg(
+        F.sum(F.when(F.col("p2"), 0).otherwise(1)).alias("c1"),
+        F.sum(F.when(F.col("p2"), 1).otherwise(0)).alias("c2"),
+    )
+    t = c.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    k = F.lit(float(_PSI_BINS))
+    terms = c.crossJoin(F.broadcast(t)).select(
+        F.floor(
+            (
+                (F.col("c2") + 1) / (F.col("n2") + k).cast("double")
+                - (F.col("c1") + 1) / (F.col("n1") + k).cast("double")
+            )
+            * F.log(
+                ((F.col("c2") + 1) * (F.col("n1") + k).cast("double"))
+                / ((F.col("c1") + 1) * (F.col("n2") + k).cast("double"))
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("term_n"),
+        "n1",
+        "n2",
+    )
+    agg = terms.groupBy("n1", "n2").agg(F.sum("term_n").alias("s"))
+    psi = F.col("s") / F.lit(1e9)
+    return agg.select(
+        F.lit(1).cast("long").alias("scope"),
+        F.lit(_PSI_BINS).cast("long").alias("n_bins"),
+        "n1",
+        "n2",
+        psi.alias("psi"),
+        F.when(psi >= 0.25, "major")
+        .when(psi >= 0.10, "moderate")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
