@@ -526,3 +526,43 @@ def test_kmv_set_algebra_uses_take_ordered(spark, sf_dir):
     p = plan(spark, sf_dir, "sketch_kmv_set_algebra")
     assert "TakeOrderedAndProject" in p
     assert _single_partition_windows(p) == 0
+
+
+def test_round4b_queries_have_no_single_partition_windows(spark, sf_dir):
+    # every second-session query with a ranking/window component must
+    # keep its windows PARTITIONED (item, user, series, supplier...)
+    for name in (
+        "recsys_item_item_topk",
+        "recsys_holdout_eval",
+        "events_top_paths",
+        "events_window_funnel",
+        "supplier_scorecard",
+        "ts_seasonal_decompose",
+        "ts_forecast_backtest",
+        "dq_volume_anomaly",
+        "attribution_markov_removal",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert _single_partition_windows(p) == 0, name
+        assert "hashpartitioning(0," not in p, name
+
+
+def test_round4b_topk_and_broadcasts(spark, sf_dir):
+    # link prediction's top-50 is TakeOrdered, never a global sort
+    p = plan(spark, sf_dir, "graph_link_prediction")
+    assert "TakeOrderedAndProject" in p
+    # the eval harnesses' count joins ride broadcasts
+    for name in ("dedup_recall_eval", "similarity_ann_recall_eval",
+                 "monitor_psi_value_drift", "events_power_user_curve"):
+        p = plan(spark, sf_dir, name)
+        assert "BroadcastExchange" in p, name
+        assert _single_partition_windows(p) == 0, name
+
+
+def test_window_funnel_uses_array_variant(spark, sf_dir):
+    # the bounded first-after join: per-bucket sorted arrays mean the
+    # plan carries an array_sort(collect_list) aggregation, and NO
+    # pair-explode groupBy on the raw (tc, cid) match rows
+    p = plan(spark, sf_dir, "events_window_funnel")
+    assert "collect_list" in p, "per-bucket array aggregation missing"
+    assert "element_at" in p, "array head selection missing"
