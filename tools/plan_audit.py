@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Engine-wide plan governance: build the physical plan of EVERY
+registered query (plan-only — nothing executes) and flag the scale
+anti-patterns this repo's SCALE.md bans:
+
+- ``single_partition_window``: a Window/Sort chain fed by an
+  ``Exchange SinglePartition`` — the one-task global-ordering cliff
+  (the distributed_rank operator exists to remove these);
+- ``constant_key_exchange``: ``hashpartitioning(0, ...)`` — a constant
+  hash key is a single partition wearing a disguise;
+- ``cartesian``: CartesianProduct / BroadcastNestedLoopJoin with a
+  non-trivial build side (broadcast 1-row aggregates and tiny
+  spine/vocab tables are the sanctioned uses — flagged rows list the
+  operator so a human adjudicates);
+- ``python_row_udf``: BatchEvalPython (row-at-a-time Python) anywhere —
+  Arrow paths (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
+  are the allowed Python lanes;
+- ``global_sort``: a final ``Sort`` with a SinglePartition exchange that
+  is not a TakeOrderedAndProject (LIMIT-less global ORDER BY).
+
+Known-and-documented exceptions are listed in ``ALLOW`` with the reason
+— the audit fails loudly when a NEW query trips a rule, which is the
+point: plan hygiene should be enforced at the registry boundary, not
+rediscovered per round.
+
+Run: python3 tools/plan_audit.py [name-substring ...]
+Prints one line per violation + a JSON summary; exit 1 on new ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_AUDIT", "/root/testdata/sf0.001")
+
+# query -> {rule: reason} — documented, deliberate exceptions
+ALLOW: dict[str, dict[str, str]] = {
+    # the reference's map()/reduce(fn) surface IS a row-at-a-time fold by
+    # contract (user-supplied Python lambda per bin; uts.ts:562-585) —
+    # entered once per bin, not per row of the corpus
+    "uts_map_fn": {"python_row_udf": "reference map(fn) contract"},
+    "uts_reduce_fold": {"python_row_udf": "reference reduce(fn) contract"},
+    # ONE series is ONE total order by the reference's semantics
+    # (uts.ts:362-375 queries a single Series): the driver query runs a
+    # single series, so its spine/lag ordering is inherently global. A
+    # multi-series corpus partitions by the series key (see
+    # operators/derivative docstring) and the exchange disappears.
+    "uts_derivative": {
+        "single_partition_window": "single-series reference semantics",
+        "global_sort": "single-series reference semantics",
+    },
+    # windows over DIMENSION-bounded inputs (rows = nations <= 25 /
+    # distinct event types = 5) — the exchange moves a dimension table,
+    # not facts; documented in each query's docstring
+    "stats_gini_revenue": {
+        "single_partition_window": "ranks per-nation aggregate (<=25 rows)",
+        "global_sort": "ranks per-nation aggregate (<=25 rows)",
+    },
+    "feature_encode_standardize": {
+        "single_partition_window": "vocab index over 5 distinct types",
+        "global_sort": "vocab index over 5 distinct types",
+    },
+}
+
+
+def _single_partition_windows(lines: list[str]) -> bool:
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        above = " ".join(lines[max(0, i - 2) : i])
+        if "Window" in above:
+            return True
+    return False
+
+
+def _global_sort(lines: list[str]) -> bool:
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        above = " ".join(lines[max(0, i - 2) : i])
+        if "Sort " in above and "TakeOrdered" not in above:
+            return True
+    return False
+
+
+def audit_plan(plan: str) -> dict[str, bool]:
+    lines = plan.splitlines()
+    return {
+        "single_partition_window": _single_partition_windows(lines),
+        "constant_key_exchange": "hashpartitioning(0," in plan,
+        "cartesian": "CartesianProduct" in plan,
+        "python_row_udf": "BatchEvalPython" in plan,
+        "global_sort": _global_sort(lines),
+    }
+
+
+def main() -> None:
+    filters = sys.argv[1:]
+    from uts_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    from uts_spark.registry import QUERIES
+
+    names = [
+        n for n in sorted(QUERIES)
+        if not filters or any(f in n for f in filters)
+    ]
+    new_violations = []
+    allowed = 0
+    errors = []
+    for name in names:
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # plan build failure is itself a finding
+            errors.append((name, str(exc).splitlines()[0][:120]))
+            continue
+        for rule, hit in audit_plan(plan).items():
+            if not hit:
+                continue
+            if rule in ALLOW.get(name, {}):
+                allowed += 1
+                continue
+            new_violations.append((name, rule))
+            print(f"VIOLATION  {name}: {rule}")
+    for name, err in errors:
+        print(f"ERROR      {name}: {err}")
+    print(
+        json.dumps(
+            {
+                "audited": len(names) - len(errors),
+                "errors": len(errors),
+                "allowed_documented": allowed,
+                "new_violations": [f"{n}:{r}" for n, r in new_violations],
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(1 if new_violations or errors else 0)
+
+
+if __name__ == "__main__":
+    main()
