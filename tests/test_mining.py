@@ -338,3 +338,15 @@ def test_psi_monitor_sane(spark, sf_dir):
     assert r.n1 > 0 and r.n2 > 0
     assert r.psi >= 0.0
     assert r.verdict in ("stable", "moderate", "major")
+
+
+def test_novelty_curve_monotone_floor(spark, sf_dir):
+    rows = sorted(
+        QUERIES["text_novelty_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.batch,
+    )
+    assert len(rows) == 10
+    # batch 0 is all-new by construction
+    assert rows[0].novelty == 1.0
+    for r in rows:
+        assert 0 <= r.n_new <= r.n_shingles

@@ -2208,3 +2208,74 @@ def monitor_psi_value_drift(spark, sf_dir):
         .otherwise("stable")
         .alias("verdict"),
     )
+
+
+# ===========================================================================
+# Corpus novelty curve (new n-grams per crawl batch)
+# ===========================================================================
+
+
+def _novelty_oracle() -> str:
+    from uts_spark.functions.text import duck_word_ngrams
+    from uts_spark.queries.llm_ops import TOKS
+
+    return f"""
+    WITH t AS (SELECT doc_id, doc_id % 10 AS batch, {TOKS} AS toks
+               FROM documents),
+    docs AS (SELECT batch,
+             list_distinct({duck_word_ngrams('toks', 3)}) AS sh FROM t),
+    inv AS (SELECT DISTINCT batch, unnest(sh) AS shingle FROM docs),
+    firstb AS (SELECT shingle, MIN(batch) AS first_batch FROM inv
+               GROUP BY shingle)
+    SELECT i.batch, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.first_batch = i.batch THEN 1 ELSE 0 END)
+             AS n_new,
+           SUM(CASE WHEN f.first_batch = i.batch THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM inv i JOIN firstb f ON f.shingle = i.shingle
+    GROUP BY i.batch
+    """
+
+
+@query("text_novelty_curve", _novelty_oracle())
+def text_novelty_curve(spark, sf_dir):
+    """CORPUS NOVELTY CURVE: per crawl batch (deterministic doc_id % 10
+    standing in for crawl day), the share of the batch's distinct
+    3-gram shingles never seen in ANY earlier batch — the freshness
+    metric that tells a training-data pipeline when additional crawls
+    stop adding information (novelty decays toward the boilerplate
+    floor) and that spikes when a new domain enters the mix. Counts
+    are exact integers over the shingle sets; novelty is one exact
+    division per batch.
+
+    Scale: shingle→first-batch is ONE min-aggregation on the inverted
+    index (hash-keyed, map-side combined — the same index every dedup
+    lane builds); joining it back is shingle-keyed. Nothing is
+    quadratic; the curve itself is 10 rows.
+    """
+    from uts_spark.functions.dedup import doc_shingle_arrays
+
+    docs = table(spark, sf_dir, "documents")
+    arrays = doc_shingle_arrays(docs, "text", "doc_id", 3)
+    inv = arrays.select(
+        (F.col("id") % 10).alias("batch"), F.explode("sh").alias("shingle")
+    ).distinct()
+    firstb = inv.groupBy("shingle").agg(F.min("batch").alias("first_batch"))
+    return (
+        inv.join(firstb, "shingle")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .select(
+            "batch",
+            "n_shingles",
+            "n_new",
+            (F.col("n_new") / F.col("n_shingles").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
