@@ -350,3 +350,11 @@ def test_novelty_curve_monotone_floor(spark, sf_dir):
     assert rows[0].novelty == 1.0
     for r in rows:
         assert 0 <= r.n_new <= r.n_shingles
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    rows = QUERIES["events_dau_mau_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.mau
+        assert 0.0 < r.stickiness <= 1.0

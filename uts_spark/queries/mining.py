@@ -2279,3 +2279,69 @@ def text_novelty_curve(spark, sf_dir):
             ),
         )
     )
+
+
+# ===========================================================================
+# Stickiness (DAU / trailing-28-day MAU)
+# ===========================================================================
+
+@query(
+    "events_dau_mau_stickiness",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, ({MS}) // {DAY} AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    mau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day > d.day - 28
+      GROUP BY d.day
+    )
+    SELECT d.day * {DAY} AS day_ms, a.dau, m.mau,
+           a.dau / CAST(m.mau AS DOUBLE) AS stickiness
+    FROM days d JOIN dau a ON a.day = d.day JOIN mau m ON m.day = d.day
+    """,
+)
+def events_dau_mau_stickiness(spark, sf_dir):
+    """STICKINESS (DAU / trailing-28-day MAU): the engagement ratio on
+    every growth dashboard — how much of the monthly audience shows up
+    on a given day. Exact distinct counts, one exact division per day.
+
+    Scale: facts collapse to the distinct (user, day) grain FIRST (one
+    map-side-combined shuffle — the only pass over raw events); the
+    trailing-window MAU is a day-spine × user-days range join at that
+    reduced grain (31 days × user-days rows, never facts × days), then
+    one distinct-count per day. For year-scale spines, the same
+    sliding set-union is better served incrementally (HLL sketch
+    merge/subtract, cf. approx_sketches) — documented trade: this
+    query is the exact lane.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.expr(f"ts_ms div {DAY}").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    u = ud.select(F.col("user_id"), F.col("day").alias("uday"))
+    mau = (
+        days.join(
+            u,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.col("day") - 28),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select(
+            (F.col("day") * DAY).alias("day_ms"),
+            "dau",
+            "mau",
+            (F.col("dau") / F.col("mau").cast("double")).alias("stickiness"),
+        )
+    )
