@@ -358,3 +358,19 @@ def test_stickiness_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.dau <= r.mau
         assert 0.0 < r.stickiness <= 1.0
+
+
+def test_interarrival_hist_shares(spark, sf_dir):
+    rows = QUERIES["events_interarrival_hist"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-9)
+    for r in rows:
+        if r.bucket > 0:
+            assert r.gap_lo_ms == 2 ** (r.bucket - 1)
+
+
+def test_zipf_alpha_plausible(spark, sf_dir):
+    r = QUERIES["text_zipf_fit"](spark, sf_dir).collect()[0]
+    assert r.n == 200
+    assert 0.0 < r.zipf_alpha < 3.0
+    assert 0.0 <= r.r2 <= 1.0

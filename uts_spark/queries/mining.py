@@ -2345,3 +2345,174 @@ def events_dau_mau_stickiness(spark, sf_dir):
             (F.col("dau") / F.col("mau").cast("double")).alias("stickiness"),
         )
     )
+
+
+# ===========================================================================
+# Inter-event-time distribution (log2 buckets)
+# ===========================================================================
+
+@query(
+    "events_interarrival_hist",
+    f"""
+    WITH e AS (
+      SELECT user_id, {MS} AS t, event_id FROM events
+    ),
+    gaps AS (
+      SELECT t - LAG(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS gap
+      FROM e
+    ),
+    b AS (
+      SELECT CASE WHEN gap <= 0 THEN 0
+                  ELSE CAST(floor(log2(CAST(gap AS DOUBLE))) AS BIGINT) + 1
+             END AS bucket
+      FROM gaps WHERE gap IS NOT NULL
+    ),
+    t AS (SELECT COUNT(*) AS n FROM b)
+    SELECT bucket,
+           CAST(CASE WHEN bucket = 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT)
+             AS gap_lo_ms,
+           COUNT(*) AS n_gaps,
+           COUNT(*) / CAST(t.n AS DOUBLE) AS share
+    FROM b CROSS JOIN t
+    GROUP BY bucket, t.n
+    """,
+)
+def events_interarrival_hist(spark, sf_dir):
+    """INTER-ARRIVAL-TIME distribution per user stream, log₂-bucketed
+    (bucket k covers [2^(k−1), 2^k) ms; bucket 0 = simultaneous) — the
+    burstiness profile behind rate limits, session-gap thresholds (is
+    30 min actually the knee?), and queue capacity models. Bucket
+    assignment is floor(log₂) on an exact integer gap — log2 of an
+    integer is bit-identical across engines away from exact powers of
+    two, and AT exact powers both engines hit the representable
+    integer result; shares divide by a broadcast 1-row total.
+
+    Scale: one lag window per user (the sessionization shuffle), then
+    a ≤ 40-cell histogram.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = ev.select(
+        (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    b = gaps.select(
+        F.when(F.col("gap") <= 0, F.lit(0))
+        .otherwise(
+            F.floor(F.log2(F.col("gap").cast("double"))).cast("long") + 1
+        )
+        .alias("bucket")
+    )
+    t = b.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(bucket - 1 AS INT))"))
+            .cast("long")
+            .alias("gap_lo_ms"),
+            "n_gaps",
+            (F.col("n_gaps") / F.col("n").cast("double")).alias("share"),
+        )
+    )
+
+
+# ===========================================================================
+# Zipf-law fit over the token frequency spectrum
+# ===========================================================================
+
+
+def _zipf_oracle() -> str:
+    from uts_spark.queries.llm_ops import TOKS
+
+    return f"""
+    WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+    c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    r AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM c ORDER BY cnt DESC, term LIMIT 200
+    ),
+    xy AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM r
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(1 AS BIGINT) AS scope, n,
+           -((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_alpha,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """
+
+
+@query("text_zipf_fit", _zipf_oracle())
+def text_zipf_fit(spark, sf_dir):
+    """ZIPF-LAW FIT of the token frequency spectrum: OLS of
+    ln(count) on ln(rank) over the exact top-200 terms gives the Zipf
+    exponent α (natural corpora read ~1; α far from 1 or a poor R²
+    flags synthetic/templated text — one of the cheapest corpus-health
+    fingerprints). Composes the heavy-hitter ranking (TakeOrdered
+    k-heap, never a global sort) with the integer-moment OLS lane:
+    both logs are micro-nat floor-snapped integers of exact integer
+    inputs (the tfidf log convention), so the moment sums are exact
+    BIGINTs and the closed form one double expression tree.
+
+    Scale: vocabulary aggregation is the only fact-scale pass; the
+    regression runs on 200 integers.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(200)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    r = top.withColumn("rnk", F.row_number().over(w))
+    xy = r.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def isum(col, name):
+        return F.sum(col).cast("long").cast("double").alias(name)
+
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        isum(F.col("x"), "sx"),
+        isum(F.col("y"), "sy"),
+        isum(F.col("x") * F.col("x"), "sxx"),
+        isum(F.col("x") * F.col("y"), "sxy"),
+        isum(F.col("y") * F.col("y"), "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.lit(1).cast("long").alias("scope"),
+        "n",
+        (-slope).alias("zipf_alpha"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
