@@ -371,6 +371,6 @@ def test_interarrival_hist_shares(spark, sf_dir):
 
 def test_zipf_alpha_plausible(spark, sf_dir):
     r = QUERIES["text_zipf_fit"](spark, sf_dir).collect()[0]
-    assert r.n == 200
+    assert 0 < r.n <= 200  # sf0.001's vocab is smaller than the cap
     assert 0.0 < r.zipf_alpha < 3.0
     assert 0.0 <= r.r2 <= 1.0
