@@ -14,9 +14,12 @@ and merged, never computed globally.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from uts_spark.functions.hashing import duck_hash64, hash64
+from uts_spark.operators.distributed_rank import ranked_cumsum
+from uts_spark.operators.topk import percentile_disc
 from uts_spark.registry import query, table
 
 # --- HyperLogLog parameters (p=8 → m=256 registers) -----------------------
@@ -180,4 +183,147 @@ def sketch_hll_own(spark, sf_dir):
             (est - F.col("n_exact")) / F.col("n_exact") * F.lit(100),
         )
         .orderBy("scope")
+    )
+
+
+# --- Mergeable quantile digest ---------------------------------------------
+#
+# Deterministic decimation digest: shard rows by portable hash, sort each
+# shard locally, keep every k-th element weighted by the run it represents
+# (tail runs get the exact remainder, so shard weights sum to the shard
+# size and the grand total is EXACTLY n).  The merged sample is ~n/k rows;
+# quantile q is the first sample element whose running weight reaches
+# ceil(q*n) — the same rank target as the exact percentile_disc lane, so
+# est vs exact is an apples-to-apples element comparison.
+_QD_SHARDS = 32
+_QD_K = 16
+_QD_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+_QD_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS uid, l_extendedprice AS v
+  FROM lineitem
+),
+sh AS (
+  SELECT uid, v,
+         {duck_hash64("CAST(uid AS VARCHAR)")} % {_QD_SHARDS} AS shard
+  FROM base
+),
+rk AS (
+  SELECT shard, uid, v,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v, uid) AS rn,
+         COUNT(*) OVER (PARTITION BY shard) AS ns
+  FROM sh
+),
+kept AS (
+  SELECT v, uid, LEAST({_QD_K}, ns - rn + 1) AS w
+  FROM rk WHERE (rn - 1) % {_QD_K} = 0
+),
+samp AS (
+  SELECT v, uid, w,
+         SUM(w) OVER (ORDER BY v, uid ROWS UNBOUNDED PRECEDING) AS cumw
+  FROM kept
+),
+tot AS (SELECT COUNT(*) AS n FROM base),
+nsamp AS (SELECT COUNT(*) AS sample_rows FROM kept),
+qs AS (SELECT * FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(q)),
+est AS (
+  SELECT q, min_by(v, cumw) AS est_value
+  FROM qs, samp, tot
+  WHERE cumw >= GREATEST(CEIL(q * n), 1)
+  GROUP BY q
+),
+fullrk AS (
+  SELECT v,
+         ROW_NUMBER() OVER (ORDER BY v, uid) AS rn,
+         COUNT(*) OVER () AS n
+  FROM base
+),
+exact AS (
+  SELECT q, MIN(v) AS exact_value
+  FROM qs JOIN fullrk ON rn = GREATEST(CEIL(q * n), 1)
+  GROUP BY q
+)
+SELECT e.q, e.est_value, x.exact_value,
+       e.est_value - x.exact_value AS est_err,
+       (SELECT n FROM tot) AS n_total,
+       (SELECT sample_rows FROM nsamp) AS sample_rows
+FROM est e JOIN exact x USING (q)
+ORDER BY q
+"""
+
+
+@query("sketch_quantile_mergeable", _QD_ORACLE)
+def sketch_quantile_mergeable(spark, sf_dir):
+    """Mergeable decimation quantile digest (the GK/KLL deployment
+    shape, deterministic variant): shard l_extendedprice by portable
+    hash into 32 shards, sort each shard locally, keep every 16th
+    element with the EXACT run weight (tail runs carry the remainder,
+    so Σweights == n with no drift), then merge the ~n/16-row sample
+    and read each decile as the first sample element whose running
+    weight reaches ceil(q·n).  The exact lane uses the same rank
+    target (operators/topk.percentile_disc), so est_err measures true
+    digest error — element minus element, no interpolation.
+
+    Scale shape: ONE hash exchange for the shard sort (in a real
+    cluster the shard IS the partition, so even that exchange
+    disappears — sortWithinPartitions); the merge ranks the decimated
+    sample through the range-partitioned exact rank
+    (operators/distributed_rank), never a single-partition window.
+    k scales with data so the sample stays bounded; error is ≤ k·shards
+    ranks by construction.
+    """
+    base = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    sh = base.withColumn(
+        "shard", F.pmod(hash64(F.col("uid").cast("string")), F.lit(_QD_SHARDS))
+    )
+    w_sh = Window.partitionBy("shard").orderBy("v", "uid")
+    rk = sh.select(
+        "v",
+        "uid",
+        F.row_number().over(w_sh).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("ns"),
+    )
+    kept = rk.filter((F.col("rn") - 1) % _QD_K == 0).select(
+        "v",
+        "uid",
+        F.least(F.lit(_QD_K), F.col("ns") - F.col("rn") + 1).alias("w"),
+    )
+    samp = ranked_cumsum(
+        kept,
+        F.col("v"),
+        [F.col("v").asc(), F.col("uid").asc()],
+        values={"w": F.col("w")},
+    )
+    n_samp = kept.agg(F.count(F.lit(1)).alias("sample_rows"))
+
+    q_df = spark.createDataFrame([(q,) for q in _QD_QS], "q double")
+    target = F.greatest(F.ceil(F.col("q") * F.col("tot_w")), F.lit(1))
+    est = (
+        samp.crossJoin(F.broadcast(q_df))
+        .filter(F.col("cum_w") >= target)
+        .groupBy("q")
+        .agg(
+            F.min_by("v", "cum_w").alias("est_value"),
+            F.first("tot_w").alias("n_total"),
+        )
+    )
+    exact = percentile_disc(base, "v", _QD_QS, tie_break="uid").select(
+        F.col("p").alias("q"), F.col("value").alias("exact_value")
+    )
+    return (
+        est.join(exact, "q")
+        .crossJoin(F.broadcast(n_samp))
+        .select(
+            "q",
+            "est_value",
+            "exact_value",
+            (F.col("est_value") - F.col("exact_value")).alias("est_err"),
+            "n_total",
+            "sample_rows",
+        )
+        .orderBy("q")
     )
