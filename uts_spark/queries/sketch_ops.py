@@ -327,3 +327,167 @@ def sketch_quantile_mergeable(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+# --- Interval × interval overlap join --------------------------------------
+#
+# The join shape Spark has no native operator for: two interval sets,
+# emit every overlapping pair.  A theta join (s1 <= e2 AND s2 <= e1) is
+# a cartesian product at the physical layer; the scale-safe plan grids
+# time into fixed cells, explodes each interval to the cells it covers,
+# and hash-joins on the cell.  Dedup is FREE: a pair is emitted only at
+# its canonical cell — the one containing max(start1, start2), which
+# both intervals necessarily cover when they overlap — so no distinct
+# shuffle ever runs.  Cells per interval = len/G + 1, bounded by
+# construction.
+_IOJ_GAP = 30 * 60 * 1000  # session split gap
+_IOJ_K = 8                 # busy-hour threshold
+_IOJ_G = 6 * 3_600_000     # grid cell width
+
+
+_IOJ_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts)//1000000 AS t FROM events
+),
+flg AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {_IOJ_GAP}
+              THEN 1 ELSE 0 END AS f
+  FROM e
+),
+sid AS (
+  SELECT user_id, t,
+         SUM(f) OVER (PARTITION BY user_id ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flg
+),
+sessions AS (
+  SELECT user_id, MIN(t) AS s_start, MAX(t) AS s_end
+  FROM sid GROUP BY user_id, sid
+),
+hourly AS (
+  SELECT event_type, t // {3_600_000} AS hr, COUNT(*) AS c
+  FROM e GROUP BY 1, 2
+),
+busy AS (SELECT event_type, hr FROM hourly WHERE c >= {_IOJ_K}),
+isl AS (
+  SELECT event_type, hr,
+         hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS island
+  FROM busy
+),
+incidents AS (
+  SELECT event_type,
+         MIN(hr) * {3_600_000} AS i_start,
+         (MAX(hr) + 1) * {3_600_000} - 1 AS i_end
+  FROM isl GROUP BY event_type, island
+)
+SELECT s.user_id, s.s_start, s.s_end,
+       i.event_type, i.i_start, i.i_end,
+       LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start) AS overlap_ms
+FROM sessions s JOIN incidents i
+  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+ORDER BY s.user_id, s.s_start, i.event_type, i.i_start
+"""
+
+
+@query("join_interval_overlap", _IOJ_ORACLE)
+def join_interval_overlap(spark, sf_dir):
+    """Interval overlap join: every (user session) × (busy-hour
+    incident window) pair that intersects in time, with the overlap
+    duration.  Sessions come from 30-min-gap sessionization; incidents
+    are maximal runs of hours where an event_type logged ≥ 8 events
+    (gaps-and-islands).
+
+    Scale shape: instead of the theta join the oracle runs (a
+    cartesian at the physical layer), both interval sets explode onto
+    a 6-hour grid and hash-join on the cell — and each overlapping
+    pair is emitted exactly once, at the canonical cell containing
+    max(s_start, i_start) (both intervals cover it whenever they
+    overlap), so there is NO distinct/dedup shuffle.  Work scales with
+    overlaps per cell, not |A|·|B|; the grid width trades explode
+    factor (len/G cells per interval) against per-cell join fan-in.
+    """
+    H = 3_600_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_ms").alias("t")
+    )
+    wu = Window.partitionBy("user_id").orderBy("t")
+    flg = ev.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(wu).isNull()
+            | (F.col("t") - F.lag("t").over(wu) > _IOJ_GAP),
+            1,
+        )
+        .otherwise(0)
+        .alias("f"),
+    )
+    sid = flg.select(
+        "user_id",
+        "t",
+        F.sum("f")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sessions = sid.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s_start"), F.max("t").alias("s_end")
+    )
+
+    hourly = ev.groupBy(
+        "event_type", F.expr(f"t div {H}").alias("hr")
+    ).count()
+    busy = hourly.filter(F.col("count") >= _IOJ_K)
+    wt = Window.partitionBy("event_type").orderBy("hr")
+    incidents = (
+        busy.select(
+            "event_type",
+            "hr",
+            (F.col("hr") - F.row_number().over(wt)).alias("island"),
+        )
+        .groupBy("event_type", "island")
+        .agg(
+            (F.min("hr") * H).alias("i_start"),
+            ((F.max("hr") + 1) * H - 1).alias("i_end"),
+        )
+    )
+
+    a = sessions.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {_IOJ_G}"), F.expr(f"s_end div {_IOJ_G}")
+            )
+        ),
+    )
+    b = incidents.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"i_start div {_IOJ_G}"), F.expr(f"i_end div {_IOJ_G}")
+            )
+        ),
+    )
+    pairs = a.join(
+        b,
+        (a["cell"] == b["cell"])
+        & (F.col("s_start") <= F.col("i_end"))
+        & (F.col("i_start") <= F.col("s_end"))
+        & (
+            a["cell"]
+            == F.expr(f"greatest(s_start, i_start) div {_IOJ_G}")
+        ),
+    )
+    return pairs.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        "event_type",
+        "i_start",
+        "i_end",
+        (
+            F.least(F.col("s_end"), F.col("i_end"))
+            - F.greatest(F.col("s_start"), F.col("i_start"))
+        ).alias("overlap_ms"),
+    ).orderBy("user_id", "s_start", "event_type", "i_start")
