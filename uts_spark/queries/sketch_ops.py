@@ -491,3 +491,131 @@ def join_interval_overlap(spark, sf_dir):
             - F.greatest(F.col("s_start"), F.col("i_start"))
         ).alias("overlap_ms"),
     ).orderBy("user_id", "s_start", "event_type", "i_start")
+
+
+# --- Late-interaction MaxSim (multi-vector / ColBERT-style) -----------------
+#
+# Each 64-dim embedding is treated as 4 token-level sub-vectors of 16
+# dims; query-document relevance is the MaxSim late interaction
+# (Khattab & Zaharia, SIGIR'20): Σ over query chunks of the max cosine
+# against any document chunk.  Per-chunk cosines use the integer-stable
+# dot (similarity.dot_stable); the 4-way chunk sum is snapped to nano
+# units and summed as BIGINT so accumulation order cannot drift.
+_MS_CHUNKS = 4
+_MS_DIM = 16
+_MS_ANCHORS = 5
+_MS_TOPK = 3
+
+_MS_COS = (
+    "(CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST(floor(((CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)) * 1e12) + 0.5) AS BIGINT)"
+    ")) AS DOUBLE) / 1e12)"
+)
+
+
+def _ms_duck_cos(a: str, b: str) -> str:
+    dot = _MS_COS.format(a=a, b=b)
+    na = _MS_COS.format(a=a, b=a)
+    nb = _MS_COS.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+_MS_ORACLE = f"""
+WITH ch AS (
+  SELECT vec_id, i AS ci,
+         embedding[CAST(i*{_MS_DIM}+1 AS INT) : CAST(i*{_MS_DIM}+{_MS_DIM} AS INT)] AS chunk
+  FROM embeddings, (SELECT unnest(range(0, {_MS_CHUNKS})) AS i)
+),
+q AS (SELECT vec_id AS anchor_id, ci AS qi, chunk AS qchunk
+      FROM ch WHERE vec_id < {_MS_ANCHORS}),
+per_qi AS (
+  SELECT q.anchor_id, d.vec_id AS neighbor_id, q.qi,
+         MAX({_ms_duck_cos('d.chunk', 'q.qchunk')}) AS mc
+  FROM ch d JOIN q ON d.vec_id != q.anchor_id
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT anchor_id, neighbor_id,
+         SUM(CAST(floor(mc * 1e9 + 0.5) AS BIGINT)) AS score_nano
+  FROM per_qi GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY score_nano DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, neighbor_id,
+       CAST(score_nano AS DOUBLE) / 1e9 AS maxsim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_MS_TOPK}
+ORDER BY anchor_id, rank
+"""
+
+
+@query("similarity_maxsim_multivector", _MS_ORACLE)
+def similarity_maxsim_multivector(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval: each embedding is 4
+    token-level sub-vectors; score(q, d) = Σ over q's chunks of the
+    best cosine against any of d's chunks (MaxSim); top-3 neighbors
+    per anchor, deterministic tie-break.
+
+    Exactness: per-chunk cosines via the integer-stable dot; the
+    4-chunk sum is nano-snapped and summed as BIGINT (4 doubles summed
+    in grouped order would be accumulation-order-dependent); ranking
+    orders by the BIGINT score, and the reported maxsim is one IEEE
+    division.
+
+    Scale shape: chunk explode is 4×, the anchor side (queries) is
+    tiny and broadcast, the per-(anchor, doc, chunk) max and the
+    per-(anchor, doc) sum both reduce behind one hash exchange keyed
+    by (anchor, doc) — map-side combined.  For web-scale corpora the
+    same plan runs behind an LSH/IVF candidate prefilter
+    (similarity_ann_lsh) exactly like single-vector rerank.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    from uts_spark.functions.similarity import dot_stable, norm_stable
+
+    chunk_arr = F.array(
+        *[
+            F.slice(F.col("embedding"), i * _MS_DIM + 1, _MS_DIM)
+            for i in range(_MS_CHUNKS)
+        ]
+    )
+    ch = e.select(
+        "vec_id", F.posexplode(chunk_arr).alias("ci", "chunk")
+    ).withColumn("nrm", norm_stable(F.col("chunk")))
+
+    q = ch.filter(F.col("vec_id") < _MS_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("ci").alias("qi"),
+        F.col("chunk").alias("qchunk"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot_stable(F.col("chunk"), F.col("qchunk")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    per_qi = (
+        ch.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", F.col("vec_id").alias("neighbor_id"), "qi")
+        .agg(F.max(cos).alias("mc"))
+    )
+    scored = per_qi.groupBy("anchor_id", "neighbor_id").agg(
+        F.sum(F.floor(F.col("mc") * F.lit(1e9) + F.lit(0.5)).cast("long")).alias(
+            "score_nano"
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score_nano").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MS_TOPK)
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            (F.col("score_nano").cast("double") / F.lit(1e9)).alias("maxsim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
