@@ -619,3 +619,109 @@ def similarity_maxsim_multivector(spark, sf_dir):
         )
         .orderBy("anchor_id", "rank")
     )
+
+
+# --- Label-propagation communities ------------------------------------------
+_LPA_ROUNDS = 4
+_LPA_EDGES_SQL = """
+  lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+  half AS (
+    SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c
+    FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+  ),
+  edges AS (
+    SELECT p1 AS src, p2 AS dst FROM half
+    UNION ALL
+    SELECT p2 AS src, p1 AS dst FROM half
+  ),
+  lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+"""
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""
+  lab{r} AS MATERIALIZED (
+    SELECT node, label FROM (
+      SELECT e.src AS node, l.label, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+                                ORDER BY COUNT(*) DESC, l.label) AS rn
+      FROM edges e JOIN lab{r - 1} l ON e.dst = l.node
+      GROUP BY e.src, l.label
+    ) WHERE rn = 1
+  )"""
+
+
+_LPA_ORACLE = (
+    "WITH "
+    + _LPA_EDGES_SQL
+    + ","
+    + ",".join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))
+    + f"""
+SELECT l.node, l.label AS community, s.csize
+FROM lab{_LPA_ROUNDS} l
+JOIN (SELECT label, COUNT(*) AS csize FROM lab{_LPA_ROUNDS} GROUP BY 1) s
+  ON s.label = l.label
+ORDER BY l.node
+"""
+)
+
+
+@query("graph_label_propagation", _LPA_ORACLE)
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, deterministic variant) over the part co-purchase graph
+    (parts co-ordered ≥ 2 times): labels start as node ids; each round
+    every node adopts its neighbors' PLURALITY label, ties broken to
+    the smallest label; 4 fixed synchronous rounds (fixed rounds keep
+    the oracle expressible as unrolled MATERIALIZED CTEs — the
+    convergence-loop variant is the same plan in a while-loop, cf.
+    functions/clustering.connected_components).
+
+    Scale shape per round: edges ⋈ labels is a shuffle on node id
+    (graph-sized, never quadratic), the plurality vote is a
+    groupBy(node, label) count with map-side combine, and the argmax
+    is a per-node window (hash-partitioned by node, no global sort).
+    Label tables stay node-sized; 4 rounds = 4 bounded shuffles —
+    the LPA cost model that holds at billions of edges.
+    """
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    half = (
+        lp.alias("a")
+        .join(lp.alias("b"), F.expr("a.o = b.o AND a.p < b.p"))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .count()
+        .filter(F.col("count") >= 2)
+    )
+    edges = half.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(half.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("v"), "label")
+            .count()
+        )
+        w = Window.partitionBy("v").orderBy(
+            F.col("count").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+        )
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(sizes, "label")
+        .select("node", F.col("label").alias("community"), "csize")
+        .orderBy("node")
+    )
