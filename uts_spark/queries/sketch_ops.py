@@ -725,3 +725,175 @@ def graph_label_propagation(spark, sf_dir):
         .select("node", F.col("label").alias("community"), "csize")
         .orderBy("node")
     )
+
+
+# --- Distributed BPE merge training -----------------------------------------
+#
+# Byte-pair-encoding tokenizer training (Sennrich et al. 2016), the
+# data-parallel formulation: the corpus collapses to a (word, freq)
+# table once; each merge round counts adjacent symbol pairs weighted by
+# word frequency, picks the global top pair (deterministic tie-break),
+# and applies the merge with GREEDY LEFTMOST semantics via plain string
+# replace over a boundary-safe encoding — every symbol is wrapped
+# "|sym|", so the pattern "|x||y|" can only match whole symbols, and
+# leftmost non-overlapping replace (identical builtin semantics in JVM
+# and DuckDB) is exactly BPE's scan order ("|a||a||a||a|" → "|aa||aa|").
+_BPE_ROUNDS = 3
+_BPE_SEP = "|"
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled oracle round: pair counts from w{r-1}, top pair,
+    merged segmentation w{r}, and the round's summary row."""
+    return f"""
+p{r} AS (
+  SELECT arr[i] AS x, arr[i+1] AS y, SUM(freq) AS pf
+  FROM (SELECT freq, string_split(seg, '|') AS arr FROM w{r - 1}),
+       unnest(range(1, len(arr))) AS u(i)
+  GROUP BY 1, 2
+),
+top{r} AS MATERIALIZED (
+  SELECT x, y, pf FROM p{r} ORDER BY pf DESC, x, y LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(substr(m, 2, length(m) - 2), '||', '|') AS seg
+  FROM (
+    SELECT word, freq,
+           replace('|' || replace(seg, '|', '||') || '|', pat, rep) AS m
+    FROM w{r - 1},
+         (SELECT '|' || x || '||' || y || '|' AS pat,
+                 '|' || x || y || '|' AS rep FROM top{r})
+  )
+),
+row{r} AS (
+  SELECT {r} AS round, x AS sym_x, y AS sym_y, pf AS pair_freq,
+         (SELECT COUNT(DISTINCT s) FROM
+            (SELECT unnest(string_split(seg, '|')) AS s FROM w{r}))
+           AS vocab_size_after,
+         (SELECT SUM(freq * len(string_split(seg, '|'))) FROM w{r})
+           AS corpus_symbols_after
+  FROM top{r}
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS seg
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  GROUP BY word
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT * FROM row{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+
+
+@query("text_bpe_train", _BPE_ORACLE)
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training, 3 merge rounds: collapse
+    the corpus to (word, freq) once, then per round count adjacent
+    symbol pairs weighted by frequency, take the global top pair
+    (TakeOrdered — count desc, pair asc), and merge it everywhere with
+    greedy-leftmost semantics via the boundary-safe "|x||y|" string
+    replace (identical builtin replace semantics in both engines, so
+    the oracle replays the merges bit-for-bit).  Emits one row per
+    round: the merged pair, its frequency, and the resulting symbol
+    vocabulary / corpus length.
+
+    Scale shape: the corpus tokenize + word-frequency collapse is the
+    only input-sized pass; every round after that works on the
+    DISTINCT-WORD table (Zipf: orders of magnitude smaller), with one
+    map-side-combined pair count, a 1-row TakeOrdered broadcast back,
+    and a narrow per-row merge — the exact structure of production
+    distributed BPE trainers (e.g. tokenizer training over web-scale
+    corpora), where rounds are cheap because the word table is small.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sep = _BPE_SEP
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "seg",
+            F.expr(
+                "substring(regexp_replace(word, '(.)', '$1|'), 1, "
+                "2 * length(word) - 1)"
+            ),
+        )
+        .cache()
+    )
+
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        arr = F.split(F.col("seg"), r"\|")
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("x"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("y"),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        top = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.col("pf").desc(), F.col("x").asc(), F.col("y").asc())
+            .limit(1)
+        )
+        wrapped = F.concat(
+            F.lit(sep), F.replace(F.col("seg"), F.lit(sep), F.lit(sep + sep)),
+            F.lit(sep),
+        )
+        pat = F.concat(F.lit(sep), F.col("x"), F.lit(sep + sep), F.col("y"), F.lit(sep))
+        rep = F.concat(F.lit(sep), F.col("x"), F.col("y"), F.lit(sep))
+        merged = F.replace(wrapped, pat, rep)
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    merged.substr(F.lit(2), F.length(merged) - 2),
+                    F.lit(sep + sep),
+                    F.lit(sep),
+                ).alias("seg"),
+            )
+            .cache()
+        )
+        vocab = words.select(
+            F.explode(F.split(F.col("seg"), r"\|")).alias("s")
+        ).agg(F.countDistinct("s").alias("vocab_size_after"))
+        csyms = words.agg(
+            F.sum(
+                F.col("freq") * F.size(F.split(F.col("seg"), r"\|")).cast("long")
+            ).alias("corpus_symbols_after")
+        )
+        rows.append(
+            top.crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(csyms))
+            .select(
+                F.lit(r).alias("round"),
+                F.col("x").alias("sym_x"),
+                F.col("y").alias("sym_y"),
+                F.col("pf").alias("pair_freq"),
+                "vocab_size_after",
+                "corpus_symbols_after",
+            )
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out.orderBy("round")
