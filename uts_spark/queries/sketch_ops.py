@@ -897,3 +897,172 @@ def text_bpe_train(spark, sf_dir):
     for r_df in rows[1:]:
         out = out.unionByName(r_df)
     return out.orderBy("round")
+
+
+# --- Bucket-checksum table reconciliation -----------------------------------
+#
+# The migration-validation op: prove a replica equals the source WITHOUT
+# shipping either table — per-bucket (count, XOR-of-row-fingerprints)
+# checksums on both sides, compare the tiny checksum tables, then drill
+# into ONLY the buckets that disagree.  XOR is the right aggregate: it
+# is order-independent and cannot overflow, so both engines agree
+# bit-for-bit with zero shuffle-order sensitivity.  The replica here is
+# the source with deterministic injected drift (deletes / price edits /
+# status edits keyed off o_orderkey % 997) so the query has real
+# mismatches to find.
+_RC_BUCKETS = 64
+_RC_MOD = 997
+
+_RC_FP_DUCK = duck_hash64(
+    "concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), "
+    "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), "
+    "o_orderstatus, o_orderpriority, "
+    "CAST(epoch_ns(o_orderdate)//1000000 AS VARCHAR), "
+    "CAST(o_custkey AS VARCHAR))"
+)
+
+_RC_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         {duck_hash64("concat('rcb:', CAST(o_orderkey AS VARCHAR))")}
+           % {_RC_BUCKETS} AS bucket,
+         {_RC_FP_DUCK} AS fp
+  FROM orders
+),
+drift AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus AS st0, o_orderpriority,
+         o_orderdate,
+         o_totalprice
+           + CASE WHEN o_orderkey % {_RC_MOD} = 13 THEN 1.0 ELSE 0 END
+           AS o_totalprice,
+         CASE WHEN o_orderkey % {_RC_MOD} = 19 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % {_RC_MOD} != 7
+),
+v2 AS (
+  SELECT o_orderkey AS k,
+         {duck_hash64("concat('rcb:', CAST(o_orderkey AS VARCHAR))")}
+           % {_RC_BUCKETS} AS bucket,
+         {_RC_FP_DUCK} AS fp
+  FROM drift
+),
+c1 AS (SELECT bucket, COUNT(*) AS n_v1, bit_xor(fp) AS x1 FROM v1 GROUP BY 1),
+c2 AS (SELECT bucket, COUNT(*) AS n_v2, bit_xor(fp) AS x2 FROM v2 GROUP BY 1),
+bad AS (
+  SELECT c1.bucket, n_v1, n_v2
+  FROM c1 JOIN c2 USING (bucket)
+  WHERE n_v1 != n_v2 OR x1 != x2
+),
+d1 AS (SELECT v1.* FROM v1 JOIN bad USING (bucket)),
+d2 AS (SELECT v2.* FROM v2 JOIN bad USING (bucket))
+SELECT d1.k AS o_orderkey, d1.bucket,
+       CASE WHEN d2.k IS NULL THEN 'missing_in_v2' ELSE 'changed' END
+         AS diff_type,
+       b.n_v1, b.n_v2
+FROM d1 LEFT JOIN d2 ON d1.k = d2.k
+JOIN bad b ON b.bucket = d1.bucket
+WHERE d2.k IS NULL OR d1.fp != d2.fp
+ORDER BY o_orderkey
+"""
+
+
+def _rc_fingerprint():
+    """Portable row fingerprint: centi-snapped price + epoch-ms date so
+    no float/timestamp ever renders through an engine-specific
+    formatter."""
+    return hash64(
+        F.concat_ws(
+            "\x1f",
+            F.col("o_orderkey").cast("string"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).cast("string"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+
+
+@query("dq_checksum_reconciliation", _RC_ORACLE)
+def dq_checksum_reconciliation(spark, sf_dir):
+    """Bucket-checksum table reconciliation (the cross-cluster
+    migration validator): fingerprint every row (portable md5 over
+    integer-snapped fields), reduce each side to 64 bucket rows of
+    (count, XOR-of-fingerprints), compare the two tiny checksum
+    tables, and drill into ONLY the disagreeing buckets to name each
+    divergent key as missing_in_v2 or changed.  The replica is the
+    source with deterministic injected drift (o_orderkey % 997:
+    =7 deleted, =13 price+1, =19 status→'X').
+
+    Scale shape: the checksum pass is one full scan per side reduced
+    map-side to ≤ 64 rows — NO row-level shuffle; XOR is
+    order-independent and overflow-free, so no shuffle-order or ANSI
+    concerns.  The row-level drilldown join runs only over buckets
+    that failed (broadcast semi-join on the bad-bucket list) — at
+    100 TB with sparse drift that's a handful of partitions, which is
+    the entire point of checksum-first reconciliation.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.pmod(
+        hash64(F.concat(F.lit("rcb:"), F.col("o_orderkey").cast("string"))),
+        F.lit(_RC_BUCKETS),
+    )
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        bucket.alias("bucket"),
+        _rc_fingerprint().alias("fp"),
+    )
+    drift = (
+        o.filter(F.col("o_orderkey") % _RC_MOD != 7)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % _RC_MOD == 13, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % _RC_MOD == 19, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    v2 = drift.select(
+        F.col("o_orderkey").alias("k"),
+        bucket.alias("bucket"),
+        _rc_fingerprint().alias("fp"),
+    )
+
+    def checks(v, n_name, x_name):
+        return v.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(n_name), F.bit_xor("fp").alias(x_name)
+        )
+
+    bad = (
+        checks(v1, "n_v1", "x1")
+        .join(checks(v2, "n_v2", "x2"), "bucket")
+        .filter((F.col("n_v1") != F.col("n_v2")) | (F.col("x1") != F.col("x2")))
+        .select("bucket", "n_v1", "n_v2")
+    )
+    d1 = v1.join(F.broadcast(bad.select("bucket")), "bucket", "semi")
+    d2 = v2.join(F.broadcast(bad.select("bucket")), "bucket", "semi").select(
+        F.col("k").alias("k2"), F.col("fp").alias("fp2")
+    )
+    return (
+        d1.join(d2, d1["k"] == d2["k2"], "left")
+        .filter(F.col("k2").isNull() | (F.col("fp") != F.col("fp2")))
+        .join(F.broadcast(bad), "bucket")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "bucket",
+            F.when(F.col("k2").isNull(), F.lit("missing_in_v2"))
+            .otherwise(F.lit("changed"))
+            .alias("diff_type"),
+            "n_v1",
+            "n_v2",
+        )
+        .orderBy("o_orderkey")
+    )
