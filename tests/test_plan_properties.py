@@ -566,3 +566,45 @@ def test_window_funnel_uses_array_variant(spark, sf_dir):
     p = plan(spark, sf_dir, "events_window_funnel")
     assert "collect_list" in p, "per-bucket array aggregation missing"
     assert "element_at" in p, "array head selection missing"
+
+
+def test_round4c_queries_plan_shapes(spark, sf_dir):
+    # third-session additions: no single-partition windows anywhere,
+    # and no cartesian products (the interval overlap join must be the
+    # grid-cell HASH join, never the oracle's theta join)
+    for name in (
+        "sketch_hll_own",
+        "sketch_quantile_mergeable",
+        "join_interval_overlap",
+        "similarity_maxsim_multivector",
+        "graph_label_propagation",
+        "text_bpe_train",
+        "dq_checksum_reconciliation",
+    ):
+        p = plan(spark, sf_dir, name)
+        assert _single_partition_windows(p) == 0, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_interval_overlap_is_hash_join_on_cell(spark, sf_dir):
+    # the interval×interval join equi-joins on the grid cell; dedup is
+    # the canonical-cell filter, so no distinct aggregation runs on pairs
+    p = plan(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "cell" in p
+
+
+def test_bpe_top_pair_is_take_ordered(spark, sf_dir):
+    # each merge round's global top pair is TakeOrdered(1), never a
+    # global sort of the pair-count table
+    p = plan(spark, sf_dir, "text_bpe_train")
+    assert "TakeOrderedAndProject" in p
+    assert _single_partition_windows(p) == 0
+
+
+def test_checksum_reconciliation_no_row_shuffle_before_buckets(spark, sf_dir):
+    # the checksum pass reduces map-side to <= 64 bucket rows; the only
+    # broadcasts are the bad-bucket list — row-level joins stay semi
+    p = plan(spark, sf_dir, "dq_checksum_reconciliation")
+    assert "BroadcastExchange" in p
+    assert _single_partition_windows(p) == 0
