@@ -1066,3 +1066,120 @@ def dq_checksum_reconciliation(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --- Streaming HLL: daily distinct-user sketches under a watermark ----------
+_SHLL_ORACLE = f"""
+WITH el AS (
+  SELECT (epoch_ns(ts)//1000000 // 86400000) * 86400000 AS day,
+         CAST(user_id AS VARCHAR) AS elem,
+         {duck_hash64("concat('shll:', CAST(user_id AS VARCHAR))")} AS h
+  FROM events
+),
+rh AS (
+  SELECT day, elem,
+         (h >> {_HLL_REST_BITS}) AS bucket,
+         CASE WHEN (h & {_HLL_MASK}) = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(h & {_HLL_MASK})) END AS rho
+  FROM el
+),
+regs AS (SELECT day, bucket, MAX(rho) AS reg FROM rh GROUP BY 1, 2),
+st AS (
+  SELECT day,
+         {_HLL_M} - COUNT(*) AS zero_regs,
+         SUM(CAST(power(2.0, {_HLL_RHO_MAX} - reg) AS BIGINT))
+           + ({_HLL_M} - COUNT(*)) * {_HLL_ZERO_TERM} AS reg_sum
+  FROM regs GROUP BY 1
+),
+ex AS (SELECT day, COUNT(DISTINCT elem) AS n_exact FROM el GROUP BY 1)
+SELECT st.day, ex.n_exact, st.zero_regs, st.reg_sum,
+       {_HLL_A_LIT} / st.reg_sum AS hll_est
+FROM st JOIN ex USING (day)
+ORDER BY st.day
+"""
+
+
+@query("stream_hll_daily_replay", _SHLL_ORACLE)
+def stream_hll_daily_replay(spark, sf_dir):
+    """STREAMING HyperLogLog: per-day distinct-user sketches maintained
+    as watermarked register state and finalized in append mode, then
+    reduced to estimates — replayed through real micro-batches and
+    hash-checked against the batch sketch.  Registers are max-
+    aggregates, so the streaming fold is ORDER-INDEPENDENT: whatever
+    micro-batch slicing delivers the rows, the emitted registers (and
+    thus the estimates) are bit-identical to batch — the property that
+    makes sketch state safe under shuffle/replay nondeterminism, unlike
+    sum-of-doubles folds which need ordered replays.
+
+    Scale shape: streaming state is ≤ 256 registers per open day window
+    (constant per key, independent of traffic); emission is one row per
+    (day, bucket); the post-stream reduction to estimates is a
+    256-rows-per-day batch aggregate.  This is the production shape for
+    'distinct users per window' at firehose rates, where exact
+    distinct state would grow with cardinality.
+    """
+    from uts_spark.queries.streaming_replay import _replay
+
+    DAY_MS = 86_400_000
+    ev = table(spark, sf_dir, "events").select(
+        "ts",
+        F.concat(F.lit("shll:"), F.col("user_id").cast("string")).alias("elem"),
+        F.col("ts_ms"),
+    )
+    rest = hash64(F.col("elem")).bitwiseAND(F.lit(_HLL_MASK))
+    src = ev.select(
+        "ts",
+        F.shiftright(hash64(F.col("elem")), _HLL_REST_BITS).alias("bucket"),
+        F.when(rest == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.conv(rest, 10, 2)))
+        .alias("rho"),
+    )
+    max_ms = ev.agg(F.max("ts_ms")).first()[0]
+    sentinels = [
+        spark.createDataFrame([(s,)], "ms long").select(
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            F.lit(0).alias("bucket"),
+            F.lit(1).alias("rho"),
+        )
+        for s in (max_ms + 100 * DAY_MS, max_ms + 101 * DAY_MS)
+    ]
+
+    def build(stream):
+        out = (
+            stream.withWatermark("ts", "60 days")
+            .groupBy(F.window("ts", "1 day"), "bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+        return (
+            out.select(
+                F.unix_millis(F.col("window.start")).alias("day"),
+                "bucket",
+                "reg",
+            ),
+            "append",
+        )
+
+    regs = _replay(spark, src, build, extra_feeds=sentinels).filter(
+        F.col("day") <= F.lit(max_ms)
+    )
+    term = F.expr(f"CAST(power(2.0, {_HLL_RHO_MAX} - reg) AS BIGINT)")
+    st = regs.groupBy("day").agg(
+        (F.lit(_HLL_M) - F.count("*")).alias("zero_regs"),
+        (
+            F.sum(term) + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_ZERO_TERM)
+        ).alias("reg_sum"),
+    )
+    ex = ev.groupBy(
+        (F.expr("ts_ms div 86400000") * DAY_MS).alias("day")
+    ).agg(F.countDistinct("elem").alias("n_exact"))
+    return (
+        st.join(ex, "day")
+        .select(
+            "day",
+            "n_exact",
+            "zero_regs",
+            "reg_sum",
+            (F.lit(_HLL_A) / F.col("reg_sum")).alias("hll_est"),
+        )
+        .orderBy("day")
+    )
