@@ -280,6 +280,33 @@ def test_binned_first_after_equals_naive_join(spark, sf_dir):
     assert naive == got and naive
 
 
+def test_binned_first_after_preserves_duplicate_left_rows(spark):
+    """Fully duplicate left rows must each produce an output row (one
+    row per left INPUT row) — the unique-tag re-group contract added in
+    round 5; without the tag they collapse into one."""
+    from uts_spark.operators.joins import binned_first_after
+
+    left = spark.createDataFrame(
+        [("u1", 100), ("u1", 100), ("u1", 100), ("u2", 50)],
+        "user_id string, t1 long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 150, "a"), ("u1", 120, "b"), ("u2", 9999, "z")],
+        "user_id string, tc long, cid string",
+    )
+    out = binned_first_after(
+        left, right, F.col("t1"), F.col("tc"), 1000, ["user_id"],
+        right_payload=["cid"],
+    ).collect()
+    assert len(out) == 4
+    u1 = [r for r in out if r["user_id"] == "u1"]
+    assert len(u1) == 3
+    for r in u1:
+        assert r["__first"]["__t"] == 120 and r["__first"]["cid"] == "b"
+    (u2,) = [r for r in out if r["user_id"] == "u2"]
+    assert u2["__first"] is None  # 9999 beyond the 1000 ms window
+
+
 def test_ivm_merge_equals_full_recompute(spark, sf_dir):
     rows = {r.event_type: r for r in
             QUERIES["ivm_merge_partials"](spark, sf_dir).collect()}

@@ -608,3 +608,42 @@ def test_checksum_reconciliation_no_row_shuffle_before_buckets(spark, sf_dir):
     p = plan(spark, sf_dir, "dq_checksum_reconciliation")
     assert "BroadcastExchange" in p
     assert _single_partition_windows(p) == 0
+
+
+def test_no_workflow_tooling_paths_in_source():
+    # hygiene (VERDICT r4 #1): no builder-workflow paths may appear
+    # anywhere in the shipped source tree
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1]
+    bad = []
+    for d in ("uts_spark", "tools"):
+        for p in (root / d).rglob("*.py"):
+            t = p.read_text(errors="ignore")
+            if ".claude" in t or "skills/" in t:
+                bad.append(str(p))
+    for p in (root / "bench.py", root / "__spark_entry__.py"):
+        t = p.read_text(errors="ignore")
+        if ".claude" in t or "skills/" in t:
+            bad.append(str(p))
+    assert bad == []
+
+
+def test_timestamp_bucketing_floors_on_negative_ts(spark):
+    # ADVICE r4: Spark `div` truncates toward zero, the DuckDB `//`
+    # oracles floor — bucket computations must use the floor idiom so
+    # pre-epoch timestamps land in the right (lower) bucket
+    import duckdb
+    from pyspark.sql import functions as F
+
+    DAY = 86_400_000
+    ts = [-1, -DAY - 1, -DAY, 0, DAY - 1, DAY, 3 * DAY + 7, -5 * DAY + 3]
+    df = spark.createDataFrame([(t,) for t in ts], "ts_ms long").select(
+        "ts_ms", F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long").alias("day")
+    )
+    got = {r["ts_ms"]: r["day"] for r in df.collect()}
+    con = duckdb.connect()
+    want = {
+        t: con.execute(f"SELECT {t} // {DAY}").fetchone()[0] for t in ts
+    }
+    con.close()
+    assert got == want

@@ -234,6 +234,10 @@ def binned_first_after(
 
     Returns the left rows (original columns) plus ``__first`` — a
     struct of (ts, *right_payload) or NULL when no right row qualifies.
+    One output row per left INPUT row: left rows are tagged with a
+    unique id before the bucket explode, so fully duplicate left rows
+    do not collapse in the re-group (they would if the group key were
+    only the left columns).
     """
     right_payload = right_payload or []
     bucket = F.floor(right_ts / F.lit(window_ms)).cast("long")
@@ -248,8 +252,10 @@ def binned_first_after(
     )
     lo_b = F.floor((left_ts + 1) / F.lit(window_ms)).cast("long")
     hi_b = F.floor((left_ts + window_ms) / F.lit(window_ms)).cast("long")
-    l = left.withColumn("__lts", left_ts).withColumn(
-        "__bucket", F.explode(F.sequence(lo_b, hi_b))
+    l = (
+        left.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__lts", left_ts)
+        .withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
     )
     lts = F.col("__lts")
     cand = l.join(arr, [*keys, "__bucket"], "left").withColumn(
@@ -265,7 +271,7 @@ def binned_first_after(
     )
     group_cols = [c for c in left.columns]
     return (
-        cand.groupBy(*group_cols, "__lts")
+        cand.groupBy("__rid", *group_cols, "__lts")
         .agg(F.min("__hit").alias("__first"))
-        .drop("__lts")
+        .drop("__lts", "__rid")
     )

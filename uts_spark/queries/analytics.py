@@ -5301,7 +5301,7 @@ def supplier_concentration_hhi(spark, sf_dir):
     share = F.col("rev") / F.col("nat_rev")
     # floor(x*1e12 + 0.5) integer snap, NOT a decimal cast: the engines
     # round double->decimal differently on shortest-repr ties (the
-    # ts_twap lesson; see .claude/skills/verify and _COS in llm_ops)
+    # ts_twap lesson; same idiom as _COS in llm_ops)
     term_u = F.floor(share * share * 1e12 + 0.5).cast("long")
     return (
         vol.join(F.broadcast(tot), "nationkey")

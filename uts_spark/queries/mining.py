@@ -174,7 +174,7 @@ def stats_ols_trend(spark, sf_dir):
     multivariate OLS (X'X is k×k per group, still one aggregation).
     """
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    x = (F.expr("ts_ms div 1000") - F.lit(1706745600)).cast("long")
+    x = (F.floor(F.col("ts_ms") / F.lit(1000)).cast("long") - F.lit(1706745600)).cast("long")
     y = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
 
     def isum(col, name):
@@ -1043,7 +1043,7 @@ def dq_volume_anomaly(spark, sf_dir):
     """
     ev = table(spark, sf_dir, "events")
     d = (
-        ev.select("event_type", F.expr(f"ts_ms div {DAY}").alias("day"))
+        ev.select("event_type", F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1423,7 +1423,7 @@ def part_xyz_classification(spark, sf_dir):
         li.select(
             F.col("l_partkey").alias("partkey"),
             F.expr(
-                "unix_millis(cast(l_shipdate as timestamp)) div 604800000"
+                "cast(floor(unix_millis(cast(l_shipdate as timestamp)) / 604800000.0) as bigint)"
             ).alias("week"),
             "l_quantity",
         )
@@ -1893,7 +1893,7 @@ def events_power_user_curve(spark, sf_dir):
     start = 1706745600000 - 28 * DAY
     win = (
         ev.filter(F.col("ts_ms") >= start)
-        .select("user_id", F.expr(f"ts_ms div {DAY}").alias("day"))
+        .select("user_id", F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long").alias("day"))
         .groupBy("user_id")
         .agg(F.count_distinct("day").alias("active_days"))
     )
@@ -2320,7 +2320,7 @@ def events_dau_mau_stickiness(spark, sf_dir):
     """
     ev = table(spark, sf_dir, "events")
     ud = (
-        ev.select("user_id", F.expr(f"ts_ms div {DAY}").alias("day"))
+        ev.select("user_id", F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long").alias("day"))
         .distinct()
     )
     days = ud.select("day").distinct()

@@ -436,7 +436,7 @@ def join_interval_overlap(spark, sf_dir):
     )
 
     hourly = ev.groupBy(
-        "event_type", F.expr(f"t div {H}").alias("hr")
+        "event_type", F.floor(F.col("t") / F.lit(H)).cast("long").alias("hr")
     ).count()
     busy = hourly.filter(F.col("count") >= _IOJ_K)
     wt = Window.partitionBy("event_type").orderBy("hr")
@@ -457,7 +457,8 @@ def join_interval_overlap(spark, sf_dir):
         "cell",
         F.explode(
             F.sequence(
-                F.expr(f"s_start div {_IOJ_G}"), F.expr(f"s_end div {_IOJ_G}")
+                F.floor(F.col("s_start") / F.lit(_IOJ_G)).cast("long"),
+                F.floor(F.col("s_end") / F.lit(_IOJ_G)).cast("long")
             )
         ),
     )
@@ -465,7 +466,8 @@ def join_interval_overlap(spark, sf_dir):
         "cell",
         F.explode(
             F.sequence(
-                F.expr(f"i_start div {_IOJ_G}"), F.expr(f"i_end div {_IOJ_G}")
+                F.floor(F.col("i_start") / F.lit(_IOJ_G)).cast("long"),
+                F.floor(F.col("i_end") / F.lit(_IOJ_G)).cast("long")
             )
         ),
     )
@@ -476,7 +478,7 @@ def join_interval_overlap(spark, sf_dir):
         & (F.col("i_start") <= F.col("s_end"))
         & (
             a["cell"]
-            == F.expr(f"greatest(s_start, i_start) div {_IOJ_G}")
+            == F.floor(F.greatest(F.col("s_start"), F.col("i_start")) / F.lit(_IOJ_G)).cast("long")
         ),
     )
     return pairs.select(
@@ -921,6 +923,8 @@ _RC_FP_DUCK = duck_hash64(
     "CAST(o_custkey AS VARCHAR))"
 )
 
+_RC_EXTRA_OFF = 1_000_000_000  # replica-only keys live past every source key
+
 _RC_ORACLE = f"""
 WITH v1 AS (
   SELECT o_orderkey AS k,
@@ -938,6 +942,10 @@ drift AS (
          CASE WHEN o_orderkey % {_RC_MOD} = 19 THEN 'X'
               ELSE o_orderstatus END AS o_orderstatus
   FROM orders WHERE o_orderkey % {_RC_MOD} != 7
+  UNION ALL
+  SELECT o_orderkey + {_RC_EXTRA_OFF}, o_custkey, o_orderstatus AS st0,
+         o_orderpriority, o_orderdate, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % {_RC_MOD} = 29
 ),
 v2 AS (
   SELECT o_orderkey AS k,
@@ -949,19 +957,21 @@ v2 AS (
 c1 AS (SELECT bucket, COUNT(*) AS n_v1, bit_xor(fp) AS x1 FROM v1 GROUP BY 1),
 c2 AS (SELECT bucket, COUNT(*) AS n_v2, bit_xor(fp) AS x2 FROM v2 GROUP BY 1),
 bad AS (
-  SELECT c1.bucket, n_v1, n_v2
-  FROM c1 JOIN c2 USING (bucket)
-  WHERE n_v1 != n_v2 OR x1 != x2
+  SELECT bucket, COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2
+  FROM c1 FULL JOIN c2 USING (bucket)
+  WHERE COALESCE(n_v1, 0) != COALESCE(n_v2, 0) OR x1 IS DISTINCT FROM x2
 ),
 d1 AS (SELECT v1.* FROM v1 JOIN bad USING (bucket)),
 d2 AS (SELECT v2.* FROM v2 JOIN bad USING (bucket))
-SELECT d1.k AS o_orderkey, d1.bucket,
-       CASE WHEN d2.k IS NULL THEN 'missing_in_v2' ELSE 'changed' END
-         AS diff_type,
+SELECT COALESCE(d1.k, d2.k) AS o_orderkey,
+       COALESCE(d1.bucket, d2.bucket) AS bucket,
+       CASE WHEN d2.k IS NULL THEN 'missing_in_v2'
+            WHEN d1.k IS NULL THEN 'extra_in_v2'
+            ELSE 'changed' END AS diff_type,
        b.n_v1, b.n_v2
-FROM d1 LEFT JOIN d2 ON d1.k = d2.k
-JOIN bad b ON b.bucket = d1.bucket
-WHERE d2.k IS NULL OR d1.fp != d2.fp
+FROM d1 FULL JOIN d2 ON d1.k = d2.k
+JOIN bad b ON b.bucket = COALESCE(d1.bucket, d2.bucket)
+WHERE d1.k IS NULL OR d2.k IS NULL OR d1.fp != d2.fp
 ORDER BY o_orderkey
 """
 
@@ -1003,6 +1013,11 @@ def dq_checksum_reconciliation(spark, sf_dir):
     that failed (broadcast semi-join on the bad-bucket list) — at
     100 TB with sparse drift that's a handful of partitions, which is
     the entire point of checksum-first reconciliation.
+
+    The drilldown is a FULL OUTER join, so all three divergence kinds
+    are named: missing_in_v2 (source-only key), extra_in_v2
+    (replica-only key — drift injects these via o_orderkey % 997 = 29
+    cloned past every source key), changed (fingerprint mismatch).
     """
     o = table(spark, sf_dir, "orders")
     bucket = F.pmod(
@@ -1029,6 +1044,11 @@ def dq_checksum_reconciliation(spark, sf_dir):
                 F.col("o_orderstatus")
             ),
         )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % _RC_MOD == 29).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(_RC_EXTRA_OFF)
+            )
+        )
     )
     v2 = drift.select(
         F.col("o_orderkey").alias("k"),
@@ -1043,27 +1063,40 @@ def dq_checksum_reconciliation(spark, sf_dir):
 
     bad = (
         checks(v1, "n_v1", "x1")
-        .join(checks(v2, "n_v2", "x2"), "bucket")
-        .filter((F.col("n_v1") != F.col("n_v2")) | (F.col("x1") != F.col("x2")))
-        .select("bucket", "n_v1", "n_v2")
+        .join(checks(v2, "n_v2", "x2"), "bucket", "full")
+        .filter(
+            (F.coalesce("n_v1", F.lit(0)) != F.coalesce("n_v2", F.lit(0)))
+            | ~F.col("x1").eqNullSafe(F.col("x2"))
+        )
+        .select(
+            "bucket",
+            F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+            F.coalesce("n_v2", F.lit(0)).alias("n_v2"),
+        )
     )
     d1 = v1.join(F.broadcast(bad.select("bucket")), "bucket", "semi")
     d2 = v2.join(F.broadcast(bad.select("bucket")), "bucket", "semi").select(
-        F.col("k").alias("k2"), F.col("fp").alias("fp2")
+        F.col("k").alias("k2"),
+        F.col("bucket").alias("bucket2"),
+        F.col("fp").alias("fp2"),
     )
     return (
-        d1.join(d2, d1["k"] == d2["k2"], "left")
-        .filter(F.col("k2").isNull() | (F.col("fp") != F.col("fp2")))
-        .join(F.broadcast(bad), "bucket")
+        d1.join(d2, d1["k"] == d2["k2"], "full")
+        .filter(
+            F.col("k").isNull()
+            | F.col("k2").isNull()
+            | (F.col("fp") != F.col("fp2"))
+        )
         .select(
-            F.col("k").alias("o_orderkey"),
-            "bucket",
+            F.coalesce("k", "k2").alias("o_orderkey"),
+            F.coalesce("bucket", "bucket2").alias("bucket"),
             F.when(F.col("k2").isNull(), F.lit("missing_in_v2"))
+            .when(F.col("k").isNull(), F.lit("extra_in_v2"))
             .otherwise(F.lit("changed"))
             .alias("diff_type"),
-            "n_v1",
-            "n_v2",
         )
+        .join(F.broadcast(bad), "bucket")
+        .select("o_orderkey", "bucket", "diff_type", "n_v1", "n_v2")
         .orderBy("o_orderkey")
     )
 
@@ -1170,7 +1203,7 @@ def stream_hll_daily_replay(spark, sf_dir):
         ).alias("reg_sum"),
     )
     ex = ev.groupBy(
-        (F.expr("ts_ms div 86400000") * DAY_MS).alias("day")
+        (F.floor(F.col("ts_ms") / F.lit(86400000)).cast("long") * DAY_MS).alias("day")
     ).agg(F.countDistinct("elem").alias("n_exact"))
     return (
         st.join(ex, "day")
