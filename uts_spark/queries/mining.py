@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from uts_spark.operators.joins import binned_first_after
-from uts_spark.registry import DAY, HOUR, MS, query, table
+from uts_spark.registry import DAY, FDIV, HOUR, MS, query, table
 
 DEC = "decimal(38,6)"
 
@@ -123,7 +123,7 @@ def recsys_item_item_topk(spark, sf_dir):
     f"""
     WITH e AS (
       SELECT event_type,
-             CAST((({MS}) // 1000) - 1706745600 AS BIGINT) AS x,
+             CAST(({FDIV(MS, 1000)}) - 1706745600 AS BIGINT) AS x,
              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
       FROM events WHERE value IS NOT NULL
     ),
@@ -1004,8 +1004,8 @@ def ts_forecast_backtest(spark, sf_dir):
     "dq_volume_anomaly",
     f"""
     WITH d AS (
-      SELECT event_type, ({MS}) // {DAY} AS day, COUNT(*) AS c
-      FROM events GROUP BY event_type, ({MS}) // {DAY}
+      SELECT event_type, {FDIV(MS, DAY)} AS day, COUNT(*) AS c
+      FROM events GROUP BY event_type, {FDIV(MS, DAY)}
     ),
     w AS (
       SELECT event_type, day, c,
@@ -1377,11 +1377,11 @@ def supplier_scorecard(spark, sf_dir):
     f"""
     WITH wk AS (
       SELECT l_partkey AS partkey,
-             ({_EPOCH_D.format(c='l_shipdate')}) // 604800000 AS week,
+             {FDIV(_EPOCH_D.format(c='l_shipdate'), 604800000)} AS week,
              CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
                  AS DECIMAL(38,6)), 2) * 100 AS BIGINT) AS qty_c
       FROM lineitem
-      GROUP BY l_partkey, ({_EPOCH_D.format(c='l_shipdate')}) // 604800000
+      GROUP BY l_partkey, {FDIV(_EPOCH_D.format(c='l_shipdate'), 604800000)}
     ),
     m AS (
       SELECT partkey, COUNT(*) AS n_weeks,
@@ -1861,7 +1861,7 @@ def embedding_matryoshka_eval(spark, sf_dir):
     "events_power_user_curve",
     f"""
     WITH win AS (
-      SELECT user_id, COUNT(DISTINCT ({MS}) // {DAY}) AS active_days
+      SELECT user_id, COUNT(DISTINCT {FDIV(MS, DAY)}) AS active_days
       FROM events
       WHERE ({MS}) >= {1706745600000 - 28 * DAY}
       GROUP BY user_id
@@ -2289,7 +2289,7 @@ def text_novelty_curve(spark, sf_dir):
     "events_dau_mau_stickiness",
     f"""
     WITH ud AS (
-      SELECT DISTINCT user_id, ({MS}) // {DAY} AS day FROM events
+      SELECT DISTINCT user_id, {FDIV(MS, DAY)} AS day FROM events
     ),
     days AS (SELECT DISTINCT day FROM ud),
     dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),

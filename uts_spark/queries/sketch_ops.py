@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from uts_spark.functions.hashing import duck_hash64, hash64
 from uts_spark.operators.distributed_rank import ranked_cumsum
 from uts_spark.operators.topk import percentile_disc
-from uts_spark.registry import query, table
+from uts_spark.registry import FDIV, query, table
 
 # --- HyperLogLog parameters (p=8 → m=256 registers) -----------------------
 #
@@ -367,7 +367,7 @@ sessions AS (
   FROM sid GROUP BY user_id, sid
 ),
 hourly AS (
-  SELECT event_type, t // {3_600_000} AS hr, COUNT(*) AS c
+  SELECT event_type, {FDIV("t", 3_600_000)} AS hr, COUNT(*) AS c
   FROM e GROUP BY 1, 2
 ),
 busy AS (SELECT event_type, hr FROM hourly WHERE c >= {_IOJ_K}),
@@ -1104,7 +1104,7 @@ def dq_checksum_reconciliation(spark, sf_dir):
 # --- Streaming HLL: daily distinct-user sketches under a watermark ----------
 _SHLL_ORACLE = f"""
 WITH el AS (
-  SELECT (epoch_ns(ts)//1000000 // 86400000) * 86400000 AS day,
+  SELECT ({FDIV("epoch_ns(ts)//1000000", 86400000)}) * 86400000 AS day,
          CAST(user_id AS VARCHAR) AS elem,
          {duck_hash64("concat('shll:', CAST(user_id AS VARCHAR))")} AS h
   FROM events

@@ -36,7 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 from uts_spark.operators.aggregates import Metric
-from uts_spark.registry import DAY, DSUM, HOUR, MS, NOW_MS, query, table
+from uts_spark.registry import DAY, DSUM, FDIV, HOUR, MS, NOW_MS, query, table
 from uts_spark.streaming.ops import (
     tumbling_agg_stream,
     uts_interval_agg_stream,
@@ -216,7 +216,7 @@ def stream_uts_interval_append_replay(spark, sf_dir):
     "stream_tumbling_agg_replay",
     f"""
     WITH pts AS (SELECT {MS} AS t, value FROM events)
-    SELECT (t // {DAY}) * {DAY} AS start,
+    SELECT ({FDIV("t", DAY)}) * {DAY} AS start,
            CAST({DAY} AS BIGINT) AS width,
            COALESCE({DSUM('value')}/COUNT(value), 0.0) AS mean_value,
            COUNT(*) AS n
@@ -828,15 +828,15 @@ _ZW = 6 * HOUR
       FROM events
     ),
     st AS (
-      SELECT k, t // {_ZW} AS w, COUNT(*) AS n,
+      SELECT k, {FDIV("t", _ZW)} AS w, COUNT(*) AS n,
              SUM(v) AS s1, SUM(v * v) AS s2
-      FROM pts GROUP BY k, t // {_ZW}
+      FROM pts GROUP BY k, {FDIV("t", _ZW)}
     )
     SELECT p.k AS series, p.t AS ts_ms, p.v AS value,
            (p.v - b.s1 / b.n)
              / sqrt((b.s2 - b.s1 * b.s1 / b.n) / b.n) AS z
     FROM pts p
-    JOIN st b ON b.k = p.k AND b.w = p.t // {_ZW} - 1
+    JOIN st b ON b.k = p.k AND b.w = {FDIV("p.t", _ZW)} - 1
     WHERE b.n >= 5 AND (b.s2 - b.s1 * b.s1 / b.n) / b.n > 0
       AND abs((p.v - b.s1 / b.n)
               / sqrt((b.s2 - b.s1 * b.s1 / b.n) / b.n)) > 2
@@ -1074,7 +1074,7 @@ def stream_jpeg_decode_replay(spark, sf_dir):
     f"""
     WITH pts AS (SELECT {MS} AS t, value FROM events),
     fan AS (
-      SELECT ((t // {DAY}) - o.o) * {DAY} AS start, value
+      SELECT (({FDIV("t", DAY)}) - o.o) * {DAY} AS start, value
       FROM pts, (SELECT unnest(range(0, 2)) AS o) o
     )
     SELECT start, CAST({2 * DAY} AS BIGINT) AS width,

@@ -18,7 +18,7 @@ from uts_spark.operators.timeseries import (
     packed_order_key,
     resample,
 )
-from uts_spark.registry import DAY, HOUR, MS, query, table
+from uts_spark.registry import DAY, FDIV, HOUR, MS, query, table
 
 _W = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 _WF = "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
@@ -56,7 +56,7 @@ def ts_counter_rate(spark, sf_dir):
     "ts_resample_hourly",
     f"""
     SELECT user_id,
-           ({MS} // {HOUR}) * {HOUR} AS bucket_ms,
+           ({FDIV(MS, HOUR)}) * {HOUR} AS bucket_ms,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
              AS mean_v,
            MIN(value) AS min_v,
@@ -64,7 +64,7 @@ def ts_counter_rate(spark, sf_dir):
            COUNT(value) AS n,
            max_by(value, event_id) AS last_v
     FROM events
-    GROUP BY user_id, ({MS} // {HOUR}) * {HOUR}
+    GROUP BY user_id, ({FDIV(MS, HOUR)}) * {HOUR}
     """,
 )
 def ts_resample_hourly(spark, sf_dir):
@@ -188,7 +188,7 @@ from uts_spark.operators.timeseries import ohlc, twap  # noqa: E402
     "ts_ohlc_hourly",
     f"""
     WITH b AS (
-      SELECT event_type, ({MS} // {HOUR}) * {HOUR} AS bucket_ms,
+      SELECT event_type, ({FDIV(MS, HOUR)}) * {HOUR} AS bucket_ms,
              {MS} AS t, event_id, value
       FROM events
     ),
@@ -253,7 +253,7 @@ def ts_twap_by_type(spark, sf_dir):
     WITH e AS (SELECT event_type, {MS} AS t, value FROM events),
     x AS (
       SELECT event_type, value,
-             unnest([((t // {DAY}) - 1) * {DAY}, (t // {DAY}) * {DAY}]) AS start
+             unnest([(({FDIV("t", DAY)}) - 1) * {DAY}, ({FDIV("t", DAY)}) * {DAY}]) AS start
       FROM e
     )
     SELECT start, event_type,
@@ -546,7 +546,7 @@ _LTTB_W = 6 * HOUR
     f"""
     WITH p AS (
       SELECT user_id AS k, {MS} AS t, value AS v, event_id AS o,
-             ({MS}) // {_LTTB_W} AS b
+             {FDIV(MS, _LTTB_W)} AS b
       FROM events
     ),
     cent AS (
@@ -608,7 +608,7 @@ _M4_W = 6 * HOUR  # pixel-bucket width
     f"""
     WITH p AS (
       SELECT user_id AS k, {MS} AS t, value AS v, event_id,
-             ({MS} // {_M4_W}) * {_M4_W} AS bucket
+             ({FDIV(MS, _M4_W)}) * {_M4_W} AS bucket
       FROM events WHERE value IS NOT NULL
     ),
     r AS (
@@ -647,7 +647,7 @@ def ts_m4_downsample(spark, sf_dir):
     return (
         ev.groupBy(
             F.col("user_id").alias("k"),
-            ((F.col("ts_ms") / _M4_W).cast("long") * _M4_W).alias("bucket"),
+            (F.floor(F.col("ts_ms") / F.lit(_M4_W)).cast("long") * _M4_W).alias("bucket"),
         )
         .agg(
             F.min("value").alias("v_min"),
@@ -896,15 +896,15 @@ _HW_M = 24  # hour-of-day season
 
 def _duck_hw() -> str:
     series = f"""
-      WITH b AS (SELECT MIN({MS}) // {HOUR} AS h0, MAX({MS}) // {HOUR} AS h1
+      WITH b AS (SELECT {FDIV(f"MIN({MS})", HOUR)} AS h0, {FDIV(f"MAX({MS})", HOUR)} AS h1
                  FROM events),
       spine AS (
         SELECT t.event_type, unnest(generate_series(b.h0, b.h1, 1)) AS h
         FROM b, (SELECT DISTINCT event_type FROM events) t
       ),
       cnt AS (
-        SELECT event_type, {MS} // {HOUR} AS h, COUNT(*) AS n
-        FROM events GROUP BY event_type, {MS} // {HOUR}
+        SELECT event_type, {FDIV(MS, HOUR)} AS h, COUNT(*) AS n
+        FROM events GROUP BY event_type, {FDIV(MS, HOUR)}
       )
       SELECT spine.event_type, spine.h * {HOUR} AS hr_ms,
              CAST(COALESCE(cnt.n, 0) AS DOUBLE) AS y
@@ -1167,10 +1167,10 @@ _ACF_LAGS = (1, 2, 3)
     "ts_acf_pack",
     f"""
     WITH hr AS (
-      SELECT event_type, {MS} // {HOUR} AS h,
+      SELECT event_type, {FDIV(MS, HOUR)} AS h,
              CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) * 100 AS BIGINT)
                AS x
-      FROM events GROUP BY event_type, {MS} // {HOUR}
+      FROM events GROUP BY event_type, {FDIV(MS, HOUR)}
     ),
     lags(lag) AS (SELECT UNNEST([{', '.join(map(str, _ACF_LAGS))}])),
     p AS (

@@ -47,6 +47,21 @@ HOUR = 3_600_000
 MS = "epoch_ns(ts)//1000000"
 
 
+def FDIV(x: str, d: int) -> str:
+    """Floor division, DuckDB side.
+
+    DuckDB's integer ``//`` TRUNCATES toward zero (verified:
+    ``-1 // 86400000 = 0``), exactly like Spark's ``div`` — it is NOT
+    Python's flooring ``//``.  Spark-side bucket computations use
+    ``F.floor(col / lit(d))`` (the correct time-bucket semantic: a
+    pre-epoch timestamp belongs to the lower bucket), so every oracle
+    bucket must floor too.  Double division is exact enough here:
+    |x| < 2^53 for epoch-ms values, and the quotient's distance to an
+    integer boundary (>= 1/d) dwarfs the quotient ulp.
+    """
+    return f"CAST(floor(({x}) / {float(d)!r}) AS BIGINT)"
+
+
 def DSUM(expr: str) -> str:
     """Decimal-stable sum, DuckDB side (mirror of aggregates.stable_sum)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
