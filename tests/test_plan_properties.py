@@ -629,11 +629,16 @@ def test_no_workflow_tooling_paths_in_source():
 
 
 def test_timestamp_bucketing_floors_on_negative_ts(spark):
-    # ADVICE r4: Spark `div` truncates toward zero, the DuckDB `//`
-    # oracles floor — bucket computations must use the floor idiom so
-    # pre-epoch timestamps land in the right (lower) bucket
+    # Bucket convention (round 5): FLOOR division on BOTH sides.
+    # Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+    # (verified: -1 // 86400000 = 0 in DuckDB), so the Spark side uses
+    # F.floor(col / lit(d)) and the oracles use registry.FDIV — this
+    # test pins that the two floor forms agree on negative (pre-epoch)
+    # timestamps, where the truncating forms would not.
     import duckdb
     from pyspark.sql import functions as F
+
+    from uts_spark.registry import FDIV
 
     DAY = 86_400_000
     ts = [-1, -DAY - 1, -DAY, 0, DAY - 1, DAY, 3 * DAY + 7, -5 * DAY + 3]
@@ -643,7 +648,12 @@ def test_timestamp_bucketing_floors_on_negative_ts(spark):
     got = {r["ts_ms"]: r["day"] for r in df.collect()}
     con = duckdb.connect()
     want = {
-        t: con.execute(f"SELECT {t} // {DAY}").fetchone()[0] for t in ts
+        t: con.execute(f"SELECT {FDIV(str(t), DAY)}").fetchone()[0]
+        for t in ts
     }
     con.close()
     assert got == want
+    # and floor differs from the truncating forms on negatives, so this
+    # test would catch a regression to either `div` or bare `//`
+    assert want[-1] == -1 and (-1) // DAY == -1  # python floors too
+    assert con is not None
