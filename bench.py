@@ -7,14 +7,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes fully via the noop sink (no driver-side collect — the
 measured cost is the distributed plan, not result transfer).
 
-Each query runs three times: one cold pass (pays one-time JVM codegen of
-the generated code, ~2-4 s for the biggest dedup DAGs) and two timed
-steady-state passes, reporting the per-query MINIMUM of the timed
-passes. Codegen amortizes to zero against hours of executor time at
-production scale, so steady-state is the number that predicts 100 TB
-behavior; the min damps co-tenant CPU noise (observed 2-8x spikes on
-this host). The cold pass total is emitted under "cold_total_sec" so
-compile overhead stays visible.
+Noise-robust protocol (round 5): one cold pass (pays one-time JVM codegen
+of the generated code, ~2-4 s for the biggest dedup DAGs) then THREE
+steady-state passes; the reported per-query number is the MEDIAN of the
+warm passes, which is robust to a single co-tenant CPU spike in either
+direction (observed 2-8x spikes on this host made BENCH_r04 read +23%
+uniform inflation).  The per-query MIN is also emitted ("queries_min")
+as the best-case sustained number, the cold total stays visible under
+"cold_total_sec", and os.getloadavg() is recorded at start and end so
+the artifact is self-adjudicating: a high load field explains an
+inflated total without a re-run.
 """
 
 from __future__ import annotations
@@ -22,10 +24,13 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WARM_PASSES = 3
 
 
 def main() -> None:
@@ -36,6 +41,7 @@ def main() -> None:
     from uts_spark.session import get_spark
     from uts_spark.registry import QUERIES, HEADLINE
 
+    load_start = os.getloadavg()
     spark = get_spark("uts-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,27 +52,33 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
 
-    # passes 2-3 (steady-state): per-query min is reported — what a
-    # long-running cluster job actually sustains
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # warm passes: median predicts sustained behavior, min is best-case
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(WARM_PASSES):
         for name in HEADLINE:
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(time.time() - t0)
 
-    total = round(sum(timings.values()), 3)
+    med = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    mins = {n: round(min(s), 3) for n, s in samples.items()}
+    load_end = os.getloadavg()
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": round(sum(med.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": med,
+                "queries_min": mins,
+                "min_total_sec": round(sum(mins.values()), 3),
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "warm_passes": WARM_PASSES,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
             }
         )
     )
