@@ -115,7 +115,7 @@ from uts_spark.queries import sketch_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 273
+_REGISTRY_FLOOR = 275
 if len(QUERIES) < _REGISTRY_FLOOR:
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < floor {_REGISTRY_FLOOR} — "
@@ -176,4 +176,7 @@ HEADLINE = [n for n in (
     # r4b: the lossy-codec lane — full per-image Huffman entropy decode
     # + IDCT; tracks the Python-kernel batch path under load
     "multimodal_jpeg_decode",
+    # r5: trained-BPE corpus-wide apply — train rounds on the distinct
+    # word table + one corpus-sized dictionary join
+    "text_bpe_apply",
 ) if n in QUERIES]
