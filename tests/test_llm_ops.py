@@ -619,3 +619,31 @@ def test_exact_substring_spans_semantics(spark):
         hash64(F.lit("alpha beta gamma delta"))
     ).collect()
     assert out[1]["kept_hash"] == h1
+
+
+def test_ann_index_probe_matches_recompute_lsh(spark, sf_dir):
+    """The persisted-index probe must return exactly the recompute
+    lsh_topk result at the same (planes, tables) config — persistence
+    is a physical optimization, never a semantic one."""
+    from uts_spark.functions.similarity import lsh_topk
+    from uts_spark.queries.llm_ops import (
+        EMB_DIM,
+        _ANN_IDX_PLANES,
+        _ANN_IDX_TABLES,
+        similarity_ann_index_probe,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = e.filter(F.col("vec_id") < 5)
+    want = {
+        (r.anchor_id, r.neighbor_id, r.rank, r.cosine)
+        for r in lsh_topk(
+            e, anchors, dim=EMB_DIM, k=10,
+            planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+        ).collect()
+    }
+    got = {
+        (r.anchor_id, r.neighbor_id, r.rank, r.cosine)
+        for r in similarity_ann_index_probe(spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -657,3 +657,13 @@ def test_timestamp_bucketing_floors_on_negative_ts(spark):
     # test would catch a regression to either `div` or bare `//`
     assert want[-1] == -1 and (-1) // DAY == -1  # python floors too
     assert con is not None
+
+
+def test_ann_index_probe_scan_is_partition_pruned(spark, sf_dir):
+    # the persisted-index probe must scan ONLY the anchors' (table,
+    # bucket) partitions — the index scan carries non-empty
+    # PartitionFilters on both partition columns, never a full scan
+    p = plan(spark, sf_dir, "similarity_ann_index_probe")
+    scans = [seg for seg in p.split("PartitionFilters: [")[1:]]
+    idx_filters = [seg.split("]")[0] for seg in scans]
+    assert any("bucket" in f and "table" in f for f in idx_filters), idx_filters
