@@ -30,6 +30,11 @@ def main() -> None:
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # registry must load BEFORE any direct queries-module import (the
+    # circular-import trap: entering sketch_ops first leaves a partial
+    # module in sys.modules and the registry floor fires)
+    import uts_spark.registry  # noqa: F401
+
     t0 = 1_700_000_000_000
     ev = spark.range(rows).select(
         F.col("id").alias("ingest_id"),
@@ -162,12 +167,346 @@ def main() -> None:
         "window_funnel_step_24h_arrays": _funnel_step_arrays,
     }
 
+    # ---- r5 (VERDICT r4 #8): the eight newest operator families at
+    # smoke scale. Each lane reproduces the registered query's plan
+    # shape on synthetic JVM-side inputs sized from `rows`.
+    from uts_spark.functions.hashing import hash64
+
+    DAY = 86_400_000
+
+    def _hll_daily(df):
+        # own-HLL register fold: input-sized map, <=256-rows/day shuffle
+        MASK = (1 << 52) - 1
+        elem = F.concat(F.lit("h:"), F.col("user_id").cast("string"))
+        rest = hash64(elem).bitwiseAND(F.lit(MASK))
+        rh = df.select(
+            F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long").alias("day"),
+            F.shiftright(hash64(elem), 52).alias("bucket"),
+            F.when(rest == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.conv(rest, 10, 2)))
+            .alias("rho"),
+        )
+        regs = rh.groupBy("day", "bucket").agg(F.max("rho").alias("reg"))
+        term = F.expr("CAST(power(2.0, 53 - reg) AS BIGINT)")
+        return regs.groupBy("day").agg(
+            (F.sum(term) + (F.lit(256) - F.count("*")) * F.lit(1 << 53))
+            .alias("reg_sum")
+        )
+
+    def _qdigest(df):
+        # mergeable decimation digest: 32 shard sorts + decimated merge
+        from uts_spark.operators.distributed_rank import ranked_cumsum
+
+        sh = df.select(
+            F.col("ingest_id").alias("uid"), F.col("value").alias("v")
+        ).withColumn(
+            "shard", F.pmod(hash64(F.col("uid").cast("string")), F.lit(32))
+        )
+        wsh = Window.partitionBy("shard").orderBy("v", "uid")
+        rk = sh.select(
+            "v", "uid",
+            F.row_number().over(wsh).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("ns"),
+        )
+        kept = rk.filter((F.col("rn") - 1) % 16 == 0).select(
+            "v", "uid",
+            F.least(F.lit(16), F.col("ns") - F.col("rn") + 1).alias("w"),
+        )
+        samp = ranked_cumsum(
+            kept, F.col("v"), [F.col("v").asc(), F.col("uid").asc()],
+            values={"w": F.col("w")},
+        )
+        qdf = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+        target = F.greatest(F.ceil(F.col("q") * F.col("tot_w")), F.lit(1))
+        return (
+            samp.crossJoin(F.broadcast(qdf))
+            .filter(F.col("cum_w") >= target)
+            .groupBy("q")
+            .agg(F.min_by("v", "cum_w").alias("est"))
+        )
+
+    def _interval_overlap(df):
+        # sessions x busy-hour incidents, canonical-cell grid join
+        G = 6 * HOUR
+        GAP = 30 * 60 * 1000
+        hours = max(1, rows * 50 // HOUR)
+        k_busy = max(1, rows // 8 // hours)
+        wu = Window.partitionBy("user_id").orderBy("ts_ms")
+        flg = df.select(
+            "user_id", "ts_ms",
+            F.when(
+                F.lag("ts_ms").over(wu).isNull()
+                | (F.col("ts_ms") - F.lag("ts_ms").over(wu) > GAP),
+                1,
+            ).otherwise(0).alias("f"),
+        )
+        sid = flg.withColumn(
+            "sid",
+            F.sum("f").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        sessions = sid.groupBy("user_id", "sid").agg(
+            F.min("ts_ms").alias("s_start"), F.max("ts_ms").alias("s_end")
+        )
+        hourly = df.groupBy(
+            "event_type",
+            F.floor(F.col("ts_ms") / F.lit(HOUR)).cast("long").alias("hr"),
+        ).count()
+        busy = hourly.filter(F.col("count") >= k_busy)
+        wt = Window.partitionBy("event_type").orderBy("hr")
+        incidents = (
+            busy.select(
+                "event_type", "hr",
+                (F.col("hr") - F.row_number().over(wt)).alias("island"),
+            )
+            .groupBy("event_type", "island")
+            .agg(
+                (F.min("hr") * HOUR).alias("i_start"),
+                ((F.max("hr") + 1) * HOUR - 1).alias("i_end"),
+            )
+        )
+        a = sessions.withColumn(
+            "cell",
+            F.explode(F.sequence(
+                F.floor(F.col("s_start") / F.lit(G)).cast("long"),
+                F.floor(F.col("s_end") / F.lit(G)).cast("long"),
+            )),
+        )
+        b = incidents.withColumn(
+            "cell",
+            F.explode(F.sequence(
+                F.floor(F.col("i_start") / F.lit(G)).cast("long"),
+                F.floor(F.col("i_end") / F.lit(G)).cast("long"),
+            )),
+        )
+        return (
+            a.join(b, "cell")
+            .filter(
+                (F.col("s_start") <= F.col("i_end"))
+                & (F.col("i_start") <= F.col("s_end"))
+                & (
+                    F.col("cell")
+                    == F.floor(
+                        F.greatest("s_start", "i_start") / F.lit(G)
+                    ).cast("long")
+                )
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        )
+
+    def _maxsim(_df):
+        # ColBERT MaxSim: 4 chunks x 16 dims, 8 broadcast anchors
+        n_vec = max(1000, rows // 400)
+        vec = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.pmod(F.xxhash64("id", F.lit(d)), 2001) - 1000) / 1000.0
+                for d in range(64)
+            ]).alias("embedding"),
+        )
+        chunk_arr = F.array(*[
+            F.slice(F.col("embedding"), i * 16 + 1, 16) for i in range(4)
+        ])
+        ch = vec.select(
+            "vec_id", F.posexplode(chunk_arr).alias("ci", "chunk")
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("chunk"), F.col("qchunk"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        q = ch.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("ci").alias("qi"),
+            F.col("chunk").alias("qchunk"),
+        )
+        per_qi = (
+            ch.crossJoin(F.broadcast(q))
+            .filter(F.col("anchor_id") != F.col("vec_id"))
+            .withColumn("cos", dot)
+            .groupBy("anchor_id", "vec_id", "qi")
+            .agg(F.max("cos").alias("best"))
+        )
+        scored = per_qi.groupBy("anchor_id", "vec_id").agg(
+            F.sum("best").alias("maxsim")
+        )
+        wr = Window.partitionBy("anchor_id").orderBy(
+            F.desc("maxsim"), F.asc("vec_id")
+        )
+        return scored.withColumn("rk", F.row_number().over(wr)).filter(
+            F.col("rk") <= 3
+        )
+
+    def _lpa(_df):
+        # 4 synchronous plurality rounds over a hash graph
+        n_nodes = 50_000
+        edges_half = spark.range(max(1000, rows // 20)).select(
+            F.pmod(F.xxhash64("id", F.lit(51)), n_nodes).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(52)), n_nodes).alias("dst"),
+        ).filter(F.col("src") != F.col("dst")).distinct()
+        edges = edges_half.unionByName(
+            edges_half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        ).localCheckpoint(eager=True)
+        labels = edges.select(F.col("src").alias("node")).distinct(
+        ).withColumn("label", F.col("node"))
+        for _ in range(4):
+            votes = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy(F.col("src").alias("v"), "label")
+                .count()
+            )
+            wv = Window.partitionBy("v").orderBy(
+                F.col("count").desc(), F.col("label").asc()
+            )
+            labels = (
+                votes.withColumn("rn", F.row_number().over(wv))
+                .filter(F.col("rn") == 1)
+                .select(F.col("v").alias("node"), "label")
+                .localCheckpoint(eager=True)
+            )
+        return labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+
+    _VOCAB_WORDS = [
+        "".join(chr(97 + (i * 7 + j * 13) % 26) for j in range(5))
+        for i in range(2000)
+    ]
+
+    def _bpe_train(_df):
+        # 3 merge rounds: corpus tokenize is the only input-sized pass
+        from uts_spark.queries.sketch_ops import (
+            _bpe_merge_round,
+            _bpe_word_table,
+        )
+
+        vocab = F.array(*[F.lit(w) for w in _VOCAB_WORDS])
+        docs = spark.range(max(1000, rows // 10)).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.element_at(
+                    vocab,
+                    (F.pmod(F.xxhash64("id", F.lit(j)), 2000) + 1).cast("int"),
+                )
+                for j in range(10)
+            ]).alias("text"),
+        )
+        words = _bpe_word_table(docs)
+        for _ in range(3):
+            _top, words = _bpe_merge_round(words)
+        return words.agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size(F.split("seg", r"\|")) * F.col("freq")).alias(
+                "corpus_symbols"
+            ),
+        )
+
+    def _checksum_recon(_df):
+        # XOR bucket checksums + drilldown only into bad buckets
+        o = spark.range(rows).select(
+            F.col("id").alias("k"),
+            (F.pmod(F.xxhash64("id", F.lit(9)), 1_000_000) / 100.0)
+            .alias("price"),
+        )
+        drift = o.filter(F.col("k") % 997 != 7).withColumn(
+            "price",
+            F.col("price")
+            + F.when(F.col("k") % 997 == 13, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        fp = hash64(F.concat_ws(
+            "|", F.col("k").cast("string"),
+            F.floor(F.col("price") * 100 + 0.5).cast("long").cast("string"),
+        ))
+        bucket = F.pmod(hash64(F.concat(F.lit("b:"), F.col("k").cast("string"))), F.lit(64))
+
+        def side(df, n, x):
+            return df.select(F.col("k"), bucket.alias("bucket"), fp.alias("fp")) \
+                .groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias(n), F.bit_xor("fp").alias(x))
+
+        v1 = o.select("k", bucket.alias("bucket"), fp.alias("fp"))
+        v2 = drift.select("k", bucket.alias("bucket"), fp.alias("fp"))
+        bad = (
+            side(o, "n1", "x1").join(side(drift, "n2", "x2"), "bucket", "full")
+            .filter(
+                (F.coalesce("n1", F.lit(0)) != F.coalesce("n2", F.lit(0)))
+                | ~F.col("x1").eqNullSafe(F.col("x2"))
+            )
+            .select("bucket")
+        )
+        d1 = v1.join(F.broadcast(bad), "bucket", "semi")
+        d2 = v2.join(F.broadcast(bad), "bucket", "semi").select(
+            F.col("k").alias("k2"), F.col("fp").alias("fp2")
+        )
+        return (
+            d1.join(d2, d1["k"] == d2["k2"], "full")
+            .filter(
+                F.col("k").isNull() | F.col("k2").isNull()
+                | (F.col("fp") != F.col("fp2"))
+            )
+            .groupBy(F.col("k").isNull().alias("extra"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _stream_hll(df):
+        # the watermarked streaming register fold through real
+        # micro-batches (4 files + 2 sentinel feeds)
+        from uts_spark.queries.streaming_replay import _replay
+
+        MASK = (1 << 52) - 1
+        elem = F.concat(F.lit("sh:"), F.col("user_id").cast("string"))
+        rest = hash64(elem).bitwiseAND(F.lit(MASK))
+        src = df.select(
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            F.shiftright(hash64(elem), 52).alias("bucket"),
+            F.when(rest == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.conv(rest, 10, 2)))
+            .alias("rho"),
+        )
+        max_ms = t0 + rows * 50 + 40_000
+        sentinels = [
+            spark.createDataFrame([(ms,)], "ms long").select(
+                F.timestamp_millis(F.col("ms")).alias("ts"),
+                F.lit(0).cast("long").alias("bucket"),
+                F.lit(1).alias("rho"),
+            )
+            for ms in (max_ms + 100 * DAY, max_ms + 101 * DAY)
+        ]
+
+        def build(stream):
+            out = (
+                stream.withWatermark("ts", "60 days")
+                .groupBy(F.window("ts", "1 day"), "bucket")
+                .agg(F.max("rho").alias("reg"))
+            )
+            return (
+                out.select(
+                    F.unix_millis(F.col("window.start")).alias("day"),
+                    "bucket", "reg",
+                ),
+                "append",
+            )
+
+        return _replay(spark, src, build, extra_feeds=sentinels)
+
+    ops.update({
+        "hll_daily_registers": _hll_daily,
+        "quantile_digest_32x16": _qdigest,
+        "interval_overlap_grid": _interval_overlap,
+        "maxsim_colbert_top3": _maxsim,
+        "label_propagation_4r": _lpa,
+        "bpe_train_3_rounds": _bpe_train,
+        "checksum_reconciliation": _checksum_recon,
+        "streaming_hll_replay": _stream_hll,
+    })
+
     timings = {}
     for name, fn in ops.items():
         t = time.time()
         fn(ev).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t, 2)
-    print(json.dumps({"rows": rows, "timings": timings}))
+    print(json.dumps(
+        {"rows": rows, "loadavg": os.getloadavg()[0], "timings": timings}
+    ))
     spark.stop()
 
 
