@@ -647,3 +647,33 @@ def test_ann_index_probe_matches_recompute_lsh(spark, sf_dir):
         for r in similarity_ann_index_probe(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    """PQ/ADC top-10 vs exact L2 top-10. These synthetic embeddings are
+    DIFFUSE (near-uniform random — the hardest case for any quantizer;
+    cf. the 12x4 LSH collapse), so the floor is modest: PQ on real
+    clustered embeddings recalls far higher. Also pins determinism:
+    two runs return identical rows."""
+    import numpy as np
+
+    from uts_spark.functions.similarity import pq_adc_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = e.filter(F.col("vec_id") < 5)
+    pq1 = pq_adc_topk(e, anchors, dim=64, k=10).collect()
+    pq2 = pq_adc_topk(e, anchors, dim=64, k=10).collect()
+    assert {tuple(r) for r in pq1} == {tuple(r) for r in pq2}
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    recalls = []
+    for a in range(5):
+        av = M[ids == a][0]
+        d2 = ((M - av) ** 2).sum(axis=1)
+        d2[ids == a] = np.inf
+        top = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        got = {r.neighbor_id for r in pq1 if r.anchor_id == a}
+        recalls.append(len(top & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.1

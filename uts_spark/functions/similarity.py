@@ -681,3 +681,113 @@ def lsh_index_probe(
         cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
     )
     return _rank_topk(scored, k)
+
+
+# --------------------------------------------------------------------------
+# Product quantization + asymmetric distance (Jegou et al. 2011) — the
+# third leg of the ANN triad (LSH buckets, IVF cells, PQ codes). The
+# corpus compresses to m_sub small codes per vector; a query scans
+# codes with a per-query lookup table (ADC), never raw vectors.
+
+def pq_adc_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    dim: int,
+    k: int = 10,
+    m_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ: per subspace the ``n_cent`` codebook entries
+    are the subvectors of the corpus vectors with the smallest portable
+    hash (hash-seeded codebook — no k-means RNG, same device as
+    ivf_topk_det), assignment is integer-snapped argmin L2 (ties to the
+    smaller centroid id), and query scoring is the ADC lookup-table
+    join: LUT rows = anchors x m_sub x n_cent, distance = exact BIGINT
+    sum of the per-subspace snapped entries (order-independent).
+
+    Scale shape: the corpus is touched twice — once to encode (narrow
+    (vec, m, code) rows; at fleet scale the codes table IS the persisted
+    index, 8 bytes/vector) and once as the codes scan per query batch;
+    the codebook and every LUT are broadcast; nothing quadratic, no
+    raw-vector shuffle at query time."""
+    d_sub = dim // m_sub
+    subs = F.array(*[
+        F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
+    ])
+
+    def d2n(a: Column, b: Column) -> Column:
+        diffs = F.zip_with(
+            a, b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(SCALE) + F.lit(0.5)
+            ),
+        )
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    cents = (
+        emb.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("pqc:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_cent)
+    )
+    cexp = cents.select(
+        "cent_id",
+        F.posexplode(F.array(*[
+            F.slice(F.col("__cv"), m * d_sub + 1, d_sub) for m in range(m_sub)
+        ])).alias("m", "csub"),
+    )
+    vexp = emb.select(
+        F.col(id_col).alias("vid"), F.posexplode(subs).alias("m", "vsub")
+    )
+    codes = (
+        vexp.join(F.broadcast(cexp), "m")
+        .select(
+            "vid", "m",
+            F.struct(
+                d2n(F.col("vsub"), F.col("csub")).alias("d"),
+                F.col("cent_id").alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("vid", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vid", "m", F.col("s.c").alias("code"))
+    )
+    aexp = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.posexplode(subs).alias("m", "asub")
+    )
+    lut = (
+        aexp.join(F.broadcast(cexp), "m")
+        .select(
+            "anchor_id", "m",
+            F.col("cent_id").alias("code"),
+            d2n(F.col("asub"), F.col("csub")).alias("d2n"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vid") != F.col("anchor_id"))
+        .groupBy("anchor_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d2n").alias("adc_n"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.asc("adc_n"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            (F.col("adc_n").cast("double") / F.lit(SCALE)).alias("adc_d2"),
+            "rank",
+        )
+    )

@@ -731,6 +731,97 @@ def similarity_ann_lsh(spark, sf_dir):
     return lsh_topk(e, anchors, dim=EMB_DIM, k=10, planes=12, tables=4)
 
 
+_PQ_M = 8       # subspaces
+_PQ_D = 8       # dims per subspace (EMB_DIM // _PQ_M)
+_PQ_C = 16      # codebook entries per subspace
+
+
+def _duck_pq_adc() -> str:
+    d2n = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> CAST(floor((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * 1e12 + 0.5) "
+        "AS BIGINT)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM e
+      ORDER BY {duck_hash64("concat('pqc:', CAST(vec_id AS VARCHAR))")}, vec_id
+      LIMIT {_PQ_C}
+    ),
+    ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    cexp AS (
+      SELECT cent_id, m, cv[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}] AS csub
+      FROM cents, ms
+    ),
+    vexp AS (
+      SELECT vec_id AS vid, m,
+             embedding[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}] AS vsub
+      FROM e, ms
+    ),
+    dist AS (
+      SELECT vid, v.m, cent_id,
+             {d2n.format(a='vsub', b='csub', n=_PQ_D)} AS d2n
+      FROM vexp v JOIN cexp c ON c.m = v.m
+    ),
+    codes AS (
+      SELECT vid, m, cent_id AS code FROM (
+        SELECT vid, m, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vid, m
+                                  ORDER BY d2n, cent_id) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vid AS anchor_id, m, cent_id AS code, d2n
+      FROM dist WHERE vid < 5
+    ),
+    adc AS (
+      SELECT l.anchor_id, c.vid AS neighbor_id, SUM(l.d2n) AS adc_n
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      WHERE c.vid != l.anchor_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT anchor_id, neighbor_id,
+             CAST(adc_n AS DOUBLE) / 1e12 AS adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY adc_n, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT anchor_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@query("similarity_ann_pq_adc", _duck_pq_adc())
+def similarity_ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011), the third leg of
+    the similarity triad (LSH buckets / IVF cells / PQ codes): the
+    corpus compresses to 8 one-byte-sized codes per vector against a
+    hash-seeded deterministic codebook (16 entries x 8 subspaces — no
+    k-means RNG, the ivf_det device), and each anchor scores the
+    entire codes table through its broadcast ADC lookup table: distance
+    = exact BIGINT sum of integer-snapped per-subspace entries, so even
+    the approximate distances are bit-reproducible in SQL.
+
+    Scale shape: encode is one corpus pass against a broadcast codebook
+    (the codes table is the persisted index at fleet scale — 8
+    bytes/vector vs 256 for raw float64x8); query time touches ONLY
+    codes + a 1024-row broadcast LUT per anchor batch; nothing
+    quadratic, no raw-vector shuffle. Recall vs exact is measured in
+    tests/test_llm_ops.py."""
+    from uts_spark.functions.similarity import pq_adc_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(
+        e, anchors, dim=EMB_DIM, k=10, m_sub=_PQ_M, n_cent=_PQ_C
+    )
+
+
 _ANN_IDX_PLANES = 8
 _ANN_IDX_TABLES = 2
 
