@@ -887,6 +887,98 @@ def duck_exact_substring_spans(L: int = 15) -> str:
     """
 
 
+def minimizer_positions(df, text_col: str, id_col: str, k: int = 8,
+                        w: int = 8):
+    """Winnowing/minimizer anchor selection (Schleimer et al. 2003):
+    per doc, hash every word ``k``-gram, and select a position iff it
+    is the (h, pos)-minimum of SOME window of ``w`` consecutive
+    positions — the standard thinning that guarantees any duplicated
+    span of >= k + w - 1 words still carries a SHARED selected anchor
+    in both copies (a full window fits inside the span, and identical
+    window contents select the identical offset).
+
+    Returns (id_col, pos, gram) for the selected anchors. Two rolling
+    doc-partitioned windows + one bounded join (w rows per window) —
+    no global sort, no python.
+    """
+    from uts_spark.functions.hashing import hash64
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("ws"))
+    grams = F.when(
+        F.size(F.col("ws")) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ws")) - k),
+            lambda i: F.struct(
+                (i + F.lit(1)).cast("long").alias("pos"),
+                F.array_join(F.slice(F.col("ws"), i + 1, k), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,gram:string>>"))
+    g = base.select(id_col, F.explode(grams).alias("g")).select(
+        id_col,
+        F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
+    ).withColumn("h", hash64(F.col("gram")))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    wins = g.select(
+        id_col,
+        F.col("pos").alias("s"),
+        F.min("h").over(win).alias("minh"),
+        F.max("pos").over(win).alias("smax"),
+    ).filter(F.col("smax") == F.col("s") + w - 1)  # full windows only
+    cand = (
+        wins.withColumn("pos", F.explode(F.sequence(
+            F.col("s"), F.col("s") + F.lit(w - 1))))
+        .join(g, [id_col, "pos"])
+        .filter(F.col("h") == F.col("minh"))
+        .groupBy(id_col, "s")
+        .agg(F.min("pos").alias("pos"))  # (h, pos)-min: pos breaks h ties
+        .select(id_col, "pos")
+        .distinct()
+    )
+    return cand.join(g.select(id_col, "pos", "gram"), [id_col, "pos"])
+
+
+def duck_minimizer_positions(k: int = 8, w: int = 8) -> str:
+    """CTE chain mirroring :func:`minimizer_positions`; exposes
+    ``ganchor(doc_id, pos, gram, h)`` and ``msel(doc_id, pos, gram)``."""
+    from uts_spark.functions.hashing import duck_hash64
+
+    return f"""
+    tmin AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents),
+    ganchor AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[i:i+{k - 1}], ' ') AS gram,
+             {duck_hash64(f"array_to_string(ws[i:i+{k - 1}], ' ')")} AS h
+      FROM tmin, unnest(range(1, len(ws) - {k} + 2)) AS u(i)
+    ),
+    wins AS (
+      SELECT doc_id, pos AS s,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS minh,
+             MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS smax
+      FROM ganchor
+    ),
+    msel0 AS (
+      SELECT g.doc_id, w0.s, MIN(g.pos) AS pos
+      FROM (SELECT * FROM wins WHERE smax = s + {w - 1}) w0
+      JOIN ganchor g
+        ON g.doc_id = w0.doc_id
+       AND g.pos BETWEEN w0.s AND w0.s + {w - 1}
+       AND g.h = w0.minh
+      GROUP BY g.doc_id, w0.s
+    ),
+    msel AS (
+      SELECT DISTINCT m.doc_id, m.pos, g.gram
+      FROM (SELECT DISTINCT doc_id, pos FROM msel0) m
+      JOIN ganchor g ON g.doc_id = m.doc_id AND g.pos = m.pos
+    )"""
+
+
 # Tiny deterministic sentiment lexicons (SURVEY §2.7's promised
 # sentiment-lexicon scoring — the point is the scalable shape: pure
 # array-intersection expressions, not lexicon quality).

@@ -1308,6 +1308,132 @@ def text_exact_substring_spans(spark, sf_dir):
     return exact_substring_spans(docs, "text", "doc_id", L=15)
 
 
+def _duck_minimizer_eval() -> str:
+    from uts_spark.functions.text import duck_minimizer_positions
+
+    L = 15
+    return f"""
+    WITH {duck_minimizer_positions(k=8, w=8)},
+    tspan AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents),
+    gl AS (
+      SELECT doc_id, array_to_string(ws[i:i+{L - 1}], ' ') AS gram
+      FROM tspan, unnest(range(1, len(ws) - {L} + 2)) AS u(i)
+    ),
+    dupl AS (SELECT gram FROM gl GROUP BY gram
+             HAVING COUNT(DISTINCT doc_id) > 1),
+    exact_docs AS (SELECT DISTINCT gl.doc_id FROM gl JOIN dupl USING (gram)),
+    shared AS (SELECT gram FROM msel GROUP BY gram
+               HAVING COUNT(DISTINCT doc_id) > 1),
+    mini_docs AS (SELECT DISTINCT m.doc_id FROM msel m
+                  JOIN shared USING (gram)),
+    nums AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_docs) AS n_exact_docs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mini_docs) AS n_mini_docs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_docs e
+          WHERE e.doc_id IN (SELECT doc_id FROM mini_docs)) AS n_overlap,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ganchor) AS anchors_full,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM msel) AS anchors_sel
+    )
+    SELECT n_exact_docs, n_mini_docs, n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_exact_docs AS recall,
+           CAST(n_overlap AS DOUBLE) / n_mini_docs AS precision,
+           anchors_full, anchors_sel,
+           CAST(anchors_sel AS DOUBLE) / anchors_full AS thin_ratio
+    FROM nums
+    """
+
+
+@query("text_substring_minimizer_eval", _duck_minimizer_eval())
+def text_substring_minimizer_eval(spark, sf_dir):
+    """Minimizer thinning for exact substring dedup, measured as a
+    hash-exact query: winnowing anchors (k=8-gram, w=8 window —
+    functions/text.minimizer_positions) guarantee that every document
+    flagged by the EXACT L=15 span finder still shares a selected
+    anchor with its duplicate (recall MUST read 1.0 — the winnowing
+    guarantee as a monitored number, like the dedup/ANN eval lanes),
+    while selecting only ~2/(w+1) of all k-gram positions (thin_ratio)
+    — the candidate-volume lever at 100 TB. Precision < 1 quantifies
+    the extra verify work the thinned lane hands to exact extension."""
+    from uts_spark.functions.hashing import hash64 as _h64  # noqa: F401
+    from uts_spark.functions.text import minimizer_positions
+
+    L = 15
+    docs = table(spark, sf_dir, "documents")
+    from uts_spark.functions.text import TOKEN_RE
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    base = docs.select("doc_id", toks.alias("ws"))
+    gl = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - L),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i + 1, L), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    dupl = (
+        gl.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    exact_docs = gl.join(dupl, "gram").select("doc_id").distinct()
+
+    ganchor = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 8,
+                F.sequence(F.lit(1), F.size("ws") - 8 + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    )
+    msel = minimizer_positions(docs, "text", "doc_id", k=8, w=8)
+    shared = (
+        msel.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    mini_docs = msel.join(shared, "gram").select("doc_id").distinct()
+
+    ne = exact_docs.agg(F.count(F.lit(1)).cast("long").alias("n_exact_docs"))
+    nm = mini_docs.agg(F.count(F.lit(1)).cast("long").alias("n_mini_docs"))
+    nov = (
+        exact_docs.join(mini_docs, "doc_id", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    af = ganchor.agg(F.count(F.lit(1)).cast("long").alias("anchors_full"))
+    asel = msel.agg(F.count(F.lit(1)).cast("long").alias("anchors_sel"))
+    return (
+        ne.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nov))
+        .crossJoin(F.broadcast(af))
+        .crossJoin(F.broadcast(asel))
+        .select(
+            "n_exact_docs",
+            "n_mini_docs",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_exact_docs")).alias(
+                "recall"
+            ),
+            (F.col("n_overlap").cast("double") / F.col("n_mini_docs")).alias(
+                "precision"
+            ),
+            "anchors_full",
+            "anchors_sel",
+            (F.col("anchors_sel").cast("double") / F.col("anchors_full")).alias(
+                "thin_ratio"
+            ),
+        )
+    )
+
+
 from uts_spark.functions.decontam import (  # noqa: E402
     bloom_contamination,
     duck_bloom_contamination,
