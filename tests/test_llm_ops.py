@@ -683,9 +683,9 @@ def test_minimizer_guarantee_recall_is_one(spark, sf_dir):
     """The winnowing guarantee: every doc the exact L=15 span finder
     flags must also be flagged by k=8/w=8 minimizer anchors (recall
     EXACTLY 1.0), and thinning must be near 2/(w+1)."""
-    from uts_spark.queries.llm_ops import text_substring_minimizer_eval
+    from uts_spark.registry import QUERIES  # registry first: import trap
 
-    [r] = text_substring_minimizer_eval(spark, sf_dir).collect()
+    [r] = QUERIES["text_substring_minimizer_eval"](spark, sf_dir).collect()
     assert r["recall"] == 1.0
     assert 0.1 < r["thin_ratio"] < 0.4
     assert r["n_exact_docs"] > 0
