@@ -625,13 +625,15 @@ def test_ann_index_probe_matches_recompute_lsh(spark, sf_dir):
     """The persisted-index probe must return exactly the recompute
     lsh_topk result at the same (planes, tables) config — persistence
     is a physical optimization, never a semantic one."""
+    import uts_spark.registry as reg  # registry first: import trap
     from uts_spark.functions.similarity import lsh_topk
     from uts_spark.queries.llm_ops import (
         EMB_DIM,
         _ANN_IDX_PLANES,
         _ANN_IDX_TABLES,
-        similarity_ann_index_probe,
     )
+
+    similarity_ann_index_probe = reg.QUERIES["similarity_ann_index_probe"]
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     anchors = e.filter(F.col("vec_id") < 5)
