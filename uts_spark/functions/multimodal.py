@@ -523,6 +523,56 @@ def wav_energy_windows(df: DataFrame, blob_col: str = "media") -> DataFrame:
     return df.select("doc_id", blob_col).mapInPandas(gen, WAV_ENERGY_SCHEMA)
 
 
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, duration_sec double, peak long, "
+    "sum_abs long, zero_crossings long, total_variation long"
+)
+
+
+def wav_clip_features(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Per-CLIP audio features from the decoded PCM (the clip-level
+    complement of wav_energy_windows' frame lane): peak |s|, Σ|s|
+    (integer-exact), zero crossings (sign threshold at >= 0), and total
+    variation Σ|s_i − s_{i−1}| — the standard cheap VAD/quality
+    signals. All integers, so the oracle replays them bit-for-bit from
+    the closed-form waveform."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[blob_col]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    framerate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), "<i2").astype(np.int64)
+                nn = np.abs(pcm)
+                rows.append((
+                    int(doc_id),
+                    n,
+                    n / float(framerate),
+                    int(nn.max()) if n else 0,
+                    int(nn.sum()),
+                    int(((pcm[1:] >= 0) != (pcm[:-1] >= 0)).sum()) if n > 1 else 0,
+                    int(np.abs(np.diff(pcm)).sum()) if n > 1 else 0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "duration_sec", "peak",
+                    "sum_abs", "zero_crossings", "total_variation",
+                ],
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(gen, WAV_FEATURES_SCHEMA)
+
+
 GZIP_TEXT_SCHEMA = (
     "doc_id long, compressed_len long, n_chars long, n_tokens long, "
     "content_md5 string"

@@ -781,6 +781,55 @@ def multimodal_wav_decode(spark, sf_dir):
     return wav_energy_windows(blobs)
 
 
+@query(
+    "multimodal_wav_features",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             4000 + (doc_id * 13) % 2000 AS n,
+             1 + doc_id % 9 AS a,
+             doc_id % 777 AS c0
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, d.n, i.i AS i,
+             (i.i * d.a + d.c0) % 2001 - 1000 AS v,
+             CASE WHEN i.i >= 1
+                  THEN ((i.i - 1) * d.a + d.c0) % 2001 - 1000 END AS pv
+      FROM d, UNNEST(range(0, d.n)) AS i(i)
+    ),
+    agg AS (
+      SELECT doc_id, MIN(n) AS n,
+             MAX(abs(v)) AS peak,
+             SUM(abs(v)) AS sum_abs,
+             SUM(CASE WHEN pv IS NOT NULL
+                       AND ((v >= 0) != (pv >= 0)) THEN 1 ELSE 0 END) AS zc,
+             SUM(CASE WHEN pv IS NOT NULL THEN abs(v - pv) ELSE 0 END) AS tv
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(n AS DOUBLE) / 8000 AS duration_sec,
+           CAST(peak AS BIGINT) AS peak,
+           CAST(sum_abs AS BIGINT) AS sum_abs,
+           CAST(zc AS BIGINT) AS zero_crossings,
+           CAST(tv AS BIGINT) AS total_variation
+    FROM agg
+    """,
+)
+def multimodal_wav_features(spark, sf_dir):
+    """Clip-level audio features through the REAL stdlib-wave decode
+    (functions/multimodal.wav_clip_features): peak, Σ|s|, zero
+    crossings, total variation, duration — the cheap VAD/quality
+    signals an audio-corpus pipeline filters on. The oracle replays
+    every feature arithmetically from the closed-form waveform, so a
+    container-parsing, endianness, or off-by-one defect in the decode
+    breaks the hash. Blobs never shuffle; one stat row per clip moves."""
+    from uts_spark.functions.multimodal import attach_synth_wav, wav_clip_features
+
+    docs = table(spark, sf_dir, "documents")
+    return wav_clip_features(attach_synth_wav(docs))
+
+
 # ===========================================================================
 # Sweep-line concurrency (distributed prefix-sum over interval endpoints)
 # ===========================================================================
