@@ -691,3 +691,24 @@ def test_minimizer_guarantee_recall_is_one(spark, sf_dir):
     assert r["recall"] == 1.0
     assert 0.1 < r["thin_ratio"] < 0.4
     assert r["n_exact_docs"] > 0
+
+
+def test_ivf_index_probe_matches_recompute(spark, sf_dir):
+    """Persisted-IVF probe == recompute ivf_topk_det at the same
+    config — persistence is physical, never semantic."""
+    import uts_spark.registry as reg  # registry first: import trap
+    from uts_spark.functions.similarity import ivf_topk_det
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = e.filter(F.col("vec_id") < 5)
+    want = {
+        (r.anchor_id, r.neighbor_id, r.rank, r.cosine)
+        for r in ivf_topk_det(e, anchors, k=10, n_cells=8, n_probe=3).collect()
+    }
+    got = {
+        (r.anchor_id, r.neighbor_id, r.rank, r.cosine)
+        for r in reg.QUERIES["similarity_ann_ivf_index_probe"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and got

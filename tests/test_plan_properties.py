@@ -667,3 +667,11 @@ def test_ann_index_probe_scan_is_partition_pruned(spark, sf_dir):
     scans = [seg for seg in p.split("PartitionFilters: [")[1:]]
     idx_filters = [seg.split("]")[0] for seg in scans]
     assert any("bucket" in f and "table" in f for f in idx_filters), idx_filters
+
+
+def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_dir):
+    # the persisted-IVF probe must scan only its n_probe cell
+    # directories: the index scan's PartitionFilters carries `cell`
+    p = plan(spark, sf_dir, "similarity_ann_ivf_index_probe")
+    idx_filters = [seg.split("]")[0] for seg in p.split("PartitionFilters: [")[1:]]
+    assert any("cell" in f and f.strip() for f in idx_filters), idx_filters

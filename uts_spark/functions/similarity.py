@@ -791,3 +791,102 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the deterministic-IVF index: assign every corpus vector
+    to its argmax-cosine cell against the hash-seeded centroids (the
+    ivf_topk_det device) and write parquet PARTITIONED BY cell — the
+    inverted file on disk. Probes then scan only their n_probe cell
+    directories."""
+    from uts_spark.sources.sinks import write_partitioned
+
+    cents = (
+        emb.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_cells)
+        .drop("__h")
+    )
+    wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    assigned = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+    write_partitioned(assigned, path, ["cell"])
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    emb_for_centroids: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the persisted IVF index: each anchor ranks the (tiny,
+    recomputed from the same hash seed) centroid table, its n_probe
+    best cells become a STATIC partition filter on the index scan, and
+    candidates rerank exactly. Identical results to ivf_topk_det at the
+    same config (pinned in tests); the anchors' cell list is
+    driver-materialized like the LSH probe — bounded by
+    anchors x n_probe."""
+    cents = (
+        emb_for_centroids.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_cells)
+        .drop("__h")
+    )
+    wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    probes = (
+        anchors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= n_probe)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__va"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    pdf = probes.select("cell").distinct().toPandas()
+    cells = sorted(int(c) for (c,) in pdf.itertuples(index=False))
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+        "cell",
+    )
+    cand = probes.join(idx, "cell").filter(
+        F.col("anchor_id") != F.col("neighbor_id")
+    )
+    out = cand.select(
+        "anchor_id",
+        "neighbor_id",
+        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+    )
+    return _rank_topk(out, k)

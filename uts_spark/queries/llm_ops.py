@@ -2801,3 +2801,48 @@ def dedup_minhash_cluster_cc(spark, sf_dir):
     return cluster_assignment(
         docs.select("doc_id"), pairs, "doc_id", dedupe_edges=False
     ).select("doc_id", "cluster_id", "keep")
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join("spark-warehouse", f"ann_ivf_index_{tag}")
+
+
+def _register_ivf_index_probe():
+    # persistence is semantics-preserving: the probe's oracle IS the
+    # recompute variant's oracle, reused verbatim from the registry
+    from uts_spark.registry import ORACLES
+
+    @query("similarity_ann_ivf_index_probe", ORACLES["similarity_ann_ivf_det"])
+    def similarity_ann_ivf_index_probe(spark, sf_dir):
+        """Persisted-IVF-index probe: the inverted file lives on disk
+        partitioned by cell (functions/similarity.ivf_index_write,
+        built once per corpus), and each query scans ONLY its n_probe
+        cell directories via a static partition filter (plan-pinned in
+        tests/test_plan_properties.py) before the exact rerank —
+        completing the persisted-index story for BOTH ANN families
+        (LSH buckets: similarity_ann_index_probe; IVF cells: here).
+        Results identical to the recompute-per-query
+        similarity_ann_ivf_det, same oracle, same hash."""
+        import os
+
+        from uts_spark.functions.similarity import (
+            ivf_index_probe,
+            ivf_index_write,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        path = ivf_index_path(sf_dir)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ivf_index_write(e, path, n_cells=8)
+        anchors = e.filter(F.col("vec_id") < 5)
+        return ivf_index_probe(
+            spark, path, anchors, e, k=10, n_cells=8, n_probe=3
+        )
+
+    return similarity_ann_ivf_index_probe
+
+
+similarity_ann_ivf_index_probe = _register_ivf_index_probe()
