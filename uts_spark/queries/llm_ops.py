@@ -2803,6 +2803,98 @@ def dedup_minhash_cluster_cc(spark, sf_dir):
     ).select("doc_id", "cluster_id", "keep")
 
 
+_SQ8_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM e
+),
+q AS (
+  SELECT vec_id, embedding, mx,
+         CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+  FROM m
+),
+c AS (
+  SELECT vec_id, mx, scale,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))
+           AS codes,
+         embedding
+  FROM q
+),
+err AS (
+  SELECT vec_id, mx, scale,
+         CAST(len(codes) AS BIGINT) AS n_dims,
+         list_max(list_transform(codes, x -> abs(x))) AS max_code,
+         list_sum(list_transform(range(1, len(codes) + 1),
+           i -> CAST(floor(
+                  (CAST(embedding[i] AS DOUBLE)
+                   - CASE WHEN scale > 0
+                          THEN CAST(codes[i] AS DOUBLE) / scale
+                          ELSE 0.0 END)
+                  * (CAST(embedding[i] AS DOUBLE)
+                     - CASE WHEN scale > 0
+                            THEN CAST(codes[i] AS DOUBLE) / scale
+                            ELSE 0.0 END) * 1e12 + 0.5) AS BIGINT)))
+           AS l2err_n
+  FROM c
+)
+SELECT vec_id, n_dims, scale,
+       CAST(max_code AS BIGINT) AS max_code,
+       CAST(l2err_n AS BIGINT) AS l2err_n,
+       CAST(l2err_n AS DOUBLE) / 1e12 AS l2_err_sq
+FROM err
+"""
+
+
+@query("embedding_sq8_quantization", _SQ8_ORACLE)
+def embedding_sq8_quantization(spark, sf_dir):
+    """Scalar int8 quantization (SQ8 — the embedding-store compression
+    workhorse next to PQ): per vector, scale = 127/max|x|, codes =
+    round-half-up(x*scale), and the reconstruction L2 error of
+    code/scale against the original, integer-snapped so the error
+    itself is hash-exact. Pure Column HOFs — zero shuffle, fuses into
+    the scan; at 100 TB this is a projection in the ingest pipeline
+    that cuts the vector footprint 4-8x before any index build."""
+    e = table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q = e.select("vec_id", "embedding", mx.alias("mx"), scale.alias("scale"))
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.col("scale") + F.lit(0.5))
+        .cast("long"),
+    )
+    c = q.select("vec_id", "embedding", "scale", codes.alias("codes"))
+    recon = lambda i: F.when(  # noqa: E731
+        F.col("scale") > 0,
+        F.element_at(F.col("codes"), i).cast("double") / F.col("scale"),
+    ).otherwise(F.lit(0.0))
+    diff = lambda i: (  # noqa: E731
+        F.element_at(F.col("embedding"), i).cast("double") - recon(i)
+    )
+    l2n = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size("codes")),
+            lambda i: F.floor(diff(i) * diff(i) * F.lit(1e12) + F.lit(0.5))
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return c.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        "scale",
+        F.array_max(F.transform(F.col("codes"), F.abs)).alias("max_code"),
+        l2n.alias("l2err_n"),
+        (l2n.cast("double") / F.lit(1e12)).alias("l2_err_sq"),
+    )
+
+
 def ivf_index_path(sf_dir: str) -> str:
     import os
 
