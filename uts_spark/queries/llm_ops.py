@@ -877,11 +877,23 @@ def _duck_ann_index_probe() -> str:
     """
 
 
+def _warehouse_dir() -> str:
+    # repo-root-anchored, never CWD-relative: the driver may invoke
+    # queries() from any working directory
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+
+
 def ann_index_path(sf_dir: str) -> str:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join("spark-warehouse", f"ann_lsh_index_{tag}")
+    return os.path.join(_warehouse_dir(), f"ann_lsh_index_{tag}")
 
 
 @query("similarity_ann_index_probe", _duck_ann_index_probe())
@@ -2899,7 +2911,7 @@ def ivf_index_path(sf_dir: str) -> str:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join("spark-warehouse", f"ann_ivf_index_{tag}")
+    return os.path.join(_warehouse_dir(), f"ann_ivf_index_{tag}")
 
 
 def _register_ivf_index_probe():
