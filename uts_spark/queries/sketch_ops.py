@@ -1612,3 +1612,83 @@ def stream_quantile_digest_replay(spark, sf_dir):
         )
         .orderBy("day", "q")
     )
+
+
+# --- Streaming KMV: per-day distinct-user sketches ---------------------------
+_SKMV_K = 64
+_SKMV_H = float(1 << 60)
+_SKMV_ORACLE = f"""
+WITH el AS (
+  SELECT ({FDIV(MS, 86400000)}) * 86400000 AS day,
+         {duck_hash64("concat('skmv:', CAST(user_id AS VARCHAR))")} AS hv
+  FROM events
+),
+h AS (SELECT DISTINCT day, hv FROM el),
+r AS (
+  SELECT day, hv,
+         row_number() OVER (PARTITION BY day ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY day) AS nd
+  FROM h
+)
+SELECT day,
+       CAST(MAX(nd) AS BIGINT) AS n_exact,
+       CAST(LEAST(MAX(nd), {_SKMV_K}) AS BIGINT) AS n_min,
+       MAX(CASE WHEN rn = {_SKMV_K} THEN hv END) AS kth_hv,
+       CAST(CASE WHEN MAX(nd) >= {_SKMV_K}
+            THEN ({_SKMV_K} - 1) * {_SKMV_H!r}
+                 / MAX(CASE WHEN rn = {_SKMV_K} THEN hv END)
+            ELSE MAX(nd) END AS DOUBLE) AS kmv_est
+FROM r WHERE rn <= {_SKMV_K}
+GROUP BY day
+ORDER BY day
+"""
+
+
+@query("stream_kmv_daily_replay", _SKMV_ORACLE)
+def stream_kmv_daily_replay(spark, sf_dir):
+    """STREAMING KMV distinct-count sketch, replayed and hash-exact:
+    per-day k=64-minimum-hash state (streaming/ops.kmv_daily_stream —
+    bounded bytes per open window, cardinality-independent), finalized
+    by event-time timeout in append mode, then joined with the exact
+    per-day distinct lane. Like the streaming HLL, the state fold is
+    ORDER-INDEPENDENT (min-k commutes), so unordered micro-batch
+    slicing still finalizes bit-identically to the batch estimator —
+    the third member of the streaming-sketch family (HLL registers,
+    histogram quantile digest, KMV)."""
+    from uts_spark.queries.streaming_replay import _replay
+    from uts_spark.streaming.ops import kmv_daily_stream
+
+    DAY_MS = 86_400_000
+    ev = table(spark, sf_dir, "events").select(
+        "ts",
+        "ts_ms",
+        hash64(
+            F.concat(F.lit("skmv:"), F.col("user_id").cast("string"))
+        ).alias("hv"),
+    )
+    src = ev.select("ts", "hv")
+    max_ms = ev.agg(F.max("ts_ms")).first()[0]
+    sentinels = [
+        spark.createDataFrame([(s,)], "ms long").select(
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            F.lit(0).cast("long").alias("hv"),
+        )
+        for s in (max_ms + 100 * DAY_MS, max_ms + 101 * DAY_MS)
+    ]
+
+    def build(stream):
+        return kmv_daily_stream(stream, k=_SKMV_K, hash_space=_SKMV_H), "append"
+
+    out = _replay(spark, src, build, extra_feeds=sentinels).filter(
+        F.col("day") <= F.lit(max_ms)
+    )
+    ex = ev.groupBy(
+        (F.floor(F.col("ts_ms") / F.lit(DAY_MS)).cast("long") * DAY_MS).alias(
+            "day"
+        )
+    ).agg(F.count_distinct("hv").alias("n_exact"))
+    return (
+        out.join(ex, "day")
+        .select("day", "n_exact", "n_min", "kth_hv", "kmv_est")
+        .orderBy("day")
+    )

@@ -1140,3 +1140,76 @@ def simhash_neardup_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_KMV_STREAM_OUT = (
+    "day long, n_min long, kth_hv long, kmv_est double"
+)
+_KMV_STREAM_STATE = "hv array<bigint>"
+
+
+def kmv_daily_stream(
+    df: DataFrame,
+    k: int = 64,
+    hash_space: float = float(1 << 60),
+    time_col: str = "ts",
+    hv_col: str = "hv",
+    watermark: str = "60 days",
+) -> DataFrame:
+    """STREAMING K-minimum-values distinct sketch: per day-window the
+    state is the sorted set of the <= k smallest 60-bit hashes seen — a
+    few hundred bytes per open window, independent of cardinality, and
+    ORDER-INDEPENDENT (min-k is commutative/associative), so replayed
+    micro-batches finalize bit-identically to batch however the rows
+    are sliced. Finalization is an event-time timeout at the day's end
+    (the applyInPandasWithState append pattern of
+    uts_interval_agg_stream_append); the emitted estimate is the batch
+    KMV estimator (k-1)*H/h_(k), exact below k."""
+    import pandas as pd  # noqa: F811
+
+    DAY = 86_400_000
+
+    def step(key, pdfs, state: GroupState):
+        (day,) = key
+        day = int(day)
+        if state.hasTimedOut:
+            (hv_list,) = state.get
+            hv = sorted(int(x) for x in hv_list)
+            state.remove()
+            n = len(hv)
+            if n >= k:
+                kth = hv[k - 1]
+                est = (k - 1) * hash_space / float(kth)
+            else:
+                kth = None
+                est = float(n)
+            yield pd.DataFrame(
+                {
+                    "day": [day * DAY],
+                    "n_min": [n],
+                    "kth_hv": [kth],
+                    "kmv_est": [est],
+                }
+            )
+        else:
+            cur = set(int(x) for x in state.get[0]) if state.exists else set()
+            for pdf in pdfs:
+                cur.update(int(x) for x in pdf[hv_col])
+            keep = sorted(cur)[:k]
+            state.update((keep,))
+            state.setTimeoutTimestamp((day + 1) * DAY + 1)
+
+    src = (
+        df.withWatermark(time_col, watermark)
+        .withColumn(
+            "__day",
+            F.floor(F.unix_millis(F.col(time_col)) / F.lit(DAY)).cast("long"),
+        )
+    )
+    return src.groupBy("__day").applyInPandasWithState(
+        step,
+        outputStructType=_KMV_STREAM_OUT,
+        stateStructType=_KMV_STREAM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
