@@ -2950,3 +2950,93 @@ def _register_ivf_index_probe():
 
 
 similarity_ann_ivf_index_probe = _register_ivf_index_probe()
+
+
+# --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
+#
+# Engine-neutral logarithms: the per-position discounts 1/log2(p+1) are
+# PRECOMPUTED Python floats embedded as identical literals in both the
+# Spark plan and the DuckDB SQL — no engine libm call ever runs, so the
+# metric is bit-exact. Relevance grades are integers (11 - truth_rank),
+# terms are 1e12-snapped and summed as BIGINTs.
+import math as _math
+
+_NDCG_K = 10
+_NDCG_DISC = [1.0 / _math.log2(p + 1) for p in range(1, _NDCG_K + 1)]
+_NDCG_IDCG_N = sum(
+    int(_math.floor((_NDCG_K + 1 - p) * _NDCG_DISC[p - 1] * 1e12 + 0.5))
+    for p in range(1, _NDCG_K + 1)
+)
+
+
+def _register_ndcg_eval():
+    from uts_spark.registry import ORACLES
+
+    disc_sql = ", ".join(
+        f"({p}, {_NDCG_DISC[p - 1]!r})" for p in range(1, _NDCG_K + 1)
+    )
+    oracle = f"""
+    WITH truth AS ({ORACLES["similarity_topk_cosine"]}),
+    sys AS ({ORACLES["similarity_ann_index_probe"]}),
+    disc AS (SELECT * FROM (VALUES {disc_sql}) d(pos, w)),
+    terms AS (
+      SELECT s.anchor_id,
+             CAST(floor(COALESCE({_NDCG_K} + 1 - t.rank, 0) * d.w * 1e12
+                        + 0.5) AS BIGINT) AS term_n
+      FROM sys s
+      JOIN disc d ON d.pos = s.rank
+      LEFT JOIN truth t
+        ON t.anchor_id = s.anchor_id AND t.neighbor_id = s.neighbor_id
+    )
+    SELECT anchor_id,
+           CAST(SUM(term_n) AS BIGINT) AS dcg_n,
+           CAST(SUM(term_n) AS DOUBLE) / {_NDCG_IDCG_N} AS ndcg
+    FROM terms
+    GROUP BY anchor_id
+    ORDER BY anchor_id
+    """
+
+    @query("similarity_ann_ndcg_eval", oracle)
+    def similarity_ann_ndcg_eval(spark, sf_dir):
+        """nDCG@10 of the persisted-LSH-index probe against the exact
+        cosine top-10 — the graded companion to recall@10 in the eval
+        family (position-sensitive: a hit at rank 1 is worth more than
+        at rank 10). Relevance = 11 - exact_rank (0 for misses),
+        discounts are precomputed literal doubles shared verbatim with
+        the oracle so no engine log2 ever runs, and the DCG sums are
+        integer-snapped BIGINTs — an approximate-retrieval QUALITY
+        metric that is itself hash-exact."""
+        from uts_spark.registry import QUERIES
+
+        truth = QUERIES["similarity_topk_cosine"](spark, sf_dir).select(
+            "anchor_id",
+            "neighbor_id",
+            F.col("rank").alias("t_rank"),
+        )
+        sys_ = QUERIES["similarity_ann_index_probe"](spark, sf_dir).select(
+            "anchor_id", "neighbor_id", F.col("rank").alias("pos")
+        )
+        disc = F.array(*[F.lit(w) for w in _NDCG_DISC])
+        rel = F.coalesce(
+            F.lit(_NDCG_K + 1) - F.col("t_rank"), F.lit(0)
+        ).cast("double")
+        term_n = F.floor(
+            rel * F.element_at(disc, F.col("pos").cast("int")) * F.lit(1e12)
+            + F.lit(0.5)
+        ).cast("long")
+        return (
+            sys_.join(truth, ["anchor_id", "neighbor_id"], "left")
+            .select("anchor_id", term_n.alias("term_n"))
+            .groupBy("anchor_id")
+            .agg(
+                F.sum("term_n").alias("dcg_n"),
+                (F.sum("term_n").cast("double") / F.lit(float(_NDCG_IDCG_N)))
+                .alias("ndcg"),
+            )
+            .orderBy("anchor_id")
+        )
+
+    return similarity_ann_ndcg_eval
+
+
+similarity_ann_ndcg_eval = _register_ndcg_eval()
