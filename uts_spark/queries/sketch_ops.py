@@ -1692,3 +1692,166 @@ def stream_kmv_daily_replay(spark, sf_dir):
         .select("day", "n_exact", "n_min", "kth_hv", "kmv_est")
         .orderBy("day")
     )
+
+
+# --- Column-profile drift: the distribution companion to checksums ----------
+#
+# Checksum reconciliation names WHICH rows diverged; profile drift
+# names HOW the distribution moved (null rates, cardinalities, moments,
+# ranges) — the pair every migration validator ships. Profiles are one
+# map-side-combined aggregate per side (a handful of rows out of any
+# input size); deltas are a join of two tiny profile tables. All values
+# integer-snapped (centi for money, exact counts otherwise) so the
+# drift report itself is hash-exact.
+_PD_MOD = 997
+
+
+def _pd_metrics_sql(src: str) -> str:
+    return f"""
+      SELECT 'o_totalprice' AS col, m.metric, m.v FROM (
+        SELECT * FROM (VALUES
+          ('n', (SELECT CAST(COUNT(*) AS DOUBLE) FROM {src})),
+          ('n_null', (SELECT CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE)
+                      FROM {src})),
+          ('n_distinct', (SELECT CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE)
+                          FROM {src})),
+          ('min_c', (SELECT CAST(floor(MIN(o_totalprice) * 100 + 0.5)
+                                 AS DOUBLE) FROM {src})),
+          ('max_c', (SELECT CAST(floor(MAX(o_totalprice) * 100 + 0.5)
+                                 AS DOUBLE) FROM {src})),
+          ('sum_c', (SELECT CAST(CAST(SUM(CAST(o_totalprice
+                       AS DECIMAL(38,6))) * 100 AS BIGINT) AS DOUBLE)
+                     FROM {src}))
+        ) t(metric, v)) m
+      UNION ALL
+      SELECT 'o_orderstatus', m.metric, m.v FROM (
+        SELECT * FROM (VALUES
+          ('n', (SELECT CAST(COUNT(*) AS DOUBLE) FROM {src})),
+          ('n_null', (SELECT CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE)
+                      FROM {src})),
+          ('n_distinct', (SELECT CAST(COUNT(DISTINCT o_orderstatus)
+                                      AS DOUBLE) FROM {src}))
+        ) t(metric, v)) m
+      UNION ALL
+      SELECT 'o_custkey', m.metric, m.v FROM (
+        SELECT * FROM (VALUES
+          ('n', (SELECT CAST(COUNT(*) AS DOUBLE) FROM {src})),
+          ('n_null', (SELECT CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE)
+                      FROM {src})),
+          ('n_distinct', (SELECT CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+                          FROM {src})),
+          ('min_c', (SELECT CAST(MIN(o_custkey) AS DOUBLE) FROM {src})),
+          ('max_c', (SELECT CAST(MAX(o_custkey) AS DOUBLE) FROM {src})),
+          ('sum_c', (SELECT CAST(SUM(o_custkey) AS DOUBLE) FROM {src}))
+        ) t(metric, v)) m
+    """
+
+
+_PD_ORACLE = f"""
+WITH v2src AS (
+  SELECT o_custkey,
+         o_totalprice
+           + CASE WHEN o_orderkey % {_PD_MOD} = 13 THEN 1.0 ELSE 0 END
+           AS o_totalprice,
+         CASE WHEN o_orderkey % {_PD_MOD} = 19 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % {_PD_MOD} != 7
+),
+p1 AS ({_pd_metrics_sql('orders')}),
+p2 AS ({_pd_metrics_sql('v2src')})
+SELECT p1.col, p1.metric, p1.v AS v1, p2.v AS v2, p2.v - p1.v AS delta
+FROM p1 JOIN p2 ON p1.col = p2.col AND p1.metric = p2.metric
+ORDER BY p1.col, p1.metric
+"""
+
+
+@query("dq_profile_drift", _PD_ORACLE)
+def dq_profile_drift(spark, sf_dir):
+    """Column-profile drift between a table and its replica (same
+    injected drift family as dq_checksum_reconciliation): per column,
+    counts / null counts / distinct cardinalities, and for numeric
+    columns integer-snapped min/max/sum — emitted long-form as
+    (col, metric, v1, v2, delta). One aggregate pass per side, tiny
+    join of the two profiles; at 100 TB the profile is what you alert
+    on BEFORE paying for row-level drilldown."""
+    o = table(spark, sf_dir, "orders")
+    v2 = (
+        o.filter(F.col("o_orderkey") % _PD_MOD != 7)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % _PD_MOD == 13, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % _PD_MOD == 19, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+
+    def profile(df):
+        agg = df.agg(
+            F.count(F.lit(1)).cast("double").alias("tp_n"),
+            (F.count(F.lit(1)) - F.count("o_totalprice"))
+            .cast("double").alias("tp_null"),
+            F.count_distinct("o_totalprice").cast("double").alias("tp_nd"),
+            F.floor(F.min("o_totalprice") * 100 + 0.5)
+            .cast("double").alias("tp_min"),
+            F.floor(F.max("o_totalprice") * 100 + 0.5)
+            .cast("double").alias("tp_max"),
+            (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * 100)
+            .cast("long").cast("double").alias("tp_sum"),
+            (F.count(F.lit(1)) - F.count("o_orderstatus"))
+            .cast("double").alias("st_null"),
+            F.count_distinct("o_orderstatus").cast("double").alias("st_nd"),
+            (F.count(F.lit(1)) - F.count("o_custkey"))
+            .cast("double").alias("ck_null"),
+            F.count_distinct("o_custkey").cast("double").alias("ck_nd"),
+            F.min("o_custkey").cast("double").alias("ck_min"),
+            F.max("o_custkey").cast("double").alias("ck_max"),
+            F.sum("o_custkey").cast("double").alias("ck_sum"),
+        )
+        pairs = [
+            ("o_totalprice", "n", "tp_n"),
+            ("o_totalprice", "n_null", "tp_null"),
+            ("o_totalprice", "n_distinct", "tp_nd"),
+            ("o_totalprice", "min_c", "tp_min"),
+            ("o_totalprice", "max_c", "tp_max"),
+            ("o_totalprice", "sum_c", "tp_sum"),
+            ("o_orderstatus", "n", "tp_n"),
+            ("o_orderstatus", "n_null", "st_null"),
+            ("o_orderstatus", "n_distinct", "st_nd"),
+            ("o_custkey", "n", "tp_n"),
+            ("o_custkey", "n_null", "ck_null"),
+            ("o_custkey", "n_distinct", "ck_nd"),
+            ("o_custkey", "min_c", "ck_min"),
+            ("o_custkey", "max_c", "ck_max"),
+            ("o_custkey", "sum_c", "ck_sum"),
+        ]
+        stack = ", ".join(
+            f"'{c}', '{m}', {src}" for c, m, src in pairs
+        )
+        return agg.selectExpr(
+            f"stack({len(pairs)}, {stack}) AS (col, metric, v)"
+        )
+
+    p1 = profile(o)
+    p2 = profile(v2)
+    return (
+        p1.join(
+            p2.select(
+                F.col("col"), F.col("metric"), F.col("v").alias("v2")
+            ),
+            ["col", "metric"],
+        )
+        .select(
+            "col", "metric",
+            F.col("v").alias("v1"),
+            "v2",
+            (F.col("v2") - F.col("v")).alias("delta"),
+        )
+        .orderBy("col", "metric")
+    )
