@@ -445,6 +445,43 @@ def dedup_cluster_cc(spark, sf_dir):
     return cluster_assignment(docs, pairs, "doc_id", dedupe_edges=False)
 
 
+def _register_cluster_cc_star():
+    from uts_spark.registry import ORACLES
+
+    @query("dedup_cluster_cc_star", ORACLES["dedup_cluster_cc"])
+    def dedup_cluster_cc_star(spark, sf_dir):
+        """The large/small-star CC (Kiveris et al. 2014) on the SAME
+        SimHash pair graph and verdict contract as dedup_cluster_cc —
+        oracle-gated proof that the A/B challenger
+        (functions/clustering.connected_components_star, SCALE.md
+        round-5 A/B) is label-identical to the pointer-jumping default,
+        not just pytest-identical on toy graphs. Same recursive-CTE
+        oracle, same hash."""
+        from uts_spark.functions.clustering import connected_components_star
+
+        docs = table(spark, sf_dir, "documents")
+        pairs = simhash_band_pairs(
+            docs, "text", "doc_id", bands=4, max_hamming=6
+        )
+        comp = connected_components_star(pairs, src="id_a", dst="id_b")
+        return (
+            docs.select(F.col("doc_id").alias("node"))
+            .join(comp, "node", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.coalesce("component", "node").alias("cluster_id"),
+                (F.coalesce("component", "node") == F.col("node")).alias(
+                    "keep"
+                ),
+            )
+        )
+
+    return dedup_cluster_cc_star
+
+
+dedup_cluster_cc_star = _register_cluster_cc_star()
+
+
 @query("text_repetition_filters", duck_repetition_metrics())
 def text_repetition_filters(spark, sf_dir):
     """Gopher-style repetition quality signals per document: top-bigram
