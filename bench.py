@@ -65,24 +65,27 @@ def main() -> None:
     mins = {n: round(min(s), 3) for n, s in samples.items()}
     load_end = os.getloadavg()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(med.values()), 3),
-                "unit": "sec",
-                "queries": med,
-                "queries_min": mins,
-                "min_total_sec": round(sum(mins.values()), 3),
-                "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "warm_passes": WARM_PASSES,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(med.values()), 3),
+            "unit": "sec",
+            "queries": med,
+            "queries_min": mins,
+            "min_total_sec": round(sum(mins.values()), 3),
+            "sf": sf,
+            "cold_total_sec": round(sum(cold.values()), 3),
+            "warm_passes": WARM_PASSES,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in load_end],
+        }
     )
+    # Stop Spark BEFORE emitting the summary: py4j/log4j shutdown chatter
+    # must not land on stdout after the JSON, because the driver's
+    # artifact parser reads the LAST stdout line (BENCH_r05.json had
+    # parsed:null from exactly this ordering).
     spark.stop()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -712,3 +712,29 @@ def test_ivf_index_probe_matches_recompute(spark, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_lsh_index_probe_empty_anchors_returns_empty(spark, sf_dir, tmp_path):
+    """An empty anchor set must return an empty frame, not a
+    functools.reduce TypeError (ADVICE r5): the partition filter is
+    seeded with lit(False)."""
+    from uts_spark.functions.similarity import lsh_index_probe, lsh_index_write
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    path = str(tmp_path / "lsh_idx")
+    lsh_index_write(e, path, dim=64, planes=4, tables=2)
+    empty = e.filter(F.col("vec_id") < 0)
+    out = lsh_index_probe(spark, path, empty, dim=64, k=5, planes=4, tables=2)
+    assert out.count() == 0
+
+
+def test_pq_adc_rejects_non_divisible_dim(spark, sf_dir):
+    """dim % m_sub != 0 must fail fast, not silently drop trailing
+    dimensions from encoding + distance (ADVICE r5)."""
+    import pytest
+
+    from uts_spark.functions.similarity import pq_adc_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    with pytest.raises(ValueError, match="divisible by m_sub"):
+        pq_adc_topk(e, e.limit(1), dim=64, m_sub=7)

@@ -353,6 +353,11 @@ def lsh_bucket_table(
     dominated runtime (~9.5s for 5k vectors; this shape: ~1s). One
     cross join against the tiny plane table, one dot product expression,
     sign bits assembled by a groupBy over (id, table)."""
+    # Bucket ids pack into a signed 64-bit long; >62 planes would wrap.
+    if not (1 <= planes <= 62):
+        raise ValueError(f"lsh_bucket_table: planes must be in [1, 62], got {planes}")
+    if tables < 1:
+        raise ValueError(f"lsh_bucket_table: tables must be >= 1, got {tables}")
     spark = df.sparkSession
     rows = [
         (t, h, hyperplane(t * 1000 + h, dim))
@@ -656,12 +661,17 @@ def lsh_index_probe(
     pdf = left.select("table", "bucket").distinct().toPandas()
     pairs = sorted((int(t), int(b)) for t, b in pdf.itertuples(index=False))
     idx = spark.read.parquet(path)
+    # F.lit(False) initializer: an empty anchor set must yield an empty
+    # result, not a reduce() TypeError (ADVICE r5). Catalyst's
+    # BooleanSimplification folds the leading `false OR` away, so the
+    # static PartitionFilters pruning is unchanged for non-empty probes.
     cond = reduce(
         or_,
         [
             (F.col("table") == t) & (F.col("bucket") == b)
             for t, b in pairs
         ],
+        F.lit(False),
     )
     right = idx.filter(cond).select(
         F.col(id_col).alias("neighbor_id"),
@@ -712,6 +722,16 @@ def pq_adc_topk(
     index, 8 bytes/vector) and once as the codes scan per query batch;
     the codebook and every LUT are broadcast; nothing quadratic, no
     raw-vector shuffle at query time."""
+    # Fail fast on misconfiguration (ADVICE r5): a non-divisible dim
+    # would silently drop the trailing dim % m_sub dimensions from both
+    # encoding and distance — wrong answers with no error.
+    if m_sub <= 0 or dim % m_sub != 0:
+        raise ValueError(
+            f"pq_adc_topk: dim ({dim}) must be divisible by m_sub "
+            f"({m_sub}); trailing dimensions would be silently excluded"
+        )
+    if n_cent <= 0:
+        raise ValueError(f"pq_adc_topk: n_cent must be positive, got {n_cent}")
     d_sub = dim // m_sub
     subs = F.array(*[
         F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)

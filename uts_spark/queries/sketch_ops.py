@@ -1491,6 +1491,7 @@ WITH e AS (
          CAST(floor(value / {_SQD_W!r}) AS BIGINT) AS vb,
          value, event_id
   FROM events
+  WHERE value IS NOT NULL
 ),
 c AS (SELECT day, vb, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
 cum AS (
@@ -1535,8 +1536,13 @@ def stream_quantile_digest_replay(spark, sf_dir):
     streaming member of the mergeable family."""
     from uts_spark.queries.streaming_replay import _replay
 
-    ev = table(spark, sf_dir, "events").select(
-        "ts", "ts_ms", "value", "event_id"
+    # NULL values are dropped on BOTH sides (ADVICE r5): Spark windows
+    # order NULLS FIRST, DuckDB NULLS LAST — a single NULL would skew
+    # the exact-rank lane in opposite directions.
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("ts", "ts_ms", "value", "event_id")
+        .filter(F.col("value").isNotNull())
     )
     src = ev.select(
         "ts", F.floor(F.col("value") / F.lit(_SQD_W)).cast("long").alias("vb")
