@@ -675,3 +675,53 @@ def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_dir):
     p = plan(spark, sf_dir, "similarity_ann_ivf_index_probe")
     idx_filters = [seg.split("]")[0] for seg in p.split("PartitionFilters: [")[1:]]
     assert any("cell" in f and f.strip() for f in idx_filters), idx_filters
+
+
+# --- Round 6: registry-wide window-partition sweep (VERDICT r5 #2) ----------
+
+def test_registry_wide_no_unpartitioned_windows(spark, sf_dir):
+    """EVERY registered query's physical plan is swept for a
+    Window/Sort chain fed by an Exchange SinglePartition — the one-task
+    global-ordering cliff. The whitelist is tools/plan_audit.ALLOW
+    (single source of truth): the reference-contract single-series
+    lanes and the dimension-bounded ranks documented there. A NEW
+    query that funnels rows through one task fails HERE, in CI, not in
+    a per-round audit read. (~3.5 min at sf0.001 — the cost of the
+    sweep being total; plan-only, nothing executes beyond construction.)
+    """
+    import tools.plan_audit as pa
+
+    bad = []
+    errors = []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            p = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # construction failure is a finding too
+            errors.append((name, str(exc).splitlines()[0][:120]))
+            continue
+        res = pa.audit_plan(p)
+        for rule in ("single_partition_window", "constant_key_exchange"):
+            if res[rule] and rule not in pa.ALLOW.get(name, {}):
+                bad.append((name, rule))
+    assert not errors, errors
+    assert not bad, bad
+
+
+def test_label_encode_matches_sorted_vocab_without_funnel(spark):
+    """label_encode == enumerate(sorted(vocab)) on a 5k-term vocabulary,
+    with NO single-partition exchange in the plan (the exact shape the
+    naive row_number-over-orderBy would produce)."""
+    from pyspark.sql import functions as F
+
+    from uts_spark.operators.distributed_rank import label_encode
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("term_"), (F.col("id") % 5000).cast("string")).alias("t")
+    )
+    out = label_encode(df, "t", out="idx")
+    rows = {r["t"]: r["idx"] for r in out.collect()}
+    want = {t: i for i, t in enumerate(sorted({f"term_{i}" for i in range(5000)}))}
+    assert rows == want
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert _single_partition_windows(p) == 0

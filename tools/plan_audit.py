@@ -60,10 +60,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "single_partition_window": "ranks per-nation aggregate (<=25 rows)",
         "global_sort": "ranks per-nation aggregate (<=25 rows)",
     },
-    "feature_encode_standardize": {
-        "single_partition_window": "vocab index over 5 distinct types",
-        "global_sort": "vocab index over 5 distinct types",
-    },
+    # feature_encode_standardize's vocab rank was re-routed through
+    # distributed_rank.label_encode in round 6 — no exception needed.
 }
 
 
