@@ -185,3 +185,71 @@ def test_cc_star_agrees_with_pointer_jumping(spark):
         b = {(r.node, r.component)
              for r in connected_components_star(df).collect()}
         assert a == b and a
+
+
+# --- Pretrained BPE apply (round 6, VERDICT r5 #1) --------------------------
+
+def test_bpe_pretrained_table_shape():
+    """>=1024 merges, unique vocab strings, creator-before-consumer
+    (every merge's components are base chars or outputs of EARLIER
+    merges) — the invariant the oracle's in-order equivalence rests on."""
+    from uts_spark.functions.bpe_pretrained import (
+        pretrained_merges,
+        pretrained_vocab_ids,
+    )
+
+    merges = pretrained_merges()
+    assert len(merges) >= 1024
+    ids = pretrained_vocab_ids()
+    assert len(ids) == 26 + len(merges)  # bijection: no string collisions
+    seen = set("abcdefghijklmnopqrstuvwxyz")
+    for x, y in merges:
+        assert x in seen and y in seen, (x, y)
+        seen.add(x + y)
+
+
+def test_bpe_apply_variants_agree_on_live_vocab(spark, sf_dir):
+    """lowest-rank-first (the registered Spark lane) == in-order
+    replace-all (the DuckDB oracle's list_reduce) on every distinct
+    word of the live corpus."""
+    from uts_spark.functions.bpe_pretrained import (
+        bpe_apply_in_order,
+        bpe_apply_lowest_rank,
+    )
+
+    words = [
+        r["word"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .distinct()
+        .collect()
+    ]
+    assert words
+    for w in words:
+        assert bpe_apply_lowest_rank(w) == bpe_apply_in_order(w), w
+
+
+def test_bpe_apply_variants_agree_randomized():
+    """Same equivalence on adversarial random [a-z]+ words (repetitive
+    strings are where greedy-scan order disagreements would hide);
+    also: concatenating tokens reconstructs the word exactly."""
+    import random
+
+    from uts_spark.functions.bpe_pretrained import (
+        bpe_apply_in_order,
+        bpe_apply_lowest_rank,
+    )
+
+    rng = random.Random(606)
+    alpha = "etaoinshr"  # high-frequency letters -> dense merge hits
+    for _ in range(300):
+        n = rng.randint(1, 24)
+        w = "".join(rng.choice(alpha) for _ in range(n))
+        a = bpe_apply_lowest_rank(w)
+        b = bpe_apply_in_order(w)
+        assert a == b, w
+        assert "".join(a) == w

@@ -400,6 +400,56 @@ def main() -> None:
             ),
         )
 
+    def _bpe_pretrained(_df):
+        # 1024-merge pretrained apply: all string work on the DISTINCT
+        # word table (2000 synthetic 5-char words), one corpus join.
+        # tokens/sec = corpus_tokens / wall below (SCALE.md records it).
+        from uts_spark.functions.bpe_pretrained import (
+            pretrained_merges,
+            pretrained_vocab_ids,
+        )
+
+        ranks = {p: r for r, p in enumerate(pretrained_merges())}
+        ids = pretrained_vocab_ids()
+        vocab = F.array(*[F.lit(w) for w in _VOCAB_WORDS])
+        dw = spark.range(max(1000, rows // 10)).select(
+            F.col("id").alias("doc_id"),
+            F.posexplode(F.array(*[
+                F.element_at(
+                    vocab,
+                    (F.pmod(F.xxhash64("id", F.lit(j)), 2000) + 1).cast("int"),
+                )
+                for j in range(10)
+            ])).alias("p", "word"),
+        ).select("doc_id", "word", (F.col("p") + 1).cast("long").alias("pos"))
+
+        def apply_batches(batches):
+            import pandas as pd
+
+            from uts_spark.functions.bpe_pretrained import (
+                bpe_apply_lowest_rank,
+            )
+
+            for pdf in batches:
+                words = pdf["word"].tolist()
+                n_tok, idsum = [], []
+                for w in words:
+                    toks = bpe_apply_lowest_rank(w, ranks)
+                    n_tok.append(len(toks))
+                    idsum.append(sum(ids[t] for t in toks))
+                yield pd.DataFrame(
+                    {"word": words, "n_tok": n_tok, "idsum": idsum}
+                )
+
+        wtok = dw.select("word").distinct().mapInPandas(
+            apply_batches, "word string, n_tok long, idsum long"
+        )
+        return dw.join(wtok, "word").groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("pos") * F.col("idsum")).alias("tok_checksum"),
+        )
+
     def _checksum_recon(_df):
         # XOR bucket checksums + drilldown only into bad buckets
         o = spark.range(rows).select(
@@ -495,6 +545,7 @@ def main() -> None:
         "maxsim_colbert_top3": _maxsim,
         "label_propagation_4r": _lpa,
         "bpe_train_3_rounds": _bpe_train,
+        "bpe_pretrained_apply_1024": _bpe_pretrained,
         "checksum_reconciliation": _checksum_recon,
         "streaming_hll_replay": _stream_hll,
     })

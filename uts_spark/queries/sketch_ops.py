@@ -1048,6 +1048,117 @@ def text_bpe_apply(spark, sf_dir):
     )
 
 
+# --- Pretrained-table BPE apply (VERDICT r5 #1) ------------------------------
+#
+# The production tokenizer shape: a LARGE pretrained merge table
+# (1024 merges, functions/bpe_pretrained.py — trained once, shipped as
+# an artifact) applied corpus-wide. The 3-round trained lane above
+# proves the distributed TRAINING loop; this lane proves the apply path
+# that every training-data-prep run actually pays: per DISTINCT word, a
+# lowest-rank-first merge loop whose cost is bounded by word length and
+# independent of merge-table size (the property that makes 50k-merge
+# production tables affordable), then one corpus join.
+#
+# Oracle: DuckDB list_reduce over the literal 1024-pattern list — one
+# greedy-leftmost replace-all per merge in rank order over the
+# boundary-safe |x||y| encoding, provably equal to lowest-rank-first
+# for unique-vocab tables (equivalence argument + pins in
+# functions/bpe_pretrained.py and tests/test_corpus_ops.py).
+
+from uts_spark.functions.bpe_pretrained import (  # noqa: E402
+    merge_patterns_sql,
+    pretrained_merges,
+    pretrained_vocab_ids,
+    vocab_values_sql,
+)
+
+_BPE_PRE_ORACLE = f"""
+WITH dwords AS (
+  SELECT doc_id, ws[i] AS word, CAST(i AS BIGINT) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+),
+dw AS (SELECT DISTINCT word FROM dwords),
+seg AS (
+  SELECT word,
+         list_reduce(
+           list_prepend(regexp_replace(word, '(.)', '|\\1|', 'g'),
+                        {merge_patterns_sql()}),
+           (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+  FROM dw
+),
+toks AS (
+  SELECT word, unnest(string_split(trim(s, '|'), '||')) AS tok FROM seg
+),
+wtok AS (
+  SELECT t.word, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(v.tid) AS BIGINT) AS idsum
+  FROM toks t JOIN {vocab_values_sql()} v(tok, tid) USING (tok)
+  GROUP BY t.word
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.pos * w.idsum) AS BIGINT) AS tok_checksum
+FROM dwords d JOIN wtok w USING (word)
+GROUP BY d.doc_id
+"""
+
+
+@query("text_bpe_apply_pretrained", _BPE_PRE_ORACLE)
+def text_bpe_apply_pretrained(spark, sf_dir):
+    """Corpus tokenization under a PRETRAINED 1024-merge BPE table —
+    the hottest operator of a real training-data pipeline in its
+    production shape (vs text_bpe_apply's 3 trained merges). Per doc:
+    word count, real token count, and the position-weighted token-id
+    checksum that pins the full emitted token sequence.
+
+    Scale shape: the merge-rank and vocab-id dictionaries are literal
+    broadcasts (~1k entries); all string work happens on the
+    DISTINCT-WORD table inside one Arrow-batched mapInPandas whose
+    per-word cost is independent of table size; the only corpus-sized
+    operations are the word explode and one join against the
+    (word, n_tok, idsum) dictionary — AQE broadcasts it when the
+    vocabulary is small, hash-shuffles on the word key when not. At
+    20M docs the lane sustains the tokens/sec recorded in SCALE.md
+    (tools/scale_smoke.py --family bpe_pretrained)."""
+    docs = table(spark, sf_dir, "documents")
+    ranks = {p: r for r, p in enumerate(pretrained_merges())}
+    ids = pretrained_vocab_ids()
+
+    def apply_batches(batches):
+        import pandas as pd
+
+        from uts_spark.functions.bpe_pretrained import bpe_apply_lowest_rank
+
+        for pdf in batches:
+            words = pdf["word"].tolist()
+            n_tok, idsum = [], []
+            for w in words:
+                toks = bpe_apply_lowest_rank(w, ranks)
+                n_tok.append(len(toks))
+                idsum.append(sum(ids[t] for t in toks))
+            yield pd.DataFrame({"word": words, "n_tok": n_tok, "idsum": idsum})
+
+    dw = _bpe_doc_words(docs)
+    wtok = (
+        dw.select("word")
+        .distinct()
+        .mapInPandas(apply_batches, "word string, n_tok long, idsum long")
+    )
+    return (
+        dw.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("pos") * F.col("idsum")).alias("tok_checksum"),
+        )
+        # no final orderBy — corpus-sized output, driver canonicalizes
+    )
+
+
 def _duck_pipeline_v3() -> str:
     from uts_spark.queries.llm_ops import (
         _DUCK_LINES,
