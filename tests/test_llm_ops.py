@@ -738,3 +738,61 @@ def test_pq_adc_rejects_non_divisible_dim(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
     with pytest.raises(ValueError, match="divisible by m_sub"):
         pq_adc_topk(e, e.limit(1), dim=64, m_sub=7)
+
+
+def test_ann_index_path_keyed_by_content_fingerprint(spark, sf_dir, tmp_path):
+    """Regenerating a dataset in place (same basename, different rows)
+    must route probes to a DIFFERENT index path — the stale-index
+    serving bug from ADVICE r5. Two same-basename datasets with
+    different content get different fingerprints, hence different
+    persisted-index directories."""
+    import os
+
+    import uts_spark.registry  # noqa: F401  (registry first: import trap)
+    from uts_spark.queries.llm_ops import _emb_fingerprint, ann_index_path
+
+    fp_full = _emb_fingerprint(spark, sf_dir)
+    regen = tmp_path / os.path.basename(sf_dir.rstrip("/"))
+    regen.mkdir()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40).write.parquet(
+        str(regen / "embeddings.parquet")
+    )
+    fp_regen = _emb_fingerprint(spark, str(regen))
+    assert fp_full != fp_regen
+    p1, p2 = ann_index_path(sf_dir, fp_full), ann_index_path(str(regen), fp_regen)
+    assert p1 != p2
+    assert os.path.basename(sf_dir.rstrip("/")) in os.path.basename(p1)
+
+
+def test_ivfpq_recall_at_least_pq_only(spark, sf_dir):
+    """The composed IVF-PQ+rerank lane must recall at least as well as
+    the PQ-only ADC scan (VERDICT r5 #4's done-bar): the exact re-rank
+    recovers what quantization noise loses, and 3-of-8 probed cells
+    keep enough of the true neighborhood on these diffuse embeddings."""
+    import numpy as np
+
+    import uts_spark.registry as reg  # registry first: import trap
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+
+    def recall(result_rows):
+        got = {}
+        for r in result_rows:
+            got.setdefault(r.anchor_id, set()).add(r.neighbor_id)
+        recs = []
+        for a in range(5):
+            av = M[ids == a][0]
+            d2 = ((M - av) ** 2).sum(axis=1)
+            d2[ids == a] = np.inf
+            top = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+            recs.append(len(top & got.get(a, set())) / 10)
+        return sum(recs) / len(recs)
+
+    r_pq = recall(reg.QUERIES["similarity_ann_pq_adc"](spark, sf_dir).collect())
+    r_ivfpq = recall(
+        reg.QUERIES["similarity_ann_ivfpq_probe"](spark, sf_dir).collect()
+    )
+    assert r_ivfpq >= r_pq, (r_ivfpq, r_pq)

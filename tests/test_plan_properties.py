@@ -677,6 +677,20 @@ def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_dir):
     assert any("cell" in f and f.strip() for f in idx_filters), idx_filters
 
 
+def test_ivfpq_probe_scan_is_partition_pruned_no_full_scan(spark, sf_dir):
+    # the composed IVF-PQ probe (round 6): EVERY scan of the persisted
+    # index carries a non-empty `cell` PartitionFilter — codes, ADC and
+    # re-rank all start from the PRUNED scan, never a full-index pass
+    p = plan(spark, sf_dir, "similarity_ann_ivfpq_probe")
+    index_scans = [
+        seg for seg in p.split("FileScan")[1:] if "ann_ivf_index" in seg
+    ]
+    assert index_scans  # the probe must actually read the index
+    for seg in index_scans:
+        filters = seg.split("PartitionFilters: [", 1)[1].split("]")[0]
+        assert "cell" in filters and filters.strip(), filters
+
+
 # --- Round 6: registry-wide window-partition sweep (VERDICT r5 #2) ----------
 
 def test_registry_wide_no_unpartitioned_windows(spark, sf_dir):

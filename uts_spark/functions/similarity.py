@@ -910,3 +910,197 @@ def ivf_index_probe(
         cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
     )
     return _rank_topk(out, k)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composed probe (VERDICT r5 #4) — the standard billion-vector
+# recipe (Jegou et al. 2011, FAISS IVFPQ): coarse IVF cells prune the
+# corpus to n_probe partitions, PQ/ADC scores the survivors from
+# compact codes, and an exact re-rank of the top candidates restores
+# metric fidelity. Both halves already exist (ivf_index_probe,
+# pq_adc_topk); this composes them without ever scanning the full
+# index.
+
+def _pq_d2n(a: Column, b: Column) -> Column:
+    """Integer-snapped squared L2 between two float subvectors — the
+    shared PQ distance kernel (exact BIGINT, order-independent sum)."""
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(SCALE) + F.lit(0.5)
+        ),
+    )
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _pq_codebook_exp(
+    emb: DataFrame, dim: int, m_sub: int, n_cent: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(cent_id, m, csub): the hash-seeded deterministic PQ codebook,
+    exploded per subspace — tiny (n_cent x m_sub rows), broadcast by
+    every consumer."""
+    d_sub = dim // m_sub
+    cents = (
+        emb.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("pqc:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_cent)
+    )
+    return cents.select(
+        "cent_id",
+        F.posexplode(F.array(*[
+            F.slice(F.col("__cv"), m * d_sub + 1, d_sub) for m in range(m_sub)
+        ])).alias("m", "csub"),
+    )
+
+
+def ivfpq_index_probe(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    emb_for_centroids: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m_sub: int = 8,
+    n_cent: int = 16,
+    rerank: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with exact re-rank over the persisted IVF index:
+
+    1. each anchor ranks the (recomputed, hash-seeded) coarse centroids
+       and probes its ``n_probe`` best cells — a STATIC partition
+       filter on the index scan, identical pruning to ivf_index_probe;
+    2. survivors are PQ-encoded and ADC-scored from the broadcast
+       per-anchor lookup table (integer-snapped BIGINT sums — the
+       pq_adc_topk kernel, bit-reproducible in SQL); at fleet scale the
+       codes live NEXT TO the index rows (8 bytes/vector per cell
+       partition) — encoding the pruned scan here is cost-equivalent
+       and keeps one artifact;
+    3. the ``rerank`` best ADC candidates per anchor get exact cosine
+       re-ranked to the final top-k — the step that restores metric
+       fidelity lost to quantization (measured in tests: recall@10 >=
+       the PQ-only lane).
+
+    Nothing touches cells outside the probe set: codes, ADC and the
+    re-rank all start from the pruned index scan (plan-pinned in
+    tests/test_plan_properties.py)."""
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"ivfpq_index_probe: dim ({dim}) must be divisible by m_sub ({m_sub})"
+        )
+    d_sub = dim // m_sub
+
+    # 1. coarse probes (same device as ivf_index_probe)
+    cents = (
+        emb_for_centroids.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_cells)
+        .drop("__h")
+    )
+    wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    probes = (
+        anchors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= n_probe)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("__va"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    pdf = probes.select("cell").distinct().toPandas()
+    cells = sorted(int(c) for (c,) in pdf.itertuples(index=False))
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+        "cell",
+    )
+    pairs = (
+        probes.join(idx, "cell")
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .select("anchor_id", "__va", "neighbor_id")
+        .distinct()
+    )
+
+    # 2. PQ codes for the PRUNED scan only + broadcast ADC LUTs
+    cexp = _pq_codebook_exp(
+        emb_for_centroids, dim, m_sub, n_cent, id_col, vec_col
+    )
+    nsubs = F.array(*[
+        F.slice(F.col("__vb"), m * d_sub + 1, d_sub) for m in range(m_sub)
+    ])
+    codes = (
+        idx.select("neighbor_id", F.posexplode(nsubs).alias("m", "vsub"))
+        .join(F.broadcast(cexp), "m")
+        .select(
+            "neighbor_id", "m",
+            F.struct(
+                _pq_d2n(F.col("vsub"), F.col("csub")).alias("d"),
+                F.col("cent_id").alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("neighbor_id", "m")
+        .agg(F.min("s").alias("s"))
+        .select("neighbor_id", "m", F.col("s.c").alias("code"))
+    )
+    asubs = F.array(*[
+        F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
+    ])
+    lut = (
+        anchors.select(
+            F.col(id_col).alias("anchor_id"), F.posexplode(asubs).alias("m", "asub")
+        )
+        .join(F.broadcast(cexp), "m")
+        .select(
+            "anchor_id", "m",
+            F.col("cent_id").alias("code"),
+            _pq_d2n(F.col("asub"), F.col("csub")).alias("d2n"),
+        )
+    )
+    adc = (
+        pairs.select("anchor_id", "neighbor_id")
+        .join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["anchor_id", "m", "code"])
+        .groupBy("anchor_id", "neighbor_id")
+        .agg(F.sum("d2n").alias("adc_n"))
+    )
+    wa = Window.partitionBy("anchor_id").orderBy(
+        F.asc("adc_n"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("__ar", F.row_number().over(wa))
+        .filter(F.col("__ar") <= rerank)
+        .select("anchor_id", "neighbor_id")
+    )
+
+    # 3. exact re-rank of the shortlist
+    scored = (
+        short.join(pairs, ["anchor_id", "neighbor_id"])
+        .join(idx.select("neighbor_id", "__vb"), "neighbor_id")
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)

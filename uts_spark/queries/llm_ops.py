@@ -926,11 +926,38 @@ def _warehouse_dir() -> str:
     )
 
 
-def ann_index_path(sf_dir: str) -> str:
+def _emb_fingerprint(spark, sf_dir: str) -> str:
+    """Content fingerprint of the embeddings table: row count + an
+    order-independent sum of per-row xxhash64(vec_id, embedding).
+    Persisted ANN index paths are KEYED by it (ADVICE r5, medium): a
+    path keyed only by basename(sf_dir) silently serves a STALE index
+    when the dataset is regenerated in place or two datasets share a
+    basename — wrong probe results until someone notices a hash
+    mismatch. The fingerprint costs one narrow (vec_id, embedding)
+    aggregate scan per probe call; at fleet scale this validation is
+    the table catalog's snapshot id, not a rescan — the point here is
+    that reuse is NEVER trusted on pathname alone."""
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            # per-row terms bounded to 2^32 so the (order-independent,
+            # multiplicity-sensitive) sum never overflows ANSI longs
+            # below 2^31 rows
+            F.sum(
+                F.pmod(F.xxhash64("vec_id", "embedding"), F.lit(1 << 32))
+            ).alias("h"),
+        )
+        .first()
+    )
+    return f"{row['n']}_{(row['h'] or 0):x}"
+
+
+def ann_index_path(sf_dir: str, fp: str) -> str:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join(_warehouse_dir(), f"ann_lsh_index_{tag}")
+    return os.path.join(_warehouse_dir(), f"ann_lsh_index_{tag}_{fp}")
 
 
 @query("similarity_ann_index_probe", _duck_ann_index_probe())
@@ -954,7 +981,7 @@ def similarity_ann_index_probe(spark, sf_dir):
     )
 
     e = table(spark, sf_dir, "embeddings")
-    path = ann_index_path(sf_dir)
+    path = ann_index_path(sf_dir, _emb_fingerprint(spark, sf_dir))
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         lsh_index_write(
             e, path, dim=EMB_DIM,
@@ -2944,11 +2971,11 @@ def embedding_sq8_quantization(spark, sf_dir):
     )
 
 
-def ivf_index_path(sf_dir: str) -> str:
+def ivf_index_path(sf_dir: str, fp: str) -> str:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join(_warehouse_dir(), f"ann_ivf_index_{tag}")
+    return os.path.join(_warehouse_dir(), f"ann_ivf_index_{tag}_{fp}")
 
 
 def _register_ivf_index_probe():
@@ -2975,7 +3002,7 @@ def _register_ivf_index_probe():
         )
 
         e = table(spark, sf_dir, "embeddings")
-        path = ivf_index_path(sf_dir)
+        path = ivf_index_path(sf_dir, _emb_fingerprint(spark, sf_dir))
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             ivf_index_write(e, path, n_cells=8)
         anchors = e.filter(F.col("vec_id") < 5)
@@ -2987,6 +3014,156 @@ def _register_ivf_index_probe():
 
 
 similarity_ann_ivf_index_probe = _register_ivf_index_probe()
+
+
+def _duck_ivfpq() -> str:
+    # IVF coarse stage verbatim from similarity_ann_ivf_det's oracle
+    # (n_cells=8, n_probe=3); PQ stage from similarity_ann_pq_adc's
+    # (m=8 subspaces, 16 codebook entries), restricted to the probed
+    # candidates; ADC shortlist of 40; exact cosine re-rank to top-10.
+    d2n = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> CAST(floor((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * 1e12 + 0.5) "
+        "AS BIGINT)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    hc AS (
+      SELECT vec_id, embedding,
+             {duck_hash64("concat('ivfc:', vec_id)")} AS h
+      FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM hc ORDER BY h, vec_id LIMIT 8
+    ),
+    sim AS MATERIALIZED (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cosine('e.embedding', 'c.cv')} AS s
+      FROM e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS anchor_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim WHERE vec_id < 5) WHERE r <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.anchor_id
+    ),
+    pcents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM e
+      ORDER BY {duck_hash64("concat('pqc:', CAST(vec_id AS VARCHAR))")}, vec_id
+      LIMIT {_PQ_C}
+    ),
+    ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    cexp AS (
+      SELECT cent_id, m, cv[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}] AS csub
+      FROM pcents, ms
+    ),
+    nvec AS (SELECT DISTINCT neighbor_id FROM cand),
+    vexp AS (
+      SELECT n.neighbor_id AS vid, m,
+             e.embedding[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}] AS vsub
+      FROM nvec n JOIN e ON e.vec_id = n.neighbor_id, ms
+    ),
+    codes AS (
+      SELECT vid, m, cent_id AS code FROM (
+        SELECT vid, v.m, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vid, v.m
+                                  ORDER BY {d2n.format(a='vsub', b='csub', n=_PQ_D)},
+                                           cent_id) AS rn
+        FROM vexp v JOIN cexp c ON c.m = v.m
+      ) WHERE rn = 1
+    ),
+    aexp AS (
+      SELECT vec_id AS anchor_id, m,
+             embedding[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}] AS asub
+      FROM e, ms WHERE vec_id < 5
+    ),
+    lut AS (
+      SELECT anchor_id, a.m, cent_id AS code,
+             {d2n.format(a='asub', b='csub', n=_PQ_D)} AS d2n
+      FROM aexp a JOIN cexp c ON c.m = a.m
+    ),
+    adc AS (
+      SELECT cd.anchor_id, cd.neighbor_id, SUM(l.d2n) AS adc_n
+      FROM cand cd
+      JOIN codes c ON c.vid = cd.neighbor_id
+      JOIN lut l ON l.anchor_id = cd.anchor_id
+              AND l.m = c.m AND l.code = c.code
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT anchor_id, neighbor_id FROM (
+        SELECT anchor_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY adc_n, neighbor_id) AS ar
+        FROM adc) WHERE ar <= 40
+    ),
+    scored AS (
+      SELECT s.anchor_id, s.neighbor_id,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM short s
+      JOIN e ea ON ea.vec_id = s.anchor_id
+      JOIN e eb ON eb.vec_id = s.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+def _register_ivfpq_probe():
+    @query("similarity_ann_ivfpq_probe", _duck_ivfpq())
+    def similarity_ann_ivfpq_probe(spark, sf_dir):
+        """IVF-PQ with exact re-rank over the persisted IVF index —
+        the standard billion-vector serving recipe, composing the two
+        halves that shipped separately in round 5: coarse cells prune
+        the index scan to 3 of 8 partitions (static PartitionFilters,
+        plan-pinned), PQ/ADC scores the survivors from compact codes
+        via broadcast per-anchor lookup tables (integer-snapped BIGINT
+        sums, bit-reproducible in SQL), and the 40 best ADC candidates
+        per anchor get exact cosine re-ranked to the final top-10.
+        recall@10 >= the PQ-only lane by construction of the re-rank
+        (asserted in tests/test_llm_ops.py)."""
+        import os
+
+        from uts_spark.functions.similarity import (
+            ivf_index_write,
+            ivfpq_index_probe,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        path = ivf_index_path(sf_dir, _emb_fingerprint(spark, sf_dir))
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ivf_index_write(e, path, n_cells=8)
+        anchors = e.filter(F.col("vec_id") < 5)
+        return ivfpq_index_probe(
+            spark, path, anchors, e, dim=EMB_DIM, k=10,
+            n_cells=8, n_probe=3, m_sub=_PQ_M, n_cent=_PQ_C, rerank=40,
+        )
+
+    return similarity_ann_ivfpq_probe
+
+
+similarity_ann_ivfpq_probe = _register_ivfpq_probe()
 
 
 # --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
