@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 from uts_spark.operators.joins import salted_join
 from uts_spark.session import get_spark
 
-ROWS = 4_000_000
-HOT_SHARE = 0.8
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+HOT_SHARE = float(sys.argv[2]) if len(sys.argv) > 2 else 0.4
 N_KEYS = 50_000
 
 
@@ -65,7 +65,7 @@ def main() -> None:
     timings = {}
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     timings["plain_no_aqe"] = run("plain", fact.join(dim, "k"))
-    timings["salted_no_aqe"] = run("salted", salted_join(fact, dim, ["k"], salt=32))
+    timings["salted_no_aqe"] = run("salted", salted_join(fact, dim, ["k"], salt=16))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # thresholds low enough that the bench's ~200MB hot partition triggers
@@ -76,6 +76,11 @@ def main() -> None:
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     timings["plain_aqe_skew"] = run("aqe", fact.join(dim, "k"))
+    # salted under AQE too: measures whether the manual salt and the
+    # runtime split compose or fight (VERDICT r5 #3 asked for the A/B)
+    timings["salted_aqe"] = run(
+        "salted_aqe", salted_join(fact, dim, ["k"], salt=16)
+    )
 
     print(
         json.dumps(

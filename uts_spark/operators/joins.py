@@ -157,7 +157,15 @@ def salted_join(
     automatically; this is the manual fallback for the pathological case
     AQE can't fix — a single key too hot for any unsplit partition —
     and for non-AQE contexts. Result is identical to ``left.join(right,
-    keys, how)`` (asserted in tests). Supports inner/left joins."""
+    keys, how)`` (asserted in tests). Supports inner/left joins.
+
+    Measured A/B (SCALE.md "Round 6: skew-join A/B"; tools/skew_bench.py,
+    20M rows, 40/80/95% hot key): AQE skew-split wins at every hot share
+    (1.4-1.7 s vs salted's 3.5-4.5 s vs plain's 6.5-11.3 s), and salting
+    UNDER AQE is strictly worse than plain AQE — the salt hides the skew
+    from the runtime split while keeping its own replication cost. So:
+    prefer plain joins with AQE on; reach for this operator only where
+    AQE is unavailable or a single key exceeds one task's capacity."""
     assert how in ("inner", "left"), "salting right rows breaks right/full"
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l = left.withColumn("__salt", lsalt)
