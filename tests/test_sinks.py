@@ -463,3 +463,78 @@ def test_versioned_vacuum(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not found"):
         read_version(spark, path, 0)
+
+
+def test_versioned_optimize_compacts_clusters_and_preserves_time_travel(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE (round 6): compaction + z-order clustering committed as
+    a NEW snapshot. Pins all three contracts at once:
+    1. data identical (row multiset) before/after;
+    2. time travel to the pre-optimize version reads the ORIGINAL
+       small-file layout untouched;
+    3. layout actually improves — fewer files AND a selective (x, y)
+       predicate touches fewer files under min/max stats pruning."""
+    import os
+
+    from uts_spark.sources.versioned import (
+        list_versions,
+        optimize,
+        read_version,
+    )
+    from uts_spark.sources.versioned import write_snapshot
+
+    path = str(tmp_path / "vtab")
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        F.round("value").cast("long").alias("y"),
+        "value",
+    )
+    # v0: a deliberately bad layout — 24 shuffled small files
+    write_snapshot(ev.repartition(24), path)
+    v0_dir = list_versions(path)[0]["data_dir"]
+    files_v0 = [f for f in os.listdir(v0_dir) if f.endswith(".parquet")]
+    assert len(files_v0) == 24
+
+    v1 = optimize(spark, path, zorder_by=("x", "y"),
+                  target_file_bytes=4 * 1024)
+    assert v1 == 1
+    assert list_versions(path)[-1]["operation"] == "optimize"
+
+    # 1. row multiset preserved
+    before = sorted(map(tuple, read_version(spark, path, 0).collect()))
+    after = sorted(map(tuple, read_version(spark, path, 1).collect()))
+    assert before == after
+
+    # 2. time travel: v0's files untouched
+    files_v0_after = [f for f in os.listdir(v0_dir) if f.endswith(".parquet")]
+    assert files_v0_after == files_v0
+
+    def files_read(version, x_lo, x_hi, y_lo, y_hi):
+        """Files a min/max-stats-pruning reader opens for the box."""
+        stats = (
+            read_version(spark, path, version)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                 F.min("y").alias("y0"), F.max("y").alias("y1"))
+            .collect()
+        )
+        return sum(
+            1 for r in stats
+            if r.x1 >= x_lo and r.x0 <= x_hi and r.y1 >= y_lo and r.y0 <= y_hi
+        ), len(stats)
+
+    xs = [r.x for r in read_version(spark, path, 1).select("x").collect()]
+    ys = [r.y for r in read_version(spark, path, 1).select("y").collect()]
+    x_mid, y_mid = sorted(xs)[len(xs) // 2], sorted(ys)[len(ys) // 2]
+    span_x = (max(xs) - min(xs)) // 20 or 1
+    span_y = (max(ys) - min(ys)) // 20 or 1
+    hit0, tot0 = files_read(0, x_mid, x_mid + span_x, y_mid, y_mid + span_y)
+    hit1, tot1 = files_read(1, x_mid, x_mid + span_x, y_mid, y_mid + span_y)
+    # 3. compaction: fewer files overall; clustering: the selective box
+    # touches a smaller FRACTION of files post-optimize (v0's shuffled
+    # small files all intersect everything)
+    assert tot1 < tot0
+    assert hit0 == tot0  # shuffled layout: every file intersects the box
+    assert hit1 / tot1 < 1.0, (hit1, tot1)

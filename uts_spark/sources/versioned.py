@@ -160,3 +160,76 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         shutil.rmtree(m["data_dir"], ignore_errors=True)
         os.remove(os.path.join(_versions_dir(path), f"v{m['version']}.json"))
     return [m["version"] for m in doomed]
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    zorder_by: tuple[str, str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE as a new snapshot (VERDICT r5 #5): rewrite the CURRENT
+    version's data — small files compacted to
+    ``ceil(total_bytes / target_file_bytes)`` outputs and, when
+    ``zorder_by=(x, y)`` is given, rows range-partitioned + sorted by
+    the Morton z-value of the two columns (min/max-normalized to 16-bit
+    buckets, functions/layout.z_value) — and commit it as the NEXT
+    version with ``operation='optimize'``.
+
+    Copy-on-write at table grain, like merge_upsert: earlier versions'
+    files are never touched, so time travel to any pre-optimize version
+    still reads the original layout (pinned in tests/test_sinks.py).
+    The row multiset is EXACTLY preserved — optimize changes layout,
+    never data. After a z-ordered optimize every file covers a small
+    (x, y) rectangle, so min/max file statistics prune selective scans
+    on either column (before/after files-read counts in SCALE.md
+    "Round 6: versioned-table OPTIMIZE").
+
+    At fleet scale the same two levers apply per partition directory
+    (compaction is embarrassingly parallel across partitions) and the
+    rewrite narrows to the files a clustering metric flags — the
+    snapshot-commit protocol is unchanged."""
+    cur = current_version(path)
+    if cur is None:
+        raise ValueError(f"versioned table {path}: nothing to optimize")
+    manifest = {m["version"]: m for m in list_versions(path)}[cur]
+    ddir = manifest["data_dir"]
+    parts = [f for f in os.listdir(ddir) if f.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(ddir, f)) for f in parts)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(ddir)
+
+    if zorder_by is not None:
+        from pyspark.sql import functions as F
+
+        from uts_spark.functions.layout import z_value
+
+        xc, yc = zorder_by
+        lo_x, hi_x, lo_y, hi_y = [
+            float(v)
+            for v in df.agg(
+                F.min(xc), F.max(xc), F.min(yc), F.max(yc)
+            ).first()
+        ]
+
+        def bucket(col: str, lo: float, hi: float):
+            span = hi - lo
+            if span <= 0:  # constant column: every row in bucket 0
+                return F.lit(0).cast("long")
+            return F.least(
+                F.lit(65535),
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(span) * 65536)
+                .cast("long"),
+            )
+
+        out = (
+            df.withColumn(
+                "__z", z_value(bucket(xc, lo_x, hi_x), bucket(yc, lo_y, hi_y))
+            )
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = df.coalesce(n_out)
+    return write_snapshot(out, path, operation="optimize")
