@@ -1159,6 +1159,141 @@ def text_bpe_apply_pretrained(spark, sf_dir):
     )
 
 
+# --- Tokenizer eval: compression ratio, trained-3 vs pretrained-1024 --------
+#
+# The metric every tokenizer choice is judged by: characters per token
+# (compression) and the share of tokens that are real merges (vs
+# single-char fallbacks). Both lanes run on the same corpus words, so
+# the row pair IS the A/B — the 1024-merge pretrained table must
+# compress strictly better than the 3-round toy (pinned in pytest via
+# the hash-exact values themselves).
+
+_BPE_CMP_ORACLE = (
+    "WITH "
+    + _BPE_CHAIN
+    + f""",
+dwords6 AS (
+  SELECT doc_id, ws[i] AS word
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+),
+tw6 AS (
+  SELECT word,
+         CAST(len(string_split(seg, '|')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(seg, '|'),
+                              s -> length(s) > 1)) AS BIGINT) AS n_multi
+  FROM w{_BPE_ROUNDS}
+),
+pseg6 AS (
+  SELECT word,
+         list_reduce(
+           list_prepend(regexp_replace(word, '(.)', '|\\1|', 'g'),
+                        {merge_patterns_sql()}),
+           (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+  FROM (SELECT DISTINCT word FROM dwords6)
+),
+pw6 AS (
+  SELECT word,
+         CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(trim(s, '|'), '||'),
+                              x -> length(x) > 1)) AS BIGINT) AS n_multi
+  FROM pseg6
+),
+lanes AS (
+  SELECT 'pretrained_1024' AS lane,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+         CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(p.n_multi) AS BIGINT) AS n_multi
+  FROM dwords6 d JOIN pw6 p USING (word)
+  UNION ALL
+  SELECT 'trained_3round',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(length(d.word)) AS BIGINT),
+         CAST(SUM(t.n_tok) AS BIGINT),
+         CAST(SUM(t.n_multi) AS BIGINT)
+  FROM dwords6 d JOIN tw6 t USING (word)
+)
+SELECT lane, n_words, n_chars, n_tokens, n_multi,
+       CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+       CAST(n_multi AS DOUBLE) / n_tokens AS multi_share
+FROM lanes
+ORDER BY lane
+"""
+)
+
+
+@query("text_bpe_compression_eval", _BPE_CMP_ORACLE)
+def text_bpe_compression_eval(spark, sf_dir):
+    """Tokenizer-quality A/B as a query (module comment above): corpus
+    characters per token and merged-token share for the 3-round trained
+    table vs the 1024-merge pretrained table, from the same word
+    explode. Both ratios are single IEEE divisions of exact BIGINTs —
+    hash-exact. Scale shape: both lanes do all string work on the
+    distinct-word table; the corpus contributes one explode and two
+    dictionary joins."""
+    docs = table(spark, sf_dir, "documents")
+    dw = _bpe_doc_words(docs).select("doc_id", "word")
+
+    words = _bpe_word_table(docs)
+    for _ in range(_BPE_ROUNDS):
+        _, words = _bpe_merge_round(words)
+    toks = F.split(F.col("seg"), r"\|")
+    tw = words.select(
+        "word",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, lambda s: F.length(s) > 1))
+        .cast("long")
+        .alias("n_multi"),
+    )
+
+    ranks = {p: r for r, p in enumerate(pretrained_merges())}
+
+    def apply_batches(batches):
+        import pandas as pd
+
+        from uts_spark.functions.bpe_pretrained import bpe_apply_lowest_rank
+
+        for pdf in batches:
+            ws = pdf["word"].tolist()
+            n_tok, n_multi = [], []
+            for w in ws:
+                ts = bpe_apply_lowest_rank(w, ranks)
+                n_tok.append(len(ts))
+                n_multi.append(sum(1 for t in ts if len(t) > 1))
+            yield pd.DataFrame({"word": ws, "n_tok": n_tok, "n_multi": n_multi})
+
+    pw = (
+        dw.select("word")
+        .distinct()
+        .mapInPandas(apply_batches, "word string, n_tok long, n_multi long")
+    )
+
+    def lane(name, stats):
+        return (
+            dw.join(stats, "word")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum(F.length("word")).cast("long").alias("n_chars"),
+                F.sum("n_tok").alias("n_tokens"),
+                F.sum("n_multi").alias("n_multi"),
+            )
+            .select(F.lit(name).alias("lane"), "*")
+        )
+
+    out = lane("pretrained_1024", pw).unionByName(lane("trained_3round", tw))
+    return out.select(
+        "lane", "n_words", "n_chars", "n_tokens", "n_multi",
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+        (F.col("n_multi").cast("double") / F.col("n_tokens")).alias(
+            "multi_share"
+        ),
+    ).orderBy("lane")
+
+
 def _duck_pipeline_v3() -> str:
     from uts_spark.queries.llm_ops import (
         _DUCK_LINES,
