@@ -739,3 +739,50 @@ def test_label_encode_matches_sorted_vocab_without_funnel(spark):
     assert rows == want
     p = out._jdf.queryExecution().executedPlan().toString()
     assert _single_partition_windows(p) == 0
+
+
+def test_utf8_prefix_key_monotone_under_binary_string_order(spark):
+    """label_encode's range-bucket key must never invert Spark's binary
+    string order — including non-ASCII (UTF-8 byte order == code-point
+    order) and prefix-of-longer cases. Checked on an adversarial
+    vocabulary by comparing the key order against Spark's own sort."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.operators.distributed_rank import (
+        label_encode,
+        utf8_prefix_key,
+    )
+
+    rng = random.Random(66)
+    pool = ["", "a", "aa", "ab", "aé", "é", "中文",
+            "z" * 20, "a" * 8 + "b", "a" * 8 + "a"]
+    pool += ["".join(rng.choice("abé中") for _ in range(rng.randint(1, 12)))
+             for _ in range(200)]
+    vocab = sorted(set(pool))
+    df = spark.createDataFrame([(w,) for w in vocab], "t string")
+    rows = (
+        df.select("t", utf8_prefix_key(F.col("t")).alias("k"))
+        .orderBy("t")
+        .collect()
+    )
+    keys = [r["k"] for r in rows]
+    assert keys == sorted(keys), "prefix key inverted the string order"
+    # and label_encode agrees with enumerate(sorted(vocab)) end-to-end
+    got = {r["t"]: r["idx"] for r in label_encode(df, "t", out="idx").collect()}
+    assert got == {t: i for i, t in enumerate(vocab)}
+
+
+def test_minhash_index_probe_scan_is_partition_pruned(spark, sf_dir):
+    # dedup-as-a-service: the persisted band index is scanned ONLY at
+    # the probe batch's (band, grp) partitions — every index scan
+    # carries non-empty PartitionFilters on both partition columns
+    p = plan(spark, sf_dir, "dedup_minhash_index_probe")
+    index_scans = [
+        seg for seg in p.split("FileScan")[1:] if "dedup_minhash_index" in seg
+    ]
+    assert index_scans
+    for seg in index_scans:
+        filters = seg.split("PartitionFilters: [", 1)[1].split("]")[0]
+        assert "band" in filters and "grp" in filters, filters

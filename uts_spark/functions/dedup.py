@@ -540,3 +540,155 @@ def simhash_band_pairs(
     out = cand.localCheckpoint(eager=True)
     sk.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Persisted MinHash band index (round 6): dedup-as-a-service. Production
+# dedup doesn't recompute the corpus sketch per batch — it maintains a
+# band-bucket index at rest and probes it with each new crawl. This is
+# the MinHash sibling of the persisted LSH/IVF ANN indexes
+# (functions/similarity.py): same static-partition-filter probe, same
+# "persistence is physical, never semantic" contract (the probe's
+# oracle is the recompute formulation).
+
+def _band_bucket_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, h0..h{k-1}, band, bucket): one row per (doc, band) with the
+    md5 band bucket — the single-explode banding shared with
+    minhash_band_candidates."""
+    rpb = k // bands
+    band_struct = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(b * rpb, (b + 1) * rpb)
+                ])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return sig.select(
+        "id", *[f"h{i}" for i in range(k)], F.explode(band_struct).alias("__b")
+    ).select(
+        "id", *[f"h{i}" for i in range(k)],
+        F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"),
+    )
+
+
+def minhash_index_write(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    n_grps: int = 16,
+) -> None:
+    """Persist the corpus MinHash band index: one row per (doc, band)
+    carrying the band bucket, the full k-wide signature (for estimated
+    Jaccard at probe time) and the portable shingle set (for the exact
+    verify), written as parquet PARTITIONED BY (band, grp) where
+    ``grp = pmod(xxhash64(bucket), n_grps)`` coarsens the unbounded
+    md5-bucket space into a prunable directory grid. ``grp`` is a
+    physical layout detail only — probes re-derive it Spark-side and
+    re-filter on the exact bucket string, so no oracle ever sees it."""
+    from uts_spark.sources.sinks import write_partitioned
+
+    arrays = doc_shingle_arrays_portable(df, text_col, id_col, n)
+    sig = minhash_signatures_portable(arrays, k)
+    rows = (
+        _band_bucket_rows(sig, k, bands)
+        .join(arrays.select("id", "sh", "ns"), "id")
+        .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
+    )
+    write_partitioned(rows, path, ["band", "grp"])
+
+
+def minhash_index_probe(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n_grps: int = 16,
+) -> DataFrame:
+    """Probe the persisted index with a new batch: sketch the BATCH
+    (batch-sized work only), push its distinct (band, grp) list into
+    the index scan as a static partition filter (bounded by
+    batch x bands — the same driver-materialized-literal precedent as
+    lsh_index_probe), equi-join on the exact (band, bucket), then
+    estimated + exact Jaccard against the index-stored signatures and
+    shingle sets. Returns directional (id_new, id_old, est_jaccard,
+    jaccard) pairs with jaccard >= threshold — new x old only; the
+    old x old quadrant is never generated and the corpus is never
+    re-sketched."""
+    arrays_n = doc_shingle_arrays_portable(new_docs, text_col, id_col, n)
+    sig_n = minhash_signatures_portable(arrays_n, k)
+    bk_n = _band_bucket_rows(sig_n, k, bands)
+
+    pdf = (
+        bk_n.select(
+            "band", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)).alias("grp")
+        )
+        .distinct()
+        .toPandas()
+    )
+    # one combined-key IN over both partition columns (not a pair-wise
+    # OR-chain): stays a single static PartitionFilters expression even
+    # for hundreds of probed partitions, and an empty probe batch
+    # degrades to IN () = false, i.e. an empty result
+    keys = sorted(int(b) * n_grps + int(g) for b, g in pdf.itertuples(index=False))
+    idx = spark.read.parquet(path).filter(
+        (F.col("band") * n_grps + F.col("grp")).isin(keys)
+        if keys
+        else F.lit(False)
+    )
+
+    cand = (
+        bk_n.select(F.col("id").alias("id_new"), "band", "bucket")
+        .join(
+            idx.select(F.col("id").alias("id_old"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_new") != F.col("id_old"))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sa = sig_n.select(
+        F.col("id").alias("id_new"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)]
+    )
+    old_side = idx.select(
+        F.col("id").alias("id_old"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
+        F.col("sh").alias("__so"),
+        F.col("ns").alias("no"),
+    ).dropDuplicates(["id_old"])
+    an = arrays_n.select(
+        F.col("id").alias("id_new"), F.col("sh").alias("__sn"), F.col("ns").alias("nn")
+    )
+    scored = (
+        cand.join(sa, "id_new")
+        .join(old_side, "id_old")
+        .join(an, "id_new")
+        .withColumn(
+            "__shared", F.size(F.array_intersect(F.col("__sn"), F.col("__so")))
+        )
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    jac = F.col("__shared").cast("double") / (
+        F.col("nn") + F.col("no") - F.col("__shared")
+    )
+    return (
+        scored.select(
+            "id_new", "id_old", est.alias("est_jaccard"), jac.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

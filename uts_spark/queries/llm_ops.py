@@ -3166,6 +3166,137 @@ def _register_ivfpq_probe():
 similarity_ann_ivfpq_probe = _register_ivfpq_probe()
 
 
+# --- Persisted MinHash band index: dedup-as-a-service (round 6) -------------
+
+_MIDX_MOD, _MIDX_REM = 11, 3  # new batch = doc_id % 11 == 3 (~9% of docs)
+_MIDX_K, _MIDX_BANDS, _MIDX_N, _MIDX_THR = 32, 8, 3, 0.5
+
+
+def _docs_fingerprint(spark, sf_dir: str) -> str:
+    """Content fingerprint of the documents table (same staleness
+    contract as _emb_fingerprint: persisted-index reuse is never
+    trusted on pathname alone)."""
+    row = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("doc_id", "text"), F.lit(1 << 32))
+            ).alias("h"),
+        )
+        .first()
+    )
+    return f"{row['n']}_{(row['h'] or 0):x}"
+
+
+def minhash_index_path(sf_dir: str, fp: str) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(_warehouse_dir(), f"dedup_minhash_index_{tag}_{fp}")
+
+
+def _duck_minhash_index_probe() -> str:
+    # the recompute formulation of the probe: same portable dual-lane
+    # md5 machinery as _duck_minhash_lsh, with DIRECTIONAL new x old
+    # candidates (the index holds only old docs) — persistence is
+    # physical, so the oracle needs no filesystem
+    from uts_spark.functions.dedup import MINHASH_P as P, _family_constants
+
+    k, bands, n = _MIDX_K, _MIDX_BANDS, _MIDX_N
+    rpb = k // bands
+    consts = _family_constants(k)
+    grams = duck_word_ngrams(duck_tokens("text"), n)
+    mins = ", ".join(
+        f"MIN(({a} * h{'A' if i % 2 == 0 else 'B'} + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id AS id, unnest(list_distinct({grams})) AS gr FROM documents
+    ),
+    inv AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) AS hfull,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % {P} AS hA,
+             CAST(('0x' || substr(md5(gr), 17, 15)) AS BIGINT) % {P} AS hB
+      FROM g
+    ),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM inv GROUP BY id),
+    sig AS (SELECT id, {mins} FROM inv GROUP BY id),
+    bk AS ({band_sel}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_new, b.id AS id_old
+      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.id % {_MIDX_MOD} = {_MIDX_REM}
+        AND b.id % {_MIDX_MOD} != {_MIDX_REM}
+    ),
+    shared AS (
+      SELECT c.id_new, c.id_old, COUNT(*) AS sh
+      FROM cand c
+      JOIN inv x ON x.id = c.id_new
+      JOIN inv y ON y.id = c.id_old AND y.hfull = x.hfull
+      GROUP BY c.id_new, c.id_old
+    )
+    SELECT c.id_new, c.id_old,
+           ({eq}) / {float(k)!r} AS est_jaccard,
+           CAST(COALESCE(s.sh, 0) AS DOUBLE)
+             / (za.ns + zb.ns - COALESCE(s.sh, 0)) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.id = c.id_new
+    JOIN sig sb ON sb.id = c.id_old
+    JOIN sizes za ON za.id = c.id_new
+    JOIN sizes zb ON zb.id = c.id_old
+    LEFT JOIN shared s ON s.id_new = c.id_new AND s.id_old = c.id_old
+    WHERE CAST(COALESCE(s.sh, 0) AS DOUBLE)
+            / (za.ns + zb.ns - COALESCE(s.sh, 0)) >= {_MIDX_THR!r}
+    """
+
+
+@query("dedup_minhash_index_probe", _duck_minhash_index_probe())
+def dedup_minhash_index_probe(spark, sf_dir):
+    """Dedup-as-a-service: the corpus MinHash band index lives at rest
+    as (band, grp)-partitioned parquet (functions/dedup.
+    minhash_index_write — built once per corpus fingerprint, the same
+    staleness keying as the ANN indexes), and each new crawl batch
+    (deterministic ~9% doc_id split) probes ONLY its own bucket
+    partitions: batch-sized sketching, a static (band, grp) partition
+    filter (plan-pinned), exact (band, bucket) equi-join, estimated +
+    exact Jaccard from the INDEX-STORED signatures and shingle sets.
+    New x old pairs only — the corpus is never re-sketched and the
+    old x old quadrant is never generated. Oracle = the recompute
+    formulation (persistence is physical, never semantic)."""
+    import os
+
+    from uts_spark.functions.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM)
+    old = docs.filter(F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+    path = minhash_index_path(sf_dir, _docs_fingerprint(spark, sf_dir))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        minhash_index_write(
+            old, "text", "doc_id", path,
+            n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS,
+        )
+    return minhash_index_probe(
+        spark, path, new, "text", "doc_id",
+        n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS, threshold=_MIDX_THR,
+    )
+
+
 # --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
 #
 # Engine-neutral logarithms: the per-position discounts 1/log2(p+1) are

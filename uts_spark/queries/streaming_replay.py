@@ -1321,3 +1321,79 @@ def stream_late_data_replay(spark, sf_dir):
         "n", "sum_v",
     )
     return tum.unionByName(ses).unionByName(ded)
+
+
+def _register_stream_bpe():
+    # the oracle is text_bpe_apply_pretrained's, verbatim: a stateless
+    # per-doc transform streamed in micro-batches is semantics-preserving
+    # (same precedent as the persisted-index probes reusing recompute
+    # oracles). Imported as the module constant, not via registry.ORACLES:
+    # queries/__init__ may load this module before sketch_ops registers.
+    from uts_spark.queries.sketch_ops import _BPE_PRE_ORACLE
+
+    @query("stream_bpe_tokens_replay", _BPE_PRE_ORACLE)
+    def stream_bpe_tokens_replay(spark, sf_dir):
+        """STREAMING tokenization under the 1024-merge pretrained BPE
+        table: documents arrive as 4 parquet micro-batches and each
+        batch tokenizes in-stream (stateless Arrow mapInPandas — the
+        ingest-side shape of a training-data pipeline, where token
+        counts and budget accounting flow with the crawl instead of in
+        a nightly batch). Within each Arrow batch the distinct-word
+        memoization still applies (tokenize each word once per batch);
+        across batches the transform is embarrassingly per-doc, so
+        append mode needs no state and no watermark, and the output
+        hash-matches the batch lane's oracle exactly."""
+        import re
+
+        from uts_spark.functions.bpe_pretrained import (
+            pretrained_merges,
+            pretrained_vocab_ids,
+        )
+
+        ranks = {p: r for r, p in enumerate(pretrained_merges())}
+        ids = pretrained_vocab_ids()
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def tok_batches(batches):
+            import pandas as pd
+
+            from uts_spark.functions.bpe_pretrained import (
+                bpe_apply_lowest_rank,
+            )
+
+            memo = {}
+
+            def word_stats(w):
+                if w not in memo:
+                    toks = bpe_apply_lowest_rank(w, ranks)
+                    memo[w] = (len(toks), sum(ids[t] for t in toks))
+                return memo[w]
+
+            for pdf in batches:
+                out = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    words = re.findall(r"[a-z]+", str(text).lower())
+                    n_tokens = 0
+                    checksum = 0
+                    for pos, w in enumerate(words, start=1):
+                        n_tok, idsum = word_stats(w)
+                        n_tokens += n_tok
+                        checksum += pos * idsum
+                    out.append((int(doc_id), len(words), n_tokens, checksum))
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_id", "n_words", "n_tokens", "tok_checksum"],
+                )
+
+        def build(stream):
+            return stream.mapInPandas(
+                tok_batches,
+                "doc_id long, n_words long, n_tokens long, tok_checksum long",
+            ), "append"
+
+        return _replay(spark, docs, build)
+
+    return stream_bpe_tokens_replay
+
+
+stream_bpe_tokens_replay = _register_stream_bpe()
