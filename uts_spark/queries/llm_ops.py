@@ -654,6 +654,72 @@ def text_pii_scrub(spark, sf_dir):
     )
 
 
+# --- Privacy audit: k-anonymity / l-diversity over quasi-identifiers --------
+#
+# The compliance check a training-data release runs next to PII
+# redaction: group rows by their quasi-identifier tuple (here:
+# event_type x day x value band — the kind of columns an adversary can
+# re-link), report each group's k (row count) and l (distinct sensitive
+# values, here user_id), and flag groups below the k>=5 / l>=3 release
+# thresholds. Small groups are exactly the rows a release either
+# suppresses or generalizes; this query IS the audit that finds them.
+
+_KA_VBAND = 50.0
+_KA_K, _KA_L = 5, 3
+
+
+def _duck_k_anonymity() -> str:
+    from uts_spark.registry import DAY, FDIV, MS
+
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             ({FDIV(MS, DAY)}) * {DAY} AS day,
+             CAST(floor(value / {_KA_VBAND!r}) AS BIGINT) AS vband,
+             user_id
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, day, vband,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l_div,
+           CAST(CASE WHEN COUNT(*) >= {_KA_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS meets_k,
+           CAST(CASE WHEN COUNT(DISTINCT user_id) >= {_KA_L} THEN 1 ELSE 0 END
+                AS BIGINT) AS meets_l
+    FROM e GROUP BY 1, 2, 3
+    """
+
+
+@query("privacy_k_anonymity", _duck_k_anonymity())
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (module comment above): one
+    hash-partitioned groupBy over the quasi-identifier tuple with a
+    count + distinct-count — map-side partial aggregation, no window,
+    no driver collection; the flag columns make the release decision a
+    plain filter downstream. Scale: groups are QI-cardinality-sized;
+    the distinct-count is per-group exact (at 100 TB swap in the KMV /
+    HLL sketch family from queries/sketch_ops for the monitoring lane
+    and keep exact counts for the release gate)."""
+    from uts_spark.registry import DAY
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = (F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long") * DAY).alias("day")
+    vband = F.floor(F.col("value") / F.lit(_KA_VBAND)).cast("long").alias("vband")
+    return (
+        ev.select("event_type", day, vband, "user_id")
+        .groupBy("event_type", "day", "vband")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.countDistinct("user_id").cast("long").alias("l_div"),
+        )
+        .select(
+            "event_type", "day", "vband", "k", "l_div",
+            (F.col("k") >= _KA_K).cast("long").alias("meets_k"),
+            (F.col("l_div") >= _KA_L).cast("long").alias("meets_l"),
+        )
+    )
+
+
 _SC = 10**12  # fixed-point scale for order-independent float sums
 
 

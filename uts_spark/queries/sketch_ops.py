@@ -1072,8 +1072,7 @@ from uts_spark.functions.bpe_pretrained import (  # noqa: E402
     vocab_values_sql,
 )
 
-_BPE_PRE_ORACLE = f"""
-WITH dwords AS (
+_BPE_PRE_CTES = f"""dwords AS (
   SELECT doc_id, ws[i] AS word, CAST(i AS BIGINT) AS pos
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
         FROM documents),
@@ -1096,7 +1095,10 @@ wtok AS (
          CAST(SUM(v.tid) AS BIGINT) AS idsum
   FROM toks t JOIN {vocab_values_sql()} v(tok, tid) USING (tok)
   GROUP BY t.word
-)
+)"""
+
+_BPE_PRE_ORACLE = f"""
+WITH {_BPE_PRE_CTES}
 SELECT d.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(w.n_tok) AS BIGINT) AS n_tokens,
@@ -1104,6 +1106,33 @@ SELECT d.doc_id,
 FROM dwords d JOIN wtok w USING (word)
 GROUP BY d.doc_id
 """
+
+
+def _bpe_pretrained_word_tokens(words_df):
+    """(word, n_tok, idsum) under the 1024-merge pretrained table:
+    Arrow-batched lowest-rank-first apply over a distinct-word frame —
+    the shared kernel of text_bpe_apply_pretrained,
+    pipeline_training_prep_v4 and the streaming lane."""
+    ranks = {p: r for r, p in enumerate(pretrained_merges())}
+    ids = pretrained_vocab_ids()
+
+    def apply_batches(batches):
+        import pandas as pd
+
+        from uts_spark.functions.bpe_pretrained import bpe_apply_lowest_rank
+
+        for pdf in batches:
+            words = pdf["word"].tolist()
+            n_tok, idsum = [], []
+            for w in words:
+                toks = bpe_apply_lowest_rank(w, ranks)
+                n_tok.append(len(toks))
+                idsum.append(sum(ids[t] for t in toks))
+            yield pd.DataFrame({"word": words, "n_tok": n_tok, "idsum": idsum})
+
+    return words_df.mapInPandas(
+        apply_batches, "word string, n_tok long, idsum long"
+    )
 
 
 @query("text_bpe_apply_pretrained", _BPE_PRE_ORACLE)
@@ -1124,29 +1153,8 @@ def text_bpe_apply_pretrained(spark, sf_dir):
     20M docs the lane sustains the tokens/sec recorded in SCALE.md
     (tools/scale_smoke.py --family bpe_pretrained)."""
     docs = table(spark, sf_dir, "documents")
-    ranks = {p: r for r, p in enumerate(pretrained_merges())}
-    ids = pretrained_vocab_ids()
-
-    def apply_batches(batches):
-        import pandas as pd
-
-        from uts_spark.functions.bpe_pretrained import bpe_apply_lowest_rank
-
-        for pdf in batches:
-            words = pdf["word"].tolist()
-            n_tok, idsum = [], []
-            for w in words:
-                toks = bpe_apply_lowest_rank(w, ranks)
-                n_tok.append(len(toks))
-                idsum.append(sum(ids[t] for t in toks))
-            yield pd.DataFrame({"word": words, "n_tok": n_tok, "idsum": idsum})
-
     dw = _bpe_doc_words(docs)
-    wtok = (
-        dw.select("word")
-        .distinct()
-        .mapInPandas(apply_batches, "word string, n_tok long, idsum long")
-    )
+    wtok = _bpe_pretrained_word_tokens(dw.select("word").distinct())
     return (
         dw.join(wtok, "word")
         .groupBy("doc_id")
@@ -1387,6 +1395,101 @@ def pipeline_training_prep_v3(spark, sf_dir):
         "doc_id",
         "n_bpe",
         F.floor(cum_before / F.lit(_V3_BUDGET)).cast("long").alias("shard"),
+    )
+
+
+def _duck_pipeline_v4() -> str:
+    from uts_spark.queries.llm_ops import (
+        _DUCK_LINES,
+        _duck_gopher,
+        _duck_simhash_pairs,
+    )
+
+    return (
+        "WITH "
+        + _BPE_PRE_CTES
+        + f""",
+    bpe_doc AS (
+      SELECT d.doc_id, CAST(SUM(w.n_tok) AS BIGINT) AS n_bpe
+      FROM dwords d JOIN wtok w USING (word) GROUP BY d.doc_id
+    ),
+    g AS ({_duck_gopher()}),
+    {_DUCK_LINES},
+    ld AS (
+      SELECT l.doc_id,
+             CAST(SUM(CASE WHEN f.df >= 2 THEN l.llen ELSE 0 END) AS DOUBLE)
+               / SUM(l.llen) AS dup_char_ratio
+      FROM l JOIN (SELECT lh, COUNT(DISTINCT doc_id) AS df
+                   FROM l GROUP BY lh) f USING (lh)
+      GROUP BY l.doc_id
+    ),
+    pairs AS ({_duck_simhash_pairs()}),
+    kept AS (
+      SELECT g.doc_id, b.n_bpe
+      FROM g JOIN ld USING (doc_id) JOIN bpe_doc b USING (doc_id)
+      WHERE g.gopher_pass AND ld.dup_char_ratio < 0.5
+        AND g.doc_id NOT IN (SELECT id_b FROM pairs)
+    )
+    SELECT doc_id, n_bpe,
+           CAST((SUM(n_bpe) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_bpe) // {_V4_BUDGET} AS BIGINT) AS shard
+    FROM kept
+    """
+    )
+
+
+_V4_BUDGET = 10_000  # pretrained tokens per shard (~4x fewer tokens/char)
+
+
+@query("pipeline_training_prep_v4", _duck_pipeline_v4())
+def pipeline_training_prep_v4(spark, sf_dir):
+    """Training-prep pipeline v4: the v3 gate stack with the token
+    budget driven by the PRODUCTION tokenizer — the 1024-merge
+    pretrained BPE table (`text_bpe_apply_pretrained`) instead of the
+    3-round trained toy. This is the flagship composition a real
+    training-data run executes: quality gates + boilerplate gate +
+    near-dup removal + token-budget sharding, where "token" finally
+    means what the training stack will count.
+
+    Same scale shape as v3: all tokenizer string work on the
+    distinct-word frame, the running token sum through the
+    range-partitioned exact prefix sum (no single-partition window)."""
+    from uts_spark.functions.dedup import simhash_band_pairs
+    from uts_spark.queries.llm_ops import text_gopher_quality, text_line_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    gop = text_gopher_quality(spark, sf_dir).select("doc_id", "gopher_pass")
+    ld = text_line_dedup(spark, sf_dir).select("doc_id", "dup_char_ratio")
+    pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
+    dw = _bpe_doc_words(docs)
+    toks = (
+        dw.join(_bpe_pretrained_word_tokens(dw.select("word").distinct()), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_bpe"))
+    )
+    kept = (
+        toks.join(gop, "doc_id")
+        .join(ld, "doc_id")
+        .filter(F.col("gopher_pass") & (F.col("dup_char_ratio") < 0.5))
+        .join(
+            pairs.select(F.col("id_b").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", "n_bpe")
+    )
+    r = ranked_cumsum(
+        kept,
+        F.col("doc_id"),
+        [F.asc("doc_id")],
+        values={"tok": F.col("n_bpe")},
+        n_buckets=64,
+    )
+    cum_before = F.col("cum_tok") - F.col("n_bpe")
+    return r.select(
+        "doc_id",
+        "n_bpe",
+        F.floor(cum_before / F.lit(_V4_BUDGET)).cast("long").alias("shard"),
     )
 
 
