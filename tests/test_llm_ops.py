@@ -796,3 +796,40 @@ def test_ivfpq_recall_at_least_pq_only(spark, sf_dir):
         reg.QUERIES["similarity_ann_ivfpq_probe"](spark, sf_dir).collect()
     )
     assert r_ivfpq >= r_pq, (r_ivfpq, r_pq)
+
+
+def test_minhash_index_probe_matches_recompute(spark, sf_dir):
+    """Persisted-index probe == the recompute band join on the same
+    new x old quadrant at the same config — persistence is physical,
+    never semantic (same contract as the ANN index probes)."""
+    import uts_spark.registry as reg  # registry first: import trap
+    from uts_spark.functions.dedup import (
+        _band_bucket_rows,
+        doc_shingle_arrays_portable,
+        minhash_signatures_portable,
+        pair_jaccard,
+    )
+    from uts_spark.queries.llm_ops import _MIDX_MOD, _MIDX_REM, _MIDX_THR
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arrays = doc_shingle_arrays_portable(docs, "text", "doc_id", 3).cache()
+    sig = minhash_signatures_portable(arrays, 32)
+    bk = _band_bucket_rows(sig, 32, 8)
+    a = bk.filter(F.col("id") % _MIDX_MOD == _MIDX_REM).select(
+        F.col("id").alias("id_a"), "band", "bucket"
+    )
+    b = bk.filter(F.col("id") % _MIDX_MOD != _MIDX_REM).select(
+        F.col("id").alias("id_b"), "band", "bucket"
+    )
+    cand = a.join(b, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    want = {
+        (r.id_a, r.id_b)
+        for r in pair_jaccard(cand, arrays)
+        .filter(F.col("jaccard") >= _MIDX_THR)
+        .collect()
+    }
+    got = {
+        (r.id_new, r.id_old)
+        for r in reg.QUERIES["dedup_minhash_index_probe"](spark, sf_dir).collect()
+    }
+    assert got == want

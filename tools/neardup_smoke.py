@@ -138,9 +138,121 @@ def cc_ab() -> None:
     spark.stop()
 
 
+def _synth_docs(spark, n_docs):
+    """The shared planted-family corpus (module docstring)."""
+    from pyspark.sql import functions as F
+
+    fam = F.expr(f"id div {FAMILY}")
+    member = F.pmod(F.col("id"), F.lit(FAMILY))
+    is_dup = F.pmod(fam, F.lit(DUP_FAMILY_MOD)) == 0
+
+    def word(j: int):
+        if j in VAR_POS:
+            dup_key = F.xxhash64(fam, F.lit(j), member)
+        else:
+            dup_key = F.xxhash64(fam, F.lit(j))
+        uniq_key = F.xxhash64(F.col("id"), F.lit(j + 1_000_000))
+        key = F.when(is_dup, dup_key).otherwise(uniq_key)
+        return F.concat(F.lit("w"), F.pmod(key, F.lit(VOCAB)).cast("string"))
+
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(j) for j in range(WORDS)]).alias("text"),
+    )
+
+
+def index_probe_ab() -> None:
+    """Round 6: persisted-MinHash-index probe vs full recompute on the
+    same new-batch dedup question (new x old pairs, jaccard >= 0.5).
+    The probe must (a) return the identical pair set and (b) cost a
+    BATCH-shaped wall, while the one-time index build amortizes across
+    every future batch. Run:
+    python3 tools/neardup_smoke.py --index-probe [docs]"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.dedup import (
+        _band_bucket_rows,
+        doc_shingle_arrays_portable,
+        minhash_index_probe,
+        minhash_index_write,
+        minhash_signatures_portable,
+        pair_jaccard,
+    )
+    from uts_spark.session import get_spark
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    mod = int(sys.argv[3]) if len(sys.argv) > 3 else 11
+    spark = get_spark("minhash-index-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_docs(spark, n_docs)
+    new = docs.filter(F.col("doc_id") % mod == 3)
+    old = docs.filter(F.col("doc_id") % mod != 3)
+    n_new = new.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    scratch = tempfile.mkdtemp(prefix="mh_idx_")
+    path = os.path.join(scratch, "idx")
+    try:
+        timed("index_build_once", lambda: minhash_index_write(
+            old, "text", "doc_id", path))
+        probe = minhash_index_probe(
+            spark, path, new, old, "text", "doc_id").cache()
+        n_probe = timed("probe_batch", probe.count)
+
+        # recompute baseline: BOTH sides sketched fresh, same portable
+        # machinery, same new x old candidate quadrant
+        def recompute():
+            arrays = doc_shingle_arrays_portable(
+                docs, "text", "doc_id", 3).cache()
+            sig = minhash_signatures_portable(arrays, 32)
+            bk = _band_bucket_rows(sig, 32, 8)
+            a = bk.filter(F.col("id") % mod == 3).select(
+                F.col("id").alias("id_a"), "band", "bucket")
+            b = bk.filter(F.col("id") % mod != 3).select(
+                F.col("id").alias("id_b"), "band", "bucket")
+            cand = (a.join(b, ["band", "bucket"])
+                    .select("id_a", "id_b").distinct())
+            return (pair_jaccard(cand, arrays)
+                    .filter(F.col("jaccard") >= 0.5)
+                    .select(F.col("id_a").alias("id_new"),
+                            F.col("id_b").alias("id_old")).cache())
+
+        re = recompute()
+        n_re = timed("recompute_full", re.count)
+        got = {(r.id_new, r.id_old)
+               for r in probe.select("id_new", "id_old").collect()}
+        want = {(r.id_new, r.id_old) for r in re.collect()}
+        print(json.dumps({
+            "docs": n_docs,
+            "batch_mod": mod,
+            "new_batch": n_new,
+            "probe_pairs": n_probe,
+            "recompute_pairs": n_re,
+            "pairs_agree": got == want,
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--cc-ab":
         cc_ab()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--index-probe":
+        index_probe_ab()
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     from pyspark.sql import functions as F

@@ -586,21 +586,28 @@ def minhash_index_write(
     bands: int = 8,
     n_grps: int = 16,
 ) -> None:
-    """Persist the corpus MinHash band index: one row per (doc, band)
-    carrying the band bucket, the full k-wide signature (for estimated
-    Jaccard at probe time) and the portable shingle set (for the exact
-    verify), written as parquet PARTITIONED BY (band, grp) where
-    ``grp = pmod(xxhash64(bucket), n_grps)`` coarsens the unbounded
-    md5-bucket space into a prunable directory grid. ``grp`` is a
-    physical layout detail only — probes re-derive it Spark-side and
-    re-filter on the exact bucket string, so no oracle ever sees it."""
+    """Persist the corpus MinHash band index: one NARROW row per
+    (doc, band) — just (id, band, bucket) — written as parquet
+    PARTITIONED BY (band, grp) where ``grp = pmod(xxhash64(bucket),
+    n_grps)`` coarsens the unbounded md5-bucket space into a prunable
+    directory grid. ``grp`` is a physical layout detail only — probes
+    re-derive it Spark-side and re-filter on the exact bucket string,
+    so no oracle ever sees it.
+
+    The index deliberately stores NO signatures and NO shingle sets:
+    a first cut carried both, and the probe's wide scan of them
+    dominated its wall (measured ~25 s vs 27 s recompute at 1M docs —
+    no win). Candidate verification instead re-sketches only the
+    CANDIDATE old docs from the corpus table, which is bounded by
+    bucket collisions, so the probe's cost is narrow-scan + batch-sized
+    hashing (see tools/neardup_smoke.py --index-probe for the A/B)."""
     from uts_spark.sources.sinks import write_partitioned
 
     arrays = doc_shingle_arrays_portable(df, text_col, id_col, n)
     sig = minhash_signatures_portable(arrays, k)
     rows = (
         _band_bucket_rows(sig, k, bands)
-        .join(arrays.select("id", "sh", "ns"), "id")
+        .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
     write_partitioned(rows, path, ["band", "grp"])
@@ -610,6 +617,7 @@ def minhash_index_probe(
     spark,
     path: str,
     new_docs: DataFrame,
+    old_docs: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
@@ -620,15 +628,16 @@ def minhash_index_probe(
 ) -> DataFrame:
     """Probe the persisted index with a new batch: sketch the BATCH
     (batch-sized work only), push its distinct (band, grp) list into
-    the index scan as a static partition filter (bounded by
+    the narrow index scan as a static partition filter (bounded by
     batch x bands — the same driver-materialized-literal precedent as
-    lsh_index_probe), equi-join on the exact (band, bucket), then
-    estimated + exact Jaccard against the index-stored signatures and
-    shingle sets. Returns directional (id_new, id_old, est_jaccard,
-    jaccard) pairs with jaccard >= threshold — new x old only; the
-    old x old quadrant is never generated and the corpus is never
-    re-sketched."""
-    arrays_n = doc_shingle_arrays_portable(new_docs, text_col, id_col, n)
+    lsh_index_probe), equi-join on the exact (band, bucket) for
+    candidate pairs, then re-sketch ONLY the candidate old docs from
+    ``old_docs`` (bounded by bucket collisions) for the estimated +
+    exact Jaccard verify. Returns directional (id_new, id_old,
+    est_jaccard, jaccard) pairs with jaccard >= threshold — new x old
+    only; the corpus is never re-sketched wholesale and the old x old
+    quadrant is never generated."""
+    arrays_n = doc_shingle_arrays_portable(new_docs, text_col, id_col, n).cache()
     sig_n = minhash_signatures_portable(arrays_n, k)
     bk_n = _band_bucket_rows(sig_n, k, bands)
 
@@ -660,22 +669,30 @@ def minhash_index_probe(
         .select("id_new", "id_old")
         .distinct()
     )
+
+    # verification inputs: re-sketch only the CANDIDATE old docs
+    cand_old = cand.select(F.col("id_old").alias(id_col)).distinct()
+    hit_docs = old_docs.join(cand_old, id_col, "left_semi")
+    arrays_o = doc_shingle_arrays_portable(hit_docs, text_col, id_col, n).cache()
+    sig_o = minhash_signatures_portable(arrays_o, k)
+
     sa = sig_n.select(
         F.col("id").alias("id_new"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)]
     )
-    old_side = idx.select(
-        F.col("id").alias("id_old"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
-        F.col("sh").alias("__so"),
-        F.col("ns").alias("no"),
-    ).dropDuplicates(["id_old"])
+    sb = sig_o.select(
+        F.col("id").alias("id_old"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)]
+    )
     an = arrays_n.select(
         F.col("id").alias("id_new"), F.col("sh").alias("__sn"), F.col("ns").alias("nn")
     )
+    ao = arrays_o.select(
+        F.col("id").alias("id_old"), F.col("sh").alias("__so"), F.col("ns").alias("no")
+    )
     scored = (
         cand.join(sa, "id_new")
-        .join(old_side, "id_old")
+        .join(sb, "id_old")
         .join(an, "id_new")
+        .join(ao, "id_old")
         .withColumn(
             "__shared", F.size(F.array_intersect(F.col("__sn"), F.col("__so")))
         )
