@@ -683,7 +683,7 @@ def test_ivfpq_probe_scan_is_partition_pruned_no_full_scan(spark, sf_dir):
     # re-rank all start from the PRUNED scan, never a full-index pass
     p = plan(spark, sf_dir, "similarity_ann_ivfpq_probe")
     index_scans = [
-        seg for seg in p.split("FileScan")[1:] if "ann_ivf_index" in seg
+        seg for seg in p.split("FileScan")[1:] if "ann_ivfpq_index" in seg
     ]
     assert index_scans  # the probe must actually read the index
     for seg in index_scans:

@@ -962,6 +962,82 @@ def _pq_codebook_exp(
     )
 
 
+def ivfpq_index_write(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the COMPOSED IVF-PQ index: every corpus vector stored
+    with its coarse cell (ivf_index_write's hash-seeded assignment) AND
+    its PQ code array, parquet-partitioned by cell. Codes are computed
+    ONCE here, at build time — the first probe implementation encoded
+    the pruned scan per query and the encode dominated its wall
+    (measured 12.2 s vs 4.0 s plain-IVF at 200k vectors; SCALE.md
+    "Round 6: ANN probe A/B"). 8 int codes/vector is the at-rest cost
+    that buys ADC scoring without touching raw vectors."""
+    from uts_spark.sources.sinks import write_partitioned
+
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"ivfpq_index_write: dim ({dim}) must be divisible by m_sub ({m_sub})"
+        )
+    d_sub = dim // m_sub
+    cents = (
+        emb.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cent_id")
+        .limit(n_cells)
+        .drop("__h")
+    )
+    wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    assigned = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+    cexp = _pq_codebook_exp(emb, dim, m_sub, n_cent, id_col, vec_col)
+    subs = F.array(*[
+        F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
+    ])
+    codes = (
+        emb.select(F.col(id_col).alias("__vid"), F.posexplode(subs).alias("m", "vsub"))
+        .join(F.broadcast(cexp), "m")
+        .select(
+            "__vid", "m",
+            F.struct(
+                _pq_d2n(F.col("vsub"), F.col("csub")).alias("d"),
+                F.col("cent_id").alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("__vid", "m")
+        .agg(F.min("s").alias("s"))
+        .groupBy("__vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", F.col("s.c").alias("c")))),
+                lambda x: x["c"],
+            ).alias("codes")
+        )
+    )
+    rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
+        id_col, vec_col, "codes", "cell"
+    )
+    write_partitioned(rows, path, ["cell"])
+
+
 def ivfpq_index_probe(
     spark,
     path: str,
@@ -977,25 +1053,28 @@ def ivfpq_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ with exact re-rank over the persisted IVF index:
+    """IVF-PQ with exact re-rank over the persisted COMPOSED index
+    (:func:`ivfpq_index_write`):
 
     1. each anchor ranks the (recomputed, hash-seeded) coarse centroids
        and probes its ``n_probe`` best cells — a STATIC partition
        filter on the index scan, identical pruning to ivf_index_probe;
-    2. survivors are PQ-encoded and ADC-scored from the broadcast
-       per-anchor lookup table (integer-snapped BIGINT sums — the
-       pq_adc_topk kernel, bit-reproducible in SQL); at fleet scale the
-       codes live NEXT TO the index rows (8 bytes/vector per cell
-       partition) — encoding the pruned scan here is cost-equivalent
-       and keeps one artifact;
+    2. survivors are ADC-scored from their STORED code arrays against
+       the broadcast per-anchor lookup table (integer-snapped BIGINT
+       sums — the pq_adc_topk kernel, bit-reproducible in SQL); no
+       encoding happens at probe time;
     3. the ``rerank`` best ADC candidates per anchor get exact cosine
-       re-ranked to the final top-k — the step that restores metric
-       fidelity lost to quantization (measured in tests: recall@10 >=
-       the PQ-only lane).
+       re-ranked to the final top-k.
 
-    Nothing touches cells outside the probe set: codes, ADC and the
-    re-rank all start from the pruned index scan (plan-pinned in
-    tests/test_plan_properties.py)."""
+    Nothing touches cells outside the probe set (plan-pinned in
+    tests/test_plan_properties.py). Config honesty (measured in
+    tools/ann_smoke.py): on tightly clustered corpora a small
+    ``n_cent`` cannot separate same-cluster candidates — ADC values
+    tie and the shortlist degenerates; raise ``n_cent``/``rerank``
+    together (256/400 measured recall 0.54 vs 16/40's 0.0 there), or
+    prefer the plain exact-rerank IVF probe when probed cells fit the
+    compute budget — it is Pareto-better until candidate counts dwarf
+    the rerank economics."""
     if dim % m_sub != 0:
         raise ValueError(
             f"ivfpq_index_probe: dim ({dim}) must be divisible by m_sub ({m_sub})"
@@ -1033,35 +1112,19 @@ def ivfpq_index_probe(
     idx = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
+        "codes",
         "cell",
     )
     pairs = (
         probes.join(idx, "cell")
         .filter(F.col("anchor_id") != F.col("neighbor_id"))
-        .select("anchor_id", "__va", "neighbor_id")
+        .select("anchor_id", "__va", "neighbor_id", "__vb", "codes")
         .distinct()
     )
 
-    # 2. PQ codes for the PRUNED scan only + broadcast ADC LUTs
+    # 2. broadcast per-anchor ADC LUTs against the STORED codes
     cexp = _pq_codebook_exp(
         emb_for_centroids, dim, m_sub, n_cent, id_col, vec_col
-    )
-    nsubs = F.array(*[
-        F.slice(F.col("__vb"), m * d_sub + 1, d_sub) for m in range(m_sub)
-    ])
-    codes = (
-        idx.select("neighbor_id", F.posexplode(nsubs).alias("m", "vsub"))
-        .join(F.broadcast(cexp), "m")
-        .select(
-            "neighbor_id", "m",
-            F.struct(
-                _pq_d2n(F.col("vsub"), F.col("csub")).alias("d"),
-                F.col("cent_id").alias("c"),
-            ).alias("s"),
-        )
-        .groupBy("neighbor_id", "m")
-        .agg(F.min("s").alias("s"))
-        .select("neighbor_id", "m", F.col("s.c").alias("code"))
     )
     asubs = F.array(*[
         F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
@@ -1078,8 +1141,9 @@ def ivfpq_index_probe(
         )
     )
     adc = (
-        pairs.select("anchor_id", "neighbor_id")
-        .join(codes, "neighbor_id")
+        pairs.select(
+            "anchor_id", "neighbor_id", F.posexplode("codes").alias("m", "code")
+        )
         .join(F.broadcast(lut), ["anchor_id", "m", "code"])
         .groupBy("anchor_id", "neighbor_id")
         .agg(F.sum("d2n").alias("adc_n"))
@@ -1095,8 +1159,8 @@ def ivfpq_index_probe(
 
     # 3. exact re-rank of the shortlist
     scored = (
-        short.join(pairs, ["anchor_id", "neighbor_id"])
-        .join(idx.select("neighbor_id", "__vb"), "neighbor_id")
+        short.join(pairs.select("anchor_id", "__va", "neighbor_id", "__vb"),
+                   ["anchor_id", "neighbor_id"])
         .select(
             "anchor_id",
             "neighbor_id",

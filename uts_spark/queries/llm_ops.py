@@ -3212,14 +3212,18 @@ def _register_ivfpq_probe():
         import os
 
         from uts_spark.functions.similarity import (
-            ivf_index_write,
             ivfpq_index_probe,
+            ivfpq_index_write,
         )
 
         e = table(spark, sf_dir, "embeddings")
-        path = ivf_index_path(sf_dir, _emb_fingerprint(spark, sf_dir))
+        fp = _emb_fingerprint(spark, sf_dir)
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        path = os.path.join(_warehouse_dir(), f"ann_ivfpq_index_{tag}_{fp}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            ivf_index_write(e, path, n_cells=8)
+            ivfpq_index_write(
+                e, path, dim=EMB_DIM, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C
+            )
         anchors = e.filter(F.col("vec_id") < 5)
         return ivfpq_index_probe(
             spark, path, anchors, e, dim=EMB_DIM, k=10,
