@@ -720,6 +720,76 @@ def privacy_k_anonymity(spark, sf_dir):
     )
 
 
+def _duck_privacy_release() -> str:
+    from uts_spark.registry import DAY, FDIV, MS
+
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             ({FDIV(MS, DAY)}) * {DAY} AS day,
+             CAST(floor(value / {_KA_VBAND!r}) AS BIGINT) AS vband,
+             user_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, day, vband,
+             COUNT(*) >= {_KA_K}
+               AND COUNT(DISTINCT user_id) >= {_KA_L} AS ok
+      FROM e GROUP BY 1, 2, 3
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN g.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_released,
+           CAST(SUM(CASE WHEN g.ok THEN 0 ELSE 1 END) AS BIGINT) AS n_suppressed,
+           CAST(SUM(CASE WHEN g.ok THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)
+             AS suppression_rate
+    FROM e JOIN g USING (event_type, day, vband)
+    GROUP BY e.event_type
+    """
+
+
+@query("privacy_suppressed_release", _duck_privacy_release())
+def privacy_suppressed_release(spark, sf_dir):
+    """The APPLY half of the privacy audit: rows whose quasi-identifier
+    group fails the k>=5 / l>=3 thresholds are SUPPRESSED from the
+    release; this query accounts for the cut per event_type (rows
+    released / suppressed / suppression rate) — the number a data
+    steward signs off on before shipping. One groupBy builds the group
+    verdicts (QI-cardinality-sized, broadcast back), one join tags the
+    rows; no window, no collect."""
+    from uts_spark.registry import DAY
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = (F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long") * DAY).alias("day")
+    vband = F.floor(F.col("value") / F.lit(_KA_VBAND)).cast("long").alias("vband")
+    rows = ev.select("event_type", day, vband, "user_id")
+    verdicts = (
+        rows.groupBy("event_type", "day", "vband")
+        .agg(
+            (
+                (F.count(F.lit(1)) >= _KA_K)
+                & (F.countDistinct("user_id") >= _KA_L)
+            ).alias("ok")
+        )
+    )
+    ok = F.col("ok").cast("long")
+    return (
+        rows.join(F.broadcast(verdicts), ["event_type", "day", "vband"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(ok).alias("n_released"),
+            F.sum(F.lit(1) - ok).alias("n_suppressed"),
+        )
+        .select(
+            "event_type", "n_rows", "n_released", "n_suppressed",
+            (
+                F.col("n_suppressed").cast("double") / F.col("n_rows")
+            ).alias("suppression_rate"),
+        )
+    )
+
+
 _SC = 10**12  # fixed-point scale for order-independent float sums
 
 
