@@ -777,8 +777,13 @@ def test_utf8_prefix_key_monotone_under_binary_string_order(spark):
 def test_minhash_index_probe_scan_is_partition_pruned(spark, sf_dir):
     # dedup-as-a-service: the persisted band index is scanned ONLY at
     # the probe batch's (band, grp) partitions — every index scan
-    # carries non-empty PartitionFilters on both partition columns
-    p = plan(spark, sf_dir, "dedup_minhash_index_probe")
+    # carries non-empty PartitionFilters on both partition columns.
+    # checkpoint=False keeps the lazy plan (the registered query eagerly
+    # checkpoints to release its shingle caches per probe, ADVICE r6).
+    from uts_spark.queries.llm_ops import _minhash_index_probe_impl
+
+    df = _minhash_index_probe_impl(spark, sf_dir, checkpoint=False)
+    p = df._jdf.queryExecution().executedPlan().toString()
     index_scans = [
         seg for seg in p.split("FileScan")[1:] if "dedup_minhash_index" in seg
     ]

@@ -625,6 +625,7 @@ def minhash_index_probe(
     bands: int = 8,
     threshold: float = 0.5,
     n_grps: int = 16,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Probe the persisted index with a new batch: sketch the BATCH
     (batch-sized work only), push its distinct (band, grp) list into
@@ -636,7 +637,15 @@ def minhash_index_probe(
     exact Jaccard verify. Returns directional (id_new, id_old,
     est_jaccard, jaccard) pairs with jaccard >= threshold — new x old
     only; the corpus is never re-sketched wholesale and the old x old
-    quadrant is never generated."""
+    quadrant is never generated.
+
+    ``checkpoint=True`` (default — ADVICE r6, low) eagerly
+    ``localCheckpoint``s the (candidate-bounded) verified pair set and
+    releases the two shingle caches immediately, mirroring
+    :func:`minhash_lsh` / :func:`simhash_band_pairs`: a dedup service
+    probes repeatedly in one session, and un-released caches accumulate
+    executor storage per probe. ``checkpoint=False`` keeps the full
+    lazy plan (plan-shape tests pin the partition-pruned index scan)."""
     arrays_n = doc_shingle_arrays_portable(new_docs, text_col, id_col, n).cache()
     sig_n = minhash_signatures_portable(arrays_n, k)
     bk_n = _band_bucket_rows(sig_n, k, bands)
@@ -703,9 +712,14 @@ def minhash_index_probe(
     jac = F.col("__shared").cast("double") / (
         F.col("nn") + F.col("no") - F.col("__shared")
     )
-    return (
+    out = (
         scored.select(
             "id_new", "id_old", est.alias("est_jaccard"), jac.alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        arrays_n.unpersist()
+        arrays_o.unpersist()
+    return out

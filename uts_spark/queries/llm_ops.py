@@ -1089,11 +1089,25 @@ def _emb_fingerprint(spark, sf_dir: str) -> str:
     return f"{row['n']}_{(row['h'] or 0):x}"
 
 
-def ann_index_path(sf_dir: str, fp: str) -> str:
+def ann_index_path(
+    sf_dir: str, fp: str, planes: int = None, tables: int = None
+) -> str:
+    """Persisted-index path keyed by content fingerprint AND index
+    configuration (ADVICE r6, medium): a path keyed by fingerprint
+    alone silently serves an index built with DIFFERENT hyperplane
+    counts if a config constant changes — buckets no longer match and
+    candidates are silently dropped, the exact stale-index class the
+    fingerprint was added to close. The config suffix makes any
+    (data, config) mismatch a cache miss → rebuild, never a wrong
+    answer."""
     import os
 
+    planes = _ANN_IDX_PLANES if planes is None else planes
+    tables = _ANN_IDX_TABLES if tables is None else tables
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join(_warehouse_dir(), f"ann_lsh_index_{tag}_{fp}")
+    return os.path.join(
+        _warehouse_dir(), f"ann_lsh_index_{tag}_{fp}_p{planes}t{tables}"
+    )
 
 
 @query("similarity_ann_index_probe", _duck_ann_index_probe())
@@ -3107,11 +3121,15 @@ def embedding_sq8_quantization(spark, sf_dir):
     )
 
 
-def ivf_index_path(sf_dir: str, fp: str) -> str:
+def ivf_index_path(sf_dir: str, fp: str, n_cells: int = 8) -> str:
+    # config-keyed like ann_index_path (ADVICE r6): an index built with
+    # a different cell count must be a cache miss, not a silent mismatch
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join(_warehouse_dir(), f"ann_ivf_index_{tag}_{fp}")
+    return os.path.join(
+        _warehouse_dir(), f"ann_ivf_index_{tag}_{fp}_c{n_cells}"
+    )
 
 
 def _register_ivf_index_probe():
@@ -3289,7 +3307,12 @@ def _register_ivfpq_probe():
         e = table(spark, sf_dir, "embeddings")
         fp = _emb_fingerprint(spark, sf_dir)
         tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-        path = os.path.join(_warehouse_dir(), f"ann_ivfpq_index_{tag}_{fp}")
+        # config-keyed (ADVICE r6): cells/subspaces/codebook size all
+        # change the persisted codes — any mismatch must miss the cache
+        path = os.path.join(
+            _warehouse_dir(),
+            f"ann_ivfpq_index_{tag}_{fp}_c8m{_PQ_M}k{_PQ_C}",
+        )
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             ivfpq_index_write(
                 e, path, dim=EMB_DIM, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C
@@ -3329,11 +3352,24 @@ def _docs_fingerprint(spark, sf_dir: str) -> str:
     return f"{row['n']}_{(row['h'] or 0):x}"
 
 
-def minhash_index_path(sf_dir: str, fp: str) -> str:
+def minhash_index_path(
+    sf_dir: str,
+    fp: str,
+    k: int = _MIDX_K,
+    bands: int = _MIDX_BANDS,
+    n: int = _MIDX_N,
+    n_grps: int = 16,
+) -> str:
+    # config-keyed (ADVICE r6): sketches built with different (k, bands,
+    # n, n_grps) produce incompatible band buckets / partition layout —
+    # a config change must rebuild, never silently drop pairs
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join(_warehouse_dir(), f"dedup_minhash_index_{tag}_{fp}")
+    return os.path.join(
+        _warehouse_dir(),
+        f"dedup_minhash_index_{tag}_{fp}_k{k}b{bands}n{n}g{n_grps}",
+    )
 
 
 def _duck_minhash_index_probe() -> str:
@@ -3416,7 +3452,14 @@ def dedup_minhash_index_probe(spark, sf_dir):
     probe wall 6.5 s vs 27 s full recompute at 1M docs, SCALE.md).
     New x old pairs only — the corpus is never re-sketched wholesale
     and the old x old quadrant is never generated. Oracle = the
-    recompute formulation (persistence is physical, never semantic)."""
+    recompute formulation (persistence is physical, never semantic).
+    The default eager checkpoint releases the probe's shingle caches
+    per call (ADVICE r6); the partition-pruned index scan is pinned on
+    the ``checkpoint=False`` lazy plan in tests/test_plan_properties."""
+    return _minhash_index_probe_impl(spark, sf_dir, checkpoint=True)
+
+
+def _minhash_index_probe_impl(spark, sf_dir, checkpoint: bool):
     import os
 
     from uts_spark.functions.dedup import (
@@ -3436,6 +3479,7 @@ def dedup_minhash_index_probe(spark, sf_dir):
     return minhash_index_probe(
         spark, path, new, old, "text", "doc_id",
         n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS, threshold=_MIDX_THR,
+        checkpoint=checkpoint,
     )
 
 

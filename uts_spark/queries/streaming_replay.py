@@ -1372,6 +1372,11 @@ def _register_stream_bpe():
             for pdf in batches:
                 out = []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    # NULL text: skip (ADVICE r6 — str(None) would
+                    # tokenize the word "none"; the batch lane and the
+                    # oracle both drop it via regexp_extract_all(NULL))
+                    if text is None or text != text:
+                        continue
                     words = re.findall(r"[a-z]+", str(text).lower())
                     n_tokens = 0
                     checksum = 0

@@ -205,12 +205,25 @@ def optimize(
         from uts_spark.functions.layout import z_value
 
         xc, yc = zorder_by
-        lo_x, hi_x, lo_y, hi_y = [
-            float(v)
-            for v in df.agg(
-                F.min(xc), F.max(xc), F.min(yc), F.max(yc)
-            ).first()
-        ]
+        # NULL-safety (ADVICE r6, low): min/max are None on an empty
+        # snapshot or an all-NULL cluster column (float(None) raised a
+        # bare TypeError), and a row-level NULL in either column would
+        # get a NULL __z that silently co-sorts all such rows. Clustering
+        # demands orderable values — fail precisely instead.
+        nulls = df.filter(
+            F.col(xc).isNull() | F.col(yc).isNull()
+        ).limit(1).count()
+        if nulls:
+            raise ValueError(
+                f"optimize(zorder_by=({xc!r}, {yc!r})): cluster columns "
+                "must be non-null; found NULL rows — filter or fill "
+                "before z-ordering, or use plain compaction"
+            )
+        bounds = df.agg(F.min(xc), F.max(xc), F.min(yc), F.max(yc)).first()
+        if any(v is None for v in bounds):
+            # empty current snapshot: nothing to cluster — plain compact
+            return write_snapshot(df.coalesce(n_out), path, operation="optimize")
+        lo_x, hi_x, lo_y, hi_y = [float(v) for v in bounds]
 
         def bucket(col: str, lo: float, hi: float):
             span = hi - lo
