@@ -255,6 +255,84 @@ def test_bpe_apply_variants_agree_randomized():
         assert "".join(a) == w
 
 
+def test_bpe_byte_table_invariants():
+    """Byte-level table: 512 merges over hex-pair symbols, components
+    always in-vocab, vocab a bijection over 256 base bytes + merges."""
+    from uts_spark.functions.bpe_pretrained import (
+        pretrained_byte_merges,
+        pretrained_byte_vocab_ids,
+    )
+
+    merges = pretrained_byte_merges()
+    assert len(merges) >= 512
+    ids = pretrained_byte_vocab_ids()
+    assert len(ids) == 256 + len(merges)
+    seen = {bytes([i]).hex() for i in range(256)}
+    for x, y in merges:
+        assert x in seen and y in seen, (x, y)
+        assert len(x) % 2 == 0 and len(y) % 2 == 0
+        seen.add(x + y)
+
+
+def test_bpe_byte_apply_variants_agree_unicode():
+    """Byte-lane equivalence (lowest-rank-first == in-order replace,
+    the oracle's formulation) on adversarial random strings INCLUDING
+    punctuation, digits, and multi-byte UTF-8; token hex concatenation
+    must reconstruct the exact UTF-8 byte sequence."""
+    import random
+
+    from uts_spark.functions.bpe_pretrained import (
+        bpe_apply_bytes,
+        bpe_apply_bytes_in_order,
+    )
+
+    rng = random.Random(707)
+    pool = "etaoins ,.!?'—“”éüñ東京42%€№\t"
+    for _ in range(400):
+        n = rng.randint(1, 18)
+        w = "".join(rng.choice(pool) for _ in range(n))
+        a = bpe_apply_bytes(w)
+        b = bpe_apply_bytes_in_order(w)
+        assert a == b, w
+        assert bytes.fromhex("".join(a)) == w.encode("utf-8")
+
+
+def test_bpe_byte_pretokenizer_parity_spark_vs_python(spark, sf_dir):
+    """The GPT-2-style pre-tokenizer regex must split the derived mixed
+    text IDENTICALLY in Spark (Java regex) and DuckDB (RE2) — parity is
+    pinned end-to-end by the hash-exact oracle; here we pin the Spark
+    split against DuckDB directly on the live corpus rows so a regex
+    engine divergence fails with the offending doc visible."""
+    import duckdb
+
+    from uts_spark.queries.sketch_ops import _MIXED_SQL, _PRETOK_RE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["pts"]
+        for r in docs.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.expr(_MIXED_SQL.format(styp="STRING")), F.lit(_PRETOK_RE), 0
+            ).alias("pts"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        d: p
+        for d, p in con.sql(
+            f"""SELECT doc_id,
+                regexp_extract_all({_MIXED_SQL.format(styp='VARCHAR')},
+                                   '{_PRETOK_RE.replace("'", "''")}')
+                FROM documents"""
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_bpe_compression_pretrained_beats_toy(spark, sf_dir):
     """The 1024-merge pretrained table must compress the corpus
     strictly better than the 3-round trained toy — the whole point of

@@ -450,6 +450,44 @@ def main() -> None:
             F.sum(F.col("pos") * F.col("idsum")).alias("tok_checksum"),
         )
 
+    def _bpe_bytes(_df):
+        # byte-level 512-merge pretrained apply over MIXED text (the
+        # round-7 lane): same distinct-pretoken shape; the synthetic
+        # docs get the query's own casing/punct/unicode derivation so
+        # the pre-token vocabulary is realistic, not [a-z]+ words.
+        from uts_spark.queries.sketch_ops import (
+            _MIXED_SQL,
+            _PRETOK_RE,
+            _bpe_byte_pretoken_tokens,
+        )
+
+        vocab = F.array(*[F.lit(w) for w in _VOCAB_WORDS])
+        docs = spark.range(max(1000, rows // 10)).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.element_at(
+                    vocab,
+                    (F.pmod(F.xxhash64("id", F.lit(j)), 2000) + 1).cast("int"),
+                )
+                for j in range(10)
+            ]).alias("text"),
+        )
+        mixed = F.expr(_MIXED_SQL.format(styp="STRING"))
+        dpts = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(mixed, F.lit(_PRETOK_RE), 0)
+            ).alias("p", "pt"),
+        ).select(
+            "doc_id", "pt", (F.col("p") + 1).cast("long").alias("pos")
+        )
+        ptok = _bpe_byte_pretoken_tokens(dpts.select("pt").distinct())
+        return dpts.join(ptok, "pt").groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("pos") * F.col("idsum")).alias("tok_checksum"),
+        )
+
     def _checksum_recon(_df):
         # XOR bucket checksums + drilldown only into bad buckets
         o = spark.range(rows).select(
@@ -546,9 +584,17 @@ def main() -> None:
         "label_propagation_4r": _lpa,
         "bpe_train_3_rounds": _bpe_train,
         "bpe_pretrained_apply_1024": _bpe_pretrained,
+        "bpe_bytes_apply_512": _bpe_bytes,
         "checksum_reconciliation": _checksum_recon,
         "streaming_hll_replay": _stream_hll,
     })
+
+    only = set(sys.argv[2:])  # optional family-name filter
+    if only:
+        unknown = only - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown families: {sorted(unknown)}")
+        ops = {n: f for n, f in ops.items() if n in only}
 
     timings = {}
     for name, fn in ops.items():

@@ -102,16 +102,19 @@ def _merge_seg(seg: tuple[str, ...], x: str, y: str) -> tuple[str, ...]:
     return tuple(out)
 
 
-@lru_cache(maxsize=1)
-def pretrained_merges() -> tuple[tuple[str, str], ...]:
-    """Train the merge table once per process: classic frequency-greedy
-    BPE with the repo's deterministic tie-break (freq desc, x asc,
-    y asc), incremental pair-count maintenance (only words containing
-    the merged pair are touched), and the unique-vocab-string skip
-    documented in the module docstring."""
-    words: list[tuple[tuple[str, ...], int]] = [
-        (tuple(w), f) for w, f in _seed_words()
-    ]
+def _train_merges(
+    words: list[tuple[tuple[str, ...], int]],
+    n_merges: int,
+    base_vocab: tuple[str, ...] = (),
+) -> tuple[tuple[str, str], ...]:
+    """Shared trainer: classic frequency-greedy BPE with the repo's
+    deterministic tie-break (freq desc, x asc, y asc), incremental
+    pair-count maintenance (only words containing the merged pair are
+    touched), and the unique-vocab-string skip documented in the module
+    docstring. ``base_vocab`` seeds extra symbols into the collision
+    set (the byte lane passes all 256 hex pairs so a merge output can
+    never alias a base symbol absent from the seed corpus)."""
+    words = list(words)
     counts: Counter = Counter()
     where: defaultdict = defaultdict(set)  # pair -> word indexes (may go stale)
     for wi, (seg, freq) in enumerate(words):
@@ -119,9 +122,9 @@ def pretrained_merges() -> tuple[tuple[str, str], ...]:
             counts[pair] += freq
             where[pair].add(wi)
 
-    vocab = {c for seg, _ in words for c in seg}
+    vocab = {c for seg, _ in words for c in seg} | set(base_vocab)
     merges: list[tuple[str, str]] = []
-    while len(merges) < _N_MERGES and counts:
+    while len(merges) < n_merges and counts:
         best = min(
             (p for p in counts if p[0] + p[1] not in vocab),
             key=lambda p: (-counts[p], p),
@@ -147,11 +150,20 @@ def pretrained_merges() -> tuple[tuple[str, str], ...]:
                 counts[pair] += freq
                 where[pair].add(wi)
         counts.pop(best, None)
-    if len(merges) < _N_MERGES:
+    if len(merges) < n_merges:
         raise AssertionError(
-            f"seed corpus exhausted at {len(merges)} merges; enlarge _STEMS"
+            f"seed corpus exhausted at {len(merges)} merges; enlarge the seed"
         )
     return tuple(merges)
+
+
+@lru_cache(maxsize=1)
+def pretrained_merges() -> tuple[tuple[str, str], ...]:
+    """The 1024-merge character-level table, trained once per process
+    on the fixed seed corpus (trainer: :func:`_train_merges`)."""
+    return _train_merges(
+        [(tuple(w), f) for w, f in _seed_words()], _N_MERGES
+    )
 
 
 @lru_cache(maxsize=1)
@@ -175,13 +187,9 @@ def _rank_table() -> dict[tuple[str, str], int]:
     return {p: r for r, p in enumerate(pretrained_merges())}
 
 
-def bpe_apply_lowest_rank(word: str, ranks: dict | None = None) -> list[str]:
-    """Production apply (GPT-2 ``bpe()`` shape): repeatedly merge the
-    lowest-ranked pair present, greedy-leftmost. Cost independent of
-    merge-table size."""
-    if ranks is None:
-        ranks = _rank_table()
-    seg = tuple(word)
+def _apply_lowest_rank_seg(seg: tuple[str, ...], ranks: dict) -> list[str]:
+    """Shared merge loop: repeatedly merge the lowest-ranked pair
+    present, greedy-leftmost. Cost independent of merge-table size."""
     while len(seg) > 1:
         best = None
         best_rank = None
@@ -193,6 +201,13 @@ def bpe_apply_lowest_rank(word: str, ranks: dict | None = None) -> list[str]:
             break
         seg = _merge_seg(seg, best[0], best[1])
     return list(seg)
+
+
+def bpe_apply_lowest_rank(word: str, ranks: dict | None = None) -> list[str]:
+    """Production apply (GPT-2 ``bpe()`` shape) over character symbols."""
+    if ranks is None:
+        ranks = _rank_table()
+    return _apply_lowest_rank_seg(tuple(word), ranks)
 
 
 def bpe_apply_in_order(word: str, merges=None) -> list[str]:
@@ -220,4 +235,138 @@ def merge_patterns_sql() -> str:
 def vocab_values_sql() -> str:
     """The vocabulary as a DuckDB VALUES table ``(tok, tid)``."""
     rows = ", ".join(f"('{t}', {i})" for t, i in pretrained_vocab_ids().items())
+    return f"(VALUES {rows})"
+
+
+# --- Byte-level pretrained BPE (VERDICT r6 #1) -------------------------------
+#
+# The character-level table above merges [a-z]+ letter runs — it cannot
+# tokenize punctuation, digits, casing, or multi-byte UTF-8, i.e. any
+# real corpus. Production tokenizers (GPT-2 and descendants) are
+# BYTE-level: the unit symbol is the UTF-8 byte, the pre-tokenizer
+# splits text into space-prefixed word/number/punctuation pieces, and
+# merges act on byte sequences — every string tokenizes, no OOV.
+#
+# Symbol representation: each byte is the 2-char lowercase hex pair
+# ("20", "74", ...) rather than GPT-2's printable-unicode remap — hex
+# is equally bijective, sorts deterministically, and (decisively here)
+# is computable in BOTH engines: Python bytes.hex() and DuckDB
+# lower(hex(encode(s))). Merged tokens concatenate whole pairs, so a
+# token's hex string uniquely determines its byte sequence and the
+# boundary-safe |x||y| replace encoding needs no escaping even for
+# pre-tokens containing '|' or quotes.
+#
+# The in-order == lowest-rank-first equivalence argument from the
+# module docstring carries over verbatim (symbols are hex pairs instead
+# of characters; the unique-vocab skip closes the same surface-string
+# loophole), so the DuckDB list_reduce oracle stays exact.
+
+_N_BYTE_MERGES = 512
+
+# Deterministic pre-token seed: space-prefixed stems dominate (the
+# GPT-2 convention — mid-sentence words carry their leading space),
+# bare and capitalized forms rarer, plus punctuation, contractions,
+# digits, and multi-byte UTF-8 samples with fixed weights.
+_BYTE_EXTRAS: tuple[tuple[str, int], ...] = (
+    (",", 3000), (".", 2800), ("!", 500), ("?", 400), (";", 300),
+    (":", 350), (" —", 380), ("—", 120), ("...", 150), ("“", 200),
+    (" “", 220), ("”", 200), ("(", 180), (" (", 190), (")", 180),
+    ("-", 250), ("%", 220), ("€", 160), ("№", 120), ("#", 90),
+    ("/", 110), ("'s", 700), ("'t", 500), ("'re", 250), ("'ll", 180),
+    ("'ve", 170), ("'m", 160), ("'d", 120),
+    (" café", 150), (" naïve", 130), (" Naïve", 60),
+    (" 東京", 110), (" über", 100), (" señor", 90),
+    (" Zürich", 80), (" résumé", 85), ("é", 60),
+    ("ü", 50), (" 42", 300), ("42", 150), (" 2024", 140), ("9", 120),
+    (".99", 130), (" 1", 260), ("0", 200), (" 9", 110), (" 7", 100),
+)
+
+
+def _hex_seg(s: str) -> tuple[str, ...]:
+    b = s.encode("utf-8")
+    return tuple(b[i : i + 1].hex() for i in range(len(b)))
+
+
+def _byte_seed_words() -> list[tuple[str, int]]:
+    out: list[tuple[str, int]] = []
+    rank = 0
+    for stem in _STEMS:
+        for j, suf in enumerate(_SUFFIXES):
+            rank += 1
+            freq = max(1, 6000 // (rank + 10 * j))
+            out.append((" " + stem + suf, freq))
+            out.append((stem + suf, max(1, freq // 4)))
+        out.append((" " + stem.capitalize(), max(1, 1000 // rank + 3)))
+    out.extend(_BYTE_EXTRAS)
+    return out
+
+
+_ALL_BYTES = tuple(bytes([i]).hex() for i in range(256))
+
+
+@lru_cache(maxsize=1)
+def pretrained_byte_merges() -> tuple[tuple[str, str], ...]:
+    """The 512-merge byte-level table: same trainer, hex-pair symbols,
+    all 256 base bytes pre-seeded into the collision vocab."""
+    return _train_merges(
+        [(_hex_seg(w), f) for w, f in _byte_seed_words()],
+        _N_BYTE_MERGES,
+        base_vocab=_ALL_BYTES,
+    )
+
+
+@lru_cache(maxsize=1)
+def pretrained_byte_vocab_ids() -> dict[str, int]:
+    """token hex-string -> 1-based id: the 256 base bytes first (ids
+    1..256 — EVERY byte has an id, so arbitrary input never goes OOV),
+    then merge outputs in rank order (257..). Bijective by the
+    training-time unique-vocab skip."""
+    ids: dict[str, int] = {h: i + 1 for i, h in enumerate(_ALL_BYTES)}
+    for x, y in pretrained_byte_merges():
+        tok = x + y
+        assert tok not in ids, tok
+        ids[tok] = len(ids) + 1
+    return ids
+
+
+@lru_cache(maxsize=1)
+def _byte_rank_table() -> dict[tuple[str, str], int]:
+    return {p: r for r, p in enumerate(pretrained_byte_merges())}
+
+
+def bpe_apply_bytes(pretoken: str, ranks: dict | None = None) -> list[str]:
+    """Byte-level production apply: UTF-8 encode, hex-pair symbols,
+    lowest-rank-first merges. Returns the token list as hex strings."""
+    if ranks is None:
+        ranks = _byte_rank_table()
+    return _apply_lowest_rank_seg(_hex_seg(pretoken), ranks)
+
+
+def bpe_apply_bytes_in_order(pretoken: str, merges=None) -> list[str]:
+    """Oracle-shaped byte-level apply (one greedy-leftmost pass per
+    merge in rank order) — equal to :func:`bpe_apply_bytes` by the
+    unique-vocab equivalence; pinned in tests/test_corpus_ops.py."""
+    if merges is None:
+        merges = pretrained_byte_merges()
+    seg = _hex_seg(pretoken)
+    for x, y in merges:
+        if len(seg) == 1:
+            break
+        seg = _merge_seg(seg, x, y)
+    return list(seg)
+
+
+def byte_merge_patterns_sql() -> str:
+    """Byte merge table as a DuckDB list literal of boundary-safe
+    ``'|x||y|'`` hex patterns in rank order."""
+    pats = ", ".join(f"'|{x}||{y}|'" for x, y in pretrained_byte_merges())
+    return f"[{pats}]"
+
+
+def byte_vocab_values_sql() -> str:
+    """Byte vocabulary as a DuckDB VALUES table ``(tok, tid)`` — hex
+    token strings, so no quoting hazards."""
+    rows = ", ".join(
+        f"('{t}', {i})" for t, i in pretrained_byte_vocab_ids().items()
+    )
     return f"(VALUES {rows})"

@@ -1302,6 +1302,149 @@ def text_bpe_compression_eval(spark, sf_dir):
     ).orderBy("lane")
 
 
+# --- Byte-level pretrained BPE over REAL text (VERDICT r6 #1) ----------------
+#
+# The character-level pretrained lane tokenizes [a-z]+ runs only; every
+# real corpus has casing, punctuation, digits, and multi-byte UTF-8.
+# This lane is the production tokenizer shape end-to-end: a GPT-2-style
+# pre-tokenizer regex (contractions | space-prefixed letter runs |
+# space-prefixed digit runs | space-prefixed punctuation runs |
+# whitespace — lookahead-free so Java regex and RE2 agree; without
+# GPT-2's (?!\S) trick a multi-space run stays one whitespace token
+# instead of donating its last space to the next word, a documented
+# divergence applied identically in both engines), then 512 BYTE-level
+# merges (functions/bpe_pretrained.py, hex-pair symbols) applied
+# lowest-rank-first per DISTINCT pre-token.
+#
+# The documents fixture is [a-z ]+ by construction, so the query first
+# derives a deterministic MIXED text per doc — casing, commas,
+# semicolons, unicode quotes/dashes/CJK/€/№, digits from doc_id — via
+# the same concat/substr/replace/upper expression in both engines.
+
+# lookahead-free GPT-2-style pre-tokenizer; identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): \p{L}/\p{N} are Unicode categories in
+# both, \s is ASCII whitespace in both, alternation is leftmost-first
+_PRETOK_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+_MIXED_SQL = (
+    "concat('Round-7: “Naïve” café №', CAST(doc_id % 1000 AS {styp}), "
+    "' — 東京 42% it''s ', upper(substr(text, 1, 12)), "
+    "replace(substr(text, 13), ' t', '; t'), ' €9.99!')"
+)
+
+from uts_spark.functions.bpe_pretrained import (  # noqa: E402
+    byte_merge_patterns_sql,
+    byte_vocab_values_sql,
+    pretrained_byte_merges,
+    pretrained_byte_vocab_ids,
+)
+
+_BPE_BYTES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_MIXED_SQL.format(styp='VARCHAR')} AS mt FROM documents
+),
+dpts AS (
+  SELECT doc_id, ws[i] AS pt, CAST(i AS BIGINT) AS pos, nb
+  FROM (SELECT doc_id,
+               regexp_extract_all(mt, '{_PRETOK_RE.replace("'", "''")}') AS ws,
+               CAST(octet_length(encode(mt)) AS BIGINT) AS nb
+        FROM base),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+),
+seg AS (
+  SELECT pt,
+         list_reduce(
+           list_prepend(
+             regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+             {byte_merge_patterns_sql()}),
+           (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+  FROM (SELECT DISTINCT pt FROM dpts)
+),
+toks AS (
+  SELECT pt, unnest(string_split(trim(s, '|'), '||')) AS tok FROM seg
+),
+ptok AS (
+  SELECT t.pt, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(v.tid) AS BIGINT) AS idsum
+  FROM toks t JOIN {byte_vocab_values_sql()} v(tok, tid) USING (tok)
+  GROUP BY t.pt
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(d.nb) AS BIGINT) AS n_bytes,
+       CAST(SUM(d.pos * p.idsum) AS BIGINT) AS tok_checksum
+FROM dpts d JOIN ptok p USING (pt)
+GROUP BY d.doc_id
+"""
+
+
+def _bpe_byte_pretoken_tokens(pts_df):
+    """(pt, n_tok, idsum) under the 512-merge byte-level table:
+    Arrow-batched lowest-rank-first apply over a distinct-pretoken
+    frame — the byte-lane sibling of _bpe_pretrained_word_tokens."""
+    ranks = {p: r for r, p in enumerate(pretrained_byte_merges())}
+    ids = pretrained_byte_vocab_ids()
+
+    def apply_batches(batches):
+        import pandas as pd
+
+        from uts_spark.functions.bpe_pretrained import bpe_apply_bytes
+
+        for pdf in batches:
+            pts = pdf["pt"].tolist()
+            n_tok, idsum = [], []
+            for pt in pts:
+                toks = bpe_apply_bytes(pt, ranks)
+                n_tok.append(len(toks))
+                idsum.append(sum(ids[t] for t in toks))
+            yield pd.DataFrame({"pt": pts, "n_tok": n_tok, "idsum": idsum})
+
+    return pts_df.mapInPandas(
+        apply_batches, "pt string, n_tok long, idsum long"
+    )
+
+
+@query("text_bpe_apply_bytes", _BPE_BYTES_ORACLE)
+def text_bpe_apply_bytes(spark, sf_dir):
+    """Byte-level pretrained BPE over text WITH casing, punctuation,
+    digits, and multi-byte UTF-8 (module comment above) — the actual
+    production tokenizer shape: GPT-2-style pre-tokenization, 512
+    byte-level merges, no OOV possible. Per doc: pre-token count, real
+    token count, UTF-8 byte length, and the position-weighted token-id
+    checksum pinning the full emitted token sequence.
+
+    Scale shape identical to the character lane (the 100 TB shape):
+    the merge-rank and vocab dictionaries are ~0.5k-entry literal
+    broadcasts; all byte/string work runs on the DISTINCT-PRETOKEN
+    table inside one Arrow-batched mapInPandas with per-pretoken cost
+    independent of table size; the corpus contributes one
+    regexp_extract_all + posexplode and one hash join against the
+    (pt, n_tok, idsum) dictionary (AQE broadcasts it while the
+    pre-token vocabulary is small)."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = F.expr(_MIXED_SQL.format(styp="STRING"))
+    dpts = docs.select(
+        "doc_id",
+        F.octet_length(mixed).cast("long").alias("nb"),
+        F.posexplode(
+            F.regexp_extract_all(mixed, F.lit(_PRETOK_RE), 0)
+        ).alias("p", "pt"),
+    ).select("doc_id", "pt", (F.col("p") + 1).cast("long").alias("pos"), "nb")
+    ptok = _bpe_byte_pretoken_tokens(dpts.select("pt").distinct())
+    return (
+        dpts.join(ptok, "pt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("nb").alias("n_bytes"),
+            F.sum(F.col("pos") * F.col("idsum")).alias("tok_checksum"),
+        )
+        # no final orderBy — corpus-sized output, driver canonicalizes
+    )
+
+
 def _duck_pipeline_v3() -> str:
     from uts_spark.queries.llm_ops import (
         _DUCK_LINES,
