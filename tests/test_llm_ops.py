@@ -833,3 +833,59 @@ def test_minhash_index_probe_matches_recompute(spark, sf_dir):
         for r in reg.QUERIES["dedup_minhash_index_probe"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_minhash_index_append_roundtrip(spark):
+    """The dedup service survives its second batch: batch-2 pairs
+    against batch-1 docs exist ONLY via the appended index rows (sf0.01
+    is the scale where such a pair occurs), and the flow is idempotent —
+    a second run sees the bumped manifest fingerprint, skips the
+    append, and returns the identical pair set (no duplicate index rows
+    from re-appending)."""
+    import uts_spark.registry as reg  # registry first: import trap
+    from uts_spark.functions.dedup import index_manifest_read
+    from uts_spark.queries.llm_ops import (
+        _MIDX_MOD,
+        _MIDX_REM,
+        _frame_fingerprint,
+        minhash_index_path,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    q = reg.QUERIES["dedup_minhash_index_append_probe"]
+    first = {(r.id_new, r.id_old) for r in q(spark, sf01).collect()}
+    assert any(old % _MIDX_MOD == _MIDX_REM for _, old in first), first
+    second = {(r.id_new, r.id_old) for r in q(spark, sf01).collect()}
+    assert first == second
+
+    # the manifest chain landed on fp(base + batch1)
+    docs = spark.read.parquet(f"{sf01}/documents.parquet")
+    base = docs.filter(
+        (F.col("doc_id") % 11 != 3) & (F.col("doc_id") % 11 != 7)
+    )
+    old = docs.filter(F.col("doc_id") % 11 != 7)
+    path = minhash_index_path(
+        sf01, _frame_fingerprint(base), k=32, bands=8, n=3
+    ) + "_svc"
+    m = index_manifest_read(path)
+    assert m and m["fingerprint"] == _frame_fingerprint(old)
+
+
+def test_minhash_index_config_mismatch_raises(spark, sf_dir, tmp_path):
+    """A probe whose parameters disagree with the index manifest must
+    raise, never silently drop pairs (ADVICE r6, medium)."""
+    import pytest
+
+    from uts_spark.functions.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    path = str(tmp_path / "idx")
+    minhash_index_write(docs, "text", "doc_id", path, n=3, k=32, bands=8)
+    with pytest.raises(ValueError, match="config mismatch"):
+        minhash_index_probe(
+            spark, path, docs.limit(5), docs, "text", "doc_id",
+            n=3, k=32, bands=4,
+        )

@@ -247,12 +247,77 @@ def index_probe_ab() -> None:
         spark.stop()
 
 
+def index_append_ab() -> None:
+    """Round 7: index APPEND cost vs full rebuild when a new batch must
+    be folded into the service's index. Append = sketch the batch +
+    partition-aligned parquet append (batch-shaped); rebuild = sketch
+    the whole grown corpus again (corpus-shaped). Run:
+    python3 tools/neardup_smoke.py --index-append [docs]"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_index_write,
+    )
+    from uts_spark.session import get_spark
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    mod = int(sys.argv[3]) if len(sys.argv) > 3 else 100  # 1% batch
+    spark = get_spark("minhash-append-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_docs(spark, n_docs)
+    batch = docs.filter(F.col("doc_id") % mod == 3)
+    base = docs.filter(F.col("doc_id") % mod != 3)
+    n_batch = batch.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    scratch = tempfile.mkdtemp(prefix="mh_app_")
+    p_app, p_re = os.path.join(scratch, "a"), os.path.join(scratch, "r")
+    try:
+        timed("base_build_once", lambda: minhash_index_write(
+            base, "text", "doc_id", p_app))
+        timed("append_batch", lambda: minhash_index_append(
+            batch, "text", "doc_id", p_app))
+        timed("rebuild_full", lambda: minhash_index_write(
+            docs, "text", "doc_id", p_re))
+        # the appended index holds exactly the rebuilt index's rows
+        a = spark.read.parquet(p_app)
+        r = spark.read.parquet(p_re)
+        same = (
+            a.count() == r.count()
+            and a.exceptAll(r).isEmpty()
+        )
+        print(json.dumps({
+            "docs": n_docs,
+            "batch_rows": n_batch,
+            "rows_agree": same,
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--cc-ab":
         cc_ab()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--index-probe":
         index_probe_ab()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--index-append":
+        index_append_ab()
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     from pyspark.sql import functions as F
