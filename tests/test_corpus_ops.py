@@ -333,6 +333,68 @@ def test_bpe_byte_pretokenizer_parity_spark_vs_python(spark, sf_dir):
     assert got == want
 
 
+def test_nfc_normalize_idempotent_and_duckdb_parity():
+    """The two engine-parity facts the unicode lane rests on, pinned on
+    adversarial random strings (combining marks, precomposed forms,
+    ligatures, CJK, astral emoji): (a) NFC is idempotent —
+    NFC(NFC(x)) == NFC(x); (b) Python unicodedata (the Spark kernel)
+    and DuckDB nfc_normalize (the oracle) agree byte-for-byte."""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    rng = random.Random(4242)
+    pool = [
+        "é", "é", "ä", "ä", "Å", "Å", "ñ", "ﬁ",
+        "Ω", "東", "京", "😀", "́", "̈", " ", "x", "q",
+        "ṩ",  # dot-below + dot-above: order-sensitive pair
+    ]
+    con = duckdb.connect()
+    for _ in range(2000):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 10)))
+        n = unicodedata.normalize("NFC", s)
+        assert unicodedata.normalize("NFC", n) == n, repr(s)
+        d = con.sql("SELECT nfc_normalize(?)", params=[s]).fetchone()[0]
+        assert d == n, (repr(s), repr(d), repr(n))
+
+
+def test_minhash_portable_hashing_handles_unicode(spark):
+    """The portable (md5-based) shingle/signature machinery must hash
+    multi-byte text identically in Spark and DuckDB — pinned by running
+    the full portable sketch on unicode docs in Spark and re-deriving
+    the shingle md5s in DuckDB."""
+    import duckdb
+
+    from uts_spark.functions.dedup import doc_shingle_arrays_portable
+
+    rows = [
+        (1, "café naïve 東京 café naïve 東京 über señor"),
+        (2, "café naïve 東京 café naïve 東京 über madam"),
+        (3, "Ångström ﬁt ṩ marks é combine here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: sorted(r["sh"])
+        for r in doc_shingle_arrays_portable(df, "text", "doc_id", 3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    from uts_spark.functions.text import duck_tokens, duck_word_ngrams
+
+    grams = duck_word_ngrams(duck_tokens("text"), 3)
+    want = {
+        i: sorted(sh)
+        for i, sh in con.sql(
+            f"""SELECT doc_id, list_transform(list_distinct({grams}),
+                  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))
+                FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_bpe_compression_pretrained_beats_toy(spark, sf_dir):
     """The 1024-merge pretrained table must compress the corpus
     strictly better than the 3-round trained toy — the whole point of
