@@ -871,6 +871,18 @@ def test_minhash_index_append_roundtrip(spark):
     assert m and m["fingerprint"] == _frame_fingerprint(old)
 
 
+def test_quality_model_beats_coin_flip_against_gopher(spark, sf_dir):
+    """The frozen logistic weights must actually separate: precision
+    AND recall >= 0.9 against the Gopher pseudo-labels on the held-out
+    sf0.001 corpus (weights were fit at sf0.01 — see
+    tools/fit_quality_model.py; measured 0.975/0.975)."""
+    import uts_spark.registry as reg  # registry first: import trap
+
+    row = reg.QUERIES["text_quality_model_eval"](spark, sf_dir).first()
+    assert row["precision"] >= 0.9, row
+    assert row["recall"] >= 0.9, row
+
+
 def test_minhash_index_config_mismatch_raises(spark, sf_dir, tmp_path):
     """A probe whose parameters disagree with the index manifest must
     raise, never silently drop pairs (ADVICE r6, medium)."""
