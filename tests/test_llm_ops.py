@@ -871,6 +871,33 @@ def test_minhash_index_append_roundtrip(spark):
     assert m and m["fingerprint"] == _frame_fingerprint(old)
 
 
+def test_privacy_generalize_dominates_suppression(spark, sf_dir):
+    """The generalization ladder must (a) reproduce the pure-suppression
+    baseline exactly in its baseline_suppression_rate column, (b) never
+    suppress MORE than the baseline (widening a band can only grow k
+    and l), and (c) account every row into exactly one level or the
+    suppressed bucket."""
+    import uts_spark.registry as reg  # registry first: import trap
+
+    gen = {
+        r["event_type"]: r
+        for r in reg.QUERIES["privacy_generalize_release"](spark, sf_dir).collect()
+    }
+    sup = {
+        r["event_type"]: r
+        for r in reg.QUERIES["privacy_suppressed_release"](spark, sf_dir).collect()
+    }
+    assert set(gen) == set(sup)
+    for et, g in gen.items():
+        s = sup[et]
+        assert abs(g["baseline_suppression_rate"] - s["suppression_rate"]) < 1e-12
+        assert g["n_suppressed"] <= s["n_suppressed"], et
+        parts = sum(g[f"n_l{j}"] for j in range(5)) + g["n_suppressed"]
+        assert parts == g["n_rows"] == g["n_released"] + g["n_suppressed"]
+        if g["n_released"]:
+            assert g["avg_band_widening"] >= 1.0
+
+
 def test_quality_model_beats_coin_flip_against_gopher(spark, sf_dir):
     """The frozen logistic weights must actually separate: precision
     AND recall >= 0.9 against the Gopher pseudo-labels on the held-out

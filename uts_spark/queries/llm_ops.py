@@ -791,6 +791,154 @@ def privacy_suppressed_release(spark, sf_dir):
     )
 
 
+# --- k-anonymity GENERALIZATION ladder (VERDICT r6 #7) -----------------------
+#
+# The third standard privacy verb after audit and suppress: instead of
+# dropping a failing quasi-identifier group, COARSEN its value band
+# (width x2 per level, 5 levels: 50/100/200/400/800) until k >= 5 and
+# l >= 3 hold, and only suppress what still fails at the widest band.
+# Each row is assigned the SMALLEST passing level of its nested band
+# chain (local recoding; well-defined because group counts are monotone
+# non-decreasing up the ladder). Releases trade information loss
+# (wider bands) for coverage — the accounting a steward compares
+# against the pure-suppression baseline from privacy_suppressed_release.
+
+_KA_LEVELS = 5
+
+
+def _duck_privacy_generalize() -> str:
+    from uts_spark.registry import DAY, FDIV, MS
+
+    vbs = ",\n             ".join(
+        f"CAST(floor(value / {_KA_VBAND * (1 << j)!r}) AS BIGINT) AS vb{j}"
+        for j in range(_KA_LEVELS)
+    )
+    gs = ",\n    ".join(
+        f"g{j} AS (SELECT event_type, day, vb{j}, "
+        f"COUNT(*) >= {_KA_K} AND COUNT(DISTINCT user_id) >= {_KA_L} "
+        f"AS ok{j} FROM e GROUP BY 1, 2, 3)"
+        for j in range(_KA_LEVELS)
+    )
+    joins = " ".join(
+        f"JOIN g{j} USING (event_type, day, vb{j})"
+        for j in range(_KA_LEVELS)
+    )
+    lvl = "CASE " + " ".join(
+        f"WHEN ok{j} THEN {j}" for j in range(_KA_LEVELS)
+    ) + " ELSE -1 END"
+    per_level = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN lvl = {j} THEN 1 ELSE 0 END) AS BIGINT) AS n_l{j}"
+        for j in range(_KA_LEVELS)
+    )
+    widen = "CASE lvl " + " ".join(
+        f"WHEN {j} THEN {1 << j}" for j in range(_KA_LEVELS)
+    ) + " ELSE 0 END"
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             ({FDIV(MS, DAY)}) * {DAY} AS day,
+             user_id,
+             {vbs}
+      FROM events WHERE value IS NOT NULL
+    ),
+    {gs},
+    r AS (
+      SELECT e.event_type, {lvl} AS lvl
+      FROM e {joins}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN lvl >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_released,
+           CAST(SUM(CASE WHEN lvl < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppressed,
+           {per_level},
+           CAST(SUM({widen}) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN lvl >= 0 THEN 1 ELSE 0 END), 0)
+             AS avg_band_widening,
+           CAST(SUM(CASE WHEN lvl < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS suppression_rate,
+           CAST(SUM(CASE WHEN lvl != 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS baseline_suppression_rate
+    FROM r GROUP BY event_type
+    """
+
+
+@query("privacy_generalize_release", _duck_privacy_generalize())
+def privacy_generalize_release(spark, sf_dir):
+    """Generalization-ladder release (module comment above). Plan
+    shape: one row scan derives all 5 nested band keys; 5 QI-sized
+    groupBys build per-level verdicts (map-side partial agg, each
+    output is quasi-identifier-cardinality-sized — broadcast-able at
+    any corpus scale, hinted here); one pass joins the verdicts back
+    and folds the per-row minimum passing level straight into the
+    per-event_type accounting. No window, no collect, no row
+    explosion: cost is 5 small shuffles + one broadcast-joined scan.
+    avg_band_widening is the information-loss metric (1.0 = released
+    at original granularity; 2^j = band widened j times);
+    baseline_suppression_rate reproduces what pure suppression would
+    have cut (matches privacy_suppressed_release by construction)."""
+    from uts_spark.registry import DAY
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = (F.floor(F.col("ts_ms") / F.lit(DAY)).cast("long") * DAY).alias("day")
+    rows = ev.select(
+        "event_type", day, "user_id",
+        *[
+            F.floor(F.col("value") / F.lit(_KA_VBAND * (1 << j)))
+            .cast("long")
+            .alias(f"vb{j}")
+            for j in range(_KA_LEVELS)
+        ],
+    )
+    j = rows
+    for lv in range(_KA_LEVELS):
+        verdict = (
+            rows.groupBy("event_type", "day", f"vb{lv}")
+            .agg(
+                (
+                    (F.count(F.lit(1)) >= _KA_K)
+                    & (F.countDistinct("user_id") >= _KA_L)
+                ).alias(f"ok{lv}")
+            )
+        )
+        j = j.join(F.broadcast(verdict), ["event_type", "day", f"vb{lv}"])
+    lvl = F.when(F.col("ok0"), 0)
+    for lv in range(1, _KA_LEVELS):
+        lvl = lvl.when(F.col(f"ok{lv}"), lv)
+    lvl = lvl.otherwise(-1)
+    tagged = j.select("event_type", lvl.alias("lvl"))
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast(  # noqa: E731
+        "long"
+    )
+    # widen = 2^level for released rows, 0 for suppressed (oracle's CASE)
+    widen = F.lit(0)
+    for lv in range(_KA_LEVELS):
+        widen = F.when(F.col("lvl") == lv, F.lit(1 << lv)).otherwise(widen)
+    out = tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        cnt(F.col("lvl") >= 0).alias("n_released"),
+        cnt(F.col("lvl") < 0).alias("n_suppressed"),
+        *[cnt(F.col("lvl") == lv).alias(f"n_l{lv}") for lv in range(_KA_LEVELS)],
+        F.sum(widen).cast("long").alias("__widen_sum"),
+        cnt(F.col("lvl") != 0).alias("__nonzero"),
+    )
+    return out.select(
+        "event_type", "n_rows", "n_released", "n_suppressed",
+        *[f"n_l{lv}" for lv in range(_KA_LEVELS)],
+        (
+            F.col("__widen_sum").cast("double")
+            / F.nullif(F.col("n_released"), F.lit(0))
+        ).alias("avg_band_widening"),
+        (F.col("n_suppressed").cast("double") / F.col("n_rows")).alias(
+            "suppression_rate"
+        ),
+        (F.col("__nonzero").cast("double") / F.col("n_rows")).alias(
+            "baseline_suppression_rate"
+        ),
+    )
+
+
 _SC = 10**12  # fixed-point scale for order-independent float sums
 
 
