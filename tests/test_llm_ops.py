@@ -871,6 +871,43 @@ def test_minhash_index_append_roundtrip(spark):
     assert m and m["fingerprint"] == _frame_fingerprint(old)
 
 
+def test_ivf_append_equals_frozen_centroid_rebuild(spark, sf_dir, tmp_path):
+    """Probe-after-append == probe of a FULL REBUILD that froze the
+    same base centroids: appending never changes where a vector would
+    have landed, it only skips re-sketching the base (VERDICT r6 #8).
+    Also pins that both probes read the persisted _centroids table
+    (emb_for_centroids=None)."""
+    from uts_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_index_write,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    anchors = e.filter(F.col("vec_id") < 5)
+
+    p_app = str(tmp_path / "app")
+    ivf_index_write(base, p_app, n_cells=8)
+    ivf_index_append(spark, batch, p_app)
+
+    p_re = str(tmp_path / "re")
+    ivf_index_write(e, p_re, n_cells=8, centroid_src=base)
+
+    key = lambda df: {  # noqa: E731
+        (r["anchor_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in df.collect()
+    }
+    got = key(ivf_index_probe(spark, p_app, anchors, None, k=10, n_probe=3))
+    want = key(ivf_index_probe(spark, p_re, anchors, None, k=10, n_probe=3))
+    assert got == want and got
+    # and the appended index actually contains the batch rows
+    idx = spark.read.parquet(p_app)
+    assert idx.count() == e.count()
+    assert idx.filter(F.col("vec_id") % 10 == 7).count() == batch.count()
+
+
 def test_privacy_generalize_dominates_suppression(spark, sf_dir):
     """The generalization ladder must (a) reproduce the pure-suppression
     baseline exactly in its baseline_suppression_rate column, (b) never

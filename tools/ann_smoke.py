@@ -28,7 +28,76 @@ N_PROBE = 3
 K = 10
 
 
+def _synth_emb(spark, n: int):
+    from pyspark.sql import functions as F
+
+    center = F.pmod(F.xxhash64("id"), F.lit(64))
+
+    def comp(j: int):
+        c = (F.pmod(F.xxhash64(center, F.lit(j)), F.lit(1000)) / 500.0) - 1.0
+        nz = (F.pmod(F.xxhash64("id", F.lit(j)), F.lit(1000)) / 500.0) - 1.0
+        return c + 0.15 * nz
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(j) for j in range(DIM)]).alias("embedding"),
+    )
+
+
+def ivf_append_ab() -> None:
+    """Round 7: IVF append cost vs frozen-centroid full rebuild when a
+    1% vector batch arrives. Run:
+    python3 tools/ann_smoke.py --ivf-append [n_vectors]"""
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+    )
+    from uts_spark.session import get_spark
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_spark("ivf-append-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = _synth_emb(spark, n).cache()
+    emb.count()
+    base = emb.filter(F.col("vec_id") % 100 != 7)
+    batch = emb.filter(F.col("vec_id") % 100 == 7)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        thunk()
+        timings[name] = round(time.time() - t, 2)
+
+    scratch = tempfile.mkdtemp(prefix="ivf_app_")
+    p_app, p_re = os.path.join(scratch, "a"), os.path.join(scratch, "r")
+    try:
+        timed("base_build_once", lambda: ivf_index_write(
+            base, p_app, n_cells=N_CELLS))
+        timed("append_batch", lambda: ivf_index_append(spark, batch, p_app))
+        timed("rebuild_full", lambda: ivf_index_write(
+            emb, p_re, n_cells=N_CELLS, centroid_src=base))
+        a, r = spark.read.parquet(p_app), spark.read.parquet(p_re)
+        same = a.count() == r.count() and a.drop("embedding").exceptAll(
+            r.drop("embedding")).isEmpty()
+        print(json.dumps({
+            "vectors": n,
+            "batch": batch.count(),
+            "cells_agree": same,
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--ivf-append":
+        ivf_append_ab()
+        return
     import numpy as np
     from pyspark.sql import functions as F
 

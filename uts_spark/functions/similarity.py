@@ -813,21 +813,11 @@ def pq_adc_topk(
     )
 
 
-def ivf_index_write(
-    emb: DataFrame,
-    path: str,
-    n_cells: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> None:
-    """Persist the deterministic-IVF index: assign every corpus vector
-    to its argmax-cosine cell against the hash-seeded centroids (the
-    ivf_topk_det device) and write parquet PARTITIONED BY cell — the
-    inverted file on disk. Probes then scan only their n_probe cell
-    directories."""
-    from uts_spark.sources.sinks import write_partitioned
-
-    cents = (
+def _ivf_centroids(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Hash-seeded deterministic centroids (the ivf_topk_det device)."""
+    return (
         emb.select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("__cv"),
@@ -839,8 +829,15 @@ def ivf_index_write(
         .limit(n_cells)
         .drop("__h")
     )
+
+
+def _ivf_assign(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell): argmax-cosine assignment against the centroid
+    table (tie-break: centroid id) — shared by build and append."""
     wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
-    assigned = (
+    return (
         emb.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
         .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
@@ -848,14 +845,66 @@ def ivf_index_write(
         .filter(F.col("__r") == 1)
         .select(id_col, vec_col, F.col("cent_id").alias("cell"))
     )
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_src: DataFrame | None = None,
+) -> None:
+    """Persist the deterministic-IVF index: assign every corpus vector
+    to its argmax-cosine cell against the hash-seeded centroids (the
+    ivf_topk_det device) and write parquet PARTITIONED BY cell — the
+    inverted file on disk. Probes then scan only their n_probe cell
+    directories.
+
+    The centroid table is ALSO persisted, under ``path/_centroids``
+    (underscore-prefixed: invisible to the index's partition
+    discovery, like _SUCCESS): appends MUST assign new vectors against
+    the centroids frozen at build time — re-deriving them from a grown
+    corpus would silently re-cell the index (VERDICT r6 #8).
+    ``centroid_src`` lets a rebuild freeze centroids from a different
+    frame (e.g. the original base corpus) than the rows it indexes."""
+    from uts_spark.sources.sinks import write_partitioned
+
+    cents = _ivf_centroids(centroid_src or emb, n_cells, id_col, vec_col)
+    assigned = _ivf_assign(emb, cents, id_col, vec_col)
     write_partitioned(assigned, path, ["cell"])
+    import os
+
+    cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
+
+
+def ivf_index_append(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into the persisted IVF index WITHOUT a rebuild
+    (VERDICT r6 #8): assign the batch against the index's own FROZEN
+    centroids (path/_centroids) and parquet-append the rows into their
+    cell partitions. Cost is batch-sized (batch x n_cells scoring + a
+    cells-wide append); the caller bumps its manifest fingerprint chain
+    afterwards, exactly like dedup.minhash_index_append."""
+    import os
+
+    from uts_spark.sources.sinks import write_partitioned
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
+    write_partitioned(assigned, path, ["cell"], mode="append")
 
 
 def ivf_index_probe(
     spark,
     path: str,
     anchors: DataFrame,
-    emb_for_centroids: DataFrame,
+    emb_for_centroids: DataFrame | None = None,
     k: int = 10,
     n_cells: int = 8,
     n_probe: int = 3,
@@ -868,19 +917,16 @@ def ivf_index_probe(
     candidates rerank exactly. Identical results to ivf_topk_det at the
     same config (pinned in tests); the anchors' cell list is
     driver-materialized like the LSH probe — bounded by
-    anchors x n_probe."""
-    cents = (
-        emb_for_centroids.select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("__cv"),
-            hash64(
-                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
-            ).alias("__h"),
-        )
-        .orderBy("__h", "cent_id")
-        .limit(n_cells)
-        .drop("__h")
-    )
+    anchors x n_probe. ``emb_for_centroids=None`` loads the centroids
+    FROZEN at build time from ``path/_centroids`` — the only correct
+    source once the index has been appended to (a grown corpus
+    re-derives different centroids and silently probes wrong cells)."""
+    if emb_for_centroids is None:
+        import os
+
+        cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    else:
+        cents = _ivf_centroids(emb_for_centroids, n_cells, id_col, vec_col)
     wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
     probes = (
         anchors.select(id_col, vec_col)

@@ -1211,6 +1211,19 @@ def _warehouse_dir() -> str:
     )
 
 
+def _emb_frame_fingerprint(df) -> str:
+    """Content fingerprint of an arbitrary (vec_id, embedding) frame —
+    the IVF append lane fingerprints corpus subsets (base, base+batch),
+    the same per-frame keying as the dedup index's chain."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64("vec_id", "embedding"), F.lit(1 << 32))
+        ).alias("h"),
+    ).first()
+    return f"{row['n']}_{(row['h'] or 0):x}"
+
+
 def _emb_fingerprint(spark, sf_dir: str) -> str:
     """Content fingerprint of the embeddings table: row count + an
     order-independent sum of per-row xxhash64(vec_id, embedding).
@@ -3536,6 +3549,119 @@ def _register_ivf_index_probe():
 
 
 similarity_ann_ivf_index_probe = _register_ivf_index_probe()
+
+
+# --- Incremental IVF append (VERDICT r6 #8) ----------------------------------
+
+_IVF_APP_MOD, _IVF_APP_REM = 10, 7  # new-vector batch = vec_id % 10 == 7
+
+
+def _duck_ivf_det_frozen() -> str:
+    """ivf_topk_det's recompute oracle with centroids FROZEN from the
+    base subset (vec_id % 10 != 7) while assignment/probing/rerank run
+    over the FULL corpus — exactly what build-then-append produces."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    hc AS (
+      SELECT vec_id, embedding,
+             {duck_hash64("concat('ivfc:', vec_id)")} AS h
+      FROM e WHERE vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM hc ORDER BY h, vec_id LIMIT 8
+    ),
+    sim AS MATERIALIZED (
+      SELECT e.vec_id, c.cent_id,
+             {_duck_cosine('e.embedding', 'c.cv')} AS s
+      FROM e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS anchor_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim WHERE vec_id < 5) WHERE r <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.anchor_id
+    ),
+    scored AS (
+      SELECT c.anchor_id, c.neighbor_id,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.anchor_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@query("similarity_ann_ivf_append_probe", _duck_ivf_det_frozen())
+def similarity_ann_ivf_append_probe(spark, sf_dir):
+    """Incremental-IVF round trip (VERDICT r6 #8 — without append,
+    fingerprint keying forces a full index rebuild on ANY corpus
+    change): build the cell-partitioned index over the base vectors
+    (vec_id % 10 != 7) with its centroid table persisted alongside
+    (path/_centroids), fold the new batch (rem 7) in via
+    functions/similarity.ivf_index_append — batch x n_cells scoring
+    against the FROZEN centroids, partition-aligned parquet append —
+    bump the manifest fingerprint chain fp(base) -> fp(all), then
+    probe anchors against the updated index (probe loads the frozen
+    centroids from the index itself). Appended neighbors are findable
+    in their cells exactly as a frozen-centroid full rebuild would
+    place them (pinned in tests/test_llm_ops.py); re-runs are
+    idempotent via the manifest, same protocol as the MinHash lane.
+    Oracle = recompute with base-frozen centroids over the full
+    corpus — append is physical, never semantic."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_read,
+        index_manifest_write,
+    )
+    from uts_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+    path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_svc"
+
+    m = index_manifest_read(path)
+    state = m["fingerprint"] if m else None
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivf_index_write(base, path, n_cells=8)
+        index_manifest_write(path, fp0, n_cells=8)
+        state = fp0
+    if state == fp0:
+        ivf_index_append(spark, batch, path)
+        index_manifest_write(path, fp1, n_cells=8)
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
 
 
 def _duck_ivfpq() -> str:
