@@ -908,6 +908,29 @@ def test_ivf_append_equals_frozen_centroid_rebuild(spark, sf_dir, tmp_path):
     assert idx.filter(F.col("vec_id") % 10 == 7).count() == batch.count()
 
 
+def test_lsh_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """LSH append == full rebuild at the same config: hyperplanes are
+    seed-derived, so the appended index's row multiset matches a fresh
+    build over the grown corpus exactly."""
+    import uts_spark.registry  # noqa: F401  (registry first: import trap)
+    from uts_spark.functions.similarity import (
+        lsh_index_append,
+        lsh_index_write,
+    )
+    from uts_spark.queries.llm_ops import EMB_DIM
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    p_app, p_re = str(tmp_path / "a"), str(tmp_path / "r")
+    lsh_index_write(base, p_app, dim=EMB_DIM, planes=8, tables=2)
+    lsh_index_append(batch, p_app, dim=EMB_DIM, planes=8, tables=2)
+    lsh_index_write(e, p_re, dim=EMB_DIM, planes=8, tables=2)
+    a = spark.read.parquet(p_app).drop("embedding")
+    r = spark.read.parquet(p_re).drop("embedding")
+    assert a.count() == r.count() and a.exceptAll(r).isEmpty()
+
+
 def test_privacy_generalize_dominates_suppression(spark, sf_dir):
     """The generalization ladder must (a) reproduce the pure-suppression
     baseline exactly in its baseline_suppression_rate column, (b) never

@@ -627,6 +627,34 @@ def lsh_index_write(
     )
 
 
+def lsh_index_append(
+    emb_batch: DataFrame,
+    path: str,
+    dim: int,
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into the persisted LSH index (the third index
+    family's maintenance verb, after the MinHash band and IVF appends):
+    the hyperplanes are SEED-derived (hyperplane(t*1000+h, dim)) and
+    therefore corpus-independent — unlike IVF there is no frozen state
+    to load; bucketing the batch at the same (dim, planes, tables)
+    config lands its rows in exactly the partitions a full rebuild
+    would. Batch-sized work + a partition-aligned parquet append; the
+    caller bumps its manifest fingerprint chain afterwards."""
+    from uts_spark.sources.sinks import write_partitioned
+
+    idx = lsh_bucket_table(emb_batch, dim, planes, tables, id_col, vec_col)
+    write_partitioned(
+        idx.select(id_col, vec_col, "table", "bucket"),
+        path,
+        ["table", "bucket"],
+        mode="append",
+    )
+
+
 def lsh_index_probe(
     spark,
     path: str,

@@ -3551,6 +3551,58 @@ def _register_ivf_index_probe():
 similarity_ann_ivf_index_probe = _register_ivf_index_probe()
 
 
+# --- Incremental LSH append: the third index family's maintenance verb ------
+
+
+@query("similarity_ann_lsh_append_probe", _duck_ann_index_probe())
+def similarity_ann_lsh_append_probe(spark, sf_dir):
+    """LSH-index append round trip: build the (table, bucket) index
+    over the base vectors (vec_id % 10 != 7), fold the new batch in via
+    functions/similarity.lsh_index_append — hyperplanes are
+    seed-derived, so bucketing the batch at the same config lands its
+    rows exactly where a rebuild would; no frozen state to load, unlike
+    the IVF lane — bump the manifest fingerprint chain, then probe.
+    After the append the index covers the FULL corpus, so the oracle is
+    literally similarity_ann_index_probe's recompute SQL. Completes
+    index maintenance across all three persisted families (MinHash
+    bands, IVF cells, LSH buckets)."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_read,
+        index_manifest_write,
+    )
+    from uts_spark.functions.similarity import (
+        lsh_index_append,
+        lsh_index_probe,
+        lsh_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+    cfg = dict(dim=EMB_DIM, planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES)
+    path = ann_index_path(sf_dir, fp0) + "_svc"
+
+    m = index_manifest_read(path)
+    state = m["fingerprint"] if m else None
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        lsh_index_write(base, path, **cfg)
+        index_manifest_write(path, fp0, **cfg)
+        state = fp0
+    if state == fp0:
+        lsh_index_append(batch, path, **cfg)
+        index_manifest_write(path, fp1, **cfg)
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return lsh_index_probe(spark, path, anchors, dim=EMB_DIM, k=10,
+                           planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES)
+
+
 # --- Incremental IVF append (VERDICT r6 #8) ----------------------------------
 
 _IVF_APP_MOD, _IVF_APP_REM = 10, 7  # new-vector batch = vec_id % 10 == 7
