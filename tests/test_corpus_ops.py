@@ -395,6 +395,38 @@ def test_minhash_portable_hashing_handles_unicode(spark):
     assert got == want
 
 
+def test_python_pretokenizer_scanner_parity(spark, sf_dir):
+    """The handwritten Python scanner (streaming kernel — stdlib re
+    has no \\p{L}) must split IDENTICALLY to the Spark-side Java regex
+    on the live corpus's derived mixed text, and to DuckDB's RE2 on
+    adversarial random strings."""
+    import random
+
+    import duckdb
+
+    from uts_spark.functions.bpe_pretrained import pretokenize
+    from uts_spark.queries.sketch_ops import _MIXED_SQL, _PRETOK_RE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select(
+        F.expr(_MIXED_SQL.format(styp="STRING")).alias("mt"),
+        F.regexp_extract_all(
+            F.expr(_MIXED_SQL.format(styp="STRING")), F.lit(_PRETOK_RE), 0
+        ).alias("pts"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert pretokenize(r["mt"]) == r["pts"], r["mt"]
+
+    con = duckdb.connect()
+    q = f"SELECT regexp_extract_all(?, '{_PRETOK_RE.replace(chr(39), chr(39) * 2)}')"
+    rng = random.Random(99)
+    pool = "abc XY12 ,.!?'—“”éüñ東京42%€№\t\n '" + "'s 're "
+    for _ in range(1500):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 20)))
+        assert con.sql(q, params=[s]).fetchone()[0] == pretokenize(s), repr(s)
+
+
 def test_bpe_compression_pretrained_beats_toy(spark, sf_dir):
     """The 1024-merge pretrained table must compress the corpus
     strictly better than the 3-round trained toy — the whole point of

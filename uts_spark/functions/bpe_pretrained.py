@@ -356,6 +356,87 @@ def bpe_apply_bytes_in_order(pretoken: str, merges=None) -> list[str]:
     return list(seg)
 
 
+_ASCII_WS = frozenset(" \t\n\x0b\f\r")
+_CONTRACTIONS = ("s", "t", "re", "ve", "m", "ll", "d")
+
+
+def pretokenize(text: str) -> list[str]:
+    """Python mirror of the GPT-2-style pre-tokenizer regex used by the
+    batch byte lane (queries/sketch_ops._PRETOK_RE) — needed because
+    Python stdlib ``re`` has no ``\\p{L}``/``\\p{N}`` classes, and the
+    STREAMING byte-tokenization kernel runs in Python. Alternation
+    order and greediness replicate the regex exactly:
+
+        '(?:s|t|re|ve|m|ll|d) | ?L+ | ?N+ | ?[^\\s L N]+ | \\s+
+
+    with L/N = Unicode general categories (unicodedata.category — the
+    same data Java/RE2 ``\\p{L}``/``\\p{N}`` read) and \\s = ASCII
+    whitespace (both engines' default). Leftmost-first: a punctuation
+    run swallows an interior apostrophe (so the contraction branch only
+    fires at a fresh position), multi-space runs stay one whitespace
+    token. Parity vs the Spark-side regex split is pinned on the live
+    corpus and randomized strings in tests/test_corpus_ops.py."""
+    import unicodedata
+
+    cat = unicodedata.category
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            for suf in _CONTRACTIONS:
+                if text.startswith(suf, i + 1):
+                    out.append(text[i : i + 1 + len(suf)])
+                    i += 1 + len(suf)
+                    break
+            else:
+                k = i
+                while (
+                    k < n
+                    and text[k] not in _ASCII_WS
+                    and cat(text[k])[0] not in "LN"
+                ):
+                    k += 1
+                out.append(text[i:k])
+                i = k
+            continue
+        j = i + 1 if text[i] == " " else i
+        if j < n and cat(text[j])[0] == "L":
+            k = j
+            while k < n and cat(text[k])[0] == "L":
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        if j < n and cat(text[j])[0] == "N":
+            k = j
+            while k < n and cat(text[k])[0] == "N":
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        if (
+            j < n
+            and text[j] not in _ASCII_WS
+            and cat(text[j])[0] not in "LN"
+        ):
+            k = j
+            while (
+                k < n
+                and text[k] not in _ASCII_WS
+                and cat(text[k])[0] not in "LN"
+            ):
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        k = i
+        while k < n and text[k] in _ASCII_WS:
+            k += 1
+        out.append(text[i:k])
+        i = k
+    return out
+
+
 def byte_merge_patterns_sql() -> str:
     """Byte merge table as a DuckDB list literal of boundary-safe
     ``'|x||y|'`` hex patterns in rank order."""

@@ -1402,3 +1402,91 @@ def _register_stream_bpe():
 
 
 stream_bpe_tokens_replay = _register_stream_bpe()
+
+
+def _register_stream_bpe_bytes():
+    # oracle = the batch byte lane's SQL imported DIRECTLY (same module
+    # load-order caveat as _BPE_PRE_ORACLE: registry.ORACLES is not yet
+    # populated across query modules at import time)
+    from uts_spark.queries.sketch_ops import _BPE_BYTES_ORACLE, _MIXED_SQL
+
+    @query("stream_bpe_bytes_replay", _BPE_BYTES_ORACLE)
+    def stream_bpe_bytes_replay(spark, sf_dir):
+        """Streaming BYTE-level tokenization: the round-7 production
+        tokenizer (GPT-2-style pre-tokenization + 512 byte merges) as
+        docs arrive, per micro-batch, hash-matching the batch lane's
+        oracle exactly. The mixed-text derivation runs as JVM
+        expressions ON THE STREAM (same _MIXED_SQL as batch); the
+        Python kernel pre-tokenizes with functions/bpe_pretrained
+        .pretokenize — a handwritten scanner mirroring the \\p{{L}}
+        regex, because stdlib re has no Unicode category classes
+        (parity pinned vs RE2 and vs the Spark regex in
+        tests/test_corpus_ops.py) — and applies the byte merges per
+        DISTINCT pre-token per batch (memoized). Embarrassingly
+        per-doc: append mode, no state, no watermark."""
+        from uts_spark.functions.bpe_pretrained import (
+            pretrained_byte_merges,
+            pretrained_byte_vocab_ids,
+        )
+
+        ranks = {p: r for r, p in enumerate(pretrained_byte_merges())}
+        ids = pretrained_byte_vocab_ids()
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def tok_batches(batches):
+            import pandas as pd
+
+            from uts_spark.functions.bpe_pretrained import (
+                bpe_apply_bytes,
+                pretokenize,
+            )
+
+            memo = {}
+
+            def pt_stats(pt):
+                if pt not in memo:
+                    toks = bpe_apply_bytes(pt, ranks)
+                    memo[pt] = (len(toks), sum(ids[t] for t in toks))
+                return memo[pt]
+
+            for pdf in batches:
+                out = []
+                for doc_id, mt in zip(pdf["doc_id"], pdf["mt"]):
+                    # NULL text: the batch lane and oracle drop it
+                    if mt is None or mt != mt:
+                        continue
+                    pts = pretokenize(mt)
+                    n_tokens = 0
+                    checksum = 0
+                    for pos, pt in enumerate(pts, start=1):
+                        n_tok, idsum = pt_stats(pt)
+                        n_tokens += n_tok
+                        checksum += pos * idsum
+                    out.append((
+                        int(doc_id), len(pts), n_tokens,
+                        len(mt.encode("utf-8")), checksum,
+                    ))
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "doc_id", "n_pretokens", "n_tokens",
+                        "n_bytes", "tok_checksum",
+                    ],
+                )
+
+        def build(stream):
+            mixed = stream.selectExpr(
+                "doc_id", f"{_MIXED_SQL.format(styp='STRING')} AS mt"
+            )
+            return mixed.mapInPandas(
+                tok_batches,
+                "doc_id long, n_pretokens long, n_tokens long, "
+                "n_bytes long, tok_checksum long",
+            ), "append"
+
+        return _replay(spark, docs, build)
+
+    return stream_bpe_bytes_replay
+
+
+stream_bpe_bytes_replay = _register_stream_bpe_bytes()
