@@ -427,6 +427,26 @@ def test_python_pretokenizer_scanner_parity(spark, sf_dir):
         assert con.sql(q, params=[s]).fetchone()[0] == pretokenize(s), repr(s)
 
 
+def test_bpe_bytes_full_coverage_vs_char_gap(spark, sf_dir):
+    """The round-7 motivation in one number: on mixed text the byte
+    lane tokenizes every byte (coverage == 1.0 exactly — the
+    pre-tokenizer tiles the string), the char lane drops everything
+    outside [a-z]+ runs (measured 0.71 at sf0.01) at no better
+    bytes-per-token."""
+    from uts_spark.registry import QUERIES  # registry first: import trap
+
+    rows = {
+        r["lane"]: r
+        for r in QUERIES["text_bpe_bytes_compression_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    b, c = rows["bytes_512"], rows["char_1024"]
+    assert b["coverage"] == 1.0
+    assert c["coverage"] < 0.9
+    assert b["n_tokens"] > c["n_tokens"]
+
+
 def test_bpe_compression_pretrained_beats_toy(spark, sf_dir):
     """The 1024-merge pretrained table must compress the corpus
     strictly better than the 3-round trained toy — the whole point of

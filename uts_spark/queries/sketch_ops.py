@@ -1445,6 +1445,140 @@ def text_bpe_apply_bytes(spark, sf_dir):
     )
 
 
+# --- Byte-vs-char tokenizer A/B on REAL text ---------------------------------
+#
+# The measurement that justifies carrying the byte lane: on text with
+# casing/punctuation/unicode, the char-level [a-z]+ lane simply DROPS
+# everything outside lowercase letter runs (coverage < 1), while the
+# byte lane's pre-tokenizer tiles the whole string (coverage == 1.0 by
+# construction). bytes_per_token over the covered region compares
+# compression like-for-like.
+
+_BPE_BYTES_CMP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_MIXED_SQL.format(styp='VARCHAR')} AS mt FROM documents
+),
+tot AS (
+  SELECT CAST(SUM(octet_length(encode(mt))) AS BIGINT) AS total_bytes
+  FROM base
+),
+bp AS (
+  SELECT unnest(regexp_extract_all(mt, '{_PRETOK_RE.replace("'", "''")}'))
+    AS pt
+  FROM base
+),
+bseg AS (
+  SELECT pt,
+         list_reduce(
+           list_prepend(
+             regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+             {byte_merge_patterns_sql()}),
+           (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+  FROM (SELECT DISTINCT pt FROM bp)
+),
+btok AS (
+  SELECT pt, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok
+  FROM bseg
+),
+cw AS (
+  SELECT unnest(regexp_extract_all(lower(mt), '[a-z]+')) AS word FROM base
+),
+cseg AS (
+  SELECT word,
+         list_reduce(
+           list_prepend(regexp_replace(word, '(.)', '|\\1|', 'g'),
+                        {merge_patterns_sql()}),
+           (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+  FROM (SELECT DISTINCT word FROM cw)
+),
+ctok AS (
+  SELECT word, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok
+  FROM cseg
+),
+lanes AS (
+  SELECT 'bytes_512' AS lane,
+         CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(octet_length(encode(b.pt))) AS BIGINT) AS covered_bytes
+  FROM bp b JOIN btok t USING (pt)
+  UNION ALL
+  SELECT 'char_1024',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(t.n_tok) AS BIGINT),
+         CAST(SUM(length(c.word)) AS BIGINT)
+  FROM cw c JOIN ctok t USING (word)
+)
+SELECT lane, n_units, n_tokens, covered_bytes, total_bytes,
+       CAST(covered_bytes AS DOUBLE) / total_bytes AS coverage,
+       CAST(covered_bytes AS DOUBLE) / n_tokens AS bytes_per_token
+FROM lanes CROSS JOIN tot
+ORDER BY lane
+"""
+
+
+@query("text_bpe_bytes_compression_eval", _BPE_BYTES_CMP_ORACLE)
+def text_bpe_bytes_compression_eval(spark, sf_dir):
+    """Byte-vs-char tokenizer A/B over the mixed corpus (module comment
+    above): coverage (share of corpus bytes the lane tokenizes at all)
+    and bytes-per-token over the covered region, one row per lane. The
+    char lane's coverage gap IS the round-7 motivation in one number.
+    Both lanes do all merge work on distinct units; the corpus
+    contributes two explodes and two dictionary joins."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = F.expr(_MIXED_SQL.format(styp="STRING"))
+    base = docs.select("doc_id", mixed.alias("mt"))
+    total = base.agg(
+        F.sum(F.octet_length("mt")).cast("long").alias("total_bytes")
+    )
+
+    dpts = base.select(
+        F.explode(
+            F.regexp_extract_all(F.col("mt"), F.lit(_PRETOK_RE), 0)
+        ).alias("pt")
+    )
+    ptok = _bpe_byte_pretoken_tokens(dpts.select("pt").distinct())
+    bl = (
+        dpts.join(ptok, "pt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.octet_length("pt")).cast("long").alias("covered_bytes"),
+        )
+        .select(F.lit("bytes_512").alias("lane"), "*")
+    )
+
+    dw = base.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("mt"), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    wtok = _bpe_pretrained_word_tokens(dw.select("word").distinct())
+    cl = (
+        dw.join(wtok, "word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("covered_bytes"),
+        )
+        .select(F.lit("char_1024").alias("lane"), "*")
+    )
+
+    return (
+        bl.unionByName(cl)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lane", "n_units", "n_tokens", "covered_bytes", "total_bytes",
+            (
+                F.col("covered_bytes").cast("double") / F.col("total_bytes")
+            ).alias("coverage"),
+            (
+                F.col("covered_bytes").cast("double") / F.col("n_tokens")
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lane")
+    )
+
+
 def _duck_pipeline_v3() -> str:
     from uts_spark.queries.llm_ops import (
         _DUCK_LINES,
