@@ -1770,6 +1770,148 @@ def pipeline_training_prep_v4(spark, sf_dir):
     )
 
 
+# --- Training-prep v5: model gate + byte-token budget (round 7) -------------
+#
+# v4's two non-production pieces get their round-7 replacements: the
+# quality gate is the TRAINED classifier (text_quality_model_score's
+# frozen integer-logit decision) instead of the Gopher rule pack, and
+# the shard budget counts BYTE-level production-tokenizer tokens
+# (512-merge pretrained, GPT-2-style pre-tokenization) instead of
+# char-level word tokens — "token" now means exactly what both the
+# filter model and the training stack will see.
+
+_V5_BUDGET = 12_000  # byte-level tokens per shard
+
+
+def _duck_pipeline_v5() -> str:
+    from uts_spark.queries.llm_ops import (
+        _DUCK_LINES,
+        _duck_quality_model_features,
+        _duck_simhash_pairs,
+        _qm_logit_sql,
+    )
+
+    return f"""
+    WITH {_duck_quality_model_features()},
+    mdl AS (
+      SELECT doc_id, {_qm_logit_sql()} >= 0 AS model_pass FROM qf
+    ),
+    {_DUCK_LINES},
+    ld AS (
+      SELECT l.doc_id,
+             CAST(SUM(CASE WHEN f.df >= 2 THEN l.llen ELSE 0 END) AS DOUBLE)
+               / SUM(l.llen) AS dup_char_ratio
+      FROM l JOIN (SELECT lh, COUNT(DISTINCT doc_id) AS df
+                   FROM l GROUP BY lh) f USING (lh)
+      GROUP BY l.doc_id
+    ),
+    pairs AS ({_duck_simhash_pairs()}),
+    dpts5 AS (
+      SELECT doc_id, ws[i] AS pt
+      FROM (SELECT doc_id,
+                   regexp_extract_all(text,
+                     '{_PRETOK_RE.replace("'", "''")}') AS ws
+            FROM documents),
+           unnest(range(1, len(ws) + 1)) AS u(i)
+    ),
+    bseg5 AS (
+      SELECT pt,
+             list_reduce(
+               list_prepend(
+                 regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+                 {byte_merge_patterns_sql()}),
+               (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+      FROM (SELECT DISTINCT pt FROM dpts5)
+    ),
+    btok5 AS (
+      SELECT pt,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok
+      FROM bseg5
+    ),
+    bpe_doc5 AS (
+      SELECT d.doc_id, CAST(SUM(t.n_tok) AS BIGINT) AS n_btok
+      FROM dpts5 d JOIN btok5 t USING (pt) GROUP BY d.doc_id
+    ),
+    kept AS (
+      SELECT m.doc_id, b.n_btok
+      FROM mdl m JOIN ld USING (doc_id) JOIN bpe_doc5 b USING (doc_id)
+      WHERE m.model_pass AND ld.dup_char_ratio < 0.5
+        AND m.doc_id NOT IN (SELECT id_b FROM pairs)
+    )
+    SELECT doc_id, n_btok,
+           CAST((SUM(n_btok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_btok) // {_V5_BUDGET} AS BIGINT) AS shard
+    FROM kept
+    """
+
+
+@query("pipeline_training_prep_v5", _duck_pipeline_v5())
+def pipeline_training_prep_v5(spark, sf_dir):
+    """Training-prep pipeline v5 (module comment above): trained-model
+    quality gate + line-dedup gate + SimHash near-dup removal + shard
+    budgeting by BYTE-level production-tokenizer tokens through the
+    range-partitioned exact prefix sum. Scale shape: the model gate is
+    map-only expressions; all tokenizer string work runs on the
+    distinct-pretoken frame; the prefix sum never creates a
+    single-partition window."""
+    from uts_spark.functions.dedup import simhash_band_pairs
+    from uts_spark.queries.llm_ops import (
+        _QM_W,
+        _quality_model_features,
+        text_line_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = _QM_W
+    feats = _quality_model_features(docs)
+    logit = (
+        F.lit(w["w0"])
+        + F.lit(w["x_len"]) * F.col("x_len")
+        + F.lit(w["x_stop"]) * F.col("x_stop")
+        + F.lit(w["x_mwl"]) * F.col("x_mwl")
+        + F.lit(w["x_ttr"]) * F.col("x_ttr")
+        + F.lit(w["x_rep"]) * F.col("x_rep")
+    ).cast("long")
+    mdl = feats.select("doc_id", (logit >= 0).alias("model_pass"))
+    ld = text_line_dedup(spark, sf_dir).select("doc_id", "dup_char_ratio")
+    pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
+    dpts = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    toks = (
+        dpts.join(_bpe_byte_pretoken_tokens(dpts.select("pt").distinct()), "pt")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_btok"))
+    )
+    kept = (
+        toks.join(mdl, "doc_id")
+        .join(ld, "doc_id")
+        .filter(F.col("model_pass") & (F.col("dup_char_ratio") < 0.5))
+        .join(
+            pairs.select(F.col("id_b").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", "n_btok")
+    )
+    r = ranked_cumsum(
+        kept,
+        F.col("doc_id"),
+        [F.asc("doc_id")],
+        values={"tok": F.col("n_btok")},
+        n_buckets=64,
+    )
+    cum_before = F.col("cum_tok") - F.col("n_btok")
+    return r.select(
+        "doc_id",
+        "n_btok",
+        F.floor(cum_before / F.lit(_V5_BUDGET)).cast("long").alias("shard"),
+    )
+
+
 # --- Bucket-checksum table reconciliation -----------------------------------
 #
 # The migration-validation op: prove a replica equals the source WITHOUT
