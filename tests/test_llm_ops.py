@@ -931,6 +931,30 @@ def test_lsh_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert a.count() == r.count() and a.exceptAll(r).isEmpty()
 
 
+def test_ivfpq_append_equals_frozen_quantizer_rebuild(spark, sf_dir, tmp_path):
+    """IVF-PQ append == full rebuild with the same frozen quantizers:
+    cells AND code arrays of appended vectors match what a rebuild
+    (coarse centroids + PQ codebook both frozen from base) assigns."""
+    import uts_spark.registry  # noqa: F401  (registry first: import trap)
+    from uts_spark.functions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_write,
+    )
+    from uts_spark.queries.llm_ops import EMB_DIM
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    p_app, p_re = str(tmp_path / "a"), str(tmp_path / "r")
+    ivfpq_index_write(base, p_app, dim=EMB_DIM, n_cells=8)
+    ivfpq_index_append(spark, batch, p_app, dim=EMB_DIM)
+    ivfpq_index_write(e, p_re, dim=EMB_DIM, n_cells=8, centroid_src=base)
+    a = spark.read.parquet(p_app).select("vec_id", "cell", "codes")
+    r = spark.read.parquet(p_re).select("vec_id", "cell", "codes")
+    assert a.count() == r.count() == e.count()
+    assert a.exceptAll(r).isEmpty()
+
+
 def test_privacy_generalize_dominates_suppression(spark, sf_dir):
     """The generalization ladder must (a) reproduce the pure-suppression
     baseline exactly in its baseline_suppression_rate column, (b) never

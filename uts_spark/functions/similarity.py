@@ -1045,6 +1045,7 @@ def ivfpq_index_write(
     n_cent: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_src: DataFrame | None = None,
 ) -> None:
     """Persist the COMPOSED IVF-PQ index: every corpus vector stored
     with its coarse cell (ivf_index_write's hash-seeded assignment) AND
@@ -1060,33 +1061,37 @@ def ivfpq_index_write(
         raise ValueError(
             f"ivfpq_index_write: dim ({dim}) must be divisible by m_sub ({m_sub})"
         )
+    src = centroid_src if centroid_src is not None else emb
+    cents = _ivf_centroids(src, n_cells, id_col, vec_col)
+    assigned = _ivf_assign(emb, cents, id_col, vec_col)
+    cexp = _pq_codebook_exp(src, dim, m_sub, n_cent, id_col, vec_col)
+    codes = _ivfpq_codes(emb, cexp, dim, m_sub, id_col, vec_col)
+    rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
+        id_col, vec_col, "codes", "cell"
+    )
+    write_partitioned(rows, path, ["cell"])
+    # freeze BOTH quantizers next to the data (underscore dirs — skipped
+    # by the index's partition discovery): appends must assign against
+    # the coarse centroids AND encode against the PQ codebook of build
+    # time, or codes stop being comparable across the index
+    import os
+
+    cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
+    cexp.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+
+
+def _ivfpq_codes(
+    emb: DataFrame, cexp: DataFrame, dim: int, m_sub: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(__vid, codes): nearest-codebook-entry PQ code array per vector
+    against an EXPLICIT codebook — shared by build and append so the
+    append lane provably encodes with the frozen table."""
     d_sub = dim // m_sub
-    cents = (
-        emb.select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("__cv"),
-            hash64(
-                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
-            ).alias("__h"),
-        )
-        .orderBy("__h", "cent_id")
-        .limit(n_cells)
-        .drop("__h")
-    )
-    wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
-    assigned = (
-        emb.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
-        .withColumn("__r", F.row_number().over(wc))
-        .filter(F.col("__r") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
-    )
-    cexp = _pq_codebook_exp(emb, dim, m_sub, n_cent, id_col, vec_col)
     subs = F.array(*[
         F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
     ])
-    codes = (
+    return (
         emb.select(F.col(id_col).alias("__vid"), F.posexplode(subs).alias("m", "vsub"))
         .join(F.broadcast(cexp), "m")
         .select(
@@ -1106,18 +1111,43 @@ def ivfpq_index_write(
             ).alias("codes")
         )
     )
+
+
+def ivfpq_index_append(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    dim: int,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new vectors into the persisted IVF-PQ index: assign against
+    the FROZEN coarse centroids and encode against the FROZEN PQ
+    codebook (both persisted at build under the index), then
+    parquet-append into the cell partitions. Batch-sized; completes
+    maintenance across all four persisted index families (MinHash
+    bands, LSH buckets, IVF cells, IVF-PQ cells+codes)."""
+    import os
+
+    from uts_spark.sources.sinks import write_partitioned
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    cexp = spark.read.parquet(os.path.join(path, "_codebook"))
+    assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
+    codes = _ivfpq_codes(emb_batch, cexp, dim, m_sub, id_col, vec_col)
     rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
         id_col, vec_col, "codes", "cell"
     )
-    write_partitioned(rows, path, ["cell"])
+    write_partitioned(rows, path, ["cell"], mode="append")
 
 
 def ivfpq_index_probe(
     spark,
     path: str,
     anchors: DataFrame,
-    emb_for_centroids: DataFrame,
-    dim: int,
+    emb_for_centroids: DataFrame | None = None,
+    dim: int = 64,
     k: int = 10,
     n_cells: int = 8,
     n_probe: int = 3,
@@ -1155,19 +1185,15 @@ def ivfpq_index_probe(
         )
     d_sub = dim // m_sub
 
-    # 1. coarse probes (same device as ivf_index_probe)
-    cents = (
-        emb_for_centroids.select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("__cv"),
-            hash64(
-                F.concat(F.lit("ivfc:"), F.col(id_col).cast("string"))
-            ).alias("__h"),
-        )
-        .orderBy("__h", "cent_id")
-        .limit(n_cells)
-        .drop("__h")
-    )
+    # 1. coarse probes (same device as ivf_index_probe);
+    # emb_for_centroids=None loads the quantizers FROZEN at build —
+    # mandatory once the index has been appended to
+    import os as _os
+
+    if emb_for_centroids is None:
+        cents = spark.read.parquet(_os.path.join(path, "_centroids"))
+    else:
+        cents = _ivf_centroids(emb_for_centroids, n_cells, id_col, vec_col)
     wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
     probes = (
         anchors.select(id_col, vec_col)
@@ -1197,9 +1223,12 @@ def ivfpq_index_probe(
     )
 
     # 2. broadcast per-anchor ADC LUTs against the STORED codes
-    cexp = _pq_codebook_exp(
-        emb_for_centroids, dim, m_sub, n_cent, id_col, vec_col
-    )
+    if emb_for_centroids is None:
+        cexp = spark.read.parquet(_os.path.join(path, "_codebook"))
+    else:
+        cexp = _pq_codebook_exp(
+            emb_for_centroids, dim, m_sub, n_cent, id_col, vec_col
+        )
     asubs = F.array(*[
         F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
     ])

@@ -3716,11 +3716,14 @@ def similarity_ann_ivf_append_probe(spark, sf_dir):
     return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
 
 
-def _duck_ivfpq() -> str:
+def _duck_ivfpq(base_where: str = "") -> str:
     # IVF coarse stage verbatim from similarity_ann_ivf_det's oracle
     # (n_cells=8, n_probe=3); PQ stage from similarity_ann_pq_adc's
     # (m=8 subspaces, 16 codebook entries), restricted to the probed
     # candidates; ADC shortlist of 40; exact cosine re-rank to top-10.
+    # ``base_where`` restricts BOTH quantizer pools (coarse centroids
+    # and PQ codebook) to a subset — the append lane freezes them from
+    # the base corpus while everything else runs over the full table.
     d2n = (
         "list_sum(list_transform(range(1, {n} + 1), "
         "i -> CAST(floor((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
@@ -3732,7 +3735,7 @@ def _duck_ivfpq() -> str:
     hc AS (
       SELECT vec_id, embedding,
              {duck_hash64("concat('ivfc:', vec_id)")} AS h
-      FROM e
+      FROM e {base_where}
     ),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS cv
@@ -3764,7 +3767,7 @@ def _duck_ivfpq() -> str:
     ),
     pcents AS (
       SELECT vec_id AS cent_id, embedding AS cv
-      FROM e
+      FROM e {base_where}
       ORDER BY {duck_hash64("concat('pqc:', CAST(vec_id AS VARCHAR))")}, vec_id
       LIMIT {_PQ_C}
     ),
@@ -3873,6 +3876,69 @@ def _register_ivfpq_probe():
 
 
 similarity_ann_ivfpq_probe = _register_ivfpq_probe()
+
+
+@query(
+    "similarity_ann_ivfpq_append_probe",
+    _duck_ivfpq(
+        base_where="WHERE vec_id % {m} != {r}".format(
+            m=_IVF_APP_MOD, r=_IVF_APP_REM
+        )
+    ),
+)
+def similarity_ann_ivfpq_append_probe(spark, sf_dir):
+    """IVF-PQ append round trip — the composed index's maintenance
+    verb, completing all FOUR persisted families: build over the base
+    vectors freezes BOTH quantizers alongside the data
+    (path/_centroids coarse cells, path/_codebook PQ entries), the new
+    batch is assigned against the frozen centroids AND encoded against
+    the frozen codebook (codes stay comparable across the whole
+    index), manifest fingerprint chain bumped, probe loads the frozen
+    quantizers from the index itself. Oracle = the composed recompute
+    with both quantizer pools restricted to the base subset while
+    assignment/ADC/rerank run over the full corpus."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_read,
+        index_manifest_write,
+    )
+    from uts_spark.functions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_probe,
+        ivfpq_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(
+        _warehouse_dir(),
+        f"ann_ivfpq_index_{tag}_{fp0}_c8m{_PQ_M}k{_PQ_C}_svc",
+    )
+
+    m = index_manifest_read(path)
+    state = m["fingerprint"] if m else None
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivfpq_index_write(
+            base, path, dim=EMB_DIM, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C
+        )
+        index_manifest_write(path, fp0, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C)
+        state = fp0
+    if state == fp0:
+        ivfpq_index_append(spark, batch, path, dim=EMB_DIM, m_sub=_PQ_M)
+        index_manifest_write(path, fp1, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C)
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivfpq_index_probe(
+        spark, path, anchors, None, dim=EMB_DIM, k=10,
+        n_cells=8, n_probe=3, m_sub=_PQ_M, n_cent=_PQ_C, rerank=40,
+    )
 
 
 # --- Persisted MinHash band index: dedup-as-a-service (round 6) -------------
