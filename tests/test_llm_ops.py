@@ -955,6 +955,49 @@ def test_ivfpq_append_equals_frozen_quantizer_rebuild(spark, sf_dir, tmp_path):
     assert a.exceptAll(r).isEmpty()
 
 
+def test_index_compact_preserves_probe_and_shrinks_files(spark, sf_dir, tmp_path):
+    """Service lifecycle third verb: after several appends the index
+    accumulates one file per touched partition per tick; compaction
+    must shrink the file count while leaving probe results AND the
+    frozen sidecars (manifest) byte-identical."""
+    import uts_spark.registry  # noqa: F401  (registry first: import trap)
+    from uts_spark.functions.dedup import (
+        index_manifest_read,
+        index_manifest_write,
+        minhash_index_append,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+    from uts_spark.sources.sinks import compact_partitioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe_batch = docs.filter(F.col("doc_id") % 10 == 9)
+    old = docs.filter(F.col("doc_id") % 10 != 9)
+    path = str(tmp_path / "idx")
+    minhash_index_write(
+        old.filter(F.col("doc_id") % 3 == 0), "text", "doc_id", path,
+        fingerprint="seed",
+    )
+    for rem in (1, 2):
+        minhash_index_append(
+            old.filter(F.col("doc_id") % 3 == rem), "text", "doc_id", path
+        )
+    index_manifest_write(path, "after-appends", n=3, k=32, bands=8, n_grps=16)
+
+    pairs = lambda: {  # noqa: E731
+        (r.id_new, r.id_old)
+        for r in minhash_index_probe(
+            spark, path, probe_batch, old, "text", "doc_id"
+        ).collect()
+    }
+    want = pairs()
+    before, after = compact_partitioned(spark, path, ["band", "grp"])
+    assert after < before, (before, after)
+    assert pairs() == want
+    m = index_manifest_read(path)
+    assert m and m["fingerprint"] == "after-appends"
+
+
 def test_privacy_generalize_dominates_suppression(spark, sf_dir):
     """The generalization ladder must (a) reproduce the pure-suppression
     baseline exactly in its baseline_suppression_rate column, (b) never

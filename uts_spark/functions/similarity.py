@@ -646,6 +646,13 @@ def lsh_index_append(
     caller bumps its manifest fingerprint chain afterwards."""
     from uts_spark.sources.sinks import write_partitioned
 
+    from uts_spark.functions.dedup import _check_index_config
+
+    # bucketing params are NOT embodied in the index data (unlike the
+    # IVF families' frozen quantizer tables) — a (dim, planes, tables)
+    # mismatch writes incompatible buckets silently; validate against
+    # the manifest when one exists
+    _check_index_config(path, dim=dim, planes=planes, tables=tables)
     idx = lsh_bucket_table(emb_batch, dim, planes, tables, id_col, vec_col)
     write_partitioned(
         idx.select(id_col, vec_col, "table", "bucket"),
@@ -923,6 +930,8 @@ def ivf_index_append(
 
     from uts_spark.sources.sinks import write_partitioned
 
+    # no config to validate: the cell structure IS the frozen centroid
+    # table loaded here, so an append can't disagree with the index
     cents = spark.read.parquet(os.path.join(path, "_centroids"))
     assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
     write_partitioned(assigned, path, ["cell"], mode="append")
@@ -1134,6 +1143,18 @@ def ivfpq_index_append(
 
     cents = spark.read.parquet(os.path.join(path, "_centroids"))
     cexp = spark.read.parquet(os.path.join(path, "_codebook"))
+    # the subspace geometry is NOT embodied in the loaded tables'
+    # shapes alone — validate (dim, m_sub) against the frozen codebook
+    # so a mismatched append fails loudly instead of writing codes that
+    # ADC-score against the wrong entries
+    srow = cexp.select(
+        F.max("m").alias("mx"), F.size(F.first("csub")).alias("d")
+    ).first()
+    if (srow["mx"] + 1) != m_sub or srow["d"] * m_sub != dim:
+        raise ValueError(
+            f"ivfpq_index_append: index codebook has m_sub={srow['mx'] + 1}, "
+            f"d_sub={srow['d']} — append asked dim={dim}, m_sub={m_sub}"
+        )
     assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
     codes = _ivfpq_codes(emb_batch, cexp, dim, m_sub, id_col, vec_col)
     rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(

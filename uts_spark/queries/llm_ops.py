@@ -2397,6 +2397,90 @@ def text_quality_model_eval(spark, sf_dir):
     )
 
 
+_QM_THRESHOLDS = (
+    -8_000_000, -4_000_000, -2_000_000, -1_000_000, 0,
+    1_000_000, 2_000_000, 4_000_000, 8_000_000,
+)
+
+
+@query(
+    "text_quality_model_threshold_sweep",
+    f"""
+    WITH {_duck_quality_model_features()},
+    mdl AS (
+      SELECT doc_id, {_qm_logit_sql()} AS logit FROM qf
+    ),
+    gop AS ({_duck_gopher()}),
+    thr AS (SELECT unnest({list(_QM_THRESHOLDS)}) AS threshold),
+    cm AS (
+      SELECT t.threshold,
+        CAST(SUM(CASE WHEN m.logit >= t.threshold AND g.gopher_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN m.logit >= t.threshold AND NOT g.gopher_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN m.logit < t.threshold AND g.gopher_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN m.logit < t.threshold AND NOT g.gopher_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM mdl m JOIN gop g USING (doc_id) CROSS JOIN thr t
+      GROUP BY t.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall,
+           CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0) AS f1
+    FROM cm
+    """,
+)
+def text_quality_model_threshold_sweep(spark, sf_dir):
+    """Operating-curve sweep of the frozen quality model: confusion
+    counts + precision/recall/F1 at nine fixed logit thresholds — the
+    evidence behind 'tunable decision boundary' (raise the threshold
+    for a high-precision pretraining cut, lower it for a high-recall
+    candidate pool). One corpus scan cross-joined with a 9-row literal
+    table, grouped by threshold: 9x-amplified partial aggregation,
+    still no window and no collect."""
+    w = _QM_W
+    docs = table(spark, sf_dir, "documents")
+    feats = _quality_model_features(docs)
+    logit = (
+        F.lit(w["w0"])
+        + F.lit(w["x_len"]) * F.col("x_len")
+        + F.lit(w["x_stop"]) * F.col("x_stop")
+        + F.lit(w["x_mwl"]) * F.col("x_mwl")
+        + F.lit(w["x_ttr"]) * F.col("x_ttr")
+        + F.lit(w["x_rep"]) * F.col("x_rep")
+    ).cast("long")
+    mdl = feats.select("doc_id", logit.alias("logit"))
+    gop = text_gopher_quality(spark, sf_dir).select("doc_id", "gopher_pass")
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _QM_THRESHOLDS])
+        ).alias("threshold")
+    )
+    j = mdl.join(gop, "doc_id").crossJoin(F.broadcast(thr))
+    hit = F.col("logit") >= F.col("threshold")
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast(  # noqa: E731
+        "long"
+    )
+    cm = j.groupBy("threshold").agg(
+        cnt(hit & F.col("gopher_pass")).alias("tp"),
+        cnt(hit & ~F.col("gopher_pass")).alias("fp"),
+        cnt(~hit & F.col("gopher_pass")).alias("fn"),
+        cnt(~hit & ~F.col("gopher_pass")).alias("tn"),
+    )
+    tp, fp, fn = (F.col(c) for c in ("tp", "fp", "fn"))
+    return cm.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        (tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision"),
+        (tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall"),
+        (
+            (F.lit(2) * tp).cast("double")
+            / F.nullif(F.lit(2) * tp + fp + fn, F.lit(0))
+        ).alias("f1"),
+    )
+
+
 def _duck_triangles(threshold: float = 0.4) -> str:
     return f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),

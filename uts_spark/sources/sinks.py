@@ -72,6 +72,60 @@ def write_partitioned(
     )
 
 
+def compact_partitioned(
+    spark, path: str, partition_by: list[str]
+) -> tuple[int, int]:
+    """Compact a partitioned index/table directory in place: every
+    append (dedup/ANN service ticks) adds one file per touched
+    partition, and after many ticks the per-partition file count — not
+    data size — starts to dominate scan planning. Rewrite shuffles on
+    exactly the partition columns (all rows of a directory land in one
+    task → one output file per directory), then swaps directories via
+    rename. Underscore-prefixed sidecars (frozen quantizer tables,
+    _INDEX_MANIFEST.json) are carried over verbatim — compaction is
+    physical layout only, never content: probe results are pinned
+    identical pre/post in tests/test_llm_ops.py.
+
+    Returns (files_before, files_after). The swap is two renames — the
+    brief window between them is acceptable for a single-writer
+    service tick; a multi-writer deployment would commit via a
+    versioned manifest (sources/versioned.py) instead."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    count = lambda p: len(  # noqa: E731
+        glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+    )
+    before = count(path)
+    df = spark.read.parquet(path)
+    tmp = path + "__compact_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(tmp)
+    )
+    for entry in os.listdir(path):
+        if entry.startswith("_") and entry != "_SUCCESS":
+            src, dst = os.path.join(path, entry), os.path.join(tmp, entry)
+            if os.path.isdir(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy2(src, dst)
+    old = path + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before, count(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
