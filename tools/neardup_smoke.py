@@ -309,7 +309,71 @@ def index_append_ab() -> None:
         spark.stop()
 
 
+def index_compact_ab() -> None:
+    """Round 7: probe cost and file count after many appends, before
+    and after compaction. Run:
+    python3 tools/neardup_smoke.py --index-compact [docs]"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+    from uts_spark.session import get_spark
+    from uts_spark.sources.sinks import compact_partitioned
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_spark("minhash-compact-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_docs(spark, n_docs)
+    probe_b = docs.filter(F.col("doc_id") % 10 == 9)
+    old = docs.filter(F.col("doc_id") % 10 != 9)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    scratch = tempfile.mkdtemp(prefix="mh_cmp_")
+    path = os.path.join(scratch, "idx")
+    try:
+        minhash_index_write(
+            old.filter(F.col("doc_id") % 6 == 0), "text", "doc_id", path)
+        for rem in (1, 2, 3, 4, 5):
+            minhash_index_append(
+                old.filter(F.col("doc_id") % 6 == rem), "text", "doc_id",
+                path)
+        n1 = timed("probe_after_5_appends", lambda: minhash_index_probe(
+            spark, path, probe_b, old, "text", "doc_id").count())
+        before, after = timed(
+            "compact", lambda: compact_partitioned(
+                spark, path, ["band", "grp"]))
+        n2 = timed("probe_after_compact", lambda: minhash_index_probe(
+            spark, path, probe_b, old, "text", "doc_id").count())
+        print(json.dumps({
+            "docs": n_docs,
+            "files_before": before,
+            "files_after": after,
+            "pairs_agree": n1 == n2,
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--index-compact":
+        index_compact_ab()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--cc-ab":
         cc_ab()
         return

@@ -611,7 +611,7 @@ def minhash_index_write(
         .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
-    write_partitioned(rows, path, ["band", "grp"])
+    write_partitioned(rows, path, ["band", "grp"], cluster=True)
     index_manifest_write(
         path, fingerprint or "", n=n, k=k, bands=bands, n_grps=n_grps
     )
@@ -688,7 +688,7 @@ def minhash_index_append(
         .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
-    write_partitioned(rows, path, ["band", "grp"], mode="append")
+    write_partitioned(rows, path, ["band", "grp"], mode="append", cluster=True)
 
 
 def minhash_index_probe(

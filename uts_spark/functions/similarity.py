@@ -623,7 +623,10 @@ def lsh_index_write(
 
     idx = lsh_bucket_table(emb, dim, planes, tables, id_col, vec_col)
     write_partitioned(
-        idx.select(id_col, vec_col, "table", "bucket"), path, ["table", "bucket"]
+        idx.select(id_col, vec_col, "table", "bucket"),
+        path,
+        ["table", "bucket"],
+        cluster=True,
     )
 
 
@@ -659,6 +662,7 @@ def lsh_index_append(
         path,
         ["table", "bucket"],
         mode="append",
+        cluster=True,
     )
 
 
@@ -907,7 +911,7 @@ def ivf_index_write(
 
     cents = _ivf_centroids(centroid_src or emb, n_cells, id_col, vec_col)
     assigned = _ivf_assign(emb, cents, id_col, vec_col)
-    write_partitioned(assigned, path, ["cell"])
+    write_partitioned(assigned, path, ["cell"], cluster=True)
     import os
 
     cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
@@ -934,7 +938,7 @@ def ivf_index_append(
     # table loaded here, so an append can't disagree with the index
     cents = spark.read.parquet(os.path.join(path, "_centroids"))
     assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
-    write_partitioned(assigned, path, ["cell"], mode="append")
+    write_partitioned(assigned, path, ["cell"], mode="append", cluster=True)
 
 
 def ivf_index_probe(
@@ -1078,7 +1082,7 @@ def ivfpq_index_write(
     rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
         id_col, vec_col, "codes", "cell"
     )
-    write_partitioned(rows, path, ["cell"])
+    write_partitioned(rows, path, ["cell"], cluster=True)
     # freeze BOTH quantizers next to the data (underscore dirs — skipped
     # by the index's partition discovery): appends must assign against
     # the coarse centroids AND encode against the PQ codebook of build
@@ -1160,7 +1164,7 @@ def ivfpq_index_append(
     rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
         id_col, vec_col, "codes", "cell"
     )
-    write_partitioned(rows, path, ["cell"], mode="append")
+    write_partitioned(rows, path, ["cell"], mode="append", cluster=True)
 
 
 def ivfpq_index_probe(

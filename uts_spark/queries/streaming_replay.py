@@ -1490,3 +1490,49 @@ def _register_stream_bpe_bytes():
 
 
 stream_bpe_bytes_replay = _register_stream_bpe_bytes()
+
+
+def _register_stream_quality_model():
+    # oracle = the batch model-score query's SQL, imported directly
+    from uts_spark.queries.llm_ops import _QM_W
+    from uts_spark.registry import ORACLES
+
+    @query("stream_quality_model_replay", ORACLES["text_quality_model_score"])
+    def stream_quality_model_replay(spark, sf_dir):
+        """Model-gate filtering AS DOCS ARRIVE: the frozen logistic
+        quality classifier applied per micro-batch. The entire model is
+        map-only JVM Column expressions (integer-snapped features +
+        exact-integer logit — text_quality_model_score), so the batch
+        feature builder runs UNCHANGED on the stream: zero Python, zero
+        state, zero watermark, and the output hash-matches the batch
+        oracle verbatim. This is the crawl-side shape: score and gate
+        documents inside the ingest stream, and only the survivors ever
+        reach the (expensive) dedup/tokenize stages downstream."""
+        from uts_spark.queries.llm_ops import _quality_model_features
+
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        w = _QM_W
+
+        def build(stream):
+            feats = _quality_model_features(stream)
+            logit = (
+                F.lit(w["w0"])
+                + F.lit(w["x_len"]) * F.col("x_len")
+                + F.lit(w["x_stop"]) * F.col("x_stop")
+                + F.lit(w["x_mwl"]) * F.col("x_mwl")
+                + F.lit(w["x_ttr"]) * F.col("x_ttr")
+                + F.lit(w["x_rep"]) * F.col("x_rep")
+            ).cast("long")
+            out = feats.select(
+                "doc_id", "x_len", "x_stop", "x_mwl", "x_ttr", "x_rep",
+                logit.alias("quality_logit"),
+                (logit >= 0).alias("model_pass"),
+            )
+            return out, "append"
+
+        return _replay(spark, docs, build)
+
+    return stream_quality_model_replay
+
+
+stream_quality_model_replay = _register_stream_quality_model()

@@ -60,10 +60,23 @@ def write_partitioned(
     partition_by: list[str],
     mode: str = "overwrite",
     max_records_per_file: int = 5_000_000,
+    cluster: bool = False,
 ) -> None:
     """Partitioned parquet append/overwrite. ``maxRecordsPerFile`` bounds
     file sizes (small-file storms and 10 GB monsters are both scan
-    poison)."""
+    poison).
+
+    ``cluster=True`` repartitions on the partition columns first, so
+    each directory receives ONE file per write instead of one per
+    (task x directory). Index builds/appends pass it: measured at 1M
+    docs, five un-clustered MinHash-index appends left 24,576 files and
+    a 40 s probe; the same index at one-file-per-dir probes in 10.5 s
+    (SCALE.md round 7). Costs one batch-sized shuffle — the right trade
+    for service ticks; bulk one-shot writes keep the parallel layout."""
+    if cluster:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(*[F.col(c) for c in partition_by])
     (
         df.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
