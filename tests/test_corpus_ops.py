@@ -447,6 +447,40 @@ def test_bpe_bytes_full_coverage_vs_char_gap(spark, sf_dir):
     assert b["n_tokens"] > c["n_tokens"]
 
 
+def test_byte_bpe_lanes_null_and_empty_text(spark):
+    """NULL/empty-text behavior of the round-7 byte lanes, pinned
+    against what the oracles do (the ADVICE r6 class: str(None)
+    silently tokenizing as a word): NULL text propagates NULL through
+    the mixed-text concat and the doc DROPS from per-doc output (no
+    row, not a zero row); empty text still yields the decoration
+    tokens."""
+    from uts_spark.queries.sketch_ops import (
+        _MIXED_SQL,
+        _PRETOK_RE,
+        _bpe_byte_pretoken_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    mixed = F.expr(_MIXED_SQL.format(styp="STRING"))
+    dpts = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(mixed, F.lit(_PRETOK_RE), 0)
+        ).alias("p", "pt"),
+    )
+    out = (
+        dpts.join(_bpe_byte_pretoken_tokens(dpts.select("pt").distinct()), "pt")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert 2 not in rows  # NULL text: doc absent, matching the oracle
+    assert rows[1] > rows[3] > 0  # empty text keeps decoration tokens
+
+
 def test_bpe_compression_pretrained_beats_toy(spark, sf_dir):
     """The 1024-merge pretrained table must compress the corpus
     strictly better than the 3-round trained toy — the whole point of
