@@ -1025,6 +1025,20 @@ def test_privacy_generalize_dominates_suppression(spark, sf_dir):
             assert g["avg_band_widening"] >= 1.0
 
 
+def test_quality_model_weights_reproduce_from_fit():
+    """Weight provenance: the INTEGER weights frozen in llm_ops._QM_W
+    must reproduce bit-for-bit from the deterministic offline fit
+    (tools/fit_quality_model.py at sf0.01) — the model in the code is
+    the model the fit produced, not hand-tuned numbers."""
+    import uts_spark.registry  # noqa: F401  (registry first: import trap)
+    from tools.fit_quality_model import fit
+    from uts_spark.queries.llm_ops import _QM_W
+
+    weights, stats = fit("/root/testdata/sf0.01")
+    assert weights == _QM_W, (weights, _QM_W)
+    assert stats["precision"] >= 0.9 and stats["recall"] >= 0.9
+
+
 def test_quality_model_beats_coin_flip_against_gopher(spark, sf_dir):
     """The frozen logistic weights must actually separate: precision
     AND recall >= 0.9 against the Gopher pseudo-labels on the held-out

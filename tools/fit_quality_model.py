@@ -36,8 +36,10 @@ from uts_spark.queries.llm_ops import (  # noqa: E402
 FEATS = ["x_len", "x_stop", "x_mwl", "x_ttr", "x_rep"]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def fit(sf_dir: str) -> tuple[dict, dict]:
+    """Deterministic fit; returns (weights_dict, stats). The weights
+    embedded in queries/llm_ops._QM_W must reproduce from this exactly
+    (pinned in tests/test_llm_ops.py — weight provenance, not vibes)."""
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS "
@@ -84,14 +86,26 @@ def main() -> None:
     tp = int(((pred == 1) & (y == 1)).sum())
     fp = int(((pred == 1) & (y == 0)).sum())
     fn = int(((pred == 0) & (y == 1)).sum())
+    weights = {"w0": w0, **w_int}
+    stats = {
+        "precision": tp / max(tp + fp, 1),
+        "recall": tp / max(tp + fn, 1),
+        "n": len(y),
+        "pos": int(y.sum()),
+    }
+    return weights, stats
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    weights, stats = fit(sf_dir)
     print("_QM_W = {")
-    print(f'    "w0": {w0},')
-    for f in FEATS:
-        print(f'    "{f}": {w_int[f]},')
+    for key, val in weights.items():
+        print(f'    "{key}": {val},')
     print("}")
-    print(f"# train precision={tp / max(tp + fp, 1):.4f} "
-          f"recall={tp / max(tp + fn, 1):.4f} "
-          f"n={len(y)} pos={int(y.sum())}")
+    print(f"# train precision={stats['precision']:.4f} "
+          f"recall={stats['recall']:.4f} "
+          f"n={stats['n']} pos={stats['pos']}")
 
 
 if __name__ == "__main__":
