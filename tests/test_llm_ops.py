@@ -908,6 +908,63 @@ def test_ivf_append_equals_frozen_centroid_rebuild(spark, sf_dir, tmp_path):
     assert idx.filter(F.col("vec_id") % 10 == 7).count() == batch.count()
 
 
+def test_minhash_index_delete_erases_matches(spark):
+    """Erasure semantics, pinned against the append lane at sf0.01
+    (where a batch-2 x batch-1 content pair exists): after deleting
+    batch-1 from the index, exactly the pairs whose old side was a
+    batch-1 doc disappear, every batch-2 x old pair survives, and a
+    second run is a no-op (manifest chain)."""
+    import uts_spark.registry as reg  # registry first: import trap
+
+    sf01 = "/root/testdata/sf0.01"
+    app = {
+        (r.id_new, r.id_old)
+        for r in reg.QUERIES["dedup_minhash_index_append_probe"](
+            spark, sf01
+        ).collect()
+    }
+    assert any(old % 11 == 3 for _, old in app)  # the pair to erase
+    dele = {
+        (r.id_new, r.id_old)
+        for r in reg.QUERIES["dedup_minhash_index_delete_probe"](
+            spark, sf01
+        ).collect()
+    }
+    assert dele == {(n, o) for n, o in app if o % 11 != 3}
+    again = {
+        (r.id_new, r.id_old)
+        for r in reg.QUERIES["dedup_minhash_index_delete_probe"](
+            spark, sf01
+        ).collect()
+    }
+    assert again == dele
+
+
+def test_minhash_index_delete_sweeps_emptied_partitions(spark, sf_dir, tmp_path):
+    """Deleting EVERY doc of an index must leave no live rows — the
+    emptied-directory sweep (dynamic overwrite cannot clear a partition
+    it writes zero rows into) actually fires."""
+    from uts_spark.functions.dedup import (
+        minhash_index_delete,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    path = str(tmp_path / "idx")
+    minhash_index_write(docs, "text", "doc_id", path)
+    removed = minhash_index_delete(spark, docs, "text", "doc_id", path)
+    assert removed > 0
+    import glob
+
+    files = glob.glob(f"{path}/band=*/grp=*/*.parquet")
+    live = (
+        spark.read.parquet(path).count()
+        if files
+        else 0
+    )
+    assert live == 0, (removed, live)
+
+
 def test_lsh_append_equals_rebuild(spark, sf_dir, tmp_path):
     """LSH append == full rebuild at the same config: hyperplanes are
     seed-derived, so the appended index's row multiset matches a fresh

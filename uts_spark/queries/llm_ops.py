@@ -4074,7 +4074,7 @@ def minhash_index_path(
     )
 
 
-def _duck_minhash_index_probe(rem: int = _MIDX_REM) -> str:
+def _duck_minhash_index_probe(rem: int = _MIDX_REM, old_pred: str = "") -> str:
     # the recompute formulation of the probe: same portable dual-lane
     # md5 machinery as _duck_minhash_lsh, with DIRECTIONAL new x old
     # candidates (the index holds only old docs) — persistence is
@@ -4119,7 +4119,7 @@ def _duck_minhash_index_probe(rem: int = _MIDX_REM) -> str:
       SELECT DISTINCT a.id AS id_new, b.id AS id_old
       FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
       WHERE a.id % {_MIDX_MOD} = {rem}
-        AND b.id % {_MIDX_MOD} != {rem}
+        AND b.id % {_MIDX_MOD} != {rem}{old_pred}
     ),
     shared AS (
       SELECT c.id_new, c.id_old, COUNT(*) AS sh
@@ -4248,6 +4248,67 @@ def dedup_minhash_index_append_probe(spark, sf_dir):
 
     return minhash_index_probe(
         spark, path, b2, old, "text", "doc_id",
+        threshold=_MIDX_THR, **cfg,
+    )
+
+
+@query(
+    "dedup_minhash_index_delete_probe",
+    _duck_minhash_index_probe(
+        _MIDX_REM2,
+        old_pred=f" AND b.id % {_MIDX_MOD} != {_MIDX_REM}",
+    ),
+)
+def dedup_minhash_index_delete_probe(spark, sf_dir):
+    """Dedup-as-a-service ERASURE round trip (the GDPR verb — an index
+    that can only grow keeps matching against data the corpus no
+    longer holds): build the band index over old + batch-1 docs,
+    DELETE batch-1 (functions/dedup.minhash_index_delete: re-sketch
+    ONLY the erased docs to locate their (band, grp) partitions,
+    dynamic-partition-overwrite those minus the erased ids, sweep
+    fully-emptied dirs, fingerprint bumped), then probe batch-2. The
+    content near-dup pairs between batch-2 and batch-1 that the APPEND
+    lane finds must be GONE here (pinned in tests/test_llm_ops.py),
+    while every batch-2 x old pair survives — the oracle recomputes
+    with old restricted to neither batch. Idempotent via the manifest
+    chain like the append lane."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_read,
+        index_manifest_write,
+        minhash_index_delete,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM)
+    b2 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM2)
+    full = docs.filter(F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+    base = docs.filter(
+        (F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+        & (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+    )
+    fp_full, fp_del = _frame_fingerprint(full), _frame_fingerprint(base)
+    cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+    path = minhash_index_path(sf_dir, fp_full, **cfg) + "_del"
+
+    m = index_manifest_read(path)
+    state = m["fingerprint"] if m else None
+    if state not in (fp_full, fp_del):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        minhash_index_write(full, "text", "doc_id", path, fingerprint=fp_full, **cfg)
+        state = fp_full
+    if state == fp_full:
+        # the erasure tick: remove batch-1's rows, bump the fingerprint
+        minhash_index_delete(spark, b1, "text", "doc_id", path, **cfg)
+        index_manifest_write(path, fp_del, **cfg)
+
+    return minhash_index_probe(
+        spark, path, b2, base, "text", "doc_id",
         threshold=_MIDX_THR, **cfg,
     )
 
