@@ -1445,6 +1445,113 @@ def text_bpe_apply_bytes(spark, sf_dir):
     )
 
 
+# --- DISTRIBUTED byte-level BPE training -------------------------------------
+#
+# The pretrained 512-merge byte table (functions/bpe_pretrained.py)
+# trains driver-side on a fixed seed corpus — right for a SHIPPED
+# tokenizer artifact. This lane is the other production path: training
+# byte-level merges ON the corpus itself, distributed — the same
+# pair-count / top-pair / greedy-leftmost-merge rounds as the
+# char-level text_bpe_train (reused verbatim: _bpe_merge_round operates
+# on '|'-delimited symbol segments and never cares that the symbols are
+# hex byte pairs), over GPT-2-style pre-tokens of the MIXED text. Hex
+# symbols also close the char lane's latent delimiter hazard: a corpus
+# containing '|' would corrupt char-level segments, while hex pairs
+# can never collide with the separator.
+
+_BPE_BYTES_CHAIN = (
+    f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         rtrim(regexp_replace(lower(hex(encode(word))), '(..)', '\\1|', 'g'),
+               '|') AS seg
+  FROM (SELECT unnest(regexp_extract_all(
+                 {_MIXED_SQL.format(styp='VARCHAR')},
+                 '{_PRETOK_RE.replace("'", "''")}')) AS word
+        FROM documents)
+  GROUP BY word
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+)
+
+_BPE_BYTES_TRAIN_ORACLE = (
+    "WITH "
+    + _BPE_BYTES_CHAIN
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT * FROM row{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+
+
+def _bpe_byte_word_table(docs):
+    """Corpus → (word=pre-token, freq, seg) with the initial per-BYTE
+    hex-pair segmentation — the byte lane's single input-sized pass."""
+    mixed = F.expr(_MIXED_SQL.format(styp="STRING"))
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(mixed, F.lit(_PRETOK_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "seg",
+            # lower(hex(utf8)) → '(..)' → 'xx|' runs; drop the trailing
+            # separator (hex length is always even, so 3*nbytes chars)
+            F.expr(
+                "substring(regexp_replace(lower(hex(encode(word, 'UTF-8'))), "
+                "'(..)', '$1|'), 1, "
+                "3 * length(encode(word, 'UTF-8')) - 1)"
+            ),
+        )
+        .cache()
+    )
+
+
+@query("text_bpe_train_bytes", _BPE_BYTES_TRAIN_ORACLE)
+def text_bpe_train_bytes(spark, sf_dir):
+    """Distributed BYTE-level BPE training on the mixed corpus (module
+    comment above): per round, frequency-weighted adjacent hex-pair
+    counts, global top pair (TakeOrdered — count desc, pair asc),
+    greedy-leftmost merge via the boundary-safe replace — the exact
+    machinery of the char-level trainer reused on byte symbols, so
+    training distributes the same way at 100 TB (pair counting is the
+    only corpus-scale shuffle per round; the top pair broadcasts back).
+    One row per round: merged pair, its frequency, vocab size and
+    corpus symbol count after — all exact integers, hash-exact."""
+    docs = table(spark, sf_dir, "documents")
+    words = _bpe_byte_word_table(docs)
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top, words = _bpe_merge_round(words)
+        vocab = words.select(
+            F.explode(F.split(F.col("seg"), r"\|")).alias("s")
+        ).agg(F.countDistinct("s").alias("vocab_size_after"))
+        csyms = words.agg(
+            F.sum(
+                F.col("freq") * F.size(F.split(F.col("seg"), r"\|")).cast("long")
+            ).alias("corpus_symbols_after")
+        )
+        rows.append(
+            top.crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(csyms))
+            .select(
+                F.lit(r).alias("round"),
+                F.col("x").alias("sym_x"),
+                F.col("y").alias("sym_y"),
+                F.col("pf").alias("pair_freq"),
+                "vocab_size_after",
+                "corpus_symbols_after",
+            )
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out.orderBy("round")
+
+
 # --- Byte-vs-char tokenizer A/B on REAL text ---------------------------------
 #
 # The measurement that justifies carrying the byte lane: on text with
