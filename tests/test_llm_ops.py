@@ -1082,6 +1082,36 @@ def test_privacy_generalize_dominates_suppression(spark, sf_dir):
             assert g["avg_band_widening"] >= 1.0
 
 
+def test_privacy_2d_ladder_dominates_1d(spark, sf_dir):
+    """The 2-D ladder's extra axis can only help: it must suppress no
+    more rows than the 1-D band-only ladder (both start at the same L0
+    and the 2-D rungs are supersets in coarsening power), and its
+    accounting must balance."""
+    import uts_spark.registry as reg  # registry first: import trap
+
+    d2 = {
+        r["event_type"]: r
+        for r in reg.QUERIES["privacy_generalize_2d_release"](
+            spark, sf_dir
+        ).collect()
+    }
+    d1 = {
+        r["event_type"]: r
+        for r in reg.QUERIES["privacy_generalize_release"](spark, sf_dir).collect()
+    }
+    assert set(d2) == set(d1)
+    for et, g in d2.items():
+        parts = sum(g[f"n_l{j}"] for j in range(5)) + g["n_suppressed"]
+        assert parts == g["n_rows"] == g["n_released"] + g["n_suppressed"]
+        if g["n_released"]:
+            assert g["avg_band_widening"] >= 1.0
+            assert g["avg_days_per_bucket"] >= 1.0
+        # EMPIRICAL pin on this dataset (the two ladders' top rungs —
+        # 800x1d vs 400x28d — are not nested, so no structural
+        # guarantee exists): both release everything here
+        assert g["n_suppressed"] <= d1[et]["n_suppressed"]
+
+
 def test_quality_model_weights_reproduce_from_fit():
     """Weight provenance: the INTEGER weights frozen in llm_ops._QM_W
     must reproduce bit-for-bit from the deterministic offline fit

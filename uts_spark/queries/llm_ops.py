@@ -939,6 +939,157 @@ def privacy_generalize_release(spark, sf_dir):
     )
 
 
+# --- 2-D generalization ladder: value band x time granularity ---------------
+#
+# The 1-D ladder above only widens the value band; real release
+# policies trade BOTH quasi-identifier axes. Deterministic 5-rung
+# ladder alternating the axes (band width, bucket days):
+#   L0 (50, 1d) -> L1 (100, 1d) -> L2 (100, 7d) -> L3 (200, 7d)
+#   -> L4 (400, 28d)
+# Fixed-width 7d/28d buckets (not calendar weeks/months) keep the
+# bucket arithmetic a portable floor division on epoch-ms. Same
+# smallest-passing-level semantics (groups only coarsen up the ladder,
+# so per-row minimum level is well-defined); information loss is
+# accounted PER AXIS (avg band widening, avg days per bucket).
+
+_KA2_LADDER = (
+    (50.0, 1), (100.0, 1), (100.0, 7), (200.0, 7), (400.0, 28),
+)
+
+
+def _duck_privacy_generalize_2d() -> str:
+    from uts_spark.registry import DAY, FDIV, MS
+
+    cols = ",\n             ".join(
+        f"CAST(floor(value / {w!r}) AS BIGINT) AS vb{j}, "
+        f"({FDIV(MS, DAY * d)}) * {DAY * d} AS tb{j}"
+        for j, (w, d) in enumerate(_KA2_LADDER)
+    )
+    gs = ",\n    ".join(
+        f"g{j} AS (SELECT event_type, tb{j}, vb{j}, "
+        f"COUNT(*) >= {_KA_K} AND COUNT(DISTINCT user_id) >= {_KA_L} "
+        f"AS ok{j} FROM e GROUP BY 1, 2, 3)"
+        for j in range(len(_KA2_LADDER))
+    )
+    joins = " ".join(
+        f"JOIN g{j} USING (event_type, tb{j}, vb{j})"
+        for j in range(len(_KA2_LADDER))
+    )
+    lvl = "CASE " + " ".join(
+        f"WHEN ok{j} THEN {j}" for j in range(len(_KA2_LADDER))
+    ) + " ELSE -1 END"
+    per_level = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN lvl = {j} THEN 1 ELSE 0 END) AS BIGINT) AS n_l{j}"
+        for j in range(len(_KA2_LADDER))
+    )
+    widen_v = "CASE lvl " + " ".join(
+        f"WHEN {j} THEN {int(w / _KA2_LADDER[0][0])}"
+        for j, (w, _) in enumerate(_KA2_LADDER)
+    ) + " ELSE 0 END"
+    widen_t = "CASE lvl " + " ".join(
+        f"WHEN {j} THEN {d}" for j, (_, d) in enumerate(_KA2_LADDER)
+    ) + " ELSE 0 END"
+    n_rel = "SUM(CASE WHEN lvl >= 0 THEN 1 ELSE 0 END)"
+    return f"""
+    WITH e AS (
+      SELECT event_type, user_id,
+             {cols}
+      FROM events WHERE value IS NOT NULL
+    ),
+    {gs},
+    r AS (
+      SELECT e.event_type, {lvl} AS lvl
+      FROM e {joins}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST({n_rel} AS BIGINT) AS n_released,
+           CAST(SUM(CASE WHEN lvl < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppressed,
+           {per_level},
+           CAST(SUM({widen_v}) AS DOUBLE) / NULLIF({n_rel}, 0)
+             AS avg_band_widening,
+           CAST(SUM({widen_t}) AS DOUBLE) / NULLIF({n_rel}, 0)
+             AS avg_days_per_bucket,
+           CAST(SUM(CASE WHEN lvl < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS suppression_rate
+    FROM r GROUP BY event_type
+    """
+
+
+@query("privacy_generalize_2d_release", _duck_privacy_generalize_2d())
+def privacy_generalize_2d_release(spark, sf_dir):
+    """Two-axis generalization ladder (module comment above): per row,
+    the smallest rung of the (value-band, time-bucket) ladder whose
+    group meets k >= 5 and l >= 3; rows failing the widest rung are
+    suppressed. Per-axis information-loss accounting (avg band
+    widening, avg days per released bucket). Same plan shape as the
+    1-D ladder: 5 QI-sized groupBys broadcast back onto one scan."""
+    from uts_spark.registry import DAY
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    L = _KA2_LADDER
+    rows = ev.select(
+        "event_type", "user_id",
+        *[
+            c
+            for j, (w, d) in enumerate(L)
+            for c in (
+                F.floor(F.col("value") / F.lit(w)).cast("long").alias(f"vb{j}"),
+                (
+                    F.floor(F.col("ts_ms") / F.lit(DAY * d)).cast("long")
+                    * (DAY * d)
+                ).alias(f"tb{j}"),
+            )
+        ],
+    )
+    j = rows
+    for lv in range(len(L)):
+        verdict = (
+            rows.groupBy("event_type", f"tb{lv}", f"vb{lv}")
+            .agg(
+                (
+                    (F.count(F.lit(1)) >= _KA_K)
+                    & (F.countDistinct("user_id") >= _KA_L)
+                ).alias(f"ok{lv}")
+            )
+        )
+        j = j.join(F.broadcast(verdict), ["event_type", f"tb{lv}", f"vb{lv}"])
+    lvl = F.when(F.col("ok0"), 0)
+    for lv in range(1, len(L)):
+        lvl = lvl.when(F.col(f"ok{lv}"), lv)
+    lvl = lvl.otherwise(-1)
+    tagged = j.select("event_type", lvl.alias("lvl"))
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast(  # noqa: E731
+        "long"
+    )
+    widen_v, widen_t = F.lit(0), F.lit(0)
+    for lv, (w, d) in enumerate(L):
+        widen_v = F.when(F.col("lvl") == lv, F.lit(int(w / L[0][0]))).otherwise(widen_v)
+        widen_t = F.when(F.col("lvl") == lv, F.lit(d)).otherwise(widen_t)
+    out = tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        cnt(F.col("lvl") >= 0).alias("n_released"),
+        cnt(F.col("lvl") < 0).alias("n_suppressed"),
+        *[cnt(F.col("lvl") == lv).alias(f"n_l{lv}") for lv in range(len(L))],
+        F.sum(widen_v).cast("long").alias("__wv"),
+        F.sum(widen_t).cast("long").alias("__wt"),
+    )
+    return out.select(
+        "event_type", "n_rows", "n_released", "n_suppressed",
+        *[f"n_l{lv}" for lv in range(len(L))],
+        (
+            F.col("__wv").cast("double") / F.nullif(F.col("n_released"), F.lit(0))
+        ).alias("avg_band_widening"),
+        (
+            F.col("__wt").cast("double") / F.nullif(F.col("n_released"), F.lit(0))
+        ).alias("avg_days_per_bucket"),
+        (F.col("n_suppressed").cast("double") / F.col("n_rows")).alias(
+            "suppression_rate"
+        ),
+    )
+
+
 _SC = 10**12  # fixed-point scale for order-independent float sums
 
 
