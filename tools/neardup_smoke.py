@@ -370,7 +370,65 @@ def index_compact_ab() -> None:
         spark.stop()
 
 
+def index_delete_ab() -> None:
+    """Round 7: erasure cost vs full rebuild-without-the-deleted. Run:
+    python3 tools/neardup_smoke.py --index-delete [docs]"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.dedup import (
+        minhash_index_delete,
+        minhash_index_write,
+    )
+    from uts_spark.session import get_spark
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    mod = int(sys.argv[3]) if len(sys.argv) > 3 else 1000  # 0.1% erasure
+    spark = get_spark("minhash-delete-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_docs(spark, n_docs)
+    erase = docs.filter(F.col("doc_id") % mod == 3)
+    keep_docs = docs.filter(F.col("doc_id") % mod != 3)
+    n_erase = erase.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    scratch = tempfile.mkdtemp(prefix="mh_del_")
+    p_del, p_re = os.path.join(scratch, "d"), os.path.join(scratch, "r")
+    try:
+        timed("full_build_once", lambda: minhash_index_write(
+            docs, "text", "doc_id", p_del))
+        removed = timed("delete_batch", lambda: minhash_index_delete(
+            spark, erase, "text", "doc_id", p_del))
+        timed("rebuild_without", lambda: minhash_index_write(
+            keep_docs, "text", "doc_id", p_re))
+        a, r = spark.read.parquet(p_del), spark.read.parquet(p_re)
+        same = a.count() == r.count() and a.exceptAll(r).isEmpty()
+        print(json.dumps({
+            "docs": n_docs,
+            "erased_docs": n_erase,
+            "rows_removed": removed,
+            "rows_agree": same,
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--index-delete":
+        index_delete_ab()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--index-compact":
         index_compact_ab()
         return
