@@ -1536,3 +1536,111 @@ def _register_stream_quality_model():
 
 
 stream_quality_model_replay = _register_stream_quality_model()
+
+
+def _register_stream_dedup_ingest():
+    # the post-ingest index covers exactly what the batch APPEND lane's
+    # does, so its oracle is reused verbatim (llm_ops loads first, so
+    # registry.ORACLES already holds it at this module's import time)
+    from uts_spark.registry import ORACLES
+
+    @query(
+        "stream_dedup_index_ingest_replay",
+        ORACLES["dedup_minhash_index_append_probe"],
+    )
+    def stream_dedup_index_ingest_replay(spark, sf_dir):
+        """The dedup service's INGEST LOOP as Structured Streaming:
+        batch-1 docs arrive as 4 micro-batches, and foreachBatch folds
+        each one into the persisted band index via
+        functions/dedup.minhash_index_append — batch-sized sketching
+        per tick, clustered partition-aligned appends (one file per
+        touched directory per tick). After the stream drains, the
+        manifest fingerprint bumps and batch-2 probes the updated
+        index. The final index row multiset is independent of the
+        micro-batch boundaries (each append sketches only its rows), so
+        the probe hash-matches the BATCH append lane's oracle exactly.
+        Idempotent across runs via the same manifest chain; a re-run
+        sees fp(base + batch1) and skips straight to the probe."""
+        import os
+        import shutil
+        import tempfile
+
+        from uts_spark.functions.dedup import (
+            index_manifest_read,
+            index_manifest_write,
+            minhash_index_append,
+            minhash_index_probe,
+            minhash_index_write,
+        )
+        from uts_spark.queries.llm_ops import (
+            _MIDX_BANDS,
+            _MIDX_K,
+            _MIDX_MOD,
+            _MIDX_N,
+            _MIDX_REM,
+            _MIDX_REM2,
+            _MIDX_THR,
+            _frame_fingerprint,
+            minhash_index_path,
+        )
+
+        docs = table(spark, sf_dir, "documents")
+        base = docs.filter(
+            (F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+            & (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+        )
+        b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM)
+        b2 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM2)
+        old = docs.filter(F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+
+        fp0, fp1 = _frame_fingerprint(base), _frame_fingerprint(old)
+        cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+        path = minhash_index_path(sf_dir, fp0, **cfg) + "_stream"
+
+        m = index_manifest_read(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            minhash_index_write(
+                base, "text", "doc_id", path, fingerprint=fp0, **cfg
+            )
+            state = fp0
+        if state == fp0:
+            # the streaming ingest: 4 files -> 4 micro-batch appends
+            scratch = tempfile.mkdtemp(prefix="uts_ingest_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                b1.select("doc_id", "text").repartition(4).write.parquet(src)
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, _bid: minhash_index_append(
+                            bdf, "text", "doc_id", path, **cfg
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            index_manifest_write(path, fp1, **cfg)
+
+        return minhash_index_probe(
+            spark, path, b2, old, "text", "doc_id",
+            threshold=_MIDX_THR, **cfg,
+        )
+
+    return stream_dedup_index_ingest_replay
+
+
+stream_dedup_index_ingest_replay = _register_stream_dedup_ingest()
