@@ -1552,6 +1552,94 @@ def text_bpe_train_bytes(spark, sf_dir):
     return out.orderBy("round")
 
 
+_BPE_BYTES_APPLY_ORACLE = (
+    "WITH "
+    + _BPE_BYTES_CHAIN
+    + f""",
+syms AS (
+  SELECT word, arr[i] AS s
+  FROM (SELECT word, string_split(seg, '|') AS arr FROM w{_BPE_ROUNDS}),
+       unnest(range(1, len(arr) + 1)) AS u(i)
+),
+vs AS (SELECT DISTINCT s FROM syms),
+vocab AS (
+  SELECT va.s, CAST(COUNT(vb.s) + 1 AS BIGINT) AS tid
+  FROM vs va LEFT JOIN vs vb ON vb.s < va.s
+  GROUP BY va.s
+),
+wtok AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(tid) AS BIGINT) AS idsum
+  FROM syms JOIN vocab USING (s) GROUP BY word
+),
+dpts AS (
+  SELECT doc_id, ws[i] AS word, CAST(i AS BIGINT) AS pos
+  FROM (SELECT doc_id,
+               regexp_extract_all({_MIXED_SQL.format(styp='VARCHAR')},
+                 '{_PRETOK_RE.replace("'", "''")}') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(SUM(w.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.pos * w.idsum) AS BIGINT) AS tok_checksum
+FROM dpts d JOIN wtok w USING (word)
+GROUP BY d.doc_id
+"""
+)
+
+
+@query("text_bpe_apply_trained_bytes", _BPE_BYTES_APPLY_ORACLE)
+def text_bpe_apply_trained_bytes(spark, sf_dir):
+    """Close the on-corpus byte loop: apply the 3 DISTRIBUTED-trained
+    byte merges (text_bpe_train_bytes) corpus-wide — per doc the
+    pre-token count, byte-token count under the learned merges, and the
+    position-weighted token-id checksum (symbol ids are lexicographic
+    ranks of the hex strings via the tiny V^2 less-than join, no
+    window). The byte sibling of text_bpe_apply: training on the corpus
+    you tokenize is the bootstrap path; the 512-merge pretrained lane
+    is the shipped-artifact path — a real pipeline runs both."""
+    docs = table(spark, sf_dir, "documents")
+    words = _bpe_byte_word_table(docs)
+    for _ in range(_BPE_ROUNDS):
+        _, words = _bpe_merge_round(words)
+    syms = words.select(
+        "word", F.explode(F.split(F.col("seg"), r"\|")).alias("s")
+    )
+    vs = syms.select("s").distinct()
+    vocab = (
+        vs.alias("va")
+        .join(vs.alias("vb"), F.expr("vb.s < va.s"), "left")
+        .groupBy(F.col("va.s").alias("s"))
+        .agg((F.count(F.col("vb.s")) + 1).cast("long").alias("tid"))
+    )
+    wtok = (
+        syms.join(F.broadcast(vocab), "s")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("tid").alias("idsum"),
+        )
+    )
+    mixed = F.expr(_MIXED_SQL.format(styp="STRING"))
+    dpts = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(mixed, F.lit(_PRETOK_RE), 0)
+        ).alias("p", "word"),
+    ).select("doc_id", "word", (F.col("p") + 1).cast("long").alias("pos"))
+    return (
+        dpts.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("pos") * F.col("idsum")).alias("tok_checksum"),
+        )
+    )
+
+
 # --- Byte-vs-char tokenizer A/B on REAL text ---------------------------------
 #
 # The measurement that justifies carrying the byte lane: on text with
