@@ -86,7 +86,19 @@ def main() -> None:
     from uts_spark.session import get_spark
     from uts_spark.registry import QUERIES, HEADLINE
 
+    # Quiet-host guard (VERDICT r7 #8): the r7 artifact started at
+    # loadavg 4.43 and its numbers ran 15-30% hot — the single-core CPU
+    # calibration constant cannot correct multi-core contention. Wait
+    # (bounded) for the 1-min load to drop below 1.0; if it never does,
+    # stamp `contended: true` so the driver can discount the artifact
+    # instead of silently adjudicating inflated numbers.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] > 1.0 and waited < wait_budget:
+        time.sleep(15)
+        waited += 15
     load_start = os.getloadavg()
+    contended = load_start[0] > 1.0
     calib_cpu = _calib_cpu()
     spark = get_spark("uts-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -137,6 +149,8 @@ def main() -> None:
         "calib_spark_sec": calib_spark,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
+        "contended": contended,
+        "quiet_waited_sec": round(waited, 1),
     }
 
     detail_path = os.path.join(

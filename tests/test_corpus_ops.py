@@ -421,7 +421,10 @@ def test_python_pretokenizer_scanner_parity(spark, sf_dir):
     con = duckdb.connect()
     q = f"SELECT regexp_extract_all(?, '{_PRETOK_RE.replace(chr(39), chr(39) * 2)}')"
     rng = random.Random(99)
-    pool = "abc XY12 ,.!?'—“”éüñ東京42%€№\t\n '" + "'s 're "
+    # \x0b and \x0c included on purpose (ADVICE r7): Java's \s covers
+    # U+000B but RE2's does not — the explicit whitespace class in
+    # _PRETOK_RE must keep both engines agreeing on these characters
+    pool = "abc XY12 ,.!?'—“”éüñ東京42%€№\t\n\x0b\x0c '" + "'s 're "
     for _ in range(1500):
         s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 20)))
         assert con.sql(q, params=[s]).fetchone()[0] == pretokenize(s), repr(s)

@@ -1156,3 +1156,47 @@ def test_minhash_index_config_mismatch_raises(spark, sf_dir, tmp_path):
             spark, path, docs.limit(5), docs, "text", "doc_id",
             n=3, k=32, bands=4,
         )
+
+
+def test_index_compact_recovers_from_crashed_prior_run(spark, sf_dir, tmp_path):
+    """compact_partitioned re-entrancy (ADVICE r7): a prior run that
+    died BETWEEN its two renames leaves the index only at `path__old`
+    (nothing at `path`); one that died after the second rename leaves a
+    stale `__old` beside the live index. Both states must self-heal on
+    the next invocation — same probe pairs, no OSError."""
+    import os
+    import shutil
+
+    import uts_spark.registry  # noqa: F401  (registry first: import trap)
+    from uts_spark.functions.dedup import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+    from uts_spark.sources.sinks import compact_partitioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe_batch = docs.filter(F.col("doc_id") % 10 == 9)
+    old = docs.filter(F.col("doc_id") % 10 != 9)
+    path = str(tmp_path / "idx")
+    minhash_index_write(old, "text", "doc_id", path, fingerprint="seed")
+    pairs = lambda: {  # noqa: E731
+        (r.id_new, r.id_old)
+        for r in minhash_index_probe(
+            spark, path, probe_batch, old, "text", "doc_id"
+        ).collect()
+    }
+    want = pairs()
+
+    # state 1: crash between rename(path, old) and rename(tmp, path)
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+    compact_partitioned(spark, path, ["band", "grp"])
+    assert os.path.exists(path) and not os.path.exists(path + "__old")
+    assert pairs() == want
+
+    # state 2: crash after the second rename, before the rmtree —
+    # stale __old (superseded copy) beside the live index
+    shutil.copytree(path, path + "__old")
+    compact_partitioned(spark, path, ["band", "grp"])
+    assert not os.path.exists(path + "__old")
+    assert pairs() == want

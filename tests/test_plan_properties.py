@@ -791,3 +791,23 @@ def test_minhash_index_probe_scan_is_partition_pruned(spark, sf_dir):
     for seg in index_scans:
         filters = seg.split("PartitionFilters: [", 1)[1].split("]")[0]
         assert "band" in filters and "grp" in filters, filters
+
+
+def test_privacy_verdict_joins_unhinted_but_aqe_broadcasts(spark, sf_dir):
+    # VERDICT r7 #2: verdict cardinality = |event_type x day x band|
+    # grows with the time axis, so the ladders must NOT force-broadcast
+    # the verdict tables (a long-retention corpus would OOM the
+    # broadcast). AQE should still CHOOSE broadcast while the verdict
+    # is genuinely small — assert both: no ResolvedHint in the analyzed
+    # plan, and BroadcastHashJoin in the post-execution adaptive plan.
+    for name in (
+        "privacy_suppressed_release",
+        "privacy_generalize_release",
+        "privacy_generalize_2d_release",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, name
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p, name

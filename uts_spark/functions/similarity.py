@@ -1250,6 +1250,21 @@ def ivfpq_index_probe(
     # 2. broadcast per-anchor ADC LUTs against the STORED codes
     if emb_for_centroids is None:
         cexp = spark.read.parquet(_os.path.join(path, "_codebook"))
+        # validate (dim, m_sub) against the frozen codebook exactly as
+        # the append lane does (ADVICE r7): `dim` defaults to 64, and
+        # probing an index built at another dimensionality mis-slices
+        # the anchor subvectors (F.slice past array end returns SHORT
+        # arrays) and ADC-scores them against the wrong entries with
+        # no error — fail loudly instead
+        srow = cexp.select(
+            F.max("m").alias("mx"), F.size(F.first("csub")).alias("d")
+        ).first()
+        if (srow["mx"] + 1) != m_sub or srow["d"] * m_sub != dim:
+            raise ValueError(
+                f"ivfpq_index_probe: index codebook has "
+                f"m_sub={srow['mx'] + 1}, d_sub={srow['d']} — probe asked "
+                f"dim={dim}, m_sub={m_sub}"
+            )
     else:
         cexp = _pq_codebook_exp(
             emb_for_centroids, dim, m_sub, n_cent, id_col, vec_col

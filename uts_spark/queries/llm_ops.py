@@ -756,8 +756,12 @@ def privacy_suppressed_release(spark, sf_dir):
     release; this query accounts for the cut per event_type (rows
     released / suppressed / suppression rate) — the number a data
     steward signs off on before shipping. One groupBy builds the group
-    verdicts (QI-cardinality-sized, broadcast back), one join tags the
-    rows; no window, no collect."""
+    verdicts (QI-cardinality-sized), one join tags the rows; no
+    window, no collect. The verdict join carries NO broadcast hint
+    (VERDICT r7 #2): verdict cardinality = |event_type x day x band|
+    grows with the time axis, unbounded over years of data — AQE
+    broadcasts it while it is small and falls back to a shuffle join
+    when it is not, instead of a forced-broadcast OOM."""
     from uts_spark.registry import DAY
 
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -775,7 +779,7 @@ def privacy_suppressed_release(spark, sf_dir):
     )
     ok = F.col("ok").cast("long")
     return (
-        rows.join(F.broadcast(verdicts), ["event_type", "day", "vband"])
+        rows.join(verdicts, ["event_type", "day", "vband"])
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -869,11 +873,15 @@ def privacy_generalize_release(spark, sf_dir):
     """Generalization-ladder release (module comment above). Plan
     shape: one row scan derives all 5 nested band keys; 5 QI-sized
     groupBys build per-level verdicts (map-side partial agg, each
-    output is quasi-identifier-cardinality-sized — broadcast-able at
-    any corpus scale, hinted here); one pass joins the verdicts back
-    and folds the per-row minimum passing level straight into the
-    per-event_type accounting. No window, no collect, no row
-    explosion: cost is 5 small shuffles + one broadcast-joined scan.
+    output is quasi-identifier-cardinality-sized); one pass joins the
+    verdicts back and folds the per-row minimum passing level straight
+    into the per-event_type accounting. No window, no collect, no row
+    explosion: cost is 5 small shuffles + the verdict joins. The
+    verdict joins are UNHINTED (VERDICT r7 #2): |event_type x day x
+    band| grows with the time axis, so a forced broadcast OOMs on a
+    long-retention corpus — AQE picks broadcast while the verdict
+    table is genuinely small (pinned in tests/test_plan_properties.py)
+    and degrades to a shuffle join past the threshold.
     avg_band_widening is the information-loss metric (1.0 = released
     at original granularity; 2^j = band widened j times);
     baseline_suppression_rate reproduces what pure suppression would
@@ -902,7 +910,7 @@ def privacy_generalize_release(spark, sf_dir):
                 ).alias(f"ok{lv}")
             )
         )
-        j = j.join(F.broadcast(verdict), ["event_type", "day", f"vb{lv}"])
+        j = j.join(verdict, ["event_type", "day", f"vb{lv}"])
     lvl = F.when(F.col("ok0"), 0)
     for lv in range(1, _KA_LEVELS):
         lvl = lvl.when(F.col(f"ok{lv}"), lv)
@@ -1024,7 +1032,9 @@ def privacy_generalize_2d_release(spark, sf_dir):
     group meets k >= 5 and l >= 3; rows failing the widest rung are
     suppressed. Per-axis information-loss accounting (avg band
     widening, avg days per released bucket). Same plan shape as the
-    1-D ladder: 5 QI-sized groupBys broadcast back onto one scan."""
+    1-D ladder: 5 QI-sized groupBys joined back onto one scan, verdict
+    joins unhinted (VERDICT r7 #2 — AQE decides broadcast vs shuffle,
+    since verdict cardinality grows with the time axis)."""
     from uts_spark.registry import DAY
 
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -1054,7 +1064,7 @@ def privacy_generalize_2d_release(spark, sf_dir):
                 ).alias(f"ok{lv}")
             )
         )
-        j = j.join(F.broadcast(verdict), ["event_type", f"tb{lv}", f"vb{lv}"])
+        j = j.join(verdict, ["event_type", f"tb{lv}", f"vb{lv}"])
     lvl = F.when(F.col("ok0"), 0)
     for lv in range(1, len(L)):
         lvl = lvl.when(F.col(f"ok{lv}"), lv)

@@ -1323,8 +1323,19 @@ def text_bpe_compression_eval(spark, sf_dir):
 
 # lookahead-free GPT-2-style pre-tokenizer; identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): \p{L}/\p{N} are Unicode categories in
-# both, \s is ASCII whitespace in both, alternation is leftmost-first
-_PRETOK_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# both, alternation is leftmost-first. The whitespace class is spelled
+# EXPLICITLY (ADVICE r7, medium): Java's \s includes U+000B (vertical
+# tab) but RE2's does not, so a bare \s silently splits '\x0b'-bearing
+# text differently per engine — the explicit [ \t\n\x0b\f\r] pins
+# Java's (and the Python scanner's _ASCII_WS) behavior in both.
+_WS_CLS = r" \t\n\x0b\f\r"
+_PRETOK_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^"
+    + _WS_CLS
+    + r"\p{L}\p{N}]+|["
+    + _WS_CLS
+    + r"]+"
+)
 
 _MIXED_SQL = (
     "concat('Round-7: “Naïve” café №', CAST(doc_id % 1000 AS {styp}), "

@@ -102,19 +102,33 @@ def compact_partitioned(
     Returns (files_before, files_after). The swap is two renames — the
     brief window between them is acceptable for a single-writer
     service tick; a multi-writer deployment would commit via a
-    versioned manifest (sources/versioned.py) instead."""
+    versioned manifest (sources/versioned.py) instead. Re-entrant
+    (ADVICE r7): a run that crashed between its two renames leaves the
+    index only at ``path__old`` — that is detected and restored here
+    before anything else, and stale ``__old``/``__compact_tmp`` debris
+    from any crashed prior run is swept so the swap's own renames can
+    never collide with it."""
     import glob
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
+    old = path + "__old"
+    tmp = path + "__compact_tmp"
+    if not os.path.exists(path) and os.path.exists(old):
+        # prior run died between rename(path, old) and rename(tmp, path):
+        # __old IS the (uncompacted but complete) index — restore it
+        os.rename(old, path)
+    if os.path.exists(old):
+        # prior run died after its second rename but before the rmtree —
+        # __old is a superseded copy; a live one was renamed back above
+        shutil.rmtree(old)
     count = lambda p: len(  # noqa: E731
         glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
     )
     before = count(path)
     df = spark.read.parquet(path)
-    tmp = path + "__compact_tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     (
@@ -132,7 +146,6 @@ def compact_partitioned(
                 shutil.copytree(src, dst)
             else:
                 shutil.copy2(src, dst)
-    old = path + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
