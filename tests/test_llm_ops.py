@@ -1200,3 +1200,61 @@ def test_index_compact_recovers_from_crashed_prior_run(spark, sf_dir, tmp_path):
     compact_partitioned(spark, path, ["band", "grp"])
     assert not os.path.exists(path + "__old")
     assert pairs() == want
+
+
+def test_index_tick_pending_marker_forces_rebuild(spark, sf_dir):
+    """Append-vs-manifest atomicity (ADVICE r7): the append protocol is
+    append-files THEN bump-manifest; a crash between them must not lead
+    a re-run to re-append the batch (permanent row duplication). The
+    tick writes a _PENDING marker first — index_state() reports the
+    index untrusted while it exists, so the service lane rebuilds; and
+    a successful tick clears it."""
+    import json
+    import os
+
+    import uts_spark.registry as reg  # registry first: import trap
+    from uts_spark.functions.dedup import index_state
+    from uts_spark.queries.llm_ops import (
+        _MIDX_BANDS,
+        _MIDX_K,
+        _MIDX_MOD,
+        _MIDX_N,
+        _MIDX_REM,
+        _MIDX_REM2,
+        _frame_fingerprint,
+        minhash_index_path,
+    )
+
+    run = lambda: sorted(  # noqa: E731
+        tuple(r) for r in reg.QUERIES["dedup_minhash_index_append_probe"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = run()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(
+        (F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+        & (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+    )
+    fp0 = _frame_fingerprint(base)
+    cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+    path = minhash_index_path(sf_dir, fp0, **cfg) + "_svc"
+    assert os.path.exists(path), path
+    # after a clean tick there is no marker and state == the manifest fp
+    assert not os.path.exists(os.path.join(path, "_PENDING.json"))
+    assert index_state(path) is not None
+
+    # simulate the torn tick: marker present, manifest stale or not —
+    # state must read None and the lane must rebuild + re-tick cleanly
+    with open(os.path.join(path, "_PENDING.json"), "w") as fh:
+        json.dump({"fingerprint": "torn"}, fh)
+    assert index_state(path) is None
+    n0 = sum(len(fs) for _, _, fs in os.walk(path))
+    got = run()
+    assert got == want
+    assert not os.path.exists(os.path.join(path, "_PENDING.json"))
+    # the rebuild did NOT double-append: file census is tick-shaped,
+    # not monotonically grown from the torn state
+    n1 = sum(len(fs) for _, _, fs in os.walk(path))
+    assert n1 <= n0 + 1, (n0, n1)

@@ -644,6 +644,47 @@ def index_manifest_read(path: str) -> dict | None:
         return json.load(fh)
 
 
+_PENDING_NAME = "_PENDING.json"
+
+
+def index_state(path: str) -> str | None:
+    """Crash-safe manifest state (ADVICE r7, low): the append protocol
+    is append-files THEN bump-manifest — two non-atomic steps. A crash
+    between them leaves the manifest at fp(base) while the batch's rows
+    are already (partially) on disk, so a naive re-run re-appends the
+    entire batch and PERMANENTLY duplicates index rows (probe output
+    survives via DISTINCT candidates, but file/row counts drift and
+    delete's removed-count inflates). Service ticks therefore write a
+    ``_PENDING.json`` marker carrying the TARGET fingerprint before
+    touching the data (:func:`index_tick`) and clear it only after the
+    manifest bump; this reader returns ``None`` (= index untrusted,
+    rebuild) whenever a marker is present, regardless of what the
+    manifest claims."""
+    import os
+
+    if os.path.exists(os.path.join(path, _PENDING_NAME)):
+        return None
+    m = index_manifest_read(path)
+    return m["fingerprint"] if m else None
+
+
+def index_tick(path: str, target_fp: str, work, **config) -> None:
+    """One service mutation (append/delete/ingest) under the
+    pending-marker protocol: write marker(target_fp) → ``work()`` →
+    manifest bump → clear marker. Any crash inside the window leaves
+    the marker behind, and :func:`index_state` reports the index as
+    untrusted so the next tick rebuilds instead of double-applying."""
+    import json
+    import os
+
+    p = os.path.join(path, _PENDING_NAME)
+    with open(p, "w") as fh:
+        json.dump({"fingerprint": target_fp, **config}, fh)
+    work()
+    index_manifest_write(path, target_fp, **config)
+    os.remove(p)
+
+
 def _check_index_config(path: str, **config) -> None:
     """Raise if a manifest exists and disagrees with the probe's
     parameters — a silent config mismatch drops pairs, never errors."""

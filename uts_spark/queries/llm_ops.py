@@ -3815,8 +3815,9 @@ def similarity_ann_lsh_append_probe(spark, sf_dir):
     import shutil
 
     from uts_spark.functions.dedup import (
-        index_manifest_read,
         index_manifest_write,
+        index_state,
+        index_tick,
     )
     from uts_spark.functions.similarity import (
         lsh_index_append,
@@ -3831,8 +3832,7 @@ def similarity_ann_lsh_append_probe(spark, sf_dir):
     cfg = dict(dim=EMB_DIM, planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES)
     path = ann_index_path(sf_dir, fp0) + "_svc"
 
-    m = index_manifest_read(path)
-    state = m["fingerprint"] if m else None
+    state = index_state(path)  # None when a crashed tick left _PENDING
     if state not in (fp0, fp1):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -3840,8 +3840,9 @@ def similarity_ann_lsh_append_probe(spark, sf_dir):
         index_manifest_write(path, fp0, **cfg)
         state = fp0
     if state == fp0:
-        lsh_index_append(batch, path, **cfg)
-        index_manifest_write(path, fp1, **cfg)
+        # pending-marker protocol (ADVICE r7): a crash between the
+        # append and the manifest bump must not re-append on rerun
+        index_tick(path, fp1, lambda: lsh_index_append(batch, path, **cfg), **cfg)
 
     anchors = e.filter(F.col("vec_id") < 5)
     return lsh_index_probe(spark, path, anchors, dim=EMB_DIM, k=10,
@@ -3930,8 +3931,9 @@ def similarity_ann_ivf_append_probe(spark, sf_dir):
     import shutil
 
     from uts_spark.functions.dedup import (
-        index_manifest_read,
         index_manifest_write,
+        index_state,
+        index_tick,
     )
     from uts_spark.functions.similarity import (
         ivf_index_append,
@@ -3945,8 +3947,7 @@ def similarity_ann_ivf_append_probe(spark, sf_dir):
     fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
     path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_svc"
 
-    m = index_manifest_read(path)
-    state = m["fingerprint"] if m else None
+    state = index_state(path)  # None when a crashed tick left _PENDING
     if state not in (fp0, fp1):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -3954,8 +3955,11 @@ def similarity_ann_ivf_append_probe(spark, sf_dir):
         index_manifest_write(path, fp0, n_cells=8)
         state = fp0
     if state == fp0:
-        ivf_index_append(spark, batch, path)
-        index_manifest_write(path, fp1, n_cells=8)
+        index_tick(
+            path, fp1,
+            lambda: ivf_index_append(spark, batch, path),
+            n_cells=8,
+        )
 
     anchors = e.filter(F.col("vec_id") < 5)
     return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
@@ -4146,8 +4150,9 @@ def similarity_ann_ivfpq_append_probe(spark, sf_dir):
     import shutil
 
     from uts_spark.functions.dedup import (
-        index_manifest_read,
         index_manifest_write,
+        index_state,
+        index_tick,
     )
     from uts_spark.functions.similarity import (
         ivfpq_index_append,
@@ -4165,8 +4170,7 @@ def similarity_ann_ivfpq_append_probe(spark, sf_dir):
         f"ann_ivfpq_index_{tag}_{fp0}_c8m{_PQ_M}k{_PQ_C}_svc",
     )
 
-    m = index_manifest_read(path)
-    state = m["fingerprint"] if m else None
+    state = index_state(path)  # None when a crashed tick left _PENDING
     if state not in (fp0, fp1):
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -4176,8 +4180,13 @@ def similarity_ann_ivfpq_append_probe(spark, sf_dir):
         index_manifest_write(path, fp0, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C)
         state = fp0
     if state == fp0:
-        ivfpq_index_append(spark, batch, path, dim=EMB_DIM, m_sub=_PQ_M)
-        index_manifest_write(path, fp1, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C)
+        index_tick(
+            path, fp1,
+            lambda: ivfpq_index_append(
+                spark, batch, path, dim=EMB_DIM, m_sub=_PQ_M
+            ),
+            n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C,
+        )
 
     anchors = e.filter(F.col("vec_id") < 5)
     return ivfpq_index_probe(
@@ -4373,8 +4382,9 @@ def dedup_minhash_index_append_probe(spark, sf_dir):
     import shutil
 
     from uts_spark.functions.dedup import (
-        index_manifest_read,
         index_manifest_write,
+        index_state,
+        index_tick,
         minhash_index_append,
         minhash_index_probe,
         minhash_index_write,
@@ -4394,18 +4404,22 @@ def dedup_minhash_index_append_probe(spark, sf_dir):
     cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
     path = minhash_index_path(sf_dir, fp0, **cfg) + "_svc"
 
-    m = index_manifest_read(path)
-    state = m["fingerprint"] if m else None
+    state = index_state(path)  # None when a crashed tick left _PENDING
     if state not in (fp0, fp1):
-        # absent, half-built, or foreign index: rebuild the base
+        # absent, half-built, torn-tick, or foreign index: rebuild
         if os.path.exists(path):
             shutil.rmtree(path)
         minhash_index_write(base, "text", "doc_id", path, fingerprint=fp0, **cfg)
         state = fp0
     if state == fp0:
-        # the service tick: fold batch-1 in, bump the fingerprint
-        minhash_index_append(b1, "text", "doc_id", path, **cfg)
-        index_manifest_write(path, fp1, **cfg)
+        # the service tick: fold batch-1 in under the pending-marker
+        # protocol (ADVICE r7 — a crash between the append and the
+        # manifest bump must not re-append the batch on rerun)
+        index_tick(
+            path, fp1,
+            lambda: minhash_index_append(b1, "text", "doc_id", path, **cfg),
+            **cfg,
+        )
 
     return minhash_index_probe(
         spark, path, b2, old, "text", "doc_id",
@@ -4437,8 +4451,9 @@ def dedup_minhash_index_delete_probe(spark, sf_dir):
     import shutil
 
     from uts_spark.functions.dedup import (
-        index_manifest_read,
         index_manifest_write,
+        index_state,
+        index_tick,
         minhash_index_delete,
         minhash_index_probe,
         minhash_index_write,
@@ -4456,17 +4471,23 @@ def dedup_minhash_index_delete_probe(spark, sf_dir):
     cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
     path = minhash_index_path(sf_dir, fp_full, **cfg) + "_del"
 
-    m = index_manifest_read(path)
-    state = m["fingerprint"] if m else None
+    state = index_state(path)  # None when a crashed tick left _PENDING
     if state not in (fp_full, fp_del):
         if os.path.exists(path):
             shutil.rmtree(path)
         minhash_index_write(full, "text", "doc_id", path, fingerprint=fp_full, **cfg)
         state = fp_full
     if state == fp_full:
-        # the erasure tick: remove batch-1's rows, bump the fingerprint
-        minhash_index_delete(spark, b1, "text", "doc_id", path, **cfg)
-        index_manifest_write(path, fp_del, **cfg)
+        # the erasure tick under the pending-marker protocol: a torn
+        # delete (some partitions rewritten, manifest not bumped) must
+        # read as untrusted, not as fp_full
+        index_tick(
+            path, fp_del,
+            lambda: minhash_index_delete(
+                spark, b1, "text", "doc_id", path, **cfg
+            ),
+            **cfg,
+        )
 
     return minhash_index_probe(
         spark, path, b2, base, "text", "doc_id",

@@ -1566,8 +1566,8 @@ def _register_stream_dedup_ingest():
         import tempfile
 
         from uts_spark.functions.dedup import (
-            index_manifest_read,
-            index_manifest_write,
+            index_state,
+            index_tick,
             minhash_index_append,
             minhash_index_probe,
             minhash_index_write,
@@ -1597,8 +1597,7 @@ def _register_stream_dedup_ingest():
         cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
         path = minhash_index_path(sf_dir, fp0, **cfg) + "_stream"
 
-        m = index_manifest_read(path)
-        state = m["fingerprint"] if m else None
+        state = index_state(path)  # None when a crashed run left _PENDING
         if state not in (fp0, fp1):
             if os.path.exists(path):
                 shutil.rmtree(path)
@@ -1607,33 +1606,41 @@ def _register_stream_dedup_ingest():
             )
             state = fp0
         if state == fp0:
-            # the streaming ingest: 4 files -> 4 micro-batch appends
-            scratch = tempfile.mkdtemp(prefix="uts_ingest_")
-            try:
-                src = os.path.join(scratch, "src")
-                chk = os.path.join(scratch, "chk")
-                b1.select("doc_id", "text").repartition(4).write.parquet(src)
-                stream = (
-                    spark.readStream.schema("doc_id long, text string")
-                    .option("maxFilesPerTrigger", 1)
-                    .parquet(src)
-                )
-                q = (
-                    stream.writeStream.foreachBatch(
-                        lambda bdf, _bid: minhash_index_append(
-                            bdf, "text", "doc_id", path, **cfg
-                        )
-                    )
-                    .option("checkpointLocation", chk)
-                    .start()
-                )
+            # the streaming ingest: 4 files -> 4 micro-batch appends,
+            # run as ONE pending-marker tick (ADVICE r7): a run killed
+            # mid-stream leaves _PENDING, so the next invocation
+            # rebuilds instead of re-appending over a torn index. (The
+            # component-level checkpoint-resume path — cheap recovery
+            # without a rebuild — is pinned separately in
+            # tests/test_streaming.py.)
+            def _ingest():
+                scratch = tempfile.mkdtemp(prefix="uts_ingest_")
                 try:
-                    q.processAllAvailable()
+                    src = os.path.join(scratch, "src")
+                    chk = os.path.join(scratch, "chk")
+                    b1.select("doc_id", "text").repartition(4).write.parquet(src)
+                    stream = (
+                        spark.readStream.schema("doc_id long, text string")
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(src)
+                    )
+                    q = (
+                        stream.writeStream.foreachBatch(
+                            lambda bdf, _bid: minhash_index_append(
+                                bdf, "text", "doc_id", path, **cfg
+                            )
+                        )
+                        .option("checkpointLocation", chk)
+                        .start()
+                    )
+                    try:
+                        q.processAllAvailable()
+                    finally:
+                        q.stop()
                 finally:
-                    q.stop()
-            finally:
-                shutil.rmtree(scratch, ignore_errors=True)
-            index_manifest_write(path, fp1, **cfg)
+                    shutil.rmtree(scratch, ignore_errors=True)
+
+            index_tick(path, fp1, _ingest, **cfg)
 
         return minhash_index_probe(
             spark, path, b2, old, "text", "doc_id",
