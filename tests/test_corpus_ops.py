@@ -499,3 +499,24 @@ def test_bpe_compression_pretrained_beats_toy(spark, sf_dir):
     assert p["chars_per_token"] > t["chars_per_token"] * 2
     assert p["multi_share"] > t["multi_share"]
     assert p["n_chars"] == t["n_chars"]  # same corpus, same explode
+
+
+def test_bpe_byte_roundtrip_lossless_corpus_wide(spark, sf_dir):
+    """VERDICT r7 #3: the decode lane must prove losslessness for EVERY
+    document (roundtrip_ok all-1, decoded byte count == original byte
+    count), and its token accounting must agree with the apply lane."""
+    import uts_spark.registry as reg
+
+    rt = {
+        r["doc_id"]: r
+        for r in reg.QUERIES["text_bpe_roundtrip"](spark, sf_dir).collect()
+    }
+    assert rt
+    assert all(r["roundtrip_ok"] == 1 for r in rt.values())
+    assert all(r["dec_n_bytes"] == r["n_bytes"] for r in rt.values())
+    ap = {
+        r["doc_id"]: r
+        for r in reg.QUERIES["text_bpe_apply_bytes"](spark, sf_dir).collect()
+    }
+    assert set(rt) == set(ap)
+    assert all(rt[d]["n_tokens"] == ap[d]["n_tokens"] for d in rt)

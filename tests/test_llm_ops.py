@@ -1258,3 +1258,49 @@ def test_index_tick_pending_marker_forces_rebuild(spark, sf_dir):
     # not monotonically grown from the torn state
     n1 = sum(len(fs) for _, _, fs in os.walk(path))
     assert n1 <= n0 + 1, (n0, n1)
+
+
+def test_vector_index_delete_probes_erase_physically_and_idempotent(
+    spark, sf_dir
+):
+    """VERDICT r7 #1: the three vector-index erasure lanes must (a)
+    return no deleted vector in any neighbor list, (b) be idempotent
+    on re-run (manifest chain), and (c) have PHYSICALLY removed the
+    erased ids from the persisted index — the GDPR point is the bytes,
+    not the query result."""
+    import uts_spark.registry as reg  # registry first: import trap
+    from uts_spark.queries.llm_ops import (
+        _IVF_APP_MOD,
+        _IVF_APP_REM,
+        _emb_frame_fingerprint,
+        ivf_index_path,
+    )
+
+    for name in (
+        "similarity_ann_lsh_delete_probe",
+        "similarity_ann_ivf_delete_probe",
+        "similarity_ann_ivfpq_delete_probe",
+    ):
+        rows = sorted(tuple(r) for r in reg.QUERIES[name](spark, sf_dir).collect())
+        assert rows, name
+        assert all(
+            r[1] % _IVF_APP_MOD != _IVF_APP_REM for r in rows
+        ), f"{name}: deleted vector still served as a neighbor"
+        again = sorted(
+            tuple(r) for r in reg.QUERIES[name](spark, sf_dir).collect()
+        )
+        assert again == rows, f"{name}: delete tick not idempotent"
+
+    # physical erasure, pinned on the IVF family: the index parquet
+    # holds zero rem-7 rows after the delete tick
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fp_full = _emb_frame_fingerprint(e)
+    path = ivf_index_path(sf_dir, fp_full, n_cells=8) + "_ivfdel"
+    idx = spark.read.parquet(path)
+    left = idx.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM).count()
+    assert left == 0, f"{left} erased rows physically survive in {path}"
+    # and the erasure did not over-delete: every surviving vector is
+    # still indexed exactly once
+    n_idx = idx.count()
+    n_surv = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM).count()
+    assert n_idx == n_surv, (n_idx, n_surv)

@@ -94,9 +94,95 @@ def ivf_append_ab() -> None:
         spark.stop()
 
 
+def ann_delete_ab() -> None:
+    """Round 8 (VERDICT r7 #1): erasure cost vs full rebuild-without
+    for all three persisted vector-index families. Run:
+    python3 tools/ann_smoke.py --ann-delete [n_vectors] [mod]
+    (mod=10 → 10% takedown-sized erasure batch)."""
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.similarity import (
+        ivf_index_delete,
+        ivf_index_write,
+        ivfpq_index_delete,
+        ivfpq_index_write,
+        lsh_index_delete,
+        lsh_index_write,
+    )
+    from uts_spark.session import get_spark
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    mod = int(sys.argv[3]) if len(sys.argv) > 3 else 100  # 1% erasure
+    spark = get_spark("ann-delete-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = _synth_emb(spark, n).cache()
+    emb.count()
+    erase = emb.filter(F.col("vec_id") % mod == 7)
+    keep = emb.filter(F.col("vec_id") % mod != 7)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    out: dict = {"vectors": n, "erased": erase.count(), "families": {}}
+    scratch = tempfile.mkdtemp(prefix="ann_del_")
+    try:
+        fams = {
+            "lsh": (
+                lambda p: lsh_index_write(emb, p, dim=DIM),
+                lambda p: lsh_index_delete(spark, erase, p, dim=DIM),
+                lambda p: lsh_index_write(keep, p, dim=DIM),
+            ),
+            "ivf": (
+                lambda p: ivf_index_write(emb, p, n_cells=N_CELLS),
+                lambda p: ivf_index_delete(spark, erase, p),
+                # rebuild keeps the BUILD corpus's centroids (frozen
+                # quantizer contract) so rows are comparable
+                lambda p: ivf_index_write(
+                    keep, p, n_cells=N_CELLS, centroid_src=emb
+                ),
+            ),
+            "ivfpq": (
+                lambda p: ivfpq_index_write(emb, p, dim=DIM, n_cells=N_CELLS),
+                lambda p: ivfpq_index_delete(spark, erase, p),
+                lambda p: ivfpq_index_write(
+                    keep, p, dim=DIM, n_cells=N_CELLS, centroid_src=emb
+                ),
+            ),
+        }
+        for fam, (build, delete, rebuild) in fams.items():
+            p_del = os.path.join(scratch, fam + "_d")
+            p_re = os.path.join(scratch, fam + "_r")
+            timed(f"{fam}_build_once", lambda: build(p_del))
+            removed = timed(f"{fam}_delete", lambda: delete(p_del))
+            timed(f"{fam}_rebuild_without", lambda: rebuild(p_re))
+            a = spark.read.parquet(p_del).drop("embedding")
+            r = spark.read.parquet(p_re).drop("embedding")
+            same = a.count() == r.count() and a.exceptAll(r).isEmpty()
+            out["families"][fam] = {
+                "rows_removed": removed,
+                "rows_agree": same,
+                "delete_sec": timings[f"{fam}_delete"],
+                "rebuild_sec": timings[f"{fam}_rebuild_without"],
+            }
+        out["timings"] = timings
+        out["loadavg"] = os.getloadavg()[0]
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--ivf-append":
         ivf_append_ab()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ann-delete":
+        ann_delete_ab()
         return
     import numpy as np
     from pyspark.sql import functions as F

@@ -412,6 +412,8 @@ def index_delete_ab() -> None:
             keep_docs, "text", "doc_id", p_re))
         a, r = spark.read.parquet(p_del), spark.read.parquet(p_re)
         same = a.count() == r.count() and a.exceptAll(r).isEmpty()
+        import resource
+
         print(json.dumps({
             "docs": n_docs,
             "erased_docs": n_erase,
@@ -419,6 +421,13 @@ def index_delete_ab() -> None:
             "rows_agree": same,
             "timings": timings,
             "loadavg": os.getloadavg()[0],
+            # VERDICT r7 #2: the erased-id list must never materialize
+            # on the driver — peak Python-driver RSS is reported so a
+            # takedown-sized batch (run with mod=10 → 10% of the corpus)
+            # shows flat memory vs the user-sized default
+            "driver_maxrss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            ),
         }))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

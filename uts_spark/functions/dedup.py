@@ -747,16 +747,16 @@ def minhash_index_delete(
     GDPR verb — an index that can only grow keeps serving matches
     against data the corpus no longer legally holds): re-sketch ONLY
     the deleted docs to find which (band, grp) partitions hold their
-    rows, rewrite those partitions minus the deleted ids via Spark's
-    dynamic partition overwrite (untouched directories keep their
-    files byte-identical), and rmtree any directory whose rows were
-    ALL deleted (dynamic overwrite cannot clear a partition it writes
-    zero rows into — without the sweep those rows would silently
-    survive). Cost ∝ touched partitions (bounded by deleted x bands),
-    never the index. Returns the number of index rows removed; the
-    caller bumps the manifest fingerprint afterwards."""
-    import os
-    import shutil
+    rows, then hand (id, band, grp) to the shared partition-delete
+    kernel (sources/sinks.delete_from_partitioned — left-anti id join,
+    dynamic partition overwrite, emptied-dir sweep; same kernel as the
+    LSH/IVF/IVF-PQ erasure verbs). Cost ∝ touched partitions (bounded
+    by deleted x bands), never the index; the deleted-id list stays a
+    DataFrame end-to-end, so a domain-takedown-sized erasure batch
+    never materializes on the driver (VERDICT r7 #2). Returns the
+    number of index rows removed; the caller bumps the manifest
+    fingerprint afterwards."""
+    from uts_spark.sources.sinks import delete_from_partitioned
 
     _check_index_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
     arrays = doc_shingle_arrays_portable(deleted_docs, text_col, id_col, n)
@@ -766,42 +766,9 @@ def minhash_index_delete(
         .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
-    touched = sorted(
-        (int(r["band"]), int(r["grp"]))
-        for r in rows.select("band", "grp").distinct().collect()
+    return delete_from_partitioned(
+        spark, path, rows.select("id", "band", "grp"), ["band", "grp"], "id"
     )
-    if not touched:
-        return 0
-    ids = [r["id"] for r in rows.select("id").distinct().collect()]
-    keys = [b * n_grps + g for b, g in touched]
-    scan = spark.read.parquet(path).filter(
-        (F.col("band") * n_grps + F.col("grp")).isin(keys)
-    )
-    # materialize BEFORE overwriting: the rewrite targets the same path
-    # it reads from, and a lazy plan would race its own output. Bounded
-    # by the touched partitions' rows (∝ deleted x bands buckets).
-    keep = scan.filter(~F.col("id").isin(ids)).localCheckpoint(eager=True)
-    removed = scan.count() - keep.count()
-    (
-        keep.repartition(F.col("band"), F.col("grp"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("band", "grp")
-        .parquet(path)
-    )
-    # dirs whose every row was deleted never appear in `keep` — clear
-    # them explicitly or the old files (and the deleted ids) survive
-    remaining = {
-        (int(r["band"]), int(r["grp"]))
-        for r in keep.select("band", "grp").distinct().collect()
-    }
-    for b, g in touched:
-        if (b, g) not in remaining:
-            shutil.rmtree(
-                os.path.join(path, f"band={b}", f"grp={g}"),
-                ignore_errors=True,
-            )
-    return removed
 
 
 def minhash_index_probe(

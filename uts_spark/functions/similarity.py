@@ -666,6 +666,39 @@ def lsh_index_append(
     )
 
 
+def lsh_index_delete(
+    spark,
+    emb_deleted: DataFrame,
+    path: str,
+    dim: int,
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """ERASE vectors from the persisted LSH index (VERDICT r7 #1 —
+    erasure parity with the MinHash lane: without it the similarity
+    service retains deleted documents' vectors in its bucket rows
+    forever). The hyperplanes are seed-derived, so re-bucketing ONLY
+    the deleted vectors at the index's config reproduces exactly the
+    (table, bucket) partitions holding their rows; the shared kernel
+    (sources/sinks.delete_from_partitioned) rewrites those partitions
+    minus the deleted ids via a left-anti id join — batch-size-safe,
+    the id list never materializes on the driver. Cost ∝ touched
+    partitions (bounded by deleted x tables); returns rows removed.
+    The caller bumps the manifest fingerprint afterwards."""
+    from uts_spark.functions.dedup import _check_index_config
+    from uts_spark.sources.sinks import delete_from_partitioned
+
+    _check_index_config(path, dim=dim, planes=planes, tables=tables)
+    located = lsh_bucket_table(
+        emb_deleted, dim, planes, tables, id_col, vec_col
+    ).select(id_col, "table", "bucket")
+    return delete_from_partitioned(
+        spark, path, located, ["table", "bucket"], id_col
+    )
+
+
 def lsh_index_probe(
     spark,
     path: str,
@@ -941,6 +974,32 @@ def ivf_index_append(
     write_partitioned(assigned, path, ["cell"], mode="append", cluster=True)
 
 
+def ivf_index_delete(
+    spark,
+    emb_deleted: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """ERASE vectors from the persisted IVF index (VERDICT r7 #1):
+    assign ONLY the deleted vectors against the index's FROZEN
+    centroids (path/_centroids — the same quantizer state every append
+    used, so each deleted id re-locates to exactly the cell its rows
+    live in), then rewrite those cells minus the deleted ids via the
+    shared left-anti kernel. Cost ∝ touched cells (≤ n_cells), never
+    the corpus; the erased-id list stays distributed. Returns rows
+    removed; the caller bumps the manifest fingerprint afterwards."""
+    import os
+
+    from uts_spark.sources.sinks import delete_from_partitioned
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    located = _ivf_assign(emb_deleted, cents, id_col, vec_col).select(
+        id_col, "cell"
+    )
+    return delete_from_partitioned(spark, path, located, ["cell"], id_col)
+
+
 def ivf_index_probe(
     spark,
     path: str,
@@ -1165,6 +1224,25 @@ def ivfpq_index_append(
         id_col, vec_col, "codes", "cell"
     )
     write_partitioned(rows, path, ["cell"], mode="append", cluster=True)
+
+
+def ivfpq_index_delete(
+    spark,
+    emb_deleted: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """ERASE vectors from the persisted IVF-PQ index (VERDICT r7 #1 —
+    the PQ codes are the most privacy-sensitive artifact here: a
+    deleted document's compressed embedding remains reconstructible
+    from its code array until this verb runs). Cell location is the
+    frozen-centroid assignment — identical to the IVF lane, because
+    the PQ codes ride in the SAME rows and are erased with them; the
+    codebook under path/_codebook describes subspace geometry only and
+    holds no per-document state, so it is untouched. Cost ∝ touched
+    cells; returns rows removed."""
+    return ivf_index_delete(spark, emb_deleted, path, id_col, vec_col)
 
 
 def ivfpq_index_probe(

@@ -1309,10 +1309,14 @@ _ANN_IDX_PLANES = 8
 _ANN_IDX_TABLES = 2
 
 
-def _duck_ann_index_probe() -> str:
+def _duck_ann_index_probe(member_pred: str = "") -> str:
     # identical LSH replay as similarity_ann_lsh, at the persisted
     # index's (planes=8, tables=2) config — the persisted path is
-    # semantics-preserving, so the oracle needs no filesystem at all
+    # semantics-preserving, so the oracle needs no filesystem at all.
+    # ``member_pred`` restricts the NEIGHBOR side of the bucket join
+    # (e.g. " AND b.vec_id % 10 != 7") — the delete lane's oracle:
+    # hyperplanes are corpus-independent, so an index minus the erased
+    # vectors is exactly the full replay minus their candidacy.
     return f"""
     WITH grid AS (
       SELECT t.t, h.h, i.i,
@@ -1341,7 +1345,7 @@ def _duck_ann_index_probe() -> str:
     cand AS (
       SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neighbor_id
       FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
-      WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 5 AND a.vec_id != b.vec_id{member_pred}
     ),
     scored AS (
       SELECT c.anchor_id, c.neighbor_id,
@@ -3854,16 +3858,25 @@ def similarity_ann_lsh_append_probe(spark, sf_dir):
 _IVF_APP_MOD, _IVF_APP_REM = 10, 7  # new-vector batch = vec_id % 10 == 7
 
 
-def _duck_ivf_det_frozen() -> str:
-    """ivf_topk_det's recompute oracle with centroids FROZEN from the
-    base subset (vec_id % 10 != 7) while assignment/probing/rerank run
-    over the FULL corpus — exactly what build-then-append produces."""
+def _duck_ivf_det_frozen(
+    cent_where: str | None = None, member_where: str = ""
+) -> str:
+    """ivf_topk_det's recompute oracle with decoupled quantizer and
+    membership pools. Defaults reproduce the APPEND lane: centroids
+    FROZEN from the base subset (vec_id % 10 != 7) while
+    assignment/probing/rerank run over the FULL corpus — exactly what
+    build-then-append produces. The DELETE lane passes the mirror
+    image: centroids from the FULL corpus (frozen at build, before the
+    erasure) with candidate membership restricted to the survivors —
+    exactly what build-then-delete produces."""
+    if cent_where is None:
+        cent_where = f"WHERE vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}"
     return f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     hc AS (
       SELECT vec_id, embedding,
              {duck_hash64("concat('ivfc:', vec_id)")} AS h
-      FROM e WHERE vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}
+      FROM e {cent_where}
     ),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS cv
@@ -3891,7 +3904,7 @@ def _duck_ivf_det_frozen() -> str:
     cand AS (
       SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
       FROM probes p JOIN assigned a ON a.cell = p.cell
-      WHERE a.vec_id != p.anchor_id
+      WHERE a.vec_id != p.anchor_id{member_where}
     ),
     scored AS (
       SELECT c.anchor_id, c.neighbor_id,
@@ -3965,7 +3978,7 @@ def similarity_ann_ivf_append_probe(spark, sf_dir):
     return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
 
 
-def _duck_ivfpq(base_where: str = "") -> str:
+def _duck_ivfpq(base_where: str = "", member_where: str = "") -> str:
     # IVF coarse stage verbatim from similarity_ann_ivf_det's oracle
     # (n_cells=8, n_probe=3); PQ stage from similarity_ann_pq_adc's
     # (m=8 subspaces, 16 codebook entries), restricted to the probed
@@ -3973,6 +3986,9 @@ def _duck_ivfpq(base_where: str = "") -> str:
     # ``base_where`` restricts BOTH quantizer pools (coarse centroids
     # and PQ codebook) to a subset — the append lane freezes them from
     # the base corpus while everything else runs over the full table.
+    # ``member_where`` restricts candidate MEMBERSHIP (" AND a.vec_id
+    # % 10 != 7") — the delete lane: quantizers frozen from the full
+    # build corpus, erased vectors (and their PQ codes) gone.
     d2n = (
         "list_sum(list_transform(range(1, {n} + 1), "
         "i -> CAST(floor((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
@@ -4012,7 +4028,7 @@ def _duck_ivfpq(base_where: str = "") -> str:
     cand AS (
       SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
       FROM probes p JOIN assigned a ON a.cell = p.cell
-      WHERE a.vec_id != p.anchor_id
+      WHERE a.vec_id != p.anchor_id{member_where}
     ),
     pcents AS (
       SELECT vec_id AS cent_id, embedding AS cv
@@ -4185,6 +4201,196 @@ def similarity_ann_ivfpq_append_probe(spark, sf_dir):
             lambda: ivfpq_index_append(
                 spark, batch, path, dim=EMB_DIM, m_sub=_PQ_M
             ),
+            n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C,
+        )
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivfpq_index_probe(
+        spark, path, anchors, None, dim=EMB_DIM, k=10,
+        n_cells=8, n_probe=3, m_sub=_PQ_M, n_cent=_PQ_C, rerank=40,
+    )
+
+
+# --- Vector-index ERASURE (VERDICT r7 #1): the GDPR verb for all three ------
+#
+# persisted ANN families. The MinHash lane could already forget a
+# document; these give the similarity service the same right-to-be-
+# forgotten: build the index over the FULL corpus (quantizers frozen
+# from it), erase the rem-7 batch via the shared left-anti partition
+# kernel (sources/sinks.delete_from_partitioned — the erased-id list
+# never materializes on the driver, VERDICT r7 #2), and probe. Each
+# oracle is the family's recompute SQL with quantizer pools pinned to
+# the BUILD corpus and candidate membership restricted to survivors —
+# the exact semantics "delete is physical, never semantic" implies.
+
+_ANN_DEL_PRED = f" % {_IVF_APP_MOD} != {_IVF_APP_REM}"
+
+
+@query(
+    "similarity_ann_lsh_delete_probe",
+    _duck_ann_index_probe(member_pred=f" AND b.vec_id{_ANN_DEL_PRED}"),
+)
+def similarity_ann_lsh_delete_probe(spark, sf_dir):
+    """LSH-index ERASURE round trip: build the (table, bucket) index
+    over the full corpus, delete the rem-7 vectors
+    (functions/similarity.lsh_index_delete — re-bucket ONLY the erased
+    vectors at the index's seed-derived hyperplane config to locate
+    their partitions, left-anti rewrite, sweep emptied dirs), then
+    probe. Deleted vectors must be GONE from every anchor's neighbor
+    list while surviving pairs are untouched — the oracle is the full
+    LSH replay with the erased ids removed from candidacy, which a
+    rebuild-without would produce identically (hyperplanes are
+    corpus-independent). Idempotent via the manifest chain + pending
+    marker like every service tick."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        index_state,
+        index_tick,
+    )
+    from uts_spark.functions.similarity import (
+        lsh_index_delete,
+        lsh_index_probe,
+        lsh_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    b_del = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    fp_full, fp_del = _emb_frame_fingerprint(e), _emb_frame_fingerprint(base)
+    cfg = dict(dim=EMB_DIM, planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES)
+    path = ann_index_path(sf_dir, fp_full) + "_lshdel"
+
+    state = index_state(path)
+    if state not in (fp_full, fp_del):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        lsh_index_write(e, path, **cfg)
+        index_manifest_write(path, fp_full, **cfg)
+        state = fp_full
+    if state == fp_full:
+        index_tick(
+            path, fp_del,
+            lambda: lsh_index_delete(spark, b_del, path, **cfg),
+            **cfg,
+        )
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return lsh_index_probe(
+        spark, path, anchors, dim=EMB_DIM, k=10,
+        planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+    )
+
+
+@query(
+    "similarity_ann_ivf_delete_probe",
+    _duck_ivf_det_frozen(
+        cent_where="", member_where=f" AND a.vec_id{_ANN_DEL_PRED}"
+    ),
+)
+def similarity_ann_ivf_delete_probe(spark, sf_dir):
+    """IVF-index ERASURE round trip: build the cell-partitioned index
+    over the full corpus (centroids frozen from it under
+    path/_centroids), delete the rem-7 vectors
+    (functions/similarity.ivf_index_delete — assign ONLY the erased
+    vectors against the FROZEN centroids to locate their cells,
+    left-anti rewrite those cells), then probe with the frozen
+    centroids. Oracle = the frozen-quantizer recompute with the
+    centroid pool pinned to the FULL build corpus and candidate
+    membership restricted to survivors — the mirror image of the
+    append lane's (base-frozen centroids, full membership)."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        index_state,
+        index_tick,
+    )
+    from uts_spark.functions.similarity import (
+        ivf_index_delete,
+        ivf_index_probe,
+        ivf_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    b_del = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    fp_full, fp_del = _emb_frame_fingerprint(e), _emb_frame_fingerprint(base)
+    path = ivf_index_path(sf_dir, fp_full, n_cells=8) + "_ivfdel"
+
+    state = index_state(path)
+    if state not in (fp_full, fp_del):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivf_index_write(e, path, n_cells=8)
+        index_manifest_write(path, fp_full, n_cells=8)
+        state = fp_full
+    if state == fp_full:
+        index_tick(
+            path, fp_del,
+            lambda: ivf_index_delete(spark, b_del, path),
+            n_cells=8,
+        )
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
+
+
+@query(
+    "similarity_ann_ivfpq_delete_probe",
+    _duck_ivfpq(member_where=f" AND a.vec_id{_ANN_DEL_PRED}"),
+)
+def similarity_ann_ivfpq_delete_probe(spark, sf_dir):
+    """IVF-PQ-index ERASURE round trip — the privacy-critical one: a
+    deleted document's PQ code array IS a compressed copy of its
+    embedding, reconstructible until erased. Build over the full
+    corpus (coarse centroids AND PQ codebook frozen from it), delete
+    the rem-7 vectors (functions/similarity.ivfpq_index_delete — cells
+    located via the frozen centroids; codes ride in the same rows and
+    vanish with them; the codebook holds no per-document state and is
+    untouched), probe with both frozen quantizers. Oracle = the
+    composed IVF-PQ recompute with unrestricted quantizer pools and
+    survivor-only candidacy."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        index_state,
+        index_tick,
+    )
+    from uts_spark.functions.similarity import (
+        ivfpq_index_delete,
+        ivfpq_index_probe,
+        ivfpq_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    b_del = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    fp_full, fp_del = _emb_frame_fingerprint(e), _emb_frame_fingerprint(base)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(
+        _warehouse_dir(),
+        f"ann_ivfpq_index_{tag}_{fp_full}_c8m{_PQ_M}k{_PQ_C}_del",
+    )
+
+    state = index_state(path)
+    if state not in (fp_full, fp_del):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivfpq_index_write(
+            e, path, dim=EMB_DIM, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C
+        )
+        index_manifest_write(path, fp_full, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C)
+        state = fp_full
+    if state == fp_full:
+        index_tick(
+            path, fp_del,
+            lambda: ivfpq_index_delete(spark, b_del, path),
             n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C,
         )
 

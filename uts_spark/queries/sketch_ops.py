@@ -1456,6 +1456,139 @@ def text_bpe_apply_bytes(spark, sf_dir):
     )
 
 
+# --- Byte-BPE DECODE round trip (VERDICT r7 #3) ------------------------------
+#
+# Byte-level BPE is lossless BY CONSTRUCTION (every token is a hex
+# byte run; concatenation reproduces the exact UTF-8 stream), but
+# until this lane that property was only implied by the position-
+# weighted checksum. Any pipeline that materializes token shards needs
+# ids→bytes→text to debug and to PROVE losslessness corpus-wide: this
+# query tokenizes the mixed-unicode text with the apply lane's kernel,
+# DECODES the emitted tokens back (unhex → UTF-8), reassembles the
+# document from its decoded pre-tokens in position order, and pins
+# per-doc byte counts + an equality bit against the original text.
+
+_BPE_ROUNDTRIP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_MIXED_SQL.format(styp='VARCHAR')} AS mt FROM documents
+),
+dpts AS (
+  SELECT doc_id, mt, ws[i] AS pt, CAST(i AS BIGINT) AS pos, nb
+  FROM (SELECT doc_id, mt,
+               regexp_extract_all(mt, '{_PRETOK_RE.replace("'", "''")}') AS ws,
+               CAST(octet_length(encode(mt)) AS BIGINT) AS nb
+        FROM base),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+),
+seg AS (
+  SELECT pt,
+         list_reduce(
+           list_prepend(
+             regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+             {byte_merge_patterns_sql()}),
+           (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+  FROM (SELECT DISTINCT pt FROM dpts)
+),
+dec AS (
+  SELECT pt,
+         CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok,
+         decode(from_hex(replace(s, '|', ''))) AS dec_pt,
+         CAST(octet_length(from_hex(replace(s, '|', '')))
+              AS BIGINT) AS dec_bytes
+  FROM seg
+)
+SELECT d.doc_id,
+       CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(d.nb) AS BIGINT) AS n_bytes,
+       CAST(SUM(p.dec_bytes) AS BIGINT) AS dec_n_bytes,
+       CAST(CASE WHEN string_agg(p.dec_pt, '' ORDER BY d.pos) = MIN(d.mt)
+            THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+FROM dpts d JOIN dec p USING (pt)
+GROUP BY d.doc_id
+"""
+
+
+@query("text_bpe_roundtrip", _BPE_ROUNDTRIP_ORACLE)
+def text_bpe_roundtrip(spark, sf_dir):
+    """Corpus-wide byte-BPE losslessness PROOF (module comment above):
+    tokenize → decode(unhex(token hex), UTF-8) → reassemble each doc
+    from its decoded pre-tokens in position order → equality bit vs
+    the original mixed-unicode text (pinned all-1 in pytest AND by the
+    hash-exact oracle). The decode direction runs JVM-side on the
+    DISTINCT-PRETOKEN dictionary (unhex + decode are codegen'd Column
+    exprs), so at 100 TB decode costs one dictionary pass + the same
+    corpus join the apply lane already pays; the per-doc reassembly is
+    a doc-length-bounded collect_list, the only per-row state."""
+    import pandas as pd  # noqa: F401  (mapInPandas dependency)
+
+    from uts_spark.functions.bpe_pretrained import bpe_apply_bytes
+
+    ranks = {p: r for r, p in enumerate(pretrained_byte_merges())}
+
+    def apply_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pts = pdf["pt"].tolist()
+            n_tok, tok_hex = [], []
+            for pt in pts:
+                toks = bpe_apply_bytes(pt, ranks)
+                n_tok.append(len(toks))
+                tok_hex.append("".join(toks))
+            yield pd.DataFrame(
+                {"pt": pts, "n_tok": n_tok, "tok_hex": tok_hex}
+            )
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = F.expr(_MIXED_SQL.format(styp="STRING"))
+    dpts = docs.select(
+        "doc_id",
+        mixed.alias("mt"),
+        F.octet_length(mixed).cast("long").alias("nb"),
+        F.posexplode(
+            F.regexp_extract_all(mixed, F.lit(_PRETOK_RE), 0)
+        ).alias("p", "pt"),
+    ).select(
+        "doc_id", "mt", "pt", (F.col("p") + 1).cast("long").alias("pos"), "nb"
+    )
+    ptok = (
+        dpts.select("pt")
+        .distinct()
+        .mapInPandas(apply_batches, "pt string, n_tok long, tok_hex string")
+        .withColumn("dec_pt", F.decode(F.unhex("tok_hex"), "UTF-8"))
+        .withColumn(
+            "dec_bytes", (F.length("tok_hex") / 2).cast("long")
+        )
+    )
+    agg = (
+        dpts.join(ptok, "pt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("nb").alias("n_bytes"),
+            F.sum("dec_bytes").alias("dec_n_bytes"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dec_pt"))),
+                    lambda x: x["dec_pt"],
+                ),
+            ).alias("__recon"),
+            F.min("mt").alias("__mt"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_bytes",
+        "dec_n_bytes",
+        F.when(F.col("__recon") == F.col("__mt"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("roundtrip_ok"),
+    )
+
+
 # --- DISTRIBUTED byte-level BPE training -------------------------------------
 #
 # The pretrained 512-merge byte table (functions/bpe_pretrained.py)

@@ -152,6 +152,90 @@ def compact_partitioned(
     return before, count(path)
 
 
+def delete_from_partitioned(
+    spark: SparkSession,
+    path: str,
+    located: DataFrame,
+    part_cols: list[str],
+    id_col: str,
+) -> int:
+    """ERASE rows from a partitioned index in place — the shared kernel
+    behind every index family's GDPR verb (MinHash bands, LSH buckets,
+    IVF/IVF-PQ cells). ``located`` carries one row per (deleted id,
+    partition key) — the caller derives it by re-sketching / re-hashing
+    / re-assigning ONLY the deleted documents, so the work here is
+    bounded by the touched partitions, never the index:
+
+    1. collect the DISTINCT touched partition keys (bounded by the
+       index's partition COUNT — bands x n_grps, tables x 2^planes,
+       n_cells — never by the erasure batch size) into a static
+       partition filter;
+    2. rewrite those partitions minus the deleted ids via a LEFT ANTI
+       join against the id FRAME (VERDICT r7 #2 / ADVICE r7: the first
+       implementation collected every deleted id to the driver and
+       embedded them in one isin() literal — fine for user-sized GDPR
+       requests, a driver-side bottleneck for a multi-million-id domain
+       takedown; the anti join broadcasts when the batch is small and
+       shuffles when it is not, and the driver never holds the ids);
+    3. dynamic-partition-overwrite the kept rows (untouched directories
+       keep their files byte-identical) and rmtree any directory whose
+       rows were ALL deleted — dynamic overwrite cannot clear a
+       partition it writes zero rows into, so without the sweep those
+       rows would silently survive.
+
+    Returns the number of index rows removed; the caller bumps the
+    manifest fingerprint afterwards (ideally inside an
+    :func:`uts_spark.functions.dedup.index_tick`)."""
+    touched = sorted(
+        tuple(int(r[c]) for c in part_cols)
+        for r in located.select(*part_cols).distinct().collect()
+    )
+    if not touched:
+        return 0
+    # ONE flat isin over a combined key, not an OR-chain of per-key
+    # conjunctions: a chain of hundreds of (c1=v1 AND c2=v2) terms
+    # builds a Column tree deep enough to StackOverflow the expression
+    # converter (hit at 512 touched LSH partitions); a combined-key
+    # In-list stays a single flat predicate over partition columns
+    # only, so partition pruning is unchanged
+    if len(part_cols) == 1:
+        cond = F.col(part_cols[0]).isin([key[0] for key in touched])
+    else:
+        combined = F.concat_ws(
+            "/", *[F.col(c).cast("string") for c in part_cols]
+        )
+        cond = combined.isin(
+            ["/".join(str(v) for v in key) for key in touched]
+        )
+    scan = spark.read.parquet(path).filter(cond)
+    ids = located.select(F.col(id_col)).distinct()
+    # materialize BEFORE overwriting: the rewrite targets the same path
+    # it reads from, and a lazy plan would race its own output. Bounded
+    # by the touched partitions' rows.
+    keep = scan.join(ids, id_col, "left_anti").localCheckpoint(eager=True)
+    removed = scan.count() - keep.count()
+    (
+        keep.repartition(*[F.col(c) for c in part_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+    remaining = {
+        tuple(int(r[c]) for c in part_cols)
+        for r in keep.select(*part_cols).distinct().collect()
+    }
+    for key in touched:
+        if key not in remaining:
+            shutil.rmtree(
+                os.path.join(
+                    path, *[f"{c}={v}" for c, v in zip(part_cols, key)]
+                ),
+                ignore_errors=True,
+            )
+    return removed
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
