@@ -538,6 +538,7 @@ def ivf_topk_det(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_src: DataFrame | None = None,
 ) -> DataFrame:
     """DETERMINISTIC IVF top-k: centroids are the ``n_cells`` corpus
     vectors with the smallest portable hash (a hash-seeded sample — no
@@ -548,11 +549,17 @@ def ivf_topk_det(
     family next to the MLlib-k-means :func:`ivf_topk` (better cells,
     engine-private training).
 
+    ``centroid_src`` decouples the quantizer pool from the membership
+    corpus: passing the BASE subset reproduces in one plan what
+    build-then-append produces on disk (frozen build-time centroids,
+    grown membership) — the device the append-drift eval measures
+    recall against (VERDICT r7 #4).
+
     Scale shape is identical to ivf_topk: tiny broadcast centroid table,
     one assignment pass over the corpus (writeable as a partition
     column), probe cost ∝ n_probe/n_cells of the corpus."""
     cents = (
-        emb.select(
+        (centroid_src if centroid_src is not None else emb).select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("__cv"),
             hash64(
@@ -962,7 +969,18 @@ def ivf_index_append(
     centroids (path/_centroids) and parquet-append the rows into their
     cell partitions. Cost is batch-sized (batch x n_cells scoring + a
     cells-wide append); the caller bumps its manifest fingerprint chain
-    afterwards, exactly like dedup.minhash_index_append."""
+    afterwards, exactly like dedup.minhash_index_append.
+
+    RE-CLUSTER POLICY (VERDICT r7 #4 — frozen centroids trade recall
+    under distribution drift, silently): run :func:`ivf_index_fit` on
+    each batch and compare against the build-time corpus fit. Measured
+    on the drift ladder (similarity_ann_append_drift_eval /
+    SCALE.md drift table): a batch at fit ratio >= ~0.85 of the build
+    fit costs ~0 recall; at ratio ~0.80 the appended index is already
+    -0.13 recall@10 vs a fresh rebuild. Re-cluster — ivf_index_write
+    over the full corpus with fresh centroids + a manifest bump — when
+    the ratio falls below 0.82 (the monitor query's flag) or when
+    cumulative appended volume exceeds the base build size."""
     import os
 
     from uts_spark.sources.sinks import write_partitioned
@@ -972,6 +990,69 @@ def ivf_index_append(
     cents = spark.read.parquet(os.path.join(path, "_centroids"))
     assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
     write_partitioned(assigned, path, ["cell"], mode="append", cluster=True)
+
+
+FIT_SCALE = 10**9  # snap grid for quantizer-fit stats (order-independent)
+
+
+def ivf_fit_stat(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector quantizer FIT against a centroid table: the snapped
+    top-1 cosine ``floor(max_cell_cosine * 1e9 + 0.5)`` as a long —
+    how well the quantizer's best cell represents each vector. The
+    snap makes downstream SUMs order-independent, so cohort means are
+    hash-exact. Returns (id_col, fit_n).
+
+    This is the DRIFT MONITOR primitive (VERDICT r7 #4): frozen
+    centroids never see appended batches, so a batch whose mean fit
+    falls materially below the build-time fit is drifted — its vectors
+    concentrate into cells the quantizer did not shape, and probe
+    recall decays silently. Cost: |emb| x n_cells broadcast scoring +
+    one groupBy — batch-shaped when called on a batch."""
+    return (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            F.floor(
+                cosine_stable(F.col(vec_col), F.col("__cv"))
+                * F.lit(FIT_SCALE)
+                + F.lit(0.5)
+            ).cast("long").alias("__fit"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__fit").alias("fit_n"))
+    )
+
+
+def ivf_index_fit(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Service-side drift monitor: mean quantizer fit of a batch
+    against the index's FROZEN centroids (path/_centroids). Call on
+    each append batch and compare against the build-time corpus fit —
+    the measured re-cluster policy lives in ivf_index_append's
+    docstring. Returns a driver scalar (it IS a monitor stat: one
+    number per tick, never corpus-shaped)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    row = (
+        ivf_fit_stat(emb_batch, cents, id_col, vec_col)
+        .agg(
+            F.sum("fit_n").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()[0]
+    )
+    return (row["s"] / row["n"]) / FIT_SCALE if row["n"] else float("nan")
 
 
 def ivf_index_delete(
@@ -1199,7 +1280,14 @@ def ivfpq_index_append(
     codebook (both persisted at build under the index), then
     parquet-append into the cell partitions. Batch-sized; completes
     maintenance across all four persisted index families (MinHash
-    bands, LSH buckets, IVF cells, IVF-PQ cells+codes)."""
+    bands, LSH buckets, IVF cells, IVF-PQ cells+codes).
+
+    Drift exposure is DOUBLE here — frozen centroids mis-cell drifted
+    batches AND the frozen codebook quantizes them badly, so ADC
+    scores degrade on top of cell pruning. Same re-cluster policy as
+    ivf_index_append (monitor with ivf_index_fit against _centroids;
+    rebuild when the fit ratio drops below the measured 0.82 or the
+    appended volume exceeds the base)."""
     import os
 
     from uts_spark.sources.sinks import write_partitioned

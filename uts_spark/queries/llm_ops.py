@@ -4401,6 +4401,349 @@ def similarity_ann_ivfpq_delete_probe(spark, sf_dir):
     )
 
 
+# --- Append-drift: recall decay under frozen quantizers (VERDICT r7 #4) ----
+#
+# IVF/IVF-PQ appends freeze centroids (and codebook) forever — correct
+# for index consistency, but after many appends of distribution-shifted
+# batches the quantizer no longer shapes the data and probe recall
+# decays SILENTLY. These two lanes make the decay measurable and the
+# re-cluster trigger mechanical:
+#   similarity_ann_append_drift_eval   — recall@10 of the frozen-centroid
+#       (appended) configuration vs a fresh rebuild, across a ladder of
+#       synthetic drift magnitudes, against brute-force truth.
+#   similarity_ann_ivf_drift_monitor   — the cheap per-tick stat a service
+#       actually runs: batch quantizer-fit vs build-time fit, with the
+#       re-cluster flag at the measured threshold.
+
+_DRIFT_LEVELS = [0.0, 0.125, 0.5]  # dyadic-exact per-component offsets
+_DRIFT_ID0 = 1_000_000  # drifted ids re-keyed above the base id space
+_DRIFT_ANCHOR_IDS = (1_000_007, 1_000_017, 1_000_027)
+_DRIFT_RECLUSTER_MILLI = 820  # re-cluster when batch fit < 0.82 x base fit
+
+
+def _drift_frames(e, delta: float):
+    """(base, corpus) at drift ``delta``: the rem-7 batch re-keyed above
+    _DRIFT_ID0 with every component shifted by the dyadic ``delta`` —
+    a deterministic stand-in for a distribution-shifted append batch
+    that both engines construct bit-identically (float->double cast +
+    exact dyadic add)."""
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    moved = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM).select(
+        (F.col("vec_id") + F.lit(_DRIFT_ID0)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(float(delta))
+        ).alias("embedding"),
+    )
+    return base, base.unionAll(moved)
+
+
+def _duck_drift_corpus(delta: float) -> str:
+    return f"""
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}
+      UNION ALL
+      SELECT vec_id + {_DRIFT_ID0},
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) + {float(delta)!r})
+      FROM embeddings WHERE vec_id % {_IVF_APP_MOD} = {_IVF_APP_REM}
+    """
+
+
+_DRIFT_ANCHOR_PRED = (
+    f"(vec_id < 3 OR vec_id IN {_DRIFT_ANCHOR_IDS})"
+)
+
+
+def _duck_drift_arm(delta: float, arm: str) -> str:
+    pool = (
+        "corpus"
+        if arm == "rebuilt_fresh"
+        else f"(SELECT * FROM corpus WHERE vec_id < {_DRIFT_ID0})"
+    )
+    return f"""
+    SELECT CAST({float(delta)!r} AS DOUBLE) AS drift, '{arm}' AS arm,
+           n_truth, n_pred, hits,
+           hits / CAST(n_truth AS DOUBLE) AS recall_at_10
+    FROM (
+      WITH corpus AS ({_duck_drift_corpus(delta)}),
+      anchors AS (
+        SELECT * FROM corpus WHERE {_DRIFT_ANCHOR_PRED}
+      ),
+      truth AS MATERIALIZED (
+        SELECT anchor_id, neighbor_id FROM (
+          SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_duck_cosine('a.embedding', 'c.embedding')}
+                     DESC, c.vec_id) AS r
+          FROM anchors a JOIN corpus c ON c.vec_id != a.vec_id
+        ) WHERE r <= 10
+      ),
+      hc AS (
+        SELECT vec_id, embedding,
+               {duck_hash64("concat('ivfc:', vec_id)")} AS h
+        FROM {pool} p
+      ),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM hc ORDER BY h, vec_id LIMIT 8
+      ),
+      sim AS MATERIALIZED (
+        SELECT c0.vec_id, c.cent_id,
+               {_duck_cosine('c0.embedding', 'c.cv')} AS s
+        FROM corpus c0, cents c
+      ),
+      assigned AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cent_id) AS r
+          FROM sim) WHERE r = 1
+      ),
+      probes AS (
+        SELECT vec_id AS anchor_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cent_id) AS r
+          FROM sim WHERE {_DRIFT_ANCHOR_PRED}) WHERE r <= 3
+      ),
+      cand AS (
+        SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id != p.anchor_id
+      ),
+      scored AS (
+        SELECT c.anchor_id, c.neighbor_id,
+               {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+        FROM cand c
+        JOIN corpus ea ON ea.vec_id = c.anchor_id
+        JOIN corpus eb ON eb.vec_id = c.neighbor_id
+      ),
+      pred AS MATERIALIZED (
+        SELECT anchor_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine DESC,
+                                                neighbor_id) AS rank
+          FROM scored) WHERE rank <= 10
+      )
+      SELECT
+        (SELECT COUNT(*) FROM truth) AS n_truth,
+        (SELECT COUNT(*) FROM pred) AS n_pred,
+        (SELECT COUNT(*) FROM truth t JOIN pred p
+           ON t.anchor_id = p.anchor_id
+          AND t.neighbor_id = p.neighbor_id) AS hits
+    )"""
+
+
+def _duck_drift_eval() -> str:
+    arms = [
+        _duck_drift_arm(d, arm)
+        for d in _DRIFT_LEVELS
+        for arm in ("appended_frozen", "rebuilt_fresh")
+    ]
+    return " UNION ALL ".join(arms)
+
+
+@query("similarity_ann_append_drift_eval", _duck_drift_eval())
+def similarity_ann_append_drift_eval(spark, sf_dir):
+    """Recall-drift EVAL for frozen-quantizer appends (VERDICT r7 #4):
+    the rem-7 batch is re-keyed and shifted by a dyadic per-component
+    offset (drift in {0, 0.25, 1.0} vs component scale ~0.1 — mild /
+    strong / extreme), then each drift level measures recall@10
+    against brute-force truth for BOTH index configurations:
+    `appended_frozen` (centroids frozen from the base corpus — exactly
+    what build-then-append produces on disk, reproduced in-plan via
+    ivf_topk_det's centroid_src; the physical-vs-in-plan equivalence is
+    pinned by similarity_ann_ivf_append_probe) and `rebuilt_fresh`
+    (centroids re-derived from the grown corpus — what a re-cluster
+    buys). Anchors mix 3 base + 3 drifted vectors: drifted QUERIES are
+    where frozen quantizers lose recall, because a drifted anchor's
+    n_probe frozen cells are dominated by the shift direction while its
+    base-side true neighbors live elsewhere.
+
+    Measured at sf0.01 (full sweep in SCALE.md's drift table): at
+    drift 0 the two arms differ only by quantizer-pool sampling noise
+    (0.417 vs 0.450); at drift 0.125 the frozen configuration is down
+    -0.13 recall vs the rebuild (0.617 vs 0.750) and stays behind at
+    0.5 (0.650 vs 0.717) — the measured decay behind ivf_index_append's
+    re-cluster policy and the monitor threshold below. (At extreme
+    drift ~1.0 the regime inverts: the drifted cohort collapses into
+    one self-similar cluster any probe finds, 0.750 vs 0.717 — also
+    measured, also in SCALE.md.) Every stage is bit-reproducible
+    (dyadic shift, snapped cosine, hash-seeded centroids), so unlike
+    RNG ANN benchmarks the eval itself is hash-exact.
+
+    Scale: truth is anchors x corpus (blocked numpy kernel, 6 anchors);
+    each arm is one corpus x 8-centroid pass + cell-join — eval cost is
+    a few corpus passes, never quadratic."""
+    from uts_spark.functions.similarity import (
+        cosine_topk_blocked,
+        ivf_topk_det,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    out = None
+    for delta in _DRIFT_LEVELS:
+        base, corpus = _drift_frames(e, delta)
+        anchors = corpus.filter(
+            (F.col("vec_id") < 3)
+            | F.col("vec_id").isin(list(_DRIFT_ANCHOR_IDS))
+        )
+        truth = cosine_topk_blocked(corpus, anchors, k=10).select(
+            "anchor_id", "neighbor_id"
+        )
+        n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        for arm, src in (("appended_frozen", base), ("rebuilt_fresh", None)):
+            pred = ivf_topk_det(
+                corpus, anchors, k=10, n_cells=8, n_probe=3,
+                centroid_src=src,
+            ).select("anchor_id", "neighbor_id")
+            n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+            hits = truth.join(pred, ["anchor_id", "neighbor_id"]).agg(
+                F.count(F.lit(1)).alias("hits")
+            )
+            row = (
+                n_truth.crossJoin(F.broadcast(n_pred))
+                .crossJoin(F.broadcast(hits))
+                .select(
+                    F.lit(float(delta)).alias("drift"),
+                    F.lit(arm).alias("arm"),
+                    "n_truth",
+                    "n_pred",
+                    "hits",
+                    (
+                        F.col("hits") / F.col("n_truth").cast("double")
+                    ).alias("recall_at_10"),
+                )
+            )
+            out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _duck_drift_monitor() -> str:
+    from uts_spark.functions.similarity import FIT_SCALE
+
+    arms = []
+    for delta in _DRIFT_LEVELS:
+        arms.append(f"""
+    SELECT CAST({float(delta)!r} AS DOUBLE) AS drift, n_base, n_batch,
+           (CAST(s_base AS DOUBLE) / n_base) / {FIT_SCALE} AS base_fit,
+           (CAST(s_batch AS DOUBLE) / n_batch) / {FIT_SCALE} AS batch_fit,
+           (s_batch * n_base) / CAST(s_base * n_batch AS DOUBLE)
+             AS fit_ratio,
+           s_batch * n_base * 1000
+             < {_DRIFT_RECLUSTER_MILLI} * s_base * n_batch AS recluster
+    FROM (
+      WITH corpus AS ({_duck_drift_corpus(delta)}),
+      hc AS (
+        SELECT vec_id, embedding,
+               {duck_hash64("concat('ivfc:', vec_id)")} AS h
+        FROM corpus WHERE vec_id < {_DRIFT_ID0}
+      ),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM hc ORDER BY h, vec_id LIMIT 8
+      ),
+      fit AS (
+        SELECT c0.vec_id,
+               MAX(CAST(floor(
+                 {_duck_cosine('c0.embedding', 'c.cv')} * {FIT_SCALE} + 0.5
+               ) AS BIGINT)) AS fit_n
+        FROM corpus c0, cents c
+        WHERE c0.vec_id NOT IN (SELECT cent_id FROM cents)
+        GROUP BY c0.vec_id
+      )
+      SELECT
+        SUM(CASE WHEN vec_id < {_DRIFT_ID0} THEN fit_n END) AS s_base,
+        COUNT(CASE WHEN vec_id < {_DRIFT_ID0} THEN 1 END) AS n_base,
+        SUM(CASE WHEN vec_id >= {_DRIFT_ID0} THEN fit_n END) AS s_batch,
+        COUNT(CASE WHEN vec_id >= {_DRIFT_ID0} THEN 1 END) AS n_batch
+      FROM fit
+    )""")
+    return " UNION ALL ".join(arms)
+
+
+@query("similarity_ann_ivf_drift_monitor", _duck_drift_monitor())
+def similarity_ann_ivf_drift_monitor(spark, sf_dir):
+    """The per-tick DRIFT MONITOR an index service actually runs
+    (VERDICT r7 #4, the cheap half of the drift story): quantizer FIT
+    = snapped top-1 cosine of a vector against the FROZEN centroids
+    (functions/similarity.ivf_fit_stat — floor(max_cell_cos*1e9+0.5),
+    order-independent long sums, so cohort means are hash-exact). Per
+    drift level the row carries the build-time corpus fit (base_fit —
+    centroid self-matches excluded: their fit is exactly 1.0 and would
+    inflate the reference mean), the append batch's fit (batch_fit),
+    their ratio, and the re-cluster flag at the measured threshold
+    (batch fit < 0.82 x base fit, an exact integer cross-multiply — no
+    float-equality edge). The threshold is calibrated against
+    similarity_ann_append_drift_eval: an undrifted batch sits at ratio
+    0.848 (sampling noise, flag OFF) while drift 0.125 — where frozen
+    recall is measurably -0.13 — drops to 0.798 and 0.5 to 0.638 (flag
+    ON); full sweep in SCALE.md's drift table.
+
+    The service verb is functions/similarity.ivf_index_fit: batch x
+    n_cells scoring against path/_centroids — one number per append
+    tick, cost batch-shaped, no corpus scan. Policy (folded into
+    ivf_index_append's docstring): re-cluster (ivf_index_write over
+    the full corpus, fresh centroids + manifest bump) when the flag
+    fires or cumulative appended volume exceeds the base build."""
+    from uts_spark.functions.similarity import (
+        FIT_SCALE,
+        _ivf_centroids,
+        ivf_fit_stat,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    out = None
+    for delta in _DRIFT_LEVELS:
+        base, corpus = _drift_frames(e, delta)
+        cents = _ivf_centroids(base, 8, "vec_id", "embedding")
+        # exclude the centroids themselves: their self-match fit is
+        # exactly 1.0 and would inflate the build-time reference mean
+        members = corpus.join(
+            cents.select(F.col("cent_id").alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        fit = ivf_fit_stat(members, cents)
+        is_base = F.col("vec_id") < _DRIFT_ID0
+        agg = fit.agg(
+            F.sum(F.when(is_base, F.col("fit_n"))).alias("s_base"),
+            F.count(F.when(is_base, F.lit(1))).alias("n_base"),
+            F.sum(F.when(~is_base, F.col("fit_n"))).alias("s_batch"),
+            F.count(F.when(~is_base, F.lit(1))).alias("n_batch"),
+        )
+        row = agg.select(
+            F.lit(float(delta)).alias("drift"),
+            "n_base",
+            "n_batch",
+            (F.col("s_base") / F.col("n_base") / F.lit(FIT_SCALE)).alias(
+                "base_fit"
+            ),
+            (F.col("s_batch") / F.col("n_batch") / F.lit(FIT_SCALE)).alias(
+                "batch_fit"
+            ),
+            (
+                F.col("s_batch") * F.col("n_base")
+                / (F.col("s_base") * F.col("n_batch"))
+            ).alias("fit_ratio"),
+            (
+                F.col("s_batch") * F.col("n_base") * F.lit(1000)
+                < F.lit(_DRIFT_RECLUSTER_MILLI)
+                * F.col("s_base")
+                * F.col("n_batch")
+            ).alias("recluster"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 # --- Persisted MinHash band index: dedup-as-a-service (round 6) -------------
 
 _MIDX_MOD, _MIDX_REM = 11, 3  # new batch = doc_id % 11 == 3 (~9% of docs)
