@@ -520,3 +520,56 @@ def test_bpe_byte_roundtrip_lossless_corpus_wide(spark, sf_dir):
     }
     assert set(rt) == set(ap)
     assert all(rt[d]["n_tokens"] == ap[d]["n_tokens"] for d in rt)
+
+
+def test_ulang_id_script_gates_and_lexicons(spark):
+    """VERDICT r7 #5: the unicode cascade — kana gates before Han
+    (Japanese text mixes both), Han -> zh, Cyrillic/Greek resolve via
+    the extended lexicons, accented Latin stays lexicon-routed, and
+    text with no signal is unknown."""
+    from uts_spark.functions.text import ulang_id
+
+    rows = [
+        (1, "これは 東京 の きれいな まち です"),     # kana + Han -> ja
+        (2, "東京都是一個大城市"),                      # Han only -> zh
+        (3, "и это не дом в котором мы были"),          # Cyrillic -> ru
+        (4, "και το σπίτι είναι με τον για τα"),        # Greek -> el
+        (5, "le café est dans la rue pour que"),        # accented fr
+        (6, "xyzzy qwerty plugh"),                      # no signal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["l"]
+        for r in df.select("doc_id", ulang_id(F.col("text")).alias("l")).collect()
+    }
+    assert out == {1: "ja", 2: "zh", 3: "ru", 4: "el", 5: "fr", 6: "unknown"}
+
+
+def test_unicode_pii_regexes_catch_what_ascii_misses(spark):
+    """The IDN/accented email and the fullwidth digit run escape the
+    ASCII patterns whole and are caught by the unicode ones; plain
+    ASCII PII is caught by both (the unicode classes are a superset)."""
+    from uts_spark.functions.text import (
+        redaction_count,
+        uredact,
+        uredaction_count,
+    )
+
+    rows = [
+        (1, "write to naïve.user@exämple.com or call ０１２３４５ now"),
+        (2, "plain user@example.com and 123456789 here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["na"], r["nu"], r["clean"])
+        for r in df.select(
+            "doc_id",
+            redaction_count(F.col("text")).alias("na"),
+            uredaction_count(F.col("text")).alias("nu"),
+            uredact(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert got[1][0] == 0 and got[1][1] == 2
+    assert got[1][2] == "write to <EMAIL> or call <NUM> now"
+    assert got[2][0] == 2 and got[2][1] == 2
+    assert got[2][2] == "plain <EMAIL> and <NUM> here"

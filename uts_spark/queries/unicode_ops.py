@@ -23,6 +23,17 @@ Three lanes, all hash-exact:
   JVM expressions. Spark spells scripts ``\\p{IsHan}`` (Java regex),
   the oracle ``\\p{Han}`` (RE2) — different spellings, same classes.
 
+Round 8 (VERDICT r7 #5) adds the multilingual routing + scrub lanes:
+
+- ``text_lang_id_unicode`` / ``text_langid_confusion_unicode`` — the
+  script-gated language-ID cascade (kana -> ja, Han -> zh, else
+  stopword argmax with Cyrillic + Greek lexicons) over a derived
+  8-language corpus, plus its confusion-matrix eval (measured exactly
+  diagonal).
+- ``text_pii_scrub_unicode`` — unicode-boundary-safe PII (\\p{L}/
+  \\p{Nd} classes) catching the IDN email and fullwidth digit runs
+  the ASCII regexes miss, with the ascii-vs-unicode gap pinned per doc.
+
 Reference: none (uts.ts has no text surface) — LLM-pipeline brief item.
 """
 
@@ -210,4 +221,243 @@ def text_script_profile(spark, sf_dir):
         F.when(n_latin >= n_han, F.lit("latin"))
         .otherwise(F.lit("han"))
         .alias("dominant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unicode language ID + PII (VERDICT r7 #5): the ASCII lanes
+# (text_lang_id, text_pii_scrub) run on the [a-z ] corpus; a real crawl
+# is multi-script. These lanes derive a deterministic MULTILINGUAL
+# corpus honoring each doc's lang label (en docs re-labeled round-robin
+# to also cover ru / el / ja) — a language-true unicode prefix plus a
+# 40-char slice of the English-ish soup (truncated so the labeled
+# language dominates the lexicon scores, as it would in real text) —
+# and run the script-gated unicode cascade + unicode-safe scrub on it.
+
+# lowercase outside ASCII on purpose: lower() parity between engines is
+# then exact (no Greek final-sigma / locale edge); no apostrophes (SQL)
+_ULANG_PREFIX = {
+    "en": "the cat is in that house and it is for a while",
+    "de": "der kleine Hund und die Katze ist ein schönes Tier mit von nicht zu",
+    "fr": "le café est dans la rue et les amis pour que une vie est là",
+    "es": "el niño y la niña es un jardín en los árboles por una casa",
+    "ru": "и это не дом в котором мы были с ними и у них это",
+    "el": "και αυτό είναι ένα σπίτι με τον στο για τα και δεν",
+    "ja": "これは とても きれい です ね そして わたし の",
+    "zh": "東京都是一個大城市和這裡的人們都很好",
+}
+_ULAL_ORDER = ("en", "de", "fr", "es", "ru", "el", "ja", "zh")
+
+_ULABEL_DUCK = (
+    "CASE WHEN lang = 'en' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'ru' WHEN 2 THEN 'el' WHEN 3 THEN 'ja' "
+    "ELSE 'en' END ELSE lang END"
+)
+
+_UPREFIX_DUCK = "CASE ulabel " + " ".join(
+    f"WHEN '{lab}' THEN '{_ULANG_PREFIX[lab]}'" for lab in _ULAL_ORDER
+) + " END"
+
+_UCORPUS_DUCK = f"""
+  SELECT doc_id, ulabel,
+         ({_UPREFIX_DUCK}) || ' ' || substr(text, 1, 40) AS utext
+  FROM (SELECT doc_id, text, {_ULABEL_DUCK} AS ulabel FROM documents)
+"""
+
+
+def _ulabel_spark():
+    en_sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("ru"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("el"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("ja"))
+        .otherwise(F.lit("en"))
+    )
+    return F.when(F.col("lang") == "en", en_sub).otherwise(F.col("lang"))
+
+
+def _ucorpus(docs):
+    """(doc_id, ulabel, utext) — the derived multilingual corpus."""
+    prefix = None
+    for lab in _ULAL_ORDER:
+        w = F.when(F.col("ulabel") == lab, F.lit(_ULANG_PREFIX[lab]))
+        prefix = w if prefix is None else prefix.when(
+            F.col("ulabel") == lab, F.lit(_ULANG_PREFIX[lab])
+        )
+    return (
+        docs.select("doc_id", "text", _ulabel_spark().alias("ulabel"))
+        .select(
+            "doc_id",
+            "ulabel",
+            F.concat(
+                prefix, F.lit(" "), F.substring(F.col("text"), 1, 40)
+            ).alias("utext"),
+        )
+    )
+
+
+def _duck_ulang_case() -> str:
+    from uts_spark.functions.text import (
+        HAN_CLS_RE2,
+        KANA_CLS_RE2,
+        ULANGS,
+        duck_ustopword_count,
+        duck_utokens,
+    )
+
+    sel = ", ".join(
+        f"{duck_ustopword_count('toks', lang)} AS s_{lang}" for lang in ULANGS
+    )
+    branches = []
+    for i, lang in enumerate(ULANGS):
+        conds = [f"s_{lang} >= s_{other}" for other in ULANGS[i + 1:]]
+        conds.append(f"s_{lang} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    argmax = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    kana = (
+        f"length(utext) - length(regexp_replace(utext, '{KANA_CLS_RE2}', '', 'g'))"
+    )
+    han = (
+        f"length(utext) - length(regexp_replace(utext, '{HAN_CLS_RE2}', '', 'g'))"
+    )
+    return f"""
+    WITH c AS ({_UCORPUS_DUCK}),
+    t AS (SELECT doc_id, ulabel, utext, {duck_utokens('utext')} AS toks FROM c),
+    s AS (SELECT doc_id, ulabel, utext, {sel} FROM t)
+    SELECT doc_id, ulabel AS label_lang,
+           CASE WHEN {kana} > 0 THEN 'ja'
+                WHEN {han} > 0 THEN 'zh'
+                ELSE {argmax} END AS pred_lang
+    FROM s
+    """
+
+
+@query("text_lang_id_unicode", _duck_ulang_case())
+def text_lang_id_unicode(spark, sf_dir):
+    """Unicode language ID over the derived multilingual corpus
+    (module comment): the script-gated cascade — kana → ja (Japanese
+    mixes kana with Han, so kana gates FIRST), Han → zh, else stopword
+    argmax over unicode tokens with Cyrillic + Greek lexicons
+    (functions/text.ulang_id). The ASCII lane scores ru/el/zh/ja text
+    0 everywhere and calls it 'unknown'; this one routes all 8 labels.
+    Pure JVM expressions, fuses into the scan — the 100 TB shape for
+    crawl language routing. Accuracy is measured by the confusion
+    matrix lane below; this one pins the per-doc prediction."""
+    from uts_spark.functions.text import ulang_id
+
+    c = _ucorpus(table(spark, sf_dir, "documents"))
+    return c.select(
+        "doc_id",
+        F.col("ulabel").alias("label_lang"),
+        ulang_id(F.col("utext")).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_langid_confusion_unicode",
+    f"""
+    WITH p AS ({_duck_ulang_case()})
+    SELECT label_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion_unicode(spark, sf_dir):
+    """Confusion matrix of the unicode cascade vs the derived labels —
+    the eval harness next to the predictor (same pattern as the ASCII
+    text_langid_confusion). Measured on the derived corpus the matrix
+    is exactly diagonal (8 cells, zero off-diagonal): script gates are
+    exact for ja/zh and each prefix's 9-11 stopword hits dominate the
+    truncated 40-char soup slice — the truncation is the deliberate
+    design margin. One groupBy over <= 8x8 keys — eval cost is
+    corpus-scan shaped."""
+    from uts_spark.functions.text import ulang_id
+
+    c = _ucorpus(table(spark, sf_dir, "documents"))
+    return (
+        c.select(
+            F.col("ulabel").alias("label_lang"),
+            ulang_id(F.col("utext")).alias("pred_lang"),
+        )
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# PII in unicode clothing: an accented-local-part / IDN-domain email
+# (invisible whole to the ASCII email regex — its classes stop at the
+# first non-ASCII letter) and a FULLWIDTH six-digit run (never matched
+# by [0-9]). Injected deterministically from doc_id, next to an ASCII
+# run the old regex DOES catch, so the ascii-vs-unicode count gap is
+# pinned per doc.
+_FW = "０１２３４５６７８９"
+
+_UPII_DUCK = (
+    "substr(text, 1, 30) || ' naïve.user' || CAST(doc_id AS VARCHAR)"
+    " || '@exämple.com ' ||"
+    " translate(lpad(CAST(doc_id AS VARCHAR), 6, '0'), '0123456789', "
+    f"'{_FW}')"
+    " || ' téléphone ' ||"
+    " lpad(CAST(doc_id * 7919 % 1000000 AS VARCHAR), 6, '0') || ' end'"
+)
+
+
+def _upii_spark():
+    return F.concat(
+        F.substring(F.col("text"), 1, 30),
+        F.lit(" naïve.user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@exämple.com "),
+        F.translate(
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+            "0123456789",
+            _FW,
+        ),
+        F.lit(" téléphone "),
+        F.lpad(
+            ((F.col("doc_id") * 7919) % 1000000).cast("string"), 6, "0"
+        ),
+        F.lit(" end"),
+    )
+
+
+def _duck_upii_scrub() -> str:
+    from uts_spark.functions.text import (
+        DIGITS_RE,
+        EMAIL_RE,
+        UDIGITS_RE,
+        UEMAIL_RE,
+    )
+
+    return f"""
+    WITH s AS (SELECT doc_id, {_UPII_DUCK} AS src FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(src, '{UEMAIL_RE}', '<EMAIL>', 'g'),
+                          '{UDIGITS_RE}', '<NUM>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(src, '{UEMAIL_RE}'))
+              + len(regexp_extract_all(src, '{UDIGITS_RE}')) AS BIGINT)
+             AS n_redactions_unicode,
+           CAST(len(regexp_extract_all(src, '{EMAIL_RE}'))
+              + len(regexp_extract_all(src, '{DIGITS_RE}')) AS BIGINT)
+             AS n_redactions_ascii
+    FROM s
+    """
+
+
+@query("text_pii_scrub_unicode", _duck_upii_scrub())
+def text_pii_scrub_unicode(spark, sf_dir):
+    """Unicode-boundary-safe PII scrub (module comment above; VERDICT
+    r7 #5): \\p{{L}}/\\p{{Nd}} classes catch the IDN email and the
+    fullwidth digit run the ASCII regexes miss — the output carries
+    BOTH counts (unicode 3 vs ascii 1 on every doc), so the oracle
+    hash pins the gap itself, not just the scrub. Same pure-projection
+    scan shape as text_pii_scrub; email pass first so digit-bearing
+    local parts redact as emails."""
+    from uts_spark.functions.text import redaction_count, uredact, uredaction_count
+
+    docs = table(spark, sf_dir, "documents")
+    src = _upii_spark()
+    return docs.select(
+        "doc_id",
+        uredact(src).alias("clean_text"),
+        uredaction_count(src).cast("long").alias("n_redactions_unicode"),
+        redaction_count(src).cast("long").alias("n_redactions_ascii"),
     )
