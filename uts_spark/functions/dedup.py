@@ -732,6 +732,78 @@ def minhash_index_append(
     write_partitioned(rows, path, ["band", "grp"], mode="append", cluster=True)
 
 
+def minhash_index_append_idempotent(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    batch_id: int,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    n_grps: int = 16,
+) -> None:
+    """EXACTLY-ONCE micro-batch append for the streaming ingest loop
+    (VERDICT r7 #6): plain ``minhash_index_append`` inside foreachBatch
+    is append-files-then-commit-checkpoint — a crash after the files
+    hit disk but before the epoch commits makes the restarted stream
+    re-run the batch and append its rows TWICE. This variant is
+    idempotent per (index, batch_id), so a replayed batch converges to
+    the same physical index:
+
+    1. STAGE: sketch the batch and write its (band, grp)-partitioned
+       rows under ``path/_staging/b{batch_id}`` in overwrite mode
+       (underscore dir — invisible to the index's partition discovery;
+       a torn prior staging of the same batch is replaced wholesale);
+    2. SWEEP: delete any ``b{batch_id}-*.parquet`` already published
+       into the index partitions by a crashed prior attempt;
+    3. PUBLISH: os.replace each staged file into its partition dir
+       under the deterministic name ``b{batch_id}-{seq}.parquet``.
+
+    Every crash window re-runs to the identical end state: staging is
+    overwrite, the sweep erases any partial publish, and the names are
+    a pure function of batch_id. Same batch-sized cost as the plain
+    append plus a file-move pass (renames, no data copy). The
+    query-level pending-marker tick still guards the WHOLE stream; this
+    makes the cheap path — resume from the checkpoint without a
+    rebuild — actually exact."""
+    import glob
+    import os
+    import shutil
+
+    from uts_spark.sources.sinks import write_partitioned
+
+    _check_index_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
+    arrays = doc_shingle_arrays_portable(df, text_col, id_col, n)
+    sig = minhash_signatures_portable(arrays, k)
+    rows = (
+        _band_bucket_rows(sig, k, bands)
+        .select("id", "band", "bucket")
+        .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
+    )
+    staged = os.path.join(path, "_staging", f"b{batch_id}")
+    write_partitioned(rows, staged, ["band", "grp"], cluster=True)
+
+    for stale in glob.glob(
+        os.path.join(path, "band=*", "grp=*", f"b{batch_id}-*.parquet")
+    ):
+        os.remove(stale)
+
+    seq = 0
+    for band_dir in sorted(glob.glob(os.path.join(staged, "band=*"))):
+        for grp_dir in sorted(glob.glob(os.path.join(band_dir, "grp=*"))):
+            tgt = os.path.join(
+                path, os.path.basename(band_dir), os.path.basename(grp_dir)
+            )
+            os.makedirs(tgt, exist_ok=True)
+            for f in sorted(glob.glob(os.path.join(grp_dir, "*.parquet"))):
+                os.replace(
+                    f, os.path.join(tgt, f"b{batch_id}-{seq}.parquet")
+                )
+                seq += 1
+    shutil.rmtree(staged, ignore_errors=True)
+
+
 def minhash_index_delete(
     spark,
     deleted_docs: DataFrame,

@@ -1568,7 +1568,7 @@ def _register_stream_dedup_ingest():
         from uts_spark.functions.dedup import (
             index_state,
             index_tick,
-            minhash_index_append,
+            minhash_index_append_idempotent,
             minhash_index_probe,
             minhash_index_write,
         )
@@ -1626,8 +1626,12 @@ def _register_stream_dedup_ingest():
                     )
                     q = (
                         stream.writeStream.foreachBatch(
-                            lambda bdf, _bid: minhash_index_append(
-                                bdf, "text", "doc_id", path, **cfg
+                            # batch-id-keyed idempotent append: a batch
+                            # replayed after a mid-epoch crash converges
+                            # to the same physical index (VERDICT r7 #6;
+                            # checkpoint-restart pin in test_streaming)
+                            lambda bdf, bid: minhash_index_append_idempotent(
+                                bdf, "text", "doc_id", path, bid, **cfg
                             )
                         )
                         .option("checkpointLocation", chk)
