@@ -1366,3 +1366,51 @@ def test_append_drift_eval_frozen_loses_recall_at_moderate_drift(spark):
     }
     assert rows[(0.125, "appended_frozen")] < rows[(0.125, "rebuilt_fresh")]
     assert abs(rows[(0.0, "appended_frozen")] - rows[(0.0, "rebuilt_fresh")]) <= 0.1
+
+
+def test_ivf_index_recluster_restores_fresh_quantizer(spark, tmp_path):
+    """The drift policy's corrective verb: build over base, append a
+    drifted batch (frozen centroids), then RECLUSTER — the rebuilt
+    index must probe exactly like a fresh build over the full corpus
+    (fresh centroids), and the centroid sidecar must have been
+    re-derived (it may now include appended vectors)."""
+    import uts_spark.registry  # noqa: F401  registry first: import trap
+    from uts_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_index_recluster,
+        ivf_index_write,
+    )
+    from uts_spark.queries.llm_ops import (
+        _IVF_APP_MOD,
+        _IVF_APP_REM,
+        _drift_frames,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base, corpus = _drift_frames(e, 0.5)
+    batch = corpus.filter(F.col("vec_id") >= 1_000_000)
+    anchors = corpus.filter(F.col("vec_id") < 5)
+
+    # appended index (frozen base centroids), then recluster
+    idx = str(tmp_path / "idx")
+    ivf_index_write(base, idx, n_cells=8)
+    ivf_index_append(spark, batch, idx)
+    fit_after = ivf_index_recluster(spark, corpus, idx, n_cells=8)
+    assert fit_after == fit_after  # a real number came back
+
+    # reference: fresh one-shot build over the same corpus
+    ref = str(tmp_path / "ref")
+    ivf_index_write(corpus, ref, n_cells=8)
+
+    got = sorted(
+        map(tuple, ivf_index_probe(spark, idx, anchors, None, k=10).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_index_probe(spark, ref, anchors, None, k=10).collect())
+    )
+    assert got == want, "recluster must equal a fresh full-corpus build"
+    import os
+
+    assert not os.path.exists(idx + "__recluster_tmp")
+    assert not os.path.exists(idx + "__old")

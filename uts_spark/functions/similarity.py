@@ -1055,6 +1055,51 @@ def ivf_index_fit(
     return (row["s"] / row["n"]) / FIT_SCALE if row["n"] else float("nan")
 
 
+def ivf_index_recluster(
+    spark,
+    emb_full: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """The RE-CLUSTER verb the drift policy triggers (see
+    ivf_index_append): rebuild the index over the full current corpus
+    with FRESH centroids derived from it — the corrective action when
+    ivf_index_fit reports an append batch below the 0.82 fit ratio or
+    appended volume has outgrown the base build. Atomic at the
+    directory level via a tmp-build + swap (a reader mid-recluster
+    sees the old index or the new one, never a mix); the caller bumps
+    the manifest fingerprint afterwards like any other tick. Returns
+    the post-recluster corpus fit (the new build-time reference for
+    the monitor). Cost is one full build — which is the point: the
+    monitor exists so this runs only when the measured recall decay
+    justifies it."""
+    import os
+    import shutil
+
+    tmp = path + "__recluster_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ivf_index_write(emb_full, tmp, n_cells=n_cells,
+                    id_col=id_col, vec_col=vec_col)
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # restore the old index if the swap's second rename failed
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return ivf_index_fit(spark, emb_full, path,
+                         id_col=id_col, vec_col=vec_col)
+
+
 def ivf_index_delete(
     spark,
     emb_deleted: DataFrame,

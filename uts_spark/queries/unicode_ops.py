@@ -461,3 +461,120 @@ def text_pii_scrub_unicode(spark, sf_dir):
         uredaction_count(src).cast("long").alias("n_redactions_unicode"),
         redaction_count(src).cast("long").alias("n_redactions_ascii"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer FERTILITY by language: the standard multilingual tokenizer
+# eval (tokens emitted per pre-token, bytes per token) over the derived
+# 8-language corpus, under the 512-merge byte-level BPE table. The
+# merges were trained on ASCII-heavy text, so this lane MEASURES the
+# well-known English-centric-tokenizer effect: CJK and Cyrillic
+# pre-tokens explode to near-raw-byte granularity (~1 token per UTF-8
+# byte) while English/German compress — the number a data-mix or
+# token-budget planner needs per language before shard accounting.
+
+def _duck_bpe_fertility() -> str:
+    from uts_spark.functions.bpe_pretrained import byte_merge_patterns_sql
+    from uts_spark.queries.sketch_ops import _PRETOK_RE
+
+    pre = _PRETOK_RE.replace("'", "''")
+    return f"""
+    WITH base AS ({_UCORPUS_DUCK}),
+    dpts AS (
+      SELECT doc_id, ulabel, ws[i] AS pt, nb
+      FROM (SELECT doc_id, ulabel,
+                   regexp_extract_all(utext, '{pre}') AS ws,
+                   CAST(octet_length(encode(utext)) AS BIGINT) AS nb
+            FROM base),
+           unnest(range(1, len(ws) + 1)) AS u(i)
+    ),
+    seg AS (
+      SELECT pt,
+             list_reduce(
+               list_prepend(
+                 regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+                 {byte_merge_patterns_sql()}),
+               (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+      FROM (SELECT DISTINCT pt FROM dpts)
+    ),
+    ptok AS (
+      SELECT pt,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok
+      FROM seg
+    ),
+    doc AS (
+      SELECT d.doc_id, d.ulabel,
+             CAST(COUNT(*) AS BIGINT) AS n_pre,
+             CAST(SUM(p.n_tok) AS BIGINT) AS n_tok,
+             CAST(MIN(d.nb) AS BIGINT) AS nb
+      FROM dpts d JOIN ptok p USING (pt)
+      GROUP BY d.doc_id, d.ulabel
+    )
+    SELECT ulabel AS label_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pre) AS BIGINT) AS n_pretokens,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(nb) AS BIGINT) AS n_bytes,
+           SUM(n_tok) / CAST(SUM(n_pre) AS DOUBLE) AS fertility,
+           SUM(nb) / CAST(SUM(n_tok) AS DOUBLE) AS bytes_per_token
+    FROM doc GROUP BY ulabel
+    """
+
+
+@query("text_bpe_fertility_by_lang", _duck_bpe_fertility())
+def text_bpe_fertility_by_lang(spark, sf_dir):
+    """Byte-BPE fertility per language (module comment above): per
+    label, pre-token / token / byte totals plus tokens-per-pretoken
+    (fertility) and bytes-per-token — exact ratios of exact longs.
+    Same 100 TB shape as text_bpe_apply_bytes: all merge work runs
+    once per DISTINCT pre-token in one Arrow-batched mapInPandas, the
+    corpus contributes a regexp + explode + one dictionary join, and
+    the per-language rollup is a two-level groupBy (doc, then label).
+    Measured at sf0.01 (SCALE.md round-8 note): fertility runs en 1.53
+    < fr 2.03 < de/es ~2.67 < ru 4.32 < ja 4.64 < el 4.96 < zh 7.16,
+    and bytes-per-token en 2.84 vs ru/el/ja/zh ~1.33-1.49 — non-Latin
+    scripts tokenize near raw-byte granularity under the ASCII-heavy
+    merge table (a ~4.7x zh-vs-en token-budget penalty), exactly the
+    per-language correction factor a shard planner must apply."""
+    from uts_spark.queries.sketch_ops import (
+        _PRETOK_RE,
+        _bpe_byte_pretoken_tokens,
+    )
+
+    c = _ucorpus(table(spark, sf_dir, "documents"))
+    dpts = c.select(
+        "doc_id",
+        "ulabel",
+        F.octet_length("utext").cast("long").alias("nb"),
+        F.explode(
+            F.regexp_extract_all(F.col("utext"), F.lit(_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    ptok = _bpe_byte_pretoken_tokens(dpts.select("pt").distinct())
+    doc = (
+        dpts.join(ptok, "pt")
+        .groupBy("doc_id", "ulabel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pre"),
+            F.sum("n_tok").alias("n_tok"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    return (
+        doc.groupBy(F.col("ulabel").alias("label_lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pre").alias("n_pretokens"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("nb").alias("n_bytes"),
+        )
+        .select(
+            "label_lang",
+            "n_docs",
+            "n_pretokens",
+            "n_tokens",
+            "n_bytes",
+            (F.col("n_tokens") / F.col("n_pretokens")).alias("fertility"),
+            (F.col("n_bytes") / F.col("n_tokens")).alias("bytes_per_token"),
+        )
+    )

@@ -116,7 +116,7 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 326
+_REGISTRY_FLOOR = 327
 if len(QUERIES) < _REGISTRY_FLOOR:
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < floor {_REGISTRY_FLOOR} — "
@@ -182,4 +182,7 @@ HEADLINE = [n for n in (
     # r5: trained-BPE corpus-wide apply — train rounds on the distinct
     # word table + one corpus-sized dictionary join
     "text_bpe_apply",
+    # r8: multilingual routing — script gates + unicode-token stopword
+    # argmax over the derived 8-language corpus (the crawl-router lane)
+    "text_lang_id_unicode",
 ) if n in QUERIES]
