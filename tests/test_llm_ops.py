@@ -1414,3 +1414,25 @@ def test_ivf_index_recluster_restores_fresh_quantizer(spark, tmp_path):
 
     assert not os.path.exists(idx + "__recluster_tmp")
     assert not os.path.exists(idx + "__old")
+
+
+def test_quality_model_refit_gate_is_deterministic_and_strict():
+    """ROADMAP r8: frozen weights swap ONLY on strictly-better held-out
+    F1. The harness must be bit-deterministic across runs, its gate
+    must equal the strict comparison it claims, and the shipped
+    incumbent must clear a sane holdout floor (if this ever drops, the
+    pseudo-labels or features drifted and the frozen weights are
+    stale)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from refit_quality_model import refit
+
+    a = refit("/root/testdata/sf0.01")
+    b = refit("/root/testdata/sf0.01")
+    assert a == b, "refit harness must be deterministic"
+    best = max(a["f1_refit5"], a["f1_refit6_xent"])
+    assert a["swap_recommended"] == (best > a["f1_incumbent"])
+    assert a["f1_incumbent"] >= 0.9
+    if a["swap_recommended"]:
+        assert "candidate_weights" in a

@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Quality-model REFIT harness with a held-out-F1 swap gate (ROADMAP
+r8: frozen weights must never be swapped on vibes). Run:
+
+    python3 tools/refit_quality_model.py [sf_dir]
+
+Protocol:
+
+- deterministic split: ``doc_id % 5 == 0`` -> HOLDOUT, else TRAIN
+  (pseudo-labels = the Gopher rule pack, same as the original fit);
+- INCUMBENT: the shipped ``_QM_W`` integer literals, scored on the
+  holdout as-is;
+- CANDIDATE refit: same five features, refit on TRAIN ONLY with the
+  exact deterministic recipe of tools/fit_quality_model.py;
+- CANDIDATE expanded: six features — the five plus ``x_xent``, the
+  integer-snapped per-doc unigram cross-entropy against a TRAIN-corpus
+  unigram model (holdout terms unseen in train get add-half-smoothed
+  surprise; the model is train-only, so there is no label/feature
+  leakage into the holdout);
+- SWAP GATE: recommend swapping the frozen weights ONLY if a
+  candidate's holdout F1 STRICTLY exceeds the incumbent's. The
+  decision record prints as one JSON line; the refit weights print
+  only when the gate passes (they are what a human pastes into
+  ``_QM_W`` / a ``_QM_W6`` literal after review).
+
+Everything is deterministic (full-batch float64, zero init, fixed
+steps, no RNG): re-running reproduces the decision bit-for-bit. The
+harness is offline tooling — the SHIPPED lanes keep their frozen
+integer weights until a gate-passing refit is reviewed in.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import uts_spark.registry  # noqa: F401,E402  (registry first: import trap)
+from uts_spark.functions.text import LOG_SCALE  # noqa: E402
+from uts_spark.queries.llm_ops import (  # noqa: E402
+    _QM_W,
+    _duck_gopher,
+    _duck_quality_model_features,
+)
+
+FEATS5 = ["x_len", "x_stop", "x_mwl", "x_ttr", "x_rep"]
+FEATS6 = FEATS5 + ["x_xent"]
+
+
+def _features(sf_dir: str):
+    """Per-doc features + pseudo-label + split flag. x_xent uses a
+    TRAIN-ONLY unigram model (add-half smoothing for unseen terms)."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.sql(
+        f"""WITH {_duck_quality_model_features()},
+        g AS ({_duck_gopher()}),
+        t AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+              FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+               GROUP BY doc_id, term),
+        ct AS (SELECT term, SUM(tf) AS ct FROM tf
+               WHERE doc_id % 5 != 0 GROUP BY term),
+        tot AS (SELECT SUM(ct) AS tot FROM ct),
+        xe AS (
+          SELECT f.doc_id,
+                 CAST(ROUND(SUM(f.tf * CAST(ROUND(
+                     -LN(CAST(COALESCE(c.ct, 0.5) AS DOUBLE) / t.tot)
+                     * {LOG_SCALE}) AS BIGINT)) / SUM(f.tf)) AS BIGINT)
+                   AS x_xent
+          FROM tf f LEFT JOIN ct c USING (term) CROSS JOIN tot t
+          GROUP BY f.doc_id
+        )
+        SELECT qf.*, COALESCE(xe.x_xent, 0) AS x_xent, g.gopher_pass,
+               (qf.doc_id % 5 = 0) AS holdout
+        FROM qf JOIN g USING (doc_id)
+        LEFT JOIN xe USING (doc_id)
+        ORDER BY doc_id"""
+    ).df()
+
+
+def _fit_int(X: np.ndarray, y: np.ndarray, feats: list[str]) -> dict:
+    """The deterministic recipe of tools/fit_quality_model.py,
+    parameterized over the feature list: full-batch logistic
+    regression on z-scores, integer weights in raw-feature space."""
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    sd[sd == 0] = 1.0
+    Z = (X - mu) / sd
+    w = np.zeros(Z.shape[1])
+    b = 0.0
+    for _ in range(3000):
+        p = 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+        w -= 0.5 * (Z.T @ (p - y) / len(y))
+        b -= 0.5 * float(np.mean(p - y))
+    w_raw = w / sd
+    b_raw = b - float((w * (mu / sd)).sum())
+    s = 1.0 / np.abs(w_raw[np.abs(w_raw) > 0]).min()
+    out = {f: int(round(float(wr * s))) for f, wr in zip(feats, w_raw)}
+    out["w0"] = int(round(b_raw * s))
+    return out
+
+
+def _f1(weights: dict, X: np.ndarray, y: np.ndarray, feats: list[str]):
+    wv = np.array([weights[f] for f in feats], dtype=np.int64)
+    logit = weights["w0"] + (X.astype(np.int64) * wv).sum(axis=1)
+    pred = logit >= 0
+    tp = int(((pred == 1) & (y == 1)).sum())
+    fp = int(((pred == 1) & (y == 0)).sum())
+    fn = int(((pred == 0) & (y == 1)).sum())
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return 2 * prec * rec / max(prec + rec, 1e-12), prec, rec
+
+
+def refit(sf_dir: str) -> dict:
+    df = _features(sf_dir)
+    tr, ho = df[~df["holdout"]], df[df["holdout"]]
+    y_tr = tr["gopher_pass"].to_numpy(dtype=np.float64)
+    y_ho = ho["gopher_pass"].to_numpy(dtype=np.float64)
+
+    f1_inc, p_inc, r_inc = _f1(
+        _QM_W, ho[FEATS5].to_numpy(np.float64), y_ho, FEATS5
+    )
+    cand5 = _fit_int(tr[FEATS5].to_numpy(np.float64), y_tr, FEATS5)
+    f1_c5, p_c5, r_c5 = _f1(
+        cand5, ho[FEATS5].to_numpy(np.float64), y_ho, FEATS5
+    )
+    cand6 = _fit_int(tr[FEATS6].to_numpy(np.float64), y_tr, FEATS6)
+    f1_c6, p_c6, r_c6 = _f1(
+        cand6, ho[FEATS6].to_numpy(np.float64), y_ho, FEATS6
+    )
+
+    best_name, best_f1, best_w = max(
+        [("refit5", f1_c5, cand5), ("refit6_xent", f1_c6, cand6)],
+        key=lambda t: t[1],
+    )
+    decision = {
+        "sf_dir": sf_dir,
+        "n_train": int(len(tr)),
+        "n_holdout": int(len(ho)),
+        "f1_incumbent": round(f1_inc, 6),
+        "f1_refit5": round(f1_c5, 6),
+        "f1_refit6_xent": round(f1_c6, 6),
+        "swap_recommended": bool(best_f1 > f1_inc),
+        "best_candidate": best_name,
+    }
+    if decision["swap_recommended"]:
+        decision["candidate_weights"] = best_w
+    return decision
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    print(json.dumps(refit(sf_dir)))
+
+
+if __name__ == "__main__":
+    main()
