@@ -1436,3 +1436,35 @@ def test_quality_model_refit_gate_is_deterministic_and_strict():
     assert a["f1_incumbent"] >= 0.9
     if a["swap_recommended"]:
         assert "candidate_weights" in a
+
+
+def test_index_tick_enforces_single_writer(tmp_path):
+    """Multi-writer safety: the pending marker is O_EXCL, so a second
+    concurrent tick fails fast with IndexBusyError instead of both
+    writers interleaving appends and stomping the manifest; after the
+    first tick completes, the next one proceeds."""
+    import pytest
+    from uts_spark.functions.dedup import (
+        IndexBusyError,
+        index_state,
+        index_tick,
+    )
+
+    idx = str(tmp_path / "idx")
+    import os
+
+    os.makedirs(idx)
+
+    seen = []
+
+    def work_outer():
+        # while the outer tick holds the marker, a competitor must bounce
+        with pytest.raises(IndexBusyError):
+            index_tick(idx, "fp_competitor", lambda: seen.append("inner"))
+        seen.append("outer")
+
+    index_tick(idx, "fp1", work_outer)
+    assert seen == ["outer"], "competitor work must never have run"
+    assert index_state(idx) == "fp1"
+    index_tick(idx, "fp2", lambda: seen.append("second"))
+    assert seen == ["outer", "second"] and index_state(idx) == "fp2"

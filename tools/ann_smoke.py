@@ -177,7 +177,65 @@ def ann_delete_ab() -> None:
         spark.stop()
 
 
+def ivf_fit_smoke() -> None:
+    """Round 8: the drift monitor's per-tick cost must be BATCH-shaped
+    (score the append batch against 8 frozen centroids), never
+    corpus-shaped — and the re-cluster it can trigger is a full build,
+    which is why it runs only on a fired flag. Run:
+    python3 tools/ann_smoke.py --fit [n_vectors]"""
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.similarity import (
+        ivf_index_fit,
+        ivf_index_recluster,
+        ivf_index_write,
+    )
+    from uts_spark.session import get_spark
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_spark("ivf-fit-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = _synth_emb(spark, n).cache()
+    emb.count()
+    base = emb.filter(F.col("vec_id") % 100 != 7)
+    batch = emb.filter(F.col("vec_id") % 100 == 7)  # the 1% append tick
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    scratch = tempfile.mkdtemp(prefix="ivf_fit_")
+    path = os.path.join(scratch, "idx")
+    try:
+        timed("base_build_once", lambda: ivf_index_write(
+            base, path, n_cells=N_CELLS))
+        fit_b = timed("fit_batch_tick", lambda: ivf_index_fit(
+            spark, batch, path))
+        fit_f = timed("fit_full_corpus", lambda: ivf_index_fit(
+            spark, emb, path))
+        timed("recluster_full", lambda: ivf_index_recluster(
+            spark, emb, path, n_cells=N_CELLS))
+        print(json.dumps({
+            "vectors": n,
+            "batch": batch.count(),
+            "fit_batch": round(fit_b, 6),
+            "fit_full": round(fit_f, 6),
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--fit":
+        ivf_fit_smoke()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--ivf-append":
         ivf_append_ab()
         return

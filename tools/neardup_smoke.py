@@ -434,7 +434,75 @@ def index_delete_ab() -> None:
         spark.stop()
 
 
+def index_append_idem_ab() -> None:
+    """Round 8: the exactly-once streaming append's overhead vs the
+    plain append — same sketch + clustered write, plus a staging dir
+    and a per-file rename publish. The tax should be near-zero (renames
+    move no data) and the resulting row multisets identical. Run:
+    python3 tools/neardup_smoke.py --index-append-idem [docs]"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.dedup import (
+        minhash_index_append,
+        minhash_index_append_idempotent,
+        minhash_index_write,
+    )
+    from uts_spark.session import get_spark
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    mod = int(sys.argv[3]) if len(sys.argv) > 3 else 100  # 1% batch
+    spark = get_spark("minhash-append-idem-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_docs(spark, n_docs)
+    batch = docs.filter(F.col("doc_id") % mod == 3)
+    base = docs.filter(F.col("doc_id") % mod != 3)
+    n_batch = batch.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    scratch = tempfile.mkdtemp(prefix="mh_idem_")
+    p_plain, p_idem = os.path.join(scratch, "p"), os.path.join(scratch, "i")
+    try:
+        timed("base_build_plain", lambda: minhash_index_write(
+            base, "text", "doc_id", p_plain))
+        timed("base_build_idem", lambda: minhash_index_write(
+            base, "text", "doc_id", p_idem))
+        timed("append_plain", lambda: minhash_index_append(
+            batch, "text", "doc_id", p_plain))
+        timed("append_idempotent", lambda: minhash_index_append_idempotent(
+            batch, "text", "doc_id", p_idem, batch_id=0))
+        # replaying the SAME batch id converges (no duplication)
+        timed("append_idempotent_replay",
+              lambda: minhash_index_append_idempotent(
+                  batch, "text", "doc_id", p_idem, batch_id=0))
+        a = spark.read.parquet(p_plain)
+        b = spark.read.parquet(p_idem)
+        same = a.count() == b.count() and a.exceptAll(b).isEmpty()
+        print(json.dumps({
+            "docs": n_docs,
+            "batch_rows": n_batch,
+            "rows_agree_after_replay": same,
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--index-append-idem":
+        index_append_idem_ab()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--index-delete":
         index_delete_ab()
         return

@@ -668,17 +668,37 @@ def index_state(path: str) -> str | None:
     return m["fingerprint"] if m else None
 
 
+class IndexBusyError(RuntimeError):
+    """A concurrent writer holds the index's pending marker."""
+
+
 def index_tick(path: str, target_fp: str, work, **config) -> None:
     """One service mutation (append/delete/ingest) under the
     pending-marker protocol: write marker(target_fp) → ``work()`` →
     manifest bump → clear marker. Any crash inside the window leaves
     the marker behind, and :func:`index_state` reports the index as
-    untrusted so the next tick rebuilds instead of double-applying."""
+    untrusted so the next tick rebuilds instead of double-applying.
+
+    The marker is created with O_EXCL, so single-writer is ENFORCED,
+    not assumed: a second concurrent ticker fails fast with
+    :class:`IndexBusyError` instead of both writers interleaving
+    appends and stomping each other's manifest bump (the multi-writer
+    corruption mode). A crashed writer's stale marker surfaces as
+    ``index_state() is None`` — the caller's rebuild path — never as a
+    silent wait."""
     import json
     import os
 
     p = os.path.join(path, _PENDING_NAME)
-    with open(p, "w") as fh:
+    try:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise IndexBusyError(
+            f"index at {path}: another writer holds {_PENDING_NAME} — "
+            "concurrent tick refused (if the holder crashed, "
+            "index_state() is None and the caller rebuilds)"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
         json.dump({"fingerprint": target_fp, **config}, fh)
     work()
     index_manifest_write(path, target_fp, **config)

@@ -1655,3 +1655,43 @@ def _register_stream_dedup_ingest():
 
 
 stream_dedup_index_ingest_replay = _register_stream_dedup_ingest()
+
+
+def _register_stream_langid_route():
+    # oracle = the batch unicode router's SQL (unicode_ops loads after
+    # this module, so resolve it lazily inside a local import)
+    from uts_spark.queries.unicode_ops import _duck_ulang_case
+
+    @query("stream_langid_route_replay", _duck_ulang_case())
+    def stream_langid_route_replay(spark, sf_dir):
+        """Language ROUTING as docs arrive: the script-gated unicode
+        cascade (text_lang_id_unicode) applied per micro-batch — the
+        crawl-front shape where each document is tagged with its route
+        before any language-specific stage (tokenizer choice, lexicon
+        packs, per-language shards) sees it. The whole cascade is
+        map-only JVM Column expressions (regex class counts + unicode
+        token lexicon argmax), so the batch plan runs UNCHANGED on the
+        stream: zero Python, zero state, zero watermark; the replay
+        hash-matches the batch oracle verbatim."""
+        from uts_spark.functions.text import ulang_id
+        from uts_spark.queries.unicode_ops import _ucorpus
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+
+        def build(stream):
+            c = _ucorpus(stream)
+            out = c.select(
+                "doc_id",
+                F.col("ulabel").alias("label_lang"),
+                ulang_id(F.col("utext")).alias("pred_lang"),
+            )
+            return out, "append"
+
+        return _replay(spark, docs, build)
+
+    return stream_langid_route_replay
+
+
+stream_langid_route_replay = _register_stream_langid_route()
