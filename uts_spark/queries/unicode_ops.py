@@ -578,3 +578,183 @@ def text_bpe_fertility_by_lang(spark, sf_dir):
             (F.col("n_bytes") / F.col("n_tokens")).alias("bytes_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-prep v6 (round 8 capstone): LANGUAGE-ROUTED shards with
+# fertility-correct token budgeting. v5's production gates stay (frozen
+# quality model, SimHash near-dup removal); v6 adds the multilingual
+# front: every doc is routed by the script-gated cascade, and shards
+# are PER LANGUAGE with boundaries in BYTE-BPE tokens of the
+# multilingual text — which automatically applies the per-language
+# correction the fertility lane measures (char- or word-budgeted
+# shards under-pack zh by ~4.7x vs en; token-budgeted shards are what
+# the training stack actually consumes).
+#
+# Scale shape: ONE global range-partitioned exact prefix sum over the
+# total order (lang_idx, doc_id) — not 8 per-language single-partition
+# windows — then an 8-row broadcast join subtracts each language's
+# start offset. Everything upstream is the v5 machinery (map-only
+# gates, distinct-pretoken tokenizer).
+
+_V6_BUDGET = 12_000  # byte-level tokens per shard, per language
+
+
+def _duck_pipeline_v6() -> str:
+    from uts_spark.functions.bpe_pretrained import byte_merge_patterns_sql
+    from uts_spark.queries.llm_ops import (
+        _duck_quality_model_features,
+        _duck_simhash_pairs,
+        _qm_logit_sql,
+    )
+    from uts_spark.queries.sketch_ops import _PRETOK_RE
+
+    pre = _PRETOK_RE.replace("'", "''")
+    lang_idx = "CASE route_lang " + " ".join(
+        f"WHEN '{lab}' THEN {i}" for i, lab in enumerate(_ULAL_ORDER)
+    ) + " ELSE 99 END"
+    return f"""
+    WITH {_duck_quality_model_features()},
+    mdl AS (SELECT doc_id, {_qm_logit_sql()} >= 0 AS model_pass FROM qf),
+    pairs AS ({_duck_simhash_pairs()}),
+    route AS (SELECT doc_id, pred_lang FROM ({_duck_ulang_case()})),
+    uc AS ({_UCORPUS_DUCK}),
+    dpts6 AS (
+      SELECT doc_id, ws[i] AS pt
+      FROM (SELECT doc_id, regexp_extract_all(utext, '{pre}') AS ws
+            FROM uc),
+           unnest(range(1, len(ws) + 1)) AS u(i)
+    ),
+    bseg6 AS (
+      SELECT pt,
+             list_reduce(
+               list_prepend(
+                 regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+                 {byte_merge_patterns_sql()}),
+               (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+      FROM (SELECT DISTINCT pt FROM dpts6)
+    ),
+    btok6 AS (
+      SELECT pt,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok
+      FROM bseg6
+    ),
+    bpe6 AS (
+      SELECT d.doc_id, CAST(SUM(t.n_tok) AS BIGINT) AS n_btok
+      FROM dpts6 d JOIN btok6 t USING (pt) GROUP BY d.doc_id
+    ),
+    kept AS (
+      SELECT r.doc_id, r.pred_lang AS route_lang, b.n_btok
+      FROM route r JOIN mdl m USING (doc_id) JOIN bpe6 b USING (doc_id)
+      WHERE m.model_pass AND r.doc_id NOT IN (SELECT id_b FROM pairs)
+    ),
+    cum AS (
+      SELECT doc_id, route_lang, n_btok,
+             SUM(n_btok) OVER (ORDER BY {lang_idx}, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_btok AS cb
+      FROM kept
+    )
+    SELECT doc_id, route_lang, n_btok,
+           CAST((cb - MIN(cb) OVER (PARTITION BY route_lang))
+                // {_V6_BUDGET} AS BIGINT) AS shard
+    FROM cum
+    """
+
+
+@query("pipeline_training_prep_v6", _duck_pipeline_v6())
+def pipeline_training_prep_v6(spark, sf_dir):
+    """Training-prep v6 (module comment above): frozen-model quality
+    gate + SimHash near-dup removal (both on the raw text, as v5),
+    then LANGUAGE ROUTING via the unicode cascade and per-language
+    shard assignment with boundaries in byte-BPE tokens of the
+    multilingual text. The per-language prefix sums come from ONE
+    range-partitioned exact global prefix sum over the total order
+    (lang_idx * 2^40 + doc_id) — no single-partition window, no
+    8-partition skew — minus each language's start offset (an 8-row
+    broadcast join). Token budgeting makes the fertility correction
+    automatic: a zh shard holds ~4.7x less raw text than an en shard
+    at the same token budget, exactly what the training stack sees."""
+    from uts_spark.functions.dedup import simhash_band_pairs
+    from uts_spark.functions.text import ulang_id
+    from uts_spark.operators.distributed_rank import ranked_cumsum
+    from uts_spark.queries.llm_ops import _QM_W, _quality_model_features
+    from uts_spark.queries.sketch_ops import (
+        _PRETOK_RE,
+        _bpe_byte_pretoken_tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = _QM_W
+    feats = _quality_model_features(docs)
+    logit = (
+        F.lit(w["w0"])
+        + F.lit(w["x_len"]) * F.col("x_len")
+        + F.lit(w["x_stop"]) * F.col("x_stop")
+        + F.lit(w["x_mwl"]) * F.col("x_mwl")
+        + F.lit(w["x_ttr"]) * F.col("x_ttr")
+        + F.lit(w["x_rep"]) * F.col("x_rep")
+    ).cast("long")
+    mdl = feats.select("doc_id", (logit >= 0).alias("model_pass"))
+    pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
+
+    c = _ucorpus(docs)
+    route = c.select(
+        "doc_id", ulang_id(F.col("utext")).alias("route_lang")
+    )
+    dpts = c.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("utext"), F.lit(_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    toks = (
+        dpts.join(_bpe_byte_pretoken_tokens(dpts.select("pt").distinct()), "pt")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_btok"))
+    )
+    lang_idx = None
+    for i, lab in enumerate(_ULAL_ORDER):
+        cond = F.col("route_lang") == lab
+        lang_idx = (
+            F.when(cond, F.lit(i))
+            if lang_idx is None
+            else lang_idx.when(cond, F.lit(i))
+        )
+    lang_idx = lang_idx.otherwise(F.lit(99))
+    kept = (
+        route.join(mdl, "doc_id")
+        .join(toks, "doc_id")
+        .filter(F.col("model_pass"))
+        .join(
+            pairs.select(F.col("id_b").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .select(
+            "doc_id",
+            "route_lang",
+            "n_btok",
+            (lang_idx.cast("long") * F.lit(1 << 40) + F.col("doc_id")).alias(
+                "__ord"
+            ),
+        )
+    )
+    r = ranked_cumsum(
+        kept,
+        F.col("__ord"),
+        [F.asc("__ord")],
+        values={"tok": F.col("n_btok")},
+        n_buckets=64,
+    ).withColumn("cb", F.col("cum_tok") - F.col("n_btok"))
+    starts = r.groupBy("route_lang").agg(F.min("cb").alias("__start"))
+    return (
+        r.join(F.broadcast(starts), "route_lang")
+        .select(
+            "doc_id",
+            "route_lang",
+            "n_btok",
+            F.floor(
+                (F.col("cb") - F.col("__start")) / F.lit(_V6_BUDGET)
+            ).cast("long").alias("shard"),
+        )
+    )
