@@ -1468,3 +1468,65 @@ def test_index_tick_enforces_single_writer(tmp_path):
     assert index_state(idx) == "fp1"
     index_tick(idx, "fp2", lambda: seen.append("second"))
     assert seen == ["outer", "second"] and index_state(idx) == "fp2"
+
+
+def test_index_version_pinned_reads_and_reset_semantics(spark, tmp_path):
+    """Round 8 time travel: (a) a version-0-pinned probe of an
+    appended index equals a probe of the never-appended index; (b) the
+    replayed idempotent append does not duplicate its history line;
+    (c) erasure appends a RESET census and older pins raise."""
+    import os
+
+    import pytest
+    from uts_spark.functions.dedup import (
+        index_files_at,
+        index_history_versions,
+        minhash_index_append_idempotent,
+        minhash_index_delete,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 11 == 0)
+    b1 = docs.filter(F.col("doc_id") % 11 == 1)
+    b2 = docs.filter(F.col("doc_id") % 11 == 2)
+    cfg = dict(n=3, k=16, bands=4)
+
+    idx = str(tmp_path / "idx")
+    minhash_index_write(base, "text", "doc_id", idx, fingerprint="f0", **cfg)
+    ref = str(tmp_path / "ref")  # never-appended twin
+    minhash_index_write(base, "text", "doc_id", ref, fingerprint="f0", **cfg)
+
+    minhash_index_append_idempotent(b1, "text", "doc_id", idx, 0, **cfg)
+    # replay the same epoch: history must not grow a duplicate line
+    minhash_index_append_idempotent(b1, "text", "doc_id", idx, 0, **cfg)
+    recs = index_history_versions(idx)
+    assert [r["version"] for r in recs] == [0, 1]
+
+    def probe(path, old, **kw):
+        return sorted(
+            map(
+                tuple,
+                minhash_index_probe(
+                    spark, path, b2, old, "text", "doc_id",
+                    threshold=0.3, **cfg, **kw,
+                ).collect(),
+            )
+        )
+
+    pinned0 = probe(idx, base, version=0)
+    never = probe(ref, base)
+    assert pinned0 == never, "version-0 pin must hide the appended tick"
+    both = docs.filter(F.col("doc_id") % 11 <= 1)
+    assert probe(idx, both, version=1) == probe(idx, both)
+
+    # erasure invalidates earlier pins
+    n_files_before = len(index_files_at(idx, 1))
+    minhash_index_delete(spark, b1, "text", "doc_id", idx, **cfg)
+    recs = index_history_versions(idx)
+    assert recs[-1]["reset"] and recs[-1]["version"] == 2
+    with pytest.raises(ValueError, match="predates the rewrite"):
+        index_files_at(idx, 1)
+    assert len(index_files_at(idx, 2)) <= n_files_before
+    assert os.path.exists(idx)

@@ -615,9 +615,107 @@ def minhash_index_write(
     index_manifest_write(
         path, fingerprint or "", n=n, k=k, bands=bands, n_grps=n_grps
     )
+    index_history_append(
+        path, 0, _index_data_files(path), fingerprint=fingerprint or ""
+    )
 
 
 _MANIFEST_NAME = "_INDEX_MANIFEST.json"
+_HISTORY_NAME = "_MANIFEST_HISTORY.jsonl"
+
+
+def _index_data_files(path: str) -> list[str]:
+    """All data-file relpaths currently in the index's partition grid."""
+    import glob
+    import os
+
+    return sorted(
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(path, "band=*", "grp=*", "*.parquet"))
+    )
+
+
+def index_history_append(
+    path: str, version: int, files: list[str], reset: bool = False, **meta
+) -> None:
+    """Record one index VERSION in the append-only history sidecar:
+    the build writes version 0 with its full file census, each
+    idempotent append tick appends (version, its published files), and
+    rewriting verbs (DELETE) append a ``reset`` line carrying the full
+    post-rewrite census — erasure legally invalidates time travel to
+    the pre-erasure index, so versions before a reset become
+    unreadable BY DESIGN (GDPR wins over snapshots)."""
+    import json
+    import os
+
+    with open(os.path.join(path, _HISTORY_NAME), "a") as fh:
+        fh.write(
+            json.dumps(
+                {"version": version, "reset": reset, "files": files, **meta}
+            )
+            + "\n"
+        )
+
+
+def _index_history_rewrite(path: str, recs: list[dict]) -> None:
+    """Atomically replace the history sidecar (tmp + rename)."""
+    import json
+    import os
+
+    p = os.path.join(path, _HISTORY_NAME)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, p)
+
+
+def index_history_versions(path: str) -> list[dict]:
+    import json
+    import os
+
+    p = os.path.join(path, _HISTORY_NAME)
+    if not os.path.exists(p):
+        return []
+    with open(p) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def index_files_at(path: str, version: int) -> list[str]:
+    """The index's data-file set AT ``version`` (absolute paths):
+    the latest reset line at or below ``version`` plus every
+    subsequent append's files. Raises for versions older than the
+    last reset (those files are physically gone — see
+    index_history_append) and for unknown versions."""
+    import os
+
+    recs = index_history_versions(path)
+    if not recs:
+        raise ValueError(f"index at {path}: no version history")
+    known = {r["version"] for r in recs}
+    if version not in known:
+        raise ValueError(
+            f"index at {path}: unknown version {version} "
+            f"(history has {sorted(known)})"
+        )
+    resets = [r["version"] for r in recs if r.get("reset")]
+    newer_resets = [v for v in resets if v > version]
+    if newer_resets:
+        raise ValueError(
+            f"index at {path}: version {version} predates the rewrite at "
+            f"version {min(newer_resets)} — its files were physically "
+            "removed (erasure invalidates earlier snapshots by design)"
+        )
+    last_reset = max((v for v in resets if v <= version), default=0)
+    out: list[str] = []
+    for r in recs:
+        v = r["version"]
+        if v < last_reset or v > version:
+            continue
+        if r.get("reset") and v != last_reset:
+            continue
+        out.extend(r["files"])
+    return [os.path.join(path, f) for f in out]
 
 
 def index_manifest_write(path: str, fingerprint: str, **config) -> None:
@@ -823,6 +921,39 @@ def minhash_index_append_idempotent(
                 seq += 1
     shutil.rmtree(staged, ignore_errors=True)
 
+    # version history: this tick's published files become one version
+    # line (idempotent per batch_id — a replayed epoch REWRITES its own
+    # line with the re-published census instead of appending a second)
+    recs = index_history_versions(path)
+    if recs:
+        published = sorted(
+            os.path.relpath(p, path)
+            for p in glob.glob(
+                os.path.join(
+                    path, "band=*", "grp=*", f"b{batch_id}-*.parquet"
+                )
+            )
+        )
+        mine = [r for r in recs if r.get("batch_id") == batch_id]
+        if mine:
+            others = [r for r in recs if r.get("batch_id") != batch_id]
+            others.append(
+                {
+                    "version": mine[0]["version"],
+                    "reset": False,
+                    "files": published,
+                    "batch_id": batch_id,
+                }
+            )
+            _index_history_rewrite(path, sorted(others, key=lambda r: r["version"]))
+        else:
+            index_history_append(
+                path,
+                max(r["version"] for r in recs) + 1,
+                published,
+                batch_id=batch_id,
+            )
+
 
 def minhash_index_delete(
     spark,
@@ -858,9 +989,21 @@ def minhash_index_delete(
         .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
-    return delete_from_partitioned(
+    removed = delete_from_partitioned(
         spark, path, rows.select("id", "band", "grp"), ["band", "grp"], "id"
     )
+    # erasure physically rewrites partitions, so pre-delete snapshot
+    # versions are gone — record a RESET with the post-delete census
+    # (time travel resumes from here; see index_history_append)
+    recs = index_history_versions(path)
+    if recs:
+        index_history_append(
+            path,
+            max(r["version"] for r in recs) + 1,
+            _index_data_files(path),
+            reset=True,
+        )
+    return removed
 
 
 def minhash_index_probe(
@@ -876,6 +1019,7 @@ def minhash_index_probe(
     threshold: float = 0.5,
     n_grps: int = 16,
     checkpoint: bool = True,
+    version: int | None = None,
 ) -> DataFrame:
     """Probe the persisted index with a new batch: sketch the BATCH
     (batch-sized work only), push its distinct (band, grp) list into
@@ -913,7 +1057,18 @@ def minhash_index_probe(
     # for hundreds of probed partitions, and an empty probe batch
     # degrades to IN () = false, i.e. an empty result
     keys = sorted(int(b) * n_grps + int(g) for b, g in pdf.itertuples(index=False))
-    idx = spark.read.parquet(path).filter(
+    if version is None:
+        scan = spark.read.parquet(path)
+    else:
+        # VERSION-PINNED read: the scan sees exactly the file set the
+        # history recorded at `version` — a reader stays on a
+        # consistent snapshot while append ticks land (files published
+        # after the pin are invisible; batch-keyed names make the set
+        # reconstructible). basePath keeps (band, grp) as partition
+        # columns, so pruning is unchanged.
+        files = index_files_at(path, version)
+        scan = spark.read.option("basePath", path).parquet(*files)
+    idx = scan.filter(
         (F.col("band") * n_grps + F.col("grp")).isin(keys)
         if keys
         else F.lit(False)

@@ -5044,6 +5044,77 @@ def dedup_minhash_index_delete_probe(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_minhash_index_version_probe",
+    _duck_minhash_index_probe(
+        _MIDX_REM2,
+        old_pred=f" AND b.id % {_MIDX_MOD} != {_MIDX_REM}",
+    ),
+)
+def dedup_minhash_index_version_probe(spark, sf_dir):
+    """TIME TRAVEL on the band index (round 8): build over the base
+    corpus (history records VERSION 0 with its file census), fold
+    batch-1 in via the batch-id-keyed idempotent append (version 1 =
+    that tick's published files — the deterministic b{id}-* names make
+    every version's file set reconstructible), then probe batch-2
+    PINNED TO VERSION 0. The scan reads exactly version 0's files
+    (explicit file list + basePath, partition pruning unchanged), so
+    the result equals a probe of the never-appended index — the oracle
+    recomputes with old restricted to base — even though batch-1's
+    rows are physically present in the same directories. This is
+    snapshot isolation for index READERS while service ticks land:
+    a long-running dedup job pins the version it started on and never
+    sees a half-applied tick. Erasure intentionally breaks older
+    pins: minhash_index_delete appends a RESET census line and
+    index_files_at refuses versions that predate it (GDPR wins over
+    snapshots; pinned in tests)."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_state,
+        index_tick,
+        minhash_index_append_idempotent,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(
+        (F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+        & (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+    )
+    b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM)
+    b2 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM2)
+    old = docs.filter(F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+
+    fp0, fp1 = _frame_fingerprint(base), _frame_fingerprint(old)
+    cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+    path = minhash_index_path(sf_dir, fp0, **cfg) + "_ver"
+
+    state = index_state(path)
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        minhash_index_write(
+            base, "text", "doc_id", path, fingerprint=fp0, **cfg
+        )
+        state = fp0
+    if state == fp0:
+        index_tick(
+            path, fp1,
+            lambda: minhash_index_append_idempotent(
+                b1, "text", "doc_id", path, batch_id=0, **cfg
+            ),
+            **cfg,
+        )
+
+    return minhash_index_probe(
+        spark, path, b2, base, "text", "doc_id",
+        threshold=_MIDX_THR, version=0, **cfg,
+    )
+
+
 # --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
 #
 # Engine-neutral logarithms: the per-position discounts 1/log2(p+1) are
