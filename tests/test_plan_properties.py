@@ -811,3 +811,52 @@ def test_privacy_verdict_joins_unhinted_but_aqe_broadcasts(spark, sf_dir):
         df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in p, name
+
+
+def test_version_pinned_index_probe_still_partition_pruned(spark, sf_dir):
+    # round 8: a version-pinned probe reads an EXPLICIT file list with
+    # basePath — the claim that partition pruning survives must be
+    # plan-pinned, not asserted: the pinned scan's PartitionFilters
+    # still carries both partition columns. The registered query eagerly
+    # checkpoints (hiding lineage), so build the index through it, then
+    # re-issue the pinned probe lazily.
+    from uts_spark.functions.dedup import minhash_index_probe
+    from uts_spark.queries.llm_ops import (
+        _MIDX_BANDS,
+        _MIDX_K,
+        _MIDX_MOD,
+        _MIDX_N,
+        _MIDX_REM,
+        _MIDX_REM2,
+        _MIDX_THR,
+        _frame_fingerprint,
+        minhash_index_path,
+    )
+
+    QUERIES["dedup_minhash_index_version_probe"](spark, sf_dir).collect()
+
+    from pyspark.sql import functions as F
+
+    docs = QUERIES  # noqa: F841  (placeholder keeps import block tight)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.filter(
+        (F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+        & (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+    )
+    b2 = d.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM2)
+    cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+    path = minhash_index_path(sf_dir, _frame_fingerprint(base), **cfg) + "_ver"
+    df = minhash_index_probe(
+        spark, path, b2, base, "text", "doc_id",
+        threshold=_MIDX_THR, version=0, checkpoint=False, **cfg,
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # select the index scans by their read schema (id, bucket, band,
+    # grp) — the Location path list is width-truncated in plan strings
+    index_scans = [
+        seg for seg in p.split("FileScan")[1:] if "bucket#" in seg[:200]
+    ]
+    assert index_scans, "version-pinned index scan missing from the plan"
+    for seg in index_scans:
+        filters = seg.split("PartitionFilters: [", 1)[1].split("]")[0]
+        assert "band" in filters and "grp" in filters, filters

@@ -1234,6 +1234,67 @@ def _pq_codebook_exp(
     )
 
 
+def ivfpq_distortion_stat(
+    emb: DataFrame,
+    cexp: DataFrame,
+    dim: int,
+    m_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ QUANTIZATION DISTORTION against an explicit
+    codebook: the sum over subspaces of the snapped squared distance
+    to the NEAREST codebook entry — exactly the error the stored code
+    array commits to, as an exact long. The codebook-side drift
+    monitor (VERDICT r7 #4's second quantizer): cell fit can hold
+    while ADC scores rot, because coarse assignment and code
+    quantization drift independently. Returns (id_col, dist_n).
+    Cost: |emb| x n_cent broadcast scoring per subspace —
+    batch-shaped when called on a batch."""
+    d_sub = dim // m_sub
+    subs = F.array(*[
+        F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
+    ])
+    return (
+        emb.select(
+            F.col(id_col).alias("__vid"), F.posexplode(subs).alias("m", "vsub")
+        )
+        .join(F.broadcast(cexp), "m")
+        .select("__vid", "m", _pq_d2n(F.col("vsub"), F.col("csub")).alias("d"))
+        .groupBy("__vid", "m")
+        .agg(F.min("d").alias("dm"))
+        .groupBy("__vid")
+        .agg(F.sum("dm").alias("dist_n"))
+        .select(F.col("__vid").alias(id_col), "dist_n")
+    )
+
+
+def ivfpq_index_distortion(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    dim: int,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Service-side PQ drift monitor: mean quantization distortion of
+    a batch against the index's FROZEN codebook (path/_codebook).
+    Companion to ivf_index_fit — run both per append tick; re-encode /
+    re-train (rebuild with a fresh codebook) when the batch's
+    distortion materially exceeds the build-time corpus distortion
+    (calibrated threshold in similarity_ann_ivfpq_drift_monitor)."""
+    import os
+
+    cexp = spark.read.parquet(os.path.join(path, "_codebook"))
+    row = (
+        ivfpq_distortion_stat(emb_batch, cexp, dim, m_sub, id_col, vec_col)
+        .agg(F.sum("dist_n").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    return (row["s"] / row["n"]) / SCALE if row["n"] else float("nan")
+
+
 def ivfpq_index_write(
     emb: DataFrame,
     path: str,
@@ -1329,10 +1390,15 @@ def ivfpq_index_append(
 
     Drift exposure is DOUBLE here — frozen centroids mis-cell drifted
     batches AND the frozen codebook quantizes them badly, so ADC
-    scores degrade on top of cell pruning. Same re-cluster policy as
-    ivf_index_append (monitor with ivf_index_fit against _centroids;
-    rebuild when the fit ratio drops below the measured 0.82 or the
-    appended volume exceeds the base)."""
+    scores degrade on top of cell pruning. Monitor BOTH per tick:
+    ivf_index_fit against _centroids (re-cluster below the measured
+    0.82 fit ratio) and ivfpq_index_distortion against _codebook
+    (re-encode above the measured 1.3x distortion ratio — the louder
+    signal: measured 0.999/1.65/16.6 over the drift ladder vs the
+    cosine fit's 0.85/0.80/0.64, because distortion grows with the
+    squared shift while top-1 cosine saturates; SCALE.md round-8
+    distortion table). Rebuild also when appended volume exceeds the
+    base build."""
     import os
 
     from uts_spark.sources.sinks import write_partitioned

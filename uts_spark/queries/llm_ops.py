@@ -4744,6 +4744,129 @@ def similarity_ann_ivf_drift_monitor(spark, sf_dir):
     return out
 
 
+# re-encode flag threshold: batch distortion > 1.3x build (13/10 exact)
+
+
+def _duck_pq_drift_monitor() -> str:
+    d2n = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> CAST(floor((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * 1e12 + 0.5) "
+        "AS BIGINT)))"
+    )
+    arms = []
+    for delta in _DRIFT_LEVELS:
+        arms.append(f"""
+    SELECT CAST({float(delta)!r} AS DOUBLE) AS drift, n_base, n_batch,
+           (CAST(s_base AS DOUBLE) / n_base) / 1e12 AS base_dist,
+           (CAST(s_batch AS DOUBLE) / n_batch) / 1e12 AS batch_dist,
+           (s_batch * n_base) / CAST(s_base * n_batch AS DOUBLE)
+             AS dist_ratio,
+           s_batch * n_base * 13 > 10 * s_base * n_batch AS recode
+    FROM (
+      WITH corpus AS ({_duck_drift_corpus(delta)}),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM corpus
+        WHERE vec_id < {_DRIFT_ID0}
+        ORDER BY {duck_hash64("concat('pqc:', CAST(vec_id AS VARCHAR))")},
+                 vec_id
+        LIMIT {_PQ_C}
+      ),
+      ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+      cexp AS (
+        SELECT cent_id, m,
+               cv[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}] AS csub
+        FROM cents, ms
+      ),
+      vexp AS (
+        SELECT vec_id, m,
+               embedding[m * {_PQ_D} + 1 : m * {_PQ_D} + {_PQ_D}] AS vsub
+        FROM corpus, ms
+        WHERE vec_id NOT IN (SELECT cent_id FROM cents)
+      ),
+      dmin AS (
+        SELECT vec_id, v.m,
+               MIN({d2n.format(a='vsub', b='csub', n=_PQ_D)}) AS dm
+        FROM vexp v JOIN cexp c ON c.m = v.m GROUP BY vec_id, v.m
+      ),
+      dist AS (SELECT vec_id, SUM(dm) AS dist_n FROM dmin GROUP BY vec_id)
+      SELECT
+        SUM(CASE WHEN vec_id < {_DRIFT_ID0} THEN dist_n END) AS s_base,
+        COUNT(CASE WHEN vec_id < {_DRIFT_ID0} THEN 1 END) AS n_base,
+        SUM(CASE WHEN vec_id >= {_DRIFT_ID0} THEN dist_n END) AS s_batch,
+        COUNT(CASE WHEN vec_id >= {_DRIFT_ID0} THEN 1 END) AS n_batch
+      FROM dist
+    )""")
+    return " UNION ALL ".join(arms)
+
+
+@query("similarity_ann_ivfpq_drift_monitor", _duck_pq_drift_monitor())
+def similarity_ann_ivfpq_drift_monitor(spark, sf_dir):
+    """The CODEBOOK-side drift monitor (the second quantizer): cell
+    fit can hold while ADC scores rot, because coarse assignment and
+    PQ quantization drift independently. Per drift level: mean PQ
+    quantization DISTORTION (sum over subspaces of the snapped squared
+    distance to the nearest frozen-codebook entry — exactly the error
+    every stored code array commits to) for the build corpus (codebook
+    source vectors excluded: their self-distortion is 0) vs the append
+    batch, the exact-integer ratio, and the re-encode flag. Measured
+    at sf0.01: ratio 0.999 at drift 0 (pure sampling noise), 1.65 at
+    0.125, 16.6 at 0.5 — a far LOUDER signal than the cosine fit
+    (0.85 -> 0.80 -> 0.64 over the same ladder) because distortion
+    grows with the squared shift while top-1 cosine saturates; the
+    1.3x threshold sits far from both sides. Service verb:
+    functions/similarity.ivfpq_index_distortion (batch x codebook
+    scoring against path/_codebook, one number per tick)."""
+    from uts_spark.functions.similarity import (
+        SCALE,
+        _pq_codebook_exp,
+        ivfpq_distortion_stat,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    out = None
+    for delta in _DRIFT_LEVELS:
+        base, corpus = _drift_frames(e, delta)
+        cexp = _pq_codebook_exp(base, EMB_DIM, _PQ_M, _PQ_C, "vec_id", "embedding")
+        members = corpus.join(
+            cexp.select(F.col("cent_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        )
+        dist = ivfpq_distortion_stat(members, cexp, EMB_DIM, _PQ_M)
+        is_base = F.col("vec_id") < _DRIFT_ID0
+        agg = dist.agg(
+            F.sum(F.when(is_base, F.col("dist_n"))).alias("s_base"),
+            F.count(F.when(is_base, F.lit(1))).alias("n_base"),
+            F.sum(F.when(~is_base, F.col("dist_n"))).alias("s_batch"),
+            F.count(F.when(~is_base, F.lit(1))).alias("n_batch"),
+        )
+        row = agg.select(
+            F.lit(float(delta)).alias("drift"),
+            "n_base",
+            "n_batch",
+            (F.col("s_base") / F.col("n_base") / F.lit(SCALE)).alias(
+                "base_dist"
+            ),
+            (F.col("s_batch") / F.col("n_batch") / F.lit(SCALE)).alias(
+                "batch_dist"
+            ),
+            (
+                F.col("s_batch") * F.col("n_base")
+                / (F.col("s_base") * F.col("n_batch"))
+            ).alias("dist_ratio"),
+            (
+                # exact integer cross-multiply for ratio > 1.3 = 13/10;
+                # small factors keep the products inside BIGINT even at
+                # drift 0.5's ~17x distortions (x1000 overflowed)
+                F.col("s_batch") * F.col("n_base") * F.lit(13)
+                > F.lit(10) * F.col("s_base") * F.col("n_batch")
+            ).alias("recode"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 # --- Persisted MinHash band index: dedup-as-a-service (round 6) -------------
 
 _MIDX_MOD, _MIDX_REM = 11, 3  # new batch = doc_id % 11 == 3 (~9% of docs)
