@@ -1530,3 +1530,37 @@ def test_index_version_pinned_reads_and_reset_semantics(spark, tmp_path):
         index_files_at(idx, 1)
     assert len(index_files_at(idx, 2)) <= n_files_before
     assert os.path.exists(idx)
+
+
+def test_ivf_append_idempotent_replay_converges(spark, tmp_path):
+    """The ANN sibling of the dedup exactly-once append (shared
+    staged-publish kernel): a replayed batch id converges to the same
+    physical index as a single plain append — no duplicated vectors,
+    batch-keyed file names."""
+    import glob
+    import os
+
+    from uts_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_append_idempotent,
+        ivf_index_write,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+
+    p_plain, p_idem = str(tmp_path / "p"), str(tmp_path / "i")
+    ivf_index_write(base, p_plain, n_cells=8)
+    ivf_index_write(base, p_idem, n_cells=8)
+    ivf_index_append(spark, batch, p_plain)
+    ivf_index_append_idempotent(spark, batch, p_idem, 0)
+    ivf_index_append_idempotent(spark, batch, p_idem, 0)  # replay
+
+    cols = ["vec_id", "cell"]
+    a = sorted(map(tuple, spark.read.parquet(p_plain).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(p_idem).select(*cols).collect()))
+    assert a == b, "replayed idempotent append diverged from plain append"
+    pub = glob.glob(os.path.join(p_idem, "cell=*", "b0-*.parquet"))
+    assert pub, "batch-keyed publish names missing"
+    assert not os.path.exists(os.path.join(p_idem, "_staging", "b0"))

@@ -885,11 +885,7 @@ def minhash_index_append_idempotent(
     query-level pending-marker tick still guards the WHOLE stream; this
     makes the cheap path — resume from the checkpoint without a
     rebuild — actually exact."""
-    import glob
-    import os
-    import shutil
-
-    from uts_spark.sources.sinks import write_partitioned
+    from uts_spark.sources.sinks import staged_idempotent_append
 
     _check_index_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
     arrays = doc_shingle_arrays_portable(df, text_col, id_col, n)
@@ -899,60 +895,40 @@ def minhash_index_append_idempotent(
         .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
-    staged = os.path.join(path, "_staging", f"b{batch_id}")
-    write_partitioned(rows, staged, ["band", "grp"], cluster=True)
+    published = staged_idempotent_append(rows, path, ["band", "grp"], batch_id)
+    _index_history_record_batch(path, batch_id, published)
 
-    for stale in glob.glob(
-        os.path.join(path, "band=*", "grp=*", f"b{batch_id}-*.parquet")
-    ):
-        os.remove(stale)
 
-    seq = 0
-    for band_dir in sorted(glob.glob(os.path.join(staged, "band=*"))):
-        for grp_dir in sorted(glob.glob(os.path.join(band_dir, "grp=*"))):
-            tgt = os.path.join(
-                path, os.path.basename(band_dir), os.path.basename(grp_dir)
-            )
-            os.makedirs(tgt, exist_ok=True)
-            for f in sorted(glob.glob(os.path.join(grp_dir, "*.parquet"))):
-                os.replace(
-                    f, os.path.join(tgt, f"b{batch_id}-{seq}.parquet")
-                )
-                seq += 1
-    shutil.rmtree(staged, ignore_errors=True)
-
-    # version history: this tick's published files become one version
-    # line (idempotent per batch_id — a replayed epoch REWRITES its own
-    # line with the re-published census instead of appending a second)
+def _index_history_record_batch(
+    path: str, batch_id: int, published: list[str]
+) -> None:
+    """Record one idempotent-append tick in the version history (no-op
+    when the index predates the history feature). Idempotent per
+    batch_id — a replayed epoch REWRITES its own line with the
+    re-published census instead of appending a second."""
     recs = index_history_versions(path)
-    if recs:
-        published = sorted(
-            os.path.relpath(p, path)
-            for p in glob.glob(
-                os.path.join(
-                    path, "band=*", "grp=*", f"b{batch_id}-*.parquet"
-                )
-            )
+    if not recs:
+        return
+    published = sorted(published)
+    mine = [r for r in recs if r.get("batch_id") == batch_id]
+    if mine:
+        others = [r for r in recs if r.get("batch_id") != batch_id]
+        others.append(
+            {
+                "version": mine[0]["version"],
+                "reset": False,
+                "files": published,
+                "batch_id": batch_id,
+            }
         )
-        mine = [r for r in recs if r.get("batch_id") == batch_id]
-        if mine:
-            others = [r for r in recs if r.get("batch_id") != batch_id]
-            others.append(
-                {
-                    "version": mine[0]["version"],
-                    "reset": False,
-                    "files": published,
-                    "batch_id": batch_id,
-                }
-            )
-            _index_history_rewrite(path, sorted(others, key=lambda r: r["version"]))
-        else:
-            index_history_append(
-                path,
-                max(r["version"] for r in recs) + 1,
-                published,
-                batch_id=batch_id,
-            )
+        _index_history_rewrite(path, sorted(others, key=lambda r: r["version"]))
+    else:
+        index_history_append(
+            path,
+            max(r["version"] for r in recs) + 1,
+            published,
+            batch_id=batch_id,
+        )
 
 
 def minhash_index_delete(

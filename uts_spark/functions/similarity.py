@@ -1055,6 +1055,31 @@ def ivf_index_fit(
     return (row["s"] / row["n"]) / FIT_SCALE if row["n"] else float("nan")
 
 
+def ivf_index_append_idempotent(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """EXACTLY-ONCE micro-batch vector append for the ANN streaming
+    ingest (the IVF sibling of dedup.minhash_index_append_idempotent):
+    assign the batch against the index's FROZEN centroids, then
+    publish through the shared staged-append kernel
+    (sinks.staged_idempotent_append) — a micro-batch replayed after a
+    mid-epoch crash sweeps its own torn publish and converges to the
+    identical physical index. Same batch-shaped cost as
+    ivf_index_append plus renames."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
+    from uts_spark.sources.sinks import staged_idempotent_append
+
+    staged_idempotent_append(assigned, path, ["cell"], batch_id)
+
+
 def ivf_index_recluster(
     spark,
     emb_full: DataFrame,

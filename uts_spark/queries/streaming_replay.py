@@ -1695,3 +1695,105 @@ def _register_stream_langid_route():
 
 
 stream_langid_route_replay = _register_stream_langid_route()
+
+
+def _register_stream_ann_ingest():
+    # final index = base + batch assigned against frozen base centroids,
+    # independent of micro-batch boundaries — exactly what the batch
+    # APPEND lane's oracle recomputes
+    from uts_spark.registry import ORACLES
+
+    @query(
+        "stream_ann_index_ingest_replay",
+        ORACLES["similarity_ann_ivf_append_probe"],
+    )
+    def stream_ann_index_ingest_replay(spark, sf_dir):
+        """The VECTOR service's INGEST LOOP as Structured Streaming
+        (the ANN sibling of stream_dedup_index_ingest_replay): new
+        embeddings arrive as 4 micro-batches and foreachBatch folds
+        each into the persisted cell-partitioned IVF index via the
+        batch-id-keyed EXACTLY-ONCE append
+        (similarity.ivf_index_append_idempotent — frozen-centroid
+        assignment + the shared staged-publish kernel, so a replayed
+        epoch converges instead of duplicating vectors). The whole
+        stream runs as one pending-marker tick; after it drains the
+        manifest bumps and anchors probe the updated index with the
+        frozen centroids. Final index rows are independent of
+        micro-batch boundaries, so the probe hash-matches the batch
+        append lane's oracle verbatim."""
+        import os
+        import shutil
+        import tempfile
+
+        from uts_spark.functions.dedup import (
+            index_manifest_write,
+            index_state,
+            index_tick,
+        )
+        from uts_spark.functions.similarity import (
+            ivf_index_append_idempotent,
+            ivf_index_probe,
+            ivf_index_write,
+        )
+        from uts_spark.queries.llm_ops import (
+            _IVF_APP_MOD,
+            _IVF_APP_REM,
+            _emb_frame_fingerprint,
+            ivf_index_path,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+        batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+        path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_ingest"
+
+        state = index_state(path)
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            ivf_index_write(base, path, n_cells=8)
+            index_manifest_write(path, fp0, n_cells=8)
+            state = fp0
+        if state == fp0:
+
+            def _ingest():
+                scratch = tempfile.mkdtemp(prefix="uts_ann_ingest_")
+                try:
+                    src = os.path.join(scratch, "src")
+                    chk = os.path.join(scratch, "chk")
+                    batch.select("vec_id", "embedding").repartition(
+                        4
+                    ).write.parquet(src)
+                    stream = (
+                        spark.readStream.schema(
+                            "vec_id long, embedding array<float>"
+                        )
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(src)
+                    )
+                    q = (
+                        stream.writeStream.foreachBatch(
+                            lambda bdf, bid: ivf_index_append_idempotent(
+                                spark, bdf, path, bid
+                            )
+                        )
+                        .option("checkpointLocation", chk)
+                        .start()
+                    )
+                    try:
+                        q.processAllAvailable()
+                    finally:
+                        q.stop()
+                finally:
+                    shutil.rmtree(scratch, ignore_errors=True)
+
+            index_tick(path, fp1, _ingest, n_cells=8)
+
+        anchors = e.filter(F.col("vec_id") < 5)
+        return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
+
+    return stream_ann_index_ingest_replay
+
+
+stream_ann_index_ingest_replay = _register_stream_ann_ingest()

@@ -85,6 +85,61 @@ def write_partitioned(
     )
 
 
+def staged_idempotent_append(
+    rows: "DataFrame",
+    path: str,
+    partition_by: list[str],
+    batch_id: int,
+) -> list[str]:
+    """EXACTLY-ONCE partitioned append keyed by ``batch_id`` (the
+    shared kernel behind the streaming ingest lanes): stage the rows
+    under ``path/_staging/b{batch_id}`` in overwrite mode (underscore
+    dir — invisible to partition discovery; a torn prior staging of
+    the same batch is replaced wholesale), SWEEP any
+    ``b{batch_id}-*.parquet`` a crashed prior attempt already
+    published into the partition grid, then os.replace each staged
+    file into its partition dir under the deterministic name
+    ``b{batch_id}-{seq}.parquet``. Every crash window replays to the
+    identical physical table. Returns the published relpaths (for
+    version-history sidecars). Cost: the same clustered write a plain
+    append does, plus renames — no data copy."""
+    import glob
+    import os
+    import shutil
+
+    staged = os.path.join(path, "_staging", f"b{batch_id}")
+    write_partitioned(rows, staged, partition_by, cluster=True)
+
+    pat = [f"{c}=*" for c in partition_by]
+    for stale in glob.glob(
+        os.path.join(path, *pat, f"b{batch_id}-*.parquet")
+    ):
+        os.remove(stale)
+
+    published: list[str] = []
+    seq = 0
+
+    def walk(src_dir: str, rel_parts: list[str], depth: int):
+        nonlocal seq
+        if depth == len(partition_by):
+            tgt = os.path.join(path, *rel_parts)
+            os.makedirs(tgt, exist_ok=True)
+            for f in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+                name = f"b{batch_id}-{seq}.parquet"
+                os.replace(f, os.path.join(tgt, name))
+                published.append(os.path.join(*rel_parts, name))
+                seq += 1
+            return
+        for d in sorted(
+            glob.glob(os.path.join(src_dir, f"{partition_by[depth]}=*"))
+        ):
+            walk(d, rel_parts + [os.path.basename(d)], depth + 1)
+
+    walk(staged, [], 0)
+    shutil.rmtree(staged, ignore_errors=True)
+    return published
+
+
 def compact_partitioned(
     spark, path: str, partition_by: list[str]
 ) -> tuple[int, int]:
