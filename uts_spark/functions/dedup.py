@@ -624,14 +624,17 @@ _MANIFEST_NAME = "_INDEX_MANIFEST.json"
 _HISTORY_NAME = "_MANIFEST_HISTORY.jsonl"
 
 
-def _index_data_files(path: str) -> list[str]:
-    """All data-file relpaths currently in the index's partition grid."""
+def _index_data_files(
+    path: str, parts: tuple[str, ...] = ("band=*", "grp=*")
+) -> list[str]:
+    """All data-file relpaths currently in the index's partition grid
+    (``parts`` names the grid — the IVF family passes ("cell=*",))."""
     import glob
     import os
 
     return sorted(
         os.path.relpath(p, path)
-        for p in glob.glob(os.path.join(path, "band=*", "grp=*", "*.parquet"))
+        for p in glob.glob(os.path.join(path, *parts, "*.parquet"))
     )
 
 

@@ -955,6 +955,9 @@ def ivf_index_write(
     import os
 
     cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
+    from uts_spark.functions.dedup import _index_data_files, index_history_append
+
+    index_history_append(path, 0, _index_data_files(path, ("cell=*",)))
 
 
 def ivf_index_append(
@@ -1075,9 +1078,11 @@ def ivf_index_append_idempotent(
 
     cents = spark.read.parquet(os.path.join(path, "_centroids"))
     assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
+    from uts_spark.functions.dedup import _index_history_record_batch
     from uts_spark.sources.sinks import staged_idempotent_append
 
-    staged_idempotent_append(assigned, path, ["cell"], batch_id)
+    published = staged_idempotent_append(assigned, path, ["cell"], batch_id)
+    _index_history_record_batch(path, batch_id, published)
 
 
 def ivf_index_recluster(
@@ -1148,7 +1153,23 @@ def ivf_index_delete(
     located = _ivf_assign(emb_deleted, cents, id_col, vec_col).select(
         id_col, "cell"
     )
-    return delete_from_partitioned(spark, path, located, ["cell"], id_col)
+    removed = delete_from_partitioned(spark, path, located, ["cell"], id_col)
+    from uts_spark.functions.dedup import (
+        _index_data_files,
+        index_history_append,
+        index_history_versions,
+    )
+
+    recs = index_history_versions(path)
+    if recs:
+        # erasure rewrites cells: older pins become unreadable (reset)
+        index_history_append(
+            path,
+            max(r["version"] for r in recs) + 1,
+            _index_data_files(path, ("cell=*",)),
+            reset=True,
+        )
+    return removed
 
 
 def ivf_index_probe(
@@ -1161,6 +1182,7 @@ def ivf_index_probe(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    version: int | None = None,
 ) -> DataFrame:
     """Probe the persisted IVF index: each anchor ranks the (tiny,
     recomputed from the same hash seed) centroid table, its n_probe
@@ -1193,7 +1215,16 @@ def ivf_index_probe(
     )
     pdf = probes.select("cell").distinct().toPandas()
     cells = sorted(int(c) for (c,) in pdf.itertuples(index=False))
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(
+    if version is None:
+        scan = spark.read.parquet(path)
+    else:
+        # version-pinned read (same device as the minhash probe): the
+        # scan sees exactly the file census the history recorded
+        from uts_spark.functions.dedup import index_files_at
+
+        files = index_files_at(path, version)
+        scan = spark.read.option("basePath", path).parquet(*files)
+    idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
         "cell",
@@ -1483,6 +1514,7 @@ def ivfpq_index_probe(
     rerank: int = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    version: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank over the persisted COMPOSED index
     (:func:`ivfpq_index_write`):
@@ -1536,7 +1568,16 @@ def ivfpq_index_probe(
     )
     pdf = probes.select("cell").distinct().toPandas()
     cells = sorted(int(c) for (c,) in pdf.itertuples(index=False))
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells)).select(
+    if version is None:
+        scan = spark.read.parquet(path)
+    else:
+        # version-pinned read (same device as the minhash probe): the
+        # scan sees exactly the file census the history recorded
+        from uts_spark.functions.dedup import index_files_at
+
+        files = index_files_at(path, version)
+        scan = spark.read.option("basePath", path).parquet(*files)
+    idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
         "codes",

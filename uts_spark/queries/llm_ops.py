@@ -3978,6 +3978,65 @@ def similarity_ann_ivf_append_probe(spark, sf_dir):
     return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
 
 
+@query(
+    "similarity_ann_ivf_version_probe",
+    _duck_ivf_det_frozen(
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}"
+    ),
+)
+def similarity_ann_ivf_version_probe(spark, sf_dir):
+    """TIME TRAVEL on the vector index (the IVF sibling of
+    dedup_minhash_index_version_probe): build over the base vectors
+    (history records version 0's cell-file census), fold the rem-7
+    batch in via the batch-id-keyed exactly-once append (version 1 =
+    that tick's published files), then probe anchors PINNED TO
+    VERSION 0 — the appended vectors are physically present in the
+    same cell directories yet invisible to the pinned scan, so the
+    result equals the never-appended index: oracle = the
+    frozen-base-centroid recompute with candidate membership
+    restricted to base. Erasure appends a RESET census
+    (ivf_index_delete) and older pins raise, same GDPR-over-snapshots
+    rule as the dedup index."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        index_state,
+        index_tick,
+    )
+    from uts_spark.functions.similarity import (
+        ivf_index_append_idempotent,
+        ivf_index_probe,
+        ivf_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+    path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_vver"
+
+    state = index_state(path)
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivf_index_write(base, path, n_cells=8)
+        index_manifest_write(path, fp0, n_cells=8)
+        state = fp0
+    if state == fp0:
+        index_tick(
+            path, fp1,
+            lambda: ivf_index_append_idempotent(spark, batch, path, 0),
+            n_cells=8,
+        )
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_index_probe(
+        spark, path, anchors, None, k=10, n_probe=3, version=0
+    )
+
+
 def _duck_ivfpq(base_where: str = "", member_where: str = "") -> str:
     # IVF coarse stage verbatim from similarity_ann_ivf_det's oracle
     # (n_cells=8, n_probe=3); PQ stage from similarity_ann_pq_adc's
