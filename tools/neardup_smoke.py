@@ -499,7 +499,75 @@ def index_append_idem_ab() -> None:
         spark.stop()
 
 
+def version_probe_ab() -> None:
+    """Round 8: version-pinned probe cost vs the unpinned probe — the
+    pin swaps directory discovery for an explicit file list from the
+    history sidecar (same partition pruning, plan-pinned), so the
+    overhead should be driver-side file-list assembly only. Run:
+    python3 tools/neardup_smoke.py --version-probe [docs]"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.dedup import (
+        minhash_index_append_idempotent,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+    from uts_spark.session import get_spark
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_spark("minhash-version-probe-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _synth_docs(spark, n_docs)
+    base = docs.filter(F.col("doc_id") % 100 > 4)
+    b1 = docs.filter(F.col("doc_id") % 100 <= 2)   # appended tick
+    probe_batch = docs.filter(F.col("doc_id") % 100 == 4)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t, 2)
+        return out
+
+    scratch = tempfile.mkdtemp(prefix="mh_vp_")
+    path = os.path.join(scratch, "idx")
+    try:
+        timed("base_build_once", lambda: minhash_index_write(
+            base, "text", "doc_id", path, fingerprint="fp0"))
+        timed("append_tick", lambda: minhash_index_append_idempotent(
+            b1, "text", "doc_id", path, batch_id=0))
+
+        def run_probe(**kw):
+            return minhash_index_probe(
+                spark, path, probe_batch, docs, "text", "doc_id",
+                threshold=0.5, **kw,
+            ).count()
+
+        n_plain = timed("probe_unpinned", run_probe)
+        n_v1 = timed("probe_pinned_v1", lambda: run_probe(version=1))
+        n_v0 = timed("probe_pinned_v0", lambda: run_probe(version=0))
+        print(json.dumps({
+            "docs": n_docs,
+            "pairs_unpinned": n_plain,
+            "pairs_v1": n_v1,
+            "pairs_v0": n_v0,
+            "v1_equals_unpinned": n_v1 == n_plain,
+            "timings": timings,
+            "loadavg": os.getloadavg()[0],
+        }))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--version-probe":
+        version_probe_ab()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--index-append-idem":
         index_append_idem_ab()
         return
