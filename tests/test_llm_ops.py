@@ -1564,3 +1564,83 @@ def test_ivf_append_idempotent_replay_converges(spark, tmp_path):
     pub = glob.glob(os.path.join(p_idem, "cell=*", "b0-*.parquet"))
     assert pub, "batch-keyed publish names missing"
     assert not os.path.exists(os.path.join(p_idem, "_staging", "b0"))
+
+
+def test_lsh_ivfpq_exactly_once_and_version_pins(spark, tmp_path):
+    """Round 8 completes the service matrix across all four persisted
+    families: LSH and IVF-PQ get the same batch-id-keyed exactly-once
+    append (replay converges to the plain append's rows) and — for
+    LSH — version-pinned probes (v0 hides the appended tick; a delete
+    resets the history so older pins raise)."""
+    import os
+
+    import pytest
+    import uts_spark.registry  # noqa: F401  registry first: import trap
+    from uts_spark.functions.dedup import (
+        index_files_at,
+        index_history_versions,
+    )
+    from uts_spark.functions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_append_idempotent,
+        ivfpq_index_write,
+        lsh_index_append,
+        lsh_index_append_idempotent,
+        lsh_index_delete,
+        lsh_index_probe,
+        lsh_index_write,
+    )
+    from uts_spark.queries.llm_ops import EMB_DIM
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    anchors = e.filter(F.col("vec_id") < 3)
+
+    # --- LSH: exactly-once + version pins ---
+    lp, li = str(tmp_path / "lp"), str(tmp_path / "li")
+    lsh_index_write(base, lp, dim=EMB_DIM, planes=4, tables=2)
+    lsh_index_write(base, li, dim=EMB_DIM, planes=4, tables=2)
+    lsh_index_append(batch, lp, dim=EMB_DIM, planes=4, tables=2)
+    lsh_index_append_idempotent(batch, li, EMB_DIM, 0, planes=4, tables=2)
+    lsh_index_append_idempotent(batch, li, EMB_DIM, 0, planes=4, tables=2)
+    cols = ["vec_id", "table", "bucket"]
+    a = sorted(map(tuple, spark.read.parquet(lp).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(li).select(*cols).collect()))
+    assert a == b, "LSH replayed idempotent append diverged"
+    assert [r["version"] for r in index_history_versions(li)] == [0, 1]
+
+    def lprobe(path, **kw):
+        return sorted(
+            map(
+                tuple,
+                lsh_index_probe(
+                    spark, path, anchors, dim=EMB_DIM, k=5,
+                    planes=4, tables=2, **kw,
+                ).collect(),
+            )
+        )
+
+    ref = str(tmp_path / "lref")
+    lsh_index_write(base, ref, dim=EMB_DIM, planes=4, tables=2)
+    assert lprobe(li, version=0) == lprobe(ref), "v0 pin must hide the tick"
+    assert lprobe(li, version=1) == lprobe(li)
+
+    lsh_index_delete(spark, batch, li, dim=EMB_DIM, planes=4, tables=2)
+    assert index_history_versions(li)[-1]["reset"]
+    with pytest.raises(ValueError, match="predates the rewrite"):
+        index_files_at(li, 1)
+
+    # --- IVF-PQ: exactly-once append replay converges ---
+    pp, pi = str(tmp_path / "pp"), str(tmp_path / "pi")
+    ivfpq_index_write(base, pp, dim=EMB_DIM, n_cells=8)
+    ivfpq_index_write(base, pi, dim=EMB_DIM, n_cells=8)
+    ivfpq_index_append(spark, batch, pp, dim=EMB_DIM)
+    ivfpq_index_append_idempotent(spark, batch, pi, EMB_DIM, 0)
+    ivfpq_index_append_idempotent(spark, batch, pi, EMB_DIM, 0)
+    cols = ["vec_id", "cell", "codes"]
+    a = sorted(map(tuple, spark.read.parquet(pp).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(pi).select(*cols).collect()))
+    assert a == b, "IVF-PQ replayed idempotent append diverged"
+    assert [r["version"] for r in index_history_versions(pi)] == [0, 1]
+    assert not os.path.exists(os.path.join(pi, "_staging", "b0"))

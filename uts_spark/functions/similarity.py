@@ -635,6 +635,11 @@ def lsh_index_write(
         ["table", "bucket"],
         cluster=True,
     )
+    from uts_spark.functions.dedup import _index_data_files, index_history_append
+
+    index_history_append(
+        path, 0, _index_data_files(path, ("table=*", "bucket=*"))
+    )
 
 
 def lsh_index_append(
@@ -673,6 +678,38 @@ def lsh_index_append(
     )
 
 
+def lsh_index_append_idempotent(
+    emb_batch: DataFrame,
+    path: str,
+    dim: int,
+    batch_id: int,
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """EXACTLY-ONCE micro-batch append for the LSH index (shared
+    staged-publish kernel — see dedup.minhash_index_append_idempotent):
+    seed-derived bucketing, batch-id-keyed publish, replayed epochs
+    converge; the tick is recorded in the version history when one
+    exists."""
+    from uts_spark.functions.dedup import (
+        _check_index_config,
+        _index_history_record_batch,
+    )
+    from uts_spark.sources.sinks import staged_idempotent_append
+
+    _check_index_config(path, dim=dim, planes=planes, tables=tables)
+    idx = lsh_bucket_table(emb_batch, dim, planes, tables, id_col, vec_col)
+    published = staged_idempotent_append(
+        idx.select(id_col, vec_col, "table", "bucket"),
+        path,
+        ["table", "bucket"],
+        batch_id,
+    )
+    _index_history_record_batch(path, batch_id, published)
+
+
 def lsh_index_delete(
     spark,
     emb_deleted: DataFrame,
@@ -701,9 +738,24 @@ def lsh_index_delete(
     located = lsh_bucket_table(
         emb_deleted, dim, planes, tables, id_col, vec_col
     ).select(id_col, "table", "bucket")
-    return delete_from_partitioned(
+    removed = delete_from_partitioned(
         spark, path, located, ["table", "bucket"], id_col
     )
+    from uts_spark.functions.dedup import (
+        _index_data_files,
+        index_history_append,
+        index_history_versions,
+    )
+
+    recs = index_history_versions(path)
+    if recs:
+        index_history_append(
+            path,
+            max(r["version"] for r in recs) + 1,
+            _index_data_files(path, ("table=*", "bucket=*")),
+            reset=True,
+        )
+    return removed
 
 
 def lsh_index_probe(
@@ -716,6 +768,7 @@ def lsh_index_probe(
     tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    version: int | None = None,
 ) -> DataFrame:
     """Probe the persisted index: hash the anchors (tiny), push their
     (table, bucket) list into the index scan as a STATIC partition
@@ -739,7 +792,13 @@ def lsh_index_probe(
     )
     pdf = left.select("table", "bucket").distinct().toPandas()
     pairs = sorted((int(t), int(b)) for t, b in pdf.itertuples(index=False))
-    idx = spark.read.parquet(path)
+    if version is None:
+        idx = spark.read.parquet(path)
+    else:
+        from uts_spark.functions.dedup import index_files_at
+
+        files = index_files_at(path, version)
+        idx = spark.read.option("basePath", path).parquet(*files)
     # F.lit(False) initializer: an empty anchor set must yield an empty
     # result, not a reduce() TypeError (ADVICE r5). Catalyst's
     # BooleanSimplification folds the leading `false OR` away, so the
@@ -1393,6 +1452,9 @@ def ivfpq_index_write(
 
     cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
     cexp.write.mode("overwrite").parquet(os.path.join(path, "_codebook"))
+    from uts_spark.functions.dedup import _index_data_files, index_history_append
+
+    index_history_append(path, 0, _index_data_files(path, ("cell=*",)))
 
 
 def _ivfpq_codes(
@@ -1479,6 +1541,48 @@ def ivfpq_index_append(
         id_col, vec_col, "codes", "cell"
     )
     write_partitioned(rows, path, ["cell"], mode="append", cluster=True)
+
+
+def ivfpq_index_append_idempotent(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    dim: int,
+    batch_id: int,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """EXACTLY-ONCE micro-batch append for the IVF-PQ index: assign
+    against the FROZEN coarse centroids, encode against the FROZEN PQ
+    codebook (geometry validated like ivfpq_index_append), publish
+    through the shared staged kernel (batch-id-keyed names, replayed
+    epochs converge), record the tick in the version history.
+    Completes the exactly-once story across all four persisted
+    families."""
+    import os
+
+    from uts_spark.functions.dedup import _index_history_record_batch
+    from uts_spark.sources.sinks import staged_idempotent_append
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    cexp = spark.read.parquet(os.path.join(path, "_codebook"))
+    srow = cexp.select(
+        F.max("m").alias("mx"), F.size(F.first("csub")).alias("d")
+    ).first()
+    if (srow["mx"] + 1) != m_sub or srow["d"] * m_sub != dim:
+        raise ValueError(
+            f"ivfpq_index_append_idempotent: index codebook has "
+            f"m_sub={srow['mx'] + 1}, d_sub={srow['d']} — append asked "
+            f"dim={dim}, m_sub={m_sub}"
+        )
+    assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
+    codes = _ivfpq_codes(emb_batch, cexp, dim, m_sub, id_col, vec_col)
+    rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
+        id_col, vec_col, "codes", "cell"
+    )
+    published = staged_idempotent_append(rows, path, ["cell"], batch_id)
+    _index_history_record_batch(path, batch_id, published)
 
 
 def ivfpq_index_delete(
