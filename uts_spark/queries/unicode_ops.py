@@ -758,3 +758,134 @@ def pipeline_training_prep_v6(spark, sf_dir):
             ).cast("long").alias("shard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TOKEN-budgeted language mix: the mixing step of a multilingual
+# pretraining recipe done in the unit that matters. domain_mix_rebalance
+# (sampling_ops) weights by ROW counts; for a multilingual corpus that
+# is wrong by exactly the fertility factor — at equal rows, zh
+# contributes ~4.7x more TOKENS per pre-token budget than en under the
+# byte tokenizer. This lane computes per-language sampling rates from
+# target TOKEN shares over the byte-BPE token counts (fertility
+# correction applied automatically), then keeps docs by the
+# deterministic hash draw.
+
+_LMIX_TARGETS = {
+    "en": 0.05, "de": 0.10, "fr": 0.10, "es": 0.10,
+    "ru": 0.15, "el": 0.15, "zh": 0.20, "ja": 0.15,
+}
+_LMIX_BUDGET = 16_000  # byte-level tokens
+
+
+def _duck_lang_mix() -> str:
+    from uts_spark.functions.bpe_pretrained import byte_merge_patterns_sql
+    from uts_spark.functions.sampling import duck_hash_u
+    from uts_spark.queries.sketch_ops import _PRETOK_RE
+
+    pre = _PRETOK_RE.replace("'", "''")
+    share = "CASE route_lang " + " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in _LMIX_TARGETS.items()
+    ) + " END"
+    return f"""
+    WITH route AS (
+      SELECT doc_id, pred_lang AS route_lang FROM ({_duck_ulang_case()})
+    ),
+    uc AS ({_UCORPUS_DUCK}),
+    dpts AS (
+      SELECT doc_id, ws[i] AS pt
+      FROM (SELECT doc_id, regexp_extract_all(utext, '{pre}') AS ws
+            FROM uc),
+           unnest(range(1, len(ws) + 1)) AS u(i)
+    ),
+    seg AS (
+      SELECT pt,
+             list_reduce(
+               list_prepend(
+                 regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+                 {byte_merge_patterns_sql()}),
+               (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
+      FROM (SELECT DISTINCT pt FROM dpts)
+    ),
+    ptok AS (
+      SELECT pt,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_tok
+      FROM seg
+    ),
+    toks AS (
+      SELECT d.doc_id, CAST(SUM(p.n_tok) AS BIGINT) AS n_btok
+      FROM dpts d JOIN ptok p USING (pt) GROUP BY d.doc_id
+    ),
+    lang AS (
+      SELECT r.doc_id, r.route_lang, t.n_btok
+      FROM route r JOIN toks t USING (doc_id)
+    ),
+    have AS (
+      SELECT route_lang, SUM(n_btok) AS have_tok FROM lang GROUP BY route_lang
+    ),
+    rated AS (
+      SELECT l.doc_id, l.route_lang, l.n_btok,
+             LEAST(1.0, ({share}) * {float(_LMIX_BUDGET)!r}
+                        / CAST(h.have_tok AS DOUBLE)) AS rate
+      FROM lang l JOIN have h USING (route_lang)
+    )
+    SELECT doc_id, route_lang, n_btok
+    FROM rated
+    WHERE {duck_hash_u('lmix', 'doc_id')} < rate
+    """
+
+
+@query("corpus_language_mix_tokens", _duck_lang_mix())
+def corpus_language_mix_tokens(spark, sf_dir):
+    """Token-budgeted language mix (module comment above): per
+    language, rate = min(1, share x token_budget / have_tokens) over
+    byte-BPE token counts of the multilingual corpus — the unit the
+    training stack consumes, so the measured fertility tax is
+    corrected automatically (a row-count mix over-serves zh by ~4.7x
+    tokens). Selection is the deterministic uniform hash draw (no RNG
+    state; identical on every rerun and engine). Scale shape: the
+    per-language token totals are an 8-row aggregate joined back
+    broadcast, token counting is the flat distinct-pretoken kernel,
+    and the corpus itself is touched by one narrow filter."""
+    from uts_spark.functions.sampling import hash_u
+    from uts_spark.functions.text import ulang_id
+    from uts_spark.queries.sketch_ops import (
+        _PRETOK_RE,
+        _bpe_byte_pretoken_tokens,
+    )
+
+    c = _ucorpus(table(spark, sf_dir, "documents"))
+    route = c.select("doc_id", ulang_id(F.col("utext")).alias("route_lang"))
+    dpts = c.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("utext"), F.lit(_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    toks = (
+        dpts.join(_bpe_byte_pretoken_tokens(dpts.select("pt").distinct()), "pt")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_btok"))
+    )
+    lang = route.join(toks, "doc_id")
+    have = lang.groupBy("route_lang").agg(F.sum("n_btok").alias("have_tok"))
+    share = None
+    for k, v in _LMIX_TARGETS.items():
+        w = F.when(F.col("route_lang") == k, F.lit(float(v)))
+        share = w if share is None else share.when(
+            F.col("route_lang") == k, F.lit(float(v))
+        )
+    rated = lang.join(F.broadcast(have), "route_lang").select(
+        "doc_id",
+        "route_lang",
+        "n_btok",
+        F.least(
+            F.lit(1.0),
+            share * F.lit(float(_LMIX_BUDGET))
+            / F.col("have_tok").cast("double"),
+        ).alias("rate"),
+    )
+    return (
+        rated.filter(hash_u("lmix", F.col("doc_id")) < F.col("rate"))
+        .select("doc_id", "route_lang", "n_btok")
+    )
