@@ -302,3 +302,59 @@ def sample_stratified_weighted_es(spark, sf_dir):
         keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _ESS_K)
     )
+
+
+@query(
+    "pack_efficiency_eval",
+    f"""
+    WITH packed AS (
+      {duck_pack_greedy(
+        "SELECT doc_id, n_chars FROM documents",
+        "n_chars",
+        "doc_id",
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+      )}
+    ),
+    per AS (
+      SELECT shard, pack,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(pack_fill) AS BIGINT) AS fill
+      FROM packed GROUP BY shard, pack
+    ),
+    last AS (SELECT shard, MAX(pack) AS last_pack FROM per GROUP BY shard)
+    SELECT p.shard, p.pack, p.n_docs, p.fill,
+           p.fill / {float(_PACK_BUDGET)!r} AS fill_ratio,
+           CAST({_PACK_BUDGET} - p.fill AS BIGINT) AS waste,
+           p.pack = l.last_pack AS is_tail
+    FROM per p JOIN last l USING (shard)
+    """,
+)
+def pack_efficiency_eval(spark, sf_dir):
+    """Packing-EFFICIENCY eval — the metric that judges a packer: per
+    (shard, pack), document count, final fill (max of the running
+    pack_fill), fill ratio against the 2048 budget, absolute waste,
+    and an is_tail flag separating TAIL waste (the last pack per shard
+    is legitimately short — no more docs) from PACKING waste (interior
+    packs below budget measure greedy fragmentation). Pure aggregation
+    over the packer's output: one groupBy per pack + a shard-count-
+    sized broadcast join for the tail flag — eval cost is
+    packer-output-shaped."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_greedy(
+        docs, F.col("n_chars"), F.col("doc_id"), _PACK_BUDGET, _PACK_SHARDS
+    )
+    per = packed.groupBy("shard", "pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("pack_fill").alias("fill"),
+    )
+    last = per.groupBy("shard").agg(F.max("pack").alias("last_pack"))
+    return per.join(F.broadcast(last), "shard").select(
+        "shard",
+        "pack",
+        "n_docs",
+        "fill",
+        (F.col("fill") / F.lit(float(_PACK_BUDGET))).alias("fill_ratio"),
+        (F.lit(_PACK_BUDGET) - F.col("fill")).cast("long").alias("waste"),
+        (F.col("pack") == F.col("last_pack")).alias("is_tail"),
+    )
