@@ -4460,6 +4460,138 @@ def similarity_ann_ivfpq_delete_probe(spark, sf_dir):
     )
 
 
+# --- IVF n_probe sweep: the recall-vs-cost tuning curve ---------------------
+
+_NPROBE_LEVELS = [1, 2, 4, 8]  # 8 of 8 cells = exhaustive (sanity row)
+
+
+def _duck_nprobe_arm(n_probe: int) -> str:
+    return f"""
+    SELECT CAST({n_probe} AS BIGINT) AS n_probe, n_truth, n_pred, hits,
+           hits / CAST(n_truth AS DOUBLE) AS recall_at_10
+    FROM (
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      truth AS MATERIALIZED (
+        SELECT anchor_id, neighbor_id FROM (
+          SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_duck_cosine('a.embedding', 'c.embedding')}
+                     DESC, c.vec_id) AS r
+          FROM e a JOIN e c ON c.vec_id != a.vec_id
+          WHERE a.vec_id < 5
+        ) WHERE r <= 10
+      ),
+      hc AS (
+        SELECT vec_id, embedding,
+               {duck_hash64("concat('ivfc:', vec_id)")} AS h
+        FROM e
+      ),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM hc ORDER BY h, vec_id LIMIT 8
+      ),
+      sim AS MATERIALIZED (
+        SELECT e.vec_id, c.cent_id,
+               {_duck_cosine('e.embedding', 'c.cv')} AS s
+        FROM e, cents c
+      ),
+      assigned AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cent_id) AS r
+          FROM sim) WHERE r = 1
+      ),
+      probes AS (
+        SELECT vec_id AS anchor_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cent_id) AS r
+          FROM sim WHERE vec_id < 5) WHERE r <= {n_probe}
+      ),
+      cand AS (
+        SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id != p.anchor_id
+      ),
+      scored AS (
+        SELECT c.anchor_id, c.neighbor_id,
+               {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.anchor_id
+        JOIN e eb ON eb.vec_id = c.neighbor_id
+      ),
+      pred AS MATERIALIZED (
+        SELECT anchor_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine DESC,
+                                                neighbor_id) AS rank
+          FROM scored) WHERE rank <= 10
+      )
+      SELECT
+        (SELECT COUNT(*) FROM truth) AS n_truth,
+        (SELECT COUNT(*) FROM pred) AS n_pred,
+        (SELECT COUNT(*) FROM truth t JOIN pred p
+           ON t.anchor_id = p.anchor_id
+          AND t.neighbor_id = p.neighbor_id) AS hits
+    )"""
+
+
+@query(
+    "similarity_ann_nprobe_sweep_eval",
+    " UNION ALL ".join(_duck_nprobe_arm(n) for n in _NPROBE_LEVELS),
+)
+def similarity_ann_nprobe_sweep_eval(spark, sf_dir):
+    """The IVF TUNING CURVE — recall@10 vs n_probe (the knob every IVF
+    deployment sweeps before picking its latency/recall point):
+    brute-force truth for 5 anchors, then the deterministic IVF top-k
+    at n_probe in {1, 2, 4, 8} of 8 cells. n_probe=8 scans every cell
+    and must hit recall 1.0 (the sanity row pinning that IVF's only
+    error source is cell pruning); measured at sf0.01 the curve runs
+    0.26 / 0.38 / 0.74 / 1.00 — the diffuse synthetic embeddings give
+    the worst case (clustered corpora concentrate neighbors in fewer
+    cells; see the clustered-corpus A/B in SCALE.md round 6). Bit-reproducible stages
+    make the whole curve hash-exact — a tuning sweep you can regress
+    on, not an RNG benchmark. Scale: each arm is one corpus x 8
+    centroid pass + a cell join; the sweep shares the truth scan."""
+    from uts_spark.functions.similarity import (
+        cosine_topk_blocked,
+        ivf_topk_det,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    truth = cosine_topk_blocked(e, anchors, k=10).select(
+        "anchor_id", "neighbor_id"
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for np_ in _NPROBE_LEVELS:
+        pred = ivf_topk_det(
+            e, anchors, k=10, n_cells=8, n_probe=np_
+        ).select("anchor_id", "neighbor_id")
+        n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+        hits = truth.join(pred, ["anchor_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        row = (
+            n_truth.crossJoin(F.broadcast(n_pred))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "n_truth",
+                "n_pred",
+                "hits",
+                (F.col("hits") / F.col("n_truth").cast("double")).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 # --- Append-drift: recall decay under frozen quantizers (VERDICT r7 #4) ----
 #
 # IVF/IVF-PQ appends freeze centroids (and codebook) forever — correct
