@@ -1644,3 +1644,46 @@ def test_lsh_ivfpq_exactly_once_and_version_pins(spark, tmp_path):
     assert a == b, "IVF-PQ replayed idempotent append diverged"
     assert [r["version"] for r in index_history_versions(pi)] == [0, 1]
     assert not os.path.exists(os.path.join(pi, "_staging", "b0"))
+
+
+def test_ivfpq_recluster_refreshes_both_quantizers(spark, tmp_path):
+    """The IVF-PQ corrective verb: after appending a drifted batch
+    against frozen quantizers, recluster rebuilds with fresh centroids
+    AND a fresh codebook — probe equals a fresh one-shot build over
+    the grown corpus, and the post-rebuild corpus distortion (the new
+    monitor reference) is finite and below the drifted batch's
+    distortion against the OLD codebook."""
+    import os
+
+    import uts_spark.registry  # noqa: F401  registry first: import trap
+    from uts_spark.functions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_distortion,
+        ivfpq_index_probe,
+        ivfpq_index_recluster,
+        ivfpq_index_write,
+    )
+    from uts_spark.queries.llm_ops import EMB_DIM, _drift_frames
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base, corpus = _drift_frames(e, 0.5)
+    batch = corpus.filter(F.col("vec_id") >= 1_000_000)
+    anchors = corpus.filter(F.col("vec_id") < 5)
+
+    idx = str(tmp_path / "idx")
+    ivfpq_index_write(base, idx, dim=EMB_DIM, n_cells=8)
+    ivfpq_index_append(spark, batch, idx, dim=EMB_DIM)
+    drifted_dist = ivfpq_index_distortion(spark, batch, idx, dim=EMB_DIM)
+
+    new_ref = ivfpq_index_recluster(spark, corpus, idx, dim=EMB_DIM)
+    assert new_ref == new_ref and new_ref < drifted_dist
+
+    ref = str(tmp_path / "ref")
+    ivfpq_index_write(corpus, ref, dim=EMB_DIM, n_cells=8)
+    got = sorted(map(tuple, ivfpq_index_probe(
+        spark, idx, anchors, None, dim=EMB_DIM, k=10).collect()))
+    want = sorted(map(tuple, ivfpq_index_probe(
+        spark, ref, anchors, None, dim=EMB_DIM, k=10).collect()))
+    assert got == want, "recluster must equal a fresh full-corpus build"
+    assert not os.path.exists(idx + "__recluster_tmp")
+    assert not os.path.exists(idx + "__old")

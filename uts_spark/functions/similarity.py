@@ -1585,6 +1585,52 @@ def ivfpq_index_append_idempotent(
     _index_history_record_batch(path, batch_id, published)
 
 
+def ivfpq_index_recluster(
+    spark,
+    emb_full: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 8,
+    m_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """The IVF-PQ corrective verb — re-cluster AND re-encode: rebuild
+    with fresh coarse centroids and a fresh PQ codebook derived from
+    the current corpus (the action the distortion monitor's 1.3x flag
+    or the fit monitor's 0.82 flag triggers — whichever quantizer
+    drifted). Same tmp-build + two-rename atomic swap as
+    ivf_index_recluster; returns the post-rebuild corpus distortion
+    (the new build-time reference for ivfpq_index_distortion)."""
+    import os
+    import shutil
+
+    tmp = path + "__recluster_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ivfpq_index_write(
+        emb_full, tmp, dim=dim, n_cells=n_cells, m_sub=m_sub,
+        n_cent=n_cent, id_col=id_col, vec_col=vec_col,
+    )
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return ivfpq_index_distortion(
+        spark, emb_full, path, dim=dim, m_sub=m_sub,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def ivfpq_index_delete(
     spark,
     emb_deleted: DataFrame,
