@@ -4286,6 +4286,75 @@ _ANN_DEL_PRED = f" % {_IVF_APP_MOD} != {_IVF_APP_REM}"
 
 
 @query(
+    "similarity_ann_ivfpq_version_probe",
+    _duck_ivfpq(
+        base_where="WHERE vec_id % {m} != {r}".format(
+            m=_IVF_APP_MOD, r=_IVF_APP_REM
+        ),
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}",
+    ),
+)
+def similarity_ann_ivfpq_version_probe(spark, sf_dir):
+    """TIME TRAVEL on the composed IVF-PQ index — version pins now span
+    ALL FOUR persisted families: build over the base vectors (history
+    records version 0's cell census; both quantizers frozen), fold the
+    rem-7 batch in via the batch-id-keyed exactly-once append (version
+    1), probe PINNED TO VERSION 0 — the appended vectors' rows AND
+    codes are physically present yet invisible to the pinned scan, so
+    the result equals the never-appended index (oracle = the composed
+    recompute with both quantizer pools AND candidate membership
+    restricted to base)."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        index_state,
+        index_tick,
+    )
+    from uts_spark.functions.similarity import (
+        ivfpq_index_append_idempotent,
+        ivfpq_index_probe,
+        ivfpq_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(
+        _warehouse_dir(),
+        f"ann_ivfpq_index_{tag}_{fp0}_c8m{_PQ_M}k{_PQ_C}_vver",
+    )
+
+    state = index_state(path)
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivfpq_index_write(
+            base, path, dim=EMB_DIM, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C
+        )
+        index_manifest_write(path, fp0, n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C)
+        state = fp0
+    if state == fp0:
+        index_tick(
+            path, fp1,
+            lambda: ivfpq_index_append_idempotent(
+                spark, batch, path, EMB_DIM, 0, m_sub=_PQ_M
+            ),
+            n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C,
+        )
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivfpq_index_probe(
+        spark, path, anchors, None, dim=EMB_DIM, k=10,
+        n_cells=8, n_probe=3, m_sub=_PQ_M, n_cent=_PQ_C, rerank=40,
+        version=0,
+    )
+
+
+@query(
     "similarity_ann_lsh_delete_probe",
     _duck_ann_index_probe(member_pred=f" AND b.vec_id{_ANN_DEL_PRED}"),
 )

@@ -778,7 +778,7 @@ _LMIX_TARGETS = {
 _LMIX_BUDGET = 16_000  # byte-level tokens
 
 
-def _duck_lang_mix() -> str:
+def _duck_lang_mix_rated() -> str:
     from uts_spark.functions.bpe_pretrained import byte_merge_patterns_sql
     from uts_spark.functions.sampling import duck_hash_u
     from uts_spark.queries.sketch_ops import _PRETOK_RE
@@ -829,9 +829,16 @@ def _duck_lang_mix() -> str:
                         / CAST(h.have_tok AS DOUBLE)) AS rate
       FROM lang l JOIN have h USING (route_lang)
     )
-    SELECT doc_id, route_lang, n_btok
+    SELECT doc_id, route_lang, n_btok, rate,
+           {duck_hash_u('lmix', 'doc_id')} < rate AS kept
     FROM rated
-    WHERE {duck_hash_u('lmix', 'doc_id')} < rate
+    """
+
+
+def _duck_lang_mix() -> str:
+    return f"""
+    SELECT doc_id, route_lang, n_btok
+    FROM ({_duck_lang_mix_rated()}) WHERE kept
     """
 
 
@@ -888,4 +895,110 @@ def corpus_language_mix_tokens(spark, sf_dir):
     return (
         rated.filter(hash_u("lmix", F.col("doc_id")) < F.col("rate"))
         .select("doc_id", "route_lang", "n_btok")
+    )
+
+
+def _duck_lang_mix_eval() -> str:
+    return f"""
+    WITH r AS ({_duck_lang_mix_rated()}),
+    per AS (
+      SELECT route_lang,
+             CAST(SUM(n_btok) AS BIGINT) AS have_tok,
+             CAST(SUM(CASE WHEN kept THEN n_btok END) AS BIGINT) AS kept_tok,
+             MIN(rate) AS rate
+      FROM r GROUP BY route_lang
+    ),
+    tot AS (SELECT SUM(kept_tok) AS total_kept FROM per)
+    SELECT p.route_lang,
+           p.have_tok,
+           CAST(ROUND(({_duck_mix_share('p.route_lang')})
+                      * {float(_LMIX_BUDGET)!r}) AS BIGINT) AS want_tok,
+           p.kept_tok,
+           p.rate,
+           p.kept_tok / CAST(t.total_kept AS DOUBLE) AS realized_share,
+           ({_duck_mix_share('p.route_lang')}) AS target_share,
+           p.rate >= 1.0 AS undershoot
+    FROM per p CROSS JOIN tot t
+    """
+
+
+def _duck_mix_share(col: str) -> str:
+    return "CASE " + " ".join(
+        f"WHEN {col} = '{k}' THEN {float(v)!r}"
+        for k, v in _LMIX_TARGETS.items()
+    ) + " END"
+
+
+@query("corpus_language_mix_eval", _duck_lang_mix_eval())
+def corpus_language_mix_eval(spark, sf_dir):
+    """Mix-REALIZATION eval — the monitoring half of the token mix:
+    per language, available tokens, wanted tokens (share x budget),
+    kept tokens after the hash draw, the sampling rate, the realized
+    share of the kept corpus vs the target share, and an undershoot
+    flag (rate clamped at 1.0 means the language had fewer tokens than
+    its target wanted — no upsampling, so its share silently falls
+    short unless monitored). Realized shares never exactly equal
+    targets (hash-draw variance + clamping); this lane is where a mix
+    recipe measures how far off it landed before a training run
+    consumes it."""
+    from uts_spark.functions.sampling import hash_u
+    from uts_spark.functions.text import ulang_id
+    from uts_spark.queries.sketch_ops import (
+        _PRETOK_RE,
+        _bpe_byte_pretoken_tokens,
+    )
+
+    c = _ucorpus(table(spark, sf_dir, "documents"))
+    route = c.select("doc_id", ulang_id(F.col("utext")).alias("route_lang"))
+    dpts = c.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("utext"), F.lit(_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    toks = (
+        dpts.join(_bpe_byte_pretoken_tokens(dpts.select("pt").distinct()), "pt")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("n_btok"))
+    )
+    lang = route.join(toks, "doc_id")
+    have = lang.groupBy("route_lang").agg(F.sum("n_btok").alias("have_tok"))
+    share = None
+    for k, v in _LMIX_TARGETS.items():
+        w = F.when(F.col("route_lang") == k, F.lit(float(v)))
+        share = w if share is None else share.when(
+            F.col("route_lang") == k, F.lit(float(v))
+        )
+    rated = lang.join(F.broadcast(have), "route_lang").select(
+        "doc_id",
+        "route_lang",
+        "n_btok",
+        F.least(
+            F.lit(1.0),
+            share * F.lit(float(_LMIX_BUDGET))
+            / F.col("have_tok").cast("double"),
+        ).alias("rate"),
+        (hash_u("lmix", F.col("doc_id"))).alias("__u"),
+    )
+    per = rated.groupBy("route_lang").agg(
+        F.sum("n_btok").alias("have_tok"),
+        F.sum(F.when(F.col("__u") < F.col("rate"), F.col("n_btok"))).alias(
+            "kept_tok"
+        ),
+        F.min("rate").alias("rate"),
+    )
+    tot = per.agg(F.sum("kept_tok").alias("total_kept"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "route_lang",
+        "have_tok",
+        F.round(share.alias("x") * F.lit(float(_LMIX_BUDGET)))
+        .cast("long")
+        .alias("want_tok"),
+        "kept_tok",
+        "rate",
+        (F.col("kept_tok") / F.col("total_kept").cast("double")).alias(
+            "realized_share"
+        ),
+        share.alias("target_share"),
+        (F.col("rate") >= 1.0).alias("undershoot"),
     )
