@@ -2236,6 +2236,10 @@ def pipeline_training_prep_v5(spark, sf_dir):
         )
         .select("doc_id", "n_btok")
     )
+    # same materialization as v6: ranked_cumsum references kept several
+    # times and the model/line-dedup/simhash gates are expensive to
+    # recompute (measured 14.7s -> ~6s at sf0.1); kept is tiny
+    kept = kept.localCheckpoint(eager=True)
     r = ranked_cumsum(
         kept,
         F.col("doc_id"),

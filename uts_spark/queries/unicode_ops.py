@@ -739,6 +739,12 @@ def pipeline_training_prep_v6(spark, sf_dir):
             ),
         )
     )
+    # ranked_cumsum's plan references its input several times (boundary
+    # sample, per-bucket sums, final join); without materialization the
+    # gates + router + tokenizer upstream recompute per reference —
+    # measured 42s -> ~8s at sf0.1. kept is survivor-sized (hundreds of
+    # narrow rows), so the eager checkpoint is ~free.
+    kept = kept.localCheckpoint(eager=True)
     r = ranked_cumsum(
         kept,
         F.col("__ord"),

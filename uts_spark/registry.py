@@ -185,4 +185,8 @@ HEADLINE = [n for n in (
     # r8: multilingual routing — script gates + unicode-token stopword
     # argmax over the derived 8-language corpus (the crawl-router lane)
     "text_lang_id_unicode",
+    # NOT in headline: pipeline_training_prep_v6 (the flagship fused
+    # DAG) measures ~45 s warm at sf0.1 — one composition would double
+    # the whole bench wall and drown the per-operator signal; its
+    # components are all individually tracked above
 ) if n in QUERIES]
