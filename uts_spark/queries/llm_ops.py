@@ -62,7 +62,12 @@ def _token_budget_shards(kept, budget: int = 20000):
     sum is the range-partitioned exact prefix sum
     (operators/distributed_rank) — no single-partition window, oracle
     output unchanged (shard boundaries are a pure function of the exact
-    cumulative sums)."""
+    cumulative sums). The survivor frame materializes once (eager
+    localCheckpoint, survivor-sized): ranked_cumsum references its
+    input several times and the upstream gates are expensive to
+    recompute — the round-8 v6 lesson (42 -> 13 s), applied to every
+    gated-pipeline caller."""
+    kept = kept.localCheckpoint(eager=True)
     r = ranked_cumsum(
         kept,
         F.col("doc_id"),

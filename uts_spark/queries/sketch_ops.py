@@ -1999,6 +1999,7 @@ def pipeline_training_prep_v3(spark, sf_dir):
         )
         .select("doc_id", "n_bpe")
     )
+    kept = kept.localCheckpoint(eager=True)  # gates compute once (round-8 lesson)
     r = ranked_cumsum(
         kept,
         F.col("doc_id"),
@@ -2094,6 +2095,7 @@ def pipeline_training_prep_v4(spark, sf_dir):
         )
         .select("doc_id", "n_bpe")
     )
+    kept = kept.localCheckpoint(eager=True)  # gates compute once (round-8 lesson)
     r = ranked_cumsum(
         kept,
         F.col("doc_id"),
@@ -2238,7 +2240,7 @@ def pipeline_training_prep_v5(spark, sf_dir):
     )
     # same materialization as v6: ranked_cumsum references kept several
     # times and the model/line-dedup/simhash gates are expensive to
-    # recompute (measured 14.7s -> ~6s at sf0.1); kept is tiny
+    # recompute (v6 measured 42.3 -> 13.4 s at sf0.1); kept is tiny
     kept = kept.localCheckpoint(eager=True)
     r = ranked_cumsum(
         kept,
