@@ -1687,3 +1687,22 @@ def test_ivfpq_recluster_refreshes_both_quantizers(spark, tmp_path):
     assert got == want, "recluster must equal a fresh full-corpus build"
     assert not os.path.exists(idx + "__recluster_tmp")
     assert not os.path.exists(idx + "__old")
+
+
+def test_facility_location_gains_monotone_and_distinct(spark):
+    """Submodularity made visible: greedy facility-location marginal
+    gains must be non-increasing, the selected ids distinct, and every
+    gain non-negative."""
+    import uts_spark.registry as reg
+
+    rows = sorted(
+        (r["rank"], r["id"], r["gain_n"])
+        for r in reg.QUERIES["corpus_coreset_facility_location"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    gains = [g for _, _, g in rows]
+    ids = [i for _, i, _ in rows]
+    assert len(set(ids)) == len(ids)
+    assert all(g >= 0 for g in gains)
+    assert all(a >= b for a, b in zip(gains, gains[1:])), gains

@@ -494,6 +494,106 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def coreset_facility_location(
+    emb: DataFrame,
+    k: int = 6,
+    pool: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SUBMODULAR CORESET SELECTION — greedy facility location (Lin &
+    Bilmes lineage; the data-selection recipe behind representative-
+    subset curation): select ``k`` vectors maximizing
+    F(S) = Σ_v max_{s in S} sim(v, s), where sim is the integer-snapped
+    non-negative cosine. Greedy is (1 - 1/e)-optimal for monotone
+    submodular F; every stage here is bit-reproducible (hash-derived
+    candidate pool, snapped sims, deterministic tie-breaks), so the
+    selection and its marginal gains are oracle-checkable — unlike
+    RNG coreset samplers.
+
+    Scale shape (the practical lazy-greedy recipe): candidates are a
+    hash-derived ``pool`` (broadcast); per round one corpus pass scores
+    Σ_v max(0, s(v,c) − cur(v)) per candidate (corpus x pool,
+    map-side aggregated), the 1-row winner broadcasts back, and the
+    per-v coverage column updates — cost k · N · pool, never N².
+    The coverage frame localCheckpoints per round (same iterative
+    discipline as PageRank/CC). Returns (rank, id, gain_n, gain) —
+    the selected ids in greedy order with exact integer gains."""
+    cands = (
+        emb.select(
+            F.col(id_col).alias("cand"),
+            F.col(vec_col).alias("__cv"),
+            hash64(
+                F.concat(F.lit("fl:"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h", "cand")
+        .limit(pool)
+        .drop("__h")
+    )
+    # (v, cand, s): snapped non-negative cosine, computed ONCE
+    sims = (
+        emb.select(F.col(id_col).alias("v"), F.col(vec_col).alias("__vv"))
+        .crossJoin(F.broadcast(cands))
+        .select(
+            "v",
+            "cand",
+            F.greatest(
+                F.floor(
+                    cosine_stable(F.col("__vv"), F.col("__cv"))
+                    * F.lit(FIT_SCALE)
+                    + F.lit(0.5)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = sims.select("v").distinct().select(
+        "v", F.lit(0).cast("long").alias("cur")
+    )
+    out = None
+    for rank in range(1, k + 1):
+        scored = sims.join(cur, "v")
+        if out is not None:
+            scored = scored.join(
+                out.select(F.col("id").alias("cand")), "cand", "left_anti"
+            )
+        gains = scored.groupBy("cand").agg(
+            F.sum(
+                F.greatest(F.col("s") - F.col("cur"), F.lit(0).cast("long"))
+            ).alias("gain_n")
+        )
+        winner = (
+            gains.orderBy(F.desc("gain_n"), F.asc("cand"))
+            .limit(1)
+            .select(
+                F.lit(rank).cast("long").alias("rank"),
+                F.col("cand").alias("id"),
+                "gain_n",
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = winner if out is None else out.unionAll(winner)
+        cur = (
+            sims.join(
+                F.broadcast(winner.select(F.col("id").alias("cand"))), "cand"
+            )
+            .select("v", F.col("s").alias("__ws"))
+            .join(cur, "v")
+            .select(
+                "v", F.greatest("cur", "__ws").alias("cur")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out.select(
+        "rank",
+        "id",
+        "gain_n",
+        (F.col("gain_n").cast("double") / F.lit(FIT_SCALE)).alias("gain"),
+    )
+
+
 def pca_project(
     emb: DataFrame,
     k: int = 8,

@@ -2516,3 +2516,92 @@ def text_zipf_fit(spark, sf_dir):
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+# ===========================================================================
+# Submodular coreset selection (facility-location greedy)
+# ===========================================================================
+
+_FL_K, _FL_POOL = 6, 24
+
+
+def _duck_facility_location() -> str:
+    from uts_spark.functions.hashing import duck_hash64
+    from uts_spark.functions.similarity import FIT_SCALE
+    from uts_spark.queries.llm_ops import _duck_cosine
+
+    snap = (
+        f"GREATEST(CAST(floor({_duck_cosine('e.embedding', 'c.cv')} "
+        f"* {FIT_SCALE} + 0.5) AS BIGINT), 0)"
+    )
+    rounds = []
+    prev_m = None
+    prev_w: list[str] = []
+    for r in range(1, _FL_K + 1):
+        excl = (
+            " WHERE s.cand NOT IN (" + ", ".join(
+                f"(SELECT cand FROM w{i})" for i in range(1, r)
+            ) + ")" if r > 1 else ""
+        )
+        cur = f"JOIN m{r - 1} USING (v)" if prev_m else ""
+        curcol = f"m{r - 1}.cur" if prev_m else "0"
+        rounds.append(f"""
+    g{r} AS (
+      SELECT s.cand, SUM(GREATEST(s.s - {curcol}, 0)) AS gain_n
+      FROM sims s {cur}{excl}
+      GROUP BY s.cand
+    ),
+    w{r} AS (
+      SELECT cand, gain_n FROM g{r}
+      ORDER BY gain_n DESC, cand LIMIT 1
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT s.v, GREATEST({curcol}, s.s) AS cur
+      FROM sims s {cur}
+      WHERE s.cand = (SELECT cand FROM w{r})
+    )""")
+        prev_m = f"m{r}"
+        prev_w.append(f"w{r}")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, cand AS id, gain_n, "
+        f"CAST(gain_n AS DOUBLE) / {FIT_SCALE} AS gain FROM w{r}"
+        for r in range(1, _FL_K + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    hc AS (
+      SELECT vec_id, embedding,
+             {duck_hash64("concat('fl:', vec_id)")} AS h
+      FROM e
+    ),
+    cands AS (
+      SELECT vec_id AS cand, embedding AS cv
+      FROM hc ORDER BY h, vec_id LIMIT {_FL_POOL}
+    ),
+    sims AS MATERIALIZED (
+      SELECT e.vec_id AS v, c.cand, {snap} AS s
+      FROM e, cands c
+    ),
+    {",".join(rounds)}
+    {finals}
+    """
+
+
+@query("corpus_coreset_facility_location", _duck_facility_location())
+def corpus_coreset_facility_location(spark, sf_dir):
+    """Submodular CORESET SELECTION over the embedding corpus: greedy
+    facility location picks 6 representatives from a hash-derived
+    24-candidate pool, maximizing total corpus coverage
+    Σ_v max_{s in S} sim(v, s) — the Lin & Bilmes data-selection
+    recipe ((1-1/e)-optimal for monotone submodular objectives), here
+    with every stage bit-reproducible so the selection AND its exact
+    integer marginal gains hash-match a 6-round unrolled-CTE oracle.
+    Marginal gains are strictly non-increasing (submodularity made
+    visible in the output). Scale: per round one corpus-x-pool pass
+    with map-side aggregation + a 1-row broadcast winner; coverage
+    localCheckpoints per round — k·N·pool, never N²
+    (functions/similarity.coreset_facility_location)."""
+    from uts_spark.functions.similarity import coreset_facility_location
+
+    e = table(spark, sf_dir, "embeddings")
+    return coreset_facility_location(e, k=_FL_K, pool=_FL_POOL)
