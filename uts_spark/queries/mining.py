@@ -2605,3 +2605,162 @@ def corpus_coreset_facility_location(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     return coreset_facility_location(e, k=_FL_K, pool=_FL_POOL)
+
+
+# ===========================================================================
+# DSIR-style importance selection (target-vs-raw unigram log-ratio)
+# ===========================================================================
+#
+# Data Selection via Importance Resampling (Xie et al. 2023) scores each
+# raw document by how target-like it is: log P_target(doc) - log P_raw(doc)
+# under cheap n-gram proxies of the two distributions. Here the TARGET
+# distribution is the frozen quality model's accepted subset (the same
+# classifier the pipelines gate on) and the proxies are add-half-smoothed
+# unigram models over a shared vocabulary; the deterministic variant
+# RANKS by the exact integer importance (the resampling variant is the
+# existing Efraimidis-Spirakis sampler with these weights). Per-term
+# log-ratios are snapped once on the tiny term dictionary (the same
+# ROUND(LN()*1e6) device as text_unigram_xent), so per-doc sums are
+# exact longs and the whole lane is hash-exact.
+
+_DSIR_K = 50
+
+
+def _duck_dsir() -> str:
+    from uts_spark.functions.text import LOG_SCALE, duck_tokens
+    from uts_spark.queries.llm_ops import (
+        _duck_quality_model_features,
+        _qm_logit_sql,
+    )
+
+    toks = duck_tokens("text")
+    return f"""
+    WITH {_duck_quality_model_features()},
+    mdl AS (SELECT doc_id, {_qm_logit_sql()} >= 0 AS tgt FROM qf),
+    t AS (
+      SELECT d.doc_id, m.tgt, unnest({toks}) AS term
+      FROM documents d JOIN mdl m USING (doc_id)
+    ),
+    tf AS (SELECT doc_id, tgt, term, COUNT(*) AS tf
+           FROM t GROUP BY doc_id, tgt, term),
+    vocab AS (
+      SELECT term,
+             SUM(tf) AS c_raw,
+             SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS c_tgt
+      FROM tf GROUP BY term
+    ),
+    tot AS (
+      SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt,
+             COUNT(*) AS v FROM vocab
+    ),
+    w AS (
+      SELECT term,
+             CAST(ROUND((LN((c_tgt + 0.5) / (n_tgt + 0.5 * v))
+                         - LN((c_raw + 0.5) / (n_raw + 0.5 * v)))
+                        * {LOG_SCALE}) AS BIGINT) AS w_n
+      FROM vocab CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.tf * w.w_n) AS BIGINT) AS importance_n,
+             CAST(SUM(f.tf) AS BIGINT) AS n_tokens
+      FROM tf f JOIN w USING (term)
+      GROUP BY f.doc_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY importance_n DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, importance_n, n_tokens,
+           CAST(importance_n AS DOUBLE) / n_tokens / {LOG_SCALE}
+             AS importance_per_tok,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_DSIR_K}
+    """
+
+
+@query("corpus_dsir_select", _duck_dsir())
+def corpus_dsir_select(spark, sf_dir):
+    """DSIR-style importance selection (module comment above): top-50
+    raw documents by exact integer target-vs-raw unigram log-ratio,
+    with the frozen quality classifier defining the target subset.
+    Scale shape: one tokenize pass, vocabulary-sized aggregates, the
+    per-TERM log-ratio snapped once on the (tiny, broadcast) term
+    dictionary, one exact integer sum per doc, TakeOrdered top-k —
+    never a corpus-sized sort, never per-doc Python."""
+    from uts_spark.functions.text import LOG_SCALE, tokens
+    from uts_spark.queries.llm_ops import _QM_W, _quality_model_features
+
+    docs = table(spark, sf_dir, "documents")
+    w = _QM_W
+    feats = _quality_model_features(docs)
+    logit = (
+        F.lit(w["w0"])
+        + F.lit(w["x_len"]) * F.col("x_len")
+        + F.lit(w["x_stop"]) * F.col("x_stop")
+        + F.lit(w["x_mwl"]) * F.col("x_mwl")
+        + F.lit(w["x_ttr"]) * F.col("x_ttr")
+        + F.lit(w["x_rep"]) * F.col("x_rep")
+    ).cast("long")
+    mdl = feats.select("doc_id", (logit >= 0).alias("tgt"))
+
+    t = (
+        docs.join(mdl, "doc_id")
+        .select("doc_id", "tgt", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    tf = t.groupBy("doc_id", "tgt", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(
+        F.sum("tf").alias("c_raw"),
+        F.sum(F.when(F.col("tgt"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "c_tgt"
+        ),
+    )
+    tot = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    wdict = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_tgt") + 0.5)
+                    / (F.col("n_tgt") + 0.5 * F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_raw") + 0.5)
+                    / (F.col("n_raw") + 0.5 * F.col("v"))
+                )
+            )
+            * F.lit(LOG_SCALE)
+        ).cast("long").alias("w_n"),
+    )
+    scored = (
+        tf.join(wdict, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w_n")).alias("importance_n"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    # TakeOrderedAndProject first (per-partition k-heaps, no global
+    # sort), THEN the rank window over the bounded k-row result —
+    # the sample_weighted_topk_es idiom
+    wr = Window.orderBy(F.desc("importance_n"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("importance_n"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .select(
+            "doc_id",
+            "importance_n",
+            "n_tokens",
+            (
+                F.col("importance_n").cast("double")
+                / F.col("n_tokens")
+                / F.lit(LOG_SCALE)
+            ).alias("importance_per_tok"),
+            "rnk",
+        )
+    )
