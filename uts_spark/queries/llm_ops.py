@@ -3928,6 +3928,66 @@ def _duck_ivf_det_frozen(
     """
 
 
+@query(
+    "similarity_ann_lsh_version_probe",
+    _duck_ann_index_probe(
+        member_pred=f" AND b.vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}"
+    ),
+)
+def similarity_ann_lsh_version_probe(spark, sf_dir):
+    """TIME TRAVEL on the LSH index — version pins are now REGISTERED
+    on all four persisted families: build over the base vectors
+    (history records version 0's (table, bucket) census), fold the
+    rem-7 batch in via the batch-id-keyed exactly-once append
+    (version 1), probe PINNED TO VERSION 0 — appended vectors are
+    physically present in the same bucket directories yet invisible,
+    so the result equals the never-appended index: oracle = the full
+    LSH replay with neighbor candidacy restricted to base."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        index_state,
+        index_tick,
+    )
+    from uts_spark.functions.similarity import (
+        lsh_index_append_idempotent,
+        lsh_index_probe,
+        lsh_index_write,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+    cfg = dict(dim=EMB_DIM, planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES)
+    path = ann_index_path(sf_dir, fp0) + "_vver"
+
+    state = index_state(path)
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        lsh_index_write(base, path, **cfg)
+        index_manifest_write(path, fp0, **cfg)
+        state = fp0
+    if state == fp0:
+        index_tick(
+            path, fp1,
+            lambda: lsh_index_append_idempotent(
+                batch, path, EMB_DIM, 0,
+                planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+            ),
+            **cfg,
+        )
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return lsh_index_probe(
+        spark, path, anchors, dim=EMB_DIM, k=10,
+        planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES, version=0,
+    )
+
+
 @query("similarity_ann_ivf_append_probe", _duck_ivf_det_frozen())
 def similarity_ann_ivf_append_probe(spark, sf_dir):
     """Incremental-IVF round trip (VERDICT r6 #8 — without append,
