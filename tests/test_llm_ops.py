@@ -1706,3 +1706,36 @@ def test_facility_location_gains_monotone_and_distinct(spark):
     assert len(set(ids)) == len(ids)
     assert all(g >= 0 for g in gains)
     assert all(a >= b for a, b in zip(gains, gains[1:])), gains
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """The DSIR ranking must actually prefer the target distribution:
+    a clear majority of the selected top-50 should be docs the frozen
+    quality model itself accepts (the score rewards target-like
+    unigrams, so leakage of rejected docs should be rare), and
+    importances must be ranked non-increasing."""
+    import uts_spark.registry as reg
+    from uts_spark.queries.llm_ops import _QM_W, _quality_model_features
+
+    sf = "/root/testdata/sf0.01"
+    sel = reg.QUERIES["corpus_dsir_select"](spark, sf).collect()
+    imps = [r["importance_n"] for r in sorted(sel, key=lambda r: r["rnk"])]
+    assert all(a >= b for a, b in zip(imps, imps[1:]))
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = _QM_W
+    feats = _quality_model_features(docs)
+    logit = (
+        F.lit(w["w0"])
+        + F.lit(w["x_len"]) * F.col("x_len")
+        + F.lit(w["x_stop"]) * F.col("x_stop")
+        + F.lit(w["x_mwl"]) * F.col("x_mwl")
+        + F.lit(w["x_ttr"]) * F.col("x_ttr")
+        + F.lit(w["x_rep"]) * F.col("x_rep")
+    ).cast("long")
+    passing = {
+        r["doc_id"]
+        for r in feats.filter(logit >= 0).select("doc_id").collect()
+    }
+    frac = sum(1 for r in sel if r["doc_id"] in passing) / len(sel)
+    assert frac >= 0.8, f"only {frac:.2f} of DSIR top-50 are target-like"
