@@ -519,6 +519,12 @@ def coreset_facility_location(
     The coverage frame localCheckpoints per round (same iterative
     discipline as PageRank/CC). Returns (rank, id, gain_n, gain) —
     the selected ids in greedy order with exact integer gains."""
+    if k > pool:
+        raise ValueError(
+            f"coreset_facility_location: k ({k}) cannot exceed the "
+            f"candidate pool ({pool}) — rounds past pool exhaustion "
+            "would emit empty winners"
+        )
     cands = (
         emb.select(
             F.col(id_col).alias("cand"),
