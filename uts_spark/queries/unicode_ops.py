@@ -777,9 +777,13 @@ def pipeline_training_prep_v6(spark, sf_dir):
 # correction applied automatically), then keeps docs by the
 # deterministic hash draw.
 
+# en's target deliberately EXCEEDS its available tokens (~1.4k at the
+# gate SFs vs want = 0.15 x 16k = 2.4k): its rate clamps at 1.0 and the
+# eval's undershoot flag fires — both regimes of the mix are exercised
+# on the fixture, not just the happy path.
 _LMIX_TARGETS = {
-    "en": 0.05, "de": 0.10, "fr": 0.10, "es": 0.10,
-    "ru": 0.15, "el": 0.15, "zh": 0.20, "ja": 0.15,
+    "en": 0.15, "de": 0.10, "fr": 0.10, "es": 0.10,
+    "ru": 0.15, "el": 0.15, "zh": 0.10, "ja": 0.15,
 }
 _LMIX_BUDGET = 16_000  # byte-level tokens
 
@@ -946,7 +950,9 @@ def corpus_language_mix_eval(spark, sf_dir):
     short unless monitored). Realized shares never exactly equal
     targets (hash-draw variance + clamping); this lane is where a mix
     recipe measures how far off it landed before a training run
-    consumes it."""
+    consumes it. On the fixture the en row fires the flag by design
+    (want 2.4k tokens vs ~1.4k available — rate clamps at 1.0 and en's
+    realized share falls short), so both regimes are gate-covered."""
     from uts_spark.functions.sampling import hash_u
     from uts_spark.functions.text import ulang_id
     from uts_spark.queries.sketch_ops import (
