@@ -684,6 +684,59 @@ def index_history_versions(path: str) -> list[dict]:
         return [json.loads(line) for line in fh if line.strip()]
 
 
+def index_history_vacuum(path: str) -> int:
+    """Truncate the history sidecar to the records FROM the last reset
+    on (VERDICT r8 #7 — the sidecar grows one line per tick forever
+    and every history reader parses all of it; over a service
+    lifetime that is an unbounded driver-side scan per probe).
+    Everything before the last reset is unreadable BY DESIGN already
+    (index_files_at raises 'predates the rewrite'), so dropping those
+    lines changes no reachable version's census — stale pins keep
+    raising the same error, because the reset line itself is
+    retained. No-op (returns 0) when the history has no reset.
+    Returns the number of lines removed. Run it inside the same
+    service tick that compacts the data files — both are the
+    'bounded metadata over unbounded ticks' hygiene."""
+    recs = index_history_versions(path)
+    last_reset = max(
+        (r["version"] for r in recs if r.get("reset")), default=None
+    )
+    if last_reset is None:
+        return 0
+    kept = [r for r in recs if r["version"] >= last_reset]
+    if len(kept) == len(recs):
+        return 0
+    _index_history_rewrite(path, kept)
+    return len(recs) - len(kept)
+
+
+def index_epoch(path: str) -> int:
+    """The index's current EPOCH = the VERSION of the last reset line
+    in its history (0 when no history or no reset exists — resets are
+    always appended at max(version)+1 >= 1, so 0 is unambiguous).
+    Rewriting verbs (delete, compaction, re-cluster) each append a
+    reset, so the epoch names the physical generation of the index's
+    files. Idempotent appends key their published file names by
+    (epoch, batch_id) — see
+    :func:`uts_spark.sources.sinks.staged_idempotent_append` — so a
+    batch_id REUSED after a rewrite (a new stream restarting at bid 0
+    post-erasure, ADVICE r8) lands in a fresh name space instead of
+    sweeping the earlier generation's surviving ``b0-*`` files out of
+    untouched partitions. The reset VERSION (not a count of reset
+    lines) keys the epoch because versions never repeat and the last
+    reset line survives :func:`index_history_vacuum` — a counting
+    epoch would REGRESS after a vacuum and re-collide with the
+    earlier generation's surviving publish names."""
+    return max(
+        (
+            r["version"]
+            for r in index_history_versions(path)
+            if r.get("reset")
+        ),
+        default=0,
+    )
+
+
 def index_files_at(path: str, version: int) -> list[str]:
     """The index's data-file set AT ``version`` (absolute paths):
     the latest reset line at or below ``version`` plus every
@@ -696,18 +749,22 @@ def index_files_at(path: str, version: int) -> list[str]:
     if not recs:
         raise ValueError(f"index at {path}: no version history")
     known = {r["version"] for r in recs}
-    if version not in known:
-        raise ValueError(
-            f"index at {path}: unknown version {version} "
-            f"(history has {sorted(known)})"
-        )
     resets = [r["version"] for r in recs if r.get("reset")]
     newer_resets = [v for v in resets if v > version]
+    # the rewrite check comes FIRST: after a history vacuum the
+    # pre-reset records are gone from the sidecar, so a stale pin is
+    # both "unknown" and "predates the rewrite" — the second is the
+    # truthful diagnosis either way
     if newer_resets:
         raise ValueError(
             f"index at {path}: version {version} predates the rewrite at "
             f"version {min(newer_resets)} — its files were physically "
             "removed (erasure invalidates earlier snapshots by design)"
+        )
+    if version not in known:
+        raise ValueError(
+            f"index at {path}: unknown version {version} "
+            f"(history has {sorted(known)})"
         )
     last_reset = max((v for v in resets if v <= version), default=0)
     out: list[str] = []
@@ -719,6 +776,26 @@ def index_files_at(path: str, version: int) -> list[str]:
             continue
         out.extend(r["files"])
     return [os.path.join(path, f) for f in out]
+
+
+def index_scan_at(spark, path: str, version: int):
+    """VERSION-PINNED scan shared by every index family's probe: the
+    DataFrame reads exactly the file census the history recorded at
+    ``version`` (explicit file list + basePath, so the partition
+    columns — and therefore pruning — are unchanged). Raises a
+    DESCRIPTIVE error when the census at ``version`` is empty (an
+    empty build or an all-empty-batch tick, ADVICE r8): handing zero
+    paths to spark.read.parquet throws an opaque 'cannot infer
+    schema' instead of naming the actual condition."""
+    files = index_files_at(path, version)
+    if not files:
+        raise ValueError(
+            f"index at {path}: version {version} has an EMPTY file "
+            "census — nothing was ever published at that version "
+            "(empty build or empty-batch tick); probe unpinned or pin "
+            "a version with data"
+        )
+    return spark.read.option("basePath", path).parquet(*files)
 
 
 def index_manifest_write(path: str, fingerprint: str, **config) -> None:
@@ -898,7 +975,9 @@ def minhash_index_append_idempotent(
         .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
-    published = staged_idempotent_append(rows, path, ["band", "grp"], batch_id)
+    published = staged_idempotent_append(
+        rows, path, ["band", "grp"], batch_id, epoch=index_epoch(path)
+    )
     _index_history_record_batch(path, batch_id, published)
 
 
@@ -907,15 +986,27 @@ def _index_history_record_batch(
 ) -> None:
     """Record one idempotent-append tick in the version history (no-op
     when the index predates the history feature). Idempotent per
-    batch_id — a replayed epoch REWRITES its own line with the
-    re-published census instead of appending a second."""
+    (epoch, batch_id) — a replayed micro-batch REWRITES its own line
+    with the re-published census instead of appending a second. The
+    match is scoped to records AFTER the last reset (ADVICE r8): a
+    batch_id reused across a rewrite (a new stream restarting at bid 0
+    after an erasure) must open a NEW version line, not resurrect the
+    dead pre-reset one — rewriting that line would make index_files_at
+    silently omit the new tick's files at every current version."""
     recs = index_history_versions(path)
     if not recs:
         return
     published = sorted(published)
-    mine = [r for r in recs if r.get("batch_id") == batch_id]
+    last_reset = max(
+        (r["version"] for r in recs if r.get("reset")), default=-1
+    )
+    mine = [
+        r
+        for r in recs
+        if r.get("batch_id") == batch_id and r["version"] > last_reset
+    ]
     if mine:
-        others = [r for r in recs if r.get("batch_id") != batch_id]
+        others = [r for r in recs if r is not mine[0]]
         others.append(
             {
                 "version": mine[0]["version"],
@@ -1045,8 +1136,7 @@ def minhash_index_probe(
         # after the pin are invisible; batch-keyed names make the set
         # reconstructible). basePath keeps (band, grp) as partition
         # columns, so pruning is unchanged.
-        files = index_files_at(path, version)
-        scan = spark.read.option("basePath", path).parquet(*files)
+        scan = index_scan_at(spark, path, version)
     idx = scan.filter(
         (F.col("band") * n_grps + F.col("grp")).isin(keys)
         if keys

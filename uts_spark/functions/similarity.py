@@ -537,6 +537,18 @@ def coreset_facility_location(
         .limit(pool)
         .drop("__h")
     )
+    # the REALIZED pool is min(pool, |corpus|) — on a corpus smaller
+    # than k the k-vs-pool guard above passes but later rounds emit
+    # empty winners and the winner-join silently shrinks the result
+    # below k rows (ADVICE r8); count the tiny candidate frame and
+    # fail loudly instead
+    realized = cands.count()
+    if k > realized:
+        raise ValueError(
+            f"coreset_facility_location: k ({k}) exceeds the realized "
+            f"candidate pool ({realized} vectors in the corpus) — a "
+            f"{realized}-row selection would be returned silently"
+        )
     # (v, cand, s): snapped non-negative cosine, computed ONCE
     sims = (
         emb.select(F.col(id_col).alias("v"), F.col(vec_col).alias("__vv"))
@@ -802,6 +814,7 @@ def lsh_index_append_idempotent(
     from uts_spark.functions.dedup import (
         _check_index_config,
         _index_history_record_batch,
+        index_epoch,
     )
     from uts_spark.sources.sinks import staged_idempotent_append
 
@@ -812,6 +825,7 @@ def lsh_index_append_idempotent(
         path,
         ["table", "bucket"],
         batch_id,
+        epoch=index_epoch(path),
     )
     _index_history_record_batch(path, batch_id, published)
 
@@ -901,10 +915,9 @@ def lsh_index_probe(
     if version is None:
         idx = spark.read.parquet(path)
     else:
-        from uts_spark.functions.dedup import index_files_at
+        from uts_spark.functions.dedup import index_scan_at
 
-        files = index_files_at(path, version)
-        idx = spark.read.option("basePath", path).parquet(*files)
+        idx = index_scan_at(spark, path, version)
     # F.lit(False) initializer: an empty anchor set must yield an empty
     # result, not a reduce() TypeError (ADVICE r5). Catalyst's
     # BooleanSimplification folds the leading `false OR` away, so the
@@ -1243,10 +1256,15 @@ def ivf_index_append_idempotent(
 
     cents = spark.read.parquet(os.path.join(path, "_centroids"))
     assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
-    from uts_spark.functions.dedup import _index_history_record_batch
+    from uts_spark.functions.dedup import (
+        _index_history_record_batch,
+        index_epoch,
+    )
     from uts_spark.sources.sinks import staged_idempotent_append
 
-    published = staged_idempotent_append(assigned, path, ["cell"], batch_id)
+    published = staged_idempotent_append(
+        assigned, path, ["cell"], batch_id, epoch=index_epoch(path)
+    )
     _index_history_record_batch(path, batch_id, published)
 
 
@@ -1262,11 +1280,20 @@ def ivf_index_recluster(
     ivf_index_append): rebuild the index over the full current corpus
     with FRESH centroids derived from it — the corrective action when
     ivf_index_fit reports an append batch below the 0.82 fit ratio or
-    appended volume has outgrown the base build. Atomic at the
-    directory level via a tmp-build + swap (a reader mid-recluster
-    sees the old index or the new one, never a mix); the caller bumps
-    the manifest fingerprint afterwards like any other tick. Returns
-    the post-recluster corpus fit (the new build-time reference for
+    appended volume has outgrown the base build. Never-a-mix at the
+    directory level via a tmp-build + two-rename swap — a reader that
+    OPENS the path sees whole old or whole new files, but there IS a
+    brief window between the two renames where the path does not
+    exist and an unlucky open fails with not-found (ADVICE r8: a
+    single-writer tick tolerates the retry; a multi-writer deployment
+    commits via a versioned manifest pointer instead,
+    sources/versioned.py); the caller bumps the manifest fingerprint
+    afterwards like any other tick. The prior VERSION HISTORY is
+    carried forward with a reset line at max(version)+1 (ADVICE r8):
+    a reader holding a pre-recluster pin — including version 0 —
+    raises the designed 'predates the rewrite' error instead of
+    silently resolving onto the rebuilt files. Returns the
+    post-recluster corpus fit (the new build-time reference for
     the monitor). Cost is one full build — which is the point: the
     monitor exists so this runs only when the measured recall decay
     justifies it."""
@@ -1290,9 +1317,42 @@ def ivf_index_recluster(
         if not os.path.exists(path) and os.path.exists(old):
             os.rename(old, path)
         raise
+    _carry_history_over_rebuild(path, old, ("cell=*",))
     shutil.rmtree(old, ignore_errors=True)
     return ivf_index_fit(spark, emb_full, path,
                          id_col=id_col, vec_col=vec_col)
+
+
+def _carry_history_over_rebuild(
+    path: str, old: str, parts: tuple[str, ...]
+) -> None:
+    """Continue an index's version-history CHAIN across a rebuild-swap
+    (ADVICE r8): the fresh build under ``path`` starts its own history
+    at version 0, so a reader holding a PRE-rebuild version-0 pin
+    would silently resolve to the NEW build's files — the opposite of
+    the delete/reset contract. When the superseded index (now at
+    ``old``) carried a history, replace the new build's sidecar with
+    prior records + one reset line at max(version)+1 holding the
+    rebuilt census: stale pins raise 'predates the rewrite', and the
+    rebuild occupies the next version like any other rewriting verb."""
+    from uts_spark.functions.dedup import (
+        _index_data_files,
+        _index_history_rewrite,
+        index_history_versions,
+    )
+
+    prior = index_history_versions(old)
+    if not prior:
+        return
+    prior.append(
+        {
+            "version": max(r["version"] for r in prior) + 1,
+            "reset": True,
+            "files": _index_data_files(path, parts),
+            "recluster": True,
+        }
+    )
+    _index_history_rewrite(path, prior)
 
 
 def ivf_index_delete(
@@ -1385,10 +1445,9 @@ def ivf_index_probe(
     else:
         # version-pinned read (same device as the minhash probe): the
         # scan sees exactly the file census the history recorded
-        from uts_spark.functions.dedup import index_files_at
+        from uts_spark.functions.dedup import index_scan_at
 
-        files = index_files_at(path, version)
-        scan = spark.read.option("basePath", path).parquet(*files)
+        scan = index_scan_at(spark, path, version)
     idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
@@ -1668,7 +1727,10 @@ def ivfpq_index_append_idempotent(
     families."""
     import os
 
-    from uts_spark.functions.dedup import _index_history_record_batch
+    from uts_spark.functions.dedup import (
+        _index_history_record_batch,
+        index_epoch,
+    )
     from uts_spark.sources.sinks import staged_idempotent_append
 
     cents = spark.read.parquet(os.path.join(path, "_centroids"))
@@ -1687,7 +1749,9 @@ def ivfpq_index_append_idempotent(
     rows = assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
         id_col, vec_col, "codes", "cell"
     )
-    published = staged_idempotent_append(rows, path, ["cell"], batch_id)
+    published = staged_idempotent_append(
+        rows, path, ["cell"], batch_id, epoch=index_epoch(path)
+    )
     _index_history_record_batch(path, batch_id, published)
 
 
@@ -1706,8 +1770,12 @@ def ivfpq_index_recluster(
     with fresh coarse centroids and a fresh PQ codebook derived from
     the current corpus (the action the distortion monitor's 1.3x flag
     or the fit monitor's 0.82 flag triggers — whichever quantizer
-    drifted). Same tmp-build + two-rename atomic swap as
-    ivf_index_recluster; returns the post-rebuild corpus distortion
+    drifted). Same tmp-build + two-rename swap as ivf_index_recluster
+    (whole-old-or-whole-new files, with the same brief no-path window
+    between renames — see that docstring); the prior version history
+    is carried forward with a reset line so pre-recluster pins raise
+    instead of silently resolving onto the rebuilt files (ADVICE r8).
+    Returns the post-rebuild corpus distortion
     (the new build-time reference for ivfpq_index_distortion)."""
     import os
     import shutil
@@ -1730,6 +1798,7 @@ def ivfpq_index_recluster(
         if not os.path.exists(path) and os.path.exists(old):
             os.rename(old, path)
         raise
+    _carry_history_over_rebuild(path, old, ("cell=*",))
     shutil.rmtree(old, ignore_errors=True)
     return ivfpq_index_distortion(
         spark, emb_full, path, dim=dim, m_sub=m_sub,
@@ -1829,10 +1898,9 @@ def ivfpq_index_probe(
     else:
         # version-pinned read (same device as the minhash probe): the
         # scan sees exactly the file census the history recorded
-        from uts_spark.functions.dedup import index_files_at
+        from uts_spark.functions.dedup import index_scan_at
 
-        files = index_files_at(path, version)
-        scan = spark.read.option("basePath", path).parquet(*files)
+        scan = index_scan_at(spark, path, version)
     idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
