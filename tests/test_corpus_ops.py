@@ -573,3 +573,62 @@ def test_unicode_pii_regexes_catch_what_ascii_misses(spark):
     assert got[1][2] == "write to <EMAIL> or call <NUM> now"
     assert got[2][0] == 2 and got[2][1] == 2
     assert got[2][2] == "plain <EMAIL> and <NUM> here"
+
+
+def test_ulang_id_v2_routes_out_of_set_to_unknown(spark):
+    """VERDICT r8 #6: the calibrated router. (a) Out-of-set scripts
+    (Arabic, Hangul, Thai) route to EXACTLY 'unknown' even when the
+    text carries Latin loanwords that fool v1's argmax; (b) the 1/8
+    lexicon margin sends evidence-free mostly-Latin text to 'unknown'
+    where one stray stopword fooled v1; (c) in-set behavior is
+    unchanged from v1 on clean text."""
+    from uts_spark.functions.text import ulang_id, ulang_id_v2
+
+    rows = [
+        # out-of-set scripts WITH Latin loanword contamination: one
+        # English stopword is enough for v1's best>0 argmax
+        (1, "هذا هو البيت الكبير في المدينة ونحن هنا معهم اليوم the web"),
+        (2, "이것은 매우 좋은 집이고 우리는 오늘 여기에 있다 그리고 the app"),
+        (3, "นี่คือบ้านที่ดีมากและเราอยู่ที่นี่วันนี้และนี่เป็นสิ่งที่ the site"),
+        # mostly-Latin gibberish with ONE stopword in 12 tokens: v1
+        # says 'en', the 1/8 margin says evidence-free
+        (4, "xq zr the plugh wombat zyx qet vnm lorp quux blarg"),
+        # clean in-set controls
+        (5, "le café est dans la rue pour que une vie est là"),
+        (6, "これは 東京 の きれいな まち です"),
+        (7, "и это не дом в котором мы были"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["v1"], r["v2"])
+        for r in df.select(
+            "doc_id",
+            ulang_id(F.col("text")).alias("v1"),
+            ulang_id_v2(F.col("text")).alias("v2"),
+        ).collect()
+    }
+    # (a) script-coverage majority: v2 unknown, v1 fooled by loanwords
+    for i in (1, 2, 3):
+        assert got[i][1] == "unknown", got
+        assert got[i][0] == "en", got  # the v1 failure this fixes
+    # (b) margin: 1 hit / 12 tokens < 1/8
+    assert got[4] == ("en", "unknown"), got
+    # (c) in-set parity
+    for i, want in ((5, "fr"), (6, "ja"), (7, "ru")):
+        assert got[i] == (want, want), got
+
+
+def test_ulang_v2_confusion_is_diagonal_plus_unknown(spark):
+    """The registered v2 confusion lane's shape claim, pinned in
+    pytest too: exactly 11 cells — the 8 in-set labels diagonal, and
+    ar/ko/th mapping ONLY to 'unknown'."""
+    cells = {
+        (r["label_lang"], r["pred_lang"])
+        for r in QUERIES["text_langid_confusion_v2"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    in_set = {"en", "de", "fr", "es", "ru", "el", "ja", "zh"}
+    assert cells == {(l, l) for l in in_set} | {
+        ("ar", "unknown"), ("ko", "unknown"), ("th", "unknown")
+    }

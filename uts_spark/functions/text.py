@@ -118,6 +118,83 @@ def ulang_id(col: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# Calibrated router (VERDICT r8 #6): ulang_id routes 8 labels and was
+# measured at accuracy 1.0 on the prefix-dominant derived corpus — but a
+# real crawl front sees Korean, Arabic, Thai, …, and the v1 cascade
+# routes such a doc to the nearest IN-SET label whenever it carries a
+# few Latin loanwords (the lexicon argmax only needs best > 0). Two
+# guards, both pure JVM expressions:
+#
+# 1. SCRIPT COVERAGE: letters outside the gate's covered scripts
+#    (Latin / Cyrillic / Greek / kana / Han) forming a MAJORITY of the
+#    doc's letters → 'unknown'. Catches every out-of-set script without
+#    naming any (Arabic, Hangul, Thai, Hebrew, Devanagari, …).
+# 2. LEXICON MARGIN: the winning lexicon must cover >= 1/8 of the
+#    doc's tokens (best * 8 >= n_tokens), not merely be > 0 — a doc
+#    whose letters are mostly Latin but whose tokens barely touch any
+#    stopword list is evidence-free, not English. Thresholds measured
+#    on the extended corpus at sf0.01 (SCALE.md round 9): lexicon-routed
+#    in-set docs sit at hit-ratio >= 0.391, out-of-set docs at <= 0.087
+#    — 1/8 = 0.125 sits between with ~3x margin on the in-set side;
+#    out-of-set docs carry out-letter share >= 0.564 vs in-set exactly
+#    0.0 — the 1/2 majority rule sits between with margin both ways.
+
+ULANG_INSET_JAVA = (
+    r"[\p{IsLatin}\p{IsCyrillic}\p{IsGreek}"
+    r"\p{IsHiragana}\p{IsKatakana}\p{IsHan}]"
+)
+ULANG_INSET_RE2 = (
+    r"[\p{Latin}\p{Cyrillic}\p{Greek}\p{Hiragana}\p{Katakana}\p{Han}]"
+)
+ULETTER_RE = r"[\p{L}]"  # same spelling in Java and RE2
+ULANG_MARGIN_DEN = 8  # winning lexicon must cover >= 1/8 of tokens
+
+
+def ulang_id_v2(col: Column) -> Column:
+    """Script-gated unicode language ID with a calibrated 'unknown'
+    (module comment above): out-of-set-script majority → 'unknown';
+    any kana → 'ja'; any Han → 'zh'; else stopword argmax that must
+    ALSO clear the 1/8 token-coverage margin. Still pure expressions —
+    fuses into the scan like v1."""
+    toks = utokens(col)
+    n_toks = F.size(toks)
+    scores = [ustopword_count(toks, lang) for lang in ULANGS]
+    best = F.greatest(*scores)
+    expr = F.lit("unknown")
+    for lang, score in reversed(list(zip(ULANGS, scores))):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    margined = F.when(
+        best * F.lit(ULANG_MARGIN_DEN) >= n_toks, expr
+    ).otherwise(F.lit("unknown"))
+    n_letters = _class_count(col, ULETTER_RE)
+    n_out = n_letters - _class_count(col, ULANG_INSET_JAVA)
+    return (
+        F.when(n_out * 2 > n_letters, F.lit("unknown"))
+        .when(_class_count(col, KANA_CLS_JAVA) > 0, F.lit("ja"))
+        .when(_class_count(col, HAN_CLS_JAVA) > 0, F.lit("zh"))
+        .otherwise(margined)
+    )
+
+
+def ulang_confidence(col: Column) -> dict[str, Column]:
+    """The router's evidence, as output columns (VERDICT r8 #6 asked
+    for confidence in the output, not just a label): winning-lexicon
+    hit count, token count, and the out-of-set letter count — all
+    integers, so the confidence itself is hash-exact."""
+    toks = utokens(col)
+    scores = [ustopword_count(toks, lang) for lang in ULANGS]
+    n_letters = _class_count(col, ULETTER_RE)
+    return {
+        "s_best": F.greatest(*scores).cast("long"),
+        "n_toks": F.size(toks).cast("long"),
+        "n_out_letters": (
+            n_letters - _class_count(col, ULANG_INSET_JAVA)
+        ).cast("long"),
+        "n_letters": n_letters.cast("long"),
+    }
+
+
 def duck_utokens(expr: str) -> str:
     return f"regexp_extract_all(lower({expr}), '{UTOKEN_RE}')"
 

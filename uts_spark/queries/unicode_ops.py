@@ -382,6 +382,207 @@ def text_langid_confusion_unicode(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Calibrated router v2 (VERDICT r8 #6): the v1 corpus is prefix-dominant
+# and ALL-in-set, so v1's measured accuracy 1.0 says nothing about what
+# a real crawl front does to the router — Korean, Arabic, Thai text
+# carrying a few Latin loanwords routes to the nearest in-set label
+# (the argmax only needs best > 0). The v2 corpus extends the derivation
+# with three OUT-OF-SET scripts (Arabic, Hangul, Thai — de docs
+# re-labeled round-robin, mirroring how en docs fund ru/el/ja), keeping
+# every doc's 40-char Latin soup slice — exactly the loanword
+# contamination that fools v1. ulang_id_v2 must route those rows to
+# EXACTLY 'unknown' (script-coverage majority gate + 1/8 lexicon-margin;
+# functions/text.py) while the 8 in-set labels stay exactly diagonal.
+
+_ULANG_PREFIX_V2 = {
+    **_ULANG_PREFIX,
+    # no case in any of the three scripts -> lower() parity is exact;
+    # long enough that the out-of-set script is the letter MAJORITY
+    # even with the 40-char soup slice attached
+    "ar": "هذا هو البيت الكبير في المدينة ونحن هنا معهم اليوم وهذه حياة جميلة جدا هنا",
+    "ko": "이것은 매우 좋은 집이고 우리는 오늘 여기에 있다 그리고 이것은 아주 좋은 하루이다 우리는 모두 여기에 산다",
+    "th": "นี่คือบ้านที่ดีมากและเราอยู่ที่นี่วันนี้และนี่เป็นสิ่งที่ดีมากในชีวิตของเราทุกคน",
+}
+_ULAL_ORDER_V2 = _ULAL_ORDER + ("ar", "ko", "th")
+
+_ULABEL_V2_DUCK = (
+    "CASE WHEN lang = 'en' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'ru' WHEN 2 THEN 'el' WHEN 3 THEN 'ja' "
+    "ELSE 'en' END "
+    "WHEN lang = 'de' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'ar' WHEN 2 THEN 'ko' WHEN 3 THEN 'th' "
+    "ELSE 'de' END "
+    "ELSE lang END"
+)
+
+_UPREFIX_V2_DUCK = "CASE ulabel " + " ".join(
+    f"WHEN '{lab}' THEN '{_ULANG_PREFIX_V2[lab]}'" for lab in _ULAL_ORDER_V2
+) + " END"
+
+_UCORPUS_V2_DUCK = f"""
+  SELECT doc_id, ulabel,
+         ({_UPREFIX_V2_DUCK}) || ' ' || substr(text, 1, 40) AS utext
+  FROM (SELECT doc_id, text, {_ULABEL_V2_DUCK} AS ulabel FROM documents)
+"""
+
+
+def _ulabel_v2_spark():
+    en_sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("ru"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("el"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("ja"))
+        .otherwise(F.lit("en"))
+    )
+    de_sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("ar"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("ko"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("th"))
+        .otherwise(F.lit("de"))
+    )
+    return (
+        F.when(F.col("lang") == "en", en_sub)
+        .when(F.col("lang") == "de", de_sub)
+        .otherwise(F.col("lang"))
+    )
+
+
+def _ucorpus_v2(docs):
+    """(doc_id, ulabel, utext) — the 11-label corpus (8 in-set + 3
+    out-of-set scripts)."""
+    prefix = None
+    for lab in _ULAL_ORDER_V2:
+        w = (
+            F.when(F.col("ulabel") == lab, F.lit(_ULANG_PREFIX_V2[lab]))
+            if prefix is None
+            else prefix.when(
+                F.col("ulabel") == lab, F.lit(_ULANG_PREFIX_V2[lab])
+            )
+        )
+        prefix = w
+    return (
+        docs.select("doc_id", "text", _ulabel_v2_spark().alias("ulabel"))
+        .select(
+            "doc_id",
+            "ulabel",
+            F.concat(
+                prefix, F.lit(" "), F.substring(F.col("text"), 1, 40)
+            ).alias("utext"),
+        )
+    )
+
+
+def _duck_ulang_v2_case() -> str:
+    from uts_spark.functions.text import (
+        HAN_CLS_RE2,
+        KANA_CLS_RE2,
+        ULANG_INSET_RE2,
+        ULANG_MARGIN_DEN,
+        ULANGS,
+        ULETTER_RE,
+        duck_ustopword_count,
+        duck_utokens,
+    )
+
+    sel = ", ".join(
+        f"{duck_ustopword_count('toks', lang)} AS s_{lang}" for lang in ULANGS
+    )
+    branches = []
+    for i, lang in enumerate(ULANGS):
+        conds = [f"s_{lang} >= s_{other}" for other in ULANGS[i + 1:]]
+        conds.append(f"s_{lang} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    argmax = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in ULANGS) + ")"
+
+    def cnt(cls):
+        return (
+            "length(utext) - length("
+            f"regexp_replace(utext, '{cls}', '', 'g'))"
+        )
+
+    return f"""
+    WITH c AS ({_UCORPUS_V2_DUCK}),
+    t AS (
+      SELECT doc_id, ulabel, utext,
+             {duck_utokens('utext')} AS toks,
+             {cnt(ULETTER_RE)} AS n_letters,
+             {cnt(ULETTER_RE)} - ({cnt(ULANG_INSET_RE2)}) AS n_out
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id, ulabel, utext, n_letters, n_out,
+             len(toks) AS n_toks, {sel}
+      FROM t
+    )
+    SELECT doc_id, ulabel AS label_lang,
+           CASE WHEN n_out * 2 > n_letters THEN 'unknown'
+                WHEN {cnt(KANA_CLS_RE2)} > 0 THEN 'ja'
+                WHEN {cnt(HAN_CLS_RE2)} > 0 THEN 'zh'
+                WHEN {best} * {ULANG_MARGIN_DEN} >= n_toks THEN {argmax}
+                ELSE 'unknown' END AS pred_lang,
+           CAST({best} AS BIGINT) AS s_best,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(n_out AS BIGINT) AS n_out_letters,
+           CAST(n_letters AS BIGINT) AS n_letters
+    FROM s
+    """
+
+
+@query("text_lang_id_unicode_v2", _duck_ulang_v2_case())
+def text_lang_id_unicode_v2(spark, sf_dir):
+    """The calibrated router over the 11-label corpus (module comment):
+    out-of-set scripts (ar/ko/th) land EXACTLY on 'unknown' via the
+    script-coverage majority gate, in-set labels route as before after
+    ALSO clearing the 1/8 lexicon margin. The router's evidence rides
+    in the output — winning-lexicon hits, token count, out-of-set
+    letter count — all integers, so confidence is hash-exact too.
+    Same 100 TB shape as v1: pure JVM expressions fused into the scan
+    (the confusion lane below pins the accuracy claim)."""
+    from uts_spark.functions.text import ulang_confidence, ulang_id_v2
+
+    c = _ucorpus_v2(table(spark, sf_dir, "documents"))
+    conf = ulang_confidence(F.col("utext"))
+    return c.select(
+        "doc_id",
+        F.col("ulabel").alias("label_lang"),
+        ulang_id_v2(F.col("utext")).alias("pred_lang"),
+        conf["s_best"].alias("s_best"),
+        conf["n_toks"].alias("n_toks"),
+        conf["n_out_letters"].alias("n_out_letters"),
+        conf["n_letters"].alias("n_letters"),
+    )
+
+
+@query(
+    "text_langid_confusion_v2",
+    f"""
+    WITH p AS ({_duck_ulang_v2_case()})
+    SELECT label_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion_v2(spark, sf_dir):
+    """Confusion matrix of the CALIBRATED router on the corpus with
+    out-of-set scripts — the hash-exact 'Done' gate for VERDICT r8 #6:
+    11 cells total, the 8 in-set labels exactly diagonal AND all three
+    out-of-set labels (ar/ko/th) mapping exactly to 'unknown' (pinned
+    in tests/test_corpus_ops.py). The contrast lane: v1's cascade on
+    the same corpus routes those rows to in-set labels (its argmax
+    only needs one Latin loanword) — measured in SCALE.md round 9."""
+    from uts_spark.functions.text import ulang_id_v2
+
+    c = _ucorpus_v2(table(spark, sf_dir, "documents"))
+    return (
+        c.select(
+            F.col("ulabel").alias("label_lang"),
+            ulang_id_v2(F.col("utext")).alias("pred_lang"),
+        )
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # PII in unicode clothing: an accented-local-part / IDN-domain email
 # (invisible whole to the ASCII email regex — its classes stop at the
 # first non-ASCII letter) and a FULLWIDTH six-digit run (never matched
