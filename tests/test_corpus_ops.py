@@ -632,3 +632,69 @@ def test_ulang_v2_confusion_is_diagonal_plus_unknown(spark):
     assert cells == {(l, l) for l in in_set} | {
         ("ar", "unknown"), ("ko", "unknown"), ("th", "unknown")
     }
+
+
+def test_mix_trained_merges_cut_nonlatin_fertility(spark):
+    """VERDICT r8 #2: the mix-trained byte table must materially drop
+    non-Latin fertility vs the shipped English-seed table (the
+    measured tax this round removes), pay at most the classic
+    multilingual en regression, and compress the cross-language
+    fertility spread."""
+    fert = {
+        r["label_lang"]: (r["fertility_ascii"], r["fertility_mix"])
+        for r in QUERIES["text_bpe_fertility_mix_trained"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(fert) == {"en", "de", "fr", "es", "ru", "el", "ja", "zh"}
+    # non-Latin languages must improve by >= 1.5x
+    for lang in ("ru", "el", "ja", "zh"):
+        a, m = fert[lang]
+        assert m < a / 1.5, (lang, a, m)
+    # the en regression is bounded (mix tax, not collapse)
+    a_en, m_en = fert["en"]
+    assert m_en < 2 * a_en, fert["en"]
+    # spread compression: max/min fertility ratio shrinks
+    spread = lambda i: max(v[i] for v in fert.values()) / min(  # noqa: E731
+        v[i] for v in fert.values()
+    )
+    assert spread(1) < spread(0) / 2, (spread(0), spread(1))
+
+
+def test_mix_merges_match_distributed_trainer_prefix(spark):
+    """The shipped mix-trained table is what the DISTRIBUTED byte
+    trainer produces on the same weighted sample: run the Spark
+    pair-count/top-pair/merge rounds (the text_bpe_train_bytes
+    machinery) over the sample pre-tokens and pin the first rounds'
+    merges against the driver-trained table prefix."""
+    from uts_spark.functions.bpe_pretrained import (
+        mix_trained_byte_merges,
+        pretokenize,
+    )
+    from uts_spark.queries.sketch_ops import _bpe_merge_round
+    from uts_spark.queries.unicode_ops import _MIX_TRAIN_SAMPLE
+
+    from collections import Counter
+
+    counts = Counter()
+    for text, weight in _MIX_TRAIN_SAMPLE:
+        for pt in pretokenize(text):
+            counts[pt] += weight
+    rows = [
+        (
+            w,
+            f,
+            "|".join(
+                w.encode("utf-8")[i : i + 1].hex()
+                for i in range(len(w.encode("utf-8")))
+            ),
+        )
+        for w, f in sorted(counts.items())
+    ]
+    words = spark.createDataFrame(rows, "word string, freq long, seg string")
+    got = []
+    for _ in range(5):
+        top, words = _bpe_merge_round(words)
+        r = top.collect()[0]
+        got.append((r["x"], r["y"]))
+    assert tuple(got) == mix_trained_byte_merges(_MIX_TRAIN_SAMPLE)[:5]

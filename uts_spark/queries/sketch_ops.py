@@ -1390,12 +1390,16 @@ GROUP BY d.doc_id
 """
 
 
-def _bpe_byte_pretoken_tokens(pts_df):
-    """(pt, n_tok, idsum) under the 512-merge byte-level table:
-    Arrow-batched lowest-rank-first apply over a distinct-pretoken
-    frame — the byte-lane sibling of _bpe_pretrained_word_tokens."""
-    ranks = {p: r for r, p in enumerate(pretrained_byte_merges())}
-    ids = pretrained_byte_vocab_ids()
+def _bpe_byte_pretoken_tokens(pts_df, merges=None, vocab_ids=None):
+    """(pt, n_tok, idsum) under a byte-level merge table (default: the
+    shipped 512-merge English-seed table; the round-9 mix-trained
+    fertility A/B passes its own): Arrow-batched lowest-rank-first
+    apply over a distinct-pretoken frame — the byte-lane sibling of
+    _bpe_pretrained_word_tokens."""
+    if merges is None:
+        merges = pretrained_byte_merges()
+    ranks = {p: r for r, p in enumerate(merges)}
+    ids = vocab_ids if vocab_ids is not None else pretrained_byte_vocab_ids()
 
     def apply_batches(batches):
         import pandas as pd

@@ -782,6 +782,160 @@ def text_bpe_fertility_by_lang(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# MIX-TRAINED byte merges + fertility A/B (VERDICT r8 #2, the round-9
+# quantitative headline): the shipped 512-merge byte table is trained
+# on English seed text, and the lane above MEASURES the resulting
+# English-centric tax (zh 7.16 vs en 1.53 tokens/pre-token). The fix a
+# real pipeline ships: train the merges ON the language mix. The
+# training sample is the corpus's own per-language sample texts
+# (_ULANG_PREFIX — one source of truth with the corpus derivation),
+# equal-weighted, through the same GPT-2-style pre-tokenizer and the
+# same deterministic trainer, hex-pair symbols (291 merges — the
+# sample's full pair supply). Measured at sf0.01 (SCALE.md round 9):
+# fertility zh 7.16 -> 3.68, el 4.96 -> 2.19, ru 4.32 -> 2.08,
+# ja 4.64 -> 2.49 while en pays the classic multilingual tax
+# (1.53 -> 2.18); the max/min fertility spread compresses 4.68x ->
+# 1.81x and corpus-total tokens drop 35% — the per-language byte-token
+# budgets downstream (v6 shards, language mix) stop being 4.7x unfair.
+
+_MIX_TRAIN_SAMPLE = tuple(
+    (_ULANG_PREFIX[lab], 400) for lab in _ULAL_ORDER
+)
+
+
+def _mix_merges():
+    from uts_spark.functions.bpe_pretrained import mix_trained_byte_merges
+
+    return mix_trained_byte_merges(_MIX_TRAIN_SAMPLE)
+
+
+def _mix_vocab_ids():
+    from uts_spark.functions.bpe_pretrained import mix_trained_byte_vocab_ids
+
+    return mix_trained_byte_vocab_ids(_MIX_TRAIN_SAMPLE)
+
+
+def _duck_bpe_fertility_ab() -> str:
+    from uts_spark.functions.bpe_pretrained import (
+        byte_merge_patterns_sql,
+        merges_to_patterns_sql,
+    )
+    from uts_spark.queries.sketch_ops import _PRETOK_RE
+
+    pre = _PRETOK_RE.replace("'", "''")
+
+    def seg_cte(pats):
+        return f"""(
+      SELECT pt,
+             CAST(len(string_split(trim(
+               list_reduce(
+                 list_prepend(
+                   regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
+                   {pats}),
+                 (acc, p) -> replace(acc, p, replace(p, '||', ''))),
+               '|'), '||')) AS BIGINT) AS n_tok
+      FROM (SELECT DISTINCT pt FROM dpts))"""
+
+    return f"""
+    WITH base AS ({_UCORPUS_DUCK}),
+    dpts AS (
+      SELECT doc_id, ulabel, ws[i] AS pt
+      FROM (SELECT doc_id, ulabel,
+                   regexp_extract_all(utext, '{pre}') AS ws
+            FROM base),
+           unnest(range(1, len(ws) + 1)) AS u(i)
+    ),
+    pa AS {seg_cte(byte_merge_patterns_sql())},
+    pm AS {seg_cte(merges_to_patterns_sql(_mix_merges()))},
+    doc AS (
+      SELECT d.doc_id, d.ulabel,
+             CAST(COUNT(*) AS BIGINT) AS n_pre,
+             CAST(SUM(a.n_tok) AS BIGINT) AS ta,
+             CAST(SUM(m.n_tok) AS BIGINT) AS tm
+      FROM dpts d JOIN pa a USING (pt) JOIN pm m USING (pt)
+      GROUP BY d.doc_id, d.ulabel
+    )
+    SELECT ulabel AS label_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pre) AS BIGINT) AS n_pretokens,
+           CAST(SUM(ta) AS BIGINT) AS n_tokens_ascii,
+           CAST(SUM(tm) AS BIGINT) AS n_tokens_mix,
+           SUM(ta) / CAST(SUM(n_pre) AS DOUBLE) AS fertility_ascii,
+           SUM(tm) / CAST(SUM(n_pre) AS DOUBLE) AS fertility_mix,
+           SUM(tm) / CAST(SUM(ta) AS DOUBLE) AS token_ratio_mix_vs_ascii
+    FROM doc GROUP BY ulabel
+    """
+
+
+@query("text_bpe_fertility_mix_trained", _duck_bpe_fertility_ab())
+def text_bpe_fertility_mix_trained(spark, sf_dir):
+    """The fertility A/B (module comment above): per language, token
+    totals and fertility under BOTH byte tables — the shipped
+    English-seed 512-merge table and the mix-trained 291-merge table —
+    plus the per-language token ratio. All counts exact longs, ratios
+    exact-over-exact, so the measured multilingual win (and the
+    honest en regression) is itself hash-exact. Scale shape unchanged
+    from the single-table lane: each table's merge work runs once per
+    DISTINCT pre-token in one Arrow batch; the corpus contributes one
+    regexp + explode + two dictionary joins."""
+    from uts_spark.queries.sketch_ops import (
+        _PRETOK_RE,
+        _bpe_byte_pretoken_tokens,
+    )
+
+    c = _ucorpus(table(spark, sf_dir, "documents"))
+    dpts = c.select(
+        "doc_id",
+        "ulabel",
+        F.explode(
+            F.regexp_extract_all(F.col("utext"), F.lit(_PRETOK_RE), 0)
+        ).alias("pt"),
+    )
+    distinct_pts = dpts.select("pt").distinct()
+    pa = _bpe_byte_pretoken_tokens(distinct_pts).select(
+        "pt", F.col("n_tok").alias("ta")
+    )
+    pm = _bpe_byte_pretoken_tokens(
+        distinct_pts, merges=_mix_merges(), vocab_ids=_mix_vocab_ids()
+    ).select("pt", F.col("n_tok").alias("tm"))
+    doc = (
+        dpts.join(pa, "pt")
+        .join(pm, "pt")
+        .groupBy("doc_id", "ulabel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pre"),
+            F.sum("ta").alias("ta"),
+            F.sum("tm").alias("tm"),
+        )
+    )
+    return (
+        doc.groupBy(F.col("ulabel").alias("label_lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pre").alias("n_pretokens"),
+            F.sum("ta").alias("n_tokens_ascii"),
+            F.sum("tm").alias("n_tokens_mix"),
+        )
+        .select(
+            "label_lang",
+            "n_docs",
+            "n_pretokens",
+            "n_tokens_ascii",
+            "n_tokens_mix",
+            (F.col("n_tokens_ascii") / F.col("n_pretokens")).alias(
+                "fertility_ascii"
+            ),
+            (F.col("n_tokens_mix") / F.col("n_pretokens")).alias(
+                "fertility_mix"
+            ),
+            (F.col("n_tokens_mix") / F.col("n_tokens_ascii")).alias(
+                "token_ratio_mix_vs_ascii"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-prep v6 (round 8 capstone): LANGUAGE-ROUTED shards with
 # fertility-correct token budgeting. v5's production gates stay (frozen
 # quality model, SimHash near-dup removal); v6 adds the multilingual
@@ -799,9 +953,16 @@ def text_bpe_fertility_by_lang(spark, sf_dir):
 # gates, distinct-pretoken tokenizer).
 
 _V6_BUDGET = 12_000  # byte-level tokens per shard, per language
+# v6_mix: same shard semantics under the MIX-TRAINED table. The budget
+# is the v6 budget rescaled by the measured corpus-total token ratio
+# (21,337 mix vs 32,851 ascii tokens at sf0.01 = 0.649 -> 12,000 x
+# 0.649 ~= 7,800), so expected shard counts stay comparable while the
+# PER-LANGUAGE text-per-shard equity improves by the fertility
+# compression (4.68x max/min spread -> 1.81x; SCALE.md round 9).
+_V6_MIX_BUDGET = 7_800
 
 
-def _duck_pipeline_v6() -> str:
+def _duck_pipeline_v6(patterns_sql=None, budget=_V6_BUDGET) -> str:
     from uts_spark.functions.bpe_pretrained import byte_merge_patterns_sql
     from uts_spark.queries.llm_ops import (
         _duck_quality_model_features,
@@ -810,6 +971,8 @@ def _duck_pipeline_v6() -> str:
     )
     from uts_spark.queries.sketch_ops import _PRETOK_RE
 
+    if patterns_sql is None:
+        patterns_sql = byte_merge_patterns_sql()
     pre = _PRETOK_RE.replace("'", "''")
     lang_idx = "CASE route_lang " + " ".join(
         f"WHEN '{lab}' THEN {i}" for i, lab in enumerate(_ULAL_ORDER)
@@ -831,7 +994,7 @@ def _duck_pipeline_v6() -> str:
              list_reduce(
                list_prepend(
                  regexp_replace(lower(hex(encode(pt))), '(..)', '|\\1|', 'g'),
-                 {byte_merge_patterns_sql()}),
+                 {patterns_sql}),
                (acc, p) -> replace(acc, p, replace(p, '||', ''))) AS s
       FROM (SELECT DISTINCT pt FROM dpts6)
     ),
@@ -857,24 +1020,18 @@ def _duck_pipeline_v6() -> str:
     )
     SELECT doc_id, route_lang, n_btok,
            CAST((cb - MIN(cb) OVER (PARTITION BY route_lang))
-                // {_V6_BUDGET} AS BIGINT) AS shard
+                // {budget} AS BIGINT) AS shard
     FROM cum
     """
 
 
-@query("pipeline_training_prep_v6", _duck_pipeline_v6())
-def pipeline_training_prep_v6(spark, sf_dir):
-    """Training-prep v6 (module comment above): frozen-model quality
-    gate + SimHash near-dup removal (both on the raw text, as v5),
-    then LANGUAGE ROUTING via the unicode cascade and per-language
-    shard assignment with boundaries in byte-BPE tokens of the
-    multilingual text. The per-language prefix sums come from ONE
-    range-partitioned exact global prefix sum over the total order
-    (lang_idx * 2^40 + doc_id) — no single-partition window, no
-    8-partition skew — minus each language's start offset (an 8-row
-    broadcast join). Token budgeting makes the fertility correction
-    automatic: a zh shard holds ~4.7x less raw text than an en shard
-    at the same token budget, exactly what the training stack sees."""
+def _pipeline_v6_frame(
+    spark, sf_dir, merges=None, vocab_ids=None, budget=_V6_BUDGET
+):
+    """Shared v6 machinery (gates -> route -> byte-tokenize -> one
+    global prefix sum -> per-language shards), parameterized by the
+    byte merge table and shard budget so the ASCII-table lane and the
+    mix-trained lane stay one implementation."""
     from uts_spark.functions.dedup import simhash_band_pairs
     from uts_spark.functions.text import ulang_id
     from uts_spark.operators.distributed_rank import ranked_cumsum
@@ -909,7 +1066,14 @@ def pipeline_training_prep_v6(spark, sf_dir):
         ).alias("pt"),
     )
     toks = (
-        dpts.join(_bpe_byte_pretoken_tokens(dpts.select("pt").distinct()), "pt")
+        dpts.join(
+            _bpe_byte_pretoken_tokens(
+                dpts.select("pt").distinct(),
+                merges=merges,
+                vocab_ids=vocab_ids,
+            ),
+            "pt",
+        )
         .groupBy("doc_id")
         .agg(F.sum("n_tok").alias("n_btok"))
     )
@@ -961,9 +1125,55 @@ def pipeline_training_prep_v6(spark, sf_dir):
             "route_lang",
             "n_btok",
             F.floor(
-                (F.col("cb") - F.col("__start")) / F.lit(_V6_BUDGET)
+                (F.col("cb") - F.col("__start")) / F.lit(budget)
             ).cast("long").alias("shard"),
         )
+    )
+
+
+@query("pipeline_training_prep_v6", _duck_pipeline_v6())
+def pipeline_training_prep_v6(spark, sf_dir):
+    """Training-prep v6 (module comment above): frozen-model quality
+    gate + SimHash near-dup removal (both on the raw text, as v5),
+    then LANGUAGE ROUTING via the unicode cascade and per-language
+    shard assignment with boundaries in byte-BPE tokens of the
+    multilingual text. The per-language prefix sums come from ONE
+    range-partitioned exact global prefix sum over the total order
+    (lang_idx * 2^40 + doc_id) — no single-partition window, no
+    8-partition skew — minus each language's start offset (an 8-row
+    broadcast join). Token budgeting makes the fertility correction
+    automatic: a zh shard holds ~4.7x less raw text than an en shard
+    at the same token budget, exactly what the training stack sees."""
+    return _pipeline_v6_frame(spark, sf_dir)
+
+
+def _duck_pipeline_v6_mix() -> str:
+    from uts_spark.functions.bpe_pretrained import merges_to_patterns_sql
+
+    return _duck_pipeline_v6(
+        patterns_sql=merges_to_patterns_sql(_mix_merges()),
+        budget=_V6_MIX_BUDGET,
+    )
+
+
+@query("pipeline_training_prep_v6_mix", _duck_pipeline_v6_mix())
+def pipeline_training_prep_v6_mix(spark, sf_dir):
+    """v6 with the BUDGETS RECOMPUTED under the mix-trained byte table
+    (VERDICT r8 #2's second half): same gates, same routing, same one
+    global prefix sum — but token counts come from the 291-merge
+    mix-trained table and the shard budget is the v6 budget rescaled
+    by the measured corpus-total token ratio (12,000 x 0.649 ~= 7,800;
+    see _V6_MIX_BUDGET comment). What changes materially is EQUITY: at
+    the ASCII table a zh shard held ~4.7x less text than an en shard
+    at the same token budget; under the mix table the spread is 1.81x
+    — shard boundaries now land where a multilingual training stack's
+    real tokenizer would put them."""
+    return _pipeline_v6_frame(
+        spark,
+        sf_dir,
+        merges=_mix_merges(),
+        vocab_ids=_mix_vocab_ids(),
+        budget=_V6_MIX_BUDGET,
     )
 
 
