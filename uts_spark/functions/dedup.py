@@ -982,7 +982,7 @@ def minhash_index_append_idempotent(
 
 
 def _index_history_record_batch(
-    path: str, batch_id: int, published: list[str]
+    path: str, batch_id: int, published: list[str], **meta
 ) -> None:
     """Record one idempotent-append tick in the version history (no-op
     when the index predates the history feature). Idempotent per
@@ -992,7 +992,10 @@ def _index_history_record_batch(
     batch_id reused across a rewrite (a new stream restarting at bid 0
     after an erasure) must open a NEW version line, not resurrect the
     dead pre-reset one — rewriting that line would make index_files_at
-    silently omit the new tick's files at every current version."""
+    silently omit the new tick's files at every current version.
+    ``meta`` rides on the line (the drift control loop records the
+    tick's quantizer-fit integers here — the stat is part of the
+    index's durable record, VERDICT r8 #3)."""
     recs = index_history_versions(path)
     if not recs:
         return
@@ -1013,6 +1016,7 @@ def _index_history_record_batch(
                 "reset": False,
                 "files": published,
                 "batch_id": batch_id,
+                **meta,
             }
         )
         _index_history_rewrite(path, sorted(others, key=lambda r: r["version"]))
@@ -1022,6 +1026,7 @@ def _index_history_record_batch(
             max(r["version"] for r in recs) + 1,
             published,
             batch_id=batch_id,
+            **meta,
         )
 
 

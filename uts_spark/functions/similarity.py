@@ -1210,6 +1210,32 @@ def ivf_fit_stat(
     )
 
 
+def ivf_index_fit_ints(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """The drift monitor's EXACT form: (sum of snapped per-vector
+    fits, vector count) against the index's frozen centroids — two
+    longs, so tick records and threshold comparisons are integer
+    arithmetic end-to-end (the closed control loop stores these on
+    the history line and flags via cross-multiplication, never a
+    float compare)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    row = (
+        ivf_fit_stat(emb_batch, cents, id_col, vec_col)
+        .agg(
+            F.sum("fit_n").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()[0]
+    )
+    return (int(row["s"]) if row["n"] else 0, int(row["n"]))
+
+
 def ivf_index_fit(
     spark,
     emb_batch: DataFrame,
@@ -1223,17 +1249,116 @@ def ivf_index_fit(
     the measured re-cluster policy lives in ivf_index_append's
     docstring. Returns a driver scalar (it IS a monitor stat: one
     number per tick, never corpus-shaped)."""
+    s, n = ivf_index_fit_ints(spark, emb_batch, path, id_col, vec_col)
+    return (s / n) / FIT_SCALE if n else float("nan")
+
+
+_FIT_REF_NAME = "_FIT_REF.json"
+
+
+def ivf_fit_ref_write(path: str, fit_sum: int, fit_n: int) -> None:
+    """Persist the monitor's REFERENCE fit (the build-time corpus fit
+    as exact integers) beside the index — the denominator of the
+    re-cluster flag. Written at build and refreshed by the corrective
+    recluster; the drift policy is meaningless without a durable
+    reference (a restarted service must not re-baseline on whatever
+    drifted batch it sees first)."""
+    import json
     import os
 
-    cents = spark.read.parquet(os.path.join(path, "_centroids"))
-    row = (
-        ivf_fit_stat(emb_batch, cents, id_col, vec_col)
-        .agg(
-            F.sum("fit_n").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        .collect()[0]
+    with open(os.path.join(path, _FIT_REF_NAME), "w") as fh:
+        json.dump({"fit_sum": int(fit_sum), "fit_n": int(fit_n)}, fh)
+
+
+def ivf_fit_ref_read(path: str) -> tuple[int, int] | None:
+    import json
+    import os
+
+    p = os.path.join(path, _FIT_REF_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        d = json.load(fh)
+    return int(d["fit_sum"]), int(d["fit_n"])
+
+
+RECLUSTER_MILLI = 820  # re-cluster below 0.82 x reference fit (measured r8)
+
+
+def ivf_index_ingest_tick(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    batch_id: int,
+    recluster_milli: int = RECLUSTER_MILLI,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One CLOSED-LOOP micro-batch of the vector ingest service
+    (VERDICT r8 #3 — round 8 shipped the monitor and the corrective
+    verb but never wired them into the ingest; the policy lived in
+    docstrings). Per tick, under the caller's pending marker:
+
+    1. MEASURE first: the batch's quantizer fit against the CURRENT
+       frozen centroids (exact integers; measuring after the append
+       would dilute the signal with the batch's own effect on nothing
+       — fit is centroid-relative, so order only matters for clarity);
+    2. APPEND exactly-once (epoch-keyed staged publish), recording
+       (fit_sum, fit_n) on the tick's history line — the stat is part
+       of the index's durable record, inspectable as time travel;
+    3. ACT when the measured flag fires — fit_sum * ref_n * 1000 <
+       recluster_milli * ref_sum * fit_n, all longs (the 0.82
+       threshold sits between the measured 0.85 plateau and 0.80
+       first-decay, SCALE.md round 8) — by re-clustering over the
+       index's OWN current contents (the index stores the vectors;
+       no external corpus handle needed), carrying the version
+       history forward with a reset line and refreshing the fit
+       reference to the post-recluster corpus fit.
+
+    Returns {"fit_sum", "fit_n", "reclustered"}. A missing fit
+    reference (index predates the loop) records the stat but never
+    flags — monitoring degrades gracefully, it does not guess."""
+    import os
+
+    fit_sum, fit_n = ivf_index_fit_ints(
+        spark, emb_batch, path, id_col, vec_col
     )
-    return (row["s"] / row["n"]) / FIT_SCALE if row["n"] else float("nan")
+    from uts_spark.functions.dedup import (
+        _index_history_record_batch,
+        index_epoch,
+    )
+    from uts_spark.sources.sinks import staged_idempotent_append
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    assigned = _ivf_assign(emb_batch, cents, id_col, vec_col)
+    published = staged_idempotent_append(
+        assigned, path, ["cell"], batch_id, epoch=index_epoch(path)
+    )
+    _index_history_record_batch(
+        path, batch_id, published, fit_sum=fit_sum, fit_n=fit_n
+    )
+
+    ref = ivf_fit_ref_read(path)
+    flag = (
+        ref is not None
+        and fit_n > 0
+        and fit_sum * ref[1] * 1000 < recluster_milli * ref[0] * fit_n
+    )
+    if flag:
+        emb_full = spark.read.parquet(path).select(id_col, vec_col)
+        # the service must not hold a lazy plan over files the swap is
+        # about to replace
+        emb_full = emb_full.localCheckpoint(eager=True)
+        ivf_index_recluster(
+            spark, emb_full, path, n_cells=n_cells,
+            id_col=id_col, vec_col=vec_col,
+        )
+        new_sum, new_n = ivf_index_fit_ints(
+            spark, emb_full, path, id_col, vec_col
+        )
+        ivf_fit_ref_write(path, new_sum, new_n)
+    return {"fit_sum": fit_sum, "fit_n": fit_n, "reclustered": bool(flag)}
 
 
 def ivf_index_append_idempotent(
@@ -1334,13 +1459,26 @@ def _carry_history_over_rebuild(
     ``old``) carried a history, replace the new build's sidecar with
     prior records + one reset line at max(version)+1 holding the
     rebuilt census: stale pins raise 'predates the rewrite', and the
-    rebuild occupies the next version like any other rewriting verb."""
+    rebuild occupies the next version like any other rewriting verb.
+
+    The pending MARKER (if the rebuild runs inside a service tick —
+    the drift control loop's mid-stream recluster) also carries over:
+    it marks the tick in progress, and leaving it behind in the
+    superseded directory would let index_tick's final marker removal
+    fail while readers trusted a half-finished tick."""
+    import os
+    import shutil
+
     from uts_spark.functions.dedup import (
+        _PENDING_NAME,
         _index_data_files,
         _index_history_rewrite,
         index_history_versions,
     )
 
+    pend = os.path.join(old, _PENDING_NAME)
+    if os.path.exists(pend):
+        shutil.copy2(pend, os.path.join(path, _PENDING_NAME))
     prior = index_history_versions(old)
     if not prior:
         return

@@ -1797,3 +1797,266 @@ def _register_stream_ann_ingest():
 
 
 stream_ann_index_ingest_replay = _register_stream_ann_ingest()
+
+
+def _register_stream_ann_drift_recluster():
+    """The CLOSED drift-control loop (VERDICT r8 #3): round 8 shipped
+    the fit monitor and the recluster verb as separate lanes — a real
+    service needs the loop wired into the ingest itself."""
+    from uts_spark.functions.hashing import duck_hash64
+    from uts_spark.queries.llm_ops import (
+        _DRIFT_ANCHOR_PRED,
+        _DRIFT_ID0,
+        _IVF_APP_MOD,
+        _IVF_APP_REM,
+        _duck_cosine,
+    )
+
+    # DERIVED CLUSTERED corpus (fixture honesty, measured in SCALE.md
+    # round 9: the synthetic embeddings table is diffuse — its corpus
+    # fit sits AT the random-direction level (~0.19), so no exact
+    # shift/rotation of a batch can push fit below 0.82x reference at
+    # both gate SFs; a quantizer-fit monitor is only meaningful over
+    # data with cluster structure, which is also the regime real
+    # embedding corpora live in). Construction, exact at every SF:
+    # vector = 8.0 at its cluster's component + dyadic 1/16-grid
+    # jitter everywhere, ids from the embeddings table. Base clusters
+    # live on components 0..7; the rem-7 batch re-keys above
+    # _DRIFT_ID0 and splits by vec_id % 20 (% 10 parity is degenerate
+    # — every rem-7 id is odd): the % 20 == 7 half joins the BASE
+    # clusters (micro-batch 1 — fit ratio ~1.0, must NOT flag), the
+    # % 20 == 17 half clusters on components 56..63, orthogonal to
+    # every frozen centroid (micro-batch 2 — fit ratio ~0.07, must
+    # flag at the measured 0.82).
+    def _dvec_sql(id_expr: str, center: str) -> str:
+        return (
+            f"list_transform(range(0, 64), j -> "
+            f"CAST((({id_expr}) * 31 + j * 7) % 16 - 8 AS DOUBLE) / 16.0"
+            f" + CASE WHEN j = ({center}) THEN 8.0 ELSE 0.0 END)"
+        )
+
+    corpus_sql = f"""
+      SELECT vec_id, {_dvec_sql('vec_id', 'vec_id % 8')} AS embedding
+      FROM embeddings WHERE vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}
+      UNION ALL
+      SELECT vec_id + {_DRIFT_ID0},
+             {_dvec_sql(
+                 f'vec_id + {_DRIFT_ID0}',
+                 f'CASE WHEN vec_id % 20 = 17 THEN'
+                 f' 56 + (vec_id + {_DRIFT_ID0}) % 8'
+                 f' ELSE (vec_id + {_DRIFT_ID0}) % 8 END',
+             )}
+      FROM embeddings WHERE vec_id % {_IVF_APP_MOD} = {_IVF_APP_REM}
+    """
+    # final index == FRESH rebuild over the full corpus (the recluster
+    # fired on the last batch): the det-IVF probe with centroids from
+    # the FULL corpus is the exact recompute
+    oracle = f"""
+    WITH corpus AS ({corpus_sql}),
+    hc AS (
+      SELECT vec_id, embedding,
+             {duck_hash64("concat('ivfc:', vec_id)")} AS h
+      FROM corpus
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM hc ORDER BY h, vec_id LIMIT 8
+    ),
+    sim AS MATERIALIZED (
+      SELECT c0.vec_id, c.cent_id,
+             {_duck_cosine('c0.embedding', 'c.cv')} AS s
+      FROM corpus c0, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS anchor_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim WHERE {_DRIFT_ANCHOR_PRED}) WHERE r <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.anchor_id
+    ),
+    scored AS (
+      SELECT c.anchor_id, c.neighbor_id,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM cand c
+      JOIN corpus ea ON ea.vec_id = c.anchor_id
+      JOIN corpus eb ON eb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+    @query("stream_ann_ingest_drift_recluster_replay", oracle)
+    def stream_ann_ingest_drift_recluster_replay(spark, sf_dir):
+        """The vector service's ingest loop with the DRIFT CONTROL
+        LOOP CLOSED (VERDICT r8 #3): each micro-batch runs
+        similarity.ivf_index_ingest_tick — measure the batch's
+        quantizer fit against the frozen centroids (exact integers,
+        recorded ON the tick's history line), exactly-once append,
+        and re-cluster over the index's own contents when the
+        measured 0.82 flag fires. The corpus is the DERIVED clustered
+        one (see the registration comment — the fixture embeddings
+        are diffuse, so their fit floor IS the random level and no
+        exact transform can trip the flag at both gate SFs; clustered
+        data is also the regime the monitor exists for). Micro-batch
+        1 (vectors joining the BASE clusters) records fit ratio ~1.0
+        and does NOT trip the flag; micro-batch 2 (clusters on
+        components 56..63, orthogonal to every frozen centroid)
+        measures ~0.07 and trips it, and the corrective recluster
+        runs UNDER the stream's pending marker (the marker and the
+        version-history chain both carry across the rebuild swap;
+        stale pins raise 'predates the rewrite'). The final index
+        therefore equals a FRESH build over the full
+        drifted corpus — the oracle recomputes exactly that probe.
+        Tick sequencing is two processAllAvailable barriers (write
+        batch-1 file, drain, write batch-2, drain): the flag decision
+        depends on WHICH centroids are frozen at measurement time, so
+        the replay pins a deterministic order instead of racing file
+        discovery. Scale: ticks stay batch-shaped until a flag fires;
+        the recluster is the one full-build the monitor exists to
+        amortize (measured 15x cheaper to monitor than to recluster
+        blindly, SCALE.md round 8)."""
+        from uts_spark.functions.dedup import (
+            index_manifest_write,
+            index_state,
+            index_tick,
+        )
+        from uts_spark.functions.similarity import (
+            ivf_fit_ref_write,
+            ivf_index_fit_ints,
+            ivf_index_ingest_tick,
+            ivf_index_probe,
+            ivf_index_write,
+        )
+        from uts_spark.queries.llm_ops import (
+            _DRIFT_ANCHOR_IDS,
+            _emb_frame_fingerprint,
+            ivf_index_path,
+        )
+
+        def dvec(id_col, center_col):
+            # exact at every SF: 8.0 at the cluster component plus
+            # 1/16-grid jitter everywhere (mirrors _dvec_sql verbatim)
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    ((id_col * 31 + j * 7) % 16 - 8).cast("double")
+                    / F.lit(16.0)
+                )
+                + F.when(j == center_col, F.lit(8.0)).otherwise(F.lit(0.0)),
+            )
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(
+            F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM
+        ).select(
+            "vec_id",
+            dvec(F.col("vec_id"), F.col("vec_id") % 8).alias("embedding"),
+        )
+        moved = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        rid = (F.col("vec_id") + F.lit(_DRIFT_ID0))
+        b1 = moved.filter(F.col("vec_id") % 20 == 7).select(
+            rid.alias("vec_id"),
+            dvec(rid, rid % 8).alias("embedding"),
+        )
+        b2 = moved.filter(F.col("vec_id") % 20 == 17).select(
+            rid.alias("vec_id"),
+            dvec(rid, F.lit(56) + rid % 8).alias("embedding"),
+        )
+        corpus = base.unionAll(b1).unionAll(b2)
+
+        fp0 = _emb_frame_fingerprint(base)
+        fp1 = _emb_frame_fingerprint(corpus)
+        path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_drift"
+
+        state = index_state(path)
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            # freeze the build-time quantizer from the 8 PURE cluster
+            # centers (an 8-row frame — _ivf_centroids takes all of
+            # it), so the reference fit is the clustered regime's
+            # ~0.92, not a hash-sample's cluster-coverage lottery
+            centers = spark.range(8).select(
+                (F.col("id") + F.lit(9000)).alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: F.when(
+                        j == F.col("id").cast("int"), F.lit(8.0)
+                    ).otherwise(F.lit(0.0)),
+                ).alias("embedding"),
+            )
+            ivf_index_write(base, path, n_cells=8, centroid_src=centers)
+            index_manifest_write(path, fp0, n_cells=8)
+            s, n = ivf_index_fit_ints(spark, base, path)
+            ivf_fit_ref_write(path, s, n)
+            state = fp0
+        if state == fp0:
+
+            def _ingest():
+                scratch = tempfile.mkdtemp(prefix="uts_drift_ingest_")
+                try:
+                    src = os.path.join(scratch, "src")
+                    chk = os.path.join(scratch, "chk")
+                    schema = "vec_id long, embedding array<double>"
+                    # deterministic tick order: batch 1's file exists
+                    # BEFORE the stream starts (a start on an empty
+                    # dir can commit an empty epoch and then swallow
+                    # both files into one batch — the flag decision
+                    # depends on which centroids are frozen at
+                    # measurement time, so each batch must be its own
+                    # epoch); batch 2 lands only after epoch 0 drains
+                    b1.coalesce(1).write.parquet(src)
+                    stream = (
+                        spark.readStream.schema(schema)
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(src)
+                    )
+                    q = (
+                        stream.writeStream.foreachBatch(
+                            lambda bdf, bid: ivf_index_ingest_tick(
+                                spark, bdf, path, bid
+                            )
+                        )
+                        .option("checkpointLocation", chk)
+                        .start()
+                    )
+                    try:
+                        q.processAllAvailable()
+                        b2.coalesce(1).write.mode("append").parquet(src)
+                        q.processAllAvailable()
+                    finally:
+                        q.stop()
+                finally:
+                    shutil.rmtree(scratch, ignore_errors=True)
+
+            index_tick(path, fp1, _ingest, n_cells=8)
+
+        anchors = corpus.filter(
+            (F.col("vec_id") < 3)
+            | F.col("vec_id").isin(list(_DRIFT_ANCHOR_IDS))
+        )
+        return ivf_index_probe(spark, path, anchors, None, k=10, n_probe=3)
+
+    return stream_ann_ingest_drift_recluster_replay
+
+
+stream_ann_ingest_drift_recluster_replay = (
+    _register_stream_ann_drift_recluster()
+)
