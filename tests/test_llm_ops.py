@@ -2074,3 +2074,39 @@ def test_drift_control_loop_closed(spark, tmp_path):
     )
     out = ivf_index_ingest_tick(spark, more, idx, 2)
     assert not out["reclustered"]
+
+
+def test_qm6_refit_gate_and_shipped_path(spark):
+    """VERDICT r8 #5: the 6th feature (x_xent) through the shipped
+    lane. (a) the refit harness still measures the 6-feature
+    candidate and the swap gate holds (the tie is structural: the
+    pseudo-labels are a function of the five features — see the
+    _QM_W6 module comment); (b) the shipped comparison lane's pass5
+    column IS the production model's decision, and the frozen
+    candidate agrees with production on the overwhelming majority of
+    docs (the flips are boundary docs, not a different model)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from refit_quality_model import refit
+
+    d = refit("/root/testdata/sf0.001")
+    assert d["swap_recommended"] is False
+    assert d["f1_refit6_xent"] == d["f1_incumbent"] == d["f1_refit5"]
+
+    import uts_spark.registry as reg
+
+    sf = "/root/testdata/sf0.001"
+    cmp_rows = {
+        r["doc_id"]: r
+        for r in reg.QUERIES["text_quality_model6_compare"](
+            spark, sf
+        ).collect()
+    }
+    prod = {
+        r["doc_id"]: r["model_pass"]
+        for r in reg.QUERIES["text_quality_model_score"](spark, sf).collect()
+    }
+    assert all(cmp_rows[d_]["pass5"] == prod[d_] for d_ in prod)
+    agree = sum(1 for r in cmp_rows.values() if r["agree"])
+    assert agree / len(cmp_rows) >= 0.9, agree
