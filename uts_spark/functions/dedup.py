@@ -1095,6 +1095,7 @@ def minhash_index_probe(
     n_grps: int = 16,
     checkpoint: bool = True,
     version: int | None = None,
+    scan: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted index with a new batch: sketch the BATCH
     (batch-sized work only), push its distinct (band, grp) list into
@@ -1114,8 +1115,14 @@ def minhash_index_probe(
     :func:`minhash_lsh` / :func:`simhash_band_pairs`: a dedup service
     probes repeatedly in one session, and un-released caches accumulate
     executor storage per probe. ``checkpoint=False`` keeps the full
-    lazy plan (plan-shape tests pin the partition-pruned index scan)."""
-    _check_index_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
+    lazy plan (plan-shape tests pin the partition-pruned index scan).
+
+    ``scan`` overrides the index source with an explicit (id, band,
+    bucket, grp) frame — the snapshot-committed family
+    (functions/vindex.py) passes its manifest-resolved version read
+    here, so both storage protocols share one probe/verify kernel."""
+    if scan is None:
+        _check_index_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
     arrays_n = doc_shingle_arrays_portable(new_docs, text_col, id_col, n).cache()
     sig_n = minhash_signatures_portable(arrays_n, k)
     bk_n = _band_bucket_rows(sig_n, k, bands)
@@ -1132,7 +1139,9 @@ def minhash_index_probe(
     # for hundreds of probed partitions, and an empty probe batch
     # degrades to IN () = false, i.e. an empty result
     keys = sorted(int(b) * n_grps + int(g) for b, g in pdf.itertuples(index=False))
-    if version is None:
+    if scan is not None:
+        pass  # caller-resolved rows (snapshot family)
+    elif version is None:
         scan = spark.read.parquet(path)
     else:
         # VERSION-PINNED read: the scan sees exactly the file set the

@@ -5825,6 +5825,91 @@ def dedup_minhash_index_compact_version_probe(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_minhash_vindex_lifecycle_probe",
+    _duck_minhash_index_probe(
+        _MIDX_REM2,
+        old_pred=f" AND b.id % {_MIDX_MOD} != 5",
+    ),
+)
+def dedup_minhash_vindex_lifecycle_probe(spark, sf_dir):
+    """The SNAPSHOT-COMMITTED index family, full CRUD in one lane
+    (VERDICT r8 #4 — the rename-swap/O_EXCL protocol is POSIX-local
+    only; object storage has neither, so index commits route through
+    sources/versioned.py's atomic manifest commit instead): BUILD the
+    band index over base as snapshot v0 (config+fingerprint ON the
+    manifest), fast-APPEND batch-1 as v1 (delta dir + O(1) manifest
+    commit — the table is never rewritten), DELETE the rem-5 slice as
+    copy-on-write v2 (left-anti, ids never on the driver), COMPACT
+    the chain into one clustered dir as v3, then probe batch-2 at the
+    current snapshot through the SAME candidate/verify kernel as the
+    marker family. Oracle = recompute with old = everything except
+    batch-2 and the deleted slice. Concurrency is optimistic (no
+    marker, no lock): every commit is a CAS on the next manifest —
+    losers retry (appends as-is, rewrites recomputed); pinned in
+    tests/test_llm_ops.py. Scale: append ticks are batch-sized;
+    pruning comes from cluster-sorted row-group stats (manifests, not
+    directory names, define membership — the Iceberg shape)."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        minhash_vindex_append,
+        minhash_vindex_build,
+        minhash_vindex_compact,
+        minhash_vindex_delete,
+        minhash_vindex_probe,
+        vindex_config,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(
+        (F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+        & (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+    )
+    b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM)
+    b2 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM2)
+    deleted = docs.filter(F.col("doc_id") % _MIDX_MOD == 5).select(
+        F.col("doc_id").alias("id")
+    )
+    old = docs.filter(
+        (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+        & (F.col("doc_id") % _MIDX_MOD != 5)
+    )
+
+    fp0 = _frame_fingerprint(base)
+    cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+    stages = [fp0, fp0 + ":a1", fp0 + ":a1:d5", fp0 + ":a1:d5:c"]
+    path = minhash_index_path(sf_dir, fp0, **cfg) + "_snap"
+
+    m = vindex_config(path)
+    state = m["fingerprint"] if m else None
+    if state not in stages:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        minhash_vindex_build(
+            base, "text", "doc_id", path, fingerprint=stages[0], **cfg
+        )
+        state = stages[0]
+    if state == stages[0]:
+        minhash_vindex_append(
+            b1, "text", "doc_id", path, fingerprint=stages[1], **cfg
+        )
+        state = stages[1]
+    if state == stages[1]:
+        minhash_vindex_delete(
+            spark, deleted, path, fingerprint=stages[2], **cfg
+        )
+        state = stages[2]
+    if state == stages[2]:
+        minhash_vindex_compact(spark, path, fingerprint=stages[3], **cfg)
+
+    return minhash_vindex_probe(
+        spark, path, b2, old, "text", "doc_id",
+        threshold=_MIDX_THR, **cfg,
+    )
+
+
 # --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
 #
 # Engine-neutral logarithms: the per-position discounts 1/log2(p+1) are

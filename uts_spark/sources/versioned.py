@@ -60,25 +60,53 @@ def current_version(path: str) -> int | None:
     return versions[-1]["version"] if versions else None
 
 
+class VersionConflictError(ValueError):
+    """Another writer committed this version first (optimistic
+    concurrency): re-read the current version and retry — a file-add
+    commit (append) can retry as-is; a rewrite commit (delete,
+    compact) must recompute against the new current."""
+
+
 def _commit(path: str, manifest: dict) -> None:
     vdir = _versions_dir(path)
     os.makedirs(vdir, exist_ok=True)
     final = os.path.join(vdir, f"v{manifest['version']}.json")
     if os.path.exists(final):
-        raise ValueError(
+        raise VersionConflictError(
             f"versioned table {path}: version {manifest['version']} already "
             "committed (concurrent writer?)"
         )
-    tmp = final + ".tmp"
+    # unique temp per writer, then a hard LINK to the final name: link
+    # fails atomically with EEXIST if a racer landed between the check
+    # above and here — the local-FS analog of object storage's
+    # PUT-if-absent, and the reason index services can commit through
+    # this table without any O_EXCL marker (VERDICT r8 #4). os.replace
+    # would silently LAST-writer-win the race instead.
+    tmp = os.path.join(vdir, f".commit-{os.getpid()}-{id(manifest)}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, final)  # the atomic commit point
+    try:
+        os.link(tmp, final)  # the atomic commit point
+    except FileExistsError:
+        raise VersionConflictError(
+            f"versioned table {path}: version {manifest['version']} already "
+            "committed (concurrent writer?)"
+        ) from None
+    finally:
+        os.remove(tmp)
 
 
-def write_snapshot(df: DataFrame, path: str, operation: str = "overwrite") -> int:
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    operation: str = "overwrite",
+    meta: dict | None = None,
+) -> int:
     """Write ``df`` as the table's next version; returns the version id.
     Data files are immutable — a snapshot never touches earlier
-    versions' files, so readers pinned to any version are unaffected."""
+    versions' files, so readers pinned to any version are unaffected.
+    ``meta`` rides on the manifest (index services store their config
+    and corpus fingerprint there)."""
     parent = current_version(path)
     version = 0 if parent is None else parent + 1
     ddir = _data_dir(path, version)
@@ -93,9 +121,105 @@ def write_snapshot(df: DataFrame, path: str, operation: str = "overwrite") -> in
             "n_rows": n,
             "schema": df.schema.simpleString(),
             "data_dir": ddir,
+            **(meta or {}),
         },
     )
     return version
+
+
+def _manifest_dirs(m: dict) -> list[str]:
+    """A manifest's data directories: multi-dir (fast-append chains)
+    or the classic single ``data_dir``."""
+    return list(m.get("data_dirs", [m["data_dir"]] if "data_dir" in m else []))
+
+
+def _write_delta_dir(df: DataFrame, path: str, sort_cols=()) -> str:
+    """Write rows to a WRITER-UNIQUE immutable directory (not keyed by
+    the target version): a commit retry after a conflict re-uses the
+    already-written files — only the manifest race reruns, never the
+    data job. ``sort_cols`` cluster-sorts rows so parquet row-group
+    min/max stats prune selective scans (this format's stand-in for
+    directory partitioning — manifests, not directory names, define
+    membership)."""
+    import uuid
+
+    ddir = os.path.join(path, "data", f"d-{uuid.uuid4().hex[:12]}")
+    out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    out.write.mode("errorifexists").parquet(ddir)
+    return ddir
+
+
+def commit_version(
+    path: str,
+    data_dirs: list[str],
+    operation: str,
+    expected_parent: int | None,
+    n_rows: int,
+    meta: dict | None = None,
+) -> int:
+    """CAS commit primitive (VERDICT r8 #4): commit ``data_dirs`` as
+    the next version IF AND ONLY IF the table's current version is
+    still ``expected_parent`` — otherwise raise
+    :class:`VersionConflictError` WITHOUT touching anything. Append
+    commits retry by re-reading the parent chain (file adds commute);
+    rewrite commits must recompute. The check+link pair is atomic:
+    even if a racer lands between the parent check and the link, the
+    link itself fails EEXIST and the commit is cleanly rejected."""
+    parent = current_version(path)
+    if parent != expected_parent:
+        raise VersionConflictError(
+            f"versioned table {path}: current version is {parent}, "
+            f"writer expected {expected_parent} — re-read and retry"
+        )
+    version = 0 if parent is None else parent + 1
+    _commit(
+        path,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "n_rows": n_rows,
+            "data_dirs": list(data_dirs),
+            **(meta or {}),
+        },
+    )
+    return version
+
+
+def append_snapshot(
+    df: DataFrame,
+    path: str,
+    operation: str = "append",
+    meta: dict | None = None,
+    sort_cols=(),
+    max_retries: int = 5,
+) -> int:
+    """FAST APPEND (the Iceberg shape): write the delta to its own
+    immutable directory once, then commit a manifest whose dir list =
+    parent's dirs + the delta dir. Cost is delta-sized — the table is
+    never rewritten. On a commit conflict the data job does NOT rerun:
+    file adds commute, so the manifest commit simply retries against
+    the new current (bounded by ``max_retries``)."""
+    ddir = _write_delta_dir(df, path, sort_cols)
+    n = df.sparkSession.read.parquet(ddir).count()
+    last: Exception | None = None
+    for _ in range(max_retries):
+        parent = current_version(path)
+        versions = {m["version"]: m for m in list_versions(path)}
+        parent_dirs = _manifest_dirs(versions[parent]) if parent is not None else []
+        parent_rows = versions[parent]["n_rows"] if parent is not None else 0
+        try:
+            return commit_version(
+                path,
+                parent_dirs + [ddir],
+                operation,
+                parent,
+                parent_rows + n,
+                meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
 
 
 def read_version(
@@ -113,7 +237,8 @@ def read_version(
             f"versioned table {path}: version {version} not found "
             f"(have {sorted(byv)})"
         )
-    return spark.read.parquet(byv[version]["data_dir"])
+    dirs = _manifest_dirs(byv[version])
+    return spark.read.parquet(*dirs)
 
 
 def merge_upsert(
@@ -156,8 +281,15 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(path)
     doomed = versions[:-keep_last]
+    # fast-append chains SHARE directories across versions: a dir is
+    # removable only when no KEPT manifest still references it
+    kept_dirs = {
+        d for m in versions[-keep_last:] for d in _manifest_dirs(m)
+    }
     for m in doomed:
-        shutil.rmtree(m["data_dir"], ignore_errors=True)
+        for d in _manifest_dirs(m):
+            if d not in kept_dirs:
+                shutil.rmtree(d, ignore_errors=True)
         os.remove(os.path.join(_versions_dir(path), f"v{m['version']}.json"))
     return [m["version"] for m in doomed]
 
