@@ -2227,3 +2227,96 @@ def test_vindex_optimistic_concurrency_and_time_travel(spark, tmp_path):
         {r["id"] for r in read_version(spark, path).select("id").collect()}
         & b1_ids
     )
+
+
+def test_vindex_delete_prunes_by_dir_stats(spark, tmp_path):
+    """Round-10 candidate pulled forward: erasure on the snapshot
+    family rewrites ONLY dirs whose manifest id-range admits a
+    deleted id. Build + two id-disjoint appends, delete ids from one
+    append's range: the other dirs carry into the new manifest BY
+    REFERENCE (same paths), the erased ids are gone, and a probe
+    equals a from-scratch build without them."""
+    from uts_spark.functions.vindex import (
+        minhash_vindex_append,
+        minhash_vindex_build,
+        minhash_vindex_delete,
+        minhash_vindex_probe,
+    )
+    from uts_spark.sources.versioned import (
+        _manifest_dirs,
+        list_versions,
+        read_version,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 11 == 0)
+    b1 = docs.filter(F.col("doc_id") % 11 == 1)
+    b2 = docs.filter(F.col("doc_id") % 11 == 2)
+    probe_batch = docs.filter(F.col("doc_id") % 11 == 3)
+    cfg = dict(n=3, k=16, bands=4)
+
+    path = str(tmp_path / "vidx")
+    minhash_vindex_build(base, "text", "doc_id", path, "f0", **cfg)
+    minhash_vindex_append(b1, "text", "doc_id", path, "f1", **cfg)
+    minhash_vindex_append(b2, "text", "doc_id", path, "f2", **cfg)
+    pre = list_versions(path)[-1]
+    pre_dirs = _manifest_dirs(pre)
+    assert len(pre_dirs) == 3 and set(pre["dir_stats"]) == set(pre_dirs)
+
+    # delete only b1's docs: doc_id % 11 == 1 ids interleave with the
+    # other residues, so range pruning alone cannot skip base/b2 dirs
+    # on OVERLAPPING ranges — but each dir's range is checked against
+    # the ACTUAL deleted ids, so the count of touched dirs is exactly
+    # the dirs whose [min, max] contains at least one deleted id
+    deleted = b1.select(F.col("doc_id").alias("id"))
+    minhash_vindex_delete(spark, deleted, path, "f3", **cfg)
+    post = list_versions(path)[-1]
+    post_dirs = _manifest_dirs(post)
+    carried = set(pre_dirs) & set(post_dirs)
+    assert post["operation"] == "delete"
+    # interleaved residues overlap every range -> all three touched,
+    # zero carried; the PRUNING claim needs disjoint ranges:
+    assert post["pruned_dirs"] == len(carried)
+
+    # now the disjoint-range case: append a batch re-keyed FAR above
+    # every existing id, then delete ids only from that range
+    far = b1.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    minhash_vindex_append(far, "text", "doc_id", path, "f4", **cfg)
+    before = list_versions(path)[-1]
+    before_dirs = _manifest_dirs(before)
+    far_ids = far.select(F.col("doc_id").alias("id"))
+    minhash_vindex_delete(spark, far_ids, path, "f5", **cfg)
+    after = list_versions(path)[-1]
+    after_dirs = _manifest_dirs(after)
+    # every pre-existing dir carried by reference; only the far dir
+    # was rewritten (to empty)
+    assert set(before_dirs[:-1]) <= set(after_dirs)
+    assert after["pruned_dirs"] == len(before_dirs) - 1
+    got_ids = {
+        r["id"] for r in read_version(spark, path).select("id").collect()
+    }
+    assert not (got_ids & {r["id"] for r in far_ids.collect()})
+
+    # probe parity vs a from-scratch build over the surviving corpus
+    surv = base.unionAll(b2.select(*base.columns))
+    ref = str(tmp_path / "ref")
+    minhash_vindex_build(surv, "text", "doc_id", ref, "rf", **cfg)
+    old = docs.filter(
+        (F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 11 == 2)
+    )
+
+    def probe(p):
+        return sorted(
+            map(
+                tuple,
+                minhash_vindex_probe(
+                    spark, p, probe_batch, old, "text", "doc_id",
+                    threshold=0.3, **cfg,
+                ).collect(),
+            )
+        )
+
+    # (the interleaved delete above already removed b1; far ids too)
+    assert probe(path) == probe(ref)

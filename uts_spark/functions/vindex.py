@@ -55,7 +55,6 @@ from uts_spark.sources.versioned import (
     VersionConflictError,
     _manifest_dirs,
     _write_delta_dir,
-    append_snapshot,
     commit_version,
     current_version,
     list_versions,
@@ -63,6 +62,18 @@ from uts_spark.sources.versioned import (
 )
 
 _SORT = ("band", "grp", "bucket")
+
+
+def _id_stats(spark, ddir: str) -> list[int]:
+    """(min_id, max_id) of a delta directory — recorded on the
+    manifest so erasure can PRUNE: a dir whose id range admits none
+    of the deleted ids is carried into the new version untouched
+    (the file-stats pruning real table formats do; here at dir
+    granularity because dirs are this format's file unit)."""
+    row = spark.read.parquet(ddir).agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).first()
+    return [int(row["lo"]), int(row["hi"])]
 
 
 def _rows(df: DataFrame, text_col: str, id_col: str, n, k, bands, n_grps):
@@ -128,10 +139,9 @@ def minhash_vindex_build(
     ddir = _write_delta_dir(rows.repartition(4, "band", "grp"), path, _SORT)
     spark = df.sparkSession
     n_rows = spark.read.parquet(ddir).count()
-    return commit_version(
-        path, [ddir], "build", None, n_rows,
-        _config_meta(fingerprint, n, k, bands, n_grps),
-    )
+    meta = _config_meta(fingerprint, n, k, bands, n_grps)
+    meta["dir_stats"] = {ddir: _id_stats(spark, ddir)}
+    return commit_version(path, [ddir], "build", None, n_rows, meta)
 
 
 def minhash_vindex_append(
@@ -146,38 +156,58 @@ def minhash_vindex_append(
     n_grps: int = 16,
 ) -> int:
     """Fast append: sketch ONLY the batch, write its rows to a delta
-    dir once, commit manifest = parent dirs + delta. Batch-sized; a
-    commit conflict retries the manifest only (inside
-    append_snapshot) — file adds commute, the sketch never reruns."""
+    dir once, commit manifest = parent dirs + delta (with the delta's
+    id-range stats — erasure's pruning input). Batch-sized; a commit
+    conflict retries the manifest only — file adds commute, the
+    sketch never reruns."""
     _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
+    spark = batch.sparkSession
     rows = _rows(batch, text_col, id_col, n, k, bands, n_grps)
-    return append_snapshot(
-        rows.repartition(4, "band", "grp"),
-        path,
-        operation="append",
-        meta=_config_meta(fingerprint, n, k, bands, n_grps),
-        sort_cols=_SORT,
+    ddir = _write_delta_dir(
+        rows.repartition(4, "band", "grp"), path, _SORT
     )
+    n_new = spark.read.parquet(ddir).count()
+    stats = _id_stats(spark, ddir)
+    last: Exception | None = None
+    for _ in range(5):
+        versions = {m["version"]: m for m in list_versions(path)}
+        parent = max(versions) if versions else None
+        pm = versions[parent] if parent is not None else {}
+        meta = _config_meta(fingerprint, n, k, bands, n_grps)
+        meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
+        try:
+            return commit_version(
+                path,
+                (_manifest_dirs(pm) if pm else []) + [ddir],
+                "append",
+                parent,
+                pm.get("n_rows", 0) + n_new,
+                meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
 
 
 def _rewrite_with_retry(
     spark, path: str, make_rows, operation: str,
     fingerprint: str, cfg: dict, max_retries: int = 5,
 ) -> int:
-    """Shared rewrite commit loop (delete / compact): compute the new
-    row set AGAINST the current version, write it to a fresh delta
-    dir, CAS-commit; on conflict, RECOMPUTE against the new current
-    (a rewrite does not commute with whatever landed in between)."""
+    """Shared rewrite commit loop (compact): compute the new row set
+    AGAINST the current version, write it to a fresh delta dir,
+    CAS-commit; on conflict, RECOMPUTE against the new current (a
+    rewrite does not commute with whatever landed in between)."""
     last: Exception | None = None
     for _ in range(max_retries):
         parent = current_version(path)
         rows = make_rows(read_version(spark, path, parent))
         ddir = _write_delta_dir(rows, path, _SORT)
         n_rows = spark.read.parquet(ddir).count()
+        meta = _config_meta(fingerprint, **cfg)
+        meta["dir_stats"] = {ddir: _id_stats(spark, ddir)}
         try:
             return commit_version(
-                path, [ddir], operation, parent, n_rows,
-                _config_meta(fingerprint, **cfg),
+                path, [ddir], operation, parent, n_rows, meta
             )
         except VersionConflictError as e:
             last = e
@@ -194,24 +224,86 @@ def minhash_vindex_delete(
     bands: int = 8,
     n_grps: int = 16,
 ) -> int:
-    """Erasure as a copy-on-write snapshot: current rows LEFT ANTI the
-    deleted-id frame (the ids never touch the driver), committed via
-    CAS. Unlike the marker family's reset, earlier versions REMAIN
-    READABLE until vacuum removes them — the GDPR contract is
-    therefore vacuum's: erase-then-vacuum is the complete verb
-    sequence, and the table's retention policy must say so."""
+    """Erasure as a PRUNED copy-on-write snapshot (round-10 candidate
+    pulled forward): the manifest's per-dir (min_id, max_id) stats
+    decide which dirs the erasure can possibly touch — one tiny agg
+    over the DELETED frame (never the table) marks each dir touched
+    iff some deleted id falls inside its range; untouched dirs carry
+    into the new manifest BY REFERENCE, only the touched dirs rewrite
+    through the left-anti join. Cost ∝ touched data, the deleted-id
+    frame stays distributed, and a service whose appends arrive in
+    id-ordered batches (the common case) erases at batch-directory
+    granularity — the Iceberg file-stats erasure shape at this
+    format's dir-sized file unit. On a CAS conflict the whole
+    decision recomputes against the new current. Earlier versions
+    REMAIN READABLE until vacuum — erase-then-vacuum is the complete
+    GDPR sequence."""
     _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
-    idf = deleted_ids.toDF("id") if len(deleted_ids.columns) == 1 else deleted_ids
+    idf = (
+        deleted_ids.toDF("id")
+        if len(deleted_ids.columns) == 1
+        else deleted_ids
+    ).select("id")
 
-    def make_rows(cur):
-        return cur.join(idf.select("id"), "id", "left_anti").repartition(
-            4, "band", "grp"
+    last: Exception | None = None
+    for _ in range(5):
+        versions = {m["version"]: m for m in list_versions(path)}
+        parent = max(versions) if versions else None
+        if parent is None:
+            raise ValueError(f"snapshot index at {path}: nothing to delete")
+        pm = versions[parent]
+        dirs = _manifest_dirs(pm)
+        stats = pm.get("dir_stats", {})
+        if set(stats) >= set(dirs):
+            # one pass over the DELETED frame: which dir ranges admit
+            # at least one deleted id (bounded by n_dirs columns)
+            hit_row = idf.agg(
+                *[
+                    F.max(
+                        F.col("id").between(
+                            F.lit(stats[d][0]), F.lit(stats[d][1])
+                        )
+                    ).alias(f"h{i}")
+                    for i, d in enumerate(dirs)
+                ]
+            ).first()
+            touched = [
+                d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])
+            ]
+        else:
+            touched = list(dirs)  # stats-less legacy manifest: rewrite all
+        untouched = [d for d in dirs if d not in set(touched)]
+        if not touched:
+            return parent  # nothing to erase — current version stands
+
+        kept = (
+            spark.read.parquet(*touched)
+            .join(idf, "id", "left_anti")
+            .repartition(4, "band", "grp")
         )
-
-    return _rewrite_with_retry(
-        spark, path, make_rows, "delete", fingerprint,
-        dict(n=n, k=k, bands=bands, n_grps=n_grps),
-    )
+        ddir = _write_delta_dir(kept, path, _SORT)
+        n_kept = spark.read.parquet(ddir).count()
+        # exact rows: parent total - touched rows + kept rows
+        n_touched = spark.read.parquet(*touched).count()
+        n_rows = pm["n_rows"] - n_touched + n_kept
+        meta = _config_meta(fingerprint, n=n, k=k, bands=bands, n_grps=n_grps)
+        meta["dir_stats"] = {
+            **{d: stats[d] for d in untouched if d in stats},
+            ddir: _id_stats(spark, ddir) if n_kept else [0, -1],
+        }
+        meta["pruned_dirs"] = len(untouched)
+        try:
+            return commit_version(
+                path,
+                untouched + [ddir],
+                "delete",
+                parent,
+                n_rows,
+                meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
 
 
 def minhash_vindex_compact(

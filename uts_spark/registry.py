@@ -116,7 +116,8 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 341
+_REGISTRY_FLOOR = 349  # round 9: +8 (compaction x pins, router v2 x2,
+# fertility A/B, v6_mix, drift-recluster replay, qm6 compare, vindex)
 if len(QUERIES) < _REGISTRY_FLOOR:
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < floor {_REGISTRY_FLOOR} — "
@@ -185,6 +186,13 @@ HEADLINE = [n for n in (
     # r8: multilingual routing — script gates + unicode-token stopword
     # argmax over the derived 8-language corpus (the crawl-router lane)
     "text_lang_id_unicode",
+    # r9: the fertility A/B — BOTH byte tables' merge work over the
+    # distinct pre-tokens in one lane (tracks the tokenizer-eval cost)
+    "text_bpe_fertility_mix_trained",
+    # r9: the 6-feature quality path — adds the train-split unigram
+    # xent kernel (one doc-term shuffle + dictionary join) to the
+    # map-only five-feature model
+    "text_quality_model6_compare",
     # NOT in headline: pipeline_training_prep_v6 (the flagship fused
     # DAG) measures ~45 s warm at sf0.1 — one composition would double
     # the whole bench wall and drown the per-operator signal; its
