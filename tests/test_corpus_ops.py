@@ -698,3 +698,35 @@ def test_mix_merges_match_distributed_trainer_prefix(spark):
         r = top.collect()[0]
         got.append((r["x"], r["y"]))
     assert tuple(got) == mix_trained_byte_merges(_MIX_TRAIN_SAMPLE)[:5]
+
+
+def test_langid_margin_sweep_plateau_and_knee(spark):
+    """The router's margin tuning curve: every margin inside the
+    measured separated band [0.087, 0.391) behaves identically (the
+    plateau the shipped 1/8 sits on), the 1/2 margin crosses the
+    in-set distribution (docs drop to unknown — the knee), and NO
+    margin ever misroutes an out-of-set doc (that guard is the
+    coverage gate's, margin-independent)."""
+    rows = {
+        r["margin_den"]: r
+        for r in QUERIES["text_langid_margin_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {2, 4, 8, 16, 32}
+    plateau = [
+        (
+            rows[d]["n_in_correct"],
+            rows[d]["n_in_unknown"],
+            rows[d]["n_in_misrouted"],
+            rows[d]["n_out_unknown"],
+            rows[d]["n_out_misrouted"],
+        )
+        for d in (4, 8, 16, 32)
+    ]
+    assert len(set(plateau)) == 1, plateau
+    assert rows[2]["n_in_unknown"] > 0  # the knee
+    assert rows[2]["n_in_correct"] < rows[4]["n_in_correct"]
+    for d in rows:
+        assert rows[d]["n_out_misrouted"] == 0, d
+        assert rows[d]["n_in_misrouted"] == 0, d

@@ -781,6 +781,175 @@ def text_bpe_fertility_by_lang(spark, sf_dir):
     )
 
 
+# Router MARGIN SWEEP (the threshold-sweep pattern the quality model
+# has, applied to ulang_id_v2's lexicon margin): the shipped 1/8 was
+# picked between the measured distributions (in-set hit ratio >= 0.391
+# vs out-of-set <= 0.087); this lane SHOWS the whole curve — per
+# candidate margin 1/2, 1/4, 1/8, 1/16, 1/32, how many in-set rows
+# route correctly / fall to unknown, and how many out-of-set rows stay
+# on unknown. Measured at sf0.01: every margin in the separated band
+# [0.087, 0.391) is identical (451 in-correct / 49 out-unknown / 0
+# misroutes — the plateau the shipped 1/8 sits on), while 1/2 = 0.5
+# crosses the in-set distribution and drops 242 of 451 in-set docs to
+# unknown with zero misroutes — the knee that proves the sweep would
+# CATCH a corpus where the distributions stop being separated.
+
+_ULANG_MARGIN_DENS = (2, 4, 8, 16, 32)
+
+
+def _duck_ulang_margin_sweep() -> str:
+    from uts_spark.functions.text import (
+        HAN_CLS_RE2,
+        KANA_CLS_RE2,
+        ULANG_INSET_RE2,
+        ULANGS,
+        ULETTER_RE,
+        duck_ustopword_count,
+        duck_utokens,
+    )
+
+    sel = ", ".join(
+        f"{duck_ustopword_count('toks', lang)} AS s_{lang}" for lang in ULANGS
+    )
+    branches = []
+    for i, lang in enumerate(ULANGS):
+        conds = [f"s_{lang} >= s_{other}" for other in ULANGS[i + 1:]]
+        conds.append(f"s_{lang} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    argmax = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in ULANGS) + ")"
+
+    def cnt(cls):
+        return (
+            "length(utext) - length("
+            f"regexp_replace(utext, '{cls}', '', 'g'))"
+        )
+
+    dens = ", ".join(str(d) for d in _ULANG_MARGIN_DENS)
+    return f"""
+    WITH c AS ({_UCORPUS_V2_DUCK}),
+    t AS (
+      SELECT doc_id, ulabel, utext,
+             {duck_utokens('utext')} AS toks,
+             {cnt(ULETTER_RE)} AS n_letters,
+             {cnt(ULETTER_RE)} - ({cnt(ULANG_INSET_RE2)}) AS n_out,
+             {cnt(KANA_CLS_RE2)} AS n_kana,
+             {cnt(HAN_CLS_RE2)} AS n_han
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id, ulabel, n_letters, n_out, n_kana, n_han,
+             len(toks) AS n_toks, {sel}
+      FROM t
+    ),
+    base AS (
+      SELECT doc_id, ulabel, n_letters, n_out, n_kana, n_han, n_toks,
+             {best} AS s_best, {argmax} AS lex_label,
+             ulabel IN ('ar', 'ko', 'th') AS is_out
+      FROM s
+    ),
+    sw AS (
+      SELECT b.*, d.den,
+             CASE WHEN b.n_out * 2 > b.n_letters THEN 'unknown'
+                  WHEN b.n_kana > 0 THEN 'ja'
+                  WHEN b.n_han > 0 THEN 'zh'
+                  WHEN b.s_best * d.den >= b.n_toks THEN b.lex_label
+                  ELSE 'unknown' END AS pred
+      FROM base b CROSS JOIN (SELECT unnest([{dens}]) AS den) d
+    )
+    SELECT CAST(den AS BIGINT) AS margin_den,
+           CAST(SUM(CASE WHEN NOT is_out AND pred = ulabel
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_correct,
+           CAST(SUM(CASE WHEN NOT is_out AND pred = 'unknown'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_unknown,
+           CAST(SUM(CASE WHEN NOT is_out AND pred != ulabel
+                          AND pred != 'unknown'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_misrouted,
+           CAST(SUM(CASE WHEN is_out AND pred = 'unknown'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_unknown,
+           CAST(SUM(CASE WHEN is_out AND pred != 'unknown'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_misrouted
+    FROM sw GROUP BY den
+    """
+
+
+@query("text_langid_margin_sweep", _duck_ulang_margin_sweep())
+def text_langid_margin_sweep(spark, sf_dir):
+    """The router's margin TUNING CURVE (comment above): the v2
+    cascade evaluated at margins 1/2, 1/4, 1/8, 1/16, 1/32 over the
+    11-label corpus — per margin, in-set correct / dropped-to-unknown
+    / misrouted, and out-of-set retained-on-unknown / leaked. The
+    coverage gate and script gates are margin-independent, so the
+    sweep isolates exactly the lexicon-margin knob. One corpus pass
+    computes the shared columns; the 4-margin explode is a 4x row
+    multiply on a tiny aggregate — eval cost stays corpus-scan
+    shaped."""
+    from uts_spark.functions.text import (
+        HAN_CLS_JAVA,
+        KANA_CLS_JAVA,
+        ULANG_INSET_JAVA,
+        ULANGS,
+        ULETTER_RE,
+        _class_count,
+        ustopword_count,
+        utokens,
+    )
+
+    c = _ucorpus_v2(table(spark, sf_dir, "documents"))
+    toks = utokens(F.col("utext"))
+    scores = [ustopword_count(toks, lang) for lang in ULANGS]
+    best = F.greatest(*scores)
+    lex = F.lit("unknown")
+    for lang, score in reversed(list(zip(ULANGS, scores))):
+        lex = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(lex)
+    n_letters = _class_count(F.col("utext"), ULETTER_RE)
+    base = c.select(
+        "doc_id",
+        "ulabel",
+        F.col("ulabel").isin("ar", "ko", "th").alias("is_out"),
+        best.alias("s_best"),
+        F.size(toks).alias("n_toks"),
+        lex.alias("lex_label"),
+        n_letters.alias("n_letters"),
+        (n_letters - _class_count(F.col("utext"), ULANG_INSET_JAVA)).alias(
+            "n_out"
+        ),
+        _class_count(F.col("utext"), KANA_CLS_JAVA).alias("n_kana"),
+        _class_count(F.col("utext"), HAN_CLS_JAVA).alias("n_han"),
+    )
+    dens = F.explode(
+        F.array(*[F.lit(d) for d in _ULANG_MARGIN_DENS])
+    ).alias("den")
+    sw = base.select("*", dens).withColumn(
+        "pred",
+        F.when(F.col("n_out") * 2 > F.col("n_letters"), F.lit("unknown"))
+        .when(F.col("n_kana") > 0, F.lit("ja"))
+        .when(F.col("n_han") > 0, F.lit("zh"))
+        .when(
+            F.col("s_best") * F.col("den") >= F.col("n_toks"),
+            F.col("lex_label"),
+        )
+        .otherwise(F.lit("unknown")),
+    )
+    z = F.lit(0).cast("long")
+    cnt_if = lambda cond: F.sum(F.when(cond, 1).otherwise(z)).cast("long")  # noqa: E731
+    in_ = ~F.col("is_out")
+    return sw.groupBy(F.col("den").cast("long").alias("margin_den")).agg(
+        cnt_if(in_ & (F.col("pred") == F.col("ulabel"))).alias("n_in_correct"),
+        cnt_if(in_ & (F.col("pred") == "unknown")).alias("n_in_unknown"),
+        cnt_if(
+            in_ & (F.col("pred") != F.col("ulabel"))
+            & (F.col("pred") != "unknown")
+        ).alias("n_in_misrouted"),
+        cnt_if(F.col("is_out") & (F.col("pred") == "unknown")).alias(
+            "n_out_unknown"
+        ),
+        cnt_if(F.col("is_out") & (F.col("pred") != "unknown")).alias(
+            "n_out_misrouted"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # MIX-TRAINED byte merges + fertility A/B (VERDICT r8 #2, the round-9
 # quantitative headline): the shipped 512-merge byte table is trained
