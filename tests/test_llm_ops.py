@@ -2320,3 +2320,131 @@ def test_vindex_delete_prunes_by_dir_stats(spark, tmp_path):
 
     # (the interleaved delete above already removed b1; far ids too)
     assert probe(path) == probe(ref)
+
+
+def test_ivf_vindex_append_reencodes_after_recluster(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The quantizer-pointer conflict rule (snapshot ANN families): an
+    append encodes its batch against the CURRENT manifest's frozen
+    centroids; when its CAS commit loses to a racing RECLUSTER, the
+    staged delta is coded against a dead quantizer and must NOT land —
+    the retry detects the moved pointer and RE-ENCODES. Injected race:
+    a commit_version wrapper fires a real recluster once, just before
+    the append's first commit attempt."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.functions.similarity import _ivf_assign
+    from uts_spark.sources.versioned import (
+        _manifest_dirs,
+        commit_version as real_commit,
+        list_versions,
+        read_version,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "ivf_race")
+    vx.ivf_vindex_build(base, path, fingerprint="f0", n_cells=8)
+
+    fired = {"n": 0}
+
+    def racing_commit(p, dirs, op, parent, n_rows, meta=None):
+        if op == "append" and fired["n"] == 0:
+            fired["n"] = 1
+            vx.ivf_vindex_recluster(spark, p, fingerprint="f0:r")
+        return real_commit(p, dirs, op, parent, n_rows, meta)
+
+    monkeypatch.setattr(vx, "commit_version", racing_commit)
+    vx.ivf_vindex_append(batch, path, fingerprint="f0:r:a")
+    monkeypatch.undo()
+
+    ms = list_versions(path)
+    assert [m["operation"] for m in ms] == ["build", "recluster", "append"]
+    # the append carried the RECLUSTER's quantizer pointer forward
+    assert ms[2]["centroids_dir"] == ms[1]["centroids_dir"]
+    assert ms[2]["centroids_dir"] != ms[0]["centroids_dir"]
+    # and its rows were RE-ENCODED against the fresh centroids: every
+    # appended row's cell matches a fresh assignment
+    cents_new = spark.read.parquet(ms[2]["centroids_dir"])
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in _ivf_assign(batch, cents_new, "vec_id", "embedding")
+        .select("vec_id", "cell").collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in read_version(spark, path)
+        .join(batch.select("vec_id"), "vec_id")
+        .select("vec_id", "cell").collect()
+    }
+    assert got == want
+    # the stale first-attempt delta never landed: final manifest is the
+    # recluster's single dir + exactly one (re-encoded) delta
+    assert len(_manifest_dirs(ms[2])) == 2
+    assert set(_manifest_dirs(ms[1])) <= set(_manifest_dirs(ms[2]))
+
+
+def test_ivfpq_vindex_quantizer_time_travel_and_vacuum(
+    spark, emb, tmp_path
+):
+    """Time travel pins the QUANTIZER, not just the data: a pinned
+    pre-recluster probe resolves its own manifest's sidecars (old
+    centroids + old codebook over old rows) and returns exactly the
+    pre-recluster result, even after the current version re-clustered
+    AND re-encoded. vacuum removes the superseded version's data and
+    sidecar dirs (aux_dirs liveness) while the kept version's survive;
+    the vacuumed pin then fails cleanly."""
+    import os
+
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions, read_version, vacuum
+
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    anchors = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq_tt")
+    vx.ivfpq_vindex_build(base, path, dim=64, fingerprint="f0")
+    pre = sorted(
+        map(tuple, vx.ivfpq_vindex_probe(spark, path, anchors, k=10).collect())
+    )
+    vx.ivfpq_vindex_recluster(spark, path, fingerprint="f0:r")
+
+    ms = list_versions(path)
+    assert ms[1]["codebook_dir"] != ms[0]["codebook_dir"]
+    pinned = sorted(
+        map(
+            tuple,
+            vx.ivfpq_vindex_probe(spark, path, anchors, k=10, version=0)
+            .collect(),
+        )
+    )
+    assert pinned == pre
+
+    vacuum(path, keep_last=1)
+    # v0's sidecars are gone, v1's remain (shared-dir liveness rule)
+    assert not os.path.exists(ms[0]["centroids_dir"])
+    assert not os.path.exists(ms[0]["codebook_dir"])
+    assert os.path.exists(ms[1]["centroids_dir"])
+    assert os.path.exists(ms[1]["codebook_dir"])
+    with pytest.raises(ValueError, match="not found"):
+        read_version(spark, path, 0)
+    # current probe still healthy after vacuum
+    assert vx.ivfpq_vindex_probe(spark, path, anchors, k=10).count() > 0
+
+
+def test_vindex_family_mismatch_fails_loudly(spark, emb, tmp_path):
+    """Pointing one family's verbs at another family's snapshot index
+    must raise a descriptive error, not write incompatible rows or
+    probe garbage — the manifest records its family and every verb
+    checks it."""
+    import uts_spark.functions.vindex as vx
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "fam")
+    vx.ivf_vindex_build(base, path, fingerprint="f0", n_cells=8)
+    with pytest.raises(ValueError, match="family"):
+        vx.lsh_vindex_delete(spark, batch.select("vec_id"), path)
+    with pytest.raises(ValueError, match="family"):
+        vx.ivfpq_vindex_append(batch, path)
+    with pytest.raises(ValueError, match="family"):
+        vx.lsh_vindex_append(batch, path, dim=64)

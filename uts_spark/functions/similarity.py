@@ -889,6 +889,7 @@ def lsh_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    scan: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted index: hash the anchors (tiny), push their
     (table, bucket) list into the index scan as a STATIC partition
@@ -900,7 +901,9 @@ def lsh_index_probe(
     PartitionFilters-level pruning regardless of whether dynamic
     partition pruning fires. Semantics are identical to
     :func:`lsh_topk` at the same (planes, tables) — pinned by
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py. ``scan`` overrides the index read entirely
+    (the snapshot family resolves its manifest's immutable dir list and
+    passes it here — same kernel, snapshot-isolated source)."""
     from functools import reduce
     from operator import or_
 
@@ -912,7 +915,9 @@ def lsh_index_probe(
     )
     pdf = left.select("table", "bucket").distinct().toPandas()
     pairs = sorted((int(t), int(b)) for t, b in pdf.itertuples(index=False))
-    if version is None:
+    if scan is not None:
+        idx = scan
+    elif version is None:
         idx = spark.read.parquet(path)
     else:
         from uts_spark.functions.dedup import index_scan_at
@@ -1546,6 +1551,8 @@ def ivf_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    scan: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted IVF index: each anchor ranks the (tiny,
     recomputed from the same hash seed) centroid table, its n_probe
@@ -1556,13 +1563,17 @@ def ivf_index_probe(
     anchors x n_probe. ``emb_for_centroids=None`` loads the centroids
     FROZEN at build time from ``path/_centroids`` — the only correct
     source once the index has been appended to (a grown corpus
-    re-derives different centroids and silently probes wrong cells)."""
-    if emb_for_centroids is None:
-        import os
+    re-derives different centroids and silently probes wrong cells).
+    ``scan``/``cents`` override the index read and centroid source (the
+    snapshot family passes its manifest-resolved dirs and the manifest's
+    quantizer sidecar — same kernel, snapshot-isolated sources)."""
+    if cents is None:
+        if emb_for_centroids is None:
+            import os
 
-        cents = spark.read.parquet(os.path.join(path, "_centroids"))
-    else:
-        cents = _ivf_centroids(emb_for_centroids, n_cells, id_col, vec_col)
+            cents = spark.read.parquet(os.path.join(path, "_centroids"))
+        else:
+            cents = _ivf_centroids(emb_for_centroids, n_cells, id_col, vec_col)
     wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
     probes = (
         anchors.select(id_col, vec_col)
@@ -1578,14 +1589,15 @@ def ivf_index_probe(
     )
     pdf = probes.select("cell").distinct().toPandas()
     cells = sorted(int(c) for (c,) in pdf.itertuples(index=False))
-    if version is None:
-        scan = spark.read.parquet(path)
-    else:
-        # version-pinned read (same device as the minhash probe): the
-        # scan sees exactly the file census the history recorded
-        from uts_spark.functions.dedup import index_scan_at
+    if scan is None:
+        if version is None:
+            scan = spark.read.parquet(path)
+        else:
+            # version-pinned read (same device as the minhash probe):
+            # the scan sees exactly the file census the history recorded
+            from uts_spark.functions.dedup import index_scan_at
 
-        scan = index_scan_at(spark, path, version)
+            scan = index_scan_at(spark, path, version)
     idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
@@ -1978,6 +1990,9 @@ def ivfpq_index_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    scan: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    cexp: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank over the persisted COMPOSED index
     (:func:`ivfpq_index_write`):
@@ -2012,10 +2027,11 @@ def ivfpq_index_probe(
     # mandatory once the index has been appended to
     import os as _os
 
-    if emb_for_centroids is None:
-        cents = spark.read.parquet(_os.path.join(path, "_centroids"))
-    else:
-        cents = _ivf_centroids(emb_for_centroids, n_cells, id_col, vec_col)
+    if cents is None:
+        if emb_for_centroids is None:
+            cents = spark.read.parquet(_os.path.join(path, "_centroids"))
+        else:
+            cents = _ivf_centroids(emb_for_centroids, n_cells, id_col, vec_col)
     wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
     probes = (
         anchors.select(id_col, vec_col)
@@ -2031,14 +2047,15 @@ def ivfpq_index_probe(
     )
     pdf = probes.select("cell").distinct().toPandas()
     cells = sorted(int(c) for (c,) in pdf.itertuples(index=False))
-    if version is None:
-        scan = spark.read.parquet(path)
-    else:
-        # version-pinned read (same device as the minhash probe): the
-        # scan sees exactly the file census the history recorded
-        from uts_spark.functions.dedup import index_scan_at
+    if scan is None:
+        if version is None:
+            scan = spark.read.parquet(path)
+        else:
+            # version-pinned read (same device as the minhash probe):
+            # the scan sees exactly the file census the history recorded
+            from uts_spark.functions.dedup import index_scan_at
 
-        scan = index_scan_at(spark, path, version)
+            scan = index_scan_at(spark, path, version)
     idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
@@ -2053,7 +2070,19 @@ def ivfpq_index_probe(
     )
 
     # 2. broadcast per-anchor ADC LUTs against the STORED codes
-    if emb_for_centroids is None:
+    if cexp is not None:
+        # explicit codebook (the snapshot family's manifest sidecar):
+        # validate geometry exactly like the frozen-load path below
+        srow = cexp.select(
+            F.max("m").alias("mx"), F.size(F.first("csub")).alias("d")
+        ).first()
+        if (srow["mx"] + 1) != m_sub or srow["d"] * m_sub != dim:
+            raise ValueError(
+                f"ivfpq_index_probe: index codebook has "
+                f"m_sub={srow['mx'] + 1}, d_sub={srow['d']} — probe asked "
+                f"dim={dim}, m_sub={m_sub}"
+            )
+    elif emb_for_centroids is None:
         cexp = spark.read.parquet(_os.path.join(path, "_codebook"))
         # validate (dim, m_sub) against the frozen codebook exactly as
         # the append lane does (ADVICE r7): `dim` defaults to 64, and

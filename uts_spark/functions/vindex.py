@@ -1,7 +1,7 @@
-"""Snapshot-committed index maintenance (VERDICT r8 #4): the MinHash
-band family's full CRUD routed through the versioned table's ATOMIC
-MANIFEST COMMIT (sources/versioned.py) instead of the rename-swap +
-O_EXCL pending-marker protocol.
+"""Snapshot-committed index maintenance (VERDICT r8 #4, completed for
+ALL FOUR index families in round 9): full index CRUD routed through the
+versioned table's ATOMIC MANIFEST COMMIT (sources/versioned.py) instead
+of the rename-swap + O_EXCL pending-marker protocol.
 
 Why this exists: the marker protocol is POSIX-local-FS only — object
 storage has no rename and no O_EXCL, so at 100 TB none of those
@@ -17,31 +17,63 @@ conditional PUT on object storage), which gives:
   loser gets :class:`~uts_spark.sources.versioned.VersionConflictError`
   and retries — an APPEND retries with its already-written delta files
   (file adds commute; the data job never reruns), a REWRITE (delete /
-  compact) recomputes against the new current. No lock is ever held.
+  compact / recluster) recomputes against the new current. No lock is
+  ever held.
+
+The four families and what each adds to the shared kernel:
+
+- **MinHash bands** (the round-9 template): band rows, no frozen state;
+- **LSH buckets**: (table, bucket) rows from SEED-DERIVED hyperplanes —
+  corpus-independent, so like MinHash there is no quantizer to freeze;
+- **IVF cells**: the frozen coarse-centroid table becomes a MANIFEST
+  SIDECAR — an immutable parquet dir under ``path/quant/`` whose path
+  rides on every manifest (``centroids_dir``). Time travel therefore
+  pins the QUANTIZER too: a version written before a recluster reads
+  its own centroids, closing the marker family's seam where recluster
+  restarts history and stale pins silently resolve to the new build
+  (ADVICE r8, similarity.py:1253);
+- **IVF-PQ cells+codes**: two sidecars (``centroids_dir`` +
+  ``codebook_dir``); codes in the data rows are only comparable against
+  the codebook of their version's manifest, which is exactly what the
+  pinned probe loads.
+
+Append-vs-recluster concurrency (the new hazard the quantizer pointer
+introduces): an append encodes its batch against the CURRENT manifest's
+frozen quantizer; if its CAS commit loses to a racer's RECLUSTER, the
+already-written delta is encoded against a dead quantizer and must NOT
+be committed — the retry loop compares the quantizer pointer and
+RE-ENCODES when it moved (pointer-equal conflicts retry manifest-only,
+the cheap path). Pinned by
+tests/test_llm_ops.py::test_ivf_vindex_append_reencodes_after_recluster.
 
 Cost shapes (the 100 TB contract):
 
-- build: one corpus-sized sketch + write — same as the marker family;
-- append: batch-sized delta dir + an O(1) manifest commit (the
-  Iceberg fast-append) — the table is NEVER rewritten;
-- delete: a table-grain copy-on-write rewrite here (the minimal
-  correct form, same simplification merge_upsert documents);
-  production narrows the rewrite to files whose stats admit the
-  deleted ids — the commit protocol is identical;
-- compact: rewrite the union into one clustered dir — the operation
-  is BY NATURE table-sized;
-- probe: manifest-resolved read + the SAME candidate/verify kernel as
-  the marker family (dedup.minhash_index_probe with scan=). Pruning
-  note: snapshot dirs are not directory-partitioned by (band, grp);
-  rows are cluster-SORTED on write instead, so parquet row-group
-  min/max stats prune the selective probe scan — the same file-stats
-  pruning a manifest-based format uses at scale.
+- build: one corpus-sized sketch/assign + write — same as the marker
+  family;
+- append: batch-sized delta dir + an O(1) manifest commit (the Iceberg
+  fast-append) — the table is NEVER rewritten;
+- delete: PRUNED copy-on-write — per-dir (min_id, max_id) manifest
+  stats decide which dirs the erasure can touch; untouched dirs carry
+  into the new manifest BY REFERENCE (the Iceberg file-stats erasure
+  shape at this format's dir-sized file unit);
+- compact / recluster: rewrite the union into one clustered dir — the
+  operation is BY NATURE table-sized (recluster additionally writes a
+  fresh quantizer sidecar);
+- probe: manifest-resolved read + the SAME candidate/verify kernels as
+  the marker families (``scan=``/``cents=``/``cexp=`` injection).
+  Pruning note: snapshot dirs are not directory-partitioned; rows are
+  cluster-SORTED on write instead, so parquet row-group min/max stats
+  prune the selective probe scan — the same file-stats pruning a
+  manifest-based format uses at scale.
 
 Reference parity: none (uts.ts has no persistence); north-star
 surface, LLM-pipeline brief.
 """
 
 from __future__ import annotations
+
+import os
+import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -64,16 +96,245 @@ from uts_spark.sources.versioned import (
 _SORT = ("band", "grp", "bucket")
 
 
-def _id_stats(spark, ddir: str) -> list[int]:
+# --------------------------------------------------------------------------
+# Shared snapshot-index kernels: every family's verbs are thin wrappers
+# over these four commit shapes (append / pruned-delete / rewrite) plus
+# per-family row construction and quantizer handling.
+
+
+def _id_stats(spark, ddir: str, id_col: str = "id") -> list[int]:
     """(min_id, max_id) of a delta directory — recorded on the
     manifest so erasure can PRUNE: a dir whose id range admits none
     of the deleted ids is carried into the new version untouched
     (the file-stats pruning real table formats do; here at dir
     granularity because dirs are this format's file unit)."""
     row = spark.read.parquet(ddir).agg(
-        F.min("id").alias("lo"), F.max("id").alias("hi")
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()
     return [int(row["lo"]), int(row["hi"])]
+
+
+def _append_commit(
+    spark, path: str, ddir: str, stats: list[int], n_new: int,
+    meta_fn, max_retries: int = 5,
+) -> int:
+    """Fast-append commit loop: manifest = parent dirs + the (already
+    written) delta dir. ``meta_fn(parent_manifest)`` builds the new
+    manifest's metadata — config, fingerprint, and (for the quantizer
+    families) the sidecar pointers carried forward. File adds commute,
+    so a conflict retries the manifest only; the data job never
+    reruns."""
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        parent = max(versions) if versions else None
+        pm = versions[parent] if parent is not None else {}
+        meta = meta_fn(pm)
+        meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
+        try:
+            return commit_version(
+                path,
+                (_manifest_dirs(pm) if pm else []) + [ddir],
+                "append",
+                parent,
+                pm.get("n_rows", 0) + n_new,
+                meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def _delete_pruned(
+    spark,
+    deleted_ids: DataFrame,
+    path: str,
+    id_col: str,
+    repart_cols: tuple[str, ...],
+    sort: tuple[str, ...],
+    meta_fn,
+    max_retries: int = 5,
+) -> int:
+    """Erasure as a PRUNED copy-on-write snapshot: the manifest's
+    per-dir (min_id, max_id) stats decide which dirs the erasure can
+    possibly touch — one tiny agg over the DELETED frame (never the
+    table) marks each dir touched iff some deleted id falls inside its
+    range; untouched dirs carry into the new manifest BY REFERENCE,
+    only the touched dirs rewrite through the left-anti join. Cost ∝
+    touched data, the deleted-id frame stays distributed, and a
+    service whose appends arrive in id-ordered batches (the common
+    case) erases at batch-directory granularity. On a CAS conflict the
+    whole decision recomputes against the new current. Earlier
+    versions REMAIN READABLE until vacuum — erase-then-vacuum is the
+    complete GDPR sequence."""
+    idf = (
+        deleted_ids.toDF(id_col)
+        if len(deleted_ids.columns) == 1
+        else deleted_ids
+    ).select(id_col)
+
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        parent = max(versions) if versions else None
+        if parent is None:
+            raise ValueError(f"snapshot index at {path}: nothing to delete")
+        pm = versions[parent]
+        dirs = _manifest_dirs(pm)
+        stats = pm.get("dir_stats", {})
+        if set(stats) >= set(dirs):
+            # one pass over the DELETED frame: which dir ranges admit
+            # at least one deleted id (bounded by n_dirs columns)
+            hit_row = idf.agg(
+                *[
+                    F.max(
+                        F.col(id_col).between(
+                            F.lit(stats[d][0]), F.lit(stats[d][1])
+                        )
+                    ).alias(f"h{i}")
+                    for i, d in enumerate(dirs)
+                ]
+            ).first()
+            touched = [
+                d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])
+            ]
+        else:
+            touched = list(dirs)  # stats-less legacy manifest: rewrite all
+        untouched = [d for d in dirs if d not in set(touched)]
+        if not touched:
+            return parent  # nothing to erase — current version stands
+
+        kept = (
+            spark.read.parquet(*touched)
+            .join(idf, id_col, "left_anti")
+            .repartition(4, *repart_cols)
+        )
+        ddir = _write_delta_dir(kept, path, sort)
+        n_kept = spark.read.parquet(ddir).count()
+        # exact rows: parent total - touched rows + kept rows
+        n_touched = spark.read.parquet(*touched).count()
+        n_rows = pm["n_rows"] - n_touched + n_kept
+        meta = meta_fn(pm)
+        meta["dir_stats"] = {
+            **{d: stats[d] for d in untouched if d in stats},
+            ddir: _id_stats(spark, ddir, id_col) if n_kept else [0, -1],
+        }
+        meta["pruned_dirs"] = len(untouched)
+        try:
+            return commit_version(
+                path,
+                untouched + [ddir],
+                "delete",
+                parent,
+                n_rows,
+                meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def _rewrite_with_retry(
+    spark, path: str, make_rows, operation: str,
+    meta_fn, sort: tuple[str, ...] = _SORT, id_col: str = "id",
+    max_retries: int = 5,
+) -> int:
+    """Shared rewrite commit loop (compact / recluster): compute the
+    new row set AGAINST the current version, write it to a fresh delta
+    dir, CAS-commit; on conflict, RECOMPUTE against the new current (a
+    rewrite does not commute with whatever landed in between).
+    ``meta_fn(parent_manifest, current_rows)`` may itself write fresh
+    quantizer sidecars — recluster does — so it runs inside the retry
+    loop, after ``make_rows``'s source is resolved."""
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        parent = max(versions) if versions else None
+        if parent is None:
+            raise ValueError(f"snapshot index at {path}: nothing to rewrite")
+        pm = versions[parent]
+        cur = read_version(spark, path, parent)
+        meta = meta_fn(pm, cur)
+        rows = make_rows(cur, meta)
+        ddir = _write_delta_dir(rows, path, sort)
+        n_rows = spark.read.parquet(ddir).count()
+        meta["dir_stats"] = {
+            ddir: _id_stats(spark, ddir, id_col) if n_rows else [0, -1]
+        }
+        try:
+            return commit_version(
+                path, [ddir], operation, parent, n_rows, meta
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def _write_quant_dir(df: DataFrame, path: str) -> str:
+    """Freeze a quantizer table (coarse centroids / PQ codebook) as an
+    IMMUTABLE sidecar dir under ``path/quant/`` and return its path —
+    the manifest records the pointer, so every version resolves the
+    exact quantizer its rows were encoded against (time travel pins
+    the quantizer, not just the data). Never rewritten; vacuum removes
+    it when no kept manifest references it (``aux_dirs``)."""
+    qdir = os.path.join(path, "quant", f"q-{uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(qdir)
+    return qdir
+
+
+def _carry_meta(pm: dict, fingerprint: str, keys: tuple[str, ...]) -> dict:
+    """New-manifest metadata for verbs that do not change config or
+    quantizers: config keys and sidecar pointers carry forward from
+    the parent manifest verbatim; only the fingerprint advances."""
+    meta = {k: pm[k] for k in keys if k in pm}
+    for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family"):
+        if k in pm:
+            meta[k] = pm[k]
+    meta["fingerprint"] = fingerprint
+    return meta
+
+
+def _check_family_config(path: str, family: str, **config) -> None:
+    versions = list_versions(path)
+    if not versions:
+        return
+    m = versions[-1]
+    if m.get("family", family) != family:
+        raise ValueError(
+            f"snapshot index at {path}: family mismatch — index is "
+            f"{m.get('family')}, caller asked {family}"
+        )
+    for key, val in config.items():
+        if key in m and m[key] != val:
+            raise ValueError(
+                f"snapshot {family} index at {path}: config mismatch — "
+                f"index has {key}={m[key]}, caller asked {key}={val}"
+            )
+
+
+def _current_manifest(path: str) -> dict:
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"snapshot index at {path}: no committed versions")
+    return versions[-1]
+
+
+def _manifest_at(path: str, version: int | None) -> dict:
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        raise ValueError(f"snapshot index at {path}: no committed versions")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(
+            f"snapshot index at {path}: version {version} not found "
+            f"(have {sorted(versions)})"
+        )
+    return versions[version]
+
+
+# --------------------------------------------------------------------------
+# MinHash band family (round-9 template; VERDICT r8 #4)
 
 
 def _rows(df: DataFrame, text_col: str, id_col: str, n, k, bands, n_grps):
@@ -89,6 +350,7 @@ def _rows(df: DataFrame, text_col: str, id_col: str, n, k, bands, n_grps):
 
 def _config_meta(fingerprint: str, n, k, bands, n_grps) -> dict:
     return {
+        "family": "minhash",
         "fingerprint": fingerprint,
         "n": n, "k": k, "bands": bands, "n_grps": n_grps,
     }
@@ -168,50 +430,10 @@ def minhash_vindex_append(
     )
     n_new = spark.read.parquet(ddir).count()
     stats = _id_stats(spark, ddir)
-    last: Exception | None = None
-    for _ in range(5):
-        versions = {m["version"]: m for m in list_versions(path)}
-        parent = max(versions) if versions else None
-        pm = versions[parent] if parent is not None else {}
-        meta = _config_meta(fingerprint, n, k, bands, n_grps)
-        meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
-        try:
-            return commit_version(
-                path,
-                (_manifest_dirs(pm) if pm else []) + [ddir],
-                "append",
-                parent,
-                pm.get("n_rows", 0) + n_new,
-                meta,
-            )
-        except VersionConflictError as e:
-            last = e
-    raise last  # type: ignore[misc]
-
-
-def _rewrite_with_retry(
-    spark, path: str, make_rows, operation: str,
-    fingerprint: str, cfg: dict, max_retries: int = 5,
-) -> int:
-    """Shared rewrite commit loop (compact): compute the new row set
-    AGAINST the current version, write it to a fresh delta dir,
-    CAS-commit; on conflict, RECOMPUTE against the new current (a
-    rewrite does not commute with whatever landed in between)."""
-    last: Exception | None = None
-    for _ in range(max_retries):
-        parent = current_version(path)
-        rows = make_rows(read_version(spark, path, parent))
-        ddir = _write_delta_dir(rows, path, _SORT)
-        n_rows = spark.read.parquet(ddir).count()
-        meta = _config_meta(fingerprint, **cfg)
-        meta["dir_stats"] = {ddir: _id_stats(spark, ddir)}
-        try:
-            return commit_version(
-                path, [ddir], operation, parent, n_rows, meta
-            )
-        except VersionConflictError as e:
-            last = e
-    raise last  # type: ignore[misc]
+    return _append_commit(
+        spark, path, ddir, stats, n_new,
+        lambda pm: _config_meta(fingerprint, n, k, bands, n_grps),
+    )
 
 
 def minhash_vindex_delete(
@@ -224,86 +446,13 @@ def minhash_vindex_delete(
     bands: int = 8,
     n_grps: int = 16,
 ) -> int:
-    """Erasure as a PRUNED copy-on-write snapshot (round-10 candidate
-    pulled forward): the manifest's per-dir (min_id, max_id) stats
-    decide which dirs the erasure can possibly touch — one tiny agg
-    over the DELETED frame (never the table) marks each dir touched
-    iff some deleted id falls inside its range; untouched dirs carry
-    into the new manifest BY REFERENCE, only the touched dirs rewrite
-    through the left-anti join. Cost ∝ touched data, the deleted-id
-    frame stays distributed, and a service whose appends arrive in
-    id-ordered batches (the common case) erases at batch-directory
-    granularity — the Iceberg file-stats erasure shape at this
-    format's dir-sized file unit. On a CAS conflict the whole
-    decision recomputes against the new current. Earlier versions
-    REMAIN READABLE until vacuum — erase-then-vacuum is the complete
-    GDPR sequence."""
+    """Erasure through the shared pruned copy-on-write kernel (see
+    :func:`_delete_pruned` for the id-range pruning contract)."""
     _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
-    idf = (
-        deleted_ids.toDF("id")
-        if len(deleted_ids.columns) == 1
-        else deleted_ids
-    ).select("id")
-
-    last: Exception | None = None
-    for _ in range(5):
-        versions = {m["version"]: m for m in list_versions(path)}
-        parent = max(versions) if versions else None
-        if parent is None:
-            raise ValueError(f"snapshot index at {path}: nothing to delete")
-        pm = versions[parent]
-        dirs = _manifest_dirs(pm)
-        stats = pm.get("dir_stats", {})
-        if set(stats) >= set(dirs):
-            # one pass over the DELETED frame: which dir ranges admit
-            # at least one deleted id (bounded by n_dirs columns)
-            hit_row = idf.agg(
-                *[
-                    F.max(
-                        F.col("id").between(
-                            F.lit(stats[d][0]), F.lit(stats[d][1])
-                        )
-                    ).alias(f"h{i}")
-                    for i, d in enumerate(dirs)
-                ]
-            ).first()
-            touched = [
-                d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])
-            ]
-        else:
-            touched = list(dirs)  # stats-less legacy manifest: rewrite all
-        untouched = [d for d in dirs if d not in set(touched)]
-        if not touched:
-            return parent  # nothing to erase — current version stands
-
-        kept = (
-            spark.read.parquet(*touched)
-            .join(idf, "id", "left_anti")
-            .repartition(4, "band", "grp")
-        )
-        ddir = _write_delta_dir(kept, path, _SORT)
-        n_kept = spark.read.parquet(ddir).count()
-        # exact rows: parent total - touched rows + kept rows
-        n_touched = spark.read.parquet(*touched).count()
-        n_rows = pm["n_rows"] - n_touched + n_kept
-        meta = _config_meta(fingerprint, n=n, k=k, bands=bands, n_grps=n_grps)
-        meta["dir_stats"] = {
-            **{d: stats[d] for d in untouched if d in stats},
-            ddir: _id_stats(spark, ddir) if n_kept else [0, -1],
-        }
-        meta["pruned_dirs"] = len(untouched)
-        try:
-            return commit_version(
-                path,
-                untouched + [ddir],
-                "delete",
-                parent,
-                n_rows,
-                meta,
-            )
-        except VersionConflictError as e:
-            last = e
-    raise last  # type: ignore[misc]
+    return _delete_pruned(
+        spark, deleted_ids, path, "id", ("band", "grp"), _SORT,
+        lambda pm: _config_meta(fingerprint, n, k, bands, n_grps),
+    )
 
 
 def minhash_vindex_compact(
@@ -321,13 +470,11 @@ def minhash_vindex_compact(
     PRE-compaction versions keeps working until vacuum (contrast the
     marker family, where compaction physically replaces files and
     must RESET history)."""
-
-    def make_rows(cur):
-        return cur.repartition(4, "band", "grp")
-
     return _rewrite_with_retry(
-        spark, path, make_rows, "compact", fingerprint,
-        dict(n=n, k=k, bands=bands, n_grps=n_grps),
+        spark, path,
+        lambda cur, meta: cur.repartition(4, "band", "grp"),
+        "compact",
+        lambda pm, cur: _config_meta(fingerprint, n, k, bands, n_grps),
     )
 
 
@@ -356,4 +503,573 @@ def minhash_vindex_probe(
         spark, path, new_docs, old_docs, text_col, id_col,
         n=n, k=k, bands=bands, threshold=threshold, n_grps=n_grps,
         scan=scan,
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH bucket family: seed-derived hyperplanes (corpus-independent, no
+# quantizer sidecar) — structurally the MinHash shape with (table,
+# bucket) rows over embeddings instead of band rows over shingles.
+
+_LSH_SORT = ("table", "bucket")
+_LSH_KEYS = ("dim", "planes", "tables")
+
+
+def _lsh_rows(emb, dim, planes, tables, id_col, vec_col):
+    from uts_spark.functions.similarity import lsh_bucket_table
+
+    return lsh_bucket_table(emb, dim, planes, tables, id_col, vec_col).select(
+        id_col, vec_col, "table", "bucket"
+    )
+
+
+def _lsh_meta(fingerprint, dim, planes, tables) -> dict:
+    return {
+        "family": "lsh", "fingerprint": fingerprint,
+        "dim": dim, "planes": planes, "tables": tables,
+    }
+
+
+def lsh_vindex_build(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    fingerprint: str = "",
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Version 0 of the snapshot LSH index: one bucket-table pass over
+    the corpus, cluster-sorted by (table, bucket) so row-group stats
+    prune the probe's collision scan."""
+    rows = _lsh_rows(emb, dim, planes, tables, id_col, vec_col)
+    ddir = _write_delta_dir(
+        rows.repartition(4, "table", "bucket"), path, _LSH_SORT
+    )
+    spark = emb.sparkSession
+    n_rows = spark.read.parquet(ddir).count()
+    meta = _lsh_meta(fingerprint, dim, planes, tables)
+    meta["dir_stats"] = {ddir: _id_stats(spark, ddir, id_col)}
+    return commit_version(path, [ddir], "build", None, n_rows, meta)
+
+
+def lsh_vindex_append(
+    emb_batch: DataFrame,
+    path: str,
+    dim: int,
+    fingerprint: str = "",
+    planes: int = 8,
+    tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fast append: hyperplanes are seed-derived, so bucketing ONLY the
+    batch at the index's (dim, planes, tables) config lands its rows
+    exactly where a full rebuild would — no frozen state to consult,
+    no re-encode hazard on conflict (contrast the IVF families)."""
+    _check_family_config(path, "lsh", dim=dim, planes=planes, tables=tables)
+    spark = emb_batch.sparkSession
+    rows = _lsh_rows(emb_batch, dim, planes, tables, id_col, vec_col)
+    ddir = _write_delta_dir(
+        rows.repartition(4, "table", "bucket"), path, _LSH_SORT
+    )
+    n_new = spark.read.parquet(ddir).count()
+    stats = _id_stats(spark, ddir, id_col)
+    return _append_commit(
+        spark, path, ddir, stats, n_new,
+        lambda pm: _lsh_meta(fingerprint, dim, planes, tables),
+    )
+
+
+def lsh_vindex_delete(
+    spark,
+    deleted_ids: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "vec_id",
+) -> int:
+    """Erasure through the shared pruned kernel. Unlike the marker
+    family's delete (which re-buckets the deleted VECTORS to locate
+    their partitions), the snapshot kernel prunes on manifest id-range
+    stats directly — the caller passes bare ids, no embeddings needed,
+    which is exactly the shape a GDPR request arrives in."""
+    pm = _current_manifest(path)
+    if pm.get("family") != "lsh":
+        raise ValueError(
+            f"snapshot index at {path}: family is {pm.get('family')}, "
+            "expected lsh"
+        )
+    return _delete_pruned(
+        spark, deleted_ids, path, id_col, ("table", "bucket"), _LSH_SORT,
+        lambda pmm: _carry_meta(pmm, fingerprint, _LSH_KEYS),
+    )
+
+
+def lsh_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
+    """Rewrite the append chain into one clustered dir (config and
+    pointers carry forward; pre-compaction versions stay readable
+    until vacuum)."""
+    return _rewrite_with_retry(
+        spark, path,
+        lambda cur, meta: cur.repartition(4, "table", "bucket"),
+        "compact",
+        lambda pm, cur: _carry_meta(pm, fingerprint, _LSH_KEYS),
+        sort=_LSH_SORT, id_col="vec_id",
+    )
+
+
+def lsh_vindex_probe(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Probe at the current (or a pinned) snapshot through the shared
+    LSH candidate/rerank kernel. The (dim, planes, tables) config is
+    read from the MANIFEST, never passed — a probe cannot disagree
+    with the index it scans."""
+    from uts_spark.functions.similarity import lsh_index_probe
+
+    m = _manifest_at(path, version)
+    scan = read_version(spark, path, version)
+    return lsh_index_probe(
+        spark, path, anchors, dim=m["dim"], k=k,
+        planes=m["planes"], tables=m["tables"],
+        id_col=id_col, vec_col=vec_col, scan=scan,
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF cell family: the frozen coarse-centroid table is a manifest
+# sidecar — every version resolves the exact quantizer its rows were
+# assigned against, so time travel pins the quantizer and RECLUSTER is
+# just another rewrite commit (no history reset, no swap window).
+
+_IVF_SORT = ("cell", "vec_id")
+_IVF_KEYS = ("n_cells",)
+
+
+def ivf_vindex_build(
+    emb: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_src: DataFrame | None = None,
+) -> int:
+    """Version 0 of the snapshot IVF index: freeze the hash-seeded
+    centroids as an immutable quantizer sidecar, assign every corpus
+    vector, commit rows + the ``centroids_dir`` pointer in ONE
+    manifest — the quantizer and the data it explains are never
+    observable apart."""
+    from uts_spark.functions.similarity import _ivf_assign, _ivf_centroids
+
+    spark = emb.sparkSession
+    cents = _ivf_centroids(centroid_src or emb, n_cells, id_col, vec_col)
+    qdir = _write_quant_dir(cents, path)
+    rows = _ivf_assign(emb, spark.read.parquet(qdir), id_col, vec_col)
+    ddir = _write_delta_dir(rows.repartition(4, "cell"), path, _IVF_SORT)
+    n_rows = spark.read.parquet(ddir).count()
+    meta = {
+        "family": "ivf", "fingerprint": fingerprint, "n_cells": n_cells,
+        "centroids_dir": qdir, "aux_dirs": [qdir],
+        "dir_stats": {ddir: _id_stats(spark, ddir, id_col)},
+    }
+    return commit_version(path, [ddir], "build", None, n_rows, meta)
+
+
+def ivf_vindex_append(
+    emb_batch: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_retries: int = 5,
+) -> int:
+    """Fast append with the QUANTIZER-POINTER conflict rule: assign the
+    batch against the CURRENT manifest's frozen centroids and CAS-commit
+    the delta. A pointer-EQUAL conflict (a racing append/delete landed)
+    retries the manifest only — file adds commute. A pointer-MOVED
+    conflict (a racing RECLUSTER landed) means the delta's cell
+    assignments are against a dead quantizer: committing it would mix
+    incomparable cells in one version — RE-ENCODE against the new
+    quantizer and retry. Batch-sized either way."""
+    from uts_spark.functions.similarity import _ivf_assign
+
+    spark = emb_batch.sparkSession
+    encoded_against: str | None = None
+    ddir: str | None = None
+    stats: list[int] = []
+    n_new = 0
+    last: Exception | None = None
+    for _ in range(max_retries):
+        pm = _current_manifest(path)
+        if pm.get("family") != "ivf":
+            raise ValueError(
+                f"snapshot index at {path}: family is {pm.get('family')}, "
+                "expected ivf"
+            )
+        qdir = pm["centroids_dir"]
+        if qdir != encoded_against:
+            cents = spark.read.parquet(qdir)
+            rows = _ivf_assign(emb_batch, cents, id_col, vec_col)
+            ddir = _write_delta_dir(
+                rows.repartition(4, "cell"), path, _IVF_SORT
+            )
+            n_new = spark.read.parquet(ddir).count()
+            stats = _id_stats(spark, ddir, id_col)
+            encoded_against = qdir
+        meta = _carry_meta(pm, fingerprint, _IVF_KEYS)
+        meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
+        try:
+            return commit_version(
+                path,
+                _manifest_dirs(pm) + [ddir],
+                "append",
+                pm["version"],
+                pm.get("n_rows", 0) + n_new,
+                meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def ivf_vindex_delete(
+    spark,
+    deleted_ids: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "vec_id",
+) -> int:
+    """Erasure through the shared pruned kernel; the quantizer pointer
+    carries forward untouched (centroids hold no per-vector state)."""
+    pm = _current_manifest(path)
+    if pm.get("family") != "ivf":
+        raise ValueError(
+            f"snapshot index at {path}: family is {pm.get('family')}, "
+            "expected ivf"
+        )
+    return _delete_pruned(
+        spark, deleted_ids, path, id_col, ("cell",), _IVF_SORT,
+        lambda pmm: _carry_meta(pmm, fingerprint, _IVF_KEYS),
+    )
+
+
+def ivf_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
+    return _rewrite_with_retry(
+        spark, path,
+        lambda cur, meta: cur.repartition(4, "cell"),
+        "compact",
+        lambda pm, cur: _carry_meta(pm, fingerprint, _IVF_KEYS),
+        sort=_IVF_SORT, id_col="vec_id",
+    )
+
+
+def ivf_vindex_recluster(
+    spark,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """The corrective verb, snapshot-shaped: derive FRESH centroids
+    from the current survivor corpus (raw vectors ride in the rows),
+    freeze them as a NEW quantizer sidecar, re-assign every row, and
+    CAS-commit rows + pointer as one ``recluster`` version. Closes the
+    marker family's two seams in one move (ADVICE r8,
+    similarity.py:1253): history is never reset — a pre-recluster pin
+    reads its own rows AND its own centroids — and there is no
+    two-rename swap window because readers resolve manifests, not
+    directory names."""
+    from uts_spark.functions.similarity import _ivf_assign, _ivf_centroids
+
+    def meta_fn(pm, cur):
+        cents = _ivf_centroids(
+            cur.select(id_col, vec_col), pm["n_cells"], id_col, vec_col
+        )
+        qdir = _write_quant_dir(cents, path)
+        meta = _carry_meta(pm, fingerprint, _IVF_KEYS)
+        meta["centroids_dir"] = qdir
+        meta["aux_dirs"] = [qdir]
+        return meta
+
+    def make_rows(cur, meta):
+        cents = spark.read.parquet(meta["centroids_dir"])
+        return _ivf_assign(
+            cur.select(id_col, vec_col), cents, id_col, vec_col
+        ).repartition(4, "cell")
+
+    return _rewrite_with_retry(
+        spark, path, make_rows, "recluster", meta_fn,
+        sort=_IVF_SORT, id_col=id_col,
+    )
+
+
+def ivf_vindex_probe(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Probe at the current (or a pinned) snapshot: the manifest
+    resolves BOTH the immutable dir list and the quantizer sidecar, so
+    a pinned probe ranks cells with the centroids of ITS version —
+    correct across any number of reclusters in between."""
+    from uts_spark.functions.similarity import ivf_index_probe
+
+    m = _manifest_at(path, version)
+    cents = spark.read.parquet(m["centroids_dir"])
+    scan = read_version(spark, path, version)
+    return ivf_index_probe(
+        spark, path, anchors, None, k=k, n_cells=m["n_cells"],
+        n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        scan=scan, cents=cents,
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ family: two frozen quantizers (coarse centroids + PQ codebook)
+# as manifest sidecars; stored code arrays are only comparable against
+# the codebook of their version — which is exactly what a pinned probe
+# resolves.
+
+_IVFPQ_KEYS = ("n_cells", "dim", "m_sub", "n_cent")
+
+
+def _ivfpq_rows(emb, cents, cexp, dim, m_sub, id_col, vec_col):
+    from uts_spark.functions.similarity import _ivf_assign, _ivfpq_codes
+
+    assigned = _ivf_assign(emb, cents, id_col, vec_col)
+    codes = _ivfpq_codes(emb, cexp, dim, m_sub, id_col, vec_col)
+    return assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
+        id_col, vec_col, "codes", "cell"
+    )
+
+
+def ivfpq_vindex_build(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    fingerprint: str = "",
+    n_cells: int = 8,
+    m_sub: int = 8,
+    n_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_src: DataFrame | None = None,
+) -> int:
+    """Version 0: freeze BOTH quantizers as sidecars, store every
+    vector with its coarse cell and PQ code array, commit rows + both
+    pointers in one manifest."""
+    from uts_spark.functions.similarity import (
+        _ivf_centroids,
+        _pq_codebook_exp,
+    )
+
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"ivfpq_vindex_build: dim ({dim}) must be divisible by "
+            f"m_sub ({m_sub})"
+        )
+    spark = emb.sparkSession
+    src = centroid_src if centroid_src is not None else emb
+    cdir = _write_quant_dir(
+        _ivf_centroids(src, n_cells, id_col, vec_col), path
+    )
+    bdir = _write_quant_dir(
+        _pq_codebook_exp(src, dim, m_sub, n_cent, id_col, vec_col), path
+    )
+    cents = spark.read.parquet(cdir)
+    cexp = spark.read.parquet(bdir)
+    rows = _ivfpq_rows(emb, cents, cexp, dim, m_sub, id_col, vec_col)
+    ddir = _write_delta_dir(rows.repartition(4, "cell"), path, _IVF_SORT)
+    n_rows = spark.read.parquet(ddir).count()
+    meta = {
+        "family": "ivfpq", "fingerprint": fingerprint,
+        "n_cells": n_cells, "dim": dim, "m_sub": m_sub, "n_cent": n_cent,
+        "centroids_dir": cdir, "codebook_dir": bdir,
+        "aux_dirs": [cdir, bdir],
+        "dir_stats": {ddir: _id_stats(spark, ddir, id_col)},
+    }
+    return commit_version(path, [ddir], "build", None, n_rows, meta)
+
+
+def ivfpq_vindex_append(
+    emb_batch: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_retries: int = 5,
+) -> int:
+    """Fast append under the quantizer-pointer conflict rule (see
+    ivf_vindex_append) — here BOTH pointers must match: a racer's
+    recluster refreshes centroids and codebook together, and a delta
+    encoded against either dead quantizer would poison ADC scoring for
+    the whole version. Re-encode on pointer movement, manifest-only
+    retry otherwise."""
+    spark = emb_batch.sparkSession
+    encoded_against: tuple[str, str] | None = None
+    ddir: str | None = None
+    stats: list[int] = []
+    n_new = 0
+    last: Exception | None = None
+    for _ in range(max_retries):
+        pm = _current_manifest(path)
+        if pm.get("family") != "ivfpq":
+            raise ValueError(
+                f"snapshot index at {path}: family is {pm.get('family')}, "
+                "expected ivfpq"
+            )
+        ptr = (pm["centroids_dir"], pm["codebook_dir"])
+        if ptr != encoded_against:
+            cents = spark.read.parquet(ptr[0])
+            cexp = spark.read.parquet(ptr[1])
+            rows = _ivfpq_rows(
+                emb_batch, cents, cexp, pm["dim"], pm["m_sub"],
+                id_col, vec_col,
+            )
+            ddir = _write_delta_dir(
+                rows.repartition(4, "cell"), path, _IVF_SORT
+            )
+            n_new = spark.read.parquet(ddir).count()
+            stats = _id_stats(spark, ddir, id_col)
+            encoded_against = ptr
+        meta = _carry_meta(pm, fingerprint, _IVFPQ_KEYS)
+        meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
+        try:
+            return commit_version(
+                path,
+                _manifest_dirs(pm) + [ddir],
+                "append",
+                pm["version"],
+                pm.get("n_rows", 0) + n_new,
+                meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def ivfpq_vindex_delete(
+    spark,
+    deleted_ids: DataFrame,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "vec_id",
+) -> int:
+    """Erasure through the shared pruned kernel — the privacy-critical
+    family: a deleted vector's PQ code array IS a compressed copy of
+    its embedding, and it rides in the data rows, so the left-anti
+    rewrite removes it with them. The codebook sidecar holds no
+    per-vector state and carries forward. Earlier versions remain
+    readable until vacuum — erase-then-vacuum completes the GDPR
+    sequence, including the code arrays."""
+    pm = _current_manifest(path)
+    if pm.get("family") != "ivfpq":
+        raise ValueError(
+            f"snapshot index at {path}: family is {pm.get('family')}, "
+            "expected ivfpq"
+        )
+    return _delete_pruned(
+        spark, deleted_ids, path, id_col, ("cell",), _IVF_SORT,
+        lambda pmm: _carry_meta(pmm, fingerprint, _IVFPQ_KEYS),
+    )
+
+
+def ivfpq_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
+    return _rewrite_with_retry(
+        spark, path,
+        lambda cur, meta: cur.repartition(4, "cell"),
+        "compact",
+        lambda pm, cur: _carry_meta(pm, fingerprint, _IVFPQ_KEYS),
+        sort=_IVF_SORT, id_col="vec_id",
+    )
+
+
+def ivfpq_vindex_recluster(
+    spark,
+    path: str,
+    fingerprint: str = "",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Re-cluster AND re-encode as one rewrite commit: fresh centroids
+    and a fresh codebook from the survivor corpus (both sidecars
+    refreshed together — stored codes and the codebook that decodes
+    them can never skew), every row re-assigned and re-coded. History
+    is never reset; pinned reads before the recluster resolve the old
+    sidecars."""
+    from uts_spark.functions.similarity import (
+        _ivf_centroids,
+        _pq_codebook_exp,
+    )
+
+    def meta_fn(pm, cur):
+        src = cur.select(id_col, vec_col)
+        cdir = _write_quant_dir(
+            _ivf_centroids(src, pm["n_cells"], id_col, vec_col), path
+        )
+        bdir = _write_quant_dir(
+            _pq_codebook_exp(
+                src, pm["dim"], pm["m_sub"], pm["n_cent"], id_col, vec_col
+            ),
+            path,
+        )
+        meta = _carry_meta(pm, fingerprint, _IVFPQ_KEYS)
+        meta["centroids_dir"] = cdir
+        meta["codebook_dir"] = bdir
+        meta["aux_dirs"] = [cdir, bdir]
+        return meta
+
+    def make_rows(cur, meta):
+        cents = spark.read.parquet(meta["centroids_dir"])
+        cexp = spark.read.parquet(meta["codebook_dir"])
+        return _ivfpq_rows(
+            cur.select(id_col, vec_col), cents, cexp,
+            meta["dim"], meta["m_sub"], id_col, vec_col,
+        ).repartition(4, "cell")
+
+    return _rewrite_with_retry(
+        spark, path, make_rows, "recluster", meta_fn,
+        sort=_IVF_SORT, id_col=id_col,
+    )
+
+
+def ivfpq_vindex_probe(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    rerank: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Probe at the current (or a pinned) snapshot: the manifest
+    resolves the dir list AND both quantizer sidecars, so stored codes
+    always ADC-score against the codebook they were encoded with —
+    at every version, across any recluster."""
+    from uts_spark.functions.similarity import ivfpq_index_probe
+
+    m = _manifest_at(path, version)
+    cents = spark.read.parquet(m["centroids_dir"])
+    cexp = spark.read.parquet(m["codebook_dir"])
+    scan = read_version(spark, path, version)
+    return ivfpq_index_probe(
+        spark, path, anchors, None, dim=m["dim"], k=k,
+        n_cells=m["n_cells"], n_probe=n_probe, m_sub=m["m_sub"],
+        n_cent=m["n_cent"], rerank=rerank, id_col=id_col, vec_col=vec_col,
+        scan=scan, cents=cents, cexp=cexp,
     )

@@ -5910,6 +5910,311 @@ def dedup_minhash_vindex_lifecycle_probe(spark, sf_dir):
     )
 
 
+# --- Snapshot-committed ANN families (round-10 candidate #1 pulled into
+# round 9): the remaining three index families — LSH buckets, IVF cells,
+# IVF-PQ cells+codes — routed through the same CAS manifest protocol as
+# the MinHash lane above (functions/vindex.py). The IVF families' frozen
+# quantizers become MANIFEST SIDECARS: every version resolves the exact
+# centroid/codebook tables its rows were encoded against, so time travel
+# pins the quantizer and RECLUSTER is an ordinary rewrite commit (no
+# history reset, no swap window — the two marker-family seams ADVICE r8
+# flagged at similarity.py:1253 are structurally absent here).
+
+_VIDX_DEL_REM = 3  # lifecycle erasure slice: vec_id % 10 == 3
+
+
+def _vidx_stages(fp0: str) -> list[str]:
+    return [fp0, fp0 + ":a", fp0 + ":a:d", fp0 + ":a:d:c"]
+
+
+def _vidx_state(path: str) -> str | None:
+    from uts_spark.functions.vindex import vindex_config
+
+    m = vindex_config(path)
+    return m["fingerprint"] if m else None
+
+
+@query(
+    "similarity_ann_lsh_vindex_lifecycle_probe",
+    _duck_ann_index_probe(
+        member_pred=f" AND b.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}"
+    ),
+)
+def similarity_ann_lsh_vindex_lifecycle_probe(spark, sf_dir):
+    """Snapshot-committed LSH index, full CRUD in one lane: BUILD the
+    (table, bucket) index over base as snapshot v0, fast-APPEND the
+    rem-7 batch as v1 (hyperplanes are seed-derived — no frozen state,
+    no re-encode hazard), DELETE the rem-3 slice as a PRUNED
+    copy-on-write v2 (manifest id-range stats decide which dirs the
+    erasure touches; bare ids suffice — no embeddings needed, the GDPR
+    request shape), COMPACT the chain as v3, probe at the current
+    snapshot through the shared LSH kernel. Oracle = the full LSH
+    replay minus the erased vectors' candidacy (hyperplanes are
+    corpus-independent, so build+append+delete ≡ rebuild-without).
+    Concurrency is optimistic CAS like every snapshot verb."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        lsh_vindex_append,
+        lsh_vindex_build,
+        lsh_vindex_compact,
+        lsh_vindex_delete,
+        lsh_vindex_probe,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    deleted = e.filter(F.col("vec_id") % _IVF_APP_MOD == _VIDX_DEL_REM).select(
+        "vec_id"
+    )
+    fp0 = _emb_frame_fingerprint(base)
+    stages = _vidx_stages(fp0)
+    path = ann_index_path(sf_dir, fp0) + "_snap"
+
+    state = _vidx_state(path)
+    if state not in stages:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        lsh_vindex_build(base, path, dim=EMB_DIM, fingerprint=stages[0],
+                         planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES)
+        state = stages[0]
+    if state == stages[0]:
+        lsh_vindex_append(batch, path, dim=EMB_DIM, fingerprint=stages[1],
+                          planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES)
+        state = stages[1]
+    if state == stages[1]:
+        lsh_vindex_delete(spark, deleted, path, fingerprint=stages[2])
+        state = stages[2]
+    if state == stages[2]:
+        lsh_vindex_compact(spark, path, fingerprint=stages[3])
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return lsh_vindex_probe(spark, path, anchors, k=10)
+
+
+@query(
+    "similarity_ann_ivf_vindex_lifecycle_probe",
+    _duck_ivf_det_frozen(
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}"
+    ),
+)
+def similarity_ann_ivf_vindex_lifecycle_probe(spark, sf_dir):
+    """Snapshot-committed IVF index, full CRUD: BUILD over base freezes
+    the coarse centroids as a MANIFEST SIDECAR (an immutable dir under
+    path/quant/ whose pointer rides on every manifest), APPEND the
+    rem-7 batch assigned against that frozen sidecar (a CAS loss to a
+    racing recluster re-encodes — the quantizer-pointer conflict rule,
+    pinned in pytest), DELETE rem-3 through the pruned kernel, COMPACT,
+    probe at the current snapshot with the manifest's own centroids.
+    Oracle = the frozen-quantizer recompute: centroid pool pinned to
+    base (build corpus), membership = survivors."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        ivf_vindex_append,
+        ivf_vindex_build,
+        ivf_vindex_compact,
+        ivf_vindex_delete,
+        ivf_vindex_probe,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    deleted = e.filter(F.col("vec_id") % _IVF_APP_MOD == _VIDX_DEL_REM).select(
+        "vec_id"
+    )
+    fp0 = _emb_frame_fingerprint(base)
+    stages = _vidx_stages(fp0)
+    path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_snap"
+
+    state = _vidx_state(path)
+    if state not in stages:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivf_vindex_build(base, path, fingerprint=stages[0], n_cells=8)
+        state = stages[0]
+    if state == stages[0]:
+        ivf_vindex_append(batch, path, fingerprint=stages[1])
+        state = stages[1]
+    if state == stages[1]:
+        ivf_vindex_delete(spark, deleted, path, fingerprint=stages[2])
+        state = stages[2]
+    if state == stages[2]:
+        ivf_vindex_compact(spark, path, fingerprint=stages[3])
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3)
+
+
+@query(
+    "similarity_ann_ivfpq_vindex_lifecycle_probe",
+    _duck_ivfpq(
+        base_where=f"WHERE vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}",
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}",
+    ),
+)
+def similarity_ann_ivfpq_vindex_lifecycle_probe(spark, sf_dir):
+    """Snapshot-committed IVF-PQ index, full CRUD — the
+    privacy-critical family with TWO quantizer sidecars (coarse
+    centroids + PQ codebook) on every manifest: BUILD over base
+    freezes both, APPEND encodes against both frozen pointers (a CAS
+    loss to a recluster re-encodes — a delta coded against a dead
+    codebook would poison ADC for the whole version), DELETE rem-3
+    removes the stored code arrays with their rows (a PQ code IS a
+    compressed copy of the embedding — erase-then-vacuum completes the
+    GDPR sequence), COMPACT, probe with the manifest's own quantizers.
+    Oracle = the composed IVF-PQ recompute with quantizer pools pinned
+    to base and survivor-only candidacy."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        ivfpq_vindex_append,
+        ivfpq_vindex_build,
+        ivfpq_vindex_compact,
+        ivfpq_vindex_delete,
+        ivfpq_vindex_probe,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    deleted = e.filter(F.col("vec_id") % _IVF_APP_MOD == _VIDX_DEL_REM).select(
+        "vec_id"
+    )
+    fp0 = _emb_frame_fingerprint(base)
+    stages = _vidx_stages(fp0)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(
+        _warehouse_dir(),
+        f"ann_ivfpq_index_{tag}_{fp0}_c8m{_PQ_M}k{_PQ_C}_snap",
+    )
+
+    state = _vidx_state(path)
+    if state not in stages:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivfpq_vindex_build(
+            base, path, dim=EMB_DIM, fingerprint=stages[0],
+            n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C,
+        )
+        state = stages[0]
+    if state == stages[0]:
+        ivfpq_vindex_append(batch, path, fingerprint=stages[1])
+        state = stages[1]
+    if state == stages[1]:
+        ivfpq_vindex_delete(spark, deleted, path, fingerprint=stages[2])
+        state = stages[2]
+    if state == stages[2]:
+        ivfpq_vindex_compact(spark, path, fingerprint=stages[3])
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivfpq_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3, rerank=40
+    )
+
+
+def _ensure_ivf_vindex_recluster_chain(spark, sf_dir) -> tuple[str, int]:
+    """Idempotent build→append→delete→RECLUSTER chain on its own path
+    (separate from the lifecycle lane's — the two lanes' state machines
+    must not fight over one index). Returns (path, pre-recluster
+    version) for the pin lane. Versions: 0 build, 1 append, 2 delete,
+    3 recluster."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        ivf_vindex_append,
+        ivf_vindex_build,
+        ivf_vindex_delete,
+        ivf_vindex_recluster,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    deleted = e.filter(F.col("vec_id") % _IVF_APP_MOD == _VIDX_DEL_REM).select(
+        "vec_id"
+    )
+    fp0 = _emb_frame_fingerprint(base)
+    stages = [fp0, fp0 + ":a", fp0 + ":a:d", fp0 + ":a:d:r"]
+    path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_snapr"
+
+    state = _vidx_state(path)
+    if state not in stages:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivf_vindex_build(base, path, fingerprint=stages[0], n_cells=8)
+        state = stages[0]
+    if state == stages[0]:
+        ivf_vindex_append(batch, path, fingerprint=stages[1])
+        state = stages[1]
+    if state == stages[1]:
+        ivf_vindex_delete(spark, deleted, path, fingerprint=stages[2])
+        state = stages[2]
+    if state == stages[2]:
+        ivf_vindex_recluster(spark, path, fingerprint=stages[3])
+    return path, 2
+
+
+@query(
+    "similarity_ann_ivf_vindex_recluster_probe",
+    _duck_ivf_det_frozen(
+        cent_where=f"WHERE vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}",
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}",
+    ),
+)
+def similarity_ann_ivf_vindex_recluster_probe(spark, sf_dir):
+    """RECLUSTER as an ordinary snapshot rewrite: after
+    build→append→delete, derive FRESH centroids from the survivor
+    corpus (raw vectors ride in the index rows), freeze them as a NEW
+    quantizer sidecar, re-assign every row, CAS-commit rows + pointer
+    as one version. Probe at the current snapshot ranks cells with the
+    fresh centroids. Oracle = the recompute with BOTH the centroid
+    pool and membership = survivors (the fresh-quantizer mirror of the
+    lifecycle lane's frozen-pool oracle). Contrast the marker family's
+    recluster (dir-swap + history reset, ADVICE r8): here history is
+    never reset and there is no swap window — readers resolve
+    manifests, not directory names."""
+    path, _ = _ensure_ivf_vindex_recluster_chain(spark, sf_dir)
+    from uts_spark.functions.vindex import ivf_vindex_probe
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3)
+
+
+@query(
+    "similarity_ann_ivf_vindex_pin_across_recluster",
+    _duck_ivf_det_frozen(
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}"
+    ),
+)
+def similarity_ann_ivf_vindex_pin_across_recluster(spark, sf_dir):
+    """TIME TRAVEL ACROSS A RECLUSTER — the property the marker family
+    structurally cannot offer (its recluster restarts history; ADVICE
+    r8 flagged pre-recluster pins silently resolving to the new
+    build): on the recluster chain, probe PINNED to the pre-recluster
+    version. The manifest resolves that version's dir list AND its
+    centroid sidecar, so the pinned probe ranks cells with the OLD
+    quantizer over the OLD rows — bit-identical to the lifecycle
+    lane's frozen-pool result (same oracle: centroids from base,
+    membership survivors), even though the current version has been
+    re-clustered with fresh centroids."""
+    path, pin = _ensure_ivf_vindex_recluster_chain(spark, sf_dir)
+    from uts_spark.functions.vindex import ivf_vindex_probe
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3, version=pin
+    )
+
+
 # --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
 #
 # Engine-neutral logarithms: the per-position discounts 1/log2(p+1) are

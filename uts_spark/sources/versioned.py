@@ -133,6 +133,16 @@ def _manifest_dirs(m: dict) -> list[str]:
     return list(m.get("data_dirs", [m["data_dir"]] if "data_dir" in m else []))
 
 
+def _manifest_aux_dirs(m: dict) -> list[str]:
+    """A manifest's NON-data auxiliary directories (index quantizer
+    sidecars: frozen centroid/codebook tables the snapshot-index
+    families record as manifest metadata). Never read as table data —
+    tracked only so vacuum's liveness accounting covers them: an aux
+    dir is removable exactly when no kept manifest still points at it,
+    same rule as shared fast-append data dirs."""
+    return list(m.get("aux_dirs", []))
+
+
 def _write_delta_dir(df: DataFrame, path: str, sort_cols=()) -> str:
     """Write rows to a WRITER-UNIQUE immutable directory (not keyed by
     the target version): a commit retry after a conflict re-uses the
@@ -281,13 +291,16 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(path)
     doomed = versions[:-keep_last]
-    # fast-append chains SHARE directories across versions: a dir is
-    # removable only when no KEPT manifest still references it
+    # fast-append chains SHARE directories across versions (and the
+    # snapshot-index families share quantizer sidecar dirs the same
+    # way): a dir is removable only when no KEPT manifest references it
     kept_dirs = {
-        d for m in versions[-keep_last:] for d in _manifest_dirs(m)
+        d
+        for m in versions[-keep_last:]
+        for d in _manifest_dirs(m) + _manifest_aux_dirs(m)
     }
     for m in doomed:
-        for d in _manifest_dirs(m):
+        for d in _manifest_dirs(m) + _manifest_aux_dirs(m):
             if d not in kept_dirs:
                 shutil.rmtree(d, ignore_errors=True)
         os.remove(os.path.join(_versions_dir(path), f"v{m['version']}.json"))
