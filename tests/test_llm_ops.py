@@ -2448,3 +2448,83 @@ def test_vindex_family_mismatch_fails_loudly(spark, emb, tmp_path):
         vx.ivfpq_vindex_append(batch, path)
     with pytest.raises(ValueError, match="family"):
         vx.lsh_vindex_append(batch, path, dim=64)
+
+
+def test_minhash_ingest_tick_skew_flag_and_cap(spark, docs, tmp_path):
+    """The dedup ingest's closed skew loop (round-10 candidate #3): an
+    organic batch records its collision integers on the history line
+    and does NOT flag; a boilerplate flood (same slice, one template
+    text) trips the measured 8x flag, the cap verb quarantines its
+    mega-buckets (auditable under _quarantine), the history records a
+    RESET with the hot-bucket count, and a probe with a boiler-texted
+    doc finds NO candidates while a verbatim clone of an indexed doc
+    still matches at jaccard 1.0."""
+    from uts_spark.functions.dedup import (
+        index_history_versions,
+        minhash_coll_ref_init,
+        minhash_coll_ref_read,
+        minhash_index_probe,
+        minhash_index_write,
+        minhash_ingest_tick,
+    )
+
+    BOILER = "limited time offer click here to unsubscribe from this list"
+    d = docs.select("doc_id", "text")
+    base = d.filter(~F.col("doc_id").__mod__(11).isin(3, 7))
+    b1 = d.filter(F.col("doc_id") % 11 == 3)
+    boiler = d.filter(F.col("doc_id") % 11 == 7).select(
+        "doc_id", F.lit(BOILER).alias("text")
+    )
+    path = str(tmp_path / "midx")
+    cfg = dict(n=3, k=16, bands=4)
+    minhash_index_write(base, "text", "doc_id", path, fingerprint="f0", **cfg)
+    ref0 = minhash_coll_ref_init(spark, path)
+    assert ref0["rows_total"] == ref0["rown"] > 0
+
+    t1 = minhash_ingest_tick(spark, b1, "text", "doc_id", path, 0, **cfg)
+    assert not t1["flagged"] and t1["capped_rows"] == 0 and t1["row_n"] > 0
+    # rows_total advanced by the appended band rows
+    assert (
+        minhash_coll_ref_read(path)["rows_total"]
+        == ref0["rows_total"] + t1["row_n"]
+    )
+
+    t2 = minhash_ingest_tick(spark, boiler, "text", "doc_id", path, 1, **cfg)
+    assert t2["flagged"] and t2["capped_rows"] >= t2["row_n"]
+    q = spark.read.parquet(str(tmp_path / "midx" / "_quarantine"))
+    assert q.count() == t2["capped_rows"]
+    # the live index retains NO row of any quarantined bucket
+    live = spark.read.parquet(path)
+    assert (
+        live.join(
+            q.select("band", "bucket").distinct(), ["band", "bucket"]
+        ).count()
+        == 0
+    )
+    recs = index_history_versions(path)
+    assert recs[-1]["reset"] and recs[-1]["hot_buckets"] > 0
+    by_bid = {r.get("batch_id"): r for r in recs if "batch_id" in r}
+    assert by_bid[0]["coll_sum"] == t1["coll_sum"]
+    assert by_bid[1]["coll_sum"] == t2["coll_sum"] > t1["coll_sum"]
+
+    # probe: boiler-texted doc -> zero candidates (its buckets are
+    # quarantined); verbatim clone of an indexed doc -> jaccard 1.0
+    clone_src = base.limit(1)
+    probe = clone_src.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame([(20_000_000, BOILER)], "doc_id long, text string")
+    )
+    old = base.unionByName(b1).unionByName(boiler)
+    got = minhash_index_probe(
+        spark, path, probe, old, "text", "doc_id", threshold=0.5, **cfg
+    ).collect()
+    new_ids = {r["id_new"] for r in got}
+    assert 20_000_000 not in new_ids
+    src_id = clone_src.first()["doc_id"]
+    assert any(
+        r["id_new"] == src_id + 10_000_000
+        and r["id_old"] == src_id
+        and r["jaccard"] == 1.0
+        for r in got
+    )

@@ -1212,3 +1212,302 @@ def minhash_index_probe(
         arrays_n.unpersist()
         arrays_o.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Band-occupancy skew monitor + hot-bucket cap: the dedup ingest's drift
+# control loop (the MinHash sibling of similarity.ivf_index_ingest_tick).
+# The band index has no quantizer to drift, but it has the analogous
+# failure: a boilerplate/template FLOOD (many near-identical documents)
+# collapses into a handful of mega-buckets, and every future probe's
+# candidate set — hence its verify cost — grows with those buckets'
+# sizes. The monitor measures each batch's bucket-collision RATE against
+# the build-time organic rate; the corrective verb quarantines buckets
+# above a size cap (the standard production LSH-dedup mitigation: a
+# mega-bucket IS one duplicate cluster, and generating its O(s^2)
+# candidate pairs per probe buys nothing a single representative
+# wouldn't).
+#
+# Measured levels (SCALE.md round 9b; documents fixture, K=32 B=8 N=3):
+#   organic max bucket size:   2 (sf0.001/0.01), 3 (sf0.1)
+#   normal-batch rate ratio:   0.63 / 0.85 / 0.94 x build reference
+#   boilerplate-batch ratio:   487 / 475 / 5892 x
+# SKEW_MILLI = 8000 (8x) sits an order of magnitude above every healthy
+# batch and two below every flood; HOT_BUCKET_CAP = 16 sits above every
+# organic bucket and below the smallest flood bucket (45).
+
+_COLL_REF_NAME = "_COLL_REF.json"
+SKEW_MILLI = 8000      # flag when batch collision rate > 8x reference
+HOT_BUCKET_CAP = 16    # quarantine buckets larger than this on a flag
+
+
+def minhash_collision_stat_ints(
+    batch_rows: DataFrame, index_scan: DataFrame
+) -> tuple[int, int]:
+    """The skew monitor primitive: exact collision count of a batch's
+    band rows against (index ∪ batch), self-pairs excluded, as two
+    longs — ``coll_sum`` = Σ over buckets of nb·(nb−1) + nb·ni (nb =
+    batch rows, ni = index rows in that bucket) and ``row_n`` = batch
+    band rows. Integer-exact end-to-end so tick records and threshold
+    comparisons are arbitrary-precision Python arithmetic, never a
+    float compare (same discipline as the IVF fit monitor). The
+    intra-batch term is what catches a self-similar flood whose
+    documents match nothing already indexed.
+
+    Cost: the index side is filtered by a broadcast semi-join on the
+    batch's distinct buckets (bounded by batch × bands), so the scan is
+    candidate-shaped — the same class as the probe the service runs
+    per tick; with cluster-sorted partitions the bucket row-group
+    stats prune it further."""
+    bsz = batch_rows.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    ni = (
+        index_scan.join(
+            F.broadcast(bsz.select("band", "bucket")), ["band", "bucket"]
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    row = (
+        bsz.join(ni, ["band", "bucket"], "left")
+        .agg(
+            F.sum(
+                F.col("nb") * (F.col("nb") - F.lit(1))
+                + F.col("nb") * F.coalesce(F.col("ni"), F.lit(0))
+            ).alias("c"),
+            F.sum("nb").alias("n"),
+        )
+        .first()
+    )
+    return int(row["c"] or 0), int(row["n"] or 0)
+
+
+def minhash_coll_ref_write(
+    path: str, coll: int, rown: int, rows_total: int
+) -> None:
+    """Persist the monitor's REFERENCE: the build corpus's organic
+    self-collision integers (coll = Σ s·(s−1) over buckets, rown = its
+    band rows) plus the live index's current row count (``rows_total``,
+    maintained incrementally per tick — the batch rate's denominator
+    must never cost an index scan). Written at build; rows_total
+    advances on every append and shrinks on a cap."""
+    import json
+    import os
+
+    with open(os.path.join(path, _COLL_REF_NAME), "w") as fh:
+        json.dump(
+            {
+                "coll": int(coll),
+                "rown": int(rown),
+                "rows_total": int(rows_total),
+            },
+            fh,
+        )
+
+
+def minhash_coll_ref_read(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, _COLL_REF_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def minhash_coll_ref_init(spark, path: str) -> dict:
+    """Compute and persist the reference from the index as built: one
+    index-shaped aggregate (build time is already corpus-shaped, so
+    the reference costs a rounding error of the build)."""
+    idx = spark.read.parquet(path)
+    row = (
+        idx.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(
+            F.sum(F.col("s") * (F.col("s") - F.lit(1))).alias("c"),
+            F.sum("s").alias("n"),
+        )
+        .first()
+    )
+    coll, rown = int(row["c"] or 0), int(row["n"] or 0)
+    minhash_coll_ref_write(path, coll, rown, rown)
+    return {"coll": coll, "rown": rown, "rows_total": rown}
+
+
+def minhash_index_cap_hot_buckets(
+    spark, path: str, cap: int = HOT_BUCKET_CAP, n_grps: int = 16
+) -> int:
+    """The corrective verb: QUARANTINE every bucket larger than ``cap``
+    — its rows move to ``path/_quarantine`` (underscore dir, invisible
+    to the index's partition discovery; auditable and reversible) and
+    the touched (band, grp) partitions rewrite without them, so future
+    probes generate no candidates through flood buckets. Semantics are
+    the documented cap policy (a probe's oracle replicates the size
+    rule in SQL), not silent loss: the quarantined rows remain on disk
+    with their bucket keys.
+
+    Cost ∝ touched partitions (the hot buckets' directories), never
+    the index; the hot-bucket key set is bounded by live_rows/cap
+    groups and is broadcast to the rewrite. Records a RESET line in
+    the version history (physical rewrite — same contract as erasure).
+    Returns the number of rows quarantined."""
+    import os
+
+    idx = spark.read.parquet(path)
+    hot = (
+        idx.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") > cap)
+        .select("band", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        return 0
+    touched = sorted(
+        (int(r["band"]), int(r["grp"]))
+        for r in hot.select(
+            "band", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)).alias("grp")
+        )
+        .distinct()
+        .collect()
+    )  # bounded by the (band, grp) partition GRID, never by rows
+    combined = F.concat_ws(
+        "/", F.col("band").cast("string"), F.col("grp").cast("string")
+    )
+    cond = combined.isin(["/".join(map(str, key)) for key in touched])
+    scan = spark.read.parquet(path).filter(cond)
+    quarantined = scan.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
+    keep = scan.join(
+        F.broadcast(hot), ["band", "bucket"], "left_anti"
+    ).localCheckpoint(eager=True)
+    removed = scan.count() - keep.count()
+    # write the quarantine BEFORE overwriting the partitions it reads
+    quarantined.write.mode("append").parquet(
+        os.path.join(path, "_quarantine")
+    )
+    (
+        keep.repartition(F.col("band"), F.col("grp"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band", "grp")
+        .parquet(path)
+    )
+    import shutil as _sh
+
+    remaining = {
+        (int(r["band"]), int(r["grp"]))
+        for r in keep.select("band", "grp").distinct().collect()
+    }
+    for key in touched:
+        if key not in remaining:
+            _sh.rmtree(
+                os.path.join(path, f"band={key[0]}", f"grp={key[1]}"),
+                ignore_errors=True,
+            )
+    recs = index_history_versions(path)
+    if recs:
+        index_history_append(
+            path,
+            max(r["version"] for r in recs) + 1,
+            _index_data_files(path),
+            reset=True,
+            hot_buckets=n_hot,
+        )
+    return removed
+
+
+def minhash_ingest_tick(
+    spark,
+    batch_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    batch_id: int,
+    cap: int = HOT_BUCKET_CAP,
+    skew_milli: int = SKEW_MILLI,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    n_grps: int = 16,
+) -> dict:
+    """One CLOSED-LOOP micro-batch of the dedup ingest service (the
+    MinHash sibling of similarity.ivf_index_ingest_tick — round-10
+    candidate #3). Per tick, under the caller's pending marker:
+
+    1. MEASURE first: the batch's bucket-collision integers against
+       the CURRENT live index (pre-append — the stat must see the
+       index the batch is colliding into, and the intra-batch term
+       catches self-similar floods);
+    2. APPEND exactly-once (epoch-keyed staged publish), recording
+       (coll_sum, coll_rown) on the tick's history line — the stat is
+       part of the index's durable record;
+    3. ACT when the measured flag fires — batch rate > skew_milli/1000
+       × the build-time organic rate, cross-multiplied in exact
+       arbitrary-precision ints:
+         coll·ref_rown·(ref_rown−1)·1000
+           > skew_milli·ref_coll·row_n·(rows_total+row_n−1)
+       (8x sits between the measured ≤0.94x healthy-batch band and
+       the ≥475x flood band, SCALE.md round 9b) — by QUARANTINING
+       buckets above ``cap`` (16: above every measured organic bucket,
+       below the smallest measured flood bucket).
+
+    Returns {"coll_sum", "row_n", "flagged", "capped_rows"}. A missing
+    collision reference (index predates the loop) records the stat but
+    never flags — monitoring degrades gracefully, it does not guess."""
+    from uts_spark.sources.sinks import staged_idempotent_append
+
+    _check_index_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
+    arrays = doc_shingle_arrays_portable(batch_docs, text_col, id_col, n)
+    sig = minhash_signatures_portable(arrays, k)
+    rows = (
+        _band_bucket_rows(sig, k, bands)
+        .select("id", "band", "bucket")
+        .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
+        .localCheckpoint(eager=True)  # sketched once: stat + append reuse
+    )
+    live = spark.read.parquet(path)
+    coll, row_n = minhash_collision_stat_ints(
+        rows.select("id", "band", "bucket"), live
+    )
+    published = staged_idempotent_append(
+        rows, path, ["band", "grp"], batch_id, epoch=index_epoch(path)
+    )
+    _index_history_record_batch(
+        path, batch_id, published, coll_sum=coll, coll_rown=row_n
+    )
+
+    ref = minhash_coll_ref_read(path)
+    flagged = False
+    if ref is not None and row_n > 0 and ref["coll"] > 0 and ref["rown"] > 1:
+        lhs = coll * ref["rown"] * (ref["rown"] - 1) * 1000
+        rhs = (
+            skew_milli
+            * ref["coll"]
+            * row_n
+            * (ref["rows_total"] + row_n - 1)
+        )
+        flagged = lhs > rhs
+    if ref is not None:
+        minhash_coll_ref_write(
+            path, ref["coll"], ref["rown"], ref["rows_total"] + row_n
+        )
+    capped = 0
+    if flagged:
+        capped = minhash_index_cap_hot_buckets(
+            spark, path, cap=cap, n_grps=n_grps
+        )
+        ref2 = minhash_coll_ref_read(path)
+        if ref2 is not None:
+            minhash_coll_ref_write(
+                path, ref2["coll"], ref2["rown"],
+                ref2["rows_total"] - capped,
+            )
+    return {
+        "coll_sum": coll,
+        "row_n": row_n,
+        "flagged": bool(flagged),
+        "capped_rows": capped,
+    }

@@ -2060,3 +2060,249 @@ def _register_stream_ann_drift_recluster():
 stream_ann_ingest_drift_recluster_replay = (
     _register_stream_ann_drift_recluster()
 )
+
+
+def _register_stream_dedup_skew_cap():
+    """The dedup ingest's drift control loop CLOSED (round-10 candidate
+    #3 — the MinHash sibling of the ANN drift lane above): the band
+    index has no quantizer, but it has the analogous failure mode — a
+    boilerplate/template FLOOD collapses into mega-buckets and every
+    future probe's candidate set grows with them. The monitor is the
+    batch's bucket-collision rate vs the build-time organic rate; the
+    corrective verb quarantines buckets above a size cap (the standard
+    production LSH-dedup mitigation). Thresholds are MEASURED, not
+    guessed (SCALE.md round 9b): healthy batches sit at 0.63-0.94x the
+    reference rate across all three SFs, floods at 475-5892x; organic
+    buckets top out at 2-3 rows, flood buckets start at 45 — SKEW 8x
+    and CAP 16 split both gaps by an order of magnitude."""
+    from uts_spark.functions.dedup import MINHASH_P as P, _family_constants
+    from uts_spark.functions.text import duck_tokens, duck_word_ngrams
+    from uts_spark.queries.llm_ops import (
+        _MIDX_BANDS,
+        _MIDX_K,
+        _MIDX_MOD,
+        _MIDX_N,
+        _MIDX_THR,
+    )
+
+    BOILER = (
+        "breaking news subscribe to our newsletter terms of service "
+        "apply all rights reserved"
+    )
+    CAP = 16
+    CLONE_OFF, BOIL_OFF = 10_000_000, 20_000_000
+    CLONE_MOD = 22  # clone-probe sources: doc_id % 22 == 0 (subset of base)
+    BOIL_REM, NORM_REM, PROBE_REM = 7, 3, 5
+
+    k, bands, n = _MIDX_K, _MIDX_BANDS, _MIDX_N
+    rpb = k // bands
+    consts = _family_constants(k)
+    grams = duck_word_ngrams(duck_tokens("text"), n)
+    mins = ", ".join(
+        f"MIN(({a} * h{'A' if i % 2 == 0 else 'B'} + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    new_pred = f"(a.id >= {CLONE_OFF} OR a.id % {_MIDX_MOD} = {PROBE_REM})"
+    old_pred = (
+        f"(b.id < {CLONE_OFF} AND b.id % {_MIDX_MOD} != {PROBE_REM})"
+    )
+    # the cap rule in SQL: bucket sizes over INDEX membership only (the
+    # state at cap time = base + normal batch + flood batch), candidates
+    # admitted only through buckets at or under the cap — exactly what
+    # the quarantined physical index serves
+    oracle = f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE doc_id % {_MIDX_MOD} != {BOIL_REM}
+      UNION ALL
+      SELECT doc_id AS id, '{BOILER}' AS text FROM documents
+      WHERE doc_id % {_MIDX_MOD} = {BOIL_REM}
+      UNION ALL
+      SELECT doc_id + {CLONE_OFF} AS id, text FROM documents
+      WHERE doc_id % {CLONE_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {BOIL_OFF} AS id, '{BOILER}' AS text FROM documents
+      WHERE doc_id % {_MIDX_MOD} = {PROBE_REM}
+    ),
+    g AS (
+      SELECT id, unnest(list_distinct({grams})) AS gr FROM corpus
+    ),
+    inv AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) AS hfull,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % {P} AS hA,
+             CAST(('0x' || substr(md5(gr), 17, 15)) AS BIGINT) % {P} AS hB
+      FROM g
+    ),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM inv GROUP BY id),
+    sig AS (SELECT id, {mins} FROM inv GROUP BY id),
+    bk AS ({band_sel}),
+    bsz AS (
+      SELECT band, bucket, COUNT(*) AS c FROM bk
+      WHERE id < {CLONE_OFF} AND id % {_MIDX_MOD} != {PROBE_REM}
+      GROUP BY band, bucket
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_new, b.id AS id_old
+      FROM bk a
+      JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      JOIN bsz z ON z.band = a.band AND z.bucket = a.bucket
+      WHERE {new_pred} AND {old_pred} AND z.c <= {CAP}
+    ),
+    shared AS (
+      SELECT c.id_new, c.id_old, COUNT(*) AS sh
+      FROM cand c
+      JOIN inv x ON x.id = c.id_new
+      JOIN inv y ON y.id = c.id_old AND y.hfull = x.hfull
+      GROUP BY c.id_new, c.id_old
+    )
+    SELECT c.id_new, c.id_old,
+           ({eq}) / {float(k)!r} AS est_jaccard,
+           CAST(COALESCE(s.sh, 0) AS DOUBLE)
+             / (za.ns + zb.ns - COALESCE(s.sh, 0)) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.id = c.id_new
+    JOIN sig sb ON sb.id = c.id_old
+    JOIN sizes za ON za.id = c.id_new
+    JOIN sizes zb ON zb.id = c.id_old
+    LEFT JOIN shared s ON s.id_new = c.id_new AND s.id_old = c.id_old
+    WHERE CAST(COALESCE(s.sh, 0) AS DOUBLE)
+            / (za.ns + zb.ns - COALESCE(s.sh, 0)) >= {_MIDX_THR!r}
+    """
+
+    @query("stream_dedup_ingest_skew_cap_replay", oracle)
+    def stream_dedup_ingest_skew_cap_replay(spark, sf_dir):
+        """The dedup service's ingest loop with the SKEW CONTROL LOOP
+        closed: each micro-batch runs functions/dedup.minhash_ingest_tick
+        — measure the batch's bucket-collision integers against the
+        live index (recorded ON the tick's history line), exactly-once
+        append, and QUARANTINE buckets above the cap when the measured
+        8x flag fires. Micro-batch 1 (an organic crawl slice) measures
+        0.63-0.94x the build reference and must NOT flag; micro-batch 2
+        (the same-size slice with its text replaced by one boilerplate
+        template) measures 475-5892x and trips the flag — the cap verb
+        moves the flood's band rows (45-454 per bucket vs organic max
+        2-3) to path/_quarantine and rewrites only their partitions,
+        under the stream's pending marker, with a history RESET line.
+        The probe batch then carries three proofs at once: organic
+        docs (normal candidacy), verbatim CLONES of indexed docs
+        (guaranteed jaccard-1.0 matches — the positive control at
+        every SF), and boilerplate clones (ZERO candidates — their
+        only collision buckets are quarantined; the negative control).
+        Oracle = the full recompute with the SAME bucket-size cap rule
+        in SQL: the quarantine is physical, the cap policy is the
+        semantics. Tick sequencing is two processAllAvailable barriers
+        (the flag decision depends on the index state at measurement
+        time). Scale: ticks are candidate-shaped (broadcast semi-join
+        on the batch's buckets); the cap rewrite touches only the hot
+        buckets' partitions."""
+        from uts_spark.functions.dedup import (
+            index_state,
+            index_tick,
+            minhash_coll_ref_init,
+            minhash_index_probe,
+            minhash_index_write,
+            minhash_ingest_tick,
+        )
+        from uts_spark.queries.llm_ops import (
+            _frame_fingerprint,
+            minhash_index_path,
+        )
+
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter(
+            ~F.col("doc_id").__mod__(_MIDX_MOD).isin(
+                NORM_REM, BOIL_REM, PROBE_REM
+            )
+        )
+        b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == NORM_REM)
+        boiler = docs.filter(F.col("doc_id") % _MIDX_MOD == BOIL_REM).select(
+            "doc_id", F.lit(BOILER).alias("text")
+        )
+        old = base.unionByName(b1).unionByName(boiler)
+        new = (
+            docs.filter(F.col("doc_id") % _MIDX_MOD == PROBE_REM)
+            .unionByName(
+                docs.filter(F.col("doc_id") % CLONE_MOD == 0).select(
+                    (F.col("doc_id") + F.lit(CLONE_OFF)).alias("doc_id"),
+                    "text",
+                )
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % _MIDX_MOD == PROBE_REM).select(
+                    (F.col("doc_id") + F.lit(BOIL_OFF)).alias("doc_id"),
+                    F.lit(BOILER).alias("text"),
+                )
+            )
+        )
+
+        fp0, fp1 = _frame_fingerprint(base), _frame_fingerprint(old)
+        cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+        path = minhash_index_path(sf_dir, fp0, **cfg) + "_skew"
+
+        state = index_state(path)
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            minhash_index_write(
+                base, "text", "doc_id", path, fingerprint=fp0, **cfg
+            )
+            minhash_coll_ref_init(spark, path)
+            state = fp0
+        if state == fp0:
+
+            def _ingest():
+                scratch = tempfile.mkdtemp(prefix="uts_skew_ingest_")
+                try:
+                    src = os.path.join(scratch, "src")
+                    chk = os.path.join(scratch, "chk")
+                    # deterministic tick order (same device as the ANN
+                    # drift lane): the organic batch's file exists
+                    # before the stream starts, the flood batch lands
+                    # only after epoch 0 drains — the flag decision
+                    # depends on the index state at measurement time
+                    b1.coalesce(1).write.parquet(src)
+                    stream = (
+                        spark.readStream.schema("doc_id long, text string")
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(src)
+                    )
+                    q = (
+                        stream.writeStream.foreachBatch(
+                            lambda bdf, bid: minhash_ingest_tick(
+                                spark, bdf, "text", "doc_id", path, bid,
+                                cap=CAP, **cfg,
+                            )
+                        )
+                        .option("checkpointLocation", chk)
+                        .start()
+                    )
+                    try:
+                        q.processAllAvailable()
+                        boiler.coalesce(1).write.mode("append").parquet(src)
+                        q.processAllAvailable()
+                    finally:
+                        q.stop()
+                finally:
+                    shutil.rmtree(scratch, ignore_errors=True)
+
+            index_tick(path, fp1, _ingest, **cfg)
+
+        return minhash_index_probe(
+            spark, path, new, old, "text", "doc_id",
+            threshold=_MIDX_THR, **cfg,
+        )
+
+    return stream_dedup_ingest_skew_cap_replay
+
+
+stream_dedup_ingest_skew_cap_replay = _register_stream_dedup_skew_cap()
