@@ -634,6 +634,69 @@ def test_ulang_v2_confusion_is_diagonal_plus_unknown(spark):
     }
 
 
+def test_ulang_id_v3_promotes_ar_ko_th_and_keeps_unknown_tail(spark):
+    """Round-10 candidate #5: ar/ko/th are IN-SET script routes in v3
+    (v2 discarded them to 'unknown' — a third of a realistic non-Latin
+    crawl), while the calibrated 'unknown' still catches the REMAINING
+    out-of-set scripts (Hebrew, Devanagari) and the 1/8 margin rule is
+    unchanged. Gate order is mixing-aware: Hangul with hanja (Han)
+    present routes ko, not zh."""
+    from uts_spark.functions.text import ulang_id_v2, ulang_id_v3
+
+    rows = [
+        # the three promotions (with Latin loanword contamination — the
+        # case that fooled v1 and that v2 could only call unknown)
+        (1, "هذا هو البيت الكبير في المدينة ونحن هنا معهم اليوم the web"),
+        (2, "이것은 매우 좋은 집이고 우리는 오늘 여기에 있다 그리고 the app"),
+        (3, "นี่คือบ้านที่ดีมากและเราอยู่ที่นี่วันนี้และนี่เป็นสิ่งที่ the site"),
+        # Korean with hanja: Hangul must gate BEFORE Han
+        (4, "이것은 韓國 에서 매우 좋은 집이고 우리는 여기에 있다"),
+        # remaining out-of-set scripts: the unknown tail stays calibrated
+        (5, "זהו בית גדול מאוד בעיר ואנחנו כאן היום עם כולם the web"),
+        (6, "यह शहर में एक बहुत बड़ा घर है और हम आज यहाँ सब के साथ the app"),
+        # margin rule unchanged: evidence-free mostly-Latin -> unknown
+        (7, "xq zr the plugh wombat zyx qet vnm lorp quux blarg"),
+        # in-set parity with v2
+        (8, "le café est dans la rue pour que une vie est là"),
+        (9, "これは 東京 の きれいな まち です"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["v2"], r["v3"])
+        for r in df.select(
+            "doc_id",
+            ulang_id_v2(F.col("text")).alias("v2"),
+            ulang_id_v3(F.col("text")).alias("v3"),
+        ).collect()
+    }
+    for i, want in ((1, "ar"), (2, "ko"), (3, "th")):
+        assert got[i] == ("unknown", want), got  # the v2 gap this closes
+    assert got[4][1] == "ko", got
+    for i in (5, 6):
+        assert got[i][1] == "unknown", got
+    assert got[7][1] == "unknown", got
+    for i, want in ((8, "fr"), (9, "ja")):
+        assert got[i] == (want, want), got
+
+
+def test_ulang_v3_confusion_is_diagonal_plus_unknown(spark):
+    """The registered v3 confusion lane's shape claim: exactly 13
+    cells — 11 in-set labels diagonal (incl. the three new script
+    routes) and he/hi mapping ONLY to 'unknown'."""
+    cells = {
+        (r["label_lang"], r["pred_lang"])
+        for r in QUERIES["text_langid_confusion_v3"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    in_set = {
+        "en", "de", "fr", "es", "ru", "el", "ja", "zh", "ar", "ko", "th"
+    }
+    assert cells == {(l, l) for l in in_set} | {
+        ("he", "unknown"), ("hi", "unknown")
+    }
+
+
 def test_mix_trained_merges_cut_nonlatin_fertility(spark):
     """VERDICT r8 #2: the mix-trained byte table must materially drop
     non-Latin fertility vs the shipped English-seed table (the

@@ -177,6 +177,64 @@ def ulang_id_v2(col: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# v3 router (round-10 candidate #5): ar/ko/th promoted from the v2
+# 'unknown' tail to IN-SET SCRIPT ROUTES. Arabic, Hangul, and Thai are
+# (near-)language-unique scripts, so like kana/Han they gate on script
+# presence, not lexicons — no stopword lists needed, and the spaceless
+# Thai case (which a token-based lexicon cannot score) routes anyway.
+# Caveat the docstring owns: Arabic SCRIPT also writes Persian/Urdu/
+# Pashto — a production router disambiguates within the script by
+# lexicon, exactly the way ru/el disambiguate within Cyrillic/Greek
+# here; the script gate is the correct first stage either way.
+# 'unknown' remains the calibrated long tail for every script still
+# outside the set (Hebrew, Devanagari, … — exercised by the v3 corpus).
+
+ARABIC_CLS_JAVA, ARABIC_CLS_RE2 = r"[\p{IsArabic}]", r"[\p{Arabic}]"
+HANGUL_CLS_JAVA, HANGUL_CLS_RE2 = r"[\p{IsHangul}]", r"[\p{Hangul}]"
+THAI_CLS_JAVA, THAI_CLS_RE2 = r"[\p{IsThai}]", r"[\p{Thai}]"
+ULANG_INSET_V3_JAVA = (
+    r"[\p{IsLatin}\p{IsCyrillic}\p{IsGreek}"
+    r"\p{IsHiragana}\p{IsKatakana}\p{IsHan}"
+    r"\p{IsArabic}\p{IsHangul}\p{IsThai}]"
+)
+ULANG_INSET_V3_RE2 = (
+    r"[\p{Latin}\p{Cyrillic}\p{Greek}\p{Hiragana}\p{Katakana}\p{Han}"
+    r"\p{Arabic}\p{Hangul}\p{Thai}]"
+)
+
+
+def ulang_id_v3(col: Column) -> Column:
+    """The 11-route calibrated router: v2's two guards (out-of-set
+    script majority → 'unknown'; 1/8 lexicon margin) with ar/ko/th as
+    in-set script gates. Gate order is mixing-aware: kana before Han
+    (Japanese mixes them), Hangul before Han (Korean hanja), then Han,
+    Arabic, Thai — each gate fires on ANY presence because within the
+    in-set majority a unique-script character is decisive evidence.
+    Still pure JVM expressions fused into the scan."""
+    toks = utokens(col)
+    n_toks = F.size(toks)
+    scores = [ustopword_count(toks, lang) for lang in ULANGS]
+    best = F.greatest(*scores)
+    expr = F.lit("unknown")
+    for lang, score in reversed(list(zip(ULANGS, scores))):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    margined = F.when(
+        best * F.lit(ULANG_MARGIN_DEN) >= n_toks, expr
+    ).otherwise(F.lit("unknown"))
+    n_letters = _class_count(col, ULETTER_RE)
+    n_out = n_letters - _class_count(col, ULANG_INSET_V3_JAVA)
+    return (
+        F.when(n_out * 2 > n_letters, F.lit("unknown"))
+        .when(_class_count(col, KANA_CLS_JAVA) > 0, F.lit("ja"))
+        .when(_class_count(col, HANGUL_CLS_JAVA) > 0, F.lit("ko"))
+        .when(_class_count(col, HAN_CLS_JAVA) > 0, F.lit("zh"))
+        .when(_class_count(col, ARABIC_CLS_JAVA) > 0, F.lit("ar"))
+        .when(_class_count(col, THAI_CLS_JAVA) > 0, F.lit("th"))
+        .otherwise(margined)
+    )
+
+
 def ulang_confidence(col: Column) -> dict[str, Column]:
     """The router's evidence, as output columns (VERDICT r8 #6 asked
     for confidence in the output, not just a label): winning-lexicon

@@ -583,6 +583,220 @@ def text_langid_confusion_v2(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# v3 router corpus (round-10 candidate #5): ar/ko/th PROMOTED to in-set
+# script routes, and the 'unknown' long tail re-exercised with two NEW
+# out-of-set scripts (Hebrew, Devanagari) so the calibrated fallback
+# stays a tested property, not a leftover. 13 labels: 11 in-set (8
+# lexicon/kana/Han + ar/ko/th script gates) + he/hi out-of-set.
+# Prefixes are long enough that the out-of-set script is the letter
+# MAJORITY even with the 40-char soup slice attached (same device as
+# the v2 ar/ko/th prefixes).
+
+_ULANG_PREFIX_V3 = {
+    **_ULANG_PREFIX_V2,
+    "he": (
+        "זהו בית גדול מאוד בעיר ואנחנו נמצאים כאן היום עם כולם וזה יום "
+        "יפה מאוד לכולנו כאן בעיר הזאת"
+    ),
+    "hi": (
+        "यह शहर में एक बहुत बड़ा घर है और हम आज यहाँ सब के साथ हैं और यह "
+        "हमारे जीवन का एक बहुत अच्छा दिन है"
+    ),
+}
+_ULAL_ORDER_V3 = _ULAL_ORDER_V2 + ("he", "hi")
+
+_ULABEL_V3_DUCK = (
+    "CASE WHEN lang = 'en' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'ru' WHEN 2 THEN 'el' WHEN 3 THEN 'ja' "
+    "ELSE 'en' END "
+    "WHEN lang = 'de' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'ar' WHEN 2 THEN 'ko' WHEN 3 THEN 'th' "
+    "ELSE 'de' END "
+    "WHEN lang = 'fr' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'he' WHEN 2 THEN 'hi' ELSE 'fr' END "
+    "ELSE lang END"
+)
+
+_UPREFIX_V3_DUCK = "CASE ulabel " + " ".join(
+    f"WHEN '{lab}' THEN '{_ULANG_PREFIX_V3[lab]}'" for lab in _ULAL_ORDER_V3
+) + " END"
+
+_UCORPUS_V3_DUCK = f"""
+  SELECT doc_id, ulabel,
+         ({_UPREFIX_V3_DUCK}) || ' ' || substr(text, 1, 40) AS utext
+  FROM (SELECT doc_id, text, {_ULABEL_V3_DUCK} AS ulabel FROM documents)
+"""
+
+
+def _ulabel_v3_spark():
+    en_sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("ru"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("el"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("ja"))
+        .otherwise(F.lit("en"))
+    )
+    de_sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("ar"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("ko"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("th"))
+        .otherwise(F.lit("de"))
+    )
+    fr_sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("he"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("hi"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        F.when(F.col("lang") == "en", en_sub)
+        .when(F.col("lang") == "de", de_sub)
+        .when(F.col("lang") == "fr", fr_sub)
+        .otherwise(F.col("lang"))
+    )
+
+
+def _ucorpus_v3(docs):
+    """(doc_id, ulabel, utext) — the 13-label corpus (11 in-set + 2
+    out-of-set scripts)."""
+    prefix = None
+    for lab in _ULAL_ORDER_V3:
+        w = (
+            F.when(F.col("ulabel") == lab, F.lit(_ULANG_PREFIX_V3[lab]))
+            if prefix is None
+            else prefix.when(
+                F.col("ulabel") == lab, F.lit(_ULANG_PREFIX_V3[lab])
+            )
+        )
+        prefix = w
+    return (
+        docs.select("doc_id", "text", _ulabel_v3_spark().alias("ulabel"))
+        .select(
+            "doc_id",
+            "ulabel",
+            F.concat(
+                prefix, F.lit(" "), F.substring(F.col("text"), 1, 40)
+            ).alias("utext"),
+        )
+    )
+
+
+def _duck_ulang_v3_case() -> str:
+    from uts_spark.functions.text import (
+        ARABIC_CLS_RE2,
+        HAN_CLS_RE2,
+        HANGUL_CLS_RE2,
+        KANA_CLS_RE2,
+        THAI_CLS_RE2,
+        ULANG_INSET_V3_RE2,
+        ULANG_MARGIN_DEN,
+        ULANGS,
+        ULETTER_RE,
+        duck_ustopword_count,
+        duck_utokens,
+    )
+
+    sel = ", ".join(
+        f"{duck_ustopword_count('toks', lang)} AS s_{lang}" for lang in ULANGS
+    )
+    branches = []
+    for i, lang in enumerate(ULANGS):
+        conds = [f"s_{lang} >= s_{other}" for other in ULANGS[i + 1:]]
+        conds.append(f"s_{lang} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    argmax = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in ULANGS) + ")"
+
+    def cnt(cls):
+        return (
+            "length(utext) - length("
+            f"regexp_replace(utext, '{cls}', '', 'g'))"
+        )
+
+    return f"""
+    WITH c AS ({_UCORPUS_V3_DUCK}),
+    t AS (
+      SELECT doc_id, ulabel, utext,
+             {duck_utokens('utext')} AS toks,
+             {cnt(ULETTER_RE)} AS n_letters,
+             {cnt(ULETTER_RE)} - ({cnt(ULANG_INSET_V3_RE2)}) AS n_out
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id, ulabel, utext, n_letters, n_out,
+             len(toks) AS n_toks, {sel}
+      FROM t
+    )
+    SELECT doc_id, ulabel AS label_lang,
+           CASE WHEN n_out * 2 > n_letters THEN 'unknown'
+                WHEN {cnt(KANA_CLS_RE2)} > 0 THEN 'ja'
+                WHEN {cnt(HANGUL_CLS_RE2)} > 0 THEN 'ko'
+                WHEN {cnt(HAN_CLS_RE2)} > 0 THEN 'zh'
+                WHEN {cnt(ARABIC_CLS_RE2)} > 0 THEN 'ar'
+                WHEN {cnt(THAI_CLS_RE2)} > 0 THEN 'th'
+                WHEN {best} * {ULANG_MARGIN_DEN} >= n_toks THEN {argmax}
+                ELSE 'unknown' END AS pred_lang
+    FROM s
+    """
+
+
+@query("text_lang_id_unicode_v3", _duck_ulang_v3_case())
+def text_lang_id_unicode_v3(spark, sf_dir):
+    """The 11-route router over the 13-label corpus (round-10
+    candidate #5 — ar/ko/th promoted from v2's 'unknown' tail to
+    IN-SET SCRIPT ROUTES): Arabic, Hangul, and Thai are
+    (near-)language-unique scripts, so like kana/Han they gate on
+    script presence — no stopword lexicons needed, and the spaceless
+    Thai case (untokenizable by a word lexicon) routes anyway. Gate
+    order is mixing-aware: kana before Han (Japanese), Hangul before
+    Han (Korean hanja), then Han/Arabic/Thai. v2's two calibrated
+    guards survive unchanged: the out-of-set-script majority now
+    catches the REMAINING tail (Hebrew and Devanagari rows land
+    exactly on 'unknown' — the fallback stays a tested property), and
+    lexicon routes still clear the 1/8 margin. Script caveat the
+    production note owns: Arabic script also writes Persian/Urdu — a
+    real router disambiguates within the script by lexicon, the same
+    way ru/el disambiguate within Cyrillic/Greek here. Pure JVM
+    expressions fused into the scan — v1's measured 119k docs/sec
+    shape."""
+    from uts_spark.functions.text import ulang_id_v3
+
+    c = _ucorpus_v3(table(spark, sf_dir, "documents"))
+    return c.select(
+        "doc_id",
+        F.col("ulabel").alias("label_lang"),
+        ulang_id_v3(F.col("utext")).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_langid_confusion_v3",
+    f"""
+    WITH p AS ({_duck_ulang_v3_case()})
+    SELECT label_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion_v3(spark, sf_dir):
+    """Confusion matrix of the v3 router on the 13-label corpus — the
+    hash-exact gate for the in-set promotion: 13 cells total, all 11
+    in-set labels exactly diagonal (incl. the three new script
+    routes) and BOTH remaining out-of-set scripts (he/hi) mapping
+    exactly to 'unknown' (pinned in tests/test_corpus_ops.py). The
+    contrast: v2 on this corpus routes ar/ko/th to 'unknown' — a third
+    of a realistic non-Latin crawl discarded; v3 keeps them."""
+    from uts_spark.functions.text import ulang_id_v3
+
+    c = _ucorpus_v3(table(spark, sf_dir, "documents"))
+    return (
+        c.select(
+            F.col("ulabel").alias("label_lang"),
+            ulang_id_v3(F.col("utext")).alias("pred_lang"),
+        )
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # PII in unicode clothing: an accented-local-part / IDN-domain email
 # (invisible whole to the ASCII email regex — its classes stop at the
 # first non-ASCII letter) and a FULLWIDTH six-digit run (never matched
