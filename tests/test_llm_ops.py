@@ -2528,3 +2528,46 @@ def test_minhash_ingest_tick_skew_flag_and_cap(spark, docs, tmp_path):
         and r["jaccard"] == 1.0
         for r in got
     )
+
+
+def test_vindex_append_exactly_once_by_batch_key(spark, emb, tmp_path):
+    """Snapshot-family streaming appends are EXACTLY-ONCE structurally
+    (the Iceberg idempotent-commit shape): (a) replaying a batch_id
+    returns the already-committed version and adds NO rows; (b) a
+    non-append commit (seal / delete) opens a new epoch, so a fresh
+    stream reusing batch_id 0 commits NEW data instead of aliasing the
+    prior generation; (c) the replay skip happens before the data job
+    (no new delta dir appears)."""
+    import os
+
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions, read_version
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    b1 = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "ivf_eo")
+    vx.ivf_vindex_build(base, path, fingerprint="f0", n_cells=8)
+
+    v1 = vx.ivf_vindex_append(b1, path, fingerprint="f1", batch_id=0)
+    n_after = read_version(spark, path).count()
+    n_dirs = len(os.listdir(os.path.join(path, "data")))
+    # (a) replay: same version back, no rows, no new delta dir
+    assert vx.ivf_vindex_append(b1, path, fingerprint="f1", batch_id=0) == v1
+    assert read_version(spark, path).count() == n_after
+    assert len(os.listdir(os.path.join(path, "data"))) == n_dirs
+    ms = list_versions(path)
+    assert ms[-1]["batch_key"] == "e0b0"
+
+    # (b) a seal opens a new epoch; bid 0 reused commits NEW data
+    vx.vindex_seal(path, "f1-sealed")
+    b2 = b1.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    v3 = vx.ivf_vindex_append(b2, path, fingerprint="f2", batch_id=0)
+    assert v3 > v1
+    assert list_versions(path)[-1]["batch_key"].startswith("e")
+    assert list_versions(path)[-1]["batch_key"] != "e0b0"
+    assert read_version(spark, path).count() == n_after + b2.count()
+    # and replaying the NEW generation's bid 0 is again a no-op
+    assert vx.ivf_vindex_append(b2, path, fingerprint="f2", batch_id=0) == v3
+    assert read_version(spark, path).count() == n_after + b2.count()

@@ -114,22 +114,59 @@ def _id_stats(spark, ddir: str, id_col: str = "id") -> list[int]:
     return [int(row["lo"]), int(row["hi"])]
 
 
+def _batch_key(versions: dict, batch_id: int) -> str:
+    """The EXACTLY-ONCE commit key for a streamed micro-batch append:
+    ``e{epoch}b{batch_id}`` where the epoch is the last non-append
+    version (build/delete/compact/recluster — a rewrite opens a new
+    epoch). Same namespacing as the marker family's staged kernel
+    (ADVICE r8): a fresh stream restarting at bid 0 after a rewrite
+    gets a new epoch, so a reused batch_id can never alias a prior
+    generation's commit."""
+    epoch = max(
+        (v for v, m in versions.items() if m.get("operation") != "append"),
+        default=0,
+    )
+    return f"e{epoch}b{batch_id}"
+
+
+def _batch_committed(versions: dict, key: str) -> int | None:
+    """The version that already committed this batch key, if any —
+    the replay-idempotency check. Structural exactly-once: the
+    manifest PUT-if-absent is the atomic commit point, so a micro-
+    batch replayed after a crash either finds its key committed (skip
+    — the crash was post-commit) or not (recommit — the orphaned
+    delta dir of the torn attempt is never referenced by any
+    manifest)."""
+    hits = [v for v, m in versions.items() if m.get("batch_key") == key]
+    return max(hits) if hits else None
+
+
 def _append_commit(
     spark, path: str, ddir: str, stats: list[int], n_new: int,
-    meta_fn, max_retries: int = 5,
+    meta_fn, batch_id: int | None = None, max_retries: int = 5,
 ) -> int:
     """Fast-append commit loop: manifest = parent dirs + the (already
     written) delta dir. ``meta_fn(parent_manifest)`` builds the new
     manifest's metadata — config, fingerprint, and (for the quantizer
     families) the sidecar pointers carried forward. File adds commute,
     so a conflict retries the manifest only; the data job never
-    reruns."""
+    reruns. ``batch_id`` makes the commit EXACTLY-ONCE per (epoch,
+    batch_id): a replayed micro-batch whose key already sits on a
+    committed manifest returns that version untouched (the Iceberg
+    streaming-sink idempotent-commit shape — the snapshot family's
+    answer to the marker family's staged/sweep kernel)."""
     last: Exception | None = None
     for _ in range(max_retries):
         versions = {m["version"]: m for m in list_versions(path)}
         parent = max(versions) if versions else None
         pm = versions[parent] if parent is not None else {}
         meta = meta_fn(pm)
+        if batch_id is not None:
+            key = _batch_key(versions, batch_id)
+            done = _batch_committed(versions, key)
+            if done is not None:
+                return done
+            meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
         try:
             return commit_version(
@@ -264,6 +301,42 @@ def _rewrite_with_retry(
         try:
             return commit_version(
                 path, [ddir], operation, parent, n_rows, meta
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+_SYS_KEYS = {
+    "version", "parent", "operation", "n_rows",
+    "data_dirs", "data_dir", "dir_stats", "batch_key",
+}
+
+
+def vindex_seal(path: str, fingerprint: str) -> int:
+    """MANIFEST-ONLY commit: advance the index fingerprint without
+    touching any data — the snapshot analog of the marker family's
+    index_manifest_write, as an O(1) CAS commit. A streamed ingest
+    seals its TARGET fingerprint only after every micro-batch
+    committed, so a run that crashed mid-stream leaves an
+    intermediate fingerprint and the next invocation detects the torn
+    state instead of serving a half-folded index. (A seal is a
+    non-append commit, so it also opens a new exactly-once epoch —
+    a fresh stream restarting at batch 0 after a sealed generation
+    can never alias the prior generation's commits.)"""
+    last: Exception | None = None
+    for _ in range(5):
+        versions = {m["version"]: m for m in list_versions(path)}
+        if not versions:
+            raise ValueError(f"snapshot index at {path}: nothing to seal")
+        pm = versions[max(versions)]
+        meta = {k: v for k, v in pm.items() if k not in _SYS_KEYS}
+        meta["fingerprint"] = fingerprint
+        meta["dir_stats"] = pm.get("dir_stats", {})
+        try:
+            return commit_version(
+                path, _manifest_dirs(pm), "seal", pm["version"],
+                pm["n_rows"], meta,
             )
         except VersionConflictError as e:
             last = e
@@ -416,14 +489,22 @@ def minhash_vindex_append(
     k: int = 32,
     bands: int = 8,
     n_grps: int = 16,
+    batch_id: int | None = None,
 ) -> int:
     """Fast append: sketch ONLY the batch, write its rows to a delta
     dir once, commit manifest = parent dirs + delta (with the delta's
     id-range stats — erasure's pruning input). Batch-sized; a commit
     conflict retries the manifest only — file adds commute, the
-    sketch never reruns."""
+    sketch never reruns. ``batch_id`` makes the commit exactly-once
+    per (epoch, batch_id) — a replayed micro-batch returns the
+    already-committed version WITHOUT re-running the sketch."""
     _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
     spark = batch.sparkSession
+    if batch_id is not None:
+        versions = {m["version"]: m for m in list_versions(path)}
+        done = _batch_committed(versions, _batch_key(versions, batch_id))
+        if done is not None:
+            return done
     rows = _rows(batch, text_col, id_col, n, k, bands, n_grps)
     ddir = _write_delta_dir(
         rows.repartition(4, "band", "grp"), path, _SORT
@@ -433,6 +514,7 @@ def minhash_vindex_append(
     return _append_commit(
         spark, path, ddir, stats, n_new,
         lambda pm: _config_meta(fingerprint, n, k, bands, n_grps),
+        batch_id=batch_id,
     )
 
 
@@ -563,13 +645,20 @@ def lsh_vindex_append(
     tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> int:
     """Fast append: hyperplanes are seed-derived, so bucketing ONLY the
     batch at the index's (dim, planes, tables) config lands its rows
     exactly where a full rebuild would — no frozen state to consult,
-    no re-encode hazard on conflict (contrast the IVF families)."""
+    no re-encode hazard on conflict (contrast the IVF families).
+    ``batch_id`` makes the commit exactly-once per (epoch, batch_id)."""
     _check_family_config(path, "lsh", dim=dim, planes=planes, tables=tables)
     spark = emb_batch.sparkSession
+    if batch_id is not None:
+        versions = {m["version"]: m for m in list_versions(path)}
+        done = _batch_committed(versions, _batch_key(versions, batch_id))
+        if done is not None:
+            return done
     rows = _lsh_rows(emb_batch, dim, planes, tables, id_col, vec_col)
     ddir = _write_delta_dir(
         rows.repartition(4, "table", "bucket"), path, _LSH_SORT
@@ -579,6 +668,7 @@ def lsh_vindex_append(
     return _append_commit(
         spark, path, ddir, stats, n_new,
         lambda pm: _lsh_meta(fingerprint, dim, planes, tables),
+        batch_id=batch_id,
     )
 
 
@@ -689,6 +779,7 @@ def ivf_vindex_append(
     fingerprint: str = "",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
     max_retries: int = 5,
 ) -> int:
     """Fast append with the QUANTIZER-POINTER conflict rule: assign the
@@ -698,7 +789,9 @@ def ivf_vindex_append(
     conflict (a racing RECLUSTER landed) means the delta's cell
     assignments are against a dead quantizer: committing it would mix
     incomparable cells in one version — RE-ENCODE against the new
-    quantizer and retry. Batch-sized either way."""
+    quantizer and retry. Batch-sized either way. ``batch_id`` makes
+    the commit exactly-once per (epoch, batch_id) — a replayed
+    micro-batch returns the committed version without re-assigning."""
     from uts_spark.functions.similarity import _ivf_assign
 
     spark = emb_batch.sparkSession
@@ -708,12 +801,22 @@ def ivf_vindex_append(
     n_new = 0
     last: Exception | None = None
     for _ in range(max_retries):
-        pm = _current_manifest(path)
+        versions = {m["version"]: m for m in list_versions(path)}
+        if not versions:
+            raise ValueError(
+                f"snapshot index at {path}: no committed versions"
+            )
+        pm = versions[max(versions)]
         if pm.get("family") != "ivf":
             raise ValueError(
                 f"snapshot index at {path}: family is {pm.get('family')}, "
                 "expected ivf"
             )
+        if batch_id is not None:
+            key = _batch_key(versions, batch_id)
+            done = _batch_committed(versions, key)
+            if done is not None:
+                return done
         qdir = pm["centroids_dir"]
         if qdir != encoded_against:
             cents = spark.read.parquet(qdir)
@@ -725,6 +828,8 @@ def ivf_vindex_append(
             stats = _id_stats(spark, ddir, id_col)
             encoded_against = qdir
         meta = _carry_meta(pm, fingerprint, _IVF_KEYS)
+        if batch_id is not None:
+            meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
         try:
             return commit_version(
@@ -910,6 +1015,7 @@ def ivfpq_vindex_append(
     fingerprint: str = "",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
     max_retries: int = 5,
 ) -> int:
     """Fast append under the quantizer-pointer conflict rule (see
@@ -917,7 +1023,8 @@ def ivfpq_vindex_append(
     recluster refreshes centroids and codebook together, and a delta
     encoded against either dead quantizer would poison ADC scoring for
     the whole version. Re-encode on pointer movement, manifest-only
-    retry otherwise."""
+    retry otherwise. ``batch_id`` makes the commit exactly-once per
+    (epoch, batch_id)."""
     spark = emb_batch.sparkSession
     encoded_against: tuple[str, str] | None = None
     ddir: str | None = None
@@ -925,12 +1032,22 @@ def ivfpq_vindex_append(
     n_new = 0
     last: Exception | None = None
     for _ in range(max_retries):
-        pm = _current_manifest(path)
+        versions = {m["version"]: m for m in list_versions(path)}
+        if not versions:
+            raise ValueError(
+                f"snapshot index at {path}: no committed versions"
+            )
+        pm = versions[max(versions)]
         if pm.get("family") != "ivfpq":
             raise ValueError(
                 f"snapshot index at {path}: family is {pm.get('family')}, "
                 "expected ivfpq"
             )
+        if batch_id is not None:
+            key = _batch_key(versions, batch_id)
+            done = _batch_committed(versions, key)
+            if done is not None:
+                return done
         ptr = (pm["centroids_dir"], pm["codebook_dir"])
         if ptr != encoded_against:
             cents = spark.read.parquet(ptr[0])
@@ -946,6 +1063,8 @@ def ivfpq_vindex_append(
             stats = _id_stats(spark, ddir, id_col)
             encoded_against = ptr
         meta = _carry_meta(pm, fingerprint, _IVFPQ_KEYS)
+        if batch_id is not None:
+            meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
         try:
             return commit_version(

@@ -2306,3 +2306,106 @@ def _register_stream_dedup_skew_cap():
 
 
 stream_dedup_ingest_skew_cap_replay = _register_stream_dedup_skew_cap()
+
+
+def _register_stream_ann_vindex_ingest():
+    # the post-ingest snapshot index covers exactly what the marker
+    # family's append lane does (centroids frozen from base, membership
+    # = full corpus), so its oracle is reused verbatim
+    from uts_spark.registry import ORACLES
+
+    @query(
+        "stream_ann_vindex_ingest_replay",
+        ORACLES["similarity_ann_ivf_append_probe"],
+    )
+    def stream_ann_vindex_ingest_replay(spark, sf_dir):
+        """The vector ingest loop on the SNAPSHOT-COMMITTED index — no
+        pending marker, no staged/sweep kernel, no O_EXCL anywhere:
+        each micro-batch folds in via ivf_vindex_append(batch_id=bid),
+        whose exactly-once guarantee is STRUCTURAL — the manifest
+        PUT-if-absent is the atomic commit point and the batch key
+        e{epoch}b{bid} rides on the committed manifest, so a replayed
+        batch either finds its key committed (skip — crash was
+        post-commit) or recommits (the torn attempt's delta dir is
+        unreferenced garbage). After the stream drains, a MANIFEST-ONLY
+        seal commit advances the fingerprint — a run crashed
+        mid-stream leaves the ingest fingerprint and the next
+        invocation rebuilds instead of serving a half-folded index
+        (the snapshot protocol's answer to the marker family's
+        pending-marker tick). Probe at the final snapshot with the
+        frozen sidecar centroids; oracle = the marker append lane's
+        recompute, because the two storage protocols are
+        semantics-identical by construction. Scale: every tick is
+        batch-sized + an O(1) commit; object-storage-safe end to end
+        (VERDICT r8 #4's 100 TB motivation)."""
+        from uts_spark.functions.vindex import (
+            ivf_vindex_append,
+            ivf_vindex_build,
+            ivf_vindex_probe,
+            vindex_config,
+            vindex_seal,
+        )
+        from uts_spark.queries.llm_ops import (
+            _IVF_APP_MOD,
+            _IVF_APP_REM,
+            _emb_frame_fingerprint,
+            ivf_index_path,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+        batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        fp0 = _emb_frame_fingerprint(base)
+        fp1 = _emb_frame_fingerprint(e)
+        fp_ing = fp0 + ":ingesting"
+        path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_snapstream"
+
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            ivf_vindex_build(base, path, fingerprint=fp0, n_cells=8)
+            state = fp0
+        if state == fp0:
+            scratch = tempfile.mkdtemp(prefix="uts_vidx_ingest_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                batch.select("vec_id", "embedding").repartition(
+                    4
+                ).write.parquet(src)
+                stream = (
+                    # array<float> — the embeddings table's element
+                    # type; a double schema here writes DOUBLE deltas
+                    # into a FLOAT index and poisons the merged scan
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<float>"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: ivf_vindex_append(
+                            bdf, path, fingerprint=fp_ing, batch_id=bid
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            vindex_seal(path, fp1)
+
+        anchors = e.filter(F.col("vec_id") < 5)
+        return ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3)
+
+    return stream_ann_vindex_ingest_replay
+
+
+stream_ann_vindex_ingest_replay = _register_stream_ann_vindex_ingest()
