@@ -538,3 +538,40 @@ def test_versioned_optimize_compacts_clusters_and_preserves_time_travel(
     assert tot1 < tot0
     assert hit0 == tot0  # shuffled layout: every file intersects the box
     assert hit1 / tot1 < 1.0, (hit1, tot1)
+
+
+def test_versioned_remove_orphans(spark, tmp_path):
+    """The optimistic-concurrency protocol legitimately orphans dirs
+    (losing rewrite attempts, crashed writers' staged deltas, raced
+    recluster quantizers); remove_orphans clears exactly the
+    unreferenced ones past the grace window — manifest-referenced
+    dirs survive at ANY age, and a fresh (in-flight-writer) orphan
+    survives the default window."""
+    import os
+
+    from uts_spark.functions.vindex import ivf_vindex_build, ivf_vindex_probe
+    from uts_spark.sources.versioned import (
+        _write_delta_dir,
+        remove_orphans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_vindex_build(emb, path, fingerprint="f0", n_cells=8)
+
+    # a crashed/losing writer's staged delta + quantizer: never committed
+    orphan_d = _write_delta_dir(emb.limit(5), path)
+    os.makedirs(os.path.join(path, "quant"), exist_ok=True)
+    orphan_q = os.path.join(path, "quant", "q-deadbeef0000")
+    emb.limit(2).write.parquet(orphan_q)
+
+    # inside the grace window: nothing removed (in-flight writer safety)
+    assert remove_orphans(path) == []
+    assert os.path.isdir(orphan_d) and os.path.isdir(orphan_q)
+
+    removed = remove_orphans(path, older_than_secs=0)
+    assert sorted(removed) == sorted([orphan_d, orphan_q])
+    assert not os.path.exists(orphan_d) and not os.path.exists(orphan_q)
+    # every manifest-referenced dir survived: the index still probes
+    anchors = emb.filter(F.col("vec_id") < 3)
+    assert ivf_vindex_probe(spark, path, anchors, k=5).count() > 0

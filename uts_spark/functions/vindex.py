@@ -114,6 +114,20 @@ def _id_stats(spark, ddir: str, id_col: str = "id") -> list[int]:
     return [int(row["lo"]), int(row["hi"])]
 
 
+def _count_and_stats(spark, ddir: str, id_col: str = "id") -> tuple[int, list[int]]:
+    """(row count, [min_id, max_id]) of a delta dir in ONE read-back
+    scan — the separate count + min/max passes were a measurable slice
+    of the 1M build wall (tools/vindex_smoke.py). Empty dir -> the
+    [0, -1] sentinel range that admits no id."""
+    row = spark.read.parquet(ddir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).first()
+    n = int(row["n"] or 0)
+    return n, ([int(row["lo"]), int(row["hi"])] if n else [0, -1])
+
+
 def _batch_key(versions: dict, batch_id: int) -> str:
     """The EXACTLY-ONCE commit key for a streamed micro-batch append:
     ``e{epoch}b{batch_id}`` where the epoch is the last non-append
@@ -244,17 +258,17 @@ def _delete_pruned(
         kept = (
             spark.read.parquet(*touched)
             .join(idf, id_col, "left_anti")
-            .repartition(4, *repart_cols)
+            .repartition(*[F.col(c) for c in repart_cols])
         )
         ddir = _write_delta_dir(kept, path, sort)
-        n_kept = spark.read.parquet(ddir).count()
+        n_kept, kept_stats = _count_and_stats(spark, ddir, id_col)
         # exact rows: parent total - touched rows + kept rows
         n_touched = spark.read.parquet(*touched).count()
         n_rows = pm["n_rows"] - n_touched + n_kept
         meta = meta_fn(pm)
         meta["dir_stats"] = {
             **{d: stats[d] for d in untouched if d in stats},
-            ddir: _id_stats(spark, ddir, id_col) if n_kept else [0, -1],
+            ddir: kept_stats,
         }
         meta["pruned_dirs"] = len(untouched)
         try:
@@ -294,10 +308,8 @@ def _rewrite_with_retry(
         meta = meta_fn(pm, cur)
         rows = make_rows(cur, meta)
         ddir = _write_delta_dir(rows, path, sort)
-        n_rows = spark.read.parquet(ddir).count()
-        meta["dir_stats"] = {
-            ddir: _id_stats(spark, ddir, id_col) if n_rows else [0, -1]
-        }
+        n_rows, rw_stats = _count_and_stats(spark, ddir, id_col)
+        meta["dir_stats"] = {ddir: rw_stats}
         try:
             return commit_version(
                 path, [ddir], operation, parent, n_rows, meta
@@ -341,6 +353,17 @@ def vindex_seal(path: str, fingerprint: str) -> int:
         except VersionConflictError as e:
             last = e
     raise last  # type: ignore[misc]
+
+
+def _cluster(df: DataFrame, *cols: str) -> DataFrame:
+    """Corpus-sized clustered shuffle for build/compact/recluster/
+    delete-rewrite paths: partition count follows
+    spark.sql.shuffle.partitions. (A hardcoded repartition(4, ...)
+    serialized the 1M-row snapshot build through 4 sort+write tasks —
+    measured 61.7s vs the marker family's 22.6s; tools/vindex_smoke.py.)
+    Batch-sized APPEND deltas keep their explicit small count so each
+    tick lands a handful of files."""
+    return df.repartition(*[F.col(c) for c in cols])
 
 
 def _write_quant_dir(df: DataFrame, path: str) -> str:
@@ -471,11 +494,11 @@ def minhash_vindex_build(
     delta-dir + CAS-commit shape, so even the BUILD is safe against a
     concurrent builder — one wins, the other conflicts cleanly)."""
     rows = _rows(df, text_col, id_col, n, k, bands, n_grps)
-    ddir = _write_delta_dir(rows.repartition(4, "band", "grp"), path, _SORT)
+    ddir = _write_delta_dir(_cluster(rows, "band", "grp"), path, _SORT)
     spark = df.sparkSession
-    n_rows = spark.read.parquet(ddir).count()
+    n_rows, stats = _count_and_stats(spark, ddir)
     meta = _config_meta(fingerprint, n, k, bands, n_grps)
-    meta["dir_stats"] = {ddir: _id_stats(spark, ddir)}
+    meta["dir_stats"] = {ddir: stats}
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
 
@@ -509,8 +532,7 @@ def minhash_vindex_append(
     ddir = _write_delta_dir(
         rows.repartition(4, "band", "grp"), path, _SORT
     )
-    n_new = spark.read.parquet(ddir).count()
-    stats = _id_stats(spark, ddir)
+    n_new, stats = _count_and_stats(spark, ddir)
     return _append_commit(
         spark, path, ddir, stats, n_new,
         lambda pm: _config_meta(fingerprint, n, k, bands, n_grps),
@@ -554,7 +576,7 @@ def minhash_vindex_compact(
     must RESET history)."""
     return _rewrite_with_retry(
         spark, path,
-        lambda cur, meta: cur.repartition(4, "band", "grp"),
+        lambda cur, meta: _cluster(cur, "band", "grp"),
         "compact",
         lambda pm, cur: _config_meta(fingerprint, n, k, bands, n_grps),
     )
@@ -627,12 +649,12 @@ def lsh_vindex_build(
     prune the probe's collision scan."""
     rows = _lsh_rows(emb, dim, planes, tables, id_col, vec_col)
     ddir = _write_delta_dir(
-        rows.repartition(4, "table", "bucket"), path, _LSH_SORT
+        _cluster(rows, "table", "bucket"), path, _LSH_SORT
     )
     spark = emb.sparkSession
-    n_rows = spark.read.parquet(ddir).count()
+    n_rows, stats = _count_and_stats(spark, ddir, id_col)
     meta = _lsh_meta(fingerprint, dim, planes, tables)
-    meta["dir_stats"] = {ddir: _id_stats(spark, ddir, id_col)}
+    meta["dir_stats"] = {ddir: stats}
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
 
@@ -663,8 +685,7 @@ def lsh_vindex_append(
     ddir = _write_delta_dir(
         rows.repartition(4, "table", "bucket"), path, _LSH_SORT
     )
-    n_new = spark.read.parquet(ddir).count()
-    stats = _id_stats(spark, ddir, id_col)
+    n_new, stats = _count_and_stats(spark, ddir, id_col)
     return _append_commit(
         spark, path, ddir, stats, n_new,
         lambda pm: _lsh_meta(fingerprint, dim, planes, tables),
@@ -702,7 +723,7 @@ def lsh_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
     until vacuum)."""
     return _rewrite_with_retry(
         spark, path,
-        lambda cur, meta: cur.repartition(4, "table", "bucket"),
+        lambda cur, meta: _cluster(cur, "table", "bucket"),
         "compact",
         lambda pm, cur: _carry_meta(pm, fingerprint, _LSH_KEYS),
         sort=_LSH_SORT, id_col="vec_id",
@@ -763,12 +784,12 @@ def ivf_vindex_build(
     cents = _ivf_centroids(centroid_src or emb, n_cells, id_col, vec_col)
     qdir = _write_quant_dir(cents, path)
     rows = _ivf_assign(emb, spark.read.parquet(qdir), id_col, vec_col)
-    ddir = _write_delta_dir(rows.repartition(4, "cell"), path, _IVF_SORT)
-    n_rows = spark.read.parquet(ddir).count()
+    ddir = _write_delta_dir(_cluster(rows, "cell"), path, _IVF_SORT)
+    n_rows, stats = _count_and_stats(spark, ddir, id_col)
     meta = {
         "family": "ivf", "fingerprint": fingerprint, "n_cells": n_cells,
         "centroids_dir": qdir, "aux_dirs": [qdir],
-        "dir_stats": {ddir: _id_stats(spark, ddir, id_col)},
+        "dir_stats": {ddir: stats},
     }
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
@@ -824,8 +845,7 @@ def ivf_vindex_append(
             ddir = _write_delta_dir(
                 rows.repartition(4, "cell"), path, _IVF_SORT
             )
-            n_new = spark.read.parquet(ddir).count()
-            stats = _id_stats(spark, ddir, id_col)
+            n_new, stats = _count_and_stats(spark, ddir, id_col)
             encoded_against = qdir
         meta = _carry_meta(pm, fingerprint, _IVF_KEYS)
         if batch_id is not None:
@@ -869,7 +889,7 @@ def ivf_vindex_delete(
 def ivf_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
     return _rewrite_with_retry(
         spark, path,
-        lambda cur, meta: cur.repartition(4, "cell"),
+        lambda cur, meta: _cluster(cur, "cell"),
         "compact",
         lambda pm, cur: _carry_meta(pm, fingerprint, _IVF_KEYS),
         sort=_IVF_SORT, id_col="vec_id",
@@ -908,7 +928,7 @@ def ivf_vindex_recluster(
         cents = spark.read.parquet(meta["centroids_dir"])
         return _ivf_assign(
             cur.select(id_col, vec_col), cents, id_col, vec_col
-        ).repartition(4, "cell")
+        ).transform(lambda d: _cluster(d, "cell"))
 
     return _rewrite_with_retry(
         spark, path, make_rows, "recluster", meta_fn,
@@ -997,14 +1017,14 @@ def ivfpq_vindex_build(
     cents = spark.read.parquet(cdir)
     cexp = spark.read.parquet(bdir)
     rows = _ivfpq_rows(emb, cents, cexp, dim, m_sub, id_col, vec_col)
-    ddir = _write_delta_dir(rows.repartition(4, "cell"), path, _IVF_SORT)
-    n_rows = spark.read.parquet(ddir).count()
+    ddir = _write_delta_dir(_cluster(rows, "cell"), path, _IVF_SORT)
+    n_rows, stats = _count_and_stats(spark, ddir, id_col)
     meta = {
         "family": "ivfpq", "fingerprint": fingerprint,
         "n_cells": n_cells, "dim": dim, "m_sub": m_sub, "n_cent": n_cent,
         "centroids_dir": cdir, "codebook_dir": bdir,
         "aux_dirs": [cdir, bdir],
-        "dir_stats": {ddir: _id_stats(spark, ddir, id_col)},
+        "dir_stats": {ddir: stats},
     }
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
@@ -1059,8 +1079,7 @@ def ivfpq_vindex_append(
             ddir = _write_delta_dir(
                 rows.repartition(4, "cell"), path, _IVF_SORT
             )
-            n_new = spark.read.parquet(ddir).count()
-            stats = _id_stats(spark, ddir, id_col)
+            n_new, stats = _count_and_stats(spark, ddir, id_col)
             encoded_against = ptr
         meta = _carry_meta(pm, fingerprint, _IVFPQ_KEYS)
         if batch_id is not None:
@@ -1109,7 +1128,7 @@ def ivfpq_vindex_delete(
 def ivfpq_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
     return _rewrite_with_retry(
         spark, path,
-        lambda cur, meta: cur.repartition(4, "cell"),
+        lambda cur, meta: _cluster(cur, "cell"),
         "compact",
         lambda pm, cur: _carry_meta(pm, fingerprint, _IVFPQ_KEYS),
         sort=_IVF_SORT, id_col="vec_id",
@@ -1157,7 +1176,7 @@ def ivfpq_vindex_recluster(
         return _ivfpq_rows(
             cur.select(id_col, vec_col), cents, cexp,
             meta["dim"], meta["m_sub"], id_col, vec_col,
-        ).repartition(4, "cell")
+        ).transform(lambda d: _cluster(d, "cell"))
 
     return _rewrite_with_retry(
         spark, path, make_rows, "recluster", meta_fn,

@@ -307,6 +307,47 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     return [m["version"] for m in doomed]
 
 
+def remove_orphans(path: str, older_than_secs: float = 259_200) -> list[str]:
+    """Remove data/quantizer directories REFERENCED BY NO manifest —
+    the debris the optimistic-concurrency protocol legitimately
+    produces (a rewrite retry writes a fresh delta dir per attempt; a
+    recluster retry writes fresh quantizer sidecars; only the winning
+    attempt's dirs reach a manifest) plus anything a crashed writer
+    staged but never committed. The Iceberg ``remove_orphan_files``
+    analog at this format's dir granularity.
+
+    ``older_than_secs`` (default 3 days, Iceberg's default) is the
+    liveness grace window: an IN-FLIGHT writer's delta dir is also
+    unreferenced until its commit lands, so only dirs whose mtime
+    predates the window are removed — a writer that stages and then
+    commits within the window is never raced. Returns removed dirs.
+    Never touches manifests; safe to run concurrently with readers
+    (they resolve manifests, and every manifest-referenced dir is
+    kept regardless of age)."""
+    import time
+
+    referenced: set[str] = set()
+    for m in list_versions(path):
+        referenced.update(_manifest_dirs(m))
+        referenced.update(_manifest_aux_dirs(m))
+    removed: list[str] = []
+    cutoff = time.time() - older_than_secs
+    for sub in ("data", "quant"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            d = os.path.join(root, name)
+            if d in referenced or not os.path.isdir(d):
+                continue
+            if os.path.getmtime(d) <= cutoff:
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+    return removed
+
+
 def optimize(
     spark: SparkSession,
     path: str,
