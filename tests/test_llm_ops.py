@@ -2571,3 +2571,81 @@ def test_vindex_append_exactly_once_by_batch_key(spark, emb, tmp_path):
     # and replaying the NEW generation's bid 0 is again a no-op
     assert vx.ivf_vindex_append(b2, path, fingerprint="f2", batch_id=0) == v3
     assert read_version(spark, path).count() == n_after + b2.count()
+
+
+def test_ivf_vindex_ingest_tick_drift_loop(spark, tmp_path):
+    """The snapshot drift loop with ALL monitor state on manifests:
+    (a) build records fit_ref; (b) an in-distribution tick commits its
+    fit ints WITH its data on one manifest, does not flag, carries
+    fit_ref; (c) an orthogonal-cluster tick flags, reclusters, and the
+    recluster manifest carries a RESET fit_ref; (d) replaying the
+    flagged tick with the same (stream_id, batch_id) AFTER its own
+    recluster is a no-op — the stream-id key survives the rewrite
+    (epoch keys would double-fold the batch: the marker family's
+    documented seam)."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions, read_version
+
+    def dvec(id_col, center_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                ((id_col * 31 + j * 7) % 16 - 8).cast("double")
+                / F.lit(16.0)
+            )
+            + F.when(j == center_col, F.lit(8.0)).otherwise(F.lit(0.0)),
+        )
+
+    base = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        dvec(F.col("id"), F.col("id") % 8).alias("embedding"),
+    )
+    good = spark.range(1000, 1040).select(
+        F.col("id").alias("vec_id"),
+        dvec(F.col("id"), F.col("id") % 8).alias("embedding"),
+    )
+    drifted = spark.range(2000, 2040).select(
+        F.col("id").alias("vec_id"),
+        dvec(F.col("id"), F.lit(56) + F.col("id") % 8).alias("embedding"),
+    )
+    centers = spark.range(8).select(
+        (F.col("id") + F.lit(9000)).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.when(
+                j == F.col("id").cast("int"), F.lit(8.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "ivf_tick")
+    vx.ivf_vindex_build(
+        base, path, fingerprint="f0", n_cells=8, centroid_src=centers
+    )
+    ref0 = list_versions(path)[-1]["fit_ref"]
+    assert ref0[1] == 200 and ref0[0] > 0
+
+    t1 = vx.ivf_vindex_ingest_tick(
+        spark, good, path, 0, fingerprint="fi", stream_id="s1"
+    )
+    assert not t1["flagged"] and not t1["reclustered"]
+    m1 = list_versions(path)[-1]
+    assert m1["fit_n"] == 40 and m1["fit_ref"] == ref0
+    assert m1["batch_key"] == "ss1b0"
+
+    t2 = vx.ivf_vindex_ingest_tick(
+        spark, drifted, path, 1, fingerprint="fi", stream_id="s1"
+    )
+    assert t2["flagged"] and t2["reclustered"] and not t2["replayed"]
+    m2 = list_versions(path)[-1]
+    assert m2["operation"] == "recluster"
+    assert m2["fit_ref"] != ref0 and m2["fit_ref"][1] == 280
+    n_after = read_version(spark, path).count()
+    assert n_after == 280
+
+    # (d) replay across the recluster: stream-id key found -> no-op
+    t3 = vx.ivf_vindex_ingest_tick(
+        spark, drifted, path, 1, fingerprint="fi", stream_id="s1"
+    )
+    assert t3["replayed"] and not t3["reclustered"]
+    assert read_version(spark, path).count() == n_after
+    assert list_versions(path)[-1]["operation"] == "recluster"

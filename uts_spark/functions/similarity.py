@@ -1323,7 +1323,18 @@ def ivf_index_ingest_tick(
 
     Returns {"fit_sum", "fit_n", "reclustered"}. A missing fit
     reference (index predates the loop) records the stat but never
-    flags — monitoring degrades gracefully, it does not guess."""
+    flags — monitoring degrades gracefully, it does not guess.
+
+    KNOWN SEAM (epoch-keyed idempotency): a tick whose flag fires
+    reclusters, which bumps the index epoch — so if the STREAM crashes
+    after the recluster but before its checkpoint commits, the
+    replayed batch publishes under the NEW epoch and double-folds
+    (its rows are already inside the rebuilt index). The query-level
+    pending-marker tick guards this today (a torn stream rebuilds);
+    the snapshot family closes it structurally with STREAM-ID-keyed
+    commit keys that survive rewrites (vindex._batch_key /
+    ivf_vindex_ingest_tick) — one more reason index services should
+    sit on the manifest protocol."""
     import os
 
     fit_sum, fit_n = ivf_index_fit_ints(

@@ -128,14 +128,30 @@ def _count_and_stats(spark, ddir: str, id_col: str = "id") -> tuple[int, list[in
     return n, ([int(row["lo"]), int(row["hi"])] if n else [0, -1])
 
 
-def _batch_key(versions: dict, batch_id: int) -> str:
-    """The EXACTLY-ONCE commit key for a streamed micro-batch append:
-    ``e{epoch}b{batch_id}`` where the epoch is the last non-append
-    version (build/delete/compact/recluster — a rewrite opens a new
-    epoch). Same namespacing as the marker family's staged kernel
-    (ADVICE r8): a fresh stream restarting at bid 0 after a rewrite
-    gets a new epoch, so a reused batch_id can never alias a prior
-    generation's commit."""
+def _batch_key(
+    versions: dict, batch_id: int, stream_id: str | None = None
+) -> str:
+    """The EXACTLY-ONCE commit key for a streamed micro-batch append.
+
+    Two namespacings, for two different hazards:
+
+    - ``stream_id`` given (the streaming-sink path): key =
+      ``s{stream_id}b{batch_id}`` — epoch-INDEPENDENT, so a batch
+      replayed after its own tick's recluster/delete still finds its
+      key and skips (a rewrite between commit and checkpoint must not
+      make the replay double-fold the batch). Aliasing is prevented
+      by stream identity, not table state: a fresh stream gets a
+      fresh id, so its bid 0 can never match a prior stream's commit.
+      This is the Iceberg streaming-sink shape (query id + epoch id
+      on the snapshot).
+    - no ``stream_id`` (manual/driver appends): key =
+      ``e{epoch}b{batch_id}`` where the epoch is the last non-append
+      version — same namespacing as the marker family's staged kernel
+      (ADVICE r8); a reused batch_id after a rewrite cannot alias,
+      but a replay ACROSS a rewrite re-appends (callers replaying
+      through rewrites must pass a stream_id)."""
+    if stream_id is not None:
+        return f"s{stream_id}b{batch_id}"
     epoch = max(
         (v for v, m in versions.items() if m.get("operation") != "append"),
         default=0,
@@ -157,7 +173,8 @@ def _batch_committed(versions: dict, key: str) -> int | None:
 
 def _append_commit(
     spark, path: str, ddir: str, stats: list[int], n_new: int,
-    meta_fn, batch_id: int | None = None, max_retries: int = 5,
+    meta_fn, batch_id: int | None = None, stream_id: str | None = None,
+    max_retries: int = 5,
 ) -> int:
     """Fast-append commit loop: manifest = parent dirs + the (already
     written) delta dir. ``meta_fn(parent_manifest)`` builds the new
@@ -176,7 +193,7 @@ def _append_commit(
         pm = versions[parent] if parent is not None else {}
         meta = meta_fn(pm)
         if batch_id is not None:
-            key = _batch_key(versions, batch_id)
+            key = _batch_key(versions, batch_id, stream_id)
             done = _batch_committed(versions, key)
             if done is not None:
                 return done
@@ -288,7 +305,7 @@ def _delete_pruned(
 def _rewrite_with_retry(
     spark, path: str, make_rows, operation: str,
     meta_fn, sort: tuple[str, ...] = _SORT, id_col: str = "id",
-    max_retries: int = 5,
+    amend_fn=None, max_retries: int = 5,
 ) -> int:
     """Shared rewrite commit loop (compact / recluster): compute the
     new row set AGAINST the current version, write it to a fresh delta
@@ -296,7 +313,9 @@ def _rewrite_with_retry(
     rewrite does not commute with whatever landed in between).
     ``meta_fn(parent_manifest, current_rows)`` may itself write fresh
     quantizer sidecars — recluster does — so it runs inside the retry
-    loop, after ``make_rows``'s source is resolved."""
+    loop, after ``make_rows``'s source is resolved. ``amend_fn(meta,
+    ddir)`` runs after the delta write, for metadata derived from the
+    WRITTEN rows (the drift loop's refreshed fit reference)."""
     last: Exception | None = None
     for _ in range(max_retries):
         versions = {m["version"]: m for m in list_versions(path)}
@@ -310,6 +329,8 @@ def _rewrite_with_retry(
         ddir = _write_delta_dir(rows, path, sort)
         n_rows, rw_stats = _count_and_stats(spark, ddir, id_col)
         meta["dir_stats"] = {ddir: rw_stats}
+        if amend_fn is not None:
+            amend_fn(meta, ddir)
         try:
             return commit_version(
                 path, [ddir], operation, parent, n_rows, meta
@@ -383,7 +404,8 @@ def _carry_meta(pm: dict, fingerprint: str, keys: tuple[str, ...]) -> dict:
     quantizers: config keys and sidecar pointers carry forward from
     the parent manifest verbatim; only the fingerprint advances."""
     meta = {k: pm[k] for k in keys if k in pm}
-    for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family"):
+    for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family",
+              "fit_ref"):
         if k in pm:
             meta[k] = pm[k]
     meta["fingerprint"] = fingerprint
@@ -513,6 +535,7 @@ def minhash_vindex_append(
     bands: int = 8,
     n_grps: int = 16,
     batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> int:
     """Fast append: sketch ONLY the batch, write its rows to a delta
     dir once, commit manifest = parent dirs + delta (with the delta's
@@ -525,7 +548,9 @@ def minhash_vindex_append(
     spark = batch.sparkSession
     if batch_id is not None:
         versions = {m["version"]: m for m in list_versions(path)}
-        done = _batch_committed(versions, _batch_key(versions, batch_id))
+        done = _batch_committed(
+            versions, _batch_key(versions, batch_id, stream_id)
+        )
         if done is not None:
             return done
     rows = _rows(batch, text_col, id_col, n, k, bands, n_grps)
@@ -536,7 +561,7 @@ def minhash_vindex_append(
     return _append_commit(
         spark, path, ddir, stats, n_new,
         lambda pm: _config_meta(fingerprint, n, k, bands, n_grps),
-        batch_id=batch_id,
+        batch_id=batch_id, stream_id=stream_id,
     )
 
 
@@ -668,6 +693,7 @@ def lsh_vindex_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> int:
     """Fast append: hyperplanes are seed-derived, so bucketing ONLY the
     batch at the index's (dim, planes, tables) config lands its rows
@@ -678,7 +704,9 @@ def lsh_vindex_append(
     spark = emb_batch.sparkSession
     if batch_id is not None:
         versions = {m["version"]: m for m in list_versions(path)}
-        done = _batch_committed(versions, _batch_key(versions, batch_id))
+        done = _batch_committed(
+            versions, _batch_key(versions, batch_id, stream_id)
+        )
         if done is not None:
             return done
     rows = _lsh_rows(emb_batch, dim, planes, tables, id_col, vec_col)
@@ -689,7 +717,7 @@ def lsh_vindex_append(
     return _append_commit(
         spark, path, ddir, stats, n_new,
         lambda pm: _lsh_meta(fingerprint, dim, planes, tables),
-        batch_id=batch_id,
+        batch_id=batch_id, stream_id=stream_id,
     )
 
 
@@ -764,6 +792,40 @@ _IVF_SORT = ("cell", "vec_id")
 _IVF_KEYS = ("n_cells",)
 
 
+def _ivf_fit_ints_from_dir(
+    spark, ddir: str, qdir: str, id_col: str, vec_col: str
+) -> tuple[int, int]:
+    """(snapped fit sum, row count) of a WRITTEN delta dir against its
+    encoding quantizer — the drift monitor's exact integers, computed
+    as a byproduct of the rows already on disk: a stored row's fit IS
+    the cosine to its assigned cell's centroid (the argmax the
+    assignment just took), so one broadcast join to the n_cells
+    centroid table replaces the full |rows| x n_cells scoring pass
+    (same snap grid as similarity.ivf_fit_stat — the two monitors'
+    integers are interchangeable)."""
+    from uts_spark.functions.similarity import FIT_SCALE, cosine_stable
+
+    cents = spark.read.parquet(qdir).select(
+        F.col("cent_id").alias("cell"), "__cv"
+    )
+    row = (
+        spark.read.parquet(ddir)
+        .join(F.broadcast(cents), "cell")
+        .agg(
+            F.sum(
+                F.floor(
+                    cosine_stable(F.col(vec_col), F.col("__cv"))
+                    * F.lit(FIT_SCALE)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    return int(row["s"] or 0), int(row["n"])
+
+
 def ivf_vindex_build(
     emb: DataFrame,
     path: str,
@@ -777,7 +839,11 @@ def ivf_vindex_build(
     centroids as an immutable quantizer sidecar, assign every corpus
     vector, commit rows + the ``centroids_dir`` pointer in ONE
     manifest — the quantizer and the data it explains are never
-    observable apart."""
+    observable apart. The build-time corpus FIT rides on the manifest
+    as ``fit_ref`` (exact integers): the drift loop's reference is
+    part of the committed state, carried forward by every verb and
+    refreshed by recluster — no sidecar file, no way for a restarted
+    service to re-baseline on a drifted batch."""
     from uts_spark.functions.similarity import _ivf_assign, _ivf_centroids
 
     spark = emb.sparkSession
@@ -786,9 +852,11 @@ def ivf_vindex_build(
     rows = _ivf_assign(emb, spark.read.parquet(qdir), id_col, vec_col)
     ddir = _write_delta_dir(_cluster(rows, "cell"), path, _IVF_SORT)
     n_rows, stats = _count_and_stats(spark, ddir, id_col)
+    fit = _ivf_fit_ints_from_dir(spark, ddir, qdir, id_col, vec_col)
     meta = {
         "family": "ivf", "fingerprint": fingerprint, "n_cells": n_cells,
         "centroids_dir": qdir, "aux_dirs": [qdir],
+        "fit_ref": list(fit),
         "dir_stats": {ddir: stats},
     }
     return commit_version(path, [ddir], "build", None, n_rows, meta)
@@ -801,6 +869,8 @@ def ivf_vindex_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    stream_id: str | None = None,
+    record_fit: bool = False,
     max_retries: int = 5,
 ) -> int:
     """Fast append with the QUANTIZER-POINTER conflict rule: assign the
@@ -834,7 +904,7 @@ def ivf_vindex_append(
                 "expected ivf"
             )
         if batch_id is not None:
-            key = _batch_key(versions, batch_id)
+            key = _batch_key(versions, batch_id, stream_id)
             done = _batch_committed(versions, key)
             if done is not None:
                 return done
@@ -846,8 +916,17 @@ def ivf_vindex_append(
                 rows.repartition(4, "cell"), path, _IVF_SORT
             )
             n_new, stats = _count_and_stats(spark, ddir, id_col)
+            fit = (
+                _ivf_fit_ints_from_dir(spark, ddir, qdir, id_col, vec_col)
+                if record_fit
+                else None
+            )
             encoded_against = qdir
         meta = _carry_meta(pm, fingerprint, _IVF_KEYS)
+        if record_fit and fit is not None:
+            # the tick's drift stat, ON the committed manifest (exact
+            # ints against the quantizer this delta was encoded with)
+            meta["fit_sum"], meta["fit_n"] = fit
         if batch_id is not None:
             meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
@@ -930,10 +1009,98 @@ def ivf_vindex_recluster(
             cur.select(id_col, vec_col), cents, id_col, vec_col
         ).transform(lambda d: _cluster(d, "cell"))
 
+    def amend_fn(meta, ddir):
+        # the drift reference RESETS to the re-clustered corpus fit,
+        # computed from the rewritten rows, on the same manifest
+        meta["fit_ref"] = list(
+            _ivf_fit_ints_from_dir(
+                spark, ddir, meta["centroids_dir"], id_col, vec_col
+            )
+        )
+
     return _rewrite_with_retry(
         spark, path, make_rows, "recluster", meta_fn,
-        sort=_IVF_SORT, id_col=id_col,
+        sort=_IVF_SORT, id_col=id_col, amend_fn=amend_fn,
     )
+
+
+def ivf_vindex_ingest_tick(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    batch_id: int,
+    fingerprint: str = "",
+    stream_id: str | None = None,
+    recluster_milli: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One CLOSED-LOOP micro-batch of the SNAPSHOT vector ingest — the
+    vindex port of similarity.ivf_index_ingest_tick, with the whole
+    monitor state living ON the manifests instead of sidecar files:
+
+    1. APPEND exactly-once with ``record_fit`` — the batch's quantizer
+       fit (exact ints against the centroids the delta was encoded
+       with) commits atomically WITH the data, on the same manifest;
+    2. FLAG by integer cross-multiplication against the manifest's
+       carried ``fit_ref`` (written at build, refreshed by recluster —
+       a restarted service reads its reference off the current
+       manifest, never re-baselines);
+    3. ACT when flagged: ivf_vindex_recluster — an ordinary rewrite
+       commit (history intact, pinned probes before it still resolve
+       their own quantizer) that resets ``fit_ref`` to the
+       re-clustered corpus fit.
+
+    A REPLAYED tick (its batch key already committed) skips both the
+    data job and the recluster decision: if its flag had fired, the
+    recluster is already in the history; if a later writer rewrote
+    the index, re-deciding off stale stats would recluster twice.
+    The guard is `append version == current version` — when another
+    commit landed in between, this tick's flag defers to the NEXT
+    tick's fresh measurement. Threshold default = the measured
+    similarity.RECLUSTER_MILLI (0.82x, SCALE.md round 8); returns
+    {"fit_sum", "fit_n", "flagged", "reclustered", "replayed"}."""
+    from uts_spark.functions.similarity import RECLUSTER_MILLI
+
+    if recluster_milli is None:
+        recluster_milli = RECLUSTER_MILLI
+    before = {m["version"]: m for m in list_versions(path)}
+    replay_hit = _batch_committed(
+        before, _batch_key(before, batch_id, stream_id)
+    )
+
+    v = ivf_vindex_append(
+        emb_batch, path, fingerprint=fingerprint, batch_id=batch_id,
+        stream_id=stream_id, id_col=id_col, vec_col=vec_col,
+        record_fit=True,
+    )
+    versions = {m["version"]: m for m in list_versions(path)}
+    m = versions[v]
+    fit_sum = int(m.get("fit_sum", 0))
+    fit_n = int(m.get("fit_n", 0))
+    ref = m.get("fit_ref")
+    flagged = bool(
+        ref is not None
+        and fit_n > 0
+        and int(ref[1]) > 0
+        and fit_sum * int(ref[1]) * 1000
+        < recluster_milli * int(ref[0]) * fit_n
+    )
+    replayed = replay_hit is not None
+    reclustered = False
+    if flagged and not replayed and v == max(versions):
+        ivf_vindex_recluster(
+            spark, path, fingerprint=fingerprint + ":r",
+            id_col=id_col, vec_col=vec_col,
+        )
+        reclustered = True
+    return {
+        "fit_sum": fit_sum,
+        "fit_n": fit_n,
+        "flagged": flagged,
+        "reclustered": reclustered,
+        "replayed": replayed,
+    }
 
 
 def ivf_vindex_probe(
@@ -1036,6 +1203,7 @@ def ivfpq_vindex_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: int | None = None,
+    stream_id: str | None = None,
     max_retries: int = 5,
 ) -> int:
     """Fast append under the quantizer-pointer conflict rule (see
@@ -1064,7 +1232,7 @@ def ivfpq_vindex_append(
                 "expected ivfpq"
             )
         if batch_id is not None:
-            key = _batch_key(versions, batch_id)
+            key = _batch_key(versions, batch_id, stream_id)
             done = _batch_committed(versions, key)
             if done is not None:
                 return done

@@ -2385,10 +2385,16 @@ def _register_stream_ann_vindex_ingest():
                     .option("maxFilesPerTrigger", 1)
                     .parquet(src)
                 )
+                # per-run stream id: replays WITHIN this run dedup by
+                # s{id}b{bid} even across a rewrite; a fresh run gets
+                # a fresh id (no aliasing) and a torn run's state is
+                # rebuilt by the fingerprint check anyway
+                run_id = uuid.uuid4().hex[:8]
                 q = (
                     stream.writeStream.foreachBatch(
                         lambda bdf, bid: ivf_vindex_append(
-                            bdf, path, fingerprint=fp_ing, batch_id=bid
+                            bdf, path, fingerprint=fp_ing, batch_id=bid,
+                            stream_id=run_id,
                         )
                     )
                     .option("checkpointLocation", chk)
@@ -2409,3 +2415,152 @@ def _register_stream_ann_vindex_ingest():
 
 
 stream_ann_vindex_ingest_replay = _register_stream_ann_vindex_ingest()
+
+
+def _register_stream_ann_vindex_drift():
+    # the final snapshot index equals a fresh rebuild over the full
+    # drifted corpus — exactly the marker drift lane's oracle
+    from uts_spark.registry import ORACLES
+
+    @query(
+        "stream_ann_vindex_drift_recluster_replay",
+        ORACLES["stream_ann_ingest_drift_recluster_replay"],
+    )
+    def stream_ann_vindex_drift_recluster_replay(spark, sf_dir):
+        """The CLOSED drift loop on the SNAPSHOT index — the entire
+        monitor state lives ON the manifests (no _FIT_REF.json, no
+        history sidecar, no pending marker): the build manifest
+        carries ``fit_ref`` (exact corpus-fit ints against the frozen
+        sidecar centroids), every ingest tick commits its batch's fit
+        ints ATOMICALLY WITH its data (one manifest = data + stat +
+        exactly-once batch key), and the flagged tick's recluster is
+        an ordinary rewrite commit that resets ``fit_ref`` — history
+        intact, pre-recluster pins still resolve their own quantizer.
+        Same derived clustered corpus and thresholds as the marker
+        lane (micro-batch 1 joins the base clusters, fit ratio ~1.0,
+        no flag; micro-batch 2 clusters on orthogonal components,
+        ~0.07, flags at the measured 0.82): the two protocols are
+        semantics-identical, so the oracle is reused verbatim. A
+        crashed run leaves the ingest fingerprint (never fp1 — the
+        SEAL is the last commit) and the next invocation rebuilds."""
+        from uts_spark.functions.vindex import (
+            ivf_vindex_build,
+            ivf_vindex_ingest_tick,
+            ivf_vindex_probe,
+            vindex_config,
+            vindex_seal,
+        )
+        from uts_spark.queries.llm_ops import (
+            _DRIFT_ANCHOR_IDS,
+            _DRIFT_ID0,
+            _IVF_APP_MOD,
+            _IVF_APP_REM,
+            _emb_frame_fingerprint,
+            ivf_index_path,
+        )
+
+        def dvec(id_col, center_col):
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    ((id_col * 31 + j * 7) % 16 - 8).cast("double")
+                    / F.lit(16.0)
+                )
+                + F.when(j == center_col, F.lit(8.0)).otherwise(F.lit(0.0)),
+            )
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(
+            F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM
+        ).select(
+            "vec_id",
+            dvec(F.col("vec_id"), F.col("vec_id") % 8).alias("embedding"),
+        )
+        moved = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        rid = (F.col("vec_id") + F.lit(_DRIFT_ID0))
+        b1 = moved.filter(F.col("vec_id") % 20 == 7).select(
+            rid.alias("vec_id"),
+            dvec(rid, rid % 8).alias("embedding"),
+        )
+        b2 = moved.filter(F.col("vec_id") % 20 == 17).select(
+            rid.alias("vec_id"),
+            dvec(rid, F.lit(56) + rid % 8).alias("embedding"),
+        )
+        corpus = base.unionAll(b1).unionAll(b2)
+
+        fp0 = _emb_frame_fingerprint(base)
+        fp1 = _emb_frame_fingerprint(corpus)
+        fp_ing = fp0 + ":ingesting"
+        path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_snapdrift"
+
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            # freeze the quantizer from the 8 PURE cluster centers
+            # (same fixture-honesty device as the marker lane): the
+            # manifest's fit_ref is then the clustered regime's fit
+            centers = spark.range(8).select(
+                (F.col("id") + F.lit(9000)).alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: F.when(
+                        j == F.col("id").cast("int"), F.lit(8.0)
+                    ).otherwise(F.lit(0.0)),
+                ).alias("embedding"),
+            )
+            ivf_vindex_build(
+                base, path, fingerprint=fp0, n_cells=8,
+                centroid_src=centers,
+            )
+            state = fp0
+        if state == fp0:
+            scratch = tempfile.mkdtemp(prefix="uts_vdrift_ingest_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                schema = "vec_id long, embedding array<double>"
+                b1.coalesce(1).write.parquet(src)
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                # stream-id-keyed exactly-once: a tick replayed after
+                # its own recluster must SKIP (epoch keys would
+                # re-append the already-folded batch — the seam the
+                # snapshot protocol closes; see _batch_key)
+                run_id = uuid.uuid4().hex[:8]
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: ivf_vindex_ingest_tick(
+                            spark, bdf, path, bid, fingerprint=fp_ing,
+                            stream_id=run_id,
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                    b2.coalesce(1).write.mode("append").parquet(src)
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            vindex_seal(path, fp1)
+
+        anchors = corpus.filter(
+            (F.col("vec_id") < 3)
+            | F.col("vec_id").isin(list(_DRIFT_ANCHOR_IDS))
+        )
+        return ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3)
+
+    return stream_ann_vindex_drift_recluster_replay
+
+
+stream_ann_vindex_drift_recluster_replay = (
+    _register_stream_ann_vindex_drift()
+)
