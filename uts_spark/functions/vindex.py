@@ -1379,3 +1379,41 @@ def ivfpq_vindex_probe(
         n_cent=m["n_cent"], rerank=rerank, id_col=id_col, vec_col=vec_col,
         scan=scan, cents=cents, cexp=cexp,
     )
+
+
+def vindex_delete_auto(
+    spark, deleted_ids: DataFrame, path: str, fingerprint: str = ""
+) -> int:
+    """Family-dispatching erasure: read the index's family off its
+    CURRENT manifest and route to the right delete verb with the
+    manifest's own config — the building block of a GDPR FAN-OUT,
+    where one takedown request must reach every index that ever saw
+    the ids (a dedup service and a vector service typically share the
+    corpus; forgetting in one but not the other is a compliance
+    failure the caller shouldn't have to prevent by hand). All four
+    routes go through the shared pruned copy-on-write kernel, so the
+    fan-out's total cost is the sum of touched dirs across indexes,
+    never the sum of index sizes."""
+    pm = _current_manifest(path)
+    fam = pm.get("family")
+    if fam == "minhash":
+        return minhash_vindex_delete(
+            spark, deleted_ids, path, fingerprint=fingerprint,
+            n=pm["n"], k=pm["k"], bands=pm["bands"], n_grps=pm["n_grps"],
+        )
+    if fam == "lsh":
+        return lsh_vindex_delete(
+            spark, deleted_ids, path, fingerprint=fingerprint
+        )
+    if fam == "ivf":
+        return ivf_vindex_delete(
+            spark, deleted_ids, path, fingerprint=fingerprint
+        )
+    if fam == "ivfpq":
+        return ivfpq_vindex_delete(
+            spark, deleted_ids, path, fingerprint=fingerprint
+        )
+    raise ValueError(
+        f"snapshot index at {path}: unknown family {fam!r} — cannot "
+        "route the erasure"
+    )

@@ -6215,6 +6215,141 @@ def similarity_ann_ivf_vindex_pin_across_recluster(spark, sf_dir):
     )
 
 
+_GDPR_REM = 4  # fan-out erasure slice: id % 10 == 4 (docs AND vectors)
+
+
+@query(
+    "index_gdpr_erasure_fanout",
+    f"""
+    SELECT 'ivf' AS family,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 10 != {_GDPR_REM}) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS leaked
+    UNION ALL
+    SELECT 'ivfpq',
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 10 != {_GDPR_REM}) AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'lsh',
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 10 != {_GDPR_REM})
+                * {_ANN_IDX_TABLES} AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'minhash',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id % 10 != {_GDPR_REM})
+                * {_MIDX_BANDS} AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def index_gdpr_erasure_fanout(spark, sf_dir):
+    """Cross-family GDPR FAN-OUT: one takedown request (id % 10 == 4)
+    erased from ALL FOUR snapshot index families through the
+    family-dispatching verb (vindex.vindex_delete_auto — each index's
+    manifest says what it is; the caller hands over bare ids). The
+    result is the COMPLIANCE ACCOUNTING a fan-out must produce: per
+    family, the surviving row count and the number of surviving rows
+    still carrying a deleted id (``leaked`` — must be 0 everywhere).
+    The oracle is CLOSED-FORM row arithmetic, because every family's
+    row count is a pure function of membership: bands (8) rows per
+    doc, tables (2) rows per vector, 1 row per vector for the IVF
+    families — so an erasure that missed a band partition, an LSH
+    table, or a PQ code row shows up as an exact count mismatch, and
+    any survivor with a deleted id flips ``leaked``. Erase-then-vacuum
+    completes the sequence physically; the lane checks the logical
+    contract at the current snapshot. Scale: four pruned
+    copy-on-write deletes — total cost = sum of TOUCHED dirs across
+    the indexes, never sum of index sizes."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        ivf_vindex_build,
+        ivfpq_vindex_build,
+        lsh_vindex_build,
+        minhash_vindex_build,
+        vindex_config,
+        vindex_delete_auto,
+    )
+    from uts_spark.sources.versioned import read_version
+
+    docs = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    doc_del = docs.filter(F.col("doc_id") % 10 == _GDPR_REM).select(
+        "doc_id"
+    )
+    vec_del = e.filter(F.col("vec_id") % 10 == _GDPR_REM).select("vec_id")
+
+    fp_d = _frame_fingerprint(docs)
+    fp_e = _emb_frame_fingerprint(e)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    root = os.path.join(_warehouse_dir(), f"gdpr_fanout_{tag}")
+
+    def ensure(path, build_fn, fp):
+        stages = [fp, fp + ":gdpr"]
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in stages:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            build_fn(stages[0])
+            state = stages[0]
+        return state == stages[0], stages[1]
+
+    indexes = {
+        "minhash": (
+            os.path.join(root, f"minhash_{fp_d}"),
+            lambda fng, p=os.path.join(root, f"minhash_{fp_d}"):
+                minhash_vindex_build(
+                    docs, "text", "doc_id", p, fingerprint=fng,
+                    n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS,
+                ),
+            doc_del, "id",
+        ),
+        "lsh": (
+            os.path.join(root, f"lsh_{fp_e}"),
+            lambda fng, p=os.path.join(root, f"lsh_{fp_e}"):
+                lsh_vindex_build(
+                    e, p, dim=EMB_DIM, fingerprint=fng,
+                    planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+                ),
+            vec_del, "vec_id",
+        ),
+        "ivf": (
+            os.path.join(root, f"ivf_{fp_e}"),
+            lambda fng, p=os.path.join(root, f"ivf_{fp_e}"):
+                ivf_vindex_build(e, p, fingerprint=fng, n_cells=8),
+            vec_del, "vec_id",
+        ),
+        "ivfpq": (
+            os.path.join(root, f"ivfpq_{fp_e}"),
+            lambda fng, p=os.path.join(root, f"ivfpq_{fp_e}"):
+                ivfpq_vindex_build(
+                    e, p, dim=EMB_DIM, fingerprint=fng,
+                    n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C,
+                ),
+            vec_del, "vec_id",
+        ),
+    }
+
+    # the fan-out: one request, every index (build idempotently first)
+    for fam, (path, build_fn, ids, _idc) in indexes.items():
+        fresh, fp_done = ensure(path, build_fn, fp_d if fam == "minhash" else fp_e)
+        if fresh:
+            vindex_delete_auto(spark, ids, path, fingerprint=fp_done)
+
+    # compliance accounting: survivors + leak check per family
+    out = []
+    for fam, (path, _b, ids, idc) in sorted(indexes.items()):
+        scan = read_version(spark, path)
+        idf = ids.toDF(idc)
+        n_rows = scan.count()
+        leaked = scan.join(idf, idc, "left_semi").count()
+        out.append((fam, n_rows, leaked))
+    return spark.createDataFrame(
+        out, "family string, n_rows long, leaked long"
+    )
+
+
 # --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
 #
 # Engine-neutral logarithms: the per-position discounts 1/log2(p+1) are
