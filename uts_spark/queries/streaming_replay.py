@@ -2205,18 +2205,8 @@ def _register_stream_dedup_skew_cap():
         time). Scale: ticks are candidate-shaped (broadcast semi-join
         on the batch's buckets); the cap rewrite touches only the hot
         buckets' partitions."""
-        from uts_spark.functions.dedup import (
-            index_state,
-            index_tick,
-            minhash_coll_ref_init,
-            minhash_index_probe,
-            minhash_index_write,
-            minhash_ingest_tick,
-        )
-        from uts_spark.queries.llm_ops import (
-            _frame_fingerprint,
-            minhash_index_path,
-        )
+        path = _ensure_capped_chain(spark, sf_dir)
+        from uts_spark.functions.dedup import minhash_index_probe
 
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         base = docs.filter(
@@ -2244,6 +2234,40 @@ def _register_stream_dedup_skew_cap():
                 )
             )
         )
+        cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+        return minhash_index_probe(
+            spark, path, new, old, "text", "doc_id",
+            threshold=_MIDX_THR, **cfg,
+        )
+
+    def _ensure_capped_chain(spark, sf_dir) -> str:
+        """Idempotent build -> normal tick -> flood tick (flag + cap)
+        chain, shared by the replay lane and the quarantine-review
+        lane (two state machines fighting over one index would wipe
+        each other's progress)."""
+        from uts_spark.functions.dedup import (
+            index_state,
+            index_tick,
+            minhash_coll_ref_init,
+            minhash_index_write,
+            minhash_ingest_tick,
+        )
+        from uts_spark.queries.llm_ops import (
+            _frame_fingerprint,
+            minhash_index_path,
+        )
+
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter(
+            ~F.col("doc_id").__mod__(_MIDX_MOD).isin(
+                NORM_REM, BOIL_REM, PROBE_REM
+            )
+        )
+        b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == NORM_REM)
+        boiler = docs.filter(F.col("doc_id") % _MIDX_MOD == BOIL_REM).select(
+            "doc_id", F.lit(BOILER).alias("text")
+        )
+        old = base.unionByName(b1).unionByName(boiler)
 
         fp0, fp1 = _frame_fingerprint(base), _frame_fingerprint(old)
         cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
@@ -2296,16 +2320,88 @@ def _register_stream_dedup_skew_cap():
                     shutil.rmtree(scratch, ignore_errors=True)
 
             index_tick(path, fp1, _ingest, **cfg)
+        return path
 
-        return minhash_index_probe(
-            spark, path, new, old, "text", "doc_id",
-            threshold=_MIDX_THR, **cfg,
+    # quarantine REVIEW (round-10 candidate #3): a capped hot bucket IS
+    # one duplicate cluster — surface the quarantine as clusters with a
+    # canonical representative, not opaque parquet. Oracle = the same
+    # corpus/cap CTEs, plus the 1-hop min-id representative.
+    review_oracle = f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE doc_id % {_MIDX_MOD} != {BOIL_REM}
+      UNION ALL
+      SELECT doc_id AS id, '{BOILER}' AS text FROM documents
+      WHERE doc_id % {_MIDX_MOD} = {BOIL_REM}
+    ),
+    g AS (
+      SELECT id, unnest(list_distinct({grams})) AS gr FROM corpus
+    ),
+    inv AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % {P} AS hA,
+             CAST(('0x' || substr(md5(gr), 17, 15)) AS BIGINT) % {P} AS hB
+      FROM g
+    ),
+    sig AS (SELECT id, {mins} FROM inv GROUP BY id),
+    bk AS ({band_sel}),
+    mem AS (
+      SELECT id, band, bucket FROM bk
+      WHERE id % {_MIDX_MOD} != {PROBE_REM}
+    ),
+    bsz AS (
+      SELECT band, bucket, COUNT(*) AS c FROM mem GROUP BY band, bucket
+    ),
+    q AS (
+      SELECT mem.id, mem.band, mem.bucket
+      FROM mem JOIN bsz USING (band, bucket) WHERE bsz.c > {CAP}
+    ),
+    rep AS (
+      SELECT a.id AS doc_id, MIN(b.id) AS rep_id
+      FROM q a JOIN q b ON a.band = b.band AND a.bucket = b.bucket
+      GROUP BY a.id
+    ),
+    cnt AS (SELECT id, COUNT(*) AS n_hot_rows FROM q GROUP BY id)
+    SELECT r.doc_id, r.rep_id, CAST(c.n_hot_rows AS BIGINT) AS n_hot_rows
+    FROM rep r JOIN cnt c ON c.id = r.doc_id
+    """
+
+    @query("dedup_quarantine_review", review_oracle)
+    def dedup_quarantine_review(spark, sf_dir):
+        """REVIEW the skew loop's quarantine as duplicate CLUSTERS: a
+        capped hot bucket is one near-dup cluster by construction, so
+        the auditable artifact is (doc, cluster representative, how
+        many of its band rows were quarantined) — the shape a human or
+        a downstream keep-one-per-cluster pass consumes, instead of
+        opaque parquet under _quarantine. The representative is the
+        1-hop min id over shared hot buckets (for a template flood,
+        1-hop IS the whole cluster — every member shares every
+        bucket). n_hot_rows = bands for a full-flood member: all 8 of
+        its band rows were capped. Oracle recomputes quarantine
+        membership from the cap rule (bucket size > cap over the
+        index membership at cap time) — so a cap verb that moved the
+        wrong rows, or a review that read the wrong census, is an
+        exact mismatch. Runs on the SAME chain as the replay lane
+        (shared idempotent state machine)."""
+        path = _ensure_capped_chain(spark, sf_dir)
+        q = spark.read.parquet(os.path.join(path, "_quarantine")).select(
+            "id", "band", "bucket"
+        )
+        pairs = q.alias("a").join(q.alias("b"), ["band", "bucket"]).select(
+            F.col("a.id").alias("doc_id"), F.col("b.id").alias("nb")
+        )
+        rep = pairs.groupBy("doc_id").agg(F.min("nb").alias("rep_id"))
+        cnt = q.groupBy("id").agg(F.count(F.lit(1)).alias("n_hot_rows"))
+        return rep.join(cnt, rep["doc_id"] == cnt["id"]).select(
+            "doc_id", "rep_id", "n_hot_rows"
         )
 
-    return stream_dedup_ingest_skew_cap_replay
+    return stream_dedup_ingest_skew_cap_replay, dedup_quarantine_review
 
 
-stream_dedup_ingest_skew_cap_replay = _register_stream_dedup_skew_cap()
+stream_dedup_ingest_skew_cap_replay, dedup_quarantine_review = (
+    _register_stream_dedup_skew_cap()
+)
 
 
 def _register_stream_ann_vindex_ingest():
