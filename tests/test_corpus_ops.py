@@ -793,3 +793,55 @@ def test_langid_margin_sweep_plateau_and_knee(spark):
     for d in rows:
         assert rows[d]["n_out_misrouted"] == 0, d
         assert rows[d]["n_in_misrouted"] == 0, d
+
+
+def test_ulang_id_v4_disambiguates_arabic_script(spark):
+    """Within-script disambiguation: (a) Persian and Urdu text route
+    fa/ur where v3's blanket script gate said 'ar'; (b) Arabic still
+    routes ar; (c) an Arabic-script doc with no member's lexicon
+    evidence routes 'unknown' (v4 doesn't guess the member); (d)
+    non-Arabic routes are untouched vs v3."""
+    from uts_spark.functions.text import ulang_id_v3, ulang_id_v4
+
+    rows = [
+        (1, "است که این را با برای های می آن خود در شهر بزرگ ما"),
+        (2, "یہ ہے کے میں کی اور سے کا ہیں نے ہم آج یہاں"),
+        (3, "هذا هو البيت الكبير في المدينة ونحن هنا معهم اليوم"),
+        # Arabic-script gibberish with no function words: evidence-free
+        (4, "قطقط مرمر زلزل فلفل بلبل دحرج خربش طرطق عسعس"),
+        (5, "le café est dans la rue pour que une vie est là"),
+        (6, "นี่คือบ้านที่ดีมากและเราอยู่ที่นี่วันนี้"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["v3"], r["v4"])
+        for r in df.select(
+            "doc_id",
+            ulang_id_v3(F.col("text")).alias("v3"),
+            ulang_id_v4(F.col("text")).alias("v4"),
+        ).collect()
+    }
+    assert got[1] == ("ar", "fa"), got  # the member v3 guessed wrong
+    assert got[2] == ("ar", "ur"), got
+    assert got[3] == ("ar", "ar"), got
+    assert got[4] == ("ar", "unknown"), got  # v4 doesn't guess
+    for i, want in ((5, "fr"), (6, "th")):
+        assert got[i] == (want, want), got
+
+
+def test_ulang_v4_confusion_is_diagonal_plus_unknown(spark):
+    """15 cells: 13 in-set diagonal (fa/ur resolved WITHIN the Arabic
+    script) + he/hi on 'unknown'."""
+    cells = {
+        (r["label_lang"], r["pred_lang"])
+        for r in QUERIES["text_langid_confusion_v4"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    in_set = {
+        "en", "de", "fr", "es", "ru", "el", "ja", "zh",
+        "ar", "ko", "th", "fa", "ur",
+    }
+    assert cells == {(l, l) for l in in_set} | {
+        ("he", "unknown"), ("hi", "unknown")
+    }

@@ -235,6 +235,78 @@ def ulang_id_v3(col: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# v4 router: WITHIN-SCRIPT disambiguation for the Arabic script. The
+# script tells you the FAMILY — Arabic script writes Arabic, Persian,
+# Urdu (and Pashto, Kurdish, …) — the lexicon picks the member, exactly
+# the way ru/el disambiguate within Cyrillic/Greek. Distinctive
+# function words: Persian uses its own letters for some (ک U+06A9 vs
+# Arabic ك U+0643) and Urdu likewise (ہ U+06C1, ے U+06D2), so the
+# lexicons are disjoint at the codepoint level even where words look
+# alike. An Arabic-script doc clearing no lexicon's 1/8 margin routes
+# 'unknown' — the same evidence-free rule every lexicon route obeys
+# (v3's blanket script->'ar' guessed the member; v4 doesn't guess).
+
+UARFAM = ("ar", "fa", "ur")
+UARFAM_STOPWORDS: dict[str, list[str]] = {
+    "ar": ["هذا", "هو", "في", "من", "على", "هذه", "أن", "إلى", "كان", "مع"],
+    "fa": ["است", "که", "این", "را", "با", "برای", "های", "می", "آن", "خود"],
+    "ur": ["ہے", "کے", "میں", "کی", "اور", "یہ", "سے", "کا", "ہیں", "نے"],
+}
+
+
+def _lex_count(toks: Column, words: list[str]) -> Column:
+    lex = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+
+
+def duck_lex_count(toks: str, words: list[str]) -> str:
+    lex = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks}, t -> list_contains({lex}, t)))"
+
+
+def ulang_id_v4(col: Column) -> Column:
+    """The 13-route router: v3 with the Arabic script gate replaced by
+    a within-family lexicon argmax over {ar, fa, ur} (fixed precedence,
+    same 1/8 margin; no member clearing it → 'unknown'). Hangul/Thai
+    stay pure script routes (each writes one language); kana/Han
+    ordering unchanged. Still pure JVM expressions fused into the
+    scan."""
+    toks = utokens(col)
+    n_toks = F.size(toks)
+    scores = [ustopword_count(toks, lang) for lang in ULANGS]
+    best = F.greatest(*scores)
+    expr = F.lit("unknown")
+    for lang, score in reversed(list(zip(ULANGS, scores))):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    margined = F.when(
+        best * F.lit(ULANG_MARGIN_DEN) >= n_toks, expr
+    ).otherwise(F.lit("unknown"))
+
+    ar_scores = [_lex_count(toks, UARFAM_STOPWORDS[m]) for m in UARFAM]
+    ar_best = F.greatest(*ar_scores)
+    ar_expr = F.lit("unknown")
+    for m, score in reversed(list(zip(UARFAM, ar_scores))):
+        ar_expr = F.when(
+            (score == ar_best) & (ar_best > 0), F.lit(m)
+        ).otherwise(ar_expr)
+    ar_margined = F.when(
+        ar_best * F.lit(ULANG_MARGIN_DEN) >= n_toks, ar_expr
+    ).otherwise(F.lit("unknown"))
+
+    n_letters = _class_count(col, ULETTER_RE)
+    n_out = n_letters - _class_count(col, ULANG_INSET_V3_JAVA)
+    return (
+        F.when(n_out * 2 > n_letters, F.lit("unknown"))
+        .when(_class_count(col, KANA_CLS_JAVA) > 0, F.lit("ja"))
+        .when(_class_count(col, HANGUL_CLS_JAVA) > 0, F.lit("ko"))
+        .when(_class_count(col, HAN_CLS_JAVA) > 0, F.lit("zh"))
+        .when(_class_count(col, ARABIC_CLS_JAVA) > 0, ar_margined)
+        .when(_class_count(col, THAI_CLS_JAVA) > 0, F.lit("th"))
+        .otherwise(margined)
+    )
+
+
 def ulang_confidence(col: Column) -> dict[str, Column]:
     """The router's evidence, as output columns (VERDICT r8 #6 asked
     for confidence in the output, not just a label): winning-lexicon

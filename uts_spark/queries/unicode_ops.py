@@ -797,6 +797,215 @@ def text_langid_confusion_v3(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# v4 router corpus: WITHIN-SCRIPT disambiguation — Arabic script writes
+# Arabic, Persian, AND Urdu; v3's blanket script->'ar' gate guessed the
+# member. The v4 corpus splits 'es' docs into fa/ur labels (prefixes in
+# Persian/Urdu function words — codepoint-disjoint lexicons: Persian ک
+# U+06A9 vs Arabic ك U+0643, Urdu ہ/ے), giving 15 labels: 13 in-set
+# (the v3 eleven + fa + ur) + he/hi still out-of-set.
+
+_ULANG_PREFIX_V4 = {
+    **_ULANG_PREFIX_V3,
+    "fa": (
+        "است که این را با برای های می آن خود در شهر بزرگ ما امروز "
+        "اینجا هستیم و این زندگی خوب است"
+    ),
+    "ur": (
+        "یہ ہے کے میں کی اور سے کا ہیں نے ہم آج یہاں بڑے شہر میں "
+        "رہتے ہیں اور یہ اچھا دن ہے"
+    ),
+}
+_ULAL_ORDER_V4 = _ULAL_ORDER_V3 + ("fa", "ur")
+
+_ULABEL_V4_DUCK = (
+    "CASE WHEN lang = 'en' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'ru' WHEN 2 THEN 'el' WHEN 3 THEN 'ja' "
+    "ELSE 'en' END "
+    "WHEN lang = 'de' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'ar' WHEN 2 THEN 'ko' WHEN 3 THEN 'th' "
+    "ELSE 'de' END "
+    "WHEN lang = 'fr' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'he' WHEN 2 THEN 'hi' ELSE 'fr' END "
+    "WHEN lang = 'es' THEN "
+    "CASE doc_id % 4 WHEN 1 THEN 'fa' WHEN 2 THEN 'ur' ELSE 'es' END "
+    "ELSE lang END"
+)
+
+_UPREFIX_V4_DUCK = "CASE ulabel " + " ".join(
+    f"WHEN '{lab}' THEN '{_ULANG_PREFIX_V4[lab]}'" for lab in _ULAL_ORDER_V4
+) + " END"
+
+_UCORPUS_V4_DUCK = f"""
+  SELECT doc_id, ulabel,
+         ({_UPREFIX_V4_DUCK}) || ' ' || substr(text, 1, 40) AS utext
+  FROM (SELECT doc_id, text, {_ULABEL_V4_DUCK} AS ulabel FROM documents)
+"""
+
+
+def _ulabel_v4_spark():
+    es_sub = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("fa"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("ur"))
+        .otherwise(F.lit("es"))
+    )
+    return F.when(F.col("lang") == "es", es_sub).otherwise(
+        _ulabel_v3_spark()
+    )
+
+
+def _ucorpus_v4(docs):
+    """(doc_id, ulabel, utext) — the 15-label corpus (13 in-set + 2
+    out-of-set scripts)."""
+    prefix = None
+    for lab in _ULAL_ORDER_V4:
+        w = (
+            F.when(F.col("ulabel") == lab, F.lit(_ULANG_PREFIX_V4[lab]))
+            if prefix is None
+            else prefix.when(
+                F.col("ulabel") == lab, F.lit(_ULANG_PREFIX_V4[lab])
+            )
+        )
+        prefix = w
+    return (
+        docs.select("doc_id", "text", _ulabel_v4_spark().alias("ulabel"))
+        .select(
+            "doc_id",
+            "ulabel",
+            F.concat(
+                prefix, F.lit(" "), F.substring(F.col("text"), 1, 40)
+            ).alias("utext"),
+        )
+    )
+
+
+def _duck_ulang_v4_case() -> str:
+    from uts_spark.functions.text import (
+        ARABIC_CLS_RE2,
+        HAN_CLS_RE2,
+        HANGUL_CLS_RE2,
+        KANA_CLS_RE2,
+        THAI_CLS_RE2,
+        UARFAM,
+        UARFAM_STOPWORDS,
+        ULANG_INSET_V3_RE2,
+        ULANG_MARGIN_DEN,
+        ULANGS,
+        ULETTER_RE,
+        duck_lex_count,
+        duck_ustopword_count,
+        duck_utokens,
+    )
+
+    sel = ", ".join(
+        f"{duck_ustopword_count('toks', lang)} AS s_{lang}" for lang in ULANGS
+    )
+    asel = ", ".join(
+        f"{duck_lex_count('toks', UARFAM_STOPWORDS[m])} AS a_{m}"
+        for m in UARFAM
+    )
+    branches = []
+    for i, lang in enumerate(ULANGS):
+        conds = [f"s_{lang} >= s_{other}" for other in ULANGS[i + 1:]]
+        conds.append(f"s_{lang} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    argmax = "CASE " + " ".join(branches) + " ELSE 'unknown' END"
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in ULANGS) + ")"
+    abranches = []
+    for i, m in enumerate(UARFAM):
+        conds = [f"a_{m} >= a_{other}" for other in UARFAM[i + 1:]]
+        conds.append(f"a_{m} > 0")
+        abranches.append(f"WHEN {' AND '.join(conds)} THEN '{m}'")
+    ar_argmax = "CASE " + " ".join(abranches) + " ELSE 'unknown' END"
+    ar_best = "greatest(" + ", ".join(f"a_{m}" for m in UARFAM) + ")"
+
+    def cnt(cls):
+        return (
+            "length(utext) - length("
+            f"regexp_replace(utext, '{cls}', '', 'g'))"
+        )
+
+    return f"""
+    WITH c AS ({_UCORPUS_V4_DUCK}),
+    t AS (
+      SELECT doc_id, ulabel, utext,
+             {duck_utokens('utext')} AS toks,
+             {cnt(ULETTER_RE)} AS n_letters,
+             {cnt(ULETTER_RE)} - ({cnt(ULANG_INSET_V3_RE2)}) AS n_out
+      FROM c
+    ),
+    s AS (
+      SELECT doc_id, ulabel, utext, n_letters, n_out,
+             len(toks) AS n_toks, {sel}, {asel}
+      FROM t
+    )
+    SELECT doc_id, ulabel AS label_lang,
+           CASE WHEN n_out * 2 > n_letters THEN 'unknown'
+                WHEN {cnt(KANA_CLS_RE2)} > 0 THEN 'ja'
+                WHEN {cnt(HANGUL_CLS_RE2)} > 0 THEN 'ko'
+                WHEN {cnt(HAN_CLS_RE2)} > 0 THEN 'zh'
+                WHEN {cnt(ARABIC_CLS_RE2)} > 0 THEN
+                  CASE WHEN {ar_best} * {ULANG_MARGIN_DEN} >= n_toks
+                       THEN {ar_argmax} ELSE 'unknown' END
+                WHEN {cnt(THAI_CLS_RE2)} > 0 THEN 'th'
+                WHEN {best} * {ULANG_MARGIN_DEN} >= n_toks THEN {argmax}
+                ELSE 'unknown' END AS pred_lang
+    FROM s
+    """
+
+
+@query("text_lang_id_unicode_v4", _duck_ulang_v4_case())
+def text_lang_id_unicode_v4(spark, sf_dir):
+    """WITHIN-SCRIPT disambiguation (the v3 docstring's owned caveat):
+    Arabic script writes Arabic, Persian, and Urdu — the script gate
+    now hands off to a lexicon argmax over {ar, fa, ur} with the same
+    1/8 margin, exactly the way ru/el disambiguate within
+    Cyrillic/Greek. The lexicons are codepoint-disjoint even where
+    words look alike (Persian ک U+06A9 vs Arabic ك U+0643; Urdu ہ/ے),
+    so the argmax is evidence, not orthographic luck. An Arabic-script
+    doc clearing no member's margin routes 'unknown' — v3's blanket
+    'ar' guessed the member; v4 doesn't guess. Hangul/Thai stay pure
+    script routes (each writes one language). Pure JVM expressions,
+    same scan-fused shape."""
+    from uts_spark.functions.text import ulang_id_v4
+
+    c = _ucorpus_v4(table(spark, sf_dir, "documents"))
+    return c.select(
+        "doc_id",
+        F.col("ulabel").alias("label_lang"),
+        ulang_id_v4(F.col("utext")).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_langid_confusion_v4",
+    f"""
+    WITH p AS ({_duck_ulang_v4_case()})
+    SELECT label_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion_v4(spark, sf_dir):
+    """Confusion matrix of the v4 router on the 15-label corpus: 15
+    cells — 13 in-set labels exactly diagonal (fa and ur now resolve
+    WITHIN the Arabic script instead of collapsing onto 'ar') and
+    he/hi still exactly on 'unknown'. The contrast: v3 on this corpus
+    routes fa and ur rows to 'ar' — right family, wrong language, and
+    a downstream per-language pipeline (fertility budgets, training
+    mix) would silently pool three languages' text."""
+    from uts_spark.functions.text import ulang_id_v4
+
+    c = _ucorpus_v4(table(spark, sf_dir, "documents"))
+    return (
+        c.select(
+            F.col("ulabel").alias("label_lang"),
+            ulang_id_v4(F.col("utext")).alias("pred_lang"),
+        )
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # PII in unicode clothing: an accented-local-part / IDN-domain email
 # (invisible whole to the ASCII email regex — its classes stop at the
 # first non-ASCII letter) and a FULLWIDTH six-digit run (never matched
