@@ -2649,3 +2649,80 @@ def test_ivf_vindex_ingest_tick_drift_loop(spark, tmp_path):
     assert t3["replayed"] and not t3["reclustered"]
     assert read_version(spark, path).count() == n_after
     assert list_versions(path)[-1]["operation"] == "recluster"
+
+
+def test_vindex_migrate_marker_to_snapshot(spark, docs, emb, tmp_path):
+    """Cross-protocol MIGRATION: a marker-protocol index becomes a
+    snapshot index in one commit, without rebuilding from the corpus.
+    (a) minhash: config carried from the marker manifest, snapshot
+    probe row-identical to the marker probe, and the migrated index
+    accepts snapshot verbs (append + pruned delete); (b) IVF: frozen
+    centroids become the manifest sidecar, probe parity holds, and
+    the migrated manifest carries a fit_ref so the drift tick works
+    from the first post-migration batch; (c) a source without its
+    config manifest fails loudly."""
+    import pytest as _pytest
+
+    import uts_spark.functions.vindex as vx
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        minhash_index_probe,
+        minhash_index_write,
+    )
+    from uts_spark.functions.similarity import ivf_index_probe, ivf_index_write
+    from uts_spark.sources.versioned import list_versions
+
+    d = docs.select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 11 != 3)
+    probe_batch = d.filter(F.col("doc_id") % 11 == 3)
+    cfg = dict(n=3, k=16, bands=4)
+    src = str(tmp_path / "marker_minhash")
+    minhash_index_write(base, "text", "doc_id", src, fingerprint="f0", **cfg)
+    index_manifest_write(src, "f0", n_grps=16, **cfg)
+
+    dst = str(tmp_path / "snap_minhash")
+    assert vx.vindex_migrate(spark, src, dst, fingerprint="f0") == 0
+    m = list_versions(dst)[-1]
+    assert m["family"] == "minhash" and m["bands"] == 4 and m["k"] == 16
+
+    want = sorted(map(tuple, minhash_index_probe(
+        spark, src, probe_batch, base, "text", "doc_id",
+        threshold=0.3, **cfg,
+    ).collect()))
+    got = sorted(map(tuple, vx.minhash_vindex_probe(
+        spark, dst, probe_batch, base, "text", "doc_id",
+        threshold=0.3, **cfg,
+    ).collect()))
+    assert got == want and len(want) > 0
+    # the migrated index is a full citizen: snapshot append + delete
+    vx.minhash_vindex_append(
+        probe_batch, "text", "doc_id", dst, fingerprint="f1", **cfg
+    )
+    removed = vx.minhash_vindex_delete(
+        spark, probe_batch.select(F.col("doc_id").alias("id")), dst,
+        fingerprint="f2", **cfg,
+    )
+    assert removed > 0
+
+    # (b) IVF with the frozen quantizer
+    e_base = emb.filter(F.col("vec_id") % 10 != 7)
+    anchors = emb.filter(F.col("vec_id") < 5)
+    isrc = str(tmp_path / "marker_ivf")
+    ivf_index_write(e_base, isrc, n_cells=8)
+    idst = str(tmp_path / "snap_ivf")
+    vx.vindex_migrate(spark, isrc, idst, fingerprint="f0")
+    im = list_versions(idst)[-1]
+    assert im["family"] == "ivf" and im["fit_ref"][1] == e_base.count()
+    want_i = sorted(map(tuple, ivf_index_probe(
+        spark, isrc, anchors, None, k=10, n_probe=3,
+    ).collect()))
+    got_i = sorted(map(tuple, vx.ivf_vindex_probe(
+        spark, idst, anchors, k=10, n_probe=3,
+    ).collect()))
+    assert got_i == want_i and len(want_i) > 0
+
+    # (c) missing config manifest fails loudly (minhash shape)
+    import os
+    os.remove(os.path.join(src, "_INDEX_MANIFEST.json"))
+    with _pytest.raises(ValueError, match="not\\s+recoverable|no\\s+"):
+        vx.vindex_migrate(spark, src, str(tmp_path / "snap2"))

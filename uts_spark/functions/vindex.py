@@ -1417,3 +1417,134 @@ def vindex_delete_auto(
         f"snapshot index at {path}: unknown family {fam!r} — cannot "
         "route the erasure"
     )
+
+
+def vindex_migrate(
+    spark, src_path: str, dst_path: str, fingerprint: str = ""
+) -> int:
+    """MIGRATE a marker-protocol index to the snapshot protocol in one
+    commit — services upgrade storage protocols without rebuilding
+    from the corpus (the corpus may be 100 TB; the index is its
+    narrow projection). The source family is inferred from its
+    on-disk shape:
+
+    - ``_centroids`` + ``codes`` column  -> ivfpq (both quantizer
+      sidecars copied into immutable ``quant/`` dirs, pointers on the
+      manifest);
+    - ``_centroids`` only                -> ivf;
+    - (table, bucket) partition grid     -> lsh;
+    - (band, grp) partition grid         -> minhash (config read from
+      the marker ``_INDEX_MANIFEST.json`` — bands/n_grps are not
+      recoverable from the rows alone).
+
+    One clustered rewrite of the live rows into a delta dir + a v0
+    manifest commit; the source is left untouched (cutover is the
+    caller swapping paths, rollback is free). Version history does NOT
+    carry over — the marker family's file-census history describes
+    files the migration leaves behind; the snapshot chain starts
+    fresh at the migrated state, which is exactly what its manifests
+    can prove. Returns the committed version (0)."""
+    import json
+
+    src_manifest = None
+    mpath = os.path.join(src_path, "_INDEX_MANIFEST.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            src_manifest = json.load(fh)
+
+    rows = spark.read.parquet(src_path)
+    cols = set(rows.columns)
+    has_cents = os.path.isdir(os.path.join(src_path, "_centroids"))
+
+    # canonical column types: the marker layout stores its partition
+    # keys as DIRECTORY names, which Spark re-infers as int on read —
+    # but native snapshot deltas store them as physical columns with
+    # the types the row builders produce (grp/bucket/cell are LONG).
+    # Without the cast, the first post-migration append writes a long
+    # next to the migrated int and the merged scan dies with a parquet
+    # type mismatch.
+    def canon(df, types: dict):
+        return df.select(*[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in df.columns
+        ])
+
+    if has_cents and "codes" in cols:
+        cexp = spark.read.parquet(os.path.join(src_path, "_codebook"))
+        srow = cexp.select(
+            F.max("m").alias("mx"), F.size(F.first("csub")).alias("d")
+        ).first()
+        m_sub = int(srow["mx"]) + 1
+        dim = int(srow["d"]) * m_sub
+        cents = spark.read.parquet(os.path.join(src_path, "_centroids"))
+        n_cells = cents.count()
+        n_cent = cexp.filter(F.col("m") == 0).count()
+        cdir = _write_quant_dir(cents, dst_path)
+        bdir = _write_quant_dir(cexp, dst_path)
+        rows = canon(rows, {"cell": "long"})
+        ddir = _write_delta_dir(_cluster(rows, "cell"), dst_path, _IVF_SORT)
+        n_rows, stats = _count_and_stats(spark, ddir, "vec_id")
+        meta = {
+            "family": "ivfpq", "fingerprint": fingerprint,
+            "n_cells": n_cells, "dim": dim, "m_sub": m_sub,
+            "n_cent": n_cent,
+            "centroids_dir": cdir, "codebook_dir": bdir,
+            "aux_dirs": [cdir, bdir],
+            "dir_stats": {ddir: stats}, "migrated_from": src_path,
+        }
+    elif has_cents:
+        cents = spark.read.parquet(os.path.join(src_path, "_centroids"))
+        n_cells = cents.count()
+        cdir = _write_quant_dir(cents, dst_path)
+        rows = canon(rows, {"cell": "long"})
+        ddir = _write_delta_dir(_cluster(rows, "cell"), dst_path, _IVF_SORT)
+        n_rows, stats = _count_and_stats(spark, ddir, "vec_id")
+        fit = _ivf_fit_ints_from_dir(spark, ddir, cdir, "vec_id", "embedding")
+        meta = {
+            "family": "ivf", "fingerprint": fingerprint,
+            "n_cells": n_cells, "centroids_dir": cdir, "aux_dirs": [cdir],
+            "fit_ref": list(fit),
+            "dir_stats": {ddir: stats}, "migrated_from": src_path,
+        }
+    elif {"table", "bucket"} <= cols:
+        if src_manifest is None:
+            raise ValueError(
+                f"vindex_migrate: LSH source {src_path} has no "
+                "_INDEX_MANIFEST.json — (dim, planes, tables) are not "
+                "recoverable from the rows"
+            )
+        rows = canon(rows, {"table": "int", "bucket": "long"})
+        ddir = _write_delta_dir(
+            _cluster(rows, "table", "bucket"), dst_path, _LSH_SORT
+        )
+        n_rows, stats = _count_and_stats(spark, ddir, "vec_id")
+        meta = {
+            "family": "lsh", "fingerprint": fingerprint,
+            "dim": src_manifest["dim"], "planes": src_manifest["planes"],
+            "tables": src_manifest["tables"],
+            "dir_stats": {ddir: stats}, "migrated_from": src_path,
+        }
+    elif {"band", "grp"} <= cols:
+        if src_manifest is None:
+            raise ValueError(
+                f"vindex_migrate: minhash source {src_path} has no "
+                "_INDEX_MANIFEST.json — (n, k, bands, n_grps) are not "
+                "recoverable from the rows"
+            )
+        rows = canon(rows, {"band": "int", "grp": "long"})
+        ddir = _write_delta_dir(
+            _cluster(rows, "band", "grp"), dst_path, _SORT
+        )
+        n_rows, stats = _count_and_stats(spark, ddir, "id")
+        meta = _config_meta(
+            fingerprint, src_manifest["n"], src_manifest["k"],
+            src_manifest["bands"], src_manifest["n_grps"],
+        )
+        meta["dir_stats"] = {ddir: stats}
+        meta["migrated_from"] = src_path
+    else:
+        raise ValueError(
+            f"vindex_migrate: cannot infer index family at {src_path} "
+            f"(columns {sorted(cols)})"
+        )
+    return commit_version(dst_path, [ddir], "migrate", None, n_rows, meta)

@@ -6215,6 +6215,70 @@ def similarity_ann_ivf_vindex_pin_across_recluster(spark, sf_dir):
     )
 
 
+@query("similarity_ann_ivf_migrate_probe", _duck_ivf_det_frozen())
+def similarity_ann_ivf_migrate_probe(spark, sf_dir):
+    """Cross-protocol MIGRATION round trip: build the marker-protocol
+    IVF index over base, fold the rem-7 batch in with the marker
+    append, then MIGRATE to the snapshot protocol in one commit
+    (vindex.vindex_migrate — live rows rewritten into a delta dir,
+    frozen centroids copied into a manifest sidecar, fit_ref computed
+    so the drift tick works from the first post-migration batch; the
+    source is untouched, so cutover is a path swap and rollback is
+    free) and probe at the migrated snapshot. Oracle = the marker
+    append lane's frozen-quantizer recompute — migration is physical,
+    never semantic, so the snapshot probe must hash-match what the
+    marker index would answer. Why it matters at 100 TB: the corpus
+    is 100 TB but the index is its narrow projection — a service
+    upgrading storage protocols must not pay a corpus-sized rebuild."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_manifest_write,
+        index_state,
+        index_tick,
+    )
+    from uts_spark.functions.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+    )
+    from uts_spark.functions.vindex import (
+        ivf_vindex_probe,
+        vindex_config,
+        vindex_migrate,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+    src = ivf_index_path(sf_dir, fp0, n_cells=8) + "_migsrc"
+    dst = ivf_index_path(sf_dir, fp0, n_cells=8) + "_migdst"
+
+    state = index_state(src)
+    if state not in (fp0, fp1):
+        if os.path.exists(src):
+            shutil.rmtree(src)
+        ivf_index_write(base, src, n_cells=8)
+        index_manifest_write(src, fp0, n_cells=8)
+        state = fp0
+    if state == fp0:
+        index_tick(
+            src, fp1,
+            lambda: ivf_index_append(spark, batch, src),
+            n_cells=8,
+        )
+
+    m = vindex_config(dst)
+    if m is None or m.get("fingerprint") != fp1:
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        vindex_migrate(spark, src, dst, fingerprint=fp1)
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_vindex_probe(spark, dst, anchors, k=10, n_probe=3)
+
+
 _GDPR_REM = 4  # fan-out erasure slice: id % 10 == 4 (docs AND vectors)
 
 
