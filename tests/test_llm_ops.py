@@ -2726,3 +2726,112 @@ def test_vindex_migrate_marker_to_snapshot(spark, docs, emb, tmp_path):
     os.remove(os.path.join(src, "_INDEX_MANIFEST.json"))
     with _pytest.raises(ValueError, match="not\\s+recoverable|no\\s+"):
         vx.vindex_migrate(spark, src, str(tmp_path / "snap2"))
+
+
+def test_vindex_maybe_compact_trigger(spark, emb, tmp_path):
+    """The OPTIMIZE trigger: under the dir threshold it does nothing
+    (returns None, no new version); past it, one family-dispatched
+    compaction rewrites the chain into a single dir, preserves the
+    probe result exactly, and the quantizer pointer + fit_ref carry
+    forward."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import _manifest_dirs, list_versions
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    bits = emb.filter(F.col("vec_id") % 10 == 7).limit(12)
+    anchors = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_opt")
+    vx.ivf_vindex_build(base, path, fingerprint="f0", n_cells=8)
+
+    for i, row in enumerate(bits.collect()[:4]):
+        one = spark.createDataFrame(
+            [(row["vec_id"], row["embedding"])],
+            "vec_id long, embedding array<float>",
+        )
+        vx.ivf_vindex_append(one, path, fingerprint="fi", batch_id=i)
+    pm = list_versions(path)[-1]
+    assert len(_manifest_dirs(pm)) == 5
+    # under threshold: no-op
+    assert vx.vindex_maybe_compact(spark, path, max_dirs=8) is None
+    assert list_versions(path)[-1]["version"] == pm["version"]
+
+    pre = sorted(map(
+        tuple, vx.ivf_vindex_probe(spark, path, anchors, k=10).collect()
+    ))
+    # past threshold: one compaction, chain -> 1 dir, probe identical
+    v = vx.vindex_maybe_compact(spark, path, max_dirs=4, fingerprint="fc")
+    assert v is not None
+    cm = list_versions(path)[-1]
+    assert cm["operation"] == "compact" and len(_manifest_dirs(cm)) == 1
+    assert cm["centroids_dir"] == pm["centroids_dir"]
+    assert cm["fit_ref"] == pm["fit_ref"]
+    post = sorted(map(
+        tuple, vx.ivf_vindex_probe(spark, path, anchors, k=10).collect()
+    ))
+    assert post == pre
+
+
+def test_minhash_vindex_ingest_tick_skew_loop(spark, docs, tmp_path):
+    """The snapshot dedup skew loop, monitor on manifests: (a) build
+    commits coll_ref; (b) organic tick records its collision ints on
+    the append manifest, no flag; (c) boilerplate tick flags, the cap
+    rewrite quarantines the flood (quarantine dir on the manifest as
+    an aux dir — protected from orphan cleanup), live index retains no
+    hot-bucket row; (d) replaying the flagged tick (same stream_id +
+    batch_id) after its own cap rewrite is a no-op."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        remove_orphans,
+    )
+
+    BOILER = "act now exclusive deal free shipping on all orders today"
+    d = docs.select("doc_id", "text")
+    base = d.filter(~F.col("doc_id").__mod__(11).isin(3, 7))
+    b1 = d.filter(F.col("doc_id") % 11 == 3)
+    boiler = d.filter(F.col("doc_id") % 11 == 7).select(
+        "doc_id", F.lit(BOILER).alias("text")
+    )
+    cfg = dict(n=3, k=16, bands=4)
+    path = str(tmp_path / "midx_snap")
+    vx.minhash_vindex_build(base, "text", "doc_id", path, "f0", **cfg)
+    ref0 = list_versions(path)[-1]["coll_ref"]
+    assert ref0[1] == list_versions(path)[-1]["n_rows"]
+
+    t1 = vx.minhash_vindex_ingest_tick(
+        spark, b1, "text", "doc_id", path, 0, fingerprint="fi",
+        stream_id="s1", **cfg,
+    )
+    assert not t1["flagged"] and t1["capped_rows"] == 0
+    m1 = list_versions(path)[-1]
+    assert m1["coll_sum"] == t1["coll_sum"] and m1["coll_ref"] == ref0
+
+    t2 = vx.minhash_vindex_ingest_tick(
+        spark, boiler, "text", "doc_id", path, 1, fingerprint="fi",
+        stream_id="s1", **cfg,
+    )
+    assert t2["flagged"] and t2["capped_rows"] >= t2["row_n"]
+    m2 = list_versions(path)[-1]
+    assert m2["operation"] == "cap" and m2["hot_buckets"] > 0
+    q = spark.read.parquet(m2["quarantine_dir"])
+    assert q.count() == t2["capped_rows"]
+    live = read_version(spark, path)
+    assert live.join(
+        q.select("band", "bucket").distinct(), ["band", "bucket"]
+    ).count() == 0
+    # quarantine survives orphan cleanup (manifest-referenced aux dir)
+    import os
+    assert remove_orphans(path, older_than_secs=0) == [] or os.path.isdir(
+        m2["quarantine_dir"]
+    )
+    assert os.path.isdir(m2["quarantine_dir"])
+
+    # (d) replay across the cap rewrite: no-op, stats echoed back
+    t3 = vx.minhash_vindex_ingest_tick(
+        spark, boiler, "text", "doc_id", path, 1, fingerprint="fi",
+        stream_id="s1", **cfg,
+    )
+    assert t3["replayed"] and t3["capped_rows"] == 0
+    assert t3["coll_sum"] == t2["coll_sum"]
+    assert read_version(spark, path).count() == live.count()

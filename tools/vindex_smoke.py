@@ -29,7 +29,82 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def chain_main() -> None:
+    """--chain: probe wall vs append-chain LENGTH (the OPTIMIZE
+    trigger's measurement — vindex.vindex_maybe_compact's max_dirs
+    default comes from this curve): build N, append tiny batches one
+    dir at a time, probe (warm, 2nd of 2) at several chain lengths,
+    then compact and probe the single-dir wall."""
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    from pyspark.sql import functions as F
+
+    from uts_spark.session import get_spark
+
+    spark = get_spark("vindex-chain-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    import uts_spark.registry  # noqa: F401
+
+    def vecs(lo: int, n: int):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    F.pmod(F.xxhash64(F.col("id"), j), 2001) - 1000
+                ).cast("float") / F.lit(1000.0),
+            ).alias("embedding"),
+        )
+
+    from uts_spark.functions.vindex import (
+        ivf_vindex_append,
+        ivf_vindex_build,
+        ivf_vindex_compact,
+        ivf_vindex_probe,
+    )
+
+    work = tempfile.mkdtemp(prefix="uts_vindex_chain_")
+    path = os.path.join(work, "snap")
+    anchors = vecs(0, 5)
+    walls: dict[str, float] = {}
+
+    def probe_wall(tag):
+        ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3).count()
+        t0 = time.time()
+        ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3).count()
+        walls[tag] = round(time.time() - t0, 2)
+        print(f"  probe@{tag}: {walls[tag]}s", flush=True)
+
+    try:
+        ivf_vindex_build(vecs(0, rows), path, fingerprint="f0", n_cells=8)
+        probe_wall("dirs=1")
+        nxt = rows
+        for target in (8, 16, 32, 64):
+            while True:
+                from uts_spark.sources.versioned import (
+                    _manifest_dirs,
+                    list_versions,
+                )
+
+                ndirs = len(_manifest_dirs(list_versions(path)[-1]))
+                if ndirs >= target:
+                    break
+                ivf_vindex_append(
+                    vecs(nxt, 1000), path, fingerprint="fi",
+                    batch_id=nxt,
+                )
+                nxt += 1000
+            probe_wall(f"dirs={target}")
+        ivf_vindex_compact(spark, path, fingerprint="fc")
+        probe_wall("compacted")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"rows": rows, "probe_walls": walls}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--chain":
+        chain_main()
+        return
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
     from pyspark.sql import functions as F

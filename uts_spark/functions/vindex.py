@@ -405,7 +405,7 @@ def _carry_meta(pm: dict, fingerprint: str, keys: tuple[str, ...]) -> dict:
     the parent manifest verbatim; only the fingerprint advances."""
     meta = {k: pm[k] for k in keys if k in pm}
     for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family",
-              "fit_ref"):
+              "fit_ref", "coll_ref"):
         if k in pm:
             meta[k] = pm[k]
     meta["fingerprint"] = fingerprint
@@ -520,6 +520,20 @@ def minhash_vindex_build(
     spark = df.sparkSession
     n_rows, stats = _count_and_stats(spark, ddir)
     meta = _config_meta(fingerprint, n, k, bands, n_grps)
+    # the skew monitor's ORGANIC reference (coll = sum s*(s-1) over
+    # buckets, rown = band rows) commits WITH the build — no sidecar
+    # file; every verb carries it, the cap verb's accounting reads the
+    # live row count off the manifest's own n_rows
+    cref = (
+        spark.read.parquet(ddir)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(
+            F.sum(F.col("s") * (F.col("s") - F.lit(1))).alias("c"),
+        )
+        .first()
+    )
+    meta["coll_ref"] = [int(cref["c"] or 0), n_rows]
     meta["dir_stats"] = {ddir: stats}
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
@@ -558,9 +572,15 @@ def minhash_vindex_append(
         rows.repartition(4, "band", "grp"), path, _SORT
     )
     n_new, stats = _count_and_stats(spark, ddir)
+
+    def meta_fn(pm):
+        meta = _config_meta(fingerprint, n, k, bands, n_grps)
+        if "coll_ref" in pm:
+            meta["coll_ref"] = pm["coll_ref"]
+        return meta
+
     return _append_commit(
-        spark, path, ddir, stats, n_new,
-        lambda pm: _config_meta(fingerprint, n, k, bands, n_grps),
+        spark, path, ddir, stats, n_new, meta_fn,
         batch_id=batch_id, stream_id=stream_id,
     )
 
@@ -578,9 +598,14 @@ def minhash_vindex_delete(
     """Erasure through the shared pruned copy-on-write kernel (see
     :func:`_delete_pruned` for the id-range pruning contract)."""
     _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
+    def meta_fn(pm):
+        meta = _config_meta(fingerprint, n, k, bands, n_grps)
+        if "coll_ref" in pm:
+            meta["coll_ref"] = pm["coll_ref"]
+        return meta
+
     return _delete_pruned(
-        spark, deleted_ids, path, "id", ("band", "grp"), _SORT,
-        lambda pm: _config_meta(fingerprint, n, k, bands, n_grps),
+        spark, deleted_ids, path, "id", ("band", "grp"), _SORT, meta_fn,
     )
 
 
@@ -599,11 +624,16 @@ def minhash_vindex_compact(
     PRE-compaction versions keeps working until vacuum (contrast the
     marker family, where compaction physically replaces files and
     must RESET history)."""
+    def meta_fn(pm, cur):
+        meta = _config_meta(fingerprint, n, k, bands, n_grps)
+        if "coll_ref" in pm:
+            meta["coll_ref"] = pm["coll_ref"]
+        return meta
+
     return _rewrite_with_retry(
         spark, path,
         lambda cur, meta: _cluster(cur, "band", "grp"),
-        "compact",
-        lambda pm, cur: _config_meta(fingerprint, n, k, bands, n_grps),
+        "compact", meta_fn,
     )
 
 
@@ -1548,3 +1578,215 @@ def vindex_migrate(
             f"(columns {sorted(cols)})"
         )
     return commit_version(dst_path, [ddir], "migrate", None, n_rows, meta)
+
+
+def vindex_compact_auto(spark, path: str, fingerprint: str = "") -> int:
+    """Family-dispatching compaction (the OPTIMIZE verb behind the
+    trigger below)."""
+    pm = _current_manifest(path)
+    fam = pm.get("family")
+    if fam == "minhash":
+        return minhash_vindex_compact(
+            spark, path, fingerprint=fingerprint,
+            n=pm["n"], k=pm["k"], bands=pm["bands"], n_grps=pm["n_grps"],
+        )
+    if fam == "lsh":
+        return lsh_vindex_compact(spark, path, fingerprint=fingerprint)
+    if fam == "ivf":
+        return ivf_vindex_compact(spark, path, fingerprint=fingerprint)
+    if fam == "ivfpq":
+        return ivfpq_vindex_compact(spark, path, fingerprint=fingerprint)
+    raise ValueError(
+        f"snapshot index at {path}: unknown family {fam!r} — cannot "
+        "route the compaction"
+    )
+
+
+def vindex_maybe_compact(
+    spark, path: str, max_dirs: int = 32, fingerprint: str = ""
+) -> int | None:
+    """The OPTIMIZE TRIGGER for append chains: compact when the
+    CURRENT manifest references more than ``max_dirs`` directories,
+    else do nothing (returns None). Every fast-append adds one delta
+    dir, and past some chain length the probe pays more in per-dir
+    footer/open/planning overhead than the data justifies — measured
+    on the 1M-vector IVF index (tools/vindex_smoke.py --chain):
+    probe wall grows with the dir count and one compaction restores
+    the single-dir wall; the 32-dir default sits where the measured
+    overhead starts to exceed ~10% of the probe (see SCALE.md round
+    9b chain table). Services call this at the END of a tick — the
+    compaction is itself a CAS rewrite commit, so a racing append
+    simply lands before or after it (before: folded in; after: the
+    chain restarts at 2 dirs). Time travel to pre-compaction versions
+    keeps working until vacuum, and exactly-once batch keys survive
+    (compaction opens a new epoch for epoch-keyed appends, which is
+    the documented rewrite rule; stream-id keys are unaffected)."""
+    pm = _current_manifest(path)
+    if len(_manifest_dirs(pm)) <= max_dirs:
+        return None
+    return vindex_compact_auto(spark, path, fingerprint=fingerprint)
+
+
+def minhash_vindex_cap_hot_buckets(
+    spark, path: str, cap: int | None = None, fingerprint: str = ""
+) -> int:
+    """The skew loop's corrective verb, snapshot-shaped: QUARANTINE
+    every bucket larger than ``cap`` — quarantined rows are written to
+    their own immutable dir, referenced from the manifest as
+    ``quarantine_dir`` (an aux dir: auditable, reversible, protected
+    from orphan cleanup and vacuumed only with its manifest), and the
+    live rows rewrite WITHOUT them as one CAS rewrite commit. Cost is
+    table-sized (the compact class — snapshot dirs are id-range
+    clustered, not bucket-partitioned, so there is no partition-pruned
+    path like the marker cap verb's; cap ticks are rare flood
+    responses and the manifest records ``hot_buckets`` for the audit).
+    Pre-cap versions stay readable until vacuum. Returns the number of
+    rows quarantined (0 without committing when no bucket exceeds the
+    cap)."""
+    from uts_spark.functions.dedup import HOT_BUCKET_CAP
+
+    if cap is None:
+        cap = HOT_BUCKET_CAP
+    pm = _current_manifest(path)
+    cur0 = read_version(spark, path, pm["version"])
+    if (
+        cur0.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") > cap)
+        .limit(1)
+        .count()
+        == 0
+    ):
+        return 0
+
+    state: dict = {}
+
+    def meta_fn(pmm, cur):
+        hot = (
+            cur.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .filter(F.col("s") > cap)
+            .select("band", "bucket")
+            .localCheckpoint(eager=True)
+        )
+        state["hot"] = hot
+        qrows = cur.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
+        qdir = _write_delta_dir(_cluster(qrows, "band", "grp"), path, _SORT)
+        meta = _config_meta(
+            fingerprint, pmm["n"], pmm["k"], pmm["bands"], pmm["n_grps"]
+        )
+        if "coll_ref" in pmm:
+            meta["coll_ref"] = pmm["coll_ref"]
+        meta["hot_buckets"] = hot.count()
+        meta["quarantine_dir"] = qdir
+        meta["aux_dirs"] = list(pmm.get("aux_dirs", [])) + [qdir]
+        return meta
+
+    def make_rows(cur, meta):
+        return _cluster(
+            cur.join(F.broadcast(state["hot"]), ["band", "bucket"],
+                     "left_anti"),
+            "band", "grp",
+        )
+
+    v = _rewrite_with_retry(spark, path, make_rows, "cap", meta_fn)
+    versions = {m["version"]: m for m in list_versions(path)}
+    return versions[versions[v]["parent"]]["n_rows"] - versions[v]["n_rows"]
+
+
+def minhash_vindex_ingest_tick(
+    spark,
+    batch_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    batch_id: int,
+    fingerprint: str = "",
+    stream_id: str | None = None,
+    cap: int | None = None,
+    skew_milli: int | None = None,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    n_grps: int = 16,
+) -> dict:
+    """One CLOSED-LOOP micro-batch of the SNAPSHOT dedup ingest — the
+    vindex port of dedup.minhash_ingest_tick, with the whole monitor
+    on manifests: the build commits the organic collision reference
+    (``coll_ref``), each tick's batch-collision ints commit atomically
+    WITH its data, the flag cross-multiplies exact integers against
+    the carried reference (the live row count is the parent manifest's
+    own ``n_rows`` — no counter file to maintain), and the corrective
+    hot-bucket quarantine is an ordinary CAS rewrite whose quarantine
+    dir rides the manifest. Replay semantics match the IVF tick:
+    stream-id keys survive the cap rewrite, and a replayed tick never
+    re-decides off stale stats. Thresholds default to the measured
+    dedup.SKEW_MILLI / HOT_BUCKET_CAP (SCALE.md round 9b)."""
+    from uts_spark.functions.dedup import (
+        HOT_BUCKET_CAP,
+        SKEW_MILLI,
+        minhash_collision_stat_ints,
+    )
+
+    if cap is None:
+        cap = HOT_BUCKET_CAP
+    if skew_milli is None:
+        skew_milli = SKEW_MILLI
+    _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
+
+    before = {m["version"]: m for m in list_versions(path)}
+    if not before:
+        raise ValueError(f"snapshot index at {path}: no committed versions")
+    replay_hit = _batch_committed(
+        before, _batch_key(before, batch_id, stream_id)
+    )
+    if replay_hit is not None:
+        m = before[replay_hit]
+        return {
+            "coll_sum": int(m.get("coll_sum", 0)),
+            "row_n": int(m.get("coll_rown", 0)),
+            "flagged": False, "capped_rows": 0, "replayed": True,
+        }
+
+    pm = before[max(before)]
+    rows = _rows(
+        batch_docs, text_col, id_col, n, k, bands, n_grps
+    ).localCheckpoint(eager=True)
+    live = read_version(spark, path)
+    coll, row_n = minhash_collision_stat_ints(
+        rows.select("id", "band", "bucket"), live
+    )
+    ddir = _write_delta_dir(rows.repartition(4, "band", "grp"), path, _SORT)
+    n_new, stats = _count_and_stats(spark, ddir)
+
+    def meta_fn(pmm):
+        meta = _config_meta(fingerprint, n, k, bands, n_grps)
+        if "coll_ref" in pmm:
+            meta["coll_ref"] = pmm["coll_ref"]
+        meta["coll_sum"], meta["coll_rown"] = coll, row_n
+        return meta
+
+    v = _append_commit(
+        spark, path, ddir, stats, n_new, meta_fn,
+        batch_id=batch_id, stream_id=stream_id,
+    )
+    versions = {m["version"]: m for m in list_versions(path)}
+    ref = versions[v].get("coll_ref")
+    idx_n = pm["n_rows"]  # live band rows the stat was measured against
+    flagged = bool(
+        ref is not None
+        and row_n > 0
+        and int(ref[0]) > 0
+        and int(ref[1]) > 1
+        and coll * int(ref[1]) * (int(ref[1]) - 1) * 1000
+        > skew_milli * int(ref[0]) * row_n * (idx_n + row_n - 1)
+    )
+    capped = 0
+    if flagged and v == max(versions):
+        capped = minhash_vindex_cap_hot_buckets(
+            spark, path, cap=cap, fingerprint=fingerprint + ":cap"
+        )
+    return {
+        "coll_sum": coll, "row_n": row_n, "flagged": flagged,
+        "capped_rows": capped, "replayed": False,
+    }

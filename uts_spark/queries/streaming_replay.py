@@ -2396,12 +2396,125 @@ def _register_stream_dedup_skew_cap():
             "doc_id", "rep_id", "n_hot_rows"
         )
 
-    return stream_dedup_ingest_skew_cap_replay, dedup_quarantine_review
+    from uts_spark.registry import ORACLES as _OR
+
+    @query(
+        "stream_dedup_vindex_skew_cap_replay",
+        _OR["stream_dedup_ingest_skew_cap_replay"],
+    )
+    def stream_dedup_vindex_skew_cap_replay(spark, sf_dir):
+        """The skew control loop on the SNAPSHOT dedup index — monitor
+        state entirely on manifests (vindex.minhash_vindex_ingest_tick:
+        build commits coll_ref, each tick's collision ints commit WITH
+        its data, the cap is a CAS rewrite whose quarantine dir rides
+        the manifest as an aux dir), stream-id-keyed exactly-once (a
+        tick replayed after its own cap rewrite skips), a manifest-only
+        SEAL marks completion. Same derived flood corpus, thresholds,
+        and probe as the marker-family lane — the two protocols are
+        semantics-identical, so the oracle is reused verbatim (the cap
+        rule recomputed in SQL gates BOTH storage protocols)."""
+        from uts_spark.functions.vindex import (
+            minhash_vindex_build,
+            minhash_vindex_ingest_tick,
+            minhash_vindex_probe,
+            vindex_config,
+            vindex_seal,
+        )
+        from uts_spark.queries.llm_ops import (
+            _frame_fingerprint,
+            minhash_index_path,
+        )
+
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter(
+            ~F.col("doc_id").__mod__(_MIDX_MOD).isin(
+                NORM_REM, BOIL_REM, PROBE_REM
+            )
+        )
+        b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == NORM_REM)
+        boiler = docs.filter(F.col("doc_id") % _MIDX_MOD == BOIL_REM).select(
+            "doc_id", F.lit(BOILER).alias("text")
+        )
+        old = base.unionByName(b1).unionByName(boiler)
+        new = (
+            docs.filter(F.col("doc_id") % _MIDX_MOD == PROBE_REM)
+            .unionByName(
+                docs.filter(F.col("doc_id") % CLONE_MOD == 0).select(
+                    (F.col("doc_id") + F.lit(CLONE_OFF)).alias("doc_id"),
+                    "text",
+                )
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % _MIDX_MOD == PROBE_REM).select(
+                    (F.col("doc_id") + F.lit(BOIL_OFF)).alias("doc_id"),
+                    F.lit(BOILER).alias("text"),
+                )
+            )
+        )
+
+        fp0, fp1 = _frame_fingerprint(base), _frame_fingerprint(old)
+        fp_ing = fp0 + ":ingesting"
+        cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+        path = minhash_index_path(sf_dir, fp0, **cfg) + "_snapskew"
+
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            minhash_vindex_build(
+                base, "text", "doc_id", path, fingerprint=fp0, **cfg
+            )
+            state = fp0
+        if state == fp0:
+            scratch = tempfile.mkdtemp(prefix="uts_vskew_ingest_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                b1.coalesce(1).write.parquet(src)
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                run_id = uuid.uuid4().hex[:8]
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: minhash_vindex_ingest_tick(
+                            spark, bdf, "text", "doc_id", path, bid,
+                            fingerprint=fp_ing, stream_id=run_id, **cfg,
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                    boiler.coalesce(1).write.mode("append").parquet(src)
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            vindex_seal(path, fp1)
+
+        return minhash_vindex_probe(
+            spark, path, new, old, "text", "doc_id",
+            threshold=_MIDX_THR, **cfg,
+        )
+
+    return (
+        stream_dedup_ingest_skew_cap_replay,
+        dedup_quarantine_review,
+        stream_dedup_vindex_skew_cap_replay,
+    )
 
 
-stream_dedup_ingest_skew_cap_replay, dedup_quarantine_review = (
-    _register_stream_dedup_skew_cap()
-)
+(
+    stream_dedup_ingest_skew_cap_replay,
+    dedup_quarantine_review,
+    stream_dedup_vindex_skew_cap_replay,
+) = _register_stream_dedup_skew_cap()
 
 
 def _register_stream_ann_vindex_ingest():
