@@ -1006,6 +1006,111 @@ def text_langid_confusion_v4(spark, sf_dir):
     )
 
 
+# --- ar-family margin sweep: the threshold curve for the within-script
+# argmax (same pattern as text_langid_margin_sweep for the main
+# lexicon) — per margin denominator, how many Arabic-script docs clear
+# the evidence bar, and of those how many land on the right member.
+
+_ARFAM_MARGIN_DENS = (2, 4, 8, 16, 32)
+
+
+def _duck_arfam_margin_sweep() -> str:
+    from uts_spark.functions.text import (
+        UARFAM,
+        UARFAM_STOPWORDS,
+        duck_lex_count,
+        duck_utokens,
+    )
+
+    asel = ", ".join(
+        f"{duck_lex_count('toks', UARFAM_STOPWORDS[m])} AS a_{m}"
+        for m in UARFAM
+    )
+    abranches = []
+    for i, m in enumerate(UARFAM):
+        conds = [f"a_{m} >= a_{other}" for other in UARFAM[i + 1:]]
+        conds.append(f"a_{m} > 0")
+        abranches.append(f"WHEN {' AND '.join(conds)} THEN '{m}'")
+    ar_argmax = "CASE " + " ".join(abranches) + " ELSE 'unknown' END"
+    ar_best = "greatest(" + ", ".join(f"a_{m}" for m in UARFAM) + ")"
+    dens = ", ".join(str(d) for d in _ARFAM_MARGIN_DENS)
+    return f"""
+    WITH c AS ({_UCORPUS_V4_DUCK}),
+    s AS (
+      SELECT ulabel, len({duck_utokens('utext')}) AS n_toks, {asel}
+      FROM (SELECT ulabel, utext,
+                   {duck_utokens('utext')} AS toks FROM c)
+      WHERE ulabel IN ('ar', 'fa', 'ur')
+    ),
+    d AS (SELECT unnest([{dens}]) AS margin_den)
+    SELECT CAST(d.margin_den AS BIGINT) AS margin_den,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {ar_best} * d.margin_den >= n_toks
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_routed,
+           CAST(SUM(CASE WHEN {ar_best} * d.margin_den >= n_toks
+                         AND ({ar_argmax}) = ulabel
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           SUM(CASE WHEN {ar_best} * d.margin_den >= n_toks
+                    AND ({ar_argmax}) = ulabel THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE) AS routed_accuracy
+    FROM s, d GROUP BY d.margin_den
+    """
+
+
+@query("text_langid_arfam_margin_sweep", _duck_arfam_margin_sweep())
+def text_langid_arfam_margin_sweep(spark, sf_dir):
+    """The Arabic-family evidence-threshold CURVE (the sweep pattern
+    every calibrated gate in this repo ships with): over the v4
+    corpus's Arabic-script rows, for each margin denominator — how
+    many docs clear the within-family lexicon bar (``n_routed``) and
+    how many of those land on the right member (``n_correct``). Reads
+    off the curve: the shipped 1/8 margin routes every prefix-bearing
+    doc correctly; tightening to 1/2 starts refusing real docs whose
+    soup slice dilutes the token count (evidence loss, not error);
+    loosening costs nothing HERE because the lexicons are
+    codepoint-disjoint — on a real crawl the loose end admits
+    borrowed-phrase noise, which is why the shared default stays 1/8.
+    Integer counts end-to-end; ratio computed identically both
+    engines."""
+    from uts_spark.functions.text import UARFAM, UARFAM_STOPWORDS, _lex_count, utokens
+
+    c = _ucorpus_v4(table(spark, sf_dir, "documents")).filter(
+        F.col("ulabel").isin("ar", "fa", "ur")
+    )
+    toks = utokens(F.col("utext"))
+    scores = {m: _lex_count(toks, UARFAM_STOPWORDS[m]) for m in UARFAM}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for m in reversed(UARFAM):
+        expr = F.when(
+            (scores[m] == best) & (best > 0), F.lit(m)
+        ).otherwise(expr)
+    s = c.select(
+        "ulabel",
+        F.size(toks).alias("n_toks"),
+        best.alias("a_best"),
+        expr.alias("a_pick"),
+    )
+    d = s.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(x),) for x in _ARFAM_MARGIN_DENS], "margin_den long"
+            )
+        )
+    )
+    routed = F.col("a_best") * F.col("margin_den") >= F.col("n_toks")
+    correct = routed & (F.col("a_pick") == F.col("ulabel"))
+    return d.groupBy("margin_den").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(routed.cast("long")).alias("n_routed"),
+        F.sum(correct.cast("long")).alias("n_correct"),
+        (
+            F.sum(correct.cast("long"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("routed_accuracy"),
+    )
+
+
 # PII in unicode clothing: an accented-local-part / IDN-domain email
 # (invisible whole to the ASCII email regex — its classes stop at the
 # first non-ASCII letter) and a FULLWIDTH six-digit run (never matched
