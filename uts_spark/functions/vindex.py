@@ -1603,18 +1603,19 @@ def vindex_compact_auto(spark, path: str, fingerprint: str = "") -> int:
 
 
 def vindex_maybe_compact(
-    spark, path: str, max_dirs: int = 32, fingerprint: str = ""
+    spark, path: str, max_dirs: int = 16, fingerprint: str = ""
 ) -> int | None:
     """The OPTIMIZE TRIGGER for append chains: compact when the
     CURRENT manifest references more than ``max_dirs`` directories,
     else do nothing (returns None). Every fast-append adds one delta
     dir, and past some chain length the probe pays more in per-dir
     footer/open/planning overhead than the data justifies — measured
-    on the 1M-vector IVF index (tools/vindex_smoke.py --chain):
-    probe wall grows with the dir count and one compaction restores
-    the single-dir wall; the 32-dir default sits where the measured
-    overhead starts to exceed ~10% of the probe (see SCALE.md round
-    9b chain table). Services call this at the END of a tick — the
+    on the 200k-vector IVF chain (tools/vindex_smoke.py --chain,
+    SCALE.md round 9b): warm probe 3.8-5.3s through 16 dirs, then
+    8.5s at 32 and 10.3s at 64 — roughly 2x by 32 — and one
+    compaction restores 4.4s. The 16-dir default triggers at the
+    measured knee, before the doubling. Services call this at the
+    END of a tick — the
     compaction is itself a CAS rewrite commit, so a racing append
     simply lands before or after it (before: folded in; after: the
     chain restarts at 2 dirs). Time travel to pre-compaction versions
