@@ -2835,3 +2835,66 @@ def test_minhash_vindex_ingest_tick_skew_loop(spark, docs, tmp_path):
     assert t3["replayed"] and t3["capped_rows"] == 0
     assert t3["coll_sum"] == t2["coll_sum"]
     assert read_version(spark, path).count() == live.count()
+
+
+def test_ivfpq_vindex_ingest_tick_distortion_loop(spark, tmp_path):
+    """The codebook-side drift loop on the snapshot IVF-PQ index:
+    (a) build commits dist_ref (PQ distortion ints computed from the
+    STORED codes); (b) an in-distribution tick records its distortion
+    WITH its data and does not flag; (c) an orthogonal-cluster tick's
+    distortion blows past the 1.3x flag, the corrective recluster
+    refreshes BOTH quantizers and resets dist_ref; (d) replaying the
+    flagged tick after its own recluster is a no-op."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions, read_version
+
+    def dvec(id_col, center_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                ((id_col * 31 + j * 7) % 16 - 8).cast("double")
+                / F.lit(16.0)
+            )
+            + F.when(j == center_col, F.lit(8.0)).otherwise(F.lit(0.0)),
+        )
+
+    base = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        dvec(F.col("id"), F.col("id") % 8).alias("embedding"),
+    )
+    good = spark.range(1000, 1040).select(
+        F.col("id").alias("vec_id"),
+        dvec(F.col("id"), F.col("id") % 8).alias("embedding"),
+    )
+    drifted = spark.range(2000, 2040).select(
+        F.col("id").alias("vec_id"),
+        dvec(F.col("id"), F.lit(56) + F.col("id") % 8).alias("embedding"),
+    )
+    path = str(tmp_path / "ivfpq_tick")
+    vx.ivfpq_vindex_build(base, path, dim=64, fingerprint="f0")
+    ref0 = list_versions(path)[-1]["dist_ref"]
+    assert ref0[1] == 200
+
+    t1 = vx.ivfpq_vindex_ingest_tick(
+        spark, good, path, 0, fingerprint="fi", stream_id="s1"
+    )
+    assert not t1["flagged"] and not t1["reclustered"]
+    m1 = list_versions(path)[-1]
+    assert m1["dist_n"] == 40 and m1["dist_ref"] == ref0
+
+    t2 = vx.ivfpq_vindex_ingest_tick(
+        spark, drifted, path, 1, fingerprint="fi", stream_id="s1"
+    )
+    assert t2["flagged"] and t2["reclustered"]
+    m2 = list_versions(path)[-1]
+    assert m2["operation"] == "recluster"
+    assert m2["codebook_dir"] != list_versions(path)[0]["codebook_dir"]
+    assert m2["dist_ref"] != ref0 and m2["dist_ref"][1] == 280
+    n_after = read_version(spark, path).count()
+    assert n_after == 280
+
+    t3 = vx.ivfpq_vindex_ingest_tick(
+        spark, drifted, path, 1, fingerprint="fi", stream_id="s1"
+    )
+    assert t3["replayed"] and not t3["reclustered"]
+    assert read_version(spark, path).count() == n_after

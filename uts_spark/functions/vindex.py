@@ -405,7 +405,7 @@ def _carry_meta(pm: dict, fingerprint: str, keys: tuple[str, ...]) -> dict:
     the parent manifest verbatim; only the fingerprint advances."""
     meta = {k: pm[k] for k in keys if k in pm}
     for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family",
-              "fit_ref", "coll_ref"):
+              "fit_ref", "coll_ref", "dist_ref"):
         if k in pm:
             meta[k] = pm[k]
     meta["fingerprint"] = fingerprint
@@ -1178,6 +1178,53 @@ def _ivfpq_rows(emb, cents, cexp, dim, m_sub, id_col, vec_col):
     )
 
 
+def _ivfpq_dist_ints_from_dir(
+    spark, ddir: str, bdir: str, dim: int, m_sub: int,
+    id_col: str, vec_col: str,
+) -> tuple[int, int]:
+    """(snapped PQ distortion sum, vector count) of a WRITTEN delta
+    dir against its encoding codebook — computed from the STORED
+    codes: a row's distortion is the distance to the entries its code
+    array already names (the argmin the encoder just took), so one
+    broadcast join on (m, code) replaces the |rows| x n_cent scoring
+    pass of similarity.ivfpq_distortion_stat; same snap grid, so the
+    integers are interchangeable with the marker monitor's."""
+    from uts_spark.functions.similarity import _pq_d2n
+
+    d_sub = dim // m_sub
+    cexp = spark.read.parquet(bdir).select(
+        F.col("m").alias("__m"), F.col("cent_id").alias("__code"), "csub"
+    )
+    rows = spark.read.parquet(ddir)
+    subs = F.array(*[
+        F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
+    ])
+    exploded = rows.select(
+        F.col(id_col).alias("__vid"),
+        # arrays_zip names struct fields after its inputs: the
+        # expression-built subvector array gets positional "0", the
+        # codes column keeps its name
+        F.posexplode(F.arrays_zip(subs, F.col("codes"))).alias("__m", "__z"),
+    ).select(
+        "__vid", "__m",
+        F.col("__z")["0"].alias("vsub"),
+        F.col("__z")["codes"].alias("__code"),
+    )
+    row = (
+        exploded.join(F.broadcast(cexp), ["__m", "__code"])
+        .agg(
+            F.sum(_pq_d2n(F.col("vsub"), F.col("csub"))).alias("s"),
+            F.count_distinct(F.col("__vid")).alias("n"),
+        )
+        .first()
+    )
+    return int(row["s"] or 0), int(row["n"])
+
+
+DISTORTION_MILLI = 1300  # re-encode above 1.3x ref distortion (measured
+# r8 drift ladder: ratios 0.999 / 1.65 / 16.6 — SCALE.md round 8)
+
+
 def ivfpq_vindex_build(
     emb: DataFrame,
     path: str,
@@ -1221,6 +1268,11 @@ def ivfpq_vindex_build(
         "n_cells": n_cells, "dim": dim, "m_sub": m_sub, "n_cent": n_cent,
         "centroids_dir": cdir, "codebook_dir": bdir,
         "aux_dirs": [cdir, bdir],
+        "dist_ref": list(
+            _ivfpq_dist_ints_from_dir(
+                spark, ddir, bdir, dim, m_sub, id_col, vec_col
+            )
+        ),
         "dir_stats": {ddir: stats},
     }
     return commit_version(path, [ddir], "build", None, n_rows, meta)
@@ -1234,6 +1286,7 @@ def ivfpq_vindex_append(
     vec_col: str = "embedding",
     batch_id: int | None = None,
     stream_id: str | None = None,
+    record_dist: bool = False,
     max_retries: int = 5,
 ) -> int:
     """Fast append under the quantizer-pointer conflict rule (see
@@ -1278,8 +1331,18 @@ def ivfpq_vindex_append(
                 rows.repartition(4, "cell"), path, _IVF_SORT
             )
             n_new, stats = _count_and_stats(spark, ddir, id_col)
+            dist = (
+                _ivfpq_dist_ints_from_dir(
+                    spark, ddir, ptr[1], pm["dim"], pm["m_sub"],
+                    id_col, vec_col,
+                )
+                if record_dist
+                else None
+            )
             encoded_against = ptr
         meta = _carry_meta(pm, fingerprint, _IVFPQ_KEYS)
+        if record_dist and dist is not None:
+            meta["dist_sum"], meta["dist_n"] = dist
         if batch_id is not None:
             meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
@@ -1376,10 +1439,85 @@ def ivfpq_vindex_recluster(
             meta["dim"], meta["m_sub"], id_col, vec_col,
         ).transform(lambda d: _cluster(d, "cell"))
 
+    def amend_fn(meta, ddir):
+        # the distortion reference RESETS to the re-encoded corpus
+        meta["dist_ref"] = list(
+            _ivfpq_dist_ints_from_dir(
+                spark, ddir, meta["codebook_dir"], meta["dim"],
+                meta["m_sub"], id_col, vec_col,
+            )
+        )
+
     return _rewrite_with_retry(
         spark, path, make_rows, "recluster", meta_fn,
-        sort=_IVF_SORT, id_col=id_col,
+        sort=_IVF_SORT, id_col=id_col, amend_fn=amend_fn,
     )
+
+
+def ivfpq_vindex_ingest_tick(
+    spark,
+    emb_batch: DataFrame,
+    path: str,
+    batch_id: int,
+    fingerprint: str = "",
+    stream_id: str | None = None,
+    distortion_milli: int = DISTORTION_MILLI,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One CLOSED-LOOP micro-batch of the snapshot IVF-PQ ingest — the
+    CODEBOOK-side drift monitor (the louder signal: distortion grows
+    with the squared shift while top-1 cosine saturates; measured
+    ratios 0.999/1.65/16.6 over the drift ladder vs the cosine fit's
+    0.85/0.80/0.64, SCALE.md round 8). Per tick: append exactly-once
+    with the batch's PQ distortion ints committed ON the manifest
+    (computed from the STORED codes — one broadcast join, no
+    rescoring), flag by integer cross-multiplication against the
+    carried ``dist_ref`` (build-time corpus distortion, reset by
+    recluster), and RE-CLUSTER + RE-ENCODE (both quantizers refreshed
+    together) when the measured 1.3x flag fires. Replay semantics
+    identical to the IVF tick: stream-id keys survive the rewrite, a
+    replayed tick never re-decides off stale stats."""
+    before = {m["version"]: m for m in list_versions(path)}
+    if not before:
+        raise ValueError(f"snapshot index at {path}: no committed versions")
+    replay_hit = _batch_committed(
+        before, _batch_key(before, batch_id, stream_id)
+    )
+
+    v = ivfpq_vindex_append(
+        emb_batch, path, fingerprint=fingerprint, batch_id=batch_id,
+        stream_id=stream_id, id_col=id_col, vec_col=vec_col,
+        record_dist=True,
+    )
+    versions = {m["version"]: m for m in list_versions(path)}
+    m = versions[v]
+    dist_sum = int(m.get("dist_sum", 0))
+    dist_n = int(m.get("dist_n", 0))
+    ref = m.get("dist_ref")
+    flagged = bool(
+        ref is not None
+        and dist_n > 0
+        and int(ref[0]) > 0
+        and int(ref[1]) > 0
+        and dist_sum * int(ref[1]) * 1000
+        > distortion_milli * int(ref[0]) * dist_n
+    )
+    replayed = replay_hit is not None
+    reclustered = False
+    if flagged and not replayed and v == max(versions):
+        ivfpq_vindex_recluster(
+            spark, path, fingerprint=fingerprint + ":r",
+            id_col=id_col, vec_col=vec_col,
+        )
+        reclustered = True
+    return {
+        "dist_sum": dist_sum,
+        "dist_n": dist_n,
+        "flagged": flagged,
+        "reclustered": reclustered,
+        "replayed": replayed,
+    }
 
 
 def ivfpq_vindex_probe(
