@@ -6303,6 +6303,16 @@ _GDPR_REM = 4  # fan-out erasure slice: id % 10 == 4 (docs AND vectors)
            CAST((SELECT COUNT(*) FROM documents
                  WHERE doc_id % 10 != {_GDPR_REM})
                 * {_MIDX_BANDS} AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'tbl_documents',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id % 10 != {_GDPR_REM}) AS BIGINT),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'tbl_embeddings',
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 10 != {_GDPR_REM}) AS BIGINT),
+           CAST(0 AS BIGINT)
     """,
 )
 def index_gdpr_erasure_fanout(spark, sf_dir):
@@ -6313,6 +6323,11 @@ def index_gdpr_erasure_fanout(spark, sf_dir):
     result is the COMPLIANCE ACCOUNTING a fan-out must produce: per
     family, the surviving row count and the number of surviving rows
     still carrying a deleted id (``leaked`` — must be 0 everywhere).
+    The fan-out now ALSO covers the versioned DATA tables the indexes
+    were built from (sources/versioned.delete_rows — copy-on-write
+    snapshot erasure): a pipeline that forgets in its indexes but
+    keeps serving the raw rows from a lakehouse copy has not
+    forgotten; one request, every holder of the ids.
     The oracle is CLOSED-FORM row arithmetic, because every family's
     row count is a pure function of membership: bands (8) rows per
     doc, tables (2) rows per vector, 1 row per vector for the IVF
@@ -6334,7 +6349,12 @@ def index_gdpr_erasure_fanout(spark, sf_dir):
         vindex_config,
         vindex_delete_auto,
     )
-    from uts_spark.sources.versioned import read_version
+    from uts_spark.sources.versioned import (
+        delete_rows,
+        list_versions as _vt_versions,
+        read_version,
+        write_snapshot,
+    )
 
     docs = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
@@ -6401,7 +6421,32 @@ def index_gdpr_erasure_fanout(spark, sf_dir):
         if fresh:
             vindex_delete_auto(spark, ids, path, fingerprint=fp_done)
 
-    # compliance accounting: survivors + leak check per family
+    # ... and every versioned DATA table holding the ids
+    tables = {
+        "tbl_documents": (
+            os.path.join(root, f"tdocs_{fp_d}"),
+            docs.select("doc_id", "text"), doc_del, "doc_id", fp_d,
+        ),
+        "tbl_embeddings": (
+            os.path.join(root, f"tembs_{fp_e}"),
+            e.select("vec_id", "embedding"), vec_del, "vec_id", fp_e,
+        ),
+    }
+    for tname, (tpath, tdf, ids, key, fp) in tables.items():
+        ms = _vt_versions(tpath)
+        state = ms[-1].get("fingerprint") if ms else None
+        stages = [fp, fp + ":gdpr"]
+        if state not in stages:
+            if os.path.exists(tpath):
+                shutil.rmtree(tpath)
+            write_snapshot(tdf, tpath, meta={"fingerprint": stages[0]})
+            state = stages[0]
+        if state == stages[0]:
+            delete_rows(
+                spark, tpath, ids, key, meta={"fingerprint": stages[1]}
+            )
+
+    # compliance accounting: survivors + leak check per target
     out = []
     for fam, (path, _b, ids, idc) in sorted(indexes.items()):
         scan = read_version(spark, path)
@@ -6409,6 +6454,11 @@ def index_gdpr_erasure_fanout(spark, sf_dir):
         n_rows = scan.count()
         leaked = scan.join(idf, idc, "left_semi").count()
         out.append((fam, n_rows, leaked))
+    for tname, (tpath, _tdf, ids, key, _fp) in sorted(tables.items()):
+        scan = read_version(spark, tpath)
+        n_rows = scan.count()
+        leaked = scan.join(ids, key, "left_semi").count()
+        out.append((tname, n_rows, leaked))
     return spark.createDataFrame(
         out, "family string, n_rows long, leaked long"
     )

@@ -279,6 +279,28 @@ def merge_upsert(
     return write_snapshot(merged, path, operation="merge")
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    key: str,
+    meta: dict | None = None,
+) -> int:
+    """ERASURE on a versioned data table: the current version minus
+    the keyed rows, committed as the next snapshot (copy-on-write at
+    table grain — the simplest correct form, same note as
+    merge_upsert; production narrows the rewrite to files whose stats
+    admit the keys, exactly as the snapshot-index families already do
+    at dir grain). Earlier versions remain readable until vacuum —
+    erase-then-vacuum is the complete GDPR sequence, and the index
+    fan-out (functions/vindex.vindex_delete_auto) composes with this
+    so indexes and the data copies they were built from forget
+    together."""
+    cur = read_version(spark, path)
+    kept = cur.join(ids.select(key), key, "left_anti")
+    return write_snapshot(kept, path, operation="delete", meta=meta)
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Remove data files and manifests of all but the newest
     ``keep_last`` versions; returns the vacuumed version ids. Readers
