@@ -1,0 +1,147 @@
+"""Facade parity: uts_spark.functions.index_protocol must route every
+verb to the same kernels the per-family lanes use, so the SAME inputs
+through either protocol produce IDENTICAL probe results — the property
+that makes the measured default flip (marker -> snapshot, SCALE.md
+round 9c) a pure protocol choice, never a semantics change."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uts_spark.functions.index_protocol import (
+    DEFAULT_PROTOCOL,
+    index_append,
+    index_build,
+    index_compact,
+    index_delete,
+    index_probe,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _dim(emb):
+    return len(emb.select("embedding").first()["embedding"])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_default_protocol_is_snapshot():
+    # the measured default (tools/protocol_ab.py, SCALE.md round 9c):
+    # snapshot won or tied every maintenance lane and is the only
+    # protocol safe on object storage / under concurrent writers
+    assert DEFAULT_PROTOCOL == "snapshot"
+
+
+def test_facade_lsh_probe_parity_across_protocols(spark, emb, tmp_path):
+    dim = _dim(emb)
+    anchors = emb.orderBy("vec_id").limit(3)
+    outs = {}
+    for proto in ("marker", "snapshot"):
+        path = str(tmp_path / f"lsh_{proto}")
+        index_build(emb, "lsh", path, protocol=proto, dim=dim)
+        outs[proto] = _rows(
+            index_probe(spark, path, anchors, protocol=proto, k=5)
+        )
+    assert outs["marker"] == outs["snapshot"]
+    assert len(outs["marker"]) > 0
+
+
+def test_facade_ivf_full_lifecycle_parity(spark, emb, tmp_path):
+    """build -> append -> delete -> compact -> probe, both protocols,
+    identical survivors (the retirement A/B's correctness side)."""
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    dele_ids = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    dele_vecs = emb.filter(F.col("vec_id") % 10 == 0)
+    anchors = emb.orderBy("vec_id").limit(3)
+    outs = {}
+    for proto in ("marker", "snapshot"):
+        path = str(tmp_path / f"ivf_{proto}")
+        index_build(base, "ivf", path, protocol=proto)
+        index_append(batch, path, protocol=proto)
+        deleted = dele_vecs if proto == "marker" else dele_ids
+        index_delete(spark, deleted, path, protocol=proto)
+        index_compact(spark, path, protocol=proto)
+        outs[proto] = _rows(
+            index_probe(spark, path, anchors, protocol=proto, k=5)
+        )
+    assert outs["marker"] == outs["snapshot"]
+    assert len(outs["marker"]) > 0
+
+
+def test_facade_minhash_probe_parity(spark, docs, tmp_path):
+    corpus = docs.select("doc_id", "text").filter(F.col("doc_id") % 3 != 0).limit(300)
+    probe_new = docs.select("doc_id", "text").filter(F.col("doc_id") % 3 == 0).limit(50)
+    outs = {}
+    for proto in ("marker", "snapshot"):
+        path = str(tmp_path / f"mh_{proto}")
+        index_build(
+            corpus, "minhash", path, protocol=proto,
+            text_col="text", id_col="doc_id",
+        )
+        outs[proto] = _rows(
+            index_probe(
+                spark, path, (probe_new, corpus, "text", "doc_id"),
+                protocol=proto,
+            )
+        )
+    assert outs["marker"] == outs["snapshot"]
+
+
+def test_facade_ivfpq_build_append_probe_parity(spark, emb, tmp_path):
+    dim = _dim(emb)
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    anchors = emb.orderBy("vec_id").limit(3)
+    outs = {}
+    for proto in ("marker", "snapshot"):
+        path = str(tmp_path / f"pq_{proto}")
+        index_build(base, "ivfpq", path, protocol=proto, dim=dim)
+        index_append(batch, path, protocol=proto)
+        outs[proto] = _rows(
+            index_probe(spark, path, anchors, protocol=proto, k=5)
+        )
+    assert outs["marker"] == outs["snapshot"]
+    assert len(outs["marker"]) > 0
+
+
+def test_facade_family_resolution_from_manifest(spark, emb, tmp_path):
+    """The facade stamps family+config at build on BOTH protocols, so
+    append/probe never re-state config (a silent mismatch is the
+    classic index-corruption mode the manifests exist to prevent)."""
+    dim = _dim(emb)
+    path = str(tmp_path / "lsh_m")
+    index_build(emb, "lsh", path, protocol="marker", dim=dim, planes=4, tables=2)
+    from uts_spark.functions.dedup import index_manifest_read
+
+    m = index_manifest_read(path)
+    assert m["family"] == "lsh" and m["planes"] == 4
+    # probe resolves planes=4 from the manifest — no kwargs needed
+    out = index_probe(
+        spark, path, emb.orderBy("vec_id").limit(2), protocol="marker", k=3
+    )
+    assert out.count() > 0
+
+
+def test_facade_rejects_unknown_family_and_protocol(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="unknown index family"):
+        index_build(emb, "kdtree", str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="unknown index protocol"):
+        index_build(emb, "ivf", str(tmp_path / "y"), protocol="paxos")

@@ -30,12 +30,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain_main() -> None:
-    """--chain: probe wall vs append-chain LENGTH (the OPTIMIZE
-    trigger's measurement — vindex.vindex_maybe_compact's max_dirs
-    default comes from this curve): build N, append tiny batches one
-    dir at a time, probe (warm, 2nd of 2) at several chain lengths,
-    then compact and probe the single-dir wall."""
-    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    """--chain [family] [rows]: probe wall vs append-chain LENGTH (the
+    OPTIMIZE trigger's measurement — vindex.vindex_maybe_compact's
+    per-family max_dirs defaults come from these curves): build N,
+    append tiny batches one dir at a time, probe (warm, 2nd of 2) at
+    several chain lengths, then compact and probe the single-dir wall.
+
+    family in {ivf, lsh, minhash} — the three probe SHAPES: IVF scans
+    cell-filtered dirs, LSH scans (table, bucket) row groups, minhash
+    scans (band, grp) + re-sketches candidates. Each family's knee is
+    its own (ROADMAP round-10 #5: the IVF curve must not be inherited
+    unmeasured)."""
+    argv = [a for a in sys.argv[2:]]
+    family = argv[0] if argv and not argv[0].isdigit() else "ivf"
+    nums = [a for a in argv if a.isdigit()]
+    rows = int(nums[0]) if nums else (100_000 if family == "minhash" else 200_000)
     from pyspark.sql import functions as F
 
     from uts_spark.session import get_spark
@@ -55,27 +64,100 @@ def chain_main() -> None:
             ).alias("embedding"),
         )
 
+    def docs(lo: int, n: int):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda j: F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("id").cast("string"),
+                                F.lit("-"),
+                                j.cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                ),
+            ).alias("text"),
+        )
+
     from uts_spark.functions.vindex import (
         ivf_vindex_append,
         ivf_vindex_build,
         ivf_vindex_compact,
         ivf_vindex_probe,
+        lsh_vindex_append,
+        lsh_vindex_build,
+        lsh_vindex_compact,
+        lsh_vindex_probe,
+        minhash_vindex_append,
+        minhash_vindex_build,
+        minhash_vindex_compact,
+        minhash_vindex_probe,
     )
 
     work = tempfile.mkdtemp(prefix="uts_vindex_chain_")
     path = os.path.join(work, "snap")
     anchors = vecs(0, 5)
+    corpus = docs(0, rows)
+    probe_new = docs(10_000_000, 100)
     walls: dict[str, float] = {}
 
+    if family == "ivf":
+        build = lambda: ivf_vindex_build(  # noqa: E731
+            vecs(0, rows), path, fingerprint="f0", n_cells=8
+        )
+        append = lambda lo: ivf_vindex_append(  # noqa: E731
+            vecs(lo, 1000), path, fingerprint="fi", batch_id=lo
+        )
+        probe = lambda: ivf_vindex_probe(  # noqa: E731
+            spark, path, anchors, k=10, n_probe=3
+        )
+        compact = lambda: ivf_vindex_compact(  # noqa: E731
+            spark, path, fingerprint="fc"
+        )
+    elif family == "lsh":
+        build = lambda: lsh_vindex_build(  # noqa: E731
+            vecs(0, rows), path, 64, fingerprint="f0"
+        )
+        append = lambda lo: lsh_vindex_append(  # noqa: E731
+            vecs(lo, 1000), path, 64, fingerprint="fi", batch_id=lo
+        )
+        probe = lambda: lsh_vindex_probe(spark, path, anchors, k=10)  # noqa: E731
+        compact = lambda: lsh_vindex_compact(  # noqa: E731
+            spark, path, fingerprint="fc"
+        )
+    elif family == "minhash":
+        build = lambda: minhash_vindex_build(  # noqa: E731
+            corpus, "text", "doc_id", path, fingerprint="f0"
+        )
+        append = lambda lo: minhash_vindex_append(  # noqa: E731
+            docs(lo, 1000), "text", "doc_id", path,
+            fingerprint="fi", batch_id=lo,
+        )
+        probe = lambda: minhash_vindex_probe(  # noqa: E731
+            spark, path, probe_new, corpus, "text", "doc_id"
+        )
+        compact = lambda: minhash_vindex_compact(  # noqa: E731
+            spark, path, fingerprint="fc"
+        )
+    else:
+        raise SystemExit(f"unknown chain family {family!r}")
+
     def probe_wall(tag):
-        ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3).count()
+        probe().count()
         t0 = time.time()
-        ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3).count()
+        probe().count()
         walls[tag] = round(time.time() - t0, 2)
         print(f"  probe@{tag}: {walls[tag]}s", flush=True)
 
     try:
-        ivf_vindex_build(vecs(0, rows), path, fingerprint="f0", n_cells=8)
+        build()
         probe_wall("dirs=1")
         nxt = rows
         for target in (8, 16, 32, 64):
@@ -88,17 +170,14 @@ def chain_main() -> None:
                 ndirs = len(_manifest_dirs(list_versions(path)[-1]))
                 if ndirs >= target:
                     break
-                ivf_vindex_append(
-                    vecs(nxt, 1000), path, fingerprint="fi",
-                    batch_id=nxt,
-                )
+                append(nxt)
                 nxt += 1000
             probe_wall(f"dirs={target}")
-        ivf_vindex_compact(spark, path, fingerprint="fc")
+        compact()
         probe_wall("compacted")
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    print(json.dumps({"rows": rows, "probe_walls": walls}))
+    print(json.dumps({"family": family, "rows": rows, "probe_walls": walls}))
 
 
 def main() -> None:

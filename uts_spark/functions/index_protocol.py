@@ -1,0 +1,364 @@
+"""The index-protocol FACADE: one verb surface over both commit
+protocols (ROADMAP round-10 #2 — the marker-family retirement plan).
+
+Every maintained index family (MinHash bands, LSH, IVF, IVF-PQ) exists
+on two protocols:
+
+- ``"marker"`` — the pending-marker / rename-swap family
+  (dedup.minhash_index_*, similarity.{lsh,ivf,ivfpq}_index_*):
+  single-writer O_EXCL markers, os.replace publishes, a JSONL version
+  history sidecar. POSIX-local-FS primitives; the original service
+  protocol (rounds 6-8).
+- ``"snapshot"`` — the CAS-manifest family (functions/vindex.py):
+  Iceberg-style fast-appends, copy-on-write rewrites, optimistic
+  concurrency, quantizers as manifest sidecars. The object-storage-safe
+  protocol (round 9).
+
+``DEFAULT_PROTOCOL`` is **measured, not guessed**: tools/protocol_ab.py
+runs the full matched service suite (build -> append x3 -> warm probe ->
+scattered delete -> compact -> probe) for all four families on both
+protocols; the snapshot protocol won or tied every maintenance lane
+(build/append/delete/compact — geomean ~2x faster, erasure up to 5x:
+bare-id pruned copy-on-write vs re-sketch + partition rewrite) and tied
+probes within noise (same scan kernels; the manifest resolves dirs
+instead of a glob). Numbers in SCALE.md round 9c. The marker verbs stay
+fully supported as the compatibility surface — pass
+``protocol="marker"`` — but new services should not pick them: beyond
+the walls, only the snapshot protocol is safe under concurrent writers
+and on object storage.
+
+The facade is deliberately THIN: it owns protocol choice and family
+dispatch, never semantics — each route calls the same functions the
+per-family lanes register, so facade results are hash-identical to the
+family lanes' oracles (pinned in tests/test_index_protocol.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Measured default — see module docstring and SCALE.md round 9c.
+DEFAULT_PROTOCOL = "snapshot"
+
+_FAMILIES = ("minhash", "lsh", "ivf", "ivfpq")
+
+
+def _check(family: str, protocol: str | None) -> str:
+    if family not in _FAMILIES:
+        raise ValueError(f"unknown index family {family!r} (expected one of {_FAMILIES})")
+    proto = protocol or DEFAULT_PROTOCOL
+    if proto not in ("marker", "snapshot"):
+        raise ValueError(f"unknown index protocol {proto!r} (expected 'marker' or 'snapshot')")
+    return proto
+
+
+def index_build(
+    df: DataFrame,
+    family: str,
+    path: str,
+    protocol: str | None = None,
+    fingerprint: str = "",
+    **config,
+) -> int | None:
+    """Build version 0 of a ``family`` index at ``path``.
+
+    minhash config: text_col, id_col (required), n/k/bands/n_grps.
+    lsh config: dim (required), planes/tables, id_col/vec_col.
+    ivf config: n_cells, id_col/vec_col, centroid_src.
+    ivfpq config: dim (required), n_cells/m_sub/n_cent, id_col/vec_col.
+
+    Returns the committed snapshot version (snapshot protocol) or None
+    (marker protocol writes version 0 into its history sidecar)."""
+    proto = _check(family, protocol)
+    if proto == "snapshot":
+        from uts_spark.functions import vindex as vx
+
+        if family == "minhash":
+            return vx.minhash_vindex_build(
+                df, config.pop("text_col"), config.pop("id_col"), path,
+                fingerprint=fingerprint, **config,
+            )
+        if family == "lsh":
+            return vx.lsh_vindex_build(
+                df, path, config.pop("dim"), fingerprint=fingerprint, **config
+            )
+        if family == "ivf":
+            return vx.ivf_vindex_build(df, path, fingerprint=fingerprint, **config)
+        return vx.ivfpq_vindex_build(
+            df, path, config.pop("dim"), fingerprint=fingerprint, **config
+        )
+    from uts_spark.functions import dedup as dd
+    from uts_spark.functions import similarity as sim
+
+    if family == "minhash":
+        cfg = {k: config[k] for k in ("n", "k", "bands", "n_grps") if k in config}
+        dd.minhash_index_write(
+            df, config.pop("text_col"), config.pop("id_col"), path,
+            fingerprint=fingerprint or None, **config,
+        )
+        cfg = {"n": 3, "k": 32, "bands": 8, "n_grps": 16, **cfg}
+    elif family == "lsh":
+        dim = config.pop("dim")
+        sim.lsh_index_write(df, path, dim, **config)
+        cfg = {"dim": dim, "planes": config.get("planes", 8), "tables": config.get("tables", 2)}
+    elif family == "ivf":
+        sim.ivf_index_write(df, path, **config)
+        cfg = {"n_cells": config.get("n_cells", 8)}
+    else:
+        dim = config.pop("dim")
+        sim.ivfpq_index_write(df, path, dim, **config)
+        cfg = {
+            "dim": dim,
+            "n_cells": config.get("n_cells", 8),
+            "m_sub": config.get("m_sub", 8),
+            "n_cent": config.get("n_cent", 16),
+        }
+    # the per-family marker builds (except minhash) historically leave
+    # no config manifest — services stamp one via index_tick. The
+    # facade stamps it at build so every later facade verb resolves
+    # (family, config) from the index itself, same as the snapshot
+    # route does from its CAS manifest.
+    dd.index_manifest_write(path, fingerprint, family=family, **cfg)
+    return None
+
+
+def index_append(
+    batch: DataFrame,
+    path: str,
+    protocol: str | None = None,
+    fingerprint: str = "",
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    **config,
+) -> int | None:
+    """Fold a batch into an existing index. Family is read from the
+    index's own manifest — an append cannot disagree with the index it
+    extends. ``batch_id``/``stream_id`` opt into exactly-once commits
+    (snapshot protocol; the marker protocol's idempotent variants key
+    on (epoch, batch_id) via its history sidecar)."""
+    family, cfg = _family_config(path, protocol)
+    proto = _check(family, protocol)
+    if proto == "snapshot":
+        from uts_spark.functions import vindex as vx
+
+        if family == "minhash":
+            return vx.minhash_vindex_append(
+                batch, config.pop("text_col"), config.pop("id_col"), path,
+                fingerprint=fingerprint,
+                n=cfg["n"], k=cfg["k"], bands=cfg["bands"], n_grps=cfg["n_grps"],
+                batch_id=batch_id, stream_id=stream_id,
+            )
+        if family == "lsh":
+            return vx.lsh_vindex_append(
+                batch, path, cfg["dim"], fingerprint=fingerprint,
+                planes=cfg["planes"], tables=cfg["tables"],
+                batch_id=batch_id, stream_id=stream_id, **config,
+            )
+        if family == "ivf":
+            return vx.ivf_vindex_append(
+                batch, path, fingerprint=fingerprint,
+                batch_id=batch_id, stream_id=stream_id, **config,
+            )
+        return vx.ivfpq_vindex_append(
+            batch, path, fingerprint=fingerprint,
+            batch_id=batch_id, stream_id=stream_id, **config,
+        )
+    from uts_spark.functions import dedup as dd
+    from uts_spark.functions import similarity as sim
+
+    spark = batch.sparkSession
+    if family == "minhash":
+        if batch_id is not None:
+            dd.minhash_index_append_idempotent(
+                batch, config.pop("text_col"), config.pop("id_col"), path,
+                batch_id=batch_id,
+                n=cfg["n"], k=cfg["k"], bands=cfg["bands"], n_grps=cfg["n_grps"],
+            )
+        else:
+            dd.minhash_index_append(
+                batch, config.pop("text_col"), config.pop("id_col"), path,
+                n=cfg["n"], k=cfg["k"], bands=cfg["bands"], n_grps=cfg["n_grps"],
+            )
+    elif family == "lsh":
+        if batch_id is not None:
+            sim.lsh_index_append_idempotent(
+                batch, path, cfg["dim"], batch_id=batch_id,
+                planes=cfg["planes"], tables=cfg["tables"], **config,
+            )
+        else:
+            sim.lsh_index_append(
+                batch, path, cfg["dim"],
+                planes=cfg["planes"], tables=cfg["tables"], **config,
+            )
+    elif family == "ivf":
+        if batch_id is not None:
+            sim.ivf_index_append_idempotent(
+                spark, batch, path, batch_id=batch_id, **config
+            )
+        else:
+            sim.ivf_index_append(spark, batch, path, **config)
+    else:
+        if batch_id is not None:
+            sim.ivfpq_index_append_idempotent(
+                spark, batch, path, cfg["dim"], batch_id=batch_id, **config
+            )
+        else:
+            sim.ivfpq_index_append(spark, batch, path, cfg["dim"], **config)
+    return None
+
+
+def index_delete(
+    spark,
+    deleted: DataFrame,
+    path: str,
+    protocol: str | None = None,
+    fingerprint: str = "",
+    **config,
+) -> int:
+    """Erase ids from an index (the GDPR verb). The snapshot route
+    takes BARE ids (manifest dir-stats prune the rewrite); the marker
+    route needs the deleted rows' CONTENT (text/vectors) to re-derive
+    their partitions — pass the full rows and the id/text/vec columns
+    the family expects. Returns rows removed (marker) or the committed
+    version (snapshot)."""
+    family, cfg = _family_config(path, protocol)
+    proto = _check(family, protocol)
+    if proto == "snapshot":
+        from uts_spark.functions import vindex as vx
+
+        return vx.vindex_delete_auto(spark, deleted, path, fingerprint=fingerprint)
+    from uts_spark.functions import dedup as dd
+    from uts_spark.functions import similarity as sim
+
+    if family == "minhash":
+        return dd.minhash_index_delete(
+            spark, deleted, config.pop("text_col"), config.pop("id_col"), path,
+            n=cfg["n"], k=cfg["k"], bands=cfg["bands"], n_grps=cfg["n_grps"],
+        )
+    if family == "lsh":
+        return sim.lsh_index_delete(
+            spark, deleted, path, cfg["dim"],
+            planes=cfg["planes"], tables=cfg["tables"], **config,
+        )
+    if family == "ivf":
+        return sim.ivf_index_delete(spark, deleted, path, **config)
+    return sim.ivfpq_index_delete(spark, deleted, path, **config)
+
+
+def index_probe(
+    spark,
+    path: str,
+    probe_input,
+    protocol: str | None = None,
+    version: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Probe an index. ``probe_input`` is the anchor frame (vector
+    families) or the (new_docs, old_docs, text_col, id_col) tuple
+    (minhash). ``version`` pins a snapshot (both protocols support
+    time travel; the marker protocol resolves it via its history
+    sidecar)."""
+    family, cfg = _family_config(path, protocol)
+    proto = _check(family, protocol)
+    if proto == "snapshot":
+        from uts_spark.functions import vindex as vx
+
+        if family == "minhash":
+            new_docs, old_docs, text_col, id_col = probe_input
+            return vx.minhash_vindex_probe(
+                spark, path, new_docs, old_docs, text_col, id_col,
+                n=cfg["n"], k=cfg["k"], bands=cfg["bands"], n_grps=cfg["n_grps"],
+                version=version, **kwargs,
+            )
+        if family == "lsh":
+            return vx.lsh_vindex_probe(spark, path, probe_input, version=version, **kwargs)
+        if family == "ivf":
+            return vx.ivf_vindex_probe(spark, path, probe_input, version=version, **kwargs)
+        return vx.ivfpq_vindex_probe(spark, path, probe_input, version=version, **kwargs)
+    from uts_spark.functions import dedup as dd
+    from uts_spark.functions import similarity as sim
+
+    if family == "minhash":
+        new_docs, old_docs, text_col, id_col = probe_input
+        return dd.minhash_index_probe(
+            spark, path, new_docs, old_docs, text_col, id_col,
+            n=cfg["n"], k=cfg["k"], bands=cfg["bands"], n_grps=cfg["n_grps"],
+            version=version, **kwargs,
+        )
+    if family == "lsh":
+        return sim.lsh_index_probe(
+            spark, path, probe_input, cfg["dim"],
+            planes=cfg["planes"], tables=cfg["tables"],
+            version=version, **kwargs,
+        )
+    if family == "ivf":
+        return sim.ivf_index_probe(
+            spark, path, probe_input,
+            n_cells=cfg.get("n_cells", 8), version=version, **kwargs,
+        )
+    return sim.ivfpq_index_probe(
+        spark, path, probe_input, dim=cfg["dim"],
+        n_cells=cfg.get("n_cells", 8), m_sub=cfg.get("m_sub", 8),
+        n_cent=cfg.get("n_cent", 16), version=version, **kwargs,
+    )
+
+
+def index_compact(
+    spark, path: str, protocol: str | None = None, fingerprint: str = ""
+):
+    """Compact an index (snapshot: CAS rewrite commit; marker:
+    rename-swap with a RESET census line in the history sidecar)."""
+    family, cfg = _family_config(path, protocol)
+    proto = _check(family, protocol)
+    if proto == "snapshot":
+        from uts_spark.functions import vindex as vx
+
+        return vx.vindex_compact_auto(spark, path, fingerprint=fingerprint)
+    from uts_spark.sources.sinks import compact_partitioned
+
+    part_cols = {
+        "minhash": ["band", "grp"],
+        "lsh": ["table", "bucket"],
+        "ivf": ["cell"],
+        "ivfpq": ["cell"],
+    }[family]
+    return compact_partitioned(spark, path, part_cols)
+
+
+def _family_config(path: str, protocol: str | None) -> tuple[str, dict]:
+    """Resolve (family, config) from the index's own manifest so the
+    caller never re-states what the index already knows. The snapshot
+    manifest records ``family`` explicitly; the marker manifest's
+    config keys identify it (n/k/bands -> minhash, planes/tables ->
+    lsh, m_sub -> ivfpq, else ivf — the same shape-inference
+    vindex_migrate uses)."""
+    proto = protocol or DEFAULT_PROTOCOL
+    if proto == "snapshot":
+        from uts_spark.functions.vindex import _current_manifest
+
+        pm = _current_manifest(path)
+        fam = pm.get("family")
+        if fam not in _FAMILIES:
+            raise ValueError(f"snapshot index at {path}: unknown family {fam!r}")
+        return fam, pm
+    from uts_spark.functions.dedup import index_manifest_read
+
+    cfg = index_manifest_read(path) or {}
+    if cfg.get("family") in _FAMILIES:
+        return cfg["family"], cfg
+    if "bands" in cfg and "n" in cfg:
+        return "minhash", cfg
+    if "m_sub" in cfg:
+        return "ivfpq", cfg
+    if "planes" in cfg and "tables" in cfg:
+        return "lsh", cfg
+    import os
+
+    if os.path.exists(os.path.join(path, "_centroids")):
+        if os.path.exists(os.path.join(path, "_codebook")):
+            return "ivfpq", {"dim": 64, **cfg}
+        return "ivf", cfg
+    raise ValueError(
+        f"marker index at {path}: cannot infer family from manifest config "
+        f"keys {sorted(cfg)} — pass explicit config or use the family verbs"
+    )

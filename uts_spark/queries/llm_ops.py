@@ -6279,6 +6279,69 @@ def similarity_ann_ivf_migrate_probe(spark, sf_dir):
     return ivf_vindex_probe(spark, dst, anchors, k=10, n_probe=3)
 
 
+@query(
+    "similarity_ann_protocol_facade_probe",
+    _duck_ivf_det_frozen(
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}"
+    ),
+)
+def similarity_ann_protocol_facade_probe(spark, sf_dir):
+    """The PROTOCOL FACADE lane (round-10 #2, the marker-retirement
+    decision made code): the full IVF lifecycle — build, append,
+    bare-id delete, compact, probe — driven through
+    functions/index_protocol.py with NO protocol argument, so the lane
+    exercises whatever ``DEFAULT_PROTOCOL`` says. The default is
+    measured, not asserted: tools/protocol_ab.py ran the same matched
+    suite on both protocols for all four families (SCALE.md round 9c);
+    snapshot won or tied every maintenance lane, so the default
+    flipped and the marker verbs became the compatibility surface.
+    Oracle = the frozen-quantizer recompute the per-family lanes
+    share — the facade owns protocol choice and family dispatch,
+    never semantics, so its answer must hash-match the family lane's
+    (facade-vs-family parity is additionally pinned across all four
+    families in tests/test_index_protocol.py)."""
+    import os
+    import shutil
+
+    from uts_spark.functions.index_protocol import (
+        index_append,
+        index_build,
+        index_compact,
+        index_delete,
+        index_probe,
+    )
+    from uts_spark.functions.vindex import vindex_config
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    deleted = e.filter(
+        F.col("vec_id") % _IVF_APP_MOD == _VIDX_DEL_REM
+    ).select("vec_id")
+    fp0 = _emb_frame_fingerprint(base)
+    stages = _vidx_stages(fp0)
+    path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_facade"
+
+    m = vindex_config(path)
+    state = m["fingerprint"] if m else None
+    if state not in stages:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        index_build(base, "ivf", path, fingerprint=stages[0], n_cells=8)
+        state = stages[0]
+    if state == stages[0]:
+        index_append(batch, path, fingerprint=stages[1])
+        state = stages[1]
+    if state == stages[1]:
+        index_delete(spark, deleted, path, fingerprint=stages[2])
+        state = stages[2]
+    if state == stages[2]:
+        index_compact(spark, path, fingerprint=stages[3])
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return index_probe(spark, path, anchors, k=10, n_probe=3)
+
+
 _GDPR_REM = 4  # fan-out erasure slice: id % 10 == 4 (docs AND vectors)
 
 

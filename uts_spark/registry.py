@@ -116,7 +116,10 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 367  # round 9b: +5 snapshot-ANN lanes (LSH/IVF/IVF-PQ
+_REGISTRY_FLOOR = 368  # round 9c: +1 protocol-facade lifecycle lane
+# (similarity_ann_protocol_facade_probe — the measured marker->snapshot
+# default flip, functions/index_protocol.py).
+# Round 9b floor was 367: +5 snapshot-ANN lanes (LSH/IVF/IVF-PQ
 # vindex lifecycles, recluster, pin-across-recluster), the dedup
 # ingest skew-cap replay, and the v3 router pair (ar/ko/th in-set +
 # confusion), on top of round 9's +8 (compaction x pins, router v2 x2,
