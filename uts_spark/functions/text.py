@@ -307,6 +307,28 @@ def ulang_id_v4(col: Column) -> Column:
     )
 
 
+def uarfam_confidence(col: Column) -> dict[str, Column]:
+    """The Arabic-family argmax's evidence, as output columns (the one
+    open router item from ROADMAP round-10 #1: downstream consumers of
+    a fa/ur route need to SEE the margin, not just trust it): one
+    per-member lexicon hit count (``a_ar``/``a_fa``/``a_ur``), the
+    winning count, and the token count the margin divides by. All
+    integers — the confidence is hash-exact, like the router itself.
+    ``a_best * margin_den >= n_toks`` recovers exactly the v4 routing
+    decision at any margin, so a consumer can re-gate stricter than
+    the shipped 1/8 without re-tokenizing."""
+    toks = utokens(col)
+    out: dict[str, Column] = {
+        f"a_{m}": _lex_count(toks, UARFAM_STOPWORDS[m]).cast("long")
+        for m in UARFAM
+    }
+    out["a_best"] = F.greatest(
+        *[_lex_count(toks, UARFAM_STOPWORDS[m]) for m in UARFAM]
+    ).cast("long")
+    out["n_toks"] = F.size(toks).cast("long")
+    return out
+
+
 def ulang_confidence(col: Column) -> dict[str, Column]:
     """The router's evidence, as output columns (VERDICT r8 #6 asked
     for confidence in the output, not just a label): winning-lexicon

@@ -1111,6 +1111,177 @@ def text_langid_arfam_margin_sweep(spark, sf_dir):
     )
 
 
+def _duck_arfam_confidence() -> str:
+    from uts_spark.functions.text import (
+        UARFAM,
+        UARFAM_STOPWORDS,
+        ULANG_MARGIN_DEN,
+        duck_lex_count,
+        duck_utokens,
+    )
+
+    asel = ", ".join(
+        f"{duck_lex_count('toks', UARFAM_STOPWORDS[m])} AS a_{m}"
+        for m in UARFAM
+    )
+    abranches = []
+    for i, m in enumerate(UARFAM):
+        conds = [f"a_{m} >= a_{other}" for other in UARFAM[i + 1:]]
+        conds.append(f"a_{m} > 0")
+        abranches.append(f"WHEN {' AND '.join(conds)} THEN '{m}'")
+    ar_argmax = "CASE " + " ".join(abranches) + " ELSE 'unknown' END"
+    ar_best = "greatest(" + ", ".join(f"a_{m}" for m in UARFAM) + ")"
+    return f"""
+    WITH c AS ({_UCORPUS_V4_DUCK}),
+    s AS (
+      SELECT doc_id, ulabel, len(toks) AS n_toks, {asel}
+      FROM (SELECT doc_id, ulabel, utext,
+                   {duck_utokens('utext')} AS toks FROM c)
+      WHERE ulabel IN ('ar', 'fa', 'ur')
+    )
+    SELECT doc_id, ulabel AS label_lang,
+           CASE WHEN {ar_best} * {ULANG_MARGIN_DEN} >= n_toks
+                THEN {ar_argmax} ELSE 'unknown' END AS pred_lang,
+           CAST(a_ar AS BIGINT) AS a_ar,
+           CAST(a_fa AS BIGINT) AS a_fa,
+           CAST(a_ur AS BIGINT) AS a_ur,
+           CAST({ar_best} AS BIGINT) AS a_best,
+           CAST(n_toks AS BIGINT) AS n_toks
+    FROM s
+    """
+
+
+@query("text_langid_arfam_confidence", _duck_arfam_confidence())
+def text_langid_arfam_confidence(spark, sf_dir):
+    """CONFIDENCE COLUMNS for the Arabic-family route (ROADMAP
+    round-10 #1, the last open router item): per Arabic-script doc,
+    the per-member lexicon evidence (``a_ar``/``a_fa``/``a_ur``), the
+    winning count, the token count, and the margined pick — the v4
+    label plus everything a consumer needs to re-gate it. Why columns
+    and not just a label: a corpus pipeline routing fa/ur shards wants
+    to TIGHTEN the gate for high-stakes shards (training-mix budgets)
+    and LOOSEN it for recall-side analytics; with the raw integers in
+    the output both are a filter, not a re-tokenization. All evidence
+    is integer, so the lane is hash-exact. Scale: pure JVM expressions
+    fused into the scan — same map-only shape as the router itself."""
+    from uts_spark.functions.text import (
+        UARFAM,
+        UARFAM_STOPWORDS,
+        ULANG_MARGIN_DEN,
+        _lex_count,
+        uarfam_confidence,
+        utokens,
+    )
+
+    c = _ucorpus_v4(table(spark, sf_dir, "documents")).filter(
+        F.col("ulabel").isin("ar", "fa", "ur")
+    )
+    toks = utokens(F.col("utext"))
+    scores = {m: _lex_count(toks, UARFAM_STOPWORDS[m]) for m in UARFAM}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for m in reversed(UARFAM):
+        expr = F.when(
+            (scores[m] == best) & (best > 0), F.lit(m)
+        ).otherwise(expr)
+    margined = F.when(
+        best * F.lit(ULANG_MARGIN_DEN) >= F.size(toks), expr
+    ).otherwise(F.lit("unknown"))
+    conf = uarfam_confidence(F.col("utext"))
+    return c.select(
+        "doc_id",
+        F.col("ulabel").alias("label_lang"),
+        margined.alias("pred_lang"),
+        *[conf[k].alias(k) for k in ("a_ar", "a_fa", "a_ur", "a_best", "n_toks")],
+    )
+
+
+def _duck_arfam_member_sweep() -> str:
+    from uts_spark.functions.text import (
+        UARFAM,
+        UARFAM_STOPWORDS,
+        duck_lex_count,
+        duck_utokens,
+    )
+
+    asel = ", ".join(
+        f"{duck_lex_count('toks', UARFAM_STOPWORDS[m])} AS a_{m}"
+        for m in UARFAM
+    )
+    abranches = []
+    for i, m in enumerate(UARFAM):
+        conds = [f"a_{m} >= a_{other}" for other in UARFAM[i + 1:]]
+        conds.append(f"a_{m} > 0")
+        abranches.append(f"WHEN {' AND '.join(conds)} THEN '{m}'")
+    ar_argmax = "CASE " + " ".join(abranches) + " ELSE 'unknown' END"
+    ar_best = "greatest(" + ", ".join(f"a_{m}" for m in UARFAM) + ")"
+    dens = ", ".join(str(d) for d in _ARFAM_MARGIN_DENS)
+    return f"""
+    WITH c AS ({_UCORPUS_V4_DUCK}),
+    s AS (
+      SELECT ulabel, len({duck_utokens('utext')}) AS n_toks, {asel}
+      FROM (SELECT ulabel, utext,
+                   {duck_utokens('utext')} AS toks FROM c)
+      WHERE ulabel IN ('ar', 'fa', 'ur')
+    ),
+    d AS (SELECT unnest([{dens}]) AS margin_den)
+    SELECT CAST(d.margin_den AS BIGINT) AS margin_den,
+           s.ulabel AS member,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {ar_best} * d.margin_den >= n_toks
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_routed,
+           CAST(SUM(CASE WHEN {ar_best} * d.margin_den >= n_toks
+                         AND ({ar_argmax}) = s.ulabel
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM s, d GROUP BY d.margin_den, s.ulabel
+    """
+
+
+@query("text_langid_arfam_member_sweep", _duck_arfam_member_sweep())
+def text_langid_arfam_member_sweep(spark, sf_dir):
+    """The PER-MEMBER evidence-threshold curve (the other half of the
+    round-10 #1 item: the pooled sweep above can hide one member's
+    evidence starving behind another's surplus — ar's dense stopword
+    lexicon clears margins that fa/ur's sparser function-word sets
+    might not): the same routed/correct counts, grouped by
+    (margin_den, member). A member whose n_routed collapses while the
+    pooled curve stays flat is exactly the signal that its lexicon —
+    not the margin — needs work. Integer counts end-to-end."""
+    from uts_spark.functions.text import UARFAM, UARFAM_STOPWORDS, _lex_count, utokens
+
+    c = _ucorpus_v4(table(spark, sf_dir, "documents")).filter(
+        F.col("ulabel").isin("ar", "fa", "ur")
+    )
+    toks = utokens(F.col("utext"))
+    scores = {m: _lex_count(toks, UARFAM_STOPWORDS[m]) for m in UARFAM}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for m in reversed(UARFAM):
+        expr = F.when(
+            (scores[m] == best) & (best > 0), F.lit(m)
+        ).otherwise(expr)
+    s = c.select(
+        F.col("ulabel").alias("member"),
+        F.size(toks).alias("n_toks"),
+        best.alias("a_best"),
+        expr.alias("a_pick"),
+    )
+    d = s.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(int(x),) for x in _ARFAM_MARGIN_DENS], "margin_den long"
+            )
+        )
+    )
+    routed = F.col("a_best") * F.col("margin_den") >= F.col("n_toks")
+    correct = routed & (F.col("a_pick") == F.col("member"))
+    return d.groupBy("margin_den", "member").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(routed.cast("long")).alias("n_routed"),
+        F.sum(correct.cast("long")).alias("n_correct"),
+    )
+
+
 # PII in unicode clothing: an accented-local-part / IDN-domain email
 # (invisible whole to the ASCII email regex — its classes stop at the
 # first non-ASCII letter) and a FULLWIDTH six-digit run (never matched
