@@ -575,3 +575,94 @@ def test_versioned_remove_orphans(spark, tmp_path):
     # every manifest-referenced dir survived: the index still probes
     anchors = emb.filter(F.col("vec_id") < 3)
     assert ivf_vindex_probe(spark, path, anchors, k=5).count() > 0
+
+
+def test_versioned_table_changes_appendonly_dir_diff(spark, tmp_path):
+    """Append-only histories answer table_changes with a scan of the
+    ADDED dirs — no join in the plan, result = the appended rows as
+    inserts."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        table_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "cdf_ap")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    append_snapshot(
+        spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string"), path
+    )
+    ch = table_changes(spark, path, 0, 1)
+    got = {(r.k, r.v, r._change_type) for r in ch.collect()}
+    assert got == {(3, "c", "insert"), (4, "d", "insert")}
+    # the fast path never joins — the whole point at 100 TB: the
+    # unchanged base is not read
+    assert "Join" not in ch._jdf.queryExecution().executedPlan().toString()
+    # same version diffed against itself: empty feed, schema intact
+    assert table_changes(spark, path, 1, 1).count() == 0
+
+
+def test_versioned_table_changes_key_diff_across_rewrite(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        delete_rows,
+        merge_upsert,
+        table_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "cdf_rw")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ),
+        path,
+    )
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"),
+        key="k",
+    )
+    delete_rows(
+        spark, path, spark.createDataFrame([(3,)], "k int"), key="k"
+    )
+    # rewrite in range -> key required
+    with _pytest.raises(ValueError, match="pass key="):
+        table_changes(spark, path, 0, 2)
+    got = {
+        (r.k, r.v, r._change_type)
+        for r in table_changes(spark, path, 0, 2, key="k").collect()
+    }
+    assert got == {
+        (4, "d", "insert"),
+        (3, "c", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+    }
+    # unknown version fails loudly
+    with _pytest.raises(ValueError, match="not found"):
+        table_changes(spark, path, 0, 9, key="k")
+
+
+def test_versioned_table_changes_duplicate_keys_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        table_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "cdf_dup")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (1, "a2")], "k int, v string"), path
+    )
+    write_snapshot(
+        spark.createDataFrame([(1, "z")], "k int, v string"), path
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        table_changes(spark, path, 0, 1, key="k").collect()

@@ -3350,6 +3350,122 @@ def cdc_merge_upserts(spark, sf_dir):
     )
 
 
+# --- Change data feed on the versioned snapshot table (round 9c) ------------
+# sources/versioned.table_changes: the Delta-CDF shape. Two lanes, one per
+# physical strategy the manifests select — the append-only dir-diff (scan
+# of the added dirs, no join) and the key-diff full-outer join across a
+# rewrite. State below is deterministic slices of `documents`:
+#   base    = doc_id % 10 != 7              (v0)
+#   appends = doc_id % 10 == 7              (append lane's v1 / rewrite v1)
+#   updates = doc_id % 10 == 2 -> 'U:'+val  (rewrite lane's v1)
+#   deletes = doc_id % 10 == 4              (rewrite lane's v2)
+
+def _cdc_vt_ensure(spark, sf_dir, rewrite: bool) -> str:
+    """Build (or reuse) the lane's versioned table; returns its path.
+    Rebuild-from-scratch when the on-disk chain doesn't match the
+    expected (fingerprint, version-count) — same idempotency pattern
+    as the index lanes, cheap at gate SFs."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        merge_upsert,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    val = F.substring(F.col("text"), 1, 40).alias("val")
+    base = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", val)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    kind = "rw" if rewrite else "ap"
+    path = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_{kind}")
+    want = 3 if rewrite else 2
+    fp = f"cdc_vt_{kind}_v1"
+
+    ms = list_versions(path)
+    ok = len(ms) == want and ms[0].get("fingerprint") == fp
+    if ok:
+        return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    write_snapshot(base, path, meta={"fingerprint": fp})
+    if rewrite:
+        updates = docs.filter(F.col("doc_id") % 10 == 2).select(
+            "doc_id", F.concat(F.lit("U:"), F.substring("text", 1, 40)).alias("val")
+        )
+        inserts = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", val)
+        merge_upsert(spark, path, updates.unionByName(inserts), "doc_id")
+        delete_rows(
+            spark, path,
+            docs.filter(F.col("doc_id") % 10 == 4).select("doc_id"),
+            "doc_id",
+        )
+    else:
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", val), path
+        )
+    return path
+
+
+@query(
+    "cdc_table_changes_appendonly",
+    """
+    SELECT doc_id, substr(text, 1, 40) AS val, 'insert' AS _change_type
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def cdc_table_changes_appendonly(spark, sf_dir):
+    """CHANGE DATA FEED, append-only fast path: v1 fast-appended the
+    rem-7 slice, so ``table_changes(v0 -> v1)`` sees v0's dir list as
+    a subset of v1's and answers with a PLAIN SCAN of the added delta
+    dirs — no join, no key, no read of the unchanged 90%. This is the
+    incremental-consumer contract that makes a 100 TB lakehouse
+    pipeline cheap: the manifest IS the change log, and a downstream
+    job that last saw v0 pays delta-sized cost. The plan is pinned
+    join-free in tests/test_sinks.py."""
+    from uts_spark.sources.versioned import table_changes
+
+    path = _cdc_vt_ensure(spark, sf_dir, rewrite=False)
+    return table_changes(spark, path, 0, 1)
+
+
+@query(
+    "cdc_table_changes_rewrite",
+    """
+    SELECT doc_id, substr(text, 1, 40) AS val, 'insert' AS _change_type
+    FROM documents WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT doc_id, substr(text, 1, 40), 'delete'
+    FROM documents WHERE doc_id % 10 = 4
+    UNION ALL
+    SELECT doc_id, substr(text, 1, 40), 'update_preimage'
+    FROM documents WHERE doc_id % 10 = 2
+    UNION ALL
+    SELECT doc_id, 'U:' || substr(text, 1, 40), 'update_postimage'
+    FROM documents WHERE doc_id % 10 = 2
+    """,
+)
+def cdc_table_changes_rewrite(spark, sf_dir):
+    """CHANGE DATA FEED across rewrites: v1 MERGEd updates (rem-2 →
+    'U:'-prefixed) plus inserts (rem-7), v2 deleted rem-4; diffing
+    v0 -> v2 spans two copy-on-write commits, so the dir-diff cannot
+    apply and ``table_changes`` runs its key-diff: one full-outer join
+    of the two pinned versions on ``doc_id`` comparing a NULL-safe
+    xxhash64 over the non-key columns — insert / delete /
+    update_preimage / update_postimage, the Delta-CDF row convention.
+    One shuffle on the key, bounded by the two versions' live rows
+    (never the version chain's length). Oracle is the closed form of
+    the three slices."""
+    from uts_spark.sources.versioned import table_changes
+
+    path = _cdc_vt_ensure(spark, sf_dir, rewrite=True)
+    return table_changes(spark, path, 0, 2, key="doc_id")
+
+
 @query(
     "basket_part_affinity",
     """

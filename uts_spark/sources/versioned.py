@@ -454,3 +454,119 @@ def optimize(
     else:
         out = df.coalesce(n_out)
     return write_snapshot(out, path, operation="optimize")
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed versions — the Delta-CDF
+    / Iceberg-changelog shape, and the reason a 100 TB lakehouse can
+    feed incremental consumers: a downstream job that last saw
+    ``from_version`` reads ONLY what changed, never the table.
+
+    Returns the ``to_version`` schema plus a ``_change_type`` column:
+
+    - ``insert`` — row (by ``key``) present in to, absent in from;
+    - ``delete`` — present in from, absent in to;
+    - ``update_preimage`` / ``update_postimage`` — key present in both
+      with different non-key content (two rows per updated key, the
+      CDF convention).
+
+    Two physical strategies, chosen from the MANIFESTS alone:
+
+    - **dir-diff fast path** (append-only histories): when from's dir
+      list is a subset of to's, every change is an insert living in
+      the added dirs — the result is a plain scan of those dirs, no
+      join, no read of the unchanged data. This is why fast-appends
+      commit dir lists instead of rewriting: the manifest IS the
+      change log.
+    - **key-diff join** (copy-on-write rewrites in the range): a
+      full-outer join of the two versions on ``key``, comparing a
+      content hash over the non-key columns. One shuffle on the key,
+      bounded by the two versions' live rows. ``key`` is required on
+      this path (without identity, delete+insert vs update is
+      undecidable) and must be unique per version — duplicate keys
+      raise rather than emit a cartesian diff.
+    """
+    versions = {m["version"]: m for m in list_versions(path)}
+    if to_version is None:
+        to_version = max(versions) if versions else None
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(
+                f"versioned table {path}: version {v} not found "
+                f"(have {sorted(versions)})"
+            )
+    from pyspark.sql import functions as F
+
+    new = read_version(spark, path, to_version)
+    if from_version == to_version:
+        return new.withColumn("_change_type", F.lit("insert")).limit(0)
+    from_dirs = set(_manifest_dirs(versions[from_version]))
+    to_dirs = _manifest_dirs(versions[to_version])
+    if from_dirs.issubset(to_dirs):
+        added = [d for d in to_dirs if d not in from_dirs]
+        if not added:
+            return new.withColumn("_change_type", F.lit("insert")).limit(0)
+        return spark.read.parquet(*added).withColumn(
+            "_change_type", F.lit("insert")
+        )
+
+    if key is None:
+        raise ValueError(
+            f"versioned table {path}: versions {from_version}->{to_version} "
+            "include a rewrite (dir lists diverge) — pass key= to diff by "
+            "row identity"
+        )
+    old = read_version(spark, path, from_version)
+    cols = new.columns
+    if set(old.columns) != set(cols):
+        raise ValueError(
+            f"versioned table {path}: schema changed between versions "
+            f"{from_version} and {to_version} — diff the overlap explicitly"
+        )
+    val_cols = [c for c in cols if c != key]
+    # NULL-safe content hash over the non-key columns, in to-version
+    # column order on both sides
+    def rhash(df):
+        return F.xxhash64(*[F.coalesce(df[c].cast("string"), F.lit("\x00")) for c in val_cols])
+
+    o = old.select(key, *val_cols).alias("o")
+    n = new.select(key, *val_cols).alias("n")
+    for side, frame in (("from", o), ("to", n)):
+        dup = frame.groupBy(key).count().filter(F.col("count") > 1).limit(1)
+        if dup.count():
+            raise ValueError(
+                f"versioned table {path}: duplicate {key!r} in the "
+                f"{side}-version — key-diff requires unique keys"
+            )
+    j = o.withColumn("__oh", rhash(o)).join(
+        n.withColumn("__nh", rhash(n)), on=key, how="full_outer"
+    )
+    inserts = (
+        j.filter(F.col("__oh").isNull())
+        .select(key, *[F.col(f"n.{c}") for c in val_cols])
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    deletes = (
+        j.filter(F.col("__nh").isNull())
+        .select(key, *[F.col(f"o.{c}") for c in val_cols])
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    upd = j.filter(
+        F.col("__oh").isNotNull()
+        & F.col("__nh").isNotNull()
+        & (F.col("__oh") != F.col("__nh"))
+    )
+    pre = upd.select(key, *[F.col(f"o.{c}") for c in val_cols]).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = upd.select(key, *[F.col(f"n.{c}") for c in val_cols]).withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+    return out.select(*cols, "_change_type")
