@@ -666,3 +666,56 @@ def test_versioned_table_changes_duplicate_keys_refused(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="duplicate"):
         table_changes(spark, path, 0, 1, key="k").collect()
+
+
+def test_versioned_schema_evolution_add_column(spark, tmp_path):
+    """Fast-append may ADD columns: the commit records the widened
+    schema + evolved flag, current reads back-fill NULL for old rows,
+    and time travel to the pre-evolution version keeps the old
+    schema."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_evo")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    append_snapshot(
+        spark.createDataFrame(
+            [(3, "c", "en")], "k int, v string, lang string"
+        ),
+        path,
+    )
+    cur = read_version(spark, path)
+    assert cur.columns == ["k", "v", "lang"]
+    got = {(r.k, r.v, r.lang) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", "en")}
+    # time travel: v0 never grows the column
+    assert read_version(spark, path, 0).columns == ["k", "v"]
+    ms = list_versions(path)
+    assert ms[1]["evolved"] is True and "lang" in ms[1]["schema"]
+    # a further append WITHOUT the new column: refused? No — it drops
+    # 'lang' relative to the widened schema, which is a narrow. Refuse.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="drops column"):
+        append_snapshot(
+            spark.createDataFrame([(4, "d")], "k int, v string"), path
+        )
+
+
+def test_versioned_schema_evolution_type_change_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import append_snapshot, write_snapshot
+
+    path = str(tmp_path / "vt_evo2")
+    write_snapshot(spark.createDataFrame([(1, 10)], "k int, x int"), path)
+    with _pytest.raises(ValueError, match="changes type"):
+        append_snapshot(
+            spark.createDataFrame([(2, 2.5)], "k int, x double"), path
+        )

@@ -17,15 +17,20 @@ on two protocols:
 ``DEFAULT_PROTOCOL`` is **measured, not guessed**: tools/protocol_ab.py
 runs the full matched service suite (build -> append x3 -> warm probe ->
 scattered delete -> compact -> probe) for all four families on both
-protocols; the snapshot protocol won or tied every maintenance lane
-(build/append/delete/compact — geomean ~2x faster, erasure up to 5x:
-bare-id pruned copy-on-write vs re-sketch + partition rewrite) and tied
-probes within noise (same scan kernels; the manifest resolves dirs
-instead of a glob). Numbers in SCALE.md round 9c. The marker verbs stay
-fully supported as the compatibility surface — pass
-``protocol="marker"`` — but new services should not pick them: beyond
-the walls, only the snapshot protocol is safe under concurrent writers
-and on object storage.
+protocols at 200k vectors / 100k docs. Measured (SCALE.md round 9c):
+snapshot wins the maintenance verbs at a 1.69x geomean — erasure
+1.7-4.2x (bare-id dir-stats-pruned copy-on-write vs re-sketch +
+partition rewrite), appends 1.1-3.4x (delta-dir + manifest commit vs
+partition-grid append), LSH across the board 1.5-3.6x — and probes sit
+at parity (1.15x geomean, inside warm-probe noise; same scan kernels,
+the manifest resolves dirs instead of a glob). The one structural
+marker win, the IVF-PQ build (0.70x), is the snapshot build paying for
+its drift monitor — the ``dist_ref`` distortion ints are an extra
+corpus-wide ADC pass the marker build simply doesn't have; feature
+cost, not protocol overhead. The marker verbs stay fully supported as
+the compatibility surface — pass ``protocol="marker"`` — but new
+services should not pick them: beyond the walls, only the snapshot
+protocol is safe under concurrent writers and on object storage.
 
 The facade is deliberately THIN: it owns protocol choice and family
 dispatch, never semantics — each route calls the same functions the

@@ -3412,6 +3412,61 @@ def _cdc_vt_ensure(spark, sf_dir, rewrite: bool) -> str:
 
 
 @query(
+    "cdc_schema_evolution_read",
+    """
+    SELECT doc_id, substr(text, 1, 40) AS val, NULL AS lang
+    FROM documents WHERE doc_id % 10 != 7
+    UNION ALL
+    SELECT doc_id, substr(text, 1, 40),
+           CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def cdc_schema_evolution_read(spark, sf_dir):
+    """SCHEMA EVOLUTION on the versioned table (round 9c): v1
+    fast-appends the rem-7 slice carrying a NEW ``lang`` column; the
+    commit records the widened schema + ``evolved`` flag, and reading
+    the current version merges parquet footers so v0's rows surface
+    ``lang = NULL`` — Iceberg/Delta add-column semantics with ZERO
+    rewrite of existing files (the property that matters at 100 TB:
+    adding a column to a petabyte table is a manifest edit, not a
+    table-sized job). Time travel to v0 keeps the narrow schema, and
+    appends that DROP columns or change types are refused loudly
+    (tests/test_sinks.py). Oracle = the closed form of both slices
+    with NULL back-fill."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    val = F.substring(F.col("text"), 1, 40).alias("val")
+    base = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", val)
+    delta = docs.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", val,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("en"))
+        .otherwise(F.lit("de"))
+        .alias("lang"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_evo")
+    fp = "cdc_vt_evo_v1"
+    ms = list_versions(path)
+    if not (len(ms) == 2 and ms[0].get("fingerprint") == fp):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        write_snapshot(base, path, meta={"fingerprint": fp})
+        append_snapshot(delta, path)
+    return read_version(spark, path)
+
+
+@query(
     "cdc_table_changes_appendonly",
     """
     SELECT doc_id, substr(text, 1, 40) AS val, 'insert' AS _change_type

@@ -196,6 +196,32 @@ def commit_version(
     return version
 
 
+def _schema_fields(schema_str: str) -> dict[str, str]:
+    """name -> simple-type map from a recorded ``simpleString`` schema
+    (``struct<k:int,v:string>``). Nested angle brackets (arrays,
+    structs) are handled by depth-tracking the split."""
+    inner = schema_str.strip()
+    if inner.startswith("struct<") and inner.endswith(">"):
+        inner = inner[len("struct<"):-1]
+    fields: dict[str, str] = {}
+    depth, start = 0, 0
+    parts = []
+    for i, ch in enumerate(inner):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    if inner[start:]:
+        parts.append(inner[start:])
+    for p in parts:
+        name, typ = p.split(":", 1)
+        fields[name] = typ
+    return fields
+
+
 def append_snapshot(
     df: DataFrame,
     path: str,
@@ -209,15 +235,60 @@ def append_snapshot(
     parent's dirs + the delta dir. Cost is delta-sized — the table is
     never rewritten. On a commit conflict the data job does NOT rerun:
     file adds commute, so the manifest commit simply retries against
-    the new current (bounded by ``max_retries``)."""
+    the new current (bounded by ``max_retries``).
+
+    SCHEMA EVOLUTION (round 9c): a delta may ADD columns — the commit
+    records the widened schema and flags the version ``evolved`` so
+    :func:`read_version` merges parquet footers and back-fills old
+    rows with NULL (exactly Iceberg/Delta add-column semantics, no
+    rewrite of existing files). A delta that DROPS a column or
+    CHANGES a type is refused loudly: silent narrowing is how a
+    100 TB table loses a column to one bad writer. Manifests from
+    before this feature carry no schema; appends against them skip
+    the check (and the read stays non-merging)."""
+    spark = df.sparkSession
+    new_fields = _schema_fields(df.schema.simpleString())
     ddir = _write_delta_dir(df, path, sort_cols)
-    n = df.sparkSession.read.parquet(ddir).count()
+    n = spark.read.parquet(ddir).count()
     last: Exception | None = None
     for _ in range(max_retries):
         parent = current_version(path)
         versions = {m["version"]: m for m in list_versions(path)}
         parent_dirs = _manifest_dirs(versions[parent]) if parent is not None else []
         parent_rows = versions[parent]["n_rows"] if parent is not None else 0
+        schema_meta: dict = {}
+        if parent is not None and versions[parent].get("schema"):
+            old_fields = _schema_fields(versions[parent]["schema"])
+            missing = [c for c in old_fields if c not in new_fields]
+            if missing:
+                raise ValueError(
+                    f"versioned table {path}: append drops column(s) "
+                    f"{missing} — schema evolution only ADDS columns; "
+                    "rewrite via write_snapshot to narrow deliberately"
+                )
+            conflicts = [
+                c for c in old_fields
+                if c in new_fields and new_fields[c] != old_fields[c]
+            ]
+            if conflicts:
+                raise ValueError(
+                    f"versioned table {path}: append changes type of "
+                    f"{conflicts} (have "
+                    f"{ {c: old_fields[c] for c in conflicts} }, delta has "
+                    f"{ {c: new_fields[c] for c in conflicts} }) — type "
+                    "changes require a rewrite"
+                )
+            added = [c for c in new_fields if c not in old_fields]
+            evolved = bool(added) or bool(versions[parent].get("evolved"))
+            # record the WIDENED schema: parent's order, new columns last
+            merged = dict(old_fields)
+            merged.update({c: new_fields[c] for c in added})
+            schema_meta = {
+                "schema": "struct<"
+                + ",".join(f"{c}:{t}" for c, t in merged.items())
+                + ">",
+                "evolved": evolved,
+            }
         try:
             return commit_version(
                 path,
@@ -225,7 +296,7 @@ def append_snapshot(
                 operation,
                 parent,
                 parent_rows + n,
-                meta,
+                {**(meta or {}), **schema_meta},
             )
         except VersionConflictError as e:
             last = e
@@ -235,7 +306,15 @@ def append_snapshot(
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Read the table at ``version`` (time travel); latest if None."""
+    """Read the table at ``version`` (time travel); latest if None.
+
+    Versions flagged ``evolved`` (a fast-append added columns
+    somewhere in their dir chain) read with parquet schema merging and
+    project to the manifest's recorded column order — rows from
+    pre-evolution dirs surface NULL in the added columns, and the
+    column order is deterministic regardless of which file the reader
+    lists first. Un-evolved versions read plain (no footer-merge
+    cost)."""
     versions = list_versions(path)
     if not versions:
         raise ValueError(f"versioned table {path}: no committed versions")
@@ -247,7 +326,11 @@ def read_version(
             f"versioned table {path}: version {version} not found "
             f"(have {sorted(byv)})"
         )
-    dirs = _manifest_dirs(byv[version])
+    m = byv[version]
+    dirs = _manifest_dirs(m)
+    if m.get("evolved") and m.get("schema"):
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return df.select(*_schema_fields(m["schema"]))
     return spark.read.parquet(*dirs)
 
 
