@@ -2754,6 +2754,12 @@ def test_vindex_maybe_compact_trigger(spark, emb, tmp_path):
     # under threshold: no-op
     assert vx.vindex_maybe_compact(spark, path, max_dirs=8) is None
     assert list_versions(path)[-1]["version"] == pm["version"]
+    # max_dirs=None resolves the per-family MEASURED default off the
+    # manifest (ivf -> 16; 5 dirs is under it): still a no-op
+    assert vx._MAX_DIRS_DEFAULT["ivf"] == 16
+    assert vx._MAX_DIRS_DEFAULT["lsh"] == 64  # measured-flat curve
+    assert vx.vindex_maybe_compact(spark, path) is None
+    assert list_versions(path)[-1]["version"] == pm["version"]
 
     pre = sorted(map(
         tuple, vx.ivf_vindex_probe(spark, path, anchors, k=10).collect()

@@ -1740,27 +1740,47 @@ def vindex_compact_auto(spark, path: str, fingerprint: str = "") -> int:
     )
 
 
+# Per-family OPTIMIZE-trigger defaults — each from ITS OWN measured
+# probe-wall-vs-chain-length curve (tools/vindex_smoke.py --chain
+# <family>, SCALE.md rounds 9b/9c), because the three probe shapes age
+# differently as the append chain grows:
+# - ivf/ivfpq (cell-filtered dir scans): 200k-vector curve 3.8-5.3s flat
+#   through 16 dirs, 8.5s at 32, 10.3s at 64, 4.4s after compaction —
+#   ~2x by 32, so trigger at the 16-dir knee. (ivfpq probes the same
+#   cell-sliced layout; it inherits the measured ivf knee.)
+# - lsh (bucket row-group pruning): 200k-vector curve 1.2-1.9s FLAT
+#   through 64 dirs (compacted 1.14s) — no measured probe penalty, so
+#   the trigger only bounds manifest growth + small-file debt at 64.
+# - minhash (band/bucket pruning + candidate re-sketch): 100k-doc curve
+#   2.5-3.4s flat through 64 (compacted 2.3s) — same story as lsh.
+_MAX_DIRS_DEFAULT = {"ivf": 16, "ivfpq": 16, "lsh": 64, "minhash": 64}
+
+
 def vindex_maybe_compact(
-    spark, path: str, max_dirs: int = 16, fingerprint: str = ""
+    spark, path: str, max_dirs: int | None = None, fingerprint: str = ""
 ) -> int | None:
     """The OPTIMIZE TRIGGER for append chains: compact when the
     CURRENT manifest references more than ``max_dirs`` directories,
     else do nothing (returns None). Every fast-append adds one delta
     dir, and past some chain length the probe pays more in per-dir
-    footer/open/planning overhead than the data justifies — measured
-    on the 200k-vector IVF chain (tools/vindex_smoke.py --chain,
-    SCALE.md round 9b): warm probe 3.8-5.3s through 16 dirs, then
-    8.5s at 32 and 10.3s at 64 — roughly 2x by 32 — and one
-    compaction restores 4.4s. The 16-dir default triggers at the
-    measured knee, before the doubling. Services call this at the
-    END of a tick — the
-    compaction is itself a CAS rewrite commit, so a racing append
-    simply lands before or after it (before: folded in; after: the
-    chain restarts at 2 dirs). Time travel to pre-compaction versions
-    keeps working until vacuum, and exactly-once batch keys survive
-    (compaction opens a new epoch for epoch-keyed appends, which is
-    the documented rewrite rule; stream-id keys are unaffected)."""
+    footer/open/planning overhead than the data justifies.
+
+    ``max_dirs=None`` resolves the MEASURED per-family default from
+    the manifest (``_MAX_DIRS_DEFAULT`` above — round-10 #5: the IVF
+    curve's 16-dir knee must not be inherited unmeasured by families
+    whose probes age differently; the LSH/minhash curves came back
+    flat through 64, so their chains are allowed to run 4x longer
+    before paying a rewrite). Services call this at the END of a
+    tick — the compaction is itself a CAS rewrite commit, so a racing
+    append simply lands before or after it (before: folded in; after:
+    the chain restarts at 2 dirs). Time travel to pre-compaction
+    versions keeps working until vacuum, and exactly-once batch keys
+    survive (compaction opens a new epoch for epoch-keyed appends,
+    which is the documented rewrite rule; stream-id keys are
+    unaffected)."""
     pm = _current_manifest(path)
+    if max_dirs is None:
+        max_dirs = _MAX_DIRS_DEFAULT.get(pm.get("family"), 16)
     if len(_manifest_dirs(pm)) <= max_dirs:
         return None
     return vindex_compact_auto(spark, path, fingerprint=fingerprint)

@@ -3522,6 +3522,46 @@ def cdc_table_changes_rewrite(spark, sf_dir):
 
 
 @query(
+    "cdc_incremental_apply_converges",
+    """
+    SELECT doc_id, substr(text, 1, 40) AS val
+    FROM documents WHERE doc_id % 10 NOT IN (2, 4, 7)
+    UNION ALL
+    SELECT doc_id, 'U:' || substr(text, 1, 40)
+    FROM documents WHERE doc_id % 10 = 2
+    UNION ALL
+    SELECT doc_id, substr(text, 1, 40)
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def cdc_incremental_apply_converges(spark, sf_dir):
+    """CDC COMPLETENESS: the change feed must be sufficient to
+    reconstruct the table — an incremental consumer that starts from
+    its v0 copy and applies ``table_changes(0 -> 2)`` (drop the keys
+    of delete + update_preimage rows, add the insert +
+    update_postimage rows) must land EXACTLY on v2. This is the
+    contract every downstream materialization relies on at 100 TB:
+    if apply(feed) != read(v2), the feed is decorative. The lane
+    returns the CONSUMER's reconstruction; the oracle is v2's closed
+    form — so a missed change type, a doubled row, or a pre/post
+    mix-up is a hash mismatch, not a vibe. The apply is one left-anti
+    join (copy minus removed keys) + a union — the same delta-sized
+    shape as the feed itself."""
+    from uts_spark.sources.versioned import read_version, table_changes
+
+    path = _cdc_vt_ensure(spark, sf_dir, rewrite=True)
+    copy_v0 = read_version(spark, path, 0)
+    ch = table_changes(spark, path, 0, 2, key="doc_id")
+    removed = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("doc_id")
+    added = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    return copy_v0.join(removed, "doc_id", "left_anti").unionByName(added)
+
+
+@query(
     "basket_part_affinity",
     """
     WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
