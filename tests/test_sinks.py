@@ -719,3 +719,83 @@ def test_versioned_schema_evolution_type_change_refused(spark, tmp_path):
         append_snapshot(
             spark.createDataFrame([(2, 2.5)], "k int, x double"), path
         )
+
+
+def test_versioned_delete_rows_prunes_by_dir_stats(spark, tmp_path):
+    """Opted-in dir stats turn erasure into a touched-dirs rewrite:
+    deleting keys inside one delta's id range carries every other dir
+    into the new manifest BY REFERENCE (same dir paths), and the
+    survivors read back exactly."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_prune")
+    mk = lambda lo, n: spark.range(lo, lo + n).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id * 2 AS STRING) AS v"
+    )
+    write_snapshot(mk(0, 100), path, stats_col="k")
+    append_snapshot(mk(1000, 100), path)   # stats_col inherited
+    append_snapshot(mk(2000, 100), path)
+    ms = list_versions(path)
+    assert ms[-1]["stats_col"] == "k"
+    assert len(ms[-1]["dir_stats"]) == 3
+    pre_dirs = set(ms[-1]["dir_stats"])
+
+    # delete 10 keys, all inside the SECOND delta's range
+    delete_rows(
+        spark, path, spark.range(1010, 1020).selectExpr("id AS k"), "k"
+    )
+    dm = list_versions(path)[-1]
+    assert dm["operation"] == "delete" and dm["pruned_dirs"] == 2
+    # the two unaffected dirs carried by reference
+    assert len(set(dm["dir_stats"]) & pre_dirs) == 2
+    assert dm["n_rows"] == 290
+    got = {r.k for r in read_version(spark, path).collect()}
+    assert len(got) == 290 and not (got & set(range(1010, 1020)))
+    # delete keys admitted by NO dir range: current version stands
+    v = delete_rows(
+        spark, path, spark.range(5000, 5010).selectExpr("id AS k"), "k"
+    )
+    assert v == dm["version"]
+
+
+def test_versioned_delete_rows_pruned_on_evolved_chain(spark, tmp_path):
+    """Pruned erasure composes with schema evolution: the touched-dir
+    rewrite reads merged-schema, survivors keep their NULL back-fill,
+    untouched narrow dirs stay narrow (the version stays evolved)."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_prune_evo")
+    write_snapshot(
+        spark.range(0, 50).selectExpr("id AS k", "'a' AS v"),
+        path,
+        stats_col="k",
+    )
+    append_snapshot(
+        spark.range(1000, 1050).selectExpr(
+            "id AS k", "'b' AS v", "'en' AS lang"
+        ),
+        path,
+    )
+    # erase inside the EVOLVED delta's range only
+    delete_rows(
+        spark, path, spark.range(1000, 1010).selectExpr("id AS k"), "k"
+    )
+    dm = list_versions(path)[-1]
+    assert dm["pruned_dirs"] == 1 and dm["evolved"] is True
+    cur = read_version(spark, path)
+    assert cur.columns == ["k", "v", "lang"]
+    rows = {(r.k, r.lang) for r in cur.collect()}
+    assert len(rows) == 90
+    assert (0, None) in rows and (1010, "en") in rows

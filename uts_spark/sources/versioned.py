@@ -96,22 +96,53 @@ def _commit(path: str, manifest: dict) -> None:
         os.remove(tmp)
 
 
+def _dir_stats(spark, ddir: str, stats_col: str):
+    """(row count, [min, max] of ``stats_col``) of a data dir in one
+    read-back scan — the manifest-recorded file statistics that let
+    erasure prune (same design as the snapshot indexes' id-range
+    stats; values stay whatever JSON-serializable type the column
+    holds). Empty dir -> None range (admits nothing)."""
+    from pyspark.sql import functions as F
+
+    row = spark.read.parquet(ddir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(stats_col).alias("lo"),
+        F.max(stats_col).alias("hi"),
+    ).first()
+    n = int(row["n"] or 0)
+    return n, ([row["lo"], row["hi"]] if n else None)
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
     operation: str = "overwrite",
     meta: dict | None = None,
+    stats_col: str | None = None,
 ) -> int:
     """Write ``df`` as the table's next version; returns the version id.
     Data files are immutable — a snapshot never touches earlier
     versions' files, so readers pinned to any version are unaffected.
     ``meta`` rides on the manifest (index services store their config
-    and corpus fingerprint there)."""
+    and corpus fingerprint there). ``stats_col`` opts into per-dir
+    min/max statistics on the manifest — the input that lets
+    :func:`delete_rows` rewrite only the dirs whose range admits a
+    deleted key."""
     parent = current_version(path)
     version = 0 if parent is None else parent + 1
     ddir = _data_dir(path, version)
     df.write.mode("errorifexists").parquet(ddir)
-    n = df.sparkSession.read.parquet(ddir).count()
+    spark = df.sparkSession
+    stats_meta: dict = {}
+    if stats_col is not None:
+        n, rng = _dir_stats(spark, ddir, stats_col)
+        stats_meta = {
+            "stats_col": stats_col,
+            "dir_stats": {ddir: rng},
+            "dir_rows": {ddir: n},
+        }
+    else:
+        n = spark.read.parquet(ddir).count()
     _commit(
         path,
         {
@@ -121,6 +152,7 @@ def write_snapshot(
             "n_rows": n,
             "schema": df.schema.simpleString(),
             "data_dir": ddir,
+            **stats_meta,
             **(meta or {}),
         },
     )
@@ -229,6 +261,7 @@ def append_snapshot(
     meta: dict | None = None,
     sort_cols=(),
     max_retries: int = 5,
+    stats_col: str | None = None,
 ) -> int:
     """FAST APPEND (the Iceberg shape): write the delta to its own
     immutable directory once, then commit a manifest whose dir list =
@@ -245,17 +278,38 @@ def append_snapshot(
     CHANGES a type is refused loudly: silent narrowing is how a
     100 TB table loses a column to one bad writer. Manifests from
     before this feature carry no schema; appends against them skip
-    the check (and the read stays non-merging)."""
+    the check (and the read stays non-merging).
+
+    ``stats_col`` (defaults to the parent's recorded ``stats_col``):
+    record the delta dir's min/max beside the parent's carried stats,
+    keeping :func:`delete_rows` prunable across append chains."""
     spark = df.sparkSession
     new_fields = _schema_fields(df.schema.simpleString())
     ddir = _write_delta_dir(df, path, sort_cols)
-    n = spark.read.parquet(ddir).count()
+    n = None
     last: Exception | None = None
     for _ in range(max_retries):
         parent = current_version(path)
         versions = {m["version"]: m for m in list_versions(path)}
         parent_dirs = _manifest_dirs(versions[parent]) if parent is not None else []
         parent_rows = versions[parent]["n_rows"] if parent is not None else 0
+        stats_meta: dict = {}
+        scol = stats_col or (
+            versions[parent].get("stats_col") if parent is not None else None
+        )
+        if scol is not None and scol in new_fields:
+            if n is None:
+                n, rng = _dir_stats(spark, ddir, scol)
+            else:
+                _, rng = _dir_stats(spark, ddir, scol)
+            pm_prev = versions[parent] if parent is not None else {}
+            stats_meta = {
+                "stats_col": scol,
+                "dir_stats": {**pm_prev.get("dir_stats", {}), ddir: rng},
+                "dir_rows": {**pm_prev.get("dir_rows", {}), ddir: n},
+            }
+        elif n is None:
+            n = spark.read.parquet(ddir).count()
         schema_meta: dict = {}
         if parent is not None and versions[parent].get("schema"):
             old_fields = _schema_fields(versions[parent]["schema"])
@@ -296,7 +350,7 @@ def append_snapshot(
                 operation,
                 parent,
                 parent_rows + n,
-                {**(meta or {}), **schema_meta},
+                {**(meta or {}), **stats_meta, **schema_meta},
             )
         except VersionConflictError as e:
             last = e
@@ -369,19 +423,96 @@ def delete_rows(
     key: str,
     meta: dict | None = None,
 ) -> int:
-    """ERASURE on a versioned data table: the current version minus
-    the keyed rows, committed as the next snapshot (copy-on-write at
-    table grain — the simplest correct form, same note as
-    merge_upsert; production narrows the rewrite to files whose stats
-    admit the keys, exactly as the snapshot-index families already do
-    at dir grain). Earlier versions remain readable until vacuum —
-    erase-then-vacuum is the complete GDPR sequence, and the index
-    fan-out (functions/vindex.vindex_delete_auto) composes with this
-    so indexes and the data copies they were built from forget
+    """ERASURE on a versioned data table. When the current manifest
+    carries per-dir min/max stats FOR THE ERASURE KEY (``stats_col``
+    opted in at write/append time), the rewrite PRUNES: one tiny agg
+    over the deleted frame (never the table) marks each dir touched
+    iff some deleted key falls inside its recorded range; untouched
+    dirs carry into the new manifest by reference and only the touched
+    dirs rewrite through the left-anti join — cost ∝ touched data,
+    exactly the snapshot-index families' erasure shape
+    (functions/vindex._delete_pruned), now on the data table too.
+    Without stats (or with stats for a different column) it falls back
+    to the table-grain copy-on-write rewrite.
+
+    Earlier versions remain readable until vacuum — erase-then-vacuum
+    is the complete GDPR sequence, and the index fan-out
+    (functions/vindex.vindex_delete_auto) composes with this so
+    indexes and the data copies they were built from forget
     together."""
+    from pyspark.sql import functions as F
+
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        raise ValueError(f"versioned table {path}: nothing to delete")
+    pm = versions[max(versions)]
+    dirs = _manifest_dirs(pm)
+    stats = pm.get("dir_stats", {})
+    idf = ids.select(key)
+    if pm.get("stats_col") == key and set(stats) >= set(dirs):
+        hit_row = idf.agg(
+            *[
+                F.max(
+                    F.col(key).between(
+                        F.lit(stats[d][0]), F.lit(stats[d][1])
+                    )
+                    if stats[d] is not None
+                    else F.lit(False)
+                ).alias(f"h{i}")
+                for i, d in enumerate(dirs)
+            ]
+        ).first()
+        touched = [d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])]
+        untouched = [d for d in dirs if d not in set(touched)]
+        if not touched:
+            return pm["version"]  # no dir admits a deleted key
+        scan = spark.read
+        if pm.get("evolved") and pm.get("schema"):
+            scan = scan.option("mergeSchema", "true")
+        tdf = scan.parquet(*touched)
+        if pm.get("evolved") and pm.get("schema"):
+            tdf = tdf.select(*_schema_fields(pm["schema"]))
+        kept = tdf.join(idf, key, "left_anti")
+        ddir = _write_delta_dir(kept, path)
+        n_kept, rng = _dir_stats(spark, ddir, key)
+        dir_rows = pm.get("dir_rows", {})
+        if set(dir_rows) >= set(touched):
+            # manifest-recorded per-dir counts: the removed-rows
+            # accounting is arithmetic, not a second scan
+            n_touched = sum(dir_rows[d] for d in touched)
+        else:
+            n_touched = tdf.count()
+        carried = {
+            "stats_col": key,
+            "dir_stats": {
+                **{d: stats[d] for d in untouched},
+                ddir: rng,
+            },
+            "dir_rows": {
+                **{d: dir_rows[d] for d in untouched if d in dir_rows},
+                ddir: n_kept,
+            },
+            "pruned_dirs": len(untouched),
+            **{
+                k: pm[k]
+                for k in ("schema", "evolved")
+                if k in pm
+            },
+        }
+        return commit_version(
+            path,
+            untouched + [ddir],
+            "delete",
+            pm["version"],
+            pm["n_rows"] - n_touched + n_kept,
+            {**carried, **(meta or {})},
+        )
     cur = read_version(spark, path)
-    kept = cur.join(ids.select(key), key, "left_anti")
-    return write_snapshot(kept, path, operation="delete", meta=meta)
+    kept = cur.join(idf, key, "left_anti")
+    return write_snapshot(
+        kept, path, operation="delete", meta=meta,
+        stats_col=key if pm.get("stats_col") == key else None,
+    )
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
