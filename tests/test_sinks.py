@@ -799,3 +799,42 @@ def test_versioned_delete_rows_pruned_on_evolved_chain(spark, tmp_path):
     rows = {(r.k, r.lang) for r in cur.collect()}
     assert len(rows) == 90
     assert (0, None) in rows and (1010, "en") in rows
+
+
+def test_versioned_merge_schema_policy(spark, tmp_path):
+    """merge_upsert shares append's evolution contract: delta may ADD
+    columns (untouched rows get NULL, schema widens), a delta missing
+    current columns is refused (whole-row MERGE would silently NULL
+    the column on every updated row)."""
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        list_versions,
+        merge_upsert,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_merge_evo")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        path,
+        stats_col="k",
+    )
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "B", "en"), (3, "c", "de")], "k int, v string, lang string"
+        ),
+        key="k",
+    )
+    got = {(r.k, r.v, r.lang) for r in read_version(spark, path).collect()}
+    assert got == {(1, "a", None), (2, "B", "en"), (3, "c", "de")}
+    # stats_col carried through the merge rewrite
+    assert list_versions(path)[-1]["stats_col"] == "k"
+    with _pytest.raises(ValueError, match="missing column"):
+        merge_upsert(
+            spark, path,
+            spark.createDataFrame([(4, "d")], "k int, v string"),
+            key="k",
+        )

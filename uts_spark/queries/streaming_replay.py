@@ -2773,3 +2773,121 @@ def _register_stream_ann_vindex_drift():
 stream_ann_vindex_drift_recluster_replay = (
     _register_stream_ann_vindex_drift()
 )
+
+
+def _register_stream_cdc_apply():
+    # the applied downstream equals upstream v2 — the batch apply
+    # lane's completeness oracle, reused verbatim
+    from uts_spark.registry import ORACLES
+
+    @query(
+        "stream_cdc_apply_replay",
+        ORACLES["cdc_incremental_apply_converges"],
+    )
+    def stream_cdc_apply_replay(spark, sf_dir):
+        """A STREAMING CDC CONSUMER with a committed cursor — the
+        incremental-materialization loop every 100 TB lakehouse
+        downstream runs: each micro-batch carries one upstream version
+        id; the consumer reads ``table_changes(ver-1 -> ver)``, applies
+        it to its own versioned copy (left-anti the removed keys, union
+        the added rows), and commits the result WITH the cursor on the
+        same manifest — apply and progress are one atomic commit, the
+        exactly-once shape. A replayed batch (or a whole re-run of the
+        lane) finds its version at-or-under the committed cursor and
+        SKIPS — re-delivery is structurally idempotent, no dedup state
+        outside the table itself. After the stream drains, the
+        downstream must equal upstream v2 exactly (the batch apply
+        lane's closed-form oracle — a doubled apply, missed change
+        type, or cursor race is a hash mismatch). Scale: per tick the
+        consumer does feed-sized work + one commit; the upstream feed
+        is manifest-pruned for append-only ranges and key-join-bounded
+        across rewrites."""
+        from uts_spark.queries.analytics import _cdc_vt_ensure
+        from uts_spark.queries.llm_ops import _warehouse_dir
+        from uts_spark.sources.versioned import (
+            list_versions,
+            read_version,
+            table_changes,
+            write_snapshot,
+        )
+
+        src_path = _cdc_vt_ensure(spark, sf_dir, rewrite=True)
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        dst = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_dstream")
+        fp = "cdc_vt_rw_v1:dstream"
+
+        ms = list_versions(dst)
+        if not ms or ms[0].get("src_fp") != fp:
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            write_snapshot(
+                read_version(spark, src_path, 0),
+                dst,
+                meta={"src_fp": fp, "cursor": 0},
+            )
+
+        def cursor() -> int:
+            return max(m.get("cursor", 0) for m in list_versions(dst))
+
+        if cursor() < 2:
+            scratch = tempfile.mkdtemp(prefix="uts_cdc_apply_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                os.makedirs(src)
+                # one file per upstream version id -> one micro-batch
+                # per version (maxFilesPerTrigger=1)
+                for ver in (1, 2):
+                    spark.createDataFrame(
+                        [(ver,)], "ver long"
+                    ).coalesce(1).write.mode("append").parquet(src)
+
+                def apply_batch(bdf, bid):
+                    # tiny by construction: one version id per batch
+                    for row in sorted(bdf.collect()):
+                        ver = int(row["ver"])
+                        if ver <= cursor():
+                            continue  # replay: already committed
+                        ch = table_changes(
+                            spark, src_path, ver - 1, ver, key="doc_id"
+                        )
+                        removed = ch.filter(
+                            F.col("_change_type").isin(
+                                "delete", "update_preimage"
+                            )
+                        ).select("doc_id")
+                        added = ch.filter(
+                            F.col("_change_type").isin(
+                                "insert", "update_postimage"
+                            )
+                        ).drop("_change_type")
+                        cur = read_version(spark, dst)
+                        new = cur.join(
+                            removed, "doc_id", "left_anti"
+                        ).unionByName(added)
+                        write_snapshot(
+                            new, dst, operation="cdc_apply",
+                            meta={"src_fp": fp, "cursor": ver},
+                        )
+
+                q = (
+                    spark.readStream.schema("ver long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .writeStream.foreachBatch(apply_batch)
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+        return read_version(spark, dst)
+
+    return stream_cdc_apply_replay
+
+
+stream_cdc_apply_replay = _register_stream_cdc_apply()

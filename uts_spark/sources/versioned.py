@@ -404,16 +404,35 @@ def merge_upsert(
     to touched files, same semantics).
 
     The plan is one left-anti join (current minus touched keys) plus
-    the filtered delta — both shuffle on the merge key only."""
+    the filtered delta — both shuffle on the merge key only.
+
+    Schema policy (same contract as :func:`append_snapshot`): a delta
+    may ADD columns — untouched rows surface NULL in them and the new
+    snapshot records the widened schema; a delta MISSING current
+    columns is refused loudly (MERGE replaces whole rows, so a missing
+    column would silently NULL it on every updated row — the
+    narrowing hazard, caught at the boundary instead)."""
     cur = read_version(spark, path)
-    touched = delta.select(key).distinct()
-    kept = cur.join(touched, key, "left_anti")
     if delete_col is not None:
         upserts = delta.filter(~delta[delete_col]).drop(delete_col)
     else:
         upserts = delta
-    merged = kept.unionByName(upserts)
-    return write_snapshot(merged, path, operation="merge")
+    missing = [c for c in cur.columns if c not in upserts.columns]
+    if missing:
+        raise ValueError(
+            f"versioned table {path}: merge delta is missing column(s) "
+            f"{missing} — MERGE replaces whole rows; supply every "
+            "current column (or rewrite via write_snapshot to narrow)"
+        )
+    touched = delta.select(key).distinct()
+    kept = cur.join(touched, key, "left_anti")
+    merged = kept.unionByName(upserts, allowMissingColumns=True)
+    pm = {m["version"]: m for m in list_versions(path)}
+    scol = pm[max(pm)].get("stats_col") if pm else None
+    return write_snapshot(
+        merged, path, operation="merge",
+        stats_col=scol if scol in merged.columns else None,
+    )
 
 
 def delete_rows(
