@@ -3522,6 +3522,101 @@ def cdc_table_changes_rewrite(spark, sf_dir):
 
 
 @query(
+    "cdc_pruned_erasure_read",
+    """
+    WITH o AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS c FROM documents),
+    t AS (SELECT
+      (SELECT doc_id FROM o, n WHERE rn = c // 3) AS t1,
+      (SELECT doc_id FROM o, n WHERE rn = 2 * (c // 3)) AS t2)
+    SELECT d.doc_id, substr(d.text, 1, 40) AS val
+    FROM documents d, t
+    WHERE NOT (d.doc_id % 10 = 4
+               AND d.doc_id >= t.t1 AND d.doc_id < t.t2)
+    """,
+)
+def cdc_pruned_erasure_read(spark, sf_dir):
+    """DIR-STATS-PRUNED ERASURE on the versioned DATA table (the
+    snapshot indexes' erasure shape, now table-side): the table is
+    built as an id-clustered APPEND CHAIN (three dirs, disjoint doc_id
+    ranges, per-dir [min,max] + row counts recorded via stats_col);
+    the GDPR slice lands entirely inside ONE dir's range, so
+    delete_rows rewrites that dir alone and carries the other two into
+    the new manifest BY REFERENCE — write amplification is
+    (touched/all dirs), the property that makes routine compliance
+    ticks affordable when dirs are GBs (measured table in SCALE.md
+    round 9c, including the honest sandbox-scale caveat). The lane
+    returns the post-erasure read; the oracle is the closed form of
+    the survivors, so a leaked row in a carried dir or an over-deleted
+    row in the rewritten dir is a hash mismatch. pruned_dirs=2 is
+    pinned in tests/test_sinks.py."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    val = F.substring(F.col("text"), 1, 40).alias("val")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_prune")
+    fp = "cdc_vt_prune_v1"
+
+    ms = list_versions(path)
+    done = len(ms) == 4 and ms[0].get("fingerprint") == fp
+    if not done:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        # range-cluster the chain on doc_id TERCILES (exact split, the
+        # oracle computes the same two cut ids) — dirs get disjoint id
+        # ranges, which is what makes the dir stats selective. Exact
+        # global rank comes from the distributed range-partitioned
+        # plan (never an unpartitioned window); a production ingest
+        # gets this layout for free from id-ordered appends.
+        ranked = ranked_cumsum(
+            docs.select("doc_id"),
+            bucket_key=F.col("doc_id"),
+            order_by=[F.col("doc_id").asc()],
+        ).select("doc_id", (F.col("__rank") - 1).alias("rn"))
+        n = docs.count()
+        cuts = {
+            r["rn"]: r["doc_id"]
+            for r in ranked.filter(
+                F.col("rn").isin(n // 3, 2 * (n // 3))
+            ).collect()
+        }
+        t1, t2 = cuts[n // 3], cuts[2 * (n // 3)]
+        sel = docs.select("doc_id", val)
+        write_snapshot(
+            sel.filter(F.col("doc_id") < t1), path,
+            meta={"fingerprint": fp}, stats_col="doc_id",
+        )
+        append_snapshot(
+            sel.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2)),
+            path,
+        )
+        append_snapshot(sel.filter(F.col("doc_id") >= t2), path)
+        # GDPR slice: rem-4 ids inside the MIDDLE tercile only — the
+        # erasure's id range admits exactly one dir
+        erase = docs.filter(
+            (F.col("doc_id") % 10 == 4)
+            & (F.col("doc_id") >= t1)
+            & (F.col("doc_id") < t2)
+        ).select("doc_id")
+        delete_rows(spark, path, erase, "doc_id")
+    return read_version(spark, path)
+
+
+@query(
     "cdc_incremental_apply_converges",
     """
     SELECT doc_id, substr(text, 1, 40) AS val

@@ -116,11 +116,12 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 375  # round 9c: +1 protocol-facade lifecycle lane,
+_REGISTRY_FLOOR = 376  # round 9c: +1 protocol-facade lifecycle lane,
 # +2 Arabic-family confidence/per-member-sweep lanes, +2 versioned-table
 # change-data-feed lanes (dir-diff fast path + key-diff across rewrites),
 # +1 schema-evolution read lane, +1 CDC incremental-apply convergence lane,
-# +1 streaming CDC consumer (committed-cursor apply loop)
+# +1 streaming CDC consumer (committed-cursor apply loop), +1 pruned-erasure
+# read lane over an id-clustered append chain
 # (similarity_ann_protocol_facade_probe — the measured marker->snapshot
 # default flip, functions/index_protocol.py).
 # Round 9b floor was 367: +5 snapshot-ANN lanes (LSH/IVF/IVF-PQ
