@@ -838,3 +838,79 @@ def test_versioned_merge_schema_policy(spark, tmp_path):
             spark.createDataFrame([(4, "d")], "k int, v string"),
             key="k",
         )
+
+
+def test_versioned_refs_tag_read_vacuum(spark, tmp_path):
+    """Named refs: tag/read/drop, pointer moves only by tag_version,
+    and vacuum NEVER expires a tagged version (a name is a retention
+    promise)."""
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        drop_tag,
+        list_versions,
+        read_ref,
+        read_version,
+        tag_version,
+        vacuum,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_refs")
+    for i in range(4):
+        write_snapshot(
+            spark.createDataFrame([(i,)], "x int"), path
+        )
+    assert tag_version(path, "prod", 1) == 1
+    assert tag_version(path, "latest") == 3  # None -> current
+    assert [r.x for r in read_ref(spark, path, "prod").collect()] == [1]
+    # a later commit does NOT move the ref
+    write_snapshot(spark.createDataFrame([(9,)], "x int"), path)
+    assert [r.x for r in read_ref(spark, path, "prod").collect()] == [1]
+    with _pytest.raises(ValueError, match="no ref named"):
+        read_ref(spark, path, "nope")
+    with _pytest.raises(ValueError, match="cannot tag"):
+        tag_version(path, "bad", 99)
+
+    # vacuum keeps BOTH tagged versions (v1 'prod', v3 'latest');
+    # untagged old versions go
+    gone = vacuum(path, keep_last=1)
+    assert set(gone) == {0, 2}
+    assert sorted(m["version"] for m in list_versions(path)) == [1, 3, 4]
+    assert [r.x for r in read_ref(spark, path, "prod").collect()] == [1]
+    # dropping the tag releases it to the next vacuum
+    drop_tag(path, "prod")
+    assert 1 in vacuum(path, keep_last=1)
+    with _pytest.raises(ValueError):
+        read_version(spark, path, 1)
+
+
+def test_versioned_table_changes_across_schema_evolution(spark, tmp_path):
+    """Key-diff across an ADD-column evolution: unchanged old rows emit
+    nothing (their NULL-backfilled image equals the merged read),
+    changed rows emit NULL pre-images under the widened schema — the
+    Delta-CDF convention."""
+    from uts_spark.sources.versioned import (
+        merge_upsert,
+        table_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_cdf_evo")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    # merge widens the schema AND updates key 2
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "B", "en")], "k int, v string, lang string"),
+        key="k",
+    )
+    got = {
+        (r.k, r.v, r.lang, r._change_type)
+        for r in table_changes(spark, path, 0, 1, key="k").collect()
+    }
+    assert got == {
+        (2, "b", None, "update_preimage"),
+        (2, "B", "en", "update_postimage"),
+    }

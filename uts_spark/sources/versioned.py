@@ -539,19 +539,26 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     ``keep_last`` versions; returns the vacuumed version ids. Readers
     pinned to vacuumed versions will fail on next execution — exactly
     the retention contract real table formats document; keep_last >= 1
-    always preserves the current version."""
+    always preserves the current version. Versions a NAMED REF points
+    at (:func:`tag_version`) are always kept — a name is a retention
+    promise, so expiring a tagged snapshot requires dropping the tag
+    first (the Iceberg branch/tag retention rule)."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(path)
-    doomed = versions[:-keep_last]
+    reffed = set(_read_refs(path).values())
+    doomed = [
+        m for m in versions[:-keep_last] if m["version"] not in reffed
+    ]
+    kept = [m for m in versions if m not in doomed]
     # fast-append chains SHARE directories across versions (and the
     # snapshot-index families share quantizer sidecar dirs the same
     # way): a dir is removable only when no KEPT manifest references it
     kept_dirs = {
         d
-        for m in versions[-keep_last:]
+        for m in kept
         for d in _manifest_dirs(m) + _manifest_aux_dirs(m)
     }
     for m in doomed:
@@ -689,6 +696,73 @@ def optimize(
     return write_snapshot(out, path, operation="optimize")
 
 
+def _refs_path(path: str) -> str:
+    return os.path.join(path, "_refs.json")
+
+
+def _read_refs(path: str) -> dict:
+    p = _refs_path(path)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_refs(path: str, refs: dict) -> None:
+    tmp = _refs_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, _refs_path(path))
+
+
+def tag_version(
+    path: str, name: str, version: int | None = None
+) -> int:
+    """Create/move a NAMED REF (the Iceberg tags/branches shape): a
+    ref is a name -> version pointer stored beside the manifests, so
+    consumers pin ``ref="prod"`` or ``ref="exp-42"`` instead of a raw
+    version id — the pointer moves by a tag_version call, never by
+    someone else's commit. Refs also participate in retention:
+    :func:`vacuum` keeps every ref'd version alive regardless of
+    ``keep_last`` (deleting a version someone has a name for is how
+    'time travel' becomes 'data loss'). ``version=None`` tags the
+    current version. Returns the tagged version."""
+    versions = {m["version"] for m in list_versions(path)}
+    if version is None:
+        version = max(versions) if versions else None
+    if version not in versions:
+        raise ValueError(
+            f"versioned table {path}: cannot tag version {version} "
+            f"(have {sorted(versions)})"
+        )
+    refs = _read_refs(path)
+    refs[name] = version
+    _write_refs(path, refs)
+    return version
+
+
+def drop_tag(path: str, name: str) -> None:
+    refs = _read_refs(path)
+    if name not in refs:
+        raise ValueError(
+            f"versioned table {path}: no ref named {name!r} "
+            f"(have {sorted(refs)})"
+        )
+    del refs[name]
+    _write_refs(path, refs)
+
+
+def read_ref(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Read the table at a named ref (see :func:`tag_version`)."""
+    refs = _read_refs(path)
+    if name not in refs:
+        raise ValueError(
+            f"versioned table {path}: no ref named {name!r} "
+            f"(have {sorted(refs)})"
+        )
+    return read_version(spark, path, refs[name])
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -757,11 +831,24 @@ def table_changes(
         )
     old = read_version(spark, path, from_version)
     cols = new.columns
-    if set(old.columns) != set(cols):
+    dropped = [c for c in old.columns if c not in cols]
+    if dropped:
         raise ValueError(
-            f"versioned table {path}: schema changed between versions "
-            f"{from_version} and {to_version} — diff the overlap explicitly"
+            f"versioned table {path}: to-version {to_version} lacks "
+            f"column(s) {dropped} present at {from_version} — narrowing "
+            "rewrites have no well-defined whole-row feed; diff the "
+            "overlap explicitly"
         )
+    added = [c for c in cols if c not in old.columns]
+    if added:
+        # schema evolution in range: align the old frame under the
+        # widened schema (NULL pre-images for added columns — the
+        # Delta-CDF convention), typed from the to-version's schema
+        for c in added:
+            old = old.withColumn(
+                c, F.lit(None).cast(dict(new.dtypes)[c])
+            )
+        old = old.select(*cols)
     val_cols = [c for c in cols if c != key]
     # NULL-safe content hash over the non-key columns, in to-version
     # column order on both sides
