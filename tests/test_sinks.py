@@ -914,3 +914,42 @@ def test_versioned_table_changes_across_schema_evolution(spark, tmp_path):
         (2, "b", None, "update_preimage"),
         (2, "B", "en", "update_postimage"),
     }
+
+
+def test_versioned_optimize_folds_append_chain(spark, tmp_path):
+    """optimize() on a fast-append chain (the first cut crashed on the
+    multi-dir manifest): whole chain folds to one dir, rows exactly
+    preserved, stats re-recorded, evolution collapses (the rewrite
+    materializes the widened schema); maybe_optimize triggers only
+    past max_dirs."""
+    from uts_spark.sources.versioned import (
+        _manifest_dirs,
+        append_snapshot,
+        list_versions,
+        maybe_optimize,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_opt_chain")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        path, stats_col="k",
+    )
+    append_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path
+    )
+    append_snapshot(
+        spark.createDataFrame([(3, "c", "en")], "k int, v string, lang string"),
+        path,
+    )
+    assert maybe_optimize(spark, path, max_dirs=8) is None  # under
+    v = maybe_optimize(spark, path, max_dirs=2)
+    assert v is not None
+    m = list_versions(path)[-1]
+    assert m["operation"] == "optimize" and len(_manifest_dirs(m)) == 1
+    assert m["stats_col"] == "k" and list(m["dir_stats"].values()) == [[1, 3]]
+    got = {(r.k, r.v, r.lang) for r in read_version(spark, path).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", "en")}
+    # pre-optimize chain still time-travels
+    assert read_version(spark, path, 2).count() == 3

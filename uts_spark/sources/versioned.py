@@ -636,16 +636,28 @@ def optimize(
     At fleet scale the same two levers apply per partition directory
     (compaction is embarrassingly parallel across partitions) and the
     rewrite narrows to the files a clustering metric flags — the
-    snapshot-commit protocol is unchanged."""
+    snapshot-commit protocol is unchanged.
+
+    Fast-append CHAINS are folded too (round 9c — the first cut read
+    the single ``data_dir`` key and crashed on a chained manifest):
+    the current version's whole dir list reads (schema-merged when
+    evolved) and rewrites into one dir, exactly what
+    :func:`maybe_optimize` triggers when a chain outgrows its
+    measured knee."""
     cur = current_version(path)
     if cur is None:
         raise ValueError(f"versioned table {path}: nothing to optimize")
     manifest = {m["version"]: m for m in list_versions(path)}[cur]
-    ddir = manifest["data_dir"]
-    parts = [f for f in os.listdir(ddir) if f.endswith(".parquet")]
-    total = sum(os.path.getsize(os.path.join(ddir, f)) for f in parts)
+    dirs = _manifest_dirs(manifest)
+    parts = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(p) for p in parts)
     n_out = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(ddir)
+    df = read_version(spark, path, cur)
 
     if zorder_by is not None:
         from pyspark.sql import functions as F
@@ -670,7 +682,10 @@ def optimize(
         bounds = df.agg(F.min(xc), F.max(xc), F.min(yc), F.max(yc)).first()
         if any(v is None for v in bounds):
             # empty current snapshot: nothing to cluster — plain compact
-            return write_snapshot(df.coalesce(n_out), path, operation="optimize")
+            return write_snapshot(
+                df.coalesce(n_out), path, operation="optimize",
+                stats_col=manifest.get("stats_col"),
+            )
         lo_x, hi_x, lo_y, hi_y = [float(v) for v in bounds]
 
         def bucket(col: str, lo: float, hi: float):
@@ -693,7 +708,42 @@ def optimize(
         )
     else:
         out = df.coalesce(n_out)
-    return write_snapshot(out, path, operation="optimize")
+    return write_snapshot(
+        out, path, operation="optimize",
+        stats_col=manifest.get("stats_col"),
+    )
+
+
+def maybe_optimize(
+    spark: SparkSession,
+    path: str,
+    max_dirs: int = 16,
+    zorder_by: tuple[str, str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """OPTIMIZE trigger for DATA-table append chains (the
+    vindex_maybe_compact analog on the lakehouse side): fold the
+    chain when the current manifest references more than
+    ``max_dirs`` directories, else do nothing (None). 16 mirrors
+    the measured IVF knee as the conservative default — the
+    data-table read is a plain multi-dir scan, closer in shape to
+    the cell-sliced probes that DID degrade than to the
+    row-group-pruned probes that stayed flat (SCALE.md r9c); a
+    table whose consumers are all selective can raise it. Stats
+    and schema carry through (the compacted dir re-records
+    stats_col ranges; evolution collapses — the rewrite
+    materializes the widened schema, so the new version reads
+    without footer-merging)."""
+    cur = current_version(path)
+    if cur is None:
+        return None
+    manifest = {m["version"]: m for m in list_versions(path)}[cur]
+    if len(_manifest_dirs(manifest)) <= max_dirs:
+        return None
+    return optimize(
+        spark, path, zorder_by=zorder_by,
+        target_file_bytes=target_file_bytes,
+    )
 
 
 def _refs_path(path: str) -> str:
