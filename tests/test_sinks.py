@@ -953,3 +953,47 @@ def test_versioned_optimize_folds_append_chain(spark, tmp_path):
     assert got == {(1, "a", None), (2, "b", None), (3, "c", "en")}
     # pre-optimize chain still time-travels
     assert read_version(spark, path, 2).count() == 3
+
+
+def test_versioned_table_changes_changed_columns(spark, tmp_path):
+    """Opt-in column granularity: update images carry the NULL-safe
+    list of moved columns; inserts/deletes carry NULL."""
+    from uts_spark.sources.versioned import (
+        merge_upsert,
+        table_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_cdf_cols")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", None), (3, "c", 30)],
+            "k int, v string, x int",
+        ),
+        path,
+    )
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame(
+            # k=1: only x moves; k=2: x NULL->20 (null-safe diff);
+            # k=3: identical (no feed row); k=4: insert
+            [(1, "a", 11), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k int, v string, x int",
+        ),
+        key="k",
+    )
+    ch = table_changes(
+        spark, path, 0, 1, key="k", with_changed_columns=True
+    )
+    got = {
+        (r.k, r._change_type): r._changed_columns for r in ch.collect()
+    }
+    assert got[(1, "update_preimage")] == ["x"]
+    assert got[(1, "update_postimage")] == ["x"]
+    assert got[(2, "update_preimage")] == ["x"]
+    assert got[(4, "insert")] is None
+    assert (3, "update_preimage") not in got  # unchanged row: no feed
+    # default shape unchanged (no _changed_columns column)
+    assert "_changed_columns" not in table_changes(
+        spark, path, 0, 1, key="k"
+    ).columns

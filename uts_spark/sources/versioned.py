@@ -819,6 +819,7 @@ def table_changes(
     from_version: int,
     to_version: int | None = None,
     key: str | None = None,
+    with_changed_columns: bool = False,
 ) -> DataFrame:
     """CHANGE DATA FEED between two committed versions — the Delta-CDF
     / Iceberg-changelog shape, and the reason a 100 TB lakehouse can
@@ -938,5 +939,47 @@ def table_changes(
     post = upd.select(key, *[F.col(f"n.{c}") for c in val_cols]).withColumn(
         "_change_type", F.lit("update_postimage")
     )
-    out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
-    return out.select(*cols, "_change_type")
+    if not with_changed_columns:
+        out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        return out.select(*cols, "_change_type")
+    # COLUMN-LEVEL granularity (opt-in — wide tables' consumers read
+    # which columns moved without value-diffing the images): update
+    # rows carry the sorted list of value columns whose old and new
+    # cells differ (NULL-safe); inserts/deletes carry NULL — every
+    # column is trivially "changed" there, and NULL keeps that case
+    # distinguishable from an empty diff (impossible on updates).
+    changed = F.array_sort(
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")),
+                        F.lit(c),
+                    )
+                    for c in val_cols
+                ]
+            )
+        )
+    )
+    nul = F.lit(None).cast("array<string>")
+    out = (
+        inserts.withColumn("_changed_columns", nul)
+        .unionByName(deletes.withColumn("_changed_columns", nul))
+        .unionByName(
+            upd.withColumn("__cc", changed)
+            .select(
+                key, *[F.col(f"o.{c}") for c in val_cols], "__cc"
+            )
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .withColumnRenamed("__cc", "_changed_columns")
+        )
+        .unionByName(
+            upd.withColumn("__cc", changed)
+            .select(
+                key, *[F.col(f"n.{c}") for c in val_cols], "__cc"
+            )
+            .withColumn("_change_type", F.lit("update_postimage"))
+            .withColumnRenamed("__cc", "_changed_columns")
+        )
+    )
+    return out.select(*cols, "_change_type", "_changed_columns")
