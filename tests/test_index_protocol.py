@@ -145,3 +145,63 @@ def test_facade_rejects_unknown_family_and_protocol(spark, emb, tmp_path):
         index_build(emb, "kdtree", str(tmp_path / "x"))
     with pytest.raises(ValueError, match="unknown index protocol"):
         index_build(emb, "ivf", str(tmp_path / "y"), protocol="paxos")
+
+
+def test_facade_service_tick_parity_ivf(spark, emb, tmp_path):
+    """index_service_tick routes to the family's control loop: the
+    facade tick on one index must commit the same rows and the same
+    monitor ints as the direct vindex tick on a twin."""
+    from uts_spark.functions.index_protocol import index_service_tick
+    from uts_spark.functions.vindex import (
+        ivf_vindex_build,
+        ivf_vindex_ingest_tick,
+        ivf_vindex_probe,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+    anchors = emb.orderBy("vec_id").limit(3)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    ivf_vindex_build(base, pa, fingerprint="f0")
+    ivf_vindex_build(base, pb, fingerprint="f0")
+
+    direct = ivf_vindex_ingest_tick(
+        spark, batch, pa, batch_id=0, fingerprint="f1"
+    )
+    via = index_service_tick(spark, batch, pb, batch_id=0, fingerprint="f1")
+    assert via["family"] == "ivf" and via["protocol"] == "snapshot"
+    for k in ("fit_sum", "fit_n", "flagged", "reclustered"):
+        assert via[k] == direct[k], k
+    ra = sorted(map(tuple, ivf_vindex_probe(spark, pa, anchors, k=5).collect()))
+    rb = sorted(map(tuple, ivf_vindex_probe(spark, pb, anchors, k=5).collect()))
+    assert ra == rb
+    # replay through the facade: exactly-once (the tick reports it
+    # and the committed stats come back identical)
+    again = index_service_tick(spark, batch, pb, batch_id=0, fingerprint="f1")
+    assert again["replayed"] is True
+    assert again["fit_sum"] == via["fit_sum"]
+
+
+def test_facade_service_tick_lsh_and_marker_refusal(spark, emb, tmp_path):
+    import pytest as _pytest
+
+    from uts_spark.functions.index_protocol import (
+        index_build,
+        index_service_tick,
+    )
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 3)
+
+    p_snap = str(tmp_path / "lsh_snap")
+    index_build(base, "lsh", p_snap, dim=dim)
+    out = index_service_tick(spark, batch, p_snap, batch_id=0)
+    assert out["monitor"] == "none" and out["family"] == "lsh"
+
+    p_marker = str(tmp_path / "lsh_marker")
+    index_build(base, "lsh", p_marker, protocol="marker", dim=dim)
+    with _pytest.raises(ValueError, match="no lsh service tick"):
+        index_service_tick(
+            spark, batch, p_marker, batch_id=0, protocol="marker"
+        )

@@ -330,6 +330,94 @@ def index_compact(
     return compact_partitioned(spark, path, part_cols)
 
 
+def index_service_tick(
+    spark,
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    protocol: str | None = None,
+    fingerprint: str = "",
+    stream_id: str | None = None,
+    **config,
+) -> dict:
+    """One SERVICE TICK through the facade: fold a micro-batch into the
+    index exactly-once AND run the family's control loop — the verb a
+    streaming foreachBatch actually wants, protocol- and
+    family-agnostic (the CRUD facade above covers the verbs; this
+    covers the loops):
+
+    - ivf    -> drift tick (per-batch quantizer fit committed with the
+                data; recluster fired at the measured 0.82 flag);
+    - ivfpq  -> distortion tick (codebook-side monitor at the measured
+                1.3x flag; recluster re-encodes);
+    - minhash-> skew tick (bucket-collision ints vs the organic
+                reference; hot-bucket quarantine at the measured 8x
+                flag);
+    - lsh    -> idempotent append (hyperplanes are seed-derived and
+                corpus-independent — there is no quantizer to drift
+                and no monitor to run; the returned dict says so
+                rather than inventing a loop).
+
+    Family and config resolve from the index's own manifest. Returns
+    the family tick's stats dict (plus ``family``/``protocol`` keys).
+    Thresholds stay overridable through ``config`` (recluster_milli /
+    distortion_milli / cap / skew_milli)."""
+    family, cfg = _family_config(path, protocol)
+    proto = _check(family, protocol)
+    if proto == "snapshot":
+        from uts_spark.functions import vindex as vx
+
+        if family == "ivf":
+            out = vx.ivf_vindex_ingest_tick(
+                spark, batch, path, batch_id, fingerprint=fingerprint,
+                stream_id=stream_id, **config,
+            )
+        elif family == "ivfpq":
+            out = vx.ivfpq_vindex_ingest_tick(
+                spark, batch, path, batch_id, fingerprint=fingerprint,
+                stream_id=stream_id, **config,
+            )
+        elif family == "minhash":
+            out = vx.minhash_vindex_ingest_tick(
+                spark, batch, config.pop("text_col"), config.pop("id_col"),
+                path, batch_id, fingerprint=fingerprint,
+                stream_id=stream_id,
+                n=cfg["n"], k=cfg["k"], bands=cfg["bands"],
+                n_grps=cfg["n_grps"], **config,
+            )
+        else:
+            ver = vx.lsh_vindex_append(
+                batch, path, cfg["dim"], fingerprint=fingerprint,
+                planes=cfg["planes"], tables=cfg["tables"],
+                batch_id=batch_id, stream_id=stream_id, **config,
+            )
+            out = {"version": ver, "monitor": "none"}
+    else:
+        from uts_spark.functions import dedup as dd
+        from uts_spark.functions import similarity as sim
+
+        if family == "ivf":
+            out = sim.ivf_index_ingest_tick(
+                spark, batch, path, batch_id,
+                n_cells=cfg.get("n_cells", 8), **config,
+            )
+        elif family == "minhash":
+            out = dd.minhash_ingest_tick(
+                spark, batch, config.pop("text_col"), config.pop("id_col"),
+                path, batch_id,
+                n=cfg["n"], k=cfg["k"], bands=cfg["bands"],
+                n_grps=cfg["n_grps"], **config,
+            )
+        else:
+            raise ValueError(
+                f"marker protocol has no {family} service tick — the "
+                "snapshot protocol carries the full monitor matrix "
+                "(and is the measured default); use "
+                "protocol='snapshot' or the plain append verbs"
+            )
+    return {**out, "family": family, "protocol": proto}
+
+
 def _family_config(path: str, protocol: str | None) -> tuple[str, dict]:
     """Resolve (family, config) from the index's own manifest so the
     caller never re-states what the index already knows. The snapshot
