@@ -997,3 +997,30 @@ def test_versioned_table_changes_changed_columns(spark, tmp_path):
     assert "_changed_columns" not in table_changes(
         spark, path, 0, 1, key="k"
     ).columns
+
+
+def test_versioned_append_exactly_once_batch_key(spark, tmp_path):
+    """Batch-keyed appends are exactly-once: a replay returns the
+    already-committed version before any data job; stream ids
+    namespace the key so two streams at bid 0 never alias."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_eo")
+    write_snapshot(spark.createDataFrame([(1,)], "k int"), path)
+    d = spark.createDataFrame([(2,)], "k int")
+    v1 = append_snapshot(d, path, batch_id=0, stream_id="sA")
+    # replay: same version back, no new manifest, no new rows
+    assert append_snapshot(d, path, batch_id=0, stream_id="sA") == v1
+    assert len(list_versions(path)) == 2
+    assert read_version(spark, path).count() == 2
+    # a DIFFERENT stream's bid 0 is a distinct commit
+    v2 = append_snapshot(
+        spark.createDataFrame([(3,)], "k int"), path,
+        batch_id=0, stream_id="sB",
+    )
+    assert v2 != v1 and read_version(spark, path).count() == 3

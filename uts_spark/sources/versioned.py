@@ -262,6 +262,8 @@ def append_snapshot(
     sort_cols=(),
     max_retries: int = 5,
     stats_col: str | None = None,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> int:
     """FAST APPEND (the Iceberg shape): write the delta to its own
     immutable directory once, then commit a manifest whose dir list =
@@ -269,6 +271,15 @@ def append_snapshot(
     never rewritten. On a commit conflict the data job does NOT rerun:
     file adds commute, so the manifest commit simply retries against
     the new current (bounded by ``max_retries``).
+
+    EXACTLY-ONCE ingest (round 9c — the loop the snapshot indexes
+    already run, now on data tables): ``batch_id`` keys the commit —
+    a replayed micro-batch finds its key on a committed manifest and
+    returns that version BEFORE any data job runs. ``stream_id``
+    namespaces the key (``s{id}b{bid}``) so two independent streams
+    restarting at batch 0 never alias; pass it from the streaming
+    query's own id in foreachBatch. The skip check happens before the
+    delta write, so a replay costs one manifest listing, not a write.
 
     SCHEMA EVOLUTION (round 9c): a delta may ADD columns — the commit
     records the widened schema and flags the version ``evolved`` so
@@ -284,6 +295,14 @@ def append_snapshot(
     record the delta dir's min/max beside the parent's carried stats,
     keeping :func:`delete_rows` prunable across append chains."""
     spark = df.sparkSession
+    batch_key = None
+    if batch_id is not None:
+        batch_key = (
+            f"s{stream_id}b{batch_id}" if stream_id else f"b{batch_id}"
+        )
+        for m in list_versions(path):
+            if m.get("batch_key") == batch_key:
+                return m["version"]
     new_fields = _schema_fields(df.schema.simpleString())
     ddir = _write_delta_dir(df, path, sort_cols)
     n = None
@@ -343,6 +362,7 @@ def append_snapshot(
                 + ">",
                 "evolved": evolved,
             }
+        key_meta = {"batch_key": batch_key} if batch_key else {}
         try:
             return commit_version(
                 path,
@@ -350,10 +370,16 @@ def append_snapshot(
                 operation,
                 parent,
                 parent_rows + n,
-                {**(meta or {}), **stats_meta, **schema_meta},
+                {**(meta or {}), **stats_meta, **schema_meta, **key_meta},
             )
         except VersionConflictError as e:
             last = e
+            if batch_key is not None:
+                # the racer that beat us may BE our replayed twin —
+                # re-check the key before retrying the commit
+                for m in list_versions(path):
+                    if m.get("batch_key") == batch_key:
+                        return m["version"]
     raise last  # type: ignore[misc]
 
 
