@@ -750,12 +750,13 @@ def maybe_optimize(
     """OPTIMIZE trigger for DATA-table append chains (the
     vindex_maybe_compact analog on the lakehouse side): fold the
     chain when the current manifest references more than
-    ``max_dirs`` directories, else do nothing (None). 16 mirrors
-    the measured IVF knee as the conservative default — the
-    data-table read is a plain multi-dir scan, closer in shape to
-    the cell-sliced probes that DID degrade than to the
-    row-group-pruned probes that stayed flat (SCALE.md r9c); a
-    table whose consumers are all selective can raise it. Stats
+    ``max_dirs`` directories, else do nothing (None). 16 is the
+    DATA TABLE'S OWN measured knee (1M rows + 1k-row appended
+    dirs, warm walls, SCALE.md round 9c): full-scan and selective
+    reads are flat through 16 dirs (0.28-0.37s), 1.6x at 32, ~3x
+    at 64, and one optimize restores the single-dir wall — the
+    same chain-aging shape as the IVF probe, unlike the
+    row-group-pruned LSH/minhash probes that stayed flat. Stats
     and schema carry through (the compacted dir re-records
     stats_col ranges; evolution collapses — the rewrite
     materializes the widened schema, so the new version reads
