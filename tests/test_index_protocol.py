@@ -205,3 +205,41 @@ def test_facade_service_tick_lsh_and_marker_refusal(spark, emb, tmp_path):
         index_service_tick(
             spark, batch, p_marker, batch_id=0, protocol="marker"
         )
+
+
+def test_facade_erase_everywhere(spark, emb, docs, tmp_path):
+    """One facade call erases a takedown batch from two index families
+    AND a stats-pruned data table, and the self-audit reports zero
+    leaks everywhere."""
+    from uts_spark.functions.index_protocol import erase_everywhere
+    from uts_spark.functions.vindex import (
+        ivf_vindex_build,
+        lsh_vindex_build,
+    )
+    from uts_spark.sources.versioned import write_snapshot
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    dele = emb.filter(F.col("vec_id") % 10 == 4).select("vec_id")
+
+    p_ivf = str(tmp_path / "ivf")
+    p_lsh = str(tmp_path / "lsh")
+    p_tbl = str(tmp_path / "tbl")
+    ivf_vindex_build(emb, p_ivf, fingerprint="f0")
+    lsh_vindex_build(emb, p_lsh, dim, fingerprint="f0")
+    write_snapshot(
+        emb.select("vec_id", "embedding"), p_tbl, stats_col="vec_id"
+    )
+
+    n_total = emb.count()
+    n_del = dele.count()
+    acct = erase_everywhere(
+        spark, dele, [p_ivf, p_lsh], [(p_tbl, "vec_id")],
+        fingerprint="gdpr",
+    )
+    assert len(acct) == 3
+    assert all(a["leaked"] == 0 for a in acct), acct
+    by_target = {a["target"]: a for a in acct}
+    assert by_target[p_tbl]["rows_after"] == n_total - n_del
+    # ivf stores one row per vector; lsh one per (vector, table)
+    assert by_target[p_ivf]["rows_after"] == n_total - n_del
+    assert by_target[p_lsh]["rows_after"] % (n_total - n_del) == 0

@@ -455,3 +455,63 @@ def _family_config(path: str, protocol: str | None) -> tuple[str, dict]:
         f"marker index at {path}: cannot infer family from manifest config "
         f"keys {sorted(cfg)} — pass explicit config or use the family verbs"
     )
+
+
+def erase_everywhere(
+    spark,
+    deleted_ids,
+    index_paths: list[str],
+    table_specs: list[tuple[str, str]] | None = None,
+    fingerprint: str = "",
+) -> list[dict]:
+    """FACADE-LEVEL GDPR: one call erases a takedown batch from every
+    snapshot index (family dispatched off each manifest, all four
+    routes through the pruned copy-on-write kernel) AND every
+    versioned data table (``table_specs`` = (path, key_col) pairs;
+    dir-stats-pruned when the table opted in at write time) — then
+    AUDITS itself: each target is re-read at its new current version
+    and left-semi probed for survivors. Returns one accounting dict
+    per target: {target, kind, family|key, version, rows_after,
+    leaked}. ``leaked`` must be 0 everywhere; a compliance pass that
+    doesn't verify its own writes is a report, not an erasure.
+
+    The registered lane ``index_gdpr_erasure_fanout`` wires this
+    composition by hand with a closed-form row-count oracle; this
+    verb is the same sequence as a one-call library surface. Cost:
+    sum of touched dirs across all targets — never the sum of index
+    or table sizes."""
+    from uts_spark.functions.vindex import vindex_delete_auto
+    from uts_spark.sources.versioned import (
+        current_version,
+        delete_rows,
+        read_version,
+    )
+
+    out: list[dict] = []
+    for path in index_paths:
+        from uts_spark.functions.vindex import _current_manifest
+
+        fam = _current_manifest(path).get("family")
+        id_col = "id" if fam == "minhash" else "vec_id"
+        ver = vindex_delete_auto(
+            spark, deleted_ids, path, fingerprint=fingerprint
+        )
+        scan = read_version(spark, path)
+        idf = deleted_ids.toDF(id_col)
+        out.append({
+            "target": path, "kind": "index", "family": fam,
+            "version": ver,
+            "rows_after": scan.count(),
+            "leaked": scan.join(idf, id_col, "left_semi").count(),
+        })
+    for path, key in table_specs or []:
+        idf = deleted_ids.toDF(key)
+        ver = delete_rows(spark, path, idf, key)
+        scan = read_version(spark, path, current_version(path))
+        out.append({
+            "target": path, "kind": "table", "key": key,
+            "version": ver,
+            "rows_after": scan.count(),
+            "leaked": scan.join(idf, key, "left_semi").count(),
+        })
+    return out
