@@ -1024,3 +1024,122 @@ def test_versioned_append_exactly_once_batch_key(spark, tmp_path):
         batch_id=0, stream_id="sB",
     )
     assert v2 != v1 and read_version(spark, path).count() == 3
+
+
+def test_versioned_decimal_schema_append_and_read(spark, tmp_path):
+    """ADVICE r9 (high): parenthesized type params (decimal(10,2))
+    must survive the recorded-schema split — fast-appends on a table
+    with a decimal column crashed _schema_fields before the fix."""
+    from uts_spark.sources.versioned import (
+        _schema_fields,
+        append_snapshot,
+        read_version,
+        write_snapshot,
+    )
+
+    assert _schema_fields("struct<k:int,d:decimal(10,2),v:string>") == {
+        "k": "int", "d": "decimal(10,2)", "v": "string"
+    }
+    assert _schema_fields(
+        "struct<k:int,s:struct<a:decimal(3,1),b:array<char(2)>>>"
+    ) == {"k": "int", "s": "struct<a:decimal(3,1),b:array<char(2)>>"}
+
+    path = str(tmp_path / "vdec")
+    df = spark.createDataFrame(
+        [(1, "1.50"), (2, "2.25")], "k int, d string"
+    ).select("k", F.col("d").cast("decimal(10,2)").alias("d"))
+    write_snapshot(df, path)
+    append_snapshot(
+        spark.createDataFrame([(3, "9.99")], "k int, d string").select(
+            "k", F.col("d").cast("decimal(10,2)").alias("d")
+        ),
+        path,
+    )
+    # evolved append on a decimal table reads back under the widened
+    # schema (the crash was unconditional, so plain appends covered it;
+    # evolution exercises the recorded-schema projection too)
+    append_snapshot(
+        spark.createDataFrame(
+            [(4, "0.10", "x")], "k int, d string, tag string"
+        ).select(
+            "k", F.col("d").cast("decimal(10,2)").alias("d"), "tag"
+        ),
+        path,
+    )
+    got = read_version(spark, path)
+    assert got.columns == ["k", "d", "tag"]
+    assert got.count() == 4
+    assert (
+        got.filter(F.col("k") == 3).first()["tag"] is None
+    )
+
+
+def test_versioned_stats_col_type_refused_before_write(spark, tmp_path):
+    """ADVICE r9: a stats_col whose type can't ride the JSON manifest
+    (timestamp/date/binary/decimal) is refused BEFORE any data write —
+    no orphan dir, no half-committed snapshot."""
+    import os
+
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vstats_bad")
+    df = spark.createDataFrame([(1,)], "k int").select(
+        "k", F.current_timestamp().alias("ts")
+    )
+    with _pytest.raises(ValueError, match="round-trip"):
+        write_snapshot(df, path, stats_col="ts")
+    assert not os.path.exists(path)  # nothing written at all
+
+    # inherited stats_col on append is checked up front too
+    ok = str(tmp_path / "vstats_ok")
+    write_snapshot(
+        spark.createDataFrame([(1, 10)], "k int, sid bigint"), ok,
+        stats_col="sid",
+    )
+    bad_delta = spark.createDataFrame([(2,)], "k int").select(
+        "k", F.current_timestamp().cast("timestamp").alias("sid")
+    )
+    with _pytest.raises(ValueError, match="round-trip"):
+        append_snapshot(bad_delta, ok)
+
+
+def test_versioned_table_changes_dir_diff_across_evolution(spark, tmp_path):
+    """ADVICE r9 (medium): the append-only CDF fast path across a
+    schema-evolving range merges footers and projects to the
+    to-version schema — the narrow dir's rows surface NULL in the
+    added column instead of the feed inheriting one footer's schema."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        table_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "cdf_evo_fast")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    # narrow append, then widened append: BOTH dirs are "added" in the
+    # 0 -> 2 diff, with heterogeneous footers
+    append_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path
+    )
+    append_snapshot(
+        spark.createDataFrame(
+            [(3, "c", "x")], "k int, v string, tag string"
+        ),
+        path,
+    )
+    ch = table_changes(spark, path, 0, 2)
+    assert ch.columns == ["k", "v", "tag", "_change_type"]
+    got = {(r.k, r.v, r.tag, r._change_type) for r in ch.collect()}
+    assert got == {
+        (2, "b", None, "insert"),
+        (3, "c", "x", "insert"),
+    }
+    # still the fast path: no join
+    assert "Join" not in ch._jdf.queryExecution().executedPlan().toString()

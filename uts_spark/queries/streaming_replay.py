@@ -2843,32 +2843,39 @@ def _register_stream_cdc_apply():
                     ).coalesce(1).write.mode("append").parquet(src)
 
                 def apply_batch(bdf, bid):
-                    # tiny by construction: one version id per batch
+                    # tiny by construction: one version id per batch.
+                    # ORDER-INDEPENDENT apply (ADVICE r9): the file
+                    # source breaks modification-time ties by arbitrary
+                    # part-file name, so version 2's batch can fire
+                    # before version 1's — advance the cursor version
+                    # by version up to the delivered id instead of
+                    # applying the delivered diff directly, and a
+                    # late-arriving earlier version replays as a skip.
                     for row in sorted(bdf.collect()):
-                        ver = int(row["ver"])
-                        if ver <= cursor():
-                            continue  # replay: already committed
-                        ch = table_changes(
-                            spark, src_path, ver - 1, ver, key="doc_id"
-                        )
-                        removed = ch.filter(
-                            F.col("_change_type").isin(
-                                "delete", "update_preimage"
+                        target = int(row["ver"])
+                        while cursor() < target:
+                            ver = cursor() + 1
+                            ch = table_changes(
+                                spark, src_path, ver - 1, ver, key="doc_id"
                             )
-                        ).select("doc_id")
-                        added = ch.filter(
-                            F.col("_change_type").isin(
-                                "insert", "update_postimage"
+                            removed = ch.filter(
+                                F.col("_change_type").isin(
+                                    "delete", "update_preimage"
+                                )
+                            ).select("doc_id")
+                            added = ch.filter(
+                                F.col("_change_type").isin(
+                                    "insert", "update_postimage"
+                                )
+                            ).drop("_change_type")
+                            cur = read_version(spark, dst)
+                            new = cur.join(
+                                removed, "doc_id", "left_anti"
+                            ).unionByName(added)
+                            write_snapshot(
+                                new, dst, operation="cdc_apply",
+                                meta={"src_fp": fp, "cursor": ver},
                             )
-                        ).drop("_change_type")
-                        cur = read_version(spark, dst)
-                        new = cur.join(
-                            removed, "doc_id", "left_anti"
-                        ).unionByName(added)
-                        write_snapshot(
-                            new, dst, operation="cdc_apply",
-                            meta={"src_fp": fp, "cursor": ver},
-                        )
 
                 q = (
                     spark.readStream.schema("ver long")

@@ -96,6 +96,28 @@ def _commit(path: str, manifest: dict) -> None:
         os.remove(tmp)
 
 
+# stats ride the JSON manifest, so the stats column must round-trip
+# through json.dump AND compare correctly against the literal read
+# back — numeric / string / boolean only. date/timestamp/binary/decimal
+# would raise TypeError at manifest-commit time, AFTER the data dir is
+# written (orphan dir, failed snapshot) — refuse them before any write.
+_JSON_STATS_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "boolean",
+)
+
+
+def _check_stats_col(df: DataFrame, stats_col: str) -> None:
+    typ = dict(df.dtypes).get(stats_col)
+    if typ is not None and not typ.startswith(_JSON_STATS_PREFIXES):
+        raise ValueError(
+            f"stats_col {stats_col!r} has type {typ}, which does not "
+            "round-trip through the JSON manifest (min/max stats need a "
+            "numeric, string, or boolean column) — cast it first, e.g. "
+            "a timestamp to bigint epoch"
+        )
+
+
 def _dir_stats(spark, ddir: str, stats_col: str):
     """(row count, [min, max] of ``stats_col``) of a data dir in one
     read-back scan — the manifest-recorded file statistics that let
@@ -128,6 +150,8 @@ def write_snapshot(
     min/max statistics on the manifest — the input that lets
     :func:`delete_rows` rewrite only the dirs whose range admits a
     deleted key."""
+    if stats_col is not None:
+        _check_stats_col(df, stats_col)
     parent = current_version(path)
     version = 0 if parent is None else parent + 1
     ddir = _data_dir(path, version)
@@ -182,10 +206,14 @@ def _write_delta_dir(df: DataFrame, path: str, sort_cols=()) -> str:
     data job. ``sort_cols`` cluster-sorts rows so parquet row-group
     min/max stats prune selective scans (this format's stand-in for
     directory partitioning — manifests, not directory names, define
-    membership)."""
+    membership). Sort columns absent from the frame are skipped:
+    clustering is a stats optimization, never membership, and the
+    index families pass family-default sort tuples that may name a
+    default id column a custom-id build renamed."""
     import uuid
 
     ddir = os.path.join(path, "data", f"d-{uuid.uuid4().hex[:12]}")
+    sort_cols = [c for c in sort_cols if c in df.columns]
     out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
     out.write.mode("errorifexists").parquet(ddir)
     return ddir
@@ -231,7 +259,9 @@ def commit_version(
 def _schema_fields(schema_str: str) -> dict[str, str]:
     """name -> simple-type map from a recorded ``simpleString`` schema
     (``struct<k:int,v:string>``). Nested angle brackets (arrays,
-    structs) are handled by depth-tracking the split."""
+    structs) AND parenthesized type params (``decimal(10,2)``,
+    ``char(n)``, ``varchar(n)``) are handled by depth-tracking the
+    split — a comma inside either bracket kind never splits."""
     inner = schema_str.strip()
     if inner.startswith("struct<") and inner.endswith(">"):
         inner = inner[len("struct<"):-1]
@@ -239,9 +269,9 @@ def _schema_fields(schema_str: str) -> dict[str, str]:
     depth, start = 0, 0
     parts = []
     for i, ch in enumerate(inner):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(inner[start:i])
@@ -304,6 +334,16 @@ def append_snapshot(
             if m.get("batch_key") == batch_key:
                 return m["version"]
     new_fields = _schema_fields(df.schema.simpleString())
+    pre_parent = current_version(path)
+    pre_scol = stats_col or (
+        {m["version"]: m for m in list_versions(path)}[pre_parent].get(
+            "stats_col"
+        )
+        if pre_parent is not None
+        else None
+    )
+    if pre_scol is not None:
+        _check_stats_col(df, pre_scol)
     ddir = _write_delta_dir(df, path, sort_cols)
     n = None
     last: Exception | None = None
@@ -897,9 +937,20 @@ def table_changes(
         added = [d for d in to_dirs if d not in from_dirs]
         if not added:
             return new.withColumn("_change_type", F.lit("insert")).limit(0)
-        return spark.read.parquet(*added).withColumn(
-            "_change_type", F.lit("insert")
-        )
+        m_to = versions[to_version]
+        if m_to.get("evolved") and m_to.get("schema"):
+            # schema evolution in the range: the added dirs may carry
+            # heterogeneous footers (narrow pre-evolution + widened) —
+            # merge footers and project to the to-version's recorded
+            # schema, exactly mirroring read_version, so the feed
+            # honors the documented to_version-schema contract instead
+            # of inheriting whichever footer Spark lists first.
+            scanned = spark.read.option("mergeSchema", "true").parquet(
+                *added
+            ).select(*_schema_fields(m_to["schema"]))
+        else:
+            scanned = spark.read.parquet(*added)
+        return scanned.withColumn("_change_type", F.lit("insert"))
 
     if key is None:
         raise ValueError(
