@@ -1143,3 +1143,157 @@ def test_versioned_table_changes_dir_diff_across_evolution(spark, tmp_path):
     }
     # still the fast path: no join
     assert "Join" not in ch._jdf.queryExecution().executedPlan().toString()
+
+
+def test_versioned_wap_branch_write_audit_publish(spark, tmp_path):
+    """WAP: a branch stages appends invisibly to main (byte-identical
+    reads until publish), read_branch audits the staged state, and
+    merge_branch publishes as one commute-merge commit — even when
+    main itself appended concurrently after the fork."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        create_branch,
+        list_branches,
+        merge_branch,
+        read_branch,
+        read_version,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    path = str(tmp_path / "wap")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    base = create_branch(path, "staging")
+    assert base == 0 and list_branches(path) == ["staging"]
+
+    write_to_branch(
+        spark.createDataFrame([(3, "c")], "k int, v string"), path, "staging"
+    )
+    write_to_branch(
+        spark.createDataFrame([(4, "d")], "k int, v string"), path, "staging"
+    )
+    # audit reads the staged state; main is byte-identical to the fork
+    assert read_branch(spark, path, "staging").count() == 4
+    main_rows = {tuple(r) for r in read_version(spark, path).collect()}
+    assert main_rows == {(1, "a"), (2, "b")}
+
+    # concurrent main append AFTER the fork: appends commute at publish
+    append_snapshot(
+        spark.createDataFrame([(9, "z")], "k int, v string"), path
+    )
+    ver = merge_branch(spark, path, "staging")
+    got = {tuple(r) for r in read_version(spark, path, ver).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, "z")}
+    assert list_branches(path) == []  # published branches drop
+    # time travel: pre-merge versions unchanged
+    assert read_version(spark, path, 1).count() == 3
+
+
+def test_versioned_wap_branch_conflicts_and_retention(spark, tmp_path):
+    """Branch guards: a main REWRITE since the fork refuses the
+    publish (staged appends may reference erased state); an overwrite
+    branch publishes fast-forward-only; the branch-head CAS races like
+    version commits; vacuum keeps branch-referenced dirs alive."""
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        VersionConflictError,
+        _branch_commit,
+        append_snapshot,
+        create_branch,
+        delete_rows,
+        drop_branch,
+        merge_branch,
+        read_branch,
+        vacuum,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    path = str(tmp_path / "wapc")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(6)], "k int, v string"
+        ),
+        path, stats_col="k",
+    )
+    create_branch(path, "risky")
+    write_to_branch(
+        spark.createDataFrame([(100, "x")], "k int, v string"), path, "risky"
+    )
+    # main rewrites (GDPR delete) after the fork -> publish refuses
+    delete_rows(spark, path, spark.createDataFrame([(3,)], "k int"), "k")
+    with _pytest.raises(VersionConflictError, match="Re-stage"):
+        merge_branch(spark, path, "risky")
+    drop_branch(path, "risky")
+
+    # overwrite branch: fast-forward-only
+    create_branch(path, "rewrite")
+    write_to_branch(
+        spark.createDataFrame([(7, "w")], "k int, v string"), path,
+        "rewrite", operation="overwrite",
+    )
+    append_snapshot(
+        spark.createDataFrame([(8, "y")], "k int, v string"), path
+    )
+    with _pytest.raises(VersionConflictError, match="fast-forward"):
+        merge_branch(spark, path, "rewrite")
+    drop_branch(path, "rewrite")
+
+    # branch-head CAS: second writer of the same seq loses loudly
+    create_branch(path, "race")
+    with _pytest.raises(VersionConflictError, match="already committed"):
+        _branch_commit(path, "race", {"seq": 0, "base": 0})
+
+    # retention: vacuum keeps every branch-referenced dir
+    write_to_branch(
+        spark.createDataFrame([(200, "s")], "k int, v string"), path, "race"
+    )
+    for i in range(3):
+        append_snapshot(
+            spark.createDataFrame([(300 + i, "t")], "k int, v string"), path
+        )
+    vacuum(path, keep_last=1)
+    assert read_branch(spark, path, "race").count() == 7  # 6 base + 1 staged
+
+
+def test_versioned_wap_branch_schema_evolution(spark, tmp_path):
+    """A branch may stage schema-ADDING appends; the publish widens
+    main's schema (evolved read semantics), and narrowing stages are
+    refused — same rules as the main chain."""
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        create_branch,
+        merge_branch,
+        read_branch,
+        read_version,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    path = str(tmp_path / "wapse")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    create_branch(path, "widen")
+    write_to_branch(
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "k int, v string, score double"
+        ),
+        path, "widen",
+    )
+    aud = read_branch(spark, path, "widen")
+    assert aud.columns == ["k", "v", "score"]
+    with _pytest.raises(ValueError, match="narrowing"):
+        write_to_branch(
+            spark.createDataFrame([(3,)], "k int"), path, "widen"
+        )
+    ver = merge_branch(spark, path, "widen")
+    got = read_version(spark, path, ver)
+    assert got.columns == ["k", "v", "score"]
+    assert {tuple(r) for r in got.collect()} == {
+        (1, "a", None), (2, "b", 0.5)
+    }

@@ -627,6 +627,12 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         for m in kept
         for d in _manifest_dirs(m) + _manifest_aux_dirs(m)
     }
+    # live branches reference base + staged dirs by name — a fork is a
+    # retention promise exactly like a tag (WAP: audit must be able to
+    # read the branch until it's merged or dropped)
+    for bname in list_branches(path):
+        for r in _branch_records(path, bname):
+            kept_dirs.update(r.get("data_dirs", []))
     for m in doomed:
         for d in _manifest_dirs(m) + _manifest_aux_dirs(m):
             if d not in kept_dirs:
@@ -658,6 +664,9 @@ def remove_orphans(path: str, older_than_secs: float = 259_200) -> list[str]:
     for m in list_versions(path):
         referenced.update(_manifest_dirs(m))
         referenced.update(_manifest_aux_dirs(m))
+    for bname in list_branches(path):
+        for r in _branch_records(path, bname):
+            referenced.update(r.get("data_dirs", []))
     removed: list[str] = []
     cutoff = time.time() - older_than_secs
     for sub in ("data", "quant"):
@@ -1061,3 +1070,341 @@ def table_changes(
         )
     )
     return out.select(*cols, "_change_type", "_changed_columns")
+
+
+# --- WRITABLE BRANCHES: the Iceberg write-audit-publish pattern -------------
+#
+# A branch is a SECOND manifest chain (``_branches/<name>/h{K}.json``,
+# same hard-link CAS commit as the main chain) whose records reference
+# data dirs from the SAME immutable pool. Staging a risky pipeline
+# write on a branch costs exactly what a fast-append costs — the delta
+# dir — while main readers see nothing until :func:`merge_branch`
+# publishes: staged appends land on main as one commute-merge commit
+# (main's dirs + the branch's added dirs; retried on CAS conflict like
+# any append, because file adds commute); a branch that staged a
+# REWRITE publishes fast-forward-only (main must not have moved since
+# the fork — a rewrite does not commute with anything). This is WAP:
+# Write (to the branch), Audit (read_branch — full query access to the
+# staged state), Publish (merge_branch), with drop_branch as the
+# abandon verb (staged dirs become remove_orphans debris).
+
+
+def _branches_root(path: str) -> str:
+    return os.path.join(path, "_branches")
+
+
+def _branch_dir(path: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid branch name {name!r}")
+    return os.path.join(_branches_root(path), name)
+
+
+def list_branches(path: str) -> list[str]:
+    root = _branches_root(path)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        n for n in os.listdir(root)
+        if os.path.isdir(os.path.join(root, n))
+    )
+
+
+def _branch_records(path: str, name: str) -> list[dict]:
+    bdir = _branch_dir(path, name)
+    if not os.path.isdir(bdir):
+        raise ValueError(
+            f"versioned table {path}: no branch named {name!r} "
+            f"(have {list_branches(path)})"
+        )
+    out = []
+    for fn in os.listdir(bdir):
+        if fn.startswith("h") and fn.endswith(".json"):
+            with open(os.path.join(bdir, fn)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda r: r["seq"])
+
+
+def _branch_commit(path: str, name: str, rec: dict) -> None:
+    """CAS-commit a branch-head record — the same hard-link
+    PUT-if-absent shape as the main chain's :func:`_commit`."""
+    bdir = _branch_dir(path, name)
+    final = os.path.join(bdir, f"h{rec['seq']}.json")
+    if os.path.exists(final):
+        raise VersionConflictError(
+            f"versioned table {path}: branch {name!r} head {rec['seq']} "
+            "already committed (concurrent writer?)"
+        )
+    tmp = os.path.join(bdir, f".commit-{os.getpid()}-{id(rec)}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f, sort_keys=True)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise VersionConflictError(
+            f"versioned table {path}: branch {name!r} head {rec['seq']} "
+            "already committed (concurrent writer?)"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
+def create_branch(
+    path: str, name: str, from_version: int | None = None
+) -> int:
+    """Fork a branch at ``from_version`` (default: current main).
+    Returns the base version. The fork itself is O(1) — the h0 record
+    carries the base manifest's dir list BY REFERENCE, no data moves.
+    The base version is retention-protected like a named ref: vacuum
+    keeps every branch's referenced dirs alive until the branch is
+    merged or dropped."""
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        raise ValueError(
+            f"versioned table {path}: cannot branch an empty table"
+        )
+    base = max(versions) if from_version is None else from_version
+    if base not in versions:
+        raise ValueError(
+            f"versioned table {path}: version {base} not found "
+            f"(have {sorted(versions)})"
+        )
+    bm = versions[base]
+    bdir = _branch_dir(path, name)
+    if os.path.isdir(bdir) and any(
+        f.startswith("h") for f in os.listdir(bdir)
+    ):
+        raise ValueError(
+            f"versioned table {path}: branch {name!r} already exists"
+        )
+    os.makedirs(bdir, exist_ok=True)
+    _branch_commit(path, name, {
+        "seq": 0,
+        "base": base,
+        "operation": "fork",
+        "data_dirs": _manifest_dirs(bm),
+        "n_rows": bm["n_rows"],
+        **{k: bm[k] for k in ("schema", "evolved", "stats_col",
+                              "dir_stats", "dir_rows") if k in bm},
+    })
+    return base
+
+
+def write_to_branch(
+    df: DataFrame,
+    path: str,
+    name: str,
+    operation: str = "append",
+    meta: dict | None = None,
+    sort_cols=(),
+    max_retries: int = 5,
+) -> int:
+    """Stage a commit ON the branch; main is untouched. Returns the
+    new branch head seq. ``operation="append"`` fast-appends (delta
+    dir + head record referencing parent dirs + delta — the commits
+    commute at merge time); ``operation="overwrite"`` replaces the
+    branch content (publishable fast-forward-only). Schema evolution
+    follows the main chain's rule: adds widen (``evolved``), drops
+    and type changes are refused."""
+    if operation not in ("append", "overwrite"):
+        raise ValueError(
+            f"branch operation {operation!r} not supported "
+            "(append | overwrite)"
+        )
+    spark = df.sparkSession
+    new_fields = _schema_fields(df.schema.simpleString())
+    ddir = _write_delta_dir(df, path, sort_cols)
+    n_new = spark.read.parquet(ddir).count()
+    last: Exception | None = None
+    for _ in range(max_retries):
+        recs = _branch_records(path, name)
+        head = recs[-1]
+        rec = {
+            "seq": head["seq"] + 1,
+            "base": head["base"],
+            "operation": operation,
+            **(meta or {}),
+        }
+        if operation == "overwrite":
+            rec.update({
+                "data_dirs": [ddir],
+                "n_rows": n_new,
+                "schema": df.schema.simpleString(),
+            })
+        else:
+            evolved = bool(head.get("evolved"))
+            schema = head.get("schema")
+            if schema:
+                old_fields = _schema_fields(schema)
+                dropped = [c for c in old_fields if c not in new_fields]
+                changed = [
+                    c for c in new_fields
+                    if c in old_fields and old_fields[c] != new_fields[c]
+                ]
+                if dropped or changed:
+                    raise ValueError(
+                        f"versioned table {path} branch {name!r}: delta "
+                        f"drops {dropped} / retypes {changed} — narrowing "
+                        "appends are refused (same rule as the main chain)"
+                    )
+                added = [c for c in new_fields if c not in old_fields]
+                if added:
+                    evolved = True
+                    schema = "struct<" + ",".join(
+                        f"{c}:{t}" for c, t in
+                        {**old_fields, **new_fields}.items()
+                    ) + ">"
+            else:
+                schema = df.schema.simpleString()
+            rec.update({
+                "data_dirs": head["data_dirs"] + [ddir],
+                "n_rows": head["n_rows"] + n_new,
+                "schema": schema,
+                "evolved": evolved,
+            })
+        try:
+            _branch_commit(path, name, rec)
+            return rec["seq"]
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def read_branch(
+    spark: SparkSession, path: str, name: str, seq: int | None = None
+) -> DataFrame:
+    """Read the branch at its head (or a pinned ``seq``) — the AUDIT
+    step of WAP: full query access to the staged state, same reader
+    semantics as :func:`read_version` (footer-merge + projection when
+    the staged chain evolved the schema)."""
+    recs = {r["seq"]: r for r in _branch_records(path, name)}
+    if seq is None:
+        seq = max(recs)
+    if seq not in recs:
+        raise ValueError(
+            f"versioned table {path}: branch {name!r} has no seq {seq} "
+            f"(have {sorted(recs)})"
+        )
+    r = recs[seq]
+    dirs = r["data_dirs"]
+    if not dirs:
+        raise ValueError(
+            f"versioned table {path}: branch {name!r} seq {seq} is empty"
+        )
+    if r.get("evolved") and r.get("schema"):
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return df.select(*_schema_fields(r["schema"]))
+    return spark.read.parquet(*dirs)
+
+
+def merge_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    meta: dict | None = None,
+    drop: bool = True,
+    max_retries: int = 5,
+) -> int:
+    """PUBLISH the branch onto main as one commit; returns the new
+    main version. Staged appends COMMUTE: the published manifest is
+    main's current dirs + the branch's added dirs (a concurrent main
+    commit just retries the CAS — identical to fast-append conflict
+    rules), with one guard: if main REWROTE (delete/compact/
+    overwrite/merge) since the fork, the staged rows may include data
+    main has since erased, so the merge refuses and the branch must
+    be re-staged. A branch holding an ``overwrite`` publishes
+    fast-forward-only (main head must still be the fork base).
+    ``drop`` removes the branch pointer after publishing (its staged
+    dirs are now owned by the main manifest)."""
+    recs = _branch_records(path, name)
+    head = recs[-1]
+    if head["operation"] == "fork":
+        raise ValueError(
+            f"versioned table {path}: branch {name!r} has no staged "
+            "commits to publish"
+        )
+    base = head["base"]
+    base_dirs = set(recs[0]["data_dirs"])
+    staged_ops = {r["operation"] for r in recs[1:]}
+    added = [d for d in head["data_dirs"] if d not in base_dirs]
+    added_rows = head["n_rows"] - recs[0]["n_rows"]
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        cur = max(versions)
+        pm = versions[cur]
+        if staged_ops == {"append"}:
+            moved = [
+                versions[v] for v in sorted(versions) if v > base
+            ]
+            rewrites = [
+                m["operation"] for m in moved
+                if m["operation"] not in ("append",)
+            ]
+            if rewrites:
+                raise VersionConflictError(
+                    f"versioned table {path}: cannot publish branch "
+                    f"{name!r} — main ran {rewrites} since the fork at "
+                    f"v{base}; staged appends may reference erased or "
+                    "rewritten state. Re-stage against current main."
+                )
+            new_dirs = _manifest_dirs(pm) + added
+            n_rows = pm["n_rows"] + added_rows
+            evolved = bool(pm.get("evolved")) or bool(head.get("evolved"))
+            # widened schema = main's fields + branch's staged adds
+            schema = pm.get("schema")
+            if schema and head.get("schema"):
+                mf = _schema_fields(schema)
+                bf = _schema_fields(head["schema"])
+                dropped = [c for c in mf if c not in bf]
+                if dropped:
+                    raise VersionConflictError(
+                        f"versioned table {path}: branch {name!r} lacks "
+                        f"main column(s) {dropped} — re-stage"
+                    )
+                schema = "struct<" + ",".join(
+                    f"{c}:{t}" for c, t in {**mf, **bf}.items()
+                ) + ">"
+        else:
+            if cur != base:
+                raise VersionConflictError(
+                    f"versioned table {path}: branch {name!r} staged a "
+                    f"rewrite at fork v{base} but main is at v{cur} — "
+                    "rewrites publish fast-forward-only"
+                )
+            new_dirs = head["data_dirs"]
+            n_rows = head["n_rows"]
+            evolved = bool(head.get("evolved"))
+            schema = head.get("schema")
+        manifest = {
+            "version": cur + 1,
+            "parent": cur,
+            "operation": f"merge_branch:{name}",
+            "n_rows": n_rows,
+            "data_dirs": new_dirs,
+            **({"schema": schema} if schema else {}),
+            **({"evolved": True} if evolved else {}),
+            **(meta or {}),
+        }
+        try:
+            _commit(path, manifest)
+            if drop:
+                drop_branch(path, name)
+            return manifest["version"]
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Abandon (or clean up after publishing) a branch: removes the
+    head chain only — staged-but-unpublished data dirs become
+    unreferenced debris for :func:`remove_orphans`."""
+    import shutil
+
+    bdir = _branch_dir(path, name)
+    if not os.path.isdir(bdir):
+        raise ValueError(
+            f"versioned table {path}: no branch named {name!r} "
+            f"(have {list_branches(path)})"
+        )
+    shutil.rmtree(bdir)
