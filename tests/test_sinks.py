@@ -1297,3 +1297,95 @@ def test_versioned_wap_branch_schema_evolution(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {
         (1, "a", None), (2, "b", 0.5)
     }
+
+
+def test_catalog_register_resolve_alter_collisions(spark, tmp_path):
+    """Catalog shim semantics: atomic registration (collision = loud
+    error, never overwrite), alter moves a name by generation, missing
+    names list what exists, kind mismatches refuse, and reads compose
+    with version/ref/branch pins."""
+    import pytest as _pytest
+
+    from uts_spark.sources.catalog import (
+        alter_entry,
+        list_entries,
+        read_table,
+        register_entry,
+        resolve,
+        unregister_entry,
+    )
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        create_branch,
+        tag_version,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    cat = str(tmp_path / "cat")
+    t1 = str(tmp_path / "t1")
+    t2 = str(tmp_path / "t2")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), t1
+    )
+    tag_version(t1, "prod", 0)
+    append_snapshot(
+        spark.createDataFrame([(2, "b")], "k int, v string"), t1
+    )
+    create_branch(t1, "stage")
+    write_to_branch(
+        spark.createDataFrame([(3, "c")], "k int, v string"), t1, "stage"
+    )
+    write_snapshot(
+        spark.createDataFrame([(9, "z")], "k int, v string"), t2
+    )
+
+    register_entry(cat, "main", t1)
+    with _pytest.raises(ValueError, match="already registered"):
+        register_entry(cat, "main", t2)
+    assert resolve(cat, "main")["path"] == t1
+
+    # every pin resolves through the name
+    assert read_table(spark, cat, "main").count() == 2
+    assert read_table(spark, cat, "main", version=0).count() == 1
+    assert read_table(spark, cat, "main", ref="prod").count() == 1
+    assert read_table(spark, cat, "main", branch="stage").count() == 3
+    with _pytest.raises(ValueError, match="at most one"):
+        read_table(spark, cat, "main", version=0, ref="prod")
+
+    # alter moves the name; generations win over the base file
+    g = alter_entry(cat, "main", t2)
+    assert g == 1 and resolve(cat, "main")["path"] == t2
+    assert read_table(spark, cat, "main").count() == 1
+
+    with _pytest.raises(ValueError, match="no entry named"):
+        resolve(cat, "ghost")
+    register_entry(cat, "idx", t2, kind="index")
+    with _pytest.raises(ValueError, match="not a table"):
+        read_table(spark, cat, "idx")
+    assert [r["name"] for r in list_entries(cat)] == ["idx", "main"]
+    unregister_entry(cat, "main")
+    with _pytest.raises(ValueError, match="no entry named"):
+        resolve(cat, "main")
+
+
+def test_catalog_index_probe_by_name(spark, tmp_path):
+    """Indexes register in the same catalog and probe by name through
+    the protocol facade (protocol auto-detected per path)."""
+    import os as _os
+
+    from uts_spark.sources.catalog import index_probe_by_name, register_entry
+
+    SF = _os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    from uts_spark.functions.vindex import lsh_vindex_build
+
+    cat = str(tmp_path / "cat")
+    p = str(tmp_path / "lshidx")
+    lsh_vindex_build(emb, p, dim, fingerprint="f0")
+    register_entry(cat, "ann", p, kind="index")
+    anchors = emb.orderBy("vec_id").limit(3)
+    got = index_probe_by_name(spark, cat, "ann", anchors, k=5)
+    assert got.count() > 0

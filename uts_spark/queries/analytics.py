@@ -3740,6 +3740,83 @@ def versioned_wap_branch_publish(spark, sf_dir):
 
 
 @query(
+    "catalog_name_resolution",
+    """
+    SELECT 'current' AS source, doc_id, substr(text, 1, 40) AS val
+    FROM documents
+    UNION ALL
+    SELECT 'prod_tag', doc_id, substr(text, 1, 40)
+    FROM documents WHERE doc_id % 10 != 7
+    """,
+)
+def catalog_name_resolution(spark, sf_dir):
+    """The CATALOG SHIM (VERDICT r9 missing #4 / ROADMAP r10 #5):
+    queries address tables by NAME, not path. sources/catalog.py maps
+    name -> (path, kind) with one hard-link-CAS file per entry (atomic
+    registration, loud collisions, no central read-modify-write — the
+    object-storage catalog shape), and read_table composes with every
+    pin the path readers support: version time travel, named refs,
+    branches. The lane registers the versioned docs table under
+    ``docs_main``, tags v0 as ``prod``, and returns BOTH resolutions —
+    the current version and the prod tag — read purely by name; the
+    oracle is the closed form of the two slices, so a catalog that
+    resolved the wrong path, version, or ref hashes differently.
+    Collision/missing-name/alter/unregister semantics and
+    index-by-name probes are pinned in tests/test_sinks.py. Scale:
+    resolution is one file read; nothing here grows with the data."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.catalog import read_table, register_entry, resolve
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        tag_version,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    val = F.substring(F.col("text"), 1, 40).alias("val")
+    base = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", val)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    tpath = os.path.join(_warehouse_dir(), f"cat_vt_{tag}")
+    cat = os.path.join(_warehouse_dir(), f"cat_reg_{tag}")
+    fp = "cat_vt_v1"
+
+    ms = list_versions(tpath)
+    ok = (
+        len(ms) == 2
+        and ms[0].get("fingerprint") == fp
+        and os.path.isdir(cat)
+    )
+    if ok:
+        try:
+            resolve(cat, "docs_main")
+        except ValueError:
+            ok = False
+    if not ok:
+        for d in (tpath, cat):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        write_snapshot(base, tpath, meta={"fingerprint": fp})
+        tag_version(tpath, "prod", 0)
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", val),
+            tpath,
+        )
+        register_entry(cat, "docs_main", tpath, kind="table")
+
+    cur = read_table(spark, cat, "docs_main").select(
+        F.lit("current").alias("source"), "doc_id", "val"
+    )
+    prod = read_table(spark, cat, "docs_main", ref="prod").select(
+        F.lit("prod_tag").alias("source"), "doc_id", "val"
+    )
+    return cur.unionByName(prod)
+
+
+@query(
     "basket_part_affinity",
     """
     WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
