@@ -2948,6 +2948,196 @@ def _register_stream_cdc_apply():
 stream_cdc_apply_replay = _register_stream_cdc_apply()
 
 
+def _register_stream_cdc_apply_columns():
+    # the converged downstream = upstream v2 with the consumer's LOCAL
+    # lang normalization preserved — closed form over documents
+    @query(
+        "stream_cdc_apply_columns_replay",
+        """
+        SELECT doc_id, substr(text, 1, 40) AS val, upper(lang) AS lang,
+               n_chars
+        FROM documents WHERE doc_id % 10 NOT IN (2, 4, 7)
+        UNION ALL
+        SELECT doc_id, 'U:' || substr(text, 1, 40), upper(lang), n_chars
+        FROM documents WHERE doc_id % 10 = 2
+        UNION ALL
+        SELECT doc_id, substr(text, 1, 40), upper(lang), n_chars
+        FROM documents WHERE doc_id % 10 = 7
+        """,
+    )
+    def stream_cdc_apply_columns_replay(spark, sf_dir):
+        """COLUMN-LEVEL CDF through the streaming consumer (VERDICT r9
+        missing #5 / ROADMAP r10 #4): the cursor loop requests
+        ``with_changed_columns=True`` and applies update images
+        COLUMN-WISE — each updated row takes the post value ONLY for
+        the columns its ``_changed_columns`` names and keeps the
+        consumer's LOCAL value elsewhere. The lane makes that path
+        load-bearing, not decorative: the downstream copy normalizes
+        ``lang`` to uppercase (a local derived convention upstream
+        never sees), and the upstream updates move only ``val`` — a
+        whole-row apply would clobber the local normalization with
+        upstream's lowercase lang and hash-mismatch; the column apply
+        preserves it. The loop also asserts the moved-column sets on
+        update images are exactly ['val'] (a feed that claimed more or
+        fewer moved columns fails loudly). Cursor semantics identical
+        to stream_cdc_apply_replay: apply+cursor one atomic commit,
+        order-independent version-by-version advance, replays skip.
+        Scale: per tick the consumer does feed-sized work; for a
+        100-column table the column apply reads the SAME feed but
+        writes only moved cells' columns into the merge projection —
+        the join stays key-bounded."""
+        from uts_spark.queries.llm_ops import _warehouse_dir
+        from uts_spark.sources.versioned import (
+            delete_rows,
+            list_versions,
+            merge_upsert,
+            read_version,
+            table_changes,
+            write_snapshot,
+        )
+
+        docs = table(spark, sf_dir, "documents")
+        val = F.substring(F.col("text"), 1, 40).alias("val")
+        wide = docs.select("doc_id", val, "lang", "n_chars")
+        base = wide.filter(F.col("doc_id") % 10 != 7)
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        fp = "cdc_vt_wide_v1"
+
+        # upstream: v0 base -> v1 merge (updates move ONLY val;
+        # inserts are whole rows) -> v2 delete
+        src_path = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_wide")
+        ms = list_versions(src_path)
+        if not (len(ms) == 3 and ms[0].get("fingerprint") == fp):
+            if os.path.exists(src_path):
+                shutil.rmtree(src_path)
+            write_snapshot(base, src_path, meta={"fingerprint": fp})
+            updates = docs.filter(F.col("doc_id") % 10 == 2).select(
+                "doc_id",
+                F.concat(F.lit("U:"), F.substring("text", 1, 40)).alias("val"),
+                "lang", "n_chars",
+            )
+            inserts = wide.filter(F.col("doc_id") % 10 == 7)
+            merge_upsert(spark, src_path, updates.unionByName(inserts), "doc_id")
+            delete_rows(
+                spark, src_path,
+                docs.filter(F.col("doc_id") % 10 == 4).select("doc_id"),
+                "doc_id",
+            )
+
+        dst = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_wide_dstream")
+        dfp = fp + ":dstream"
+        dms = list_versions(dst)
+        if not dms or dms[0].get("src_fp") != dfp:
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            write_snapshot(
+                read_version(spark, src_path, 0).withColumn(
+                    "lang", F.upper("lang")
+                ),
+                dst,
+                meta={"src_fp": dfp, "cursor": 0},
+            )
+
+        def cursor() -> int:
+            return max(m.get("cursor", 0) for m in list_versions(dst))
+
+        val_cols = ["val", "lang", "n_chars"]
+
+        if cursor() < 2:
+            scratch = tempfile.mkdtemp(prefix="uts_cdc_cols_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                os.makedirs(src)
+                for ver in (1, 2):
+                    spark.createDataFrame(
+                        [(ver,)], "ver long"
+                    ).coalesce(1).write.mode("append").parquet(src)
+
+                def apply_batch(bdf, bid):
+                    for row in sorted(bdf.collect()):
+                        target = int(row["ver"])
+                        while cursor() < target:
+                            ver = cursor() + 1
+                            ch = table_changes(
+                                spark, src_path, ver - 1, ver,
+                                key="doc_id", with_changed_columns=True,
+                            )
+                            ct = F.col("_change_type")
+                            moved = sorted(
+                                tuple(r["_changed_columns"])
+                                for r in ch.filter(
+                                    ct == "update_postimage"
+                                ).select("_changed_columns")
+                                .distinct().collect()
+                            )
+                            if moved and moved != [("val",)]:
+                                raise AssertionError(
+                                    "update images must move exactly "
+                                    f"['val'], got {moved}"
+                                )
+                            removed = ch.filter(
+                                ct.isin("delete", "update_preimage")
+                            ).select("doc_id")
+                            inserts = ch.filter(ct == "insert").select(
+                                "doc_id", "val",
+                                F.upper("lang").alias("lang"), "n_chars",
+                            )
+                            posts = ch.filter(
+                                ct == "update_postimage"
+                            ).alias("p")
+                            cur = read_version(spark, dst)
+                            kept = cur.join(removed, "doc_id", "left_anti")
+                            local_pre = cur.join(
+                                posts.select("doc_id"), "doc_id",
+                                "left_semi",
+                            ).alias("l")
+                            merged = local_pre.join(posts, "doc_id").select(
+                                "doc_id",
+                                *[
+                                    F.when(
+                                        F.array_contains(
+                                            F.col("p._changed_columns"),
+                                            F.lit(c),
+                                        ),
+                                        F.col(f"p.{c}"),
+                                    )
+                                    .otherwise(F.col(f"l.{c}"))
+                                    .alias(c)
+                                    for c in val_cols
+                                ],
+                            )
+                            write_snapshot(
+                                kept.unionByName(merged).unionByName(
+                                    inserts
+                                ),
+                                dst, operation="cdc_apply_cols",
+                                meta={"src_fp": dfp, "cursor": ver},
+                            )
+
+                q = (
+                    spark.readStream.schema("ver long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .writeStream.foreachBatch(apply_batch)
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+        return read_version(spark, dst)
+
+    return stream_cdc_apply_columns_replay
+
+
+stream_cdc_apply_columns_replay = _register_stream_cdc_apply_columns()
+
+
 # --- SERVICE TICKS THROUGH THE PROTOCOL FACADE (VERDICT r9 #2) --------------
 #
 # index_service_tick was parity-pinned by pytest only; these four lanes
