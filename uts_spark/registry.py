@@ -213,6 +213,16 @@ HEADLINE = [n for n in (
     # xent kernel (one doc-term shuffle + dictionary join) to the
     # map-only five-feature model
     "text_quality_model6_compare",
+    # r10: service economics in HEADLINE (VERDICT r9 #5) — the round-9
+    # surfaces get round-over-round driver-visible perf signal:
+    # the facade-routed minhash skew tick (cold pass = build + streamed
+    # ingest + quarantine loop; warm passes = the serviced index's
+    # probe), the WAP cycle (fork -> stage x2 -> audit -> publish,
+    # re-run END TO END every pass — manifest-commit economics), and
+    # the append-only CDF feed read (manifest-diff fast path).
+    "facade_tick_minhash_skew_replay",
+    "versioned_wap_branch_publish",
+    "cdc_table_changes_appendonly",
     # NOT in headline: pipeline_training_prep_v6 (the flagship fused
     # DAG) measures ~45 s warm at sf0.1 — one composition would double
     # the whole bench wall and drown the per-operator signal; its
