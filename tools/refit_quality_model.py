@@ -6,8 +6,17 @@ r8: frozen weights must never be swapped on vibes). Run:
 
 Protocol:
 
-- deterministic split: ``doc_id % 5 == 0`` -> HOLDOUT, else TRAIN
-  (pseudo-labels = the Gopher rule pack, same as the original fit);
+- deterministic split: ``doc_id % 5 == 0`` -> HOLDOUT, else TRAIN;
+- TWO label sources (``--labels``): ``gopher`` (the original fit's
+  pseudo-labels — the Gopher rule pack, a FUNCTION of the five
+  incumbent features, so the gate is structurally un-winnable there:
+  the incumbent already encodes the labels; VERDICT r9 "what's
+  missing" #2) and ``xent`` (round 10 — labels with signal OUTSIDE
+  the feature set: a doc is labeled quality iff its BIGRAM-LM
+  cross-entropy against a TRAIN-only add-one model sits at or below
+  the TRAIN median; sequence-aware perplexity is correlated with but
+  not derivable from the five surface features, so incumbent and
+  candidates genuinely differ and the gate makes a real decision);
 - INCUMBENT: the shipped ``_QM_W`` integer literals, scored on the
   holdout as-is;
 - CANDIDATE refit: same five features, refit on TRAIN ONLY with the
@@ -50,8 +59,58 @@ from uts_spark.queries.llm_ops import (  # noqa: E402
 FEATS5 = ["x_len", "x_stop", "x_mwl", "x_ttr", "x_rep"]
 FEATS6 = FEATS5 + ["x_xent"]
 
+# label SQL per mode: a boolean `label` column per doc_id.
+# xent mode: bigram cross-entropy per doc against the TRAIN-corpus
+# add-one-smoothed conditional model (same integer-snapped kernel as
+# the text_bigram_xent lane, restricted to train counts), thresholded
+# at the TRAIN-median integer rate — holdout labels use the SAME
+# train-fitted model + threshold, so nothing leaks from holdout.
 
-def _features(sf_dir: str):
+
+def _label_sql(mode: str) -> str:
+    if mode == "gopher":
+        return "SELECT doc_id, gopher_pass AS label FROM g"
+    from uts_spark.functions.text import duck_tokens, duck_word_ngrams
+
+    toks = duck_tokens("text")
+    return f"""
+        SELECT doc_id,
+               xe_rate <= (SELECT CAST(ROUND(MEDIAN(xe_rate)) AS BIGINT)
+                           FROM xe_bg WHERE doc_id % 5 != 0) AS label
+        FROM xe_bg"""
+
+
+def _xent_label_ctes() -> str:
+    from uts_spark.functions.text import duck_tokens, duck_word_ngrams
+
+    toks = duck_tokens("text")
+    return f"""
+        lt AS (SELECT doc_id, {toks} AS toks FROM documents),
+        lbg AS (SELECT doc_id, unnest({duck_word_ngrams('toks', 2)}) AS bigram
+                FROM lt),
+        lbf AS (SELECT doc_id, bigram, COUNT(*) AS bf FROM lbg
+                GROUP BY doc_id, bigram),
+        lc12 AS (SELECT bigram, SUM(bf) AS c12 FROM lbf
+                 WHERE doc_id % 5 != 0 GROUP BY bigram),
+        luni AS (SELECT unnest(toks) AS term FROM lt WHERE doc_id % 5 != 0),
+        lc1 AS (SELECT term, COUNT(*) AS c1 FROM luni GROUP BY term),
+        lv AS (SELECT COUNT(*) AS vocab FROM lc1),
+        xe_bg AS (
+          SELECT lbf.doc_id,
+                 CAST(ROUND(SUM(lbf.bf * CAST(ROUND(
+                     -LN((CAST(COALESCE(lc12.c12, 0) AS DOUBLE) + 1)
+                         / (COALESCE(lc1.c1, 0) + lv.vocab))
+                     * {LOG_SCALE}) AS BIGINT)) / SUM(lbf.bf)) AS BIGINT)
+                   AS xe_rate
+          FROM lbf
+          LEFT JOIN lc12 ON lc12.bigram = lbf.bigram
+          LEFT JOIN lc1 ON lc1.term = split_part(lbf.bigram, ' ', 1)
+          CROSS JOIN lv
+          GROUP BY lbf.doc_id
+        )"""
+
+
+def _features(sf_dir: str, labels: str = "gopher"):
     """Per-doc features + pseudo-label + split flag. x_xent uses a
     TRAIN-ONLY unigram model (add-half smoothing for unseen terms)."""
     con = duckdb.connect()
@@ -59,9 +118,12 @@ def _features(sf_dir: str):
         f"CREATE VIEW documents AS "
         f"SELECT * FROM '{sf_dir}/documents.parquet'"
     )
+    label_ctes = (
+        "" if labels == "gopher" else "," + _xent_label_ctes()
+    )
     return con.sql(
         f"""WITH {_duck_quality_model_features()},
-        g AS ({_duck_gopher()}),
+        g AS ({_duck_gopher()}){label_ctes},
         t AS (SELECT doc_id,
                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
                        AS term
@@ -79,10 +141,13 @@ def _features(sf_dir: str):
                    AS x_xent
           FROM tf f LEFT JOIN ct c USING (term) CROSS JOIN tot t
           GROUP BY f.doc_id
-        )
-        SELECT qf.*, COALESCE(xe.x_xent, 0) AS x_xent, g.gopher_pass,
+        ),
+        lab AS ({_label_sql(labels)})
+        SELECT qf.*, COALESCE(xe.x_xent, 0) AS x_xent,
+               lab.label AS gopher_pass,
                (qf.doc_id % 5 = 0) AS holdout
         FROM qf JOIN g USING (doc_id)
+        JOIN lab USING (doc_id)
         LEFT JOIN xe USING (doc_id)
         ORDER BY doc_id"""
     ).df()
@@ -121,8 +186,8 @@ def _f1(weights: dict, X: np.ndarray, y: np.ndarray, feats: list[str]):
     return 2 * prec * rec / max(prec + rec, 1e-12), prec, rec
 
 
-def refit(sf_dir: str) -> dict:
-    df = _features(sf_dir)
+def refit(sf_dir: str, labels: str = "gopher") -> dict:
+    df = _features(sf_dir, labels)
     tr, ho = df[~df["holdout"]], df[df["holdout"]]
     y_tr = tr["gopher_pass"].to_numpy(dtype=np.float64)
     y_ho = ho["gopher_pass"].to_numpy(dtype=np.float64)
@@ -145,6 +210,7 @@ def refit(sf_dir: str) -> dict:
     )
     decision = {
         "sf_dir": sf_dir,
+        "labels": labels,
         "n_train": int(len(tr)),
         "n_holdout": int(len(ho)),
         "f1_incumbent": round(f1_inc, 6),
@@ -159,8 +225,15 @@ def refit(sf_dir: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    print(json.dumps(refit(sf_dir)))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    labels = "gopher"
+    for a in sys.argv[1:]:
+        if a.startswith("--labels"):
+            labels = a.split("=", 1)[1] if "=" in a else "xent"
+    if labels not in ("gopher", "xent"):
+        raise SystemExit(f"unknown --labels {labels!r} (gopher | xent)")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    print(json.dumps(refit(sf_dir, labels)))
 
 
 if __name__ == "__main__":
