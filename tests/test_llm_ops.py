@@ -2904,3 +2904,59 @@ def test_ivfpq_vindex_ingest_tick_distortion_loop(spark, tmp_path):
     )
     assert t3["replayed"] and not t3["reclustered"]
     assert read_version(spark, path).count() == n_after
+
+
+def test_index_history_changes_feed_and_reset_refusal(spark, tmp_path):
+    """Marker-index CDF: the 0->1 feed is exactly the appended tick's
+    rows (no join — history diff); a range crossing a RESET (erasure)
+    refuses loudly; unknown versions and empty diffs behave."""
+    import os
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.dedup import (
+        index_history_changes,
+        index_manifest_write,
+        index_tick,
+        minhash_index_append_idempotent,
+        minhash_index_delete,
+        minhash_index_write,
+    )
+
+    SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    b1 = docs.filter(F.col("doc_id") % 7 == 0)
+    path = str(tmp_path / "mh_cdf")
+    cfg = dict(n=3, k=32, bands=8)
+    minhash_index_write(base, "text", "doc_id", path, fingerprint="f0", **cfg)
+    index_manifest_write(path, "f0", **cfg)
+    index_tick(
+        path, "f1",
+        lambda: minhash_index_append_idempotent(
+            b1, "text", "doc_id", path, batch_id=0, **cfg
+        ),
+        **cfg,
+    )
+
+    feed = index_history_changes(spark, path, 0, 1)
+    assert set(feed.select("_change_type").distinct().toPandas()[
+        "_change_type"
+    ]) == {"insert"}
+    # feed ids == the appended batch's ids, 8 band rows per doc
+    n_b1 = b1.count()
+    assert feed.count() == n_b1 * 8
+    assert index_history_changes(spark, path, 0, 0).count() == 0
+    assert index_history_changes(spark, path, 1, 1).count() == 0
+
+    with _pytest.raises(ValueError, match="unknown version"):
+        index_history_changes(spark, path, 0, 99)
+
+    # erasure appends a reset: feeds crossing it refuse
+    minhash_index_delete(
+        spark, b1.limit(5), "text", "doc_id", path, **cfg
+    )
+    with _pytest.raises(ValueError, match="reset"):
+        index_history_changes(spark, path, 0)

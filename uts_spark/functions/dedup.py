@@ -710,6 +710,66 @@ def index_history_vacuum(path: str) -> int:
     return len(recs) - len(kept)
 
 
+def index_history_changes(
+    spark, path: str, from_version: int, to_version: int | None = None
+):
+    """CHANGE DATA FEED for the MARKER-protocol index families,
+    derived from the history sidecar (ROADMAP r10 #2 — the snapshot
+    side has versioned.table_changes; this gives migration tooling
+    the same incremental read over a marker index): between two
+    history versions with NO reset in the range, every change is an
+    insert living in the files the ticks between them published — the
+    feed is a plain scan of ``files_at(to) - files_at(from)``, no
+    join, mirroring the snapshot table's append-only dir-diff fast
+    path. A RESET in the range (erasure, compaction) makes the feed
+    undefined by design — the pre-reset files are physically gone —
+    so the call refuses loudly and the consumer resyncs from the
+    reset census (exactly how Delta CDF consumers handle a vacuumed
+    range). Partition columns (band/grp, table/bucket, cell) are
+    recovered via basePath."""
+    from pyspark.sql import functions as F
+
+    recs = index_history_versions(path)
+    if not recs:
+        raise ValueError(f"index at {path}: no version history")
+    known = {r["version"] for r in recs}
+    if to_version is None:
+        to_version = max(known)
+    for v in (from_version, to_version):
+        if v not in known:
+            raise ValueError(
+                f"index at {path}: unknown version {v} "
+                f"(history has {sorted(known)})"
+            )
+    if from_version > to_version:
+        raise ValueError(
+            f"index at {path}: from_version {from_version} > "
+            f"to_version {to_version}"
+        )
+    resets = [
+        r["version"] for r in recs
+        if r.get("reset") and from_version < r["version"] <= to_version
+    ]
+    if resets:
+        raise ValueError(
+            f"index at {path}: versions {from_version}->{to_version} "
+            f"cross the rewrite at version {min(resets)} — the feed is "
+            "undefined across a reset (pre-reset files are physically "
+            "gone); resync from the reset census"
+        )
+    f_from = set(index_files_at(path, from_version))
+    f_to = index_files_at(path, to_version)
+    added = [f for f in f_to if f not in f_from]
+    scan = spark.read.option("basePath", path)
+    if not added:
+        return scan.parquet(*f_to).withColumn(
+            "_change_type", F.lit("insert")
+        ).limit(0)
+    return scan.parquet(*added).withColumn(
+        "_change_type", F.lit("insert")
+    )
+
+
 def index_epoch(path: str) -> int:
     """The index's current EPOCH = the VERSION of the last reset line
     in its history (0 when no history or no reset exists — resets are

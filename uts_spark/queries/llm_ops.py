@@ -5746,6 +5746,97 @@ def dedup_minhash_index_version_probe(spark, sf_dir):
     )
 
 
+def _duck_minhash_cdf_oracle() -> str:
+    from uts_spark.functions.dedup import MINHASH_P as P, _family_constants
+    from uts_spark.functions.text import duck_tokens, duck_word_ngrams
+
+    k, bands, n = _MIDX_K, _MIDX_BANDS, _MIDX_N
+    rpb = k // bands
+    consts = _family_constants(k)
+    grams = duck_word_ngrams(duck_tokens("text"), n)
+    mins = ", ".join(
+        f"MIN(({a} * h{'A' if i % 2 == 0 else 'B'} + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id AS id, text FROM documents
+               WHERE doc_id % {_MIDX_MOD} = {_MIDX_REM}),
+    g AS (SELECT id, unnest(list_distinct({grams})) AS gr FROM d),
+    inv AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % {P} AS hA,
+             CAST(('0x' || substr(md5(gr), 17, 15)) AS BIGINT) % {P} AS hB
+      FROM g
+    ),
+    sig AS (SELECT id, {mins} FROM inv GROUP BY id),
+    bk AS ({band_sel})
+    SELECT id, band, bucket, 'insert' AS _change_type FROM bk
+    """
+
+
+@query("dedup_minhash_index_cdf", _duck_minhash_cdf_oracle())
+def dedup_minhash_index_cdf(spark, sf_dir):
+    """CHANGE DATA FEED on a MARKER index (ROADMAP r10 #2): build the
+    band index over base (history version 0 with its file census),
+    fold batch-1 in via the batch-id-keyed idempotent append (version
+    1 = that tick's published files), then read
+    ``index_history_changes(0 -> 1)`` — the feed is a plain scan of
+    exactly the files the tick published (no join; the history
+    sidecar IS the change log, mirroring the snapshot table's
+    manifest-diff fast path), and it must equal the appended docs'
+    re-sketched (id, band, bucket) rows — the oracle recomputes them
+    closed-form through the portable hash family. A range crossing a
+    RESET (erasure/compaction) refuses loudly — pinned in
+    tests/test_llm_ops.py — because pre-reset files are physically
+    gone; migration tooling resyncs from the census. Scale: feed cost
+    is delta-file-sized, never index-sized."""
+    import os
+    import shutil
+
+    from uts_spark.functions.dedup import (
+        index_history_changes,
+        index_state,
+        index_tick,
+        minhash_index_append_idempotent,
+        minhash_index_write,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+    b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM)
+    fp0 = _frame_fingerprint(base)
+    fp1 = _frame_fingerprint(docs)
+    cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+    path = minhash_index_path(sf_dir, fp0, **cfg) + "_cdf"
+
+    state = index_state(path)
+    if state not in (fp0, fp1):
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        minhash_index_write(
+            base, "text", "doc_id", path, fingerprint=fp0, **cfg
+        )
+        state = fp0
+    if state == fp0:
+        index_tick(
+            path, fp1,
+            lambda: minhash_index_append_idempotent(
+                b1, "text", "doc_id", path, batch_id=0, **cfg
+            ),
+            **cfg,
+        )
+
+    return index_history_changes(spark, path, 0, 1).select(
+        "id", "band", "bucket", "_change_type"
+    )
+
+
 @query(
     "dedup_minhash_index_compact_version_probe",
     _duck_minhash_index_probe(_MIDX_REM2),

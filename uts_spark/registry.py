@@ -116,14 +116,15 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 384  # round 10: +4 facade-routed service-tick replay
+_REGISTRY_FLOOR = 385  # round 10: +4 facade-routed service-tick replay
 # lanes (index_service_tick through the protocol facade for all four
 # families, family lanes' oracles reused verbatim) and +1 one-call GDPR
 # lane (index_gdpr_erase_everywhere — mixed snapshot+marker+table
 # targets behind a closed-form accounting oracle, pruned self-audit),
 # +1 WAP lane (versioned_wap_branch_publish — writable branches),
 # +1 catalog lane (catalog_name_resolution — name->path shim),
-# +1 column-level streaming CDC lane (stream_cdc_apply_columns_replay).
+# +1 column-level streaming CDC lane (stream_cdc_apply_columns_replay),
+# +1 marker-index history CDF lane (dedup_minhash_index_cdf).
 # Round 9c floor was 376: +1 protocol-facade lifecycle lane,
 # +2 Arabic-family confidence/per-member-sweep lanes, +2 versioned-table
 # change-data-feed lanes (dir-diff fast path + key-diff across rewrites),
