@@ -1389,3 +1389,105 @@ def test_catalog_index_probe_by_name(spark, tmp_path):
     anchors = emb.orderBy("vec_id").limit(3)
     got = index_probe_by_name(spark, cat, "ann", anchors, k=5)
     assert got.count() > 0
+
+
+def test_versioned_branch_changes_staged_feed(spark, tmp_path):
+    """branch_changes: the staged feed is exactly the branch's added
+    rows (join-free dir diff vs the fork base), evolution-aware;
+    overwrite branches refuse (no key, no row-level diff)."""
+    import pytest as _pytest
+
+    from uts_spark.sources.versioned import (
+        branch_changes,
+        create_branch,
+        drop_branch,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    path = str(tmp_path / "bcf")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    create_branch(path, "st")
+    assert branch_changes(spark, path, "st").count() == 0
+    write_to_branch(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path, "st"
+    )
+    write_to_branch(
+        spark.createDataFrame(
+            [(3, "c", 1.5)], "k int, v string, score double"
+        ),
+        path, "st",
+    )
+    feed = branch_changes(spark, path, "st")
+    assert feed.columns == ["k", "v", "score", "_change_type"]
+    got = {(r.k, r.v, r.score, r._change_type) for r in feed.collect()}
+    assert got == {(2, "b", None, "insert"), (3, "c", 1.5, "insert")}
+    assert "Join" not in feed._jdf.queryExecution().executedPlan().toString()
+    drop_branch(path, "st")
+
+    create_branch(path, "ow")
+    write_to_branch(
+        spark.createDataFrame([(7, "w")], "k int, v string"), path, "ow",
+        operation="overwrite",
+    )
+    with _pytest.raises(ValueError, match="append-only"):
+        branch_changes(spark, path, "ow")
+
+
+def test_catalog_erase_by_names(spark, tmp_path):
+    """Catalog-wide GDPR: erase_by_names resolves every named holder
+    (or the whole catalog), dispatches tables by their manifest
+    stats_col and indexes by protocol/family, and the per-target
+    accounting carries the catalog name with zero leaks."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from uts_spark.functions.vindex import ivf_vindex_build
+    from uts_spark.sources.catalog import erase_by_names, register_entry
+    from uts_spark.sources.versioned import write_snapshot
+
+    SF = _os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cat = str(tmp_path / "cat")
+    p_idx = str(tmp_path / "idx")
+    p_tbl = str(tmp_path / "tbl")
+    p_nostats = str(tmp_path / "tbl2")
+    ivf_vindex_build(emb, p_idx, fingerprint="f0")
+    write_snapshot(
+        emb.select("vec_id", "embedding"), p_tbl, stats_col="vec_id"
+    )
+    write_snapshot(emb.select("vec_id", "label"), p_nostats)
+    register_entry(cat, "ann", p_idx, kind="index")
+    register_entry(cat, "vecs", p_tbl)
+    register_entry(cat, "labels", p_nostats)
+
+    dele = emb.filter(F.col("vec_id") % 9 == 2).select("vec_id")
+    n_del = dele.count()
+
+    # a stats-less table without an explicit key refuses loudly
+    with _pytest.raises(ValueError, match="stats_col"):
+        erase_by_names(spark, dele, cat)
+
+    acct = erase_by_names(
+        spark, dele, cat, fingerprint="gdpr",
+        table_keys={"labels": "vec_id"},
+    )
+    by_name = {a["name"]: a for a in acct}
+    assert set(by_name) == {"ann", "vecs", "labels"}
+    assert all(a["leaked"] == 0 for a in acct), acct
+    assert by_name["ann"]["rows_removed"] == n_del
+    assert by_name["vecs"]["rows_removed"] == n_del
+    assert by_name["labels"]["rows_removed"] == n_del
+
+    # scoped call: only the named target is touched (already-erased
+    # index removes nothing more)
+    acct2 = erase_by_names(
+        spark, dele, cat, names=["ann"], fingerprint="gdpr2"
+    )
+    assert len(acct2) == 1 and acct2[0]["rows_removed"] == 0
+    with _pytest.raises(ValueError, match="no entries named"):
+        erase_by_names(spark, dele, cat, names=["ghost"])

@@ -211,3 +211,64 @@ def index_probe_by_name(
         spark, rec["path"], probe_input, protocol=proto,
         version=version, **kwargs,
     )
+
+
+def erase_by_names(
+    spark,
+    deleted_ids,
+    catalog: str,
+    names: list[str] | None = None,
+    fingerprint: str = "",
+    deleted_rows=None,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    table_keys: dict[str, str] | None = None,
+) -> list[dict]:
+    """CATALOG-WIDE GDPR: one call erases a takedown batch from every
+    named target (default: the WHOLE catalog) — tables and indexes
+    dispatch by their registered kind, indexes by their manifest's
+    protocol/family, through :func:`index_protocol.erase_everywhere`
+    (pruned deletes, pruned self-audit, leaked must be 0). A table's
+    erase key resolves from its manifest's ``stats_col`` (the column
+    it opted into pruning on — the natural erasure key); tables
+    without one need an explicit ``table_keys[name]``. Each returned
+    accounting dict carries the catalog ``name`` beside the facade's
+    fields. This is the compliance verb a real pipeline wants: the
+    catalog knows every holder of the ids, so nothing is forgotten by
+    omission."""
+    from uts_spark.functions.index_protocol import erase_everywhere
+    from uts_spark.sources.versioned import list_versions
+
+    entries = list_entries(catalog)
+    if names is not None:
+        have = {r["name"] for r in entries}
+        missing = [n for n in names if n not in have]
+        if missing:
+            raise ValueError(
+                f"catalog has no entries named {missing} "
+                f"(have {sorted(have)})"
+            )
+        entries = [r for r in entries if r["name"] in names]
+    index_paths, table_specs, order = [], [], {}
+    for rec in entries:
+        if rec["kind"] == "index":
+            index_paths.append(rec["path"])
+        else:
+            key = (table_keys or {}).get(rec["name"])
+            if key is None:
+                ms = list_versions(rec["path"])
+                key = ms[-1].get("stats_col") if ms else None
+            if key is None:
+                raise ValueError(
+                    f"catalog table {rec['name']!r} has no stats_col on "
+                    "its manifest — pass table_keys={'"
+                    f"{rec['name']}': '<key_col>'}}"
+                )
+            table_specs.append((rec["path"], key))
+        order[rec["path"]] = rec["name"]
+    acct = erase_everywhere(
+        spark, deleted_ids, index_paths, table_specs,
+        fingerprint=fingerprint, deleted_rows=deleted_rows,
+        text_col=text_col, vec_col=vec_col,
+    )
+    return [{**a, "name": order[a["target"]]} for a in acct]

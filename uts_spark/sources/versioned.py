@@ -1408,3 +1408,42 @@ def drop_branch(path: str, name: str) -> None:
             f"(have {list_branches(path)})"
         )
     shutil.rmtree(bdir)
+
+
+def branch_changes(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
+    """What the branch HAS STAGED, as a change feed (the WAP audit's
+    incremental view — reviewers read the staged delta, not the whole
+    branch): for an append-only branch the staged rows are exactly the
+    dirs the branch added beyond its fork base — a plain scan, no
+    join, the same manifest-diff shape as the main chain's append-only
+    :func:`table_changes`. An overwrite branch has no well-defined
+    row-level feed against base without a key — refused loudly (diff
+    it through table_changes semantics after publishing, or audit via
+    read_branch)."""
+    from pyspark.sql import functions as F
+
+    recs = _branch_records(path, name)
+    head = recs[-1]
+    staged_ops = {r["operation"] for r in recs[1:]}
+    if staged_ops - {"append"}:
+        raise ValueError(
+            f"versioned table {path}: branch {name!r} staged "
+            f"{sorted(staged_ops - {'append'})} — only append-only "
+            "branches have a join-free staged feed; audit via "
+            "read_branch instead"
+        )
+    base_dirs = set(recs[0]["data_dirs"])
+    added = [d for d in head["data_dirs"] if d not in base_dirs]
+    if not added:
+        return read_branch(spark, path, name).withColumn(
+            "_change_type", F.lit("insert")
+        ).limit(0)
+    if head.get("evolved") and head.get("schema"):
+        scanned = spark.read.option("mergeSchema", "true").parquet(
+            *added
+        ).select(*_schema_fields(head["schema"]))
+    else:
+        scanned = spark.read.parquet(*added)
+    return scanned.withColumn("_change_type", F.lit("insert"))
