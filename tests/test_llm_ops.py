@@ -2112,6 +2112,58 @@ def test_qm6_refit_gate_and_shipped_path(spark):
     assert agree / len(cmp_rows) >= 0.9, agree
 
 
+def test_qm_xent_refit_swap_and_gate_eval(spark):
+    """VERDICT r9 #3 acted on: (a) the de-circularized harness
+    (--labels xent) reproduces the swap decision bit-for-bit at the
+    fit corpus — gate PASSED, refit5 wins, and the candidate weights
+    it prints are EXACTLY the reviewed-in _QM_W_XENT literals (the
+    provenance chain from harness to shipped constant is testable);
+    (b) the in-engine gate-eval lane's micro-F1 integers equal the
+    harness's floats scaled — and the two models' F1s DIFFER, so the
+    gate demonstrably discriminates now; (c) the scoring lane's
+    incumbent column is the production model's decision verbatim."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from refit_quality_model import refit
+
+    from uts_spark.queries.llm_ops import _QM_W_XENT
+
+    d = refit("/root/testdata/sf0.01", "xent")
+    assert d["swap_recommended"] is True
+    assert d["best_candidate"] == "refit5"
+    assert d["candidate_weights"] == _QM_W_XENT
+
+    import uts_spark.registry as reg
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["model"]: r
+        for r in reg.QUERIES["text_quality_model_xent_gate_eval"](
+            spark, sf
+        ).collect()
+    }
+    assert rows["incumbent"]["f1_micro"] == round(d["f1_incumbent"] * 1e6)
+    assert rows["xent_refit5"]["f1_micro"] == round(d["f1_refit5"] * 1e6)
+    assert rows["incumbent"]["f1_micro"] != rows["xent_refit5"]["f1_micro"]
+
+    sc = {
+        r["doc_id"]: r
+        for r in reg.QUERIES["text_quality_model_xent_score"](
+            spark, sf
+        ).collect()
+    }
+    prod = {
+        r["doc_id"]: r["model_pass"]
+        for r in reg.QUERIES["text_quality_model_score"](spark, sf).collect()
+    }
+    assert all(sc[i]["gopher_model_pass"] == prod[i] for i in prod)
+    assert all(
+        r["agree"] == (r["xent_pass"] == r["gopher_model_pass"])
+        for r in sc.values()
+    )
+
+
 def test_vindex_optimistic_concurrency_and_time_travel(spark, tmp_path):
     """VERDICT r8 #4: snapshot-committed index maintenance. (a) two
     writers race the same next manifest — exactly one lands, the

@@ -116,7 +116,13 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 385  # round 10: +4 facade-routed service-tick replay
+_REGISTRY_FLOOR = 387  # round 10 (cont.): +1 xent-refit scoring lane
+# (text_quality_model_xent_score — the gate-passing _QM_W_XENT swap,
+# VERDICT r9 #3 acted on) and +1 in-engine gate-eval lane
+# (text_quality_model_xent_gate_eval — holdout confusions + micro-F1
+# for incumbent vs refit against the train-only bigram-perplexity
+# labels; the F1s DIFFER, so the gate demonstrably discriminates).
+# Earlier round 10: +4 facade-routed service-tick replay
 # lanes (index_service_tick through the protocol facade for all four
 # families, family lanes' oracles reused verbatim) and +1 one-call GDPR
 # lane (index_gdpr_erase_everywhere — mixed snapshot+marker+table
@@ -224,6 +230,10 @@ HEADLINE = [n for n in (
     "facade_tick_minhash_skew_replay",
     "versioned_wap_branch_publish",
     "cdc_table_changes_appendonly",
+    # r10: the de-circularized refit gate reproduced in-engine — the
+    # train-only bigram-perplexity labels (one (doc,bigram) shuffle +
+    # dictionary joins) + two map-only model passes + 1-row confusions
+    "text_quality_model_xent_gate_eval",
     # NOT in headline: pipeline_training_prep_v6 (the flagship fused
     # DAG) measures ~45 s warm at sf0.1 — one composition would double
     # the whole bench wall and drown the per-operator signal; its
