@@ -1461,9 +1461,14 @@ def test_catalog_erase_by_names(spark, tmp_path):
         emb.select("vec_id", "embedding"), p_tbl, stats_col="vec_id"
     )
     write_snapshot(emb.select("vec_id", "label"), p_nostats)
+    p_bloom = str(tmp_path / "tbl3")
+    write_snapshot(
+        emb.select("vec_id", "label"), p_bloom, bloom_col="vec_id"
+    )
     register_entry(cat, "ann", p_idx, kind="index")
     register_entry(cat, "vecs", p_tbl)
     register_entry(cat, "labels", p_nostats)
+    register_entry(cat, "bloomed", p_bloom)
 
     dele = emb.filter(F.col("vec_id") % 9 == 2).select("vec_id")
     n_del = dele.count()
@@ -1477,11 +1482,13 @@ def test_catalog_erase_by_names(spark, tmp_path):
         table_keys={"labels": "vec_id"},
     )
     by_name = {a["name"]: a for a in acct}
-    assert set(by_name) == {"ann", "vecs", "labels"}
+    assert set(by_name) == {"ann", "vecs", "labels", "bloomed"}
     assert all(a["leaked"] == 0 for a in acct), acct
     assert by_name["ann"]["rows_removed"] == n_del
     assert by_name["vecs"]["rows_removed"] == n_del
     assert by_name["labels"]["rows_removed"] == n_del
+    # key resolved from bloom_col without an explicit table_keys entry
+    assert by_name["bloomed"]["rows_removed"] == n_del
 
     # scoped call: only the named target is touched (already-erased
     # index removes nothing more)
@@ -1491,3 +1498,164 @@ def test_catalog_erase_by_names(spark, tmp_path):
     assert len(acct2) == 1 and acct2[0]["rows_removed"] == 0
     with _pytest.raises(ValueError, match="no entries named"):
         erase_by_names(spark, dele, cat, names=["ghost"])
+
+
+def test_versioned_bloom_pruned_erasure(spark, tmp_path):
+    """Round 10: per-dir Bloom sidecars prune erasure by CONTENT on
+    hash-distributed keys. (a) a 3-dir chain sliced by id%3 has fully
+    overlapping per-dir [min,max] ranges — stats admit every dir — yet
+    a takedown batch confined to one slice rewrites exactly ONE dir
+    (pruned_dirs=2); (b) no false negatives: the erased ids are gone
+    and every carried dir's surviving rows are intact byte-for-byte;
+    (c) a batch with no member anywhere is a version no-op; (d) the
+    rewritten dir gets a fresh sidecar so a SECOND takedown against
+    the new current prunes the same way; (e) bloom_col inherits
+    across appends like stats_col."""
+    import os
+
+    from uts_spark.sources.versioned import (
+        _BLOOM_FILE,
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt")
+    # ids hashed via md5-conv: uniform over the keyspace, sliced % 3
+    base = spark.range(900).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long").alias("id"),
+        (F.col("id") % 3).alias("slc"),
+    ).cache()
+    write_snapshot(
+        base.filter(F.col("slc") == 0).drop("slc"), path,
+        stats_col="id", bloom_col="id",
+    )
+    append_snapshot(base.filter(F.col("slc") == 1).drop("slc"), path)
+    append_snapshot(base.filter(F.col("slc") == 2).drop("slc"), path)
+    pm = list_versions(path)[-1]
+    assert pm.get("bloom_col") == "id"
+    dirs = pm["data_dirs"]
+    assert len(dirs) == 3
+    for d in dirs:
+        assert os.path.exists(os.path.join(d, _BLOOM_FILE))
+    # overlapping ranges: every dir's range admits every other dir's ids
+    los = [pm["dir_stats"][d][0] for d in dirs]
+    his = [pm["dir_stats"][d][1] for d in dirs]
+    assert max(los) < min(his)
+
+    erase = [r["id"] for r in
+             base.filter(F.col("slc") == 1).limit(40).collect()]
+    v = delete_rows(
+        spark, path,
+        spark.createDataFrame([(i,) for i in erase], "id long"), "id",
+    )
+    pm = list_versions(path)[-1]
+    assert pm["version"] == v and pm["pruned_dirs"] == 2
+    out = read_version(spark, path)
+    assert out.count() == 900 - 40
+    assert out.filter(F.col("id").isin(erase)).count() == 0
+    # carried dirs' rows intact
+    for s in (0, 2):
+        sl = base.filter(F.col("slc") == s).drop("slc")
+        assert out.join(sl, "id").count() == sl.count()
+
+    # (c) no-hit batch: same version back, no commit
+    miss = spark.createDataFrame([(10**17 + i,) for i in range(25)], "id long")
+    assert delete_rows(spark, path, miss, "id") == v
+    assert list_versions(path)[-1]["version"] == v
+
+    # (d) second takedown against slice 2 — the post-delete chain
+    # (two carried dirs + the rewritten one, all with sidecars) prunes
+    erase2 = [r["id"] for r in
+              base.filter(F.col("slc") == 2).limit(30).collect()]
+    v2 = delete_rows(
+        spark, path,
+        spark.createDataFrame([(i,) for i in erase2], "id long"), "id",
+    )
+    pm2 = list_versions(path)[-1]
+    assert pm2["version"] == v2 and pm2["pruned_dirs"] == 2
+    assert read_version(spark, path).count() == 900 - 40 - 30
+
+
+def test_versioned_bloom_fallback_and_refusals(spark, tmp_path):
+    """Bloom edge contracts: (a) a non-int/string bloom_col is refused
+    BEFORE any write; (b) a chain whose parent dirs predate the bloom
+    opt-in (no sidecar) falls back safely — correct erasure, no
+    pruning claim from the filterless dirs; (c) a bloom-only table
+    (no stats_col) still prunes; (d) optimize carries bloom_col and
+    re-sidecars the compacted dir; (e) merge_upsert carries it."""
+    import os
+
+    import pytest
+
+    from uts_spark.sources.versioned import (
+        _BLOOM_FILE,
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        merge_upsert,
+        optimize,
+        read_version,
+        write_snapshot,
+    )
+
+    # (a) type refusal before write
+    bad = spark.range(10).select(F.col("id"), (F.col("id") * 0.5).alias("x"))
+    with pytest.raises(ValueError, match="bloom_col"):
+        write_snapshot(bad, str(tmp_path / "bad"), bloom_col="x")
+    assert not os.path.exists(str(tmp_path / "bad"))
+
+    # (b) parent dir predates the opt-in: v0 without bloom, append with
+    path = str(tmp_path / "mixed")
+    d0 = spark.range(0, 50).select(F.col("id"))
+    d1 = spark.range(50, 100).select(F.col("id"))
+    write_snapshot(d0, path)
+    append_snapshot(d1, path, bloom_col="id")
+    pm = list_versions(path)[-1]
+    assert pm.get("bloom_col") == "id"
+    v0_dir = [d for d in pm["data_dirs"]
+              if not os.path.exists(os.path.join(d, _BLOOM_FILE))]
+    assert len(v0_dir) == 1  # the pre-opt-in dir has no sidecar
+    v = delete_rows(
+        spark, path, spark.createDataFrame([(7,), (61,)], "id long"), "id",
+    )
+    pm = list_versions(path)[-1]
+    assert pm["version"] == v and "pruned_dirs" not in pm
+    out = read_version(spark, path)
+    assert out.count() == 98
+    assert out.filter(F.col("id").isin(7, 61)).count() == 0
+
+    # (c) bloom-only table prunes (no stats_col at all)
+    path2 = str(tmp_path / "bonly")
+    ha = spark.range(300).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long").alias("id"),
+        (F.col("id") % 2).alias("slc"),
+    ).cache()
+    write_snapshot(ha.filter(F.col("slc") == 0).drop("slc"), path2,
+                   bloom_col="id")
+    append_snapshot(ha.filter(F.col("slc") == 1).drop("slc"), path2)
+    ids = [r["id"] for r in ha.filter(F.col("slc") == 1).limit(20).collect()]
+    delete_rows(
+        spark, path2,
+        spark.createDataFrame([(i,) for i in ids], "id long"), "id",
+    )
+    pm2 = list_versions(path2)[-1]
+    assert pm2["pruned_dirs"] == 1
+    assert read_version(spark, path2).count() == 300 - 20
+
+    # (d) optimize folds the chain and re-sidecars the compacted dir
+    ov = optimize(spark, path2)
+    pmo = {m["version"]: m for m in list_versions(path2)}[ov]
+    assert pmo.get("bloom_col") == "id"
+    odirs = pmo.get("data_dirs", [pmo.get("data_dir")])
+    assert all(os.path.exists(os.path.join(d, _BLOOM_FILE)) for d in odirs)
+
+    # (e) merge carries bloom_col
+    upd = spark.createDataFrame([(ids[0] + 1, )], "id long")
+    mv = merge_upsert(spark, path2, upd, "id")
+    pmm = {m["version"]: m for m in list_versions(path2)}[mv]
+    assert pmm.get("bloom_col") == "id"

@@ -3617,6 +3617,72 @@ def cdc_pruned_erasure_read(spark, sf_dir):
 
 
 @query(
+    "cdc_bloom_pruned_erasure_read",
+    """
+    SELECT doc_id, substr(text, 1, 40) AS val
+    FROM documents WHERE doc_id % 30 != 4
+    """,
+)
+def cdc_bloom_pruned_erasure_read(spark, sf_dir):
+    """BLOOM-PRUNED ERASURE (round 10) — the pruning input for
+    HASH-DISTRIBUTED takedown keys, where dir [min,max] stats are
+    useless: the table is a three-dir append chain SLICED BY
+    ``doc_id % 3`` (every dir's id range spans ~the whole keyspace, so
+    range stats admit all three dirs — stats-only pruning degrades to
+    a full rewrite, exactly what happens to a real table keyed by a
+    hash id). Each dir carries a ``_BLOOM.json`` sidecar
+    (``bloom_col='doc_id'``, portable two-lane md5, 16 bits/row); the
+    GDPR batch (``doc_id % 30 = 4``, hence ``% 3 = 1``) lives entirely
+    in the middle slice, and ``delete_rows`` consults the sidecars: the
+    other two dirs' filters reject every deleted key, so they carry by
+    reference and ONE dir rewrites — write amplification drops from
+    3/3 to 1/3 with zero clustering requirement on the layout
+    (pruned_dirs=2 pinned in tests/test_sinks.py; stats+bloom
+    composition and the no-false-negative guarantee tested there too).
+    The lane returns the post-erasure read; the oracle is the
+    survivors' closed form, so a leaked row in a carried dir or an
+    over-deleted row in the rewritten dir is a hash mismatch. Scale:
+    the bloom build is one Arrow-batched delta-sized fold (one bitmap
+    row per partition, OR-ed driver-side); the probe is one pass over
+    the TAKEDOWN BATCH against broadcast bitmaps — never a table
+    scan."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    val = F.substring(F.col("text"), 1, 40).alias("val")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_bloom")
+    fp = "cdc_vt_bloom_v1"
+
+    ms = list_versions(path)
+    done = len(ms) == 4 and ms[0].get("fingerprint") == fp
+    if not done:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        sel = docs.select("doc_id", val)
+        write_snapshot(
+            sel.filter(F.col("doc_id") % 3 == 0), path,
+            meta={"fingerprint": fp},
+            stats_col="doc_id", bloom_col="doc_id",
+        )
+        append_snapshot(sel.filter(F.col("doc_id") % 3 == 1), path)
+        append_snapshot(sel.filter(F.col("doc_id") % 3 == 2), path)
+        erase = docs.filter(F.col("doc_id") % 30 == 4).select("doc_id")
+        delete_rows(spark, path, erase, "doc_id")
+    return read_version(spark, path)
+
+
+@query(
     "cdc_incremental_apply_converges",
     """
     SELECT doc_id, substr(text, 1, 40) AS val

@@ -116,7 +116,10 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 387  # round 10 (cont.): +1 xent-refit scoring lane
+_REGISTRY_FLOOR = 388  # round 10 (cont.): +1 bloom-pruned erasure lane
+# (cdc_bloom_pruned_erasure_read - per-dir _BLOOM.json sidecars: content
+# pruning for hash-distributed takedown keys where min/max stats admit
+# every dir), +1 xent-refit scoring lane
 # (text_quality_model_xent_score — the gate-passing _QM_W_XENT swap,
 # VERDICT r9 #3 acted on) and +1 in-engine gate-eval lane
 # (text_quality_model_xent_gate_eval — holdout confusions + micro-F1

@@ -229,9 +229,10 @@ def erase_by_names(
     dispatch by their registered kind, indexes by their manifest's
     protocol/family, through :func:`index_protocol.erase_everywhere`
     (pruned deletes, pruned self-audit, leaked must be 0). A table's
-    erase key resolves from its manifest's ``stats_col`` (the column
-    it opted into pruning on — the natural erasure key); tables
-    without one need an explicit ``table_keys[name]``. Each returned
+    erase key resolves from its manifest's ``stats_col`` (falling
+    back to ``bloom_col`` — either opt-in marks the column the table
+    prunes erasure on, the natural erasure key); tables with neither
+    need an explicit ``table_keys[name]``. Each returned
     accounting dict carries the catalog ``name`` beside the facade's
     fields. This is the compliance verb a real pipeline wants: the
     catalog knows every holder of the ids, so nothing is forgotten by
@@ -257,11 +258,17 @@ def erase_by_names(
             key = (table_keys or {}).get(rec["name"])
             if key is None:
                 ms = list_versions(rec["path"])
-                key = ms[-1].get("stats_col") if ms else None
+                # stats_col first, then bloom_col (round 10): either
+                # opt-in marks the table's natural erasure key, and
+                # delete_rows prunes by whichever structures exist
+                key = (
+                    (ms[-1].get("stats_col") or ms[-1].get("bloom_col"))
+                    if ms else None
+                )
             if key is None:
                 raise ValueError(
-                    f"catalog table {rec['name']!r} has no stats_col on "
-                    "its manifest — pass table_keys={'"
+                    f"catalog table {rec['name']!r} has neither stats_col "
+                    "nor bloom_col on its manifest — pass table_keys={'"
                     f"{rec['name']}': '<key_col>'}}"
                 )
             table_specs.append((rec["path"], key))

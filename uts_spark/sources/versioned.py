@@ -135,12 +135,296 @@ def _dir_stats(spark, ddir: str, stats_col: str):
     return n, ([row["lo"], row["hi"]] if n else None)
 
 
+# --- per-dir BLOOM sidecars (round 10): pruning for HASH-DISTRIBUTED keys ---
+#
+# Dir min/max stats prune erasure only when the key is CLUSTERED across
+# dirs (id-ordered appends). The common GDPR takedown key is the
+# opposite: a hash-like id uniformly spread over the keyspace, so every
+# dir's [min, max] spans ~everything and stats admit ALL dirs — the
+# pruned erasure silently degrades to a full rewrite. A per-dir Bloom
+# filter prunes by CONTENT instead of range: a dir whose filter rejects
+# every deleted key provably holds none of them (Blooms have no false
+# negatives) and carries by reference; a false positive only costs a
+# needless dir rewrite, never correctness.
+#
+# Format: ``<dir>/_BLOOM.json`` — column, m (bits, power of two),
+# k (hash count), base64 bitmap. The sidecar lives INSIDE the data dir:
+# Spark ignores ``_``-prefixed files during parquet discovery, the dir
+# is immutable after commit, and every lifecycle verb (vacuum, orphan
+# cleanup, branch retention) covers it for free because it travels with
+# the dir. Hashing is the repo's portable two-lane md5 convention
+# (Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m), so
+# build and probe agree on any engine. 16 bits/row with k=11 gives
+# fpp ~= 4.6e-4 — at 64 dirs and a 1k-id takedown batch, the expected
+# extra rewrites stay well under one dir.
+
+_BLOOM_BITS_PER_ROW = 16
+_BLOOM_K = 11  # round(16 * ln 2)
+_BLOOM_FILE = "_BLOOM.json"
+# the bloom key's STRING form must agree between the JVM cast and
+# python str() — integers and strings do, floats/timestamps don't
+_BLOOM_KEY_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _check_bloom_col(df: DataFrame, bloom_col: str) -> None:
+    typ = dict(df.dtypes).get(bloom_col)
+    if typ is not None and typ not in _BLOOM_KEY_TYPES:
+        raise ValueError(
+            f"bloom_col {bloom_col!r} has type {typ}; per-dir Bloom "
+            "sidecars support integer and string keys only (the key's "
+            "canonical string form must be engine-independent) — cast "
+            "the key first"
+        )
+
+
+def _bloom_m(n_rows: int) -> int:
+    """Bitmap size for ``n_rows`` keys: next power of two at or above
+    16 bits/row, floor 64 (an empty dir gets an all-zero 64-bit map
+    that admits nothing)."""
+    if n_rows <= 0:
+        return 64
+    return 1 << max(6, (n_rows * _BLOOM_BITS_PER_ROW - 1).bit_length())
+
+
+def _bloom_lanes(key_str: str) -> tuple[int, int]:
+    import hashlib
+
+    h = hashlib.md5(key_str.encode("utf-8")).hexdigest()
+    # two independent 60-bit lanes; h2 forced odd so the double-hash
+    # walk covers the (power-of-two) bitmap
+    return int(h[:15], 16), int(h[15:30], 16) | 1
+
+
+def _bloom_lanes_i64(vals):
+    """Vectorized two-lane mixer for INTEGER keys (numpy uint64
+    splitmix64 finalizer, the SplittableRandom constant set). The
+    filter's hash only has to agree between OUR build and OUR probe —
+    never with an external engine — so integer keys skip the per-row
+    md5 loop entirely: the fold/probe become numpy array passes
+    (memory-bandwidth, not Python-loop). Returns (h1, h2) uint64
+    arrays, h2 forced odd."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = vals.astype(np.uint64)
+
+        def mix(z):
+            z = z + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        h1 = mix(x)
+        h2 = mix(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_fold_positions(bits, keys, m: int, k: int, hash_kind: str):
+    """OR the k bit positions of every key into ``bits`` (uint8[m/8]),
+    in place."""
+    import numpy as np
+
+    if hash_kind == "splitmix64":
+        h1, h2 = _bloom_lanes_i64(keys)
+        mm = np.uint64(m)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % mm
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+                )
+    else:
+        for s in keys:
+            h1, h2 = _bloom_lanes(s)
+            for i in range(k):
+                p = (h1 + i * h2) % m
+                bits[p >> 3] |= 1 << (p & 7)
+
+
+def _write_dir_bloom(spark, ddir: str, col: str, n_rows: int) -> None:
+    """Build the dir's Bloom sidecar with one delta-sized scan: each
+    input partition folds its keys into a local m-bit bitmap inside an
+    Arrow-batched kernel (one output row per partition, never a
+    per-key shuffle), the driver ORs the partition bitmaps — driver
+    cost is (partitions x m/8) bytes, independent of row count.
+    Integer keys hash via the vectorized splitmix64 lanes, strings via
+    the portable two-lane md5; the sidecar records which."""
+    import base64
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    m = _bloom_m(n_rows)
+    nbytes = m // 8
+    typ = dict(spark.read.parquet(ddir).dtypes).get(col)
+    is_int = typ in ("tinyint", "smallint", "int", "bigint")
+    hash_kind = "splitmix64" if is_int else "md5"
+    if n_rows > 0:
+        k = _BLOOM_K
+
+        def fold(batches):
+            import pandas as pd
+
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            for pdf in batches:
+                keys = (
+                    pdf["__k"].to_numpy(dtype=np.int64)
+                    if is_int
+                    else pdf["__k"]
+                )
+                _bloom_fold_positions(bits, keys, m, k, hash_kind)
+            yield pd.DataFrame({"b": [bits.tobytes()]})
+
+        src = (
+            F.col(col).cast("long")
+            if is_int
+            else F.col(col).cast("string")
+        )
+        parts = (
+            spark.read.parquet(ddir)
+            .select(src.alias("__k"))
+            .mapInPandas(fold, "b binary")
+            .collect()
+        )
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for r in parts:
+            acc |= np.frombuffer(r["b"], dtype=np.uint8)
+        payload = acc.tobytes()
+    else:
+        payload = bytes(nbytes)
+    tmp = os.path.join(ddir, f".{_BLOOM_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "col": col,
+                "m": m,
+                "k": _BLOOM_K,
+                "hash": hash_kind,
+                "b64": base64.b64encode(payload).decode("ascii"),
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(ddir, _BLOOM_FILE))
+
+
+def _read_dir_bloom(ddir: str) -> dict | None:
+    p = os.path.join(ddir, _BLOOM_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _dirs_bloom_admit(
+    spark, idf: DataFrame, key: str, dirs: list[str]
+) -> list[bool] | None:
+    """Per-dir admit flags for the deleted-ids frame against each dir's
+    Bloom sidecar; None when any dir lacks a sidecar for ``key``
+    (caller falls back to whatever other pruning input it has — a
+    missing filter can only widen the rewrite, never lose a row).
+    Cost: one Arrow-batched pass over the TAKEDOWN BATCH (never the
+    table) with the bitmaps broadcast once; each partition emits one
+    row of per-dir booleans."""
+    import base64
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    metas = []
+    for d in dirs:
+        meta = _read_dir_bloom(d)
+        if meta is None or meta.get("col") != key:
+            return None
+        metas.append(
+            (
+                int(meta["m"]),
+                int(meta["k"]),
+                meta.get("hash", "md5"),
+                np.frombuffer(
+                    base64.b64decode(meta["b64"]), dtype=np.uint8
+                ),
+            )
+        )
+    kinds = {t[2] for t in metas}
+    if len(kinds) != 1:
+        return None  # mixed hash kinds across dirs: fall back
+    hash_kind = kinds.pop()
+    bc = spark.sparkContext.broadcast(metas)
+    ndirs = len(dirs)
+    schema = ", ".join(f"h{j} boolean" for j in range(ndirs))
+
+    def probe(batches):
+        import pandas as pd
+
+        ms = bc.value
+        hit = np.zeros(ndirs, dtype=bool)
+        for pdf in batches:
+            if bool(hit.all()):
+                break
+            if hash_kind == "splitmix64":
+                h1s, h2s = _bloom_lanes_i64(
+                    pdf["__k"].to_numpy(dtype=np.int64)
+                )
+                with np.errstate(over="ignore"):
+                    for j, (m, k, _, bits) in enumerate(ms):
+                        if hit[j]:
+                            continue
+                        mm = np.uint64(m)
+                        member = np.ones(len(h1s), dtype=bool)
+                        for i in range(k):
+                            pos = (h1s + np.uint64(i) * h2s) % mm
+                            member &= (
+                                (
+                                    bits[
+                                        (pos >> np.uint64(3)).astype(
+                                            np.int64
+                                        )
+                                    ]
+                                    >> (pos & np.uint64(7)).astype(np.uint8)
+                                )
+                                & np.uint8(1)
+                            ).astype(bool)
+                            if not member.any():
+                                break
+                        hit[j] = bool(member.any())
+            else:
+                for s in pdf["__k"]:
+                    h1, h2 = _bloom_lanes(s)
+                    for j, (m, k, _, bits) in enumerate(ms):
+                        if hit[j]:
+                            continue
+                        if all(
+                            (bits[p >> 3] >> (p & 7)) & 1
+                            for p in ((h1 + i * h2) % m for i in range(k))
+                        ):
+                            hit[j] = True
+                    if bool(hit.all()):
+                        break
+        yield pd.DataFrame({f"h{j}": [bool(hit[j])] for j in range(ndirs)})
+
+    src = (
+        F.col(key).cast("long")
+        if hash_kind == "splitmix64"
+        else F.col(key).cast("string")
+    )
+    row = (
+        idf.select(src.alias("__k"))
+        .mapInPandas(probe, schema)
+        .agg(*[F.max(f"h{j}").alias(f"h{j}") for j in range(ndirs)])
+        .first()
+    )
+    return [bool(row[f"h{j}"]) for j in range(ndirs)]
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
     operation: str = "overwrite",
     meta: dict | None = None,
     stats_col: str | None = None,
+    bloom_col: str | None = None,
 ) -> int:
     """Write ``df`` as the table's next version; returns the version id.
     Data files are immutable — a snapshot never touches earlier
@@ -149,9 +433,15 @@ def write_snapshot(
     and corpus fingerprint there). ``stats_col`` opts into per-dir
     min/max statistics on the manifest — the input that lets
     :func:`delete_rows` rewrite only the dirs whose range admits a
-    deleted key."""
+    deleted key. ``bloom_col`` opts into per-dir Bloom sidecars (module
+    comment above) — the pruning input for HASH-DISTRIBUTED erasure
+    keys, where min/max ranges span everything and prune nothing; the
+    two compose (both given: a dir rewrites only if range AND filter
+    admit)."""
     if stats_col is not None:
         _check_stats_col(df, stats_col)
+    if bloom_col is not None:
+        _check_bloom_col(df, bloom_col)
     parent = current_version(path)
     version = 0 if parent is None else parent + 1
     ddir = _data_dir(path, version)
@@ -167,6 +457,9 @@ def write_snapshot(
         }
     else:
         n = spark.read.parquet(ddir).count()
+    if bloom_col is not None:
+        _write_dir_bloom(spark, ddir, bloom_col, n)
+        stats_meta["bloom_col"] = bloom_col
     _commit(
         path,
         {
@@ -292,6 +585,7 @@ def append_snapshot(
     sort_cols=(),
     max_retries: int = 5,
     stats_col: str | None = None,
+    bloom_col: str | None = None,
     batch_id: int | None = None,
     stream_id: str | None = None,
 ) -> int:
@@ -344,7 +638,17 @@ def append_snapshot(
     )
     if pre_scol is not None:
         _check_stats_col(df, pre_scol)
+    pre_bcol = bloom_col or (
+        {m["version"]: m for m in list_versions(path)}[pre_parent].get(
+            "bloom_col"
+        )
+        if pre_parent is not None
+        else None
+    )
+    if pre_bcol is not None:
+        _check_bloom_col(df, pre_bcol)
     ddir = _write_delta_dir(df, path, sort_cols)
+    bloom_built = False
     n = None
     last: Exception | None = None
     for _ in range(max_retries):
@@ -369,6 +673,15 @@ def append_snapshot(
             }
         elif n is None:
             n = spark.read.parquet(ddir).count()
+        bcol = bloom_col or (
+            versions[parent].get("bloom_col") if parent is not None else None
+        )
+        bloom_meta: dict = {}
+        if bcol is not None and bcol in new_fields:
+            if not bloom_built:
+                _write_dir_bloom(spark, ddir, bcol, n)
+                bloom_built = True
+            bloom_meta = {"bloom_col": bcol}
         schema_meta: dict = {}
         if parent is not None and versions[parent].get("schema"):
             old_fields = _schema_fields(versions[parent]["schema"])
@@ -410,7 +723,13 @@ def append_snapshot(
                 operation,
                 parent,
                 parent_rows + n,
-                {**(meta or {}), **stats_meta, **schema_meta, **key_meta},
+                {
+                    **(meta or {}),
+                    **stats_meta,
+                    **bloom_meta,
+                    **schema_meta,
+                    **key_meta,
+                },
             )
         except VersionConflictError as e:
             last = e
@@ -495,9 +814,11 @@ def merge_upsert(
     merged = kept.unionByName(upserts, allowMissingColumns=True)
     pm = {m["version"]: m for m in list_versions(path)}
     scol = pm[max(pm)].get("stats_col") if pm else None
+    bcol = pm[max(pm)].get("bloom_col") if pm else None
     return write_snapshot(
         merged, path, operation="merge",
         stats_col=scol if scol in merged.columns else None,
+        bloom_col=bcol if bcol in merged.columns else None,
     )
 
 
@@ -520,6 +841,16 @@ def delete_rows(
     Without stats (or with stats for a different column) it falls back
     to the table-grain copy-on-write rewrite.
 
+    When the manifest carries ``bloom_col == key`` (per-dir Bloom
+    sidecars, module comment above), dirs are additionally pruned by
+    CONTENT: a dir whose filter rejects every deleted key carries by
+    reference even when its min/max range admits — the case that
+    matters for hash-distributed takedown keys, where range stats
+    admit every dir and stats-only pruning degrades to a full rewrite.
+    Both inputs present = intersection (range AND filter must admit).
+    Bloom false positives cost a needless dir rewrite, never a leaked
+    or lost row; false negatives don't exist.
+
     Earlier versions remain readable until vacuum — erase-then-vacuum
     is the complete GDPR sequence, and the index fan-out
     (functions/vindex.vindex_delete_auto) composes with this so
@@ -534,7 +865,10 @@ def delete_rows(
     dirs = _manifest_dirs(pm)
     stats = pm.get("dir_stats", {})
     idf = ids.select(key)
-    if pm.get("stats_col") == key and set(stats) >= set(dirs):
+    have_stats = pm.get("stats_col") == key and set(stats) >= set(dirs)
+    have_bloom = pm.get("bloom_col") == key
+    admit: list[bool] | None = None
+    if have_stats:
         hit_row = idf.agg(
             *[
                 F.max(
@@ -547,7 +881,18 @@ def delete_rows(
                 for i, d in enumerate(dirs)
             ]
         ).first()
-        touched = [d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])]
+        admit = [bool(hit_row[f"h{i}"]) for i in range(len(dirs))]
+    if have_bloom and (admit is None or any(admit)):
+        # Bloom sidecars prune by CONTENT — the lever for hash-
+        # distributed keys where every dir's range spans everything.
+        # Composes with stats: a dir rewrites only if BOTH admit.
+        b = _dirs_bloom_admit(spark, idf, key, dirs)
+        if b is not None:
+            admit = b if admit is None else [
+                a and x for a, x in zip(admit, b)
+            ]
+    if admit is not None:
+        touched = [d for d, a in zip(dirs, admit) if a]
         untouched = [d for d in dirs if d not in set(touched)]
         if not touched:
             return pm["version"]  # no dir admits a deleted key
@@ -559,7 +904,23 @@ def delete_rows(
             tdf = tdf.select(*_schema_fields(pm["schema"]))
         kept = tdf.join(idf, key, "left_anti")
         ddir = _write_delta_dir(kept, path)
-        n_kept, rng = _dir_stats(spark, ddir, key)
+        carried: dict = {
+            "pruned_dirs": len(untouched),
+            **{k: pm[k] for k in ("schema", "evolved") if k in pm},
+        }
+        if have_stats:
+            n_kept, rng = _dir_stats(spark, ddir, key)
+            carried.update(
+                {
+                    "stats_col": key,
+                    "dir_stats": {
+                        **{d: stats[d] for d in untouched},
+                        ddir: rng,
+                    },
+                }
+            )
+        else:
+            n_kept = spark.read.parquet(ddir).count()
         dir_rows = pm.get("dir_rows", {})
         if set(dir_rows) >= set(touched):
             # manifest-recorded per-dir counts: the removed-rows
@@ -567,23 +928,14 @@ def delete_rows(
             n_touched = sum(dir_rows[d] for d in touched)
         else:
             n_touched = tdf.count()
-        carried = {
-            "stats_col": key,
-            "dir_stats": {
-                **{d: stats[d] for d in untouched},
-                ddir: rng,
-            },
-            "dir_rows": {
+        if have_stats or dir_rows:
+            carried["dir_rows"] = {
                 **{d: dir_rows[d] for d in untouched if d in dir_rows},
                 ddir: n_kept,
-            },
-            "pruned_dirs": len(untouched),
-            **{
-                k: pm[k]
-                for k in ("schema", "evolved")
-                if k in pm
-            },
-        }
+            }
+        if have_bloom:
+            _write_dir_bloom(spark, ddir, key, n_kept)
+            carried["bloom_col"] = key
         return commit_version(
             path,
             untouched + [ddir],
@@ -597,6 +949,7 @@ def delete_rows(
     return write_snapshot(
         kept, path, operation="delete", meta=meta,
         stats_col=key if pm.get("stats_col") == key else None,
+        bloom_col=key if pm.get("bloom_col") == key else None,
     )
 
 
@@ -760,6 +1113,7 @@ def optimize(
             return write_snapshot(
                 df.coalesce(n_out), path, operation="optimize",
                 stats_col=manifest.get("stats_col"),
+                bloom_col=manifest.get("bloom_col"),
             )
         lo_x, hi_x, lo_y, hi_y = [float(v) for v in bounds]
 
@@ -786,6 +1140,7 @@ def optimize(
     return write_snapshot(
         out, path, operation="optimize",
         stats_col=manifest.get("stats_col"),
+        bloom_col=manifest.get("bloom_col"),
     )
 
 
