@@ -1659,3 +1659,90 @@ def test_versioned_bloom_fallback_and_refusals(spark, tmp_path):
     mv = merge_upsert(spark, path2, upd, "id")
     pmm = {m["version"]: m for m in list_versions(path2)}[mv]
     assert pmm.get("bloom_col") == "id"
+
+
+def test_versioned_replicate(spark, tmp_path):
+    """Round 10: the replicate verb. (a) seed copies src@v0 with its
+    pruning opt-ins; (b) an append-only range advances the replica via
+    the APPEND fast path (no key, manifest-diff feed, dst operation
+    'replicate-append'); (c) a rewrite range applies through the
+    key-diff feed and converges to the source bit-for-bit; (d) a
+    replayed tick is a version no-op; (e) refusal rails: non-replica
+    dst, wrong source path, keyless rewrite range."""
+    import pytest
+
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        merge_upsert,
+        read_version,
+        replicate,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    v = lambda i, s: (i, s)  # noqa: E731
+    base = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "id long, val string"
+    )
+    write_snapshot(base, src, stats_col="id")                      # v0
+    append_snapshot(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(40, 60)], "id long, val string"
+        ),
+        src,
+    )                                                              # v1
+    merge_upsert(
+        spark, src,
+        spark.createDataFrame([(7, "UPD7"), (41, "UPD41")],
+                              "id long, val string"),
+        "id",
+    )                                                              # v2
+    append_snapshot(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(60, 70)], "id long, val string"
+        ),
+        src,
+    )                                                              # v3
+
+    # (a) seed at v0
+    replicate(spark, src, dst, up_to=0)
+    assert list_versions(dst)[-1]["operation"] == "replicate-seed"
+    assert list_versions(dst)[-1].get("stats_col") == "id"
+    assert read_version(spark, dst).count() == 40
+
+    # (b) 0 -> 1 is append-only: fast path, no key needed
+    replicate(spark, src, dst, up_to=1)
+    dm = list_versions(dst)[-1]
+    assert dm["operation"] == "replicate-append"
+    assert dm["repl_cursor"] == 1
+    assert read_version(spark, dst).count() == 60
+
+    # (e) rewrite range without a key refuses
+    with pytest.raises(ValueError, match="include a rewrite"):
+        replicate(spark, src, dst, up_to=2)
+
+    # (c) 1 -> 3 spans a rewrite: key-diff apply, converges to src@3
+    replicate(spark, src, dst, key="id", up_to=3)
+    dm = list_versions(dst)[-1]
+    assert dm["operation"] == "replicate-apply" and dm["repl_cursor"] == 3
+    a = {(r["id"], r["val"]) for r in read_version(spark, dst).collect()}
+    b = {(r["id"], r["val"]) for r in read_version(spark, src).collect()}
+    assert a == b and ("7", ) not in a and (7, "UPD7") in a
+
+    # (d) replay no-op: same dst version back, no new commit
+    nv = replicate(spark, src, dst, key="id", up_to=3)
+    assert nv == dm["version"]
+    assert list_versions(dst)[-1]["version"] == nv
+
+    # (e) refusals: a table never seeded by replicate...
+    rogue = str(tmp_path / "rogue")
+    write_snapshot(base, rogue)
+    with pytest.raises(ValueError, match="no\\s+replication cursor"):
+        replicate(spark, src, rogue, up_to=3)
+    # ...and a replica of a DIFFERENT source
+    src2 = str(tmp_path / "src2")
+    write_snapshot(base, src2)
+    with pytest.raises(ValueError, match="replica of"):
+        replicate(spark, src2, dst, up_to=0)

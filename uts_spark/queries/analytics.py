@@ -3617,6 +3617,63 @@ def cdc_pruned_erasure_read(spark, sf_dir):
 
 
 @query(
+    "versioned_replicate_converges",
+    """
+    SELECT doc_id, substr(text, 1, 40) AS val
+    FROM documents WHERE doc_id % 10 NOT IN (2, 4, 7)
+    UNION ALL
+    SELECT doc_id, 'U:' || substr(text, 1, 40)
+    FROM documents WHERE doc_id % 10 = 2
+    UNION ALL
+    SELECT doc_id, substr(text, 1, 40)
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def versioned_replicate_converges(spark, sf_dir):
+    """INCREMENTAL REPLICATION (round 10): a replica table is advanced
+    through the primary's whole history — seed at v0, then one
+    change-feed tick per version (v1 is a MERGE rewrite, v2 an
+    erasure; both ride the key-diff apply) — with the replication
+    cursor committed on the replica's own manifests (idempotent,
+    restart-safe: a replayed tick is a version no-op). The lane
+    returns the replica's final read; the oracle is the PRIMARY's
+    closed form, so replication converging to anything but the exact
+    source state is a hash mismatch. The append fast path (manifest
+    dir-diff, no key, no join — the replica advances by append) and
+    the refusal rails (non-replica dst, wrong source, keyless rewrite
+    range) are pinned in tests/test_sinks.py. Scale: each tick costs
+    the FEED (append ranges: added-dirs scan; rewrite ranges: one
+    two-version key join) + one replica commit — never re-reading
+    histories; the DR verb a second region runs on a schedule."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        replicate,
+    )
+
+    src = _cdc_vt_ensure(spark, sf_dir, rewrite=True)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    dst = os.path.join(_warehouse_dir(), f"repl_vt_{tag}")
+    ms = list_versions(dst)
+    ok = (
+        len(ms) == 3
+        and ms[-1].get("repl_cursor") == 2
+        and ms[-1].get("repl_src") == src
+    )
+    if not ok:
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        replicate(spark, src, dst, up_to=0)
+        replicate(spark, src, dst, key="doc_id", up_to=1)
+        replicate(spark, src, dst, key="doc_id", up_to=2)
+    return read_version(spark, dst)
+
+
+@query(
     "cdc_bloom_pruned_erasure_read",
     """
     SELECT doc_id, substr(text, 1, 40) AS val

@@ -1802,3 +1802,108 @@ def branch_changes(
     else:
         scanned = spark.read.parquet(*added)
     return scanned.withColumn("_change_type", F.lit("insert"))
+
+
+def replicate(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key: str | None = None,
+    up_to: int | None = None,
+) -> int:
+    """INCREMENTAL REPLICATION src -> dst through the change feed (the
+    DR / cross-region verb): advance the replica to src's ``up_to``
+    (default: src current) paying CHANGE-sized cost, with the
+    replication cursor committed ON the replica's manifest so the verb
+    is idempotent and restart-safe — exactly the streaming CDC
+    consumer's contract, packaged as a table-to-table primitive.
+
+    Three strategies, picked per tick:
+
+    - **seed** (empty dst): one full copy of ``src@up_to``, carrying
+      the source's stats/bloom opt-ins so the replica prunes erasure
+      the same way the primary does;
+    - **append fast path** (cursor..up_to is append-only on src, read
+      off the MANIFESTS): the feed is a plain scan of src's added dirs
+      and the replica advances via :func:`append_snapshot` — delta
+      write + manifest commit, the table never rewrites. No ``key``
+      needed;
+    - **key-diff apply** (rewrites in the range): one feed
+      (:func:`table_changes`) + one left-anti join on ``key`` — dst
+      minus (deleted + update-preimage keys) union (inserts +
+      update-postimages). ``key`` required, as in the feed itself.
+
+    Safety rails: a dst whose current manifest carries no cursor (a
+    table that was never seeded by replicate, or a replica someone
+    wrote into directly) is REFUSED — silently merging onto diverged
+    state is how replicas rot; re-seed deliberately instead. A cursor
+    from a different ``src_path`` refuses too. ``cursor >= up_to``
+    returns the current dst version untouched (replay no-op).
+
+    Scale: seed is one table copy; every later tick costs the feed
+    (append ranges: added-dirs scan; rewrite ranges: two-version key
+    join) plus, on the apply path, one dst rewrite — never src-chain-
+    length, never a full diff of histories. Schema evolution rides the
+    feed (NULL back-fill under the widened schema)."""
+    src_versions = {m["version"]: m for m in list_versions(src_path)}
+    if not src_versions:
+        raise ValueError(f"versioned table {src_path}: nothing to replicate")
+    if up_to is None:
+        up_to = max(src_versions)
+    elif up_to not in src_versions:
+        raise ValueError(
+            f"versioned table {src_path}: version {up_to} not found "
+            f"(have {sorted(src_versions)})"
+        )
+    sm = src_versions[up_to]
+    dst_ms = list_versions(dst_path)
+    meta = {"repl_cursor": up_to, "repl_src": src_path}
+    if not dst_ms:
+        df = read_version(spark, src_path, up_to)
+        return write_snapshot(
+            df, dst_path, operation="replicate-seed", meta=meta,
+            stats_col=sm.get("stats_col"), bloom_col=sm.get("bloom_col"),
+        )
+    dm = dst_ms[-1]
+    cursor = dm.get("repl_cursor")
+    if cursor is None:
+        raise ValueError(
+            f"versioned table {dst_path}: current manifest carries no "
+            "replication cursor — not a replica (or written into "
+            "directly since); refuse rather than merge onto diverged "
+            "state. Re-seed into a fresh path deliberately."
+        )
+    if dm.get("repl_src") != src_path:
+        raise ValueError(
+            f"versioned table {dst_path}: replica of "
+            f"{dm.get('repl_src')!r}, not {src_path!r}"
+        )
+    if cursor >= up_to:
+        return dm["version"]  # replay / already ahead: no-op
+    from_dirs = set(_manifest_dirs(src_versions[cursor]))
+    to_dirs = _manifest_dirs(src_versions[up_to])
+    feed = table_changes(
+        spark, src_path, cursor, up_to,
+        key=None if from_dirs <= set(to_dirs) else key,
+    )
+    if from_dirs <= set(to_dirs):
+        delta = feed.drop("_change_type")
+        return append_snapshot(
+            delta, dst_path, operation="replicate-append", meta=meta,
+        )
+    from pyspark.sql import functions as F
+
+    cur = read_version(spark, dst_path)
+    gone = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(key)
+    added = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    out = cur.join(gone, key, "left_anti").unionByName(
+        added, allowMissingColumns=True
+    )
+    return write_snapshot(
+        out, dst_path, operation="replicate-apply", meta=meta,
+        stats_col=dm.get("stats_col"), bloom_col=dm.get("bloom_col"),
+    )
