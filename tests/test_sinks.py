@@ -1746,3 +1746,49 @@ def test_versioned_replicate(spark, tmp_path):
     write_snapshot(base, src2)
     with pytest.raises(ValueError, match="replica of"):
         replicate(spark, src2, dst, up_to=0)
+
+
+def test_versioned_branch_exactly_once_batch_keys(spark, tmp_path):
+    """Round 10 streaming WAP: write_to_branch batch keys. (a) a
+    replayed staged batch returns the committed seq without writing;
+    (b) stream ids namespace the key (two streams at bid 0 both
+    land); (c) overwrite staging refuses keys (replay not idempotent
+    by content); (d) the staged rows publish exactly once."""
+    import pytest
+
+    from uts_spark.sources.versioned import (
+        create_branch,
+        merge_branch,
+        read_version,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(20)], "id long, val string"
+    )
+    d1 = spark.createDataFrame([(100, "a")], "id long, val string")
+    d2 = spark.createDataFrame([(101, "b")], "id long, val string")
+    write_snapshot(base, path)
+    create_branch(path, "st")
+
+    s1 = write_to_branch(d1, path, "st", batch_id=0, stream_id="sA")
+    # (a) replay: same seq, no new staged record, and the frame
+    # argument is not even evaluated on the skip path
+    s1b = write_to_branch(d1, path, "st", batch_id=0, stream_id="sA")
+    assert s1b == s1
+    # (b) a DIFFERENT stream's bid 0 is a distinct key
+    s2 = write_to_branch(d2, path, "st", batch_id=0, stream_id="sB")
+    assert s2 == s1 + 1
+
+    # (c) overwrite staging refuses keys
+    with pytest.raises(ValueError, match="append staging only"):
+        write_to_branch(
+            d1, path, "st", operation="overwrite", batch_id=1,
+        )
+
+    merge_branch(spark, path, "st")
+    out = {(r["id"], r["val"]) for r in read_version(spark, path).collect()}
+    assert (100, "a") in out and (101, "b") in out
+    assert len(out) == 22  # exactly once: no double-fold of bid 0

@@ -3537,3 +3537,111 @@ def _register_facade_tick_lanes():
     facade_tick_lsh_ingest_replay,
     facade_tick_ivfpq_ingest_replay,
 ) = _register_facade_tick_lanes()
+
+
+# --- STREAMING WAP: exactly-once staged ingest -> audit -> publish ----------
+
+
+def _register_stream_wap():
+    @query(
+        "stream_wap_branch_ingest_replay",
+        """
+        SELECT doc_id, substr(text, 1, 40) AS val FROM documents
+        """,
+    )
+    def stream_wap_branch_ingest_replay(spark, sf_dir):
+        """STREAMING WAP (round 10): a continuous job stages its
+        output on a BRANCH — main is untouched while the stream runs —
+        and publish is one commute-merge commit after the audit. Each
+        micro-batch stages via ``write_to_branch(batch_id=bid,
+        stream_id=run)``: the exactly-once key rides on the committed
+        branch record, so a replayed batch (restart, double-fire)
+        finds its key and returns BEFORE any data write. This lane
+        replays batch 0 explicitly after the stream drains — a
+        double-fold would duplicate rem-7 rows and hash-mismatch the
+        oracle — then audits the staged feed (branch_changes row
+        count must equal the staged slice: the write-audit gate) and
+        publishes. Oracle = the full corpus closed form; the replica
+        of this pattern at 100 TB is the Iceberg WAP loop with a
+        streaming writer: main readers never see a half-ingested
+        stream, the audit reads ONLY the staged dirs (manifest diff,
+        no join), and publish is an O(1) manifest commit."""
+        from uts_spark.queries.llm_ops import _warehouse_dir
+        from uts_spark.sources.versioned import (
+            branch_changes,
+            create_branch,
+            list_versions,
+            merge_branch,
+            read_version,
+            write_snapshot,
+            write_to_branch,
+        )
+
+        docs = table(spark, sf_dir, "documents")
+        val = F.substring(F.col("text"), 1, 40).alias("val")
+        base = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", val)
+        staged = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", val)
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        path = os.path.join(_warehouse_dir(), f"wap_stream_{tag}")
+        fp = "wap_stream_v1"
+
+        ms = list_versions(path)
+        done = (
+            len(ms) == 2
+            and ms[0].get("fingerprint") == fp
+            and ms[-1]["operation"] == "merge_branch:stage"
+        )
+        if not done:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            write_snapshot(base, path, meta={"fingerprint": fp})
+            create_branch(path, "stage")
+            run_id = uuid.uuid4().hex[:8]
+            scratch = tempfile.mkdtemp(prefix="uts_wap_stream_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                staged.repartition(4).write.parquet(src)
+                stream = (
+                    spark.readStream.schema("doc_id long, val string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: write_to_branch(
+                            bdf, path, "stage",
+                            batch_id=bid, stream_id=run_id,
+                        )
+                    )
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+            # REPLAY batch 0 (the restart case): the key on the
+            # committed branch record makes this a seq no-op — the df
+            # argument is never read on the skip path
+            write_to_branch(
+                staged.limit(1), path, "stage", batch_id=0,
+                stream_id=run_id,
+            )
+            # WRITE-AUDIT gate: the staged feed (manifest diff of the
+            # branch head vs its fork base — no join, no main read)
+            # must hold exactly the staged slice before publish
+            n_staged = branch_changes(spark, path, "stage").count()
+            if n_staged != staged.count():
+                raise RuntimeError(
+                    f"WAP audit failed: staged {n_staged} rows"
+                )
+            merge_branch(spark, path, "stage")
+        return read_version(spark, path)
+
+    return stream_wap_branch_ingest_replay
+
+
+stream_wap_branch_ingest_replay = _register_stream_wap()

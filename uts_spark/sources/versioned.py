@@ -1552,6 +1552,8 @@ def write_to_branch(
     meta: dict | None = None,
     sort_cols=(),
     max_retries: int = 5,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> int:
     """Stage a commit ON the branch; main is untouched. Returns the
     new branch head seq. ``operation="append"`` fast-appends (delta
@@ -1559,12 +1561,37 @@ def write_to_branch(
     commute at merge time); ``operation="overwrite"`` replaces the
     branch content (publishable fast-forward-only). Schema evolution
     follows the main chain's rule: adds widen (``evolved``), drops
-    and type changes are refused."""
+    and type changes are refused.
+
+    EXACTLY-ONCE streamed staging (round 10 — the streaming WAP
+    pattern: a continuous job stages risky output on a branch, a
+    gate audits, publish is one commit): ``batch_id``/``stream_id``
+    key the staged record exactly like :func:`append_snapshot`'s
+    manifest keys — a replayed micro-batch finds ``s{id}b{bid}`` on a
+    committed branch record and returns that seq BEFORE any data
+    write; the conflict retry re-checks the key so a racing replayed
+    twin resolves instead of double-staging. Only ``append`` commits
+    take keys (an overwrite branch replaces state — replaying one is
+    not idempotent by content; refused loudly)."""
     if operation not in ("append", "overwrite"):
         raise ValueError(
             f"branch operation {operation!r} not supported "
             "(append | overwrite)"
         )
+    batch_key = None
+    if batch_id is not None:
+        if operation != "append":
+            raise ValueError(
+                "write_to_branch: batch_id keys apply to append "
+                "staging only (an overwrite replay is not idempotent "
+                "by content)"
+            )
+        batch_key = (
+            f"s{stream_id}b{batch_id}" if stream_id else f"b{batch_id}"
+        )
+        for r in _branch_records(path, name):
+            if r.get("batch_key") == batch_key:
+                return r["seq"]
     spark = df.sparkSession
     new_fields = _schema_fields(df.schema.simpleString())
     ddir = _write_delta_dir(df, path, sort_cols)
@@ -1577,6 +1604,7 @@ def write_to_branch(
             "seq": head["seq"] + 1,
             "base": head["base"],
             "operation": operation,
+            **({"batch_key": batch_key} if batch_key else {}),
             **(meta or {}),
         }
         if operation == "overwrite":
@@ -1621,6 +1649,12 @@ def write_to_branch(
             return rec["seq"]
         except VersionConflictError as e:
             last = e
+            if batch_key is not None:
+                # the racer that beat us may BE our replayed twin —
+                # re-check the key before retrying the commit
+                for r in _branch_records(path, name):
+                    if r.get("batch_key") == batch_key:
+                        return r["seq"]
     raise last  # type: ignore[misc]
 
 
