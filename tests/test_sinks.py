@@ -1792,3 +1792,70 @@ def test_versioned_branch_exactly_once_batch_keys(spark, tmp_path):
     out = {(r["id"], r["val"]) for r in read_version(spark, path).collect()}
     assert (100, "a") in out and (101, "b") in out
     assert len(out) == 22  # exactly once: no double-fold of bid 0
+
+
+def test_versioned_point_lookup_pruned(spark, tmp_path):
+    """read_rows_for_ids: (a) returns exactly the requested rows; (b)
+    the admit kernel rejects dirs whose bloom excludes every id (scan
+    is pruned, not just filtered); (c) version pins read THAT
+    version's rows with THAT manifest's structures; (d) ids absent
+    everywhere return an empty frame of the right schema; (e) a
+    structure-less table falls back to full-scan semi-join."""
+    from uts_spark.sources.versioned import (
+        _admitting_dirs,
+        _manifest_dirs,
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        read_rows_for_ids,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.range(600).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long").alias("id"),
+        (F.col("id") % 3).alias("slc"),
+    ).cache()
+    for s in (0, 1, 2):
+        sl = base.filter(F.col("slc") == s).drop("slc")
+        if s == 0:
+            write_snapshot(sl, path, stats_col="id", bloom_col="id")
+        else:
+            append_snapshot(sl, path)
+
+    req_ids = [r["id"] for r in
+               base.filter(F.col("slc") == 1).limit(15).collect()]
+    req = spark.createDataFrame([(i,) for i in req_ids], "id long")
+
+    # (b) the admit kernel prunes to ~the one dir that holds the slice
+    pm = list_versions(path)[-1]
+    admit = _admitting_dirs(spark, pm, req, "id")
+    assert admit is not None and admit.count(True) <= 2  # 1 + rare FP
+    assert sum(1 for _ in _manifest_dirs(pm)) == 3
+
+    # (a) exact rows
+    out = read_rows_for_ids(spark, path, req, "id")
+    assert sorted(r["id"] for r in out.collect()) == sorted(req_ids)
+
+    # (c) version pin: delete one requested id, v_old still serves it
+    v_old = pm["version"]
+    delete_rows(
+        spark, path,
+        spark.createDataFrame([(req_ids[0],)], "id long"), "id",
+    )
+    now = read_rows_for_ids(spark, path, req, "id")
+    assert sorted(r["id"] for r in now.collect()) == sorted(req_ids[1:])
+    past = read_rows_for_ids(spark, path, req, "id", version=v_old)
+    assert sorted(r["id"] for r in past.collect()) == sorted(req_ids)
+
+    # (d) absent ids: empty, schema intact
+    ghost = spark.createDataFrame([(10**17,)], "id long")
+    g = read_rows_for_ids(spark, path, ghost, "id")
+    assert g.count() == 0 and g.columns == ["id"]
+
+    # (e) no structures: full-scan fallback still exact
+    path2 = str(tmp_path / "plain")
+    write_snapshot(base.drop("slc"), path2)
+    out2 = read_rows_for_ids(spark, path2, req, "id")
+    assert sorted(r["id"] for r in out2.collect()) == sorted(req_ids)

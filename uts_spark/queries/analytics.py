@@ -3673,6 +3673,77 @@ def versioned_replicate_converges(spark, sf_dir):
     return read_version(spark, dst)
 
 
+def _bloom_vt_ensure(spark, sf_dir) -> str:
+    """Build (or reuse) the hash-sliced bloom table: three dirs by
+    doc_id % 3 (per-dir ranges all overlap — stats can't prune), both
+    stats_col and bloom_col on doc_id, then the rem-4-of-30 erasure
+    (confined to the % 3 == 1 slice). Shared by the erasure-read and
+    point-lookup lanes."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows,
+        list_versions,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    val = F.substring(F.col("text"), 1, 40).alias("val")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_bloom")
+    fp = "cdc_vt_bloom_v1"
+
+    ms = list_versions(path)
+    done = len(ms) == 4 and ms[0].get("fingerprint") == fp
+    if not done:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        sel = docs.select("doc_id", val)
+        write_snapshot(
+            sel.filter(F.col("doc_id") % 3 == 0), path,
+            meta={"fingerprint": fp},
+            stats_col="doc_id", bloom_col="doc_id",
+        )
+        append_snapshot(sel.filter(F.col("doc_id") % 3 == 1), path)
+        append_snapshot(sel.filter(F.col("doc_id") % 3 == 2), path)
+        erase = docs.filter(F.col("doc_id") % 30 == 4).select("doc_id")
+        delete_rows(spark, path, erase, "doc_id")
+    return path
+
+
+@query(
+    "versioned_point_lookup_read",
+    """
+    SELECT doc_id, substr(text, 1, 40) AS val
+    FROM documents WHERE doc_id % 30 = 7
+    """,
+)
+def versioned_point_lookup_read(spark, sf_dir):
+    """PRUNED POINT-LOOKUP (round 10) — the read twin of the bloom
+    erasure and the GDPR right-of-ACCESS verb: a subject-access
+    request is "read every row for these ids" against a table that is
+    mostly not them. The request (``doc_id % 30 = 7``, hence
+    ``% 3 = 1`` — all in the middle hash slice) runs through
+    ``read_rows_for_ids``: per-dir stats ranges can't discriminate
+    (hash-sliced dirs all span the keyspace) but the Bloom sidecars
+    reject the other dirs by content, so the scan touches ~one dir +
+    one semi-join on the request frame. The oracle is the requested
+    rows' closed form — over-pruning (a dropped subject row: the
+    no-false-negative contract) or under-filtering (a leaked foreign
+    row) is a hash mismatch. Scale: request-batch-sized probe against
+    broadcast bitmaps + admitted-dirs-sized scan; the table is never
+    fully read."""
+    from uts_spark.sources.versioned import read_rows_for_ids
+
+    docs = table(spark, sf_dir, "documents")
+    path = _bloom_vt_ensure(spark, sf_dir)
+    req = docs.filter(F.col("doc_id") % 30 == 7).select("doc_id")
+    return read_rows_for_ids(spark, path, req, "doc_id")
+
+
 @query(
     "cdc_bloom_pruned_erasure_read",
     """
@@ -3703,39 +3774,9 @@ def cdc_bloom_pruned_erasure_read(spark, sf_dir):
     row per partition, OR-ed driver-side); the probe is one pass over
     the TAKEDOWN BATCH against broadcast bitmaps — never a table
     scan."""
-    import os
-    import shutil
+    from uts_spark.sources.versioned import read_version
 
-    from uts_spark.queries.llm_ops import _warehouse_dir
-    from uts_spark.sources.versioned import (
-        append_snapshot,
-        delete_rows,
-        list_versions,
-        read_version,
-        write_snapshot,
-    )
-
-    docs = table(spark, sf_dir, "documents")
-    val = F.substring(F.col("text"), 1, 40).alias("val")
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    path = os.path.join(_warehouse_dir(), f"cdc_vt_{tag}_bloom")
-    fp = "cdc_vt_bloom_v1"
-
-    ms = list_versions(path)
-    done = len(ms) == 4 and ms[0].get("fingerprint") == fp
-    if not done:
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        sel = docs.select("doc_id", val)
-        write_snapshot(
-            sel.filter(F.col("doc_id") % 3 == 0), path,
-            meta={"fingerprint": fp},
-            stats_col="doc_id", bloom_col="doc_id",
-        )
-        append_snapshot(sel.filter(F.col("doc_id") % 3 == 1), path)
-        append_snapshot(sel.filter(F.col("doc_id") % 3 == 2), path)
-        erase = docs.filter(F.col("doc_id") % 30 == 4).select("doc_id")
-        delete_rows(spark, path, erase, "doc_id")
+    path = _bloom_vt_ensure(spark, sf_dir)
     return read_version(spark, path)
 
 

@@ -116,7 +116,10 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 390  # round 10 (cont.): +1 streaming-WAP replay lane
+_REGISTRY_FLOOR = 391  # round 10 (cont.): +1 pruned point-lookup lane
+# (versioned_point_lookup_read - the GDPR right-of-ACCESS verb:
+# read_rows_for_ids scans only bloom/stats-admitting dirs),
+# +1 streaming-WAP replay lane
 # (stream_wap_branch_ingest_replay - exactly-once staged ingest on a
 # branch via write_to_branch batch keys, audit via branch_changes,
 # one-commit publish), +1 incremental-replication lane

@@ -822,6 +822,92 @@ def merge_upsert(
     )
 
 
+def _admitting_dirs(spark, pm, idf, key: str) -> list[bool] | None:
+    """Per-dir admit flags for an id frame against a manifest's pruning
+    structures — the shared kernel of :func:`delete_rows` (rewrite only
+    admitting dirs) and :func:`read_rows_for_ids` (scan only admitting
+    dirs). Stats admit by range, Bloom sidecars admit by content; both
+    present = intersection. None when the manifest has neither for
+    ``key`` (caller treats every dir as admitting)."""
+    from pyspark.sql import functions as F
+
+    dirs = _manifest_dirs(pm)
+    stats = pm.get("dir_stats", {})
+    have_stats = pm.get("stats_col") == key and set(stats) >= set(dirs)
+    have_bloom = pm.get("bloom_col") == key
+    admit: list[bool] | None = None
+    if have_stats:
+        hit_row = idf.agg(
+            *[
+                F.max(
+                    F.col(key).between(
+                        F.lit(stats[d][0]), F.lit(stats[d][1])
+                    )
+                    if stats[d] is not None
+                    else F.lit(False)
+                ).alias(f"h{i}")
+                for i, d in enumerate(dirs)
+            ]
+        ).first()
+        admit = [bool(hit_row[f"h{i}"]) for i in range(len(dirs))]
+    if have_bloom and (admit is None or any(admit)):
+        # Bloom sidecars prune by CONTENT — the lever for hash-
+        # distributed keys where every dir's range spans everything.
+        b = _dirs_bloom_admit(spark, idf, key, dirs)
+        if b is not None:
+            admit = b if admit is None else [
+                a and x for a, x in zip(admit, b)
+            ]
+    return admit
+
+
+def read_rows_for_ids(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    key: str,
+    version: int | None = None,
+) -> DataFrame:
+    """PRUNED POINT-LOOKUP — the read twin of :func:`delete_rows` and
+    the GDPR right-of-access verb (a subject-access request is "read
+    every row for these ids" over a table that is mostly NOT them):
+    consult the pinned version's stats ranges and Bloom sidecars,
+    scan ONLY the dirs that admit at least one requested id, and
+    semi-join the id frame. On a hash-keyed table the Blooms cut the
+    scan from every dir to the dirs that actually hold the subject's
+    rows — same economics as the pruned erasure, read-only. Works at
+    any pinned ``version`` (each manifest carries its own stats; dirs
+    are immutable so their sidecars never go stale). Falls back to a
+    full scan + semi-join when the manifest has no pruning structures
+    for ``key`` — correct, just unpruned."""
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        raise ValueError(f"versioned table {path}: no committed versions")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(
+            f"versioned table {path}: version {version} not found "
+            f"(have {sorted(versions)})"
+        )
+    pm = versions[version]
+    dirs = _manifest_dirs(pm)
+    idf = ids.select(key)
+    admit = _admitting_dirs(spark, pm, idf, key)
+    use = dirs if admit is None else [
+        d for d, a in zip(dirs, admit) if a
+    ]
+    if not use:
+        return read_version(spark, path, version).limit(0)
+    scan = spark.read
+    if pm.get("evolved") and pm.get("schema"):
+        scan = scan.option("mergeSchema", "true")
+    df = scan.parquet(*use)
+    if pm.get("evolved") and pm.get("schema"):
+        df = df.select(*_schema_fields(pm["schema"]))
+    return df.join(idf, key, "left_semi")
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,
@@ -867,30 +953,7 @@ def delete_rows(
     idf = ids.select(key)
     have_stats = pm.get("stats_col") == key and set(stats) >= set(dirs)
     have_bloom = pm.get("bloom_col") == key
-    admit: list[bool] | None = None
-    if have_stats:
-        hit_row = idf.agg(
-            *[
-                F.max(
-                    F.col(key).between(
-                        F.lit(stats[d][0]), F.lit(stats[d][1])
-                    )
-                    if stats[d] is not None
-                    else F.lit(False)
-                ).alias(f"h{i}")
-                for i, d in enumerate(dirs)
-            ]
-        ).first()
-        admit = [bool(hit_row[f"h{i}"]) for i in range(len(dirs))]
-    if have_bloom and (admit is None or any(admit)):
-        # Bloom sidecars prune by CONTENT — the lever for hash-
-        # distributed keys where every dir's range spans everything.
-        # Composes with stats: a dir rewrites only if BOTH admit.
-        b = _dirs_bloom_admit(spark, idf, key, dirs)
-        if b is not None:
-            admit = b if admit is None else [
-                a and x for a, x in zip(admit, b)
-            ]
+    admit = _admitting_dirs(spark, pm, idf, key)
     if admit is not None:
         touched = [d for d, a in zip(dirs, admit) if a]
         untouched = [d for d in dirs if d not in set(touched)]
