@@ -1859,3 +1859,91 @@ def test_versioned_point_lookup_pruned(spark, tmp_path):
     write_snapshot(base.drop("slc"), path2)
     out2 = read_rows_for_ids(spark, path2, req, "id")
     assert sorted(r["id"] for r in out2.collect()) == sorted(req_ids)
+
+
+def test_catalog_maintenance_tick(spark, tmp_path):
+    """The nightly janitor: (a) a table whose append chain outgrew the
+    knee compacts; a healthy index chain is a no-op; (b) vacuum only
+    on opt-in; (c) CAS debris older than the grace window is removed,
+    referenced dirs and young debris survive; (d) marker-protocol
+    indexes are skipped LOUDLY, never guessed at."""
+    import os as _os
+    import time as _time
+
+    from uts_spark.functions.vindex import minhash_vindex_build
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        register_entry,
+    )
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    SF = _os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 20).alias("val")
+    )
+    cat = str(tmp_path / "cat")
+    p_tbl = str(tmp_path / "tbl")
+    p_idx = str(tmp_path / "idx")
+
+    # table: a 6-dir chain with a low knee
+    write_snapshot(docs.filter(F.col("doc_id") % 6 == 0), p_tbl)
+    for m in range(1, 6):
+        append_snapshot(docs.filter(F.col("doc_id") % 6 == m), p_tbl)
+    # index: healthy single-dir chain
+    minhash_vindex_build(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        ),
+        "text", "doc_id", p_idx, fingerprint="f0",
+    )
+    # CAS debris: one old orphan dir, one young one
+    old_orphan = _os.path.join(p_tbl, "data", "d-deadbeef0000")
+    young_orphan = _os.path.join(p_tbl, "data", "d-cafebabe0000")
+    for d in (old_orphan, young_orphan):
+        _os.makedirs(d)
+    _os.utime(old_orphan, (1, 1))  # ancient mtime
+
+    register_entry(cat, "t", p_tbl)
+    register_entry(cat, "i", p_idx, kind="index")
+
+    n_before = read_version(spark, p_tbl).count()
+    rep = {r["name"]: r for r in catalog_maintenance_tick(
+        spark, cat, max_dirs=4
+    )}
+    # (a) table compacted to one dir; content identical
+    assert rep["t"]["compacted"] is not None
+    pm = list_versions(p_tbl)[-1]
+    assert len(pm.get("data_dirs", [pm.get("data_dir")])) == 1
+    assert read_version(spark, p_tbl).count() == n_before
+    # healthy index chain: no-op
+    assert rep["i"]["compacted"] is None
+    # (b) no vacuum without opt-in
+    assert rep["t"]["vacuumed"] == [] and rep["i"]["vacuumed"] == []
+    # (c) old debris gone, young debris survives
+    assert rep["t"]["orphans_removed"] == 1
+    assert not _os.path.exists(old_orphan)
+    assert _os.path.exists(young_orphan)
+
+    # (b') vacuum opt-in expires pre-compaction versions
+    rep2 = {r["name"]: r for r in catalog_maintenance_tick(
+        spark, cat, vacuum_keep_last=1
+    )}
+    assert len(rep2["t"]["vacuumed"]) >= 1
+    assert read_version(spark, p_tbl).count() == n_before
+
+    # (d) marker index: loud skip
+    from uts_spark.functions.index_protocol import index_build
+    p_marker = str(tmp_path / "marker")
+    docs_full = spark.read.parquet(f"{SF}/documents.parquet")
+    index_build(
+        docs_full, "minhash", p_marker, protocol="marker",
+        fingerprint="fm", text_col="text", id_col="doc_id",
+    )
+    register_entry(cat, "m", p_marker, kind="index")
+    rep3 = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert "skipped" in rep3["m"] and "marker" in rep3["m"]["skipped"]

@@ -279,3 +279,76 @@ def erase_by_names(
         text_col=text_col, vec_col=vec_col,
     )
     return [{**a, "name": order[a["target"]]} for a in acct]
+
+
+def catalog_maintenance_tick(
+    spark,
+    catalog: str,
+    max_dirs: int | None = None,
+    vacuum_keep_last: int | None = None,
+    orphan_grace_secs: float = 259_200,
+) -> list[dict]:
+    """CATALOG-WIDE MAINTENANCE — the nightly janitor: one call walks
+    every registered entry and applies the three background chores a
+    lakehouse accumulates, each one already measured and bounded:
+
+    1. **chain-length OPTIMIZE trigger** — tables through
+       :func:`versioned.maybe_optimize` (default 16 dirs, the data
+       table's measured knee), indexes through
+       :func:`vindex.vindex_maybe_compact` (``max_dirs=None`` resolves
+       the per-family measured default off the index's own manifest:
+       ivf/ivfpq 16, lsh/minhash 64). A healthy chain is a no-op.
+    2. **vacuum** — OPT-IN via ``vacuum_keep_last`` (expiring versions
+       is a retention decision, not a janitor default; tags and live
+       branches stay protected by vacuum's own rules).
+    3. **orphan cleanup** — :func:`versioned.remove_orphans` with the
+       3-day grace window (losing CAS racers' debris).
+
+    Returns one report dict per entry: ``{name, kind, compacted,
+    vacuumed, orphans_removed}`` (``compacted`` = the new version id,
+    or None when the chain was under its knee). Scale: the walk costs
+    manifest listings for healthy entries; work is only ever the
+    chores' own documented costs, and each chore is an independent
+    CAS commit — a racing writer just retries per the usual rules."""
+    from uts_spark.functions.vindex import vindex_maybe_compact
+    from uts_spark.sources.versioned import (
+        maybe_optimize,
+        remove_orphans,
+        vacuum,
+    )
+
+    from uts_spark.functions.index_protocol import _detect_index_protocol
+
+    report = []
+    for rec in list_entries(catalog):
+        r = {
+            "name": rec["name"],
+            "kind": rec["kind"],
+            "compacted": None,
+            "vacuumed": [],
+            "orphans_removed": 0,
+        }
+        if rec["kind"] == "index":
+            # marker-protocol indexes are partitioned layouts, not
+            # manifest chains — the versioned-table chores don't
+            # apply (their compaction is the partition-grain
+            # compact_partitioned, a deliberate operator call, and
+            # their file censuses make orphan cleanup a different
+            # verb). Skip LOUDLY in the report, never guess.
+            if _detect_index_protocol(rec["path"]) != "snapshot":
+                r["skipped"] = "marker-protocol index (compact via "                     "index_protocol.index_compact)"
+                report.append(r)
+                continue
+            r["compacted"] = vindex_maybe_compact(
+                spark, rec["path"], max_dirs=max_dirs
+            )
+        else:
+            kw = {} if max_dirs is None else {"max_dirs": max_dirs}
+            r["compacted"] = maybe_optimize(spark, rec["path"], **kw)
+        if vacuum_keep_last is not None:
+            r["vacuumed"] = vacuum(rec["path"], keep_last=vacuum_keep_last)
+        r["orphans_removed"] = len(
+            remove_orphans(rec["path"], older_than_secs=orphan_grace_secs)
+        )
+        report.append(r)
+    return report
