@@ -1947,3 +1947,45 @@ def test_catalog_maintenance_tick(spark, tmp_path):
     register_entry(cat, "m", p_marker, kind="index")
     rep3 = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
     assert "skipped" in rep3["m"] and "marker" in rep3["m"]["skipped"]
+
+
+def test_catalog_replicate_by_name(spark, tmp_path):
+    """Catalog-level DR: seed-and-register on first call, change-sized
+    advances after; path conflicts and non-table sources refuse."""
+    import pytest
+
+    from uts_spark.sources.catalog import (
+        read_table,
+        register_entry,
+        replicate_by_name,
+    )
+    from uts_spark.sources.versioned import append_snapshot, write_snapshot
+
+    cat = str(tmp_path / "cat")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(30)], "id long, val string"
+    )
+    write_snapshot(base, src)
+    register_entry(cat, "primary", src)
+
+    # seeding without a path refuses; with one, seeds AND registers
+    with pytest.raises(ValueError, match="pass\\s+dst_path"):
+        replicate_by_name(spark, cat, "primary", "replica")
+    replicate_by_name(spark, cat, "primary", "replica", dst_path=dst)
+    assert read_table(spark, cat, "replica").count() == 30
+
+    # advance: append on primary, tick the replica by name only
+    append_snapshot(
+        spark.createDataFrame([(100, "x")], "id long, val string"), src
+    )
+    replicate_by_name(spark, cat, "primary", "replica")
+    assert read_table(spark, cat, "replica").count() == 31
+
+    # re-seeding at a different path refuses
+    with pytest.raises(ValueError, match="not re-seeding"):
+        replicate_by_name(
+            spark, cat, "primary", "replica",
+            dst_path=str(tmp_path / "other"),
+        )

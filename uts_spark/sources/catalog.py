@@ -352,3 +352,45 @@ def catalog_maintenance_tick(
         )
         report.append(r)
     return report
+
+
+def replicate_by_name(
+    spark,
+    catalog: str,
+    src_name: str,
+    dst_name: str,
+    dst_path: str | None = None,
+    key: str | None = None,
+    up_to: int | None = None,
+) -> int:
+    """Catalog-level DR: advance (or seed) the replica ``dst_name``
+    from ``src_name`` via :func:`versioned.replicate`. First call must
+    pass ``dst_path`` — the replica is registered atomically under
+    ``dst_name`` right after its seed commit; later calls resolve both
+    names and pay change-sized cost. The registration order (seed,
+    then register) means a racing reader either misses the name (not
+    yet a table) or sees a fully-seeded replica — never a torn one."""
+    from uts_spark.sources.versioned import replicate
+
+    src = resolve(catalog, src_name)
+    if src["kind"] != "table":
+        raise ValueError(
+            f"catalog entry {src_name!r} is a {src['kind']}, not a table"
+        )
+    cur = _current(catalog, dst_name)
+    if cur is None:
+        if dst_path is None:
+            raise ValueError(
+                f"catalog has no entry named {dst_name!r} — pass "
+                "dst_path= to seed a new replica"
+            )
+        v = replicate(spark, src["path"], dst_path, key=key, up_to=up_to)
+        register_entry(catalog, dst_name, dst_path)
+        return v
+    if dst_path is not None and dst_path != cur["path"]:
+        raise ValueError(
+            f"catalog entry {dst_name!r} already points at "
+            f"{cur['path']!r}; not re-seeding at {dst_path!r} — "
+            "unregister or alter the name first"
+        )
+    return replicate(spark, src["path"], cur["path"], key=key, up_to=up_to)
