@@ -1989,3 +1989,222 @@ def test_catalog_replicate_by_name(spark, tmp_path):
             spark, cat, "primary", "replica",
             dst_path=str(tmp_path / "other"),
         )
+
+
+def test_versioned_dv_mor_delete_lifecycle(spark, tmp_path):
+    """MERGE-ON-READ erasure end to end: a deletion vector hides rows
+    immediately (count + manifest n_rows arithmetic exact), time
+    travel to the pre-delete version is unaffected, an append that
+    RE-USES an erased key stays visible (vector scope = dirs at its
+    commit), a second vector composes across dirs, the pruned point
+    lookup reads masked, and materialize_dvs folds everything into a
+    vector-free manifest with byte-identical content."""
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows_mor,
+        list_versions,
+        materialize_dvs,
+        maybe_materialize_dvs,
+        read_rows_for_ids,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_dv")
+    mk = lambda lo, hi, v: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", f"CAST({v} AS LONG) AS val"
+    )
+    write_snapshot(mk(0, 100, "id * 2"), path, stats_col="k")
+    append_snapshot(mk(100, 200, "id * 2"), path)
+
+    v = delete_rows_mor(spark, path, mk(10, 30, "0").select("k"), "k")
+    ms = {m["version"]: m for m in list_versions(path)}
+    assert ms[v]["operation"] == "delete_mor"
+    assert len(ms[v]["dv"]) == 1 and ms[v]["dv"][0]["n_masked"] == 20
+    assert ms[v]["n_rows"] == 180
+    assert read_version(spark, path).count() == 180
+    # time travel: the pre-delete version still shows every row
+    assert read_version(spark, path, 1).count() == 200
+
+    # MOR delete whose keys match nothing: NO commit
+    assert delete_rows_mor(
+        spark, path, mk(5000, 5010, "0").select("k"), "k"
+    ) == v
+
+    # append re-using erased keys: new rows stay visible (scope rule)
+    append_snapshot(mk(10, 15, "-1"), path)
+    cur = read_version(spark, path)
+    assert cur.count() == 185
+    assert cur.filter("k = 12").collect()[0].val == -1
+
+    # second vector spans the old dirs AND the re-appended dir
+    delete_rows_mor(spark, path, mk(12, 52, "0").select("k"), "k")
+    cur = read_version(spark, path)
+    # masks: re-appended 12..14 (3) + originals 30..51 (22) -> 185-25
+    assert cur.count() == 160
+    pm = list_versions(path)[-1]
+    assert len(pm["dv"]) == 2 and pm["n_rows"] == 160
+
+    # pruned point lookup applies the masks
+    got = read_rows_for_ids(
+        spark, path, mk(10, 14, "0").select("k"), "k"
+    ).collect()
+    assert {(r.k, r.val) for r in got} == {(10, -1), (11, -1)}
+
+    # materialize: content identical, vectors gone, n_rows unchanged
+    before = sorted((r.k, r.val) for r in cur.collect())
+    vm = materialize_dvs(spark, path)
+    pm = {m["version"]: m for m in list_versions(path)}[vm]
+    assert not pm.get("dv") and pm["operation"] == "materialize_dv"
+    assert pm["n_rows"] == 160
+    after = sorted(
+        (r.k, r.val) for r in read_version(spark, path).collect()
+    )
+    assert before == after
+    # idempotent: nothing outstanding -> no-op
+    assert materialize_dvs(spark, path) == vm
+    assert maybe_materialize_dvs(spark, path) is None
+
+
+def test_versioned_dv_cdf_fast_path(spark, tmp_path):
+    """CDF across merge-on-read deletes WITHOUT the key-diff join: the
+    manifests alone say the range is appends + new vectors, so the
+    feed is (added dirs under to's masks) + (pruned scan of from-rows
+    the new vectors hide). Netting is exact: a row inserted AND erased
+    inside the range appears in neither leg. A dv-less caller hitting
+    a rewrite still gets the loud key= demand."""
+    import pytest
+
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows_mor,
+        table_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_dv_cdf")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id * 2 AS LONG) AS val"
+    )
+    write_snapshot(mk(0, 100), path, stats_col="k")          # v0
+    append_snapshot(mk(100, 150), path)                      # v1
+    delete_rows_mor(spark, path, mk(120, 140).select("k"), "k")  # v2
+    delete_rows_mor(spark, path, mk(10, 20).select("k"), "k")   # v3
+
+    # v0 -> v3: inserts = appended 100..149 minus masked 120..139;
+    # deletes = v0-visible rows hidden since = 10..19
+    feed = table_changes(spark, path, 0, 3)
+    ins = {r.k for r in feed.filter("_change_type = 'insert'").collect()}
+    dels = {r.k for r in feed.filter("_change_type = 'delete'").collect()}
+    assert ins == set(range(100, 120)) | set(range(140, 150))
+    assert dels == set(range(10, 20))
+
+    # v2 -> v3: only the second vector's rows
+    feed2 = table_changes(spark, path, 2, 3)
+    assert {r.k for r in feed2.collect()} == set(range(10, 20))
+    assert set(
+        r._change_type for r in feed2.collect()
+    ) == {"delete"}
+
+    # same-manifest range (nothing changed): empty feed
+    assert table_changes(spark, path, 3, 3).count() == 0
+
+    # a REWRITE in range still demands key= (vectors don't change that)
+    from uts_spark.sources.versioned import delete_rows
+
+    delete_rows(spark, path, mk(0, 5).select("k"), "k")  # materializes+CoW
+    with pytest.raises(ValueError, match="key="):
+        table_changes(spark, path, 0)
+
+
+def test_versioned_dv_interop_guards(spark, tmp_path):
+    """The seams where vectors meet the other verbs: CoW delete_rows
+    materializes outstanding vectors first; create_branch refuses on a
+    vector-carrying base; vacuum keeps vector sidecars exactly as long
+    as a kept manifest references them; replication across a MOR range
+    demands key= and converges to the source."""
+    import os
+
+    import pytest
+
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        create_branch,
+        delete_rows,
+        delete_rows_mor,
+        list_versions,
+        read_version,
+        replicate,
+        vacuum,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_dv_io")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id * 2 AS LONG) AS val"
+    )
+    write_snapshot(mk(0, 100), path, stats_col="k")
+    append_snapshot(mk(100, 200), path)
+    delete_rows_mor(spark, path, mk(50, 60).select("k"), "k")
+    pm = list_versions(path)[-1]
+    dv_dir = pm["dv"][0]["dir"]
+    assert os.path.isdir(dv_dir)
+
+    # branching a vector-carrying base refuses loudly
+    with pytest.raises(ValueError, match="materialize_dvs"):
+        create_branch(path, "risky")
+
+    # replicate the MOR range: key required, replica converges
+    dst = str(tmp_path / "vt_dv_replica")
+    replicate(spark, path, dst, up_to=0)  # seed at v0
+    with pytest.raises(ValueError, match="key="):
+        replicate(spark, path, dst)
+    replicate(spark, path, dst, key="k")
+    src_rows = sorted(
+        (r.k, r.val) for r in read_version(spark, path).collect()
+    )
+    dst_rows = sorted(
+        (r.k, r.val) for r in read_version(spark, dst).collect()
+    )
+    assert src_rows == dst_rows
+
+    # CoW delete on a vector-carrying table: materializes, then erases
+    delete_rows(spark, path, mk(0, 10).select("k"), "k")
+    ms = [m["operation"] for m in list_versions(path)]
+    assert "materialize_dv" in ms and ms[-1] == "delete"
+    assert read_version(spark, path).count() == 180
+    assert not list_versions(path)[-1].get("dv")
+
+    # vacuum: dv dir dies exactly when its last referencing manifest does
+    vacuum(path, keep_last=2)  # keeps materialized + CoW-delete versions
+    assert not os.path.isdir(dv_dir)
+    assert read_version(spark, path).count() == 180
+
+
+def test_versioned_dv_materialize_trigger(spark, tmp_path):
+    """maybe_materialize_dvs fires on either measured knob — vector
+    count (manifest growth) or masked fraction (read-side dead work) —
+    and stands down otherwise."""
+    from uts_spark.sources.versioned import (
+        delete_rows_mor,
+        list_versions,
+        maybe_materialize_dvs,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_dv_trig")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id AS LONG) AS val"
+    )
+    write_snapshot(mk(0, 1000), path, stats_col="k")
+    delete_rows_mor(spark, path, mk(0, 10).select("k"), "k")
+    # 10/1000 masked: under both defaults
+    assert maybe_materialize_dvs(spark, path) is None
+    # count knob
+    v = maybe_materialize_dvs(spark, path, max_dvs=0)
+    assert v is not None
+    assert not list_versions(path)[-1].get("dv")
+    # fraction knob
+    delete_rows_mor(spark, path, mk(10, 200).select("k"), "k")
+    v2 = maybe_materialize_dvs(spark, path, max_masked_frac=0.1)
+    assert v2 is not None and list_versions(path)[-1]["n_rows"] == 800

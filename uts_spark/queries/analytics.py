@@ -3904,6 +3904,137 @@ def versioned_wap_branch_publish(spark, sf_dir):
 
 
 @query(
+    "versioned_dv_mor_erasure",
+    """
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, 20) AS val
+      FROM documents WHERE doc_id % 10 <= 6
+    ),
+    after1 AS (
+      SELECT * FROM base WHERE doc_id % 100 NOT IN (3, 14, 25)
+    ),
+    appended AS (
+      SELECT doc_id, substr(text, 1, 20) AS val
+      FROM documents WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id, 'R' AS val
+      FROM documents WHERE doc_id % 100 = 3
+    ),
+    visible AS (
+      SELECT * FROM (
+        SELECT * FROM after1 UNION ALL SELECT * FROM appended
+      ) WHERE doc_id % 100 NOT IN (25, 47)
+    ),
+    acct AS (
+      SELECT doc_id % 10 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+             CAST(SUM(CASE WHEN val = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS reinserted
+      FROM visible GROUP BY doc_id % 10
+    )
+    SELECT 'mor' AS stage, * FROM acct
+    UNION ALL
+    SELECT 'materialized' AS stage, * FROM acct
+    """,
+)
+def versioned_dv_mor_erasure(spark, sf_dir):
+    """DELETION VECTORS — merge-on-read erasure on the versioned table
+    (round 10; the Delta-DV / Iceberg-equality-delete economics):
+    delete_rows (even Bloom-pruned) pays a dir rewrite per takedown
+    batch; delete_rows_mor commits the deleted KEYS as a tiny sidecar
+    and every reader applies them as a scoped broadcast anti-join, so
+    a takedown costs kilobytes NOW and the rewrite happens ONCE at
+    materialize_dvs, amortized over every takedown since the last
+    fold (measured write-amplification curves in tools/dv_smoke.py /
+    SCALE.md round 10). The lane drives the whole protocol on the
+    documents table: two data commits, a first vector spanning both
+    dirs, an APPEND THAT RE-USES ERASED KEYS (vector scope = dirs at
+    its commit, so the re-inserted rows must stay visible — the
+    semantics that separates key-scoped vectors from a global
+    anti-join), a second vector reaching into the appended dir, then
+    reads the SAME accounting at both physical states — vectors
+    outstanding ('mor') and after materialize_dvs ('materialized').
+    The oracle is the closed form of the slice algebra, duplicated
+    per stage: a reader that ignored a vector, leaked a masked row,
+    hid a re-inserted key, or changed content while materializing
+    hashes differently. Time travel, CDF across vectors, CoW/branch/
+    replication interop, vacuum liveness, and the measured
+    maybe_materialize_dvs trigger are pinned in tests/test_sinks.py.
+    Scale: the vector commit is O(keys); the accounting scan is
+    Bloom-pruned to admitting dirs; materialize rewrites only dirs a
+    vector's keys admit — nothing here is table-sized except the
+    final reads the lane itself returns."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows_mor,
+        list_versions,
+        materialize_dvs,
+        read_version,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    val = F.substring(F.col("text"), 1, 20).alias("val")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"dv_vt_{tag}")
+    # the MOR protocol is the lane's subject — rebuild from scratch so
+    # every run exercises commit -> mask -> re-append -> materialize
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    write_snapshot(
+        docs.filter(F.col("doc_id") % 10 <= 3).select("doc_id", val),
+        path, stats_col="doc_id", bloom_col="doc_id",
+    )
+    append_snapshot(
+        docs.filter(
+            (F.col("doc_id") % 10 >= 4) & (F.col("doc_id") % 10 <= 6)
+        ).select("doc_id", val),
+        path,
+    )
+    kill1 = docs.filter(
+        (F.col("doc_id") % 100).isin(3, 14, 25)
+    ).select("doc_id")
+    delete_rows_mor(spark, path, kill1, "doc_id")
+    append_snapshot(
+        docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", val)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 100 == 3).select(
+                "doc_id", F.lit("R").alias("val")
+            )
+        ),
+        path,
+    )
+    kill2 = docs.filter(
+        (F.col("doc_id") % 100).isin(25, 47)
+    ).select("doc_id")
+    delete_rows_mor(spark, path, kill2, "doc_id")
+    pm = list_versions(path)[-1]
+    assert len(pm.get("dv", [])) == 2, "expected two outstanding vectors"
+
+    def acct(df, stage):
+        return df.groupBy(
+            (F.col("doc_id") % 10).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(
+                F.when(F.col("val") == "R", 1).otherwise(0)
+            ).cast("long").alias("reinserted"),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    mor = acct(read_version(spark, path), "mor")
+    materialize_dvs(spark, path)
+    assert not list_versions(path)[-1].get("dv")
+    mat = acct(read_version(spark, path), "materialized")
+    return mor.unionByName(mat)
+
+
+@query(
     "catalog_name_resolution",
     """
     SELECT 'current' AS source, doc_id, substr(text, 1, 40) AS val

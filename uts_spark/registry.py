@@ -116,7 +116,7 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 391  # round 10 (cont.): +1 pruned point-lookup lane
+_REGISTRY_FLOOR = 392  # round 10 (cont.): +1 deletion-vector MOR-erasure lane
 # (versioned_point_lookup_read - the GDPR right-of-ACCESS verb:
 # read_rows_for_ids scans only bloom/stats-admitting dirs),
 # +1 streaming-WAP replay lane
@@ -242,6 +242,10 @@ HEADLINE = [n for n in (
     "facade_tick_minhash_skew_replay",
     "versioned_wap_branch_publish",
     "cdc_table_changes_appendonly",
+    # r10 (cont.): deletion-vector economics — two MOR takedowns, a
+    # re-using append, reads at both physical states, one materialize;
+    # tracks the merge-on-read anti-join + pruned-rewrite walls
+    "versioned_dv_mor_erasure",
     # r10: the de-circularized refit gate reproduced in-engine — the
     # train-only bigram-perplexity labels (one (doc,bigram) shuffle +
     # dictionary joins) + two map-only model passes + 1-row confusions

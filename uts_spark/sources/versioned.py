@@ -716,6 +716,14 @@ def append_snapshot(
                 "evolved": evolved,
             }
         key_meta = {"batch_key": batch_key} if batch_key else {}
+        # outstanding deletion vectors carry unchanged: the new dir is
+        # not in any vector's SCOPE, so appended rows are never masked
+        # even when they re-use an erased key
+        dv_meta = (
+            {"dv": versions[parent]["dv"]}
+            if parent is not None and versions[parent].get("dv")
+            else {}
+        )
         try:
             return commit_version(
                 path,
@@ -729,6 +737,7 @@ def append_snapshot(
                     **bloom_meta,
                     **schema_meta,
                     **key_meta,
+                    **dv_meta,
                 },
             )
         except VersionConflictError as e:
@@ -766,11 +775,71 @@ def read_version(
             f"(have {sorted(byv)})"
         )
     m = byv[version]
-    dirs = _manifest_dirs(m)
+    return _read_dirs_masked(spark, m, _manifest_dirs(m))
+
+
+def _scan_dirs(spark: SparkSession, m: dict, dirs: list[str]) -> DataFrame:
+    """Scan a subset of a manifest's data dirs under the manifest's
+    schema contract: evolved versions footer-merge and project to the
+    recorded column order (NULL back-fill for pre-evolution rows),
+    un-evolved versions read plain. The shared kernel of every dir
+    reader (read_version, pruned point-lookup, pruned erasure, CDF
+    fast path)."""
     if m.get("evolved") and m.get("schema"):
         df = spark.read.option("mergeSchema", "true").parquet(*dirs)
         return df.select(*_schema_fields(m["schema"]))
     return spark.read.parquet(*dirs)
+
+
+def _apply_dv_masks(
+    spark: SparkSession, recs: list[dict], df: DataFrame
+) -> DataFrame:
+    """Apply deletion-vector masks to a scanned frame: one broadcast
+    anti-join per DISTINCT erasure key column — vectors sharing a key
+    column union into a single key frame first, so read overhead is
+    ~flat in the number of outstanding vectors (measured in
+    tools/dv_smoke.py). Vectors are takedown-batch-sized by
+    construction, hence the explicit broadcast."""
+    from pyspark.sql import functions as F
+
+    by_col: dict[str, list[str]] = {}
+    for r in recs:
+        by_col.setdefault(r["key"], []).append(r["dir"])
+    for kcol, dv_dirs in by_col.items():
+        keys = spark.read.parquet(*dv_dirs).select(kcol).distinct()
+        df = df.join(F.broadcast(keys), kcol, "left_anti")
+    return df
+
+
+def _read_dirs_masked(
+    spark: SparkSession, m: dict, dirs: list[str]
+) -> DataFrame:
+    """Scan a subset of a manifest's dirs with the manifest's
+    outstanding DELETION VECTORS applied (module comment at
+    :func:`delete_rows_mor`). Each vector masks only the dirs in its
+    recorded SCOPE (the table's dirs at the vector's commit), so rows
+    appended after a takedown are never hidden by it even when they
+    re-use an erased key: dirs are grouped by the set of vectors that
+    scope them, each group anti-joins its vectors' keys, and the
+    groups union back. No vectors -> the plain scan, zero overhead."""
+    recs = m.get("dv", [])
+    if not recs:
+        return _scan_dirs(spark, m, dirs)
+    scopes = [set(r["scope"]) for r in recs]
+    groups: dict[tuple, list[str]] = {}
+    for d in dirs:
+        ks = tuple(i for i, s in enumerate(scopes) if d in s)
+        groups.setdefault(ks, []).append(d)
+    parts = []
+    for ks, ds in groups.items():
+        part = _scan_dirs(spark, m, ds)
+        if ks:
+            part = _apply_dv_masks(spark, [recs[i] for i in ks], part)
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def merge_upsert(
@@ -899,12 +968,7 @@ def read_rows_for_ids(
     ]
     if not use:
         return read_version(spark, path, version).limit(0)
-    scan = spark.read
-    if pm.get("evolved") and pm.get("schema"):
-        scan = scan.option("mergeSchema", "true")
-    df = scan.parquet(*use)
-    if pm.get("evolved") and pm.get("schema"):
-        df = df.select(*_schema_fields(pm["schema"]))
+    df = _read_dirs_masked(spark, pm, use)
     return df.join(idf, key, "left_semi")
 
 
@@ -948,6 +1012,14 @@ def delete_rows(
     if not versions:
         raise ValueError(f"versioned table {path}: nothing to delete")
     pm = versions[max(versions)]
+    if pm.get("dv"):
+        # outstanding merge-on-read vectors: a copy-on-write rewrite
+        # would have to re-mask every dir it carries by reference —
+        # materialize first (itself a pruned, touched-dir-sized
+        # rewrite), then erase against a vector-free manifest.
+        materialize_dvs(spark, path)
+        versions = {m["version"]: m for m in list_versions(path)}
+        pm = versions[max(versions)]
     dirs = _manifest_dirs(pm)
     stats = pm.get("dir_stats", {})
     idf = ids.select(key)
@@ -959,12 +1031,7 @@ def delete_rows(
         untouched = [d for d in dirs if d not in set(touched)]
         if not touched:
             return pm["version"]  # no dir admits a deleted key
-        scan = spark.read
-        if pm.get("evolved") and pm.get("schema"):
-            scan = scan.option("mergeSchema", "true")
-        tdf = scan.parquet(*touched)
-        if pm.get("evolved") and pm.get("schema"):
-            tdf = tdf.select(*_schema_fields(pm["schema"]))
+        tdf = _scan_dirs(spark, pm, touched)
         kept = tdf.join(idf, key, "left_anti")
         ddir = _write_delta_dir(kept, path)
         carried: dict = {
@@ -1016,6 +1083,218 @@ def delete_rows(
     )
 
 
+# --- DELETION VECTORS: merge-on-read erasure (round 10 cont.) ---------------
+#
+# delete_rows is COPY-ON-WRITE: even pruned, a takedown of 10 ids pays
+# one full rewrite of every admitting dir. The Delta deletion-vector /
+# Iceberg equality-delete answer is MERGE-ON-READ: commit the deleted
+# KEYS as a tiny sidecar frame and let readers anti-join it, deferring
+# the rewrite until a compaction tick amortizes many takedowns at once.
+# At 100 TB this is the difference between a takedown batch costing
+# kilobytes (one key frame + one manifest) and costing the dirs it
+# touches — the rewrite still happens, but once per MATERIALIZE, not
+# once per takedown.
+#
+# A vector is a manifest record {dir, key, scope, n_masked}:
+#   dir      — parquet dir holding one column (the erasure key values);
+#   key      — the column it anti-joins on;
+#   scope    — the table's data dirs at the vector's commit. Keys are
+#              identity only within that snapshot: a row APPENDED after
+#              the takedown legitimately re-uses an erased key and must
+#              stay visible, so readers apply a vector only to its
+#              scoped dirs (exactly why Delta's vectors are per-file —
+#              ours are per-dir-set, the grain this format commits at);
+#   n_masked — rows the vector hid at commit time (visible rows
+#              matching the keys), so manifest n_rows stays exact
+#              arithmetic, never a deferred scan.
+#
+# Readers (read_version, read_rows_for_ids, table_changes, CDC/
+# replication consumers — all routed through _read_dirs_masked) see
+# erased rows gone IMMEDIATELY; physical bytes persist until
+# materialize_dvs + vacuum, the same two-step every erasure path in
+# this repo documents. GDPR note: the vector itself stores the erased
+# KEYS (like any tombstone log) — vacuum of the materialized-away
+# vector dirs is what forgets those too.
+
+
+def _dv_dirs(m: dict) -> list[str]:
+    """A manifest's deletion-vector sidecar dirs (liveness accounting:
+    vacuum and remove_orphans must keep them exactly as long as the
+    manifest that references them)."""
+    return [r["dir"] for r in m.get("dv", [])]
+
+
+def delete_rows_mor(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    key: str,
+    meta: dict | None = None,
+) -> int:
+    """MERGE-ON-READ erasure (module comment above): commit the
+    deleted keys as a DELETION VECTOR instead of rewriting any data
+    dir. Write cost = the key frame (takedown-batch-sized) + one
+    manifest; every read path applies the vector as a broadcast
+    anti-join scoped to the dirs that existed at this commit. The
+    exact-row accounting (``n_masked``) costs one PRUNED scan of the
+    admitting dirs — the same stats/Bloom pruning delete_rows uses,
+    reading instead of rewriting. A takedown whose keys match nothing
+    visible commits nothing and returns the current version.
+
+    Contrast :func:`delete_rows` (copy-on-write: pay the rewrite now,
+    reads stay plain) — merge-on-read pays a small read-time
+    anti-join until :func:`materialize_dvs` folds the accumulated
+    vectors into one pruned rewrite. ``maybe_materialize_dvs`` is the
+    measured trigger."""
+    from pyspark.sql import functions as F
+
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        raise ValueError(f"versioned table {path}: nothing to delete")
+    pm = versions[max(versions)]
+    dirs = _manifest_dirs(pm)
+    idf = ids.select(key).distinct()
+    admit = _admitting_dirs(spark, pm, idf, key)
+    use = dirs if admit is None else [d for d, a in zip(dirs, admit) if a]
+    if not use:
+        return pm["version"]  # no dir can hold a deleted key
+    visible = _read_dirs_masked(spark, pm, use)
+    n_masked = visible.join(F.broadcast(idf), key, "left_semi").count()
+    if n_masked == 0:
+        return pm["version"]  # stats/Bloom false positives only
+    import uuid
+
+    dvdir = os.path.join(path, "data", f"dv-{uuid.uuid4().hex[:12]}")
+    idf.coalesce(1).write.mode("errorifexists").parquet(dvdir)
+    rec = {"dir": dvdir, "key": key, "scope": dirs, "n_masked": n_masked}
+    carried = {
+        k: pm[k]
+        for k in (
+            "schema", "evolved", "stats_col", "dir_stats", "dir_rows",
+            "bloom_col",
+        )
+        if k in pm
+    }
+    return commit_version(
+        path,
+        dirs,
+        "delete_mor",
+        pm["version"],
+        pm["n_rows"] - n_masked,
+        {**carried, "dv": pm.get("dv", []) + [rec], **(meta or {})},
+    )
+
+
+def materialize_dvs(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> int:
+    """Fold the current version's outstanding deletion vectors into
+    the data: rewrite (anti-joined) ONLY the dirs that some vector
+    scopes AND whose stats/Bloom structures admit at least one of that
+    vector's keys — every other dir carries by reference, exactly
+    :func:`delete_rows`'s pruned shape, amortized over every takedown
+    since the last materialize. Commits a vector-free manifest with
+    unchanged n_rows (readers saw the masked state all along; this
+    changes physics, not content — pinned hash-exact in the oracle
+    lane). No outstanding vectors -> no-op."""
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        raise ValueError(f"versioned table {path}: no committed versions")
+    pm = versions[max(versions)]
+    recs = pm.get("dv", [])
+    if not recs:
+        return pm["version"]
+    dirs = _manifest_dirs(pm)
+    touched_set: set[str] = set()
+    for rec in recs:
+        sc = [d for d in rec["scope"] if d in dirs]
+        if not sc:
+            continue
+        kf = spark.read.parquet(rec["dir"])
+        admit = _admitting_dirs(spark, pm, kf, rec["key"])
+        if admit is None:
+            touched_set.update(sc)
+        else:
+            amap = dict(zip(dirs, admit))
+            touched_set.update(d for d in sc if amap[d])
+    touched = [d for d in dirs if d in touched_set]
+    untouched = [d for d in dirs if d not in touched_set]
+    new_dirs = list(untouched)
+    carried: dict = {
+        "materialized_dvs": len(recs),
+        "pruned_dirs": len(untouched),
+        **{k: pm[k] for k in ("schema", "evolved") if k in pm},
+    }
+    scol, bcol = pm.get("stats_col"), pm.get("bloom_col")
+    stats = pm.get("dir_stats", {})
+    dir_rows = pm.get("dir_rows", {})
+    if touched:
+        kept = _read_dirs_masked(spark, pm, touched)
+        ndir = _write_delta_dir(kept, path)
+        new_dirs.append(ndir)
+        if scol is not None:
+            n_kept, rng = _dir_stats(spark, ndir, scol)
+            carried["stats_col"] = scol
+            carried["dir_stats"] = {
+                **{d: stats[d] for d in untouched if d in stats},
+                ndir: rng,
+            }
+        else:
+            n_kept = spark.read.parquet(ndir).count()
+        if scol is not None or dir_rows:
+            carried["dir_rows"] = {
+                **{d: dir_rows[d] for d in untouched if d in dir_rows},
+                ndir: n_kept,
+            }
+        if bcol is not None:
+            _write_dir_bloom(spark, ndir, bcol, n_kept)
+            carried["bloom_col"] = bcol
+    else:
+        # vectors masked nothing (all their rows were since rewritten
+        # away) — just clear them
+        for k in ("stats_col", "dir_stats", "dir_rows", "bloom_col"):
+            if k in pm:
+                carried[k] = pm[k]
+    return commit_version(
+        path,
+        new_dirs,
+        "materialize_dv",
+        pm["version"],
+        pm["n_rows"],
+        {**carried, **(meta or {})},
+    )
+
+
+def maybe_materialize_dvs(
+    spark: SparkSession,
+    path: str,
+    max_dvs: int = 16,
+    max_masked_frac: float = 0.05,
+) -> int | None:
+    """MATERIALIZE trigger (the maybe_optimize analog for deletion
+    vectors): fold when the current manifest carries more than
+    ``max_dvs`` vectors OR the vectors mask more than
+    ``max_masked_frac`` of the pre-delete row count; else None. Both
+    knobs come from the measured curves (tools/dv_smoke.py, SCALE.md
+    round 10): read overhead is ~flat in vector COUNT (vectors
+    sharing a key column collapse into one broadcast anti-join), so
+    the count knob only bounds manifest growth — the knob that pays
+    is masked FRACTION, where the anti-join's probe work and the
+    dead bytes read scale with what the vectors hide."""
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        return None
+    pm = versions[max(versions)]
+    recs = pm.get("dv", [])
+    if not recs:
+        return None
+    masked = sum(r["n_masked"] for r in recs)
+    frac = masked / max(1, pm["n_rows"] + masked)
+    if len(recs) <= max_dvs and frac <= max_masked_frac:
+        return None
+    return materialize_dvs(spark, path)
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Remove data files and manifests of all but the newest
     ``keep_last`` versions; returns the vacuumed version ids. Readers
@@ -1041,7 +1320,7 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     kept_dirs = {
         d
         for m in kept
-        for d in _manifest_dirs(m) + _manifest_aux_dirs(m)
+        for d in _manifest_dirs(m) + _manifest_aux_dirs(m) + _dv_dirs(m)
     }
     # live branches reference base + staged dirs by name — a fork is a
     # retention promise exactly like a tag (WAP: audit must be able to
@@ -1050,7 +1329,7 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         for r in _branch_records(path, bname):
             kept_dirs.update(r.get("data_dirs", []))
     for m in doomed:
-        for d in _manifest_dirs(m) + _manifest_aux_dirs(m):
+        for d in _manifest_dirs(m) + _manifest_aux_dirs(m) + _dv_dirs(m):
             if d not in kept_dirs:
                 shutil.rmtree(d, ignore_errors=True)
         os.remove(os.path.join(_versions_dir(path), f"v{m['version']}.json"))
@@ -1080,6 +1359,7 @@ def remove_orphans(path: str, older_than_secs: float = 259_200) -> list[str]:
     for m in list_versions(path):
         referenced.update(_manifest_dirs(m))
         referenced.update(_manifest_aux_dirs(m))
+        referenced.update(_dv_dirs(m))
     for bname in list_branches(path):
         for r in _branch_records(path, bname):
             referenced.update(r.get("data_dirs", []))
@@ -1128,6 +1408,10 @@ def optimize(
     (compaction is embarrassingly parallel across partitions) and the
     rewrite narrows to the files a clustering metric flags — the
     snapshot-commit protocol is unchanged.
+
+    Outstanding DELETION VECTORS are materialized by the rewrite for
+    free: the scan reads through :func:`read_version` (masked) and the
+    compacted manifest is vector-free.
 
     Fast-append CHAINS are folded too (round 9c — the first cut read
     the single ``data_dir`` key and crashed on a chained manifest):
@@ -1358,32 +1642,98 @@ def table_changes(
     new = read_version(spark, path, to_version)
     if from_version == to_version:
         return new.withColumn("_change_type", F.lit("insert")).limit(0)
-    from_dirs = set(_manifest_dirs(versions[from_version]))
-    to_dirs = _manifest_dirs(versions[to_version])
-    if from_dirs.issubset(to_dirs):
+    m_from, m_to = versions[from_version], versions[to_version]
+    from_dirs = set(_manifest_dirs(m_from))
+    to_dirs = _manifest_dirs(m_to)
+    f_recs = m_from.get("dv", [])
+    t_recs = m_to.get("dv", [])
+    if from_dirs.issubset(to_dirs) and f_recs == t_recs:
         added = [d for d in to_dirs if d not in from_dirs]
         if not added:
             return new.withColumn("_change_type", F.lit("insert")).limit(0)
-        m_to = versions[to_version]
-        if m_to.get("evolved") and m_to.get("schema"):
-            # schema evolution in the range: the added dirs may carry
-            # heterogeneous footers (narrow pre-evolution + widened) —
-            # merge footers and project to the to-version's recorded
-            # schema, exactly mirroring read_version, so the feed
-            # honors the documented to_version-schema contract instead
-            # of inheriting whichever footer Spark lists first.
-            scanned = spark.read.option("mergeSchema", "true").parquet(
-                *added
-            ).select(*_schema_fields(m_to["schema"]))
-        else:
-            scanned = spark.read.parquet(*added)
+        # schema evolution in the range: the added dirs may carry
+        # heterogeneous footers (narrow pre-evolution + widened) —
+        # _scan_dirs merges footers and projects to the to-version's
+        # recorded schema, exactly mirroring read_version, so the feed
+        # honors the documented to_version-schema contract instead of
+        # inheriting whichever footer Spark lists first. Deletion
+        # vectors unchanged in the range still mask the added dirs
+        # they scope (none, normally — appends postdate the vectors).
+        scanned = _read_dirs_masked(spark, m_to, added)
         return scanned.withColumn("_change_type", F.lit("insert"))
+
+    if from_dirs.issubset(to_dirs) and f_recs == t_recs[: len(f_recs)]:
+        # MERGE-ON-READ fast path: the range is appends + new deletion
+        # vectors — both readable off the manifests, no full-outer
+        # join. Inserts = the added dirs under to's masks; deletes =
+        # rows visible at FROM that a NEW vector hides, found by a
+        # PRUNED scan of the dirs the new vectors scope (grouped so
+        # each row is read once — no duplicate images when two
+        # vectors match the same row). Netting is exact: a row
+        # inserted AND erased inside the range sits in an added dir
+        # under a masking vector, so it appears in neither leg — the
+        # two-version diff contract.
+        new_recs = t_recs[len(f_recs):]
+        added = [d for d in to_dirs if d not in from_dirs]
+        inserts = (
+            _read_dirs_masked(spark, m_to, added)
+            if added
+            else new.limit(0)
+        ).withColumn("_change_type", F.lit("insert"))
+        from_dirs_l = _manifest_dirs(m_from)
+        scopes = [set(r["scope"]) for r in new_recs]
+        groups: dict[tuple, list[str]] = {}
+        for d in from_dirs_l:
+            ks = tuple(i for i, s in enumerate(scopes) if d in s)
+            if ks:
+                groups.setdefault(ks, []).append(d)
+        del_parts = []
+        for ks, ds in groups.items():
+            vis = _read_dirs_masked(spark, m_from, ds)
+            by_col: dict[str, list[str]] = {}
+            for i in ks:
+                by_col.setdefault(new_recs[i]["key"], []).append(
+                    new_recs[i]["dir"]
+                )
+            markers = []
+            for j, (kcol, dv_dirs) in enumerate(sorted(by_col.items())):
+                kf = (
+                    spark.read.parquet(*dv_dirs)
+                    .select(kcol)
+                    .distinct()
+                    .withColumn(f"__dvm{j}", F.lit(True))
+                )
+                vis = vis.join(F.broadcast(kf), kcol, "left")
+                markers.append(f"__dvm{j}")
+            hit = markers[0]
+            cond = F.col(hit).eqNullSafe(F.lit(True))
+            for mk in markers[1:]:
+                cond = cond | F.col(mk).eqNullSafe(F.lit(True))
+            del_parts.append(vis.filter(cond).drop(*markers))
+        if del_parts:
+            dels = del_parts[0]
+            for p in del_parts[1:]:
+                dels = dels.unionByName(p)
+            # align delete images under the to-version schema (NULL
+            # back-fill for columns added in range, CDF convention)
+            for c in new.columns:
+                if c not in dels.columns:
+                    dels = dels.withColumn(
+                        c, F.lit(None).cast(dict(new.dtypes)[c])
+                    )
+            dels = dels.select(*new.columns).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            return inserts.select(
+                *new.columns, "_change_type"
+            ).unionByName(dels)
+        return inserts.select(*new.columns, "_change_type")
 
     if key is None:
         raise ValueError(
             f"versioned table {path}: versions {from_version}->{to_version} "
-            "include a rewrite (dir lists diverge) — pass key= to diff by "
-            "row identity"
+            "include a rewrite (dir lists or deletion-vector histories "
+            "diverge) — pass key= to diff by row identity"
         )
     old = read_version(spark, path, from_version)
     cols = new.columns
@@ -1587,6 +1937,12 @@ def create_branch(
             f"(have {sorted(versions)})"
         )
     bm = versions[base]
+    if bm.get("dv"):
+        raise ValueError(
+            f"versioned table {path}: version {base} carries outstanding "
+            "deletion vectors — branch records reference dirs only and "
+            "would resurrect erased rows; run materialize_dvs first"
+        )
     bdir = _branch_dir(path, name)
     if os.path.isdir(bdir) and any(
         f.startswith("h") for f in os.listdir(bdir)
@@ -1979,11 +2335,22 @@ def replicate(
         return dm["version"]  # replay / already ahead: no-op
     from_dirs = set(_manifest_dirs(src_versions[cursor]))
     to_dirs = _manifest_dirs(src_versions[up_to])
+    # pure append = dirs only grew AND the deletion-vector history is
+    # unchanged; a merge-on-read delete in the range has the same dir
+    # list but a real delete feed, so it must take the apply path
+    pure_append = from_dirs <= set(to_dirs) and src_versions[cursor].get(
+        "dv", []
+    ) == src_versions[up_to].get("dv", [])
+    if not pure_append and key is None:
+        raise ValueError(
+            f"versioned table {src_path}: range {cursor}->{up_to} includes "
+            "a rewrite or merge-on-read delete — pass key= so the replica "
+            "can apply deletes by row identity"
+        )
     feed = table_changes(
-        spark, src_path, cursor, up_to,
-        key=None if from_dirs <= set(to_dirs) else key,
+        spark, src_path, cursor, up_to, key=None if pure_append else key,
     )
-    if from_dirs <= set(to_dirs):
+    if pure_append:
         delta = feed.drop("_change_type")
         return append_snapshot(
             delta, dst_path, operation="replicate-append", meta=meta,
