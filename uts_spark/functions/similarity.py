@@ -723,6 +723,20 @@ def ivf_topk_det(
     return _rank_topk(out, k)
 
 
+def postfilter_topk(ranked: DataFrame, keep: Column, k: int) -> DataFrame:
+    """POST-FILTER for filtered ANN: drop oversampled candidates that
+    fail the metadata predicate, then re-rank to top-``k`` under the
+    shared tie-break. The caller joins whatever metadata ``keep``
+    needs onto the ranked frame first. This is the mode that can
+    UNDER-FILL (an anchor whose oversampled candidates mostly fail the
+    filter returns < k rows) — the structural reason pre-filtering
+    (membership = the filtered corpus, quantizer frozen on the full
+    one, i.e. ``ivf_topk_det(filtered, centroid_src=full)``) wins
+    under selective filters; measured in
+    similarity_ann_filtered_recall_eval."""
+    return _rank_topk(ranked.filter(keep).drop("rank"), k)
+
+
 # --------------------------------------------------------------------------
 # Persisted ANN index (VERDICT r4 #5): build the LSH bucket table ONCE
 # as a (table, bucket)-partitioned parquet index, then answer probe

