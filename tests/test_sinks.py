@@ -2208,3 +2208,81 @@ def test_versioned_dv_materialize_trigger(spark, tmp_path):
     delete_rows_mor(spark, path, mk(10, 200).select("k"), "k")
     v2 = maybe_materialize_dvs(spark, path, max_masked_frac=0.1)
     assert v2 is not None and list_versions(path)[-1]["n_rows"] == 800
+
+
+def test_catalog_snapshot_multi_table(spark, tmp_path):
+    """Consistent cross-table snapshots: pins hold while members
+    advance, retention tags protect pinned versions from vacuum until
+    the snapshot is dropped, the recorded paths survive alter_entry,
+    and name collisions / missing members refuse loudly."""
+    import os
+
+    import pytest
+
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        drop_snapshot,
+        list_snapshots,
+        read_snapshot_table,
+        register_entry,
+        alter_entry,
+        resolve_snapshot,
+    )
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        vacuum,
+        write_snapshot,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id * 3 AS LONG) AS v"
+    )
+    write_snapshot(mk(0, 50), pa)
+    write_snapshot(mk(0, 50), pb)
+    register_entry(cat, "a", pa, kind="table")
+    register_entry(cat, "b", pb, kind="table")
+
+    rec = create_snapshot(cat, "cut", ["a", "b"])
+    assert rec["pins"]["a"]["version"] == 0
+    # collision refuses, first snapshot intact
+    with pytest.raises(ValueError, match="already exists"):
+        create_snapshot(cat, "cut")
+    assert [s["name"] for s in list_snapshots(cat)] == ["cut"]
+    # unknown member refuses
+    with pytest.raises(ValueError, match="no table entries"):
+        create_snapshot(cat, "cut2", ["a", "nope"])
+
+    # members advance; the snapshot keeps reading the cut
+    append_snapshot(mk(50, 80), pa)
+    append_snapshot(mk(50, 60), pb)
+    assert read_snapshot_table(spark, cat, "cut", "a").count() == 50
+    assert read_snapshot_table(spark, cat, "cut", "b").count() == 50
+    with pytest.raises(ValueError, match="does not pin"):
+        read_snapshot_table(spark, cat, "cut", "zzz")
+
+    # retention: vacuum keeps the pinned v0 while the snapshot lives
+    append_snapshot(mk(80, 90), pa)
+    vacuum(pa, keep_last=1)
+    assert 0 in {m["version"] for m in list_versions(pa)}
+    assert read_snapshot_table(spark, cat, "cut", "a").count() == 50
+
+    # alter_entry re-points the NAME; the snapshot's recorded path wins
+    pa2 = str(tmp_path / "ta2")
+    write_snapshot(mk(0, 7), pa2)
+    alter_entry(cat, "a", pa2)
+    assert read_snapshot_table(spark, cat, "cut", "a").count() == 50
+
+    # drop releases the tags; vacuum may now expire the pinned version
+    drop_snapshot(cat, "cut")
+    with pytest.raises(ValueError, match="no snapshot"):
+        resolve_snapshot(cat, "cut")
+    vacuum(pa, keep_last=1)
+    assert {m["version"] for m in list_versions(pa)} == {2}
+    # idempotent-ish cleanup path: snapshot over a since-dropped tag
+    # cannot be dropped twice
+    with pytest.raises(ValueError, match="no snapshot"):
+        drop_snapshot(cat, "cut")
+    assert os.path.isdir(pa2)  # alter target untouched throughout

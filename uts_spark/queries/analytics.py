@@ -4112,6 +4112,112 @@ def catalog_name_resolution(spark, sf_dir):
 
 
 @query(
+    "catalog_snapshot_consistent_read",
+    """
+    WITH s AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 10 <= 5
+    ),
+    snap AS (
+      SELECT 'snapshot' AS stage, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM s GROUP BY lang
+    ),
+    cur AS (
+      SELECT 'current' AS stage, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM (
+        SELECT doc_id, lang FROM s
+        UNION ALL
+        SELECT doc_id, 'xx' AS lang FROM documents WHERE doc_id % 10 = 6
+      ) u GROUP BY lang
+    )
+    SELECT * FROM snap UNION ALL SELECT * FROM cur
+    """,
+)
+def catalog_snapshot_consistent_read(spark, sf_dir):
+    """CONSISTENT MULTI-TABLE SNAPSHOT (round 10 — the catalog-level
+    transaction ergonomic): a pipeline joining two versioned tables
+    through their names needs both currents to belong to the SAME
+    instant, or a writer landing between the two resolutions hands it
+    a torn cross-table read. ``create_snapshot`` captures a named
+    {table -> version} cut with an optimistic double-read (no lock —
+    concurrent writers cost a retry, never a torn cut), CAS-commits
+    the cut under the snapshot name, and retention-tags every member
+    (vacuum's named-ref promise). The lane snapshots two tables, then
+    ADVANCES BOTH (an append with lang='xx' on each), and returns the
+    doc/meta join's accounting read BOTH ways: through the snapshot
+    (must be the pre-advance closed form — pins held) and through the
+    live names (must include the advance). A snapshot read that leaked
+    a post-cut row, or a live read that missed one, hashes
+    differently. Collision/drop/retention/torn-capture semantics are
+    pinned in tests/test_sinks.py. Scale: capture is two manifest
+    reads per member; nothing is data-sized until the reads the lane
+    itself returns."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        read_snapshot_table,
+        read_table,
+        register_entry,
+    )
+    from uts_spark.sources.versioned import append_snapshot, write_snapshot
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 <= 5)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    root = os.path.join(_warehouse_dir(), f"csnap_{tag}")
+    cat = os.path.join(root, "cat")
+    pa, pb = os.path.join(root, "ta"), os.path.join(root, "tb")
+    # the snapshot protocol is the lane's subject — rebuild each run
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    write_snapshot(
+        base.select("doc_id", F.substring("text", 1, 16).alias("val")), pa
+    )
+    write_snapshot(base.select("doc_id", "lang"), pb)
+    register_entry(cat, "d_docs", pa, kind="table")
+    register_entry(cat, "d_meta", pb, kind="table")
+    rec = create_snapshot(cat, "cut1", ["d_docs", "d_meta"])
+    assert sorted(rec["pins"]) == ["d_docs", "d_meta"]
+    adv = docs.filter(F.col("doc_id") % 10 == 6)
+    append_snapshot(
+        adv.select("doc_id", F.substring("text", 1, 16).alias("val")), pa
+    )
+    append_snapshot(
+        adv.select("doc_id", F.lit("xx").alias("lang")), pb
+    )
+
+    def acct(a, b, stage):
+        return (
+            a.select("doc_id")
+            .join(b, "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+            .select(F.lit(stage).alias("stage"), "*")
+        )
+
+    snap = acct(
+        read_snapshot_table(spark, cat, "cut1", "d_docs"),
+        read_snapshot_table(spark, cat, "cut1", "d_meta"),
+        "snapshot",
+    )
+    cur = acct(
+        read_table(spark, cat, "d_docs"),
+        read_table(spark, cat, "d_meta"),
+        "current",
+    )
+    return snap.unionByName(cur)
+
+
+@query(
     "basket_part_affinity",
     """
     WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -213,6 +213,175 @@ def index_probe_by_name(
     )
 
 
+# --- CONSISTENT MULTI-TABLE SNAPSHOTS (round 10 cont.) ----------------------
+#
+# A single versioned table gives snapshot isolation for free; a
+# PIPELINE reads several. "Join orders@current with customers@current"
+# is only meaningful if the two currents belong to the same instant —
+# otherwise a writer landing between the two resolutions hands the
+# reader a customer table from after the order table's cut (the classic
+# cross-table torn read). A catalog snapshot is the multi-table commit
+# the formats answer this with (Iceberg: catalog-level transactions):
+# one named, immutable {table -> version} cut.
+#
+# Consistency WITHOUT a lock: optimistic double-read — capture every
+# member's current version, re-read, accept only if nothing moved
+# (retry otherwise). Object-storage-shaped like everything else here.
+# Durability: the snapshot file is CAS-committed FIRST (claims the
+# name atomically), then each member is TAGGED at its pinned version
+# (`snap-<name>`) so vacuum's existing named-ref retention promise
+# protects the cut; any tag failure rolls the snapshot back loudly.
+
+
+def _snapshots_dir(catalog: str) -> str:
+    return os.path.join(catalog, "snapshots")
+
+
+def create_snapshot(
+    catalog: str,
+    snap: str,
+    names: list[str] | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """Capture a CONSISTENT cross-table cut of the named tables
+    (default: every ``kind="table"`` entry) as an immutable catalog
+    snapshot. Returns the snapshot record
+    ``{"name", "pins": {table_name: {"path", "version"}}}``.
+
+    The cut is consistent in the optimistic sense: versions are read
+    twice and accepted only when no member advanced in between —
+    concurrent writers cost a retry, never a torn cut. Pinned
+    versions are retention-protected by a ``snap-<snap>`` ref on each
+    member (vacuum keeps ref'd versions), released by
+    :func:`drop_snapshot`. The snapshot records member PATHS as of
+    capture time: a later alter_entry re-pointing a name never
+    changes what an existing snapshot means."""
+    from uts_spark.sources.versioned import (
+        current_version,
+        drop_tag,
+        tag_version,
+    )
+
+    if not snap or "/" in snap or snap.startswith("."):
+        raise ValueError(f"invalid snapshot name {snap!r}")
+    entries = [r for r in list_entries(catalog) if r["kind"] == "table"]
+    if names is not None:
+        have = {r["name"] for r in entries}
+        missing = [n for n in names if n not in have]
+        if missing:
+            raise ValueError(
+                f"catalog has no table entries named {missing} "
+                f"(have {sorted(have)})"
+            )
+        entries = [r for r in entries if r["name"] in names]
+    if not entries:
+        raise ValueError("catalog snapshot over zero tables")
+
+    def capture() -> dict:
+        pins = {}
+        for r in entries:
+            v = current_version(r["path"])
+            if v is None:
+                raise ValueError(
+                    f"catalog table {r['name']!r} has no committed "
+                    "versions — nothing to pin"
+                )
+            pins[r["name"]] = {"path": r["path"], "version": v}
+        return pins
+
+    pins = capture()
+    for _ in range(max_retries):
+        again = capture()
+        if again == pins:
+            break
+        pins = again
+    else:
+        raise ValueError(
+            f"catalog snapshot {snap!r}: tables kept advancing across "
+            f"{max_retries} capture attempts — quiesce writers or retry"
+        )
+    rec = {"name": snap, "pins": pins}
+    os.makedirs(_snapshots_dir(catalog), exist_ok=True)
+    final = os.path.join(_snapshots_dir(catalog), f"{snap}.json")
+    try:
+        _cas_write(final, rec)  # claims the snapshot name atomically
+    except ValueError:
+        raise ValueError(
+            f"catalog snapshot {snap!r} already exists"
+        ) from None
+    tagged: list[str] = []
+    try:
+        for n, p in sorted(pins.items()):
+            tag_version(p["path"], f"snap-{snap}", p["version"])
+            tagged.append(n)
+    except Exception:
+        # roll back: a half-tagged snapshot must not survive
+        for n in tagged:
+            try:
+                drop_tag(pins[n]["path"], f"snap-{snap}")
+            except ValueError:
+                pass
+        os.remove(final)
+        raise
+    return rec
+
+
+def list_snapshots(catalog: str) -> list[dict]:
+    sd = _snapshots_dir(catalog)
+    if not os.path.isdir(sd):
+        return []
+    out = []
+    for fn in sorted(os.listdir(sd)):
+        if fn.endswith(".json"):
+            with open(os.path.join(sd, fn)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def resolve_snapshot(catalog: str, snap: str) -> dict:
+    final = os.path.join(_snapshots_dir(catalog), f"{snap}.json")
+    if not os.path.exists(final):
+        have = [r["name"] for r in list_snapshots(catalog)]
+        raise ValueError(
+            f"catalog has no snapshot named {snap!r} (have {have})"
+        )
+    with open(final) as f:
+        return json.load(f)
+
+
+def drop_snapshot(catalog: str, snap: str) -> None:
+    """Release the snapshot: drop each member's retention tag, then the
+    snapshot file. Members whose tag or table is already gone are
+    skipped (idempotent cleanup), the file removal is not."""
+    from uts_spark.sources.versioned import drop_tag
+
+    rec = resolve_snapshot(catalog, snap)
+    for p in rec["pins"].values():
+        try:
+            drop_tag(p["path"], f"snap-{snap}")
+        except ValueError:
+            pass
+    os.remove(os.path.join(_snapshots_dir(catalog), f"{snap}.json"))
+
+
+def read_snapshot_table(
+    spark: SparkSession, catalog: str, snap: str, name: str
+) -> DataFrame:
+    """Read one member of a catalog snapshot — every member read of
+    the same snapshot composes into a cross-table-consistent query
+    (the join both tables agreed on)."""
+    from uts_spark.sources.versioned import read_version
+
+    rec = resolve_snapshot(catalog, snap)
+    if name not in rec["pins"]:
+        raise ValueError(
+            f"catalog snapshot {snap!r} does not pin {name!r} "
+            f"(pins {sorted(rec['pins'])})"
+        )
+    p = rec["pins"][name]
+    return read_version(spark, p["path"], p["version"])
+
+
 def erase_by_names(
     spark,
     deleted_ids,
