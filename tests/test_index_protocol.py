@@ -305,3 +305,42 @@ def test_facade_erase_everywhere_mixed_protocols_custom_id(
     # bare ids against a marker index refuse loudly (content needed)
     with pytest.raises(ValueError, match="deleted_rows"):
         erase_everywhere(spark, d_ids, [p_mh], fingerprint="x")
+
+
+def test_erase_everywhere_table_mode_mor(spark, tmp_path):
+    """table_mode='mor': the facade's table erasure commits a deletion
+    vector in O(keys) and audits by re-reading the erased ids through
+    the pruned point-lookup (leaked must be 0, row accounting exact);
+    the cow default is unchanged; bad modes refuse."""
+    import pytest
+
+    from uts_spark.functions.index_protocol import erase_everywhere
+    from uts_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_mor_facade")
+    df = spark.range(0, 500).selectExpr("id AS k", "CAST(id*2 AS LONG) AS v")
+    write_snapshot(df, path, stats_col="k", bloom_col="k")
+    ids = spark.range(100, 130).selectExpr("id AS k")
+
+    with pytest.raises(ValueError, match="cow | mor"):
+        erase_everywhere(spark, ids, [], [(path, "k")], table_mode="zap")
+
+    acct = erase_everywhere(spark, ids, [], [(path, "k")], table_mode="mor")
+    a = acct[0]
+    assert a["leaked"] == 0 and a["rows_removed"] == 30
+    assert a["rows_after"] == 470
+    pm = list_versions(path)[-1]
+    assert pm["operation"] == "delete_mor" and len(pm["dv"]) == 1
+    assert read_version(spark, path).count() == 470
+    # a second, disjoint batch through the default cow path composes
+    # (materializes the vector first, then rewrites)
+    acct2 = erase_everywhere(
+        spark, spark.range(200, 210).selectExpr("id AS k"), [], [(path, "k")]
+    )
+    assert acct2[0]["leaked"] == 0 and acct2[0]["rows_removed"] == 10
+    assert not list_versions(path)[-1].get("dv")
+    assert read_version(spark, path).count() == 460

@@ -2286,3 +2286,36 @@ def test_catalog_snapshot_multi_table(spark, tmp_path):
     with pytest.raises(ValueError, match="no snapshot"):
         drop_snapshot(cat, "cut")
     assert os.path.isdir(pa2)  # alter target untouched throughout
+
+
+def test_catalog_maintenance_tick_folds_dvs(spark, tmp_path):
+    """The janitor pays merge-on-read debt: a registered table whose
+    vectors exceed the masked-fraction knob gets materialized by the
+    tick; a lightly-masked table is left alone."""
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        register_entry,
+    )
+    from uts_spark.sources.versioned import (
+        delete_rows_mor,
+        list_versions,
+        write_snapshot,
+    )
+
+    cat = str(tmp_path / "cat")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id AS LONG) AS v"
+    )
+    heavy, light = str(tmp_path / "heavy"), str(tmp_path / "light")
+    write_snapshot(mk(0, 1000), heavy, stats_col="k")
+    delete_rows_mor(spark, heavy, mk(0, 200).select("k"), "k")  # 20% masked
+    write_snapshot(mk(0, 1000), light, stats_col="k")
+    delete_rows_mor(spark, light, mk(0, 5).select("k"), "k")    # 0.5%
+    register_entry(cat, "heavy", heavy, kind="table")
+    register_entry(cat, "light", light, kind="table")
+
+    report = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert report["heavy"]["dv_materialized"] is not None
+    assert not list_versions(heavy)[-1].get("dv")
+    assert report["light"]["dv_materialized"] is None
+    assert len(list_versions(light)[-1].get("dv", [])) == 1

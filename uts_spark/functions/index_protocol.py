@@ -552,6 +552,7 @@ def erase_everywhere(
     deleted_rows=None,
     text_col: str = "text",
     vec_col: str = "embedding",
+    table_mode: str = "cow",
 ) -> list[dict]:
     """FACADE-LEVEL GDPR: one call erases a takedown batch from every
     index — SNAPSHOT indexes (family dispatched off each manifest, all
@@ -581,17 +582,36 @@ def erase_everywhere(
     ``rows_after``/``version`` are None on marker targets (no manifest
     row census; the history sidecar records a RESET instead). Cost:
     sum of touched dirs/partitions across all targets — never the sum
-    of index or table sizes; the audit now has the same bound."""
+    of index or table sizes; the audit now has the same bound.
+
+    ``table_mode="mor"`` (round 10) routes table targets through
+    MERGE-ON-READ deletion vectors instead of the copy-on-write
+    rewrite: the takedown commits in O(keys) — the latency a
+    compliance SLA actually measures — and the rewrite defers to
+    maybe_materialize_dvs / the catalog maintenance tick. The audit
+    changes shape with it: there are no rewritten dirs to probe, so it
+    re-reads the erased ids through :func:`versioned.read_rows_for_ids`
+    at the committed version (the pruned point-lookup applies the new
+    vector — a vector that failed to mask shows up as leaked > 0);
+    cost = the admitting dirs, same bound as the erase's own count
+    scan. Index targets always erase copy-on-write (their kernels are
+    already pruned and their probe paths assume unmasked dirs)."""
     from uts_spark.functions.vindex import (
         _current_manifest,
         vindex_delete_auto,
     )
     from uts_spark.sources.versioned import (
         delete_rows,
+        delete_rows_mor,
         list_versions,
+        read_rows_for_ids,
         _manifest_dirs,
     )
 
+    if table_mode not in ("cow", "mor"):
+        raise ValueError(
+            f"table_mode {table_mode!r} not supported (cow | mor)"
+        )
     out: list[dict] = []
     for path in index_paths:
         proto = _detect_index_protocol(path)
@@ -674,6 +694,29 @@ def erase_everywhere(
         pvs = {m["version"]: m for m in list_versions(path)}
         pm = pvs[max(pvs)]
         parent_dirs = set(_manifest_dirs(pm))
+        if table_mode == "mor":
+            ver = delete_rows_mor(spark, path, idf, key)
+            m2 = {m["version"]: m for m in list_versions(path)}[ver]
+            # audit: re-read the erased ids THROUGH the new vector —
+            # pruned to admitting dirs, masked by every outstanding
+            # vector; any surviving row is a real leak
+            leaked = read_rows_for_ids(
+                spark, path, idf, key, version=ver
+            ).count()
+            from uts_spark.sources.versioned import _admitting_dirs
+
+            admit = _admitting_dirs(spark, m2, idf, key)
+            audited = (
+                len(_manifest_dirs(m2)) if admit is None else sum(admit)
+            )
+            out.append({
+                "target": path, "kind": "table", "protocol": "snapshot",
+                "key": key, "version": ver,
+                "rows_after": m2["n_rows"],
+                "rows_removed": pm["n_rows"] - m2["n_rows"],
+                "leaked": leaked, "audited_dirs": audited,
+            })
+            continue
         ver = delete_rows(spark, path, idf, key)
         m2 = {m["version"]: m for m in list_versions(path)}[ver]
         rewritten = [d for d in _manifest_dirs(m2) if d not in parent_dirs]

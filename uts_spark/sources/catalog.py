@@ -392,6 +392,7 @@ def erase_by_names(
     text_col: str = "text",
     vec_col: str = "embedding",
     table_keys: dict[str, str] | None = None,
+    table_mode: str = "cow",
 ) -> list[dict]:
     """CATALOG-WIDE GDPR: one call erases a takedown batch from every
     named target (default: the WHOLE catalog) — tables and indexes
@@ -403,9 +404,12 @@ def erase_by_names(
     prunes erasure on, the natural erasure key); tables with neither
     need an explicit ``table_keys[name]``. Each returned
     accounting dict carries the catalog ``name`` beside the facade's
-    fields. This is the compliance verb a real pipeline wants: the
-    catalog knows every holder of the ids, so nothing is forgotten by
-    omission."""
+    fields. ``table_mode="mor"`` routes table targets through
+    merge-on-read deletion vectors (O(keys) takedown latency; audit =
+    pruned re-read of the erased ids; rewrite deferred to the
+    maintenance tick). This is the compliance verb a real pipeline
+    wants: the catalog knows every holder of the ids, so nothing is
+    forgotten by omission."""
     from uts_spark.functions.index_protocol import erase_everywhere
     from uts_spark.sources.versioned import list_versions
 
@@ -445,7 +449,7 @@ def erase_by_names(
     acct = erase_everywhere(
         spark, deleted_ids, index_paths, table_specs,
         fingerprint=fingerprint, deleted_rows=deleted_rows,
-        text_col=text_col, vec_col=vec_col,
+        text_col=text_col, vec_col=vec_col, table_mode=table_mode,
     )
     return [{**a, "name": order[a["target"]]} for a in acct]
 
@@ -467,6 +471,10 @@ def catalog_maintenance_tick(
        :func:`vindex.vindex_maybe_compact` (``max_dirs=None`` resolves
        the per-family measured default off the index's own manifest:
        ivf/ivfpq 16, lsh/minhash 64). A healthy chain is a no-op.
+       Tables first fold outstanding DELETION VECTORS through
+       :func:`versioned.maybe_materialize_dvs` (count/fraction knobs)
+       — merge-on-read takedowns defer their rewrite to exactly this
+       tick, so the janitor is where that debt is paid.
     2. **vacuum** — OPT-IN via ``vacuum_keep_last`` (expiring versions
        is a retention decision, not a janitor default; tags and live
        branches stay protected by vacuum's own rules).
@@ -481,6 +489,7 @@ def catalog_maintenance_tick(
     CAS commit — a racing writer just retries per the usual rules."""
     from uts_spark.functions.vindex import vindex_maybe_compact
     from uts_spark.sources.versioned import (
+        maybe_materialize_dvs,
         maybe_optimize,
         remove_orphans,
         vacuum,
@@ -512,6 +521,7 @@ def catalog_maintenance_tick(
                 spark, rec["path"], max_dirs=max_dirs
             )
         else:
+            r["dv_materialized"] = maybe_materialize_dvs(spark, rec["path"])
             kw = {} if max_dirs is None else {"max_dirs": max_dirs}
             r["compacted"] = maybe_optimize(spark, rec["path"], **kw)
         if vacuum_keep_last is not None:
