@@ -2319,3 +2319,48 @@ def test_catalog_maintenance_tick_folds_dvs(spark, tmp_path):
     assert not list_versions(heavy)[-1].get("dv")
     assert report["light"]["dv_materialized"] is None
     assert len(list_versions(light)[-1].get("dv", [])) == 1
+
+
+def test_versioned_dv_mor_conflict_retry(spark, tmp_path, monkeypatch):
+    """A CAS race on a vector commit re-runs the pruned count against
+    the new current (vector commits don't blindly commute — the racer
+    may have masked overlapping rows) and retries; n_rows stays exact
+    arithmetic even when the racing takedowns overlap."""
+    from uts_spark.sources import versioned as V
+
+    path = str(tmp_path / "vt_dv_race")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id AS LONG) AS v"
+    )
+    V.write_snapshot(mk(0, 300), path, stats_col="k")
+
+    real_commit = V.commit_version
+    state = {"raced": False}
+    racer_ids = spark.range(50, 70).selectExpr("id AS k")
+
+    def racing_commit(path_, dirs, op, expected_parent, n_rows, meta=None):
+        if not state["raced"]:
+            state["raced"] = True
+            import uuid
+
+            rdir = f"{path_}/data/dv-racer-{uuid.uuid4().hex[:8]}"
+            racer_ids.coalesce(1).write.parquet(rdir)
+            # the racer lands an OVERLAPPING 20-key vector first
+            real_commit(
+                path_, dirs, "delete_mor", expected_parent, 280,
+                {"dv": [{"dir": rdir, "key": "k", "scope": list(dirs),
+                         "n_masked": 20}],
+                 **{k: meta[k] for k in ("stats_col", "dir_stats",
+                                         "dir_rows") if k in (meta or {})}},
+            )
+        return real_commit(path_, dirs, op, expected_parent, n_rows, meta)
+
+    monkeypatch.setattr(V, "commit_version", racing_commit)
+    # our takedown targets 50..100; the racer already masked 50..70,
+    # so the retry's recount must see 30 still-visible victims
+    V.delete_rows_mor(spark, path, spark.range(50, 100).selectExpr("id AS k"), "k")
+    pm = V.list_versions(path)[-1]
+    assert pm["operation"] == "delete_mor" and len(pm["dv"]) == 2
+    assert pm["dv"][-1]["n_masked"] == 30
+    assert pm["n_rows"] == 250
+    assert V.read_version(spark, path).count() == 250

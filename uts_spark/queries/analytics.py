@@ -3962,9 +3962,11 @@ def versioned_dv_mor_erasure(spark, sf_dir):
     replication interop, vacuum liveness, and the measured
     maybe_materialize_dvs trigger are pinned in tests/test_sinks.py.
     Scale: the vector commit is O(keys); the accounting scan is
-    Bloom-pruned to admitting dirs; materialize rewrites only dirs a
+    stats-pruned to admitting dirs; materialize rewrites only dirs a
     vector's keys admit — nothing here is table-sized except the
-    final reads the lane itself returns."""
+    final reads the lane itself returns. (Dir-stats pruning only here —
+    the Bloom-sidecar variant of _admitting_dirs has its own lane and
+    a measured build tax that belongs there.)"""
     import os
     import shutil
 
@@ -3986,9 +3988,13 @@ def versioned_dv_mor_erasure(spark, sf_dir):
     # every run exercises commit -> mask -> re-append -> materialize
     if os.path.exists(path):
         shutil.rmtree(path)
+    # stats_col only: dir-range pruning drives the vector counts and
+    # the materialize; Bloom sidecars are the same _admitting_dirs
+    # input (their own lane: cdc_bloom_pruned_erasure_read) and their
+    # build cost would triple this lane's wall for no new coverage
     write_snapshot(
         docs.filter(F.col("doc_id") % 10 <= 3).select("doc_id", val),
-        path, stats_col="doc_id", bloom_col="doc_id",
+        path, stats_col="doc_id",
     )
     append_snapshot(
         docs.filter(

@@ -3138,6 +3138,154 @@ def _register_stream_cdc_apply_columns():
 stream_cdc_apply_columns_replay = _register_stream_cdc_apply_columns()
 
 
+def _register_stream_cdc_apply_mor():
+    # converged downstream = (v0 ∪ v1 append) minus the MOR takedown
+    @query(
+        "stream_cdc_apply_mor_replay",
+        """
+        SELECT doc_id, substr(text, 1, 24) AS val
+        FROM documents
+        WHERE doc_id % 10 <= 6 AND doc_id % 100 NOT IN (11, 23)
+        """,
+    )
+    def stream_cdc_apply_mor_replay(spark, sf_dir):
+        """The streaming CDC consumer CONVERGING ACROSS A MERGE-ON-READ
+        DELETE (round 10 — where real CDC pipelines silently rot: a
+        takedown that rewrites nothing looks like 'no change' to a
+        dir-diff consumer). Upstream history: v0 write -> v1 append ->
+        v2 ``delete_rows_mor`` (same dir list as v1, one new deletion
+        vector). The feed for v1->v2 takes table_changes' MOR fast
+        path — delete images from a PRUNED scan of the rows the new
+        vector hides, no full-outer join — and the consumer's generic
+        apply loop (left-anti removed keys, union added rows, cursor
+        committed with the apply) needs no MOR-specific code: the
+        protocol difference is entirely the feed's problem. Replays
+        skip at the committed cursor as in stream_cdc_apply_replay.
+        Converged downstream must hash-equal the closed form — a
+        consumer that missed the vector's deletes (the dir-diff trap)
+        keeps the %100 IN (11,23) rows and mismatches. Scale: the
+        takedown tick costs the masked-row scan (stats-pruned), never
+        the table."""
+        from uts_spark.queries.llm_ops import _warehouse_dir
+        from uts_spark.sources.versioned import (
+            append_snapshot,
+            delete_rows_mor,
+            list_versions,
+            read_version,
+            table_changes,
+            write_snapshot,
+        )
+
+        docs = table(spark, sf_dir, "documents")
+        val = F.substring(F.col("text"), 1, 24).alias("val")
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        src_path = os.path.join(_warehouse_dir(), f"cdcmor_vt_{tag}")
+        fp = "cdcmor_vt_v1"
+
+        ms = list_versions(src_path)
+        ok = (
+            len(ms) == 3
+            and ms[0].get("fingerprint") == fp
+            and ms[-1]["operation"] == "delete_mor"
+        )
+        if not ok:
+            if os.path.exists(src_path):
+                shutil.rmtree(src_path)
+            write_snapshot(
+                docs.filter(F.col("doc_id") % 10 <= 5)
+                .select("doc_id", val),
+                src_path, stats_col="doc_id",
+                meta={"fingerprint": fp},
+            )
+            append_snapshot(
+                docs.filter(F.col("doc_id") % 10 == 6)
+                .select("doc_id", val),
+                src_path,
+            )
+            delete_rows_mor(
+                spark, src_path,
+                docs.filter((F.col("doc_id") % 100).isin(11, 23))
+                .select("doc_id"),
+                "doc_id",
+            )
+
+        dst = os.path.join(_warehouse_dir(), f"cdcmor_vt_{tag}_dstream")
+        dfp = f"{fp}:dstream"
+        ms = list_versions(dst)
+        if not ms or ms[0].get("src_fp") != dfp:
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            write_snapshot(
+                read_version(spark, src_path, 0),
+                dst,
+                meta={"src_fp": dfp, "cursor": 0},
+            )
+
+        def cursor() -> int:
+            return max(m.get("cursor", 0) for m in list_versions(dst))
+
+        if cursor() < 2:
+            scratch = tempfile.mkdtemp(prefix="uts_cdc_mor_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                os.makedirs(src)
+                for ver in (1, 2):
+                    spark.createDataFrame(
+                        [(ver,)], "ver long"
+                    ).coalesce(1).write.mode("append").parquet(src)
+
+                def apply_batch(bdf, bid):
+                    for row in sorted(bdf.collect()):
+                        target = int(row["ver"])
+                        while cursor() < target:
+                            ver = cursor() + 1
+                            ch = table_changes(
+                                spark, src_path, ver - 1, ver,
+                                key="doc_id",
+                            )
+                            removed = ch.filter(
+                                F.col("_change_type").isin(
+                                    "delete", "update_preimage"
+                                )
+                            ).select("doc_id")
+                            added = ch.filter(
+                                F.col("_change_type").isin(
+                                    "insert", "update_postimage"
+                                )
+                            ).drop("_change_type")
+                            cur = read_version(spark, dst)
+                            new = cur.join(
+                                removed, "doc_id", "left_anti"
+                            ).unionByName(added)
+                            write_snapshot(
+                                new, dst, operation="cdc_apply",
+                                meta={"src_fp": dfp, "cursor": ver},
+                            )
+
+                q = (
+                    spark.readStream.schema("ver long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .writeStream.foreachBatch(apply_batch)
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+        return read_version(spark, dst)
+
+    return stream_cdc_apply_mor_replay
+
+
+stream_cdc_apply_mor_replay = _register_stream_cdc_apply_mor()
+
+
 # --- SERVICE TICKS THROUGH THE PROTOCOL FACADE (VERDICT r9 #2) --------------
 #
 # index_service_tick was parity-pinned by pytest only; these four lanes

@@ -1130,6 +1130,7 @@ def delete_rows_mor(
     ids: DataFrame,
     key: str,
     meta: dict | None = None,
+    max_retries: int = 5,
 ) -> int:
     """MERGE-ON-READ erasure (module comment above): commit the
     deleted keys as a DELETION VECTOR instead of rewriting any data
@@ -1145,44 +1146,65 @@ def delete_rows_mor(
     reads stay plain) — merge-on-read pays a small read-time
     anti-join until :func:`materialize_dvs` folds the accumulated
     vectors into one pruned rewrite. ``maybe_materialize_dvs`` is the
-    measured trigger."""
+    measured trigger.
+
+    Concurrency: vector commits do NOT blindly commute (a racer's
+    vector may mask rows this takedown also targets, so ``n_masked``
+    must be recounted under the new current's masks) — a CAS conflict
+    therefore re-runs the pruned count against the new current and
+    retries, bounded by ``max_retries``. The key frame is written
+    once; only the count + manifest race reruns."""
     from pyspark.sql import functions as F
 
-    versions = {m["version"]: m for m in list_versions(path)}
-    if not versions:
+    if not list_versions(path):
         raise ValueError(f"versioned table {path}: nothing to delete")
-    pm = versions[max(versions)]
-    dirs = _manifest_dirs(pm)
     idf = ids.select(key).distinct()
-    admit = _admitting_dirs(spark, pm, idf, key)
-    use = dirs if admit is None else [d for d, a in zip(dirs, admit) if a]
-    if not use:
-        return pm["version"]  # no dir can hold a deleted key
-    visible = _read_dirs_masked(spark, pm, use)
-    n_masked = visible.join(F.broadcast(idf), key, "left_semi").count()
-    if n_masked == 0:
-        return pm["version"]  # stats/Bloom false positives only
-    import uuid
+    dvdir = None
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        pm = versions[max(versions)]
+        dirs = _manifest_dirs(pm)
+        admit = _admitting_dirs(spark, pm, idf, key)
+        use = dirs if admit is None else [
+            d for d, a in zip(dirs, admit) if a
+        ]
+        if not use:
+            return pm["version"]  # no dir can hold a deleted key
+        visible = _read_dirs_masked(spark, pm, use)
+        n_masked = visible.join(F.broadcast(idf), key, "left_semi").count()
+        if n_masked == 0:
+            return pm["version"]  # stats/Bloom false positives only
+        if dvdir is None:
+            import uuid
 
-    dvdir = os.path.join(path, "data", f"dv-{uuid.uuid4().hex[:12]}")
-    idf.coalesce(1).write.mode("errorifexists").parquet(dvdir)
-    rec = {"dir": dvdir, "key": key, "scope": dirs, "n_masked": n_masked}
-    carried = {
-        k: pm[k]
-        for k in (
-            "schema", "evolved", "stats_col", "dir_stats", "dir_rows",
-            "bloom_col",
-        )
-        if k in pm
-    }
-    return commit_version(
-        path,
-        dirs,
-        "delete_mor",
-        pm["version"],
-        pm["n_rows"] - n_masked,
-        {**carried, "dv": pm.get("dv", []) + [rec], **(meta or {})},
-    )
+            dvdir = os.path.join(
+                path, "data", f"dv-{uuid.uuid4().hex[:12]}"
+            )
+            idf.coalesce(1).write.mode("errorifexists").parquet(dvdir)
+        rec = {
+            "dir": dvdir, "key": key, "scope": dirs, "n_masked": n_masked,
+        }
+        carried = {
+            k: pm[k]
+            for k in (
+                "schema", "evolved", "stats_col", "dir_stats", "dir_rows",
+                "bloom_col",
+            )
+            if k in pm
+        }
+        try:
+            return commit_version(
+                path,
+                dirs,
+                "delete_mor",
+                pm["version"],
+                pm["n_rows"] - n_masked,
+                {**carried, "dv": pm.get("dv", []) + [rec], **(meta or {})},
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
 
 
 def materialize_dvs(
