@@ -2364,3 +2364,41 @@ def test_versioned_dv_mor_conflict_retry(spark, tmp_path, monkeypatch):
     assert pm["dv"][-1]["n_masked"] == 30
     assert pm["n_rows"] == 250
     assert V.read_version(spark, path).count() == 250
+
+
+def test_versioned_merge_branch_carries_pruning_structures(spark, tmp_path):
+    """An append publish merges main's dir_stats/dir_rows with
+    freshly-computed stats + Bloom sidecars for the staged dirs, so a
+    post-publish erasure still prunes instead of falling back to the
+    table-grain rewrite (ROADMAP r11 #3)."""
+    from uts_spark.sources.versioned import (
+        _read_dir_bloom,
+        create_branch,
+        delete_rows,
+        list_versions,
+        merge_branch,
+        read_version,
+        write_to_branch,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_pub_stats")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id * 2 AS LONG) AS v"
+    )
+    write_snapshot(mk(0, 100), path, stats_col="k", bloom_col="k")
+    create_branch(path, "staging")
+    write_to_branch(mk(1000, 1100), path, "staging")
+    merge_branch(spark, path, "staging")
+
+    pm = list_versions(path)[-1]
+    assert pm["stats_col"] == "k" and pm["bloom_col"] == "k"
+    assert set(pm["dir_stats"]) == set(pm["data_dirs"])
+    assert set(pm["dir_rows"]) == set(pm["data_dirs"])
+    for d in pm["data_dirs"]:
+        assert _read_dir_bloom(d) is not None
+    # erasure confined to the STAGED dirs' range prunes main's dir
+    delete_rows(spark, path, mk(1010, 1020).select("k"), "k")
+    dm = list_versions(path)[-1]
+    assert dm["operation"] == "delete" and dm["pruned_dirs"] == 1
+    assert read_version(spark, path).count() == 190

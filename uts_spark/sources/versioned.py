@@ -2144,7 +2144,15 @@ def merge_branch(
     be re-staged. A branch holding an ``overwrite`` publishes
     fast-forward-only (main head must still be the fork base).
     ``drop`` removes the branch pointer after publishing (its staged
-    dirs are now owned by the main manifest)."""
+    dirs are now owned by the main manifest).
+
+    Pruning structures SURVIVE an append publish: main's carried
+    dir_stats/dir_rows merge with freshly-computed stats (and Bloom
+    sidecars, when main opted in) for the staged dirs, so pruned
+    erasure and point-lookups keep their bound across the publish —
+    delta-sized cost, paid once before the CAS loop. Overwrite
+    publishes record no structures (the next stats-recording write
+    restores them; pruning loss only, never correctness)."""
     recs = _branch_records(path, name)
     head = recs[-1]
     if head["operation"] == "fork":
@@ -2157,6 +2165,35 @@ def merge_branch(
     staged_ops = {r["operation"] for r in recs[1:]}
     added = [d for d in head["data_dirs"] if d not in base_dirs]
     added_rows = head["n_rows"] - recs[0]["n_rows"]
+    # pruning structures survive the publish (ROADMAP r11 #3 — the
+    # first cut dropped dir_stats on merge, so erasure fell back to
+    # table-grain CoW until the next stats-recording write): compute
+    # the staged dirs' stats/Bloom ONCE here, merge with main's
+    # carried maps inside the CAS loop. Delta-sized, same cost an
+    # append_snapshot of the staged data would have paid.
+    pre_pm = {m["version"]: m for m in list_versions(path)}
+    pre_pm = pre_pm[max(pre_pm)] if pre_pm else {}
+    head_fields = (
+        _schema_fields(head["schema"]) if head.get("schema") else {}
+    )
+    pub_scol = pre_pm.get("stats_col")
+    if pub_scol is not None and pub_scol not in head_fields:
+        pub_scol = None
+    pub_bcol = pre_pm.get("bloom_col")
+    if pub_bcol is not None and pub_bcol not in head_fields:
+        pub_bcol = None
+    added_stats: dict = {}
+    added_counts: dict = {}
+    if staged_ops == {"append"} and (pub_scol or pub_bcol):
+        for d in added:
+            if pub_scol is not None:
+                n_d, rng = _dir_stats(spark, d, pub_scol)
+                added_stats[d] = rng
+            else:
+                n_d = spark.read.parquet(d).count()
+            added_counts[d] = n_d
+            if pub_bcol is not None and _read_dir_bloom(d) is None:
+                _write_dir_bloom(spark, d, pub_bcol, n_d)
     last: Exception | None = None
     for _ in range(max_retries):
         versions = {m["version"]: m for m in list_versions(path)}
@@ -2205,6 +2242,21 @@ def merge_branch(
             n_rows = head["n_rows"]
             evolved = bool(head.get("evolved"))
             schema = head.get("schema")
+        stats_meta: dict = {}
+        if staged_ops == {"append"}:
+            scol, bcol = pm.get("stats_col"), pm.get("bloom_col")
+            if scol is not None and scol == pub_scol:
+                stats_meta.update({
+                    "stats_col": scol,
+                    "dir_stats": {
+                        **pm.get("dir_stats", {}), **added_stats,
+                    },
+                    "dir_rows": {
+                        **pm.get("dir_rows", {}), **added_counts,
+                    },
+                })
+            if bcol is not None and bcol == pub_bcol:
+                stats_meta["bloom_col"] = bcol
         manifest = {
             "version": cur + 1,
             "parent": cur,
@@ -2213,6 +2265,7 @@ def merge_branch(
             "data_dirs": new_dirs,
             **({"schema": schema} if schema else {}),
             **({"evolved": True} if evolved else {}),
+            **stats_meta,
             **(meta or {}),
         }
         try:
