@@ -3012,3 +3012,123 @@ def test_index_history_changes_feed_and_reset_refusal(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="reset"):
         index_history_changes(spark, path, 0)
+
+
+def test_vindex_delete_mor_lifecycle(spark, emb, tmp_path):
+    """MERGE-ON-READ erasure on the snapshot indexes: a deletion
+    vector hides vectors from probes IMMEDIATELY (no dir rewrite —
+    the manifest's dir list is unchanged), pinned probes at the
+    pre-delete version still see them, a re-ingest of an erased id
+    stays visible (scope rule), appends carry the vector, CoW delete
+    materializes first, and materialize folds to a probe-identical
+    vector-free manifest."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions, read_version
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    path = str(tmp_path / "ivf_mor")
+    vx.ivf_vindex_build(base, path, fingerprint="f0", n_cells=8)
+    anchors = emb.filter(F.col("vec_id") < 3)
+    pre = {
+        (r.anchor_id, r.neighbor_id)
+        for r in vx.ivf_vindex_probe(spark, path, anchors).collect()
+    }
+    victims = {r.neighbor_id for r in spark.createDataFrame(
+        sorted(pre)[:5], "anchor_id long, neighbor_id long"
+    ).collect()}
+    kill = spark.createDataFrame(
+        [(int(v),) for v in victims], "vec_id long"
+    )
+
+    v1 = vx.vindex_delete_mor(spark, kill, path, fingerprint="f1")
+    pm = {m["version"]: m for m in list_versions(path)}[v1]
+    assert pm["operation"] == "delete_mor" and len(pm["dv"]) == 1
+    assert set(pm["data_dirs"]) == set(
+        {m["version"]: m for m in list_versions(path)}[0]["data_dirs"]
+    )
+    post = {
+        (r.anchor_id, r.neighbor_id)
+        for r in vx.ivf_vindex_probe(spark, path, anchors).collect()
+    }
+    assert not ({n for _, n in post} & victims)
+    # pinned probe at the pre-delete version still sees the victims
+    pinned = {
+        (r.anchor_id, r.neighbor_id)
+        for r in vx.ivf_vindex_probe(
+            spark, path, anchors, version=0
+        ).collect()
+    }
+    assert pinned == pre
+
+    # re-ingest one erased id: the new row is OUTSIDE the vector's
+    # scope and must serve again; the append carries the vector
+    back = emb.filter(F.col("vec_id") == sorted(victims)[0])
+    vx.ivf_vindex_append(back, path, fingerprint="f2")
+    pm = list_versions(path)[-1]
+    assert len(pm.get("dv", [])) == 1
+    assert read_version(spark, path).filter(
+        F.col("vec_id") == sorted(victims)[0]
+    ).count() == 1
+
+    # materialize: probes identical, vectors gone, family meta intact
+    served_before = {
+        (r.anchor_id, r.neighbor_id)
+        for r in vx.ivf_vindex_probe(spark, path, anchors).collect()
+    }
+    vm = vx.vindex_materialize_dvs(spark, path, fingerprint="f3")
+    pm = {m["version"]: m for m in list_versions(path)}[vm]
+    assert not pm.get("dv") and pm["operation"] == "materialize_dv"
+    assert pm["family"] == "ivf" and "centroids_dir" in pm
+    served_after = {
+        (r.anchor_id, r.neighbor_id)
+        for r in vx.ivf_vindex_probe(spark, path, anchors).collect()
+    }
+    assert served_before == served_after
+
+    # CoW delete on a vector-carrying index materializes first
+    vx.vindex_delete_mor(
+        spark,
+        spark.createDataFrame([(int(sorted(victims)[0]),)], "vec_id long"),
+        path, fingerprint="f4",
+    )
+    assert list_versions(path)[-1].get("dv")
+    vx.ivf_vindex_delete(
+        spark,
+        spark.createDataFrame([(9999999,)], "vec_id long"),
+        path, fingerprint="f5",
+    )
+    assert not list_versions(path)[-1].get("dv")
+    ops = [m["operation"] for m in list_versions(path)]
+    assert "materialize_dv" in ops[-2:]
+
+
+def test_vindex_delete_mor_minhash_and_compact(spark, docs, tmp_path):
+    """The family-agnostic MOR verb on the minhash band index (id_col
+    'id'), and compaction as implicit materialize: compact reads
+    masked, commits vector-free, and probes agree."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions
+
+    base = docs.filter(F.col("doc_id") % 10 != 7).selectExpr(
+        "doc_id AS id", "text"
+    )
+    path = str(tmp_path / "mh_mor")
+    vx.minhash_vindex_build(base, "text", "id", path, fingerprint="m0")
+    victims = sorted(r.id for r in base.select("id").collect())[:20]
+    kill = spark.createDataFrame([(int(v),) for v in victims], "id long")
+    v1 = vx.vindex_delete_mor(spark, kill, path, fingerprint="m1")
+    pm = {m["version"]: m for m in list_versions(path)}[v1]
+    assert pm["operation"] == "delete_mor" and pm["dv"][0]["key"] == "id"
+    # verbatim clones of the ERASED docs: whatever near-dups the
+    # corpus holds, no probe hit may name an erased id as its match
+    gone = base.filter(F.col("id").isin(*victims)).selectExpr(
+        "id + 1000000 AS id", "text"
+    )
+    hits = vx.minhash_vindex_probe(spark, path, gone, base, "text", "id")
+    assert not ({r.id_old for r in hits.collect()} & set(victims))
+    # compact = implicit materialize (reads masked, commits clean)
+    vx.minhash_vindex_compact(spark, path, fingerprint="m2")
+    pm = list_versions(path)[-1]
+    assert not pm.get("dv") and pm["operation"] == "compact"
+    hits2 = vx.minhash_vindex_probe(spark, path, gone, base, "text", "id")
+    assert not ({r.id_old for r in hits2.collect()} & set(victims))

@@ -199,6 +199,10 @@ def _append_commit(
                 return done
             meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
+        if pm.get("dv"):
+            # outstanding deletion vectors carry unchanged: the new
+            # dir is outside every vector's scope (vindex_delete_mor)
+            meta["dv"] = pm["dv"]
         try:
             return commit_version(
                 path,
@@ -248,6 +252,12 @@ def _delete_pruned(
         if parent is None:
             raise ValueError(f"snapshot index at {path}: nothing to delete")
         pm = versions[parent]
+        if pm.get("dv"):
+            # outstanding merge-on-read vectors: the touched-dir scan
+            # below reads raw dirs, so fold the vectors first (itself
+            # pruned) and erase against a vector-free manifest
+            vindex_materialize_dvs(spark, path)
+            continue
         dirs = _manifest_dirs(pm)
         stats = pm.get("dir_stats", {})
         if set(stats) >= set(dirs):
@@ -323,8 +333,12 @@ def _rewrite_with_retry(
         if parent is None:
             raise ValueError(f"snapshot index at {path}: nothing to rewrite")
         pm = versions[parent]
-        cur = read_version(spark, path, parent)
+        cur = read_version(spark, path, parent)  # masked: outstanding
+        # deletion vectors apply here, so every rewrite (compact /
+        # recluster) MATERIALIZES them — the committed meta stays
+        # vector-free by construction (meta_fn never copies dv)
         meta = meta_fn(pm, cur)
+        meta.pop("dv", None)
         rows = make_rows(cur, meta)
         ddir = _write_delta_dir(rows, path, sort)
         n_rows, rw_stats = _count_and_stats(spark, ddir, id_col)
@@ -966,6 +980,8 @@ def ivf_vindex_append(
         if batch_id is not None:
             meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
+        if pm.get("dv"):
+            meta["dv"] = pm["dv"]  # appended dir is outside every scope
         try:
             return commit_version(
                 path,
@@ -1354,6 +1370,8 @@ def ivfpq_vindex_append(
         if batch_id is not None:
             meta["batch_key"] = key
         meta["dir_stats"] = {**pm.get("dir_stats", {}), ddir: stats}
+        if pm.get("dv"):
+            meta["dv"] = pm["dv"]  # appended dir is outside every scope
         try:
             return commit_version(
                 path,
@@ -1556,6 +1574,185 @@ def ivfpq_vindex_probe(
         n_cent=m["n_cent"], rerank=rerank, id_col=id_col, vec_col=vec_col,
         scan=scan, cents=cents, cexp=cexp,
     )
+
+
+# --- DELETION VECTORS on the snapshot indexes (round 10 cont.) --------------
+#
+# The index twin of sources/versioned.delete_rows_mor: a takedown
+# commits the deleted ids as a scoped sidecar vector instead of
+# rewriting any admitting dir. Every family's probe reads its rows
+# through versioned.read_version, which applies vectors as scoped
+# broadcast anti-joins — so MOR erasure needs NO per-family probe
+# code, works on pinned probes (each manifest masks with its own
+# vectors), and the quantizer sidecars are untouched (they hold no
+# per-vector state... except IVF-PQ's data rows, whose code arrays ARE
+# compressed embeddings — those stop being SERVED immediately but
+# remain on disk until materialize+vacuum, the same two-step contract
+# as every erasure path here; run the CoW verb when bytes must go now).
+
+_FAMILY_LAYOUT = {
+    "minhash": (("band", "grp"), _SORT, ("n", "k", "bands", "n_grps"), "id"),
+    "lsh": (("table", "bucket"), _LSH_SORT, _LSH_KEYS, "vec_id"),
+    "ivf": (("cell",), _IVF_SORT, _IVF_KEYS, "vec_id"),
+    "ivfpq": (("cell",), _IVF_SORT, _IVFPQ_KEYS, "vec_id"),
+}
+
+
+def _layout_of(pm: dict):
+    fam = pm.get("family")
+    if fam not in _FAMILY_LAYOUT:
+        raise ValueError(
+            f"snapshot index: unknown family {fam!r} — cannot route"
+        )
+    repart, sort, keys, default_id = _FAMILY_LAYOUT[fam]
+    return repart, sort, keys, pm.get("id_col", default_id)
+
+
+def vindex_delete_mor(
+    spark, deleted_ids: DataFrame, path: str, fingerprint: str = "",
+    max_retries: int = 5,
+) -> int:
+    """MERGE-ON-READ erasure for any snapshot-index family (module
+    comment above): commit the deleted ids as a deletion vector —
+    O(keys) write cost, the compliance-SLA latency — and let every
+    probe anti-join it until :func:`vindex_materialize_dvs` (or any
+    compact/recluster, which read masked) folds it. The exact-row
+    accounting costs one id-range-pruned scan of the admitting dirs,
+    the same stats the CoW kernel prunes with. Family-agnostic: the
+    id column and config carry from the manifest. A CAS conflict
+    re-counts under the racer's masks (overlapping concurrent
+    takedowns stay exact), like the data-table verb."""
+    from uts_spark.sources.versioned import _read_dirs_masked
+
+    dvdir: str | None = None
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        if not versions:
+            raise ValueError(f"snapshot index at {path}: nothing to delete")
+        pm = versions[max(versions)]
+        _, _, keys, idc = _layout_of(pm)
+        idf = (
+            deleted_ids.toDF(idc)
+            if len(deleted_ids.columns) == 1
+            else deleted_ids.select(idc)
+        ).distinct()
+        dirs = _manifest_dirs(pm)
+        stats = pm.get("dir_stats", {})
+        if set(stats) >= set(dirs):
+            hit_row = idf.agg(
+                *[
+                    F.max(
+                        F.col(idc).between(
+                            F.lit(stats[d][0]), F.lit(stats[d][1])
+                        )
+                    ).alias(f"h{i}")
+                    for i, d in enumerate(dirs)
+                ]
+            ).first()
+            use = [d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])]
+        else:
+            use = list(dirs)
+        if not use:
+            return pm["version"]
+        visible = _read_dirs_masked(spark, pm, use)
+        n_masked = visible.join(
+            F.broadcast(idf), idc, "left_semi"
+        ).count()
+        if n_masked == 0:
+            return pm["version"]
+        if dvdir is None:
+            import uuid
+
+            dvdir = os.path.join(
+                path, "data", f"dv-{uuid.uuid4().hex[:12]}"
+            )
+            idf.coalesce(1).write.mode("errorifexists").parquet(dvdir)
+        meta = _carry_meta(pm, fingerprint, keys)
+        meta["dir_stats"] = pm.get("dir_stats", {})
+        meta["dv"] = pm.get("dv", []) + [
+            {"dir": dvdir, "key": idc, "scope": dirs, "n_masked": n_masked}
+        ]
+        try:
+            return commit_version(
+                path, dirs, "delete_mor", pm["version"],
+                pm["n_rows"] - n_masked, meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def vindex_materialize_dvs(
+    spark, path: str, fingerprint: str = "", max_retries: int = 5
+) -> int:
+    """Fold the index's outstanding deletion vectors into the data —
+    rewrite ONLY the dirs some vector scopes AND whose id-range stats
+    admit at least one of its keys (family repart/sort preserved, so
+    bucket/cell pruning still holds on the rewritten dir); everything
+    else carries by reference. Vector-free no-op. n_rows unchanged
+    (probes saw the masked state all along)."""
+    from uts_spark.sources.versioned import _read_dirs_masked
+
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        if not versions:
+            raise ValueError(f"snapshot index at {path}: no versions")
+        pm = versions[max(versions)]
+        recs = pm.get("dv", [])
+        if not recs:
+            return pm["version"]
+        repart, sort, keys, idc = _layout_of(pm)
+        dirs = _manifest_dirs(pm)
+        stats = pm.get("dir_stats", {})
+        touched_set: set[str] = set()
+        for rec in recs:
+            sc = [d for d in rec["scope"] if d in dirs]
+            if not sc:
+                continue
+            kf = spark.read.parquet(rec["dir"])
+            if set(stats) >= set(sc):
+                hit_row = kf.agg(
+                    *[
+                        F.max(
+                            F.col(rec["key"]).between(
+                                F.lit(stats[d][0]), F.lit(stats[d][1])
+                            )
+                        ).alias(f"h{i}")
+                        for i, d in enumerate(sc)
+                    ]
+                ).first()
+                touched_set.update(
+                    d for i, d in enumerate(sc) if bool(hit_row[f"h{i}"])
+                )
+            else:
+                touched_set.update(sc)
+        touched = [d for d in dirs if d in touched_set]
+        untouched = [d for d in dirs if d not in touched_set]
+        meta = _carry_meta(pm, fingerprint, keys)
+        meta["materialized_dvs"] = len(recs)
+        meta["pruned_dirs"] = len(untouched)
+        new_dirs = list(untouched)
+        meta["dir_stats"] = {
+            d: stats[d] for d in untouched if d in stats
+        }
+        if touched:
+            kept = _read_dirs_masked(spark, pm, touched).repartition(
+                *[F.col(c) for c in repart]
+            )
+            ddir = _write_delta_dir(kept, path, sort)
+            _, kstats = _count_and_stats(spark, ddir, idc)
+            new_dirs.append(ddir)
+            meta["dir_stats"][ddir] = kstats
+        try:
+            return commit_version(
+                path, new_dirs, "materialize_dv", pm["version"],
+                pm["n_rows"], meta,
+            )
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
 
 
 def vindex_delete_auto(

@@ -6631,6 +6631,82 @@ def similarity_ann_ivf_vindex_lifecycle_probe(spark, sf_dir):
     return ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3)
 
 
+def _register_ivf_vindex_mor():
+    probe_sql = _duck_ivf_det_frozen(
+        member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}"
+    )
+    oracle = f"""
+    WITH probe AS ({probe_sql})
+    SELECT 'mor' AS stage, * FROM probe
+    UNION ALL
+    SELECT 'materialized' AS stage, * FROM probe
+    """
+
+    @query("similarity_ann_ivf_vindex_mor_probe", oracle)
+    def similarity_ann_ivf_vindex_mor_probe(spark, sf_dir):
+        """MERGE-ON-READ erasure on the snapshot IVF index (round 10 —
+        the index twin of versioned_dv_mor_erasure): BUILD freezes the
+        quantizer, APPEND the rem-7 batch, then the rem-3 takedown
+        commits a DELETION VECTOR — the manifest's dir list is
+        unchanged, write cost is the id frame, and the probe masks the
+        victims through the scoped broadcast anti-join inside
+        read_version, with NO probe-side code (every family inherits
+        it). The lane probes the SAME anchors at both physical states
+        — vector outstanding ('mor') and after vindex_materialize_dvs
+        ('materialized', the pruned family-sorted fold) — and both
+        must hash-equal the frozen-quantizer recompute over the
+        SURVIVORS: a probe that served a masked vector, or a
+        materialize that changed served content, mismatches. Pinned
+        probes, re-ingest scope, append carry, CoW interop, and the
+        minhash family are in tests/test_llm_ops.py. Scale: the
+        takedown is O(ids) + an id-range-pruned count; the probe's
+        anti-join is against a takedown-batch-sized broadcast."""
+        import os
+        import shutil
+
+        from uts_spark.functions.vindex import (
+            ivf_vindex_append,
+            ivf_vindex_build,
+            ivf_vindex_probe,
+            vindex_delete_mor,
+            vindex_materialize_dvs,
+        )
+        from uts_spark.sources.versioned import list_versions
+
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+        batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+        deleted = e.filter(
+            F.col("vec_id") % _IVF_APP_MOD == _VIDX_DEL_REM
+        ).select("vec_id")
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        path = os.path.join(_warehouse_dir(), f"ann_ivf_mor_{tag}")
+        # the vector protocol is the subject — rebuild each run so the
+        # 'mor' probe always reads through an outstanding vector
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivf_vindex_build(base, path, fingerprint="mor0", n_cells=8)
+        ivf_vindex_append(batch, path, fingerprint="mor1")
+        vindex_delete_mor(spark, deleted, path, fingerprint="mor2")
+        assert list_versions(path)[-1].get("dv")
+
+        anchors = e.filter(F.col("vec_id") < 5)
+        mor = ivf_vindex_probe(
+            spark, path, anchors, k=10, n_probe=3
+        ).select(F.lit("mor").alias("stage"), "*")
+        vindex_materialize_dvs(spark, path, fingerprint="mor3")
+        assert not list_versions(path)[-1].get("dv")
+        mat = ivf_vindex_probe(
+            spark, path, anchors, k=10, n_probe=3
+        ).select(F.lit("materialized").alias("stage"), "*")
+        return mor.unionByName(mat)
+
+    return similarity_ann_ivf_vindex_mor_probe
+
+
+similarity_ann_ivf_vindex_mor_probe = _register_ivf_vindex_mor()
+
+
 @query(
     "similarity_ann_ivfpq_vindex_lifecycle_probe",
     _duck_ivfpq(
