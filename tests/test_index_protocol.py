@@ -344,3 +344,26 @@ def test_erase_everywhere_table_mode_mor(spark, tmp_path):
     assert acct2[0]["leaked"] == 0 and acct2[0]["rows_removed"] == 10
     assert not list_versions(path)[-1].get("dv")
     assert read_version(spark, path).count() == 460
+
+
+def test_erase_everywhere_index_mode_mor(spark, emb, tmp_path):
+    """index_mode='mor': snapshot-index targets erase via deletion
+    vectors (unchanged dir list, O(ids) commit) with the pruned masked
+    re-read as the self-audit; accounting exact, leaked 0."""
+    from uts_spark.functions.index_protocol import erase_everywhere
+    from uts_spark.functions.vindex import ivf_vindex_build
+    from uts_spark.sources.versioned import list_versions
+
+    path = str(tmp_path / "ivf_mor_facade")
+    ivf_vindex_build(emb, path, fingerprint="f0", n_cells=8)
+    pre_rows = list_versions(path)[-1]["n_rows"]
+    ids = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    n_ids = ids.count()
+
+    acct = erase_everywhere(spark, ids, [path], [], index_mode="mor")
+    a = acct[0]
+    assert a["leaked"] == 0 and a["rows_removed"] == n_ids
+    assert a["rows_after"] == pre_rows - n_ids
+    pm = list_versions(path)[-1]
+    assert pm["operation"] == "delete_mor" and len(pm["dv"]) == 1
+    assert pm["family"] == "ivf" and "centroids_dir" in pm

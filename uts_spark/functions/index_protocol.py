@@ -553,6 +553,7 @@ def erase_everywhere(
     text_col: str = "text",
     vec_col: str = "embedding",
     table_mode: str = "cow",
+    index_mode: str = "cow",
 ) -> list[dict]:
     """FACADE-LEVEL GDPR: one call erases a takedown batch from every
     index — SNAPSHOT indexes (family dispatched off each manifest, all
@@ -594,8 +595,11 @@ def erase_everywhere(
     at the committed version (the pruned point-lookup applies the new
     vector — a vector that failed to mask shows up as leaked > 0);
     cost = the admitting dirs, same bound as the erase's own count
-    scan. Index targets always erase copy-on-write (their kernels are
-    already pruned and their probe paths assume unmasked dirs)."""
+    scan. ``index_mode="mor"`` does the same for SNAPSHOT indexes
+    (vindex_delete_mor — probes mask through read_version; audit =
+    vindex_read_rows_for_ids at the committed version); marker
+    indexes have no vector machinery and always erase copy-on-write
+    regardless."""
     from uts_spark.functions.vindex import (
         _current_manifest,
         vindex_delete_auto,
@@ -608,10 +612,9 @@ def erase_everywhere(
         _manifest_dirs,
     )
 
-    if table_mode not in ("cow", "mor"):
-        raise ValueError(
-            f"table_mode {table_mode!r} not supported (cow | mor)"
-        )
+    for nm, md in (("table_mode", table_mode), ("index_mode", index_mode)):
+        if md not in ("cow", "mor"):
+            raise ValueError(f"{nm} {md!r} not supported (cow | mor)")
     out: list[dict] = []
     for path in index_paths:
         proto = _detect_index_protocol(path)
@@ -621,30 +624,45 @@ def erase_everywhere(
             idc = pm.get("id_col") or ("id" if fam == "minhash" else "vec_id")
             parent_dirs = set(_manifest_dirs(pm))
             ver = vindex_delete_auto(
-                spark, deleted_ids, path, fingerprint=fingerprint
+                spark, deleted_ids, path, fingerprint=fingerprint,
+                mode=index_mode,
             )
             m2 = {m["version"]: m for m in list_versions(path)}[ver]
-            rewritten = [
-                d for d in _manifest_dirs(m2) if d not in parent_dirs
-            ]
             idf = (
                 deleted_ids.toDF(idc)
                 if len(deleted_ids.columns) == 1
                 else deleted_ids.select(idc)
             )
-            leaked = (
-                spark.read.parquet(*rewritten)
-                .join(idf, idc, "left_semi")
-                .count()
-                if rewritten
-                else 0
-            )
+            if index_mode == "mor":
+                from uts_spark.functions.vindex import (
+                    _stats_admitting,
+                    vindex_read_rows_for_ids,
+                )
+
+                # pruned masked re-read of the erased ids: any
+                # surviving row is a real leak
+                leaked = vindex_read_rows_for_ids(
+                    spark, path, idf, version=ver
+                ).count()
+                audited = len(_stats_admitting(spark, m2, idf, idc))
+            else:
+                rewritten = [
+                    d for d in _manifest_dirs(m2) if d not in parent_dirs
+                ]
+                leaked = (
+                    spark.read.parquet(*rewritten)
+                    .join(idf, idc, "left_semi")
+                    .count()
+                    if rewritten
+                    else 0
+                )
+                audited = len(rewritten)
             out.append({
                 "target": path, "kind": "index", "protocol": "snapshot",
                 "family": fam, "version": ver,
                 "rows_after": m2["n_rows"],
                 "rows_removed": pm["n_rows"] - m2["n_rows"],
-                "leaked": leaked, "audited_dirs": len(rewritten),
+                "leaked": leaked, "audited_dirs": audited,
             })
             continue
         fam, cfg = _family_config(path, "marker")

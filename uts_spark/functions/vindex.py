@@ -1608,6 +1608,27 @@ def _layout_of(pm: dict):
     return repart, sort, keys, pm.get("id_col", default_id)
 
 
+def _stats_admitting(spark, pm: dict, idf: DataFrame, idc: str,
+                     dirs: list[str] | None = None) -> list[str]:
+    """The dirs of ``pm`` (or the given subset) whose recorded id-range
+    stats admit at least one id of ``idf`` — one tiny agg over the ID
+    FRAME, never the index. Stats-less manifests admit everything
+    (prune loss only, never a missed row)."""
+    dirs = _manifest_dirs(pm) if dirs is None else list(dirs)
+    stats = pm.get("dir_stats", {})
+    if not dirs or not set(stats) >= set(dirs):
+        return dirs
+    hit_row = idf.agg(
+        *[
+            F.max(
+                F.col(idc).between(F.lit(stats[d][0]), F.lit(stats[d][1]))
+            ).alias(f"h{i}")
+            for i, d in enumerate(dirs)
+        ]
+    ).first()
+    return [d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])]
+
+
 def vindex_delete_mor(
     spark, deleted_ids: DataFrame, path: str, fingerprint: str = "",
     max_retries: int = 5,
@@ -1638,21 +1659,7 @@ def vindex_delete_mor(
             else deleted_ids.select(idc)
         ).distinct()
         dirs = _manifest_dirs(pm)
-        stats = pm.get("dir_stats", {})
-        if set(stats) >= set(dirs):
-            hit_row = idf.agg(
-                *[
-                    F.max(
-                        F.col(idc).between(
-                            F.lit(stats[d][0]), F.lit(stats[d][1])
-                        )
-                    ).alias(f"h{i}")
-                    for i, d in enumerate(dirs)
-                ]
-            ).first()
-            use = [d for i, d in enumerate(dirs) if bool(hit_row[f"h{i}"])]
-        else:
-            use = list(dirs)
+        use = _stats_admitting(spark, pm, idf, idc)
         if not use:
             return pm["version"]
         visible = _read_dirs_masked(spark, pm, use)
@@ -1712,22 +1719,9 @@ def vindex_materialize_dvs(
             if not sc:
                 continue
             kf = spark.read.parquet(rec["dir"])
-            if set(stats) >= set(sc):
-                hit_row = kf.agg(
-                    *[
-                        F.max(
-                            F.col(rec["key"]).between(
-                                F.lit(stats[d][0]), F.lit(stats[d][1])
-                            )
-                        ).alias(f"h{i}")
-                        for i, d in enumerate(sc)
-                    ]
-                ).first()
-                touched_set.update(
-                    d for i, d in enumerate(sc) if bool(hit_row[f"h{i}"])
-                )
-            else:
-                touched_set.update(sc)
+            touched_set.update(
+                _stats_admitting(spark, pm, kf, rec["key"], dirs=sc)
+            )
         touched = [d for d in dirs if d in touched_set]
         untouched = [d for d in dirs if d not in touched_set]
         meta = _carry_meta(pm, fingerprint, keys)
@@ -1755,8 +1749,32 @@ def vindex_materialize_dvs(
     raise last  # type: ignore[misc]
 
 
+def vindex_read_rows_for_ids(
+    spark, path: str, ids: DataFrame, version: int | None = None
+) -> DataFrame:
+    """PRUNED point-lookup on a snapshot index (the table verb's index
+    twin, and the MOR audit's read path): scan only the dirs whose
+    id-range stats admit >=1 requested id, apply the manifest's
+    deletion vectors, semi-join the id frame. The id column resolves
+    from the manifest."""
+    from uts_spark.sources.versioned import _read_dirs_masked
+
+    pm = _manifest_at(path, version)
+    _, _, _, idc = _layout_of(pm)
+    idf = (
+        ids.toDF(idc) if len(ids.columns) == 1 else ids.select(idc)
+    ).distinct()
+    use = _stats_admitting(spark, pm, idf, idc)
+    if not use:
+        return read_version(spark, path, pm["version"]).limit(0)
+    return _read_dirs_masked(spark, pm, use).join(
+        F.broadcast(idf), idc, "left_semi"
+    )
+
+
 def vindex_delete_auto(
-    spark, deleted_ids: DataFrame, path: str, fingerprint: str = ""
+    spark, deleted_ids: DataFrame, path: str, fingerprint: str = "",
+    mode: str = "cow",
 ) -> int:
     """Family-dispatching erasure: read the index's family off its
     CURRENT manifest and route to the right delete verb with the
@@ -1767,7 +1785,15 @@ def vindex_delete_auto(
     failure the caller shouldn't have to prevent by hand). All four
     routes go through the shared pruned copy-on-write kernel, so the
     fan-out's total cost is the sum of touched dirs across indexes,
-    never the sum of index sizes."""
+    never the sum of index sizes. ``mode="mor"`` routes every family
+    through :func:`vindex_delete_mor` instead — O(ids) takedown
+    commits, rewrite deferred to materialize/compact."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode {mode!r} not supported (cow | mor)")
+    if mode == "mor":
+        return vindex_delete_mor(
+            spark, deleted_ids, path, fingerprint=fingerprint
+        )
     pm = _current_manifest(path)
     fam = pm.get("family")
     if fam == "minhash":
