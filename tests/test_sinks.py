@@ -2402,3 +2402,61 @@ def test_versioned_merge_branch_carries_pruning_structures(spark, tmp_path):
     dm = list_versions(path)[-1]
     assert dm["operation"] == "delete" and dm["pruned_dirs"] == 1
     assert read_version(spark, path).count() == 190
+
+
+def test_catalog_snapshot_refresh(spark, tmp_path):
+    """refresh_snapshot advances a named cut atomically: readers see
+    the old cut or the new one (generation files, never a mutated
+    one), retention tags move to the new pins (vacuum may then expire
+    the old ones), and the refreshed cut follows alter_entry."""
+    import pytest
+
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        drop_snapshot,
+        read_snapshot_table,
+        refresh_snapshot,
+        register_entry,
+        resolve_snapshot,
+    )
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        vacuum,
+        write_snapshot,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id AS LONG) AS v"
+    )
+    write_snapshot(mk(0, 40), pa)
+    write_snapshot(mk(0, 40), pb)
+    register_entry(cat, "a", pa, kind="table")
+    register_entry(cat, "b", pb, kind="table")
+    create_snapshot(cat, "daily", ["a", "b"])
+    append_snapshot(mk(40, 70), pa)
+    append_snapshot(mk(40, 50), pb)
+    assert read_snapshot_table(spark, cat, "daily", "a").count() == 40
+
+    rec = refresh_snapshot(cat, "daily")
+    assert rec["pins"]["a"]["version"] == 1
+    assert read_snapshot_table(spark, cat, "daily", "a").count() == 70
+    assert read_snapshot_table(spark, cat, "daily", "b").count() == 50
+
+    # tags moved: vacuum may expire the OLD pinned version now
+    append_snapshot(mk(70, 75), pa)
+    vacuum(pa, keep_last=1)
+    vs = {m["version"] for m in list_versions(pa)}
+    assert 0 not in vs and 1 in vs  # old pin expired, new pin tagged
+    assert read_snapshot_table(spark, cat, "daily", "a").count() == 70
+
+    # unknown snapshot refuses; drop removes every generation
+    with pytest.raises(ValueError, match="no snapshot"):
+        refresh_snapshot(cat, "weekly")
+    drop_snapshot(cat, "daily")
+    with pytest.raises(ValueError, match="no snapshot"):
+        resolve_snapshot(cat, "daily")
+    # the name is reusable after a drop (g0 CAS is clean again)
+    create_snapshot(cat, "daily", ["a"])

@@ -330,29 +330,110 @@ def list_snapshots(catalog: str) -> list[dict]:
     sd = _snapshots_dir(catalog)
     if not os.path.isdir(sd):
         return []
-    out = []
-    for fn in sorted(os.listdir(sd)):
-        if fn.endswith(".json"):
-            with open(os.path.join(sd, fn)) as f:
-                out.append(json.load(f))
-    return out
+    names = {_gen_of(fn)[0] for fn in os.listdir(sd) if fn.endswith(".json")}
+    return [resolve_snapshot(catalog, n) for n in sorted(names)]
+
+
+def _snapshot_current(catalog: str, snap: str) -> tuple[dict, int] | None:
+    """(record, generation) of a snapshot's highest generation file —
+    same layout as catalog entries (``<snap>.json`` = g0,
+    ``<snap>.g{N}.json``), so refresh replaces atomically by
+    committing the NEXT generation instead of mutating a file."""
+    sd = _snapshots_dir(catalog)
+    if not os.path.isdir(sd):
+        return None
+    best = None
+    for fn in os.listdir(sd):
+        if not fn.endswith(".json"):
+            continue
+        name, g = _gen_of(fn)
+        if name == snap and (best is None or g > best[1]):
+            best = (fn, g)
+    if best is None:
+        return None
+    with open(os.path.join(sd, best[0])) as f:
+        return json.load(f), best[1]
 
 
 def resolve_snapshot(catalog: str, snap: str) -> dict:
-    final = os.path.join(_snapshots_dir(catalog), f"{snap}.json")
-    if not os.path.exists(final):
-        have = [r["name"] for r in list_snapshots(catalog)]
+    cur = _snapshot_current(catalog, snap)
+    if cur is None:
+        have = sorted(
+            {
+                _gen_of(fn)[0]
+                for fn in (
+                    os.listdir(_snapshots_dir(catalog))
+                    if os.path.isdir(_snapshots_dir(catalog))
+                    else []
+                )
+                if fn.endswith(".json")
+            }
+        )
         raise ValueError(
             f"catalog has no snapshot named {snap!r} (have {have})"
         )
-    with open(final) as f:
-        return json.load(f)
+    return cur[0]
+
+
+def refresh_snapshot(
+    catalog: str, snap: str, max_retries: int = 5
+) -> dict:
+    """ADVANCE a named cut to the members' current versions in one
+    atomic step: re-capture (same optimistic double-read as
+    :func:`create_snapshot`, same member NAMES re-resolved through the
+    catalog — an alter_entry since the last cut moves the member with
+    it), CAS-commit the next GENERATION file (readers always see the
+    old cut or the new one, never a gap or a torn mix), then move each
+    member's retention tag to its new pin. Two racing refreshes: one
+    wins the generation CAS, the other gets the collision and
+    re-reads. A crash after the commit but before the tag moves
+    over-retains (old pins stay tagged until the next refresh/drop) —
+    never under-retains."""
+    from uts_spark.sources.versioned import current_version, tag_version
+
+    cur = _snapshot_current(catalog, snap)
+    if cur is None:
+        raise ValueError(f"catalog has no snapshot named {snap!r}")
+    old, gen = cur
+    names = sorted(old["pins"])
+
+    def capture() -> dict:
+        pins = {}
+        for n in names:
+            rec = resolve(catalog, n)
+            v = current_version(rec["path"])
+            if v is None:
+                raise ValueError(
+                    f"catalog table {n!r} has no committed versions"
+                )
+            pins[n] = {"path": rec["path"], "version": v}
+        return pins
+
+    pins = capture()
+    for _ in range(max_retries):
+        again = capture()
+        if again == pins:
+            break
+        pins = again
+    else:
+        raise ValueError(
+            f"catalog snapshot {snap!r}: tables kept advancing across "
+            f"{max_retries} capture attempts — quiesce writers or retry"
+        )
+    rec = {"name": snap, "pins": pins}
+    _cas_write(
+        os.path.join(_snapshots_dir(catalog), f"{snap}.g{gen + 1}.json"),
+        rec,
+    )
+    for n, p in sorted(pins.items()):
+        tag_version(p["path"], f"snap-{snap}", p["version"])
+    return rec
 
 
 def drop_snapshot(catalog: str, snap: str) -> None:
-    """Release the snapshot: drop each member's retention tag, then the
-    snapshot file. Members whose tag or table is already gone are
-    skipped (idempotent cleanup), the file removal is not."""
+    """Release the snapshot: drop each member's retention tag, then
+    every generation file. Members whose tag or table is already gone
+    are skipped (idempotent cleanup), the file removal is not."""
     from uts_spark.sources.versioned import drop_tag
 
     rec = resolve_snapshot(catalog, snap)
@@ -361,7 +442,10 @@ def drop_snapshot(catalog: str, snap: str) -> None:
             drop_tag(p["path"], f"snap-{snap}")
         except ValueError:
             pass
-    os.remove(os.path.join(_snapshots_dir(catalog), f"{snap}.json"))
+    sd = _snapshots_dir(catalog)
+    for fn in sorted(os.listdir(sd)):
+        if fn.endswith(".json") and _gen_of(fn)[0] == snap:
+            os.remove(os.path.join(sd, fn))
 
 
 def read_snapshot_table(
