@@ -2460,3 +2460,81 @@ def test_catalog_snapshot_refresh(spark, tmp_path):
         resolve_snapshot(cat, "daily")
     # the name is reusable after a drop (g0 CAS is clean again)
     create_snapshot(cat, "daily", ["a"])
+
+
+def test_catalog_publish_branches_refusals(spark, tmp_path):
+    """publish_branches' preflight refuses BEFORE any table moves: a
+    missing branch, a fork-only branch, a main rewrite since the fork,
+    and a stage outside the snapshot's member set all leave every main
+    AND the cut untouched; a clean publish advances both tables and
+    the cut together."""
+    import pytest
+
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        publish_branches,
+        read_snapshot_table,
+        register_entry,
+        resolve_snapshot,
+    )
+    from uts_spark.sources.versioned import (
+        create_branch,
+        current_version,
+        delete_rows,
+        list_branches,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id AS LONG) AS v"
+    )
+    write_snapshot(mk(0, 50), pa, stats_col="k")
+    write_snapshot(mk(0, 50), pb, stats_col="k")
+    register_entry(cat, "a", pa, kind="table")
+    register_entry(cat, "b", pb, kind="table")
+    create_snapshot(cat, "rel", ["a", "b"])
+    create_branch(pa, "st")
+    create_branch(pb, "st")
+    write_to_branch(mk(50, 60), pa, "st")
+
+    # b's branch has nothing staged -> refused; a's main untouched
+    with pytest.raises(ValueError, match="no staged commits"):
+        publish_branches(spark, cat, "rel", {"a": "st", "b": "st"})
+    assert current_version(pa) == 0 and current_version(pb) == 0
+
+    # missing branch name
+    with pytest.raises(ValueError, match="no branch named"):
+        publish_branches(spark, cat, "rel", {"a": "zz"})
+
+    # stage b, then REWRITE b's main since the fork -> refused early
+    write_to_branch(mk(50, 55), pb, "st")
+    delete_rows(spark, pb, mk(0, 5).select("k"), "k")
+    with pytest.raises(ValueError, match="re-stage"):
+        publish_branches(spark, cat, "rel", {"a": "st", "b": "st"})
+    assert current_version(pa) == 0  # a was NOT merged mid-sequence
+    assert resolve_snapshot(cat, "rel")["pins"]["a"]["version"] == 0
+
+    # re-stage b against current main, then the publish lands whole
+    from uts_spark.sources.versioned import drop_branch
+
+    drop_branch(pb, "st")
+    create_branch(pb, "st")
+    write_to_branch(mk(50, 55), pb, "st")
+    out = publish_branches(spark, cat, "rel", {"a": "st", "b": "st"})
+    assert set(out["published"]) == {"a", "b"}
+    assert read_snapshot_table(spark, cat, "rel", "a").count() == 60
+    assert read_snapshot_table(spark, cat, "rel", "b").count() == 50
+    assert not list_branches(pa)  # published branches dropped
+
+    # a stage outside the cut's member set refuses in preflight
+    pc = str(tmp_path / "tc")
+    write_snapshot(mk(0, 5), pc)
+    register_entry(cat, "c", pc, kind="table")
+    create_branch(pc, "st")
+    write_to_branch(mk(5, 6), pc, "st")
+    with pytest.raises(ValueError, match="does not pin"):
+        publish_branches(spark, cat, "rel", {"c": "st"})
+    assert current_version(pc) == 0

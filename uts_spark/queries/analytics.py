@@ -4224,6 +4224,118 @@ def catalog_snapshot_consistent_read(spark, sf_dir):
 
 
 @query(
+    "catalog_wap_multi_publish",
+    """
+    WITH s AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 10 <= 4
+    ),
+    pre AS (
+      SELECT 'pre_publish' AS stage, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM s GROUP BY lang
+    ),
+    post AS (
+      SELECT 'post_publish' AS stage, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM (
+        SELECT doc_id, lang FROM s
+        UNION ALL
+        SELECT doc_id, 'st' AS lang FROM documents WHERE doc_id % 10 = 5
+      ) u GROUP BY lang
+    )
+    SELECT * FROM pre UNION ALL SELECT * FROM post
+    """,
+)
+def catalog_wap_multi_publish(spark, sf_dir):
+    """MULTI-TABLE WAP (round 10 — the catalog-pointer transaction):
+    a pipeline stages risky output for TWO tables on per-table
+    branches, audits, and publishes BOTH with one consumer-visible
+    step — ``publish_branches`` preflights every branch read-only
+    (a doomed publish refuses before any table moves), merges each
+    onto its main, then advances the named snapshot in one generation
+    commit: consumers reading through the cut see every staged output
+    appear TOGETHER or not at all, the Nessie/Iceberg
+    catalog-transaction shape. The lane reads the two-table join's
+    accounting through the snapshot BEFORE the publish (staged rows
+    invisible) and AFTER (both tables' staged slices, lang='st',
+    visible at once); a publish that leaked one table's stage into
+    the pre-cut, or advanced the cut with only one table merged,
+    hashes differently. Refusal paths (missing branch, mid-sequence
+    main rewrite, non-member stage) are pinned in
+    tests/test_sinks.py. Scale: preflight is manifest reads; publish
+    is one commute-merge commit per table + one catalog file."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        publish_branches,
+        read_snapshot_table,
+        register_entry,
+    )
+    from uts_spark.sources.versioned import (
+        create_branch,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 <= 4)
+    staged = docs.filter(F.col("doc_id") % 10 == 5)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    root = os.path.join(_warehouse_dir(), f"mwap_{tag}")
+    cat = os.path.join(root, "cat")
+    pa, pb = os.path.join(root, "ta"), os.path.join(root, "tb")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    write_snapshot(
+        base.select("doc_id", F.substring("text", 1, 16).alias("val")), pa
+    )
+    write_snapshot(base.select("doc_id", "lang"), pb)
+    register_entry(cat, "w_docs", pa, kind="table")
+    register_entry(cat, "w_meta", pb, kind="table")
+    create_snapshot(cat, "release", ["w_docs", "w_meta"])
+    create_branch(pa, "stage")
+    create_branch(pb, "stage")
+    write_to_branch(
+        staged.select("doc_id", F.substring("text", 1, 16).alias("val")),
+        pa, "stage",
+    )
+    write_to_branch(
+        staged.select("doc_id", F.lit("st").alias("lang")), pb, "stage",
+    )
+
+    def acct(stage):
+        a = read_snapshot_table(spark, cat, "release", "w_docs")
+        b = read_snapshot_table(spark, cat, "release", "w_meta")
+        return (
+            a.select("doc_id")
+            .join(b, "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+            .select(F.lit(stage).alias("stage"), "*")
+        )
+
+    # the pre-cut plan pins its versions at BUILD time (the snapshot
+    # file resolves eagerly), so it stays the old cut even though it
+    # executes after the flip — dirs are immutable
+    pre = acct("pre_publish")
+    out = publish_branches(
+        spark, cat, "release",
+        {"w_docs": "stage", "w_meta": "stage"},
+    )
+    assert set(out["published"]) == {"w_docs", "w_meta"}
+    post = acct("post_publish")
+    return pre.unionByName(post)
+
+
+@query(
     "basket_part_affinity",
     """
     WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

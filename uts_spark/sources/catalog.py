@@ -430,6 +430,109 @@ def refresh_snapshot(
     return rec
 
 
+def publish_branches(
+    spark,
+    catalog: str,
+    snap: str,
+    stages: dict[str, str],
+    drop: bool = True,
+) -> dict:
+    """MULTI-TABLE WAP (round 10): publish several tables' staged
+    branches as ONE consumer-visible step. ``stages`` maps catalog
+    table names to the branch staged on each. The verb:
+
+    1. PREFLIGHTS every branch (exists, has staged commits, its main
+       hasn't rewritten since the fork / fast-forward holds) — read
+       only, so a doomed publish refuses BEFORE any table moves;
+    2. merges each branch onto its main (per-table CAS commits);
+    3. advances the named snapshot ``snap`` to the post-publish
+       versions in one generation commit (created if absent).
+
+    Atomicity contract, stated honestly: the per-table merges are
+    INDIVIDUALLY atomic but sequential — a consumer reading main
+    paths directly can observe table A published before table B. The
+    all-or-nothing surface is the SNAPSHOT: consumers that read
+    through ``read_snapshot_table(catalog, snap, ...)`` see every
+    staged output appear together (the cut advances only after all
+    merges landed) or not at all (any refusal leaves the cut where it
+    was). This is the catalog-pointer-commit shape Nessie/Iceberg
+    catalog transactions use — the pointer flip is the transaction.
+    A racing main writer can still force a mid-sequence refusal
+    (tables already merged stay merged, individually consistent, and
+    the cut does not advance); re-stage and re-publish.
+
+    Returns {"published": {name: version}, "snapshot": record}."""
+    from uts_spark.sources.versioned import (
+        _branch_records,
+        list_branches,
+        list_versions,
+        merge_branch,
+    )
+
+    if not stages:
+        raise ValueError("publish_branches with zero staged tables")
+    resolved = {}
+    for n, bname in sorted(stages.items()):
+        rec = resolve(catalog, n)
+        if rec["kind"] != "table":
+            raise ValueError(
+                f"catalog entry {n!r} is a {rec['kind']}, not a table"
+            )
+        resolved[n] = (rec["path"], bname)
+    pre_snap = _snapshot_current(catalog, snap)
+    if pre_snap is not None:
+        missing = [n for n in stages if n not in pre_snap[0]["pins"]]
+        if missing:
+            raise ValueError(
+                f"catalog snapshot {snap!r} does not pin staged "
+                f"table(s) {missing} — recreate the snapshot with the "
+                "full member set before publishing through it"
+            )
+    # read-only preflight: refuse BEFORE any table moves
+    for n, (path, bname) in sorted(resolved.items()):
+        if bname not in list_branches(path):
+            raise ValueError(
+                f"catalog table {n!r}: no branch named {bname!r}"
+            )
+        recs = _branch_records(path, bname)
+        head = recs[-1]
+        if head["operation"] == "fork":
+            raise ValueError(
+                f"catalog table {n!r}: branch {bname!r} has no staged "
+                "commits to publish"
+            )
+        staged_ops = {r["operation"] for r in recs[1:]}
+        versions = {m["version"]: m for m in list_versions(path)}
+        cur = max(versions)
+        if staged_ops == {"append"}:
+            moved = [
+                versions[v]["operation"]
+                for v in sorted(versions)
+                if v > head["base"]
+            ]
+            bad = [op for op in moved if op != "append"]
+            if bad:
+                raise ValueError(
+                    f"catalog table {n!r}: main ran {bad} since the "
+                    f"fork at v{head['base']} — re-stage branch "
+                    f"{bname!r} before publishing"
+                )
+        elif cur != head["base"]:
+            raise ValueError(
+                f"catalog table {n!r}: branch {bname!r} staged a "
+                f"rewrite at fork v{head['base']} but main is at "
+                f"v{cur} — rewrites publish fast-forward-only"
+            )
+    published = {}
+    for n, (path, bname) in sorted(resolved.items()):
+        published[n] = merge_branch(spark, path, bname, drop=drop)
+    if pre_snap is None:
+        rec = create_snapshot(catalog, snap, sorted(stages))
+    else:
+        rec = refresh_snapshot(catalog, snap)
+    return {"published": published, "snapshot": rec}
+
+
 def drop_snapshot(catalog: str, snap: str) -> None:
     """Release the snapshot: drop each member's retention tag, then
     every generation file. Members whose tag or table is already gone
