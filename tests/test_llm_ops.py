@@ -3132,3 +3132,66 @@ def test_vindex_delete_mor_minhash_and_compact(spark, docs, tmp_path):
     assert not pm.get("dv") and pm["operation"] == "compact"
     hits2 = vx.minhash_vindex_probe(spark, path, gone, base, "text", "id")
     assert not ({r.id_old for r in hits2.collect()} & set(victims))
+
+
+def test_ivf_vindex_filtered_probe(spark, emb, tmp_path):
+    """Index-layer filtered ANN: metadata columns stored at build
+    (manifest-recorded, appends keep them without restating), probe
+    ``where`` pushed into the cell-pruned parquet scan (PushedFilters
+    plan pin), results identical to the in-plan pre-filter
+    (ivf_topk_det over the filtered corpus under the same frozen
+    quantizer), and the filter composes with a deletion vector."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.functions.similarity import ivf_topk_det
+    from uts_spark.sources.versioned import list_versions
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "ivf_meta")
+    vx.ivf_vindex_build(
+        base, path, fingerprint="f0", n_cells=8, meta_cols=("label",)
+    )
+    assert list_versions(path)[-1]["meta_cols"] == ["label"]
+    vx.ivf_vindex_append(batch, path, fingerprint="f1")
+    anchors = emb.filter(F.col("vec_id") < 5)
+
+    got = vx.ivf_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    )
+    # plan pin: the label predicate reaches the parquet scan
+    # (formatted mode prints the full PushedFilters list — plain
+    # toString truncates it past the cell isin values)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "EqualTo(label,7)" in plan
+
+    want = ivf_topk_det(
+        emb.filter(F.col("label") == 7), anchors,
+        k=10, n_cells=8, n_probe=3, centroid_src=base,
+    )
+    assert sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in want.collect()
+    )
+
+    # composes with merge-on-read erasure: a masked victim never
+    # appears even when it passes the metadata filter
+    victims = sorted(
+        r.neighbor_id for r in got.filter("anchor_id = 0").collect()
+    )[:2]
+    vx.vindex_delete_mor(
+        spark,
+        spark.createDataFrame([(int(v),) for v in victims], "vec_id long"),
+        path, fingerprint="f2",
+    )
+    got2 = vx.ivf_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    )
+    assert not (
+        {r.neighbor_id for r in got2.collect()} & set(victims)
+    )

@@ -1108,18 +1108,22 @@ def _ivf_centroids(
 
 
 def _ivf_assign(
-    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, vec, cell): argmax-cosine assignment against the centroid
-    table (tie-break: centroid id) — shared by build and append."""
+    """(id, vec, [metadata...], cell): argmax-cosine assignment against
+    the centroid table (tie-break: centroid id) — shared by build and
+    append. ``keep_cols`` carries metadata columns into the stored
+    index rows, the input that lets a probe push a predicate into the
+    cell-pruned scan (filtered ANN at the index layer)."""
     wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
     return (
-        emb.select(id_col, vec_col)
+        emb.select(id_col, vec_col, *keep_cols)
         .crossJoin(F.broadcast(cents))
         .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
         .withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+        .select(id_col, vec_col, *keep_cols, F.col("cent_id").alias("cell"))
     )
 
 
@@ -1578,6 +1582,7 @@ def ivf_index_probe(
     version: int | None = None,
     scan: DataFrame | None = None,
     cents: DataFrame | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """Probe the persisted IVF index: each anchor ranks the (tiny,
     recomputed from the same hash seed) centroid table, its n_probe
@@ -1591,7 +1596,12 @@ def ivf_index_probe(
     re-derives different centroids and silently probes wrong cells).
     ``scan``/``cents`` override the index read and centroid source (the
     snapshot family passes its manifest-resolved dirs and the manifest's
-    quantizer sidecar — same kernel, snapshot-isolated sources)."""
+    quantizer sidecar — same kernel, snapshot-isolated sources).
+    ``where`` PRE-FILTERS the index rows on metadata columns stored at
+    build time (``meta_cols``): the predicate composes with the cell
+    ``isin`` so both push down to the parquet scan — filtered ANN at
+    the index layer, with candidacy restricted to eligible vectors
+    (plan pinned in tests: PushedFilters carries the predicate)."""
     if cents is None:
         if emb_for_centroids is None:
             import os
@@ -1623,6 +1633,8 @@ def ivf_index_probe(
             from uts_spark.functions.dedup import index_scan_at
 
             scan = index_scan_at(spark, path, version)
+    if where is not None:
+        scan = scan.filter(where)
     idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),

@@ -419,7 +419,7 @@ def _carry_meta(pm: dict, fingerprint: str, keys: tuple[str, ...]) -> dict:
     the parent manifest verbatim; only the fingerprint advances."""
     meta = {k: pm[k] for k in keys if k in pm}
     for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family",
-              "fit_ref", "coll_ref", "dist_ref", "id_col"):
+              "fit_ref", "coll_ref", "dist_ref", "id_col", "meta_cols"):
         if k in pm:
             meta[k] = pm[k]
     meta["fingerprint"] = fingerprint
@@ -883,6 +883,7 @@ def ivf_vindex_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_src: DataFrame | None = None,
+    meta_cols: tuple[str, ...] = (),
 ) -> int:
     """Version 0 of the snapshot IVF index: freeze the hash-seeded
     centroids as an immutable quantizer sidecar, assign every corpus
@@ -892,13 +893,21 @@ def ivf_vindex_build(
     as ``fit_ref`` (exact integers): the drift loop's reference is
     part of the committed state, carried forward by every verb and
     refreshed by recluster — no sidecar file, no way for a restarted
-    service to re-baseline on a drifted batch."""
+    service to re-baseline on a drifted batch.
+
+    ``meta_cols`` stores metadata columns alongside the vectors (the
+    filtered-ANN input: probes push a ``where`` on them into the
+    cell-pruned scan); recorded on the manifest so appends keep the
+    row schema without the caller restating it."""
     from uts_spark.functions.similarity import _ivf_assign, _ivf_centroids
 
     spark = emb.sparkSession
     cents = _ivf_centroids(centroid_src or emb, n_cells, id_col, vec_col)
     qdir = _write_quant_dir(cents, path)
-    rows = _ivf_assign(emb, spark.read.parquet(qdir), id_col, vec_col)
+    rows = _ivf_assign(
+        emb, spark.read.parquet(qdir), id_col, vec_col,
+        keep_cols=tuple(meta_cols),
+    )
     ddir = _write_delta_dir(_cluster(rows, "cell"), path, _IVF_SORT)
     n_rows, stats = _count_and_stats(spark, ddir, id_col)
     fit = _ivf_fit_ints_from_dir(spark, ddir, qdir, id_col, vec_col)
@@ -908,6 +917,7 @@ def ivf_vindex_build(
         "centroids_dir": qdir, "aux_dirs": [qdir],
         "fit_ref": list(fit),
         "dir_stats": {ddir: stats},
+        **({"meta_cols": list(meta_cols)} if meta_cols else {}),
     }
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
@@ -961,7 +971,10 @@ def ivf_vindex_append(
         qdir = pm["centroids_dir"]
         if qdir != encoded_against:
             cents = spark.read.parquet(qdir)
-            rows = _ivf_assign(emb_batch, cents, id_col, vec_col)
+            rows = _ivf_assign(
+                emb_batch, cents, id_col, vec_col,
+                keep_cols=tuple(pm.get("meta_cols", ())),
+            )
             ddir = _write_delta_dir(
                 rows.repartition(4, "cell"), path, _IVF_SORT
             )
@@ -1165,11 +1178,14 @@ def ivf_vindex_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Probe at the current (or a pinned) snapshot: the manifest
     resolves BOTH the immutable dir list and the quantizer sidecar, so
     a pinned probe ranks cells with the centroids of ITS version —
-    correct across any number of reclusters in between."""
+    correct across any number of reclusters in between. ``where``
+    pre-filters on metadata columns stored at build (``meta_cols``),
+    pushed into the cell-pruned scan — index-layer filtered ANN."""
     from uts_spark.functions.similarity import ivf_index_probe
 
     m = _manifest_at(path, version)
@@ -1178,7 +1194,7 @@ def ivf_vindex_probe(
     return ivf_index_probe(
         spark, path, anchors, None, k=k, n_cells=m["n_cells"],
         n_probe=n_probe, id_col=id_col, vec_col=vec_col,
-        scan=scan, cents=cents,
+        scan=scan, cents=cents, where=where,
     )
 
 

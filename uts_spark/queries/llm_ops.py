@@ -6631,6 +6631,65 @@ def similarity_ann_ivf_vindex_lifecycle_probe(spark, sf_dir):
     return ivf_vindex_probe(spark, path, anchors, k=10, n_probe=3)
 
 
+@query(
+    "similarity_ann_ivf_index_filtered_probe",
+    _duck_ivf_det_frozen(
+        member_where=" AND a.vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label = 7)"
+    ),
+)
+def similarity_ann_ivf_index_filtered_probe(spark, sf_dir):
+    """FILTERED ANN at the INDEX layer (round 10 — the persisted
+    counterpart of similarity_ann_ivf_filtered's in-plan pre-filter):
+    the snapshot IVF index stores a METADATA column beside the vectors
+    (``meta_cols`` at build, manifest-recorded so appends keep the row
+    schema), and the probe's ``where`` predicate pushes INTO the
+    cell-pruned parquet scan — PushedFilters carries both the cell
+    isin and the label equality (plan-pinned in tests), so at 100 TB
+    the probe reads only probed cells' row groups that can hold
+    eligible vectors. Candidacy restricted to eligible rows = never
+    under-fills like post-filtering. Oracle = the frozen-quantizer
+    recompute with membership restricted to label=7. Equality with
+    the in-plan pre-filter and composition with deletion vectors are
+    pinned in tests/test_llm_ops.py."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        ivf_vindex_append,
+        ivf_vindex_build,
+        ivf_vindex_probe,
+    )
+    from uts_spark.sources.versioned import list_versions
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"ann_ivf_meta_{tag}")
+    fp = "ivfmeta1"
+
+    ms = list_versions(path)
+    ok = (
+        len(ms) == 2
+        and ms[0].get("fingerprint") == fp
+        and ms[0].get("meta_cols") == ["label"]
+    )
+    if not ok:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivf_vindex_build(
+            base, path, fingerprint=fp, n_cells=8, meta_cols=("label",)
+        )
+        ivf_vindex_append(batch, path, fingerprint=f"{fp}:a")
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivf_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    )
+
+
 def _register_ivf_vindex_mor():
     probe_sql = _duck_ivf_det_frozen(
         member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}"
