@@ -2538,3 +2538,52 @@ def test_catalog_publish_branches_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="does not pin"):
         publish_branches(spark, cat, "rel", {"c": "st"})
     assert current_version(pc) == 0
+
+
+def test_catalog_read_table_snapshot_pin_and_mor_erase(spark, tmp_path):
+    """read_table(snapshot=) is the multi-table cut as a first-class
+    pin (mutually exclusive with version/ref/branch), and
+    erase_by_names threads both MOR modes through the facade."""
+    import pytest
+
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        erase_by_names,
+        read_table,
+        register_entry,
+    )
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        list_versions,
+        write_snapshot,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa = str(tmp_path / "ta")
+    mk = lambda lo, hi: mk_range(spark, lo, hi)  # noqa: E731
+
+    def mk_range(spark, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id AS LONG) AS v"
+        )
+
+    write_snapshot(mk(0, 100), pa, stats_col="k")
+    register_entry(cat, "a", pa, kind="table")
+    create_snapshot(cat, "cut", ["a"])
+    append_snapshot(mk(100, 150), pa)
+
+    assert read_table(spark, cat, "a").count() == 150
+    assert read_table(spark, cat, "a", snapshot="cut").count() == 100
+    with pytest.raises(ValueError, match="at most one"):
+        read_table(spark, cat, "a", version=0, snapshot="cut")
+
+    acct = erase_by_names(
+        spark, mk(10, 20).select("k"), cat, names=["a"],
+        table_mode="mor",
+    )
+    assert acct[0]["leaked"] == 0 and acct[0]["rows_removed"] == 10
+    assert list_versions(pa)[-1]["operation"] == "delete_mor"
+    assert read_table(spark, cat, "a").count() == 140
+    # the pinned cut still reads the PRE-ERASURE version (time travel
+    # semantics; GDPR completion = refresh/drop the cut + vacuum)
+    assert read_table(spark, cat, "a", snapshot="cut").count() == 100

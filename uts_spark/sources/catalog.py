@@ -159,20 +159,26 @@ def read_table(
     version: int | None = None,
     ref: str | None = None,
     branch: str | None = None,
+    snapshot: str | None = None,
 ) -> DataFrame:
     """``spark.table()``-style read through the catalog: resolve the
-    name, then time-travel / ref / branch semantics exactly as the
-    path-addressed readers define them. At most one of ``version`` /
-    ``ref`` / ``branch``."""
+    name, then time-travel / ref / branch / catalog-snapshot semantics
+    exactly as the path-addressed readers define them. At most one of
+    ``version`` / ``ref`` / ``branch`` / ``snapshot`` (the last pins
+    the MULTI-TABLE cut — equivalent to read_snapshot_table)."""
+    pins = [p for p in (version, ref, branch, snapshot) if p is not None]
+    if len(pins) > 1:
+        raise ValueError(
+            "pass at most one of version=, ref=, branch=, snapshot="
+        )
+    if snapshot is not None:
+        return read_snapshot_table(spark, catalog, snapshot, name)
     rec = resolve(catalog, name)
     if rec["kind"] != "table":
         raise ValueError(
             f"catalog entry {name!r} is a {rec['kind']}, not a table — "
             "probe indexes through index_probe_by_name"
         )
-    pins = [p for p in (version, ref, branch) if p is not None]
-    if len(pins) > 1:
-        raise ValueError("pass at most one of version=, ref=, branch=")
     from uts_spark.sources.versioned import (
         read_branch,
         read_ref,
@@ -580,6 +586,7 @@ def erase_by_names(
     vec_col: str = "embedding",
     table_keys: dict[str, str] | None = None,
     table_mode: str = "cow",
+    index_mode: str = "cow",
 ) -> list[dict]:
     """CATALOG-WIDE GDPR: one call erases a takedown batch from every
     named target (default: the WHOLE catalog) — tables and indexes
@@ -591,12 +598,13 @@ def erase_by_names(
     prunes erasure on, the natural erasure key); tables with neither
     need an explicit ``table_keys[name]``. Each returned
     accounting dict carries the catalog ``name`` beside the facade's
-    fields. ``table_mode="mor"`` routes table targets through
-    merge-on-read deletion vectors (O(keys) takedown latency; audit =
-    pruned re-read of the erased ids; rewrite deferred to the
-    maintenance tick). This is the compliance verb a real pipeline
-    wants: the catalog knows every holder of the ids, so nothing is
-    forgotten by omission."""
+    fields. ``table_mode="mor"`` / ``index_mode="mor"`` route table /
+    snapshot-index targets through merge-on-read deletion vectors
+    (O(keys) takedown latency; audit = pruned masked re-read of the
+    erased ids; rewrite deferred to the maintenance tick, which folds
+    vectors). This is the compliance verb a real pipeline wants: the
+    catalog knows every holder of the ids, so nothing is forgotten by
+    omission."""
     from uts_spark.functions.index_protocol import erase_everywhere
     from uts_spark.sources.versioned import list_versions
 
@@ -637,6 +645,7 @@ def erase_by_names(
         spark, deleted_ids, index_paths, table_specs,
         fingerprint=fingerprint, deleted_rows=deleted_rows,
         text_col=text_col, vec_col=vec_col, table_mode=table_mode,
+        index_mode=index_mode,
     )
     return [{**a, "name": order[a["target"]]} for a in acct]
 
