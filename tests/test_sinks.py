@@ -2587,3 +2587,50 @@ def test_catalog_read_table_snapshot_pin_and_mor_erase(spark, tmp_path):
     # the pinned cut still reads the PRE-ERASURE version (time travel
     # semantics; GDPR completion = refresh/drop the cut + vacuum)
     assert read_table(spark, cat, "a", snapshot="cut").count() == 100
+
+
+def test_catalog_sweep_snapshot_tags(spark, tmp_path):
+    """The janitor drops ORPHANED snap- tags (a member moved by
+    alter_entry keeps its stale tag on the abandoned path) but never
+    live snapshot tags or user tags."""
+    from uts_spark.sources.catalog import (
+        alter_entry,
+        catalog_maintenance_tick,
+        create_snapshot,
+        refresh_snapshot,
+        register_entry,
+        sweep_snapshot_tags,
+    )
+    from uts_spark.sources.versioned import (
+        _read_refs,
+        tag_version,
+        write_snapshot,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pa2 = str(tmp_path / "ta"), str(tmp_path / "ta2")
+    df = spark.range(0, 30).selectExpr("id AS k", "id AS v")
+    write_snapshot(df, pa)
+    write_snapshot(df, pa2)
+    register_entry(cat, "a", pa, kind="table")
+    create_snapshot(cat, "cut", ["a"])
+    tag_version(pa, "user-prod", 0)  # a user tag must survive sweeps
+
+    # move the member, refresh: the OLD path keeps a stale snap- tag
+    alter_entry(cat, "a", pa2)
+    refresh_snapshot(cat, "cut")
+    assert "snap-cut" in _read_refs(pa) and "snap-cut" in _read_refs(pa2)
+
+    # the stale tag sits on an UNREGISTERED path now — the sweep walks
+    # registered entries, so re-register the old path (the realistic
+    # shape: both paths stay catalog-visible during a migration)
+    register_entry(cat, "a_old", pa, kind="table")
+    swept = sweep_snapshot_tags(cat)
+    assert (pa, "snap-cut") in swept
+    assert "snap-cut" not in _read_refs(pa)
+    assert _read_refs(pa).get("user-prod") == 0  # user tag untouched
+    assert "snap-cut" in _read_refs(pa2)          # live tag untouched
+
+    # the tick reports a sweep only when something was dropped
+    report = catalog_maintenance_tick(spark, cat)
+    assert not any(r.get("snapshot_tags_swept") for r in report)

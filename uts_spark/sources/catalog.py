@@ -650,6 +650,33 @@ def erase_by_names(
     return [{**a, "name": order[a["target"]]} for a in acct]
 
 
+def sweep_snapshot_tags(catalog: str) -> list[tuple[str, str]]:
+    """Drop ORPHANED snapshot retention tags: a ``snap-<name>`` ref on
+    a registered table that no live snapshot generation still pins —
+    the debris alter_entry leaves when it moves a member between a
+    cut and its refresh (refresh re-tags the new path; the old path's
+    tag would otherwise hold its version forever). Returns the
+    (path, tag) pairs dropped. Never touches tags of live snapshots
+    and never touches non-``snap-`` refs — user tags are user
+    retention promises."""
+    from uts_spark.sources.versioned import _read_refs, drop_tag
+
+    live: dict[str, set[str]] = {}
+    for s in list_snapshots(catalog):
+        for p in s["pins"].values():
+            live.setdefault(p["path"], set()).add(f"snap-{s['name']}")
+    dropped: list[tuple[str, str]] = []
+    for rec in list_entries(catalog):
+        if rec["kind"] != "table":
+            continue
+        path = rec["path"]
+        for tag in sorted(_read_refs(path)):
+            if tag.startswith("snap-") and tag not in live.get(path, set()):
+                drop_tag(path, tag)
+                dropped.append((path, tag))
+    return dropped
+
+
 def catalog_maintenance_tick(
     spark,
     catalog: str,
@@ -675,7 +702,9 @@ def catalog_maintenance_tick(
        is a retention decision, not a janitor default; tags and live
        branches stay protected by vacuum's own rules).
     3. **orphan cleanup** — :func:`versioned.remove_orphans` with the
-       3-day grace window (losing CAS racers' debris).
+       3-day grace window (losing CAS racers' debris), plus one
+       catalog-wide :func:`sweep_snapshot_tags` pass (orphaned
+       ``snap-`` retention tags on paths a snapshot no longer pins).
 
     Returns one report dict per entry: ``{name, kind, compacted,
     vacuumed, orphans_removed}`` (``compacted`` = the new version id,
@@ -726,6 +755,12 @@ def catalog_maintenance_tick(
             remove_orphans(rec["path"], older_than_secs=orphan_grace_secs)
         )
         report.append(r)
+    swept = sweep_snapshot_tags(catalog)
+    if swept:
+        report.append({
+            "name": None, "kind": "catalog",
+            "snapshot_tags_swept": len(swept),
+        })
     return report
 
 
