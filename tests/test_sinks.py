@@ -2634,3 +2634,45 @@ def test_catalog_sweep_snapshot_tags(spark, tmp_path):
     # the tick reports a sweep only when something was dropped
     report = catalog_maintenance_tick(spark, cat)
     assert not any(r.get("snapshot_tags_swept") for r in report)
+
+
+def test_versioned_branch_changes_overwrite_keydiff(spark, tmp_path):
+    """An overwrite branch's staged feed diffs against the fork base
+    by row identity (same kernel as table_changes' rewrite ranges):
+    inserts/deletes/update image pairs, keyless still refused."""
+    import pytest
+
+    from uts_spark.sources.versioned import (
+        branch_changes,
+        create_branch,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    path = str(tmp_path / "vt_ow_feed")
+    mk = lambda lo, hi, v: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", f"CAST({v} AS LONG) AS v"
+    )
+    write_snapshot(mk(0, 10, "id"), path)
+    create_branch(path, "rw")
+    # staged overwrite: drop k<2, keep 2..9 with k=5 rewritten, add 10..11
+    staged = (
+        mk(2, 10, "id").withColumn(
+            "v",
+            F.when(F.col("k") == 5, F.lit(500).cast("long")).otherwise(
+                F.col("v")
+            ),
+        ).unionByName(mk(10, 12, "id"))
+    )
+    write_to_branch(staged, path, "rw", operation="overwrite")
+
+    with pytest.raises(ValueError, match="pass key="):
+        branch_changes(spark, path, "rw")
+    feed = branch_changes(spark, path, "rw", key="k")
+    by = {}
+    for r in feed.collect():
+        by.setdefault(r._change_type, set()).add((r.k, r.v))
+    assert by["insert"] == {(10, 10), (11, 11)}
+    assert by["delete"] == {(0, 0), (1, 1)}
+    assert by["update_preimage"] == {(5, 5)}
+    assert by["update_postimage"] == {(5, 500)}

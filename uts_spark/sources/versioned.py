@@ -1758,14 +1758,35 @@ def table_changes(
             "diverge) — pass key= to diff by row identity"
         )
     old = read_version(spark, path, from_version)
+    return _key_diff_feed(
+        old, new, key,
+        f"versioned table {path}: versions {from_version}->{to_version}",
+        with_changed_columns,
+    )
+
+
+def _key_diff_feed(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    label: str,
+    with_changed_columns: bool = False,
+) -> DataFrame:
+    """The CDF key-diff kernel shared by :func:`table_changes`
+    (rewrite ranges) and :func:`branch_changes` (overwrite branches):
+    full-outer join on ``key`` with a NULL-safe content hash over the
+    non-key columns, emitting insert/delete/update_preimage/
+    update_postimage rows under the NEW side's schema (added columns
+    NULL back-fill on old images — the Delta-CDF convention)."""
+    from pyspark.sql import functions as F
+
     cols = new.columns
     dropped = [c for c in old.columns if c not in cols]
     if dropped:
         raise ValueError(
-            f"versioned table {path}: to-version {to_version} lacks "
-            f"column(s) {dropped} present at {from_version} — narrowing "
-            "rewrites have no well-defined whole-row feed; diff the "
-            "overlap explicitly"
+            f"{label}: the new side lacks column(s) {dropped} present "
+            "on the old side — narrowing rewrites have no well-defined "
+            "whole-row feed; diff the overlap explicitly"
         )
     added = [c for c in cols if c not in old.columns]
     if added:
@@ -1785,12 +1806,12 @@ def table_changes(
 
     o = old.select(key, *val_cols).alias("o")
     n = new.select(key, *val_cols).alias("n")
-    for side, frame in (("from", o), ("to", n)):
+    for side, frame in (("old", o), ("new", n)):
         dup = frame.groupBy(key).count().filter(F.col("count") > 1).limit(1)
         if dup.count():
             raise ValueError(
-                f"versioned table {path}: duplicate {key!r} in the "
-                f"{side}-version — key-diff requires unique keys"
+                f"{label}: duplicate {key!r} on the {side} side — "
+                "key-diff requires unique keys"
             )
     j = o.withColumn("__oh", rhash(o)).join(
         n.withColumn("__nh", rhash(n)), on=key, how="full_outer"
@@ -2294,28 +2315,44 @@ def drop_branch(path: str, name: str) -> None:
 
 
 def branch_changes(
-    spark: SparkSession, path: str, name: str
+    spark: SparkSession, path: str, name: str, key: str | None = None
 ) -> DataFrame:
     """What the branch HAS STAGED, as a change feed (the WAP audit's
     incremental view — reviewers read the staged delta, not the whole
     branch): for an append-only branch the staged rows are exactly the
     dirs the branch added beyond its fork base — a plain scan, no
     join, the same manifest-diff shape as the main chain's append-only
-    :func:`table_changes`. An overwrite branch has no well-defined
-    row-level feed against base without a key — refused loudly (diff
-    it through table_changes semantics after publishing, or audit via
-    read_branch)."""
+    :func:`table_changes`. An OVERWRITE branch diffs against the fork
+    base by row identity (round 10 — the same key-diff kernel as
+    table_changes' rewrite ranges): pass ``key``, get insert/delete/
+    update images of what the staged rewrite would publish. Without a
+    key an overwrite feed is refused loudly."""
     from pyspark.sql import functions as F
 
     recs = _branch_records(path, name)
     head = recs[-1]
     staged_ops = {r["operation"] for r in recs[1:]}
     if staged_ops - {"append"}:
-        raise ValueError(
-            f"versioned table {path}: branch {name!r} staged "
-            f"{sorted(staged_ops - {'append'})} — only append-only "
-            "branches have a join-free staged feed; audit via "
-            "read_branch instead"
+        if key is None:
+            raise ValueError(
+                f"versioned table {path}: branch {name!r} staged "
+                f"{sorted(staged_ops - {'append'})} — an overwrite "
+                "feed diffs by row identity; pass key= (or audit via "
+                "read_branch)"
+            )
+        base_rec = recs[0]
+        base = _scan_dirs(
+            spark,
+            {
+                "schema": base_rec.get("schema"),
+                "evolved": base_rec.get("evolved"),
+            },
+            base_rec["data_dirs"],
+        )
+        staged = read_branch(spark, path, name)
+        return _key_diff_feed(
+            base, staged, key,
+            f"versioned table {path}: branch {name!r} vs fork base",
         )
     base_dirs = set(recs[0]["data_dirs"])
     added = [d for d in head["data_dirs"] if d not in base_dirs]
