@@ -3195,3 +3195,34 @@ def test_ivf_vindex_filtered_probe(spark, emb, tmp_path):
     assert not (
         {r.neighbor_id for r in got2.collect()} & set(victims)
     )
+
+
+def test_vindex_maybe_materialize_trigger(spark, emb, tmp_path):
+    """The index materialize trigger fires on either knob and stands
+    down otherwise — and the catalog janitor runs it for registered
+    snapshot indexes."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        register_entry,
+    )
+    from uts_spark.sources.versioned import list_versions
+
+    path = str(tmp_path / "ivf_trig")
+    vx.ivf_vindex_build(emb, path, fingerprint="t0", n_cells=8)
+    small = emb.filter(F.col("vec_id") < 5).select("vec_id")
+    vx.vindex_delete_mor(spark, small, path, fingerprint="t1")
+    assert vx.vindex_maybe_materialize(spark, path) is None
+    assert vx.vindex_maybe_materialize(spark, path, max_dvs=0) is not None
+    assert not list_versions(path)[-1].get("dv")
+
+    # fraction knob through the JANITOR
+    big = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    vx.vindex_delete_mor(spark, big, path, fingerprint="t2")
+    assert list_versions(path)[-1].get("dv")
+    cat = str(tmp_path / "cat")
+    register_entry(cat, "ivf", path, kind="index")
+    report = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)
+              if r.get("name")}
+    assert report["ivf"]["dv_materialized"] is not None
+    assert not list_versions(path)[-1].get("dv")

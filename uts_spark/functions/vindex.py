@@ -1765,6 +1765,30 @@ def vindex_materialize_dvs(
     raise last  # type: ignore[misc]
 
 
+def vindex_maybe_materialize(
+    spark, path: str, fingerprint: str = "",
+    max_dvs: int = 16, max_masked_frac: float = 0.05,
+) -> int | None:
+    """MATERIALIZE trigger for index deletion vectors (the
+    maybe_materialize_dvs analog, same measured knobs: vector count
+    bounds manifest growth, masked fraction bounds the probes' dead
+    anti-join work); None when under both. The maintenance tick runs
+    this before the chain-length compact check, so MOR debt is paid
+    on the same schedule as every other background chore."""
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        return None
+    pm = versions[max(versions)]
+    recs = pm.get("dv", [])
+    if not recs:
+        return None
+    masked = sum(r["n_masked"] for r in recs)
+    frac = masked / max(1, pm["n_rows"] + masked)
+    if len(recs) <= max_dvs and frac <= max_masked_frac:
+        return None
+    return vindex_materialize_dvs(spark, path, fingerprint=fingerprint)
+
+
 def vindex_read_rows_for_ids(
     spark, path: str, ids: DataFrame, version: int | None = None
 ) -> DataFrame:

@@ -742,6 +742,11 @@ def catalog_maintenance_tick(
                 r["skipped"] = "marker-protocol index (compact via "                     "index_protocol.index_compact)"
                 report.append(r)
                 continue
+            from uts_spark.functions.vindex import vindex_maybe_materialize
+
+            r["dv_materialized"] = vindex_maybe_materialize(
+                spark, rec["path"]
+            )
             r["compacted"] = vindex_maybe_compact(
                 spark, rec["path"], max_dirs=max_dirs
             )
