@@ -3197,6 +3197,161 @@ def test_ivf_vindex_filtered_probe(spark, emb, tmp_path):
     )
 
 
+def test_lsh_vindex_filtered_probe(spark, emb, tmp_path):
+    """meta_cols on the snapshot LSH family: carried through the
+    bucket pass (no extra shuffle), manifest-recorded for appends,
+    probe ``where`` pushed into the bucket-pruned scan (PushedFilters
+    plan pin), results identical to an index built over the filtered
+    corpus (hyperplanes are corpus-independent)."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "lsh_meta")
+    vx.lsh_vindex_build(
+        base, path, dim=64, fingerprint="f0", planes=8, tables=2,
+        meta_cols=("label",),
+    )
+    assert list_versions(path)[-1]["meta_cols"] == ["label"]
+    vx.lsh_vindex_append(batch, path, dim=64, fingerprint="f1",
+                         planes=8, tables=2)
+    anchors = emb.filter(F.col("vec_id") < 5)
+
+    got = vx.lsh_vindex_probe(
+        spark, path, anchors, k=10, where=F.col("label") == 7
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "EqualTo(label,7)" in plan
+
+    ref = str(tmp_path / "lsh_ref")
+    vx.lsh_vindex_build(
+        emb.filter(F.col("label") == 7), ref, dim=64, fingerprint="r0",
+        planes=8, tables=2,
+    )
+    want = vx.lsh_vindex_probe(spark, ref, anchors, k=10)
+    assert sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in want.collect()
+    )
+
+
+def test_ivfpq_vindex_filtered_probe_and_recluster_carry(
+    spark, emb, tmp_path
+):
+    """meta_cols on the snapshot IVF-PQ family — and the REWRITE
+    carry: recluster re-derives both quantizers and re-encodes every
+    row, so it must keep the metadata columns or the filtered-ANN
+    schema would silently narrow (the seam this test pins; the fix
+    threads meta_cols through both reclusters' make_rows)."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "pq_meta")
+    vx.ivfpq_vindex_build(
+        base, path, dim=64, fingerprint="f0", n_cells=8, m_sub=8,
+        n_cent=16, meta_cols=("label",),
+    )
+    vx.ivfpq_vindex_append(batch, path, fingerprint="f1")
+
+    anchors = emb.filter(F.col("vec_id") < 5)
+    got = vx.ivfpq_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    )
+    rows = got.collect()
+    assert rows
+    lbl = {
+        r.label
+        for r in emb.filter(
+            F.col("vec_id").isin([int(x.neighbor_id) for x in rows])
+        ).select("label").collect()
+    }
+    assert lbl == {7}
+
+    # recluster: fresh quantizers, rows re-encoded — meta_cols survive
+    # on the manifest AND in the rewritten rows; a filtered probe at
+    # the new version still resolves the predicate
+    vx.ivfpq_vindex_recluster(spark, path, fingerprint="f2")
+    assert list_versions(path)[-1]["meta_cols"] == ["label"]
+    got2 = vx.ivfpq_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    ).collect()
+    assert got2
+    lbl2 = {
+        r.label
+        for r in emb.filter(
+            F.col("vec_id").isin([int(x.neighbor_id) for x in got2])
+        ).select("label").collect()
+    }
+    assert lbl2 == {7}
+
+
+def test_ivf_vindex_recluster_carries_meta_cols(spark, emb, tmp_path):
+    """The IVF recluster twin of the carry pin above (build+append was
+    exercised by the round-10 lane; the rewrite path narrowed the
+    schema before the fix)."""
+    import uts_spark.functions.vindex as vx
+
+    path = str(tmp_path / "ivf_meta_rc")
+    vx.ivf_vindex_build(
+        emb, path, fingerprint="f0", n_cells=8, meta_cols=("label",)
+    )
+    vx.ivf_vindex_recluster(spark, path, fingerprint="f1")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    got = vx.ivf_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    ).collect()
+    assert got
+    lbl = {
+        r.label
+        for r in emb.filter(
+            F.col("vec_id").isin([int(x.neighbor_id) for x in got])
+        ).select("label").collect()
+    }
+    assert lbl == {7}
+
+
+def test_minhash_vindex_filtered_probe(spark, docs, tmp_path):
+    """meta_cols on the snapshot MinHash family: metadata joined back
+    onto the band rows at build, probe ``where`` restricts candidate
+    OLD docs before the verify — identical to an index built over the
+    filtered corpus (signatures are per-doc independent)."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions
+
+    path = str(tmp_path / "mh_meta")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    vx.minhash_vindex_build(
+        old, "text", "doc_id", path, fingerprint="f0",
+        meta_cols=("lang",),
+    )
+    assert list_versions(path)[-1]["meta_cols"] == ["lang"]
+    got = vx.minhash_vindex_probe(
+        spark, path, new, old, "text", "doc_id",
+        where=F.col("lang") == "en",
+    )
+    ref = str(tmp_path / "mh_ref")
+    old_en = old.filter(F.col("lang") == "en")
+    vx.minhash_vindex_build(old_en, "text", "doc_id", ref,
+                            fingerprint="r0")
+    want = vx.minhash_vindex_probe(
+        spark, ref, new, old_en, "text", "doc_id"
+    )
+    assert sorted(
+        (r.id_new, r.id_old) for r in got.collect()
+    ) == sorted((r.id_new, r.id_old) for r in want.collect())
+
+
 def test_vindex_maybe_materialize_trigger(spark, emb, tmp_path):
     """The index materialize trigger fires on either knob and stands
     down otherwise — and the catalog janitor runs it for registered

@@ -343,6 +343,7 @@ def lsh_bucket_table(
     tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, vec, table, bucket) for ALL hash tables in one pass.
 
@@ -352,7 +353,12 @@ def lsh_bucket_table(
     dim-wide literal array — a plan so large that codegen/analysis
     dominated runtime (~9.5s for 5k vectors; this shape: ~1s). One
     cross join against the tiny plane table, one dot product expression,
-    sign bits assembled by a groupBy over (id, table)."""
+    sign bits assembled by a groupBy over (id, table).
+
+    ``keep_cols`` rides metadata columns through the bucket pass for
+    free (carried as F.first in the existing per-(id, table) agg — no
+    extra shuffle): the filtered-ANN input for the persisted LSH
+    index."""
     # Bucket ids pack into a signed 64-bit long; >62 planes would wrap.
     if not (1 <= planes <= 62):
         raise ValueError(f"lsh_bucket_table: planes must be in [1, 62], got {planes}")
@@ -371,8 +377,10 @@ def lsh_bucket_table(
         lambda acc, x: acc + x,
     )
     bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(pdf)).select(
-        id_col, vec_col, "table",
+    scored = df.select(id_col, vec_col, *keep_cols).crossJoin(
+        F.broadcast(pdf)
+    ).select(
+        id_col, vec_col, *keep_cols, "table",
         bit.alias("__bit"), F.col("plane"),
     )
     return (
@@ -380,6 +388,7 @@ def lsh_bucket_table(
         .agg(
             F.sum(F.expr("shiftleft(__bit, plane)")).alias("bucket"),
             F.first(vec_col).alias(vec_col),
+            *[F.first(c).alias(c) for c in keep_cols],
         )
     )
 
@@ -904,6 +913,7 @@ def lsh_index_probe(
     vec_col: str = "embedding",
     version: int | None = None,
     scan: DataFrame | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """Probe the persisted index: hash the anchors (tiny), push their
     (table, bucket) list into the index scan as a STATIC partition
@@ -917,7 +927,12 @@ def lsh_index_probe(
     :func:`lsh_topk` at the same (planes, tables) — pinned by
     tests/test_llm_ops.py. ``scan`` overrides the index read entirely
     (the snapshot family resolves its manifest's immutable dir list and
-    passes it here — same kernel, snapshot-isolated source)."""
+    passes it here — same kernel, snapshot-isolated source).
+    ``where`` PRE-FILTERS the index rows on metadata columns stored at
+    build time (``meta_cols`` on the snapshot family): the predicate
+    composes with the bucket condition so both push down to the
+    parquet scan — candidacy restricted to eligible vectors, never the
+    post-filter under-fill."""
     from functools import reduce
     from operator import or_
 
@@ -949,6 +964,8 @@ def lsh_index_probe(
         ],
         F.lit(False),
     )
+    if where is not None:
+        idx = idx.filter(where)
     right = idx.filter(cond).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),
@@ -2030,6 +2047,7 @@ def ivfpq_index_probe(
     scan: DataFrame | None = None,
     cents: DataFrame | None = None,
     cexp: DataFrame | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank over the persisted COMPOSED index
     (:func:`ivfpq_index_write`):
@@ -2093,6 +2111,12 @@ def ivfpq_index_probe(
             from uts_spark.functions.dedup import index_scan_at
 
             scan = index_scan_at(spark, path, version)
+    if where is not None:
+        # metadata pre-filter (meta_cols stored at build): composes
+        # with the cell isin so both push down to the parquet scan —
+        # ADC scores only eligible vectors, the shortlist never
+        # under-fills like post-filtering
+        scan = scan.filter(where)
     idx = scan.filter(F.col("cell").isin(cells)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__vb"),

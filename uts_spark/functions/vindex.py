@@ -469,15 +469,36 @@ def _manifest_at(path: str, version: int | None) -> dict:
 # MinHash band family (round-9 template; VERDICT r8 #4)
 
 
-def _rows(df: DataFrame, text_col: str, id_col: str, n, k, bands, n_grps):
+def _rows(df: DataFrame, text_col: str, id_col: str, n, k, bands, n_grps,
+          meta_cols=()):
     sig = minhash_signatures_portable(
         doc_shingle_arrays_portable(df, text_col, id_col, n), k
     )
-    return (
+    rows = (
         _band_bucket_rows(sig, k, bands)
         .select("id", "band", "bucket")
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
     )
+    if meta_cols:
+        # the shingle kernel normalizes the id column to "id" and drops
+        # everything else — join the metadata back by id (build-sized
+        # once, batch-sized on appends): the filtered-dedup input, so
+        # probes can restrict candidacy (e.g. same-language corpora)
+        # without touching the verify kernel
+        rows = rows.join(
+            df.select(F.col(id_col).alias("id"), *meta_cols), "id"
+        )
+    return rows
+
+
+def _mh_carry(meta: dict, pm: dict) -> dict:
+    """Carry the minhash manifest's monitor + schema keys that
+    _config_meta does not re-derive (the skew reference and the
+    filtered-probe metadata column list)."""
+    for key in ("coll_ref", "meta_cols"):
+        if key in pm:
+            meta[key] = pm[key]
+    return meta
 
 
 def _config_meta(fingerprint: str, n, k, bands, n_grps) -> dict:
@@ -529,15 +550,23 @@ def minhash_vindex_build(
     k: int = 32,
     bands: int = 8,
     n_grps: int = 16,
+    meta_cols: tuple[str, ...] = (),
 ) -> int:
     """Version 0: the full band-row table as one snapshot commit (the
     delta-dir + CAS-commit shape, so even the BUILD is safe against a
-    concurrent builder — one wins, the other conflicts cleanly)."""
-    rows = _rows(df, text_col, id_col, n, k, bands, n_grps)
+    concurrent builder — one wins, the other conflicts cleanly).
+
+    ``meta_cols`` stores document metadata beside the band rows
+    (manifest-recorded; probes push a ``where`` into the banded scan
+    so candidate generation is restricted to eligible docs — filtered
+    dedup, e.g. only same-language collisions)."""
+    rows = _rows(df, text_col, id_col, n, k, bands, n_grps, meta_cols)
     ddir = _write_delta_dir(_cluster(rows, "band", "grp"), path, _SORT)
     spark = df.sparkSession
     n_rows, stats = _count_and_stats(spark, ddir)
     meta = _config_meta(fingerprint, n, k, bands, n_grps)
+    if meta_cols:
+        meta["meta_cols"] = list(meta_cols)
     # the skew monitor's ORGANIC reference (coll = sum s*(s-1) over
     # buckets, rown = band rows) commits WITH the build — no sidecar
     # file; every verb carries it, the cap verb's accounting reads the
@@ -585,17 +614,17 @@ def minhash_vindex_append(
         )
         if done is not None:
             return done
-    rows = _rows(batch, text_col, id_col, n, k, bands, n_grps)
+    keep = tuple(_current_manifest(path).get("meta_cols", ()))
+    rows = _rows(batch, text_col, id_col, n, k, bands, n_grps, keep)
     ddir = _write_delta_dir(
         rows.repartition(4, "band", "grp"), path, _SORT
     )
     n_new, stats = _count_and_stats(spark, ddir)
 
     def meta_fn(pm):
-        meta = _config_meta(fingerprint, n, k, bands, n_grps)
-        if "coll_ref" in pm:
-            meta["coll_ref"] = pm["coll_ref"]
-        return meta
+        return _mh_carry(
+            _config_meta(fingerprint, n, k, bands, n_grps), pm
+        )
 
     return _append_commit(
         spark, path, ddir, stats, n_new, meta_fn,
@@ -617,10 +646,9 @@ def minhash_vindex_delete(
     :func:`_delete_pruned` for the id-range pruning contract)."""
     _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
     def meta_fn(pm):
-        meta = _config_meta(fingerprint, n, k, bands, n_grps)
-        if "coll_ref" in pm:
-            meta["coll_ref"] = pm["coll_ref"]
-        return meta
+        return _mh_carry(
+            _config_meta(fingerprint, n, k, bands, n_grps), pm
+        )
 
     return _delete_pruned(
         spark, deleted_ids, path, "id", ("band", "grp"), _SORT, meta_fn,
@@ -643,10 +671,9 @@ def minhash_vindex_compact(
     marker family, where compaction physically replaces files and
     must RESET history)."""
     def meta_fn(pm, cur):
-        meta = _config_meta(fingerprint, n, k, bands, n_grps)
-        if "coll_ref" in pm:
-            meta["coll_ref"] = pm["coll_ref"]
-        return meta
+        return _mh_carry(
+            _config_meta(fingerprint, n, k, bands, n_grps), pm
+        )
 
     return _rewrite_with_retry(
         spark, path,
@@ -668,14 +695,21 @@ def minhash_vindex_probe(
     threshold: float = 0.5,
     n_grps: int = 16,
     version: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Probe at the current (or a pinned) snapshot: resolve the
     manifest's immutable dir list and run the SHARED candidate/verify
     kernel (dedup.minhash_index_probe with scan=). Snapshot isolation
     is structural — concurrent commits cannot change the resolved dir
-    list mid-read."""
+    list mid-read. ``where`` pre-filters the index rows on metadata
+    columns stored at build (``meta_cols``): candidate generation is
+    restricted to eligible old docs BEFORE the verify — filtered dedup
+    (e.g. same-language collisions only), composed with the banded
+    partition pruning in one scan."""
     _check_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
     scan = read_version(spark, path, version)
+    if where is not None:
+        scan = scan.filter(where)
     return minhash_index_probe(
         spark, path, new_docs, old_docs, text_col, id_col,
         n=n, k=k, bands=bands, threshold=threshold, n_grps=n_grps,
@@ -692,18 +726,21 @@ _LSH_SORT = ("table", "bucket")
 _LSH_KEYS = ("dim", "planes", "tables")
 
 
-def _lsh_rows(emb, dim, planes, tables, id_col, vec_col):
+def _lsh_rows(emb, dim, planes, tables, id_col, vec_col, keep_cols=()):
     from uts_spark.functions.similarity import lsh_bucket_table
 
-    return lsh_bucket_table(emb, dim, planes, tables, id_col, vec_col).select(
-        id_col, vec_col, "table", "bucket"
-    )
+    return lsh_bucket_table(
+        emb, dim, planes, tables, id_col, vec_col, keep_cols=tuple(keep_cols)
+    ).select(id_col, vec_col, *keep_cols, "table", "bucket")
 
 
-def _lsh_meta(fingerprint, dim, planes, tables, id_col="vec_id") -> dict:
+def _lsh_meta(
+    fingerprint, dim, planes, tables, id_col="vec_id", meta_cols=()
+) -> dict:
     return {
         "family": "lsh", "fingerprint": fingerprint, "id_col": id_col,
         "dim": dim, "planes": planes, "tables": tables,
+        **({"meta_cols": list(meta_cols)} if meta_cols else {}),
     }
 
 
@@ -716,17 +753,23 @@ def lsh_vindex_build(
     tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> int:
     """Version 0 of the snapshot LSH index: one bucket-table pass over
     the corpus, cluster-sorted by (table, bucket) so row-group stats
-    prune the probe's collision scan."""
-    rows = _lsh_rows(emb, dim, planes, tables, id_col, vec_col)
+    prune the probe's collision scan.
+
+    ``meta_cols`` stores metadata columns beside the vectors (carried
+    through the bucket pass for free — no extra shuffle); recorded on
+    the manifest so appends keep the row schema and probes can push a
+    ``where`` into the bucket-pruned scan (filtered ANN)."""
+    rows = _lsh_rows(emb, dim, planes, tables, id_col, vec_col, meta_cols)
     ddir = _write_delta_dir(
         _cluster(rows, "table", "bucket"), path, _LSH_SORT
     )
     spark = emb.sparkSession
     n_rows, stats = _count_and_stats(spark, ddir, id_col)
-    meta = _lsh_meta(fingerprint, dim, planes, tables, id_col)
+    meta = _lsh_meta(fingerprint, dim, planes, tables, id_col, meta_cols)
     meta["dir_stats"] = {ddir: stats}
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
@@ -757,14 +800,20 @@ def lsh_vindex_append(
         )
         if done is not None:
             return done
-    rows = _lsh_rows(emb_batch, dim, planes, tables, id_col, vec_col)
+    # the manifest's meta_cols define the row schema — the caller
+    # never restates them (same contract as the IVF append)
+    keep = tuple(_current_manifest(path).get("meta_cols", ()))
+    rows = _lsh_rows(emb_batch, dim, planes, tables, id_col, vec_col, keep)
     ddir = _write_delta_dir(
         rows.repartition(4, "table", "bucket"), path, _LSH_SORT
     )
     n_new, stats = _count_and_stats(spark, ddir, id_col)
     return _append_commit(
         spark, path, ddir, stats, n_new,
-        lambda pm: _lsh_meta(fingerprint, dim, planes, tables, id_col),
+        lambda pm: _lsh_meta(
+            fingerprint, dim, planes, tables, id_col,
+            pm.get("meta_cols", ()),
+        ),
         batch_id=batch_id, stream_id=stream_id,
     )
 
@@ -815,11 +864,14 @@ def lsh_vindex_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Probe at the current (or a pinned) snapshot through the shared
     LSH candidate/rerank kernel. The (dim, planes, tables) config is
     read from the MANIFEST, never passed — a probe cannot disagree
-    with the index it scans."""
+    with the index it scans. ``where`` pre-filters on metadata columns
+    stored at build (``meta_cols``), pushed into the bucket-pruned
+    scan — index-layer filtered ANN."""
     from uts_spark.functions.similarity import lsh_index_probe
 
     m = _manifest_at(path, version)
@@ -827,7 +879,7 @@ def lsh_vindex_probe(
     return lsh_index_probe(
         spark, path, anchors, dim=m["dim"], k=k,
         planes=m["planes"], tables=m["tables"],
-        id_col=id_col, vec_col=vec_col, scan=scan,
+        id_col=id_col, vec_col=vec_col, scan=scan, where=where,
     )
 
 
@@ -1070,9 +1122,13 @@ def ivf_vindex_recluster(
         return meta
 
     def make_rows(cur, meta):
+        # meta_cols ride in the stored rows — re-assignment must carry
+        # them or the rewrite would narrow the filtered-ANN schema
+        keep = tuple(meta.get("meta_cols", ()))
         cents = spark.read.parquet(meta["centroids_dir"])
         return _ivf_assign(
-            cur.select(id_col, vec_col), cents, id_col, vec_col
+            cur.select(id_col, vec_col, *keep), cents, id_col, vec_col,
+            keep_cols=keep,
         ).transform(lambda d: _cluster(d, "cell"))
 
     def amend_fn(meta, ddir):
@@ -1207,13 +1263,16 @@ def ivf_vindex_probe(
 _IVFPQ_KEYS = ("n_cells", "dim", "m_sub", "n_cent")
 
 
-def _ivfpq_rows(emb, cents, cexp, dim, m_sub, id_col, vec_col):
+def _ivfpq_rows(emb, cents, cexp, dim, m_sub, id_col, vec_col,
+                keep_cols=()):
     from uts_spark.functions.similarity import _ivf_assign, _ivfpq_codes
 
-    assigned = _ivf_assign(emb, cents, id_col, vec_col)
+    assigned = _ivf_assign(
+        emb, cents, id_col, vec_col, keep_cols=tuple(keep_cols)
+    )
     codes = _ivfpq_codes(emb, cexp, dim, m_sub, id_col, vec_col)
     return assigned.join(codes, assigned[id_col] == codes["__vid"]).select(
-        id_col, vec_col, "codes", "cell"
+        id_col, vec_col, *keep_cols, "codes", "cell"
     )
 
 
@@ -1275,10 +1334,13 @@ def ivfpq_vindex_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_src: DataFrame | None = None,
+    meta_cols: tuple[str, ...] = (),
 ) -> int:
     """Version 0: freeze BOTH quantizers as sidecars, store every
     vector with its coarse cell and PQ code array, commit rows + both
-    pointers in one manifest."""
+    pointers in one manifest. ``meta_cols`` stores metadata columns
+    beside the codes (manifest-recorded; probes push ``where`` into
+    the cell-pruned scan — filtered ANN before ADC scoring)."""
     from uts_spark.functions.similarity import (
         _ivf_centroids,
         _pq_codebook_exp,
@@ -1299,7 +1361,9 @@ def ivfpq_vindex_build(
     )
     cents = spark.read.parquet(cdir)
     cexp = spark.read.parquet(bdir)
-    rows = _ivfpq_rows(emb, cents, cexp, dim, m_sub, id_col, vec_col)
+    rows = _ivfpq_rows(
+        emb, cents, cexp, dim, m_sub, id_col, vec_col, meta_cols
+    )
     ddir = _write_delta_dir(_cluster(rows, "cell"), path, _IVF_SORT)
     n_rows, stats = _count_and_stats(spark, ddir, id_col)
     meta = {
@@ -1308,6 +1372,7 @@ def ivfpq_vindex_build(
         "id_col": id_col,
         "centroids_dir": cdir, "codebook_dir": bdir,
         "aux_dirs": [cdir, bdir],
+        **({"meta_cols": list(meta_cols)} if meta_cols else {}),
         "dist_ref": list(
             _ivfpq_dist_ints_from_dir(
                 spark, ddir, bdir, dim, m_sub, id_col, vec_col
@@ -1365,7 +1430,7 @@ def ivfpq_vindex_append(
             cexp = spark.read.parquet(ptr[1])
             rows = _ivfpq_rows(
                 emb_batch, cents, cexp, pm["dim"], pm["m_sub"],
-                id_col, vec_col,
+                id_col, vec_col, tuple(pm.get("meta_cols", ())),
             )
             ddir = _write_delta_dir(
                 rows.repartition(4, "cell"), path, _IVF_SORT
@@ -1475,11 +1540,12 @@ def ivfpq_vindex_recluster(
         return meta
 
     def make_rows(cur, meta):
+        keep = tuple(meta.get("meta_cols", ()))
         cents = spark.read.parquet(meta["centroids_dir"])
         cexp = spark.read.parquet(meta["codebook_dir"])
         return _ivfpq_rows(
-            cur.select(id_col, vec_col), cents, cexp,
-            meta["dim"], meta["m_sub"], id_col, vec_col,
+            cur.select(id_col, vec_col, *keep), cents, cexp,
+            meta["dim"], meta["m_sub"], id_col, vec_col, keep,
         ).transform(lambda d: _cluster(d, "cell"))
 
     def amend_fn(meta, ddir):
@@ -1573,11 +1639,15 @@ def ivfpq_vindex_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Probe at the current (or a pinned) snapshot: the manifest
     resolves the dir list AND both quantizer sidecars, so stored codes
     always ADC-score against the codebook they were encoded with —
-    at every version, across any recluster."""
+    at every version, across any recluster. ``where`` pre-filters on
+    metadata columns stored at build (``meta_cols``), pushed into the
+    cell-pruned scan BEFORE ADC scoring — the shortlist is drawn from
+    eligible vectors only."""
     from uts_spark.functions.similarity import ivfpq_index_probe
 
     m = _manifest_at(path, version)
@@ -1588,7 +1658,7 @@ def ivfpq_vindex_probe(
         spark, path, anchors, None, dim=m["dim"], k=k,
         n_cells=m["n_cells"], n_probe=n_probe, m_sub=m["m_sub"],
         n_cent=m["n_cent"], rerank=rerank, id_col=id_col, vec_col=vec_col,
-        scan=scan, cents=cents, cexp=cexp,
+        scan=scan, cents=cents, cexp=cexp, where=where,
     )
 
 
@@ -2104,11 +2174,13 @@ def minhash_vindex_cap_hot_buckets(
         state["hot"] = hot
         qrows = cur.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
         qdir = _write_delta_dir(_cluster(qrows, "band", "grp"), path, _SORT)
-        meta = _config_meta(
-            fingerprint, pmm["n"], pmm["k"], pmm["bands"], pmm["n_grps"]
+        meta = _mh_carry(
+            _config_meta(
+                fingerprint, pmm["n"], pmm["k"], pmm["bands"],
+                pmm["n_grps"],
+            ),
+            pmm,
         )
-        if "coll_ref" in pmm:
-            meta["coll_ref"] = pmm["coll_ref"]
         meta["hot_buckets"] = hot.count()
         meta["quarantine_dir"] = qdir
         meta["aux_dirs"] = list(pmm.get("aux_dirs", [])) + [qdir]
@@ -2182,7 +2254,8 @@ def minhash_vindex_ingest_tick(
 
     pm = before[max(before)]
     rows = _rows(
-        batch_docs, text_col, id_col, n, k, bands, n_grps
+        batch_docs, text_col, id_col, n, k, bands, n_grps,
+        tuple(pm.get("meta_cols", ())),
     ).localCheckpoint(eager=True)
     live = read_version(spark, path)
     coll, row_n = minhash_collision_stat_ints(
@@ -2192,9 +2265,7 @@ def minhash_vindex_ingest_tick(
     n_new, stats = _count_and_stats(spark, ddir)
 
     def meta_fn(pmm):
-        meta = _config_meta(fingerprint, n, k, bands, n_grps)
-        if "coll_ref" in pmm:
-            meta["coll_ref"] = pmm["coll_ref"]
+        meta = _mh_carry(_config_meta(fingerprint, n, k, bands, n_grps), pmm)
         meta["coll_sum"], meta["coll_rown"] = coll, row_n
         return meta
 

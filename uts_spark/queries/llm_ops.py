@@ -6690,6 +6690,195 @@ def similarity_ann_ivf_index_filtered_probe(spark, sf_dir):
     )
 
 
+@query(
+    "similarity_ann_lsh_index_filtered_probe",
+    _duck_ann_index_probe(
+        member_pred=" AND b.vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label = 7)"
+    ),
+)
+def similarity_ann_lsh_index_filtered_probe(spark, sf_dir):
+    """Filtered ANN on the snapshot LSH index (round 10 cont. — the
+    bucket-family member of the meta_cols matrix): build stores the
+    ``label`` column beside the vectors (carried through the bucket
+    pass inside the existing per-(id, table) agg — zero extra
+    shuffle), the manifest records ``meta_cols`` so the append keeps
+    the row schema without restating it, and the probe's ``where``
+    composes with the (table, bucket) condition so BOTH push down to
+    the bucket-pruned parquet scan. Candidacy is restricted to
+    eligible vectors before the exact rerank — pre-filter semantics,
+    never the post-filter under-fill. Oracle = the full LSH replay
+    with neighbor membership restricted to label=7 (hyperplanes are
+    corpus-independent, so an index filtered at probe time ≡ a rebuild
+    over the filtered corpus). Scale: the predicate rides the same
+    row-group-stat pruning as the bucket condition — a label-clustered
+    layout would skip whole row groups."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        lsh_vindex_append,
+        lsh_vindex_build,
+        lsh_vindex_probe,
+    )
+    from uts_spark.sources.versioned import list_versions
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp = f"lshmeta_{_emb_frame_fingerprint(base)}"
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"ann_lsh_meta_{tag}")
+
+    ms = list_versions(path)
+    ok = (
+        len(ms) == 2
+        and ms[0].get("fingerprint") == fp
+        and ms[0].get("meta_cols") == ["label"]
+    )
+    if not ok:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        lsh_vindex_build(
+            base, path, dim=EMB_DIM, fingerprint=fp,
+            planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+            meta_cols=("label",),
+        )
+        lsh_vindex_append(
+            batch, path, dim=EMB_DIM, fingerprint=f"{fp}:a",
+            planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
+        )
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return lsh_vindex_probe(
+        spark, path, anchors, k=10, where=F.col("label") == 7,
+    )
+
+
+@query(
+    "similarity_ann_ivfpq_index_filtered_probe",
+    _duck_ivfpq(
+        base_where=f"WHERE vec_id % {_IVF_APP_MOD} != {_IVF_APP_REM}",
+        member_where=" AND a.vec_id IN "
+        "(SELECT vec_id FROM embeddings WHERE label = 7)",
+    ),
+)
+def similarity_ann_ivfpq_index_filtered_probe(spark, sf_dir):
+    """Filtered ANN on the snapshot IVF-PQ index — the compressed
+    family completes the meta_cols matrix: the metadata column rides
+    beside the code arrays, and the probe's ``where`` pushes into the
+    cell-pruned scan BEFORE ADC scoring, so the rerank-bounded
+    shortlist is drawn from eligible vectors only. This placement
+    matters at 100 TB: post-filtering an ADC shortlist of ``rerank``
+    candidates at 10% selectivity returns ~rerank/10 survivors (the
+    measured under-fill in SCALE.md round 10) — pre-filtering keeps
+    the shortlist full at the same ADC cost. Oracle = the composed
+    IVF-PQ recompute (quantizers frozen from base) with candidate
+    membership restricted to label=7."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        ivfpq_vindex_append,
+        ivfpq_vindex_build,
+        ivfpq_vindex_probe,
+    )
+    from uts_spark.sources.versioned import list_versions
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % _IVF_APP_MOD != _IVF_APP_REM)
+    batch = e.filter(F.col("vec_id") % _IVF_APP_MOD == _IVF_APP_REM)
+    fp = f"pqmeta_{_emb_frame_fingerprint(base)}"
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"ann_ivfpq_meta_{tag}")
+
+    ms = list_versions(path)
+    ok = (
+        len(ms) == 2
+        and ms[0].get("fingerprint") == fp
+        and ms[0].get("meta_cols") == ["label"]
+    )
+    if not ok:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ivfpq_vindex_build(
+            base, path, dim=EMB_DIM, fingerprint=fp,
+            n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C, meta_cols=("label",),
+        )
+        ivfpq_vindex_append(batch, path, fingerprint=f"{fp}:a")
+
+    anchors = e.filter(F.col("vec_id") < 5)
+    return ivfpq_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    )
+
+
+@query(
+    "dedup_minhash_index_filtered_probe",
+    _duck_minhash_index_probe(
+        _MIDX_REM2,
+        old_pred=" AND b.id IN "
+        "(SELECT doc_id FROM documents WHERE lang = 'en')",
+    ),
+)
+def dedup_minhash_index_filtered_probe(spark, sf_dir):
+    """Filtered DEDUP on the snapshot MinHash index — meta_cols for
+    the band family: the build joins document metadata (``lang``)
+    back onto the band rows by id (one build-time shuffle; appends
+    are batch-sized) and records ``meta_cols`` on the manifest; the
+    probe's ``where`` restricts candidate generation to eligible OLD
+    docs before the Jaccard verify — the same-language-collisions
+    shape a multilingual corpus dedup service runs (cross-language
+    band collisions are noise by construction: shingles from
+    different scripts rarely share grams, but a restricted probe
+    never pays to verify them at all). MinHash signatures are per-doc
+    independent, so filtering index rows by metadata ≡ an index built
+    over the filtered corpus (pinned in tests). Oracle = the probe
+    recompute with old-side membership restricted to lang='en'."""
+    import os
+    import shutil
+
+    from uts_spark.functions.vindex import (
+        minhash_vindex_append,
+        minhash_vindex_build,
+        minhash_vindex_probe,
+        vindex_config,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(
+        (F.col("doc_id") % _MIDX_MOD != _MIDX_REM)
+        & (F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+    )
+    b1 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM)
+    b2 = docs.filter(F.col("doc_id") % _MIDX_MOD == _MIDX_REM2)
+    old = docs.filter(F.col("doc_id") % _MIDX_MOD != _MIDX_REM2)
+
+    cfg = dict(n=_MIDX_N, k=_MIDX_K, bands=_MIDX_BANDS)
+    fp = f"mhmeta_{_frame_fingerprint(base)}"
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"dedup_mh_meta_{tag}")
+
+    m = vindex_config(path)
+    ok = m is not None and m.get("fingerprint") == f"{fp}:a"
+    if not ok:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        minhash_vindex_build(
+            base, "text", "doc_id", path, fingerprint=fp,
+            meta_cols=("lang",), **cfg,
+        )
+        minhash_vindex_append(
+            b1, "text", "doc_id", path, fingerprint=f"{fp}:a", **cfg
+        )
+
+    return minhash_vindex_probe(
+        spark, path, b2, old, "text", "doc_id",
+        threshold=_MIDX_THR, where=F.col("lang") == "en", **cfg,
+    )
+
+
 def _register_ivf_vindex_mor():
     probe_sql = _duck_ivf_det_frozen(
         member_where=f" AND a.vec_id % {_IVF_APP_MOD} != {_VIDX_DEL_REM}"
