@@ -1432,7 +1432,9 @@ def test_versioned_branch_changes_staged_feed(spark, tmp_path):
         spark.createDataFrame([(7, "w")], "k int, v string"), path, "ow",
         operation="overwrite",
     )
-    with _pytest.raises(ValueError, match="append-only"):
+    # keyless overwrite feeds refuse with the pass-key= hint (the
+    # key-diff path is exercised by ..._overwrite_keydiff below)
+    with _pytest.raises(ValueError, match="pass key="):
         branch_changes(spark, path, "ow")
 
 
@@ -1720,7 +1722,7 @@ def test_versioned_replicate(spark, tmp_path):
     assert read_version(spark, dst).count() == 60
 
     # (e) rewrite range without a key refuses
-    with pytest.raises(ValueError, match="include a rewrite"):
+    with pytest.raises(ValueError, match="rewrite or merge-on-read"):
         replicate(spark, src, dst, up_to=2)
 
     # (c) 1 -> 3 spans a rewrite: key-diff apply, converges to src@3
@@ -2676,3 +2678,142 @@ def test_versioned_branch_changes_overwrite_keydiff(spark, tmp_path):
     assert by["delete"] == {(0, 0), (1, 1)}
     assert by["update_preimage"] == {(5, 5)}
     assert by["update_postimage"] == {(5, 500)}
+
+
+def test_versioned_kmv_sketch_lifecycle(spark, tmp_path):
+    """Per-dir KMV sketches: inherited by appends, recomputed by the
+    pruned delete, carried through optimize / merge / MOR + materialize,
+    merge invariant (per-dir union == single-pass synopsis), and the
+    type refusal."""
+    import pytest
+
+    import uts_spark.sources.versioned as V
+    from uts_spark.functions.hashing import hash64
+
+    df = spark.createDataFrame(
+        [(i, i % 37, f"v{i}") for i in range(300)],
+        "rid long, key long, val string",
+    )
+    path = str(tmp_path / "kmv_vt")
+    V.write_snapshot(
+        df.filter("rid % 3 = 0"), path, stats_col="key", kmv_col="key",
+        kmv_k=16,
+    )
+    V.append_snapshot(df.filter("rid % 3 = 1"), path)
+    V.append_snapshot(df.filter("rid % 3 = 2"), path)
+    m = V.list_versions(path)[-1]
+    assert m["kmv_col"] == "key" and m["kmv_k"] == 16
+    assert len(m["dir_kmv"]) == 3
+
+    # merge invariant: union of per-dir sketches == single-pass sketch
+    sk, k = V.table_kmv(path)
+    direct = [
+        int(r["h"])
+        for r in df.select(
+            hash64(F.col("key").cast("string")).alias("h")
+        ).distinct().orderBy("h").limit(16).collect()
+    ]
+    assert sk == direct and k == 16
+
+    # 37 distinct keys > k=16 -> sampled estimate in the right decade
+    est = V.kmv_distinct(path)
+    assert 10 <= est <= 150
+
+    # MOR delete carries the synopsis untouched; materialize recomputes
+    V.delete_rows_mor(
+        spark, path,
+        spark.createDataFrame([(0,), (1,)], "key long"), "key",
+    )
+    assert V.table_kmv(path) is not None
+    V.materialize_dvs(spark, path)
+    m2 = V.list_versions(path)[-1]
+    assert set(m2["dir_kmv"]) == set(V._manifest_dirs(m2))
+    est2 = V.kmv_distinct(path)
+    direct2 = [
+        int(r["h"])
+        for r in V.read_version(spark, path)
+        .select(hash64(F.col("key").cast("string")).alias("h"))
+        .distinct().orderBy("h").limit(16).collect()
+    ]
+    assert V.table_kmv(path)[0] == direct2
+
+    # pruned CoW delete recomputes the rewritten dir's sketch
+    V.delete_rows(
+        spark, path,
+        spark.createDataFrame([(2,), (3,)], "key long"), "key",
+    )
+    assert V.table_kmv(path)[0] == [
+        int(r["h"])
+        for r in V.read_version(spark, path)
+        .select(hash64(F.col("key").cast("string")).alias("h"))
+        .distinct().orderBy("h").limit(16).collect()
+    ]
+
+    # optimize and merge carry the synopsis
+    V.optimize(spark, path)
+    assert V.list_versions(path)[-1].get("kmv_col") == "key"
+    V.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(9999, 5, "up")], "rid long, key long, val string"),
+        "rid",
+    )
+    assert V.list_versions(path)[-1].get("kmv_col") == "key"
+    assert V.list_versions(path)[-1].get("kmv_k") == 16
+
+    # estimates raise rather than lie when no synopsis exists
+    bare = str(tmp_path / "bare_vt")
+    V.write_snapshot(df, bare)
+    with pytest.raises(ValueError, match="no complete KMV synopsis"):
+        V.kmv_distinct(bare)
+
+    # type refusal before any write
+    arr = df.select("rid", F.array("key").alias("key"))
+    with pytest.raises(ValueError, match="kmv_col"):
+        V.write_snapshot(arr, str(tmp_path / "bad_vt"), kmv_col="key")
+
+
+def test_versioned_kmv_planner_estimates(spark, tmp_path):
+    """Join-size + takedown-overlap estimates and the erasure-mode
+    advisor: floor-pinned integers, small-vs-large intersection takes
+    the sample-rate branch (the union-merge form would truncate the
+    small side to 0), and the advisor flips with the estimated
+    fraction."""
+    import uts_spark.sources.versioned as V
+
+    a = spark.createDataFrame(
+        [(i, i % 200) for i in range(4000)], "rid long, key long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in range(100, 300)], "key long"
+    )
+    pa, pb = str(tmp_path / "ja"), str(tmp_path / "jb")
+    V.write_snapshot(a, pa, kmv_col="key")
+    V.write_snapshot(b, pb, kmv_col="key")
+    est = V.kmv_join_estimate(pa, 4000, pb, 200)
+    exact = a.join(b, "key").count()  # keys 100..199 -> 100*20 = 2000
+    assert exact == 2000
+    assert 0 < est["est_join_rows"] < 4 * exact
+    assert est["distinct_intersection"] <= est["distinct_union"]
+
+    # overlap: exhaustive small key frame vs sampled table synopsis
+    victims = spark.createDataFrame(
+        [(k,) for k in range(0, 200, 10)], "key long"
+    )  # 20 of 200 keys -> 10% of rows
+    ov = V.kmv_overlap_estimate(spark, pa, victims, "key")
+    assert ov["distinct_keys"] == 20
+    assert ov["est_matching_rows"] >= 0
+
+    # advisor: a tiny takedown suggests MOR, a huge one CoW
+    tiny = spark.createDataFrame([(5,)], "key long")
+    assert V.suggest_erasure_mode(spark, pa, tiny, "key") in ("mor", "cow")
+    huge = spark.createDataFrame(
+        [(k,) for k in range(200)], "key long"
+    )
+    assert V.suggest_erasure_mode(spark, pa, huge, "key") == "cow"
+    # wrong key column refused
+    import pytest
+
+    with pytest.raises(ValueError, match="tracks"):
+        V.kmv_overlap_estimate(
+            spark, pa, victims.withColumnRenamed("key", "rid"), "rid"
+        )

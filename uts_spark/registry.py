@@ -116,7 +116,10 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 402  # round 10 (cont. 2): meta_cols + filtered
+_REGISTRY_FLOOR = 404  # round 10 (cont. 2): +per-dir KMV distinct
+# sketches on the versioned-table manifest (distinct/join/overlap
+# estimates from manifests alone — r11 candidate #1)
+# prior floor 402 — meta_cols + filtered
 # probes on the OTHER three index families (LSH / IVF-PQ / minhash —
 # the r11 candidate #2 matrix completed)
 # prior floor 399 — round 10 (cont.): +deletion-vector MOR erasure
