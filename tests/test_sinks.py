@@ -2817,3 +2817,166 @@ def test_versioned_kmv_planner_estimates(spark, tmp_path):
         V.kmv_overlap_estimate(
             spark, pa, victims.withColumnRenamed("key", "rid"), "rid"
         )
+
+
+def test_versioned_pdv_positional_lifecycle(spark, tmp_path):
+    """Positional deletion vectors: keyless + duplicate-row erasure by
+    physical address, pinned reads, append-after-delete visibility,
+    vector stacking, materialize pruning, and the CoW interop."""
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "pdv")
+    df = spark.createDataFrame(
+        [(i % 5, f"g{i % 3}") for i in range(100)], "val long, grp string"
+    )
+    V.write_snapshot(df, p)
+    V.append_snapshot(
+        spark.createDataFrame([(7, "gX")] * 10, "val long, grp string"), p
+    )
+    assert V.read_version(spark, p).count() == 110
+
+    V.delete_rows_positional(spark, p, F.col("val") == 2)
+    assert V.read_version(spark, p).count() == 90
+    assert V.list_versions(p)[-1]["n_rows"] == 90
+    # pinned read BEFORE the vector sees everything
+    assert V.read_version(spark, p, 1).count() == 110
+
+    # appended rows matching the predicate stay visible (new files)
+    V.append_snapshot(
+        spark.createDataFrame([(2, "new")] * 5, "val long, grp string"), p
+    )
+    assert V.read_version(spark, p).count() == 95
+
+    # second vector stacks over the already-masked state
+    V.delete_rows_positional(
+        spark, p, (F.col("val") == 7) & (F.col("grp") == "gX")
+    )
+    assert V.read_version(spark, p).count() == 85
+    assert len(V.list_versions(p)[-1]["pdv"]) == 2
+
+    # a no-match predicate commits nothing
+    v = V.delete_rows_positional(spark, p, F.col("val") == 999)
+    assert v == V.list_versions(p)[-1]["version"]
+    assert len(V.list_versions(p)[-1]["pdv"]) == 2
+
+    # materialize prunes to the dirs whose files the vectors name:
+    # the appended (2,'new') dir holds no masked positions
+    V.materialize_dvs(spark, p)
+    m = V.list_versions(p)[-1]
+    assert not m.get("pdv") and not m.get("dv")
+    assert m["pruned_dirs"] >= 1
+    assert V.read_version(spark, p).count() == 85
+
+    # CoW delete with an outstanding positional vector materializes
+    # first (same two-step as key vectors)
+    V.delete_rows_positional(spark, p, F.col("grp") == "new")
+    V.delete_rows(
+        spark, p, spark.createDataFrame([(0,)], "val long"), "val"
+    )
+    m2 = V.list_versions(p)[-1]
+    assert not m2.get("pdv")
+    got = V.read_version(spark, p)
+    assert got.filter("grp = 'new'").count() == 0
+    assert got.filter("val = 0").count() == 0
+
+
+def test_versioned_pdv_cdf_and_triggers(spark, tmp_path):
+    """Keyless CDF across a positional delete, trigger accounting,
+    branch guard, replicate refusal, and mixed key+positional
+    composition."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "pdvc")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(80)],
+        "k long, grp long, val string",
+    )
+    V.write_snapshot(df, p)
+    V.delete_rows_positional(spark, p, F.col("grp") == 1)  # 20 rows
+
+    # keyless CDF: the positional fast path emits delete images with
+    # NO key= (positions name rows directly)
+    feed = V.table_changes(spark, p, 0, 1)
+    rows = feed.collect()
+    assert {r._change_type for r in rows} == {"delete"}
+    assert len(rows) == 20 and all(r.grp == 1 for r in rows)
+
+    # append + another positional delete in one range: inserts net
+    # against masks, deletes come from the FROM-visible scan only
+    V.append_snapshot(
+        spark.createDataFrame([(100, 1, "new")], "k long, grp long, val string"),
+        p,
+    )
+    V.delete_rows_positional(spark, p, F.col("k") == 6)
+    feed2 = V.table_changes(spark, p, 1, 3)
+    by = {}
+    for r in feed2.collect():
+        by.setdefault(r._change_type, []).append(r.k)
+    assert by["insert"] == [100] and by["delete"] == [6]
+
+    # unchanged-range fast path still empty with vectors outstanding
+    assert V.table_changes(spark, p, 3, 3).count() == 0
+
+    # mixed: a key vector over the positional state composes
+    V.delete_rows_mor(
+        spark, p, spark.createDataFrame([(10,), (11,)], "k long"), "k"
+    )
+    assert V.read_version(spark, p).count() == 80 - 20 + 1 - 1 - 2
+    # the 1->4 range has both kinds of new vectors and still reads
+    # KEYLESS: key vectors carry their own key column, positional
+    # vectors join on the address — the MOR fast path needs no key=
+    for kw in ({}, {"key": "k"}):
+        feed3 = V.table_changes(spark, p, 1, 4, **kw)
+        dels = sorted(
+            r.k for r in feed3.collect() if r._change_type == "delete"
+        )
+        assert dels == [6, 10, 11]
+
+    # trigger counts positional debt
+    assert V.maybe_materialize_dvs(spark, p, max_dvs=0) is not None
+    assert not V.list_versions(p)[-1].get("pdv")
+
+    # branch fork refuses while vectors are outstanding (k=12 is
+    # still visible: grp 0, untouched by every earlier vector)
+    V.delete_rows_positional(spark, p, F.col("k") == 12)
+    with _pytest.raises(ValueError, match="materialize_dvs first"):
+        V.create_branch(p, "b1")
+
+    # replicate: a keyless positional range refuses; key= applies
+    dst = str(tmp_path / "pdvr")
+    V.replicate(spark, p, dst, up_to=0)
+    with _pytest.raises(ValueError, match="pass key="):
+        V.replicate(spark, p, dst, up_to=V.current_version(p))
+    V.replicate(spark, p, dst, key="k", up_to=V.current_version(p))
+    a = {tuple(r) for r in V.read_version(spark, p).collect()}
+    b = {tuple(r) for r in V.read_version(spark, dst).collect()}
+    assert a == b
+
+
+def test_versioned_pdv_evolved_schema(spark, tmp_path):
+    """Positional masks compose with schema evolution: the pos-aware
+    scan merges footers and projects the widened schema before the
+    address anti-join."""
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "pdve")
+    V.write_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                              "k long, val string"),
+        p,
+    )
+    V.append_snapshot(
+        spark.createDataFrame([(100, "w", 1.5)],
+                              "k long, val string, score double"),
+        p,
+    )
+    V.delete_rows_positional(spark, p, F.col("k") % 2 == 0)
+    got = V.read_version(spark, p)
+    assert got.columns == ["k", "val", "score"]
+    # the evolved row (k=100) is even — the predicate saw the widened
+    # visible state, so it masks across BOTH footer shapes
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [1, 3, 5, 7, 9]
+    assert got.filter("score IS NOT NULL").count() == 0

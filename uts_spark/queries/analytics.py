@@ -4040,6 +4040,117 @@ def versioned_dv_mor_erasure(spark, sf_dir):
     return mor.unionByName(mat)
 
 
+@query(
+    "versioned_pdv_positional_erasure",
+    f"""
+    WITH base AS (
+      SELECT doc_id % 7 AS grp, substr(text, 1, 16) AS val
+      FROM documents
+    ),
+    survivors AS (
+      SELECT * FROM base
+      WHERE grp != 3 AND substr(val, 1, 1) != 'a'
+    ),
+    appended AS (
+      SELECT doc_id % 7 AS grp, 'R' AS val
+      FROM documents WHERE doc_id % 7 = 3 AND doc_id % 3 = 0
+    ),
+    visible AS (
+      SELECT * FROM survivors UNION ALL SELECT * FROM appended
+    ),
+    acct AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM({duck_hash64('val')} % 4294967296) AS BIGINT)
+               AS val_sum
+      FROM visible GROUP BY grp
+    )
+    SELECT 'mor' AS stage, * FROM acct
+    UNION ALL
+    SELECT 'materialized' AS stage, * FROM acct
+    """,
+)
+def versioned_pdv_positional_erasure(spark, sf_dir):
+    """POSITIONAL deletion vectors (round 10 cont. — ROADMAP r11 #3):
+    merge-on-read erasure for tables with NO natural key. The victims
+    are addressed by physical position (parquet file path + row index
+    from ``_metadata``) instead of by key value, so keyless schemas
+    and duplicate rows erase exactly — the Iceberg position-delete /
+    Delta per-file-vector shape. The lane builds a keyless (grp, val)
+    projection over three append dirs, commits TWO positional vectors
+    (a grp predicate, then a val-prefix predicate over the already-
+    masked state — vectors stack), re-appends rows MATCHING the first
+    predicate (new files = new addresses, structurally unmaskable —
+    no scope bookkeeping needed, unlike key vectors), and accounts the
+    visible state at both physical stages: vectors outstanding
+    ('mor', one broadcast anti-join on the address inside the shared
+    masked-read kernel) and after materialize_dvs folds them
+    ('materialized', pruned to the dirs whose files the vectors
+    name). Both stages must hash-equal the closed-form survivor
+    arithmetic. CDF across a positional delete needs NO key= (the
+    keyless delete leg semi-joins the FROM-visible scan on the
+    address) — pinned with the rest of the matrix in
+    tests/test_sinks.py. Scale: a takedown commits O(victim
+    addresses) bytes; the rewrite is deferred to one materialize
+    amortizing every vector since the last fold, and the janitor's
+    count/fraction trigger includes positional debt."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows_positional,
+        list_versions,
+        materialize_dvs,
+        read_version,
+        write_snapshot,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    proj = docs.select(
+        (F.col("doc_id") % 7).alias("grp"),
+        F.substring(F.col("text"), 1, 16).alias("val"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(_warehouse_dir(), f"pdv_vt_{tag}")
+    # the MOR protocol is the subject — rebuild so every run exercises
+    # commit -> mask -> re-append -> materialize (same policy as the
+    # key-vector lane above)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    write_snapshot(proj.filter(F.col("grp") % 3 == 0), path)
+    append_snapshot(proj.filter(F.col("grp") % 3 == 1), path)
+    append_snapshot(proj.filter(F.col("grp") % 3 == 2), path)
+    delete_rows_positional(spark, path, F.col("grp") == 3)
+    delete_rows_positional(
+        spark, path, F.substring(F.col("val"), 1, 1) == "a"
+    )
+    append_snapshot(
+        docs.filter(
+            (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 3 == 0)
+        ).select(
+            (F.col("doc_id") % 7).alias("grp"), F.lit("R").alias("val")
+        ),
+        path,
+    )
+    pm = list_versions(path)[-1]
+    assert len(pm.get("pdv", [])) == 2, "expected two positional vectors"
+
+    def acct(df, stage):
+        return df.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.pmod(hash64(F.col("val")), F.lit(1 << 32))
+            ).cast("long").alias("val_sum"),
+        ).select(F.lit(stage).alias("stage"), "*")
+
+    mor = acct(read_version(spark, path), "mor")
+    materialize_dvs(spark, path)
+    assert not list_versions(path)[-1].get("pdv")
+    mat = acct(read_version(spark, path), "materialized")
+    return mor.unionByName(mat)
+
+
 # --- per-dir KMV column statistics (round 10 cont., ROADMAP r11 #1) ---------
 
 _KMV_SQL_K = 64

@@ -116,7 +116,9 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 404  # round 10 (cont. 2): +per-dir KMV distinct
+_REGISTRY_FLOOR = 405  # round 10 (cont. 2): +positional deletion
+# vectors (keyless MOR erasure by physical address — r11 candidate #3)
+# prior floor 404 — +per-dir KMV distinct
 # sketches on the versioned-table manifest (distinct/join/overlap
 # estimates from manifests alone — r11 candidate #1)
 # prior floor 402 — meta_cols + filtered

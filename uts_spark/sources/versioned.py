@@ -1011,13 +1011,14 @@ def append_snapshot(
             }
         key_meta = {"batch_key": batch_key} if batch_key else {}
         # outstanding deletion vectors carry unchanged: the new dir is
-        # not in any vector's SCOPE, so appended rows are never masked
-        # even when they re-use an erased key
-        dv_meta = (
-            {"dv": versions[parent]["dv"]}
-            if parent is not None and versions[parent].get("dv")
-            else {}
-        )
+        # not in any key vector's SCOPE, and positional vectors name
+        # other files — appended rows are never masked even when they
+        # re-use an erased key (or position shape)
+        dv_meta = {
+            k: versions[parent][k]
+            for k in ("dv", "pdv")
+            if parent is not None and versions[parent].get(k)
+        }
         try:
             return commit_version(
                 path,
@@ -1073,17 +1074,33 @@ def read_version(
     return _read_dirs_masked(spark, m, _manifest_dirs(m))
 
 
-def _scan_dirs(spark: SparkSession, m: dict, dirs: list[str]) -> DataFrame:
+def _scan_dirs(
+    spark: SparkSession, m: dict, dirs: list[str], with_pos: bool = False
+) -> DataFrame:
     """Scan a subset of a manifest's data dirs under the manifest's
     schema contract: evolved versions footer-merge and project to the
     recorded column order (NULL back-fill for pre-evolution rows),
     un-evolved versions read plain. The shared kernel of every dir
     reader (read_version, pruned point-lookup, pruned erasure, CDF
-    fast path)."""
+    fast path). ``with_pos`` appends the parquet reader's physical row
+    address (``__file``, ``__pos`` from ``_metadata``) — the join key
+    positional deletion vectors mask on; data files are immutable
+    after commit, so the address is stable for the file's lifetime."""
+    from pyspark.sql import functions as F
+
+    pos_cols = (
+        [
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        if with_pos
+        else []
+    )
     if m.get("evolved") and m.get("schema"):
         df = spark.read.option("mergeSchema", "true").parquet(*dirs)
-        return df.select(*_schema_fields(m["schema"]))
-    return spark.read.parquet(*dirs)
+        return df.select(*_schema_fields(m["schema"]), *pos_cols)
+    df = spark.read.parquet(*dirs)
+    return df.select("*", *pos_cols) if pos_cols else df
 
 
 def _apply_dv_masks(
@@ -1107,7 +1124,7 @@ def _apply_dv_masks(
 
 
 def _read_dirs_masked(
-    spark: SparkSession, m: dict, dirs: list[str]
+    spark: SparkSession, m: dict, dirs: list[str], with_pos: bool = False
 ) -> DataFrame:
     """Scan a subset of a manifest's dirs with the manifest's
     outstanding DELETION VECTORS applied (module comment at
@@ -1116,10 +1133,22 @@ def _read_dirs_masked(
     appended after a takedown are never hidden by it even when they
     re-use an erased key: dirs are grouped by the set of vectors that
     scope them, each group anti-joins its vectors' keys, and the
-    groups union back. No vectors -> the plain scan, zero overhead."""
+    groups union back. No vectors -> the plain scan, zero overhead.
+
+    POSITIONAL vectors (``pdv`` — per-file (file, row_index) pairs for
+    tables with no natural key) need no scope grouping at all: file
+    paths are unique and immutable, so a position pair can only ever
+    match the row it named at commit time — one broadcast anti-join on
+    the physical address masks every positional vector at once, and
+    appended dirs are structurally unaffected (new files, new
+    paths). ``with_pos=True`` keeps the physical address columns on
+    the output (consumers that need to NAME rows — the positional
+    delete verb and the positional CDF leg)."""
     recs = m.get("dv", [])
-    if not recs:
-        return _scan_dirs(spark, m, dirs)
+    pdv = m.get("pdv", [])
+    if not recs and not pdv:
+        return _scan_dirs(spark, m, dirs, with_pos=with_pos)
+    use_pos = bool(pdv) or with_pos
     scopes = [set(r["scope"]) for r in recs]
     groups: dict[tuple, list[str]] = {}
     for d in dirs:
@@ -1127,13 +1156,24 @@ def _read_dirs_masked(
         groups.setdefault(ks, []).append(d)
     parts = []
     for ks, ds in groups.items():
-        part = _scan_dirs(spark, m, ds)
+        part = _scan_dirs(spark, m, ds, with_pos=use_pos)
         if ks:
             part = _apply_dv_masks(spark, [recs[i] for i in ks], part)
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if pdv:
+        from pyspark.sql import functions as F
+
+        pos = spark.read.parquet(*[r["dir"] for r in pdv]).select(
+            "__file", "__pos"
+        ).distinct()
+        out = out.join(
+            F.broadcast(pos), ["__file", "__pos"], "left_anti"
+        )
+    if use_pos and not with_pos:
+        out = out.drop("__file", "__pos")
     return out
 
 
@@ -1310,11 +1350,12 @@ def delete_rows(
     if not versions:
         raise ValueError(f"versioned table {path}: nothing to delete")
     pm = versions[max(versions)]
-    if pm.get("dv"):
-        # outstanding merge-on-read vectors: a copy-on-write rewrite
-        # would have to re-mask every dir it carries by reference —
-        # materialize first (itself a pruned, touched-dir-sized
-        # rewrite), then erase against a vector-free manifest.
+    if pm.get("dv") or pm.get("pdv"):
+        # outstanding merge-on-read vectors (key-scoped or positional):
+        # a copy-on-write rewrite would have to re-mask every dir it
+        # carries by reference — materialize first (itself a pruned,
+        # touched-dir-sized rewrite), then erase against a vector-free
+        # manifest.
         materialize_dvs(spark, path)
         versions = {m["version"]: m for m in list_versions(path)}
         pm = versions[max(versions)]
@@ -1432,10 +1473,13 @@ def delete_rows(
 
 
 def _dv_dirs(m: dict) -> list[str]:
-    """A manifest's deletion-vector sidecar dirs (liveness accounting:
-    vacuum and remove_orphans must keep them exactly as long as the
-    manifest that references them)."""
-    return [r["dir"] for r in m.get("dv", [])]
+    """A manifest's deletion-vector sidecar dirs — key-scoped AND
+    positional (liveness accounting: vacuum and remove_orphans must
+    keep them exactly as long as the manifest that references
+    them)."""
+    return [r["dir"] for r in m.get("dv", [])] + [
+        r["dir"] for r in m.get("pdv", [])
+    ]
 
 
 def delete_rows_mor(
@@ -1503,7 +1547,7 @@ def delete_rows_mor(
             k: pm[k]
             for k in (
                 "schema", "evolved", "stats_col", "dir_stats", "dir_rows",
-                "bloom_col", "kmv_col", "kmv_k", "dir_kmv",
+                "bloom_col", "kmv_col", "kmv_k", "dir_kmv", "pdv",
             )
             if k in pm
         }
@@ -1519,6 +1563,97 @@ def delete_rows_mor(
         except VersionConflictError as e:
             last = e
     raise last  # type: ignore[misc]
+
+
+def delete_rows_positional(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    meta: dict | None = None,
+    max_retries: int = 5,
+) -> int:
+    """POSITIONAL merge-on-read erasure (ROADMAP r11 #3) — deletion
+    for tables with NO natural key: the victims are addressed by
+    physical position (parquet file path + row index from
+    ``_metadata``), not by value, so duplicate rows and keyless
+    schemas erase exactly. Iceberg's position deletes / Delta's
+    per-file vectors are this shape; ours commits one sidecar frame of
+    (``__file``, ``__pos``) pairs per takedown.
+
+    ``predicate`` is a Column selecting the rows to erase from the
+    CURRENT visible state (existing key + positional masks apply
+    first, so re-deleting already-masked rows is a no-op). Write cost
+    = the victim-address frame + one manifest; readers mask via one
+    broadcast anti-join on the physical address
+    (:func:`_read_dirs_masked`). No scope list is needed: file paths
+    are unique and immutable, so appended dirs are structurally
+    unaffected and a pinned read masks with its own version's
+    vectors. Physical bytes persist until
+    :func:`materialize_dvs` + vacuum — the repo-wide two-step erasure
+    contract.
+
+    Concurrency mirrors :func:`delete_rows_mor`: a CAS loss re-scans
+    under the new current's masks (a racer may have hidden some of
+    our victims; positions are stable, the COUNT is what must be
+    exact) and retries."""
+    if not list_versions(path):
+        raise ValueError(f"versioned table {path}: nothing to delete")
+    last: Exception | None = None
+    for _ in range(max_retries):
+        versions = {m["version"]: m for m in list_versions(path)}
+        pm = versions[max(versions)]
+        dirs = _manifest_dirs(pm)
+        # visible state WITH positions: the shared masked-read kernel
+        # (scope-grouped key masks + prior positional masks), keeping
+        # the address columns for the victim frame
+        scan = _read_dirs_masked(spark, pm, dirs, with_pos=True)
+        victims = scan.filter(predicate).select("__file", "__pos")
+        vdir = os.path.join(path, "data", f"pdv-{_uuid_hex()}")
+        victims.coalesce(1).write.mode("errorifexists").parquet(vdir)
+        n_masked = spark.read.parquet(vdir).count()
+        if n_masked == 0:
+            import shutil
+
+            shutil.rmtree(vdir)
+            return pm["version"]
+        rec = {"dir": vdir, "n_masked": n_masked}
+        carried = {
+            k: pm[k]
+            for k in (
+                "schema", "evolved", "stats_col", "dir_stats", "dir_rows",
+                "bloom_col", "kmv_col", "kmv_k", "dir_kmv",
+            )
+            if k in pm
+        }
+        if pm.get("dv"):
+            carried["dv"] = pm["dv"]
+        try:
+            return commit_version(
+                path,
+                dirs,
+                "delete_positional",
+                pm["version"],
+                pm["n_rows"] - n_masked,
+                {
+                    **carried,
+                    "pdv": pm.get("pdv", []) + [rec],
+                    **(meta or {}),
+                },
+            )
+        except VersionConflictError as e:
+            # the victim frame was computed under a stale manifest's
+            # masks — drop it and rescan under the new current
+            import shutil
+
+            shutil.rmtree(vdir, ignore_errors=True)
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def _uuid_hex() -> str:
+    import uuid
+
+    return uuid.uuid4().hex[:12]
 
 
 def materialize_dvs(
@@ -1538,7 +1673,8 @@ def materialize_dvs(
         raise ValueError(f"versioned table {path}: no committed versions")
     pm = versions[max(versions)]
     recs = pm.get("dv", [])
-    if not recs:
+    pdv = pm.get("pdv", [])
+    if not recs and not pdv:
         return pm["version"]
     dirs = _manifest_dirs(pm)
     touched_set: set[str] = set()
@@ -1553,11 +1689,24 @@ def materialize_dvs(
         else:
             amap = dict(zip(dirs, admit))
             touched_set.update(d for d in sc if amap[d])
+    if pdv:
+        # positional vectors name their files directly — the touched
+        # dirs are exactly the parents of masked files (bounded by the
+        # vectors' distinct-file lists, driver-side)
+        files = {
+            r["__file"]
+            for r in spark.read.parquet(*[r["dir"] for r in pdv])
+            .select("__file").distinct().collect()
+        }
+        for f in files:
+            d = os.path.dirname(f.removeprefix("file:"))
+            if d in dirs:
+                touched_set.add(d)
     touched = [d for d in dirs if d in touched_set]
     untouched = [d for d in dirs if d not in touched_set]
     new_dirs = list(untouched)
     carried: dict = {
-        "materialized_dvs": len(recs),
+        "materialized_dvs": len(recs) + len(pdv),
         "pruned_dirs": len(untouched),
         **{k: pm[k] for k in ("schema", "evolved") if k in pm},
     }
@@ -1636,7 +1785,7 @@ def maybe_materialize_dvs(
     if not versions:
         return None
     pm = versions[max(versions)]
-    recs = pm.get("dv", [])
+    recs = pm.get("dv", []) + pm.get("pdv", [])
     if not recs:
         return None
     masked = sum(r["n_masked"] for r in recs)
@@ -2000,7 +2149,13 @@ def table_changes(
     to_dirs = _manifest_dirs(m_to)
     f_recs = m_from.get("dv", [])
     t_recs = m_to.get("dv", [])
-    if from_dirs.issubset(to_dirs) and f_recs == t_recs:
+    f_pdv = m_from.get("pdv", [])
+    t_pdv = m_to.get("pdv", [])
+    if (
+        from_dirs.issubset(to_dirs)
+        and f_recs == t_recs
+        and f_pdv == t_pdv
+    ):
         added = [d for d in to_dirs if d not in from_dirs]
         if not added:
             return new.withColumn("_change_type", F.lit("insert")).limit(0)
@@ -2015,7 +2170,11 @@ def table_changes(
         scanned = _read_dirs_masked(spark, m_to, added)
         return scanned.withColumn("_change_type", F.lit("insert"))
 
-    if from_dirs.issubset(to_dirs) and f_recs == t_recs[: len(f_recs)]:
+    if (
+        from_dirs.issubset(to_dirs)
+        and f_recs == t_recs[: len(f_recs)]
+        and f_pdv == t_pdv[: len(f_pdv)]
+    ):
         # MERGE-ON-READ fast path: the range is appends + new deletion
         # vectors — both readable off the manifests, no full-outer
         # join. Inserts = the added dirs under to's masks; deletes =
@@ -2025,7 +2184,10 @@ def table_changes(
         # vectors match the same row). Netting is exact: a row
         # inserted AND erased inside the range sits in an added dir
         # under a masking vector, so it appears in neither leg — the
-        # two-version diff contract.
+        # two-version diff contract. New POSITIONAL vectors add a
+        # keyless delete leg: positions name their rows directly, so
+        # the images come from a semi-join on the physical address —
+        # no key= needed even though the table has no identity column.
         new_recs = t_recs[len(f_recs):]
         added = [d for d in to_dirs if d not in from_dirs]
         inserts = (
@@ -2063,6 +2225,25 @@ def table_changes(
             for mk in markers[1:]:
                 cond = cond | F.col(mk).eqNullSafe(F.lit(True))
             del_parts.append(vis.filter(cond).drop(*markers))
+        new_pdv = t_pdv[len(f_pdv):]
+        if new_pdv:
+            pos = spark.read.parquet(
+                *[r["dir"] for r in new_pdv]
+            ).select("__file", "__pos").distinct()
+            pfiles = {
+                os.path.dirname(r["__file"].removeprefix("file:"))
+                for r in pos.select("__file").distinct().collect()
+            }
+            pdirs = [d for d in from_dirs_l if d in pfiles]
+            if pdirs:
+                vis = _read_dirs_masked(
+                    spark, m_from, pdirs, with_pos=True
+                )
+                del_parts.append(
+                    vis.join(
+                        F.broadcast(pos), ["__file", "__pos"], "left_semi"
+                    ).drop("__file", "__pos")
+                )
         if del_parts:
             dels = del_parts[0]
             for p in del_parts[1:]:
@@ -2311,7 +2492,7 @@ def create_branch(
             f"(have {sorted(versions)})"
         )
     bm = versions[base]
-    if bm.get("dv"):
+    if bm.get("dv") or bm.get("pdv"):
         raise ValueError(
             f"versioned table {path}: version {base} carries outstanding "
             "deletion vectors — branch records reference dirs only and "
@@ -2781,9 +2962,16 @@ def replicate(
     # pure append = dirs only grew AND the deletion-vector history is
     # unchanged; a merge-on-read delete in the range has the same dir
     # list but a real delete feed, so it must take the apply path
-    pure_append = from_dirs <= set(to_dirs) and src_versions[cursor].get(
-        "dv", []
-    ) == src_versions[up_to].get("dv", [])
+    pure_append = (
+        from_dirs <= set(to_dirs)
+        and src_versions[cursor].get("dv", [])
+        == src_versions[up_to].get("dv", [])
+        # positional deletes are keyless at the SOURCE (positions name
+        # rows directly) but the replica's files have different
+        # positions — applying the feed still needs row identity
+        and src_versions[cursor].get("pdv", [])
+        == src_versions[up_to].get("pdv", [])
+    )
     if not pure_append and key is None:
         raise ValueError(
             f"versioned table {src_path}: range {cursor}->{up_to} includes "
