@@ -3381,3 +3381,31 @@ def test_vindex_maybe_materialize_trigger(spark, emb, tmp_path):
               if r.get("name")}
     assert report["ivf"]["dv_materialized"] is not None
     assert not list_versions(path)[-1].get("dv")
+
+
+def test_vindex_materialize_per_family_default(spark, emb, tmp_path):
+    """The materialize trigger resolves the MEASURED per-family
+    vector-count knee from the manifest (lsh folds at 8 — its light
+    probe pays the largest relative anti-join tax; others inherit the
+    table's 16)."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions
+
+    assert vx._MAX_DVS_DEFAULT == {"lsh": 8}
+
+    small = emb.limit(200)
+    p_lsh = str(tmp_path / "lsh_knee")
+    vx.lsh_vindex_build(small, p_lsh, dim=64, fingerprint="f0",
+                        planes=8, tables=2)
+    p_ivf = str(tmp_path / "ivf_knee")
+    vx.ivf_vindex_build(small, p_ivf, fingerprint="f0", n_cells=4)
+    for i in range(9):
+        ids = spark.createDataFrame([(int(i),)], "vec_id long")
+        vx.vindex_delete_mor(spark, ids, p_lsh, fingerprint=f"d{i}")
+        vx.vindex_delete_mor(spark, ids, p_ivf, fingerprint=f"d{i}")
+    # 9 vectors, tiny masked fraction: lsh (knee 8) fires, ivf (16)
+    # stands down
+    assert vx.vindex_maybe_materialize(spark, p_ivf) is None
+    assert len(list_versions(p_ivf)[-1]["dv"]) == 9
+    assert vx.vindex_maybe_materialize(spark, p_lsh) is not None
+    assert not list_versions(p_lsh)[-1].get("dv")

@@ -1835,20 +1835,36 @@ def vindex_materialize_dvs(
     raise last  # type: ignore[misc]
 
 
+# Measured per-family vector-count knees (tools/vindex_dv_smoke.py,
+# 100k vectors / 50k docs, K=8 scattered takedowns — SCALE.md round 10
+# cont.): probe walls are ~FLAT in outstanding-vector count for
+# minhash (3.9 -> 3.8s), ivf (2.1 -> 2.2s) and ivfpq (5.2 -> 4.8s) —
+# the table's 16 carries over — but the LSH probe is so light (1.1s)
+# that the fixed anti-join overhead TRIPLES it by 8 vectors
+# (1.13 -> 3.27s), so LSH folds at half the count. The knob that pays
+# everywhere is masked FRACTION, same as the table's curves.
+_MAX_DVS_DEFAULT = {"lsh": 8}
+
+
 def vindex_maybe_materialize(
     spark, path: str, fingerprint: str = "",
-    max_dvs: int = 16, max_masked_frac: float = 0.05,
+    max_dvs: int | None = None, max_masked_frac: float = 0.05,
 ) -> int | None:
     """MATERIALIZE trigger for index deletion vectors (the
-    maybe_materialize_dvs analog, same measured knobs: vector count
-    bounds manifest growth, masked fraction bounds the probes' dead
-    anti-join work); None when under both. The maintenance tick runs
-    this before the chain-length compact check, so MOR debt is paid
-    on the same schedule as every other background chore."""
+    maybe_materialize_dvs analog: vector count bounds manifest growth
+    and the probes' fixed anti-join overhead, masked fraction bounds
+    their dead probe work); None when under both. ``max_dvs=None``
+    resolves the MEASURED per-family default (``_MAX_DVS_DEFAULT``
+    above — the LSH probe's relative tax halves its budget; the other
+    families inherit the table's 16). The maintenance tick runs this
+    before the chain-length compact check, so MOR debt is paid on the
+    same schedule as every other background chore."""
     versions = {m["version"]: m for m in list_versions(path)}
     if not versions:
         return None
     pm = versions[max(versions)]
+    if max_dvs is None:
+        max_dvs = _MAX_DVS_DEFAULT.get(pm.get("family"), 16)
     recs = pm.get("dv", [])
     if not recs:
         return None

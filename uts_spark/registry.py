@@ -257,6 +257,11 @@ HEADLINE = [n for n in (
     # re-using append, reads at both physical states, one materialize;
     # tracks the merge-on-read anti-join + pruned-rewrite walls
     "versioned_dv_mor_erasure",
+    # r10 (cont. 2): filtered ANN at the index layer — warm passes are
+    # the metadata-pushed cell-pruned probe against the persisted
+    # meta_cols index (build amortizes across passes via the
+    # fingerprint check); tracks the predicate+cell PushedFilters scan
+    "similarity_ann_ivf_index_filtered_probe",
     # r10: the de-circularized refit gate reproduced in-engine — the
     # train-only bigram-perplexity labels (one (doc,bigram) shuffle +
     # dictionary joins) + two map-only model passes + 1-row confusions
