@@ -2980,3 +2980,58 @@ def test_versioned_pdv_evolved_schema(spark, tmp_path):
     ks = sorted(r.k for r in got.collect())
     assert ks == [1, 3, 5, 7, 9]
     assert got.filter("score IS NOT NULL").count() == 0
+
+
+def test_join_versioned_plan_shapes(spark, tmp_path):
+    """plan_join decides from manifests; join_versioned's physical
+    plan matches the decision (broadcast hint lands; shuffle path
+    sort-merges when broadcasting is disabled); explosive estimates
+    refuse up front."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
+    )
+    small = spark.range(0, 50).select(F.col("id").alias("k"))
+    pb, ps = str(tmp_path / "big"), str(tmp_path / "small")
+    V.write_snapshot(big, pb, kmv_col="k")
+    V.write_snapshot(small, ps, kmv_col="k")
+
+    plan = V.plan_join(pb, ps)
+    assert plan["strategy"] == "broadcast" and plan["build_side"] == "b"
+    assert plan["rows_a"] == 20000 and plan["rows_b"] == 50
+    assert not plan["explosive"]
+    j = V.join_versioned(spark, pb, ps, "k")
+    assert "BroadcastHashJoin" in j._jdf.queryExecution().executedPlan().toString()
+    assert j.count() == 50
+
+    # shuffle decision when neither side fits the row budget; disable
+    # Spark's own size-based broadcast so the helper's choice shows
+    plan2 = V.plan_join(pb, ps, broadcast_rows=10)
+    assert plan2["strategy"] == "shuffle"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j2 = V.join_versioned(spark, pb, ps, "k", broadcast_rows=10)
+        s = j2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in s and "BroadcastHashJoin" not in s
+        assert j2.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # explosive: a constant join key -> estimated output >> inputs
+    ca = spark.range(0, 3000).select(F.lit(1).alias("k"))
+    cb = spark.range(0, 3000).select(F.lit(1).alias("k"))
+    pca, pcb = str(tmp_path / "ca"), str(tmp_path / "cb")
+    V.write_snapshot(ca, pca, kmv_col="k")
+    V.write_snapshot(cb, pcb, kmv_col="k")
+    plan3 = V.plan_join(pca, pcb)
+    assert plan3["explosive"]
+    with _pytest.raises(ValueError, match="many-to-many"):
+        V.join_versioned(
+            spark, pca, pcb, "k", refuse_explosive=True
+        )
+    # without the refusal flag the join still runs correctly
+    assert V.join_versioned(spark, pca, pcb, "k").count() == 9_000_000

@@ -3286,6 +3286,154 @@ def _register_stream_cdc_apply_mor():
 stream_cdc_apply_mor_replay = _register_stream_cdc_apply_mor()
 
 
+def _register_stream_cdc_apply_pdv():
+    # converged downstream = (v0 ∪ v1 append) minus the rows the
+    # POSITIONAL takedown's value predicate matched
+    @query(
+        "stream_cdc_apply_pdv_replay",
+        """
+        SELECT doc_id, substr(text, 1, 24) AS val
+        FROM documents
+        WHERE doc_id % 10 <= 6 AND substr(text, 1, 1) != 'm'
+        """,
+    )
+    def stream_cdc_apply_pdv_replay(spark, sf_dir):
+        """The streaming CDC consumer converging across a POSITIONAL
+        delete (refreshed r11 #2 — the consumer-side composition the
+        pdv lane doesn't cover): the upstream takedown is KEYLESS at
+        the source (``delete_rows_positional`` masks rows by physical
+        address from a value predicate — no identity column consulted)
+        but the replica's files have different addresses, so the
+        consumer applies the feed BY KEY like any other rewrite tick.
+        The v1->v2 feed takes table_changes' positional fast path —
+        delete images from a semi-join of the FROM-visible scan on the
+        vector's (file, row_index) pairs, pruned to the dirs whose
+        files the vector names, no full-outer join — and the generic
+        apply loop (anti-join removed keys, union added rows, cursor
+        committed atomically with the apply) needs no positional-
+        specific code. Replays skip at the committed cursor. Converged
+        downstream must hash-equal the closed form: a consumer whose
+        feed missed the positional vector (the dir-diff trap — the dir
+        list never changed) keeps every predicate-matching row and
+        mismatches."""
+        from uts_spark.queries.llm_ops import _warehouse_dir
+        from uts_spark.sources.versioned import (
+            append_snapshot,
+            delete_rows_positional,
+            list_versions,
+            read_version,
+            table_changes,
+            write_snapshot,
+        )
+
+        docs = table(spark, sf_dir, "documents")
+        val = F.substring(F.col("text"), 1, 24).alias("val")
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        src_path = os.path.join(_warehouse_dir(), f"cdcpdv_vt_{tag}")
+        fp = "cdcpdv_vt_v1"
+
+        ms = list_versions(src_path)
+        ok = (
+            len(ms) == 3
+            and ms[0].get("fingerprint") == fp
+            and ms[-1]["operation"] == "delete_positional"
+        )
+        if not ok:
+            if os.path.exists(src_path):
+                shutil.rmtree(src_path)
+            write_snapshot(
+                docs.filter(F.col("doc_id") % 10 <= 5)
+                .select("doc_id", val),
+                src_path,
+                meta={"fingerprint": fp},
+            )
+            append_snapshot(
+                docs.filter(F.col("doc_id") % 10 == 6)
+                .select("doc_id", val),
+                src_path,
+            )
+            delete_rows_positional(
+                spark, src_path,
+                F.substring(F.col("val"), 1, 1) == "m",
+            )
+
+        dst = os.path.join(_warehouse_dir(), f"cdcpdv_vt_{tag}_dstream")
+        dfp = f"{fp}:dstream"
+        ms = list_versions(dst)
+        if not ms or ms[0].get("src_fp") != dfp:
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            write_snapshot(
+                read_version(spark, src_path, 0),
+                dst,
+                meta={"src_fp": dfp, "cursor": 0},
+            )
+
+        def cursor() -> int:
+            return max(m.get("cursor", 0) for m in list_versions(dst))
+
+        if cursor() < 2:
+            scratch = tempfile.mkdtemp(prefix="uts_cdc_pdv_")
+            try:
+                src = os.path.join(scratch, "src")
+                chk = os.path.join(scratch, "chk")
+                os.makedirs(src)
+                for ver in (1, 2):
+                    spark.createDataFrame(
+                        [(ver,)], "ver long"
+                    ).coalesce(1).write.mode("append").parquet(src)
+
+                def apply_batch(bdf, bid):
+                    for row in sorted(bdf.collect()):
+                        target = int(row["ver"])
+                        while cursor() < target:
+                            ver = cursor() + 1
+                            ch = table_changes(
+                                spark, src_path, ver - 1, ver,
+                                key="doc_id",
+                            )
+                            removed = ch.filter(
+                                F.col("_change_type").isin(
+                                    "delete", "update_preimage"
+                                )
+                            ).select("doc_id")
+                            added = ch.filter(
+                                F.col("_change_type").isin(
+                                    "insert", "update_postimage"
+                                )
+                            ).drop("_change_type")
+                            cur = read_version(spark, dst)
+                            new = cur.join(
+                                removed, "doc_id", "left_anti"
+                            ).unionByName(added)
+                            write_snapshot(
+                                new, dst, operation="cdc_apply",
+                                meta={"src_fp": dfp, "cursor": ver},
+                            )
+
+                q = (
+                    spark.readStream.schema("ver long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .writeStream.foreachBatch(apply_batch)
+                    .option("checkpointLocation", chk)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+        return read_version(spark, dst)
+
+    return stream_cdc_apply_pdv_replay
+
+
+stream_cdc_apply_pdv_replay = _register_stream_cdc_apply_pdv()
+
+
 # --- SERVICE TICKS THROUGH THE PROTOCOL FACADE (VERDICT r9 #2) --------------
 #
 # index_service_tick was parity-pinned by pytest only; these four lanes

@@ -116,7 +116,10 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 405  # round 10 (cont. 2): +positional deletion
+_REGISTRY_FLOOR = 407  # round 10 (cont. 2): +manifest-planned join
+# (KMV estimate -> physical strategy) and +streaming CDC across a
+# positional delete
+# prior floor 405 — +positional deletion
 # vectors (keyless MOR erasure by physical address — r11 candidate #3)
 # prior floor 404 — +per-dir KMV distinct
 # sketches on the versioned-table manifest (distinct/join/overlap

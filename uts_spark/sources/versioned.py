@@ -660,6 +660,113 @@ def kmv_overlap_estimate(
     }
 
 
+def plan_join(
+    path_a: str,
+    path_b: str,
+    version_a: int | None = None,
+    version_b: int | None = None,
+    broadcast_rows: int = 500_000,
+    explode_factor: int = 4,
+) -> dict:
+    """JOIN PLAN from MANIFESTS alone (the estimate→plan loop closed —
+    refreshed r11 #1): decide the physical strategy for an inner
+    equi-join of two versioned tables before any scan is scheduled,
+    from each side's committed ``n_rows`` and (when both tables carry
+    KMV synopses) the join-size estimate.
+
+    - ``strategy``: 'broadcast' when the smaller side's row count is
+      within ``broadcast_rows`` (the build side named explicitly),
+      else 'shuffle'. Row counts are manifest facts, not samples — the
+      one statistic Spark's own size-based threshold has to INFER from
+      file sizes, and gets wrong after filters.
+    - ``explosive``: True when the KMV estimate says output rows
+      exceed ``explode_factor`` × the larger input — the fan-out a
+      planner wants to refuse or repartition for BEFORE the shuffle
+      materializes it.
+
+    Estimates are advisory (KMV contract); the returned dict records
+    everything it used so the caller can log the decision."""
+    versions_a = {m["version"]: m for m in list_versions(path_a)}
+    versions_b = {m["version"]: m for m in list_versions(path_b)}
+    if not versions_a or not versions_b:
+        raise ValueError(
+            f"plan_join: both tables need committed versions "
+            f"({path_a}: {bool(versions_a)}, {path_b}: {bool(versions_b)})"
+        )
+    ma = versions_a[max(versions_a) if version_a is None else version_a]
+    mb = versions_b[max(versions_b) if version_b is None else version_b]
+    rows_a, rows_b = int(ma["n_rows"]), int(mb["n_rows"])
+    build = "a" if rows_a <= rows_b else "b"
+    plan = {
+        "rows_a": rows_a,
+        "rows_b": rows_b,
+        "build_side": build,
+        "strategy": (
+            "broadcast" if min(rows_a, rows_b) <= broadcast_rows
+            else "shuffle"
+        ),
+        "explosive": False,
+    }
+    ga = table_kmv(path_a, version_a)
+    gb = table_kmv(path_b, version_b)
+    if ga is not None and gb is not None:
+        est = kmv_join_estimate(
+            path_a, rows_a, path_b, rows_b,
+            version_a=version_a, version_b=version_b,
+        )
+        plan["estimate"] = est
+        plan["explosive"] = (
+            est["est_join_rows"] > explode_factor * max(rows_a, rows_b)
+        )
+    return plan
+
+
+def join_versioned(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    key_a: str,
+    key_b: str | None = None,
+    how: str = "inner",
+    version_a: int | None = None,
+    version_b: int | None = None,
+    broadcast_rows: int = 500_000,
+    explode_factor: int = 4,
+    refuse_explosive: bool = False,
+) -> DataFrame:
+    """Equi-join two versioned tables with the physical strategy
+    chosen by :func:`plan_join` — manifest row counts pick the
+    broadcast side (an explicit ``F.broadcast`` hint, not a file-size
+    guess), and a KMV-estimated explosive output either warns-by-plan
+    (recorded in the plan dict) or refuses up front
+    (``refuse_explosive=True``) instead of discovering the fan-out
+    mid-shuffle. Plan-shape pinned in tests/test_sinks.py."""
+    from pyspark.sql import functions as F
+
+    plan = plan_join(
+        path_a, path_b, version_a, version_b, broadcast_rows,
+        explode_factor,
+    )
+    if refuse_explosive and plan["explosive"]:
+        raise ValueError(
+            f"join_versioned: estimated output "
+            f"{plan['estimate']['est_join_rows']} rows exceeds "
+            f"{explode_factor}x the larger input "
+            f"({max(plan['rows_a'], plan['rows_b'])}) — likely a "
+            "many-to-many key; repartition or aggregate first"
+        )
+    a = read_version(spark, path_a, version_a)
+    b = read_version(spark, path_b, version_b)
+    if plan["strategy"] == "broadcast":
+        if plan["build_side"] == "a":
+            a = F.broadcast(a)
+        else:
+            b = F.broadcast(b)
+    if key_b is None or key_b == key_a:
+        return a.join(b, key_a, how)
+    return a.join(b, a[key_a] == b[key_b], how)
+
+
 def suggest_erasure_mode(
     spark, path: str, keys: DataFrame, key: str,
     mor_below_frac: float = 0.02,
