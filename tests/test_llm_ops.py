@@ -3409,3 +3409,66 @@ def test_vindex_materialize_per_family_default(spark, emb, tmp_path):
     assert len(list_versions(p_ivf)[-1]["dv"]) == 9
     assert vx.vindex_maybe_materialize(spark, p_lsh) is not None
     assert not list_versions(p_lsh)[-1].get("dv")
+
+
+def test_ivf_vindex_meta_sort_layout(spark, emb, tmp_path):
+    """meta_sort clusters rows by (cell, label, id): manifest-recorded,
+    preserved by compaction (the rewrite resolves the sort from the
+    manifest), results identical to the scattered layout, and the
+    written files are physically label-clustered within cells."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    import uts_spark.functions.vindex as vx
+    from uts_spark.sources.versioned import list_versions
+
+    with _pytest.raises(ValueError, match="needs meta_cols"):
+        vx.ivf_vindex_build(
+            emb, str(tmp_path / "bad"), fingerprint="x", meta_sort=True
+        )
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    anchors = emb.filter(F.col("vec_id") < 5)
+
+    p = str(tmp_path / "sorted")
+    vx.ivf_vindex_build(
+        base, p, fingerprint="f0", n_cells=8, meta_cols=("label",),
+        meta_sort=True,
+    )
+    assert list_versions(p)[-1]["meta_sort"] is True
+    vx.ivf_vindex_append(batch, p, fingerprint="f1")
+    vx.ivf_vindex_compact(spark, p, fingerprint="f2")
+    assert list_versions(p)[-1]["meta_sort"] is True
+
+    ref = str(tmp_path / "scattered")
+    vx.ivf_vindex_build(
+        base, ref, fingerprint="f0", n_cells=8, meta_cols=("label",)
+    )
+    vx.ivf_vindex_append(batch, ref, fingerprint="f1")
+    got = vx.ivf_vindex_probe(
+        spark, p, anchors, k=10, n_probe=3, where=F.col("label") == 7
+    )
+    want = vx.ivf_vindex_probe(
+        spark, ref, anchors, k=10, n_probe=3, where=F.col("label") == 7
+    )
+    assert sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in want.collect()
+    )
+
+    # physical layout: within every post-compaction file, rows are
+    # non-decreasing by (cell, label) — the property row-group stats
+    # prune on (measured at scale in tools/meta_sort_smoke.py)
+    dirs = list_versions(p)[-1]["data_dirs"]
+    files = [
+        f for d in dirs for f in glob.glob(f"{d}/*.parquet")
+    ]
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["cell", "label"])
+        pairs = list(zip(t["cell"].to_pylist(), t["label"].to_pylist()))
+        assert pairs == sorted(pairs)

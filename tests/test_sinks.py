@@ -3035,3 +3035,70 @@ def test_join_versioned_plan_shapes(spark, tmp_path):
         )
     # without the refusal flag the join still runs correctly
     assert V.join_versioned(spark, pca, pcb, "k").count() == 9_000_000
+
+
+def test_catalog_retention_policy(spark, tmp_path):
+    """Per-entry retention: the janitor vacuums each entry to its own
+    keep_last; the tick-wide knob covers only policy-less entries;
+    path moves carry the policy; tags still override."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        register_entry,
+        resolve,
+        set_retention,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    for p in (pa, pb):
+        for i in range(4):
+            V.write_snapshot(
+                spark.createDataFrame([(i,)], "v long"), p
+            )
+    register_entry(cat, "with_policy", pa)
+    register_entry(cat, "no_policy", pb)
+    set_retention(cat, "with_policy", keep_last=2)
+    with _pytest.raises(ValueError, match="keep_last"):
+        set_retention(cat, "with_policy", keep_last=0)
+
+    # policy applies without any tick-wide knob; the other entry keeps
+    # its full history
+    rep = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert rep["with_policy"]["vacuumed"] == [0, 1]
+    assert rep["with_policy"]["retention"] == "policy"
+    assert rep["no_policy"]["vacuumed"] == []
+    assert len(V.list_versions(pa)) == 2
+    assert len(V.list_versions(pb)) == 4
+
+    # tick-wide knob reaches only the policy-less entry; the policy
+    # entry stays at ITS keep_last even when the knob is tighter
+    rep = {
+        r["name"]: r
+        for r in catalog_maintenance_tick(spark, cat, vacuum_keep_last=1)
+    }
+    assert rep["no_policy"]["vacuumed"] == [0, 1, 2]
+    assert len(V.list_versions(pa)) == 2
+
+    # a tagged version survives the policy (vacuum's retention promise)
+    V.write_snapshot(spark.createDataFrame([(9,)], "v long"), pa)
+    V.tag_version(pa, "audit", 2)
+    catalog_maintenance_tick(spark, cat)
+    assert 2 in {m["version"] for m in V.list_versions(pa)}
+
+    # a path move carries the policy
+    pa2 = str(tmp_path / "ta2")
+    for i in range(3):
+        V.write_snapshot(spark.createDataFrame([(i,)], "v long"), pa2)
+    from uts_spark.sources.catalog import alter_entry
+
+    alter_entry(cat, "with_policy", pa2)
+    assert resolve(cat, "with_policy")["retention"] == {"keep_last": 2}
+    catalog_maintenance_tick(spark, cat)
+    assert len(V.list_versions(pa2)) == 2
+
+    # clearing the policy returns the entry to tick-wide control
+    set_retention(cat, "with_policy", None)
+    assert "retention" not in resolve(cat, "with_policy")

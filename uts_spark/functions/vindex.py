@@ -419,7 +419,8 @@ def _carry_meta(pm: dict, fingerprint: str, keys: tuple[str, ...]) -> dict:
     the parent manifest verbatim; only the fingerprint advances."""
     meta = {k: pm[k] for k in keys if k in pm}
     for k in ("centroids_dir", "codebook_dir", "aux_dirs", "family",
-              "fit_ref", "coll_ref", "dist_ref", "id_col", "meta_cols"):
+              "fit_ref", "coll_ref", "dist_ref", "id_col", "meta_cols",
+              "meta_sort"):
         if k in pm:
             meta[k] = pm[k]
     meta["fingerprint"] = fingerprint
@@ -890,6 +891,20 @@ def lsh_vindex_probe(
 # just another rewrite commit (no history reset, no swap window).
 
 _IVF_SORT = ("cell", "vec_id")
+
+
+def _ivf_sort_of(pm: dict) -> tuple[str, ...]:
+    """The IVF family's delta-dir sort key, resolved from the
+    manifest: ``meta_sort`` (opt-in at build) clusters rows by
+    (cell, meta_cols..., id) instead of (cell, id), so a filtered
+    probe's metadata predicate prunes ROW GROUPS via parquet min/max
+    stats — measured in tools/meta_sort_smoke.py: label-homogeneous
+    row groups admit ~1/|labels| of the groups a scattered layout
+    reads. Every rewrite verb resolves the sort HERE so compaction,
+    erasure and recluster preserve the layout the build chose."""
+    if pm.get("meta_sort") and pm.get("meta_cols"):
+        return ("cell", *pm["meta_cols"], pm.get("id_col", "vec_id"))
+    return _IVF_SORT
 _IVF_KEYS = ("n_cells",)
 
 
@@ -936,6 +951,7 @@ def ivf_vindex_build(
     vec_col: str = "embedding",
     centroid_src: DataFrame | None = None,
     meta_cols: tuple[str, ...] = (),
+    meta_sort: bool = False,
 ) -> int:
     """Version 0 of the snapshot IVF index: freeze the hash-seeded
     centroids as an immutable quantizer sidecar, assign every corpus
@@ -950,9 +966,17 @@ def ivf_vindex_build(
     ``meta_cols`` stores metadata columns alongside the vectors (the
     filtered-ANN input: probes push a ``where`` on them into the
     cell-pruned scan); recorded on the manifest so appends keep the
-    row schema without the caller restating it."""
+    row schema without the caller restating it. ``meta_sort`` ALSO
+    clusters rows by (cell, meta_cols..., id) so the pushed predicate
+    prunes row groups, not just rows (:func:`_ivf_sort_of`) — the
+    layout choice for indexes whose probes are routinely filtered."""
     from uts_spark.functions.similarity import _ivf_assign, _ivf_centroids
 
+    if meta_sort and not meta_cols:
+        raise ValueError(
+            "ivf_vindex_build: meta_sort=True needs meta_cols — there "
+            "is nothing to cluster by"
+        )
     spark = emb.sparkSession
     cents = _ivf_centroids(centroid_src or emb, n_cells, id_col, vec_col)
     qdir = _write_quant_dir(cents, path)
@@ -960,17 +984,22 @@ def ivf_vindex_build(
         emb, spark.read.parquet(qdir), id_col, vec_col,
         keep_cols=tuple(meta_cols),
     )
-    ddir = _write_delta_dir(_cluster(rows, "cell"), path, _IVF_SORT)
-    n_rows, stats = _count_and_stats(spark, ddir, id_col)
-    fit = _ivf_fit_ints_from_dir(spark, ddir, qdir, id_col, vec_col)
     meta = {
         "family": "ivf", "fingerprint": fingerprint, "n_cells": n_cells,
         "id_col": id_col,
+        **({"meta_cols": list(meta_cols)} if meta_cols else {}),
+        **({"meta_sort": True} if meta_sort else {}),
+    }
+    ddir = _write_delta_dir(
+        _cluster(rows, "cell"), path, _ivf_sort_of(meta)
+    )
+    n_rows, stats = _count_and_stats(spark, ddir, id_col)
+    fit = _ivf_fit_ints_from_dir(spark, ddir, qdir, id_col, vec_col)
+    meta.update({
         "centroids_dir": qdir, "aux_dirs": [qdir],
         "fit_ref": list(fit),
         "dir_stats": {ddir: stats},
-        **({"meta_cols": list(meta_cols)} if meta_cols else {}),
-    }
+    })
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
 
@@ -1028,7 +1057,7 @@ def ivf_vindex_append(
                 keep_cols=tuple(pm.get("meta_cols", ())),
             )
             ddir = _write_delta_dir(
-                rows.repartition(4, "cell"), path, _IVF_SORT
+                rows.repartition(4, "cell"), path, _ivf_sort_of(pm)
             )
             n_new, stats = _count_and_stats(spark, ddir, id_col)
             fit = (
@@ -1077,19 +1106,20 @@ def ivf_vindex_delete(
             "expected ivf"
         )
     return _delete_pruned(
-        spark, deleted_ids, path, id_col, ("cell",), _IVF_SORT,
+        spark, deleted_ids, path, id_col, ("cell",), _ivf_sort_of(pm),
         lambda pmm: _carry_meta(pmm, fingerprint, _IVF_KEYS),
     )
 
 
 def ivf_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
+    pm = _current_manifest(path)
     return _rewrite_with_retry(
         spark, path,
         lambda cur, meta: _cluster(cur, "cell"),
         "compact",
-        lambda pm, cur: _carry_meta(pm, fingerprint, _IVF_KEYS),
-        sort=_IVF_SORT,
-        id_col=_current_manifest(path).get("id_col", "vec_id"),
+        lambda pmm, cur: _carry_meta(pmm, fingerprint, _IVF_KEYS),
+        sort=_ivf_sort_of(pm),
+        id_col=pm.get("id_col", "vec_id"),
     )
 
 
@@ -1142,7 +1172,8 @@ def ivf_vindex_recluster(
 
     return _rewrite_with_retry(
         spark, path, make_rows, "recluster", meta_fn,
-        sort=_IVF_SORT, id_col=id_col, amend_fn=amend_fn,
+        sort=_ivf_sort_of(_current_manifest(path)), id_col=id_col,
+        amend_fn=amend_fn,
     )
 
 
@@ -1691,6 +1722,8 @@ def _layout_of(pm: dict):
             f"snapshot index: unknown family {fam!r} — cannot route"
         )
     repart, sort, keys, default_id = _FAMILY_LAYOUT[fam]
+    if fam == "ivf":
+        sort = _ivf_sort_of(pm)  # meta_sort layouts survive rewrites
     return repart, sort, keys, pm.get("id_col", default_id)
 
 

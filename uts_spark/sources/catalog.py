@@ -116,7 +116,46 @@ def alter_entry(catalog: str, name: str, path: str) -> int:
     g = cur["generation"] + 1
     _cas_write(
         os.path.join(_entries_dir(catalog), f"{name}.g{g}.json"),
-        {"name": name, "path": path, "kind": cur["kind"]},
+        {
+            "name": name, "path": path, "kind": cur["kind"],
+            # a path move never silently drops the retention policy
+            **(
+                {"retention": cur["retention"]}
+                if "retention" in cur else {}
+            ),
+        },
+    )
+    return g
+
+
+def set_retention(
+    catalog: str, name: str, keep_last: int | None
+) -> int:
+    """Attach (or clear, with ``None``) a RETENTION POLICY to a
+    catalog entry: the janitor (:func:`catalog_maintenance_tick`)
+    vacuums this entry to its own ``keep_last`` on every tick —
+    per-table retention as catalog metadata instead of a fleet-wide
+    knob (refreshed r11 #6: vacuum was a manual, uniform decision;
+    real tables have different compliance windows). The policy rides
+    the entry's CAS generation chain like a path move, so two racing
+    writers resolve the usual way, and vacuum's OWN protections
+    (named refs, live branches, the current version) still override —
+    a policy cannot expire a tagged snapshot. Returns the new
+    generation."""
+    if keep_last is not None and keep_last < 1:
+        raise ValueError(
+            f"set_retention: keep_last must be >= 1 (got {keep_last}) — "
+            "the current version is never expirable"
+        )
+    cur = _current(catalog, name)
+    if cur is None:
+        raise ValueError(f"catalog has no entry named {name!r}")
+    g = cur["generation"] + 1
+    rec = {"name": name, "path": cur["path"], "kind": cur["kind"]}
+    if keep_last is not None:
+        rec["retention"] = {"keep_last": keep_last}
+    _cas_write(
+        os.path.join(_entries_dir(catalog), f"{name}.g{g}.json"), rec
     )
     return g
 
@@ -698,9 +737,12 @@ def catalog_maintenance_tick(
        :func:`versioned.maybe_materialize_dvs` (count/fraction knobs)
        — merge-on-read takedowns defer their rewrite to exactly this
        tick, so the janitor is where that debt is paid.
-    2. **vacuum** — OPT-IN via ``vacuum_keep_last`` (expiring versions
-       is a retention decision, not a janitor default; tags and live
-       branches stay protected by vacuum's own rules).
+    2. **vacuum** — per-entry RETENTION POLICIES first
+       (:func:`set_retention` — an entry's own ``keep_last`` wins),
+       then the tick-wide OPT-IN ``vacuum_keep_last`` for entries
+       without a policy (expiring versions is a retention decision,
+       not a janitor default; tags and live branches stay protected
+       by vacuum's own rules either way).
     3. **orphan cleanup** — :func:`versioned.remove_orphans` with the
        3-day grace window (losing CAS racers' debris), plus one
        catalog-wide :func:`sweep_snapshot_tags` pass (orphaned
@@ -754,7 +796,13 @@ def catalog_maintenance_tick(
             r["dv_materialized"] = maybe_materialize_dvs(spark, rec["path"])
             kw = {} if max_dirs is None else {"max_dirs": max_dirs}
             r["compacted"] = maybe_optimize(spark, rec["path"], **kw)
-        if vacuum_keep_last is not None:
+        # per-entry retention policy beats the tick-wide knob; the
+        # tick-wide knob applies only to entries WITHOUT a policy
+        policy = rec.get("retention", {}).get("keep_last")
+        if policy is not None:
+            r["vacuumed"] = vacuum(rec["path"], keep_last=policy)
+            r["retention"] = "policy"
+        elif vacuum_keep_last is not None:
             r["vacuumed"] = vacuum(rec["path"], keep_last=vacuum_keep_last)
         r["orphans_removed"] = len(
             remove_orphans(rec["path"], older_than_secs=orphan_grace_secs)
