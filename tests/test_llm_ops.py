@@ -3472,3 +3472,31 @@ def test_ivf_vindex_meta_sort_layout(spark, emb, tmp_path):
         t = pq.read_table(f, columns=["cell", "label"])
         pairs = list(zip(t["cell"].to_pylist(), t["label"].to_pylist()))
         assert pairs == sorted(pairs)
+
+
+def test_facade_probe_where_passthrough(spark, emb, tmp_path):
+    """The protocol facade forwards filtered-ANN kwargs: a facade
+    probe with where= equals the family verb's own filtered probe
+    (second-refresh r11 #6 — the pass-through worked by construction;
+    this pins it against a future facade signature change)."""
+    import uts_spark.functions.vindex as vx
+    from uts_spark.functions.index_protocol import index_probe
+
+    path = str(tmp_path / "fac_meta")
+    vx.ivf_vindex_build(
+        emb, path, fingerprint="f0", n_cells=8, meta_cols=("label",)
+    )
+    anchors = emb.filter(F.col("vec_id") < 5)
+    via_facade = index_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    )
+    direct = vx.ivf_vindex_probe(
+        spark, path, anchors, k=10, n_probe=3,
+        where=F.col("label") == 7,
+    )
+    assert sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in via_facade.collect()
+    ) == sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in direct.collect()
+    )
