@@ -3102,3 +3102,245 @@ def test_catalog_retention_policy(spark, tmp_path):
     # clearing the policy returns the entry to tick-wide control
     set_retention(cat, "with_policy", None)
     assert "retention" not in resolve(cat, "with_policy")
+
+
+def test_versioned_pdv_relative_path_materialize(spark):
+    """ADVICE r10 (high): manifest dirs are stored as the writer passed
+    them; parquet ``_metadata`` paths are absolute ``file:`` URIs. On a
+    RELATIVE table path the raw-string compare matched nothing, so
+    materialize_dvs cleared positional vectors WITHOUT rewriting —
+    silently RESURRECTING erased rows — and the CDF positional leg
+    emitted no delete images. Both sides now normalize before any
+    equality (versioned._norm_dir)."""
+    import shutil
+    import uuid
+
+    import uts_spark.sources.versioned as V
+
+    p = f"tmp_relpdv_{uuid.uuid4().hex[:8]}"  # relative to the cwd
+    try:
+        V.write_snapshot(
+            spark.createDataFrame([(i,) for i in range(20)], "k long"), p
+        )
+        V.delete_rows_positional(spark, p, F.col("k") < 15)
+        assert V.read_version(spark, p).count() == 5
+
+        # the CDF positional leg emits the delete images (was: empty)
+        feed = V.table_changes(spark, p, 0, 1).collect()
+        assert {r._change_type for r in feed} == {"delete"}
+        assert sorted(r.k for r in feed) == list(range(15))
+
+        # materialize rewrites (was: cleared the vector, count -> 20)
+        V.materialize_dvs(spark, p)
+        m = V.list_versions(p)[-1]
+        assert not m.get("pdv")
+        got = sorted(r.k for r in V.read_version(spark, p).collect())
+        assert got == [15, 16, 17, 18, 19]
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_versioned_pdv_nonnormal_path_materialize(spark, tmp_path):
+    """Same failure class through a non-normalized ABSOLUTE path (a
+    '.' segment): normalization, not the cwd, is what must fix it."""
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path) + "/./pdvn"
+    V.write_snapshot(
+        spark.createDataFrame([(i,) for i in range(10)], "k long"), p
+    )
+    V.delete_rows_positional(spark, p, F.col("k") < 4)
+    assert V.read_version(spark, p).count() == 6
+    V.materialize_dvs(spark, p)
+    assert not V.list_versions(p)[-1].get("pdv")
+    assert sorted(r.k for r in V.read_version(spark, p).collect()) == [
+        4, 5, 6, 7, 8, 9,
+    ]
+
+
+def test_versioned_pdv_materialize_refuses_unmatched_file(spark, tmp_path):
+    """A positional vector whose masked file resolves to NO manifest
+    dir is bookkeeping corruption — materialize must refuse, never
+    clear the vector (clearing resurrects rows that were never
+    rewritten)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "pdvbad")
+    V.write_snapshot(
+        spark.createDataFrame([(i,) for i in range(10)], "k long"), p
+    )
+    V.delete_rows_positional(spark, p, F.col("k") < 3)
+    # doctor the latest manifest: point its dir list at a fresh empty
+    # dir so the vector's masked file matches nothing
+    vdir = V._versions_dir(p)
+    latest = sorted(
+        os.listdir(vdir), key=lambda f: int(f[1:-5])
+    )[-1]
+    mp = os.path.join(vdir, latest)
+    with open(mp) as fh:
+        m = json.load(fh)
+    stray = str(tmp_path / "stray")
+    spark.createDataFrame([(99,)], "k long").write.parquet(stray)
+    for key in ("data_dir", "data_dirs"):
+        if key in m:
+            m[key] = stray if key == "data_dir" else [stray]
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    with _pytest.raises(ValueError, match="refusing to materialize"):
+        V.materialize_dvs(spark, p)
+
+
+def test_versioned_cdf_pdv_key_vector_dedup(spark, tmp_path):
+    """ADVICE r10 (low): a row masked in-range by BOTH a positional
+    vector and a key vector must emit exactly ONE delete image in the
+    MOR CDF fast path (accounting consumers double-counted)."""
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "pdvdd")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "k long, val string"
+        ),
+        p,
+    )
+    V.delete_rows_positional(spark, p, F.col("k") < 10)
+    V.delete_rows_mor(
+        spark, p,
+        spark.createDataFrame([(k,) for k in range(5, 15)], "k long"),
+        "k",
+    )
+    assert V.read_version(spark, p).count() == 25
+    feed = V.table_changes(spark, p, 0, 2).collect()
+    assert {r._change_type for r in feed} == {"delete"}
+    ks = sorted(r.k for r in feed)
+    # k=5..9 are masked by BOTH vectors — exactly one image each
+    assert ks == list(range(15))
+
+
+def test_versioned_reserved_address_columns_refused(spark, tmp_path):
+    """ADVICE r10 (low): __file/__pos are the positional-vector
+    address columns every masked read appends — user columns with
+    those names are refused at write time."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "resv")
+    with _pytest.raises(ValueError, match="reserved"):
+        V.write_snapshot(
+            spark.createDataFrame([(1, "f")], "k long, __file string"), p
+        )
+    V.write_snapshot(spark.createDataFrame([(1,)], "k long"), p)
+    with _pytest.raises(ValueError, match="reserved"):
+        V.append_snapshot(
+            spark.createDataFrame([(2, 0)], "k long, __pos long"), p
+        )
+    assert V.read_version(spark, p).count() == 1
+
+
+def test_catalog_retention_marker_protocol(spark, tmp_path):
+    """ADVICE r10 (low): the janitor cannot vacuum a marker-protocol
+    index — set_retention refuses at set time, and a policy recorded
+    before registration/migration is reported as UNENFORCED by the
+    tick instead of silently skipped."""
+    import os
+
+    import pytest as _pytest
+
+    from uts_spark.functions.dedup import index_manifest_write
+    from uts_spark.sources.catalog import (
+        _cas_write,
+        _entries_dir,
+        catalog_maintenance_tick,
+        register_entry,
+        resolve,
+        set_retention,
+    )
+
+    cat = str(tmp_path / "cat")
+    ip = str(tmp_path / "midx")
+    os.makedirs(ip)
+    index_manifest_write(ip, "fp0", family="minhash")
+    register_entry(cat, "midx", ip, kind="index")
+    with _pytest.raises(ValueError, match="marker-protocol"):
+        set_retention(cat, "midx", keep_last=1)
+
+    # a stale policy (e.g. set before a protocol migration) surfaces
+    # loudly in the tick report rather than pretending enforcement
+    cur = resolve(cat, "midx")
+    _cas_write(
+        os.path.join(_entries_dir(cat), "midx.g1.json"),
+        {
+            "name": "midx", "path": cur["path"], "kind": "index",
+            "retention": {"keep_last": 1},
+        },
+    )
+    rep = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert rep["midx"]["skipped"].startswith("marker-protocol")
+    assert rep["midx"]["retention_unenforced"] == {"keep_last": 1}
+
+
+def test_kmv_join_estimate_oracle_regimes(spark, tmp_path):
+    """ADVICE r10 (low): the join-estimate ORACLE must mirror all
+    three regimes of versioned._kmv_intersect_est — both sketches
+    exhaustive (<k distinct), one exhaustive, both sampled — not just
+    the sampled formula. Pin Python == DuckDB per regime on tiny
+    synthetic tables where the exhaustive branches actually fire."""
+    import duckdb
+
+    import uts_spark.sources.versioned as V
+    from uts_spark.registry import ORACLES
+
+    sql = ORACLES["versioned_kmv_join_estimate"]
+
+    cases = {
+        # (orders distinct, customer distinct): regimes
+        "both_exhaustive": (30, 40),
+        "orders_exhaustive": (50, 200),
+        "customer_exhaustive": (200, 40),
+        "both_sampled": (100, 120),
+    }
+    for label, (no, nc) in cases.items():
+        pa = str(tmp_path / f"o_{label}")
+        pc = str(tmp_path / f"c_{label}")
+        # 2 rows per orders key (exercises the rows/D scaling), keys
+        # offset so the intersection is partial; append chain on the
+        # orders side exercises the per-dir sketch merge
+        odf = spark.createDataFrame(
+            [(k, 2 * k) for k in range(no) for _ in range(2)],
+            "o_custkey long, o_orderkey long",
+        )
+        cdf = spark.createDataFrame(
+            [(k,) for k in range(no // 2, no // 2 + nc)],
+            "c_custkey long",
+        )
+        V.write_snapshot(
+            odf.filter(F.col("o_custkey") % 2 == 0), pa,
+            kmv_col="o_custkey",
+        )
+        V.append_snapshot(odf.filter(F.col("o_custkey") % 2 == 1), pa)
+        V.write_snapshot(cdf, pc, kmv_col="c_custkey")
+
+        j = V.kmv_join_estimate(pa, 2 * no, pc, nc)
+
+        con = duckdb.connect()
+        con.register("odf", odf.toPandas())
+        con.register("cdf", cdf.toPandas())
+        con.execute("CREATE VIEW orders AS SELECT * FROM odf")
+        con.execute("CREATE VIEW customer AS SELECT * FROM cdf")
+        row = con.execute(sql).fetchone()
+        cols = [d[0] for d in con.execute(sql).description]
+        got = dict(zip(cols, row))
+        con.close()
+
+        assert got["est_distinct_orders"] == j["distinct_a"], label
+        assert got["est_distinct_customer"] == j["distinct_b"], label
+        assert got["est_intersection"] == j["distinct_intersection"], label
+        assert got["est_union"] == j["distinct_union"], label
+        assert got["est_join_rows"] == j["est_join_rows"], label

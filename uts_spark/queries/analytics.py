@@ -4290,6 +4290,13 @@ def versioned_kmv_distinct_estimate(spark, sf_dir):
 
 @query(
     "versioned_kmv_join_estimate",
+    # Mirrors versioned._kmv_intersect_est's THREE regimes (ADVICE
+    # r10, low: the first cut always applied the sampled-sketch
+    # formula, so a scale factor with <k distinct keys on either side
+    # would hash-mismatch a correct library): both sketches
+    # exhaustive (<k values = every distinct hash present) -> exact
+    # set algebra; one exhaustive -> hits scaled by D/k off the
+    # sampled side; both sampled -> classic KMV union-merge algebra.
     f"""
     WITH ho AS (
       SELECT DISTINCT {duck_hash64("CAST(o_custkey AS VARCHAR)")} AS h
@@ -4301,35 +4308,75 @@ def versioned_kmv_distinct_estimate(spark, sf_dir):
       FROM customer
     ),
     skc AS (SELECT h FROM hc ORDER BY h LIMIT {_KMV_SQL_K}),
-    da AS (SELECT CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
+    no_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM sko),
+    nc_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM skc),
+    da AS (SELECT CASE
+             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+               THEN (SELECT c FROM no_)
+             ELSE CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
                   * CAST({_KMV_SQL_SPACE} AS HUGEINT)
                   // CAST((SELECT MAX(h) FROM sko) AS HUGEINT) AS BIGINT)
-                  AS d),
-    db AS (SELECT CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
+           END AS d),
+    db AS (SELECT CASE
+             WHEN (SELECT c FROM nc_) < {_KMV_SQL_K}
+               THEN (SELECT c FROM nc_)
+             ELSE CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
                   * CAST({_KMV_SQL_SPACE} AS HUGEINT)
                   // CAST((SELECT MAX(h) FROM skc) AS HUGEINT) AS BIGINT)
-                  AS d),
+           END AS d),
+    hx AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM sko
+           WHERE h IN (SELECT h FROM skc)),
+    ux AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT h FROM sko UNION SELECT h FROM skc)),
     u AS (SELECT h FROM (SELECT h FROM sko UNION SELECT h FROM skc)
           ORDER BY h LIMIT {_KMV_SQL_K}),
-    du AS (SELECT CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
+    dus AS (SELECT CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
                   * CAST({_KMV_SQL_SPACE} AS HUGEINT)
                   // CAST((SELECT MAX(h) FROM u) AS HUGEINT) AS BIGINT)
                   AS d),
-    i AS (SELECT COUNT(*) AS c FROM u
-          WHERE h IN (SELECT h FROM sko) AND h IN (SELECT h FROM skc)),
-    di AS (SELECT CAST(CAST((SELECT c FROM i) AS HUGEINT)
-                  * CAST((SELECT d FROM du) AS HUGEINT)
-                  // {_KMV_SQL_K} AS BIGINT) AS d)
+    iu AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM u
+           WHERE h IN (SELECT h FROM sko) AND h IN (SELECT h FROM skc)),
+    di AS (SELECT CASE
+             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+                  AND (SELECT c FROM nc_) < {_KMV_SQL_K}
+               THEN (SELECT c FROM hx)
+             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+               THEN CAST(CAST((SELECT c FROM hx) AS HUGEINT)
+                    * CAST((SELECT d FROM db) AS HUGEINT)
+                    // {_KMV_SQL_K} AS BIGINT)
+             WHEN (SELECT c FROM nc_) < {_KMV_SQL_K}
+               THEN CAST(CAST((SELECT c FROM hx) AS HUGEINT)
+                    * CAST((SELECT d FROM da) AS HUGEINT)
+                    // {_KMV_SQL_K} AS BIGINT)
+             ELSE CAST(CAST((SELECT c FROM iu) AS HUGEINT)
+                  * CAST((SELECT d FROM dus) AS HUGEINT)
+                  // {_KMV_SQL_K} AS BIGINT)
+           END AS d),
+    du AS (SELECT CASE
+             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+                  AND (SELECT c FROM nc_) < {_KMV_SQL_K}
+               THEN (SELECT c FROM ux)
+             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+               THEN (SELECT d FROM db) + (SELECT c FROM no_)
+                    - (SELECT d FROM di)
+             WHEN (SELECT c FROM nc_) < {_KMV_SQL_K}
+               THEN (SELECT d FROM da) + (SELECT c FROM nc_)
+                    - (SELECT d FROM di)
+             ELSE (SELECT d FROM dus)
+           END AS d)
     SELECT (SELECT d FROM da) AS est_distinct_orders,
            (SELECT d FROM db) AS est_distinct_customer,
            (SELECT d FROM di) AS est_intersection,
            (SELECT d FROM du) AS est_union,
-           CAST(CAST((SELECT d FROM di) AS HUGEINT)
+           CASE
+             WHEN (SELECT d FROM da) = 0 OR (SELECT d FROM db) = 0
+               THEN 0
+             ELSE CAST(CAST((SELECT d FROM di) AS HUGEINT)
                 * (SELECT COUNT(*) FROM orders)
                 * (SELECT COUNT(*) FROM customer)
                 // (CAST((SELECT d FROM da) AS HUGEINT)
                    * CAST((SELECT d FROM db) AS HUGEINT)) AS BIGINT)
-             AS est_join_rows,
+           END AS est_join_rows,
            (SELECT COUNT(*) FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey)
              AS exact_join_rows

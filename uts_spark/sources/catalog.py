@@ -150,6 +150,23 @@ def set_retention(
     cur = _current(catalog, name)
     if cur is None:
         raise ValueError(f"catalog has no entry named {name!r}")
+    if keep_last is not None and cur["kind"] == "index":
+        # the janitor can only vacuum manifest-chain (snapshot-
+        # protocol) entries; accepting a policy on a marker-protocol
+        # index would record a compliance window that nothing ever
+        # enforces (ADVICE r10, low) — refuse loudly at set time
+        from uts_spark.functions.index_protocol import (
+            _detect_index_protocol,
+        )
+
+        if _detect_index_protocol(cur["path"]) != "snapshot":
+            raise ValueError(
+                f"set_retention: entry {name!r} is a marker-protocol "
+                "index — its history is a JSONL census, not a "
+                "manifest chain, so the janitor cannot vacuum it; "
+                "migrate to the snapshot protocol (vindex_migrate) "
+                "before attaching a retention policy"
+            )
     g = cur["generation"] + 1
     rec = {"name": name, "path": cur["path"], "kind": cur["kind"]}
     if keep_last is not None:
@@ -781,7 +798,16 @@ def catalog_maintenance_tick(
             # their file censuses make orphan cleanup a different
             # verb). Skip LOUDLY in the report, never guess.
             if _detect_index_protocol(rec["path"]) != "snapshot":
-                r["skipped"] = "marker-protocol index (compact via "                     "index_protocol.index_compact)"
+                r["skipped"] = (
+                    "marker-protocol index (compact via "
+                    "index_protocol.index_compact)"
+                )
+                # a policy recorded before the entry became (or was
+                # registered as) marker-protocol is NOT enforced by
+                # this tick — say so, never let the operator believe
+                # a compliance window is active (ADVICE r10, low)
+                if rec.get("retention"):
+                    r["retention_unenforced"] = rec["retention"]
                 report.append(r)
                 continue
             from uts_spark.functions.vindex import vindex_maybe_materialize

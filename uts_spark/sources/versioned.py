@@ -808,6 +808,7 @@ def write_snapshot(
     manifest (module comment above) — the planner-estimate input
     (distinct counts, join sizes, takedown sizing), never a pruning
     proof."""
+    _check_reserved_cols(df, f"versioned table {path}: write_snapshot")
     if stats_col is not None:
         _check_stats_col(df, stats_col)
     if bloom_col is not None:
@@ -856,6 +857,42 @@ def _manifest_dirs(m: dict) -> list[str]:
     """A manifest's data directories: multi-dir (fast-append chains)
     or the classic single ``data_dir``."""
     return list(m.get("data_dirs", [m["data_dir"]] if "data_dir" in m else []))
+
+
+def _norm_dir(p: str) -> str:
+    """Normalize a data-dir path or ``file:`` URI to one comparable
+    absolute form. Manifest dirs are stored exactly as the writer
+    passed them (possibly RELATIVE); Spark's ``_metadata.file_path``
+    is an absolute percent-encoded ``file:`` URI — comparing the raw
+    strings matches NOTHING on a relative-path table, which made
+    :func:`materialize_dvs` silently clear positional vectors without
+    rewriting (resurrecting erased rows) and the CDF positional leg
+    emit no delete images (ADVICE r10, high). Strip the scheme,
+    percent-decode, and abspath BOTH sides before any equality."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(p).path)
+    return os.path.abspath(p)
+
+
+_RESERVED_COLS = ("__file", "__pos")
+
+
+def _check_reserved_cols(df: DataFrame, label: str) -> None:
+    """``__file``/``__pos`` are the physical-address columns every
+    masked read appends once a positional deletion vector exists
+    (:func:`_scan_dirs` ``with_pos``); a user column with either name
+    would collide into duplicate/ambiguous columns on the first such
+    scan (ADVICE r10, low). Refuse at write time — the only moment
+    the collision is cheap to fix."""
+    bad = [c for c in df.columns if c in _RESERVED_COLS]
+    if bad:
+        raise ValueError(
+            f"{label}: column name(s) {bad} are reserved for the "
+            "positional-deletion-vector physical address (parquet "
+            "_metadata file path / row index) — rename before writing"
+        )
 
 
 def _manifest_aux_dirs(m: dict) -> list[str]:
@@ -995,6 +1032,7 @@ def append_snapshot(
     ``stats_col`` (defaults to the parent's recorded ``stats_col``):
     record the delta dir's min/max beside the parent's carried stats,
     keeping :func:`delete_rows` prunable across append chains."""
+    _check_reserved_cols(df, f"versioned table {path}: append_snapshot")
     spark = df.sparkSession
     batch_key = None
     if batch_id is not None:
@@ -1799,16 +1837,30 @@ def materialize_dvs(
     if pdv:
         # positional vectors name their files directly — the touched
         # dirs are exactly the parents of masked files (bounded by the
-        # vectors' distinct-file lists, driver-side)
+        # vectors' distinct-file lists, driver-side). Manifest dirs may
+        # be RELATIVE while _metadata paths are absolute file: URIs —
+        # normalize BOTH sides before comparing (ADVICE r10, high),
+        # and REFUSE when a masked file's parent resolves to no
+        # manifest dir: every rewrite verb folds vectors before
+        # dropping dirs, so a non-match is bookkeeping corruption and
+        # clearing the vector would silently resurrect its rows.
+        dmap = {_norm_dir(d): d for d in dirs}
         files = {
             r["__file"]
             for r in spark.read.parquet(*[r["dir"] for r in pdv])
             .select("__file").distinct().collect()
         }
         for f in files:
-            d = os.path.dirname(f.removeprefix("file:"))
-            if d in dirs:
-                touched_set.add(d)
+            d = dmap.get(_norm_dir(os.path.dirname(f)))
+            if d is None:
+                raise ValueError(
+                    f"versioned table {path}: positional vector masks "
+                    f"{f}, whose parent dir is not in the current "
+                    "manifest — refusing to materialize (dropping the "
+                    "vector would resurrect rows that were never "
+                    "rewritten)"
+                )
+            touched_set.add(d)
     touched = [d for d in dirs if d in touched_set]
     untouched = [d for d in dirs if d not in touched_set]
     new_dirs = list(untouched)
@@ -2337,20 +2389,43 @@ def table_changes(
             pos = spark.read.parquet(
                 *[r["dir"] for r in new_pdv]
             ).select("__file", "__pos").distinct()
+            # manifest dirs may be relative; _metadata paths are
+            # absolute file: URIs — normalize both sides (ADVICE r10,
+            # high: the raw-string compare emitted NO delete images on
+            # a relative-path table). Files outside from's dirs are
+            # fine here: rows appended in-range then erased net out.
             pfiles = {
-                os.path.dirname(r["__file"].removeprefix("file:"))
+                _norm_dir(os.path.dirname(r["__file"]))
                 for r in pos.select("__file").distinct().collect()
             }
-            pdirs = [d for d in from_dirs_l if d in pfiles]
+            pdirs = [d for d in from_dirs_l if _norm_dir(d) in pfiles]
             if pdirs:
                 vis = _read_dirs_masked(
                     spark, m_from, pdirs, with_pos=True
                 )
-                del_parts.append(
-                    vis.join(
-                        F.broadcast(pos), ["__file", "__pos"], "left_semi"
-                    ).drop("__file", "__pos")
-                )
+                images = vis.join(
+                    F.broadcast(pos), ["__file", "__pos"], "left_semi"
+                ).drop("__file", "__pos")
+                # a row masked in-range by a positional vector AND
+                # listed in a new key vector already has a delete
+                # image from the key legs (a new vector's scope covers
+                # every from-dir in this fast path) — anti-join it out
+                # so accounting consumers never double-count (ADVICE
+                # r10, low)
+                key_by_col: dict[str, list[str]] = {}
+                for rec2 in new_recs:
+                    key_by_col.setdefault(rec2["key"], []).append(
+                        rec2["dir"]
+                    )
+                for kcol, dv_dirs in sorted(key_by_col.items()):
+                    kf = (
+                        spark.read.parquet(*dv_dirs)
+                        .select(kcol).distinct()
+                    )
+                    images = images.join(
+                        F.broadcast(kf), kcol, "left_anti"
+                    )
+                del_parts.append(images)
         if del_parts:
             dels = del_parts[0]
             for p in del_parts[1:]:
