@@ -3344,3 +3344,108 @@ def test_kmv_join_estimate_oracle_regimes(spark, tmp_path):
         assert got["est_intersection"] == j["distinct_intersection"], label
         assert got["est_union"] == j["distinct_union"], label
         assert got["est_join_rows"] == j["est_join_rows"], label
+
+
+def test_versioned_age_based_retention(spark, tmp_path):
+    """ROADMAP r11 #1 / VERDICT r10 #2: vacuum(max_age_secs=) expires
+    a version only when it is BOTH beyond the keep_last floor AND
+    older than the window (commit wall time stamped on the manifest);
+    tags still override."""
+    import json
+    import os
+    import time as _time
+
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "aged")
+    for i in range(4):
+        V.write_snapshot(spark.createDataFrame([(i,)], "v long"), p)
+    assert all(
+        "committed_at" in m for m in V.list_versions(p)
+    )  # every commit stamps wall time
+    # age v0/v1 artificially (the stamp is plain manifest JSON)
+    vdir = V._versions_dir(p)
+    for v in (0, 1):
+        mp = os.path.join(vdir, f"v{v}.json")
+        with open(mp) as fh:
+            m = json.load(fh)
+        m["committed_at"] = _time.time() - 1000.0
+        os.remove(mp)
+        with open(mp, "w") as fh:
+            json.dump(m, fh)
+
+    V.tag_version(p, "audit", 1)
+    # window 500s: v0 aged out; v1 aged but TAGGED -> survives; v2
+    # beyond the floor but young -> survives
+    assert V.vacuum(p, keep_last=1, max_age_secs=500) == [0]
+    assert {m["version"] for m in V.list_versions(p)} == {1, 2, 3}
+    # huge window: nothing more expires even at floor 1
+    assert V.vacuum(p, keep_last=1, max_age_secs=10**9) == []
+    # dropping the tag releases the aged v1; young v2 still survives
+    V.drop_tag(p, "audit")
+    assert V.vacuum(p, keep_last=1, max_age_secs=500) == [1]
+    assert {m["version"] for m in V.list_versions(p)} == {2, 3}
+    # age-less vacuum still expires purely by count
+    assert V.vacuum(p, keep_last=1) == [2]
+    # manifests predating the stamp fall back to file mtime: strip the
+    # stamp from v2... (v3 is current; v2 was vacuumed) — rebuild one
+    p2 = str(tmp_path / "aged2")
+    for i in range(2):
+        V.write_snapshot(spark.createDataFrame([(i,)], "v long"), p2)
+    mp = os.path.join(V._versions_dir(p2), "v0.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    del m["committed_at"]
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    os.utime(mp, (_time.time() - 1000, _time.time() - 1000))
+    assert V.vacuum(p2, keep_last=1, max_age_secs=500) == [0]
+
+
+def test_catalog_age_retention_policy(spark, tmp_path):
+    """Age windows as catalog policy: the janitor applies keep_last
+    floor AND max_age_secs window per entry; clearing needs both None."""
+    import json
+    import os
+    import time as _time
+
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        register_entry,
+        resolve,
+        set_retention,
+    )
+
+    cat = str(tmp_path / "cat")
+    p = str(tmp_path / "t")
+    for i in range(4):
+        V.write_snapshot(spark.createDataFrame([(i,)], "v long"), p)
+    vdir = V._versions_dir(p)
+    for v in (0, 1):
+        mp = os.path.join(vdir, f"v{v}.json")
+        with open(mp) as fh:
+            m = json.load(fh)
+        m["committed_at"] = _time.time() - 1000.0
+        os.remove(mp)
+        with open(mp, "w") as fh:
+            json.dump(m, fh)
+    register_entry(cat, "t", p)
+    # age-only policy: floor defaults to 1 (current always survives)
+    set_retention(cat, "t", None, max_age_secs=500)
+    assert resolve(cat, "t")["retention"] == {"max_age_secs": 500}
+    rep = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert rep["t"]["vacuumed"] == [0, 1]
+    assert {m["version"] for m in V.list_versions(p)} == {2, 3}
+    # young versions beyond the floor survive the window
+    rep = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert rep["t"]["vacuumed"] == []
+    # both knobs recorded together
+    set_retention(cat, "t", 2, max_age_secs=3600)
+    assert resolve(cat, "t")["retention"] == {
+        "keep_last": 2, "max_age_secs": 3600,
+    }
+    # clearing drops the whole policy
+    set_retention(cat, "t", None)
+    assert "retention" not in resolve(cat, "t")

@@ -129,11 +129,14 @@ def alter_entry(catalog: str, name: str, path: str) -> int:
 
 
 def set_retention(
-    catalog: str, name: str, keep_last: int | None
+    catalog: str,
+    name: str,
+    keep_last: int | None,
+    max_age_secs: float | None = None,
 ) -> int:
-    """Attach (or clear, with ``None``) a RETENTION POLICY to a
+    """Attach (or clear, with both ``None``) a RETENTION POLICY to a
     catalog entry: the janitor (:func:`catalog_maintenance_tick`)
-    vacuums this entry to its own ``keep_last`` on every tick —
+    vacuums this entry to its own policy on every tick —
     per-table retention as catalog metadata instead of a fleet-wide
     knob (refreshed r11 #6: vacuum was a manual, uniform decision;
     real tables have different compliance windows). The policy rides
@@ -141,16 +144,28 @@ def set_retention(
     writers resolve the usual way, and vacuum's OWN protections
     (named refs, live branches, the current version) still override —
     a policy cannot expire a tagged snapshot. Returns the new
-    generation."""
+    generation.
+
+    ``max_age_secs`` (ROADMAP r11 #1) adds the AGE window: versions
+    older than the window expire down to the ``keep_last`` floor
+    (``keep_last=None`` with an age window applies floor 1 — current
+    version only is guaranteed). The two compose exactly as
+    :func:`versioned.vacuum` documents: floor AND window."""
     if keep_last is not None and keep_last < 1:
         raise ValueError(
             f"set_retention: keep_last must be >= 1 (got {keep_last}) — "
             "the current version is never expirable"
         )
+    if max_age_secs is not None and max_age_secs < 0:
+        raise ValueError(
+            f"set_retention: max_age_secs must be >= 0 (got {max_age_secs})"
+        )
     cur = _current(catalog, name)
     if cur is None:
         raise ValueError(f"catalog has no entry named {name!r}")
-    if keep_last is not None and cur["kind"] == "index":
+    if (keep_last is not None or max_age_secs is not None) and cur[
+        "kind"
+    ] == "index":
         # the janitor can only vacuum manifest-chain (snapshot-
         # protocol) entries; accepting a policy on a marker-protocol
         # index would record a compliance window that nothing ever
@@ -169,8 +184,13 @@ def set_retention(
             )
     g = cur["generation"] + 1
     rec = {"name": name, "path": cur["path"], "kind": cur["kind"]}
+    policy: dict = {}
     if keep_last is not None:
-        rec["retention"] = {"keep_last": keep_last}
+        policy["keep_last"] = keep_last
+    if max_age_secs is not None:
+        policy["max_age_secs"] = max_age_secs
+    if policy:
+        rec["retention"] = policy
     _cas_write(
         os.path.join(_entries_dir(catalog), f"{name}.g{g}.json"), rec
     )
@@ -824,9 +844,13 @@ def catalog_maintenance_tick(
             r["compacted"] = maybe_optimize(spark, rec["path"], **kw)
         # per-entry retention policy beats the tick-wide knob; the
         # tick-wide knob applies only to entries WITHOUT a policy
-        policy = rec.get("retention", {}).get("keep_last")
-        if policy is not None:
-            r["vacuumed"] = vacuum(rec["path"], keep_last=policy)
+        policy = rec.get("retention") or {}
+        if policy:
+            r["vacuumed"] = vacuum(
+                rec["path"],
+                keep_last=policy.get("keep_last", 1),
+                max_age_secs=policy.get("max_age_secs"),
+            )
             r["retention"] = "policy"
         elif vacuum_keep_last is not None:
             r["vacuumed"] = vacuum(rec["path"], keep_last=vacuum_keep_last)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -70,6 +71,13 @@ class VersionConflictError(ValueError):
 def _commit(path: str, manifest: dict) -> None:
     vdir = _versions_dir(path)
     os.makedirs(vdir, exist_ok=True)
+    # stamp commit wall time (ROADMAP r11 #1): age-based retention
+    # (vacuum max_age_secs=) needs to know WHEN a version committed,
+    # and file mtimes don't survive copies/replication. Replay-safe:
+    # the stamp is an OUTPUT of the commit, never an input to any
+    # plan; replication may pass its own committed_at through meta to
+    # preserve source-side ages, so an existing stamp is kept.
+    manifest.setdefault("committed_at", round(time.time(), 3))
     final = os.path.join(vdir, f"v{manifest['version']}.json")
     if os.path.exists(final):
         raise VersionConflictError(
@@ -1954,7 +1962,9 @@ def maybe_materialize_dvs(
     return materialize_dvs(spark, path)
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    path: str, keep_last: int = 2, max_age_secs: float | None = None
+) -> list[int]:
     """Remove data files and manifests of all but the newest
     ``keep_last`` versions; returns the vacuumed version ids. Readers
     pinned to vacuumed versions will fail on next execution — exactly
@@ -1962,16 +1972,42 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     always preserves the current version. Versions a NAMED REF points
     at (:func:`tag_version`) are always kept — a name is a retention
     promise, so expiring a tagged snapshot requires dropping the tag
-    first (the Iceberg branch/tag retention rule)."""
+    first (the Iceberg branch/tag retention rule).
+
+    ``max_age_secs`` (ROADMAP r11 #1 — the compliance-window shape,
+    Iceberg's ``expire_snapshots(older_than=, retain_last=)``):
+    when given, a version beyond the ``keep_last`` floor expires ONLY
+    if it is also older than the window — age measured from the
+    manifest's ``committed_at`` wall-time stamp (every commit writes
+    one; manifests predating the stamp fall back to the manifest
+    file's mtime, an honest approximation for tables written before
+    round 11). The two knobs compose as floor AND window: keep_last
+    bounds how much history always survives, max_age_secs bounds how
+    long the rest may linger."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if max_age_secs is not None and max_age_secs < 0:
+        raise ValueError("max_age_secs must be >= 0")
     versions = list_versions(path)
     reffed = set(_read_refs(path).values())
     doomed = [
         m for m in versions[:-keep_last] if m["version"] not in reffed
     ]
+    if max_age_secs is not None:
+        cutoff = time.time() - max_age_secs
+        vdir = _versions_dir(path)
+
+        def _age_ok(m: dict) -> bool:
+            ts = m.get("committed_at")
+            if ts is None:
+                ts = os.path.getmtime(
+                    os.path.join(vdir, f"v{m['version']}.json")
+                )
+            return ts <= cutoff
+
+        doomed = [m for m in doomed if _age_ok(m)]
     kept = [m for m in versions if m not in doomed]
     # fast-append chains SHARE directories across versions (and the
     # snapshot-index families share quantizer sidecar dirs the same
