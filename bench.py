@@ -70,6 +70,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 WARM_PASSES = 5
 RETAIN = 5           # stats run on the fastest-RETAIN window per lane
 SPREAD_TRIGGER = 1.3  # retained-window max/min that triggers re-runs
+JITTER_FLOOR = 0.1   # absolute max-min (sec) below which spread is noise:
+# a 0.2s lane at 1.4x spread is 80ms of scheduler jitter, not signal —
+# re-running it buys nothing (the sf0.01 smoke burned 112 extra passes
+# on sub-second lanes before this floor)
 MAX_EXTRA = 6        # per-lane solo re-runs after the base passes
 _CALIB_LOOP_N = 2_000_000
 _CALIB_SPARK_ROWS = 200_000_000
@@ -111,6 +115,14 @@ def _window(samples: list[float]) -> list[float]:
 def _spread(win: list[float]) -> float:
     lo = min(win)
     return (max(win) / lo) if lo > 0 else float("inf")
+
+
+def _unstable(win: list[float]) -> bool:
+    """Wide in RELATIVE terms and by more than scheduler jitter."""
+    return (
+        _spread(win) > SPREAD_TRIGGER
+        and (max(win) - min(win)) > JITTER_FLOOR
+    )
 
 
 def _iqr(win: list[float]) -> float:
@@ -171,10 +183,7 @@ def main() -> None:
     extra_runs: dict[str, int] = {}
     for name in HEADLINE:
         n_extra = 0
-        while (
-            _spread(_window(samples[name])) > SPREAD_TRIGGER
-            and n_extra < MAX_EXTRA
-        ):
+        while _unstable(_window(samples[name])) and n_extra < MAX_EXTRA:
             samples[name].append(run(name))
             n_extra += 1
         if n_extra:
@@ -185,7 +194,7 @@ def main() -> None:
     mins = {n: round(min(w), 3) for n, w in wins.items()}
     spreads = {n: round(_spread(w), 2) for n, w in wins.items()}
     iqrs = {n: _iqr(w) for n, w in wins.items()}
-    over = sorted(n for n, s in spreads.items() if s > SPREAD_TRIGGER)
+    over = sorted(n for n, w in wins.items() if _unstable(w))
     load_end = os.getloadavg()
     contended_passes = sum(1 for x in pass_loads if x > 1.0)
 

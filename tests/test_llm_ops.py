@@ -3500,3 +3500,135 @@ def test_facade_probe_where_passthrough(spark, emb, tmp_path):
     ) == sorted(
         (r.anchor_id, r.neighbor_id, r.rank) for r in direct.collect()
     )
+
+
+def test_meta_sort_layout_all_families(spark, emb, docs, tmp_path):
+    """meta_sort generalized to LSH / IVF-PQ / minhash (VERDICT r10
+    #3): manifest-recorded, preserved by compact AND erasure (every
+    rewrite verb resolves the sort from the manifest), probe results
+    identical to the scattered layout, files physically clustered by
+    the family's sort prefix. Admit-fraction curves are measured in
+    tools/meta_sort_smoke.py (SCALE.md round 11)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    import uts_spark.functions.vindex as vx
+    import uts_spark.registry  # noqa: F401 — safe import order first
+    from uts_spark.queries.llm_ops import EMB_DIM
+    from uts_spark.sources.versioned import list_versions
+
+    for build, args in (
+        (vx.lsh_vindex_build, dict(dim=EMB_DIM)),
+        (vx.ivfpq_vindex_build, dict(dim=EMB_DIM)),
+    ):
+        with _pytest.raises(ValueError, match="needs meta_cols"):
+            build(emb, str(tmp_path / "bad"), fingerprint="x",
+                  meta_sort=True, **args)
+    with _pytest.raises(ValueError, match="needs meta_cols"):
+        vx.minhash_vindex_build(
+            docs, "text", "doc_id", str(tmp_path / "bad"),
+            fingerprint="x", meta_sort=True,
+        )
+
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    anchors = emb.filter(F.col("vec_id") < 5)
+    victims = spark.createDataFrame([(3,), (11,)], "vec_id long")
+
+    # --- LSH: sort (table, bucket, label, id) ---
+    p, ref = str(tmp_path / "lshS"), str(tmp_path / "lshR")
+    for tgt, ms in ((p, True), (ref, False)):
+        vx.lsh_vindex_build(
+            base, tgt, dim=EMB_DIM, fingerprint="f0", planes=4,
+            tables=2, meta_cols=("label",), meta_sort=ms,
+        )
+        vx.lsh_vindex_append(
+            batch, tgt, dim=EMB_DIM, fingerprint="f1", planes=4, tables=2
+        )
+        vx.lsh_vindex_delete(spark, victims, tgt, fingerprint="f2")
+    vx.lsh_vindex_compact(spark, p, fingerprint="f3")
+    m = list_versions(p)[-1]
+    assert m["meta_sort"] is True and m["meta_cols"] == ["label"]
+    key = lambda df: sorted(
+        (r.anchor_id, r.neighbor_id, r.rank) for r in df.collect()
+    )
+    assert key(
+        vx.lsh_vindex_probe(spark, p, anchors, k=5,
+                            where=F.col("label") == 7)
+    ) == key(
+        vx.lsh_vindex_probe(spark, ref, anchors, k=5,
+                            where=F.col("label") == 7)
+    )
+    for f in [g for d in m["data_dirs"]
+              for g in glob.glob(f"{d}/*.parquet")]:
+        t = pq.read_table(f, columns=["table", "bucket", "label"])
+        rows = list(zip(t["table"].to_pylist(), t["bucket"].to_pylist(),
+                        t["label"].to_pylist()))
+        assert rows == sorted(rows)
+
+    # --- IVF-PQ: sort (cell, label, id) ---
+    p, ref = str(tmp_path / "pqS"), str(tmp_path / "pqR")
+    for tgt, ms in ((p, True), (ref, False)):
+        vx.ivfpq_vindex_build(
+            base, tgt, dim=EMB_DIM, fingerprint="f0", n_cells=4,
+            m_sub=4, n_cent=8, meta_cols=("label",), meta_sort=ms,
+        )
+        vx.ivfpq_vindex_append(batch, tgt, fingerprint="f1")
+        vx.ivfpq_vindex_delete(spark, victims, tgt, fingerprint="f2")
+    vx.ivfpq_vindex_compact(spark, p, fingerprint="f3")
+    m = list_versions(p)[-1]
+    assert m["meta_sort"] is True
+    assert key(
+        vx.ivfpq_vindex_probe(spark, p, anchors, k=5, n_probe=2,
+                              where=F.col("label") == 7)
+    ) == key(
+        vx.ivfpq_vindex_probe(spark, ref, anchors, k=5, n_probe=2,
+                              where=F.col("label") == 7)
+    )
+    for f in [g for d in m["data_dirs"]
+              for g in glob.glob(f"{d}/*.parquet")]:
+        t = pq.read_table(f, columns=["cell", "label"])
+        rows = list(zip(t["cell"].to_pylist(), t["label"].to_pylist()))
+        assert rows == sorted(rows)
+
+    # --- minhash: sort (band, grp, lang, bucket, id) ---
+    dbase = docs.filter(F.col("doc_id") % 10 != 7)
+    dbatch = docs.filter(F.col("doc_id") % 10 == 7)
+    dnew = docs.filter(F.col("doc_id") % 25 == 0)
+    dvic = spark.createDataFrame([(5,), (15,)], "id long")
+    cfg = dict(n=3, k=16, bands=4, n_grps=4)
+    p, ref = str(tmp_path / "mhS"), str(tmp_path / "mhR")
+    for tgt, ms in ((p, True), (ref, False)):
+        vx.minhash_vindex_build(
+            dbase, "text", "doc_id", tgt, fingerprint="f0",
+            meta_cols=("lang",), meta_sort=ms, **cfg,
+        )
+        vx.minhash_vindex_append(
+            dbatch, "text", "doc_id", tgt, fingerprint="f1", **cfg
+        )
+        vx.minhash_vindex_delete(spark, dvic, tgt, fingerprint="f2", **cfg)
+    vx.minhash_vindex_compact(spark, p, fingerprint="f3", **cfg)
+    m = list_versions(p)[-1]
+    assert m["meta_sort"] is True and m["meta_cols"] == ["lang"]
+    pkey = lambda df: sorted(
+        (r.id_new, r.id_old) for r in df.collect()
+    )
+    assert pkey(
+        vx.minhash_vindex_probe(
+            spark, p, dnew, docs, "text", "doc_id",
+            threshold=0.3, where=F.col("lang") == "en", **cfg,
+        )
+    ) == pkey(
+        vx.minhash_vindex_probe(
+            spark, ref, dnew, docs, "text", "doc_id",
+            threshold=0.3, where=F.col("lang") == "en", **cfg,
+        )
+    )
+    for f in [g for d in m["data_dirs"]
+              for g in glob.glob(f"{d}/*.parquet")]:
+        t = pq.read_table(f, columns=["band", "grp", "lang", "bucket"])
+        rows = list(zip(t["band"].to_pylist(), t["grp"].to_pylist(),
+                        t["lang"].to_pylist(), t["bucket"].to_pylist()))
+        assert rows == sorted(rows)

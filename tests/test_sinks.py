@@ -3449,3 +3449,68 @@ def test_catalog_age_retention_policy(spark, tmp_path):
     # clearing drops the whole policy
     set_retention(cat, "t", None)
     assert "retention" not in resolve(cat, "t")
+
+
+def test_catalog_cbo_join_by_name_and_sql_views(spark, tmp_path):
+    """VERDICT r10 #4: manifest statistics reach the CATALOG surface —
+    join_by_name resolves names and lands the manifest-picked
+    broadcast; register_sql_views carries the manifest row count into
+    spark.sql joins as a hint-through-view, where Spark's own
+    size-based inference is disabled and would sort-merge."""
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        join_by_name,
+        register_entry,
+        register_sql_views,
+    )
+
+    cat = str(tmp_path / "cat")
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp")
+    )
+    small = spark.range(0, 60).select(F.col("id").alias("k"))
+    pb, ps = str(tmp_path / "big"), str(tmp_path / "small")
+    V.write_snapshot(big, pb, kmv_col="k")
+    V.write_snapshot(small, ps, kmv_col="k")
+    register_entry(cat, "facts", pb)
+    register_entry(cat, "dim", ps)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # name-resolved planned join: broadcast lands even with
+        # Spark's own size threshold off
+        j = join_by_name(spark, cat, "facts", "dim", "k")
+        s = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in s
+        assert j.count() == 60
+
+        # SQL surface: hinted view -> broadcast; the report records
+        # the manifest rows and the decision
+        rep = register_sql_views(spark, cat)
+        assert rep == {
+            "facts": {"rows": 20000, "hinted": True},
+            "dim": {"rows": 60, "hinted": True},
+        }
+        rep2 = register_sql_views(spark, cat, broadcast_rows=1000)
+        assert rep2["facts"]["hinted"] is False
+        assert rep2["dim"]["hinted"] is True
+        q = spark.sql(
+            "SELECT count(*) AS n FROM facts JOIN dim USING (k)"
+        )
+        s2 = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in s2
+        assert q.first()["n"] == 60
+
+        # control: the same SQL over UNHINTED plain views sort-merges
+        V.read_version(spark, pb).createOrReplaceTempView("facts_raw")
+        V.read_version(spark, ps).createOrReplaceTempView("dim_raw")
+        q3 = spark.sql(
+            "SELECT count(*) AS n FROM facts_raw JOIN dim_raw USING (k)"
+        )
+        s3 = q3._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in s3 and "BroadcastHashJoin" not in s3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for v in ("facts", "dim", "facts_raw", "dim_raw"):
+            spark.catalog.dropTempView(v)

@@ -494,12 +494,31 @@ def _rows(df: DataFrame, text_col: str, id_col: str, n, k, bands, n_grps,
 
 def _mh_carry(meta: dict, pm: dict) -> dict:
     """Carry the minhash manifest's monitor + schema keys that
-    _config_meta does not re-derive (the skew reference and the
-    filtered-probe metadata column list)."""
-    for key in ("coll_ref", "meta_cols"):
+    _config_meta does not re-derive (the skew reference, the
+    filtered-probe metadata column list, and the layout choice)."""
+    for key in ("coll_ref", "meta_cols", "meta_sort"):
         if key in pm:
             meta[key] = pm[key]
     return meta
+
+
+def _mh_sort_of(pm: dict) -> tuple[str, ...]:
+    """The minhash family's delta-dir sort key, resolved from the
+    manifest (ROADMAP r11 #2 — the IVF ``meta_sort`` pattern
+    generalized): ``meta_sort`` clusters rows by (band, grp,
+    meta_cols..., bucket, id) instead of (band, grp, bucket), so a
+    filtered probe's metadata predicate (e.g. same-language dedup)
+    prunes ROW GROUPS of the (band, grp)-pruned scan via parquet
+    min/max stats — admit fraction ~1/|meta values| on homogeneous
+    metadata (measured per family in tools/meta_sort_smoke.py).
+    Every rewrite verb resolves the sort HERE so compaction and
+    erasure preserve the layout the build chose."""
+    if pm.get("meta_sort") and pm.get("meta_cols"):
+        return (
+            "band", "grp", *pm["meta_cols"], "bucket",
+            pm.get("id_col", "id"),
+        )
+    return _SORT
 
 
 def _config_meta(fingerprint: str, n, k, bands, n_grps) -> dict:
@@ -552,6 +571,7 @@ def minhash_vindex_build(
     bands: int = 8,
     n_grps: int = 16,
     meta_cols: tuple[str, ...] = (),
+    meta_sort: bool = False,
 ) -> int:
     """Version 0: the full band-row table as one snapshot commit (the
     delta-dir + CAS-commit shape, so even the BUILD is safe against a
@@ -560,14 +580,26 @@ def minhash_vindex_build(
     ``meta_cols`` stores document metadata beside the band rows
     (manifest-recorded; probes push a ``where`` into the banded scan
     so candidate generation is restricted to eligible docs — filtered
-    dedup, e.g. only same-language collisions)."""
-    rows = _rows(df, text_col, id_col, n, k, bands, n_grps, meta_cols)
-    ddir = _write_delta_dir(_cluster(rows, "band", "grp"), path, _SORT)
-    spark = df.sparkSession
-    n_rows, stats = _count_and_stats(spark, ddir)
+    dedup, e.g. only same-language collisions). ``meta_sort`` ALSO
+    clusters rows by (band, grp, meta_cols..., bucket, id) so the
+    pushed predicate prunes row groups, not just rows
+    (:func:`_mh_sort_of`)."""
+    if meta_sort and not meta_cols:
+        raise ValueError(
+            "minhash_vindex_build: meta_sort=True needs meta_cols — "
+            "there is nothing to cluster by"
+        )
     meta = _config_meta(fingerprint, n, k, bands, n_grps)
     if meta_cols:
         meta["meta_cols"] = list(meta_cols)
+    if meta_sort:
+        meta["meta_sort"] = True
+    rows = _rows(df, text_col, id_col, n, k, bands, n_grps, meta_cols)
+    ddir = _write_delta_dir(
+        _cluster(rows, "band", "grp"), path, _mh_sort_of(meta)
+    )
+    spark = df.sparkSession
+    n_rows, stats = _count_and_stats(spark, ddir)
     # the skew monitor's ORGANIC reference (coll = sum s*(s-1) over
     # buckets, rown = band rows) commits WITH the build — no sidecar
     # file; every verb carries it, the cap verb's accounting reads the
@@ -615,10 +647,11 @@ def minhash_vindex_append(
         )
         if done is not None:
             return done
-    keep = tuple(_current_manifest(path).get("meta_cols", ()))
+    pm0 = _current_manifest(path)
+    keep = tuple(pm0.get("meta_cols", ()))
     rows = _rows(batch, text_col, id_col, n, k, bands, n_grps, keep)
     ddir = _write_delta_dir(
-        rows.repartition(4, "band", "grp"), path, _SORT
+        rows.repartition(4, "band", "grp"), path, _mh_sort_of(pm0)
     )
     n_new, stats = _count_and_stats(spark, ddir)
 
@@ -652,7 +685,8 @@ def minhash_vindex_delete(
         )
 
     return _delete_pruned(
-        spark, deleted_ids, path, "id", ("band", "grp"), _SORT, meta_fn,
+        spark, deleted_ids, path, "id", ("band", "grp"),
+        _mh_sort_of(_current_manifest(path)), meta_fn,
     )
 
 
@@ -680,6 +714,7 @@ def minhash_vindex_compact(
         spark, path,
         lambda cur, meta: _cluster(cur, "band", "grp"),
         "compact", meta_fn,
+        sort=_mh_sort_of(_current_manifest(path)),
     )
 
 
@@ -727,6 +762,25 @@ _LSH_SORT = ("table", "bucket")
 _LSH_KEYS = ("dim", "planes", "tables")
 
 
+def _lsh_sort_of(pm: dict) -> tuple[str, ...]:
+    """The LSH family's delta-dir sort key, resolved from the manifest
+    (ROADMAP r11 #2 — the IVF ``meta_sort`` pattern generalized):
+    ``meta_sort`` clusters rows by (table, bucket, meta_cols..., id)
+    so a filtered probe's metadata predicate prunes row groups of the
+    bucket-pruned scan via parquet min/max stats (measured per family
+    in tools/meta_sort_smoke.py). Bucket stays AHEAD of the metadata —
+    the probe's primary pruning key keeps its tight row-group ranges;
+    metadata runs form inside each bucket run. Every rewrite verb
+    resolves the sort here so the layout survives compaction and
+    erasure."""
+    if pm.get("meta_sort") and pm.get("meta_cols"):
+        return (
+            "table", "bucket", *pm["meta_cols"],
+            pm.get("id_col", "vec_id"),
+        )
+    return _LSH_SORT
+
+
 def _lsh_rows(emb, dim, planes, tables, id_col, vec_col, keep_cols=()):
     from uts_spark.functions.similarity import lsh_bucket_table
 
@@ -736,12 +790,14 @@ def _lsh_rows(emb, dim, planes, tables, id_col, vec_col, keep_cols=()):
 
 
 def _lsh_meta(
-    fingerprint, dim, planes, tables, id_col="vec_id", meta_cols=()
+    fingerprint, dim, planes, tables, id_col="vec_id", meta_cols=(),
+    meta_sort=False,
 ) -> dict:
     return {
         "family": "lsh", "fingerprint": fingerprint, "id_col": id_col,
         "dim": dim, "planes": planes, "tables": tables,
         **({"meta_cols": list(meta_cols)} if meta_cols else {}),
+        **({"meta_sort": True} if meta_sort else {}),
     }
 
 
@@ -755,6 +811,7 @@ def lsh_vindex_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     meta_cols: tuple[str, ...] = (),
+    meta_sort: bool = False,
 ) -> int:
     """Version 0 of the snapshot LSH index: one bucket-table pass over
     the corpus, cluster-sorted by (table, bucket) so row-group stats
@@ -763,14 +820,23 @@ def lsh_vindex_build(
     ``meta_cols`` stores metadata columns beside the vectors (carried
     through the bucket pass for free — no extra shuffle); recorded on
     the manifest so appends keep the row schema and probes can push a
-    ``where`` into the bucket-pruned scan (filtered ANN)."""
+    ``where`` into the bucket-pruned scan (filtered ANN). ``meta_sort``
+    ALSO clusters rows by (table, bucket, meta_cols..., id) so the
+    pushed predicate prunes row groups (:func:`_lsh_sort_of`)."""
+    if meta_sort and not meta_cols:
+        raise ValueError(
+            "lsh_vindex_build: meta_sort=True needs meta_cols — there "
+            "is nothing to cluster by"
+        )
+    meta = _lsh_meta(
+        fingerprint, dim, planes, tables, id_col, meta_cols, meta_sort
+    )
     rows = _lsh_rows(emb, dim, planes, tables, id_col, vec_col, meta_cols)
     ddir = _write_delta_dir(
-        _cluster(rows, "table", "bucket"), path, _LSH_SORT
+        _cluster(rows, "table", "bucket"), path, _lsh_sort_of(meta)
     )
     spark = emb.sparkSession
     n_rows, stats = _count_and_stats(spark, ddir, id_col)
-    meta = _lsh_meta(fingerprint, dim, planes, tables, id_col, meta_cols)
     meta["dir_stats"] = {ddir: stats}
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
@@ -803,18 +869,16 @@ def lsh_vindex_append(
             return done
     # the manifest's meta_cols define the row schema — the caller
     # never restates them (same contract as the IVF append)
-    keep = tuple(_current_manifest(path).get("meta_cols", ()))
+    pm0 = _current_manifest(path)
+    keep = tuple(pm0.get("meta_cols", ()))
     rows = _lsh_rows(emb_batch, dim, planes, tables, id_col, vec_col, keep)
     ddir = _write_delta_dir(
-        rows.repartition(4, "table", "bucket"), path, _LSH_SORT
+        rows.repartition(4, "table", "bucket"), path, _lsh_sort_of(pm0)
     )
     n_new, stats = _count_and_stats(spark, ddir, id_col)
     return _append_commit(
         spark, path, ddir, stats, n_new,
-        lambda pm: _lsh_meta(
-            fingerprint, dim, planes, tables, id_col,
-            pm.get("meta_cols", ()),
-        ),
+        lambda pm: _carry_meta(pm, fingerprint, _LSH_KEYS),
         batch_id=batch_id, stream_id=stream_id,
     )
 
@@ -838,7 +902,8 @@ def lsh_vindex_delete(
             "expected lsh"
         )
     return _delete_pruned(
-        spark, deleted_ids, path, id_col, ("table", "bucket"), _LSH_SORT,
+        spark, deleted_ids, path, id_col, ("table", "bucket"),
+        _lsh_sort_of(pm),
         lambda pmm: _carry_meta(pmm, fingerprint, _LSH_KEYS),
     )
 
@@ -847,13 +912,14 @@ def lsh_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
     """Rewrite the append chain into one clustered dir (config and
     pointers carry forward; pre-compaction versions stay readable
     until vacuum)."""
+    pm = _current_manifest(path)
     return _rewrite_with_retry(
         spark, path,
         lambda cur, meta: _cluster(cur, "table", "bucket"),
         "compact",
-        lambda pm, cur: _carry_meta(pm, fingerprint, _LSH_KEYS),
-        sort=_LSH_SORT,
-        id_col=_current_manifest(path).get("id_col", "vec_id"),
+        lambda pmm, cur: _carry_meta(pmm, fingerprint, _LSH_KEYS),
+        sort=_lsh_sort_of(pm),
+        id_col=pm.get("id_col", "vec_id"),
     )
 
 
@@ -1366,12 +1432,16 @@ def ivfpq_vindex_build(
     vec_col: str = "embedding",
     centroid_src: DataFrame | None = None,
     meta_cols: tuple[str, ...] = (),
+    meta_sort: bool = False,
 ) -> int:
     """Version 0: freeze BOTH quantizers as sidecars, store every
     vector with its coarse cell and PQ code array, commit rows + both
     pointers in one manifest. ``meta_cols`` stores metadata columns
     beside the codes (manifest-recorded; probes push ``where`` into
-    the cell-pruned scan — filtered ANN before ADC scoring)."""
+    the cell-pruned scan — filtered ANN BEFORE ADC scoring).
+    ``meta_sort`` ALSO clusters rows by (cell, meta_cols..., id) so
+    the pushed predicate prunes row groups (:func:`_ivf_sort_of` —
+    the IVF layout resolver is shared: both families key on cell)."""
     from uts_spark.functions.similarity import (
         _ivf_centroids,
         _pq_codebook_exp,
@@ -1381,6 +1451,11 @@ def ivfpq_vindex_build(
         raise ValueError(
             f"ivfpq_vindex_build: dim ({dim}) must be divisible by "
             f"m_sub ({m_sub})"
+        )
+    if meta_sort and not meta_cols:
+        raise ValueError(
+            "ivfpq_vindex_build: meta_sort=True needs meta_cols — "
+            "there is nothing to cluster by"
         )
     spark = emb.sparkSession
     src = centroid_src if centroid_src is not None else emb
@@ -1395,8 +1470,6 @@ def ivfpq_vindex_build(
     rows = _ivfpq_rows(
         emb, cents, cexp, dim, m_sub, id_col, vec_col, meta_cols
     )
-    ddir = _write_delta_dir(_cluster(rows, "cell"), path, _IVF_SORT)
-    n_rows, stats = _count_and_stats(spark, ddir, id_col)
     meta = {
         "family": "ivfpq", "fingerprint": fingerprint,
         "n_cells": n_cells, "dim": dim, "m_sub": m_sub, "n_cent": n_cent,
@@ -1404,13 +1477,20 @@ def ivfpq_vindex_build(
         "centroids_dir": cdir, "codebook_dir": bdir,
         "aux_dirs": [cdir, bdir],
         **({"meta_cols": list(meta_cols)} if meta_cols else {}),
+        **({"meta_sort": True} if meta_sort else {}),
+    }
+    ddir = _write_delta_dir(
+        _cluster(rows, "cell"), path, _ivf_sort_of(meta)
+    )
+    n_rows, stats = _count_and_stats(spark, ddir, id_col)
+    meta.update({
         "dist_ref": list(
             _ivfpq_dist_ints_from_dir(
                 spark, ddir, bdir, dim, m_sub, id_col, vec_col
             )
         ),
         "dir_stats": {ddir: stats},
-    }
+    })
     return commit_version(path, [ddir], "build", None, n_rows, meta)
 
 
@@ -1464,7 +1544,7 @@ def ivfpq_vindex_append(
                 id_col, vec_col, tuple(pm.get("meta_cols", ())),
             )
             ddir = _write_delta_dir(
-                rows.repartition(4, "cell"), path, _IVF_SORT
+                rows.repartition(4, "cell"), path, _ivf_sort_of(pm)
             )
             n_new, stats = _count_and_stats(spark, ddir, id_col)
             dist = (
@@ -1519,19 +1599,20 @@ def ivfpq_vindex_delete(
             "expected ivfpq"
         )
     return _delete_pruned(
-        spark, deleted_ids, path, id_col, ("cell",), _IVF_SORT,
+        spark, deleted_ids, path, id_col, ("cell",), _ivf_sort_of(pm),
         lambda pmm: _carry_meta(pmm, fingerprint, _IVFPQ_KEYS),
     )
 
 
 def ivfpq_vindex_compact(spark, path: str, fingerprint: str = "") -> int:
+    pm = _current_manifest(path)
     return _rewrite_with_retry(
         spark, path,
         lambda cur, meta: _cluster(cur, "cell"),
         "compact",
-        lambda pm, cur: _carry_meta(pm, fingerprint, _IVFPQ_KEYS),
-        sort=_IVF_SORT,
-        id_col=_current_manifest(path).get("id_col", "vec_id"),
+        lambda pmm, cur: _carry_meta(pmm, fingerprint, _IVFPQ_KEYS),
+        sort=_ivf_sort_of(pm),
+        id_col=pm.get("id_col", "vec_id"),
     )
 
 
@@ -1590,7 +1671,8 @@ def ivfpq_vindex_recluster(
 
     return _rewrite_with_retry(
         spark, path, make_rows, "recluster", meta_fn,
-        sort=_IVF_SORT, id_col=id_col, amend_fn=amend_fn,
+        sort=_ivf_sort_of(_current_manifest(path)), id_col=id_col,
+        amend_fn=amend_fn,
     )
 
 
@@ -1722,8 +1804,11 @@ def _layout_of(pm: dict):
             f"snapshot index: unknown family {fam!r} — cannot route"
         )
     repart, sort, keys, default_id = _FAMILY_LAYOUT[fam]
-    if fam == "ivf":
-        sort = _ivf_sort_of(pm)  # meta_sort layouts survive rewrites
+    # meta_sort layouts survive rewrites — resolve from the manifest
+    sort = {
+        "ivf": _ivf_sort_of, "ivfpq": _ivf_sort_of,
+        "lsh": _lsh_sort_of, "minhash": _mh_sort_of,
+    }[fam](pm)
     return repart, sort, keys, pm.get("id_col", default_id)
 
 
@@ -2222,7 +2307,9 @@ def minhash_vindex_cap_hot_buckets(
         )
         state["hot"] = hot
         qrows = cur.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
-        qdir = _write_delta_dir(_cluster(qrows, "band", "grp"), path, _SORT)
+        qdir = _write_delta_dir(
+            _cluster(qrows, "band", "grp"), path, _mh_sort_of(pmm)
+        )
         meta = _mh_carry(
             _config_meta(
                 fingerprint, pmm["n"], pmm["k"], pmm["bands"],
@@ -2242,7 +2329,9 @@ def minhash_vindex_cap_hot_buckets(
             "band", "grp",
         )
 
-    v = _rewrite_with_retry(spark, path, make_rows, "cap", meta_fn)
+    v = _rewrite_with_retry(
+        spark, path, make_rows, "cap", meta_fn, sort=_mh_sort_of(pm)
+    )
     versions = {m["version"]: m for m in list_versions(path)}
     return versions[versions[v]["parent"]]["n_rows"] - versions[v]["n_rows"]
 
@@ -2310,7 +2399,9 @@ def minhash_vindex_ingest_tick(
     coll, row_n = minhash_collision_stat_ints(
         rows.select("id", "band", "bucket"), live
     )
-    ddir = _write_delta_dir(rows.repartition(4, "band", "grp"), path, _SORT)
+    ddir = _write_delta_dir(
+        rows.repartition(4, "band", "grp"), path, _mh_sort_of(pm)
+    )
     n_new, stats = _count_and_stats(spark, ddir)
 
     def meta_fn(pmm):

@@ -6735,14 +6735,19 @@ def similarity_ann_lsh_index_filtered_probe(spark, sf_dir):
         len(ms) == 2
         and ms[0].get("fingerprint") == fp
         and ms[0].get("meta_cols") == ["label"]
+        and ms[0].get("meta_sort")
     )
     if not ok:
         if os.path.exists(path):
             shutil.rmtree(path)
+        # meta_sort: label-clustered row groups, so the probe's where=
+        # prunes row groups too (r11 — layout measured in SCALE.md;
+        # served content is layout-independent, which is exactly what
+        # this lane's oracle gates)
         lsh_vindex_build(
             base, path, dim=EMB_DIM, fingerprint=fp,
             planes=_ANN_IDX_PLANES, tables=_ANN_IDX_TABLES,
-            meta_cols=("label",),
+            meta_cols=("label",), meta_sort=True,
         )
         lsh_vindex_append(
             batch, path, dim=EMB_DIM, fingerprint=f"{fp}:a",
@@ -6797,13 +6802,17 @@ def similarity_ann_ivfpq_index_filtered_probe(spark, sf_dir):
         len(ms) == 2
         and ms[0].get("fingerprint") == fp
         and ms[0].get("meta_cols") == ["label"]
+        and ms[0].get("meta_sort")
     )
     if not ok:
         if os.path.exists(path):
             shutil.rmtree(path)
+        # meta_sort: (cell, label, id)-clustered rows — the pushed
+        # label predicate prunes row groups before ADC scoring (r11)
         ivfpq_vindex_build(
             base, path, dim=EMB_DIM, fingerprint=fp,
             n_cells=8, m_sub=_PQ_M, n_cent=_PQ_C, meta_cols=("label",),
+            meta_sort=True,
         )
         ivfpq_vindex_append(batch, path, fingerprint=f"{fp}:a")
 
@@ -6860,14 +6869,25 @@ def dedup_minhash_index_filtered_probe(spark, sf_dir):
     tag = os.path.basename(sf_dir.rstrip("/")) or "default"
     path = os.path.join(_warehouse_dir(), f"dedup_mh_meta_{tag}")
 
+    from uts_spark.sources.versioned import list_versions as _lv
+
     m = vindex_config(path)
-    ok = m is not None and m.get("fingerprint") == f"{fp}:a"
+    ms = _lv(path)
+    ok = (
+        m is not None
+        and m.get("fingerprint") == f"{fp}:a"
+        and bool(ms)
+        and ms[0].get("meta_sort")
+    )
     if not ok:
         if os.path.exists(path):
             shutil.rmtree(path)
+        # meta_sort: (band, grp, lang, bucket, id)-clustered rows —
+        # the same-language where= prunes row groups of the banded
+        # scan (r11)
         minhash_vindex_build(
             base, "text", "doc_id", path, fingerprint=fp,
-            meta_cols=("lang",), **cfg,
+            meta_cols=("lang",), meta_sort=True, **cfg,
         )
         minhash_vindex_append(
             b1, "text", "doc_id", path, fingerprint=f"{fp}:a", **cfg

@@ -116,7 +116,9 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 408  # round 11: +age-based retention vacuum
+_REGISTRY_FLOOR = 409  # round 11: +catalog SQL-surface stats join
+# (register_sql_views hint-through-view CBO — VERDICT r10 #4) and
+# prior floor 408 — +age-based retention vacuum
 # (committed_at manifest stamps + max_age_secs window — VERDICT r10 #2)
 # prior floor 407 — round 10 (cont. 2): +manifest-planned join
 # (KMV estimate -> physical strategy) and +streaming CDC across a

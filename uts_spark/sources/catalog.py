@@ -268,6 +268,78 @@ def read_table(
     return read_version(spark, rec["path"], version)
 
 
+def join_by_name(
+    spark,
+    catalog: str,
+    name_a: str,
+    name_b: str,
+    key_a: str,
+    key_b: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Manifest-planned join THROUGH THE CATALOG (VERDICT r10 #4 /
+    ROADMAP r11 #3): resolve both names, then
+    :func:`versioned.join_versioned` — the physical strategy
+    (broadcast side, explosive refusal) comes from the tables'
+    committed manifest statistics, so a consumer who only knows the
+    NAMES still gets the CBO-grade plan. All join_versioned kwargs
+    pass through (how=, version pins, broadcast_rows=,
+    refuse_explosive=)."""
+    from uts_spark.sources.versioned import join_versioned
+
+    recs = {}
+    for n in (name_a, name_b):
+        r = resolve(catalog, n)
+        if r["kind"] != "table":
+            raise ValueError(
+                f"catalog entry {n!r} is a {r['kind']}, not a table"
+            )
+        recs[n] = r
+    return join_versioned(
+        spark, recs[name_a]["path"], recs[name_b]["path"],
+        key_a, key_b, **kwargs,
+    )
+
+
+def register_sql_views(
+    spark,
+    catalog: str,
+    names: list[str] | None = None,
+    broadcast_rows: int = 500_000,
+) -> dict:
+    """MANIFEST STATISTICS → THE SQL SURFACE (VERDICT r10 #4, the CBO
+    integration for path tables): register every catalog table (or
+    the given ``names``) as a temp view named after its entry, and
+    attach a BROADCAST hint to views whose manifest ``n_rows`` is
+    within ``broadcast_rows``. Hints survive into ``spark.sql``
+    references of the view (the hint node lives in the view's plan),
+    so SQL-surface joins get the manifest-informed build side even
+    where Spark's own size threshold has to infer from file bytes —
+    and mis-sizes filtered, wide, or masked tables. Path tables have
+    no TBLPROPERTIES to carry ``spark.sql.statistics.numRows``; the
+    hint-through-view is the injection point that exists for a
+    DataFrame-defined relation, and the manifest row count is exact
+    (a committed fact, not an estimate). Returns
+    ``{name: {rows, hinted}}`` so the caller can log the decision;
+    plan shape pinned in tests/test_sinks.py."""
+    from uts_spark.sources.versioned import list_versions
+
+    out = {}
+    for rec in list_entries(catalog):
+        if rec["kind"] != "table":
+            continue
+        if names is not None and rec["name"] not in names:
+            continue
+        df = read_table(spark, catalog, rec["name"])
+        n = int(list_versions(rec["path"])[-1]["n_rows"])
+        hinted = n <= broadcast_rows
+        if hinted:
+            df = df.hint("broadcast")
+        df.createOrReplaceTempView(rec["name"])
+        out[rec["name"]] = {"rows": n, "hinted": hinted}
+    return out
+
+
 def index_probe_by_name(
     spark,
     catalog: str,
