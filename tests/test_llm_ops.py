@@ -3632,3 +3632,56 @@ def test_meta_sort_layout_all_families(spark, emb, docs, tmp_path):
         rows = list(zip(t["band"].to_pylist(), t["grp"].to_pylist(),
                         t["lang"].to_pylist(), t["bucket"].to_pylist()))
         assert rows == sorted(rows)
+
+
+def test_cc_never_mutates_session_conf(spark):
+    """VERDICT r10 quality note: connected_components used to narrow
+    spark.sql.shuffle.partitions session-globally during the build —
+    a concurrent query on the same session silently ran at the
+    narrowed width. The width is now explicit per-plan repartitions;
+    this pins (a) no conf.set of the shuffle knob during CC, and
+    (b) a query running mid-CC on another thread sees the session
+    width untouched."""
+    import threading
+
+    from uts_spark.functions.clustering import connected_components
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    set_calls = []
+    orig_set = spark.conf.set
+
+    def spy_set(k, v):
+        if k == key:
+            set_calls.append((k, v))
+        return orig_set(k, v)
+
+    # a co-tenant query polling the session width while CC runs
+    seen = []
+    stop = threading.Event()
+
+    def poller():
+        while not stop.is_set():
+            seen.append(spark.conf.get(key))
+            spark.range(0, 100).groupBy((F.col("id") % 7)).count().count()
+
+    spark.conf.set = spy_set
+    t = threading.Thread(target=poller, daemon=True)
+    t.start()
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 4000, 2)]
+            + [(i, i + 2) for i in range(0, 4000, 4)],
+            "src long, dst long",
+        )
+        comp = connected_components(edges, dedupe_edges=False)
+        assert comp.count() > 0
+    finally:
+        stop.set()
+        t.join(timeout=30)
+        spark.conf.set = orig_set
+
+    assert set_calls == []            # CC never touched the knob
+    assert spark.conf.get(key) == before
+    assert seen and all(v == before for v in seen)
