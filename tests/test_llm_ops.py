@@ -3685,3 +3685,26 @@ def test_cc_never_mutates_session_conf(spark):
     assert set_calls == []            # CC never touched the knob
     assert spark.conf.get(key) == before
     assert seen and all(v == before for v in seen)
+
+
+def test_lsh_bucket_table_np_equals_agg(emb):
+    """VERDICT r10 #6: the zero-shuffle mapInPandas LSH kernel (the
+    default) and the crossJoin+groupBy shape produce EXACTLY the same
+    (id, table, bucket) assignments — the fold-the-winner
+    precondition (measured 4.5x at 1M vectors, tools/lsh_bucket_ab.py;
+    SCALE.md round 11). keep_cols ride both shapes."""
+    from uts_spark.functions.similarity import lsh_bucket_table
+
+    def key(df):
+        return sorted(
+            (r.vec_id, r.table, r.bucket, r.label) for r in df.collect()
+        )
+
+    a = lsh_bucket_table(
+        emb, 64, planes=8, tables=3, keep_cols=("label",), impl="agg"
+    )
+    b = lsh_bucket_table(
+        emb, 64, planes=8, tables=3, keep_cols=("label",), impl="np"
+    )
+    assert key(a) == key(b)
+    assert set(a.columns) == set(b.columns)

@@ -2813,7 +2813,7 @@ def test_versioned_kmv_planner_estimates(spark, tmp_path):
     # wrong key column refused
     import pytest
 
-    with pytest.raises(ValueError, match="tracks"):
+    with pytest.raises(ValueError, match="tracked"):
         V.kmv_overlap_estimate(
             spark, pa, victims.withColumnRenamed("key", "rid"), "rid"
         )
@@ -3514,3 +3514,66 @@ def test_catalog_cbo_join_by_name_and_sql_views(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for v in ("facts", "dim", "facts_raw", "dim_raw"):
             spark.catalog.dropTempView(v)
+
+
+def test_versioned_kmv_multikey(spark, tmp_path):
+    """ROADMAP r11 #4: a tuple kmv_col tracks several columns — the
+    secondary sketches ride kmv_extra, survive every rewrite verb,
+    and plan_join resolves either key from the manifest; an untracked
+    key degrades honestly to row counts only."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 200).alias("a"),
+        (F.col("id") % 37).alias("b"),
+        F.col("id").alias("c"),
+    )
+    p = str(tmp_path / "mk")
+    V.write_snapshot(
+        df.filter(F.col("id") % 2 == 0), p, kmv_col=("a", "b"),
+        stats_col="a",
+    )
+    V.append_snapshot(df.filter(F.col("id") % 2 == 1), p)
+
+    # estimates for both tracked keys, straight off the manifest
+    assert abs(V.kmv_distinct(p, col="a") - 200) <= 12
+    assert V.kmv_distinct(p, col="b") == 37  # <k -> exhaustive exact
+    assert V.kmv_cols_of(p) == ["a", "b"]
+    with _pytest.raises(ValueError, match="no complete KMV"):
+        V.kmv_distinct(p, col="c")
+
+    # rewrite verbs recompute the extra sketches for the new dir
+    V.delete_rows(
+        spark, p, spark.createDataFrame([(7,)], "a long"), "a"
+    )
+    assert V.kmv_distinct(p, col="b") == 37
+    assert abs(V.kmv_distinct(p, col="a") - 199) <= 12
+    V.delete_rows_mor(
+        spark, p, spark.createDataFrame([(8,)], "a long"), "a"
+    )
+    V.materialize_dvs(spark, p)
+    assert V.kmv_distinct(p, col="b") == 37
+    V.optimize(spark, p)
+    assert V.kmv_cols_of(p) == ["a", "b"]
+    assert V.kmv_distinct(p, col="b") == 37
+
+    # plan_join resolves either key; untracked key degrades to rows
+    q = str(tmp_path / "dim")
+    V.write_snapshot(
+        spark.range(0, 37).select(F.col("id").alias("b")), q,
+        kmv_col="b",
+    )
+    plan = V.plan_join(p, q, key_a="b", key_b="b")
+    assert "estimate" in plan
+    assert plan["estimate"]["distinct_a"] == 37
+    plan_a = V.plan_join(p, q, key_a="a", key_b="b")
+    assert "estimate" in plan_a  # primary side resolves too
+    plan_c = V.plan_join(p, q, key_a="c", key_b="b")
+    assert "estimate" not in plan_c  # untracked -> row counts only
+    assert plan_c["strategy"] == "broadcast"
+
+    # join_versioned threads the join keys into the estimate
+    j = V.join_versioned(spark, p, q, "b")
+    assert j.count() > 0

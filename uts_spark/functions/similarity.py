@@ -344,26 +344,40 @@ def lsh_bucket_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    impl: str = "np",
 ) -> DataFrame:
     """(id, vec, table, bucket) for ALL hash tables in one pass.
 
-    The hyperplanes ride as a broadcast DataFrame (tables·planes rows),
-    not as expression literals: the earlier per-plane Column form built
-    planes×tables separate aggregate-HOF expressions each embedding a
-    dim-wide literal array — a plan so large that codegen/analysis
-    dominated runtime (~9.5s for 5k vectors; this shape: ~1s). One
-    cross join against the tiny plane table, one dot product expression,
-    sign bits assembled by a groupBy over (id, table).
+    Two implementations, bit-identical buckets (pinned in
+    tests/test_llm_ops.py; measured A/B in tools/lsh_bucket_ab.py —
+    SCALE.md round 11):
 
-    ``keep_cols`` rides metadata columns through the bucket pass for
-    free (carried as F.first in the existing per-(id, table) agg — no
-    extra shuffle): the filtered-ANN input for the persisted LSH
-    index."""
+    - ``impl="np"`` (default — VERDICT r10 #6): ZERO-SHUFFLE
+      mapInPandas kernel. The hyperplane matrix rides the task
+      closure (tables·planes·dim doubles — KBs); each Arrow batch
+      computes every table's sign bits in one GEMM and emits its own
+      (id, table, bucket) rows — no crossJoin, no groupBy, no
+      exchange at all. At 1M×64 vectors: 2.0s vs 12.8s for the agg
+      shape (6.3×), and the saved shuffle is corpus×tables rows.
+    - ``impl="agg"``: the JVM-side shape — hyperplanes as a broadcast
+      DataFrame (NOT expression literals: the per-plane Column form
+      built planes×tables aggregate-HOF expressions each embedding a
+      dim-wide literal array, ~9.5s of codegen for 5k vectors), one
+      cross join, sign bits assembled by a groupBy over (id, table).
+      Kept for plan-level composition (marker-protocol partition
+      locate) and as the A/B control.
+
+    ``keep_cols`` rides metadata columns through either pass for free.
+    """
     # Bucket ids pack into a signed 64-bit long; >62 planes would wrap.
     if not (1 <= planes <= 62):
         raise ValueError(f"lsh_bucket_table: planes must be in [1, 62], got {planes}")
     if tables < 1:
         raise ValueError(f"lsh_bucket_table: tables must be >= 1, got {tables}")
+    if impl == "np":
+        return _lsh_bucket_table_np(
+            df, dim, planes, tables, id_col, vec_col, keep_cols
+        )
     spark = df.sparkSession
     rows = [
         (t, h, hyperplane(t * 1000 + h, dim))
@@ -391,6 +405,71 @@ def lsh_bucket_table(
             *[F.first(c).alias(c) for c in keep_cols],
         )
     )
+
+
+def _lsh_bucket_table_np(
+    df: DataFrame,
+    dim: int,
+    planes: int,
+    tables: int,
+    id_col: str,
+    vec_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The zero-shuffle kernel behind :func:`lsh_bucket_table`
+    (impl="np"): hyperplanes as one in-closure numpy matrix, every
+    table's bucket computed per Arrow batch, each input row emitting
+    its ``tables`` output rows in place. Equality contract with the
+    agg shape: the projection is the same correctly-rounded float64
+    dot product — GEMM reorders the additions, which can only flip a
+    sign on a projection within float ulps of zero; the A/B tool
+    verifies exact (id, table, bucket) equality on every corpus it
+    measures, and the oracle-gated LSH lanes re-verify at both driver
+    SFs."""
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = df.select(id_col, vec_col, *keep_cols)
+    W = np.array(
+        [
+            hyperplane(t * 1000 + h, dim)
+            for t in range(tables)
+            for h in range(planes)
+        ],
+        dtype=np.float64,
+    ).T  # dim x (tables*planes)
+    shifts = 1 << np.arange(planes, dtype=np.int64)
+    schema = StructType(
+        list(src.schema.fields)
+        + [
+            StructField("table", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+    nt, npl = tables, planes
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401 — Arrow batch type
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            bits = (X @ W > 0).astype(np.int64).reshape(n, nt, npl)
+            buckets = (bits * shifts[None, None, :]).sum(axis=2)
+            rep = pdf.loc[pdf.index.repeat(nt)].reset_index(drop=True)
+            rep["table"] = np.tile(np.arange(nt, dtype=np.int32), n)
+            rep["bucket"] = buckets.reshape(-1)
+            yield rep
+
+    return src.mapInPandas(gen, schema=schema)
 
 
 def ivf_topk(

@@ -4288,40 +4288,49 @@ def versioned_kmv_distinct_estimate(spark, sf_dir):
     )
 
 
-@query(
-    "versioned_kmv_join_estimate",
-    # Mirrors versioned._kmv_intersect_est's THREE regimes (ADVICE
-    # r10, low: the first cut always applied the sampled-sketch
-    # formula, so a scale factor with <k distinct keys on either side
-    # would hash-mismatch a correct library): both sketches
-    # exhaustive (<k values = every distinct hash present) -> exact
-    # set algebra; one exhaustive -> hits scaled by D/k off the
-    # sampled side; both sampled -> classic KMV union-merge algebra.
-    f"""
+def _duck_kmv_join_sql(
+    expr_a: str,
+    src_a: str,
+    expr_b: str,
+    src_b: str,
+    key_a: str,
+    key_b: str,
+    alias_a: str,
+    alias_b: str,
+) -> str:
+    """The KMV join-estimate ORACLE, parameterized over sources/keys.
+    Mirrors versioned._kmv_intersect_est's THREE regimes (ADVICE r10,
+    low: the first cut always applied the sampled-sketch formula, so a
+    scale factor with <k distinct keys on either side would
+    hash-mismatch a correct library): both sketches exhaustive
+    (<k values = every distinct hash present) -> exact set algebra;
+    one exhaustive -> hits scaled by D/k off the sampled side; both
+    sampled -> classic KMV union-merge algebra. Shared by the primary
+    lane and the multi-key lane (ROADMAP r11 #4)."""
+    K, SP = _KMV_SQL_K, _KMV_SQL_SPACE
+    return f"""
     WITH ho AS (
-      SELECT DISTINCT {duck_hash64("CAST(o_custkey AS VARCHAR)")} AS h
-      FROM orders
+      SELECT DISTINCT {duck_hash64(expr_a)} AS h FROM {src_a}
     ),
-    sko AS (SELECT h FROM ho ORDER BY h LIMIT {_KMV_SQL_K}),
+    sko AS (SELECT h FROM ho ORDER BY h LIMIT {K}),
     hc AS (
-      SELECT DISTINCT {duck_hash64("CAST(c_custkey AS VARCHAR)")} AS h
-      FROM customer
+      SELECT DISTINCT {duck_hash64(expr_b)} AS h FROM {src_b}
     ),
-    skc AS (SELECT h FROM hc ORDER BY h LIMIT {_KMV_SQL_K}),
+    skc AS (SELECT h FROM hc ORDER BY h LIMIT {K}),
     no_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM sko),
     nc_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM skc),
     da AS (SELECT CASE
-             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+             WHEN (SELECT c FROM no_) < {K}
                THEN (SELECT c FROM no_)
-             ELSE CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
-                  * CAST({_KMV_SQL_SPACE} AS HUGEINT)
+             ELSE CAST(CAST({K - 1} AS HUGEINT)
+                  * CAST({SP} AS HUGEINT)
                   // CAST((SELECT MAX(h) FROM sko) AS HUGEINT) AS BIGINT)
            END AS d),
     db AS (SELECT CASE
-             WHEN (SELECT c FROM nc_) < {_KMV_SQL_K}
+             WHEN (SELECT c FROM nc_) < {K}
                THEN (SELECT c FROM nc_)
-             ELSE CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
-                  * CAST({_KMV_SQL_SPACE} AS HUGEINT)
+             ELSE CAST(CAST({K - 1} AS HUGEINT)
+                  * CAST({SP} AS HUGEINT)
                   // CAST((SELECT MAX(h) FROM skc) AS HUGEINT) AS BIGINT)
            END AS d),
     hx AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM sko
@@ -4329,58 +4338,68 @@ def versioned_kmv_distinct_estimate(spark, sf_dir):
     ux AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
            FROM (SELECT h FROM sko UNION SELECT h FROM skc)),
     u AS (SELECT h FROM (SELECT h FROM sko UNION SELECT h FROM skc)
-          ORDER BY h LIMIT {_KMV_SQL_K}),
-    dus AS (SELECT CAST(CAST({_KMV_SQL_K - 1} AS HUGEINT)
-                  * CAST({_KMV_SQL_SPACE} AS HUGEINT)
+          ORDER BY h LIMIT {K}),
+    dus AS (SELECT CAST(CAST({K - 1} AS HUGEINT)
+                  * CAST({SP} AS HUGEINT)
                   // CAST((SELECT MAX(h) FROM u) AS HUGEINT) AS BIGINT)
                   AS d),
     iu AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM u
            WHERE h IN (SELECT h FROM sko) AND h IN (SELECT h FROM skc)),
     di AS (SELECT CASE
-             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
-                  AND (SELECT c FROM nc_) < {_KMV_SQL_K}
+             WHEN (SELECT c FROM no_) < {K}
+                  AND (SELECT c FROM nc_) < {K}
                THEN (SELECT c FROM hx)
-             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+             WHEN (SELECT c FROM no_) < {K}
                THEN CAST(CAST((SELECT c FROM hx) AS HUGEINT)
                     * CAST((SELECT d FROM db) AS HUGEINT)
-                    // {_KMV_SQL_K} AS BIGINT)
-             WHEN (SELECT c FROM nc_) < {_KMV_SQL_K}
+                    // {K} AS BIGINT)
+             WHEN (SELECT c FROM nc_) < {K}
                THEN CAST(CAST((SELECT c FROM hx) AS HUGEINT)
                     * CAST((SELECT d FROM da) AS HUGEINT)
-                    // {_KMV_SQL_K} AS BIGINT)
+                    // {K} AS BIGINT)
              ELSE CAST(CAST((SELECT c FROM iu) AS HUGEINT)
                   * CAST((SELECT d FROM dus) AS HUGEINT)
-                  // {_KMV_SQL_K} AS BIGINT)
+                  // {K} AS BIGINT)
            END AS d),
     du AS (SELECT CASE
-             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
-                  AND (SELECT c FROM nc_) < {_KMV_SQL_K}
+             WHEN (SELECT c FROM no_) < {K}
+                  AND (SELECT c FROM nc_) < {K}
                THEN (SELECT c FROM ux)
-             WHEN (SELECT c FROM no_) < {_KMV_SQL_K}
+             WHEN (SELECT c FROM no_) < {K}
                THEN (SELECT d FROM db) + (SELECT c FROM no_)
                     - (SELECT d FROM di)
-             WHEN (SELECT c FROM nc_) < {_KMV_SQL_K}
+             WHEN (SELECT c FROM nc_) < {K}
                THEN (SELECT d FROM da) + (SELECT c FROM nc_)
                     - (SELECT d FROM di)
              ELSE (SELECT d FROM dus)
            END AS d)
-    SELECT (SELECT d FROM da) AS est_distinct_orders,
-           (SELECT d FROM db) AS est_distinct_customer,
+    SELECT (SELECT d FROM da) AS {alias_a},
+           (SELECT d FROM db) AS {alias_b},
            (SELECT d FROM di) AS est_intersection,
            (SELECT d FROM du) AS est_union,
            CASE
              WHEN (SELECT d FROM da) = 0 OR (SELECT d FROM db) = 0
                THEN 0
              ELSE CAST(CAST((SELECT d FROM di) AS HUGEINT)
-                * (SELECT COUNT(*) FROM orders)
-                * (SELECT COUNT(*) FROM customer)
+                * (SELECT COUNT(*) FROM {src_a})
+                * (SELECT COUNT(*) FROM {src_b})
                 // (CAST((SELECT d FROM da) AS HUGEINT)
                    * CAST((SELECT d FROM db) AS HUGEINT)) AS BIGINT)
            END AS est_join_rows,
-           (SELECT COUNT(*) FROM orders o
-            JOIN customer c ON o.o_custkey = c.c_custkey)
+           (SELECT COUNT(*) FROM {src_a} a
+            JOIN {src_b} b ON a.{key_a} = b.{key_b})
              AS exact_join_rows
-    """,
+    """
+
+
+@query(
+    "versioned_kmv_join_estimate",
+    _duck_kmv_join_sql(
+        "CAST(o_custkey AS VARCHAR)", "orders",
+        "CAST(c_custkey AS VARCHAR)", "customer",
+        "o_custkey", "c_custkey",
+        "est_distinct_orders", "est_distinct_customer",
+    ),
 )
 def versioned_kmv_join_estimate(spark, sf_dir):
     """JOIN-SIZE ESTIMATION from manifests alone (the other half of
@@ -4423,6 +4442,103 @@ def versioned_kmv_join_estimate(spark, sf_dir):
             )
         ],
         "est_distinct_orders long, est_distinct_customer long, "
+        "est_intersection long, est_union long, est_join_rows long, "
+        "exact_join_rows long",
+    )
+
+
+@query(
+    "versioned_kmv_multikey_estimate",
+    _duck_kmv_join_sql(
+        "CAST(o_orderkey AS VARCHAR)", "orders",
+        "CAST(l_orderkey AS VARCHAR)", "lineitem",
+        "o_orderkey", "l_orderkey",
+        "est_distinct_orderkey", "est_distinct_l_orderkey",
+    ),
+)
+def versioned_kmv_multikey_estimate(spark, sf_dir):
+    """MULTI-KEY KMV SYNOPSES (VERDICT r10 #8 / ROADMAP r11 #4): a
+    tuple ``kmv_col=("o_custkey", "o_orderkey")`` records one sketch
+    per column on the manifest (primary under the classic
+    kmv_col/dir_kmv keys — old readers unchanged; the rest per-column
+    under ``kmv_extra``), so a SECOND join key plans from metadata
+    without any re-scan — previously a consumer asking about a
+    different key had to scan the table. The lane builds the orders
+    table tracking BOTH keys (append chain so the per-dir merge is
+    exercised on the extra column too), a lineitem table on
+    l_orderkey, and estimates the orders⋈lineitem join on the
+    SECONDARY key (resolved from kmv_extra via
+    ``kmv_join_estimate(col_a="o_orderkey")``); the oracle recomputes
+    the identical three-regime floor-pinned estimator in SQL beside
+    the exact join count. plan_join(key_a=, key_b=) resolution for
+    either key — and the honest degrade to row-counts-only for an
+    untracked key — is pinned in tests/test_sinks.py. Scale: manifest
+    cost is k ints per column per dir; every rewrite verb
+    (delete/materialize/optimize/merge) recomputes only the NEW dir's
+    sketches."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        kmv_join_estimate,
+        list_versions,
+        write_snapshot,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    po = os.path.join(_warehouse_dir(), f"kmv_mk_orders_{tag}")
+    pl = os.path.join(_warehouse_dir(), f"kmv_mk_lineitem_{tag}")
+    fp = "kmv_mk_v1"
+
+    ms = list_versions(po)
+    if not (len(ms) == 2 and ms[0].get("fingerprint") == fp):
+        if os.path.exists(po):
+            shutil.rmtree(po)
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == 0), po,
+            meta={"fingerprint": fp},
+            kmv_col=("o_custkey", "o_orderkey"),
+        )
+        append_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), po)
+    ml = list_versions(pl)
+    if not (len(ml) == 1 and ml[0].get("fingerprint") == fp):
+        if os.path.exists(pl):
+            shutil.rmtree(pl)
+        write_snapshot(
+            li, pl, meta={"fingerprint": fp}, kmv_col="l_orderkey"
+        )
+
+    n_o = list_versions(po)[-1]["n_rows"]
+    n_l = list_versions(pl)[-1]["n_rows"]
+    j = kmv_join_estimate(
+        po, n_o, pl, n_l, col_a="o_orderkey", col_b="l_orderkey"
+    )
+    exact = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                j["distinct_a"],
+                j["distinct_b"],
+                j["distinct_intersection"],
+                j["distinct_union"],
+                j["est_join_rows"],
+                exact,
+            )
+        ],
+        "est_distinct_orderkey long, est_distinct_l_orderkey long, "
         "est_intersection long, est_union long, est_join_rows long, "
         "exact_join_rows long",
     )

@@ -508,35 +508,61 @@ def kmv_estimate(sketch: list[int], k: int) -> int:
 
 
 def table_kmv(
-    path: str, version: int | None = None
+    path: str, version: int | None = None, col: str | None = None
 ) -> tuple[list[int], int] | None:
     """The table-level merged synopsis at a version (latest if None),
     from the manifest alone — no data scan. None when the version
-    carries no (complete) sketch set."""
+    carries no (complete) sketch set. ``col`` selects WHICH column's
+    synopsis (ROADMAP r11 #4 — multi-key manifests): None or the
+    primary ``kmv_col`` reads the classic ``dir_kmv``; any other name
+    resolves from ``kmv_extra`` (the per-column secondary sketches a
+    multi-column ``kmv_col=`` write records)."""
     versions = {m["version"]: m for m in list_versions(path)}
     if not versions:
         return None
     m = versions[max(versions) if version is None else version]
-    if "kmv_col" not in m:
-        return None
-    dk = m.get("dir_kmv", {})
     dirs = _manifest_dirs(m)
-    if not set(dk) >= set(dirs):
-        return None
     k = int(m.get("kmv_k", _KMV_K))
+    if col is None or col == m.get("kmv_col"):
+        if "kmv_col" not in m:
+            return None
+        dk = m.get("dir_kmv", {})
+        if not set(dk) >= set(dirs):
+            return None
+        return kmv_merge([dk[d] for d in dirs], k), k
+    dk = m.get("kmv_extra", {}).get(col)
+    if dk is None or not set(dk) >= set(dirs):
+        return None
     return kmv_merge([dk[d] for d in dirs], k), k
 
 
-def kmv_distinct(path: str, version: int | None = None) -> int:
-    """Estimated distinct count of the table's ``kmv_col`` from the
-    manifest synopsis. Raises when the version has none (an estimate
-    silently computed from nothing would be a lie)."""
-    got = table_kmv(path, version)
+def kmv_cols_of(path: str, version: int | None = None) -> list[str]:
+    """Every column the version carries a synopsis for (primary
+    first) — the planner's 'which keys can I estimate?' lookup."""
+    versions = {m["version"]: m for m in list_versions(path)}
+    if not versions:
+        return []
+    m = versions[max(versions) if version is None else version]
+    out = [m["kmv_col"]] if "kmv_col" in m else []
+    out.extend(c for c in sorted(m.get("kmv_extra", {})) if c not in out)
+    return out
+
+
+def kmv_distinct(
+    path: str, version: int | None = None, col: str | None = None
+) -> int:
+    """Estimated distinct count of a tracked column (default: the
+    primary ``kmv_col``) from the manifest synopsis. Raises when the
+    version has none for that column (an estimate silently computed
+    from nothing would be a lie)."""
+    got = table_kmv(path, version, col)
     if got is None:
         raise ValueError(
-            f"versioned table {path}: no complete KMV synopsis at "
+            f"versioned table {path}: no complete KMV synopsis for "
+            f"{col if col is not None else 'the primary kmv_col'} at "
             f"version {version if version is not None else 'latest'} — "
-            "opt in with kmv_col= at write/append time"
+            "opt in with kmv_col= at write/append time (a tuple "
+            "tracks several columns)"
         )
     sketch, k = got
     return kmv_estimate(sketch, k)
@@ -586,6 +612,8 @@ def kmv_join_estimate(
     key_rows_b: int,
     version_a: int | None = None,
     version_b: int | None = None,
+    col_a: str | None = None,
+    col_b: str | None = None,
 ) -> dict:
     """Estimated inner-equi-join output size between two KMV-tracked
     tables, from their MANIFESTS alone: distinct-key estimates for
@@ -596,12 +624,15 @@ def kmv_join_estimate(
     ``n_rows`` for whole-table joins). The planner question this
     answers at 100 TB: is the build side broadcastable, and is the
     output explosive — before any scan is scheduled."""
-    ga, gb = table_kmv(path_a, version_a), table_kmv(path_b, version_b)
+    ga = table_kmv(path_a, version_a, col_a)
+    gb = table_kmv(path_b, version_b, col_b)
     if ga is None or gb is None:
         raise ValueError(
             "kmv_join_estimate: both tables need a complete KMV "
-            f"synopsis (have: {path_a}={ga is not None}, "
-            f"{path_b}={gb is not None})"
+            f"synopsis for the join key (have: {path_a}"
+            f"[{col_a or 'primary'}]={ga is not None}, {path_b}"
+            f"[{col_b or 'primary'}]={gb is not None}) — a tuple "
+            "kmv_col= tracks several columns"
         )
     (sa, ka), (sb, kb) = ga, gb
     da, db = kmv_estimate(sa, ka), kmv_estimate(sb, kb)
@@ -633,20 +664,16 @@ def kmv_overlap_estimate(
 
     from uts_spark.functions.hashing import hash64
 
-    got = table_kmv(path, version)
+    got = table_kmv(path, version, key)
     if got is None:
         raise ValueError(
-            f"versioned table {path}: no complete KMV synopsis — "
-            "opt in with kmv_col= at write/append time"
+            f"versioned table {path}: no complete KMV synopsis for "
+            f"{key!r} — opt in with kmv_col= at write/append time "
+            f"(tracked: {kmv_cols_of(path, version)})"
         )
     st, kt = got
     versions = {m["version"]: m for m in list_versions(path)}
     m = versions[max(versions) if version is None else version]
-    if m.get("kmv_col") != key:
-        raise ValueError(
-            f"versioned table {path}: KMV synopsis tracks "
-            f"{m.get('kmv_col')!r}, overlap asked on {key!r}"
-        )
     rows = (
         keys.select(hash64(F.col(key).cast("string")).alias("h"))
         .distinct()
@@ -675,12 +702,20 @@ def plan_join(
     version_b: int | None = None,
     broadcast_rows: int = 500_000,
     explode_factor: int = 4,
+    key_a: str | None = None,
+    key_b: str | None = None,
 ) -> dict:
     """JOIN PLAN from MANIFESTS alone (the estimate→plan loop closed —
     refreshed r11 #1): decide the physical strategy for an inner
     equi-join of two versioned tables before any scan is scheduled,
     from each side's committed ``n_rows`` and (when both tables carry
-    KMV synopses) the join-size estimate.
+    KMV synopses for the join key) the join-size estimate.
+    ``key_a``/``key_b`` name the JOIN COLUMNS the estimate should use
+    (ROADMAP r11 #4 — multi-key synopses: a tuple ``kmv_col=`` at
+    write time records one sketch per column, so a second join key
+    plans from the manifest without a re-scan); None keeps the
+    primary-synopsis behavior, and a key with no sketch degrades the
+    plan to row counts only (recorded by the absent ``estimate``).
 
     - ``strategy``: 'broadcast' when the smaller side's row count is
       within ``broadcast_rows`` (the build side named explicitly),
@@ -715,12 +750,13 @@ def plan_join(
         ),
         "explosive": False,
     }
-    ga = table_kmv(path_a, version_a)
-    gb = table_kmv(path_b, version_b)
+    ga = table_kmv(path_a, version_a, key_a)
+    gb = table_kmv(path_b, version_b, key_b)
     if ga is not None and gb is not None:
         est = kmv_join_estimate(
             path_a, rows_a, path_b, rows_b,
             version_a=version_a, version_b=version_b,
+            col_a=key_a, col_b=key_b,
         )
         plan["estimate"] = est
         plan["explosive"] = (
@@ -753,7 +789,7 @@ def join_versioned(
 
     plan = plan_join(
         path_a, path_b, version_a, version_b, broadcast_rows,
-        explode_factor,
+        explode_factor, key_a=key_a, key_b=key_b or key_a,
     )
     if refuse_explosive and plan["explosive"]:
         raise ValueError(
@@ -798,7 +834,7 @@ def write_snapshot(
     meta: dict | None = None,
     stats_col: str | None = None,
     bloom_col: str | None = None,
-    kmv_col: str | None = None,
+    kmv_col: str | tuple[str, ...] | None = None,
     kmv_k: int = _KMV_K,
 ) -> int:
     """Write ``df`` as the table's next version; returns the version id.
@@ -821,8 +857,17 @@ def write_snapshot(
         _check_stats_col(df, stats_col)
     if bloom_col is not None:
         _check_bloom_col(df, bloom_col)
+    # kmv_col accepts a TUPLE (ROADMAP r11 #4): first column is the
+    # primary synopsis (classic kmv_col/dir_kmv manifest keys — old
+    # readers unchanged), the rest land per-column under kmv_extra so
+    # a second join key plans from the manifest without a re-scan
+    kmv_cols: tuple[str, ...] = ()
     if kmv_col is not None:
-        _check_kmv_col(df, kmv_col)
+        kmv_cols = (
+            (kmv_col,) if isinstance(kmv_col, str) else tuple(kmv_col)
+        )
+        for c in kmv_cols:
+            _check_kmv_col(df, c)
     parent = current_version(path)
     version = 0 if parent is None else parent + 1
     ddir = _data_dir(path, version)
@@ -841,10 +886,17 @@ def write_snapshot(
     if bloom_col is not None:
         _write_dir_bloom(spark, ddir, bloom_col, n)
         stats_meta["bloom_col"] = bloom_col
-    if kmv_col is not None:
-        stats_meta["kmv_col"] = kmv_col
+    if kmv_cols:
+        stats_meta["kmv_col"] = kmv_cols[0]
         stats_meta["kmv_k"] = kmv_k
-        stats_meta["dir_kmv"] = {ddir: _dir_kmv(spark, ddir, kmv_col, kmv_k)}
+        stats_meta["dir_kmv"] = {
+            ddir: _dir_kmv(spark, ddir, kmv_cols[0], kmv_k)
+        }
+        if kmv_cols[1:]:
+            stats_meta["kmv_extra"] = {
+                c: {ddir: _dir_kmv(spark, ddir, c, kmv_k)}
+                for c in kmv_cols[1:]
+            }
     _commit(
         path,
         {
@@ -1007,7 +1059,7 @@ def append_snapshot(
     max_retries: int = 5,
     stats_col: str | None = None,
     bloom_col: str | None = None,
-    kmv_col: str | None = None,
+    kmv_col: str | tuple[str, ...] | None = None,
     batch_id: int | None = None,
     stream_id: str | None = None,
 ) -> int:
@@ -1070,18 +1122,28 @@ def append_snapshot(
     )
     if pre_bcol is not None:
         _check_bloom_col(df, pre_bcol)
-    pre_kcol = kmv_col or (
-        {m["version"]: m for m in list_versions(path)}[pre_parent].get(
-            "kmv_col"
+    # kmv_col may be a tuple (primary + extras — ROADMAP r11 #4);
+    # parent's tracked set (kmv_col + kmv_extra keys) is the default
+    kmv_req: tuple[str, ...] | None = None
+    if kmv_col is not None:
+        kmv_req = (
+            (kmv_col,) if isinstance(kmv_col, str) else tuple(kmv_col)
         )
+    pre_pm = (
+        {m["version"]: m for m in list_versions(path)}[pre_parent]
         if pre_parent is not None
-        else None
+        else {}
     )
-    if pre_kcol is not None:
-        _check_kmv_col(df, pre_kcol)
+    pre_kcols = kmv_req or (
+        ((pre_pm["kmv_col"],) if "kmv_col" in pre_pm else ())
+        + tuple(sorted(pre_pm.get("kmv_extra", {})))
+    )
+    for c in pre_kcols:
+        _check_kmv_col(df, c)
     ddir = _write_delta_dir(df, path, sort_cols)
     bloom_built = False
     delta_kmv: list[int] | None = None
+    delta_extra: dict[str, list[int]] = {}
     n = None
     last: Exception | None = None
     for _ in range(max_retries):
@@ -1115,12 +1177,17 @@ def append_snapshot(
                 _write_dir_bloom(spark, ddir, bcol, n)
                 bloom_built = True
             bloom_meta = {"bloom_col": bcol}
-        kcol = kmv_col or (
-            versions[parent].get("kmv_col") if parent is not None else None
+        pm_prev = versions[parent] if parent is not None else {}
+        kcol = (
+            kmv_req[0] if kmv_req
+            else pm_prev.get("kmv_col")
+        )
+        extras = (
+            list(kmv_req[1:]) if kmv_req
+            else sorted(pm_prev.get("kmv_extra", {}))
         )
         kmv_meta: dict = {}
         if kcol is not None and kcol in new_fields:
-            pm_prev = versions[parent] if parent is not None else {}
             kk = int(pm_prev.get("kmv_k", _KMV_K))
             if delta_kmv is None:
                 delta_kmv = _dir_kmv(spark, ddir, kcol, kk)
@@ -1129,6 +1196,18 @@ def append_snapshot(
                 "kmv_k": kk,
                 "dir_kmv": {**pm_prev.get("dir_kmv", {}), ddir: delta_kmv},
             }
+            ex_meta = {}
+            for c in extras:
+                if c not in new_fields:
+                    continue
+                if c not in delta_extra:
+                    delta_extra[c] = _dir_kmv(spark, ddir, c, kk)
+                ex_meta[c] = {
+                    **pm_prev.get("kmv_extra", {}).get(c, {}),
+                    ddir: delta_extra[c],
+                }
+            if ex_meta:
+                kmv_meta["kmv_extra"] = ex_meta
         schema_meta: dict = {}
         if parent is not None and versions[parent].get("schema"):
             old_fields = _schema_fields(versions[parent]["schema"])
@@ -1373,11 +1452,16 @@ def merge_upsert(
     scol = pm[max(pm)].get("stats_col") if pm else None
     bcol = pm[max(pm)].get("bloom_col") if pm else None
     kcol = pm[max(pm)].get("kmv_col") if pm else None
+    kextra = sorted(pm[max(pm)].get("kmv_extra", {})) if pm else []
+    kcols = tuple(
+        c for c in ([kcol] if kcol else []) + kextra
+        if c in merged.columns
+    )
     return write_snapshot(
         merged, path, operation="merge",
         stats_col=scol if scol in merged.columns else None,
         bloom_col=bcol if bcol in merged.columns else None,
-        kmv_col=kcol if kcol in merged.columns else None,
+        kmv_col=kcols or None,
         kmv_k=int(pm[max(pm)].get("kmv_k", _KMV_K)) if pm else _KMV_K,
     )
 
@@ -1571,6 +1655,18 @@ def delete_rows(
                     },
                 }
             )
+            ex = {
+                c: dk for c, dk in pm.get("kmv_extra", {}).items()
+                if set(dk) >= set(dirs)
+            }
+            if ex:
+                carried["kmv_extra"] = {
+                    c: {
+                        **{d: dk[d] for d in untouched},
+                        ddir: _dir_kmv(spark, ddir, c, kk),
+                    }
+                    for c, dk in ex.items()
+                }
         return commit_version(
             path,
             untouched + [ddir],
@@ -1581,12 +1677,19 @@ def delete_rows(
         )
     cur = read_version(spark, path)
     kept = cur.join(idf, key, "left_anti")
+    kcols = tuple(
+        c
+        for c in (
+            ([pm["kmv_col"]] if "kmv_col" in pm else [])
+            + sorted(pm.get("kmv_extra", {}))
+        )
+        if c in cur.columns
+    )
     return write_snapshot(
         kept, path, operation="delete", meta=meta,
         stats_col=key if pm.get("stats_col") == key else None,
         bloom_col=key if pm.get("bloom_col") == key else None,
-        kmv_col=pm.get("kmv_col") if pm.get("kmv_col") in cur.columns
-        else None,
+        kmv_col=kcols or None,
         kmv_k=int(pm.get("kmv_k", _KMV_K)),
     )
 
@@ -1700,7 +1803,8 @@ def delete_rows_mor(
             k: pm[k]
             for k in (
                 "schema", "evolved", "stats_col", "dir_stats", "dir_rows",
-                "bloom_col", "kmv_col", "kmv_k", "dir_kmv", "pdv",
+                "bloom_col", "kmv_col", "kmv_k", "dir_kmv", "kmv_extra",
+                "pdv",
             )
             if k in pm
         }
@@ -1774,7 +1878,7 @@ def delete_rows_positional(
             k: pm[k]
             for k in (
                 "schema", "evolved", "stats_col", "dir_stats", "dir_rows",
-                "bloom_col", "kmv_col", "kmv_k", "dir_kmv",
+                "bloom_col", "kmv_col", "kmv_k", "dir_kmv", "kmv_extra",
             )
             if k in pm
         }
@@ -1915,11 +2019,23 @@ def materialize_dvs(
                     },
                 }
             )
+            ex = {
+                c: dk for c, dk in pm.get("kmv_extra", {}).items()
+                if set(dk) >= set(dirs)
+            }
+            if ex:
+                carried["kmv_extra"] = {
+                    c: {
+                        **{d: dk[d] for d in untouched},
+                        ndir: _dir_kmv(spark, ndir, c, kk),
+                    }
+                    for c, dk in ex.items()
+                }
     else:
         # vectors masked nothing (all their rows were since rewritten
         # away) — just clear them
         for k in ("stats_col", "dir_stats", "dir_rows", "bloom_col",
-                  "kmv_col", "kmv_k", "dir_kmv"):
+                  "kmv_col", "kmv_k", "dir_kmv", "kmv_extra"):
             if k in pm:
                 carried[k] = pm[k]
     return commit_version(
@@ -2179,11 +2295,15 @@ def optimize(
         )
     else:
         out = df.coalesce(n_out)
+    kcols = tuple(
+        ([manifest["kmv_col"]] if "kmv_col" in manifest else [])
+        + sorted(manifest.get("kmv_extra", {}))
+    )
     return write_snapshot(
         out, path, operation="optimize",
         stats_col=manifest.get("stats_col"),
         bloom_col=manifest.get("bloom_col"),
-        kmv_col=manifest.get("kmv_col"),
+        kmv_col=kcols or None,
         kmv_k=int(manifest.get("kmv_k", _KMV_K)),
     )
 
