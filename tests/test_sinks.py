@@ -3577,3 +3577,52 @@ def test_versioned_kmv_multikey(spark, tmp_path):
     # join_versioned threads the join keys into the estimate
     j = V.join_versioned(spark, p, q, "b")
     assert j.count() > 0
+
+
+def test_plan_join_bytes_guard(spark, tmp_path):
+    """Round 11: the broadcast decision is bytes-aware — a build side
+    whose ROWS fit the budget but whose SERVED bytes don't is routed
+    to shuffle (wide-blob dims broke the rows-only proxy); MOR masks
+    discount the estimate via the always-recorded dir_rows."""
+    import uts_spark.sources.versioned as V
+
+    big = spark.range(0, 100_000).select(
+        (F.col("id") % 5000).alias("k")
+    )
+    # wide dim: 5k rows x ~1KB incompressible hex
+    wide = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.concat_ws(
+            "",
+            *[
+                F.sha2(
+                    F.concat(F.col("id").cast("string"), F.lit(f":{j}")),
+                    256,
+                )
+                for j in range(16)
+            ],
+        ).alias("blob"),
+    )
+    pb, pw = str(tmp_path / "big"), str(tmp_path / "wide")
+    V.write_snapshot(big, pb)
+    V.write_snapshot(wide, pw)
+
+    plan = V.plan_join(pb, pw)  # default 128MB budget: bytes fit
+    assert plan["strategy"] == "broadcast"
+    assert plan["est_build_bytes"] > 1_000_000
+    tight = V.plan_join(pb, pw, broadcast_bytes=1_000_000)
+    assert tight["strategy"] == "shuffle"
+    assert tight["broadcast_refused"].startswith("build side exceeds")
+    # the join still runs correctly under the tight budget (shuffle)
+    j = V.join_versioned(spark, pb, pw, "k", broadcast_bytes=1_000_000)
+    assert j.count() == 100_000
+
+    # MOR mask discounts the served-bytes estimate: erase 90% of the
+    # wide dim -> bytes on disk unchanged, served estimate ~10%
+    victims = spark.range(0, 5000).filter(
+        F.col("id") % 10 != 7
+    ).select(F.col("id").alias("k"))
+    V.delete_rows_mor(spark, pw, victims, "k")
+    masked = V.plan_join(pb, pw)
+    assert masked["rows_b"] == 500
+    assert masked["est_build_bytes"] < plan["est_build_bytes"] // 5

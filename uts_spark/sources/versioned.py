@@ -695,6 +695,34 @@ def kmv_overlap_estimate(
     }
 
 
+def _served_bytes_estimate(m: dict, n_rows: int) -> int | None:
+    """Estimated bytes a reader SERVES from a manifest's dirs: on-disk
+    parquet bytes scaled by n_rows over the physical row count (the
+    dirs' recorded dir_rows sum) — merge-on-read masks mean bytes on
+    disk can far exceed what a read materializes. None when a dir is
+    unlistable (foreign filesystem) — the caller treats bytes as
+    unknown and falls back to row counts."""
+    total = 0
+    for d in _manifest_dirs(m):
+        p = d
+        if p.startswith("file:"):
+            p = _norm_dir(p)
+        if not os.path.isdir(p):
+            return None
+        for name in os.listdir(p):
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(p, name))
+    dir_rows = m.get("dir_rows", {})
+    phys = (
+        sum(dir_rows[d] for d in _manifest_dirs(m))
+        if set(dir_rows) >= set(_manifest_dirs(m))
+        else None
+    )
+    if phys and phys > 0 and n_rows <= phys:
+        return total * n_rows // phys
+    return total
+
+
 def plan_join(
     path_a: str,
     path_b: str,
@@ -704,6 +732,7 @@ def plan_join(
     explode_factor: int = 4,
     key_a: str | None = None,
     key_b: str | None = None,
+    broadcast_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """JOIN PLAN from MANIFESTS alone (the estimate→plan loop closed —
     refreshed r11 #1): decide the physical strategy for an inner
@@ -740,16 +769,34 @@ def plan_join(
     mb = versions_b[max(versions_b) if version_b is None else version_b]
     rows_a, rows_b = int(ma["n_rows"]), int(mb["n_rows"])
     build = "a" if rows_a <= rows_b else "b"
+    # bytes guard (round 11 — the planned-join A/B exposed the
+    # rows-only proxy's gap: a 60k-row dim of 1KB blobs is a 60MB
+    # broadcast; row counts alone would ship it). Estimated SERVED
+    # bytes of the build side = on-disk parquet bytes scaled by
+    # n_rows / physical rows (merge-on-read masks shrink what a
+    # broadcast actually ships — the anti-join applies first). Bytes
+    # come from a file listing of the manifest dirs: metadata cost,
+    # never a scan.
+    bm, b_rows = (ma, rows_a) if build == "a" else (mb, rows_b)
+    est_bytes = _served_bytes_estimate(bm, b_rows)
     plan = {
         "rows_a": rows_a,
         "rows_b": rows_b,
         "build_side": build,
+        "est_build_bytes": est_bytes,
         "strategy": (
-            "broadcast" if min(rows_a, rows_b) <= broadcast_rows
+            "broadcast"
+            if min(rows_a, rows_b) <= broadcast_rows
+            and (est_bytes is None or est_bytes <= broadcast_bytes)
             else "shuffle"
         ),
         "explosive": False,
     }
+    if (
+        min(rows_a, rows_b) <= broadcast_rows
+        and plan["strategy"] == "shuffle"
+    ):
+        plan["broadcast_refused"] = "build side exceeds broadcast_bytes"
     ga = table_kmv(path_a, version_a, key_a)
     gb = table_kmv(path_b, version_b, key_b)
     if ga is not None and gb is not None:
@@ -777,6 +824,7 @@ def join_versioned(
     broadcast_rows: int = 500_000,
     explode_factor: int = 4,
     refuse_explosive: bool = False,
+    broadcast_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Equi-join two versioned tables with the physical strategy
     chosen by :func:`plan_join` — manifest row counts pick the
@@ -790,6 +838,7 @@ def join_versioned(
     plan = plan_join(
         path_a, path_b, version_a, version_b, broadcast_rows,
         explode_factor, key_a=key_a, key_b=key_b or key_a,
+        broadcast_bytes=broadcast_bytes,
     )
     if refuse_explosive and plan["explosive"]:
         raise ValueError(
@@ -883,6 +932,11 @@ def write_snapshot(
         }
     else:
         n = spark.read.parquet(ddir).count()
+        # per-dir row counts always ride the manifest (round 11): the
+        # count is already paid, and the planner's served-bytes
+        # estimate (plan_join broadcast_bytes guard) needs physical
+        # rows to discount merge-on-read masks
+        stats_meta = {"dir_rows": {ddir: n}}
     if bloom_col is not None:
         _write_dir_bloom(spark, ddir, bloom_col, n)
         stats_meta["bloom_col"] = bloom_col
@@ -1166,8 +1220,15 @@ def append_snapshot(
                 "dir_stats": {**pm_prev.get("dir_stats", {}), ddir: rng},
                 "dir_rows": {**pm_prev.get("dir_rows", {}), ddir: n},
             }
-        elif n is None:
-            n = spark.read.parquet(ddir).count()
+        else:
+            if n is None:
+                n = spark.read.parquet(ddir).count()
+            pm_prev = versions[parent] if parent is not None else {}
+            # physical rows always ride the manifest (see
+            # write_snapshot) — the planner's served-bytes input
+            stats_meta = {
+                "dir_rows": {**pm_prev.get("dir_rows", {}), ddir: n},
+            }
         bcol = bloom_col or (
             versions[parent].get("bloom_col") if parent is not None else None
         )
