@@ -3708,3 +3708,44 @@ def test_lsh_bucket_table_np_equals_agg(emb):
     )
     assert key(a) == key(b)
     assert set(a.columns) == set(b.columns)
+
+
+def test_vindex_age_retention_quantizer_sidecars(spark, emb, tmp_path):
+    """Age-based retention composes with snapshot-index quantizer
+    sidecars (round 11, r12 candidate #4 pulled forward): expiring an
+    aged pre-recluster version removes ITS quantizer sidecar exactly
+    when no kept manifest references it, and the surviving version
+    still resolves its own frozen quantizer."""
+    import json
+    import os
+    import time as _time
+
+    import uts_spark.functions.vindex as vx
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "aged_ivf")
+    vx.ivf_vindex_build(emb, p, fingerprint="f0", n_cells=4)
+    vx.ivf_vindex_recluster(spark, p, fingerprint="f1")
+    ms = V.list_versions(p)
+    q_old = ms[0]["centroids_dir"]
+    q_new = ms[-1]["centroids_dir"]
+    assert q_old != q_new and os.path.isdir(q_old)
+
+    # young versions: the age window protects both
+    assert V.vacuum(p, keep_last=1, max_age_secs=10**9) == []
+    # age v0 past the window -> it expires, and its now-unreferenced
+    # quantizer sidecar goes with it
+    mp = os.path.join(V._versions_dir(p), "v0.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    m["committed_at"] = _time.time() - 1000.0
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    assert V.vacuum(p, keep_last=1, max_age_secs=500) == [0]
+    assert not os.path.isdir(q_old)
+    assert os.path.isdir(q_new)
+    # the survivor probes against its own frozen quantizer
+    anchors = emb.filter(F.col("vec_id") < 3)
+    got = vx.ivf_vindex_probe(spark, p, anchors, k=5, n_probe=2)
+    assert got.count() > 0

@@ -3626,3 +3626,26 @@ def test_plan_join_bytes_guard(spark, tmp_path):
     masked = V.plan_join(pb, pw)
     assert masked["rows_b"] == 500
     assert masked["est_build_bytes"] < plan["est_build_bytes"] // 5
+
+
+def test_register_sql_views_staleness_and_refresh(spark, tmp_path):
+    """The documented view contract: a view snapshots the version at
+    registration; a later commit is invisible until re-registration
+    (which is the refresh — idempotent createOrReplaceTempView)."""
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import register_entry, register_sql_views
+
+    cat = str(tmp_path / "cat")
+    p = str(tmp_path / "t")
+    V.write_snapshot(spark.range(0, 10).select(F.col("id").alias("k")), p)
+    register_entry(cat, "tv", p)
+    register_sql_views(spark, cat)
+    assert spark.sql("SELECT count(*) n FROM tv").first()["n"] == 10
+    V.append_snapshot(
+        spark.range(10, 25).select(F.col("id").alias("k")), p
+    )
+    # stale until refreshed
+    assert spark.sql("SELECT count(*) n FROM tv").first()["n"] == 10
+    register_sql_views(spark, cat)
+    assert spark.sql("SELECT count(*) n FROM tv").first()["n"] == 25
+    spark.catalog.dropTempView("tv")

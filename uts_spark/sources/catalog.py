@@ -321,7 +321,14 @@ def register_sql_views(
     DataFrame-defined relation, and the manifest row count is exact
     (a committed fact, not an estimate). Returns
     ``{name: {rows, hinted}}`` so the caller can log the decision;
-    plan shape pinned in tests/test_sinks.py."""
+    plan shape pinned in tests/test_sinks.py.
+
+    Staleness contract: a view snapshots the CURRENT version at
+    registration (the parquet file listing is resolved into the
+    view's plan) — commits after registration are not visible through
+    it. Re-call this function to refresh; registration is idempotent
+    (createOrReplaceTempView), so a maintenance tick can refresh the
+    whole catalog in one call."""
     from uts_spark.sources.versioned import list_versions
 
     out = {}
