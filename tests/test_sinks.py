@@ -3649,3 +3649,80 @@ def test_register_sql_views_staleness_and_refresh(spark, tmp_path):
     register_sql_views(spark, cat)
     assert spark.sql("SELECT count(*) n FROM tv").first()["n"] == 25
     spark.catalog.dropTempView("tv")
+
+
+def test_maintain_agg_view_updates_and_refusals(spark, tmp_path):
+    """IVM over the CDF, the paths the lane doesn't walk: update
+    images from a rewrite range (merge_upsert, key=) apply as
+    pre-subtract/post-add; float sum columns refused at seed; config
+    mismatch refused; non-view destination refused; negative count
+    (foreign history) refused."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    ps = str(tmp_path / "src")
+    pv = str(tmp_path / "view")
+    rows = [(i, i % 3, (i * 7) % 50) for i in range(60)]
+    V.write_snapshot(
+        spark.createDataFrame(rows, "id long, grp long, val long"), ps
+    )
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id")
+    got = {
+        r.grp: (r.n_rows, r.sum_val)
+        for r in V.read_version(spark, pv).collect()
+    }
+    assert got[0][0] == 20
+
+    # rewrite range: upsert moves ids 0..9 to grp 2 with val 5
+    V.merge_upsert(
+        spark, ps,
+        spark.createDataFrame(
+            [(i, 2, 5) for i in range(10)], "id long, grp long, val long"
+        ),
+        "id",
+    )
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id")
+    want = {}
+    for i in range(60):
+        g, v = (2, 5) if i < 10 else (i % 3, (i * 7) % 50)
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    got = {
+        r.grp: (r.n_rows, r.sum_val)
+        for r in V.read_version(spark, pv).collect()
+    }
+    assert got == want
+
+    # a group emptied by churn drops from the view
+    V.delete_rows(
+        spark, ps,
+        spark.createDataFrame(
+            [(i,) for i in range(60) if i >= 10 and i % 3 == 1],
+            "id long",
+        ),
+        "id",
+    )
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id")
+    left = {r.grp for r in V.read_version(spark, pv).collect()}
+    assert 1 not in left and {0, 2} <= left
+
+    # float sums refused at seed
+    pf = str(tmp_path / "fsrc")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(1, 0, 1.5)], "id long, grp long, fval double"
+        ),
+        pf,
+    )
+    with _pytest.raises(ValueError, match="integer-typed"):
+        V.maintain_agg_view(
+            spark, pf, str(tmp_path / "fv"), ("grp",), ("fval",)
+        )
+
+    # config mismatch refused
+    with _pytest.raises(ValueError, match="different aggregate"):
+        V.maintain_agg_view(spark, ps, pv, ("grp",), (), key="id")
+    # a plain table is not a view
+    with _pytest.raises(ValueError, match="not an aggregate view"):
+        V.maintain_agg_view(spark, ps, ps, ("grp",), ("val",))

@@ -4843,6 +4843,79 @@ def catalog_sql_stats_join(spark, sf_dir):
 
 
 @query(
+    "versioned_incremental_agg_view",
+    """
+    WITH s AS (
+      SELECT o_custkey % 7 AS grp, o_orderkey % 100 AS val, o_custkey
+      FROM orders WHERE o_orderkey % 3 < 2
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM s WHERE o_custkey % 50 != 7 GROUP BY grp
+    """,
+)
+def versioned_incremental_agg_view(spark, sf_dir):
+    """INCREMENTAL AGGREGATE VIEW over the change feed (round 11 —
+    IVM on this format's own CDF): ``maintain_agg_view`` keeps a
+    COUNT/SUM-per-group materialization current by applying SIGNED
+    deltas from ``table_changes`` (insert/update_postimage add,
+    delete/update_preimage subtract) — never rescanning the source.
+    The lane seeds the view, advances it across an APPEND (dir-diff
+    fast-path feed: delta scan, no join) and a MERGE-ON-READ
+    takedown (the MOR fast path's pruned delete images — no key
+    needed), replays the last tick (exactly-once: the cursor rides
+    the view's own manifest, so the replay returns the committed
+    version before reading anything), and returns the maintained
+    view; the oracle recomputes the final aggregate from scratch, so
+    a drifted delta, a missed delete image, or a cursor bug is a
+    hash mismatch. Maintenance cost per tick = the feed (delta-sized)
+    + one group-sized full-outer merge; sums are integer-exact by
+    contract (float views drift under +/- churn — refused at seed).
+    Update images (rewrite ranges with key=), the negative-count
+    refusal, and view-vs-view config mismatches are pinned in
+    tests/test_sinks.py."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows_mor,
+        maintain_agg_view,
+        read_version,
+        write_snapshot,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    src = orders.select(
+        (F.col("o_custkey") % 7).alias("grp"),
+        (F.col("o_orderkey") % 100).alias("val"),
+        "o_custkey",
+        "o_orderkey",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    ps = os.path.join(_warehouse_dir(), f"ivm_src_{tag}")
+    pv = os.path.join(_warehouse_dir(), f"ivm_view_{tag}")
+    # ticks mutate both tables — rebuild fresh each run (tiny)
+    shutil.rmtree(ps, ignore_errors=True)
+    shutil.rmtree(pv, ignore_errors=True)
+
+    write_snapshot(src.filter(F.col("o_orderkey") % 3 == 0), ps)
+    maintain_agg_view(spark, ps, pv, ("grp",), ("val",))  # seed
+    append_snapshot(src.filter(F.col("o_orderkey") % 3 == 1), ps)
+    maintain_agg_view(spark, ps, pv, ("grp",), ("val",))  # append tick
+    victims = (
+        src.filter(F.col("o_custkey") % 50 == 7)
+        .select("o_custkey").distinct()
+    )
+    delete_rows_mor(spark, ps, victims, "o_custkey")
+    v2 = maintain_agg_view(spark, ps, pv, ("grp",), ("val",))
+    # exactly-once: a replayed tick commits nothing
+    assert maintain_agg_view(spark, ps, pv, ("grp",), ("val",)) == v2
+    return read_version(spark, pv).select("grp", "n_rows", "sum_val")
+
+
+@query(
     "catalog_snapshot_consistent_read",
     """
     WITH s AS (

@@ -116,7 +116,10 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 410  # round 11: +multi-key KMV synopses
+_REGISTRY_FLOOR = 411  # round 11: +incremental aggregate view (IVM
+# over the table's own change feed, exactly-once cursor on the view
+# manifest)
+# prior floor 410 — +multi-key KMV synopses
 # (kmv_extra per-column sketches; plan_join resolves either key)
 # prior floor 409 — +catalog SQL-surface stats join
 # (register_sql_views hint-through-view CBO — VERDICT r10 #4) and

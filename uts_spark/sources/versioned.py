@@ -3280,6 +3280,164 @@ def branch_changes(
     return scanned.withColumn("_change_type", F.lit("insert"))
 
 
+_VIEW_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def maintain_agg_view(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    group_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    key: str | None = None,
+) -> int:
+    """INCREMENTAL AGGREGATE VIEW maintained from the CHANGE FEED
+    (round 11 — classic IVM over this table format's own CDF): keep a
+    COUNT/SUM-per-group materialization of ``src_path`` current
+    WITHOUT ever rescanning the source. First call seeds the view
+    (one full aggregate at the source's current version); every later
+    call reads ``table_changes(cursor → current)`` and applies signed
+    deltas — insert/update_postimage add, delete/update_preimage
+    subtract — merged into the view by one group-sized full-outer
+    join. At 100 TB this is the difference between a nightly
+    dashboard aggregate costing a table scan and costing the day's
+    delta.
+
+    The maintenance CURSOR rides the view's own manifest
+    (``view_cursor``), so advance + cursor move are ONE atomic
+    commit: a replayed tick (cursor already at the source's current)
+    returns the committed version before reading anything — the
+    exactly-once shape every consumer here uses. The view is a
+    versioned table itself: time travel shows the aggregate as-of any
+    tick, and vacuum applies.
+
+    ``sum_cols`` must be integer-typed: +/- replay is EXACT on longs
+    (a float view would drift under churn — refused loudly, the same
+    reason the quirk aggregates route decimals through integer
+    lanes). MOR/positional deletes need no ``key`` (the feed's fast
+    paths emit delete images from the vectors); rewrite ranges
+    (merge_upsert / CoW delete) require ``key=`` exactly as
+    table_changes documents. A NEGATIVE maintained count means the
+    feed and the view disagree (wrong cursor, foreign writer) —
+    refused, never committed."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    from pyspark.sql import functions as F
+
+    src_versions = {m["version"]: m for m in list_versions(src_path)}
+    if not src_versions:
+        raise ValueError(
+            f"versioned table {src_path}: no committed versions"
+        )
+    src_v = max(src_versions)
+    sums = [f"sum_{c}" for c in sum_cols]
+
+    def _check_int_types(df: DataFrame) -> None:
+        types = dict(df.dtypes)
+        bad = [
+            c for c in sum_cols
+            if types.get(c) not in _VIEW_INT_TYPES
+        ]
+        if bad:
+            raise ValueError(
+                f"maintain_agg_view: sum column(s) {bad} are not "
+                "integer-typed — +/- delta replay is exact only on "
+                "integers; snap floats to a fixed-point long first"
+            )
+
+    def _agg(df: DataFrame, sign=None) -> DataFrame:
+        w = F.lit(1).cast("long") if sign is None else sign
+        return df.groupBy(*group_cols).agg(
+            F.sum(w).alias("n_rows"),
+            *[
+                F.sum(w * F.col(c).cast("long")).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+
+    dst_versions = list_versions(dst_path)
+    if not dst_versions:
+        src_df = read_version(spark, src_path, src_v)
+        _check_int_types(src_df)
+        return write_snapshot(
+            _agg(src_df), dst_path, operation="view_seed",
+            meta={
+                "view_cursor": src_v,
+                "view_group": list(group_cols),
+                "view_sums": list(sum_cols),
+                **({"view_key": key} if key else {}),
+            },
+        )
+    vm = dst_versions[-1]
+    if "view_cursor" not in vm:
+        raise ValueError(
+            f"versioned table {dst_path}: not an aggregate view "
+            "(no view_cursor on its manifest)"
+        )
+    if list(group_cols) != vm.get("view_group") or list(
+        sum_cols
+    ) != vm.get("view_sums"):
+        raise ValueError(
+            f"aggregate view {dst_path}: maintained columns are "
+            f"group={vm.get('view_group')} sums={vm.get('view_sums')} "
+            "— a different aggregate needs its own view"
+        )
+    cursor = int(vm["view_cursor"])
+    if cursor == src_v:
+        return vm["version"]  # replayed tick: nothing new committed
+    feed = table_changes(
+        spark, src_path, cursor, src_v, key=key or vm.get("view_key")
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(-1).cast("long"))
+    delta = _agg(feed, sign=sign)
+    mv = read_version(spark, dst_path)
+    cond = _reduce(
+        _and, [mv[g].eqNullSafe(delta[g]) for g in group_cols]
+    )
+    merged = mv.join(delta, cond, "full_outer").select(
+        *[
+            F.coalesce(mv[g], delta[g]).alias(g)
+            for g in group_cols
+        ],
+        (
+            F.coalesce(mv["n_rows"], F.lit(0))
+            + F.coalesce(delta["n_rows"], F.lit(0))
+        ).alias("n_rows"),
+        *[
+            (
+                F.coalesce(mv[s], F.lit(0))
+                + F.coalesce(delta[s], F.lit(0))
+            ).alias(s)
+            for s in sums
+        ],
+    )
+    merged = merged.localCheckpoint(eager=True)  # group-sized
+    if merged.filter(F.col("n_rows") < 0).limit(1).count():
+        raise ValueError(
+            f"aggregate view {dst_path}: a maintained count went "
+            "NEGATIVE applying the feed {cursor}->{src_v} — the view "
+            "and the source history disagree; reseed the view"
+        )
+    return write_snapshot(
+        merged.filter(F.col("n_rows") > 0), dst_path,
+        operation="view_advance",
+        meta={
+            "view_cursor": src_v,
+            "view_group": list(group_cols),
+            "view_sums": list(sum_cols),
+            **(
+                {"view_key": key or vm.get("view_key")}
+                if (key or vm.get("view_key"))
+                else {}
+            ),
+        },
+    )
+
+
 def replicate(
     spark: SparkSession,
     src_path: str,
