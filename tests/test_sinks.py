@@ -3726,3 +3726,66 @@ def test_maintain_agg_view_updates_and_refusals(spark, tmp_path):
     # a plain table is not a view
     with _pytest.raises(ValueError, match="not an aggregate view"):
         V.maintain_agg_view(spark, ps, ps, ("grp",), ("val",))
+
+
+def test_catalog_janitor_advances_views(spark, tmp_path):
+    """Round 11: registered aggregate views refresh on the
+    maintenance tick — the view's own manifest carries source +
+    config (advance_view), a tick after source churn advances it, a
+    tick with nothing new reports None, and read_table/
+    register_sql_views treat views as readable tables."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        read_table,
+        register_entry,
+        register_sql_views,
+    )
+
+    cat = str(tmp_path / "cat")
+    ps = str(tmp_path / "src")
+    pv = str(tmp_path / "view")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 3, i % 10) for i in range(30)],
+            "id long, grp long, val long",
+        ),
+        ps,
+    )
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id")
+    register_entry(cat, "src", ps)
+    register_entry(cat, "mv", pv, kind="view")
+
+    # source churn -> the tick advances the view
+    V.append_snapshot(
+        spark.createDataFrame(
+            [(100 + i, 1, 7) for i in range(5)],
+            "id long, grp long, val long",
+        ),
+        ps,
+    )
+    rep = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert rep["mv"]["view_advanced"] is not None
+    got = {
+        r.grp: (r.n_rows, r.sum_val)
+        for r in read_table(spark, cat, "mv").collect()
+    }
+    assert got[1] == (10 + 5, sum(i % 10 for i in range(30) if i % 3 == 1) + 35)
+
+    # quiet source -> no-op advance, honest None
+    rep = {r["name"]: r for r in catalog_maintenance_tick(spark, cat)}
+    assert rep["mv"]["view_advanced"] is None
+
+    # views ride the SQL surface like tables
+    out = register_sql_views(spark, cat)
+    assert "mv" in out and out["mv"]["hinted"]
+    n = spark.sql("SELECT count(*) c FROM mv").first()["c"]
+    assert n == 3
+    for v in ("src", "mv"):
+        spark.catalog.dropTempView(v)
+
+    # advance_view refuses non-views and src-less views
+    with _pytest.raises(ValueError, match="not an aggregate view"):
+        V.advance_view(spark, ps)

@@ -31,7 +31,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-_KINDS = ("table", "index")
+_KINDS = ("table", "index", "view")  # view = an aggregate view
+# (versioned.maintain_agg_view output) — a versioned table whose
+# manifest carries its own maintenance config; the janitor advances it
 
 
 def _entries_dir(catalog: str) -> str:
@@ -250,7 +252,7 @@ def read_table(
     if snapshot is not None:
         return read_snapshot_table(spark, catalog, snapshot, name)
     rec = resolve(catalog, name)
-    if rec["kind"] != "table":
+    if rec["kind"] not in ("table", "view"):
         raise ValueError(
             f"catalog entry {name!r} is a {rec['kind']}, not a table — "
             "probe indexes through index_probe_by_name"
@@ -333,7 +335,7 @@ def register_sql_views(
 
     out = {}
     for rec in list_entries(catalog):
-        if rec["kind"] != "table":
+        if rec["kind"] not in ("table", "view"):
             continue
         if names is not None and rec["name"] not in names:
             continue
@@ -872,6 +874,8 @@ def catalog_maintenance_tick(
     CAS commit — a racing writer just retries per the usual rules."""
     from uts_spark.functions.vindex import vindex_maybe_compact
     from uts_spark.sources.versioned import (
+        advance_view,
+        list_versions,
         maybe_materialize_dvs,
         maybe_optimize,
         remove_orphans,
@@ -918,6 +922,18 @@ def catalog_maintenance_tick(
                 spark, rec["path"], max_dirs=max_dirs
             )
         else:
+            if rec["kind"] == "view":
+                # aggregate views ADVANCE on the tick (round 11 —
+                # materialized views refreshed by the janitor): the
+                # view's own manifest carries source + config, so
+                # registration is the only setup. A source that
+                # hasn't moved is a version no-op (reported None).
+                before = len(list_versions(rec["path"]))
+                v = advance_view(spark, rec["path"])
+                r["view_advanced"] = (
+                    v if len(list_versions(rec["path"])) > before
+                    else None
+                )
             r["dv_materialized"] = maybe_materialize_dvs(spark, rec["path"])
             kw = {} if max_dirs is None else {"max_dirs": max_dirs}
             r["compacted"] = maybe_optimize(spark, rec["path"], **kw)

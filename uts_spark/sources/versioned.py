@@ -3364,6 +3364,7 @@ def maintain_agg_view(
             _agg(src_df), dst_path, operation="view_seed",
             meta={
                 "view_cursor": src_v,
+                "view_src": src_path,
                 "view_group": list(group_cols),
                 "view_sums": list(sum_cols),
                 **({"view_key": key} if key else {}),
@@ -3427,6 +3428,7 @@ def maintain_agg_view(
         operation="view_advance",
         meta={
             "view_cursor": src_v,
+            "view_src": vm.get("view_src", src_path),
             "view_group": list(group_cols),
             "view_sums": list(sum_cols),
             **(
@@ -3435,6 +3437,31 @@ def maintain_agg_view(
                 else {}
             ),
         },
+    )
+
+
+def advance_view(spark: SparkSession, view_path: str) -> int:
+    """Advance an aggregate view entirely from ITS OWN manifest
+    config (source path, group/sum columns, key) — the verb the
+    catalog janitor calls: registered views refresh on the
+    maintenance tick with no per-view configuration anywhere but the
+    view itself."""
+    versions = list_versions(view_path)
+    if not versions or "view_cursor" not in versions[-1]:
+        raise ValueError(
+            f"versioned table {view_path}: not an aggregate view "
+            "(no view_cursor on its manifest)"
+        )
+    vm = versions[-1]
+    if "view_src" not in vm:
+        raise ValueError(
+            f"aggregate view {view_path}: manifest records no "
+            "view_src — reseed with maintain_agg_view to adopt it"
+        )
+    return maintain_agg_view(
+        spark, vm["view_src"], view_path,
+        tuple(vm["view_group"]), tuple(vm["view_sums"]),
+        key=vm.get("view_key"),
     )
 
 
