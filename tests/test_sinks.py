@@ -3651,6 +3651,106 @@ def test_register_sql_views_staleness_and_refresh(spark, tmp_path):
     spark.catalog.dropTempView("tv")
 
 
+def test_refresh_sql_views_movers_only(spark, tmp_path):
+    """ROADMAP r12 #2: refresh_sql_views re-registers ONLY names
+    whose table advanced (or whose entry was re-pointed); unmoved
+    names cost a manifest listing, an unregistered name is reported
+    gone (view kept), and the hint budget from registration time is
+    re-evaluated against the new row count."""
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        alter_entry,
+        refresh_sql_views,
+        register_entry,
+        register_sql_views,
+        unregister_entry,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    V.write_snapshot(spark.range(0, 10).select(F.col("id").alias("k")), pa)
+    V.write_snapshot(spark.range(0, 5).select(F.col("id").alias("k")), pb)
+    register_entry(cat, "va", pa)
+    register_entry(cat, "vb", pb)
+    register_sql_views(spark, cat, broadcast_rows=12)
+
+    # only the mover refreshes; the SQL name now serves the commit
+    V.append_snapshot(spark.range(10, 30).select(F.col("id").alias("k")), pa)
+    rep = refresh_sql_views(spark, cat)
+    assert rep["va"] == {
+        "refreshed": True, "from": 0, "to": 1, "hinted": False,
+    }  # 30 rows > the registration-time budget of 12 -> hint dropped
+    assert rep["vb"] == {"refreshed": False, "from": 0, "to": 0}
+    assert spark.sql("SELECT count(*) n FROM va").first()["n"] == 30
+
+    # nothing moved -> nothing re-registered
+    rep = refresh_sql_views(spark, cat)
+    assert not any(r.get("refreshed") for r in rep.values())
+
+    # alter_entry re-points a name -> that counts as a move
+    pc = str(tmp_path / "c")
+    V.write_snapshot(spark.range(0, 3).select(F.col("id").alias("k")), pc)
+    alter_entry(cat, "vb", pc)
+    rep = refresh_sql_views(spark, cat)
+    assert rep["vb"]["refreshed"] and rep["vb"]["hinted"]
+    assert spark.sql("SELECT count(*) n FROM vb").first()["n"] == 3
+
+    # unregistered entry: reported gone, temp view still serves
+    unregister_entry(cat, "va")
+    rep = refresh_sql_views(spark, cat)
+    assert rep["va"] == {"refreshed": False, "gone": True}
+    assert spark.sql("SELECT count(*) n FROM va").first()["n"] == 30
+    for v in ("va", "vb"):
+        spark.catalog.dropTempView(v)
+    spark._uts_sql_view_state.clear()
+
+
+def test_janitor_tick_refreshes_sql_views(spark, tmp_path):
+    """refresh_views=True: the tick's own work (an aggregate-view
+    advance) lands in the session's SQL views in the SAME tick — the
+    read-through that keeps a long SQL session current."""
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        register_entry,
+        register_sql_views,
+    )
+
+    cat = str(tmp_path / "cat")
+    ps, pv = str(tmp_path / "src"), str(tmp_path / "view")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 2, i) for i in range(20)],
+            "id long, grp long, val long",
+        ),
+        ps,
+    )
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id")
+    register_entry(cat, "src", ps)
+    register_entry(cat, "mv", pv, kind="view")
+    register_sql_views(spark, cat)
+    assert spark.sql(
+        "SELECT sum(n_rows) s FROM mv"
+    ).first()["s"] == 20
+
+    V.append_snapshot(
+        spark.createDataFrame(
+            [(100 + i, 0, 1) for i in range(4)],
+            "id long, grp long, val long",
+        ),
+        ps,
+    )
+    rep = catalog_maintenance_tick(spark, cat, refresh_views=True)
+    tail = rep[-1]
+    assert set(tail["sql_views_refreshed"]) == {"src", "mv"}
+    assert tail["sql_views_checked"] == 2
+    # the view the TICK advanced is already visible through SQL
+    assert spark.sql("SELECT sum(n_rows) s FROM mv").first()["s"] == 24
+    for v in ("src", "mv"):
+        spark.catalog.dropTempView(v)
+    spark._uts_sql_view_state.clear()
+
+
 def test_maintain_agg_view_updates_and_refusals(spark, tmp_path):
     """IVM over the CDF, the paths the lane doesn't walk: update
     images from a rewrite range (merge_upsert, key=) apply as

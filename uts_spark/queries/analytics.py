@@ -4843,6 +4843,80 @@ def catalog_sql_stats_join(spark, sf_dir):
 
 
 @query(
+    "catalog_sql_view_refresh",
+    """
+    WITH seed AS (
+      SELECT o_custkey % 9 AS grp, o_orderkey % 100 AS val
+      FROM orders WHERE o_orderkey % 4 != 3
+    ),
+    everything AS (
+      SELECT o_custkey % 9 AS grp, o_orderkey % 100 AS val FROM orders
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM seed) AS stale_total
+    FROM everything GROUP BY grp
+    """,
+)
+def catalog_sql_view_refresh(spark, sf_dir):
+    """SQL-VIEW REFRESH ON THE TICK PATH (ROADMAP r12 #2 — the
+    staleness contract's maintenance verb): a registered SQL view
+    snapshots the version at registration, so a long-lived session's
+    names drift as writers commit; ``refresh_sql_views`` re-registers
+    ONLY the names whose table advanced (unmoved names cost one
+    manifest listing, no plan rebuild). The lane registers a view at
+    the seed version, proves the staleness (the pre-refresh SQL count
+    is the SEED's — returned as ``stale_total`` so the oracle checks
+    the contract, not just the ending state), appends, refreshes (the
+    report must claim exactly one mover), and returns the post-refresh
+    aggregate read through plain ``spark.sql`` — a refresh that
+    re-registered nothing, refreshed the wrong version, or lost the
+    hint bookkeeping all hash mismatch. Scale: refresh is O(names)
+    manifest listings + plan rebuilds for movers only — the janitor
+    runs it per tick (``catalog_maintenance_tick(refresh_views=)``),
+    read-through for everyone sharing the session."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.catalog import (
+        refresh_sql_views,
+        register_entry,
+        register_sql_views,
+    )
+    from uts_spark.sources.versioned import append_snapshot, write_snapshot
+
+    orders = table(spark, sf_dir, "orders")
+    src = orders.select(
+        (F.col("o_custkey") % 9).alias("grp"),
+        (F.col("o_orderkey") % 100).alias("val"),
+        "o_orderkey",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    cat = os.path.join(_warehouse_dir(), f"svr_cat_{tag}")
+    pt = os.path.join(_warehouse_dir(), f"svr_orders_{tag}")
+    # the lane walks a specific version history — rebuild each run
+    shutil.rmtree(cat, ignore_errors=True)
+    shutil.rmtree(pt, ignore_errors=True)
+
+    write_snapshot(src.filter(F.col("o_orderkey") % 4 != 3), pt)
+    register_entry(cat, "svr_orders", pt)
+    register_sql_views(spark, cat)
+    stale_total = spark.sql(
+        "SELECT count(*) AS n FROM svr_orders"
+    ).first()["n"]
+    append_snapshot(src.filter(F.col("o_orderkey") % 4 == 3), pt)
+    rep = refresh_sql_views(spark, cat)
+    assert rep["svr_orders"]["refreshed"] and rep["svr_orders"]["to"] == 1, (
+        rep
+    )
+    return spark.sql(
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(val) AS BIGINT) AS sum_val FROM svr_orders GROUP BY grp"
+    ).withColumn("stale_total", F.lit(int(stale_total)).cast("long"))
+
+
+@query(
     "versioned_incremental_agg_view",
     """
     WITH s AS (

@@ -328,24 +328,97 @@ def register_sql_views(
     Staleness contract: a view snapshots the CURRENT version at
     registration (the parquet file listing is resolved into the
     view's plan) — commits after registration are not visible through
-    it. Re-call this function to refresh; registration is idempotent
-    (createOrReplaceTempView), so a maintenance tick can refresh the
-    whole catalog in one call."""
+    it. :func:`refresh_sql_views` is the cheap movers-only refresh
+    (re-registers only names whose table advanced); re-calling this
+    function refreshes everything unconditionally (idempotent
+    createOrReplaceTempView)."""
     from uts_spark.sources.versioned import list_versions
 
     out = {}
+    state = _sql_view_state(spark)
     for rec in list_entries(catalog):
         if rec["kind"] not in ("table", "view"):
             continue
         if names is not None and rec["name"] not in names:
             continue
         df = read_table(spark, catalog, rec["name"])
-        n = int(list_versions(rec["path"])[-1]["n_rows"])
+        versions = list_versions(rec["path"])
+        n = int(versions[-1]["n_rows"])
         hinted = n <= broadcast_rows
         if hinted:
             df = df.hint("broadcast")
         df.createOrReplaceTempView(rec["name"])
         out[rec["name"]] = {"rows": n, "hinted": hinted}
+        state[rec["name"]] = {
+            "catalog": catalog,
+            "path": rec["path"],
+            "version": int(versions[-1]["version"]),
+            "broadcast_rows": broadcast_rows,
+        }
+    return out
+
+
+def _sql_view_state(spark) -> dict:
+    """Session-scoped registry of what :func:`register_sql_views`
+    registered (name -> {catalog, path, version, broadcast_rows}).
+    Temp views live on the session, so their bookkeeping does too —
+    a second session starts clean, exactly like its temp views."""
+    st = getattr(spark, "_uts_sql_view_state", None)
+    if st is None:
+        st = {}
+        spark._uts_sql_view_state = st
+    return st
+
+
+def refresh_sql_views(
+    spark,
+    catalog: str | None = None,
+    names: list[str] | None = None,
+) -> dict:
+    """MOVERS-ONLY refresh of the session's registered SQL views
+    (ROADMAP r12 #2 — the staleness contract's maintenance verb):
+    for every view this session registered via
+    :func:`register_sql_views` (optionally narrowed to one
+    ``catalog`` and/or ``names``), re-resolve the entry through the
+    catalog and re-register ONLY when something moved — the table
+    committed a new version, or ``alter_entry`` re-pointed the name.
+    Unmoved names cost one manifest listing (no plan rebuild, no
+    re-registration); moved names are re-registered with the SAME
+    ``broadcast_rows`` budget they were registered with, so the hint
+    decision stays consistent and re-evaluates against the new row
+    count. Returns ``{name: {"refreshed", "from", "to", "hinted"}}``
+    (``hinted`` only on refreshed names). A name whose catalog entry
+    was unregistered since registration is reported
+    ``{"refreshed": False, "gone": True}`` — the temp view keeps
+    serving its last registered snapshot (dropping a user's view is
+    the user's call, not a refresh side effect)."""
+    from uts_spark.sources.versioned import current_version
+
+    state = _sql_view_state(spark)
+    out = {}
+    for name, st in sorted(state.items()):
+        if catalog is not None and st["catalog"] != catalog:
+            continue
+        if names is not None and name not in names:
+            continue
+        rec = _current(st["catalog"], name)
+        if rec is None or rec["kind"] not in ("table", "view"):
+            out[name] = {"refreshed": False, "gone": True}
+            continue
+        v = current_version(rec["path"])
+        if rec["path"] == st["path"] and v == st["version"]:
+            out[name] = {"refreshed": False, "from": v, "to": v}
+            continue
+        rep = register_sql_views(
+            spark, st["catalog"], names=[name],
+            broadcast_rows=st["broadcast_rows"],
+        )
+        out[name] = {
+            "refreshed": True,
+            "from": st["version"],
+            "to": state[name]["version"],
+            "hinted": rep[name]["hinted"],
+        }
     return out
 
 
@@ -840,6 +913,7 @@ def catalog_maintenance_tick(
     max_dirs: int | None = None,
     vacuum_keep_last: int | None = None,
     orphan_grace_secs: float = 259_200,
+    refresh_views: bool = False,
 ) -> list[dict]:
     """CATALOG-WIDE MAINTENANCE — the nightly janitor: one call walks
     every registered entry and applies the three background chores a
@@ -865,6 +939,11 @@ def catalog_maintenance_tick(
        3-day grace window (losing CAS racers' debris), plus one
        catalog-wide :func:`sweep_snapshot_tags` pass (orphaned
        ``snap-`` retention tags on paths a snapshot no longer pins).
+    4. (opt-in, ``refresh_views=True``) **SQL-view refresh** — after
+       the chores, :func:`refresh_sql_views` re-registers this
+       session's moved views, so a long-lived SQL session's names
+       track commits — including versions this very tick produced
+       (view advances, compactions).
 
     Returns one report dict per entry: ``{name, kind, compacted,
     vacuumed, orphans_removed}`` (``compacted`` = the new version id,
@@ -958,6 +1037,18 @@ def catalog_maintenance_tick(
         report.append({
             "name": None, "kind": "catalog",
             "snapshot_tags_swept": len(swept),
+        })
+    if refresh_views:
+        # AFTER the chores, so a view the tick itself advanced (or a
+        # table it compacted) lands in this session's SQL views in
+        # the same tick — the read-through the staleness contract
+        # points long sessions at (ROADMAP r12 #2)
+        ref = refresh_sql_views(spark, catalog)
+        moved = sorted(n for n, r in ref.items() if r.get("refreshed"))
+        report.append({
+            "name": None, "kind": "catalog",
+            "sql_views_refreshed": moved,
+            "sql_views_checked": len(ref),
         })
     return report
 
