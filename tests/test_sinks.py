@@ -2680,6 +2680,127 @@ def test_versioned_branch_changes_overwrite_keydiff(spark, tmp_path):
     assert by["update_postimage"] == {(5, 500)}
 
 
+def test_versioned_branch_staged_mor_erasure(spark, tmp_path):
+    """WAP erasure (round 11): takedowns stage as deletion vectors ON
+    a branch — masked branch read, KEYLESS delete feed (the MOR
+    fast-path kernel), main untouched until publish; publish folds
+    the vectors into main's manifest with exact n_rows netting, a
+    commuting main append survives, and a key re-used by a later
+    branch append is outside every staged scope."""
+    import uts_spark.sources.versioned as V
+
+    path = str(tmp_path / "wap_erase")
+    V.write_snapshot(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        ),
+        path,
+    )
+    V.create_branch(path, "td")
+    # key takedown: k % 10 == 3 (10 rows)
+    V.delete_rows_mor_branch(
+        spark, path, "td",
+        spark.range(0, 100).filter(F.col("id") % 10 == 3)
+        .select(F.col("id").alias("k")),
+        "k",
+    )
+    # positional takedown over the REMAINING visible rows: grp == 5
+    V.delete_rows_positional_branch(spark, path, "td", F.col("grp") == 5)
+    n_pos = sum(1 for i in range(100) if i % 10 != 3 and i % 7 == 5)
+    # append after the takedowns — k=3 was just erased; the re-used
+    # key must survive (vector scope = dirs at stage time)
+    V.write_to_branch(
+        spark.createDataFrame([(3, 5), (203, 5)], "k long, grp long"),
+        path, "td",
+    )
+    br = V.read_branch(spark, path, "td")
+    assert br.count() == 100 - 10 - n_pos + 2
+    assert br.filter(F.col("k") == 3).count() == 1  # the appended one
+    # keyless audit feed: exact insert/delete images, no key= needed
+    feed = V.branch_changes(spark, path, "td")
+    by = {}
+    for r in feed.collect():
+        by.setdefault(r._change_type, set()).add((r.k, r.grp))
+    assert by["insert"] == {(3, 5), (203, 5)}
+    assert len(by["delete"]) == 10 + n_pos
+    assert (3, 3) in by["delete"] and (33, 5) in by["delete"]
+    # main untouched; a concurrent main append commutes
+    assert V.read_version(spark, path).count() == 100
+    V.append_snapshot(
+        spark.createDataFrame([(300, 1)], "k long, grp long"), path
+    )
+    V.merge_branch(spark, path, "td")
+    pm = V.list_versions(path)[-1]
+    assert len(pm["dv"]) == 1 and len(pm["pdv"]) == 1
+    main = V.read_version(spark, path)
+    assert main.count() == 100 - 10 - n_pos + 2 + 1
+    assert pm["n_rows"] == main.count()
+    assert main.filter(F.col("k") == 3).count() == 1
+    assert main.filter(F.col("k") == 300).count() == 1
+    # published vectors materialize like any main-chain vectors
+    V.materialize_dvs(spark, path)
+    pm2 = V.list_versions(path)[-1]
+    assert not pm2.get("dv") and not pm2.get("pdv")
+    assert V.read_version(spark, path).count() == main.count()
+
+
+def test_versioned_branch_staged_mor_refusals_and_liveness(
+    spark, tmp_path
+):
+    """The staged-takedown edges: re-deleting masked rows is a seq
+    no-op; a missing key column refuses; publish refuses when main
+    ran its OWN takedown since the fork (netting would double-count);
+    staged vector dirs are orphan-protected while the branch lives
+    and become debris after drop_branch."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    path = str(tmp_path / "wap_edges")
+    V.write_snapshot(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+        ),
+        path,
+    )
+    V.create_branch(path, "td")
+    ids = spark.range(0, 40).filter(F.col("id") % 4 == 1).select(
+        F.col("id").alias("k")
+    )
+    s1 = V.delete_rows_mor_branch(spark, path, "td", ids, "k")
+    # replay: every victim already masked -> no new seq
+    assert V.delete_rows_mor_branch(spark, path, "td", ids, "k") == s1
+    with _pytest.raises(ValueError, match="no column 'nope'"):
+        V.delete_rows_mor_branch(spark, path, "td", ids, "nope")
+    # a predicate matching nothing commits nothing
+    assert (
+        V.delete_rows_positional_branch(
+            spark, path, "td", F.col("k") > 10_000
+        )
+        == s1
+    )
+    # staged vector dir survives an aggressive orphan sweep...
+    assert V.remove_orphans(path, older_than_secs=0) == []
+    # main runs its own takedown since the fork -> publish refuses
+    V.delete_rows_mor(
+        spark, path,
+        spark.createDataFrame([(2,)], "k long"), "k",
+    )
+    with _pytest.raises(V.VersionConflictError, match="delete_mor"):
+        V.merge_branch(spark, path, "td")
+    # ...and becomes removable debris once the branch is dropped
+    import os
+
+    staged_dirs = [
+        d for d in os.listdir(os.path.join(path, "data"))
+        if d.startswith("bdv-")
+    ]
+    assert staged_dirs
+    V.drop_branch(path, "td")
+    removed = V.remove_orphans(path, older_than_secs=0)
+    assert any("bdv-" in d for d in removed)
+
+
 def test_versioned_kmv_sketch_lifecycle(spark, tmp_path):
     """Per-dir KMV sketches: inherited by appends, recomputed by the
     pruned delete, carried through optimize / merge / MOR + materialize,

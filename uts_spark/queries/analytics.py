@@ -4917,6 +4917,128 @@ def catalog_sql_view_refresh(spark, sf_dir):
 
 
 @query(
+    "versioned_branch_staged_erasure",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey % 9 AS grp,
+             o_orderkey % 100 AS val, o_custkey
+      FROM orders
+    ),
+    key_del AS (SELECT * FROM base WHERE o_custkey % 40 = 3),
+    rem AS (SELECT * FROM base WHERE o_custkey % 40 != 3),
+    pos_del AS (SELECT * FROM rem WHERE val % 13 = 5),
+    appended AS (
+      SELECT -k - 1 AS k, grp, val FROM base WHERE k % 97 = 0
+    ),
+    final_rows AS (
+      SELECT k, grp, val FROM rem WHERE val % 13 != 5
+      UNION ALL SELECT k, grp, val FROM appended
+    ),
+    feed_del AS (
+      SELECT k, grp, val FROM key_del
+      UNION ALL SELECT k, grp, val FROM pos_del
+    )
+    SELECT 'published' AS stage, grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM final_rows GROUP BY grp
+    UNION ALL
+    SELECT 'feed_delete' AS stage, grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM feed_del GROUP BY grp
+    UNION ALL
+    SELECT 'feed_insert' AS stage, grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM appended GROUP BY grp
+    """,
+)
+def versioned_branch_staged_erasure(spark, sf_dir):
+    """BRANCH-STAGED MOR ERASURE — WAP for takedowns (round 11,
+    ROADMAP r12 #5 grown to the full verb set): a risky erasure
+    stages as DELETION VECTORS on a branch (`delete_rows_mor_branch`
+    key-scoped + `delete_rows_positional_branch` keyless-by-address),
+    the auditor reads the masked branch and its KEYLESS delete feed
+    (`branch_changes` now routes staged-takedown ranges through the
+    same MOR fast-path kernel as `table_changes` — pruned scans of
+    the scoped dirs, no full-outer join, no key= required), and
+    publish folds the vectors onto main as ONE commit with exact
+    n_rows netting. The lane stages a key takedown, a positional
+    takedown over the remaining visible rows, and a later append
+    (structurally outside every staged scope/position), returns the
+    audit feed's delete/insert images AND the published state — a
+    mask that leaks into the feed, a resurrected row, a double-counted
+    key∩positional image, or a publish that drops the vectors all
+    hash mismatch. Scale: staging cost = victim frame + one branch
+    record; the feed is delta-sized (scoped-dir scans); publish is
+    O(1) metadata — the erasure itself stays merge-on-read until
+    main's janitor materializes."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        branch_changes,
+        create_branch,
+        delete_rows_mor_branch,
+        delete_rows_positional_branch,
+        list_versions,
+        merge_branch,
+        read_version,
+        write_snapshot,
+        write_to_branch,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 9).alias("grp"),
+        (F.col("o_orderkey") % 100).alias("val"),
+        "o_custkey",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    pt = os.path.join(_warehouse_dir(), f"wap_erase_{tag}")
+    # the lane walks a specific fork/stage/publish history — rebuild
+    shutil.rmtree(pt, ignore_errors=True)
+
+    write_snapshot(base.select("k", "grp", "val"), pt)
+    create_branch(pt, "takedown")
+    delete_rows_mor_branch(
+        spark, pt, "takedown",
+        base.filter(F.col("o_custkey") % 40 == 3).select("k"), "k",
+    )
+    delete_rows_positional_branch(
+        spark, pt, "takedown", F.col("val") % 13 == 5
+    )
+    write_to_branch(
+        base.filter(F.col("k") % 97 == 0).select(
+            (-F.col("k") - 1).alias("k"), "grp", "val"
+        ),
+        pt, "takedown",
+    )
+    feed = branch_changes(spark, pt, "takedown")  # keyless by design
+    feed_agg = feed.groupBy("_change_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").cast("long").alias("sum_val"),
+    )
+    feed_agg = feed_agg.withColumn(
+        "stage",
+        F.concat(F.lit("feed_"), F.col("_change_type")),
+    ).select("stage", "grp", "n_rows", "sum_val")
+    merge_branch(spark, pt, "takedown")
+    pm = list_versions(pt)[-1]
+    assert pm.get("dv") and pm.get("pdv"), pm  # vectors published MOR
+    pub = read_version(spark, pt).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").cast("long").alias("sum_val"),
+    ).withColumn("stage", F.lit("published")).select(
+        "stage", "grp", "n_rows", "sum_val"
+    )
+    return pub.unionByName(feed_agg)
+
+
+@query(
     "versioned_incremental_agg_view",
     """
     WITH s AS (

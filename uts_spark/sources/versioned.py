@@ -2200,6 +2200,7 @@ def vacuum(
     for bname in list_branches(path):
         for r in _branch_records(path, bname):
             kept_dirs.update(r.get("data_dirs", []))
+            kept_dirs.update(_dv_dirs(r))  # staged takedown vectors
     for m in doomed:
         for d in _manifest_dirs(m) + _manifest_aux_dirs(m) + _dv_dirs(m):
             if d not in kept_dirs:
@@ -2235,6 +2236,7 @@ def remove_orphans(path: str, older_than_secs: float = 259_200) -> list[str]:
     for bname in list_branches(path):
         for r in _branch_records(path, bname):
             referenced.update(r.get("data_dirs", []))
+            referenced.update(_dv_dirs(r))  # staged takedown vectors
     removed: list[str] = []
     cutoff = time.time() - older_than_secs
     for sub in ("data", "quant"):
@@ -2551,116 +2553,7 @@ def table_changes(
         and f_recs == t_recs[: len(f_recs)]
         and f_pdv == t_pdv[: len(f_pdv)]
     ):
-        # MERGE-ON-READ fast path: the range is appends + new deletion
-        # vectors — both readable off the manifests, no full-outer
-        # join. Inserts = the added dirs under to's masks; deletes =
-        # rows visible at FROM that a NEW vector hides, found by a
-        # PRUNED scan of the dirs the new vectors scope (grouped so
-        # each row is read once — no duplicate images when two
-        # vectors match the same row). Netting is exact: a row
-        # inserted AND erased inside the range sits in an added dir
-        # under a masking vector, so it appears in neither leg — the
-        # two-version diff contract. New POSITIONAL vectors add a
-        # keyless delete leg: positions name their rows directly, so
-        # the images come from a semi-join on the physical address —
-        # no key= needed even though the table has no identity column.
-        new_recs = t_recs[len(f_recs):]
-        added = [d for d in to_dirs if d not in from_dirs]
-        inserts = (
-            _read_dirs_masked(spark, m_to, added)
-            if added
-            else new.limit(0)
-        ).withColumn("_change_type", F.lit("insert"))
-        from_dirs_l = _manifest_dirs(m_from)
-        scopes = [set(r["scope"]) for r in new_recs]
-        groups: dict[tuple, list[str]] = {}
-        for d in from_dirs_l:
-            ks = tuple(i for i, s in enumerate(scopes) if d in s)
-            if ks:
-                groups.setdefault(ks, []).append(d)
-        del_parts = []
-        for ks, ds in groups.items():
-            vis = _read_dirs_masked(spark, m_from, ds)
-            by_col: dict[str, list[str]] = {}
-            for i in ks:
-                by_col.setdefault(new_recs[i]["key"], []).append(
-                    new_recs[i]["dir"]
-                )
-            markers = []
-            for j, (kcol, dv_dirs) in enumerate(sorted(by_col.items())):
-                kf = (
-                    spark.read.parquet(*dv_dirs)
-                    .select(kcol)
-                    .distinct()
-                    .withColumn(f"__dvm{j}", F.lit(True))
-                )
-                vis = vis.join(F.broadcast(kf), kcol, "left")
-                markers.append(f"__dvm{j}")
-            hit = markers[0]
-            cond = F.col(hit).eqNullSafe(F.lit(True))
-            for mk in markers[1:]:
-                cond = cond | F.col(mk).eqNullSafe(F.lit(True))
-            del_parts.append(vis.filter(cond).drop(*markers))
-        new_pdv = t_pdv[len(f_pdv):]
-        if new_pdv:
-            pos = spark.read.parquet(
-                *[r["dir"] for r in new_pdv]
-            ).select("__file", "__pos").distinct()
-            # manifest dirs may be relative; _metadata paths are
-            # absolute file: URIs — normalize both sides (ADVICE r10,
-            # high: the raw-string compare emitted NO delete images on
-            # a relative-path table). Files outside from's dirs are
-            # fine here: rows appended in-range then erased net out.
-            pfiles = {
-                _norm_dir(os.path.dirname(r["__file"]))
-                for r in pos.select("__file").distinct().collect()
-            }
-            pdirs = [d for d in from_dirs_l if _norm_dir(d) in pfiles]
-            if pdirs:
-                vis = _read_dirs_masked(
-                    spark, m_from, pdirs, with_pos=True
-                )
-                images = vis.join(
-                    F.broadcast(pos), ["__file", "__pos"], "left_semi"
-                ).drop("__file", "__pos")
-                # a row masked in-range by a positional vector AND
-                # listed in a new key vector already has a delete
-                # image from the key legs (a new vector's scope covers
-                # every from-dir in this fast path) — anti-join it out
-                # so accounting consumers never double-count (ADVICE
-                # r10, low)
-                key_by_col: dict[str, list[str]] = {}
-                for rec2 in new_recs:
-                    key_by_col.setdefault(rec2["key"], []).append(
-                        rec2["dir"]
-                    )
-                for kcol, dv_dirs in sorted(key_by_col.items()):
-                    kf = (
-                        spark.read.parquet(*dv_dirs)
-                        .select(kcol).distinct()
-                    )
-                    images = images.join(
-                        F.broadcast(kf), kcol, "left_anti"
-                    )
-                del_parts.append(images)
-        if del_parts:
-            dels = del_parts[0]
-            for p in del_parts[1:]:
-                dels = dels.unionByName(p)
-            # align delete images under the to-version schema (NULL
-            # back-fill for columns added in range, CDF convention)
-            for c in new.columns:
-                if c not in dels.columns:
-                    dels = dels.withColumn(
-                        c, F.lit(None).cast(dict(new.dtypes)[c])
-                    )
-            dels = dels.select(*new.columns).withColumn(
-                "_change_type", F.lit("delete")
-            )
-            return inserts.select(
-                *new.columns, "_change_type"
-            ).unionByName(dels)
-        return inserts.select(*new.columns, "_change_type")
+        return _mor_fast_feed(spark, m_from, m_to, new)
 
     if key is None:
         raise ValueError(
@@ -2674,6 +2567,132 @@ def table_changes(
         f"versioned table {path}: versions {from_version}->{to_version}",
         with_changed_columns,
     )
+
+
+def _mor_fast_feed(
+    spark: SparkSession, m_from: dict, m_to: dict, new: DataFrame
+) -> DataFrame:
+    """MERGE-ON-READ fast-path change feed between two manifest-shaped
+    records whose range is appends + NEW deletion vectors (caller
+    guarantees from's dirs/vector lists are prefixes of to's) — the
+    shared kernel of :func:`table_changes`' MOR range and
+    :func:`branch_changes`' staged-takedown feed. Everything reads off
+    the manifests, no full-outer join. Inserts = the added dirs under
+    to's masks; deletes = rows visible at FROM that a NEW vector
+    hides, found by a PRUNED scan of the dirs the new vectors scope
+    (grouped so each row is read once — no duplicate images when two
+    vectors match the same row). Netting is exact: a row inserted AND
+    erased inside the range sits in an added dir under a masking
+    vector, so it appears in neither leg — the two-version diff
+    contract. New POSITIONAL vectors add a keyless delete leg:
+    positions name their rows directly, so the images come from a
+    semi-join on the physical address — no key= needed even though
+    the table has no identity column."""
+    from pyspark.sql import functions as F
+
+    f_recs = m_from.get("dv", [])
+    t_recs = m_to.get("dv", [])
+    f_pdv = m_from.get("pdv", [])
+    t_pdv = m_to.get("pdv", [])
+    from_dirs = set(_manifest_dirs(m_from))
+    to_dirs = _manifest_dirs(m_to)
+    new_recs = t_recs[len(f_recs):]
+    added = [d for d in to_dirs if d not in from_dirs]
+    inserts = (
+        _read_dirs_masked(spark, m_to, added)
+        if added
+        else new.limit(0)
+    ).withColumn("_change_type", F.lit("insert"))
+    from_dirs_l = _manifest_dirs(m_from)
+    scopes = [set(r["scope"]) for r in new_recs]
+    groups: dict[tuple, list[str]] = {}
+    for d in from_dirs_l:
+        ks = tuple(i for i, s in enumerate(scopes) if d in s)
+        if ks:
+            groups.setdefault(ks, []).append(d)
+    del_parts = []
+    for ks, ds in groups.items():
+        vis = _read_dirs_masked(spark, m_from, ds)
+        by_col: dict[str, list[str]] = {}
+        for i in ks:
+            by_col.setdefault(new_recs[i]["key"], []).append(
+                new_recs[i]["dir"]
+            )
+        markers = []
+        for j, (kcol, dv_dirs) in enumerate(sorted(by_col.items())):
+            kf = (
+                spark.read.parquet(*dv_dirs)
+                .select(kcol)
+                .distinct()
+                .withColumn(f"__dvm{j}", F.lit(True))
+            )
+            vis = vis.join(F.broadcast(kf), kcol, "left")
+            markers.append(f"__dvm{j}")
+        hit = markers[0]
+        cond = F.col(hit).eqNullSafe(F.lit(True))
+        for mk in markers[1:]:
+            cond = cond | F.col(mk).eqNullSafe(F.lit(True))
+        del_parts.append(vis.filter(cond).drop(*markers))
+    new_pdv = t_pdv[len(f_pdv):]
+    if new_pdv:
+        pos = spark.read.parquet(
+            *[r["dir"] for r in new_pdv]
+        ).select("__file", "__pos").distinct()
+        # manifest dirs may be relative; _metadata paths are
+        # absolute file: URIs — normalize both sides (ADVICE r10,
+        # high: the raw-string compare emitted NO delete images on
+        # a relative-path table). Files outside from's dirs are
+        # fine here: rows appended in-range then erased net out.
+        pfiles = {
+            _norm_dir(os.path.dirname(r["__file"]))
+            for r in pos.select("__file").distinct().collect()
+        }
+        pdirs = [d for d in from_dirs_l if _norm_dir(d) in pfiles]
+        if pdirs:
+            vis = _read_dirs_masked(
+                spark, m_from, pdirs, with_pos=True
+            )
+            images = vis.join(
+                F.broadcast(pos), ["__file", "__pos"], "left_semi"
+            ).drop("__file", "__pos")
+            # a row masked in-range by a positional vector AND
+            # listed in a new key vector already has a delete
+            # image from the key legs (a new vector's scope covers
+            # every from-dir in this fast path) — anti-join it out
+            # so accounting consumers never double-count (ADVICE
+            # r10, low)
+            key_by_col: dict[str, list[str]] = {}
+            for rec2 in new_recs:
+                key_by_col.setdefault(rec2["key"], []).append(
+                    rec2["dir"]
+                )
+            for kcol, dv_dirs in sorted(key_by_col.items()):
+                kf = (
+                    spark.read.parquet(*dv_dirs)
+                    .select(kcol).distinct()
+                )
+                images = images.join(
+                    F.broadcast(kf), kcol, "left_anti"
+                )
+            del_parts.append(images)
+    if del_parts:
+        dels = del_parts[0]
+        for p in del_parts[1:]:
+            dels = dels.unionByName(p)
+        # align delete images under the to-version schema (NULL
+        # back-fill for columns added in range, CDF convention)
+        for c in new.columns:
+            if c not in dels.columns:
+                dels = dels.withColumn(
+                    c, F.lit(None).cast(dict(new.dtypes)[c])
+                )
+        dels = dels.select(*new.columns).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.select(
+            *new.columns, "_change_type"
+        ).unionByName(dels)
+    return inserts.select(*new.columns, "_change_type")
 
 
 def _key_diff_feed(
@@ -3016,6 +3035,12 @@ def write_to_branch(
                 "n_rows": head["n_rows"] + n_new,
                 "schema": schema,
                 "evolved": evolved,
+                # staged deletion vectors ride every later append (the
+                # vectors' scopes/positions predate this delta dir, so
+                # the appended rows are structurally unmaskable by
+                # them — same rule as the main chain)
+                **({"dv": head["dv"]} if head.get("dv") else {}),
+                **({"pdv": head["pdv"]} if head.get("pdv") else {}),
             })
         try:
             _branch_commit(path, name, rec)
@@ -3028,6 +3053,147 @@ def write_to_branch(
                 for r in _branch_records(path, name):
                     if r.get("batch_key") == batch_key:
                         return r["seq"]
+    raise last  # type: ignore[misc]
+
+
+def _branch_delete_carry(head: dict) -> dict:
+    """The record fields a staged takedown carries forward from the
+    branch head (a takedown never changes shape or content layout —
+    only the vector lists and the served row count)."""
+    return {
+        k: head[k]
+        for k in ("schema", "evolved", "stats_col", "dir_stats", "dir_rows")
+        if k in head
+    }
+
+
+def delete_rows_mor_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    ids: DataFrame,
+    key: str,
+    max_retries: int = 5,
+) -> int:
+    """Stage a MERGE-ON-READ erasure ON A BRANCH (round 11 — WAP for
+    takedowns: a risky erasure stages as a deletion vector the branch
+    alone applies, an auditor reads the masked branch and its keyless
+    delete feed, publish folds the vector onto main as one commit).
+    Semantics mirror :func:`delete_rows_mor` exactly — the deleted
+    keys commit as a vector record scoped to the branch's dirs at
+    stage time (rows appended to the branch LATER are never masked,
+    even on key reuse), ``n_masked`` is counted against the branch's
+    VISIBLE state (already-staged vectors apply first, so re-deleting
+    is a no-op returning the head seq), and main is untouched until
+    :func:`merge_branch`. Returns the new branch head seq.
+
+    Concurrency: a CAS loss against a racing branch writer recounts
+    under the new head's masks and retries — the vector frame is
+    written once."""
+    from pyspark.sql import functions as F
+
+    if key not in ids.columns:
+        raise ValueError(
+            f"delete_rows_mor_branch: id frame has no column {key!r} "
+            f"(have {ids.columns})"
+        )
+    idf = ids.select(key).distinct()
+    dvdir = None
+    last: Exception | None = None
+    for _ in range(max_retries):
+        recs = _branch_records(path, name)
+        head = recs[-1]
+        dirs = head["data_dirs"]
+        visible = _read_dirs_masked(spark, head, dirs)
+        if key not in visible.columns:
+            raise ValueError(
+                f"versioned table {path} branch {name!r}: no column "
+                f"{key!r} to delete by (have {visible.columns})"
+            )
+        n_masked = visible.join(
+            F.broadcast(idf), key, "left_semi"
+        ).count()
+        if n_masked == 0:
+            return head["seq"]
+        if dvdir is None:
+            dvdir = os.path.join(path, "data", f"bdv-{_uuid_hex()}")
+            idf.coalesce(1).write.mode("errorifexists").parquet(dvdir)
+        rec = {
+            "seq": head["seq"] + 1,
+            "base": head["base"],
+            "operation": "delete_mor",
+            "data_dirs": dirs,
+            "n_rows": head["n_rows"] - n_masked,
+            **_branch_delete_carry(head),
+            "dv": head.get("dv", []) + [{
+                "dir": dvdir, "key": key, "scope": dirs,
+                "n_masked": n_masked,
+            }],
+            **({"pdv": head["pdv"]} if head.get("pdv") else {}),
+        }
+        try:
+            _branch_commit(path, name, rec)
+            return rec["seq"]
+        except VersionConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def delete_rows_positional_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    predicate,
+    max_retries: int = 5,
+) -> int:
+    """Stage a POSITIONAL merge-on-read erasure on a branch — the
+    keyless leg of branch-staged takedowns (:func:`delete_rows_mor_branch`
+    above; semantics mirror :func:`delete_rows_positional`): victims
+    are addressed by physical (file, row-index) pairs selected by
+    ``predicate`` over the branch's VISIBLE state, so keyless schemas
+    and duplicate rows erase exactly, and rows appended later live in
+    new files the positions structurally cannot name. Returns the new
+    branch head seq; a predicate matching nothing commits nothing."""
+    dvdir = None
+    last: Exception | None = None
+    for _ in range(max_retries):
+        recs = _branch_records(path, name)
+        head = recs[-1]
+        dirs = head["data_dirs"]
+        scan = _read_dirs_masked(spark, head, dirs, with_pos=True)
+        victims = scan.filter(predicate).select("__file", "__pos")
+        vdir = os.path.join(path, "data", f"bpdv-{_uuid_hex()}")
+        victims.coalesce(1).write.mode("errorifexists").parquet(vdir)
+        n_masked = spark.read.parquet(vdir).count()
+        if n_masked == 0:
+            import shutil
+
+            shutil.rmtree(vdir)
+            return head["seq"]
+        dvdir = vdir
+        rec = {
+            "seq": head["seq"] + 1,
+            "base": head["base"],
+            "operation": "delete_positional",
+            "data_dirs": dirs,
+            "n_rows": head["n_rows"] - n_masked,
+            **_branch_delete_carry(head),
+            **({"dv": head["dv"]} if head.get("dv") else {}),
+            "pdv": head.get("pdv", []) + [
+                {"dir": dvdir, "n_masked": n_masked}
+            ],
+        }
+        try:
+            _branch_commit(path, name, rec)
+            return rec["seq"]
+        except VersionConflictError as e:
+            # positions were computed under a stale head's masks —
+            # drop the frame and rescan under the new head
+            import shutil
+
+            shutil.rmtree(vdir, ignore_errors=True)
+            dvdir = None
+            last = e
     raise last  # type: ignore[misc]
 
 
@@ -3052,10 +3218,11 @@ def read_branch(
         raise ValueError(
             f"versioned table {path}: branch {name!r} seq {seq} is empty"
         )
-    if r.get("evolved") and r.get("schema"):
-        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
-        return df.select(*_schema_fields(r["schema"]))
-    return spark.read.parquet(*dirs)
+    # the shared masked-dir kernel: staged deletion vectors (key and
+    # positional) apply exactly as a main manifest's would; a branch
+    # with no staged vectors reduces to the plain (footer-merged when
+    # evolved) scan
+    return _read_dirs_masked(spark, r, dirs)
 
 
 def merge_branch(
@@ -3076,7 +3243,13 @@ def merge_branch(
     be re-staged. A branch holding an ``overwrite`` publishes
     fast-forward-only (main head must still be the fork base).
     ``drop`` removes the branch pointer after publishing (its staged
-    dirs are now owned by the main manifest).
+    dirs are now owned by the main manifest). STAGED TAKEDOWNS publish
+    like appends: the branch's deletion vectors fold into the new
+    manifest merge-on-read (scoped to dirs the publish carries; main
+    dirs appended since the fork are structurally outside every staged
+    scope/position, so the commute rule is unchanged), and the
+    rewrites guard keeps the n_rows netting exact — a main-side vector
+    commit since the fork refuses like any other rewrite.
 
     Pruning structures SURVIVE an append publish: main's carried
     dir_stats/dir_rows merge with freshly-computed stats (and Bloom
@@ -3095,6 +3268,13 @@ def merge_branch(
     base = head["base"]
     base_dirs = set(recs[0]["data_dirs"])
     staged_ops = {r["operation"] for r in recs[1:]}
+    # staged takedowns publish like appends: the vectors fold into
+    # main's manifest (scoped to dirs the publish carries), added_rows
+    # nets the masked counts because delete records maintain n_rows.
+    # Main-side vector commits since the fork land in the rewrites
+    # guard below (their operation is not "append"), so the netting
+    # can never double-count a row main also masked.
+    commuting = staged_ops <= {"append", "delete_mor", "delete_positional"}
     added = [d for d in head["data_dirs"] if d not in base_dirs]
     added_rows = head["n_rows"] - recs[0]["n_rows"]
     # pruning structures survive the publish (ROADMAP r11 #3 — the
@@ -3116,7 +3296,7 @@ def merge_branch(
         pub_bcol = None
     added_stats: dict = {}
     added_counts: dict = {}
-    if staged_ops == {"append"} and (pub_scol or pub_bcol):
+    if commuting and (pub_scol or pub_bcol):
         for d in added:
             if pub_scol is not None:
                 n_d, rng = _dir_stats(spark, d, pub_scol)
@@ -3131,7 +3311,7 @@ def merge_branch(
         versions = {m["version"]: m for m in list_versions(path)}
         cur = max(versions)
         pm = versions[cur]
-        if staged_ops == {"append"}:
+        if commuting:
             moved = [
                 versions[v] for v in sorted(versions) if v > base
             ]
@@ -3175,7 +3355,7 @@ def merge_branch(
             evolved = bool(head.get("evolved"))
             schema = head.get("schema")
         stats_meta: dict = {}
-        if staged_ops == {"append"}:
+        if commuting:
             scol, bcol = pm.get("stats_col"), pm.get("bloom_col")
             if scol is not None and scol == pub_scol:
                 stats_meta.update({
@@ -3197,6 +3377,12 @@ def merge_branch(
             "data_dirs": new_dirs,
             **({"schema": schema} if schema else {}),
             **({"evolved": True} if evolved else {}),
+            # staged takedowns publish as main-chain deletion vectors
+            # (scoped to dirs this manifest carries; main dirs added
+            # since the fork are structurally outside every staged
+            # scope/position — same commute rule as the data dirs)
+            **({"dv": head["dv"]} if head.get("dv") else {}),
+            **({"pdv": head["pdv"]} if head.get("pdv") else {}),
             **stats_meta,
             **(meta or {}),
         }
@@ -3237,12 +3423,29 @@ def branch_changes(
     base by row identity (round 10 — the same key-diff kernel as
     table_changes' rewrite ranges): pass ``key``, get insert/delete/
     update images of what the staged rewrite would publish. Without a
-    key an overwrite feed is refused loudly."""
+    key an overwrite feed is refused loudly. A branch whose range is
+    appends + STAGED TAKEDOWNS (:func:`delete_rows_mor_branch` /
+    :func:`delete_rows_positional_branch`) feeds KEYLESSLY through
+    the MOR fast-path kernel (:func:`_mor_fast_feed`) — pruned scans
+    of the scoped dirs, delete images with no key column required."""
     from pyspark.sql import functions as F
 
     recs = _branch_records(path, name)
     head = recs[-1]
     staged_ops = {r["operation"] for r in recs[1:]}
+    mor_ops = {"delete_mor", "delete_positional"}
+    if staged_ops <= {"append"} | mor_ops and staged_ops & mor_ops:
+        # staged TAKEDOWNS (round 11 — WAP erasure audit): the branch
+        # range is appends + new deletion vectors off the fork base
+        # (vector-free by create_branch's refusal), which is exactly
+        # the MOR fast-path shape — inserts from the added dirs under
+        # the staged masks, KEYLESS delete images from a pruned scan
+        # of the dirs the staged vectors scope / the positions name.
+        # The auditor reads what the publish would do to main without
+        # a key column and without touching main.
+        return _mor_fast_feed(
+            spark, recs[0], head, read_branch(spark, path, name)
+        )
     if staged_ops - {"append"}:
         if key is None:
             raise ValueError(
