@@ -172,6 +172,83 @@ def run_family(spark, vx, work: str, family: str, n: int) -> dict:
     return out
 
 
+def vecs2(spark, n: int):
+    """Two INDEPENDENT metadata columns (different hash seeds):
+    ``coarse`` 4 values, ``fine`` 64 values — the multi-column
+    sort-order experiment (ROADMAP r12 #3)."""
+    return spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), 2001) - 1000
+            ).cast("float") / F.lit(1000.0),
+        ).alias("embedding"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("c")), F.lit(4))
+        .cast("int").alias("coarse"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("f")), F.lit(64))
+        .cast("int").alias("fine"),
+    )
+
+
+def run_multicol(spark, vx, work: str, n: int) -> dict:
+    """Does cardinality-ASCENDING sort-key ordering buy admit
+    fraction with 2+ meta columns? Build the same IVF index with the
+    sort key's meta columns in (fine, coarse) declaration order vs
+    (coarse, fine) — measure row-group admits for a predicate on each
+    column alone. The high-card-first layout leaves the low-card
+    column scattered inside short fine-runs (its groups admit ~all);
+    low-card-first keeps BOTH prunable: coarse in long runs, fine
+    sorted within each (cell, coarse) block."""
+    corpus = vecs2(spark, n)
+    out = {}
+    for tag, cols in (
+        ("fine_first", ("fine", "coarse")),
+        ("coarse_first", ("coarse", "fine")),
+    ):
+        p = os.path.join(work, f"mc_{tag}")
+        vx.ivf_vindex_build(
+            corpus, p, fingerprint="f0", n_cells=8,
+            meta_cols=cols, meta_sort=True,
+        )
+        r = {}
+        for col, val in (("coarse", 2), ("fine", 37)):
+            st = rowgroup_stats(p, col, val)
+            r[col] = {
+                **st,
+                "admit_frac": round(
+                    st["admitting"] / max(1, st["row_groups"]), 3
+                ),
+            }
+        # conjunctive probe (coarse=2 AND fine=37): a group must admit
+        # BOTH — the workload shape where first-column choice decides
+        import pyarrow.parquet as pq
+
+        total = admit = 0
+        for f in glob.glob(os.path.join(p, "data", "d-*", "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                total += 1
+                ok = True
+                for col, val in (("coarse", 2), ("fine", 37)):
+                    st = md.row_group(g).column(idx[col]).statistics
+                    if st is not None and not (st.min <= val <= st.max):
+                        ok = False
+                        break
+                admit += ok
+        r["both"] = {
+            "row_groups": total, "admitting": admit,
+            "admit_frac": round(admit / max(1, total), 3),
+        }
+        out[tag] = r
+        print(json.dumps({tag: r}), flush=True)
+    return out
+
+
 def main() -> None:
     fam = sys.argv[1] if len(sys.argv) > 1 else "all"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -189,6 +266,13 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="meta_sort_")
     out = {"n": n, "block_bytes": block}
     try:
+        if fam == "multicol":
+            import uts_spark.functions.vindex as vx2
+
+            hc.setInt("parquet.block.size", block)
+            out["multicol"] = run_multicol(spark, vx2, work, n)
+            print(json.dumps(out), flush=True)
+            return
         for family in fams:
             hc.setInt(
                 "parquet.block.size",

@@ -967,7 +967,14 @@ def _ivf_sort_of(pm: dict) -> tuple[str, ...]:
     stats — measured in tools/meta_sort_smoke.py: label-homogeneous
     row groups admit ~1/|labels| of the groups a scattered layout
     reads. Every rewrite verb resolves the sort HERE so compaction,
-    erasure and recluster preserve the layout the build chose."""
+    erasure and recluster preserve the layout the build chose.
+    Multi-column ordering is the DECLARATION order by contract
+    (measured in SCALE.md r12 #3: the first meta column is the only
+    reliable pruner — the second's runs shrink by the first's
+    cardinality below row-group size — and for conjunctive probes
+    high-cardinality-first prunes ~2×; which column dominates the
+    filter workload is not inferable at build time, so declare
+    ``meta_cols`` in expected-filter order)."""
     if pm.get("meta_sort") and pm.get("meta_cols"):
         return ("cell", *pm["meta_cols"], pm.get("id_col", "vec_id"))
     return _IVF_SORT
