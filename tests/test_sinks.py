@@ -3949,6 +3949,93 @@ def test_maintain_agg_view_updates_and_refusals(spark, tmp_path):
         V.maintain_agg_view(spark, ps, ps, ("grp",), ("val",))
 
 
+def test_maintain_agg_view_minmax_hybrid(spark, tmp_path):
+    """min/max view columns (hybrid IVM): inserts merge purely
+    (least/greatest, any orderable type — strings included); a delete
+    attaining a group's extremum regresses that group and recomputes
+    it from the source; non-attaining deletes leave extrema
+    untouched; config mismatch on mins/maxs refuses."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    ps = str(tmp_path / "src")
+    pv = str(tmp_path / "view")
+    rows = [(i, i % 2, (i * 13) % 40, f"s{(i * 7) % 20:02d}") for i in range(40)]
+    V.write_snapshot(
+        spark.createDataFrame(rows, "id long, grp long, val long, tag string"),
+        ps,
+    )
+    V.maintain_agg_view(
+        spark, ps, pv, ("grp",), ("val",), key="id",
+        min_cols=("val", "tag"), max_cols=("val",),
+    )
+
+    def view():
+        return {
+            r.grp: (r.n_rows, r.min_val, r.min_tag, r.max_val)
+            for r in V.read_version(spark, pv).collect()
+        }
+
+    def expect(alive):
+        out = {}
+        for i, g, v, t in alive:
+            e = out.setdefault(g, [0, 10**9, "zz", -1])
+            e[0] += 1
+            e[1] = min(e[1], v)
+            e[2] = min(e[2], t)
+            e[3] = max(e[3], v)
+        return {g: tuple(e) for g, e in out.items()}
+
+    assert view() == expect(rows)
+
+    # pure-merge append: new string min + numeric max for grp 1
+    V.append_snapshot(
+        spark.createDataFrame(
+            [(100, 1, 99, "a00")], "id long, grp long, val long, tag string"
+        ),
+        ps,
+    )
+    V.advance_view(spark, pv)
+    alive = rows + [(100, 1, 99, "a00")]
+    assert view() == expect(alive)
+
+    # attaining delete: remove ONE row holding grp 0's min val ->
+    # regression recompute from source (the second attaining row keeps
+    # the same min — recompute must find it)
+    min0 = min(v for i, g, v, t in rows if g == 0)
+    vics = [i for i, g, v, t in rows if g == 0 and v == min0][:1]
+    V.delete_rows_mor(
+        spark, ps,
+        spark.createDataFrame([(x,) for x in vics], "id long"), "id",
+    )
+    V.advance_view(spark, pv)
+    alive = [r for r in alive if r[0] not in vics]
+    assert view() == expect(alive)
+
+    # non-attaining delete leaves extrema; counts drop
+    allv1 = sorted(v for i, g, v, t in alive if g == 1)
+    vic2 = [
+        i for i, g, v, t in alive
+        if g == 1 and v not in (allv1[0], allv1[-1])
+        and t not in (min(t for *_, t in alive),)
+    ][:1]
+    V.delete_rows_mor(
+        spark, ps,
+        spark.createDataFrame([(x,) for x in vic2], "id long"), "id",
+    )
+    V.advance_view(spark, pv)
+    alive = [r for r in alive if r[0] not in vic2]
+    assert view() == expect(alive)
+
+    # maintaining with different extrema config refuses
+    with _pytest.raises(ValueError, match="different aggregate"):
+        V.maintain_agg_view(
+            spark, ps, pv, ("grp",), ("val",), key="id",
+            min_cols=("val",),
+        )
+
+
 def test_catalog_janitor_advances_views(spark, tmp_path):
     """Round 11: registered aggregate views refresh on the
     maintenance tick — the view's own manifest carries source +

@@ -5112,6 +5112,88 @@ def versioned_incremental_agg_view(spark, sf_dir):
 
 
 @query(
+    "versioned_agg_view_minmax",
+    """
+    WITH s AS (
+      SELECT o_custkey % 7 AS grp, o_orderkey % 100 AS val,
+             o_orderpriority AS tag, o_custkey
+      FROM orders
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           MIN(tag) AS min_tag,
+           CAST(MAX(val) AS BIGINT) AS max_val,
+           MAX(tag) AS max_tag
+    FROM s WHERE o_custkey % 50 != 7 GROUP BY grp
+    """,
+)
+def versioned_agg_view_minmax(spark, sf_dir):
+    """MIN/MAX AGGREGATE VIEW — hybrid IVM (round 11 cont.): extrema
+    are not self-maintainable under deletes (removing the attaining
+    row leaves the new extremum unknowable from view + delta alone),
+    so ``maintain_agg_view(min_cols=, max_cols=)`` merges the
+    insert side purely (``least``/``greatest`` — any orderable type,
+    strings included) and recomputes ONLY the groups a delete image
+    REGRESSED (its value attains the group's current extremum),
+    scanning the source once for those groups and never otherwise —
+    the classic distributive-vs-MIN/MAX split from the IVM
+    literature, driven by this format's own change feed. The lane
+    seeds on a third of orders, advances across an APPEND tick (pure
+    merge — no source scan) and a MERGE-ON-READ takedown tick that
+    provably regresses extrema (the erased custkey stripe holds
+    per-group minima/maxima at any SF), and returns the maintained
+    view; the oracle recomputes COUNT/SUM/MIN/MAX from scratch, so a
+    stale extremum, an unrecomputed regressed group, or an over-eager
+    merge all hash mismatch."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows_mor,
+        maintain_agg_view,
+        read_version,
+        write_snapshot,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    src = orders.select(
+        (F.col("o_custkey") % 7).alias("grp"),
+        (F.col("o_orderkey") % 100).alias("val"),
+        F.col("o_orderpriority").alias("tag"),
+        "o_custkey",
+        "o_orderkey",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    ps = os.path.join(_warehouse_dir(), f"ivmm_src_{tag}")
+    pv = os.path.join(_warehouse_dir(), f"ivmm_view_{tag}")
+    shutil.rmtree(ps, ignore_errors=True)
+    shutil.rmtree(pv, ignore_errors=True)
+
+    kw = dict(
+        group_cols=("grp",), sum_cols=("val",),
+        min_cols=("val", "tag"), max_cols=("val", "tag"),
+    )
+    write_snapshot(src.filter(F.col("o_orderkey") % 3 == 0), ps)
+    maintain_agg_view(spark, ps, pv, **kw)  # seed
+    append_snapshot(src.filter(F.col("o_orderkey") % 3 != 0), ps)
+    maintain_agg_view(spark, ps, pv, **kw)  # pure-merge tick
+    victims = (
+        src.filter(F.col("o_custkey") % 50 == 7)
+        .select("o_custkey").distinct()
+    )
+    delete_rows_mor(spark, ps, victims, "o_custkey")
+    v2 = maintain_agg_view(spark, ps, pv, **kw)  # regression tick
+    assert maintain_agg_view(spark, ps, pv, **kw) == v2  # replay no-op
+    return read_version(spark, pv).select(
+        "grp", "n_rows", "sum_val", "min_val", "min_tag",
+        "max_val", "max_tag",
+    )
+
+
+@query(
     "catalog_snapshot_consistent_read",
     """
     WITH s AS (

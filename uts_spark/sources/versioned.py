@@ -3486,6 +3486,111 @@ def branch_changes(
 _VIEW_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
+def _view_minmax_merge(
+    spark: SparkSession,
+    merged: DataFrame,
+    feed: DataFrame,
+    src_path: str,
+    src_v: int,
+    group_cols: tuple[str, ...],
+    min_cols: tuple[str, ...],
+    max_cols: tuple[str, ...],
+) -> DataFrame:
+    """The HYBRID-IVM extrema step of :func:`maintain_agg_view`:
+    merge insert-side extrema purely (``least``/``greatest``), detect
+    REGRESSED groups (a delete image attains the group's current
+    extremum — the one case min/max cannot maintain from the delta),
+    and recompute ONLY those groups from the source. ``merged``
+    arrives with the counts/sums already folded and the view's old
+    extrema carried as ``__old_min_*`` / ``__old_max_*``; the output
+    replaces them with the maintained ``min_*`` / ``max_*`` columns.
+    Cost: two group-sized aggregates of the feed, plus one source
+    scan aggregating the regressed groups alone — skipped entirely
+    (checked on the group-sized frame) when no extremum was hit."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    from pyspark.sql import functions as F
+
+    def nsj(a: DataFrame, b: DataFrame) -> DataFrame:
+        aa, bb = a.alias("__l"), b.alias("__r")
+        cond = _reduce(
+            _and,
+            [
+                F.col(f"__l.{g}").eqNullSafe(F.col(f"__r.{g}"))
+                for g in group_cols
+            ],
+        )
+        keep = [c for c in b.columns if c not in group_cols]
+        return aa.join(bb, cond, "left").select(
+            "__l.*", *[F.col(f"__r.{c}") for c in keep]
+        )
+
+    ins = ("insert", "update_postimage")
+    adds = feed.filter(F.col("_change_type").isin(*ins))
+    dels = feed.filter(~F.col("_change_type").isin(*ins))
+    add_mm = adds.groupBy(*group_cols).agg(
+        *[F.min(c).alias(f"__a_min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"__a_max_{c}") for c in max_cols],
+    )
+    del_mm = dels.groupBy(*group_cols).agg(
+        *[F.min(c).alias(f"__d_min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"__d_max_{c}") for c in max_cols],
+    )
+    regress = F.lit(False)
+    for c in min_cols:
+        regress = regress | (
+            F.col(f"__d_min_{c}") <= F.col(f"__old_min_{c}")
+        )
+    for c in max_cols:
+        regress = regress | (
+            F.col(f"__d_max_{c}") >= F.col(f"__old_max_{c}")
+        )
+    m2 = nsj(nsj(merged, add_mm), del_mm).withColumn(
+        "__regress", F.coalesce(regress, F.lit(False))
+    )
+    # group-sized pin BEFORE the regression probe, so the feed scan
+    # behind it runs once, not once per downstream action
+    m2 = m2.localCheckpoint(eager=True)
+    rg = m2.filter(F.col("__regress")).select(*group_cols).distinct()
+    need = rg.limit(1).count() > 0
+    if need:
+        src_now = read_version(spark, src_path, src_v)
+        cond = _reduce(
+            _and, [src_now[g].eqNullSafe(rg[g]) for g in group_cols]
+        )
+        recomp = src_now.join(rg, cond, "left_semi").groupBy(
+            *group_cols
+        ).agg(
+            *[F.min(c).alias(f"__r_min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"__r_max_{c}") for c in max_cols],
+        )
+        m2 = nsj(m2, recomp)
+    for c in min_cols:
+        base = F.least(
+            F.col(f"__old_min_{c}"), F.col(f"__a_min_{c}")
+        )
+        m2 = m2.withColumn(
+            f"min_{c}",
+            F.when(F.col("__regress"), F.col(f"__r_min_{c}"))
+            .otherwise(base)
+            if need
+            else base,
+        )
+    for c in max_cols:
+        base = F.greatest(
+            F.col(f"__old_max_{c}"), F.col(f"__a_max_{c}")
+        )
+        m2 = m2.withColumn(
+            f"max_{c}",
+            F.when(F.col("__regress"), F.col(f"__r_max_{c}"))
+            .otherwise(base)
+            if need
+            else base,
+        )
+    return m2.drop(*[c for c in m2.columns if c.startswith("__")])
+
+
 def maintain_agg_view(
     spark: SparkSession,
     src_path: str,
@@ -3493,6 +3598,8 @@ def maintain_agg_view(
     group_cols: tuple[str, ...],
     sum_cols: tuple[str, ...] = (),
     key: str | None = None,
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
 ) -> int:
     """INCREMENTAL AGGREGATE VIEW maintained from the CHANGE FEED
     (round 11 — classic IVM over this table format's own CDF): keep a
@@ -3522,7 +3629,20 @@ def maintain_agg_view(
     (merge_upsert / CoW delete) require ``key=`` exactly as
     table_changes documents. A NEGATIVE maintained count means the
     feed and the view disagree (wrong cursor, foreign writer) —
-    refused, never committed."""
+    refused, never committed.
+
+    ``min_cols`` / ``max_cols`` (round 11 cont.) maintain per-group
+    extrema with HYBRID IVM — min/max is not self-maintainable under
+    deletes (removing the attaining row leaves the new extremum
+    unknowable from the view + delta alone), so: inserts merge purely
+    (``least``/``greatest`` of old and the delta's extremum, any
+    orderable type — no arithmetic, no integer restriction); a delete
+    image that ATTAINS a group's current extremum marks the group
+    REGRESSED, and only regressed groups recompute from the source
+    (one source scan aggregating the regressed groups alone — zero
+    extra cost on ticks where no delete touches an extremum, the
+    common case). This is the classic distributive-vs-MIN/MAX split
+    from the IVM literature, applied over this format's CDF."""
     from functools import reduce as _reduce
     from operator import and_ as _and
 
@@ -3535,6 +3655,9 @@ def maintain_agg_view(
         )
     src_v = max(src_versions)
     sums = [f"sum_{c}" for c in sum_cols]
+    mins = [f"min_{c}" for c in min_cols]
+    maxs = [f"max_{c}" for c in max_cols]
+    mm = bool(min_cols or max_cols)
 
     def _check_int_types(df: DataFrame) -> None:
         types = dict(df.dtypes)
@@ -3557,6 +3680,14 @@ def maintain_agg_view(
                 F.sum(w * F.col(c).cast("long")).alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            # extrema only on the unsigned (seed / recompute) path —
+            # the signed delta cannot express them (hybrid IVM below)
+            *(
+                [F.min(c).alias(f"min_{c}") for c in min_cols]
+                + [F.max(c).alias(f"max_{c}") for c in max_cols]
+                if sign is None
+                else []
+            ),
         )
 
     dst_versions = list_versions(dst_path)
@@ -3570,6 +3701,8 @@ def maintain_agg_view(
                 "view_src": src_path,
                 "view_group": list(group_cols),
                 "view_sums": list(sum_cols),
+                "view_mins": list(min_cols),
+                "view_maxs": list(max_cols),
                 **({"view_key": key} if key else {}),
             },
         )
@@ -3579,12 +3712,17 @@ def maintain_agg_view(
             f"versioned table {dst_path}: not an aggregate view "
             "(no view_cursor on its manifest)"
         )
-    if list(group_cols) != vm.get("view_group") or list(
-        sum_cols
-    ) != vm.get("view_sums"):
+    if (
+        list(group_cols) != vm.get("view_group")
+        or list(sum_cols) != vm.get("view_sums")
+        or list(min_cols) != (vm.get("view_mins") or [])
+        or list(max_cols) != (vm.get("view_maxs") or [])
+    ):
         raise ValueError(
             f"aggregate view {dst_path}: maintained columns are "
             f"group={vm.get('view_group')} sums={vm.get('view_sums')} "
+            f"mins={vm.get('view_mins') or []} "
+            f"maxs={vm.get('view_maxs') or []} "
             "— a different aggregate needs its own view"
         )
     cursor = int(vm["view_cursor"])
@@ -3618,7 +3756,13 @@ def maintain_agg_view(
             ).alias(s)
             for s in sums
         ],
+        *([mv[x].alias(f"__old_{x}") for x in mins + maxs] if mm else []),
     )
+    if mm:
+        merged = _view_minmax_merge(
+            spark, merged, feed, src_path, src_v,
+            group_cols, min_cols, max_cols,
+        )
     merged = merged.localCheckpoint(eager=True)  # group-sized
     if merged.filter(F.col("n_rows") < 0).limit(1).count():
         raise ValueError(
@@ -3634,6 +3778,8 @@ def maintain_agg_view(
             "view_src": vm.get("view_src", src_path),
             "view_group": list(group_cols),
             "view_sums": list(sum_cols),
+            "view_mins": list(min_cols),
+            "view_maxs": list(max_cols),
             **(
                 {"view_key": key or vm.get("view_key")}
                 if (key or vm.get("view_key"))
@@ -3665,6 +3811,8 @@ def advance_view(spark: SparkSession, view_path: str) -> int:
         spark, vm["view_src"], view_path,
         tuple(vm["view_group"]), tuple(vm["view_sums"]),
         key=vm.get("view_key"),
+        min_cols=tuple(vm.get("view_mins") or ()),
+        max_cols=tuple(vm.get("view_maxs") or ()),
     )
 
 
