@@ -2591,6 +2591,69 @@ def test_catalog_read_table_snapshot_pin_and_mor_erase(spark, tmp_path):
     assert read_table(spark, cat, "a", snapshot="cut").count() == 100
 
 
+def test_catalog_publish_staged_erasure_multi_table(spark, tmp_path):
+    """Multi-table STAGED ERASURE: takedowns staged as branch vectors
+    on two tables publish through publish_branches as one snapshot
+    flip — consumers reading through the cut see both erasures appear
+    together; a main-side takedown since a fork refuses at the
+    read-only preflight (no table moves, the cut stays)."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        publish_branches,
+        read_table,
+        register_entry,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id % 4 AS LONG) AS g"
+    )
+    V.write_snapshot(mk(0, 100), pa)
+    V.write_snapshot(mk(0, 60), pb)
+    register_entry(cat, "a", pa)
+    register_entry(cat, "b", pb)
+    create_snapshot(cat, "cut", ["a", "b"])
+
+    V.create_branch(pa, "gdpr")
+    V.create_branch(pb, "gdpr")
+    V.delete_rows_mor_branch(
+        spark, pa, "gdpr",
+        spark.range(0, 100).filter(F.col("id") % 10 == 3)
+        .select(F.col("id").alias("k")),
+        "k",
+    )
+    V.delete_rows_positional_branch(spark, pb, "gdpr", F.col("g") == 2)
+    # the cut is untouched while staged
+    assert read_table(spark, cat, "a", snapshot="cut").count() == 100
+    assert read_table(spark, cat, "b", snapshot="cut").count() == 60
+
+    out = publish_branches(
+        spark, cat, "cut", {"a": "gdpr", "b": "gdpr"}
+    )
+    assert set(out["published"]) == {"a", "b"}
+    assert read_table(spark, cat, "a", snapshot="cut").count() == 90
+    assert read_table(spark, cat, "b", snapshot="cut").count() == 45
+
+    # preflight refusal: main takedown since the fork, nothing moves
+    V.create_branch(pa, "gdpr2")
+    V.delete_rows_mor_branch(
+        spark, pa, "gdpr2",
+        spark.createDataFrame([(4,)], "k long"), "k",
+    )
+    V.delete_rows_mor(
+        spark, pa, spark.createDataFrame([(8,)], "k long"), "k"
+    )
+    va = V.current_version(pa)
+    with _pytest.raises(ValueError, match="re-stage"):
+        publish_branches(spark, cat, "cut", {"a": "gdpr2"})
+    assert V.current_version(pa) == va
+    assert "gdpr2" in V.list_branches(pa)
+
+
 def test_catalog_sweep_snapshot_tags(spark, tmp_path):
     """The janitor drops ORPHANED snap- tags (a member moved by
     alter_entry keeps its stale tag on the abandoned path) but never
@@ -3059,11 +3122,18 @@ def test_versioned_pdv_cdf_and_triggers(spark, tmp_path):
     assert V.maybe_materialize_dvs(spark, p, max_dvs=0) is not None
     assert not V.list_versions(p)[-1].get("pdv")
 
-    # branch fork refuses while vectors are outstanding (k=12 is
-    # still visible: grp 0, untouched by every earlier vector)
+    # a fork CARRIES outstanding vectors (round 11: branch records
+    # hold vector lists) — the branch read masks exactly like main
     V.delete_rows_positional(spark, p, F.col("k") == 12)
-    with _pytest.raises(ValueError, match="materialize_dvs first"):
-        V.create_branch(p, "b1")
+    V.create_branch(p, "b1")
+    assert (
+        V.read_branch(spark, p, "b1").count()
+        == V.read_version(spark, p).count()
+    )
+    assert V.read_branch(spark, p, "b1").filter(
+        F.col("k") == 12
+    ).count() == 0
+    V.drop_branch(p, "b1")
 
     # replicate: a keyless positional range refuses; key= applies
     dst = str(tmp_path / "pdvr")

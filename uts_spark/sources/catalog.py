@@ -740,7 +740,9 @@ def publish_branches(
         staged_ops = {r["operation"] for r in recs[1:]}
         versions = {m["version"]: m for m in list_versions(path)}
         cur = max(versions)
-        if staged_ops == {"append"}:
+        # same commute set as merge_branch: staged takedowns publish
+        # like appends (their vectors fold merge-on-read)
+        if staged_ops <= {"append", "delete_mor", "delete_positional"}:
             moved = [
                 versions[v]["operation"]
                 for v in sorted(versions)

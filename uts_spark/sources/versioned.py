@@ -2910,12 +2910,6 @@ def create_branch(
             f"(have {sorted(versions)})"
         )
     bm = versions[base]
-    if bm.get("dv") or bm.get("pdv"):
-        raise ValueError(
-            f"versioned table {path}: version {base} carries outstanding "
-            "deletion vectors — branch records reference dirs only and "
-            "would resurrect erased rows; run materialize_dvs first"
-        )
     bdir = _branch_dir(path, name)
     if os.path.isdir(bdir) and any(
         f.startswith("h") for f in os.listdir(bdir)
@@ -2932,6 +2926,12 @@ def create_branch(
         "n_rows": bm["n_rows"],
         **{k: bm[k] for k in ("schema", "evolved", "stats_col",
                               "dir_stats", "dir_rows") if k in bm},
+        # outstanding merge-on-read vectors fork WITH the base (since
+        # branch records learned to carry vector lists, round 11) —
+        # branch reads mask them via the shared kernel, staged
+        # takedowns extend them, and the branch feed diffs only the
+        # vectors staged PAST this prefix
+        **{k: bm[k] for k in ("dv", "pdv") if bm.get(k)},
     })
     return base
 
