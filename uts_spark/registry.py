@@ -281,6 +281,16 @@ HEADLINE = [n for n in (
     # train-only bigram-perplexity labels (one (doc,bigram) shuffle +
     # dictionary joins) + two map-only model passes + 1-row confusions
     "text_quality_model_xent_gate_eval",
+    # r11: the two new service cycles, driver-visible like the r10
+    # set — WAP-staged erasure (fork -> key+positional vector staging
+    # -> keyless audit feed -> one-commit publish, end to end every
+    # pass: ~5.4s warm at sf0.1) and the IVM tick (seed + append feed
+    # + MOR feed + replay no-op + group merges: ~4.8s warm).
+    # versioned_agg_view_minmax is oracle-gated but NOT here: it is
+    # the same IVM machinery plus the regression recompute, and the
+    # bench wall grows 5x per lane added.
+    "versioned_branch_staged_erasure",
+    "versioned_incremental_agg_view",
     # NOT in headline: pipeline_training_prep_v6 (the flagship fused
     # DAG) measures ~45 s warm at sf0.1 — one composition would double
     # the whole bench wall and drown the per-operator signal; its
