@@ -4019,6 +4019,122 @@ def test_maintain_agg_view_updates_and_refusals(spark, tmp_path):
         V.maintain_agg_view(spark, ps, ps, ("grp",), ("val",))
 
 
+def test_table_changes_composite_key(spark, tmp_path):
+    """Composite row identity (round 11): ``key=("k1","k2")`` diffs
+    rewrite ranges by the column COMBINATION — neither column unique
+    alone — with the usual insert/delete/update images, the
+    changed-columns option, and the duplicate-combination refusal."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "ck")
+    rows0 = [(i % 7, i // 7, i, i * 2) for i in range(49)]
+    V.write_snapshot(
+        spark.createDataFrame(rows0, "k1 long, k2 long, a long, b long"),
+        p,
+    )
+    rows1 = [
+        (x, y, a + (10 if x == 2 else 0), b)
+        for x, y, a, b in rows0 if y != 5
+    ] + [(9, 9, 1, 1)]
+    V.write_snapshot(
+        spark.createDataFrame(rows1, "k1 long, k2 long, a long, b long"),
+        p,
+    )
+    feed = V.table_changes(
+        spark, p, 0, 1, key=("k1", "k2"), with_changed_columns=True
+    )
+    by = {}
+    for r in feed.collect():
+        by.setdefault(r._change_type, []).append(r)
+    assert len(by["delete"]) == 7 and len(by["insert"]) == 1
+    assert len(by["update_preimage"]) == 6
+    assert all(
+        r._changed_columns == ["a"] for r in by["update_postimage"]
+    )
+    # duplicate COMBINATION refuses (each column separately repeats
+    # legitimately above)
+    p2 = str(tmp_path / "ckdup")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(1, 1, 1), (1, 1, 2)], "k1 long, k2 long, a long"
+        ),
+        p2,
+    )
+    V.write_snapshot(
+        spark.createDataFrame([(1, 2, 1)], "k1 long, k2 long, a long"),
+        p2,
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        V.table_changes(spark, p2, 0, 1, key=("k1", "k2")).collect()
+
+
+def test_view_chain_and_janitor_topo_order(spark, tmp_path):
+    """A view maintained OVER another view (composite key = the inner
+    view's group columns) stays exact across source churn, and the
+    janitor advances chained views ancestors-first even when
+    alphabetical entry order is adversarial (the dependent registered
+    as 'a_*', its source as 'b_*')."""
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        catalog_maintenance_tick,
+        register_entry,
+    )
+
+    ps = str(tmp_path / "src")
+    pdv = str(tmp_path / "daily")
+    pw = str(tmp_path / "weekly")
+    rows = [(i, i % 10, i % 4, (i * 3) % 20) for i in range(80)]
+    V.write_snapshot(
+        spark.createDataFrame(
+            rows, "id long, day long, cat long, val long"
+        ),
+        ps,
+    )
+    V.maintain_agg_view(spark, ps, pdv, ("day", "cat"), ("val",), key="id")
+    V.maintain_agg_view(
+        spark, pdv, pw, ("cat",), ("sum_val", "n_rows"),
+        key=("day", "cat"),
+    )
+
+    def weekly():
+        return {
+            r.cat: (r.n_rows, r.sum_sum_val, r.sum_n_rows)
+            for r in V.read_version(spark, pw).collect()
+        }
+
+    def expect(alive):
+        out = {}
+        for i, day, cat, val in alive:
+            e = out.setdefault(cat, [set(), 0, 0])
+            e[0].add((day, cat))
+            e[1] += val
+            e[2] += 1
+        return {c: (len(e[0]), e[1], e[2]) for c, e in out.items()}
+
+    assert weekly() == expect(rows)
+
+    cat = str(tmp_path / "cat")
+    register_entry(cat, "a_weekly", pw, kind="view")
+    register_entry(cat, "b_daily", pdv, kind="view")
+    rows += [(100 + i, 3, 1, 7) for i in range(5)]
+    V.append_snapshot(
+        spark.createDataFrame(
+            [(100 + i, 3, 1, 7) for i in range(5)],
+            "id long, day long, cat long, val long",
+        ),
+        ps,
+    )
+    rep = {
+        r["name"]: r for r in catalog_maintenance_tick(spark, cat)
+    }
+    # one tick advances BOTH: daily first (topo), weekly sees it
+    assert rep["b_daily"]["view_advanced"] is not None
+    assert rep["a_weekly"]["view_advanced"] is not None
+    assert weekly() == expect(rows)
+
+
 def test_maintain_agg_view_minmax_hybrid(spark, tmp_path):
     """min/max view columns (hybrid IVM): inserts merge purely
     (least/greatest, any orderable type — strings included); a delete

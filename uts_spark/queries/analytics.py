@@ -5112,6 +5112,175 @@ def versioned_incremental_agg_view(spark, sf_dir):
 
 
 @query(
+    "cdc_table_changes_composite_key",
+    """
+    WITH base AS (
+      SELECT o_orderkey % 1000 AS k1, o_orderkey // 1000 AS k2,
+             o_custkey % 100 AS val,
+             o_custkey % 13 = 7 AS d, o_orderkey % 11 = 5 AS i,
+             o_custkey % 9 = 3 AS u
+      FROM orders
+    ),
+    feed AS (
+      SELECT 'insert' AS stage, k1, val + CASE WHEN u THEN 100 ELSE 0 END AS v
+      FROM base WHERE i AND NOT d
+      UNION ALL
+      SELECT 'delete', k1, val FROM base WHERE d AND NOT i
+      UNION ALL
+      SELECT 'update_preimage', k1, val
+      FROM base WHERE u AND NOT i AND NOT d
+      UNION ALL
+      SELECT 'update_postimage', k1, val + 100
+      FROM base WHERE u AND NOT i AND NOT d
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(SUM(k1) AS BIGINT) AS key_sum
+    FROM feed GROUP BY stage
+    """,
+)
+def cdc_table_changes_composite_key(spark, sf_dir):
+    """COMPOSITE-KEY CHANGE FEED (round 11): row identity spanning
+    more than one column — ``table_changes(key=("k1","k2"))`` diffs a
+    rewrite range by the column COMBINATION (orderkey split into
+    (mod, div) halves: neither unique alone, the pair unique), the
+    same full-outer + content-hash kernel, uniqueness enforced over
+    the tuple. This is what unlocks CDF for multi-column-keyed tables
+    and for aggregate views keyed by their group columns (the
+    view-chain lane next door). The lane commits v0 without the
+    insert stripe, rewrites to v1 with deletions + value updates +
+    the inserts, and aggregates the feed per change type — a
+    mis-joined key column, a delete double-imaged as an update, or a
+    combination-uniqueness regression all hash mismatch. Scale: one
+    shuffle on the composite key, bounded by the two versions' live
+    rows — identical economics to the single-key path."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        table_changes,
+        write_snapshot,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_orderkey") % 1000).alias("k1"),
+        F.expr("o_orderkey div 1000").alias("k2"),
+        (F.col("o_custkey") % 100).alias("val"),
+        (F.col("o_custkey") % 13 == 7).alias("d"),
+        (F.col("o_orderkey") % 11 == 5).alias("i"),
+        (F.col("o_custkey") % 9 == 3).alias("u"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    pt = os.path.join(_warehouse_dir(), f"ckcdf_{tag}")
+    shutil.rmtree(pt, ignore_errors=True)
+
+    cols = ("k1", "k2", "val")
+    write_snapshot(base.filter(~F.col("i")).select(*cols), pt)
+    v1 = base.filter(~F.col("d")).select(
+        "k1", "k2",
+        (
+            F.col("val")
+            + F.when(F.col("u"), F.lit(100)).otherwise(F.lit(0))
+        ).alias("val"),
+    )
+    write_snapshot(v1, pt)
+    feed = table_changes(spark, pt, 0, 1, key=("k1", "k2"))
+    return feed.groupBy(
+        F.col("_change_type").alias("stage")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.sum("k1").cast("long").alias("key_sum"),
+    )
+
+
+@query(
+    "versioned_view_chain",
+    """
+    WITH s AS (
+      SELECT o_orderkey % 12 AS day, o_custkey % 5 AS cat,
+             o_orderkey % 100 AS val, o_orderkey
+      FROM orders WHERE o_orderkey % 37 != 3
+    ),
+    d AS (
+      SELECT day, cat, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(val) AS BIGINT) AS sv
+      FROM s GROUP BY day, cat
+    )
+    SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(sv) AS BIGINT) AS sum_sum_val,
+           CAST(SUM(n) AS BIGINT) AS sum_n_rows
+    FROM d GROUP BY cat
+    """,
+)
+def versioned_view_chain(spark, sf_dir):
+    """CHAINED AGGREGATE VIEWS (round 11): a rollup maintained OVER
+    another view — daily (day, cat) totals from the source, weekly
+    cat totals from the daily view — each layer advancing from its
+    OWN source's change feed. The inner view's advances are
+    whole-snapshot rewrites, so the outer view diffs them with the
+    COMPOSITE key = the inner's group columns (``key=("day","cat")``,
+    the new tuple-key CDF) — delete/update images of regrouped days
+    apply as signed deltas exactly like base-table churn. The lane
+    seeds both layers, advances the chain across an APPEND and a MOR
+    TAKEDOWN on the source (daily absorbs the vector images, weekly
+    absorbs daily's update images), replays the last tick (both
+    layers no-op via their manifest cursors), and returns the weekly
+    view vs a from-scratch two-level SQL rollup. The janitor advances
+    registered chains ancestors-first (topo by view_src — pinned in
+    pytest). Scale: each layer's tick is delta-sized against ITS
+    source; the weekly tick never touches the base table at all."""
+    import os
+    import shutil
+
+    from uts_spark.queries.llm_ops import _warehouse_dir
+    from uts_spark.sources.versioned import (
+        append_snapshot,
+        delete_rows_mor,
+        maintain_agg_view,
+        read_version,
+        write_snapshot,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 12).alias("day"),
+        (F.col("o_custkey") % 5).alias("cat"),
+        (F.col("o_orderkey") % 100).alias("val"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    ps = os.path.join(_warehouse_dir(), f"vchain_src_{tag}")
+    pdv = os.path.join(_warehouse_dir(), f"vchain_daily_{tag}")
+    pw = os.path.join(_warehouse_dir(), f"vchain_weekly_{tag}")
+    for p in (ps, pdv, pw):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def tick():
+        maintain_agg_view(
+            spark, ps, pdv, ("day", "cat"), ("val",), key="id"
+        )
+        return maintain_agg_view(
+            spark, pdv, pw, ("cat",), ("sum_val", "n_rows"),
+            key=("day", "cat"),
+        )
+
+    write_snapshot(src.filter(F.col("id") % 3 == 0), ps)
+    tick()  # seed both layers
+    append_snapshot(src.filter(F.col("id") % 3 != 0), ps)
+    tick()  # append feeds up the chain
+    victims = src.filter(F.col("id") % 37 == 3).select("id")
+    delete_rows_mor(spark, ps, victims, "id")
+    v2 = tick()  # takedown images roll up as signed deltas
+    assert tick() == v2  # replayed tick: both layers no-op
+    return read_version(spark, pw).select(
+        "cat", "n_rows", "sum_sum_val", "sum_n_rows"
+    )
+
+
+@query(
     "versioned_agg_view_minmax",
     """
     WITH s AS (

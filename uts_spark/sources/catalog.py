@@ -965,8 +965,31 @@ def catalog_maintenance_tick(
 
     from uts_spark.functions.index_protocol import _detect_index_protocol
 
+    entries = list_entries(catalog)
+    views = [r for r in entries if r["kind"] == "view"]
+    if len(views) > 1:
+        # CHAINED views (round 11 — a view maintained over another
+        # view): advance ancestors first, or a dependent stays one
+        # tick behind its source forever. Depth = number of registered
+        # view ancestors on the view_src chain, read off manifests.
+        by_path = {r["path"]: r["name"] for r in views}
+        depth = {}
+        for r in views:
+            d, seen, p = 0, set(), r["path"]
+            while True:
+                vm = list_versions(p)
+                src = vm[-1].get("view_src") if vm else None
+                if src is None or src not in by_path or src in seen:
+                    break
+                seen.add(src)
+                d += 1
+                p = src
+            depth[r["name"]] = d
+        entries = [r for r in entries if r["kind"] != "view"] + sorted(
+            views, key=lambda r: (depth[r["name"]], r["name"])
+        )
     report = []
-    for rec in list_entries(catalog):
+    for rec in entries:
         r = {
             "name": rec["name"],
             "kind": rec["kind"],

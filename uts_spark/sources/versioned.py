@@ -2476,7 +2476,7 @@ def table_changes(
     path: str,
     from_version: int,
     to_version: int | None = None,
-    key: str | None = None,
+    key: str | tuple | list | None = None,
     with_changed_columns: bool = False,
 ) -> DataFrame:
     """CHANGE DATA FEED between two committed versions — the Delta-CDF
@@ -2506,7 +2506,9 @@ def table_changes(
       bounded by the two versions' live rows. ``key`` is required on
       this path (without identity, delete+insert vs update is
       undecidable) and must be unique per version — duplicate keys
-      raise rather than emit a cartesian diff.
+      raise rather than emit a cartesian diff. ``key`` may be a
+      tuple/list of columns (COMPOSITE identity — uniqueness holds
+      over the combination).
     """
     versions = {m["version"]: m for m in list_versions(path)}
     if to_version is None:
@@ -2698,7 +2700,7 @@ def _mor_fast_feed(
 def _key_diff_feed(
     old: DataFrame,
     new: DataFrame,
-    key: str,
+    key,
     label: str,
     with_changed_columns: bool = False,
 ) -> DataFrame:
@@ -2707,9 +2709,14 @@ def _key_diff_feed(
     full-outer join on ``key`` with a NULL-safe content hash over the
     non-key columns, emitting insert/delete/update_preimage/
     update_postimage rows under the NEW side's schema (added columns
-    NULL back-fill on old images — the Delta-CDF convention)."""
+    NULL back-fill on old images — the Delta-CDF convention).
+    ``key`` is one column name or a tuple/list of them (round 11 —
+    COMPOSITE row identity: tables keyed by more than one column, and
+    aggregate views keyed by their group columns, diff the same way;
+    uniqueness is enforced over the combination)."""
     from pyspark.sql import functions as F
 
+    keys = [key] if isinstance(key, str) else list(key)
     cols = new.columns
     dropped = [c for c in old.columns if c not in cols]
     if dropped:
@@ -2728,32 +2735,32 @@ def _key_diff_feed(
                 c, F.lit(None).cast(dict(new.dtypes)[c])
             )
         old = old.select(*cols)
-    val_cols = [c for c in cols if c != key]
+    val_cols = [c for c in cols if c not in keys]
     # NULL-safe content hash over the non-key columns, in to-version
     # column order on both sides
     def rhash(df):
         return F.xxhash64(*[F.coalesce(df[c].cast("string"), F.lit("\x00")) for c in val_cols])
 
-    o = old.select(key, *val_cols).alias("o")
-    n = new.select(key, *val_cols).alias("n")
+    o = old.select(*keys, *val_cols).alias("o")
+    n = new.select(*keys, *val_cols).alias("n")
     for side, frame in (("old", o), ("new", n)):
-        dup = frame.groupBy(key).count().filter(F.col("count") > 1).limit(1)
+        dup = frame.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
         if dup.count():
             raise ValueError(
                 f"{label}: duplicate {key!r} on the {side} side — "
                 "key-diff requires unique keys"
             )
     j = o.withColumn("__oh", rhash(o)).join(
-        n.withColumn("__nh", rhash(n)), on=key, how="full_outer"
+        n.withColumn("__nh", rhash(n)), on=keys, how="full_outer"
     )
     inserts = (
         j.filter(F.col("__oh").isNull())
-        .select(key, *[F.col(f"n.{c}") for c in val_cols])
+        .select(*keys, *[F.col(f"n.{c}") for c in val_cols])
         .withColumn("_change_type", F.lit("insert"))
     )
     deletes = (
         j.filter(F.col("__nh").isNull())
-        .select(key, *[F.col(f"o.{c}") for c in val_cols])
+        .select(*keys, *[F.col(f"o.{c}") for c in val_cols])
         .withColumn("_change_type", F.lit("delete"))
     )
     upd = j.filter(
@@ -2761,10 +2768,10 @@ def _key_diff_feed(
         & F.col("__nh").isNotNull()
         & (F.col("__oh") != F.col("__nh"))
     )
-    pre = upd.select(key, *[F.col(f"o.{c}") for c in val_cols]).withColumn(
+    pre = upd.select(*keys, *[F.col(f"o.{c}") for c in val_cols]).withColumn(
         "_change_type", F.lit("update_preimage")
     )
-    post = upd.select(key, *[F.col(f"n.{c}") for c in val_cols]).withColumn(
+    post = upd.select(*keys, *[F.col(f"n.{c}") for c in val_cols]).withColumn(
         "_change_type", F.lit("update_postimage")
     )
     if not with_changed_columns:
@@ -2796,7 +2803,7 @@ def _key_diff_feed(
         .unionByName(
             upd.withColumn("__cc", changed)
             .select(
-                key, *[F.col(f"o.{c}") for c in val_cols], "__cc"
+                *keys, *[F.col(f"o.{c}") for c in val_cols], "__cc"
             )
             .withColumn("_change_type", F.lit("update_preimage"))
             .withColumnRenamed("__cc", "_changed_columns")
@@ -2804,7 +2811,7 @@ def _key_diff_feed(
         .unionByName(
             upd.withColumn("__cc", changed)
             .select(
-                key, *[F.col(f"n.{c}") for c in val_cols], "__cc"
+                *keys, *[F.col(f"n.{c}") for c in val_cols], "__cc"
             )
             .withColumn("_change_type", F.lit("update_postimage"))
             .withColumnRenamed("__cc", "_changed_columns")
@@ -3412,7 +3419,8 @@ def drop_branch(path: str, name: str) -> None:
 
 
 def branch_changes(
-    spark: SparkSession, path: str, name: str, key: str | None = None
+    spark: SparkSession, path: str, name: str,
+    key: str | tuple | list | None = None,
 ) -> DataFrame:
     """What the branch HAS STAGED, as a change feed (the WAP audit's
     incremental view — reviewers read the staged delta, not the whole
@@ -3924,13 +3932,14 @@ def replicate(
     from pyspark.sql import functions as F
 
     cur = read_version(spark, dst_path)
+    keys = [key] if isinstance(key, str) else list(key)
     gone = feed.filter(
         F.col("_change_type").isin("delete", "update_preimage")
-    ).select(key)
+    ).select(*keys)
     added = feed.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type")
-    out = cur.join(gone, key, "left_anti").unionByName(
+    out = cur.join(gone, keys, "left_anti").unionByName(
         added, allowMissingColumns=True
     )
     return write_snapshot(
