@@ -4155,22 +4155,24 @@ def test_maintain_agg_view_minmax_hybrid(spark, tmp_path):
     V.maintain_agg_view(
         spark, ps, pv, ("grp",), ("val",), key="id",
         min_cols=("val", "tag"), max_cols=("val",),
+        sumsq_cols=("val",),
     )
 
     def view():
         return {
-            r.grp: (r.n_rows, r.min_val, r.min_tag, r.max_val)
+            r.grp: (r.n_rows, r.min_val, r.min_tag, r.max_val, r.sumsq_val)
             for r in V.read_version(spark, pv).collect()
         }
 
     def expect(alive):
         out = {}
         for i, g, v, t in alive:
-            e = out.setdefault(g, [0, 10**9, "zz", -1])
+            e = out.setdefault(g, [0, 10**9, "zz", -1, 0])
             e[0] += 1
             e[1] = min(e[1], v)
             e[2] = min(e[2], t)
             e[3] = max(e[3], v)
+            e[4] += v * v
         return {g: tuple(e) for g, e in out.items()}
 
     assert view() == expect(rows)

@@ -5290,6 +5290,7 @@ def versioned_view_chain(spark, sf_dir):
     )
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(SUM(val * val) AS BIGINT) AS sumsq_val,
            CAST(MIN(val) AS BIGINT) AS min_val,
            MIN(tag) AS min_tag,
            CAST(MAX(val) AS BIGINT) AS max_val,
@@ -5342,7 +5343,7 @@ def versioned_agg_view_minmax(spark, sf_dir):
     shutil.rmtree(pv, ignore_errors=True)
 
     kw = dict(
-        group_cols=("grp",), sum_cols=("val",),
+        group_cols=("grp",), sum_cols=("val",), sumsq_cols=("val",),
         min_cols=("val", "tag"), max_cols=("val", "tag"),
     )
     write_snapshot(src.filter(F.col("o_orderkey") % 3 == 0), ps)
@@ -5357,7 +5358,7 @@ def versioned_agg_view_minmax(spark, sf_dir):
     v2 = maintain_agg_view(spark, ps, pv, **kw)  # regression tick
     assert maintain_agg_view(spark, ps, pv, **kw) == v2  # replay no-op
     return read_version(spark, pv).select(
-        "grp", "n_rows", "sum_val", "min_val", "min_tag",
+        "grp", "n_rows", "sum_val", "sumsq_val", "min_val", "min_tag",
         "max_val", "max_tag",
     )
 

@@ -3605,9 +3605,10 @@ def maintain_agg_view(
     dst_path: str,
     group_cols: tuple[str, ...],
     sum_cols: tuple[str, ...] = (),
-    key: str | None = None,
+    key: str | tuple | list | None = None,
     min_cols: tuple[str, ...] = (),
     max_cols: tuple[str, ...] = (),
+    sumsq_cols: tuple[str, ...] = (),
 ) -> int:
     """INCREMENTAL AGGREGATE VIEW maintained from the CHANGE FEED
     (round 11 — classic IVM over this table format's own CDF): keep a
@@ -3650,7 +3651,15 @@ def maintain_agg_view(
     (one source scan aggregating the regressed groups alone — zero
     extra cost on ticks where no delete touches an extremum, the
     common case). This is the classic distributive-vs-MIN/MAX split
-    from the IVM literature, applied over this format's CDF."""
+    from the IVM literature, applied over this format's CDF.
+
+    ``sumsq_cols`` maintains the per-group SUM OF SQUARES
+    (``sumsq_<c>``) with the same signed integer-exact replay as
+    sums — (n_rows, sum, sumsq) is the sufficient statistic for
+    variance/stddev, so the full pushdown-aggregate family
+    (COUNT/SUM/SUMSQ/MIN/MAX, hence AVG/VAR/STDDEV) maintains
+    incrementally. Integer-typed like sums; the squares must fit a
+    long (caller scales first if values exceed ~3e9)."""
     from functools import reduce as _reduce
     from operator import and_ as _and
 
@@ -3665,12 +3674,13 @@ def maintain_agg_view(
     sums = [f"sum_{c}" for c in sum_cols]
     mins = [f"min_{c}" for c in min_cols]
     maxs = [f"max_{c}" for c in max_cols]
+    sumsqs = [f"sumsq_{c}" for c in sumsq_cols]
     mm = bool(min_cols or max_cols)
 
     def _check_int_types(df: DataFrame) -> None:
         types = dict(df.dtypes)
         bad = [
-            c for c in sum_cols
+            c for c in (*sum_cols, *sumsq_cols)
             if types.get(c) not in _VIEW_INT_TYPES
         ]
         if bad:
@@ -3687,6 +3697,12 @@ def maintain_agg_view(
             *[
                 F.sum(w * F.col(c).cast("long")).alias(f"sum_{c}")
                 for c in sum_cols
+            ],
+            *[
+                F.sum(
+                    w * F.col(c).cast("long") * F.col(c).cast("long")
+                ).alias(f"sumsq_{c}")
+                for c in sumsq_cols
             ],
             # extrema only on the unsigned (seed / recompute) path —
             # the signed delta cannot express them (hybrid IVM below)
@@ -3711,6 +3727,7 @@ def maintain_agg_view(
                 "view_sums": list(sum_cols),
                 "view_mins": list(min_cols),
                 "view_maxs": list(max_cols),
+                "view_sumsqs": list(sumsq_cols),
                 **({"view_key": key} if key else {}),
             },
         )
@@ -3725,12 +3742,14 @@ def maintain_agg_view(
         or list(sum_cols) != vm.get("view_sums")
         or list(min_cols) != (vm.get("view_mins") or [])
         or list(max_cols) != (vm.get("view_maxs") or [])
+        or list(sumsq_cols) != (vm.get("view_sumsqs") or [])
     ):
         raise ValueError(
             f"aggregate view {dst_path}: maintained columns are "
             f"group={vm.get('view_group')} sums={vm.get('view_sums')} "
             f"mins={vm.get('view_mins') or []} "
             f"maxs={vm.get('view_maxs') or []} "
+            f"sumsqs={vm.get('view_sumsqs') or []} "
             "— a different aggregate needs its own view"
         )
     cursor = int(vm["view_cursor"])
@@ -3762,7 +3781,7 @@ def maintain_agg_view(
                 F.coalesce(mv[s], F.lit(0))
                 + F.coalesce(delta[s], F.lit(0))
             ).alias(s)
-            for s in sums
+            for s in sums + sumsqs
         ],
         *([mv[x].alias(f"__old_{x}") for x in mins + maxs] if mm else []),
     )
@@ -3788,6 +3807,7 @@ def maintain_agg_view(
             "view_sums": list(sum_cols),
             "view_mins": list(min_cols),
             "view_maxs": list(max_cols),
+            "view_sumsqs": list(sumsq_cols),
             **(
                 {"view_key": key or vm.get("view_key")}
                 if (key or vm.get("view_key"))
@@ -3821,6 +3841,7 @@ def advance_view(spark: SparkSession, view_path: str) -> int:
         key=vm.get("view_key"),
         min_cols=tuple(vm.get("view_mins") or ()),
         max_cols=tuple(vm.get("view_maxs") or ()),
+        sumsq_cols=tuple(vm.get("view_sumsqs") or ()),
     )
 
 
