@@ -4070,6 +4070,56 @@ def test_table_changes_composite_key(spark, tmp_path):
         V.table_changes(spark, p2, 0, 1, key=("k1", "k2")).collect()
 
 
+def test_read_view_asof_source_version(spark, tmp_path):
+    """Time travel indexed by the SOURCE's history: each view tick
+    records the source cursor it materializes, so asof resolves to
+    the newest tick not after the asked source version — exact on
+    tick boundaries, newest-not-after between them, loud refusal
+    before the seed."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    ps, pv = str(tmp_path / "s"), str(tmp_path / "v")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 2, i) for i in range(10)],
+            "id long, grp long, val long",
+        ),
+        ps,
+    )  # src v0
+    V.append_snapshot(
+        spark.createDataFrame([(100, 0, 100)], "id long, grp long, val long"),
+        ps,
+    )  # src v1 (before the view exists)
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id")
+    V.append_snapshot(
+        spark.createDataFrame([(101, 0, 50)], "id long, grp long, val long"),
+        ps,
+    )  # src v2
+    V.append_snapshot(
+        spark.createDataFrame([(102, 0, 7)], "id long, grp long, val long"),
+        ps,
+    )  # src v3 — NOT yet ticked into the view
+    V.advance_view(spark, pv)  # tick at v3
+
+    def s0(df):
+        return {r.grp: r.sum_val for r in df.collect()}[0]
+
+    base = sum(i for i in range(10) if i % 2 == 0)
+    # exact tick boundaries
+    assert s0(V.read_view_asof(spark, pv, 1)) == base + 100
+    assert s0(V.read_view_asof(spark, pv, 3)) == base + 100 + 50 + 7
+    # between ticks: newest not-after (v2 has no tick; v1's state)
+    assert s0(V.read_view_asof(spark, pv, 2)) == base + 100
+    # before the seed cursor: refuse loudly
+    with _pytest.raises(ValueError, match="no tick at or before"):
+        V.read_view_asof(spark, pv, 0)
+    # non-views refuse
+    with _pytest.raises(ValueError, match="not an aggregate view"):
+        V.read_view_asof(spark, ps, 1)
+
+
 def test_view_chain_and_janitor_topo_order(spark, tmp_path):
     """A view maintained OVER another view (composite key = the inner
     view's group columns) stays exact across source churn, and the

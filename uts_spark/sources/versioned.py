@@ -3817,6 +3817,40 @@ def maintain_agg_view(
     )
 
 
+def read_view_asof(
+    spark: SparkSession, view_path: str, src_version: int
+) -> DataFrame:
+    """Read an aggregate view AS OF a SOURCE version: the view's own
+    versions each record the source cursor they materialize
+    (``view_cursor``), so "the aggregate when the source was at v"
+    resolves to the newest view tick whose cursor is <= ``src_version``
+    — time travel indexed by the SOURCE's history instead of the
+    view's. Exact when a tick landed on ``src_version``; otherwise
+    the newest not-after state (ticks are checkpoints, not a
+    continuous log), with the resolved cursor raised loudly when NO
+    tick is old enough (the view was seeded later than the asked-for
+    source version)."""
+    versions = list_versions(view_path)
+    if not versions or "view_cursor" not in versions[-1]:
+        raise ValueError(
+            f"versioned table {view_path}: not an aggregate view "
+            "(no view_cursor on its manifest)"
+        )
+    eligible = [
+        m for m in versions
+        if "view_cursor" in m and int(m["view_cursor"]) <= src_version
+    ]
+    if not eligible:
+        have = [int(m["view_cursor"]) for m in versions if "view_cursor" in m]
+        raise ValueError(
+            f"aggregate view {view_path}: no tick at or before source "
+            f"version {src_version} (earliest maintained cursor: "
+            f"{min(have)})"
+        )
+    best = max(eligible, key=lambda m: int(m["view_cursor"]))
+    return read_version(spark, view_path, best["version"])
+
+
 def advance_view(spark: SparkSession, view_path: str) -> int:
     """Advance an aggregate view entirely from ITS OWN manifest
     config (source path, group/sum columns, key) — the verb the
