@@ -4070,6 +4070,45 @@ def test_table_changes_composite_key(spark, tmp_path):
         V.table_changes(spark, p2, 0, 1, key=("k1", "k2")).collect()
 
 
+def test_maintain_agg_view_up_to_catchup(spark, tmp_path):
+    """Bounded catch-up ticks: up_to= pins the tick's target source
+    version (seed included), each slice is its own atomic commit, an
+    already-ahead tick no-ops, and an unknown version refuses."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    ps, pv = str(tmp_path / "s"), str(tmp_path / "v")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, i % 2, i) for i in range(lo, hi)],
+        "id long, grp long, val long",
+    )
+    V.write_snapshot(mk(0, 10), ps)        # v0
+    V.append_snapshot(mk(10, 15), ps)      # v1
+    V.append_snapshot(mk(15, 18), ps)      # v2
+
+    def s_all():
+        return sum(
+            r.sum_val for r in V.read_version(spark, pv).collect()
+        )
+
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id", up_to=0)
+    assert s_all() == sum(range(10))
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id", up_to=1)
+    assert s_all() == sum(range(15))
+    # already-ahead: up_to below the cursor is a committed no-op
+    v = V.maintain_agg_view(
+        spark, ps, pv, ("grp",), ("val",), key="id", up_to=0
+    )
+    assert v == V.current_version(pv) and s_all() == sum(range(15))
+    V.maintain_agg_view(spark, ps, pv, ("grp",), ("val",), key="id")
+    assert s_all() == sum(range(18))
+    with _pytest.raises(ValueError, match="not found"):
+        V.maintain_agg_view(
+            spark, ps, pv, ("grp",), ("val",), key="id", up_to=9
+        )
+
+
 def test_read_view_asof_source_version(spark, tmp_path):
     """Time travel indexed by the SOURCE's history: each view tick
     records the source cursor it materializes, so asof resolves to

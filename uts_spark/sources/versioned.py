@@ -3609,6 +3609,7 @@ def maintain_agg_view(
     min_cols: tuple[str, ...] = (),
     max_cols: tuple[str, ...] = (),
     sumsq_cols: tuple[str, ...] = (),
+    up_to: int | None = None,
 ) -> int:
     """INCREMENTAL AGGREGATE VIEW maintained from the CHANGE FEED
     (round 11 — classic IVM over this table format's own CDF): keep a
@@ -3659,7 +3660,12 @@ def maintain_agg_view(
     variance/stddev, so the full pushdown-aggregate family
     (COUNT/SUM/SUMSQ/MIN/MAX, hence AVG/VAR/STDDEV) maintains
     incrementally. Integer-typed like sums; the squares must fit a
-    long (caller scales first if values exceed ~3e9)."""
+    long (caller scales first if values exceed ~3e9).
+
+    ``up_to`` bounds a tick to source version <= ``up_to`` (default:
+    current) — the catch-up lever :func:`replicate` has: a view far
+    behind a hot table advances in bounded slices instead of one
+    history-sized feed, each slice its own atomic commit."""
     from functools import reduce as _reduce
     from operator import and_ as _and
 
@@ -3671,6 +3677,13 @@ def maintain_agg_view(
             f"versioned table {src_path}: no committed versions"
         )
     src_v = max(src_versions)
+    if up_to is not None:
+        if up_to not in src_versions:
+            raise ValueError(
+                f"versioned table {src_path}: version {up_to} not found "
+                f"(have {sorted(src_versions)})"
+            )
+        src_v = up_to
     sums = [f"sum_{c}" for c in sum_cols]
     mins = [f"min_{c}" for c in min_cols]
     maxs = [f"max_{c}" for c in max_cols]
@@ -3753,8 +3766,8 @@ def maintain_agg_view(
             "— a different aggregate needs its own view"
         )
     cursor = int(vm["view_cursor"])
-    if cursor == src_v:
-        return vm["version"]  # replayed tick: nothing new committed
+    if cursor >= src_v:
+        return vm["version"]  # replayed / already-ahead tick: no-op
     feed = table_changes(
         spark, src_path, cursor, src_v, key=key or vm.get("view_key")
     )
