@@ -3941,3 +3941,133 @@ def _register_stream_wap():
 
 
 stream_wap_branch_ingest_replay = _register_stream_wap()
+
+
+def _register_stream_view_maintain():
+    @query(
+        "stream_view_maintain_replay",
+        """
+        WITH s AS (
+          SELECT o_custkey % 6 AS grp, o_orderkey % 100 AS val
+          FROM orders WHERE o_custkey % 30 != 11
+        )
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(MIN(val) AS BIGINT) AS min_val
+        FROM s GROUP BY grp
+        """,
+    )
+    def stream_view_maintain_replay(spark, sf_dir):
+        """STREAMING MATERIALIZED VIEW (round 11 — the IVM surface
+        driven by a real Structured Streaming job): each micro-batch
+        lands source churn AND advances the aggregate view in the
+        same ``foreachBatch``, every leg idempotent by its own
+        mechanism — the append by its ``batch_id`` manifest key
+        (``s{id}b{n}`` — a replayed batch returns the committed
+        version before writing), the MOR takedown by masking (already
+        -hidden victims commit nothing), the view tick by its cursor
+        (feed already consumed = version no-op). Batch 1 appends;
+        batch 2 erases a custkey stripe merge-on-read, which
+        REGRESSES per-group minima — the hybrid-IVM recompute runs
+        inside the streaming tick. After the stream drains, the WHOLE
+        topology replays from a FRESH checkpoint (both trigger files
+        re-delivered): zero new versions anywhere is asserted, the
+        exactly-once claim made structural rather than
+        checkpoint-trusted. Two drain barriers pin batch order (the
+        takedown must follow the append — same sequencing discipline
+        as the drift-recluster replay). The oracle recomputes the
+        final aggregate from scratch. Scale: per tick = delta write +
+        feed-sized view merge; the regressed-group recompute is the
+        one scoped source scan min/max maintenance ever pays."""
+        from uts_spark.queries.llm_ops import _warehouse_dir
+        from uts_spark.sources.versioned import (
+            advance_view,
+            current_version,
+            delete_rows_mor,
+            list_versions,
+            maintain_agg_view,
+            read_version,
+            write_snapshot,
+        )
+        from uts_spark.sources.versioned import append_snapshot
+
+        orders = table(spark, sf_dir, "orders")
+        src = orders.select(
+            F.col("o_orderkey").alias("id"),
+            (F.col("o_custkey") % 6).alias("grp"),
+            (F.col("o_orderkey") % 100).alias("val"),
+            "o_custkey",
+        )
+        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+        ps = os.path.join(_warehouse_dir(), f"svm_src_{tag}")
+        pv = os.path.join(_warehouse_dir(), f"svm_view_{tag}")
+        shutil.rmtree(ps, ignore_errors=True)
+        shutil.rmtree(pv, ignore_errors=True)
+
+        write_snapshot(
+            src.filter(F.col("id") % 4 == 0).select("id", "grp", "val"),
+            ps, meta={"svm_custkeys": True},
+        )
+        maintain_agg_view(
+            spark, ps, pv, ("grp",), ("val",), min_cols=("val",)
+        )
+
+        def apply_batch(batch, _epoch):
+            for r in batch.select("ver").distinct().collect():
+                ver = int(r.ver)
+                if ver == 1:
+                    append_snapshot(
+                        src.filter(F.col("id") % 4 != 0)
+                        .select("id", "grp", "val"),
+                        ps, batch_id=1, stream_id="svm",
+                    )
+                else:
+                    victims = src.filter(
+                        F.col("o_custkey") % 30 == 11
+                    ).select("id").distinct()
+                    delete_rows_mor(spark, ps, victims, "id")
+                advance_view(spark, pv)
+
+        def run_stream(scratch):
+            sdir = os.path.join(scratch, "src")
+            os.makedirs(sdir, exist_ok=True)
+            chk = os.path.join(scratch, "chk")
+            q = (
+                spark.readStream.schema("ver long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(sdir)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                for ver in (1, 2):
+                    spark.createDataFrame([(ver,)], "ver long").write.mode(
+                        "append"
+                    ).parquet(sdir)
+                    q.processAllAvailable()  # order barrier
+            finally:
+                q.stop()
+
+        scratch = tempfile.mkdtemp(prefix="uts_svm_")
+        try:
+            run_stream(scratch)
+            state = (current_version(ps), current_version(pv))
+            # FULL REPLAY from a fresh checkpoint: every leg no-ops
+            shutil.rmtree(os.path.join(scratch, "chk"), ignore_errors=True)
+            run_stream(scratch)
+            assert (
+                current_version(ps), current_version(pv)
+            ) == state, "replay committed new versions"
+            vm = list_versions(pv)[-1]
+            assert int(vm["view_cursor"]) == current_version(ps)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        return read_version(spark, pv).select(
+            "grp", "n_rows", "sum_val", "min_val"
+        )
+
+    return stream_view_maintain_replay
+
+
+stream_view_maintain_replay = _register_stream_view_maintain()

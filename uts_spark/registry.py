@@ -116,7 +116,8 @@ from uts_spark.queries import unicode_ops  # noqa: E402,F401
 # entries to DEMOS per VERDICT r3 #1, 227 → 224; every remaining entry
 # has a declared oracle). If this fires, a module stopped registering
 # queries — find out why.
-_REGISTRY_FLOOR = 416  # round 11: +composite-key CDF +chained views
+_REGISTRY_FLOOR = 417  # round 11: +streaming-maintained view replay
+# prior floor 416 — +composite-key CDF +chained views
 # prior floor 414 — +min/max aggregate views (hybrid IVM)
 # prior floor 413 — +branch-staged MOR erasure (WAP takedowns)
 # prior floor 412 — +SQL-view movers-only refresh
