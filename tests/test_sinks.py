@@ -2654,6 +2654,65 @@ def test_catalog_publish_staged_erasure_multi_table(spark, tmp_path):
     assert "gdpr2" in V.list_branches(pa)
 
 
+def test_stage_erasure_by_names_facade(spark, tmp_path):
+    """The staged-GDPR facade: one call stages the takedown as MOR
+    vectors on a branch of every named table (key from manifest
+    stats_col or table_keys override; id frame renamed per table),
+    indexes report staged=False with the publish-time instruction,
+    replay is a no-op, and publish_branches flips the cut."""
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        create_snapshot,
+        publish_branches,
+        read_table,
+        register_entry,
+        stage_erasure_by_names,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    V.write_snapshot(
+        spark.range(0, 80).selectExpr("id AS uid", "id % 5 AS g"),
+        pa, stats_col="uid",
+    )
+    V.write_snapshot(
+        spark.range(0, 40).selectExpr("id AS member", "id % 3 AS h"),
+        pb,
+    )
+    register_entry(cat, "a", pa)
+    register_entry(cat, "b", pb)
+    create_snapshot(cat, "cut", ["a", "b"])
+
+    ids = spark.range(0, 80).filter(F.col("id") % 8 == 1).select(
+        F.col("id").alias("whatever")
+    )
+    rep = {
+        r["name"]: r
+        for r in stage_erasure_by_names(
+            spark, ids, cat, "gdpr", table_keys={"b": "member"},
+        )
+    }
+    assert rep["a"] == {
+        "name": "a", "staged": True, "branch_seq": 1, "n_masked": 10,
+    }
+    assert rep["b"]["n_masked"] == 5  # ids 1..33 stepping 8 in 0..40
+    # staged only: main + the cut untouched
+    assert read_table(spark, cat, "a").count() == 80
+    assert V.read_branch(spark, pa, "gdpr").count() == 70
+    # replay: same ids stage nothing new
+    rep2 = {
+        r["name"]: r
+        for r in stage_erasure_by_names(
+            spark, ids, cat, "gdpr", table_keys={"b": "member"},
+        )
+    }
+    assert rep2["a"]["branch_seq"] == 1 and rep2["a"]["n_masked"] == 0
+    out = publish_branches(spark, cat, "cut", {"a": "gdpr", "b": "gdpr"})
+    assert set(out["published"]) == {"a", "b"}
+    assert read_table(spark, cat, "a", snapshot="cut").count() == 70
+    assert read_table(spark, cat, "b", snapshot="cut").count() == 35
+
+
 def test_catalog_sweep_snapshot_tags(spark, tmp_path):
     """The janitor drops ORPHANED snap- tags (a member moved by
     alter_entry keeps its stale tag on the abandoned path) but never

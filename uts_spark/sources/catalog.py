@@ -882,6 +882,93 @@ def erase_by_names(
     return [{**a, "name": order[a["target"]]} for a in acct]
 
 
+def stage_erasure_by_names(
+    spark,
+    deleted_ids,
+    catalog: str,
+    branch: str,
+    names: list[str] | None = None,
+    table_keys: dict[str, str] | None = None,
+) -> list[dict]:
+    """CATALOG-WIDE **STAGED** GDPR (round 11 — the WAP sibling of
+    :func:`erase_by_names`): stage the takedown batch as MERGE-ON-READ
+    deletion vectors on ``branch`` of every named table — main serves
+    untouched until the audit approves and
+    ``publish_branches(catalog, snap, {name: branch, ...})`` flips
+    the cut. Per table: the branch is forked if absent (outstanding
+    main vectors fork WITH it), the erase key resolves exactly as
+    erase_by_names does (``table_keys`` override, else the manifest's
+    stats_col/bloom_col opt-in), and the single-column id frame is
+    renamed to that key. The auditor reads ``read_branch`` (masked)
+    and ``branch_changes`` (keyless delete images). Index entries are
+    reported ``staged=False`` — index protocols have no branch
+    concept, so indexes erase AT PUBLISH time via erase_by_names
+    (run it right after the flip; the report says so explicitly
+    rather than letting a compliance operator believe an index was
+    staged). Returns one dict per entry:
+    ``{name, staged, branch_seq?, n_masked?, reason?}``."""
+    from uts_spark.sources.versioned import (
+        _branch_records,
+        create_branch,
+        delete_rows_mor_branch,
+        list_branches,
+        list_versions,
+    )
+
+    if len(deleted_ids.columns) != 1:
+        raise ValueError(
+            "stage_erasure_by_names: pass a single-column id frame "
+            f"(got columns {deleted_ids.columns})"
+        )
+    entries = list_entries(catalog)
+    if names is not None:
+        have = {r["name"] for r in entries}
+        missing = [n for n in names if n not in have]
+        if missing:
+            raise ValueError(
+                f"catalog has no entries named {missing} "
+                f"(have {sorted(have)})"
+            )
+        entries = [r for r in entries if r["name"] in names]
+    out = []
+    for rec in entries:
+        if rec["kind"] != "table":
+            out.append({
+                "name": rec["name"], "staged": False,
+                "reason": (
+                    f"{rec['kind']} entries have no branches — erase "
+                    "at publish time via erase_by_names"
+                ),
+            })
+            continue
+        key = (table_keys or {}).get(rec["name"])
+        if key is None:
+            ms = list_versions(rec["path"])
+            key = (
+                (ms[-1].get("stats_col") or ms[-1].get("bloom_col"))
+                if ms else None
+            )
+        if key is None:
+            raise ValueError(
+                f"catalog table {rec['name']!r} has neither stats_col "
+                "nor bloom_col on its manifest — pass table_keys={'"
+                f"{rec['name']}': '<key_col>'}}"
+            )
+        if branch not in list_branches(rec["path"]):
+            create_branch(rec["path"], branch)
+        before = _branch_records(rec["path"], branch)[-1]["n_rows"]
+        seq = delete_rows_mor_branch(
+            spark, rec["path"], branch,
+            deleted_ids.toDF(key), key,
+        )
+        after = _branch_records(rec["path"], branch)[-1]["n_rows"]
+        out.append({
+            "name": rec["name"], "staged": True,
+            "branch_seq": seq, "n_masked": before - after,
+        })
+    return out
+
+
 def sweep_snapshot_tags(catalog: str) -> list[tuple[str, str]]:
     """Drop ORPHANED snapshot retention tags: a ``snap-<name>`` ref on
     a registered table that no live snapshot generation still pins —
