@@ -2121,10 +2121,11 @@ def test_versioned_dv_cdf_fast_path(spark, tmp_path):
 
 def test_versioned_dv_interop_guards(spark, tmp_path):
     """The seams where vectors meet the other verbs: CoW delete_rows
-    materializes outstanding vectors first; create_branch refuses on a
-    vector-carrying base; vacuum keeps vector sidecars exactly as long
-    as a kept manifest references them; replication across a MOR range
-    demands key= and converges to the source."""
+    materializes outstanding vectors first; create_branch CARRIES a
+    vector-carrying base (round 11 — the fork reads masked); vacuum
+    keeps vector sidecars exactly as long as a kept manifest
+    references them; replication across a MOR range demands key= and
+    converges to the source."""
     import os
 
     import pytest
@@ -2152,9 +2153,13 @@ def test_versioned_dv_interop_guards(spark, tmp_path):
     dv_dir = pm["dv"][0]["dir"]
     assert os.path.isdir(dv_dir)
 
-    # branching a vector-carrying base refuses loudly
-    with pytest.raises(ValueError, match="materialize_dvs"):
-        create_branch(path, "risky")
+    # branching a vector-carrying base CARRIES the vectors (round 11:
+    # branch records hold vector lists) — the fork reads masked
+    create_branch(path, "risky")
+    from uts_spark.sources.versioned import drop_branch, read_branch
+
+    assert read_branch(spark, path, "risky").count() == 190
+    drop_branch(path, "risky")
 
     # replicate the MOR range: key required, replica converges
     dst = str(tmp_path / "vt_dv_replica")
