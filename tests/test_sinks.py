@@ -4083,6 +4083,52 @@ def test_maintain_agg_view_updates_and_refusals(spark, tmp_path):
         V.maintain_agg_view(spark, ps, ps, ("grp",), ("val",))
 
 
+def test_table_changes_content_preserving_tail(spark, tmp_path):
+    """A feed range ending in optimize / materialize_dv commits diffs
+    against the newest content-CHANGING version (those verbs rewrite
+    physics, never content — hash-identity pinned by their own oracle
+    lanes): append+compact stays a keyless dir-diff, a
+    compaction-only range is an empty no-scan feed, MOR
+    delete+materialize keeps its keyless delete images, and a view
+    over a compacting source advances without key=."""
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "cp")
+    V.write_snapshot(
+        spark.range(0, 50).selectExpr("id AS k", "id % 5 AS g"), p
+    )
+    V.append_snapshot(
+        spark.range(50, 70).selectExpr("id AS k", "id % 5 AS g"), p
+    )
+    V.optimize(spark, p)  # v2
+    f = V.table_changes(spark, p, 0, 2)  # no key=
+    assert {r._change_type for r in f.collect()} == {"insert"}
+    assert f.count() == 20
+    assert V.table_changes(spark, p, 1, 2).count() == 0
+
+    V.delete_rows_mor(
+        spark, p, spark.createDataFrame([(3,), (7,)], "k long"), "k"
+    )
+    V.materialize_dvs(spark, p)  # v4
+    dels = sorted(
+        r.k
+        for r in V.table_changes(spark, p, 2, 4).collect()
+        if r._change_type == "delete"
+    )
+    assert dels == [3, 7]
+
+    pv = str(tmp_path / "cpv")
+    V.maintain_agg_view(spark, p, pv, ("g",), ())
+    V.append_snapshot(
+        spark.range(70, 80).selectExpr("id AS k", "id % 5 AS g"), p
+    )
+    V.optimize(spark, p)
+    V.maintain_agg_view(spark, p, pv, ("g",), ())  # keyless tick
+    assert (
+        sum(r.n_rows for r in V.read_version(spark, pv).collect()) == 78
+    )
+
+
 def test_table_changes_composite_key(spark, tmp_path):
     """Composite row identity (round 11): ``key=("k1","k2")`` diffs
     rewrite ranges by the column COMBINATION — neither column unique

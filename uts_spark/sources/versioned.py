@@ -2524,6 +2524,26 @@ def table_changes(
     new = read_version(spark, path, to_version)
     if from_version == to_version:
         return new.withColumn("_change_type", F.lit("insert")).limit(0)
+    # CONTENT-PRESERVING TAIL (round 11): optimize (compaction) and
+    # materialize_dv (vector fold) rewrite PHYSICS, never content —
+    # their own oracle lanes pin hash-identity across the commit. A
+    # feed whose range ends in such commits diffs against the newest
+    # content-CHANGING version instead, so a nightly compaction does
+    # not force every CDC consumer off the manifest fast paths into a
+    # table-sized key-diff (the trap Delta CDF consumers hit). The
+    # walk is manifest-only; an entirely-preserving range is an empty
+    # feed with no scan at all.
+    eff_to = to_version
+    while eff_to != from_version and versions[eff_to].get(
+        "operation"
+    ) in ("optimize", "materialize_dv"):
+        parent = versions[eff_to].get("parent")
+        if parent is None or parent not in versions or parent < from_version:
+            break
+        eff_to = parent
+    if eff_to == from_version:
+        return new.withColumn("_change_type", F.lit("insert")).limit(0)
+    to_version = eff_to
     m_from, m_to = versions[from_version], versions[to_version]
     from_dirs = set(_manifest_dirs(m_from))
     to_dirs = _manifest_dirs(m_to)
