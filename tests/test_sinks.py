@@ -2871,6 +2871,71 @@ def test_versioned_branch_staged_mor_erasure(spark, tmp_path):
     assert V.read_version(spark, path).count() == main.count()
 
 
+def test_branch_overwrite_feed_masks_forked_vectors(spark, tmp_path):
+    """An OVERWRITE branch forked from a vector-carrying base must
+    diff against the MASKED base: erased base rows never resurrect as
+    phantom delete images in the audit feed (code-review find,
+    round 11)."""
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "owm")
+    V.write_snapshot(
+        spark.range(0, 20).selectExpr("id AS k", "CAST(id AS LONG) AS v"),
+        p,
+    )
+    V.delete_rows_mor(
+        spark, p, spark.createDataFrame([(3,), (4,)], "k long"), "k"
+    )
+    V.create_branch(p, "ow")  # fork carries the vectors
+    # staged overwrite = the masked base minus k=5, plus k=100
+    staged = (
+        V.read_branch(spark, p, "ow").filter(F.col("k") != 5)
+        .unionByName(
+            spark.createDataFrame([(100, 100)], "k long, v long")
+        )
+    )
+    V.write_to_branch(staged, p, "ow", operation="overwrite")
+    feed = V.branch_changes(spark, p, "ow", key="k")
+    by = {}
+    for r in feed.collect():
+        by.setdefault(r._change_type, set()).add(r.k)
+    # the erased 3/4 are NOT deletes of this overwrite — they were
+    # already gone at the fork
+    assert by["delete"] == {5}
+    assert by["insert"] == {100}
+    assert "update_preimage" not in by
+
+
+def test_refresh_sql_views_empty_history_repoint(spark, tmp_path):
+    """A name re-pointed to a not-yet-seeded path reports
+    empty_history instead of crashing the refresh (and the janitor
+    tick running it)."""
+    import os
+
+    import uts_spark.sources.versioned as V
+    from uts_spark.sources.catalog import (
+        alter_entry,
+        refresh_sql_views,
+        register_entry,
+        register_sql_views,
+    )
+
+    cat = str(tmp_path / "cat")
+    pa = str(tmp_path / "a")
+    V.write_snapshot(spark.range(0, 5).selectExpr("id AS k"), pa)
+    register_entry(cat, "ve", pa)
+    register_sql_views(spark, cat)
+    pb = str(tmp_path / "unseeded")
+    os.makedirs(pb)
+    alter_entry(cat, "ve", pb)
+    rep = refresh_sql_views(spark, cat)
+    assert rep["ve"] == {"refreshed": False, "empty_history": True}
+    # the last registered snapshot keeps serving
+    assert spark.sql("SELECT count(*) n FROM ve").first()["n"] == 5
+    spark.catalog.dropTempView("ve")
+    spark._uts_sql_view_state.clear()
+
+
 def test_versioned_branch_staged_mor_refusals_and_liveness(
     spark, tmp_path
 ):

@@ -406,6 +406,12 @@ def refresh_sql_views(
             out[name] = {"refreshed": False, "gone": True}
             continue
         v = current_version(rec["path"])
+        if v is None:
+            # re-pointed to a not-yet-seeded path: keep serving the
+            # last registered snapshot, report instead of crashing
+            # the janitor tick mid-loop
+            out[name] = {"refreshed": False, "empty_history": True}
+            continue
         if rec["path"] == st["path"] and v == st["version"]:
             out[name] = {"refreshed": False, "from": v, "to": v}
             continue
@@ -956,15 +962,26 @@ def stage_erasure_by_names(
             )
         if branch not in list_branches(rec["path"]):
             create_branch(rec["path"], branch)
-        before = _branch_records(rec["path"], branch)[-1]["n_rows"]
+        before_seq = _branch_records(rec["path"], branch)[-1]["seq"]
         seq = delete_rows_mor_branch(
             spark, rec["path"], branch,
             deleted_ids.toDF(key), key,
         )
-        after = _branch_records(rec["path"], branch)[-1]["n_rows"]
+        # accounting from the COMMITTED vector record, never from
+        # two head reads a concurrent branch writer could straddle;
+        # an unchanged seq means the replay/no-op path (all victims
+        # already masked) and staged nothing new
+        if seq == before_seq:
+            n_masked = 0
+        else:
+            committed = {
+                r["seq"]: r
+                for r in _branch_records(rec["path"], branch)
+            }[seq]
+            n_masked = committed["dv"][-1]["n_masked"]
         out.append({
             "name": rec["name"], "staged": True,
-            "branch_seq": seq, "n_masked": before - after,
+            "branch_seq": seq, "n_masked": n_masked,
         })
     return out
 
@@ -1059,16 +1076,24 @@ def catalog_maintenance_tick(
         # view): advance ancestors first, or a dependent stays one
         # tick behind its source forever. Depth = number of registered
         # view ancestors on the view_src chain, read off manifests.
-        by_path = {r["path"]: r["name"] for r in views}
+        # Paths normalize before comparing (a view maintained with an
+        # absolute src but registered relative — or vice versa — must
+        # still order; ADVICE r10's path-equality lesson).
+        def _np(p: str) -> str:
+            return os.path.abspath(p.removeprefix("file:"))
+
+        by_path = {_np(r["path"]): r["name"] for r in views}
         depth = {}
         for r in views:
             d, seen, p = 0, set(), r["path"]
             while True:
                 vm = list_versions(p)
                 src = vm[-1].get("view_src") if vm else None
-                if src is None or src not in by_path or src in seen:
+                if src is None or _np(src) not in by_path or _np(
+                    src
+                ) in seen:
                     break
-                seen.add(src)
+                seen.add(_np(src))
                 d += 1
                 p = src
             depth[r["name"]] = d

@@ -3181,7 +3181,6 @@ def delete_rows_positional_branch(
     and duplicate rows erase exactly, and rows appended later live in
     new files the positions structurally cannot name. Returns the new
     branch head seq; a predicate matching nothing commits nothing."""
-    dvdir = None
     last: Exception | None = None
     for _ in range(max_retries):
         recs = _branch_records(path, name)
@@ -3197,7 +3196,6 @@ def delete_rows_positional_branch(
 
             shutil.rmtree(vdir)
             return head["seq"]
-        dvdir = vdir
         rec = {
             "seq": head["seq"] + 1,
             "base": head["base"],
@@ -3207,7 +3205,7 @@ def delete_rows_positional_branch(
             **_branch_delete_carry(head),
             **({"dv": head["dv"]} if head.get("dv") else {}),
             "pdv": head.get("pdv", []) + [
-                {"dir": dvdir, "n_masked": n_masked}
+                {"dir": vdir, "n_masked": n_masked}
             ],
         }
         try:
@@ -3219,7 +3217,6 @@ def delete_rows_positional_branch(
             import shutil
 
             shutil.rmtree(vdir, ignore_errors=True)
-            dvdir = None
             last = e
     raise last  # type: ignore[misc]
 
@@ -3464,8 +3461,9 @@ def branch_changes(
     mor_ops = {"delete_mor", "delete_positional"}
     if staged_ops <= {"append"} | mor_ops and staged_ops & mor_ops:
         # staged TAKEDOWNS (round 11 — WAP erasure audit): the branch
-        # range is appends + new deletion vectors off the fork base
-        # (vector-free by create_branch's refusal), which is exactly
+        # range is appends + vectors staged PAST the fork record's
+        # carried prefix (the fork may itself carry base vectors;
+        # _mor_fast_feed diffs only the suffix), which is exactly
         # the MOR fast-path shape — inserts from the added dirs under
         # the staged masks, KEYLESS delete images from a pruned scan
         # of the dirs the staged vectors scope / the positions name.
@@ -3483,14 +3481,11 @@ def branch_changes(
                 "read_branch)"
             )
         base_rec = recs[0]
-        base = _scan_dirs(
-            spark,
-            {
-                "schema": base_rec.get("schema"),
-                "evolved": base_rec.get("evolved"),
-            },
-            base_rec["data_dirs"],
-        )
+        # the fork record may CARRY the base's deletion vectors
+        # (vector-carrying forks, round 11) — the base side of the
+        # diff must read masked, or every erased base row resurrects
+        # as a phantom delete image in the audit feed
+        base = _read_dirs_masked(spark, base_rec, base_rec["data_dirs"])
         staged = read_branch(spark, path, name)
         return _key_diff_feed(
             base, staged, key,
