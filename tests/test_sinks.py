@@ -2805,6 +2805,12 @@ def test_versioned_branch_changes_overwrite_keydiff(spark, tmp_path):
     assert by["delete"] == {(0, 0), (1, 1)}
     assert by["update_preimage"] == {(5, 5)}
     assert by["update_postimage"] == {(5, 500)}
+    # column-level granularity passes through to overwrite feeds
+    cc = branch_changes(
+        spark, path, "rw", key="k", with_changed_columns=True
+    )
+    upd = [r for r in cc.collect() if r._change_type == "update_postimage"]
+    assert [r._changed_columns for r in upd] == [["v"]]
 
 
 def test_versioned_branch_staged_mor_erasure(spark, tmp_path):

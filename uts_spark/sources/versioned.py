@@ -3438,6 +3438,7 @@ def drop_branch(path: str, name: str) -> None:
 def branch_changes(
     spark: SparkSession, path: str, name: str,
     key: str | tuple | list | None = None,
+    with_changed_columns: bool = False,
 ) -> DataFrame:
     """What the branch HAS STAGED, as a change feed (the WAP audit's
     incremental view — reviewers read the staged delta, not the whole
@@ -3452,7 +3453,10 @@ def branch_changes(
     appends + STAGED TAKEDOWNS (:func:`delete_rows_mor_branch` /
     :func:`delete_rows_positional_branch`) feeds KEYLESSLY through
     the MOR fast-path kernel (:func:`_mor_fast_feed`) — pruned scans
-    of the scoped dirs, delete images with no key column required."""
+    of the scoped dirs, delete images with no key column required.
+    ``with_changed_columns`` adds the column-level diff to overwrite
+    feeds exactly as :func:`table_changes` documents (insert-only and
+    takedown feeds have no update images to annotate)."""
     from pyspark.sql import functions as F
 
     recs = _branch_records(path, name)
@@ -3490,6 +3494,7 @@ def branch_changes(
         return _key_diff_feed(
             base, staged, key,
             f"versioned table {path}: branch {name!r} vs fork base",
+            with_changed_columns,
         )
     base_dirs = set(recs[0]["data_dirs"])
     added = [d for d in head["data_dirs"] if d not in base_dirs]
