@@ -3131,7 +3131,17 @@ def delete_rows_mor_branch(
         recs = _branch_records(path, name)
         head = recs[-1]
         dirs = head["data_dirs"]
-        visible = _read_dirs_masked(spark, head, dirs)
+        # the fork record carries the base's stats/dir_rows, so a
+        # pure-takedown branch prunes the n_masked count to admitting
+        # dirs exactly like the main-chain verb; a branch that staged
+        # appends has stats-less delta dirs and scans (admit None)
+        admit = _admitting_dirs(spark, head, idf, key)
+        use = dirs if admit is None else [
+            d for d, a in zip(dirs, admit) if a
+        ]
+        if not use:
+            return head["seq"]  # no dir can hold a deleted key
+        visible = _read_dirs_masked(spark, head, use)
         if key not in visible.columns:
             raise ValueError(
                 f"versioned table {path} branch {name!r}: no column "
