@@ -4154,6 +4154,43 @@ def test_maintain_agg_view_updates_and_refusals(spark, tmp_path):
         V.maintain_agg_view(spark, ps, ps, ("grp",), ("val",))
 
 
+def test_replicate_skips_content_preserving_ranges(spark, tmp_path):
+    """Replication across upstream compactions: a mixed range rewinds
+    to the newest content-changing version (keyless append fast path
+    survives a compaction tail), a compaction-only range advances the
+    cursor in one metadata commit (replicate-skip, no read), and a
+    real delete in the range still demands key=."""
+    import pytest as _pytest
+
+    import uts_spark.sources.versioned as V
+
+    p, r = str(tmp_path / "src"), str(tmp_path / "rep")
+    V.write_snapshot(spark.range(0, 60).selectExpr("id AS k"), p)
+    V.replicate(spark, p, r)
+    V.append_snapshot(spark.range(60, 80).selectExpr("id AS k"), p)
+    V.optimize(spark, p)
+    V.optimize(spark, p)  # v3: append + compaction tail
+    V.replicate(spark, p, r)  # keyless
+    assert V.read_version(spark, r).count() == 80
+    assert V.list_versions(r)[-1]["repl_cursor"] == 3
+
+    V.optimize(spark, p)  # v4: compaction-only range
+    v = V.replicate(spark, p, r)
+    m = V.list_versions(r)[-1]
+    assert m["operation"] == "replicate-skip" and m["repl_cursor"] == 4
+    assert V.read_version(spark, r).count() == 80
+    assert V.replicate(spark, p, r) == v  # replay no-op
+
+    V.delete_rows_mor(
+        spark, p, spark.createDataFrame([(5,)], "k long"), "k"
+    )
+    V.materialize_dvs(spark, p)  # v6: delete under a preserving tail
+    with _pytest.raises(ValueError, match="pass key="):
+        V.replicate(spark, p, r)
+    V.replicate(spark, p, r, key="k")
+    assert V.read_version(spark, r).count() == 79
+
+
 def test_table_changes_content_preserving_tail(spark, tmp_path):
     """A feed range ending in optimize / materialize_dv commits diffs
     against the newest content-CHANGING version (those verbs rewrite

@@ -3949,7 +3949,13 @@ def replicate(
     - **key-diff apply** (rewrites in the range): one feed
       (:func:`table_changes`) + one left-anti join on ``key`` — dst
       minus (deleted + update-preimage keys) union (inserts +
-      update-postimages). ``key`` required, as in the feed itself.
+      update-postimages). ``key`` required, as in the feed itself;
+    - **cursor skip** (round 11): a range that is entirely
+      optimize / materialize_dv commits upstream changed physics,
+      never content — the replica advances its cursor in ONE metadata
+      commit, no key, no read, no rewrite. A mixed range diffs
+      against the newest content-changing version and records the
+      original cursor (content identity covers the preserving tail).
 
     Safety rails: a dst whose current manifest carries no cursor (a
     table that was never seeded by replicate, or a replica someone
@@ -3998,6 +4004,42 @@ def replicate(
         )
     if cursor >= up_to:
         return dm["version"]  # replay / already ahead: no-op
+    # content-preserving upstream tail (round 11 — the table_changes
+    # rewind applied to replication): an upstream range that is
+    # entirely optimize/materialize_dv commits changed physics, not
+    # content — the replica advances its CURSOR in one metadata
+    # commit instead of demanding key= and rewriting itself
+    eff = up_to
+    while eff != cursor and src_versions[eff].get("operation") in (
+        "optimize", "materialize_dv",
+    ):
+        parent = src_versions[eff].get("parent")
+        if parent is None or parent not in src_versions or parent < cursor:
+            break
+        eff = parent
+    if eff == cursor:
+        carried = {
+            k: dm[k]
+            for k in (
+                "schema", "evolved", "stats_col", "dir_stats",
+                "dir_rows", "bloom_col", "kmv_col", "kmv_k",
+                "dir_kmv", "kmv_extra", "dv", "pdv",
+            )
+            if k in dm
+        }
+        return commit_version(
+            dst_path,
+            _manifest_dirs(dm),
+            "replicate-skip",
+            dm["version"],
+            dm["n_rows"],
+            {**carried, **meta},
+        )
+    # mixed range: diff against the newest content-changing version;
+    # the committed cursor (meta, built above) still records the
+    # ORIGINAL up_to — the replica is current through the preserving
+    # tail by content identity
+    up_to = eff
     from_dirs = set(_manifest_dirs(src_versions[cursor]))
     to_dirs = _manifest_dirs(src_versions[up_to])
     # pure append = dirs only grew AND the deletion-vector history is
