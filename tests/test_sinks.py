@@ -2942,6 +2942,34 @@ def test_refresh_sql_views_empty_history_repoint(spark, tmp_path):
     spark._uts_sql_view_state.clear()
 
 
+def test_branch_append_carries_stage_time_stats(spark, tmp_path):
+    """write_to_branch records the delta dir's stats when the fork
+    carries the base's pruning opt-in: staged takedowns keep
+    admitting-dirs pruning after staged appends, and publish reuses
+    the carried ranges (ROADMAP r12 refreshed #1)."""
+    import uts_spark.sources.versioned as V
+
+    p = str(tmp_path / "sts")
+    V.write_snapshot(
+        spark.range(0, 100).selectExpr("id AS k"), p, stats_col="k"
+    )
+    V.create_branch(p, "b")
+    V.write_to_branch(
+        spark.range(200, 300).selectExpr("id AS k"), p, "b"
+    )
+    head = V._branch_records(p, "b")[-1]
+    assert head.get("stats_col") == "k"
+    assert len(head["dir_stats"]) == 2 and len(head["dir_rows"]) == 2
+    idf = spark.createDataFrame([(250,)], "k long")
+    assert V._admitting_dirs(spark, head, idf, "k") == [False, True]
+    V.delete_rows_mor_branch(spark, p, "b", idf, "k")
+    assert V.read_branch(spark, p, "b").count() == 199
+    V.merge_branch(spark, p, "b")
+    pm = V.list_versions(p)[-1]
+    assert pm.get("stats_col") == "k" and len(pm["dir_stats"]) == 2
+    assert V.read_version(spark, p).count() == 199
+
+
 def test_versioned_branch_staged_mor_refusals_and_liveness(
     spark, tmp_path
 ):

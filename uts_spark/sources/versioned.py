@@ -3014,7 +3014,19 @@ def write_to_branch(
     spark = df.sparkSession
     new_fields = _schema_fields(df.schema.simpleString())
     ddir = _write_delta_dir(df, path, sort_cols)
-    n_new = spark.read.parquet(ddir).count()
+    # stage-time stats (round 11): when the fork carries the base's
+    # pruning opt-in and the delta has the column, record the delta
+    # dir's stats ON the branch record — staged takedowns keep their
+    # admitting-dirs pruning after staged appends, and publish reuses
+    # the ranges instead of re-scanning. Same single read-back scan
+    # that counts the delta.
+    base_scol = _branch_records(path, name)[-1].get("stats_col")
+    stats_computed = base_scol is not None and base_scol in new_fields
+    if stats_computed:
+        n_new, delta_rng = _dir_stats(spark, ddir, base_scol)
+    else:
+        n_new = spark.read.parquet(ddir).count()
+        delta_rng = None
     last: Exception | None = None
     for _ in range(max_retries):
         recs = _branch_records(path, name)
@@ -3068,6 +3080,22 @@ def write_to_branch(
                 # them — same rule as the main chain)
                 **({"dv": head["dv"]} if head.get("dv") else {}),
                 **({"pdv": head["pdv"]} if head.get("pdv") else {}),
+                **(
+                    {
+                        "stats_col": base_scol,
+                        "dir_stats": {
+                            **head.get("dir_stats", {}),
+                            ddir: delta_rng,
+                        },
+                        "dir_rows": {
+                            **head.get("dir_rows", {}),
+                            ddir: n_new,
+                        },
+                    }
+                    if stats_computed
+                    and head.get("stats_col") == base_scol
+                    else {}
+                ),
             })
         try:
             _branch_commit(path, name, rec)
@@ -3331,9 +3359,25 @@ def merge_branch(
     added_stats: dict = {}
     added_counts: dict = {}
     if commuting and (pub_scol or pub_bcol):
+        # stage-time stats recorded by write_to_branch are reused —
+        # the publish re-scans only dirs staged before the base opted
+        # in (or by writers on a stats-less fork)
+        b_stats = (
+            head.get("dir_stats", {})
+            if head.get("stats_col") == pub_scol
+            else {}
+        )
+        b_rows = (
+            head.get("dir_rows", {})
+            if head.get("stats_col") == pub_scol
+            else {}
+        )
         for d in added:
             if pub_scol is not None:
-                n_d, rng = _dir_stats(spark, d, pub_scol)
+                if d in b_stats and d in b_rows:
+                    n_d, rng = b_rows[d], b_stats[d]
+                else:
+                    n_d, rng = _dir_stats(spark, d, pub_scol)
                 added_stats[d] = rng
             else:
                 n_d = spark.read.parquet(d).count()
