@@ -115,10 +115,18 @@ def _id_stats(spark, ddir: str, id_col: str = "id") -> list[int]:
 
 
 def _count_and_stats(spark, ddir: str, id_col: str = "id") -> tuple[int, list[int]]:
-    """(row count, [min_id, max_id]) of a delta dir in ONE read-back
-    scan — the separate count + min/max passes were a measurable slice
-    of the 1M build wall (tools/vindex_smoke.py). Empty dir -> the
-    [0, -1] sentinel range that admits no id."""
+    """(row count, [min_id, max_id]) of a delta dir — parquet footers
+    first (no Spark job at all; optimization r11 — integer id columns
+    have exact footer min/max), read-back scan fallback for exotic id
+    types. Empty dir -> the [0, -1] sentinel range that admits no id."""
+    from uts_spark.sources.versioned import _dir_footer_meta
+
+    meta = _dir_footer_meta(ddir, id_col)
+    if meta is not None and meta[2]:
+        n = meta[0]
+        return n, (
+            [int(meta[1][0]), int(meta[1][1])] if n else [0, -1]
+        )
     row = spark.read.parquet(ddir).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(id_col).alias("lo"),
@@ -289,8 +297,16 @@ def _delete_pruned(
         )
         ddir = _write_delta_dir(kept, path, sort)
         n_kept, kept_stats = _count_and_stats(spark, ddir, id_col)
-        # exact rows: parent total - touched rows + kept rows
-        n_touched = spark.read.parquet(*touched).count()
+        # exact rows: parent total - touched rows + kept rows; footer
+        # counts of the (already-committed, immutable) touched dirs —
+        # no Spark job for a number their footers hold
+        from uts_spark.sources.versioned import _dir_footer_meta
+
+        metas = [_dir_footer_meta(d) for d in touched]
+        if all(m is not None for m in metas):
+            n_touched = sum(m[0] for m in metas)
+        else:
+            n_touched = spark.read.parquet(*touched).count()
         n_rows = pm["n_rows"] - n_touched + n_kept
         meta = meta_fn(pm)
         meta["dir_stats"] = {

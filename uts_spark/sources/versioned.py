@@ -126,14 +126,99 @@ def _check_stats_col(df: DataFrame, stats_col: str) -> None:
         )
 
 
+# Footer min/max is trusted ONLY for these parquet physical types:
+# strings (BYTE_ARRAY) may be TRUNCATED in footers (writers cap binary
+# stats length — a truncated value is a valid pruning BOUND but not the
+# scan's exact value, and manifest stats must match the scan path
+# bit-for-bit), and float/double footers exclude NaN while Spark's
+# max() sorts NaN highest. Both fall back to the scan.
+_FOOTER_STATS_PHYS = {"INT32", "INT64", "BOOLEAN"}
+
+
+def _dir_footer_meta(ddir: str, stats_col: str | None = None):
+    """Row count (exact for any schema) and, when trustworthy, the
+    [min, max] of ``stats_col`` read from the just-written parquet
+    FOOTERS — the write-side statistics every real table format
+    records instead of re-scanning its own output (optimization r11,
+    guide §1.2: the cheapest Spark job is the one not launched; each
+    commit verb was paying a full read-back scan for numbers the
+    footers already hold). Returns ``(n_rows, rng_or_None, have_rng)``
+    or ``None`` when the dir cannot be footer-read at all (caller
+    falls back to the Spark scan)."""
+    import pyarrow.parquet as pq
+
+    try:
+        names = sorted(os.listdir(ddir))
+    except OSError:
+        return None
+    n = 0
+    lo = hi = None
+    have = stats_col is not None
+    try:
+        for fn in names:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(ddir, fn)).metadata
+            n += md.num_rows
+            if not have:
+                continue
+            for rgi in range(md.num_row_groups):
+                rg = md.row_group(rgi)
+                if rg.num_rows == 0:
+                    continue
+                c = next(
+                    (
+                        rg.column(i)
+                        for i in range(rg.num_columns)
+                        if rg.column(i).path_in_schema == stats_col
+                    ),
+                    None,
+                )
+                st = c.statistics if c is not None else None
+                if (
+                    c is None
+                    or c.physical_type not in _FOOTER_STATS_PHYS
+                    or st is None
+                    or not st.has_min_max
+                    # logical types (date/timestamp/decimal) surface as
+                    # non-int python values — only plain ints/bools match
+                    # the scan's JSON form exactly
+                    or not isinstance(st.min, (bool, int))
+                    or not isinstance(st.max, (bool, int))
+                ):
+                    have = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    except Exception:
+        return None
+    return n, ([lo, hi] if (have and lo is not None) else None), have
+
+
+def _dir_count(spark, ddir: str) -> int:
+    """Exact row count of a data dir — parquet footers first (no Spark
+    job), scan fallback."""
+    meta = _dir_footer_meta(ddir)
+    if meta is not None:
+        return meta[0]
+    return spark.read.parquet(ddir).count()
+
+
 def _dir_stats(spark, ddir: str, stats_col: str):
-    """(row count, [min, max] of ``stats_col``) of a data dir in one
-    read-back scan — the manifest-recorded file statistics that let
-    erasure prune (same design as the snapshot indexes' id-range
-    stats; values stay whatever JSON-serializable type the column
-    holds). Empty dir -> None range (admits nothing)."""
+    """(row count, [min, max] of ``stats_col``) of a data dir — the
+    manifest-recorded file statistics that let erasure prune (same
+    design as the snapshot indexes' id-range stats; values stay
+    whatever JSON-serializable type the column holds). Empty dir ->
+    None range (admits nothing). Answered from parquet footers when
+    the stats column's physical type makes footer min/max exact
+    (integers/booleans — see ``_FOOTER_STATS_PHYS``); strings/floats
+    pay the one read-back scan as before."""
     from pyspark.sql import functions as F
 
+    meta = _dir_footer_meta(ddir, stats_col)
+    if meta is not None and meta[2]:
+        n = meta[0]
+        return n, (meta[1] if n else None)
     row = spark.read.parquet(ddir).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(stats_col).alias("lo"),
@@ -931,11 +1016,11 @@ def write_snapshot(
             "dir_rows": {ddir: n},
         }
     else:
-        n = spark.read.parquet(ddir).count()
+        n = _dir_count(spark, ddir)
         # per-dir row counts always ride the manifest (round 11): the
-        # count is already paid, and the planner's served-bytes
-        # estimate (plan_join broadcast_bytes guard) needs physical
-        # rows to discount merge-on-read masks
+        # count comes from the write's own footers, and the planner's
+        # served-bytes estimate (plan_join broadcast_bytes guard) needs
+        # physical rows to discount merge-on-read masks
         stats_meta = {"dir_rows": {ddir: n}}
     if bloom_col is not None:
         _write_dir_bloom(spark, ddir, bloom_col, n)
@@ -1222,7 +1307,7 @@ def append_snapshot(
             }
         else:
             if n is None:
-                n = spark.read.parquet(ddir).count()
+                n = _dir_count(spark, ddir)
             pm_prev = versions[parent] if parent is not None else {}
             # physical rows always ride the manifest (see
             # write_snapshot) — the planner's served-bytes input
@@ -1687,7 +1772,7 @@ def delete_rows(
                 }
             )
         else:
-            n_kept = spark.read.parquet(ddir).count()
+            n_kept = _dir_count(spark, ddir)
         dir_rows = pm.get("dir_rows", {})
         if set(dir_rows) >= set(touched):
             # manifest-recorded per-dir counts: the removed-rows
@@ -1928,7 +2013,7 @@ def delete_rows_positional(
         victims = scan.filter(predicate).select("__file", "__pos")
         vdir = os.path.join(path, "data", f"pdv-{_uuid_hex()}")
         victims.coalesce(1).write.mode("errorifexists").parquet(vdir)
-        n_masked = spark.read.parquet(vdir).count()
+        n_masked = _dir_count(spark, vdir)
         if n_masked == 0:
             import shutil
 
@@ -2057,7 +2142,7 @@ def materialize_dvs(
                 ndir: rng,
             }
         else:
-            n_kept = spark.read.parquet(ndir).count()
+            n_kept = _dir_count(spark, ndir)
         if scol is not None or dir_rows:
             carried["dir_rows"] = {
                 **{d: dir_rows[d] for d in untouched if d in dir_rows},
@@ -3025,7 +3110,7 @@ def write_to_branch(
     if stats_computed:
         n_new, delta_rng = _dir_stats(spark, ddir, base_scol)
     else:
-        n_new = spark.read.parquet(ddir).count()
+        n_new = _dir_count(spark, ddir)
         delta_rng = None
     last: Exception | None = None
     for _ in range(max_retries):
@@ -3228,7 +3313,7 @@ def delete_rows_positional_branch(
         victims = scan.filter(predicate).select("__file", "__pos")
         vdir = os.path.join(path, "data", f"bpdv-{_uuid_hex()}")
         victims.coalesce(1).write.mode("errorifexists").parquet(vdir)
-        n_masked = spark.read.parquet(vdir).count()
+        n_masked = _dir_count(spark, vdir)
         if n_masked == 0:
             import shutil
 
@@ -3380,7 +3465,7 @@ def merge_branch(
                     n_d, rng = _dir_stats(spark, d, pub_scol)
                 added_stats[d] = rng
             else:
-                n_d = spark.read.parquet(d).count()
+                n_d = _dir_count(spark, d)
             added_counts[d] = n_d
             if pub_bcol is not None and _read_dir_bloom(d) is None:
                 _write_dir_bloom(spark, d, pub_bcol, n_d)
