@@ -41,6 +41,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 20,
     dedupe_edges: bool = True,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Label each node of the undirected graph with the smallest node id
     reachable from it (the canonical component id).
@@ -50,12 +51,16 @@ def connected_components(
     ``(node, component)``. Pass ``dedupe_edges=False`` when the caller
     guarantees unique (src, dst) pairs (every LSH pair generator here
     does): min-propagation is idempotent under duplicate messages, so
-    the dedup shuffle is pure overhead then.
-    """
+    the dedup shuffle is pure overhead then. Pass
+    ``edges_materialized=True`` when the pair frame is ALREADY an
+    eagerly-materialized checkpoint (simhash_band_pairs and the
+    checkpoint=True minhash path return exactly that) — re-running the
+    materialization job on it buys nothing (optimization r11)."""
     spark = edges.sparkSession
     # materialize the (possibly expensive, e.g. LSH-generated) edge list
     # once — the symmetrizing union below reads it twice
-    edges = edges.localCheckpoint(eager=True)
+    if not edges_materialized:
+        edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -177,12 +182,14 @@ def cluster_assignment(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     dedupe_edges: bool = True,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Full dedup verdict: every id from ``all_ids`` mapped to its
     near-dup cluster (singletons cluster with themselves) with the
     KEEP/DROP bit — keep exactly the minimum id of each cluster."""
     comp = connected_components(
-        pairs, src=pair_a, dst=pair_b, dedupe_edges=dedupe_edges
+        pairs, src=pair_a, dst=pair_b, dedupe_edges=dedupe_edges,
+        edges_materialized=pairs_materialized,
     )
     return (
         all_ids.select(F.col(id_col).alias("node"))
@@ -317,16 +324,24 @@ def pagerank_weighted(
     n = nodes.count()
     tele = (_PR_ONE * (100 - damping_pct)) // (100 * n)
     base = nodes.select(F.col(node_col).alias("node")).distinct()
-    ow = edges.groupBy(src).agg(F.sum(weight).alias("__wout"))
     # checkpoint the prepared edge list ONCE: every round joins it, and
     # without materialization each round would replay the (potentially
     # fact-table-sized) edge build — and the round-k rank, whose lineage
-    # contains `e`, would make the round-k+1 join an ambiguous self-join
+    # contains `e`, would make the round-k+1 join an ambiguous self-join.
+    # Out-weights ride a whole-partition window sum over src
+    # (optimization r11, guide §2.4): the old groupBy + self-join shape
+    # planned the edge BUILD twice (once under the aggregate, once on
+    # the join's probe side) — one window pass computes __wout in the
+    # same single shuffle and the build runs once.
+    from pyspark.sql.window import Window
+
     e = (
-        edges.join(ow, src)
-        .select(
+        edges.select(
             F.col(src).alias("__src"), F.col(dst).alias("__dst"),
-            F.col(weight).alias("__wt"), "__wout",
+            F.col(weight).alias("__wt"),
+        )
+        .withColumn(
+            "__wout", F.sum("__wt").over(Window.partitionBy("__src"))
         )
         .localCheckpoint(eager=True)
     )

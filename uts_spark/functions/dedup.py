@@ -187,12 +187,18 @@ def ngram_jaccard_pairs(
         ).select("id", "ns", "shingle", (F.col("__p0") + 1).alias("pos"))
     else:
         inv = arrays.select("id", "ns", F.explode("sh").alias("shingle"))
-        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
         w = Window.partitionBy("id").orderBy("freq", "shingle")
+        # global shingle frequency as a whole-partition window count
+        # (optimization r11, guide §2.4): the old groupBy + join back
+        # planned the inverted-index explode twice and paid an extra
+        # shingle-key exchange; the window computes freq in one pass.
         # cached: the a/b self-join below would otherwise recompute the
-        # freq-join + window sort twice
+        # freq window + prefix sort twice
         prefix = (
-            inv.join(freq, "shingle")
+            inv.withColumn(
+                "freq",
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+            )
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= prefix_len)
             .select("id", "ns", "shingle", F.col("__r").alias("pos"))
@@ -400,6 +406,14 @@ def minhash_lsh_pairs(
         sig = minhash_signatures(df, text_col, id_col, n, k, arrays=arrays).cache()
 
     cand = minhash_band_candidates(sig, k, bands)
+    if checkpoint:
+        # the candidate set feeds BOTH the signature-estimate join and
+        # the exact-Jaccard verify below — materialize the (tiny,
+        # collision-bounded) pair list once so the banding explode +
+        # bucket self-join + distinct runs once, not per consumer
+        # (optimization r11; the lazy checkpoint=False path keeps the
+        # full plan for the plan-shape tests)
+        cand = cand.localCheckpoint(eager=True)
 
     # estimated jaccard = fraction of matching signature slots
     sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
@@ -1227,6 +1241,12 @@ def minhash_index_probe(
         .select("id_new", "id_old")
         .distinct()
     )
+    if checkpoint:
+        # candidate pairs feed the old-doc re-sketch AND the verify
+        # join — materialize once so the pruned index scan + bucket
+        # join runs once, not per consumer (optimization r11; the
+        # lazy path keeps the pruned-scan plan the shape tests pin)
+        cand = cand.localCheckpoint(eager=True)
 
     # verification inputs: re-sketch only the CANDIDATE old docs
     cand_old = cand.select(F.col("id_old").alias(id_col)).distinct()

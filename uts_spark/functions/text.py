@@ -722,13 +722,19 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a whole-partition window count over term
+    # (optimization r11, guide §2.4): the old groupBy + join planned the
+    # tokenize + (doc, term) aggregation TWICE (build and probe side)
+    # and paid an extra term-key exchange for the join — the window
+    # computes df in the join's own shuffle, one tokenize pass total
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     idf_u = F.round(
         F.log(F.col("__n").cast("double") / F.col("df")) * LOG_SCALE
     ).cast("long")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf_u", F.col("tf") * idf_u)
     )
@@ -777,19 +783,26 @@ def unigram_xent(df, text_col: str, id_col: str):
     xent = Σ tf·surprisal_u / (1e6·n_tokens). Integer accumulation makes
     the shuffle-order of the sum irrelevant. One (doc,term) shuffle, one
     term-key join against the corpus term counts, totals broadcast."""
+    from pyspark.sql.window import Window
+
     base = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
     tf = (
         base.select("doc_id", F.explode("__t").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # materialized once (optimization r11): the old groupBy-ct +
+        # tot-from-ct + join shape planned the tokenize + (doc, term)
+        # aggregation THREE times (ct build, tot, probe side)
+        .localCheckpoint(eager=True)
     )
-    ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
-    tot = ct.select(F.sum("ct").alias("__tot"))
+    # corpus term counts in the join's own term-key shuffle (window sum
+    # over the term partition — guide §2.4: one exchange, no self-join)
+    tot = tf.agg(F.sum("tf").alias("__tot"))
     surp_u = F.round(
         -F.log(F.col("ct").cast("double") / F.col("__tot")) * LOG_SCALE
     ).cast("long")
     per_doc = (
-        tf.join(ct, "term")
+        tf.withColumn("ct", F.sum("tf").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

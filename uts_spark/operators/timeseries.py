@@ -443,11 +443,16 @@ def cusum_changepoint(
     tiny and broadcast back. No iteration, no Python.
     """
     scale = 1 << 20
-    mu = (
-        df.groupBy(key_col)
-        .agg(
-            (stable_sum(F.col(value_col)) / F.count(value_col)).alias("__mu")
-        )
+    # per-series mean as a whole-partition window over the SAME key the
+    # ordered cusum windows shuffle on (optimization r11, guide §2.4):
+    # the old groupBy + broadcast-join planned the input scan twice and
+    # paid a broadcast exchange; the window computes mu inside the one
+    # exchange every other window here already needs. Same decimal-
+    # stable sum / count arithmetic — bit-identical mu.
+    wp = Window.partitionBy(key_col)
+    mu_col = (
+        F.sum(F.col(value_col).cast("decimal(38,6)")).over(wp).cast("double")
+        / F.count(value_col).over(wp)
     )
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -455,7 +460,7 @@ def cusum_changepoint(
     pos_step = F.round((d - F.lit(k)) * scale).cast("decimal(38,0)")
     neg_step = F.round((-d - F.lit(k)) * scale).cast("decimal(38,0)")
     out = (
-        df.join(F.broadcast(mu), key_col)
+        df.withColumn("__mu", mu_col)
         .withColumn("__pp", F.sum(pos_step).over(run))
         .withColumn("__pn", F.sum(neg_step).over(run))
         .withColumn("__mp", F.min(F.col("__pp")).over(run))

@@ -2981,37 +2981,39 @@ def ts_mad_anomaly(spark, sf_dir):
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ev = ev.select("event_id", "event_type", "value")
 
-    def disc_median(df, col, out):
-        w = Window.partitionBy("event_type").orderBy(col)
-        wn = Window.partitionBy("event_type")
-        r = df.select(
-            "event_type",
-            F.col(col),
-            F.row_number().over(w).alias("__rn"),
-            F.count(F.lit(1)).over(wn).alias("__n"),
-        )
-        return r.filter(
-            F.col("__rn")
-            == F.greatest(F.ceil(F.lit(0.5) * F.col("__n")), F.lit(1))
-        ).select("event_type", F.col(col).alias(out))
-
-    med = disc_median(ev, "value", "med")
-    d = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("value") - F.col("med"))
+    # window-only medians (optimization r11, guide §2.4): the old
+    # per-statistic "rank pass → 5-row table → broadcast-join back"
+    # planned the events scan FOUR times (med build, d, mad build, d
+    # again). The discrete median is the value at rank ceil(n/2) of
+    # the sorted partition, so one `max(CASE WHEN rn = target)` over
+    # the same partition attaches it to every row with no join — one
+    # scan, one exchange on event_type, all four window passes inside.
+    wn = Window.partitionBy("event_type")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wd = Window.partitionBy("event_type").orderBy("dev")
+    r = ev.select(
+        "event_id", "event_type", "value",
+        F.row_number().over(wv).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
     )
-    mad = disc_median(d, "dev", "mad")
-    return (
-        d.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            "med",
-            "mad",
-            (F.col("dev") > F.col("mad") * F.lit(_MAD_SCALE)).alias(
-                "is_anomaly"
-            ),
-        )
+    target = F.greatest(F.ceil(F.lit(0.5) * F.col("__n")), F.lit(1))
+    d = r.withColumn(
+        "med",
+        F.max(F.when(F.col("__rn") == target, F.col("value"))).over(wn),
+    ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    out = d.withColumn("__rn2", F.row_number().over(wd)).withColumn(
+        "mad",
+        F.max(F.when(F.col("__rn2") == target, F.col("dev"))).over(wn),
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        (F.col("dev") > F.col("mad") * F.lit(_MAD_SCALE)).alias(
+            "is_anomaly"
+        ),
     )
 
 

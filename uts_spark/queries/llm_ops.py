@@ -447,8 +447,11 @@ def dedup_cluster_cc(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = simhash_band_pairs(docs, "text", "doc_id", bands=4, max_hamming=6)
     # band-pair output is already distinct (a < b canonical) — skip the
-    # edge-dedup shuffle inside the CC loop
-    return cluster_assignment(docs, pairs, "doc_id", dedupe_edges=False)
+    # edge-dedup shuffle inside the CC loop; it is also already an
+    # eager checkpoint, so skip the loop's own re-materialization
+    return cluster_assignment(
+        docs, pairs, "doc_id", dedupe_edges=False, pairs_materialized=True
+    )
 
 
 def _register_cluster_cc_star():
@@ -2750,6 +2753,10 @@ def _qm_xent_feature(docs):
         docs.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # materialized once (optimization r11): the (doc, term) table
+        # feeds both the train-count dictionary and the surprisal join
+        # below — otherwise the tokenize + explode + groupBy runs twice
+        .localCheckpoint(eager=True)
     )
     ct = (
         tf.filter(F.col("doc_id") % 5 != 0)
@@ -3028,6 +3035,12 @@ def _spark_xent_labels(docs):
         )
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("bf"))
+        # materialized once (optimization r11, guide §1.2): the doc-
+        # bigram table feeds BOTH the train-count dictionary (c12) and
+        # the per-doc rate join below — without this the tokenize +
+        # explode + groupBy subtree runs twice inside every xe read
+        # (Catalyst plans the two differently-keyed reads separately)
+        .localCheckpoint(eager=True)
     )
     c12 = (
         bf.filter(F.col("doc_id") % 5 != 0)
@@ -3062,6 +3075,11 @@ def _spark_xent_labels(docs):
                 F.sum(F.col("bf") * surp) / F.sum("bf")
             ).cast("long").alias("xe_rate")
         )
+        # doc-sized (one row per doc); read twice below — once for the
+        # train-median threshold, once for the labels. Checkpointing
+        # collapses the whole bigram kernel to ONE computation per lane
+        # instead of one per read (optimization r11)
+        .localCheckpoint(eager=True)
     )
     thr = (
         xe.filter(F.col("doc_id") % 5 != 0)
@@ -3147,19 +3165,39 @@ def text_quality_model_xent_gate_eval(spark, sf_dir):
         F.when(p & l, 1).otherwise(0)
     ).cast("long")
 
-    def cm(pred_col: str, name: str):
-        p = F.col(pred_col)
-        l = F.col("label")
-        return ho.agg(
-            flag(p, l).alias("tp"),
-            flag(p, ~l).alias("fp"),
-            flag(~p, l).alias("fn"),
-            flag(~p, ~l).alias("tn"),
-        ).select(F.lit(name).alias("model"), "tp", "fp", "fn", "tn")
+    # BOTH models' confusions in ONE aggregate over ho, reshaped to the
+    # two output rows by an explode (optimization r11, guide §1.2): the
+    # old per-model .agg pair planned the whole feature+label subtree
+    # twice — same rows, half the passes. Order-insensitive oracle
+    # comparison makes the reshape free.
+    def cms(pred_col: str):
+        p, l = F.col(pred_col), F.col("label")
+        return (flag(p, l), flag(p, ~l), flag(~p, l), flag(~p, ~l))
 
-    out = cm("pred_inc", "incumbent").unionByName(
-        cm("pred_ref", "xent_refit5")
+    (tpi, fpi, fni, tni) = cms("pred_inc")
+    (tpr, fpr, fnr, tnr) = cms("pred_ref")
+    wide = ho.agg(
+        tpi.alias("tp_i"), fpi.alias("fp_i"),
+        fni.alias("fn_i"), tni.alias("tn_i"),
+        tpr.alias("tp_r"), fpr.alias("fp_r"),
+        fnr.alias("fn_r"), tnr.alias("tn_r"),
     )
+    out = wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("incumbent").alias("model"),
+                    F.col("tp_i").alias("tp"), F.col("fp_i").alias("fp"),
+                    F.col("fn_i").alias("fn"), F.col("tn_i").alias("tn"),
+                ),
+                F.struct(
+                    F.lit("xent_refit5").alias("model"),
+                    F.col("tp_r").alias("tp"), F.col("fp_r").alias("fp"),
+                    F.col("fn_r").alias("fn"), F.col("tn_r").alias("tn"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     tp, fp, fn = (F.col(c) for c in ("tp", "fp", "fn"))
     return out.select(
         "model", "tp", "fp", "fn", "tn",
@@ -4331,7 +4369,8 @@ def dedup_minhash_cluster_cc(spark, sf_dir):
         portable=True, checkpoint=True,
     ).select("id_a", "id_b")
     return cluster_assignment(
-        docs.select("doc_id"), pairs, "doc_id", dedupe_edges=False
+        docs.select("doc_id"), pairs, "doc_id", dedupe_edges=False,
+        pairs_materialized=True,  # checkpoint=True above — already eager
     ).select("doc_id", "cluster_id", "keep")
 
 
