@@ -187,18 +187,18 @@ def ngram_jaccard_pairs(
         ).select("id", "ns", "shingle", (F.col("__p0") + 1).alias("pos"))
     else:
         inv = arrays.select("id", "ns", F.explode("sh").alias("shingle"))
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
         w = Window.partitionBy("id").orderBy("freq", "shingle")
-        # global shingle frequency as a whole-partition window count
-        # (optimization r11, guide §2.4): the old groupBy + join back
-        # planned the inverted-index explode twice and paid an extra
-        # shingle-key exchange; the window computes freq in one pass.
+        # groupBy + join back kept DELIBERATELY (optimization r11,
+        # measured): a whole-partition window over `shingle` forces the
+        # full inverted index through a high-cardinality sort-shuffle,
+        # while this shape reduces to the distinct-shingle table first
+        # and lets AQE broadcast it (no shuffle of inv at all when the
+        # vocabulary fits) — the adaptive choice survives at scale too.
         # cached: the a/b self-join below would otherwise recompute the
-        # freq window + prefix sort twice
+        # freq-join + window sort twice
         prefix = (
-            inv.withColumn(
-                "freq",
-                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
-            )
+            inv.join(freq, "shingle")
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= prefix_len)
             .select("id", "ns", "shingle", F.col("__r").alias("pos"))

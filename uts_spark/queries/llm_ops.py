@@ -2753,10 +2753,8 @@ def _qm_xent_feature(docs):
         docs.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # materialized once (optimization r11): the (doc, term) table
-        # feeds both the train-count dictionary and the surprisal join
-        # below — otherwise the tokenize + explode + groupBy runs twice
-        .localCheckpoint(eager=True)
+        # left lazy (optimization r11, measured): AQE exchange reuse
+        # dedupes the two reads at runtime; a checkpoint was slower
     )
     ct = (
         tf.filter(F.col("doc_id") % 5 != 0)
@@ -3035,12 +3033,12 @@ def _spark_xent_labels(docs):
         )
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("bf"))
-        # materialized once (optimization r11, guide §1.2): the doc-
-        # bigram table feeds BOTH the train-count dictionary (c12) and
-        # the per-doc rate join below — without this the tokenize +
-        # explode + groupBy subtree runs twice inside every xe read
-        # (Catalyst plans the two differently-keyed reads separately)
-        .localCheckpoint(eager=True)
+        # NOT materialized (optimization r11, measured): the plan reads
+        # bf twice (c12 dictionary + rate join), but AQE's runtime
+        # exchange reuse already dedupes the identical aggregate
+        # subtree — an eager checkpoint here measured SLOWER (extra
+        # materialization job, broken stage pipelining) on the quiet
+        # host A/B, so the lazy shape stands
     )
     c12 = (
         bf.filter(F.col("doc_id") % 5 != 0)
@@ -3075,11 +3073,8 @@ def _spark_xent_labels(docs):
                 F.sum(F.col("bf") * surp) / F.sum("bf")
             ).cast("long").alias("xe_rate")
         )
-        # doc-sized (one row per doc); read twice below — once for the
-        # train-median threshold, once for the labels. Checkpointing
-        # collapses the whole bigram kernel to ONE computation per lane
-        # instead of one per read (optimization r11)
-        .localCheckpoint(eager=True)
+        # read twice below (threshold + labels) — left lazy on the
+        # same measured grounds as bf above (runtime exchange reuse)
     )
     thr = (
         xe.filter(F.col("doc_id") % 5 != 0)
