@@ -1918,6 +1918,10 @@ def delete_rows_mor(
 
     if not list_versions(path):
         raise ValueError(f"versioned table {path}: nothing to delete")
+    # (optimization r11, measured: an eager checkpoint of idf here was
+    # NOT a win — the three reads are cheap relative to the added
+    # materialization job; a caller with an expensive ids subquery
+    # should checkpoint it before passing)
     idf = ids.select(key).distinct()
     dvdir = None
     last: Exception | None = None
