@@ -1198,7 +1198,11 @@ def minhash_index_probe(
     if scan is None:
         _check_index_config(path, n=n, k=k, bands=bands, n_grps=n_grps)
     arrays_n = doc_shingle_arrays_portable(new_docs, text_col, id_col, n).cache()
-    sig_n = minhash_signatures_portable(arrays_n, k)
+    # cached (optimization r11): the batch signatures are consumed
+    # THREE times (probed-partition list, candidate join, estimate
+    # join) and each read would re-run the explode + k-min groupBy
+    # from the cached arrays — the cache bounds it to one computation
+    sig_n = minhash_signatures_portable(arrays_n, k).cache()
     bk_n = _band_bucket_rows(sig_n, k, bands)
 
     pdf = (
@@ -1291,6 +1295,7 @@ def minhash_index_probe(
         out = out.localCheckpoint(eager=True)
         arrays_n.unpersist()
         arrays_o.unpersist()
+        sig_n.unpersist()
     return out
 
 
