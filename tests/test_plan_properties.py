@@ -226,12 +226,12 @@ def test_hopping_window_no_self_join(spark, sf_dir):
 
 def test_cusum_single_exchange_two_window_specs(spark, sf_dir):
     p = plan(spark, sf_dir, "ts_cusum_changepoint")
-    # both stacked running windows must ride ONE shuffle on user_id; the
-    # grouped-mean join is broadcast, adding no exchange on the fact
+    # the per-series mean rides the cusum windows' own user_id exchange
+    # (whole-partition avg window) — one shuffle total, no join at all
     import re
     exchanges = re.findall(r"Exchange hashpartitioning\(user_id", p)
-    assert len(exchanges) <= 2, p.count("Exchange")  # fact + tiny mu agg
-    assert "BroadcastHashJoin" in p
+    assert len(exchanges) == 1, p.count("Exchange")
+    assert "Join" not in p
     assert "Python" not in p
 
 
@@ -295,11 +295,13 @@ def test_gopher_pack_is_pure_projection(spark, sf_dir):
 
 
 def test_mad_anomaly_broadcasts_medians(spark, sf_dir):
-    # the 5-row median/MAD tables must broadcast back onto events —
-    # the fact table shuffles only for its own window partitioning
+    # median and MAD are whole-partition windows over the fact's one
+    # event_type exchange — events scanned once, zero joins
     p = plan(spark, sf_dir, "ts_mad_anomaly")
-    assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\(event_type", p)
+    assert len(exchanges) == 1, p.count("Exchange")
+    assert "Join" not in p
 
 
 def test_pattern_match_single_shuffle(spark, sf_dir):
