@@ -2373,6 +2373,52 @@ def test_versioned_dv_mor_conflict_retry(spark, tmp_path, monkeypatch):
     assert V.read_version(spark, path).count() == 250
 
 
+def test_versioned_pre_ktype_manifest_reads(spark, tmp_path):
+    """The round-11 schema-hint reads keep PRE-round-11 manifests
+    working: a DV record without ``ktype`` and a manifest without a
+    recorded ``schema`` fall back to footer inference, and a key
+    column whose vectors MIX ktype-carrying and legacy records reads
+    through inference — results identical either way."""
+    import json as _json
+    import os
+
+    from uts_spark.sources.versioned import (
+        _versions_dir,
+        delete_rows_mor,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_legacy")
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS val")
+    write_snapshot(df, path, stats_col="k")
+    v1 = delete_rows_mor(
+        spark, path, spark.range(10, 20).selectExpr("id AS k"), "k"
+    )
+    # rewrite the committed manifest in the legacy (pre-round-11)
+    # format: no ktype on the vector record, no recorded schema
+    mf = os.path.join(_versions_dir(path), f"v{v1}.json")
+    with open(mf) as f:
+        m = _json.load(f)
+    assert m["dv"][0].pop("ktype") == "bigint"
+    m.pop("schema", None)
+    os.unlink(mf)
+    with open(mf, "w") as f:
+        _json.dump(m, f, sort_keys=True)
+    assert read_version(spark, path).count() == 90
+    # a second vector on the SAME key carries ktype -> the read
+    # groups a legacy and a stamped record together (mixed-type
+    # group => inference fallback)
+    delete_rows_mor(
+        spark, path, spark.range(15, 30).selectExpr("id AS k"), "k"
+    )
+    cur = read_version(spark, path)
+    assert cur.count() == 80  # 10..29 masked across the two vectors
+    assert cur.agg({"k": "sum"}).first()[0] == sum(
+        i for i in range(100) if not (10 <= i < 30)
+    )
+
+
 def test_versioned_merge_branch_carries_pruning_structures(spark, tmp_path):
     """An append publish merges main's dir_stats/dir_rows with
     freshly-computed stats + Bloom sidecars for the staged dirs, so a

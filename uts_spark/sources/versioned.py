@@ -28,6 +28,7 @@ surface.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -1452,6 +1453,35 @@ def read_version(
     return _read_dirs_masked(spark, m, _manifest_dirs(m))
 
 
+@functools.lru_cache(maxsize=512)
+def _parsed_schema(schema_str: str):
+    """A manifest's recorded ``simpleString`` schema as a StructType,
+    or None when absent/unparseable. Internal reads pass it to
+    ``spark.read.schema(...)`` so Spark skips the footer
+    schema-inference job it otherwise launches while BUILDING the plan
+    (one job per ``spark.read.parquet`` call — measured in
+    tools/lane_profile.py; optimization r11, guide §1.2). The parse
+    result is a plain Python StructType, safe to cache across
+    sessions."""
+    if not schema_str:
+        return None
+    try:
+        from pyspark.sql.types import _parse_datatype_string
+
+        st = _parse_datatype_string(schema_str)
+        # round-trip guard: only trust the parse when it reproduces the
+        # recorded string exactly (names with separators would corrupt)
+        return st if st.simpleString() == schema_str else None
+    except Exception:
+        return None
+
+
+# positional deletion vectors are written as exactly these two columns
+# (:func:`delete_rows_positional`): the parquet reader's file path and
+# row index from ``_metadata``
+_PDV_SCHEMA = "struct<__file:string,__pos:bigint>"
+
+
 def _scan_dirs(
     spark: SparkSession, m: dict, dirs: list[str], with_pos: bool = False
 ) -> DataFrame:
@@ -1474,6 +1504,17 @@ def _scan_dirs(
         if with_pos
         else []
     )
+    st = _parsed_schema(m.get("schema", ""))
+    if st is not None:
+        # the recorded schema read explicitly: identical to the
+        # (mergeSchema + project) evolved path — evolution is
+        # add-column-only with type changes refused at append, so
+        # missing columns NULL-backfill and the column order is the
+        # recorded one — and identical to the plain read for
+        # un-evolved dirs (schema recorded from the written frame).
+        # Zero footer-inference jobs at plan time (optimization r11).
+        df = spark.read.schema(st).parquet(*dirs)
+        return df.select("*", *pos_cols) if pos_cols else df
     if m.get("evolved") and m.get("schema"):
         df = spark.read.option("mergeSchema", "true").parquet(*dirs)
         return df.select(*_schema_fields(m["schema"]), *pos_cols)
@@ -1492,13 +1533,33 @@ def _apply_dv_masks(
     construction, hence the explicit broadcast."""
     from pyspark.sql import functions as F
 
-    by_col: dict[str, list[str]] = {}
+    by_col: dict[str, list[dict]] = {}
     for r in recs:
-        by_col.setdefault(r["key"], []).append(r["dir"])
-    for kcol, dv_dirs in by_col.items():
-        keys = spark.read.parquet(*dv_dirs).select(kcol).distinct()
+        by_col.setdefault(r["key"], []).append(r)
+    for kcol, grp in by_col.items():
+        keys = _read_dv_keys(spark, grp, kcol)
         df = df.join(F.broadcast(keys), kcol, "left_anti")
     return df
+
+
+def _read_dv_keys(spark: SparkSession, recs: list[dict], kcol: str):
+    """The key frame of one key column's deletion vectors. Vectors
+    commit with their key dtype recorded (``ktype``), so the read can
+    pass an explicit schema and skip the plan-time footer inference
+    job; pre-ktype vectors fall back to inference. No ``distinct()``:
+    every vector dir is written from an already-distinct frame
+    (:func:`delete_rows_mor` / the branch variant write
+    ``ids.distinct()``), so the dedup exchange would be pure overhead
+    — duplicates across SEVERAL vectors of the same key column are
+    harmless to the anti-join and takedown-batch-sized."""
+    types = {r.get("ktype") for r in recs}
+    t = types.pop() if len(types) == 1 else None
+    rd = spark.read
+    if t:
+        st = _parsed_schema(f"struct<{kcol}:{t}>")
+        if st is not None:
+            rd = rd.schema(st)
+    return rd.parquet(*[r["dir"] for r in recs]).select(kcol)
 
 
 def _read_dirs_masked(
@@ -1544,9 +1605,12 @@ def _read_dirs_masked(
     if pdv:
         from pyspark.sql import functions as F
 
-        pos = spark.read.parquet(*[r["dir"] for r in pdv]).select(
-            "__file", "__pos"
-        ).distinct()
+        # no distinct: each vector's addresses are unique by
+        # construction (one row per masked physical row), and
+        # duplicates across vectors are harmless to the anti-join
+        pos = spark.read.schema(_parsed_schema(_PDV_SCHEMA)).parquet(
+            *[r["dir"] for r in pdv]
+        ).select("__file", "__pos")
         out = out.join(
             F.broadcast(pos), ["__file", "__pos"], "left_anti"
         )
@@ -1948,6 +2012,9 @@ def delete_rows_mor(
             idf.coalesce(1).write.mode("errorifexists").parquet(dvdir)
         rec = {
             "dir": dvdir, "key": key, "scope": dirs, "n_masked": n_masked,
+            # key dtype lets readers skip schema inference on the
+            # vector dir (see _read_dv_keys)
+            "ktype": idf.schema[0].dataType.simpleString(),
         }
         carried = {
             k: pm[k]
@@ -2089,7 +2156,7 @@ def materialize_dvs(
         sc = [d for d in rec["scope"] if d in dirs]
         if not sc:
             continue
-        kf = spark.read.parquet(rec["dir"])
+        kf = _read_dv_keys(spark, [rec], rec["key"])
         admit = _admitting_dirs(spark, pm, kf, rec["key"])
         if admit is None:
             touched_set.update(sc)
@@ -2109,7 +2176,8 @@ def materialize_dvs(
         dmap = {_norm_dir(d): d for d in dirs}
         files = {
             r["__file"]
-            for r in spark.read.parquet(*[r["dir"] for r in pdv])
+            for r in spark.read.schema(_parsed_schema(_PDV_SCHEMA))
+            .parquet(*[r["dir"] for r in pdv])
             .select("__file").distinct().collect()
         }
         for f in files:
@@ -2724,19 +2792,20 @@ def _mor_fast_feed(
     del_parts = []
     for ks, ds in groups.items():
         vis = _read_dirs_masked(spark, m_from, ds)
-        by_col: dict[str, list[str]] = {}
+        by_col: dict[str, list[dict]] = {}
         for i in ks:
             by_col.setdefault(new_recs[i]["key"], []).append(
-                new_recs[i]["dir"]
+                new_recs[i]
             )
         markers = []
-        for j, (kcol, dv_dirs) in enumerate(sorted(by_col.items())):
-            kf = (
-                spark.read.parquet(*dv_dirs)
-                .select(kcol)
-                .distinct()
-                .withColumn(f"__dvm{j}", F.lit(True))
-            )
+        for j, (kcol, grp) in enumerate(sorted(by_col.items())):
+            kf = _read_dv_keys(spark, grp, kcol)
+            if len(grp) > 1:
+                # unlike the anti-join sites, this marker join is a
+                # LEFT join — duplicate keys across several vectors
+                # of the same column would duplicate matched rows
+                kf = kf.distinct()
+            kf = kf.withColumn(f"__dvm{j}", F.lit(True))
             vis = vis.join(F.broadcast(kf), kcol, "left")
             markers.append(f"__dvm{j}")
         hit = markers[0]
@@ -2746,9 +2815,13 @@ def _mor_fast_feed(
         del_parts.append(vis.filter(cond).drop(*markers))
     new_pdv = t_pdv[len(f_pdv):]
     if new_pdv:
-        pos = spark.read.parquet(
+        # no distinct: addresses are unique within a vector by
+        # construction, and the consumers below are a left_semi join
+        # and a distinct-ed collect — duplicates across vectors are
+        # harmless to both
+        pos = spark.read.schema(_parsed_schema(_PDV_SCHEMA)).parquet(
             *[r["dir"] for r in new_pdv]
-        ).select("__file", "__pos").distinct()
+        ).select("__file", "__pos")
         # manifest dirs may be relative; _metadata paths are
         # absolute file: URIs — normalize both sides (ADVICE r10,
         # high: the raw-string compare emitted NO delete images on
@@ -2772,16 +2845,11 @@ def _mor_fast_feed(
             # every from-dir in this fast path) — anti-join it out
             # so accounting consumers never double-count (ADVICE
             # r10, low)
-            key_by_col: dict[str, list[str]] = {}
+            key_by_col: dict[str, list[dict]] = {}
             for rec2 in new_recs:
-                key_by_col.setdefault(rec2["key"], []).append(
-                    rec2["dir"]
-                )
-            for kcol, dv_dirs in sorted(key_by_col.items()):
-                kf = (
-                    spark.read.parquet(*dv_dirs)
-                    .select(kcol).distinct()
-                )
+                key_by_col.setdefault(rec2["key"], []).append(rec2)
+            for kcol, grp2 in sorted(key_by_col.items()):
+                kf = _read_dv_keys(spark, grp2, kcol)
                 images = images.join(
                     F.broadcast(kf), kcol, "left_anti"
                 )
@@ -3282,6 +3350,7 @@ def delete_rows_mor_branch(
             "dv": head.get("dv", []) + [{
                 "dir": dvdir, "key": key, "scope": dirs,
                 "n_masked": n_masked,
+                "ktype": idf.schema[0].dataType.simpleString(),
             }],
             **({"pdv": head["pdv"]} if head.get("pdv") else {}),
         }
@@ -3645,7 +3714,13 @@ def branch_changes(
         return read_branch(spark, path, name).withColumn(
             "_change_type", F.lit("insert")
         ).limit(0)
-    if head.get("evolved") and head.get("schema"):
+    st = _parsed_schema(head.get("schema", ""))
+    if st is not None:
+        # same equivalence as _scan_dirs: evolution is add-column-only,
+        # so the recorded-schema read NULL-backfills exactly like
+        # mergeSchema + project, with zero plan-time inference jobs
+        scanned = spark.read.schema(st).parquet(*added)
+    elif head.get("evolved") and head.get("schema"):
         scanned = spark.read.option("mergeSchema", "true").parquet(
             *added
         ).select(*_schema_fields(head["schema"]))
