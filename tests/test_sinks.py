@@ -2373,6 +2373,32 @@ def test_versioned_dv_mor_conflict_retry(spark, tmp_path, monkeypatch):
     assert V.read_version(spark, path).count() == 250
 
 
+def test_parquet_cached_schema_reads(spark, tmp_path):
+    """The per-process schema cache returns the same frames as bare
+    reads, sees files appended after caching (only the SCHEMA is
+    cached, never the file listing), and re-infers when a path is
+    rewritten with a different schema (stat-signature key)."""
+    from uts_spark.sources.tables import parquet_cached_schema
+
+    p = str(tmp_path / "t")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    a = parquet_cached_schema(spark, p)  # cold: infers + caches
+    b = parquet_cached_schema(spark, p)  # warm: explicit schema
+    assert a.schema == b.schema
+    assert sorted(r["v"] for r in b.collect()) == [2 * i for i in range(10)]
+    # appended files are visible through the cached schema
+    spark.range(10, 15).selectExpr("id", "id * 2 AS v").write.mode(
+        "append"
+    ).parquet(p)
+    assert parquet_cached_schema(spark, p).count() == 15
+    # a rewrite with a DIFFERENT schema re-infers (signature changed)
+    spark.range(0, 3).selectExpr("id AS k", "'x' AS s").write.mode(
+        "overwrite"
+    ).parquet(p)
+    c = parquet_cached_schema(spark, p)
+    assert set(c.columns) == {"k", "s"} and c.count() == 3
+
+
 def test_versioned_pre_ktype_manifest_reads(spark, tmp_path):
     """The round-11 schema-hint reads keep PRE-round-11 manifests
     working: a DV record without ``ktype`` and a manifest without a

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from uts_spark.functions.hashing import hash64
+from uts_spark.sources.tables import parquet_cached_schema as _read_pq
 from uts_spark.functions.text import tokens, word_ngrams
 
 SIMHASH_BITS = 48  # 48 (not 64): avoids BIGINT sign-bit overflow under ANSI
@@ -1220,7 +1221,7 @@ def minhash_index_probe(
     if scan is not None:
         pass  # caller-resolved rows (snapshot family)
     elif version is None:
-        scan = spark.read.parquet(path)
+        scan = _read_pq(spark, path)
     else:
         # VERSION-PINNED read: the scan sees exactly the file set the
         # history recorded at `version` — a reader stays on a
@@ -1406,7 +1407,7 @@ def minhash_coll_ref_init(spark, path: str) -> dict:
     """Compute and persist the reference from the index as built: one
     index-shaped aggregate (build time is already corpus-shaped, so
     the reference costs a rounding error of the build)."""
-    idx = spark.read.parquet(path)
+    idx = _read_pq(spark, path)
     row = (
         idx.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("s"))
@@ -1440,7 +1441,7 @@ def minhash_index_cap_hot_buckets(
     Returns the number of rows quarantined."""
     import os
 
-    idx = spark.read.parquet(path)
+    idx = _read_pq(spark, path)
     hot = (
         idx.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("s"))
@@ -1463,7 +1464,7 @@ def minhash_index_cap_hot_buckets(
         "/", F.col("band").cast("string"), F.col("grp").cast("string")
     )
     cond = combined.isin(["/".join(map(str, key)) for key in touched])
-    scan = spark.read.parquet(path).filter(cond)
+    scan = _read_pq(spark, path).filter(cond)
     quarantined = scan.join(F.broadcast(hot), ["band", "bucket"], "left_semi")
     keep = scan.join(
         F.broadcast(hot), ["band", "bucket"], "left_anti"
@@ -1553,7 +1554,7 @@ def minhash_ingest_tick(
         .withColumn("grp", F.pmod(F.xxhash64("bucket"), F.lit(n_grps)))
         .localCheckpoint(eager=True)  # sketched once: stat + append reuse
     )
-    live = spark.read.parquet(path)
+    live = _read_pq(spark, path)
     coll, row_n = minhash_collision_stat_ints(
         rows.select("id", "band", "bucket"), live
     )

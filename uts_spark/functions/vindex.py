@@ -77,6 +77,8 @@ import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
+from uts_spark.sources.tables import parquet_cached_schema as _read_pq
+
 from uts_spark.functions.dedup import (
     _band_bucket_rows,
     doc_shingle_arrays_portable,
@@ -108,7 +110,7 @@ def _id_stats(spark, ddir: str, id_col: str = "id") -> list[int]:
     of the deleted ids is carried into the new version untouched
     (the file-stats pruning real table formats do; here at dir
     granularity because dirs are this format's file unit)."""
-    row = spark.read.parquet(ddir).agg(
+    row = _read_pq(spark, ddir).agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).first()
     return [int(row["lo"]), int(row["hi"])]
@@ -127,7 +129,7 @@ def _count_and_stats(spark, ddir: str, id_col: str = "id") -> tuple[int, list[in
         return n, (
             [int(meta[1][0]), int(meta[1][1])] if n else [0, -1]
         )
-    row = spark.read.parquet(ddir).agg(
+    row = _read_pq(spark, ddir).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(id_col).alias("lo"),
         F.max(id_col).alias("hi"),
@@ -291,7 +293,7 @@ def _delete_pruned(
             return parent  # nothing to erase — current version stands
 
         kept = (
-            spark.read.parquet(*touched)
+            _read_pq(spark, *touched)
             .join(idf, id_col, "left_anti")
             .repartition(*[F.col(c) for c in repart_cols])
         )
@@ -306,7 +308,7 @@ def _delete_pruned(
         if all(m is not None for m in metas):
             n_touched = sum(m[0] for m in metas)
         else:
-            n_touched = spark.read.parquet(*touched).count()
+            n_touched = _read_pq(spark, *touched).count()
         n_rows = pm["n_rows"] - n_touched + n_kept
         meta = meta_fn(pm)
         meta["dir_stats"] = {
@@ -621,7 +623,7 @@ def minhash_vindex_build(
     # file; every verb carries it, the cap verb's accounting reads the
     # live row count off the manifest's own n_rows
     cref = (
-        spark.read.parquet(ddir)
+        _read_pq(spark, ddir)
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("s"))
         .agg(
@@ -1010,11 +1012,11 @@ def _ivf_fit_ints_from_dir(
     integers are interchangeable)."""
     from uts_spark.functions.similarity import FIT_SCALE, cosine_stable
 
-    cents = spark.read.parquet(qdir).select(
+    cents = _read_pq(spark, qdir).select(
         F.col("cent_id").alias("cell"), "__cv"
     )
     row = (
-        spark.read.parquet(ddir)
+        _read_pq(spark, ddir)
         .join(F.broadcast(cents), "cell")
         .agg(
             F.sum(
@@ -1070,7 +1072,7 @@ def ivf_vindex_build(
     cents = _ivf_centroids(centroid_src or emb, n_cells, id_col, vec_col)
     qdir = _write_quant_dir(cents, path)
     rows = _ivf_assign(
-        emb, spark.read.parquet(qdir), id_col, vec_col,
+        emb, _read_pq(spark, qdir), id_col, vec_col,
         keep_cols=tuple(meta_cols),
     )
     meta = {
@@ -1140,7 +1142,7 @@ def ivf_vindex_append(
                 return done
         qdir = pm["centroids_dir"]
         if qdir != encoded_against:
-            cents = spark.read.parquet(qdir)
+            cents = _read_pq(spark, qdir)
             rows = _ivf_assign(
                 emb_batch, cents, id_col, vec_col,
                 keep_cols=tuple(pm.get("meta_cols", ())),
@@ -1244,7 +1246,7 @@ def ivf_vindex_recluster(
         # meta_cols ride in the stored rows — re-assignment must carry
         # them or the rewrite would narrow the filtered-ANN schema
         keep = tuple(meta.get("meta_cols", ()))
-        cents = spark.read.parquet(meta["centroids_dir"])
+        cents = _read_pq(spark, meta["centroids_dir"])
         return _ivf_assign(
             cur.select(id_col, vec_col, *keep), cents, id_col, vec_col,
             keep_cols=keep,
@@ -1365,7 +1367,7 @@ def ivf_vindex_probe(
     from uts_spark.functions.similarity import ivf_index_probe
 
     m = _manifest_at(path, version)
-    cents = spark.read.parquet(m["centroids_dir"])
+    cents = _read_pq(spark, m["centroids_dir"])
     scan = read_version(spark, path, version)
     return ivf_index_probe(
         spark, path, anchors, None, k=k, n_cells=m["n_cells"],
@@ -1410,10 +1412,10 @@ def _ivfpq_dist_ints_from_dir(
     from uts_spark.functions.similarity import _pq_d2n
 
     d_sub = dim // m_sub
-    cexp = spark.read.parquet(bdir).select(
+    cexp = _read_pq(spark, bdir).select(
         F.col("m").alias("__m"), F.col("cent_id").alias("__code"), "csub"
     )
-    rows = spark.read.parquet(ddir)
+    rows = _read_pq(spark, ddir)
     subs = F.array(*[
         F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)
     ])
@@ -1488,8 +1490,8 @@ def ivfpq_vindex_build(
     bdir = _write_quant_dir(
         _pq_codebook_exp(src, dim, m_sub, n_cent, id_col, vec_col), path
     )
-    cents = spark.read.parquet(cdir)
-    cexp = spark.read.parquet(bdir)
+    cents = _read_pq(spark, cdir)
+    cexp = _read_pq(spark, bdir)
     rows = _ivfpq_rows(
         emb, cents, cexp, dim, m_sub, id_col, vec_col, meta_cols
     )
@@ -1560,8 +1562,8 @@ def ivfpq_vindex_append(
                 return done
         ptr = (pm["centroids_dir"], pm["codebook_dir"])
         if ptr != encoded_against:
-            cents = spark.read.parquet(ptr[0])
-            cexp = spark.read.parquet(ptr[1])
+            cents = _read_pq(spark, ptr[0])
+            cexp = _read_pq(spark, ptr[1])
             rows = _ivfpq_rows(
                 emb_batch, cents, cexp, pm["dim"], pm["m_sub"],
                 id_col, vec_col, tuple(pm.get("meta_cols", ())),
@@ -1676,8 +1678,8 @@ def ivfpq_vindex_recluster(
 
     def make_rows(cur, meta):
         keep = tuple(meta.get("meta_cols", ()))
-        cents = spark.read.parquet(meta["centroids_dir"])
-        cexp = spark.read.parquet(meta["codebook_dir"])
+        cents = _read_pq(spark, meta["centroids_dir"])
+        cexp = _read_pq(spark, meta["codebook_dir"])
         return _ivfpq_rows(
             cur.select(id_col, vec_col, *keep), cents, cexp,
             meta["dim"], meta["m_sub"], id_col, vec_col, keep,
@@ -1787,8 +1789,8 @@ def ivfpq_vindex_probe(
     from uts_spark.functions.similarity import ivfpq_index_probe
 
     m = _manifest_at(path, version)
-    cents = spark.read.parquet(m["centroids_dir"])
-    cexp = spark.read.parquet(m["codebook_dir"])
+    cents = _read_pq(spark, m["centroids_dir"])
+    cexp = _read_pq(spark, m["codebook_dir"])
     scan = read_version(spark, path, version)
     return ivfpq_index_probe(
         spark, path, anchors, None, dim=m["dim"], k=k,
@@ -1945,7 +1947,7 @@ def vindex_materialize_dvs(
             sc = [d for d in rec["scope"] if d in dirs]
             if not sc:
                 continue
-            kf = spark.read.parquet(rec["dir"])
+            kf = _read_pq(spark, rec["dir"])
             touched_set.update(
                 _stats_admitting(spark, pm, kf, rec["key"], dirs=sc)
             )
@@ -2120,7 +2122,7 @@ def vindex_migrate(
         with open(mpath) as fh:
             src_manifest = json.load(fh)
 
-    rows = spark.read.parquet(src_path)
+    rows = _read_pq(spark, src_path)
     cols = set(rows.columns)
     has_cents = os.path.isdir(os.path.join(src_path, "_centroids"))
 
@@ -2138,13 +2140,13 @@ def vindex_migrate(
         ])
 
     if has_cents and "codes" in cols:
-        cexp = spark.read.parquet(os.path.join(src_path, "_codebook"))
+        cexp = _read_pq(spark, os.path.join(src_path, "_codebook"))
         srow = cexp.select(
             F.max("m").alias("mx"), F.size(F.first("csub")).alias("d")
         ).first()
         m_sub = int(srow["mx"]) + 1
         dim = int(srow["d"]) * m_sub
-        cents = spark.read.parquet(os.path.join(src_path, "_centroids"))
+        cents = _read_pq(spark, os.path.join(src_path, "_centroids"))
         n_cells = cents.count()
         n_cent = cexp.filter(F.col("m") == 0).count()
         cdir = _write_quant_dir(cents, dst_path)
@@ -2161,7 +2163,7 @@ def vindex_migrate(
             "dir_stats": {ddir: stats}, "migrated_from": src_path,
         }
     elif has_cents:
-        cents = spark.read.parquet(os.path.join(src_path, "_centroids"))
+        cents = _read_pq(spark, os.path.join(src_path, "_centroids"))
         n_cells = cents.count()
         cdir = _write_quant_dir(cents, dst_path)
         rows = canon(rows, {"cell": "long"})

@@ -36,6 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 from uts_spark.operators.aggregates import Metric
+from uts_spark.sources.tables import parquet_cached_schema as _read_pq
 from uts_spark.registry import DAY, DSUM, FDIV, HOUR, MS, NOW_MS, query, table
 from uts_spark.streaming.ops import (
     tumbling_agg_stream,
@@ -2432,7 +2433,7 @@ def _register_stream_dedup_skew_cap():
         exact mismatch. Runs on the SAME chain as the replay lane
         (shared idempotent state machine)."""
         path = _ensure_capped_chain(spark, sf_dir)
-        q = spark.read.parquet(os.path.join(path, "_quarantine")).select(
+        q = _read_pq(spark, os.path.join(path, "_quarantine")).select(
             "id", "band", "bucket"
         )
         pairs = q.alias("a").join(q.alias("b"), ["band", "bucket"]).select(

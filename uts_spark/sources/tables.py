@@ -23,6 +23,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# schema per (path, mtime_ns, size) signature, inferred once per
+# process — the CATALOG role: every bare ``spark.read.parquet`` call
+# launches a plan-time footer-inference Spark job (measured 0.13-1.8 s
+# per load_table call, optimization r11, guide §1.2), and at 100 TB a
+# query never re-lists footers to learn a schema the catalog already
+# knows. Keyed on stat signatures so a rewritten file or dir
+# re-infers; holds METADATA only (never rows), recomputed from the
+# parquet inputs in every fresh process.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def parquet_cached_schema(spark: SparkSession, *paths: str) -> DataFrame:
+    """``spark.read.parquet(*paths)`` with the inference job paid at
+    most once per process per input signature (plain inference when a
+    path cannot be stat'd)."""
+    try:
+        key = tuple(
+            (os.path.abspath(p), s.st_mtime_ns, s.st_size)
+            for p in paths
+            for s in (os.stat(p),)
+        )
+    except OSError:
+        return spark.read.parquet(*paths)
+    st = _SCHEMA_CACHE.get(key)
+    if st is None:
+        df = spark.read.parquet(*paths)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(st).parquet(*paths)
+
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -41,7 +72,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` re-exposed as TIMESTAMP plus ``ts_ms`` (epoch ms)
     and ``ingest_id`` (= event_id: the generator's insertion order)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw = parquet_cached_schema(spark, os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         # TIMESTAMP(NANOS) generation, read as LONG nanos.
@@ -69,7 +100,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return parquet_cached_schema(
+        spark, os.path.join(sf_dir, f"{name}.parquet")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
