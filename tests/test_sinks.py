@@ -2399,6 +2399,28 @@ def test_parquet_cached_schema_reads(spark, tmp_path):
     assert set(c.columns) == {"k", "s"} and c.count() == 3
 
 
+def test_versioned_separator_column_name_reads(spark, tmp_path):
+    """A column name embedding schema-separator characters makes
+    ``simpleString`` ambiguous (`k:int,v` as ONE bigint column records
+    the same string as two clean columns), so the writer must NOT
+    record a schema the reader would mis-parse — the read falls back
+    to plain inference and returns the true data, not NULL-filled
+    wrong columns."""
+    from uts_spark.sources.versioned import (
+        list_versions,
+        read_version,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "vt_sep")
+    df = spark.range(0, 5).select(F.col("id").alias("k:int,v"))
+    write_snapshot(df, path)
+    assert "schema" not in list_versions(path)[-1]  # refused as ambiguous
+    back = read_version(spark, path)
+    assert back.columns == ["k:int,v"]
+    assert sorted(r[0] for r in back.collect()) == [0, 1, 2, 3, 4]
+
+
 def test_versioned_pre_ktype_manifest_reads(spark, tmp_path):
     """The round-11 schema-hint reads keep PRE-round-11 manifests
     working: a DV record without ``ktype`` and a manifest without a

@@ -23,15 +23,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# schema per (path, mtime_ns, size) signature, inferred once per
-# process — the CATALOG role: every bare ``spark.read.parquet`` call
-# launches a plan-time footer-inference Spark job (measured 0.13-1.8 s
-# per load_table call, optimization r11, guide §1.2), and at 100 TB a
-# query never re-lists footers to learn a schema the catalog already
-# knows. Keyed on stat signatures so a rewritten file or dir
-# re-infers; holds METADATA only (never rows), recomputed from the
-# parquet inputs in every fresh process.
-_SCHEMA_CACHE: dict[tuple, object] = {}
+# schema per path tuple, inferred once per process and re-validated
+# against the paths' (mtime_ns, size) stat signature — the CATALOG
+# role: every bare ``spark.read.parquet`` call launches a plan-time
+# footer-inference Spark job (measured 0.13-1.8 s per load_table call,
+# optimization r11, guide §1.2), and at 100 TB a query never re-lists
+# footers to learn a schema the catalog already knows. One entry per
+# DISTINCT path tuple (a mutated path replaces its entry, it never
+# accumulates one — append loops stay bounded); holds METADATA only
+# (never rows), recomputed from the parquet inputs in every fresh
+# process.
+_SCHEMA_CACHE: dict[tuple, tuple] = {}
 
 
 def parquet_cached_schema(spark: SparkSession, *paths: str) -> DataFrame:
@@ -39,19 +41,20 @@ def parquet_cached_schema(spark: SparkSession, *paths: str) -> DataFrame:
     most once per process per input signature (plain inference when a
     path cannot be stat'd)."""
     try:
-        key = tuple(
-            (os.path.abspath(p), s.st_mtime_ns, s.st_size)
-            for p in paths
+        key = tuple(os.path.abspath(p) for p in paths)
+        sig = tuple(
+            (s.st_mtime_ns, s.st_size)
+            for p in key
             for s in (os.stat(p),)
         )
     except OSError:
         return spark.read.parquet(*paths)
-    st = _SCHEMA_CACHE.get(key)
-    if st is None:
-        df = spark.read.parquet(*paths)
-        _SCHEMA_CACHE[key] = df.schema
-        return df
-    return spark.read.schema(st).parquet(*paths)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return spark.read.schema(hit[1]).parquet(*paths)
+    df = spark.read.parquet(*paths)
+    _SCHEMA_CACHE[key] = (sig, df.schema)
+    return df
 
 
 TABLE_NAMES = (

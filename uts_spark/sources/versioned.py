@@ -1044,7 +1044,7 @@ def write_snapshot(
             "parent": parent,
             "operation": operation,
             "n_rows": n,
-            "schema": df.schema.simpleString(),
+            **_recordable_schema(df.schema),
             "data_dir": ddir,
             **stats_meta,
             **(meta or {}),
@@ -1482,6 +1482,35 @@ def _parsed_schema(schema_str: str):
 _PDV_SCHEMA = "struct<__file:string,__pos:bigint>"
 
 
+def _pdv_reader(spark: SparkSession):
+    """Reader pre-loaded with the positional-vector schema, falling
+    back to footer inference if the fixed literal ever fails to parse
+    (e.g. a pyspark where the private parser moved) — the read must
+    degrade, never raise at plan time."""
+    st = _parsed_schema(_PDV_SCHEMA)
+    return spark.read.schema(st) if st is not None else spark.read
+
+
+def _recordable_schema(st) -> dict:
+    """``{"schema": simpleString}`` when the string parses back to the
+    SAME fields (names and types) as the true StructType — i.e. the
+    recorded form is unambiguous and readers may trust
+    :func:`_parsed_schema` — else ``{}``: a field name that embeds
+    separator characters (``:`` ``,`` ``<`` ``>``) makes simpleString
+    ambiguous (``k:int,v`` as a single bigint column records the same
+    string as two clean columns), and a reader trusting the parse
+    would silently return NULL-filled wrong columns. Omitting the
+    record makes readers fall back to plain/mergeSchema reads — the
+    pre-round-11 behavior for such names."""
+    ss = st.simpleString()
+    parsed = _parsed_schema(ss)
+    if parsed is not None and [
+        (f.name, f.dataType.simpleString()) for f in parsed.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in st.fields]:
+        return {"schema": ss}
+    return {}
+
+
 def _scan_dirs(
     spark: SparkSession, m: dict, dirs: list[str], with_pos: bool = False
 ) -> DataFrame:
@@ -1557,7 +1586,11 @@ def _read_dv_keys(spark: SparkSession, recs: list[dict], kcol: str):
     rd = spark.read
     if t:
         st = _parsed_schema(f"struct<{kcol}:{t}>")
-        if st is not None:
+        # trust the constructed string only when it parses back to
+        # exactly this one column — a key name embedding separator
+        # characters would mis-split (same ambiguity guarded by
+        # _recordable_schema); inference fallback otherwise
+        if st is not None and len(st.fields) == 1 and st.fields[0].name == kcol:
             rd = rd.schema(st)
     return rd.parquet(*[r["dir"] for r in recs]).select(kcol)
 
@@ -1608,7 +1641,7 @@ def _read_dirs_masked(
         # no distinct: each vector's addresses are unique by
         # construction (one row per masked physical row), and
         # duplicates across vectors are harmless to the anti-join
-        pos = spark.read.schema(_parsed_schema(_PDV_SCHEMA)).parquet(
+        pos = _pdv_reader(spark).parquet(
             *[r["dir"] for r in pdv]
         ).select("__file", "__pos")
         out = out.join(
@@ -2176,7 +2209,7 @@ def materialize_dvs(
         dmap = {_norm_dir(d): d for d in dirs}
         files = {
             r["__file"]
-            for r in spark.read.schema(_parsed_schema(_PDV_SCHEMA))
+            for r in _pdv_reader(spark)
             .parquet(*[r["dir"] for r in pdv])
             .select("__file").distinct().collect()
         }
@@ -2819,7 +2852,7 @@ def _mor_fast_feed(
         # construction, and the consumers below are a left_semi join
         # and a distinct-ed collect — duplicates across vectors are
         # harmless to both
-        pos = spark.read.schema(_parsed_schema(_PDV_SCHEMA)).parquet(
+        pos = _pdv_reader(spark).parquet(
             *[r["dir"] for r in new_pdv]
         ).select("__file", "__pos")
         # manifest dirs may be relative; _metadata paths are
@@ -3199,7 +3232,7 @@ def write_to_branch(
             rec.update({
                 "data_dirs": [ddir],
                 "n_rows": n_new,
-                "schema": df.schema.simpleString(),
+                **_recordable_schema(df.schema),
             })
         else:
             evolved = bool(head.get("evolved"))
@@ -3225,11 +3258,11 @@ def write_to_branch(
                         {**old_fields, **new_fields}.items()
                     ) + ">"
             else:
-                schema = df.schema.simpleString()
+                schema = _recordable_schema(df.schema).get("schema")
             rec.update({
                 "data_dirs": head["data_dirs"] + [ddir],
                 "n_rows": head["n_rows"] + n_new,
-                "schema": schema,
+                **({"schema": schema} if schema else {}),
                 "evolved": evolved,
                 # staged deletion vectors ride every later append (the
                 # vectors' scopes/positions predate this delta dir, so
