@@ -416,28 +416,56 @@ def minhash_lsh_pairs(
         # full plan for the plan-shape tests)
         cand = cand.localCheckpoint(eager=True)
 
-    # estimated jaccard = fraction of matching signature slots
-    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
-    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
-    est = cand.join(sa, "id_a").join(sb, "id_b").select(
-        "id_a",
-        "id_b",
-        (
-            sum(
-                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-                for i in range(k)
-            )
-            / F.lit(float(k))
-        ).alias("est_jaccard"),
+    # estimated + exact Jaccard in ONE pass over the candidate pairs
+    # (optimization r11): signature and shingle columns pre-join on the
+    # doc-sized (cached) frames, the pair stream is re-spread once (the
+    # distinct() upstream AQE-coalesces to few partitions and the
+    # per-pair array_intersect is the expensive part — same re-spread
+    # pair_jaccard applies), and est + exact compute in one projection:
+    # two pair-stream joins, no (id_a, id_b)-keyed est⋈exact join.
+    # Result-identical to the previous est ⋈ pair_jaccard left-join by
+    # inner-join associativity (every sig id has exactly one arrays
+    # row — sig derives from arrays by groupBy — so the left join was
+    # effectively inner, with coalesce kept for the 0-length guard).
+    scx = cand.sparkSession.sparkContext
+    spread = cand.repartition(scx.defaultParallelism, "id_a")
+    feats = sig.join(arrays.select("id", "sh", "ns"), "id")
+    fa = feats.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)],
+        F.col("sh").alias("__sa"),
+        F.col("ns").alias("na"),
     )
-
-    # exact-Jaccard verification ONLY over the LSH candidates (cost ∝
-    # candidates, not pairs) — no false positives in the output; reuses
-    # the cached arrays from the signature build
-    exact = pair_jaccard(cand, arrays)
+    fb = feats.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
+        F.col("sh").alias("__sb"),
+        F.col("ns").alias("nb"),
+    )
+    scored = (
+        spread.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "__shared", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        )
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(k)
+        )
+        / F.lit(float(k))
+    )
+    jac = F.col("__shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("__shared")
+    )
     out = (
-        est.join(exact, ["id_a", "id_b"], "left")
-        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        scored.select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            F.coalesce(jac, F.lit(0.0)).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
     # materialize the (tiny) verified-pair set eagerly so both caches can
@@ -1259,6 +1287,11 @@ def minhash_index_probe(
     arrays_o = doc_shingle_arrays_portable(hit_docs, text_col, id_col, n).cache()
     sig_o = minhash_signatures_portable(arrays_o, k)
 
+    # (measured r11: pre-joining sig+arrays per side — the
+    # minhash_lsh_pairs verify shape below — is a wash-to-loss HERE:
+    # +1 AQE stage for the feats join, min 3.62 vs 3.60 paired; the
+    # probe's pair stream is small enough that four broadcast probes
+    # beat materializing a combined features frame. Kept as-is.)
     sa = sig_n.select(
         F.col("id").alias("id_new"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)]
     )
