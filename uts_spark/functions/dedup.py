@@ -306,8 +306,11 @@ def minhash_signatures(
     inv = arrays.select("id", F.explode("sh").alias("__h64")).withColumn(
         "__h", F.pmod(F.col("__h64"), F.lit(MINHASH_P))
     )
+    # SQL-string aggregates: one expr round trip per family member (the
+    # constants are int-typed literals both ways, so the parsed tree is
+    # the byte-identical Multiply/Add/Remainder chain — optimization r11)
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        F.expr(f"min(({a} * __h + {b}) % {MINHASH_P})").alias(f"h{i}")
         for i, (a, b) in enumerate(_family_constants(k))
     ]
     return inv.groupBy("id").agg(*aggs)
@@ -325,13 +328,43 @@ def minhash_signatures_portable(arrays: DataFrame, k: int = 32) -> DataFrame:
         F.pmod(F.col("__z.sh2"), F.lit(MINHASH_P)).alias("__hB"),
     )
     aggs = [
-        F.min(
-            (F.lit(a) * F.col("__hA" if i % 2 == 0 else "__hB") + F.lit(b))
-            % F.lit(MINHASH_P)
+        F.expr(
+            f"min(({a} * __h{'A' if i % 2 == 0 else 'B'} + {b})"
+            f" % {MINHASH_P})"
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(_family_constants(k))
     ]
     return inv.groupBy("id").agg(*aggs)
+
+
+def _est_sql(k: int, a: str, b: str) -> Column:
+    """Signature-agreement Jaccard estimate as ONE SQL expression —
+    the same 0-seeded left-associative CASE sum and double division the
+    per-Column loop built (~5 py4j round trips per family member),
+    parsed in a single round trip (optimization r11)."""
+    terms = " + ".join(
+        f"CASE WHEN {a}{i} = {b}{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return F.expr(f"(0 + {terms}) / {float(k)}D")
+
+
+def _band_struct_sql(k: int, bands: int) -> Column:
+    """The banding array-of-structs as ONE SQL-string expression: the
+    per-Column form cost ~20 py4j round trips per band on every build
+    (optimization r11); the parsed tree — int band literal, md5 over
+    concat_ws of CAST(h_i AS STRING) — is identical."""
+    rpb = k // bands
+    return F.expr(
+        "array(" + ", ".join(
+            f"struct({b} AS band, md5(concat_ws(',', "
+            + ", ".join(
+                f"CAST(h{i} AS STRING)"
+                for i in range(b * rpb, (b + 1) * rpb)
+            )
+            + ")) AS bucket)"
+            for b in range(bands)
+        ) + ")"
+    )
 
 
 def minhash_band_candidates(sig: DataFrame, k: int, bands: int) -> DataFrame:
@@ -342,19 +375,7 @@ def minhash_band_candidates(sig: DataFrame, k: int, bands: int) -> DataFrame:
     volume ∝ bucket collisions, never n² (the 100 TB bound that
     tools/neardup_smoke.py measures empirically). Returns distinct
     (id_a, id_b) with id_a < id_b."""
-    rows_per_band = k // bands
-    band_struct = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(",", *[
-                    F.col(f"h{i}").cast("string")
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ])
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
+    band_struct = _band_struct_sql(k, bands)
     buckets = sig.select("id", F.explode(band_struct).alias("__b")).select(
         "id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
     )
@@ -430,18 +451,10 @@ def minhash_lsh_pairs(
     scx = cand.sparkSession.sparkContext
     spread = cand.repartition(scx.defaultParallelism, "id_a")
     feats = sig.join(arrays.select("id", "sh", "ns"), "id")
-    fa = feats.select(
-        F.col("id").alias("id_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)],
-        F.col("sh").alias("__sa"),
-        F.col("ns").alias("na"),
-    )
-    fb = feats.select(
-        F.col("id").alias("id_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
-        F.col("sh").alias("__sb"),
-        F.col("ns").alias("nb"),
-    )
+    # toDF: the k-wide renames in ONE round trip each (same Project of
+    # aliases the per-Column selects built — optimization r11)
+    fa = feats.toDF("id_a", *[f"a{i}" for i in range(k)], "__sa", "na")
+    fb = feats.toDF("id_b", *[f"b{i}" for i in range(k)], "__sb", "nb")
     scored = (
         spread.join(fa, "id_a")
         .join(fb, "id_b")
@@ -449,13 +462,7 @@ def minhash_lsh_pairs(
             "__shared", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
         )
     )
-    est = (
-        sum(
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(k)
-        )
-        / F.lit(float(k))
-    )
+    est = _est_sql(k, "a", "b")
     jac = F.col("__shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("__shared")
     )
@@ -495,20 +502,23 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     vocab = tok.select("t").distinct().withColumn("h", hash64(F.col("t")))
     tok = tok.join(F.broadcast(vocab), "t")
+    # per-bit expressions built as SQL strings, one F.expr round trip per
+    # aggregate instead of ~8 py4j calls per Column op (optimization r11:
+    # the 48-bit builder alone cost ~9.3k py4j round trips ≈ 1s of every
+    # build; the SQL-string form produces the IDENTICAL optimized plan —
+    # verified plan- and result-equal — at ~0.9k calls)
     votes = tok.groupBy("id").agg(
         *[
-            F.sum(
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{j}")
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1)").alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim + term
-    return votes.select("id", sim.alias("simhash"))
+    sim_sql = " + ".join(
+        f"shiftleft(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END, {j})"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select("id", F.expr(sim_sql).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -540,22 +550,17 @@ def simhash_band_pairs(
     # without this the tokenize+md5+48-sum pass runs twice (ReusedExchange
     # does not fire across the self-join's two differently-aliased scans)
     sk = simhash(df, text_col, id_col).cache()
+    slice_arr = F.expr(
+        "array(" + ", ".join(
+            f"struct({b} AS band, (shiftrightunsigned(simhash, {b * width})"
+            f" & {mask}) AS slice)"
+            for b in range(bands)
+        ) + ")"
+    )
     slices = sk.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("slice"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__s"),
+        F.explode(slice_arr).alias("__s"),
     ).select("id", "simhash", F.col("__s.band").alias("band"), F.col("__s.slice").alias("slice"))
     a = slices.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("__ha"), "band", "slice"
@@ -598,19 +603,7 @@ def _band_bucket_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
     """(id, h0..h{k-1}, band, bucket): one row per (doc, band) with the
     md5 band bucket — the single-explode banding shared with
     minhash_band_candidates."""
-    rpb = k // bands
-    band_struct = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(",", *[
-                    F.col(f"h{i}").cast("string")
-                    for i in range(b * rpb, (b + 1) * rpb)
-                ])
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
+    band_struct = _band_struct_sql(k, bands)
     return sig.select(
         "id", *[f"h{i}" for i in range(k)], F.explode(band_struct).alias("__b")
     ).select(
@@ -1292,12 +1285,8 @@ def minhash_index_probe(
     # +1 AQE stage for the feats join, min 3.62 vs 3.60 paired; the
     # probe's pair stream is small enough that four broadcast probes
     # beat materializing a combined features frame. Kept as-is.)
-    sa = sig_n.select(
-        F.col("id").alias("id_new"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)]
-    )
-    sb = sig_o.select(
-        F.col("id").alias("id_old"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)]
-    )
+    sa = sig_n.toDF("id_new", *[f"a{i}" for i in range(k)])
+    sb = sig_o.toDF("id_old", *[f"b{i}" for i in range(k)])
     an = arrays_n.select(
         F.col("id").alias("id_new"), F.col("sh").alias("__sn"), F.col("ns").alias("nn")
     )
@@ -1313,9 +1302,7 @@ def minhash_index_probe(
             "__shared", F.size(F.array_intersect(F.col("__sn"), F.col("__so")))
         )
     )
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
-    ) / F.lit(float(k))
+    est = _est_sql(k, "a", "b")
     jac = F.col("__shared").cast("double") / (
         F.col("nn") + F.col("no") - F.col("__shared")
     )

@@ -40,14 +40,33 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 
-def dot_stable(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """:func:`dot_stable` as SQL text (same tree: zip_with floor-rounded
+    products, exact long fold, one rescale). 1.0E12 is DOUBLE by its
+    exponent; 0.5D needs the suffix (bare SQL 0.5 parses DECIMAL)."""
+    prods = (
+        f"zip_with({a}, {b}, (x, y) -> floor(CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE) * 1.0E12 + 0.5D))"
+    )
+    total = f"aggregate({prods}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    return f"(CAST({total} AS DOUBLE) / 1.0E12)"
+
+
+def dot_stable(a: Column | str, b: Column | str) -> Column:
     """Order-independent exact dot product: per-element double products
     (IEEE-deterministic), explicitly rounded to integers at 1e-12 via
     ``floor(p*1e12 + 0.5)``, summed exactly as longs, rescaled.
 
     NOT a decimal cast: engines disagree on decimal rounding mode
     (Spark HALF_UP vs DuckDB HALF_EVEN) and dyadic products DO land on
-    exact .5e-12 midpoints — floor(+0.5) pins one rule everywhere."""
+    exact .5e-12 midpoints — floor(+0.5) pins one rule everywhere.
+
+    ``str`` inputs (column names / SQL fragments) build the whole tree
+    as ONE SQL expression — the per-Column form cost ~50 py4j round
+    trips per call on every plan build (optimization r11); parsed tree
+    identical."""
+    if isinstance(a, str):
+        return F.expr(_dot_sql(a, b))
     prods = F.zip_with(
         a,
         b,
@@ -59,11 +78,18 @@ def dot_stable(a: Column, b: Column) -> Column:
     return total.cast("double") / F.lit(SCALE)
 
 
-def norm_stable(a: Column) -> Column:
+def norm_stable(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(dot_stable(a, a))
 
 
-def cosine_stable(a: Column, b: Column) -> Column:
+def cosine_stable(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)})"
+            f" * sqrt({_dot_sql(b, b)})))"
+        )
     return dot_stable(a, b) / (norm_stable(a) * norm_stable(b))
 
 
@@ -82,12 +108,12 @@ def cosine_topk(
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("__qa"),
-        norm_stable(F.col(vec_col)).alias("__na"),
+        norm_stable(vec_col).alias("__na"),
     )
     x = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__qb"),
-        norm_stable(F.col(vec_col)).alias("__nb"),
+        norm_stable(vec_col).alias("__nb"),
     )
     scored = (
         x.crossJoin(F.broadcast(a))
@@ -96,7 +122,7 @@ def cosine_topk(
             "anchor_id",
             "neighbor_id",
             (
-                dot_stable(F.col("__qa"), F.col("__qb"))
+                dot_stable("__qa", "__qb")
                 / (F.col("__na") * F.col("__nb"))
             ).alias("cosine"),
         )
@@ -537,7 +563,7 @@ def ivf_topk(
     scored = cand.select(
         "anchor_id",
         "neighbor_id",
-        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+        cosine_stable("__va", "__vb").alias("cosine"),
     )
     return _rank_topk(scored, k)
 
@@ -577,7 +603,7 @@ def lsh_topk(
     scored = cand.select(
         "anchor_id",
         "neighbor_id",
-        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+        cosine_stable("__va", "__vb").alias("cosine"),
     )
     return _rank_topk(scored, k)
 
@@ -646,7 +672,7 @@ def coreset_facility_location(
             "cand",
             F.greatest(
                 F.floor(
-                    cosine_stable(F.col("__vv"), F.col("__cv"))
+                    cosine_stable("__vv", "__cv")
                     * F.lit(FIT_SCALE)
                     + F.lit(0.5)
                 ).cast("long"),
@@ -780,7 +806,7 @@ def ivf_topk_det(
     scored_cells = (
         emb.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__sim", cosine_stable(vec_col, "__cv"))
         .withColumn("__r", F.row_number().over(wc))
     )
     assigned = scored_cells.filter(F.col("__r") == 1).select(
@@ -791,7 +817,7 @@ def ivf_topk_det(
     probes = (
         anchors.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__sim", cosine_stable(vec_col, "__cv"))
         .withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") <= n_probe)
         .select(
@@ -806,7 +832,7 @@ def ivf_topk_det(
     out = cand.select(
         "anchor_id",
         "neighbor_id",
-        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+        cosine_stable("__va", "__vb").alias("cosine"),
     )
     return _rank_topk(out, k)
 
@@ -1060,7 +1086,7 @@ def lsh_index_probe(
     scored = cand.select(
         "anchor_id",
         "neighbor_id",
-        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+        cosine_stable("__va", "__vb").alias("cosine"),
     )
     return _rank_topk(scored, k)
 
@@ -1216,7 +1242,7 @@ def _ivf_assign(
     return (
         emb.select(id_col, vec_col, *keep_cols)
         .crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__sim", cosine_stable(vec_col, "__cv"))
         .withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") == 1)
         .select(id_col, vec_col, *keep_cols, F.col("cent_id").alias("cell"))
@@ -1319,7 +1345,7 @@ def ivf_fit_stat(
         .select(
             id_col,
             F.floor(
-                cosine_stable(F.col(vec_col), F.col("__cv"))
+                cosine_stable(vec_col, "__cv")
                 * F.lit(FIT_SCALE)
                 + F.lit(0.5)
             ).cast("long").alias("__fit"),
@@ -1709,7 +1735,7 @@ def ivf_index_probe(
     probes = (
         anchors.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__sim", cosine_stable(vec_col, "__cv"))
         .withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") <= n_probe)
         .select(
@@ -1742,7 +1768,7 @@ def ivf_index_probe(
     out = cand.select(
         "anchor_id",
         "neighbor_id",
-        cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+        cosine_stable("__va", "__vb").alias("cosine"),
     )
     return _rank_topk(out, k)
 
@@ -2170,7 +2196,7 @@ def ivfpq_index_probe(
     probes = (
         anchors.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
-        .withColumn("__sim", cosine_stable(F.col(vec_col), F.col("__cv")))
+        .withColumn("__sim", cosine_stable(vec_col, "__cv"))
         .withColumn("__r", F.row_number().over(wc))
         .filter(F.col("__r") <= n_probe)
         .select(
@@ -2281,7 +2307,7 @@ def ivfpq_index_probe(
         .select(
             "anchor_id",
             "neighbor_id",
-            cosine_stable(F.col("__va"), F.col("__vb")).alias("cosine"),
+            cosine_stable("__va", "__vb").alias("cosine"),
         )
     )
     return _rank_topk(scored, k)

@@ -98,13 +98,52 @@ def ustopword_count(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
 
 
-def ulang_id(col: Column) -> Column:
+def _sql_rx(pat: str) -> str:
+    """Regex pattern as a SQL string literal: the parser processes
+    backslash escapes (escapedStringLiterals=false), so every backslash
+    doubles to reach the runtime string the Column path passed raw."""
+    return "'" + pat.replace("\\", "\\\\") + "'"
+
+
+def ulang_id(col: Column | str) -> Column:
     """Script-gated unicode language ID: any kana → 'ja' (Japanese
     mixes kana with Han, so kana must gate FIRST), else any Han →
     'zh', else stopword-lexicon argmax over ULANGS with fixed
     precedence (en first), 0 everywhere → 'unknown'. Pure expressions,
     fuses into the scan — the language-routing map for a multilingual
-    crawl."""
+    crawl.
+
+    A ``str`` argument (a column name / SQL fragment) builds the whole
+    cascade as ONE SQL string — the per-Column form cost ~1k py4j
+    round trips per plan build (optimization r11); the parsed tree is
+    value-identical (lambda variable naming aside), verified plan- and
+    result-equal. Column inputs keep the original construction."""
+    if isinstance(col, str):
+        toks = f"regexp_extract_all(lower({col}), {_sql_rx(UTOKEN_RE)}, 0)"
+        score = {
+            lang: (
+                f"size(filter({toks}, t -> array_contains(array("
+                + ", ".join(f"'{w}'" for w in USTOPWORDS[lang])
+                + "), t)))"
+            )
+            for lang in ULANGS
+        }
+        best = "greatest(" + ", ".join(score[lang] for lang in ULANGS) + ")"
+        expr = "'unknown'"
+        for lang in reversed(ULANGS):
+            expr = (
+                f"CASE WHEN (({score[lang]}) = ({best}))"
+                f" AND (({best}) > 0) THEN '{lang}' ELSE {expr} END"
+            )
+        cnt = lambda cls: (  # noqa: E731
+            f"(length({col}) - length(regexp_replace({col}, "
+            f"{_sql_rx(cls)}, '')))"
+        )
+        return F.expr(
+            f"CASE WHEN {cnt(KANA_CLS_JAVA)} > 0 THEN 'ja'"
+            f" WHEN {cnt(HAN_CLS_JAVA)} > 0 THEN 'zh'"
+            f" ELSE {expr} END"
+        )
     toks = utokens(col)
     scores = [ustopword_count(toks, lang) for lang in ULANGS]
     best = F.greatest(*scores)

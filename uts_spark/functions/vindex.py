@@ -1021,7 +1021,7 @@ def _ivf_fit_ints_from_dir(
         .agg(
             F.sum(
                 F.floor(
-                    cosine_stable(F.col(vec_col), F.col("__cv"))
+                    cosine_stable(vec_col, "__cv")
                     * F.lit(FIT_SCALE)
                     + F.lit(0.5)
                 ).cast("long")

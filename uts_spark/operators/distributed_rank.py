@@ -105,14 +105,20 @@ def ranked_cumsum(
     # 1. boundary estimation: deterministic sample -> exact percentile
     # (deterministic, so every plan branch below re-derives identical
     # buckets even if the 1-row broadcast is not physically reused)
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # the boundary-fraction array and the percentile aggregate as ONE
+    # SQL string (optimization r11): the per-Column form paid a py4j
+    # round trip per fraction literal on every build; repr() round-trips
+    # each double exactly and the D suffix keeps the literals DoubleType
+    # (a bare SQL fraction parses DECIMAL), so the parsed tree is
+    # identical
+    fracs = ", ".join(repr(i / n_buckets) + "D" for i in range(1, n_buckets))
     samp = df.select(bucket_key.cast("double").alias("__bk")).where(
         F.pmod(F.hash(F.col("__bk")), F.lit(sample_mod)) == 0
     )
     bounds = samp.agg(
-        F.coalesce(
-            F.percentile(F.col("__bk"), F.array(*[F.lit(f) for f in fracs])),
-            F.array().cast("array<double>"),
+        F.expr(
+            f"coalesce(percentile(__bk, array({fracs})),"
+            " CAST(array() AS ARRAY<DOUBLE>))"
         ).alias("__bounds")
     )
 
@@ -137,28 +143,20 @@ def ranked_cumsum(
     while s >= 1:
         steps.append(s)
         s //= 2
-    nb = F.size("__bounds")
 
-    def _probe(lo, st):
-        # nested when (not `&`): CaseWhen guarantees the bounds check
-        # runs before element_at, which ANSI mode aborts on
-        # out-of-range indices
-        return F.when(
-            lo + st <= nb,
-            F.when(
-                F.col("__bk") > F.element_at("__bounds", lo + st), lo + st
-            ).otherwise(lo),
-        ).otherwise(lo)
-
+    # the whole fold as ONE SQL string (same nested-CASE body — CaseWhen
+    # still guarantees the bounds check runs before element_at, which
+    # ANSI mode aborts on out-of-range indices; optimization r11)
+    probe_fold = F.expr(
+        "aggregate(array(" + ", ".join(map(str, steps)) + "), 0,"
+        " (lo, st) -> CASE WHEN lo + st <= size(__bounds) THEN"
+        " CASE WHEN __bk > element_at(__bounds, lo + st)"
+        " THEN lo + st ELSE lo END ELSE lo END)"
+    )
     b = (
         df.withColumn("__bk", bucket_key.cast("double"))
         .crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "__bkt",
-            F.aggregate(
-                F.array(*[F.lit(x) for x in steps]), F.lit(0), _probe
-            ),
-        )
+        .withColumn("__bkt", probe_fold)
         .drop("__bounds", "__bk")
     )
 

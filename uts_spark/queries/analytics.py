@@ -63,19 +63,21 @@ def tpch_q1_pricing(spark, sf_dir):
     Filter and 7-column projection push into the parquet scan; one shuffle
     for 6 grouped keys; all arithmetic JVM-side in whole-stage codegen."""
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # value expressions as SQL text: lane_sum's str path builds each
+    # 30-op exact-sum tree in one py4j round trip (optimization r11)
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _lsum(F.col("l_quantity")).alias("sum_qty"),
-            _lsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _lsum("l_quantity").alias("sum_qty"),
+            _lsum("l_extendedprice").alias("sum_base_price"),
             _lsum(disc_price).alias("sum_disc_price"),
             _lsum(charge).alias("sum_charge"),
-            (_lsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
-            (_lsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
-            (_lsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            (_lsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (_lsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (_lsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

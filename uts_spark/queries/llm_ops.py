@@ -34,6 +34,7 @@ from uts_spark.functions.similarity import (
 )
 from uts_spark.functions.text import (
     LANGS,
+    STOPWORDS,
     stopword_count,
     bpeish_token_count,
     chunk_windows,
@@ -2582,46 +2583,44 @@ def _quality_model_features(docs):
     _duck_quality_model_features token for token — op ORDER inside each
     expression is identical so the IEEE intermediates match bit-exact
     before the one rounding."""
-    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
-    d = docs.select("doc_id", toks.alias("toks")).withColumn(
-        "g2", word_ngrams(F.col("toks"), 2)
+    # All five features as selectExpr strings — one py4j round trip per
+    # expression instead of one per Column op (optimization r11); the
+    # parsed trees are identical (verified plan- and result-equal).
+    # Double literals are D-suffixed: a bare SQL `0.0` parses DECIMAL.
+    wng2 = (
+        "CASE WHEN (size(toks) >= 2) THEN"
+        " transform(sequence(0, size(toks) - 2),"
+        " i -> array_join(slice(toks, i + 1, 2), ' '))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    n = F.size("toks")
-    nz = lambda c: F.nullif(c.cast("double"), F.lit(0.0))  # noqa: E731
-    lng = lambda c: F.round(c).cast("long")  # noqa: E731
-    sumlen = F.aggregate(
-        F.col("toks"), F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+    d = docs.selectExpr(
+        "doc_id", "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS toks"
+    ).selectExpr("doc_id", "toks", f"{wng2} AS g2")
+    stop_en = (
+        "size(filter(toks, t -> array_contains(array("
+        + ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+        + "), t)))"
     )
-    return d.select(
+    nz = lambda c: f"nullif(CAST({c} AS DOUBLE), 0.0D)"  # noqa: E731
+    lng = lambda c: f"CAST(round({c}) AS BIGINT)"  # noqa: E731
+    sumlen = "aggregate(toks, CAST(0 AS BIGINT), (a, s) -> a + length(s))"
+    return d.selectExpr(
         "doc_id",
-        (F.least(n, F.lit(200)).cast("long") * 5000).alias("x_len"),
-        F.coalesce(
-            lng(
-                stopword_count(F.col("toks"), "en").cast("double")
-                / nz(n) * 1e6
-            ),
-            F.lit(0),
-        ).alias("x_stop"),
-        F.coalesce(
-            lng(sumlen.cast("double") / nz(n) * 1e6), F.lit(0)
-        ).alias("x_mwl"),
-        F.coalesce(
-            lng(
-                F.size(F.array_distinct("toks")).cast("double")
-                / nz(n) * 1e6
-            ),
-            F.lit(0),
-        ).alias("x_ttr"),
-        F.coalesce(
-            lng(
-                (
-                    F.lit(1.0)
-                    - F.size(F.array_distinct("g2")).cast("double")
-                    / nz(F.size("g2"))
-                ) * 1e6
-            ),
-            F.lit(0),
-        ).alias("x_rep"),
+        "(CAST(least(size(toks), 200) AS BIGINT) * 5000) AS x_len",
+        "coalesce(" + lng(
+            f"CAST({stop_en} AS DOUBLE) / {nz('size(toks)')} * 1000000.0D"
+        ) + ", 0) AS x_stop",
+        "coalesce(" + lng(
+            f"CAST({sumlen} AS DOUBLE) / {nz('size(toks)')} * 1000000.0D"
+        ) + ", 0) AS x_mwl",
+        "coalesce(" + lng(
+            "CAST(size(array_distinct(toks)) AS DOUBLE)"
+            f" / {nz('size(toks)')} * 1000000.0D"
+        ) + ", 0) AS x_ttr",
+        "coalesce(" + lng(
+            "(1.0D - CAST(size(array_distinct(g2)) AS DOUBLE)"
+            f" / {nz('size(g2)')}) * 1000000.0D"
+        ) + ", 0) AS x_rep",
     )
 
 
@@ -2681,20 +2680,12 @@ def text_quality_model_score(spark, sf_dir):
     whole-stage codegen: the same 100 TB shape as the Gopher rules,
     which this lane complements with a tunable decision boundary
     (precision/recall measured in text_quality_model_eval)."""
-    w = _QM_W
     f = _quality_model_features(table(spark, sf_dir, "documents"))
-    logit = (
-        F.lit(w["w0"])
-        + F.lit(w["x_len"]) * F.col("x_len")
-        + F.lit(w["x_stop"]) * F.col("x_stop")
-        + F.lit(w["x_mwl"]) * F.col("x_mwl")
-        + F.lit(w["x_ttr"]) * F.col("x_ttr")
-        + F.lit(w["x_rep"]) * F.col("x_rep")
-    ).cast("long")
-    return f.select(
+    lg = f"CAST({_qm_logit_sql()} AS BIGINT)"
+    return f.selectExpr(
         "doc_id", "x_len", "x_stop", "x_mwl", "x_ttr", "x_rep",
-        logit.alias("quality_logit"),
-        (logit >= 0).alias("model_pass"),
+        f"{lg} AS quality_logit",
+        f"{lg} >= 0 AS model_pass",
     )
 
 
@@ -2762,21 +2753,20 @@ def _qm_xent_feature(docs):
         .agg(F.sum("tf").alias("ct"))
     )
     tot = ct.agg(F.sum("ct").alias("__tot"))
-    surp_u = F.round(
-        -F.log(
-            F.coalesce(F.col("ct").cast("double"), F.lit(0.5))
-            / F.col("__tot")
-        )
-        * LOG_SCALE
-    ).cast("long")
+    # surprisal + rate as SQL strings — one round trip each, identical
+    # parsed trees (optimization r11; 0.5D: a bare SQL 0.5 is DECIMAL)
+    surp_u = (
+        f"CAST(round((- ln(coalesce(CAST(ct AS DOUBLE), 0.5D) / __tot))"
+        f" * {LOG_SCALE}) AS BIGINT)"
+    )
     return (
         tf.join(ct, "term", "left")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("tf") * surp_u) / F.sum("tf")
-            ).cast("long").alias("x_xent")
+            F.expr(
+                f"CAST(round(sum(tf * {surp_u}) / sum(tf)) AS BIGINT)"
+            ).alias("x_xent")
         )
     )
 
@@ -2845,39 +2835,26 @@ def text_quality_model6_compare(spark, sf_dir):
     unigram_xent kernel's one (doc, term) shuffle + dictionary join —
     the shape a real perplexity-filter pass costs anyway."""
     docs = table(spark, sf_dir, "documents")
-    w5, w6 = _QM_W, _QM_W6
     f = _quality_model_features(docs)
     xe = _qm_xent_feature(docs)
-    j = f.join(xe, "doc_id", "left").select(
+    j = f.join(xe, "doc_id", "left").selectExpr(
         "doc_id",
         "x_len", "x_stop", "x_mwl", "x_ttr", "x_rep",
-        F.coalesce(F.col("x_xent"), F.lit(0)).alias("x_xent"),
+        "coalesce(x_xent, 0) AS x_xent",
     )
-    logit5 = (
-        F.lit(w5["w0"])
-        + F.lit(w5["x_len"]) * F.col("x_len")
-        + F.lit(w5["x_stop"]) * F.col("x_stop")
-        + F.lit(w5["x_mwl"]) * F.col("x_mwl")
-        + F.lit(w5["x_ttr"]) * F.col("x_ttr")
-        + F.lit(w5["x_rep"]) * F.col("x_rep")
-    ).cast("long")
-    logit6 = (
-        F.lit(w6["w0"])
-        + F.lit(w6["x_len"]) * F.col("x_len")
-        + F.lit(w6["x_stop"]) * F.col("x_stop")
-        + F.lit(w6["x_mwl"]) * F.col("x_mwl")
-        + F.lit(w6["x_ttr"]) * F.col("x_ttr")
-        + F.lit(w6["x_rep"]) * F.col("x_rep")
-        + F.lit(w6["x_xent"]) * F.col("x_xent")
-    ).cast("long")
-    return j.select(
+    # logits via the oracle's own SQL fragments (optimization r11): the
+    # strings reference the same feature columns, parse to the identical
+    # weighted-sum trees, and cost one py4j round trip each
+    l5 = f"CAST({_qm_logit_sql()} AS BIGINT)"
+    l6 = f"CAST({_qm6_logit_sql()} AS BIGINT)"
+    return j.selectExpr(
         "doc_id",
         "x_xent",
-        logit5.alias("logit5_n"),
-        logit6.alias("logit6_n"),
-        (logit5 >= 0).alias("pass5"),
-        (logit6 >= 0).alias("pass6"),
-        ((logit5 >= 0) == (logit6 >= 0)).alias("agree"),
+        f"{l5} AS logit5_n",
+        f"{l6} AS logit6_n",
+        f"{l5} >= 0 AS pass5",
+        f"{l6} >= 0 AS pass6",
+        f"({l5} >= 0) = ({l6} >= 0) AS agree",
     )
 
 
@@ -2949,30 +2926,15 @@ def text_quality_model_xent_score(spark, sf_dir):
     template-soup) is a filter away. Map-only after one tokenize, zero
     shuffle, whole-stage codegen — the 100 TB shape of every
     surface-statistic pass."""
-    w, wi = _QM_W_XENT, _QM_W
     f = _quality_model_features(table(spark, sf_dir, "documents"))
-    lx = (
-        F.lit(w["w0"])
-        + F.lit(w["x_len"]) * F.col("x_len")
-        + F.lit(w["x_stop"]) * F.col("x_stop")
-        + F.lit(w["x_mwl"]) * F.col("x_mwl")
-        + F.lit(w["x_ttr"]) * F.col("x_ttr")
-        + F.lit(w["x_rep"]) * F.col("x_rep")
-    ).cast("long")
-    lg = (
-        F.lit(wi["w0"])
-        + F.lit(wi["x_len"]) * F.col("x_len")
-        + F.lit(wi["x_stop"]) * F.col("x_stop")
-        + F.lit(wi["x_mwl"]) * F.col("x_mwl")
-        + F.lit(wi["x_ttr"]) * F.col("x_ttr")
-        + F.lit(wi["x_rep"]) * F.col("x_rep")
-    ).cast("long")
-    return f.select(
+    lx = f"CAST({_qm_xent_logit_sql()} AS BIGINT)"
+    lg = f"CAST({_qm_logit_sql()} AS BIGINT)"
+    return f.selectExpr(
         "doc_id",
-        lx.alias("xent_logit"),
-        (lx >= 0).alias("xent_pass"),
-        (lg >= 0).alias("gopher_model_pass"),
-        ((lx >= 0) == (lg >= 0)).alias("agree"),
+        f"{lx} AS xent_logit",
+        f"{lx} >= 0 AS xent_pass",
+        f"{lg} >= 0 AS gopher_model_pass",
+        f"({lx} >= 0) = ({lg} >= 0) AS agree",
     )
 
 
@@ -3052,13 +3014,13 @@ def _spark_xent_labels(docs):
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     v = c1.agg(F.count(F.lit(1)).alias("vocab"))
-    surp = F.round(
-        -F.log(
-            (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + 1)
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
-        )
-        * LOG_SCALE
-    ).cast("long")
+    # surprisal + rate as SQL strings — one py4j round trip each, the
+    # identical parsed trees (optimization r11)
+    surp = (
+        "CAST(round((- ln((CAST(coalesce(c12, 0) AS DOUBLE) + 1)"
+        " / (coalesce(c1, 0) + vocab)))"
+        f" * {LOG_SCALE}) AS BIGINT)"
+    )
     xe = (
         bf.join(c12, "bigram", "left")
         .join(
@@ -3069,9 +3031,9 @@ def _spark_xent_labels(docs):
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("bf") * surp) / F.sum("bf")
-            ).cast("long").alias("xe_rate")
+            F.expr(
+                f"CAST(round(sum(bf * {surp}) / sum(bf)) AS BIGINT)"
+            ).alias("xe_rate")
         )
         # read twice below (threshold + labels) — left lazy on the
         # same measured grounds as bf above (runtime exchange reuse)
@@ -3079,9 +3041,9 @@ def _spark_xent_labels(docs):
     thr = (
         xe.filter(F.col("doc_id") % 5 != 0)
         .agg(
-            F.round(F.expr("percentile(xe_rate, 0.5)"))
-            .cast("long")
-            .alias("__thr")
+            F.expr(
+                "CAST(round(percentile(xe_rate, 0.5)) AS BIGINT)"
+            ).alias("__thr")
         )
     )
     return (
@@ -3138,36 +3100,34 @@ def text_quality_model_xent_gate_eval(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     feats = _quality_model_features(docs)
     lab = _spark_xent_labels(docs)
-    wi, wx = _QM_W, _QM_W_XENT
-    mk = lambda w: (  # noqa: E731
-        F.lit(w["w0"])
-        + F.lit(w["x_len"]) * F.col("x_len")
-        + F.lit(w["x_stop"]) * F.col("x_stop")
-        + F.lit(w["x_mwl"]) * F.col("x_mwl")
-        + F.lit(w["x_ttr"]) * F.col("x_ttr")
-        + F.lit(w["x_rep"]) * F.col("x_rep")
-    ).cast("long")
+    # logits and confusion flags as SQL strings (optimization r11): the
+    # oracle's own _qm_logit_sql/_qm_xent_logit_sql fragments reference
+    # the same lowercase feature columns, so they parse to the identical
+    # Add/Multiply chains the per-Column lambda built — one py4j round
+    # trip per expression (verified plan- and result-equal).
     ho = (
         feats.join(lab, "doc_id")
         .filter(F.col("doc_id") % 5 == 0)
-        .select(
+        .selectExpr(
             "doc_id", "label",
-            (mk(wi) >= 0).alias("pred_inc"),
-            (mk(wx) >= 0).alias("pred_ref"),
+            f"CAST({_qm_logit_sql()} AS BIGINT) >= 0 AS pred_inc",
+            f"CAST({_qm_xent_logit_sql()} AS BIGINT) >= 0 AS pred_ref",
         )
     )
-    flag = lambda p, l: F.sum(  # noqa: E731
-        F.when(p & l, 1).otherwise(0)
-    ).cast("long")
+    flag = lambda p, l: F.expr(  # noqa: E731
+        f"CAST(sum(CASE WHEN ({p} AND {l}) THEN 1 ELSE 0 END) AS BIGINT)"
+    )
 
     # BOTH models' confusions in ONE aggregate over ho, reshaped to the
     # two output rows by an explode (optimization r11, guide §1.2): the
     # old per-model .agg pair planned the whole feature+label subtree
     # twice — same rows, half the passes. Order-insensitive oracle
     # comparison makes the reshape free.
-    def cms(pred_col: str):
-        p, l = F.col(pred_col), F.col("label")
-        return (flag(p, l), flag(p, ~l), flag(~p, l), flag(~p, ~l))
+    def cms(p: str):
+        return (
+            flag(p, "label"), flag(p, "(NOT label)"),
+            flag(f"(NOT {p})", "label"), flag(f"(NOT {p})", "(NOT label)"),
+        )
 
     (tpi, fpi, fni, tni) = cms("pred_inc")
     (tpr, fpr, fnr, tnr) = cms("pred_ref")
@@ -3178,29 +3138,19 @@ def text_quality_model_xent_gate_eval(spark, sf_dir):
         fnr.alias("fn_r"), tnr.alias("tn_r"),
     )
     out = wide.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("incumbent").alias("model"),
-                    F.col("tp_i").alias("tp"), F.col("fp_i").alias("fp"),
-                    F.col("fn_i").alias("fn"), F.col("tn_i").alias("tn"),
-                ),
-                F.struct(
-                    F.lit("xent_refit5").alias("model"),
-                    F.col("tp_r").alias("tp"), F.col("fp_r").alias("fp"),
-                    F.col("fn_r").alias("fn"), F.col("tn_r").alias("tn"),
-                ),
-            )
+        F.expr(
+            "explode(array("
+            "struct('incumbent' AS model, tp_i AS tp, fp_i AS fp,"
+            " fn_i AS fn, tn_i AS tn), "
+            "struct('xent_refit5' AS model, tp_r AS tp, fp_r AS fp,"
+            " fn_r AS fn, tn_r AS tn)))"
         ).alias("__r")
     ).select("__r.*")
-    tp, fp, fn = (F.col(c) for c in ("tp", "fp", "fn"))
-    return out.select(
+    return out.selectExpr(
         "model", "tp", "fp", "fn", "tn",
-        F.round(
-            (F.lit(2) * tp).cast("double")
-            / F.greatest(F.lit(2) * tp + fp + fn, F.lit(1))
-            * 1_000_000
-        ).cast("long").alias("f1_micro"),
+        "CAST(round(CAST((2 * tp) AS DOUBLE)"
+        " / greatest(2 * tp + fp + fn, 1) * 1000000) AS BIGINT)"
+        " AS f1_micro",
     )
 
 
@@ -3239,17 +3189,10 @@ def text_quality_model_eval(spark, sf_dir):
     broadcastable row out; the join is doc-keyed and AQE-broadcast at
     test scale, hash-shuffled at corpus scale."""
     docs = table(spark, sf_dir, "documents")
-    w = _QM_W
     feats = _quality_model_features(docs)
-    logit = (
-        F.lit(w["w0"])
-        + F.lit(w["x_len"]) * F.col("x_len")
-        + F.lit(w["x_stop"]) * F.col("x_stop")
-        + F.lit(w["x_mwl"]) * F.col("x_mwl")
-        + F.lit(w["x_ttr"]) * F.col("x_ttr")
-        + F.lit(w["x_rep"]) * F.col("x_rep")
-    ).cast("long")
-    mdl = feats.select("doc_id", (logit >= 0).alias("model_pass"))
+    mdl = feats.selectExpr(
+        "doc_id", f"CAST({_qm_logit_sql()} AS BIGINT) >= 0 AS model_pass"
+    )
     gop = text_gopher_quality(spark, sf_dir).select("doc_id", "gopher_pass")
     j = mdl.join(gop, "doc_id")
     flag = lambda m, g: F.sum(  # noqa: E731
@@ -3314,18 +3257,11 @@ def text_quality_model_threshold_sweep(spark, sf_dir):
     candidate pool). One corpus scan cross-joined with a 9-row literal
     table, grouped by threshold: 9x-amplified partial aggregation,
     still no window and no collect."""
-    w = _QM_W
     docs = table(spark, sf_dir, "documents")
     feats = _quality_model_features(docs)
-    logit = (
-        F.lit(w["w0"])
-        + F.lit(w["x_len"]) * F.col("x_len")
-        + F.lit(w["x_stop"]) * F.col("x_stop")
-        + F.lit(w["x_mwl"]) * F.col("x_mwl")
-        + F.lit(w["x_ttr"]) * F.col("x_ttr")
-        + F.lit(w["x_rep"]) * F.col("x_rep")
-    ).cast("long")
-    mdl = feats.select("doc_id", logit.alias("logit"))
+    mdl = feats.selectExpr(
+        "doc_id", f"CAST({_qm_logit_sql()} AS BIGINT) AS logit"
+    )
     gop = text_gopher_quality(spark, sf_dir).select("doc_id", "gopher_pass")
     thr = spark.range(1).select(
         F.explode(

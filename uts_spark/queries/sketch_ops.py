@@ -585,7 +585,7 @@ def similarity_maxsim_multivector(spark, sf_dir):
     )
     ch = e.select(
         "vec_id", F.posexplode(chunk_arr).alias("ci", "chunk")
-    ).withColumn("nrm", norm_stable(F.col("chunk")))
+    ).withColumn("nrm", norm_stable("chunk"))
 
     q = ch.filter(F.col("vec_id") < _MS_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
@@ -593,7 +593,7 @@ def similarity_maxsim_multivector(spark, sf_dir):
         F.col("chunk").alias("qchunk"),
         F.col("nrm").alias("qnrm"),
     )
-    cos = dot_stable(F.col("chunk"), F.col("qchunk")) / (
+    cos = dot_stable("chunk", "qchunk") / (
         F.col("nrm") * F.col("qnrm")
     )
     per_qi = (
@@ -828,40 +828,38 @@ def _bpe_merge_round(words):
     top pair (TakeOrdered 1 — count desc, pair asc broadcast back) and
     the merged segmentation applied greedy-leftmost via the
     boundary-safe "|x||y|" replace. Returns (top, merged_words)."""
-    sep = _BPE_SEP
-    arr = F.split(F.col("seg"), r"\|")
-    pairs = words.select(
+    # expression blocks as SQL strings — one py4j round trip per
+    # projection instead of one per Column op; ~3 rounds per lane build
+    # made this the bpe lanes' chattiest builder (optimization r11).
+    # The zip fields are named by a pre-projection (SQL cannot alias
+    # function arguments); CollapseProject folds it back into the same
+    # single Project the aliased-argument Column form produced.
+    sep = _BPE_SEP  # "|" — regex-escaped as \\| inside split()
+    arr = "split(seg, '\\\\|')"
+    pairs = words.selectExpr(
         "freq",
-        F.explode(
-            F.arrays_zip(
-                F.slice(arr, 1, F.size(arr) - 1).alias("x"),
-                F.slice(arr, 2, F.size(arr) - 1).alias("y"),
-            )
-        ).alias("p"),
-    ).select("freq", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        f"slice({arr}, 1, size({arr}) - 1) AS x",
+        f"slice({arr}, 2, size({arr}) - 1) AS y",
+    ).selectExpr("freq", "explode(arrays_zip(x, y)) AS p").selectExpr(
+        "freq", "p.x AS x", "p.y AS y"
+    )
     top = (
         pairs.groupBy("x", "y")
         .agg(F.sum("freq").alias("pf"))
         .orderBy(F.col("pf").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(1)
     )
-    wrapped = F.concat(
-        F.lit(sep), F.replace(F.col("seg"), F.lit(sep), F.lit(sep + sep)),
-        F.lit(sep),
-    )
-    pat = F.concat(F.lit(sep), F.col("x"), F.lit(sep + sep), F.col("y"), F.lit(sep))
-    rep = F.concat(F.lit(sep), F.col("x"), F.col("y"), F.lit(sep))
-    merged = F.replace(wrapped, pat, rep)
+    wrapped = f"concat('{sep}', replace(seg, '{sep}', '{sep + sep}'), '{sep}')"
+    pat = f"concat('{sep}', x, '{sep + sep}', y, '{sep}')"
+    rep = f"concat('{sep}', x, y, '{sep}')"
+    merged = f"replace({wrapped}, {pat}, {rep})"
     new_words = (
         words.crossJoin(F.broadcast(top))
-        .select(
+        .selectExpr(
             "word",
             "freq",
-            F.replace(
-                merged.substr(F.lit(2), F.length(merged) - 2),
-                F.lit(sep + sep),
-                F.lit(sep),
-            ).alias("seg"),
+            f"replace(substr({merged}, 2, length({merged}) - 2),"
+            f" '{sep + sep}', '{sep}') AS seg",
         )
         .cache()
     )

@@ -1686,7 +1686,7 @@ def _register_stream_langid_route():
             out = c.select(
                 "doc_id",
                 F.col("ulabel").alias("label_lang"),
-                ulang_id(F.col("utext")).alias("pred_lang"),
+                ulang_id("utext").alias("pred_lang"),
             )
             return out, "append"
 

@@ -276,21 +276,28 @@ def _ulabel_spark():
 
 
 def _ucorpus(docs):
-    """(doc_id, ulabel, utext) — the derived multilingual corpus."""
-    prefix = None
-    for lab in _ULAL_ORDER:
-        w = F.when(F.col("ulabel") == lab, F.lit(_ULANG_PREFIX[lab]))
-        prefix = w if prefix is None else prefix.when(
-            F.col("ulabel") == lab, F.lit(_ULANG_PREFIX[lab])
-        )
+    """(doc_id, ulabel, utext) — the derived multilingual corpus.
+    Both projections are single selectExpr strings (optimization r11:
+    one py4j round trip per expression instead of one per Column op;
+    the parsed CASE/concat trees are identical — the prefix strings
+    carry no quotes and the corpus is ASCII-safe on the SQL side)."""
+    ulabel_sql = (
+        "CASE WHEN (lang = 'en') THEN"
+        " CASE WHEN ((doc_id % 4) = 1) THEN 'ru'"
+        " WHEN ((doc_id % 4) = 2) THEN 'el'"
+        " WHEN ((doc_id % 4) = 3) THEN 'ja'"
+        " ELSE 'en' END ELSE lang END"
+    )
+    prefix_sql = "CASE " + " ".join(
+        f"WHEN (ulabel = '{lab}') THEN '{_ULANG_PREFIX[lab]}'"
+        for lab in _ULAL_ORDER
+    ) + " END"
     return (
-        docs.select("doc_id", "text", _ulabel_spark().alias("ulabel"))
-        .select(
+        docs.selectExpr("doc_id", "text", f"{ulabel_sql} AS ulabel")
+        .selectExpr(
             "doc_id",
             "ulabel",
-            F.concat(
-                prefix, F.lit(" "), F.substring(F.col("text"), 1, 40)
-            ).alias("utext"),
+            f"concat({prefix_sql}, ' ', substring(text, 1, 40)) AS utext",
         )
     )
 
@@ -348,7 +355,7 @@ def text_lang_id_unicode(spark, sf_dir):
     return c.select(
         "doc_id",
         F.col("ulabel").alias("label_lang"),
-        ulang_id(F.col("utext")).alias("pred_lang"),
+        ulang_id("utext").alias("pred_lang"),
     )
 
 
@@ -375,7 +382,7 @@ def text_langid_confusion_unicode(spark, sf_dir):
     return (
         c.select(
             F.col("ulabel").alias("label_lang"),
-            ulang_id(F.col("utext")).alias("pred_lang"),
+            ulang_id("utext").alias("pred_lang"),
         )
         .groupBy("label_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1925,7 +1932,7 @@ def _pipeline_v6_frame(
 
     c = _ucorpus(docs)
     route = c.select(
-        "doc_id", ulang_id(F.col("utext")).alias("route_lang")
+        "doc_id", ulang_id("utext").alias("route_lang")
     )
     dpts = c.select(
         "doc_id",
@@ -2151,7 +2158,7 @@ def corpus_language_mix_tokens(spark, sf_dir):
     )
 
     c = _ucorpus(table(spark, sf_dir, "documents"))
-    route = c.select("doc_id", ulang_id(F.col("utext")).alias("route_lang"))
+    route = c.select("doc_id", ulang_id("utext").alias("route_lang"))
     dpts = c.select(
         "doc_id",
         F.explode(
@@ -2240,7 +2247,7 @@ def corpus_language_mix_eval(spark, sf_dir):
     )
 
     c = _ucorpus(table(spark, sf_dir, "documents"))
-    route = c.select("doc_id", ulang_id(F.col("utext")).alias("route_lang"))
+    route = c.select("doc_id", ulang_id("utext").alias("route_lang"))
     dpts = c.select(
         "doc_id",
         F.explode(
