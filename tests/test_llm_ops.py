@@ -306,12 +306,54 @@ def test_connected_components_max_rounds_guard(spark):
 
     from uts_spark.functions.clustering import connected_components
 
-    # a 12-node path needs ~11 rounds; guard at 2 must raise, not loop
+    # a 12-node path needs ~11 rounds; guard at 2 must raise, not loop.
+    # algorithm="jump" pins the pointer-jump path — the default local
+    # union-find contraction (optimization r12) has a fixed level
+    # schedule and needs no convergence guard.
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12, 0, -1)], "src long, dst long"
     )
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_rounds=2)
+        connected_components(edges, max_rounds=2, algorithm="jump")
+
+
+def test_cc_union_find_matches_jump_and_multi_level(spark, monkeypatch):
+    """Optimization r12: the default local-union-find contraction must
+    label-match the pointer-jump path — on a random graph, on the
+    worst-case chain, and with the level machinery FORCED multi-level
+    (edges-per-task shrunk so level 0 fans out and the fan-in levels
+    actually run)."""
+    import random
+
+    from uts_spark.functions import clustering
+    from uts_spark.functions.clustering import connected_components
+
+    rng = random.Random(7)
+    graphs = [
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(300)],
+        [(i, i + 1) for i in range(60)],  # worst-case chain
+        [(5, 5), (7, 8)],  # self-loop + isolated edge
+    ]
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        jump = {
+            (r.node, r.component)
+            for r in connected_components(df, algorithm="jump").collect()
+        }
+        uf = {
+            (r.node, r.component)
+            for r in connected_components(df, algorithm="uf").collect()
+        }
+        assert uf == jump and uf
+        # force a multi-level contraction (level 0 at ~8 blocks + fan-in)
+        monkeypatch.setattr(clustering, "_UF_EDGES_PER_TASK", 40)
+        monkeypatch.setattr(clustering, "_UF_FAN_IN", 4)
+        multi = {
+            (r.node, r.component)
+            for r in connected_components(df, algorithm="uf").collect()
+        }
+        monkeypatch.undo()
+        assert multi == jump
 
 
 def test_contamination_counts_shared_distinct_shingles(spark):
