@@ -44,6 +44,38 @@ RANK = "__rank"
 TOTAL_N = "__n"
 
 
+def _bucket_probe_fold(n_buckets: int) -> Column:
+    """Branchless binary search over the sorted ``__bounds`` array for
+    the key ``__bk``: bucket id = #boundaries strictly below the key
+    (ties at a boundary stay together → bucketing respects the total
+    order), as ONE aggregate-HOF fold over the descending step sizes —
+    the accumulator is a bound lambda VARIABLE, so each refinement
+    level references it without duplicating any subtree (a per-level
+    `withColumn` chain multiplies plan-analysis cost on deep lineages,
+    and folding the recurrence into nested `when`s blows up 3^depth in
+    expression-tree size — both measured dead ends). vs the naive
+    linear scan this is O(log n_buckets) per row: 11.8 s -> 1.2 s for
+    5M rows x 128 buckets, cached input. The whole fold is ONE SQL
+    string (optimization r11); CaseWhen guarantees the bounds check
+    runs before element_at, which ANSI mode aborts on out-of-range
+    indices. Invariant: the accumulator is the count of boundaries
+    strictly below the key among those examined; duplicate boundary
+    values are fine (the count never indexes past a run)."""
+    steps = []
+    s = 1
+    while s * 2 < n_buckets:
+        s *= 2
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    return F.expr(
+        "aggregate(array(" + ", ".join(map(str, steps)) + "), 0,"
+        " (lo, st) -> CASE WHEN lo + st <= size(__bounds) THEN"
+        " CASE WHEN __bk > element_at(__bounds, lo + st)"
+        " THEN lo + st ELSE lo END ELSE lo END)"
+    )
+
+
 def ranked_cumsum(
     df: DataFrame,
     bucket_key: Column,
@@ -122,37 +154,8 @@ def ranked_cumsum(
         ).alias("__bounds")
     )
 
-    # 2. bucket id = #boundaries strictly below the key (ties at a
-    # boundary stay together -> bucketing respects the total order).
-    # Branchless BINARY search over the sorted boundary array, expressed
-    # as ONE aggregate-HOF fold over the descending step sizes — the
-    # accumulator is a bound lambda VARIABLE, so each refinement level
-    # references it without duplicating any subtree (a per-level
-    # `withColumn` chain also works but multiplies plan-analysis cost on
-    # deep lineages, and folding the recurrence into nested `when`s
-    # blows up 3^depth in expression-tree size — both measured dead
-    # ends). vs the naive linear scan over the boundaries this is
-    # O(log n_buckets) per row: 11.8 s -> 1.2 s for 5M rows x 128
-    # buckets, cached input. Invariant: the accumulator is the count of
-    # boundaries strictly below the key among those examined; duplicate
-    # boundary values are fine (the count never indexes past a run).
-    steps = []
-    s = 1
-    while s * 2 < n_buckets:
-        s *= 2
-    while s >= 1:
-        steps.append(s)
-        s //= 2
-
-    # the whole fold as ONE SQL string (same nested-CASE body — CaseWhen
-    # still guarantees the bounds check runs before element_at, which
-    # ANSI mode aborts on out-of-range indices; optimization r11)
-    probe_fold = F.expr(
-        "aggregate(array(" + ", ".join(map(str, steps)) + "), 0,"
-        " (lo, st) -> CASE WHEN lo + st <= size(__bounds) THEN"
-        " CASE WHEN __bk > element_at(__bounds, lo + st)"
-        " THEN lo + st ELSE lo END ELSE lo END)"
-    )
+    # 2. bucket id via the shared binary-search fold (_bucket_probe_fold)
+    probe_fold = _bucket_probe_fold(n_buckets)
     b = (
         df.withColumn("__bk", bucket_key.cast("double"))
         .crossJoin(F.broadcast(bounds))
@@ -226,6 +229,99 @@ def ranked_cumsum(
         )
         keep.append(f"premax_{a}")
     return out.select(*cols0, *keep)
+
+
+def grouped_discrete_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out: str = "__med",
+    n_buckets: int = 32,
+    sample_mod: int = 64,
+) -> DataFrame:
+    """Exact DISCRETE median per group — the value at rank
+    ``greatest(ceil(n/2), 1)`` of the group's values sorted ascending
+    (an actual datum, bit-identical across engines) — with NO
+    whole-group sort (optimization r12, VERDICT r11 #5: a
+    ``Window.partitionBy(low-cardinality key).orderBy(value)`` funnels
+    each group through ONE task regardless of cluster size — the §2.5
+    scale cliff this module exists to remove).
+
+    Same machinery as :func:`ranked_cumsum`, held per group:
+
+    1. PER-GROUP range-bucket boundaries from an exact percentile over
+       a deterministic hash-sample (one small aggregate, broadcast
+       back; groups missing from the sample fall back to one bucket —
+       balance degrades for tiny groups, never correctness);
+    2. local rank via ``Window.partitionBy(group, bucket)`` — a hash
+       exchange over ~equal-width value ranges, parallelism =
+       groups x n_buckets tasks instead of one task per group;
+    3. per-(group, bucket) counts -> per-group exclusive prefixes via
+       a broadcast triangular self-join over groups x n_buckets rows;
+    4. the median row is the one whose prefix + local rank hits the
+       target — ties on the value are interchangeable for the value
+       AT a rank, so the non-total window order is still
+       deterministic in the result.
+
+    ``value_col`` must be non-null (callers filter; NULLs would rank
+    first and shift the target). Returns one row per group:
+    (*group_cols, out).
+    """
+    v = F.col(value_col)
+    fracs = ", ".join(repr(i / n_buckets) + "D" for i in range(1, n_buckets))
+    samp = df.select(*group_cols, v.cast("double").alias("__bk")).where(
+        F.pmod(F.hash(F.col("__bk")), F.lit(sample_mod)) == 0
+    )
+    bounds = samp.groupBy(*group_cols).agg(
+        F.expr(
+            f"coalesce(percentile(__bk, array({fracs})),"
+            " CAST(array() AS ARRAY<DOUBLE>))"
+        ).alias("__bounds")
+    )
+    b = (
+        df.select(*group_cols, v.alias("__v"))
+        .join(F.broadcast(bounds), list(group_cols), "left")
+        # a group absent from the sample has NULL bounds -> empty
+        # array -> every row in bucket 0 (single-bucket fallback)
+        .withColumn(
+            "__bounds",
+            F.coalesce(F.col("__bounds"), F.expr("CAST(array() AS ARRAY<DOUBLE>)")),
+        )
+        .withColumn("__bk", F.col("__v").cast("double"))
+        .withColumn("__bkt", _bucket_probe_fold(n_buckets))
+        .drop("__bounds", "__bk")
+    )
+    wr = Window.partitionBy(*group_cols, "__bkt").orderBy("__v")
+    loc = b.withColumn("__lrn", F.row_number().over(wr).cast("long"))
+    tot = b.groupBy(*group_cols, "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    rb = tot.select(
+        *[F.col(c).alias(f"__g2_{c}") for c in group_cols],
+        F.col("__bkt").alias("__bkt2"),
+        F.col("__cnt").alias("__cnt2"),
+    )
+    same_group = [F.col(f"__g2_{c}") == F.col(c) for c in group_cols]
+    cond = same_group[0]
+    for c in same_group[1:]:
+        cond = cond & c
+    pref = (
+        tot.join(
+            F.broadcast(rb), cond & (F.col("__bkt2") < F.col("__bkt")), "left"
+        )
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).cast("long").alias("__pcnt"))
+    )
+    n_per_group = tot.groupBy(*group_cols).agg(
+        F.sum("__cnt").cast("long").alias("__gn")
+    )
+    target = F.greatest(F.ceil(F.lit(0.5) * F.col("__gn")), F.lit(1))
+    return (
+        loc.join(F.broadcast(pref), [*group_cols, "__bkt"])
+        .join(F.broadcast(n_per_group), list(group_cols))
+        .where((F.col("__pcnt") + F.col("__lrn")) == target)
+        .select(*group_cols, F.col("__v").alias(out))
+    )
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

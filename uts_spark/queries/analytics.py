@@ -2976,38 +2976,28 @@ def ts_mad_anomaly(spark, sf_dir):
     so every derived number is bit-identical across engines with no
     interpolation rounding.
 
-    Scale: two windowed rank passes partitioned by event_type (same
-    shuffle key reused; Spark keeps the co-partitioning) + two
-    broadcast joins of 5-row median tables back onto the events — the
-    fact table never shuffles twice on different keys."""
+    Scale (optimization r12, VERDICT r11 #3/#5): the r11 shape computed
+    both medians as whole-partition windows over ``event_type`` — a
+    handful of keys, so ONE task sorted each event type's entire
+    partition twice regardless of cluster size (the §2.5 cliff). The
+    exact discrete medians now route through
+    :func:`operators.distributed_rank.grouped_discrete_median`
+    (per-group range buckets → (event_type, bucket)-partitioned local
+    ranks → broadcast prefix join): parallelism is groups x n_buckets
+    tasks, no whole-group sort anywhere, and the 5-row median tables
+    broadcast back onto the events — the fact table never funnels
+    through a low-cardinality sort."""
+    from uts_spark.operators.distributed_rank import grouped_discrete_median
+
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ev = ev.select("event_id", "event_type", "value")
 
-    # window-only medians (optimization r11, guide §2.4): the old
-    # per-statistic "rank pass → 5-row table → broadcast-join back"
-    # planned the events scan FOUR times (med build, d, mad build, d
-    # again). The discrete median is the value at rank ceil(n/2) of
-    # the sorted partition, so one `max(CASE WHEN rn = target)` over
-    # the same partition attaches it to every row with no join — one
-    # scan, one exchange on event_type, all four window passes inside.
-    wn = Window.partitionBy("event_type")
-    wv = Window.partitionBy("event_type").orderBy("value")
-    wd = Window.partitionBy("event_type").orderBy("dev")
-    r = ev.select(
-        "event_id", "event_type", "value",
-        F.row_number().over(wv).alias("__rn"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
+    med = grouped_discrete_median(ev, ["event_type"], "value", out="med")
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
     )
-    target = F.greatest(F.ceil(F.lit(0.5) * F.col("__n")), F.lit(1))
-    d = r.withColumn(
-        "med",
-        F.max(F.when(F.col("__rn") == target, F.col("value"))).over(wn),
-    ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
-    out = d.withColumn("__rn2", F.row_number().over(wd)).withColumn(
-        "mad",
-        F.max(F.when(F.col("__rn2") == target, F.col("dev"))).over(wn),
-    )
-    return out.select(
+    mad = grouped_discrete_median(d, ["event_type"], "dev", out="mad")
+    return d.join(F.broadcast(mad), "event_type").select(
         "event_id",
         "event_type",
         "value",
