@@ -189,6 +189,65 @@ def test_cc_star_agrees_with_pointer_jumping(spark):
 
 # --- Pretrained BPE apply (round 6, VERDICT r5 #1) --------------------------
 
+def test_bpe_int_kernel_matches_string_kernel():
+    """Optimization r12 (VERDICT r11 #4): the packed-int merge kernel
+    the apply lanes now run must reproduce the string kernel's token
+    sequence — byte level and char level, on curated unicode edges and
+    randomized inputs — and its final ids must BE the vocab ids."""
+    import random
+    import string
+
+    from uts_spark.functions.bpe_pretrained import (
+        _ALL_BYTES,
+        _CHAR_BASE,
+        apply_int_ids,
+        bpe_apply_bytes,
+        bpe_apply_lowest_rank,
+        ids_for,
+        int_id_syms,
+        int_pair_table,
+        pretrained_byte_merges,
+        pretrained_byte_vocab_ids,
+        pretrained_merges,
+        pretrained_vocab_ids,
+    )
+
+    assert ids_for(pretrained_byte_merges(), _ALL_BYTES) == (
+        pretrained_byte_vocab_ids()
+    )
+    assert ids_for(pretrained_merges(), _CHAR_BASE) == pretrained_vocab_ids()
+
+    bm = pretrained_byte_merges()
+    bp = int_pair_table(bm, _ALL_BYTES)
+    bsyms = int_id_syms(bm, _ALL_BYTES)
+    bids = pretrained_byte_vocab_ids()
+    rng = random.Random(42)
+    samples = [" the", " merged", "naïve", " 東京", "...", "'re", ",", "x"]
+    samples += [
+        "".join(
+            rng.choice(" abcdefghijklmnopqrstuvwxyzABC0123,.'é東ü")
+            for _ in range(rng.randrange(1, 14))
+        )
+        for _ in range(400)
+    ]
+    for pt in samples:
+        toks = bpe_apply_bytes(pt)
+        seg = apply_int_ids([b + 1 for b in pt.encode("utf-8")], bp)
+        assert [bsyms[i - 1] for i in seg] == toks, pt
+        assert sum(bids[t] for t in toks) == sum(seg)
+
+    cp = int_pair_table(pretrained_merges(), _CHAR_BASE)
+    cids = pretrained_vocab_ids()
+    for _ in range(400):
+        w = "".join(
+            rng.choice(string.ascii_lowercase)
+            for _ in range(rng.randrange(1, 15))
+        )
+        toks = bpe_apply_lowest_rank(w)
+        seg = apply_int_ids([ord(c) - 96 for c in w], cp)
+        assert len(toks) == len(seg) and sum(cids[t] for t in toks) == sum(seg)
+
+
 def test_bpe_pretrained_table_shape():
     """>=1024 merges, unique vocab strings, creator-before-consumer
     (every merge's components are base chars or outputs of EARLIER

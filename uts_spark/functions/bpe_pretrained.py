@@ -211,6 +211,109 @@ def bpe_apply_lowest_rank(word: str, ranks: dict | None = None) -> list[str]:
     return _apply_lowest_rank_seg(tuple(word), ranks)
 
 
+# --- Integer-id merge kernel (optimization r12, VERDICT r11 #4) --------------
+#
+# The per-distinct-pretoken merge loop was the measured wall of the
+# apply lanes: the string kernel rebuilds a set of (str, str) tuples
+# and concatenates strings on every merge iteration. The hot path now
+# runs on the table's own 1-based VOCAB IDS — base symbols 1..B, merge
+# outputs B+1.. in rank order, exactly the id space the lanes already
+# sum over — with the merge table precompiled to ONE flat dict keyed
+# by the packed int (id_x << 11 | id_y). Consequences:
+#   - a byte-level segment seeds as [byte + 1 for byte in utf8] (no
+#     hex-pair strings at all), a char-level [a-z] word as
+#     [ord(c) - 96];
+#   - each merge iteration is int compares + one dict probe per
+#     adjacency — no tuple/set/string allocation;
+#   - n_tok = len(seg) and idsum = sum(seg) directly (the final ids
+#     ARE the vocab ids), so the apply lanes never materialize token
+#     strings; the roundtrip lane maps ids back via int_id_syms.
+# Tables are precompiled once per process per merge table (lru_cache —
+# this module is importable on executors, so a reused worker keeps
+# them across tasks, guide §4.5) and the result is provably the same
+# merge sequence: ids are bijective with symbol strings
+# (unique-vocab invariant), so pair ranks, greedy-leftmost scans and
+# termination are identical step for step.
+# tests/test_corpus_ops.py pins int-kernel == string-kernel on the
+# live corpus and randomized inputs.
+
+_ID_BITS = 11  # packed-key shift: vocab ids must stay < 2^11
+
+
+def ids_for(merges: tuple, base: tuple) -> dict[str, int]:
+    """The standard 1-based vocab-id construction shared by every
+    table here: base symbols first, merge outputs in rank order."""
+    ids = {s: i + 1 for i, s in enumerate(base)}
+    for x, y in merges:
+        ids[x + y] = len(ids) + 1
+    return ids
+
+
+@lru_cache(maxsize=8)
+def int_pair_table(merges: tuple, base: tuple) -> dict:
+    """(id_x << 11 | id_y) -> (rank, id_xy) over the standard vocab
+    ids — the flat lookup table the int merge loop probes."""
+    ids = ids_for(merges, base)
+    if len(ids) >= (1 << _ID_BITS):
+        raise ValueError(
+            f"vocab of {len(ids)} ids overflows the {_ID_BITS}-bit "
+            "packed pair key — widen _ID_BITS for larger tables"
+        )
+    return {
+        (ids[x] << _ID_BITS) | ids[y]: (r, ids[x + y])
+        for r, (x, y) in enumerate(merges)
+    }
+
+
+@lru_cache(maxsize=8)
+def int_id_syms(merges: tuple, base: tuple) -> tuple[str, ...]:
+    """id -> symbol string (index id-1), for callers that need the
+    token surface back (the roundtrip lane's hex join)."""
+    ids = ids_for(merges, base)
+    out = [None] * len(ids)
+    for s, i in ids.items():
+        out[i - 1] = s
+    return tuple(out)
+
+
+def apply_int_ids(seg: list, pair: dict) -> list:
+    """Lowest-rank-first greedy-leftmost merge loop over int vocab ids
+    — step-for-step the sequence :func:`_apply_lowest_rank_seg` runs
+    on symbol strings (same best-pair choice: ranks are unique per
+    pair, so position order never matters; same merge scan)."""
+    while len(seg) > 1:
+        best = None
+        bk = 0
+        prev = seg[0]
+        for i in range(1, len(seg)):
+            cur = seg[i]
+            k = (prev << _ID_BITS) | cur
+            pr = pair.get(k)
+            if pr is not None and (best is None or pr < best):
+                best = pr
+                bk = k
+            prev = cur
+        if best is None:
+            return seg
+        mid = best[1]
+        bx, by = bk >> _ID_BITS, bk & ((1 << _ID_BITS) - 1)
+        out = []
+        i = 0
+        n = len(seg)
+        while i < n:
+            if i + 1 < n and seg[i] == bx and seg[i + 1] == by:
+                out.append(mid)
+                i += 2
+            else:
+                out.append(seg[i])
+                i += 1
+        seg = out
+    return seg
+
+
+_CHAR_BASE = tuple("abcdefghijklmnopqrstuvwxyz")
+
+
 def bpe_apply_in_order(word: str, merges=None) -> list[str]:
     """Oracle-shaped apply: one greedy-leftmost pass per merge, in rank
     order — provably equal to :func:`bpe_apply_lowest_rank` for tables

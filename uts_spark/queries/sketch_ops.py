@@ -1111,21 +1111,29 @@ def _bpe_pretrained_word_tokens(words_df):
     Arrow-batched lowest-rank-first apply over a distinct-word frame —
     the shared kernel of text_bpe_apply_pretrained,
     pipeline_training_prep_v4 and the streaming lane."""
-    ranks = {p: r for r, p in enumerate(pretrained_merges())}
-    ids = pretrained_vocab_ids()
+    merges = pretrained_merges()
 
     def apply_batches(batches):
         import pandas as pd
 
-        from uts_spark.functions.bpe_pretrained import bpe_apply_lowest_rank
+        from uts_spark.functions.bpe_pretrained import (
+            _CHAR_BASE,
+            apply_int_ids,
+            int_pair_table,
+        )
 
+        # precompiled flat pair table, once per task (process-cached);
+        # the int ids ARE the vocab ids, so idsum = sum(seg) directly
+        # (optimization r12 — the string kernel rebuilt tuple sets and
+        # concatenated strings per merge iteration)
+        pair = int_pair_table(merges, _CHAR_BASE)
         for pdf in batches:
             words = pdf["word"].tolist()
             n_tok, idsum = [], []
             for w in words:
-                toks = bpe_apply_lowest_rank(w, ranks)
-                n_tok.append(len(toks))
-                idsum.append(sum(ids[t] for t in toks))
+                seg = apply_int_ids([ord(c) - 96 for c in w], pair)
+                n_tok.append(len(seg))
+                idsum.append(sum(seg))
             yield pd.DataFrame({"word": words, "n_tok": n_tok, "idsum": idsum})
 
     return words_df.mapInPandas(
@@ -1394,24 +1402,59 @@ def _bpe_byte_pretoken_tokens(pts_df, merges=None, vocab_ids=None):
     fertility A/B passes its own): Arrow-batched lowest-rank-first
     apply over a distinct-pretoken frame — the byte-lane sibling of
     _bpe_pretrained_word_tokens."""
+    from uts_spark.functions.bpe_pretrained import _ALL_BYTES, ids_for
+
     if merges is None:
         merges = pretrained_byte_merges()
-    ranks = {p: r for r, p in enumerate(merges)}
-    ids = vocab_ids if vocab_ids is not None else pretrained_byte_vocab_ids()
+    # int-kernel precondition (optimization r12): the caller's vocab
+    # ids follow the standard base-bytes-then-merge-outputs
+    # construction, so idsum = sum(final int ids) directly. Every
+    # current caller's do (the shipped and mix-trained tables both use
+    # ids_for); a non-standard id map falls back to the string kernel.
+    if vocab_ids is None or vocab_ids == ids_for(merges, _ALL_BYTES):
 
-    def apply_batches(batches):
-        import pandas as pd
+        def apply_batches(batches):
+            import pandas as pd
 
-        from uts_spark.functions.bpe_pretrained import bpe_apply_bytes
+            from uts_spark.functions.bpe_pretrained import (
+                _ALL_BYTES,
+                apply_int_ids,
+                int_pair_table,
+            )
 
-        for pdf in batches:
-            pts = pdf["pt"].tolist()
-            n_tok, idsum = [], []
-            for pt in pts:
-                toks = bpe_apply_bytes(pt, ranks)
-                n_tok.append(len(toks))
-                idsum.append(sum(ids[t] for t in toks))
-            yield pd.DataFrame({"pt": pts, "n_tok": n_tok, "idsum": idsum})
+            pair = int_pair_table(merges, _ALL_BYTES)  # once per task
+            for pdf in batches:
+                pts = pdf["pt"].tolist()
+                n_tok, idsum = [], []
+                for pt in pts:
+                    seg = apply_int_ids(
+                        [b + 1 for b in pt.encode("utf-8")], pair
+                    )
+                    n_tok.append(len(seg))
+                    idsum.append(sum(seg))
+                yield pd.DataFrame(
+                    {"pt": pts, "n_tok": n_tok, "idsum": idsum}
+                )
+
+    else:
+        ranks = {p: r for r, p in enumerate(merges)}
+        ids = vocab_ids
+
+        def apply_batches(batches):
+            import pandas as pd
+
+            from uts_spark.functions.bpe_pretrained import bpe_apply_bytes
+
+            for pdf in batches:
+                pts = pdf["pt"].tolist()
+                n_tok, idsum = [], []
+                for pt in pts:
+                    toks = bpe_apply_bytes(pt, ranks)
+                    n_tok.append(len(toks))
+                    idsum.append(sum(ids[t] for t in toks))
+                yield pd.DataFrame(
+                    {"pt": pts, "n_tok": n_tok, "idsum": idsum}
+                )
 
     return pts_df.mapInPandas(
         apply_batches, "pt string, n_tok long, idsum long"
@@ -1521,22 +1564,29 @@ def text_bpe_roundtrip(spark, sf_dir):
     exprs), so at 100 TB decode costs one dictionary pass + the same
     corpus join the apply lane already pays; the per-doc reassembly is
     a doc-length-bounded collect_list, the only per-row state."""
-    import pandas as pd  # noqa: F401  (mapInPandas dependency)
-
-    from uts_spark.functions.bpe_pretrained import bpe_apply_bytes
-
-    ranks = {p: r for r, p in enumerate(pretrained_byte_merges())}
+    merges = pretrained_byte_merges()
 
     def apply_batches(batches):
         import pandas as pd
 
+        from uts_spark.functions.bpe_pretrained import (
+            _ALL_BYTES,
+            apply_int_ids,
+            int_id_syms,
+            int_pair_table,
+        )
+
+        # int merge kernel (optimization r12) + id -> hex-symbol map
+        # for the decode join, both precompiled once per task
+        pair = int_pair_table(merges, _ALL_BYTES)
+        syms = int_id_syms(merges, _ALL_BYTES)
         for pdf in batches:
             pts = pdf["pt"].tolist()
             n_tok, tok_hex = [], []
             for pt in pts:
-                toks = bpe_apply_bytes(pt, ranks)
-                n_tok.append(len(toks))
-                tok_hex.append("".join(toks))
+                seg = apply_int_ids([b + 1 for b in pt.encode("utf-8")], pair)
+                n_tok.append(len(seg))
+                tok_hex.append("".join(syms[i - 1] for i in seg))
             yield pd.DataFrame(
                 {"pt": pts, "n_tok": n_tok, "tok_hex": tok_hex}
             )
