@@ -136,7 +136,7 @@ def pair_jaccard(cands: DataFrame, arrays: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
-    prefix_order: str = "freq",
+    prefix_order: str = "freq", checkpoint: bool = False,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs at ``jaccard >= threshold`` via
     PPJoin-style PREFIX FILTERING (result-identical to the naive
@@ -174,6 +174,14 @@ def ngram_jaccard_pairs(
       per-doc array expression (array_sort + slice: NO extra shuffle,
       no window). Same output (any consistent total order is correct);
       cheaper on uniform corpora, risky under shingle skew.
+
+    ``checkpoint=True`` eagerly materializes the (tiny) verified pair
+    set and releases the ``arrays``/``prefix`` caches immediately —
+    same opt-in contract and tradeoffs as :func:`minhash_lsh_pairs`
+    (VERDICT r11 #8: the lazy default pins both caches in executor
+    storage for the session lifetime; a one-shot batch query should
+    opt in, a caller holding the lazy plan must unpersist itself or
+    accept the LRU-bounded pin).
     """
     assert prefix_order in ("freq", "hash")
     arrays = doc_shingle_arrays(df, text_col, id_col, n).cache()
@@ -241,7 +249,13 @@ def ngram_jaccard_pairs(
         .filter(count_bound >= alpha)
         .select("id_a", "id_b")
     )
-    return pair_jaccard(cands, arrays).filter(F.col("jaccard") >= threshold)
+    out = pair_jaccard(cands, arrays).filter(F.col("jaccard") >= threshold)
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        arrays.unpersist()
+        if prefix_order == "freq":
+            prefix.unpersist()
+    return out
 
 
 # Universal-hash family over ONE base md5 hash per shingle:

@@ -261,9 +261,14 @@ def dedup_exact(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by exact 3-gram Jaccard, computed only over pairs
     sharing a shingle (inverted-index self-join — cost tracks true
-    overlap, not N²)."""
+    overlap, not N²). checkpoint=True: one-shot batch query — release
+    the arrays/prefix caches as soon as the (tiny) verified pair set
+    is materialized instead of pinning them for the session lifetime
+    (VERDICT r11 #8)."""
     docs = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, checkpoint=True
+    )
 
 
 def _duck_simhash() -> str:
