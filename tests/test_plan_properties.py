@@ -708,19 +708,36 @@ def test_registry_wide_no_unpartitioned_windows(spark, sf_dir):
     (single source of truth): the reference-contract single-series
     lanes and the dimension-bounded ranks documented there. A NEW
     query that funnels rows through one task fails HERE, in CI, not in
-    a per-round audit read. (~3.5 min at sf0.001 — the cost of the
-    sweep being total; plan-only, nothing executes beyond construction.)
+    a per-round audit read. (Thread-pooled at 8 workers — the serial
+    sweep was ~8 min at sf0.001, dominated by the service lanes'
+    build-time replay jobs, which overlap fine across py4j threads.)
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import tools.plan_audit as pa
 
+    def build_plan(name):
+        df = QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # build the 400+ plans from a thread pool (optimization r12: this
+    # sweep was 479 s serial — 26% of the whole suite; the time is
+    # Catalyst analysis in JVM threads plus the service lanes' own
+    # build-time jobs, both of which overlap across py4j connections).
+    # Lanes whose build trips a concurrency artifact (a service lane's
+    # single-writer marker meeting a sibling mid-build) are RETRIED
+    # SERIALLY before anything is called a failure, so the gate's
+    # verdict is exactly the serial sweep's.
+    names = sorted(QUERIES)
     bad = []
     errors = []
-    for name in sorted(QUERIES):
-        try:
-            df = QUERIES[name](spark, sf_dir)
-            p = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # construction failure is a finding too
-            errors.append((name, str(exc).splitlines()[0][:120]))
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        plans = list(pool.map(lambda n: _try_plan(build_plan, n), names))
+    for name, (p, err) in zip(names, plans):
+        if err is not None:
+            p, err = _try_plan(build_plan, name)  # serial retry
+        if err is not None:
+            errors.append((name, err))
             continue
         res = pa.audit_plan(p)
         for rule in ("single_partition_window", "constant_key_exchange"):
@@ -728,6 +745,13 @@ def test_registry_wide_no_unpartitioned_windows(spark, sf_dir):
                 bad.append((name, rule))
     assert not errors, errors
     assert not bad, bad
+
+
+def _try_plan(build, name):
+    try:
+        return build(name), None
+    except Exception as exc:
+        return None, str(exc).splitlines()[0][:120]
 
 
 def test_label_encode_matches_sorted_vocab_without_funnel(spark):

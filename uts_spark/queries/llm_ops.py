@@ -1380,9 +1380,16 @@ def _duck_ann_index_probe(member_pred: str = "") -> str:
 
 def _warehouse_dir() -> str:
     # repo-root-anchored, never CWD-relative: the driver may invoke
-    # queries() from any working directory
+    # queries() from any working directory. UTS_SPARK_WAREHOUSE
+    # overrides the root (optimization r12): the sharded test runner
+    # gives each worker process its own warehouse so concurrent shards
+    # never contend on one lane's state dir — unset (the driver, the
+    # bench, normal use) keeps the repo-root default.
     import os
 
+    env = os.environ.get("UTS_SPARK_WAREHOUSE")
+    if env:
+        return env
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))),
