@@ -54,6 +54,15 @@ constants are recorded so cross-round totals self-normalize:
     range, 32 partitions, whole-stage codegen, no I/O) — tracks the
     JVM+scheduler side at the bench's own parallelism.
 Normalize round-over-round as total_r{N} * (calib_r{ref}/calib_r{N}).
+
+Round 12 (VERDICT r11 #7): the summary line additionally carries
+``value_calib_norm`` = value * (_CALIB_SPARK_REF / calib_spark_sec),
+i.e. the total pre-normalized to the round-11 driver artifact's
+calibration window (BENCH_r11.json: calib_spark_sec 0.3607), so
+round-over-round totals are window-proof without the reader having to
+fish both calibrations out of two artifacts (round 11's raw 1.48x
+total was almost exactly its 1.477x calibration-window ratio).
+Addition-only: every pre-existing key is unchanged.
 """
 
 from __future__ import annotations
@@ -77,6 +86,12 @@ JITTER_FLOOR = 0.1   # absolute max-min (sec) below which spread is noise:
 MAX_EXTRA = 6        # per-lane solo re-runs after the base passes
 _CALIB_LOOP_N = 2_000_000
 _CALIB_SPARK_ROWS = 200_000_000
+# Reference window for value_calib_norm: the round-11 driver artifact's
+# fixed-Spark-work calibration (BENCH_r11.json calib_spark_sec). A
+# FIXED constant, never re-measured: value_calib_norm of any two rounds
+# divides out each round's own window, so the ratio of two rounds'
+# normalized totals is window-free.
+_CALIB_SPARK_REF = 0.3607
 
 
 def _calib_cpu() -> float:
@@ -222,6 +237,12 @@ def main() -> None:
     summary = {
         "metric": "headline_queries_total",
         "value": round(sum(statistics.median(w) for w in wins.values()), 3),
+        "value_calib_norm": round(
+            sum(statistics.median(w) for w in wins.values())
+            * _CALIB_SPARK_REF
+            / calib_spark,
+            3,
+        ),
         "unit": "sec",
         "queries": med,
         "min_total_sec": round(sum(mins.values()), 3),
