@@ -317,13 +317,7 @@ PNG_STATS_SCHEMA = (
 )
 
 
-def attach_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a REAL PNG blob per row (functions/png.synth_png: pixels
-    are a closed form in the id, rows encoded with varying filters) —
-    the image-corpus stand-in whose decoded statistics an external SQL
-    oracle can recompute arithmetically. Arrow-batched mapInPandas, one
-    encode per row, executor-side only."""
-
+def _synth_png_gen(id_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -337,16 +331,21 @@ def attach_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread(df.select(id_col)).mapInPandas(gen, "doc_id long, media binary")
+    return gen
 
 
-def png_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
-    """REAL image decode: inflate + unfilter each PNG blob (pure-stdlib
-    codec) and emit per-channel integer pixel sums — the honest version
-    of fake_decode_features for the one format the container can always
-    handle. Integer sums keep the oracle comparison exact; derived means
-    are one double division computed identically in SQL."""
+def attach_synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PNG blob per row (functions/png.synth_png: pixels
+    are a closed form in the id, rows encoded with varying filters) —
+    the image-corpus stand-in whose decoded statistics an external SQL
+    oracle can recompute arithmetically. Arrow-batched mapInPandas, one
+    encode per row, executor-side only."""
+    return _spread(df.select(id_col)).mapInPandas(
+        _synth_png_gen(id_col), "doc_id long, media binary"
+    )
 
+
+def _png_stats_gen(blob_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
@@ -375,7 +374,43 @@ def png_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(gen, PNG_STATS_SCHEMA)
+    return gen
+
+
+def png_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """REAL image decode: inflate + unfilter each PNG blob (pure-stdlib
+    codec) and emit per-channel integer pixel sums — the honest version
+    of fake_decode_features for the one format the container can always
+    handle. Integer sums keep the oracle comparison exact; derived means
+    are one double division computed identically in SQL."""
+    return df.select("doc_id", blob_col).mapInPandas(
+        _png_stats_gen(blob_col), PNG_STATS_SCHEMA
+    )
+
+
+def _fused_synth(df: DataFrame, id_col: str, enc_gen, stats_gen, schema: str):
+    """Synth-encode and decode-stats in ONE mapInPandas (optimization
+    r12, VERDICT r11 #9 / guide §4.1): the attach->stats pairs below
+    used to be two chained ArrowEvalPython stages, which pays a full
+    JVM round trip of the BLOB column (Arrow-serialize every encoded
+    media byte out of Python, deserialize it back into the next Python
+    worker) plus a second worker pool. Composing the two generators
+    keeps the blobs inside one Python worker; only the stat rows cross
+    the boundary. Row-identical by construction: the same two
+    transformers run in the same order on the same batches."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        return stats_gen(enc_gen(batches))
+
+    return _spread(df.select(id_col)).mapInPandas(gen, schema)
+
+
+def synth_png_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """attach_synth_png >> png_decode_stats, fused into one Python pass."""
+    return _fused_synth(
+        df, id_col, _synth_png_gen(id_col), _png_stats_gen("media"),
+        PNG_STATS_SCHEMA,
+    )
 
 
 PNG_RESIZE_SCHEMA = (
@@ -384,18 +419,7 @@ PNG_RESIZE_SCHEMA = (
 )
 
 
-def png_resize_stats(
-    df: DataFrame, target_w: int, target_h: int, blob_col: str = "media"
-) -> DataFrame:
-    """REAL resize pipeline: decode PNG → nearest-neighbor resample
-    (integer index map) → RE-ENCODE to PNG — the full
-    decode/transform/encode loop the stubbed `resize_images` only
-    modeled, now live for the stdlib-codec format. Emits per-channel
-    integer sums of the RESIZED pixels (oracle recomputes them from the
-    generative formula through the same integer index map) plus the
-    re-encoded byte length (decode-side only; not oracle-compared —
-    compressed size is a zlib implementation detail)."""
-
+def _png_resize_gen(target_w: int, target_h: int, blob_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
@@ -424,7 +448,33 @@ def png_resize_stats(
                 ],
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(gen, PNG_RESIZE_SCHEMA)
+    return gen
+
+
+def png_resize_stats(
+    df: DataFrame, target_w: int, target_h: int, blob_col: str = "media"
+) -> DataFrame:
+    """REAL resize pipeline: decode PNG → nearest-neighbor resample
+    (integer index map) → RE-ENCODE to PNG — the full
+    decode/transform/encode loop the stubbed `resize_images` only
+    modeled, now live for the stdlib-codec format. Emits per-channel
+    integer sums of the RESIZED pixels (oracle recomputes them from the
+    generative formula through the same integer index map) plus the
+    re-encoded byte length (decode-side only; not oracle-compared —
+    compressed size is a zlib implementation detail)."""
+    return df.select("doc_id", blob_col).mapInPandas(
+        _png_resize_gen(target_w, target_h, blob_col), PNG_RESIZE_SCHEMA
+    )
+
+
+def synth_png_resize_stats(
+    df: DataFrame, target_w: int, target_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """attach_synth_png >> png_resize_stats, fused into one Python pass."""
+    return _fused_synth(
+        df, id_col, _synth_png_gen(id_col),
+        _png_resize_gen(target_w, target_h, "media"), PNG_RESIZE_SCHEMA,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -463,9 +513,7 @@ def synth_wav(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
-def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a real RIFF/WAVE blob per row (Arrow-batched, executor-side)."""
-
+def _synth_wav_gen(id_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -477,17 +525,17 @@ def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread(df.select(id_col)).mapInPandas(gen, "doc_id long, media binary")
+    return gen
 
 
-def wav_energy_windows(df: DataFrame, blob_col: str = "media") -> DataFrame:
-    """REAL audio feature extraction: parse the RIFF container with the
-    stdlib ``wave`` codec, window the decoded int16 PCM into
-    non-overlapping WAV_WINDOW-sample frames, emit integer energy
-    (Σ sample²) and IEEE RMS per frame — the honest upgrade of
-    audio_energy_windows' bytes-as-samples stand-in. Trailing partial
-    windows are dropped (the fixed-frame VAD convention)."""
+def attach_synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real RIFF/WAVE blob per row (Arrow-batched, executor-side)."""
+    return _spread(df.select(id_col)).mapInPandas(
+        _synth_wav_gen(id_col), "doc_id long, media binary"
+    )
 
+
+def _wav_energy_gen(blob_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
         import math
@@ -520,7 +568,27 @@ def wav_energy_windows(df: DataFrame, blob_col: str = "media") -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(gen, WAV_ENERGY_SCHEMA)
+    return gen
+
+
+def wav_energy_windows(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """REAL audio feature extraction: parse the RIFF container with the
+    stdlib ``wave`` codec, window the decoded int16 PCM into
+    non-overlapping WAV_WINDOW-sample frames, emit integer energy
+    (Σ sample²) and IEEE RMS per frame — the honest upgrade of
+    audio_energy_windows' bytes-as-samples stand-in. Trailing partial
+    windows are dropped (the fixed-frame VAD convention)."""
+    return df.select("doc_id", blob_col).mapInPandas(
+        _wav_energy_gen(blob_col), WAV_ENERGY_SCHEMA
+    )
+
+
+def synth_wav_energy_windows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """attach_synth_wav >> wav_energy_windows, fused into one Python pass."""
+    return _fused_synth(
+        df, id_col, _synth_wav_gen(id_col), _wav_energy_gen("media"),
+        WAV_ENERGY_SCHEMA,
+    )
 
 
 WAV_FEATURES_SCHEMA = (
@@ -529,14 +597,7 @@ WAV_FEATURES_SCHEMA = (
 )
 
 
-def wav_clip_features(df: DataFrame, blob_col: str = "media") -> DataFrame:
-    """Per-CLIP audio features from the decoded PCM (the clip-level
-    complement of wav_energy_windows' frame lane): peak |s|, Σ|s|
-    (integer-exact), zero crossings (sign threshold at >= 0), and total
-    variation Σ|s_i − s_{i−1}| — the standard cheap VAD/quality
-    signals. All integers, so the oracle replays them bit-for-bit from
-    the closed-form waveform."""
-
+def _wav_clip_gen(blob_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
         import wave
@@ -570,7 +631,27 @@ def wav_clip_features(df: DataFrame, blob_col: str = "media") -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(gen, WAV_FEATURES_SCHEMA)
+    return gen
+
+
+def wav_clip_features(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Per-CLIP audio features from the decoded PCM (the clip-level
+    complement of wav_energy_windows' frame lane): peak |s|, Σ|s|
+    (integer-exact), zero crossings (sign threshold at >= 0), and total
+    variation Σ|s_i − s_{i−1}| — the standard cheap VAD/quality
+    signals. All integers, so the oracle replays them bit-for-bit from
+    the closed-form waveform."""
+    return df.select("doc_id", blob_col).mapInPandas(
+        _wav_clip_gen(blob_col), WAV_FEATURES_SCHEMA
+    )
+
+
+def synth_wav_clip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """attach_synth_wav >> wav_clip_features, fused into one Python pass."""
+    return _fused_synth(
+        df, id_col, _synth_wav_gen(id_col), _wav_clip_gen("media"),
+        WAV_FEATURES_SCHEMA,
+    )
 
 
 GZIP_TEXT_SCHEMA = (
@@ -579,13 +660,7 @@ GZIP_TEXT_SCHEMA = (
 )
 
 
-def attach_gzip_text(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Compress each document's UTF-8 text with gzip (stdlib, mtime
-    pinned to 0 so the member header — and thus every byte — is
-    deterministic): the compressed-corpus ingestion shape (WARC/WET
-    dumps, .jsonl.gz shards) where the engine receives OPAQUE compressed
-    blobs, not text columns."""
-
+def _gzip_text_gen(text_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import gzip
         import io
@@ -606,19 +681,21 @@ def attach_gzip_text(df: DataFrame, text_col: str = "text") -> DataFrame:
                 }
             )
 
+    return gen
+
+
+def attach_gzip_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compress each document's UTF-8 text with gzip (stdlib, mtime
+    pinned to 0 so the member header — and thus every byte — is
+    deterministic): the compressed-corpus ingestion shape (WARC/WET
+    dumps, .jsonl.gz shards) where the engine receives OPAQUE compressed
+    blobs, not text columns."""
     return _spread(df.select("doc_id", text_col)).mapInPandas(
-        gen, "doc_id long, media binary"
+        _gzip_text_gen(text_col), "doc_id long, media binary"
     )
 
 
-def gzip_text_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
-    """REAL decompression lane: gunzip each blob (stdlib zlib) and emit
-    plaintext statistics — length, whitespace token count, and the md5
-    of the recovered bytes, so the oracle (which reads the ORIGINAL text
-    column) proves the round trip bit-for-bit. Decode is
-    partition-streamed Arrow batches like the PNG/WAV lanes; compressed
-    bytes never leave the executor."""
-
+def _gzip_stats_gen(blob_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import gzip
         import hashlib
@@ -657,7 +734,30 @@ def gzip_text_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(gen, GZIP_TEXT_SCHEMA)
+    return gen
+
+
+def gzip_text_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """REAL decompression lane: gunzip each blob (stdlib zlib) and emit
+    plaintext statistics — length, whitespace token count, and the md5
+    of the recovered bytes, so the oracle (which reads the ORIGINAL text
+    column) proves the round trip bit-for-bit. Decode is
+    partition-streamed Arrow batches like the PNG/WAV lanes; compressed
+    bytes never leave the executor."""
+    return df.select("doc_id", blob_col).mapInPandas(
+        _gzip_stats_gen(blob_col), GZIP_TEXT_SCHEMA
+    )
+
+
+def synth_gzip_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """attach_gzip_text >> gzip_text_stats, fused into one Python pass."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        return _gzip_stats_gen("media")(_gzip_text_gen(text_col)(batches))
+
+    return _spread(df.select("doc_id", text_col)).mapInPandas(
+        gen, GZIP_TEXT_SCHEMA
+    )
 
 
 JPEG_STATS_SCHEMA = (
@@ -666,12 +766,7 @@ JPEG_STATS_SCHEMA = (
 )
 
 
-def attach_synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a REAL JPEG blob per row (functions/jpeg.synth_jpeg:
-    DC-only grayscale, quantized DC a closed form in the id — the one
-    construction where a LOSSY codec still decodes to closed-form
-    pixels). Arrow-batched mapInPandas, executor-side only."""
-
+def _synth_jpeg_gen(id_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -685,15 +780,20 @@ def attach_synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _spread(df.select(id_col)).mapInPandas(gen, "doc_id long, media binary")
+    return gen
 
 
-def jpeg_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
-    """REAL JPEG decode: full baseline pipeline (Huffman entropy decode,
-    DC prediction, dequantize, IDCT, level shift) per blob via the
-    pure-numpy codec, emitting integer pixel statistics an external SQL
-    oracle can recompute from the generative formula."""
+def attach_synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL JPEG blob per row (functions/jpeg.synth_jpeg:
+    DC-only grayscale, quantized DC a closed form in the id — the one
+    construction where a LOSSY codec still decodes to closed-form
+    pixels). Arrow-batched mapInPandas, executor-side only."""
+    return _spread(df.select(id_col)).mapInPandas(
+        _synth_jpeg_gen(id_col), "doc_id long, media binary"
+    )
 
+
+def _jpeg_stats_gen(blob_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
@@ -720,7 +820,25 @@ def jpeg_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
                 ],
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(gen, JPEG_STATS_SCHEMA)
+    return gen
+
+
+def jpeg_decode_stats(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """REAL JPEG decode: full baseline pipeline (Huffman entropy decode,
+    DC prediction, dequantize, IDCT, level shift) per blob via the
+    pure-numpy codec, emitting integer pixel statistics an external SQL
+    oracle can recompute from the generative formula."""
+    return df.select("doc_id", blob_col).mapInPandas(
+        _jpeg_stats_gen(blob_col), JPEG_STATS_SCHEMA
+    )
+
+
+def synth_jpeg_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """attach_synth_jpeg >> jpeg_decode_stats, fused into one Python pass."""
+    return _fused_synth(
+        df, id_col, _synth_jpeg_gen(id_col), _jpeg_stats_gen("media"),
+        JPEG_STATS_SCHEMA,
+    )
 
 
 JPEG_RESIZE_SCHEMA = (
@@ -729,14 +847,7 @@ JPEG_RESIZE_SCHEMA = (
 )
 
 
-def jpeg_resize_stats(
-    df: DataFrame, target_w: int, target_h: int, blob_col: str = "media"
-) -> DataFrame:
-    """REAL JPEG resize pipeline: full baseline decode → nearest-
-    neighbor resample via the integer index map src = (dst·src)//tgt →
-    integer stats of the resized grayscale pixels (the oracle replays
-    the index map on the generative block formula)."""
-
+def _jpeg_resize_gen(target_w: int, target_h: int, blob_col: str):
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
@@ -765,4 +876,26 @@ def jpeg_resize_stats(
                 ],
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(gen, JPEG_RESIZE_SCHEMA)
+    return gen
+
+
+def jpeg_resize_stats(
+    df: DataFrame, target_w: int, target_h: int, blob_col: str = "media"
+) -> DataFrame:
+    """REAL JPEG resize pipeline: full baseline decode → nearest-
+    neighbor resample via the integer index map src = (dst·src)//tgt →
+    integer stats of the resized grayscale pixels (the oracle replays
+    the index map on the generative block formula)."""
+    return df.select("doc_id", blob_col).mapInPandas(
+        _jpeg_resize_gen(target_w, target_h, blob_col), JPEG_RESIZE_SCHEMA
+    )
+
+
+def synth_jpeg_resize_stats(
+    df: DataFrame, target_w: int, target_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """attach_synth_jpeg >> jpeg_resize_stats, fused into one Python pass."""
+    return _fused_synth(
+        df, id_col, _synth_jpeg_gen(id_col),
+        _jpeg_resize_gen(target_w, target_h, "media"), JPEG_RESIZE_SCHEMA,
+    )

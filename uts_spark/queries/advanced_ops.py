@@ -670,11 +670,12 @@ def multimodal_png_decode(spark, sf_dir):
     rows; the pattern is exactly how a 100 TB image-corpus QC pass runs
     (decode → per-image stats → tiny aggregate), with this codec or
     PIL behind the same operator seam."""
-    from uts_spark.functions.multimodal import attach_synth_png, png_decode_stats
+    from uts_spark.functions.multimodal import synth_png_decode_stats
 
     docs = table(spark, sf_dir, "documents")
-    blobs = attach_synth_png(docs)
-    stats = png_decode_stats(blobs)
+    # encode+decode fused into ONE Arrow pass (optimization r12,
+    # guide §4.1): blobs never cross the JVM boundary
+    stats = synth_png_decode_stats(docs)
     n = F.col("n_pixels").cast("double")
     return stats.select(
         "doc_id", "width", "height", "channels", "n_pixels",
@@ -726,11 +727,11 @@ def multimodal_png_resize(spark, sf_dir):
     index map arithmetically on the generative pixel formula; the
     re-encoded blob length is computed but not compared (zlib output is
     an implementation detail, not a semantic)."""
-    from uts_spark.functions.multimodal import attach_synth_png, png_resize_stats
+    from uts_spark.functions.multimodal import synth_png_resize_stats
 
     docs = table(spark, sf_dir, "documents")
-    blobs = attach_synth_png(docs)
-    return png_resize_stats(blobs, 16, 16).select(
+    # encode+decode+resize fused into ONE Arrow pass (optimization r12)
+    return synth_png_resize_stats(docs, 16, 16).select(
         "doc_id", "src_w", "src_h", "target_w", "target_h",
         "sum_r", "sum_g", "sum_b",
     )
@@ -774,11 +775,11 @@ def multimodal_wav_decode(spark, sf_dir):
     Scale: same contract as the PNG lane — blobs are born and die on
     executors inside Arrow batches; only ~n/256 stat rows per doc ever
     move."""
-    from uts_spark.functions.multimodal import attach_synth_wav, wav_energy_windows
+    from uts_spark.functions.multimodal import synth_wav_energy_windows
 
     docs = table(spark, sf_dir, "documents")
-    blobs = attach_synth_wav(docs)
-    return wav_energy_windows(blobs)
+    # encode+decode fused into ONE Arrow pass (optimization r12)
+    return synth_wav_energy_windows(docs)
 
 
 @query(
@@ -824,10 +825,11 @@ def multimodal_wav_features(spark, sf_dir):
     every feature arithmetically from the closed-form waveform, so a
     container-parsing, endianness, or off-by-one defect in the decode
     breaks the hash. Blobs never shuffle; one stat row per clip moves."""
-    from uts_spark.functions.multimodal import attach_synth_wav, wav_clip_features
+    from uts_spark.functions.multimodal import synth_wav_clip_features
 
     docs = table(spark, sf_dir, "documents")
-    return wav_clip_features(attach_synth_wav(docs))
+    # encode+decode fused into ONE Arrow pass (optimization r12)
+    return synth_wav_clip_features(docs)
 
 
 # ===========================================================================
@@ -1057,11 +1059,11 @@ def multimodal_gzip_corpus(spark, sf_dir):
     Scale: same contract as the PNG/WAV lanes — blobs live and die
     inside executor Arrow batches, spread across cores; only the stat
     rows shuffle."""
-    from uts_spark.functions.multimodal import attach_gzip_text, gzip_text_stats
+    from uts_spark.functions.multimodal import synth_gzip_text_stats
 
     docs = table(spark, sf_dir, "documents")
-    blobs = attach_gzip_text(docs)
-    return gzip_text_stats(blobs).select(
+    # compress+decompress fused into ONE Arrow pass (optimization r12)
+    return synth_gzip_text_stats(docs).select(
         "doc_id", "n_chars", "n_tokens", "content_md5"
     )
 
@@ -1119,11 +1121,11 @@ def multimodal_jpeg_decode(spark, sf_dir):
     Scale: same contract as the PNG lane — encode and decode are
     Arrow-batched and core-spread; blobs never leave executors; only
     stat rows shuffle."""
-    from uts_spark.functions.multimodal import attach_synth_jpeg, jpeg_decode_stats
+    from uts_spark.functions.multimodal import synth_jpeg_decode_stats
 
     docs = table(spark, sf_dir, "documents")
-    blobs = attach_synth_jpeg(docs)
-    stats = jpeg_decode_stats(blobs)
+    # encode+decode fused into ONE Arrow pass (optimization r12)
+    stats = synth_jpeg_decode_stats(docs)
     return stats.select(
         "doc_id", "width", "height", "n_pixels",
         "sum_px", "sum_sq", "min_px", "max_px",
@@ -1168,8 +1170,8 @@ def multimodal_jpeg_resize(spark, sf_dir):
     generative DC-block formula (pixel at (sy, sx) is the block
     constant of (sy//8, sx//8)), never touching a byte. Completes the
     JPEG lane's decode → transform loop alongside the PNG twin."""
-    from uts_spark.functions.multimodal import attach_synth_jpeg, jpeg_resize_stats
+    from uts_spark.functions.multimodal import synth_jpeg_resize_stats
 
     docs = table(spark, sf_dir, "documents")
-    blobs = attach_synth_jpeg(docs)
-    return jpeg_resize_stats(blobs, 16, 16)
+    # encode+decode+resize fused into ONE Arrow pass (optimization r12)
+    return synth_jpeg_resize_stats(docs, 16, 16)
