@@ -455,3 +455,47 @@ def test_ancestor_pairs_closure_and_depth_guard(spark):
 
     with _pytest.raises(Exception, match="deeper"):
         ancestor_pairs(deep, "node", "parent", doublings=2)
+
+
+def test_grouped_discrete_median_paths_agree(spark):
+    """The size-adaptive grouped_discrete_median (optimization r12) must
+    return IDENTICAL rows from its small-input window shape and its
+    at-scale bucketed shape — including odd/even group sizes, duplicate
+    values, negative values, and a single-row group."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from uts_spark.operators.distributed_rank import (
+        GROUPED_MEDIAN_SMALL_BYTES,
+        grouped_discrete_median,
+    )
+
+    rng = random.Random(7)
+    rows = [("solo", 42.0)]
+    for g, n in (("a", 101), ("b", 100), ("c", 7)):
+        for _ in range(n):
+            rows.append((g, float(rng.randrange(-50, 50))))
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def run():
+        got = grouped_discrete_median(df, ["g"], "v", out="m").collect()
+        return sorted((r.g, r.m) for r in got)
+
+    small = run()  # default gate: tiny frame -> window shape
+    spark.conf.set(GROUPED_MEDIAN_SMALL_BYTES, "0")
+    try:
+        large = run()  # forced bucketed shape
+    finally:
+        spark.conf.unset(GROUPED_MEDIAN_SMALL_BYTES)
+    assert small == large
+
+    # pin against the definition: value at rank ceil(n/2), ascending
+    byg = {}
+    for g, v in rows:
+        byg.setdefault(g, []).append(v)
+    want = sorted(
+        (g, sorted(vs)[max((len(vs) + 1) // 2, 1) - 1])
+        for g, vs in byg.items()
+    )
+    assert small == want

@@ -294,20 +294,42 @@ def test_gopher_pack_is_pure_projection(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_mad_anomaly_no_whole_group_sort(spark, sf_dir):
+def test_mad_anomaly_no_whole_group_sort_at_scale(spark, sf_dir):
     # optimization r12 (VERDICT r11 #5): exact medians route through
-    # grouped_discrete_median — every window SORT is keyed
+    # the SIZE-ADAPTIVE grouped_discrete_median. Above the size gate
+    # (forced here via the conf) every window SORT is keyed
     # (event_type, bucket), never event_type alone (a ~5-key partition
     # sort is one task per event type at any cluster size), and the
-    # 5-row median tables broadcast back onto the facts
+    # 5-row median tables broadcast back onto the facts.
     import re
 
-    p = plan(spark, sf_dir, "ts_mad_anomaly")
+    from uts_spark.operators.distributed_rank import (
+        GROUPED_MEDIAN_SMALL_BYTES,
+    )
+
+    spark.conf.set(GROUPED_MEDIAN_SMALL_BYTES, "0")
+    try:
+        p = plan(spark, sf_dir, "ts_mad_anomaly")
+    finally:
+        spark.conf.unset(GROUPED_MEDIAN_SMALL_BYTES)
     sorts = [ln for ln in p.splitlines() if re.search(r"\bSort \[", ln)]
     assert sorts, p  # the bucketed rank windows do sort locally
     assert all("__bkt" in ln for ln in sorts), sorts
     assert "BroadcastHashJoin" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_mad_anomaly_small_input_keeps_single_exchange_shape(spark, sf_dir):
+    # below the gate (any test SF) the lane keeps the r11 fused-window
+    # shape: median and MAD are whole-partition windows over the fact's
+    # one event_type exchange — events scanned once, zero joins
+    import re
+
+    p = plan(spark, sf_dir, "ts_mad_anomaly")
+    exchanges = re.findall(r"Exchange hashpartitioning\(event_type", p)
+    assert len(exchanges) == 1, p.count("Exchange")
+    assert "Join" not in p
+    assert "__bkt" not in p
 
 
 def test_pattern_match_single_shuffle(spark, sf_dir):

